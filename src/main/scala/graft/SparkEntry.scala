@@ -1,13 +1,421 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.compile.NlCompiler
+import graft.exec.Executor
+import graft.ext.{Dedup, Events, Multimodal, Similarity, TextStats}
+import graft.ir.MongoJson
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one declared query per implemented operator
+  * (SURVEY.md §2 + §2.10), each paired with equivalent DuckDB SQL in
+  * [[oracleSql]] for the driver's hash-match correctness gate.
+  *
+  * Determinism rules (SURVEY.md §7.3, §7.4.5/6):
+  *  - every query ends in an explicit `orderBy` on a unique key — Mongo
+  *    natural order does not exist in Spark and hash-match needs stable rows;
+  *  - no raw timestamp columns in outputs (stringified with a fixed format);
+  *  - double aggregates go through decimal accumulation (exact,
+  *    order-independent) or stay per-row (IEEE ops in a fixed order are
+  *    bit-reproducible across engines);
+  *  - column names are aliased identically on both sides.
+  *
+  * The core `filter_* / projection / limit_* / count_*` entries run the FULL
+  * pipeline — find-spec JSON → [[MongoJson.parse]] → FilterCompiler →
+  * [[Executor.plan]] — not hand-built DataFrames, so a green row certifies
+  * the parser and compiler, not just Spark. The `nl_*` entries start one
+  * stage earlier at [[NlCompiler.compile]] (the reference's fallback
+  * compiler, No_Sql.py:316-377).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship: the reference's README example shape ("employees earning
+    * more than X", /root/reference/main.py:362) end-to-end — NL → IR →
+    * filter → plan — on sf0.001. Driver smoke-checks rows > 0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val emp = Tables.employees(spark, "/root/testdata/sf0.001")
+    Executor.plan(emp, NlCompiler.compile("Find employees earning more than 3000"))
+      .orderBy("emp_id")
+  }
+
+  /** Mongo find-spec JSON → plan over a table, sorted. The declared-query
+    * backbone: exercises MongoJson.parse + FilterCompiler + Executor.plan. */
+  private def mongo(table: String, specJson: String, sortKeys: String*)(
+      spark: SparkSession, dir: String): DataFrame =
+    Executor.plan(Tables.table(spark, dir, table), MongoJson.parse(specJson))
+      .orderBy(sortKeys.map(col): _*)
+
+  /** NL text → NlCompiler → plan over the employees view, sorted. */
+  private def nl(text: String, sortKeys: String*)(
+      spark: SparkSession, dir: String): DataFrame =
+    Executor.plan(Tables.employees(spark, dir), NlCompiler.compile(text))
+      .orderBy(sortKeys.map(col): _*)
+
+  private val Emp = Tables.EmployeesOracleView
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ----- §2.1 core filter predicates (full JSON→IR→Column pipeline) -----
+    "filter_eq" -> (mongo("customer",
+      """{"filter": {"c_mktsegment": "BUILDING"}}""", "c_custkey") _),
+    "filter_ne_nullsafe" -> (mongo("customer",
+      """{"filter": {"c_mktsegment": {"$ne": "BUILDING"}}}""", "c_custkey") _),
+    "filter_gt" -> (mongo("customer",
+      """{"filter": {"c_acctbal": {"$gt": 5000}}}""", "c_custkey") _),
+    "filter_lt" -> (mongo("customer",
+      """{"filter": {"c_acctbal": {"$lt": 1000}}}""", "c_custkey") _),
+    "filter_gte" -> (mongo("customer",
+      """{"filter": {"c_acctbal": {"$gte": 9000}}}""", "c_custkey") _),
+    "filter_lte" -> (mongo("customer",
+      """{"filter": {"c_acctbal": {"$lte": 100}}}""", "c_custkey") _),
+    "filter_in" -> (mongo("customer",
+      """{"filter": {"c_mktsegment": {"$in": ["MACHINERY", "FURNITURE"]}}}""",
+      "c_custkey") _),
+    "filter_regex_ci" -> (mongo("part",
+      """{"filter": {"p_type": {"$regex": "econ", "$options": "i"}}}""",
+      "p_partkey") _),
+    "filter_and" -> (mongo("customer",
+      """{"filter": {"c_mktsegment": "BUILDING", "c_acctbal": {"$gt": 2500}}}""",
+      "c_custkey") _),
+    "filter_between" -> (mongo("customer",
+      """{"filter": {"c_acctbal": {"$gte": 1000, "$lte": 2000}}}""",
+      "c_custkey") _),
+    // ----- §2.2 projection / §2.3 limit -----
+    "projection" -> (mongo("customer",
+      """{"filter": {}, "projection": {"c_custkey": 1, "c_name": 1}}""",
+      "c_custkey") _),
+    "limit_topk" -> ((s: SparkSession, dir: String) =>
+      Executor.plan(
+        Tables.customer(s, dir).orderBy("c_custkey"),
+        MongoJson.parse("""{"filter": {}}""").copy(limit = Some(50)))),
+    "limit_clamp" -> ((s: SparkSession, dir: String) =>
+      // limit 5000 clamps to 1000 (No_Sql.py:397)
+      Executor.plan(
+        Tables.customer(s, dir).orderBy("c_custkey"),
+        MongoJson.parse("""{"filter": {}}""").copy(limit = Some(5000)))),
+    // ----- §2.4 counts -----
+    "count_filtered" -> ((s: SparkSession, dir: String) =>
+      Executor.plan(Tables.customer(s, dir),
+          MongoJson.parse("""{"filter": {"c_mktsegment": "BUILDING"}}"""))
+        .agg(count(lit(1)).as("n"))),
+    "count_all" -> ((s: SparkSession, dir: String) =>
+      Tables.customer(s, dir).agg(count(lit(1)).as("n"))),
+    "agg_history_stats" -> ((s: SparkSession, dir: String) => {
+      // query-history analytics (main.py:263-268) modeled on the events
+      // table: success = non-error event, execution_time = value
+      val ev = Tables.events(s, dir)
+      ev.agg(
+        count(lit(1)).as("n_queries"),
+        (sum((col("event_type") =!= "error").cast("long")) * lit(100.0) /
+          count(lit(1))).as("success_rate"),
+        (sum(col("value").cast("decimal(18,2)")).cast("double") /
+          count(lit(1))).as("mean_exec"))
+    }),
+    // ----- §2.6 NL fallback compiler (one per rule + quirks) -----
+    "nl_salary_gt" -> (nl("Find employees earning more than 3000", "emp_id") _),
+    "nl_salary_lt" -> (nl("employees with pay under 2000", "emp_id") _),
+    "nl_salary_eq" -> (nl("employees with salary 655", "emp_id") _),
+    "nl_age_gt" -> (nl("employees with age above 40", "emp_id") _),
+    "nl_age_lt" -> (nl("employees with age younger than 30", "emp_id") _),
+    // rule-order shadowing: the age rule fires first, the department
+    // predicate is dropped (No_Sql.py:334-341 before :344-359)
+    "nl_shadow" -> (nl("engineers with age over 30", "emp_id") _),
+    "nl_dept" -> (nl("show all engineers", "emp_id") _),
+    "nl_name_proj" -> (nl("show customer names", "name") _),
+    "nl_experience" -> (nl("people with experience more than 20", "emp_id") _),
+    "nl_default" -> (nl("hello world", "emp_id") _),
+    // ----- §2.7 LLM-response repair cascade -----
+    "nl_repair" -> ((s: SparkSession, dir: String) =>
+      Executor.plan(Tables.employees(s, dir), MongoJson.parseWithRepair(
+        "```json\n{'filter': {'department': {'$regex': 'sales', " +
+          "'$options': 'i'}}, 'projection': {}}\n```"))
+        .orderBy("emp_id")),
+    // ----- §2.10 dedup -----
+    "dedup_exact" -> ((s: SparkSession, dir: String) =>
+      Dedup.exact(Tables.documents(s, dir), "doc_id", Seq("lang", "source"))
+        .orderBy("doc_id")),
+    "dedup_fingerprint" -> ((s: SparkSession, dir: String) =>
+      Dedup.byFingerprint(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+    "dedup_jaccard" -> ((s: SparkSession, dir: String) =>
+      Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+          n = 3, threshold = 0.5)
+        .orderBy("id_a", "id_b")),
+    "dedup_minhash" -> ((s: SparkSession, dir: String) =>
+      Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+          n = 3, bands = 64, rowsPerBand = 2, threshold = 0.5)
+        .orderBy("id_a", "id_b")),
+    "dedup_simhash" -> ((s: SparkSession, dir: String) =>
+      Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
+          maxHamming = 3)
+        .orderBy("id_a", "id_b")),
+    // ----- §2.10 similarity search -----
+    "sim_topk" -> ((s: SparkSession, dir: String) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.topK(emb, "vec_id", "embedding", queryVec(emb), k = 10)
+    }),
+    "sim_topk_grouped" -> ((s: SparkSession, dir: String) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.topKPerGroup(emb, "vec_id", "embedding", "label",
+          queryVec(emb), k = 3)
+        .orderBy("label", "rn")
+    }),
+    "sim_neardup" -> ((s: SparkSession, dir: String) =>
+      Similarity.nearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+          threshold = 0.4)
+        .orderBy("id_a", "id_b")),
+    // ----- §2.10 text analysis -----
+    "text_tokens" -> ((s: SparkSession, dir: String) =>
+      TextStats.tokenStats(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+    "text_quality" -> ((s: SparkSession, dir: String) =>
+      TextStats.quality(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+    "text_langstats" -> ((s: SparkSession, dir: String) =>
+      TextStats.langStats(Tables.documents(s, dir), "lang", "text", "n_chars")
+        .orderBy("lang")),
+    "text_langid" -> ((s: SparkSession, dir: String) =>
+      TextStats.langId(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+    "text_fingerprint" -> ((s: SparkSession, dir: String) =>
+      TextStats.fingerprints(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+    // ----- §2.10 events / JSON / windows / joins -----
+    "events_json" -> ((s: SparkSession, dir: String) =>
+      Events.jsonProps(Tables.events(s, dir)).orderBy("event_id")),
+    "events_hourly" -> ((s: SparkSession, dir: String) =>
+      Events.hourly(Tables.events(s, dir)).orderBy("hour", "event_type")),
+    "events_sessions" -> ((s: SparkSession, dir: String) =>
+      Events.sessions(Tables.events(s, dir), gapMinutes = 30)
+        .orderBy("user_id", "session_id")),
+    "join_enrich" -> ((s: SparkSession, dir: String) =>
+      Events.enrichCustomer(Tables.customer(s, dir), Tables.nation(s, dir),
+          Tables.region(s, dir))
+        .orderBy("c_custkey")),
+    "join_revenue" -> ((s: SparkSession, dir: String) =>
+      Events.revenueBySegment(Tables.orders(s, dir), Tables.customer(s, dir))
+        .orderBy("c_mktsegment")),
+    // ----- §2.10 multimodal plumbing (stub decode, real Spark shape) -----
+    "mm_features" -> ((s: SparkSession, dir: String) =>
+      Multimodal.features(
+          Multimodal.fromDocuments(s, Tables.documents(s, dir)))
+        .toDF().orderBy("id")),
+  )
+
+  /** Deterministic query vector for the similarity entries: the embedding of
+    * vec_id 0, collected once (one row — metadata-sized, not a data scan). */
+  private def queryVec(emb: DataFrame): Seq[Double] =
+    emb.where(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0).map(_.toDouble)
+
+  // =========================================================================
+  // DuckDB oracles — same parquet tables, ANSI-ish SQL. Column names and
+  // row order match the engine formulations above. `dedup_minhash` reuses
+  // the exact-Jaccard oracle: banded MinHash (b=64, r=2) has false-negative
+  // probability (1-s^r)^b ≈ 1e-8 at s=0.5 and candidates are exact-verified,
+  // so its output equals the exact pair set on this data (checked locally).
+  // `dedup_simhash` is omitted: xxhash64 is engine-internal, rows-only check.
+  // =========================================================================
+
+  /** Shared CTE for jaccard/minhash oracles: distinct 3-gram shingles per
+    * doc (whole text when < 3 tokens), exploded with sizes. */
+  private val JaccardOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS s FROM documents
+      |), g AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(s) < 3 THEN [array_to_string(s, ' ')]
+      |         ELSE list_distinct([array_to_string(s[i:i+2], ' ')
+      |                             for i in range(1, len(s) - 1)]) END AS grams
+      |  FROM toks
+      |), e AS (
+      |  SELECT doc_id, len(grams) AS sz, unnest(grams) AS gram FROM g
+      |), shared AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+      |         count(*) AS sh
+      |  FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3, 4
+      |)
+      |SELECT id_a, id_b, round(sh / (sz_a + sz_b - sh), 4) AS jaccard
+      |FROM shared WHERE round(sh / (sz_a + sz_b - sh), 4) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** Cosine similarity vs the vec_id-0 embedding, double math, rounded 4. */
+  private def cosineSql(scoreAlias: String): String =
+    s"""WITH q AS (
+       |  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0
+       |), scored AS (
+       |  SELECT vec_id, label,
+       |    round(list_dot_product(CAST(embedding AS DOUBLE[]), qe) /
+       |      (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                             CAST(embedding AS DOUBLE[]))) *
+       |       sqrt(list_dot_product(qe, qe))), 4) AS $scoreAlias
+       |  FROM embeddings, q
+       |)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "filter_eq" ->
+      "SELECT * FROM customer WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey",
+    "filter_ne_nullsafe" ->
+      "SELECT * FROM customer WHERE c_mktsegment IS DISTINCT FROM 'BUILDING' ORDER BY c_custkey",
+    "filter_gt" ->
+      "SELECT * FROM customer WHERE c_acctbal > 5000 ORDER BY c_custkey",
+    "filter_lt" ->
+      "SELECT * FROM customer WHERE c_acctbal < 1000 ORDER BY c_custkey",
+    "filter_gte" ->
+      "SELECT * FROM customer WHERE c_acctbal >= 9000 ORDER BY c_custkey",
+    "filter_lte" ->
+      "SELECT * FROM customer WHERE c_acctbal <= 100 ORDER BY c_custkey",
+    "filter_in" ->
+      "SELECT * FROM customer WHERE c_mktsegment IN ('MACHINERY', 'FURNITURE') ORDER BY c_custkey",
+    "filter_regex_ci" ->
+      "SELECT * FROM part WHERE regexp_matches(p_type, '(?i)econ') ORDER BY p_partkey",
+    "filter_and" ->
+      "SELECT * FROM customer WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 2500 ORDER BY c_custkey",
+    "filter_between" ->
+      "SELECT * FROM customer WHERE c_acctbal >= 1000 AND c_acctbal <= 2000 ORDER BY c_custkey",
+    "projection" ->
+      "SELECT c_custkey, c_name FROM customer ORDER BY c_custkey",
+    "limit_topk" ->
+      "SELECT * FROM customer ORDER BY c_custkey LIMIT 50",
+    "limit_clamp" ->
+      "SELECT * FROM customer ORDER BY c_custkey LIMIT 1000",
+    "count_filtered" ->
+      "SELECT count(*) AS n FROM customer WHERE c_mktsegment = 'BUILDING'",
+    "count_all" ->
+      "SELECT count(*) AS n FROM customer",
+    "agg_history_stats" ->
+      ("SELECT count(*) AS n_queries, " +
+        "sum(CASE WHEN event_type != 'error' THEN 1 ELSE 0 END) * 100.0 / count(*) AS success_rate, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean_exec " +
+        "FROM events"),
+    "nl_salary_gt" ->
+      s"SELECT * FROM $Emp WHERE salary > 3000 ORDER BY emp_id",
+    "nl_salary_lt" ->
+      s"SELECT * FROM $Emp WHERE salary < 2000 ORDER BY emp_id",
+    "nl_salary_eq" ->
+      s"SELECT * FROM $Emp WHERE salary = 655 ORDER BY emp_id",
+    "nl_age_gt" ->
+      s"SELECT * FROM $Emp WHERE age > 40 ORDER BY emp_id",
+    "nl_age_lt" ->
+      s"SELECT * FROM $Emp WHERE age < 30 ORDER BY emp_id",
+    "nl_shadow" ->
+      s"SELECT * FROM $Emp WHERE age > 30 ORDER BY emp_id",
+    "nl_dept" ->
+      s"SELECT * FROM $Emp WHERE regexp_matches(department, '(?i)engineering') ORDER BY emp_id",
+    "nl_name_proj" ->
+      s"SELECT name FROM $Emp ORDER BY name",
+    "nl_experience" ->
+      s"SELECT * FROM $Emp WHERE experience_years > 20 ORDER BY emp_id",
+    "nl_default" ->
+      s"SELECT * FROM $Emp ORDER BY emp_id",
+    "nl_repair" ->
+      s"SELECT * FROM $Emp WHERE regexp_matches(department, '(?i)sales') ORDER BY emp_id",
+    "dedup_exact" ->
+      "SELECT min(doc_id) AS doc_id, lang, source FROM documents GROUP BY lang, source ORDER BY 1",
+    "dedup_fingerprint" ->
+      "SELECT min(doc_id) AS doc_id, md5(lower(text)) AS fp FROM documents GROUP BY md5(lower(text)) ORDER BY 1",
+    "dedup_jaccard" -> JaccardOracle,
+    "dedup_minhash" -> JaccardOracle,
+    "sim_topk" ->
+      (cosineSql("sim") + " SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id LIMIT 10"),
+    "sim_topk_grouped" ->
+      (cosineSql("sim") +
+        ", ranked AS (SELECT label, vec_id, sim, " +
+        "CAST(row_number() OVER (PARTITION BY label ORDER BY sim DESC, vec_id) AS BIGINT) AS rn " +
+        "FROM scored) SELECT label, vec_id, sim, rn FROM ranked WHERE rn <= 3 ORDER BY label, rn"),
+    "sim_neardup" ->
+      ("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |pairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    round(list_dot_product(a.e, b.e) /
+         |      (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4) AS sim
+         |  FROM v a JOIN v b ON a.vec_id < b.vec_id
+         |)
+         |SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.4 ORDER BY id_a, id_b""".stripMargin),
+    "text_tokens" ->
+      ("""SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+         |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe
+         |FROM documents ORDER BY doc_id""".stripMargin),
+    "text_quality" ->
+      ("""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS s FROM documents)
+         |SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  round(CAST(list_sum([length(w) for w in s]) AS DOUBLE) / len(s), 4) AS avg_token_len,
+         |  round(CAST(len([w for w in s if w IN ('the','a','of','and','to','is')]) AS DOUBLE) / len(s), 4) AS stopword_ratio,
+         |  round(CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+         |        / greatest(length(text), 1), 4) AS punct_ratio
+         |FROM t ORDER BY doc_id""".stripMargin),
+    "text_langstats" ->
+      ("""SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars,
+         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+    "text_langid" ->
+      ("""WITH s AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+         |h AS (SELECT doc_id,
+         |  len([x for x in w if x IN ('the','and','of','to','is','in')]) AS en,
+         |  len([x for x in w if x IN ('el','la','de','que','y','los')]) AS es,
+         |  len([x for x in w if x IN ('der','die','und','das','nicht','ist')]) AS de,
+         |  len([x for x in w if x IN ('le','la','les','et','des','une')]) AS fr,
+         |  len([x for x in w if x IN ('的','是','了','在','我','有')]) AS zh
+         |  FROM s),
+         |b AS (SELECT doc_id, en, es, de, fr, zh, greatest(en, es, de, fr, zh) AS best FROM h)
+         |SELECT doc_id,
+         |  CASE WHEN best = 0 THEN 'und'
+         |       WHEN en = best THEN 'en' WHEN es = best THEN 'es'
+         |       WHEN de = best THEN 'de' WHEN fr = best THEN 'fr'
+         |       ELSE 'zh' END AS pred_lang,
+         |  CAST(best AS BIGINT) AS score
+         |FROM b ORDER BY doc_id""".stripMargin),
+    "text_fingerprint" ->
+      ("""SELECT doc_id,
+         |  CAST(list_reduce([ascii(c) for c in string_split(text, '')],
+         |       (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT) AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin),
+    "events_json" ->
+      ("SELECT event_id, event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k " +
+        "FROM events ORDER BY event_id"),
+    "events_hourly" ->
+      ("""SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
+         |  count(*) AS n,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin),
+    "events_sessions" ->
+      ("""WITH flagged AS (
+         |  SELECT user_id, ts, event_id,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |              OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+         |         THEN 1 ELSE 0 END AS new_sess
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |), sess AS (
+         |  SELECT user_id, ts,
+         |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         |  FROM flagged
+         |)
+         |SELECT user_id, session_id, count(*) AS n_events,
+         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
+         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS s_end
+         |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin),
+    "join_enrich" ->
+      ("""SELECT c_custkey, c_name, n_name, r_name
+         |FROM customer
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |ORDER BY c_custkey""".stripMargin),
+    "join_revenue" ->
+      ("""SELECT c_mktsegment, count(*) AS n_orders,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+    "mm_features" ->
+      ("""SELECT doc_id AS id, 'text' AS kind,
+         |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+         |  CAST(list_sum([ascii(c) for c in string_split(text, '')]) AS BIGINT) AS byte_sum,
+         |  CAST(ascii(substr(text, 1, 1)) + 1 AS INTEGER) AS width,
+         |  CAST(CASE WHEN length(text) > 1 THEN ascii(substr(text, 2, 1)) + 1 ELSE 0 END AS INTEGER) AS height
+         |FROM documents ORDER BY id""".stripMargin),
+  )
 }

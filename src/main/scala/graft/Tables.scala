@@ -27,14 +27,29 @@ object Tables {
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
   def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
-  def events(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "events")
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    * rejects outright; with `spark.sql.legacy.parquet.nanosAsLong=true` (set
+    * in the session builders) it arrives as nanos-since-epoch LongType and is
+    * truncated here to a micros TimestampType — the same truncation DuckDB
+    * applies when casting TIMESTAMP_NS to TIMESTAMP, so both engines see
+    * identical instants. Integer `div` (not `/`): a double quotient would
+    * lose precision above 2^53 ns. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
   /** The reference's canonical employees schema (FIXTURES.md §1) derived
     * deterministically from `customer` so the NL-pipeline queries run
     * end-to-end on the driver's testdata. The same mapping is inlined as a
-    * subquery in the DuckDB oracles (see [[graft.ops.NlQueries]]). */
+    * subquery in the DuckDB oracles via [[EmployeesOracleView]] (used by the
+    * `nl_*` entries in [[graft.SparkEntry.oracleSql]]). */
   def employees(spark: SparkSession, dir: String): DataFrame =
     customer(spark, dir).select(
       col("c_custkey").as("emp_id"),

@@ -30,6 +30,9 @@ object FilterCompiler {
     case FilterExpr.True         => lit(true)
     case FilterExpr.And(cs)      =>
       cs.map(compile(_, schema)).reduceOption(_ && _).getOrElse(lit(true))
+    // Mongo `{field: null}` / `{$eq: null}` matches null-or-missing fields;
+    // `col === lit(null)` would match nothing. Null-safe via `<=>`.
+    case FilterExpr.Eq(fl, null) => col(fl).isNull
     case FilterExpr.Eq(fl, v)    => col(fl) === typedLit(fl, v, schema)
     case FilterExpr.Ne(fl, v)    => !(col(fl) <=> typedLit(fl, v, schema))
     case FilterExpr.Gt(fl, v)    => col(fl) > typedLit(fl, v, schema)
@@ -37,7 +40,13 @@ object FilterCompiler {
     case FilterExpr.Gte(fl, v)   => col(fl) >= typedLit(fl, v, schema)
     case FilterExpr.Lte(fl, v)   => col(fl) <= typedLit(fl, v, schema)
     case FilterExpr.In(fl, vs)   =>
-      col(fl).isin(vs.map(rawTyped(fl, _, schema)): _*)
+      // Mongo `$in` with null in the list also matches null/missing fields;
+      // Spark `isin` is null-rejecting, so the null arm is explicit.
+      val nonNull = vs.filter(_ != null)
+      val base =
+        if (nonNull.isEmpty) lit(false)
+        else col(fl).isin(nonNull.map(rawTyped(fl, _, schema)): _*)
+      if (vs.exists(_ == null)) base || col(fl).isNull else base
     case FilterExpr.Regex(fl, pat, ci) =>
       col(fl).rlike(javaRegex(pat, ci))
   }
@@ -74,7 +83,10 @@ object FilterCompiler {
       case (d: Double, LongType)           => d.toLong
       case (d: Double, IntegerType)        => d.toInt
       case (d: Double, ShortType)          => d.toShort
-      case (d: Double, _: DecimalType)     => new java.math.BigDecimal(d)
+      // valueOf uses the canonical Double.toString scale; `new BigDecimal(d)`
+      // would take the double's exact binary expansion (scale ~55 for 0.1),
+      // exceeding Spark's max decimal precision of 38.
+      case (d: Double, _: DecimalType)     => java.math.BigDecimal.valueOf(d)
       case (s: String, StringType)         => s
       case (b: Boolean, BooleanType)       => b
       case (s: String, TimestampType)      => parseTs(field, s)

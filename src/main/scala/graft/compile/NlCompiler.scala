@@ -32,7 +32,9 @@ object NlCompiler {
 
   def compile(text: String): QuerySpec = {
     val t = text.toLowerCase
-    val firstNum: Option[Int] = digits.findFirstIn(t).map(_.toInt)
+    // Python's int() is arbitrary precision (No_Sql.py:325); BigInt here so a
+    // 10+-digit run compiles a filter instead of throwing NumberFormatException.
+    val firstNum: Option[BigInt] = digits.findFirstIn(t).map(BigInt(_))
 
     // Rule 1: salary (No_Sql.py:322-331)
     if (Seq("salary", "earn", "pay", "income").exists(t.contains) &&

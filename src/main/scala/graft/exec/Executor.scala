@@ -1,35 +1,53 @@
 package graft.exec
 
-import graft.compile.FilterCompiler
-import graft.ir.{FilterExpr, QuerySpec, UnsupportedQueryException}
+import graft.compile.{FilterCompiler, NlCompiler}
+import graft.ir.{FilterExpr, MongoJson, QuerySpec, UnsupportedQueryException}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.col
 
+import scala.concurrent.{Await, ExecutionContext, Future, TimeoutException}
+import scala.concurrent.duration._
+
 /** Execution of a [[QuerySpec]] over a DataFrame — the Spark analog of the
   * reference's `run_mongo_query` (/root/reference/No_Sql.py:379-445):
-  * filter → total-matching count → projection → clamped limit → sanitize.
+  * filter → total-matching count → projection → clamped limit → sanitize,
+  * wrapped in the response envelope's per-phase timings
+  * (app_server.py:84-93, 258-268).
   *
   * Plan-shape notes (SURVEY.md §4): the filter is one Column conjunction →
   * Catalyst pushes it into the Parquet scan (`PushedFilters`); the
-  * projection is a plain `select` → column pruning reaches `ReadSchema`;
-  * the limit lands on `CollectLimitExec`. The count's metadata fast path
+  * projection is a plain `select` → column pruning reaches `ReadSchema`; the
+  * limit lands on `CollectLimitExec`. The count's metadata fast path
   * (`estimated_document_count`, No_Sql.py:416) maps to Spark's Parquet
-  * footer count — enable `spark.sql.parquet.aggregatePushdown=true` and an
-  * empty-filter `count()` never scans data.
+  * footer count — `spark.sql.parquet.aggregatePushdown=true` is set in the
+  * session builders (Verify.scala, Bench.scala) so an empty-filter `count()`
+  * never scans data.
   */
 object Executor {
 
-  /** Result envelope, mirroring the reference's response fields
-    * (app_server.py:84-93): total matching count + the (≤ limit) rows. */
+  /** Per-phase timings, mirroring `query_generation_time` /
+    * `db_execution_time` / `execution_time` (app_server.py:84-93). */
+  final case class Timings(generationSec: Double, dbSec: Double,
+                           totalSec: Double)
+
+  /** Result envelope (app_server.py:84-93): total matching count, the
+    * (≤ limit) sanitized rows — both as a lazy frame and collected like the
+    * reference's `list(cursor)` (No_Sql.py:405) — the echoed query, timings,
+    * and whether the count degraded to `len(results)` on timeout
+    * (No_Sql.py:419-421). */
   final case class QueryResult(
       totalMatching: Long,
       rows: DataFrame,
-      mongoQueryJson: String)
+      results: Seq[String],
+      mongoQueryJson: String,
+      timings: Timings,
+      countDegraded: Boolean)
 
   /** Limit clamp [1, 1000] (No_Sql.py:397; app_server.py:78). */
   def clampLimit(n: Int): Int = math.max(1, math.min(n, 1000))
 
-  val DefaultLimit = 50 // app_server.py:78, main.py:331
+  val DefaultLimit = 50           // app_server.py:78, main.py:331
+  val CountTimeoutMs = 3000L      // count_documents maxTimeMS (No_Sql.py:416)
 
   /** Lazy plan only — no action. Callers pick collect/count/write. */
   def plan(df: DataFrame, spec: QuerySpec): DataFrame = {
@@ -49,17 +67,55 @@ object Executor {
     spec.limit.map(n => projected.limit(clampLimit(n))).getOrElse(projected)
   }
 
-  /** Full reference-parity execution: rows + total-matching count.
-    * Count runs on the UNlimited, UNprojected filtered frame
-    * (No_Sql.py:414-416); empty filter takes the metadata path. */
-  def exec(df: DataFrame, spec: QuerySpec,
-           limit: Int = DefaultLimit): QueryResult = {
-    val total = spec.filter match {
-      case FilterExpr.True => df.count() // metadata-count fast path analog
-      case f               => df.filter(FilterCompiler.compile(f, df.schema)).count()
+  /** Count with the reference's degradation policy: if it exceeds
+    * `timeoutMs`, cancel the job group and fall back to `fallback`
+    * (the reference's `len(results)`, No_Sql.py:419-421). */
+  def countWithTimeout(df: DataFrame, timeoutMs: Long,
+                       fallback: => Long): (Long, Boolean) = {
+    val sc = df.sparkSession.sparkContext
+    val group = s"graft-count-${System.nanoTime()}"
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val fut = Future {
+      sc.setJobGroup(group, "total-matching count", interruptOnCancel = true)
+      try df.count() finally sc.clearJobGroup()
     }
+    try (Await.result(fut, timeoutMs.millis), false)
+    catch {
+      case _: TimeoutException =>
+        sc.cancelJobGroup(group)
+        (fallback, true)
+    }
+  }
+
+  /** Full reference-parity execution: collected rows + total-matching count
+    * + per-phase timings. Count runs on the UNlimited, UNprojected filtered
+    * frame (No_Sql.py:414-416); empty filter takes the metadata-count path
+    * (aggregate pushdown); count timeout degrades to `results.length`. */
+  def exec(df: DataFrame, spec: QuerySpec, limit: Int = DefaultLimit,
+           generationSec: Double = 0.0,
+           countTimeoutMs: Long = CountTimeoutMs): QueryResult = {
+    val t0 = System.nanoTime()
     val rows = Sanitizer.sanitize(
       plan(df, spec.copy(limit = Some(spec.limit.getOrElse(limit)))))
-    QueryResult(total, rows, graft.ir.MongoJson.toJson(spec))
+    val results = rows.toJSON.collect().toSeq // list(cursor), No_Sql.py:405
+    val filtered = spec.filter match {
+      case FilterExpr.True => df
+      case f               => df.filter(FilterCompiler.compile(f, df.schema))
+    }
+    val (total, degraded) =
+      countWithTimeout(filtered, countTimeoutMs, results.length.toLong)
+    val dbSec = (System.nanoTime() - t0) / 1e9
+    QueryResult(total, rows, results, MongoJson.toJson(spec),
+      Timings(generationSec, dbSec, generationSec + dbSec), degraded)
+  }
+
+  /** End-to-end NL pipeline (the reference's POST /query path, SURVEY.md
+    * §3.1): NL → QuerySpec (timed generation phase) → exec (timed DB phase). */
+  def runNl(df: DataFrame, text: String,
+            limit: Int = DefaultLimit): QueryResult = {
+    val t0 = System.nanoTime()
+    val spec = NlCompiler.compile(text)
+    val genSec = (System.nanoTime() - t0) / 1e9
+    exec(df, spec, limit, generationSec = genSec)
   }
 }

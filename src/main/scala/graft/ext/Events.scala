@@ -1,0 +1,83 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream batch operators over the `events` table (TESTDATA.md):
+  * JSON prop extraction, event-time tumbling windows, gap sessionization,
+  * and broadcast dimension-join enrichment. The streaming (readStream)
+  * versions of the window/session shapes live in
+  * [[graft.streaming.EventsStream]].
+  */
+object Events {
+
+  /** `props` is a JSON string column; extract `$.k` as a typed value.
+    * `get_json_object` is a codegen'd scalar — no shuffle, scan-parallel. */
+  def jsonProps(events: DataFrame): DataFrame =
+    events.select(col("event_id"), col("event_type"),
+      get_json_object(col("props"), "$.k").cast("long").as("k"))
+
+  /** Hourly tumbling-window aggregate. Uses date_trunc (stringified for
+    * engine-portable output); the streaming variant uses window() +
+    * watermark. One shuffle on (hour, event_type) with partial aggregation.
+    *
+    * The value sum goes through decimal(18,2): double summation order varies
+    * with partitioning, so a double sum is not reproducible across runs or
+    * engines; decimal accumulation is exact, and the final cast back to
+    * double is deterministic. */
+  def hourly(events: DataFrame): DataFrame =
+    events.groupBy(
+        date_trunc("hour", col("ts")).cast("string").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+
+  /** Gap-based sessionization: a new session starts when the per-user gap
+    * exceeds `gapMinutes`. Interval comparison on full-precision timestamps
+    * (no epoch truncation). Two shuffles: one window partition on user_id,
+    * one groupBy — the canonical distributed formulation. */
+  def sessions(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    // event_id tiebreak: two events with identical (user_id, ts) would make
+    // lag() order — and therefore session boundaries — nondeterministic.
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gap = expr(s"INTERVAL $gapMinutes MINUTES")
+    val flagged = events.withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull || col("ts") > col("prev_ts") + gap, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_sess")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged.groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("s_start"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("s_end"))
+  }
+
+  /** Dimension enrichment: customer → nation → region. Both dims are
+    * broadcast — at 100 TB the fact side never shuffles for these joins
+    * (nation is 25 rows, region 5; the broadcast hint makes it explicit
+    * rather than relying on autoBroadcastJoinThreshold). */
+  def enrichCustomer(customer: DataFrame, nation: DataFrame,
+                     region: DataFrame): DataFrame =
+    customer
+      .join(broadcast(nation),
+        customer("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region),
+        nation("n_regionkey") === region("r_regionkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"), col("r_name"))
+
+  /** Revenue per market segment: fact (orders) joins the customer dim with
+    * an explicit broadcast, then one partial-aggregated shuffle. */
+  def revenueBySegment(orders: DataFrame, customer: DataFrame): DataFrame =
+    orders.join(
+        broadcast(customer.select(col("c_custkey"), col("c_mktsegment"))),
+        orders("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        // decimal accumulation: exact, order-independent (see hourly)
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("revenue"))
+}

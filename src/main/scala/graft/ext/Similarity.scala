@@ -1,0 +1,120 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over `ArrayType(FloatType)` columns
+  * (embeddings.embedding, TESTDATA.md) — brute-force cosine top-k as the
+  * exact baseline, coarse-quantized (IVF-style) and hyperplane-LSH variants
+  * as the scale paths. All vector math is pure Catalyst expressions
+  * (`zip_with` + `aggregate`) — codegen'd, no UDFs, fully distributed.
+  *
+  * Scale notes: brute-force top-k is a single scan + TakeOrderedAndProject —
+  * O(n·d) work, no shuffle of the vectors themselves, and the right answer
+  * for one-off queries even at 100 TB (it parallelizes perfectly). The IVF
+  * path cuts the scan to nprobe/nlist of the data for repeated queries; the
+  * LSH path buckets near-dup pair search the same way MinHash does for text.
+  */
+object Similarity {
+
+  /** Element-wise cast to double BEFORE any arithmetic: float accumulation
+    * is not reproducible across engines; double left-fold is. */
+  def asDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  /** Sequential left-fold dot product — deterministic summation order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Brute-force cosine top-k against one query vector. Deterministic:
+    * rounded similarity desc, then id — ties cannot reorder across engines. */
+  def topK(df: DataFrame, idCol: String, vecCol: String,
+           query: Seq[Double], k: Int): DataFrame =
+    df.select(col(idCol),
+        round(cosine(asDouble(col(vecCol)), typedLit(query)), 4).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+
+  /** Top-k per group (e.g. per label): window row_number, same tiebreak. */
+  def topKPerGroup(df: DataFrame, idCol: String, vecCol: String,
+                   groupCol: String, query: Seq[Double], k: Int): DataFrame = {
+    val scored = df.select(col(groupCol), col(idCol),
+      round(cosine(asDouble(col(vecCol)), typedLit(query)), 4).as("sim"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("sim").desc, col(idCol))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
+  /** Exact cosine near-dup pairs (all-pairs — O(n²), for bounded subsets or
+    * verification; the scale path is [[lshCosinePairs]]). */
+  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                   threshold: Double): DataFrame = {
+    val v = df.select(col(idCol).cast("long").as("id"),
+      asDouble(col(vecCol)).as("v"))
+    val a = v.alias("a")
+    val b = v.alias("b")
+    a.join(b, col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(cosine(col("a.v"), col("b.v")), 4).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
+  /** Deterministic pseudo-random unit-ish hyperplanes (seeded, reproducible
+    * across executors — the planes are literals in the plan). */
+  private def hyperplanes(numPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Random-hyperplane (SimHash-for-vectors) near-dup pairs: bucket on the
+    * sign-bit key, all-pairs only WITHIN buckets, exact-cosine verify.
+    * P[same bucket] = (1 - θ/π)^numPlanes for angle θ — candidates stay
+    * near-linear while recall at high cosine stays high. */
+  def lshCosinePairs(df: DataFrame, idCol: String, vecCol: String,
+                     dim: Int, threshold: Double,
+                     numPlanes: Int = 8, seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim, seed)
+    val v = df.select(col(idCol).cast("long").as("id"),
+      asDouble(col(vecCol)).as("v"))
+    val key = planes.zipWithIndex.map { case (p, i) =>
+      when(dot(col("v"), typedLit(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((x, y) => x.bitwiseOR(y))
+    val bucketed = v.withColumn("bucket", key)
+    val a = bucketed.alias("a")
+    val b = bucketed.alias("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(cosine(col("a.v"), col("b.v")), 4).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
+  /** Per-group centroids via posexplode → (group, position) average → array
+    * reassembly. Fully distributed — no vector ever crosses the driver. */
+  def centroids(df: DataFrame, vecCol: String, groupCol: String): DataFrame =
+    df.select(col(groupCol).as("grp"),
+        posexplode(asDouble(col(vecCol))).as(Seq("pos", "x")))
+      .groupBy("grp", "pos").agg(avg("x").as("x"))
+      .groupBy("grp")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("x")))),
+        s => s.getField("x")).as("centroid"))
+
+  /** IVF-style top-k: coarse-quantize by an existing partition column (here
+    * the label plays the nlist role; a production build would k-means), probe
+    * the `nprobe` nearest centroids, brute-force only inside those cells.
+    * Only the tiny centroid table (nlist rows) is collected to pick probes —
+    * the data-sized scan stays distributed and shrinks by nprobe/nlist. */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String, groupCol: String,
+              query: Seq[Double], k: Int, nprobe: Int): DataFrame = {
+    val cents = centroids(df, vecCol, groupCol)
+      .select(col("grp"),
+        round(cosine(col("centroid"), typedLit(query)), 4).as("csim"))
+      .orderBy(col("csim").desc, col("grp"))
+      .limit(nprobe)
+    val probes = cents.collect().map(_.get(0)) // nlist rows — metadata-sized
+    topK(df.filter(col(groupCol).isin(probes: _*)), idCol, vecCol, query, k)
+  }
+}

@@ -1,0 +1,95 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis over the `documents` table (TESTDATA.md): token counting
+  * (whitespace + BPE-ish regex), quality scoring, language-ID heuristic and
+  * rolling-hash fingerprinting. All narrow, codegen'd per-row expressions —
+  * zero shuffles except where a groupBy is the point (language breakdown),
+  * so every operator here scales linearly with input splits.
+  */
+object TextStats {
+
+  private def toks(text: Column): Column = split(text, " ")
+
+  /** Whitespace tokens, distinct tokens, and a BPE-ish regex token count
+    * (letter runs / digit runs / single other chars — the usual cheap
+    * pre-tokenizer approximation when the real BPE vocab isn't loadable). */
+  def tokenStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = toks(col(textCol))
+    df.select(col(idCol),
+      size(t).cast("long").as("n_tokens"),
+      size(array_distinct(t)).cast("long").as("n_distinct"),
+      size(expr(s"regexp_extract_all($textCol, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+        .cast("long").as("n_bpe"))
+  }
+
+  /** English-ish stopword list (shared with the quality oracle SQL). */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "is")
+
+  /** Quality-score components: char length, mean token length, stopword
+    * ratio, punctuation ratio. Rounded to 4 decimals so any oracle agrees. */
+  def quality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = toks(col(textCol))
+    val nTok = size(t)
+    val sumLen = aggregate(transform(t, w => length(w)),
+      lit(0), (acc, x) => acc + x)
+    val stopHits = size(filter(t, w => w.isin(Stopwords: _*)))
+    val punct = length(col(textCol)) -
+      length(regexp_replace(col(textCol), "[^a-z0-9 ]", ""))
+    df.select(col(idCol),
+      length(col(textCol)).cast("long").as("n_chars"),
+      round(sumLen.cast("double") / nTok, 4).as("avg_token_len"),
+      round(stopHits.cast("double") / nTok, 4).as("stopword_ratio"),
+      round(punct.cast("double") / greatest(length(col(textCol)), lit(1)), 4)
+        .as("punct_ratio"))
+  }
+
+  /** Language breakdown: per-lang doc count, mean length, total tokens. */
+  def langStats(df: DataFrame, langCol: String, textCol: String,
+                charsCol: String): DataFrame =
+    df.groupBy(col(langCol))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col(charsCol)), 4).as("avg_chars"),
+        sum(size(toks(col(textCol)))).cast("long").as("total_tokens"))
+
+  /** Tiny per-language stopword tables for the n-gram/stopword language-ID
+    * heuristic. Deliberately small — the heuristic's value is its shape
+    * (pure column expressions, no model artifacts), not its accuracy. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "in"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los"),
+    "de" -> Seq("der", "die", "und", "das", "nicht", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "une"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有"),
+  )
+
+  /** Language-ID: argmax over per-language stopword-hit counts; ties break
+    * by table order; zero hits everywhere → "und" (undetermined). */
+  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = toks(lower(col(textCol)))
+    val scores = LangMarkers.map { case (lang, words) =>
+      lang -> size(filter(t, w => w.isin(words: _*)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val pred = scores.reverse.foldLeft(lit("und")) { case (acc, (lang, s)) =>
+      when(s === best && best > 0, lang).otherwise(acc)
+    }
+    df.select(col(idCol), pred.as("pred_lang"), best.cast("long").as("score"))
+  }
+
+  /** Rabin-Karp rolling fingerprint over the character stream:
+    * fold(acc * 31 + codepoint) mod 1e9+7. A cheap content-defined document
+    * fingerprint; pure sequential array fold, codegen'd.
+    *
+    * Java's `split("", -1)` can emit empty strings at the boundaries
+    * (ascii('') = 0 would silently shift the hash); filter them out so the
+    * fold sees exactly the characters. */
+  def rollingFingerprint(text: Column): Column =
+    aggregate(filter(split(text, ""), c => length(c) > 0), lit(0L),
+      (acc, c) => pmod(acc * 31L + ascii(c), lit(1000000007L)))
+
+  def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), rollingFingerprint(col(textCol)).as("fp"))
+}

@@ -117,6 +117,11 @@ object MongoJson {
       // the reference never produces one — reject.
       throw new UnsupportedQueryException(
         s"nested document equality on '$field' not supported")
+    // Mongo rejects `$options` without a sibling `$regex`; without this guard
+    // `{f: {"$options": "i"}}` would yield And(Nil) → match-all.
+    if (keys.contains("$options") && !keys.contains("$regex"))
+      throw new UnsupportedQueryException(
+        s"$$options on '$field' without a sibling $$regex")
     val caseInsensitive = Option(ops.get("$options"))
       .exists(o => o.isTextual && o.asText.contains("i"))
     val preds = ops.properties().asScala.toSeq.collect {
@@ -204,16 +209,31 @@ object MongoJson {
       if (ci) o.put("$options", "i")
   }
 
+  /** Operator object for `field`, preserving an existing bare-scalar Eq by
+    * moving it inside as `$eq` — `{f: 1}` then `$gt` becomes
+    * `{f: {$eq: 1, $gt: ...}}` instead of silently dropping the equality. */
   private def fieldObj(into: ObjectNode, field: String): ObjectNode = {
     val existing = into.get(field)
-    if (existing != null && existing.isObject) existing.asInstanceOf[ObjectNode]
-    else into.putObject(field)
+    if (existing == null) into.putObject(field)
+    else if (existing.isObject) existing.asInstanceOf[ObjectNode]
+    else {
+      val o = into.putObject(field)
+      o.set("$eq", existing)
+      o
+    }
   }
 
   private def addNum(arr: ArrayNode, d: Double): Unit =
     if (d == d.toLong.toDouble) arr.add(d.toLong) else arr.add(d)
 
-  private def putScalar(into: ObjectNode, field: String, v: Any): Unit =
+  private def putScalar(into: ObjectNode, field: String, v: Any): Unit = {
+    // If the field already carries an operator object (e.g. `{$gt: 0}` before
+    // an Eq on the same field), nest the equality as `$eq` instead of
+    // replacing the object.
+    val existing = into.get(field)
+    if (existing != null && existing.isObject) {
+      putOp(into, field, "$eq", v); return
+    }
     v match {
       case s: String  => into.put(field, s)
       case d: Double  =>
@@ -225,6 +245,7 @@ object MongoJson {
       case null       => into.putNull(field)
       case other      => into.put(field, other.toString)
     }
+  }
 
   private def putOp(into: ObjectNode, field: String, op: String, v: Any): Unit = {
     val o = fieldObj(into, field)

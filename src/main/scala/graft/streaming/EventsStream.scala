@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming versions of the event operators in
+  * [[graft.ext.Events]]: watermarked tumbling-window aggregation and
+  * stateful gap sessionization via flatMapGroupsWithState.
+  *
+  * The reference's `/query/async` endpoint is an unimplemented stub
+  * (/root/reference/app_server.py:281-289) — this module is part of the
+  * north-star extension surface, built on readStream → transform →
+  * writeStream so the same logical shapes run over Kafka/files at scale.
+  */
+object EventsStream {
+
+  /** Hourly tumbling-window counts with a watermark: late events beyond
+    * `lateness` are dropped and state for closed windows is purged —
+    * bounded state at any scale. */
+  def hourlyCounts(events: DataFrame, lateness: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  final case class Evt(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class SessionState(nEvents: Long, start: Long, lastTs: Long)
+  final case class SessionOut(user_id: Long, n_events: Long,
+                              start_ms: Long, end_ms: Long)
+
+  /** Stateful gap sessionization: per-user state via
+    * flatMapGroupsWithState with a processing-time timeout — the streaming
+    * dual of [[graft.ext.Events.sessions]]. Emits a session when the gap
+    * exceeds `gapMs` or the group times out. */
+  def sessionize(events: org.apache.spark.sql.Dataset[Evt],
+                 gapMs: Long = 30L * 60 * 1000) = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (user: Long, rows: Iterator[Evt], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(s =>
+              SessionOut(user, s.nEvents, s.start, s.lastTs)).iterator
+            state.remove()
+            out
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastTs <= gapMs =>
+                  cur = Some(s.copy(nEvents = s.nEvents + 1, lastTs = t))
+                case Some(s) =>
+                  closed ::= SessionOut(user, s.nEvents, s.start, s.lastTs)
+                  cur = Some(SessionState(1, t, t))
+                case None =>
+                  cur = Some(SessionState(1, t, t))
+              }
+            }
+            cur.foreach(state.update)
+            state.setTimeoutDuration(gapMs)
+            closed.reverseIterator
+          }
+      }
+  }
+}
