@@ -369,8 +369,10 @@ object SparkEntry {
          |  CAST(best AS BIGINT) AS score
          |FROM b ORDER BY doc_id""".stripMargin),
     "text_fingerprint" ->
+      // BIGINT lambda input: DuckDB's list_reduce accumulates in the element
+      // type, and INT32 overflows at (acc * 31) — cast before folding.
       ("""SELECT doc_id,
-         |  CAST(list_reduce([ascii(c) for c in string_split(text, '')],
+         |  CAST(list_reduce([CAST(ascii(c) AS BIGINT) for c in string_split(text, '')],
          |       (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT) AS fp
          |FROM documents ORDER BY doc_id""".stripMargin),
     "events_json" ->

@@ -74,10 +74,16 @@ object FilterCompiler {
   private def typedLit(field: String, v: Any, schema: StructType): Column =
     lit(rawTyped(field, v, schema))
 
-  /** Type the JSON literal to the column's schema type; mismatches error. */
+  /** Type the JSON literal to the column's schema type; mismatches error.
+    *
+    * BigInt literals (the NL compiler's digit runs — Python `int()` is
+    * arbitrary-precision, No_Sql.py:325) narrow EXACTLY or error: a value
+    * outside the column type's exact range (e.g. 2^53+1 against a double
+    * column) raises instead of silently rounding to a different number. */
   private[graft] def rawTyped(field: String, v: Any, schema: StructType): Any =
     (v, fieldType(field, schema)) match {
       case (null, _)                       => null
+      case (bi: BigInt, t)                 => narrowBigInt(field, bi, t)
       case (d: Double, DoubleType)         => d
       case (d: Double, FloatType)          => d.toFloat
       case (d: Double, LongType)           => d.toLong
@@ -97,6 +103,32 @@ object FilterCompiler {
             s"'$field' of type ${t.simpleString} — Mongo type-brackets " +
             "comparisons; no implicit cast (SURVEY.md §7.4.4)")
     }
+
+  private def narrowBigInt(field: String, bi: BigInt, t: DataType): Any = {
+    def fail() = throw new UnsupportedQueryException(
+      s"integer literal $bi exceeds the exact range of column '$field' " +
+        s"(${t.simpleString}) — refusing to round (SURVEY.md §7.4.4)")
+    // exactness check uses `new java.math.BigDecimal(d)` — the double's
+    // EXACT binary expansion; Scala's BigDecimal(d) rounds through
+    // Double.toString and would reject exactly-representable values like 2^60
+    def exactly(d: Double): Boolean =
+      d.isFinite &&
+        new java.math.BigDecimal(d)
+          .compareTo(new java.math.BigDecimal(bi.bigInteger)) == 0
+    t match {
+      case DoubleType =>
+        val d = bi.toDouble
+        if (exactly(d)) d else fail()
+      case FloatType =>
+        val f = bi.toFloat
+        if (exactly(f.toDouble)) f else fail()
+      case LongType    => if (bi.isValidLong) bi.toLong else fail()
+      case IntegerType => if (bi.isValidInt) bi.toInt else fail()
+      case ShortType   => if (bi.isValidShort) bi.toShort else fail()
+      case _: DecimalType => new java.math.BigDecimal(bi.bigInteger)
+      case _ => fail()
+    }
+  }
 
   private def parseTs(field: String, s: String): java.sql.Timestamp =
     try {

@@ -36,10 +36,14 @@ object NlCompiler {
     // 10+-digit run compiles a filter instead of throwing NumberFormatException.
     val firstNum: Option[BigInt] = digits.findFirstIn(t).map(BigInt(_))
 
-    // Rule 1: salary (No_Sql.py:322-331)
+    // Rule 1: salary (No_Sql.py:322-331). The literal stays BigInt all the
+    // way into FilterExpr — FilterCompiler.rawTyped narrows it to the
+    // column's type EXACTLY, erroring when the value exceeds the type's
+    // exact range instead of silently rounding (Python int comparisons are
+    // arbitrary-precision; a rounded double would diverge).
     if (Seq("salary", "earn", "pay", "income").exists(t.contains) &&
         firstNum.isDefined) {
-      val n = firstNum.get.toDouble
+      val n = firstNum.get
       val f =
         if (Seq("above", "over", "more", "greater", ">").exists(t.contains))
           FilterExpr.Gt("salary", n)
@@ -52,7 +56,7 @@ object NlCompiler {
     // Rule 2: age (No_Sql.py:334-341) — NO else branch: digits present but
     // no direction word falls through to the later rules.
     if (t.contains("age") && firstNum.isDefined) {
-      val n = firstNum.get.toDouble
+      val n = firstNum.get
       if (Seq("older", "above", "over").exists(t.contains))
         return QuerySpec(FilterExpr.Gt("age", n))
       if (Seq("younger", "below", "under").exists(t.contains))
@@ -71,7 +75,7 @@ object NlCompiler {
 
     // Rule 5: experience (No_Sql.py:366-373) — again no else branch.
     if (t.contains("experience") && firstNum.isDefined) {
-      val n = firstNum.get.toDouble
+      val n = firstNum.get
       if (Seq("more", "over", "above").exists(t.contains))
         return QuerySpec(FilterExpr.Gt("experience_years", n))
       if (Seq("less", "under", "below").exists(t.contains))

@@ -68,21 +68,34 @@ object Executor {
   }
 
   /** Count with the reference's degradation policy: if it exceeds
-    * `timeoutMs`, cancel the job group and fall back to `fallback`
-    * (the reference's `len(results)`, No_Sql.py:419-421). */
+    * `timeoutMs`, cancel the running job and fall back to `fallback`
+    * (the reference's `len(results)`, No_Sql.py:419-421).
+    *
+    * Cancellation is job-TAG based (`cancelJobsWithTag`), not job-group:
+    * a `cancelled` flag is checked on the submitting thread after the tag
+    * is attached, so the pre-submission race (timeout fires before the
+    * worker thread even registers the group → orphaned count job burning
+    * cluster resources) closes to a few instructions: either the worker
+    * sees the flag and never submits, or the job carries the tag and the
+    * cancel reaps it. */
   def countWithTimeout(df: DataFrame, timeoutMs: Long,
                        fallback: => Long): (Long, Boolean) = {
     val sc = df.sparkSession.sparkContext
-    val group = s"graft-count-${System.nanoTime()}"
+    val tag = s"graft-count-${java.util.UUID.randomUUID()}"
+    val cancelled = new java.util.concurrent.atomic.AtomicBoolean(false)
     implicit val ec: ExecutionContext = ExecutionContext.global
     val fut = Future {
-      sc.setJobGroup(group, "total-matching count", interruptOnCancel = true)
-      try df.count() finally sc.clearJobGroup()
+      sc.addJobTag(tag)
+      try {
+        if (cancelled.get()) fallback // timeout already fired: don't submit
+        else df.count()
+      } finally sc.removeJobTag(tag)
     }
     try (Await.result(fut, timeoutMs.millis), false)
     catch {
       case _: TimeoutException =>
-        sc.cancelJobGroup(group)
+        cancelled.set(true)
+        sc.cancelJobsWithTag(tag)
         (fallback, true)
     }
   }

@@ -59,9 +59,12 @@ object Dedup {
     * and any re-implementation (the DuckDB oracle) agree at the boundary.
     *
     * @param maxShingleDf drop shingles appearing in more than this many docs
-    *                     before the pair join (df-cut; 0 = keep all). Lossy
-    *                     only for pairs whose ENTIRE overlap is stop-shingles
-    *                     — at scale that loss is accepted and documented.
+    *                     BEFORE sizes are computed (df-cut; 0 = keep all).
+    *                     With the cut enabled the metric is exact Jaccard
+    *                     over the RETAINED shingle sets — set sizes are
+    *                     recomputed post-prune so numerator and denominator
+    *                     agree (pruning shingles from only the numerator
+    *                     would systematically underestimate similarity).
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.5,
@@ -79,7 +82,13 @@ object Dedup {
           .agg(count(lit(1)).as("df_cnt"))
           .filter(col("df_cnt") > maxShingleDf)
           .select("gram")
+        // prune-then-size: recompute per-doc set sizes over the retained
+        // shingles so Jaccard is consistent (docs left with zero retained
+        // shingles drop out entirely — they can no longer pair anyway)
         exploded.join(broadcast(hot), Seq("gram"), "left_anti")
+          .withColumn("sz",
+            count(lit(1)).over(
+              org.apache.spark.sql.expressions.Window.partitionBy(col("id"))))
       }
     val a = pruned.alias("a")
     val b = pruned.alias("b")

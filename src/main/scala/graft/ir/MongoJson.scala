@@ -241,6 +241,10 @@ object MongoJson {
         else into.put(field, d)
       case i: Int     => into.put(field, i)
       case l: Long    => into.put(field, l)
+      case bi: BigInt => // NL-compiler literals stay arbitrary-precision ints
+        into.set[JsonNode](field, com.fasterxml.jackson.databind.node
+          .BigIntegerNode.valueOf(bi.bigInteger))
+        ()
       case b: Boolean => into.put(field, b)
       case null       => into.putNull(field)
       case other      => into.put(field, other.toString)
@@ -255,6 +259,10 @@ object MongoJson {
         if (d == d.toLong.toDouble) o.put(op, d.toLong) else o.put(op, d)
       case i: Int     => o.put(op, i)
       case l: Long    => o.put(op, l)
+      case bi: BigInt =>
+        o.set[JsonNode](op, com.fasterxml.jackson.databind.node
+          .BigIntegerNode.valueOf(bi.bigInteger))
+        ()
       case b: Boolean => o.put(op, b)
       case null       => o.putNull(op)
       case other      => o.put(op, other.toString)
