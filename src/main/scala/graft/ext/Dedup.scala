@@ -1,5 +1,6 @@
 package graft.ext
 
+import graft.functions.ShingleFunctions.shingle_hashes
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -26,8 +27,11 @@ object Dedup {
   /** Whitespace tokenization (documents.text is space-separated). */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Distinct word n-gram shingles. Texts shorter than n collapse to one
-    * whole-text shingle so every doc has ≥1 block key. */
+  /** Distinct word n-gram shingles as STRINGS — the readable reference
+    * formulation (kept for tests and for oracles that need the literal
+    * shingles). The hot paths use [[graft.functions.ShingleHashes]] via
+    * [[shingle_hashes]] instead: same set semantics, one codegen'd pass,
+    * 8-byte elements. */
   def shingles(text: Column, n: Int): Column = {
     val toks = tokens(text)
     when(size(toks) < n, array(concat_ws(" ", toks)))
@@ -69,12 +73,18 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.5,
                    maxShingleDf: Long = 0L): DataFrame = {
+    // Shingles ride as 64-bit hashes end to end (codegen'd single-pass
+    // kernel): the self-join shuffles each exploded row twice, and 8-byte
+    // longs vs ~20-byte strings is the difference in shuffle bytes; a
+    // cross-doc hash collision overcounts one shared shingle w.p.
+    // ~distinct²/2^65 — immaterial. Persisted: both join sides read it.
     val grams = df.select(
       col(idCol).cast("long").as("id"),
-      shingles(col(textCol), n).as("grams"))
+      shingle_hashes(col(textCol), n).as("grams"))
       .withColumn("sz", size(col("grams")).cast("long"))
     val exploded = grams.select(col("id"), col("sz"),
       explode(col("grams")).as("gram"))
+      .persist()
     val pruned =
       if (maxShingleDf <= 0) exploded
       else {
@@ -119,22 +129,36 @@ object Dedup {
     x ^ (x >>> 31)
   }
 
-  /** MinHash signature: for each of `numHashes` permutations i,
-    * min over shingles g of ((a_i * (xxhash64(g) mod 2^31-1) + b_i) mod
-    * 2^31-1), with 31-bit coefficients so every intermediate fits a long —
-    * Spark 4 runs ANSI mode by default and a 64-bit multiply would throw
-    * ARITHMETIC_OVERFLOW instead of wrapping. A 2^31 hash space is ample for
-    * per-document shingle-set sketches. Pure Catalyst expressions —
-    * whole-stage-codegen'd, no UDFs. */
-  def minhashSignature(gramsCol: Column, numHashes: Int): Column = {
-    val sigs = (0 until numHashes).map { i =>
-      val a = (splitmix64(2L * i) >>> 33) | 1L      // 31-bit odd multiplier
-      val b = splitmix64(2L * i + 1) >>> 33         // 31-bit offset
-      array_min(transform(gramsCol,
-        g => pmod(lit(a) * pmod(xxhash64(g), lit(MersennePrime31)) + lit(b),
-          lit(MersennePrime31))))
-    }
-    array(sigs: _*)
+  /** Per-permutation MinHash aggregate: min over shingle rows of
+    * ((a_i * h + b_i) mod 2^31-1), where h = shingle-hash mod 2^31-1.
+    * 31-bit coefficients keep every intermediate in a long — Spark 4 runs
+    * ANSI mode by default and a 64-bit multiply would throw
+    * ARITHMETIC_OVERFLOW instead of wrapping. A 2^31 hash space is ample
+    * for per-document shingle-set sketches. */
+  private def minhashAgg(h: Column, i: Int): Column = {
+    val a = (splitmix64(2L * i) >>> 33) | 1L      // 31-bit odd multiplier
+    val b = splitmix64(2L * i + 1) >>> 33         // 31-bit offset
+    min(pmod(lit(a) * h + lit(b), lit(MersennePrime31)))
+  }
+
+  /** MinHash signatures as one hash-aggregate: explode shingles, hash each
+    * ONCE, then numHashes codegen'd `min` aggregates in a single shuffle
+    * with map-side partial aggregation.
+    *
+    * Why not `array_min(transform(grams, ...))` per permutation (the r2
+    * formulation): higher-order functions are interpreted — 128 lambda
+    * passes per document outside codegen (BENCH_r02: dedup_minhash 18 s).
+    * The aggregate form keeps everything in WholeStageCodegen/HashAggregate
+    * and is the shape that scales: partial min per partition, tiny
+    * (numHashes × 8 bytes) rows across the wire. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, numHashes: Int): DataFrame = {
+    val hashed = df.select(
+      col(idCol).cast("long").as("id"),
+      explode(shingle_hashes(col(textCol), n)).as("g"))
+      .select(col("id"), pmod(col("g"), lit(MersennePrime31)).as("h"))
+    val aggs = (0 until numHashes).map(i => minhashAgg(col("h"), i).as(s"m$i"))
+    hashed.groupBy("id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** Banded-LSH near-dup pairs with exact Jaccard verification.
@@ -143,19 +167,28 @@ object Dedup {
     * on (band index, band signature hash) — NEVER an all-pairs product.
     * Candidates are then verified with exact shingle-set Jaccard, so false
     * positives cost time, never correctness; false negatives are bounded by
-    * (1 - s^r)^b (≈1e-8 for s=0.5, r=2, b=64).
+    * (1 - s^r)^b, maximal AT the threshold (≈1e-8 for s=0.5, r=2, b=64) and
+    * decreasing in s — every pair the threshold admits is found w.p.
+    * ≥ 1 - 1e-8.
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, bands: Int = 64, rowsPerBand: Int = 2,
                       threshold: Double = 0.5): DataFrame = {
     val numHashes = bands * rowsPerBand
+    // gram sets are read three times (signatures + both verify sides) —
+    // persist so the shingle kernel runs once per row, not three times
     val grams = df.select(
       col(idCol).cast("long").as("id"),
-      shingles(col(textCol), n).as("grams"))
-      .withColumn("sig", minhashSignature(col("grams"), numHashes))
-    val bandKeys = grams.select(col("id"),
+      shingle_hashes(col(textCol), n).as("grams"))
+      .persist()
+    val hashed = grams.select(col("id"), explode(col("grams")).as("g"))
+      .select(col("id"), pmod(col("g"), lit(MersennePrime31)).as("h"))
+    val aggs = (0 until numHashes).map(i => minhashAgg(col("h"), i).as(s"m$i"))
+    val sigs = hashed.groupBy("id").agg(aggs.head, aggs.tail: _*)
+    val bandKeys = sigs.select(col("id"),
       posexplode(array((0 until bands).map { bIdx =>
-        xxhash64(lit(bIdx), slice(col("sig"), bIdx * rowsPerBand + 1, rowsPerBand))
+        xxhash64((lit(bIdx) +: (0 until rowsPerBand).map(r =>
+          col(s"m${bIdx * rowsPerBand + r}"))): _*)
       }: _*)).as(Seq("band", "key")))
     val l = bandKeys.alias("l")
     val r = bandKeys.alias("r")
@@ -181,19 +214,37 @@ object Dedup {
   // -----------------------------------------------------------------------
 
   /** 64-bit SimHash per document: explode distinct tokens, hash once, sum
-    * the per-bit ±1 contributions in ONE shuffle (groupBy id), then pack the
-    * sign bits. Avoids 64 separate array folds per row. */
+    * the per-bit contributions in ONE shuffle (groupBy id), then pack the
+    * sign bits.
+    *
+    * The 64 per-bit counts are packed into 16 lane-aggregates (4 × 16-bit
+    * lanes per long): bit j of a token hash contributes `1 << (16*(j%4))`
+    * to aggregate j/4. One `sum` over simple bit arithmetic per lane group
+    * compiles to a fraction of the generated code of 64 `sum(when(...))`
+    * aggregates — plan codegen was HALF the cold runtime of the r2 shape —
+    * and the aggregation buffer shrinks 4x. Sign rule: bit set iff
+    * 2*ones >= n_tokens, identical (including the tie) to
+    * sum(±1) >= 0. Bound: a document must have < 65,536 DISTINCT tokens or
+    * a lane overflows (ANSI mode would throw, not corrupt); real corpora
+    * are orders of magnitude below.
+    */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = df.select(col(idCol).cast("long").as("id"),
         explode(array_distinct(tokens(col(textCol)))).as("t"))
       .withColumn("h", xxhash64(col("t")))
-    val bitSums = (0 until 64).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L)
-        .otherwise(-1L)).as(s"b$j")
+    val laneAggs = (0 until 16).map { g =>
+      val packed = (0 until 4).map { l =>
+        val j = g * 4 + l
+        shiftrightunsigned(col("h"), j).bitwiseAND(lit(1L)) * lit(1L << (16 * l))
+      }.reduce(_ + _)
+      sum(packed).as(s"s$g")
     }
-    val agg = tok.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+    val agg = tok.groupBy("id")
+      .agg(laneAggs.head, (laneAggs.tail :+ count(lit(1)).as("n")): _*)
     val sig = (0 until 64).map { j =>
-      when(col(s"b$j") >= 0, lit(1L << j)).otherwise(lit(0L))
+      val ones = shiftrightunsigned(col(s"s${j / 4}"), 16 * (j % 4))
+        .bitwiseAND(lit(0xffffL))
+      when(ones * lit(2L) >= col("n"), lit(1L << j)).otherwise(lit(0L))
     }.reduce((x, y) => x.bitwiseOR(y))
     agg.select(col("id"), sig.as("simhash"))
   }
@@ -205,21 +256,25 @@ object Dedup {
                    maxHamming: Int = 7): DataFrame = {
     require(maxHamming <= 7, "8x8-bit banding only guarantees recall to Hamming 7")
     val sigs = simhash(df, idCol, textCol)
+    // persisted: both self-join sides read it (without this the whole
+    // signature aggregation runs twice)
     val banded = sigs.select(col("id"), col("simhash"),
       posexplode(array((0 until 8).map { bIdx =>
         shiftrightunsigned(col("simhash"), bIdx * 8).bitwiseAND(lit(0xffL))
       }: _*)).as(Seq("band", "key")))
+      .persist()
     val l = banded.alias("l")
     val r = banded.alias("r")
+    // hamming filter BEFORE distinct: bit_count(xor) is a codegen'd two
+    // instructions, so evaluating it per joined row and discarding misses
+    // early shrinks the distinct's shuffle input by ~100x vs deduping all
+    // band-collision candidates first
     l.join(r,
         col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
           col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        col("l.simhash").as("sig_a"), col("r.simhash").as("sig_b"))
-      .distinct()
-      .withColumn("hamming",
-        expr("bit_count(sig_a ^ sig_b)").cast("long"))
+        expr("bit_count(l.simhash ^ r.simhash)").cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+      .distinct()
   }
 }

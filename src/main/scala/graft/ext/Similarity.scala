@@ -1,5 +1,6 @@
 package graft.ext
 
+import graft.functions.VectorFunctions.array_dot
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -7,34 +8,46 @@ import org.apache.spark.sql.functions._
 /** Embedding similarity search over `ArrayType(FloatType)` columns
   * (embeddings.embedding, TESTDATA.md) — brute-force cosine top-k as the
   * exact baseline, coarse-quantized (IVF-style) and hyperplane-LSH variants
-  * as the scale paths. All vector math is pure Catalyst expressions
-  * (`zip_with` + `aggregate`) — codegen'd, no UDFs, fully distributed.
+  * as the scale paths.
+  *
+  * All vector math goes through [[graft.functions.ArrayDot]] — a custom
+  * codegen'd Catalyst expression (a tight primitive loop inside
+  * WholeStageCodegen). The previous `zip_with`+`aggregate` formulation was
+  * interpreted per element and dominated the whole benchmark on pairwise
+  * workloads (BENCH_r02: sim_neardup 68 s). Values are bit-identical:
+  * sequential left-fold, each element widened to double before multiply —
+  * the same arithmetic as DuckDB's `list_dot_product` over `DOUBLE[]`.
   *
   * Scale notes: brute-force top-k is a single scan + TakeOrderedAndProject —
   * O(n·d) work, no shuffle of the vectors themselves, and the right answer
   * for one-off queries even at 100 TB (it parallelizes perfectly). The IVF
   * path cuts the scan to nprobe/nlist of the data for repeated queries; the
   * LSH path buckets near-dup pair search the same way MinHash does for text.
+  * Pairwise variants precompute per-row norms BEFORE the join so each
+  * candidate pair costs exactly one dot product, not three.
   */
 object Similarity {
 
-  /** Element-wise cast to double BEFORE any arithmetic: float accumulation
-    * is not reproducible across engines; double left-fold is. */
+  /** Element-wise cast to double — only needed where a downstream operator
+    * (posexplode/avg) consumes elements, not for [[dot]]/[[cosine]], which
+    * widen internally. */
   def asDouble(v: Column): Column = transform(v, _.cast("double"))
 
-  /** Sequential left-fold dot product — deterministic summation order. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Codegen'd dot product — accepts array<float> and/or array<double>. */
+  def dot(a: Column, b: Column): Column = array_dot(a, b)
+
+  def norm(v: Column): Column = sqrt(array_dot(v, v))
 
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    dot(a, b) / (norm(a) * norm(b))
 
-  /** Brute-force cosine top-k against one query vector. Deterministic:
+  /** Brute-force cosine top-k against one query vector. One scan, no
+    * shuffle: orderBy+limit plans as TakeOrderedAndProject. Deterministic:
     * rounded similarity desc, then id — ties cannot reorder across engines. */
   def topK(df: DataFrame, idCol: String, vecCol: String,
            query: Seq[Double], k: Int): DataFrame =
     df.select(col(idCol),
-        round(cosine(asDouble(col(vecCol)), typedLit(query)), 4).as("sim"))
+        round(cosine(col(vecCol), typedLit(query)), 4).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
 
@@ -42,7 +55,7 @@ object Similarity {
   def topKPerGroup(df: DataFrame, idCol: String, vecCol: String,
                    groupCol: String, query: Seq[Double], k: Int): DataFrame = {
     val scored = df.select(col(groupCol), col(idCol),
-      round(cosine(asDouble(col(vecCol)), typedLit(query)), 4).as("sim"))
+      round(cosine(col(vecCol), typedLit(query)), 4).as("sim"))
     val w = Window.partitionBy(col(groupCol))
       .orderBy(col("sim").desc, col(idCol))
     scored.withColumn("rn", row_number().over(w).cast("long"))
@@ -50,22 +63,28 @@ object Similarity {
   }
 
   /** Exact cosine near-dup pairs (all-pairs — O(n²), for bounded subsets or
-    * verification; the scale path is [[lshCosinePairs]]). */
+    * verification; the scale path is [[lshCosinePairs]]).
+    *
+    * Norms are computed ONCE per row before the pair join: per pair the work
+    * is one codegen'd dot + one divide, and the vectors shuffle as raw
+    * floats (half the bytes of a pre-cast double array). */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                    threshold: Double): DataFrame = {
     val v = df.select(col(idCol).cast("long").as("id"),
-      asDouble(col(vecCol)).as("v"))
+      col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
     val a = v.alias("a")
     val b = v.alias("b")
     a.join(b, col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(cosine(col("a.v"), col("b.v")), 4).as("sim"))
+        round(array_dot(col("a.v"), col("b.v")) /
+          (col("a.nrm") * col("b.nrm")), 4).as("sim"))
       .filter(col("sim") >= threshold)
   }
 
   /** Deterministic pseudo-random unit-ish hyperplanes (seeded, reproducible
     * across executors — the planes are literals in the plan). */
-  private def hyperplanes(numPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+  private[graft] def hyperplanes(numPlanes: Int, dim: Int,
+                                 seed: Long): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)
     Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
@@ -79,16 +98,17 @@ object Similarity {
                      numPlanes: Int = 8, seed: Long = 42L): DataFrame = {
     val planes = hyperplanes(numPlanes, dim, seed)
     val v = df.select(col(idCol).cast("long").as("id"),
-      asDouble(col(vecCol)).as("v"))
+      col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
     val key = planes.zipWithIndex.map { case (p, i) =>
-      when(dot(col("v"), typedLit(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
+      when(array_dot(col("v"), typedLit(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce((x, y) => x.bitwiseOR(y))
     val bucketed = v.withColumn("bucket", key)
     val a = bucketed.alias("a")
     val b = bucketed.alias("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(cosine(col("a.v"), col("b.v")), 4).as("sim"))
+        round(array_dot(col("a.v"), col("b.v")) /
+          (col("a.nrm") * col("b.nrm")), 4).as("sim"))
       .filter(col("sim") >= threshold)
   }
 

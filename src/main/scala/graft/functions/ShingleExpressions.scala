@@ -1,0 +1,119 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.GraftBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Runtime kernel for [[ShingleHashes]]: one pass over the document string,
+  * producing the DISTINCT 64-bit hashes of its word n-gram shingles.
+  *
+  * Token semantics match `split(text, " ")` with trailing empties kept
+  * (Spark's split keeps them), and texts with fewer than n tokens collapse
+  * to ONE whole-text shingle — identical set semantics to
+  * [[graft.ext.Dedup.shingles]], with each shingle string replaced by its
+  * FNV-1a-64 hash over its characters (tokens joined by a single space).
+  * No shingle string is ever materialized: the hash is rolled char-by-char
+  * across the token window.
+  */
+object ShingleOps {
+  private final val FnvOffset = 0xcbf29ce484222325L
+  private final val FnvPrime = 0x100000001b3L
+
+  private def fnvChar(h0: Long, c: Char): Long = {
+    // two FNV-1a rounds per UTF-16 char (low byte, high byte)
+    var h = h0
+    h = (h ^ (c & 0xff)) * FnvPrime
+    h = (h ^ ((c >> 8) & 0xff)) * FnvPrime
+    h
+  }
+
+  def shingleHashes(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toString
+    // token boundaries (split on single space, keep empties)
+    val starts = new java.util.ArrayList[Int]()
+    starts.add(0)
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == ' ') starts.add(i + 1)
+      i += 1
+    }
+    val nTok = starts.size()
+    def tokEnd(t: Int): Int =
+      if (t + 1 < nTok) starts.get(t + 1) - 1 else s.length
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    if (nTok < n) {
+      // whole-text shingle = all tokens joined by ' ' = the string itself
+      var h = FnvOffset
+      var j = 0
+      while (j < s.length) { h = fnvChar(h, s.charAt(j)); j += 1 }
+      out.add(h)
+    } else {
+      var t = 0
+      while (t <= nTok - n) {
+        var h = FnvOffset
+        var w = t
+        while (w < t + n) {
+          if (w > t) h = fnvChar(h, ' ')
+          var j = starts.get(w)
+          val e = tokEnd(w)
+          while (j < e) { h = fnvChar(h, s.charAt(j)); j += 1 }
+          w += 1
+        }
+        out.add(h)
+        t += 1
+      }
+    }
+    val arr = new Array[Long](out.size())
+    val it = out.iterator()
+    var k = 0
+    while (it.hasNext) { arr(k) = it.next(); k += 1 }
+    new GenericArrayData(arr)
+  }
+}
+
+/** Codegen'd `text → array<long>` of distinct word-n-gram shingle hashes.
+  *
+  * Why a custom Expression: the declarative formulation
+  * (`array_distinct(transform(sequence(...), i => concat_ws(" ",
+  * slice(split(text, " "), i+1, n))))`) runs three interpreted higher-order
+  * functions and allocates every shingle string — measured at 2.75 s of a
+  * 7 s dedup_jaccard at sf0.1, and it shuffles ~20-byte strings where 8-byte
+  * longs suffice. This kernel is one pass, zero shingle allocations, stays
+  * inside WholeStageCodegen, and its output joins/intersects as longs.
+  * Downstream set arithmetic (Jaccard, MinHash) is hash-collision-tolerant
+  * by construction (64-bit space vs per-document set sizes in the tens).
+  */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  require(n >= 1, "shingle width must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes needs a string input, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleOps.shingleHashes(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ShingleOps.shingleHashes($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+object ShingleFunctions {
+  /** Distinct word n-gram shingle hashes of a text column, as array<long>. */
+  def shingle_hashes(text: Column, n: Int): Column =
+    GraftBridge.column(ShingleHashes(GraftBridge.expression(text), n))
+}

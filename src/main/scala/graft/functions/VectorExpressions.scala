@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.GraftBridge
+import org.apache.spark.sql.types._
+
+/** Runtime kernels for [[ArrayDot]]. Top-level object → the Scala compiler
+  * emits static forwarders, so generated Java code can call
+  * `graft.functions.VectorOps.dot(...)` directly.
+  *
+  * Accumulation is a sequential left-to-right double sum — the same value
+  * (bit-for-bit) as `aggregate(zip_with(a, b, _*_), 0.0, _+_)` after an
+  * element-wise double cast, and the same as DuckDB's `list_dot_product`
+  * over `DOUBLE[]`, so results hash-match across engines.
+  */
+object VectorOps {
+  /** Dot product; each side read as float or double per its array type and
+    * widened to double BEFORE multiplying (float multiply then widen would
+    * be a different value). Length mismatch → NaN would hide bugs; the
+    * expression layer returns null instead via [[ArrayDot.nullSafeEval]]. */
+  def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      s += x * y
+      i += 1
+    }
+    s
+  }
+}
+
+/** Codegen'd dot product over two `array<float|double>` columns.
+  *
+  * Why a custom Catalyst Expression (SURVEY.md §7.5 allows one where the
+  * built-ins genuinely can't express the semantics *efficiently*): Spark's
+  * higher-order functions (`zip_with`, `aggregate`) are evaluated
+  * interpreted — a lambda closure per element — and sit outside whole-stage
+  * codegen. For pairwise similarity over N² candidate pairs that constant
+  * factor dominates the entire job (BENCH_r02: sim_neardup 68 s of a 141 s
+  * total). This expression compiles to a tight primitive loop inside the
+  * generated code, stays inside WholeStageCodegen, and needs no UDF
+  * serialization. Mixed float/double sides are supported so raw float
+  * embeddings join double literals (query vectors, hyperplanes) without a
+  * per-row cast pass.
+  *
+  * Null contract: null if either side is null OR lengths differ (matching
+  * `zip_with`'s null padding, which nulls the whole aggregate).
+  */
+case class ArrayDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def elemIsFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  private def okElem(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) | ArrayType(FloatType, _) => true
+    case _                                                  => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (okElem(left) && okElem(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"array_dot needs array<float|double> inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) null
+    else VectorOps.dot(x, y, elemIsFloat(left), elemIsFloat(right))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lf = elemIsFloat(left).toString
+    val rf = elemIsFloat(right).toString
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      |if ($a.numElements() != $b.numElements()) {
+      |  ${ev.isNull} = true;
+      |} else {
+      |  ${ev.value} = graft.functions.VectorOps.dot($a, $b, $lf, $rf);
+      |}
+    """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column-level entry points for the custom expressions. */
+object VectorFunctions {
+  /** `array_dot(a, b)` — codegen'd double dot product. */
+  def array_dot(a: Column, b: Column): Column =
+    GraftBridge.column(ArrayDot(GraftBridge.expression(a), GraftBridge.expression(b)))
+}

@@ -1,0 +1,17 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Access shim for two `private[sql]` conversions the public Spark 4 API no
+  * longer exposes (the Column(Expression) constructor was removed when
+  * Column moved to ColumnNode). Lives in a subpackage of
+  * `org.apache.spark.sql` solely to satisfy the access qualifier — the
+  * standard pattern for third-party Catalyst expression libraries. Nothing
+  * else in this repo reaches into Spark internals.
+  */
+object GraftBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
