@@ -32,15 +32,26 @@ object EventsStream {
                               start_ms: Long, end_ms: Long)
 
   /** Stateful gap sessionization: per-user state via
-    * flatMapGroupsWithState with a processing-time timeout — the streaming
-    * dual of [[graft.ext.Events.sessions]]. Emits a session when the gap
-    * exceeds `gapMs` or the group times out. */
+    * flatMapGroupsWithState with an EVENT-TIME timeout — the streaming dual
+    * of [[graft.ext.Events.sessions]]. A session closes when a later event
+    * arrives past the gap, or when the WATERMARK passes lastTs + gap.
+    *
+    * Event-time (not processing-time) timeouts on purpose: they are
+    * deterministic under replay/backfill — the same input stream always
+    * yields the same sessions — and they don't keep the engine scheduling
+    * no-data micro-batches (processing time always advances, so a
+    * ProcessingTimeTimeout query never quiesces; observed as an endless
+    * batch loop under Trigger.AvailableNow). At scale the watermark also
+    * bounds state: closed-session state is purged as event time advances. */
   def sessionize(events: org.apache.spark.sql.Dataset[Evt],
-                 gapMs: Long = 30L * 60 * 1000) = {
+                 gapMs: Long = 30L * 60 * 1000,
+                 lateness: String = "0 seconds") = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, rows: Iterator[Evt], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val out = state.getOption.map(s =>
@@ -63,8 +74,11 @@ object EventsStream {
                   cur = Some(SessionState(1, t, t))
               }
             }
-            cur.foreach(state.update)
-            state.setTimeoutDuration(gapMs)
+            cur.foreach { s =>
+              state.update(s)
+              // close via watermark once event time moves past the gap
+              state.setTimeoutTimestamp(s.lastTs + gapMs)
+            }
             closed.reverseIterator
           }
       }

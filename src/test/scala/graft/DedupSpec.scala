@@ -1,0 +1,98 @@
+package graft
+
+import graft.ext.Dedup
+import graft.functions.ShingleFunctions.shingle_hashes
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.10 dedup family on hand-checkable toy documents. */
+class DedupSpec extends SparkSpec {
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "a b c d",   "en"),
+      (2L, "a b c e",   "en"),  // shares "a b c" with 1 -> J = 1/3
+      (3L, "a b c d",   "en"),  // exact duplicate of 1 -> J = 1
+      (4L, "x y z w q", "de"),
+      (5L, "short",     "en"),  // < n tokens -> whole-text shingle
+      (6L, "short",     "de")   // same text as 5
+    ).toDF("doc_id", "text", "lang")
+  }
+
+  test("shingle_hashes: same set sizes as the string shingles, incl. short texts") {
+    val a = docs.select(size(Dedup.shingles(col("text"), 3)).as("s")).collect().map(_.getInt(0)).toSeq
+    val b = docs.select(size(shingle_hashes(col("text"), 3)).as("s")).collect().map(_.getInt(0)).toSeq
+    assert(a == b)
+    assert(b == Seq(2, 2, 2, 3, 1, 1))
+  }
+
+  test("shingle_hashes: identical texts hash identically, different differ") {
+    val h = docs.select(col("doc_id"), shingle_hashes(col("text"), 3).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(h(1L) == h(3L))
+    assert(h(5L) == h(6L))
+    assert(h(1L) != h(2L))
+    assert(h(1L).toSet.intersect(h(2L).toSet).size == 1) // shared "a b c"
+  }
+
+  test("exact dedup keeps min id per key group") {
+    val out = Dedup.exact(docs, "doc_id", Seq("lang"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq((1L, "en"), (4L, "de")))
+  }
+
+  test("fingerprint dedup: identical texts collapse") {
+    val out = Dedup.byFingerprint(docs, "doc_id", "text")
+    assert(out.count() == 4) // 1&3 collapse, 5&6 collapse
+    assert(ids(out.select(col("doc_id").as("emp_id"))) == Seq(1L, 2L, 4L, 5L))
+  }
+
+  test("jaccardPairs: hand-computed values") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.3)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // J(1,2) = 1/3 = 0.3333, J(1,3) = 1, J(2,3) = 1/3, J(5,6) = 1
+    assert(pairs == Seq(
+      (1L, 2L, 0.3333), (1L, 3L, 1.0), (2L, 3L, 0.3333), (5L, 6L, 1.0)))
+  }
+
+  test("jaccardPairs threshold excludes below-boundary pairs") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+    assert(pairs.count() == 2) // only the two J=1.0 pairs
+  }
+
+  test("minhashLshPairs equals exact jaccard on this data") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.3)
+      .orderBy("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", n = 3,
+      bands = 64, rowsPerBand = 2, threshold = 0.3)
+      .orderBy("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(lsh == exact)
+  }
+
+  test("simhash: identical docs get identical signatures; pairs found at hamming 0") {
+    val sigs = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(3L))
+    assert(sigs(5L) == sigs(6L))
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 0)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 3L)) && pairs.contains((5L, 6L)))
+  }
+
+  test("simhashPairs rejects maxHamming beyond the banding guarantee") {
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 8)
+    }
+  }
+
+  test("df-cut prunes hot shingles and recomputes sizes consistently") {
+    // "a b c" appears in docs 1,2,3 (df=3); cut at df>2 removes it.
+    // Doc1 {b c d}, doc2 {b c e}, doc3 {b c d}: J(1,3)=1 over retained sets.
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3,
+      threshold = 0.99, maxShingleDf = 2)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(pairs == Seq((1L, 3L, 1.0), (5L, 6L, 1.0)))
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import graft.ext.Events
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.10 events: JSON props, tumbling windows, sessionization,
+  * broadcast joins. */
+class EventsSpec extends SparkSpec {
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private lazy val events = {
+    import spark.implicits._
+    Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L, "click", 1.5, """{"k": 7}"""),
+      (2L, ts("2024-01-01 10:10:00"), 100L, "click", 2.5, """{"k": 8}"""),
+      (3L, ts("2024-01-01 11:05:00"), 100L, "view",  1.0, """{"k": 9}"""),
+      (4L, ts("2024-01-01 10:20:00"), 200L, "error", 4.0, """{"j": 1}"""),
+      (5L, ts("2024-01-01 10:59:59"), 200L, "click", 0.5, """{"k": 2}""")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
+  test("jsonProps extracts typed values; missing key is null") {
+    val r = Events.jsonProps(events).orderBy("event_id").collect()
+    assert(r.map(x => if (x.isNullAt(2)) -1L else x.getLong(2)).toSeq ==
+      Seq(7L, 8L, 9L, -1L, 2L))
+  }
+
+  test("hourly: tumbling window counts and exact decimal-accumulated sums") {
+    val r = Events.hourly(events).orderBy("hour", "event_type").collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2), x.getDouble(3))).toSeq
+    assert(r == Seq(
+      ("2024-01-01 10:00:00", "click", 3L, 4.5),
+      ("2024-01-01 10:00:00", "error", 1L, 4.0),
+      ("2024-01-01 11:00:00", "view",  1L, 1.0)))
+  }
+
+  test("sessions: gap > 30 min starts a new session per user") {
+    val r = Events.sessions(events, gapMinutes = 30)
+      .orderBy("user_id", "session_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+    // user 100: events at 10:00, 10:10 (one session), 11:05 (gap 55min -> new)
+    // user 200: 10:20, 10:59:59 (gap 39:59 -> two sessions)
+    assert(r == Seq((100L, 1L, 2L), (100L, 2L, 1L), (200L, 1L, 1L), (200L, 2L, 1L)))
+  }
+
+  test("sessions: boundary gap of exactly 30 min stays in-session") {
+    import spark.implicits._
+    val two = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a", 0.0, "{}"),
+      (2L, ts("2024-01-01 10:30:00"), 1L, "a", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    assert(Events.sessions(two, 30).count() == 1)
+  }
+
+  test("enrichCustomer: two broadcast dim hops") {
+    import spark.implicits._
+    val cust = Seq((1L, "Alice", 10), (2L, "Bo", 20)).toDF("c_custkey", "c_name", "c_nationkey")
+    val nat = Seq((10, "FRANCE", 1), (20, "PERU", 2)).toDF("n_nationkey", "n_name", "n_regionkey")
+    val reg = Seq((1, "EUROPE"), (2, "AMERICA")).toDF("r_regionkey", "r_name")
+    val r = Events.enrichCustomer(cust, nat, reg).orderBy("c_custkey").collect()
+      .map(x => (x.getLong(0), x.getString(2), x.getString(3))).toSeq
+    assert(r == Seq((1L, "FRANCE", "EUROPE"), (2L, "PERU", "AMERICA")))
+    // plan really broadcasts (no shuffle join for the dims)
+    val plan = Events.enrichCustomer(cust, nat, reg)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("revenueBySegment: decimal-exact aggregation") {
+    import spark.implicits._
+    val orders = Seq((1L, 1L, 10.10), (2L, 1L, 20.20), (3L, 2L, 5.05))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val cust = Seq((1L, "BUILDING"), (2L, "MACHINERY"))
+      .toDF("c_custkey", "c_mktsegment")
+    val r = Events.revenueBySegment(orders, cust).orderBy("c_mktsegment")
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getDouble(2))).toSeq
+    assert(r == Seq(("BUILDING", 2L, 30.30), ("MACHINERY", 1L, 5.05)))
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import graft.streaming.EventsStream
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming shapes (readStream → transform → memory sink):
+  * watermarked windowed aggregation and stateful sessionization. */
+class EventsStreamSpec extends SparkSpec {
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("hourlyCounts over a memory stream matches the batch expectation") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = mem.toDF.toDF("ts", "event_type", "value")
+    val q = EventsStream.hourlyCounts(df)
+      .writeStream.format("memory").queryName("hc")
+      .outputMode("complete").start()
+    try {
+      mem.addData(
+        (ts("2024-01-01 10:05:00"), "click", 1.0),
+        (ts("2024-01-01 10:55:00"), "click", 2.0),
+        (ts("2024-01-01 11:05:00"), "view", 3.0))
+      q.processAllAvailable()
+      val r = spark.table("hc").orderBy("hour", "event_type").collect()
+        .map(x => (x.getTimestamp(0).toString, x.getString(1), x.getLong(2))).toSeq
+      assert(r == Seq(
+        ("2024-01-01 10:00:00.0", "click", 2L),
+        ("2024-01-01 11:00:00.0", "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("sessionize: closed sessions emitted, open session held in state") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[EventsStream.Evt]
+    mem.addData(
+      EventsStream.Evt(1L, ts("2024-01-01 10:00:00"), 1.0),
+      EventsStream.Evt(1L, ts("2024-01-01 10:10:00"), 1.0),
+      EventsStream.Evt(1L, ts("2024-01-01 11:30:00"), 1.0))
+    // AvailableNow, not processAllAvailable: ProcessingTimeTimeout state
+    // makes the engine keep scheduling no-data micro-batches (processing
+    // time always advances), so a running query never quiesces —
+    // processAllAvailable would hang. AvailableNow drains the pending data
+    // and self-terminates.
+    val q = EventsStream.sessionize(mem.toDS(), gapMs = 30L * 60 * 1000)
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      assert(q.awaitTermination(120000L), "query did not drain in time")
+      val r = spark.table("sess").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSeq
+      // the 10:00-10:10 session closed when 11:30 arrived (gap 80 min);
+      // the 11:30 session is still open in state, not emitted
+      assert(r == Seq((1L, 2L)))
+    } finally q.stop()
+  }
+}

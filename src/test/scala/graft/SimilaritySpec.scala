@@ -1,0 +1,97 @@
+package graft
+
+import graft.ext.Similarity
+import graft.functions.VectorFunctions.array_dot
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.10 similarity search + the custom ArrayDot expression. */
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val vecs = {
+    import spark.implicits._
+    Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f), 0),
+      (1L, Seq(1.0f, 0.0f, 0.0f), 0),   // identical to 0 -> cos 1
+      (2L, Seq(0.0f, 1.0f, 0.0f), 0),   // orthogonal -> cos 0
+      (3L, Seq(0.6f, 0.8f, 0.0f), 1),   // cos vs e1 = 0.6
+      (4L, Seq(-1.0f, 0.0f, 0.0f), 1)   // opposite -> cos -1
+    ).toDF("vec_id", "embedding", "label")
+  }
+
+  test("array_dot: float, double, and mixed inputs; codegen and eval agree") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(4.0, 5.0, 6.0))).toDF("f", "d")
+    val mixed = df.select(
+      array_dot(col("f"), col("d")).as("fd"),
+      array_dot(col("d"), col("d")).as("dd"),
+      array_dot(col("f"), col("f")).as("ff")).head()
+    assert(mixed.getDouble(0) == 32.0)
+    assert(mixed.getDouble(1) == 77.0)
+    assert(mixed.getDouble(2) == 14.0)
+  }
+
+  test("array_dot: length mismatch is null, null input is null") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0))).toDF("a", "b")
+    assert(df.select(array_dot(col("a"), col("b"))).head().isNullAt(0))
+    val withNull = df.select(array_dot(lit(null).cast("array<double>"), col("a")))
+    assert(withNull.head().isNullAt(0))
+  }
+
+  test("array_dot rejects non-numeric-array inputs at analysis time") {
+    import spark.implicits._
+    val df = Seq((Seq("x"), Seq(1.0))).toDF("s", "d")
+    intercept[Exception] {
+      df.select(array_dot(col("s"), col("d"))).head()
+    }
+  }
+
+  test("topK: exact scores, order, and tiebreak by id") {
+    val out = Similarity.topK(vecs, "vec_id", "embedding",
+      Seq(1.0, 0.0, 0.0), k = 3).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(out == Seq((0L, 1.0), (1L, 1.0), (3L, 0.6)))
+  }
+
+  test("topKPerGroup: k per label with rank column") {
+    val out = Similarity.topKPerGroup(vecs, "vec_id", "embedding", "label",
+      Seq(1.0, 0.0, 0.0), k = 1)
+      .select("label", "vec_id", "rn").orderBy("label").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((0, 0L, 1L), (1, 3L, 1L)))
+  }
+
+  test("nearDupPairs: threshold and exact cosine on known vectors") {
+    val out = Similarity.nearDupPairs(vecs, "vec_id", "embedding", 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(out == Seq((0L, 1L, 1.0)))
+  }
+
+  test("lshCosinePairs finds the same high-sim pairs as brute force here") {
+    val exact = Similarity.nearDupPairs(vecs, "vec_id", "embedding", 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshCosinePairs(vecs, "vec_id", "embedding",
+      dim = 3, threshold = 0.99, numPlanes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical vectors always share every hyperplane bucket -> full recall
+    assert(lsh == exact)
+  }
+
+  test("centroids: per-group elementwise mean, order restored") {
+    val out = Similarity.centroids(vecs, "embedding", "label")
+      .orderBy("grp").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+    assert(out.head._1 == 0)
+    assert(out.head._2 == Seq(2.0 / 3, 1.0 / 3, 0.0))
+    // 0.6f widens to 0.6000000238418579, not 0.6 — expectations must go
+    // through the same float->double path as the engine
+    assert(out(1)._2 == Seq((0.6f.toDouble - 1.0) / 2, 0.8f.toDouble / 2, 0.0))
+  }
+
+  test("ivfTopK probes only the nearest cells but finds the right vectors") {
+    val out = Similarity.ivfTopK(vecs, "vec_id", "embedding", "label",
+      Seq(1.0, 0.0, 0.0), k = 2, nprobe = 1)
+      .collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(0L, 1L)) // label-0 cell is nearest; its best two
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import graft.ext.TextStats
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.10 text analysis on hand-checkable strings. */
+class TextStatsSpec extends SparkSpec {
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the cat sat on the mat!", "en"),
+      (2L, "el gato y la casa de los", "es"),
+      (3L, "zzz qqq", "und")
+    ).toDF("doc_id", "text", "lang")
+  }
+
+  test("tokenStats: whitespace, distinct, BPE-ish counts") {
+    val r = TextStats.tokenStats(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // doc1: 6 tokens, 5 distinct ("the" twice); bpe: 6 letter runs + "!"
+    assert(r(0) == (6L, 5L, 7L))
+    assert(r(1) == (7L, 7L, 7L))
+    assert(r(2) == (2L, 2L, 2L))
+  }
+
+  test("quality: char len, avg token len, stopword and punct ratios") {
+    val r = TextStats.quality(docs, "doc_id", "text").orderBy("doc_id").head()
+    assert(r.getLong(1) == 23L)                    // "the cat sat on the mat!"
+    assert(r.getDouble(2) == 3.0)                  // 18 letters+!, 6 tokens
+    assert(r.getDouble(3) == math.rint(2.0 / 6 * 10000) / 10000) // 2x "the"
+    assert(r.getDouble(4) == math.rint(1.0 / 23 * 10000) / 10000) // one "!"
+  }
+
+  test("langId: argmax of stopword hits; zero hits -> und") {
+    val r = TextStats.langId(docs, "doc_id", "text").orderBy("doc_id")
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+    // doc1: "the" x2; doc2: el,y,la,de,los = 5 hits; doc3: nothing
+    assert(r == Seq(("en", 2L), ("es", 5L), ("und", 0L)))
+  }
+
+  test("langStats: per-lang docs and token totals") {
+    val d = docs.withColumn("n_chars", length(col("text")).cast("long"))
+    val r = TextStats.langStats(d, "lang", "text", "n_chars")
+      .orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSeq
+    assert(r == Seq(("en", 1L, 6L), ("es", 1L, 7L), ("und", 1L, 2L)))
+  }
+
+  test("rollingFingerprint: hand-computed Rabin-Karp value") {
+    import spark.implicits._
+    val one = Seq((1L, "ab")).toDF("doc_id", "text")
+    val fp = TextStats.fingerprints(one, "doc_id", "text").head().getLong(1)
+    // ((0*31 + 97) * 31 + 98) mod 1e9+7 = 3105
+    assert(fp == 3105L)
+  }
+
+  test("fingerprints: identical text same fp, different text different fp") {
+    import spark.implicits._
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
+    val fps = TextStats.fingerprints(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(2L) && fps(1L) != fps(3L))
+  }
+}
