@@ -79,6 +79,13 @@ object SparkEntry {
     "filter_between" -> (mongo("customer",
       """{"filter": {"c_acctbal": {"$gte": 1000, "$lte": 2000}}}""",
       "c_custkey") _),
+    // string literal against a real TimestampType column — the second typed
+    // path of FilterCompiler (SURVEY.md §7.4.3); projection keeps the raw
+    // timestamp out of the hashed output
+    "filter_date" -> (mongo("orders",
+      """{"filter": {"o_orderdate": {"$gte": "1997-06-15"}},
+        | "projection": {"o_orderkey": 1, "o_orderpriority": 1}}""".stripMargin,
+      "o_orderkey") _),
     // ----- §2.2 projection / §2.3 limit -----
     "projection" -> (mongo("customer",
       """{"filter": {}, "projection": {"c_custkey": 1, "c_name": 1}}""",
@@ -144,6 +151,13 @@ object SparkEntry {
       Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
           n = 3, bands = 64, rowsPerBand = 2, threshold = 0.5)
         .orderBy("id_a", "id_b")),
+    // df-cut variant: hot shingles (document frequency > 10) dropped BEFORE
+    // sizing — the skew guard that makes shared-shingle blocking survive
+    // stop-phrase-heavy corpora at scale
+    "dedup_jaccard_pruned" -> ((s: SparkSession, dir: String) =>
+      Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+          n = 3, threshold = 0.5, maxShingleDf = 10L)
+        .orderBy("id_a", "id_b")),
     "dedup_simhash" -> ((s: SparkSession, dir: String) =>
       Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
           maxHamming = 3)
@@ -163,6 +177,19 @@ object SparkEntry {
       Similarity.nearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
           threshold = 0.4)
         .orderBy("id_a", "id_b")),
+    // hyperplane-LSH near-dup pairs — the O(n²)-avoiding scale path; the
+    // seeded planes are plan literals, embedded verbatim in the oracle SQL
+    "sim_lsh" -> ((s: SparkSession, dir: String) =>
+      Similarity.lshCosinePairs(Tables.embeddings(s, dir), "vec_id",
+          "embedding", dim = 64, threshold = 0.4, numPlanes = 8, seed = 42L)
+        .orderBy("id_a", "id_b")),
+    // IVF-style probed top-k: label plays the nlist role; only the two
+    // nearest cells are brute-forced
+    "sim_ivf" -> ((s: SparkSession, dir: String) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(emb, "vec_id", "embedding", "label",
+        queryVec(emb), k = 5, nprobe = 2)
+    }),
     // ----- §2.10 text analysis -----
     "text_tokens" -> ((s: SparkSession, dir: String) =>
       TextStats.tokenStats(Tables.documents(s, dir), "doc_id", "text")
@@ -187,6 +214,29 @@ object SparkEntry {
     "events_sessions" -> ((s: SparkSession, dir: String) =>
       Events.sessions(Tables.events(s, dir), gapMinutes = 30)
         .orderBy("user_id", "session_id")),
+    // Structured Streaming end-to-end: readStream over the same parquet →
+    // watermarked hourly window agg → memory sink, drained with
+    // Trigger.AvailableNow. Same output schema and arithmetic as the batch
+    // events_hourly, so the STREAMING pipeline is certified against the
+    // same DuckDB oracle.
+    "stream_hourly" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      // glob, not the literal file path: the file streaming source
+      // requires basePath to be a directory
+      var stream: DataFrame = s.readStream.schema(raw.schema)
+        .parquet(s"$dir/events.parque*")
+      if (stream.schema("ts").dataType ==
+          org.apache.spark.sql.types.LongType)
+        stream = stream.withColumn("ts",
+          timestamp_micros(expr("ts div 1000"))) // TIMESTAMP_NANOS as long
+      val name = "graft_stream_hourly"
+      val q = graft.streaming.EventsStream.hourlyCounts(stream)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).orderBy("hour", "event_type")
+    }),
     "join_enrich" -> ((s: SparkSession, dir: String) =>
       Events.enrichCustomer(Tables.customer(s, dir), Tables.nation(s, dir),
           Tables.region(s, dir))
@@ -210,11 +260,43 @@ object SparkEntry {
   // =========================================================================
   // DuckDB oracles — same parquet tables, ANSI-ish SQL. Column names and
   // row order match the engine formulations above. `dedup_minhash` reuses
-  // the exact-Jaccard oracle: banded MinHash (b=64, r=2) has false-negative
-  // probability (1-s^r)^b ≈ 1e-8 at s=0.5 and candidates are exact-verified,
-  // so its output equals the exact pair set on this data (checked locally).
-  // `dedup_simhash` is omitted: xxhash64 is engine-internal, rows-only check.
+  // the exact-Jaccard oracle: banded MinHash (b=64, r=2) candidates are
+  // exact-verified, so false positives are impossible and the false-negative
+  // probability (1-s^r)^b is MAXIMAL at the threshold s=0.5 (≈1e-8) and
+  // decreasing in s — every pair the threshold admits is found w.p.
+  // ≥ 1 - 1e-8 at any SF.
   // =========================================================================
+
+  /** dedup_simhash oracle: the token hash is a PORTABLE 62-bit poly hash
+    * (graft.functions.TokenPolyOps — two 31-bit Rabin-Karp folds packed as
+    * h1*2^31+h2) precisely so this SQL can reproduce the full SimHash
+    * pipeline: per-token hash → per-bit majority vote (2*ones >= n, the
+    * same tie rule as the engine) → sign-bit signature → Hamming ≤ k pairs.
+    * The engine's banding (8×8 bits) is pigeonhole-lossless to Hamming 7,
+    * so a plain all-pairs SQL join is an exact reference. */
+  private val SimhashOracle: String = {
+    val ones = (0 until 62).map(j => s"sum((h >> $j) & 1) AS o$j").mkString(", ")
+    val bits = (0 until 62)
+      .map(j => s"(CASE WHEN 2*o$j >= n THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t FROM documents
+       |), h AS (
+       |  SELECT doc_id,
+       |    list_reduce([CAST(ascii(c) AS BIGINT) for c in string_split(t,'')], (a,x) -> (a*31+x) % 2147483647) * 2147483648
+       |    + list_reduce([CAST(ascii(c) AS BIGINT) for c in string_split(t,'')], (a,x) -> (a*131+x) % 2147483629) AS h
+       |  FROM tok WHERE t <> ''
+       |), sums AS (
+       |  SELECT doc_id, count(*) AS n, $ones FROM h GROUP BY doc_id
+       |), sig AS (
+       |  SELECT doc_id, $bits AS sig FROM sums
+       |)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
 
   /** Shared CTE for jaccard/minhash oracles: distinct 3-gram shingles per
     * doc (whole text when < 3 tokens), exploded with sizes. */
@@ -238,6 +320,90 @@ object SparkEntry {
       |SELECT id_a, id_b, round(sh / (sz_a + sz_b - sh), 4) AS jaccard
       |FROM shared WHERE round(sh / (sz_a + sz_b - sh), 4) >= 0.5
       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Df-cut Jaccard oracle: shingles with document frequency > 10 dropped,
+    * per-doc set sizes recomputed over the RETAINED shingles (matching
+    * Dedup.jaccardPairs prune-then-size semantics). */
+  private val PrunedJaccardOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS s FROM documents
+      |), g AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(s) < 3 THEN [array_to_string(s, ' ')]
+      |         ELSE list_distinct([array_to_string(s[i:i+2], ' ')
+      |                             for i in range(1, len(s) - 1)]) END AS grams
+      |  FROM toks
+      |), e AS (
+      |  SELECT doc_id, unnest(grams) AS gram FROM g
+      |), keep AS (
+      |  SELECT gram FROM e GROUP BY gram HAVING count(*) <= 10
+      |), ep AS (
+      |  SELECT e.doc_id, e.gram FROM e JOIN keep USING (gram)
+      |), sz AS (
+      |  SELECT doc_id, count(*) AS sz FROM ep GROUP BY doc_id
+      |), shared AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS sh
+      |  FROM ep a JOIN ep b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT id_a, id_b,
+      |  round(sh / (sa.sz + sb.sz - sh), 4) AS jaccard
+      |FROM shared
+      |JOIN sz sa ON sa.doc_id = id_a
+      |JOIN sz sb ON sb.doc_id = id_b
+      |WHERE round(sh / (sa.sz + sb.sz - sh), 4) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** sim_lsh oracle: the 8 seeded hyperplanes are deterministic Scala-side
+    * literals — embed them verbatim (shortest-round-trip double formatting
+    * parses back to the identical double in DuckDB), bucket by the same
+    * sign-bit key, verify with the same rounded cosine. */
+  private val LshOracle: String = {
+    val planes = graft.ext.Similarity.hyperplanes(8, 64, 42L)
+    val bucket = planes.zipWithIndex.map { case (p, i) =>
+      val lst = p.mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(e, $lst) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+       |), b AS (
+       |  SELECT vec_id, e, $bucket AS bucket FROM v
+       |), pairs AS (
+       |  SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+       |    round(list_dot_product(a.e, b2.e) /
+       |      (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b2.e, b2.e))), 4) AS sim
+       |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+       |)
+       |SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.4 ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** sim_ivf oracle: per-label centroids with decimal-exact accumulation
+    * (matching Similarity.centroids), probe the 2 nearest cells, brute-force
+    * within. */
+  private val IvfOracle: String =
+    """WITH v AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      |), q AS (
+      |  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0
+      |), pos AS (
+      |  SELECT label, generate_subscripts(e, 1) AS pos, unnest(e) AS x FROM v
+      |), cent AS (
+      |  SELECT label, pos,
+      |    CAST(sum(CAST(x AS DECIMAL(27,10))) AS DOUBLE) / count(*) AS x
+      |  FROM pos GROUP BY label, pos
+      |), carr AS (
+      |  SELECT label, list(x ORDER BY pos) AS c FROM cent GROUP BY label
+      |), probes AS (
+      |  SELECT label,
+      |    round(list_dot_product(c, qe) /
+      |      (sqrt(list_dot_product(c, c)) * sqrt(list_dot_product(qe, qe))), 4) AS cs
+      |  FROM carr, q ORDER BY cs DESC, label LIMIT 2
+      |)
+      |SELECT vec_id,
+      |  round(list_dot_product(v.e, qe) /
+      |    (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(qe, qe))), 4) AS sim
+      |FROM v JOIN probes USING (label), q
+      |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin
 
   /** Cosine similarity vs the vec_id-0 embedding, double math, rounded 4. */
   private def cosineSql(scoreAlias: String): String =
@@ -273,6 +439,9 @@ object SparkEntry {
       "SELECT * FROM customer WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 2500 ORDER BY c_custkey",
     "filter_between" ->
       "SELECT * FROM customer WHERE c_acctbal >= 1000 AND c_acctbal <= 2000 ORDER BY c_custkey",
+    "filter_date" ->
+      ("SELECT o_orderkey, o_orderpriority FROM orders " +
+        "WHERE o_orderdate >= TIMESTAMP '1997-06-15 00:00:00' ORDER BY o_orderkey"),
     "projection" ->
       "SELECT c_custkey, c_name FROM customer ORDER BY c_custkey",
     "limit_topk" ->
@@ -316,6 +485,10 @@ object SparkEntry {
       "SELECT min(doc_id) AS doc_id, md5(lower(text)) AS fp FROM documents GROUP BY md5(lower(text)) ORDER BY 1",
     "dedup_jaccard" -> JaccardOracle,
     "dedup_minhash" -> JaccardOracle,
+    "dedup_simhash" -> SimhashOracle,
+    "dedup_jaccard_pruned" -> PrunedJaccardOracle,
+    "sim_lsh" -> LshOracle,
+    "sim_ivf" -> IvfOracle,
     "sim_topk" ->
       (cosineSql("sim") + " SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id LIMIT 10"),
     "sim_topk_grouped" ->
@@ -379,6 +552,12 @@ object SparkEntry {
       ("SELECT event_id, event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k " +
         "FROM events ORDER BY event_id"),
     "events_hourly" ->
+      ("""SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
+         |  count(*) AS n,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin),
+    // the streaming pipeline computes the identical aggregate — same oracle
+    "stream_hourly" ->
       ("""SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
          |  count(*) AS n,
          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

@@ -96,6 +96,7 @@ object FilterCompiler {
       case (s: String, StringType)         => s
       case (b: Boolean, BooleanType)       => b
       case (s: String, TimestampType)      => parseTs(field, s)
+      case (s: String, TimestampNTZType)   => parseTsNtz(field, s)
       case (s: String, DateType)           => parseDate(field, s)
       case (v, t) =>
         throw new UnsupportedQueryException(
@@ -138,6 +139,18 @@ object FilterCompiler {
       case _: IllegalArgumentException =>
         throw new UnsupportedQueryException(
           s"cannot parse '$s' as timestamp for column '$field'")
+    }
+
+  /** Spark reads parquet `isAdjustedToUTC=false` timestamps as
+    * TIMESTAMP_NTZ — literal is a LocalDateTime, no zone applied. */
+  private def parseTsNtz(field: String, s: String): java.time.LocalDateTime =
+    try {
+      if (s.length == 10) java.time.LocalDate.parse(s).atStartOfDay()
+      else java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+    } catch {
+      case _: java.time.format.DateTimeParseException =>
+        throw new UnsupportedQueryException(
+          s"cannot parse '$s' as timestamp_ntz for column '$field'")
     }
 
   private def parseDate(field: String, s: String): java.sql.Date =

@@ -1,6 +1,6 @@
 package graft.ext
 
-import graft.functions.ShingleFunctions.shingle_hashes
+import graft.functions.ShingleFunctions.{shingle_hashes, token_poly_hashes}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -229,9 +229,13 @@ object Dedup {
     * are orders of magnitude below.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // token hash = portable 62-bit poly hash (graft.functions.TokenPolyOps),
+    // NOT xxhash64: the exact same value is computable in DuckDB SQL, so the
+    // whole SimHash pipeline gets a hash-matching external oracle. Bits
+    // 62/63 of every hash are zero — those signature bits land constant 0
+    // on all documents and never affect Hamming distances.
     val tok = df.select(col(idCol).cast("long").as("id"),
-        explode(array_distinct(tokens(col(textCol)))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
+        explode(token_poly_hashes(col(textCol))).as("h"))
     val laneAggs = (0 until 16).map { g =>
       val packed = (0 until 4).map { l =>
         val j = g * 4 + l

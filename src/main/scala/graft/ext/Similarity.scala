@@ -112,12 +112,19 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
-  /** Per-group centroids via posexplode → (group, position) average → array
-    * reassembly. Fully distributed — no vector ever crosses the driver. */
+  /** Per-group centroids via posexplode → (group, position) mean → array
+    * reassembly. Fully distributed — no vector ever crosses the driver.
+    *
+    * The mean is sum/count with DECIMAL accumulation, not `avg(double)`:
+    * double summation order varies with partitioning, so a double sum is
+    * not reproducible across runs or engines; the decimal sum is exact and
+    * order-independent, and the final double division is deterministic. */
   def centroids(df: DataFrame, vecCol: String, groupCol: String): DataFrame =
     df.select(col(groupCol).as("grp"),
         posexplode(asDouble(col(vecCol))).as(Seq("pos", "x")))
-      .groupBy("grp", "pos").agg(avg("x").as("x"))
+      .groupBy("grp", "pos")
+      .agg((sum(col("x").cast("decimal(27,10)")).cast("double") /
+        count(lit(1))).as("x"))
       .groupBy("grp")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("x")))),
         s => s.getField("x")).as("centroid"))

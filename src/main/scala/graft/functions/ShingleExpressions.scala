@@ -112,8 +112,85 @@ case class ShingleHashes(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Runtime kernel for [[TokenPolyHashes]]: distinct non-empty tokens of a
+  * space-separated text, each hashed with a PORTABLE 62-bit polynomial
+  * hash — two 31-bit Rabin-Karp folds over the token's code points, packed
+  * as `h1 * 2^31 + h2`:
+  *
+  *   h1 = fold(acc * 31  + cp) mod (2^31 - 1)
+  *   h2 = fold(acc * 131 + cp) mod 2147483629
+  *
+  * Every intermediate fits a signed 64-bit int, so the exact same value is
+  * computable in ANSI SQL / DuckDB (`list_reduce` over `ascii(c)`), which
+  * is what makes a hash-matching external oracle for SimHash possible at
+  * all — xxhash64 is engine-internal. Code-point iteration (not UTF-16
+  * units) matches SQL `string_split(t, '')` + `ascii` semantics beyond the
+  * BMP.
+  */
+object TokenPolyOps {
+  private final val P1 = 2147483647L // 2^31 - 1
+  private final val P2 = 2147483629L // largest prime < 2^31 - 17
+
+  def tokenPolyHashes(text: UTF8String): ArrayData = {
+    val s = text.toString
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    val len = s.length
+    while (i <= len) {
+      val end0 = s.indexOf(' ', i)
+      val end = if (end0 < 0) len else end0
+      if (end > i) { // skip empty tokens
+        var h1 = 0L
+        var h2 = 0L
+        var j = i
+        while (j < end) {
+          val cp = s.codePointAt(j)
+          h1 = (h1 * 31L + cp) % P1
+          h2 = (h2 * 131L + cp) % P2
+          j += Character.charCount(cp)
+        }
+        out.add(h1 * 2147483648L + h2) // h1 * 2^31 + h2 < 2^62
+      }
+      i = end + 1
+    }
+    val arr = new Array[Long](out.size())
+    val it = out.iterator()
+    var k = 0
+    while (it.hasNext) { arr(k) = it.next(); k += 1 }
+    new GenericArrayData(arr)
+  }
+}
+
+/** Codegen'd `text → array<long>` of distinct token poly-hashes (62-bit,
+  * SQL-portable — see [[TokenPolyOps]]). Used by SimHash so its full
+  * pipeline can be certified against a DuckDB oracle. */
+case class TokenPolyHashes(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"token_poly_hashes needs a string input, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    TokenPolyOps.tokenPolyHashes(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TokenPolyOps.tokenPolyHashes($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenPolyHashes =
+    copy(child = newChild)
+}
+
 object ShingleFunctions {
   /** Distinct word n-gram shingle hashes of a text column, as array<long>. */
   def shingle_hashes(text: Column, n: Int): Column =
     GraftBridge.column(ShingleHashes(GraftBridge.expression(text), n))
+
+  /** Distinct non-empty token poly-hashes (62-bit, SQL-portable). */
+  def token_poly_hashes(text: Column): Column =
+    GraftBridge.column(TokenPolyHashes(GraftBridge.expression(text)))
 }

@@ -17,14 +17,19 @@ object EventsStream {
 
   /** Hourly tumbling-window counts with a watermark: late events beyond
     * `lateness` are dropped and state for closed windows is purged —
-    * bounded state at any scale. */
+    * bounded state at any scale.
+    *
+    * Output schema and arithmetic match the batch [[graft.ext.Events.hourly]]
+    * exactly (stringified hour, decimal-accumulated sum) so the streaming
+    * result is certifiable against the same external oracle. */
   def hourlyCounts(events: DataFrame, lateness: String = "2 hours"): DataFrame =
     events
       .withWatermark("ts", lateness)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
-      .select(col("window.start").as("hour"), col("event_type"),
-        col("n"), col("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n"), col("sum_value"))
 
   final case class Evt(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(nEvents: Long, start: Long, lastTs: Long)

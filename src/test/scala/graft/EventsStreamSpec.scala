@@ -25,10 +25,10 @@ class EventsStreamSpec extends SparkSpec {
         (ts("2024-01-01 11:05:00"), "view", 3.0))
       q.processAllAvailable()
       val r = spark.table("hc").orderBy("hour", "event_type").collect()
-        .map(x => (x.getTimestamp(0).toString, x.getString(1), x.getLong(2))).toSeq
+        .map(x => (x.getString(0), x.getString(1), x.getLong(2), x.getDouble(3))).toSeq
       assert(r == Seq(
-        ("2024-01-01 10:00:00.0", "click", 2L),
-        ("2024-01-01 11:00:00.0", "view", 1L)))
+        ("2024-01-01 10:00:00", "click", 2L, 3.0),
+        ("2024-01-01 11:00:00", "view", 1L, 3.0)))
     } finally q.stop()
   }
 
