@@ -106,6 +106,13 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))),
     "count_all" -> ((s: SparkSession, dir: String) =>
       Tables.customer(s, dir).agg(count(lit(1)).as("n"))),
+    // the metadata fast path itself (estimated_document_count,
+    // No_Sql.py:416): footer-only read, no scan job — same exact count
+    "count_meta" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      Seq(graft.sources.ParquetMeta.footerCount(s, s"$dir/customer.parquet"))
+        .toDF("n")
+    }),
     "agg_history_stats" -> ((s: SparkSession, dir: String) => {
       // query-history analytics (main.py:263-268) modeled on the events
       // table: success = non-error event, execution_time = value
@@ -451,6 +458,8 @@ object SparkEntry {
     "count_filtered" ->
       "SELECT count(*) AS n FROM customer WHERE c_mktsegment = 'BUILDING'",
     "count_all" ->
+      "SELECT count(*) AS n FROM customer",
+    "count_meta" ->
       "SELECT count(*) AS n FROM customer",
     "agg_history_stats" ->
       ("SELECT count(*) AS n_queries, " +

@@ -1,0 +1,155 @@
+package graft.api
+
+import graft.compile.NlCompiler
+import graft.exec.Executor
+import graft.ir.{MongoJson, QuerySpec, UnsupportedQueryException}
+import graft.sources.Catalog
+import org.apache.spark.sql.SparkSession
+
+import scala.concurrent.{Await, ExecutionContext, Future, TimeoutException}
+import scala.concurrent.duration._
+
+/** The reference's POST /query lifecycle (SURVEY.md §3.1,
+  * /root/reference/app_server.py:202-278) as an engine-level service:
+  * validated request → timed generation phase (≤ 70% of the budget) →
+  * timed execution phase (remainder − 1 s, floor 2 s) → typed response
+  * envelope; typed error envelope (TIMEOUT/HTTP/INTERNAL with suggestion)
+  * on every failure path (app_server.py:292-332).
+  *
+  * The generation phase runs the deterministic NL compiler — the
+  * reference's only self-contained compiler; its LLM path is an external
+  * service, not engine logic (SURVEY.md preamble). `queryJson` accepts a
+  * raw (possibly damaged) find-spec instead, running the §2.7 repair
+  * cascade as its generation phase.
+  */
+final class QueryService(spark: SparkSession, catalog: Catalog) {
+
+  import QueryService._
+
+  /** POST /query (app_server.py:202-278). */
+  def query(req: QueryRequest): Either[QueryError, QuerySuccess] =
+    run(req)(() => NlCompiler.compile(req.input))
+
+  /** Same lifecycle, generation = the LLM-response repair cascade
+    * (No_Sql.py:269-302) over a raw find-spec payload. */
+  def queryJson(req: QueryRequest): Either[QueryError, QuerySuccess] =
+    run(req)(() => MongoJson.parseWithRepair(req.input))
+
+  private def run(req: QueryRequest)(
+      gen: () => QuerySpec): Either[QueryError, QuerySuccess] = {
+    val t0 = System.nanoTime()
+    def secs(since: Long) = (System.nanoTime() - since) / 1e9
+    // pydantic validation surface (app_server.py:74-82) → 422 HTTP_ERROR
+    if (req.input.isEmpty)
+      return Left(QueryError("input must be non-empty", "HTTP_ERROR", 422, None))
+    if (req.limit < 1 || req.limit > 1000)
+      return Left(QueryError("limit must be in [1, 1000]", "HTTP_ERROR", 422, None))
+    if (req.timeoutSec < 5 || req.timeoutSec > 60)
+      return Left(QueryError("timeout must be in [5, 60] seconds", "HTTP_ERROR", 422, None))
+    try {
+      // Stage 1: generation gets ≤ 70% of the budget (app_server.py:221)
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val genBudget = req.timeoutSec * 0.7
+      val genStart = System.nanoTime()
+      val spec =
+        try Await.result(Future(gen()), genBudget.seconds)
+        catch {
+          case _: TimeoutException => throw new GenTimeout(
+            f"Query generation timed out after $genBudget%.1f seconds")
+        }
+      val genSec = secs(genStart)
+
+      // Stage 2: DB phase gets the remainder − 1 s buffer, floor 2 s
+      // (app_server.py:229-232)
+      val remaining = math.max(req.timeoutSec - genSec - 1.0, 2.0)
+      val df = catalog.resolve(req.db, req.collection)
+      val dbStart = System.nanoTime()
+      val result =
+        try Await.result(
+          Future(Executor.exec(df, spec, req.limit, generationSec = genSec)),
+          remaining.seconds)
+        catch {
+          case _: TimeoutException => throw new DbTimeout(
+            f"Database query timed out after $remaining%.1f seconds")
+        }
+      val dbSec = secs(dbStart)
+
+      Right(QuerySuccess(
+        mongoQuery = result.mongoQueryJson,
+        totalMatching = result.totalMatching,
+        results = result.results,
+        resultCount = result.results.length,
+        executionTime = round3(secs(t0)),
+        queryGenerationTime = round3(genSec),
+        dbExecutionTime = round3(dbSec),
+        timeoutUsed = req.timeoutSec,
+        countDegraded = result.countDegraded))
+    } catch {
+      // typed error envelope (app_server.py:292-332)
+      case e: GenTimeout => Left(QueryError(e.getMessage, "TIMEOUT_ERROR", 408,
+        Some("Try increasing the timeout value or simplifying the query")))
+      case e: DbTimeout => Left(QueryError(e.getMessage, "TIMEOUT_ERROR", 408,
+        Some("Try increasing the timeout value or simplifying the query")))
+      case e: UnsupportedQueryException =>
+        Left(QueryError(e.getMessage, "HTTP_ERROR", 400, None))
+      case e: Exception =>
+        Left(QueryError(s"Internal server error: ${e.getMessage}",
+          "INTERNAL_ERROR", 500, None))
+    }
+  }
+
+  /** GET /test (app_server.py:172-199): generation-only smoke path with the
+    * reference's fixed input. */
+  def test(): (String, Double) = {
+    val t0 = System.nanoTime()
+    val spec = NlCompiler.compile("Find all employees")
+    (MongoJson.toJson(spec), round3((System.nanoTime() - t0) / 1e9))
+  }
+
+  /** GET /health (app_server.py:146-169): engine + storage connectivity. */
+  def health(db: String = "testdb", collection: String = "testcoll"): Health = {
+    val engineOk =
+      try spark.range(1).count() == 1L
+      catch { case _: Exception => false }
+    val storageOk =
+      try { catalog.resolve(db, collection).schema; true }
+      catch { case _: Exception => false }
+    Health(engineOk && storageOk, engineOk, storageOk)
+  }
+}
+
+object QueryService {
+  /** QueryRequest (app_server.py:74-82) — same fields, same defaults. */
+  final case class QueryRequest(
+      input: String,
+      db: String = "testdb",
+      collection: String = "testcoll",
+      limit: Int = 50,
+      timeoutSec: Int = 30)
+
+  /** QueryResponse (app_server.py:84-93). */
+  final case class QuerySuccess(
+      mongoQuery: String,
+      totalMatching: Long,
+      results: Seq[String],
+      resultCount: Int,
+      executionTime: Double,
+      queryGenerationTime: Double,
+      dbExecutionTime: Double,
+      timeoutUsed: Int,
+      countDegraded: Boolean)
+
+  /** Error envelope (app_server.py:292-332). */
+  final case class QueryError(
+      error: String,
+      errorType: String, // TIMEOUT_ERROR | HTTP_ERROR | INTERNAL_ERROR
+      statusCode: Int,
+      suggestion: Option[String])
+
+  final case class Health(ok: Boolean, engineOk: Boolean, storageOk: Boolean)
+
+  private def round3(d: Double): Double = math.rint(d * 1000) / 1000
+
+  private final class GenTimeout(msg: String) extends RuntimeException(msg)
+  private final class DbTimeout(msg: String) extends RuntimeException(msg)
+}

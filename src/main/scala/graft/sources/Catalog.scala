@@ -1,0 +1,54 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** `(db, collection)` → DataFrame resolution — the Spark analog of the
+  * reference's `client[db_name][coll_name]` addressing
+  * (/root/reference/No_Sql.py:389-390, defaults db="testdb",
+  * coll="testcoll" at app_server.py:76-77).
+  *
+  * Layout: `root/<db>/<collection>.<ext>` when the db directory exists,
+  * falling back to `root/<collection>.parquet` for flat layouts (the
+  * driver's TESTDATA.md contract). Explicit registrations win over both.
+  *
+  * Formats: parquet (columnar, the scale path), json (newline-delimited
+  * documents — the closest analog of a Mongo collection: schema inferred
+  * per read, extra/missing fields tolerated), csv (header + inferred
+  * schema). All reads are plain `spark.read` so Catalyst pushdown reaches
+  * every source that supports it.
+  */
+final class Catalog(spark: SparkSession, root: String) {
+
+  private val registered =
+    scala.collection.concurrent.TrieMap.empty[(String, String), () => DataFrame]
+
+  /** Explicitly bind (db, collection) to a frame factory (e.g. a view). */
+  def register(db: String, collection: String)(f: => DataFrame): Unit =
+    registered.put((db, collection), () => f): Unit
+
+  def resolve(db: String, collection: String): DataFrame =
+    registered.get((db, collection)).map(_.apply()).getOrElse(readPath(db, collection))
+
+  private def readPath(db: String, collection: String): DataFrame = {
+    val candidates = Seq(
+      (s"$root/$db/$collection.parquet", "parquet"),
+      (s"$root/$db/$collection.json", "json"),
+      (s"$root/$db/$collection.csv", "csv"),
+      (s"$root/$collection.parquet", "parquet"))
+    candidates.find { case (p, _) => exists(p) } match {
+      case Some((p, "parquet")) => spark.read.parquet(p)
+      case Some((p, "json"))    => spark.read.json(p)
+      case Some((p, "csv"))     =>
+        spark.read.option("header", "true").option("inferSchema", "true").csv(p)
+      case _ =>
+        throw new NoSuchElementException(
+          s"no table for ($db, $collection) under $root " +
+            s"(tried ${candidates.map(_._1).mkString(", ")})")
+    }
+  }
+
+  private def exists(path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import graft.exec.Executor
+import graft.ext.Similarity
+import graft.ir.MongoJson
+
+/** Plan-shape assertions — the scale-design contract, checked mechanically:
+  * filters reach the parquet scan (`PushedFilters`), projections prune the
+  * read schema (`ReadSchema`), top-k plans as TakeOrderedAndProject, pair
+  * joins never degenerate to CartesianProduct, and the hot expressions sit
+  * inside WholeStageCodegen. A regression in any of these is a 100x cost at
+  * 100 TB long before it's a wrong answer. */
+class PlanShapeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def executed(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter pushdown reaches the parquet scan") {
+    val df = Executor.plan(Tables.customer(spark, dir),
+      MongoJson.parse("""{"filter": {"c_acctbal": {"$gt": 5000}}}"""))
+    val plan = executed(df)
+    assert(plan.contains("PushedFilters"), plan.take(500))
+    assert(plan.contains("GreaterThan(c_acctbal,5000.0)"), plan.take(2000))
+  }
+
+  test("multi-predicate conjunction pushes down as one set") {
+    val df = Executor.plan(Tables.customer(spark, dir), MongoJson.parse(
+      """{"filter": {"c_mktsegment": "BUILDING", "c_acctbal": {"$gt": 2500}}}"""))
+    val plan = executed(df)
+    assert(plan.contains("EqualTo(c_mktsegment,BUILDING)"))
+    // toString truncates the PushedFilters list — prefix is sufficient
+    assert(plan.contains("GreaterThan(c_acc"))
+  }
+
+  test("projection prunes the read schema to the selected columns") {
+    val df = Executor.plan(Tables.customer(spark, dir), MongoJson.parse(
+      """{"filter": {}, "projection": {"c_custkey": 1, "c_name": 1}}"""))
+    val plan = executed(df)
+    assert(plan.contains("ReadSchema: struct<c_custkey:bigint,c_name:string>"),
+      plan.take(2000))
+  }
+
+  test("orderBy + limit plans as TakeOrderedAndProject (no global sort)") {
+    val df = Similarity.topK(Tables.embeddings(spark, dir), "vec_id",
+      "embedding", Seq.fill(64)(0.1), k = 10)
+    val plan = executed(df)
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+    assert(!plan.contains("Exchange rangepartitioning"), plan.take(2000))
+  }
+
+  test("bare limit plans as CollectLimit") {
+    val df = Executor.plan(Tables.customer(spark, dir),
+      MongoJson.parse("""{"filter": {}}""").copy(limit = Some(50)))
+    assert(executed(df).contains("CollectLimit"))
+  }
+
+  test("pairwise similarity join is broadcast-NL, never CartesianProduct") {
+    val df = Similarity.nearDupPairs(Tables.embeddings(spark, dir),
+      "vec_id", "embedding", 0.9)
+    val plan = executed(df)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("dimension enrichment joins broadcast the small sides") {
+    val df = graft.ext.Events.enrichCustomer(Tables.customer(spark, dir),
+      Tables.nation(spark, dir), Tables.region(spark, dir))
+    val plan = executed(df)
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("custom expressions run inside WholeStageCodegen") {
+    val df = Similarity.topK(Tables.embeddings(spark, dir), "vec_id",
+      "embedding", Seq.fill(64)(0.1), k = 5)
+    val plan = executed(df)
+    // "*(1)" is the WholeStageCodegen stage marker in executedPlan text;
+    // arraydot appearing INSIDE a starred operator = codegen'd evaluation
+    assert(plan.contains("*(1) Project"), plan.take(800))
+    assert(plan.contains("arraydot"), plan.take(800))
+    // and evaluation actually works through the codegen path on real data
+    assert(df.collect().length == 5)
+  }
+
+  test("shared-shingle blocking join is a hash equi-join on the gram key") {
+    val df = graft.ext.Dedup.jaccardPairs(Tables.documents(spark, dir),
+      "doc_id", "text", n = 3, threshold = 0.5)
+    val plan = executed(df)
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    // equi-join on the hashed gram: shuffled hash or broadcast hash both fine
+    assert(plan.contains("HashJoin"), plan.take(1200))
+  }
+}

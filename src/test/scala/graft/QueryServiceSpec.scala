@@ -1,0 +1,90 @@
+package graft
+
+import graft.api.QueryService
+import graft.api.QueryService._
+import graft.sources.Catalog
+
+/** SURVEY.md §2.9/§3.1: request validation, 70/30 timeout budgeting shape,
+  * typed error envelope, health/test probes, catalog resolution. */
+class QueryServiceSpec extends SparkSpec {
+
+  private lazy val catalog: Catalog = {
+    val c = new Catalog(spark, "/nonexistent-root")
+    c.register("testdb", "testcoll")(employees)
+    c
+  }
+  private lazy val svc = new QueryService(spark, catalog)
+
+  test("full lifecycle: NL in, envelope out, per-phase timings") {
+    val r = svc.query(QueryRequest("earning more than 60000")).toOption.get
+    assert(r.totalMatching == 3 && r.resultCount == 3)
+    assert(r.mongoQuery == """{"filter":{"salary":{"$gt":60000}},"projection":{}}""")
+    assert(r.executionTime >= r.dbExecutionTime)
+    assert(r.timeoutUsed == 30 && !r.countDegraded)
+  }
+
+  test("limit honored and clamped through the service") {
+    val r = svc.query(QueryRequest("hello world", limit = 2)).toOption.get
+    assert(r.resultCount == 2 && r.totalMatching == 5)
+  }
+
+  test("queryJson runs the repair cascade as its generation phase") {
+    val r = svc.queryJson(QueryRequest(
+      "```json\n{'filter': {'department': {'$regex': 'ENG', '$options': 'i'}}}\n```"))
+      .toOption.get
+    assert(r.totalMatching == 1)
+  }
+
+  test("validation errors: 422 HTTP_ERROR, no work done") {
+    assert(svc.query(QueryRequest("")).swap.toOption.get.statusCode == 422)
+    assert(svc.query(QueryRequest("x", limit = 0)).swap.toOption.get.statusCode == 422)
+    assert(svc.query(QueryRequest("x", limit = 1001)).swap.toOption.get.statusCode == 422)
+    assert(svc.query(QueryRequest("x", timeoutSec = 4)).swap.toOption.get.statusCode == 422)
+    assert(svc.query(QueryRequest("x", timeoutSec = 61)).swap.toOption.get.statusCode == 422)
+  }
+
+  test("off-surface find-spec -> 400 HTTP_ERROR with the loud reason") {
+    val e = svc.queryJson(QueryRequest("""{"filter": {"$or": [{"a": 1}]}}"""))
+      .swap.toOption.get
+    assert(e.statusCode == 400 && e.errorType == "HTTP_ERROR")
+    assert(e.error.contains("$or"))
+  }
+
+  test("unknown collection -> INTERNAL_ERROR envelope, not an exception") {
+    val e = svc.query(QueryRequest("hello", collection = "nope"))
+      .swap.toOption.get
+    assert(e.statusCode == 500 && e.errorType == "INTERNAL_ERROR")
+  }
+
+  test("test(): the reference's fixed generation-only smoke input") {
+    val (json, sec) = svc.test()
+    assert(json == """{"filter":{},"projection":{}}""") // "Find all employees"
+    assert(sec >= 0.0)
+  }
+
+  test("health: engine + storage probes") {
+    val h = svc.health()
+    assert(h.ok && h.engineOk && h.storageOk)
+    assert(!svc.health(collection = "missing").storageOk)
+  }
+
+  test("catalog: flat-layout fallback resolves driver testdata") {
+    val c = new Catalog(spark, "/root/testdata/sf0.001")
+    assert(c.resolve("testdb", "customer").count() == 150)
+    intercept[NoSuchElementException] { c.resolve("testdb", "absent") }
+  }
+
+  test("catalog: json documents read like a schemaless collection") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cat").toString
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$dir/db1"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/db1/docs.json"),
+      """{"a": 1, "b": "x"}
+        |{"a": 2, "c": true}
+        |""".stripMargin)
+    val df = new Catalog(spark, dir).resolve("db1", "docs")
+    assert(df.count() == 2)
+    // schemaless union: fields from both docs present, missing -> null
+    assert(df.columns.sorted.toSeq == Seq("a", "b", "c"))
+  }
+}

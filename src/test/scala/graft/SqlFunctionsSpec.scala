@@ -1,0 +1,37 @@
+package graft
+
+/** The SQL registration surface: custom expressions callable from
+  * spark.sql after GraftExtensions.register. */
+class SqlFunctionsSpec extends SparkSpec {
+
+  test("array_dot / shingle_hashes / token_poly_hashes callable from SQL") {
+    GraftExtensions.register(spark)
+    val dot = spark.sql(
+      "SELECT array_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d")
+      .head().getDouble(0)
+    assert(dot == 32.0)
+
+    val nShingles = spark.sql(
+      "SELECT size(shingle_hashes('a b c d', 3)) AS n").head().getInt(0)
+    assert(nShingles == 2)
+
+    val toks = spark.sql(
+      "SELECT size(token_poly_hashes('x y x')) AS n").head().getInt(0)
+    assert(toks == 2) // distinct tokens
+
+    // and they participate in whole-stage codegen paths over real frames
+    import spark.implicits._
+    Seq(("a b c d e", 1)).toDF("text", "id").createOrReplaceTempView("t")
+    val viaSql = spark.sql(
+      "SELECT id, size(shingle_hashes(text, 3)) AS n FROM t").head()
+    assert(viaSql.getInt(1) == 3)
+  }
+
+  test("analysis-time errors for bad arity / non-literal n") {
+    GraftExtensions.register(spark)
+    intercept[Exception] { spark.sql("SELECT array_dot(array(1.0D))").collect() }
+    intercept[Exception] {
+      spark.sql("SELECT shingle_hashes('a b', length('xy'))").collect()
+    }
+  }
+}
