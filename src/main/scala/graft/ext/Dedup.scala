@@ -1,6 +1,7 @@
 package graft.ext
 
 import graft.functions.ShingleFunctions.{shingle_hashes, token_poly_hashes}
+import graft.functions.SketchFunctions.{minhash_signature, simhash_signature}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -118,8 +119,6 @@ object Dedup {
   // MinHash + banded LSH
   // -----------------------------------------------------------------------
 
-  private val MersennePrime31 = 2147483647L // 2^31 - 1
-
   /** Deterministic per-hash coefficients (splitmix64 of the index) —
     * reproducible across runs and executors, no RNG state shipped. */
   private def splitmix64(x0: Long): Long = {
@@ -129,37 +128,31 @@ object Dedup {
     x ^ (x >>> 31)
   }
 
-  /** Per-permutation MinHash aggregate: min over shingle rows of
-    * ((a_i * h + b_i) mod 2^31-1), where h = shingle-hash mod 2^31-1.
-    * 31-bit coefficients keep every intermediate in a long — Spark 4 runs
-    * ANSI mode by default and a 64-bit multiply would throw
-    * ARITHMETIC_OVERFLOW instead of wrapping. A 2^31 hash space is ample
-    * for per-document shingle-set sketches. */
-  private def minhashAgg(h: Column, i: Int): Column = {
-    val a = (splitmix64(2L * i) >>> 33) | 1L      // 31-bit odd multiplier
-    val b = splitmix64(2L * i + 1) >>> 33         // 31-bit offset
-    min(pmod(lit(a) * h + lit(b), lit(MersennePrime31)))
+  /** Deterministic (a_i, b_i) coefficient schedule for `numHashes`
+    * permutations: 31-bit odd multipliers and offsets from splitmix64 of
+    * the index — every intermediate of (a*h+b) mod 2^31-1 fits a long. */
+  private[graft] def minhashCoeffs(numHashes: Int): Array[Long] = {
+    val out = new Array[Long](2 * numHashes)
+    var i = 0
+    while (i < numHashes) {
+      out(2 * i) = (splitmix64(2L * i) >>> 33) | 1L // 31-bit odd multiplier
+      out(2 * i + 1) = splitmix64(2L * i + 1) >>> 33 // 31-bit offset
+      i += 1
+    }
+    out
   }
 
-  /** MinHash signatures as one hash-aggregate: explode shingles, hash each
-    * ONCE, then numHashes codegen'd `min` aggregates in a single shuffle
-    * with map-side partial aggregation.
-    *
-    * Why not `array_min(transform(grams, ...))` per permutation (the r2
-    * formulation): higher-order functions are interpreted — 128 lambda
-    * passes per document outside codegen (BENCH_r02: dedup_minhash 18 s).
-    * The aggregate form keeps everything in WholeStageCodegen/HashAggregate
-    * and is the shape that scales: partial min per partition, tiny
-    * (numHashes × 8 bytes) rows across the wire. */
+  /** MinHash signatures as ONE row-local codegen'd pass
+    * ([[graft.functions.MinHashSignature]]): a document's sketch depends
+    * only on its own shingle set, so the r2 explode → shuffle →
+    * 128-aggregate formulation (and before that, 128 interpreted array
+    * transforms) was pure overhead. Zero shuffles; each input split
+    * sketches independently — the shape that scales to any table size. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        n: Int, numHashes: Int): DataFrame = {
-    val hashed = df.select(
-      col(idCol).cast("long").as("id"),
-      explode(shingle_hashes(col(textCol), n)).as("g"))
-      .select(col("id"), pmod(col("g"), lit(MersennePrime31)).as("h"))
-    val aggs = (0 until numHashes).map(i => minhashAgg(col("h"), i).as(s"m$i"))
-    hashed.groupBy("id").agg(aggs.head, aggs.tail: _*)
-  }
+                        n: Int, numHashes: Int): DataFrame =
+    df.select(col(idCol).cast("long").as("id"),
+      minhash_signature(shingle_hashes(col(textCol), n),
+        minhashCoeffs(numHashes)).as("sig"))
 
   /** Banded-LSH near-dup pairs with exact Jaccard verification.
     *
@@ -181,14 +174,13 @@ object Dedup {
       col(idCol).cast("long").as("id"),
       shingle_hashes(col(textCol), n).as("grams"))
       .persist()
-    val hashed = grams.select(col("id"), explode(col("grams")).as("g"))
-      .select(col("id"), pmod(col("g"), lit(MersennePrime31)).as("h"))
-    val aggs = (0 until numHashes).map(i => minhashAgg(col("h"), i).as(s"m$i"))
-    val sigs = hashed.groupBy("id").agg(aggs.head, aggs.tail: _*)
+    // row-local sketch (no shuffle), then one band-key row per band
+    val sigs = grams.select(col("id"),
+      minhash_signature(col("grams"), minhashCoeffs(numHashes)).as("sig"))
     val bandKeys = sigs.select(col("id"),
       posexplode(array((0 until bands).map { bIdx =>
         xxhash64((lit(bIdx) +: (0 until rowsPerBand).map(r =>
-          col(s"m${bIdx * rowsPerBand + r}"))): _*)
+          element_at(col("sig"), bIdx * rowsPerBand + r + 1))): _*)
       }: _*)).as(Seq("band", "key")))
     val l = bandKeys.alias("l")
     val r = bandKeys.alias("r")
@@ -228,30 +220,20 @@ object Dedup {
     * a lane overflows (ANSI mode would throw, not corrupt); real corpora
     * are orders of magnitude below.
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // token hash = portable 62-bit poly hash (graft.functions.TokenPolyOps),
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    // Token hash = portable 62-bit poly hash (graft.functions.TokenPolyOps),
     // NOT xxhash64: the exact same value is computable in DuckDB SQL, so the
     // whole SimHash pipeline gets a hash-matching external oracle. Bits
     // 62/63 of every hash are zero — those signature bits land constant 0
     // on all documents and never affect Hamming distances.
-    val tok = df.select(col(idCol).cast("long").as("id"),
-        explode(token_poly_hashes(col(textCol))).as("h"))
-    val laneAggs = (0 until 16).map { g =>
-      val packed = (0 until 4).map { l =>
-        val j = g * 4 + l
-        shiftrightunsigned(col("h"), j).bitwiseAND(lit(1L)) * lit(1L << (16 * l))
-      }.reduce(_ + _)
-      sum(packed).as(s"s$g")
-    }
-    val agg = tok.groupBy("id")
-      .agg(laneAggs.head, (laneAggs.tail :+ count(lit(1)).as("n")): _*)
-    val sig = (0 until 64).map { j =>
-      val ones = shiftrightunsigned(col(s"s${j / 4}"), 16 * (j % 4))
-        .bitwiseAND(lit(0xffffL))
-      when(ones * lit(2L) >= col("n"), lit(1L << j)).otherwise(lit(0L))
-    }.reduce((x, y) => x.bitwiseOR(y))
-    agg.select(col("id"), sig.as("simhash"))
-  }
+    //
+    // The signature is ONE row-local codegen'd pass
+    // ([[graft.functions.SimHashSignature]], majority rule 2*ones >= n) —
+    // no explode, no shuffle; the r2 shape (explode + 64 sum-aggregates,
+    // later 16 lane-packed aggregates) shuffled 260k rows at sf0.1 to
+    // compute a value each row can compute alone.
+    df.select(col(idCol).cast("long").as("id"),
+      simhash_signature(token_poly_hashes(col(textCol))).as("simhash"))
 
   /** SimHash near-dup pairs: block on 8 bands of 8 bits (pigeonhole: any
     * pair with Hamming distance ≤ 7 agrees exactly on ≥1 band), verify with
