@@ -244,6 +244,30 @@ object SparkEntry {
       q.awaitTermination()
       s.table(name).orderBy("hour", "event_type")
     }),
+    // Stateful streaming certified against SQL: gap sessionization via
+    // flatMapGroupsWithState + EVENT-TIME timeouts over the same events
+    // parquet. Closed sessions = every session a later event closed, plus
+    // last sessions whose timeout timestamp the final watermark strictly
+    // passed; the oracle replicates exactly that.
+    "stream_sessions" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import s.implicits._
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      var stream: DataFrame = s.readStream.schema(raw.schema)
+        .parquet(s"$dir/events.parque*")
+      if (stream.schema("ts").dataType ==
+          org.apache.spark.sql.types.LongType)
+        stream = stream.withColumn("ts",
+          timestamp_micros(expr("ts div 1000")))
+      val evts = stream.select(col("user_id"), col("ts"), col("value"))
+        .as[graft.streaming.EventsStream.Evt]
+      val name = "graft_stream_sessions"
+      val q = graft.streaming.EventsStream.sessionize(evts)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).orderBy("user_id", "start_ms")
+    }),
     "join_enrich" -> ((s: SparkSession, dir: String) =>
       Events.enrichCustomer(Tables.customer(s, dir), Tables.nation(s, dir),
           Tables.region(s, dir))
@@ -589,6 +613,34 @@ object SparkEntry {
          |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
          |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS s_end
          |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin),
+    // closed sessions only: non-last sessions (a later event exceeded the
+    // gap) plus last sessions whose lastTs+gap the final watermark
+    // (max ts, zero lateness) STRICTLY passed — Spark fires event-time
+    // timeouts when the watermark advances beyond the set timestamp
+    "stream_sessions" ->
+      ("""WITH flagged AS (
+         |  SELECT user_id, ts, event_id,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |              OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+         |         THEN 1 ELSE 0 END AS new_sess
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |), sess AS (
+         |  SELECT user_id, ts,
+         |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         |  FROM flagged
+         |), agg AS (
+         |  SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+         |    min(ts) AS s_start, max(ts) AS s_end
+         |  FROM sess GROUP BY user_id, session_id
+         |), mx AS (SELECT max(ts) AS max_ts FROM events)
+         |SELECT user_id, n_events,
+         |  CAST(epoch_ms(CAST(s_start AS TIMESTAMP)) AS BIGINT) AS start_ms,
+         |  CAST(epoch_ms(CAST(s_end AS TIMESTAMP)) AS BIGINT) AS end_ms
+         |FROM agg, mx
+         |WHERE s_end + INTERVAL 30 MINUTE < max_ts
+         |ORDER BY user_id, start_ms""".stripMargin),
     "join_enrich" ->
       ("""SELECT c_custkey, c_name, n_name, r_name
          |FROM customer
