@@ -235,18 +235,37 @@ object Dedup {
     df.select(col(idCol).cast("long").as("id"),
       simhash_signature(token_poly_hashes(col(textCol))).as("simhash"))
 
-  /** SimHash near-dup pairs: block on 8 bands of 8 bits (pigeonhole: any
-    * pair with Hamming distance ≤ 7 agrees exactly on ≥1 band), verify with
-    * bit_count(xor) ≤ maxHamming. */
+  /** SimHash near-dup pairs: block on `maxHamming + 1` bands over the 62
+    * meaningful signature bits (pigeonhole: a pair within Hamming
+    * `maxHamming` differs in at most `maxHamming` bands, so ≥1 band matches
+    * exactly — recall is 100%, not probabilistic), verify with
+    * bit_count(xor) ≤ maxHamming.
+    *
+    * Band geometry matters at scale: the r2 shape used 8 fixed 8-bit bands
+    * over all 64 bits, but bits 62/63 are constant and per-bit majorities
+    * are biased on real corpora, so the top band had ~6 low-entropy bits —
+    * one bucket held 4.4k of 5k docs at sf0.1 and the candidate join
+    * exploded to 27.9M pairs (108x the true pair count). The minimal band
+    * count with the widest bands (62/(k+1) bits each) maximizes per-bucket
+    * entropy while keeping exact recall. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 7): DataFrame = {
-    require(maxHamming <= 7, "8x8-bit banding only guarantees recall to Hamming 7")
+                   maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      "banding supports Hamming radius 0..15 (wider radii need more bands " +
+        "than the 62 signature bits can usefully feed)")
+    val bands = maxHamming + 1
+    val base = 62 / bands
+    val extra = 62 % bands // first `extra` bands get one more bit
+    val starts = (0 until bands).scanLeft(0)((s, i) =>
+      s + base + (if (i < extra) 1 else 0))
     val sigs = simhash(df, idCol, textCol)
     // persisted: both self-join sides read it (without this the whole
-    // signature aggregation runs twice)
+    // signature computation runs twice)
     val banded = sigs.select(col("id"), col("simhash"),
-      posexplode(array((0 until 8).map { bIdx =>
-        shiftrightunsigned(col("simhash"), bIdx * 8).bitwiseAND(lit(0xffL))
+      posexplode(array((0 until bands).map { bIdx =>
+        val width = base + (if (bIdx < extra) 1 else 0)
+        shiftrightunsigned(col("simhash"), starts(bIdx))
+          .bitwiseAND(lit((1L << width) - 1L))
       }: _*)).as(Seq("band", "key")))
       .persist()
     val l = banded.alias("l")

@@ -82,8 +82,22 @@ class DedupSpec extends SparkSpec {
 
   test("simhashPairs rejects maxHamming beyond the banding guarantee") {
     intercept[IllegalArgumentException] {
-      Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 8)
+      Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 16)
     }
+  }
+
+  test("simhashPairs wider radii keep exact recall (pigeonhole banding)") {
+    // brute-force reference over the tiny fixture at radius 7
+    val sigs = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      h = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if h <= 7
+    } yield (a, b)).toSet
+    val got = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 7)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expect)
   }
 
   test("df-cut prunes hot shingles and recomputes sizes consistently") {
