@@ -137,6 +137,9 @@ object SparkEntry {
     "nl_name_proj" -> (nl("show customer names", "name") _),
     "nl_experience" -> (nl("people with experience more than 20", "emp_id") _),
     "nl_default" -> (nl("hello world", "emp_id") _),
+    // arbitrary-precision literal end-to-end: 2^60 is double-exact, so it
+    // compiles (values beyond the exact range error loudly instead)
+    "nl_bignum" -> (nl("salary below 1152921504606846976", "emp_id") _),
     // ----- §2.7 LLM-response repair cascade -----
     "nl_repair" -> ((s: SparkSession, dir: String) =>
       Executor.plan(Tables.employees(s, dir), MongoJson.parseWithRepair(
@@ -510,6 +513,8 @@ object SparkEntry {
       s"SELECT * FROM $Emp WHERE experience_years > 20 ORDER BY emp_id",
     "nl_default" ->
       s"SELECT * FROM $Emp ORDER BY emp_id",
+    "nl_bignum" ->
+      s"SELECT * FROM $Emp WHERE salary < 1152921504606846976 ORDER BY emp_id",
     "nl_repair" ->
       s"SELECT * FROM $Emp WHERE regexp_matches(department, '(?i)sales') ORDER BY emp_id",
     "dedup_exact" ->

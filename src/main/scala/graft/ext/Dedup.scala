@@ -22,6 +22,13 @@ import org.apache.spark.sql.functions._
   *    equi-join per bucket, exact verification only on candidates. Raise
   *    `rowsPerBand` as n grows to keep the random-collision candidate count
   *    ~linear (P[band collision] ≈ s^r for Jaccard s).
+  *
+  * Cache lifecycle: the pair operators persist their self-join inputs
+  * (MEMORY_AND_DISK) so shingle/signature work runs once per row, not once
+  * per join side. The blocks live until the session ends or the LRU evicts
+  * them — long-lived services calling these repeatedly should
+  * `spark.catalog.clearCache()` between epochs, or wrap calls and
+  * `unpersist()` after the returned frame is fully consumed.
   */
 object Dedup {
 

@@ -137,6 +137,45 @@ object FilterPropertySpec extends Properties("graft") {
 
   // ---- NL compiler totality ----
 
+  // ---- dedup: engine vs brute-force set arithmetic ----
+
+  private val genDocs: Gen[Seq[(Long, String)]] = {
+    val vocab = Seq("a", "b", "c", "d", "e", "f")
+    val genText = Gen.chooseNum(1, 8)
+      .flatMap(k => Gen.listOfN(k, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    Gen.chooseNum(2, 7).flatMap(n =>
+      Gen.listOfN(n, genText).map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) }))
+  }
+
+  private def bruteJaccard(docs: Seq[(Long, String)], n: Int,
+                           threshold: Double): Seq[(Long, Long, Double)] = {
+    def shingleSet(t: String): Set[String] = {
+      val toks = t.split(" ", -1).toSeq
+      if (toks.length < n) Set(toks.mkString(" "))
+      else toks.sliding(n).map(_.mkString(" ")).toSet
+    }
+    val sets = docs.map { case (id, t) => id -> shingleSet(t) }
+    for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      sh = (sa intersect sb).size
+      j = math.rint(sh.toDouble / (sa.size + sb.size - sh) * 10000) / 10000
+      if j >= threshold
+    } yield (ia, ib, j)
+  }
+
+  property("jaccardPairs == brute-force set arithmetic on random docs") = {
+    Prop.forAllNoShrink(genDocs) { docs =>
+      import spark.implicits._
+      val df = docs.toDF("doc_id", "text")
+      val got = graft.ext.Dedup.jaccardPairs(df, "doc_id", "text",
+          n = 2, threshold = 0.3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(x => (x._1, x._2)).toSeq
+      val want = bruteJaccard(docs, 2, 0.3).sortBy(x => (x._1, x._2))
+      Prop(got == want).label(s"docs=$docs got=$got want=$want")
+    }
+  }
+
   private val words = Gen.listOf(Gen.oneOf(
     "salary", "earn", "age", "older", "younger", "above", "under", "over",
     "engineer", "sales", "market", "hr", "name", "experience", "more",
