@@ -25,7 +25,10 @@ object Bench {
       SparkEntry.queries.get("filter_eq").foreach(fn => fn(spark, sfDir).count(): Unit)
     } catch { case _: Throwable => () }
     // Optional comma-separated subset filter for local iteration.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach(_.diff(SparkEntry.queries.keySet).foreach(n =>
+      System.err.println(s"[bench] WARNING: unknown query '$n' in SPARK_GRAFT_ONLY")))
     val selected = only match {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None        => SparkEntry.queries

@@ -229,47 +229,23 @@ object SparkEntry {
     // Trigger.AvailableNow. Same output schema and arithmetic as the batch
     // events_hourly, so the STREAMING pipeline is certified against the
     // same DuckDB oracle.
-    "stream_hourly" -> ((s: SparkSession, dir: String) => {
-      import org.apache.spark.sql.streaming.Trigger
-      val raw = s.read.parquet(s"$dir/events.parquet")
-      // glob, not the literal file path: the file streaming source
-      // requires basePath to be a directory
-      var stream: DataFrame = s.readStream.schema(raw.schema)
-        .parquet(s"$dir/events.parque*")
-      if (stream.schema("ts").dataType ==
-          org.apache.spark.sql.types.LongType)
-        stream = stream.withColumn("ts",
-          timestamp_micros(expr("ts div 1000"))) // TIMESTAMP_NANOS as long
-      val name = "graft_stream_hourly"
-      val q = graft.streaming.EventsStream.hourlyCounts(stream)
-        .writeStream.format("memory").queryName(name)
-        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      s.table(name).orderBy("hour", "event_type")
-    }),
+    "stream_hourly" -> ((s: SparkSession, dir: String) =>
+      drainStream(s, "graft_stream_hourly", "complete",
+        graft.streaming.EventsStream.hourlyCounts(eventsStream(s, dir)))
+        .orderBy("hour", "event_type")),
     // Stateful streaming certified against SQL: gap sessionization via
     // flatMapGroupsWithState + EVENT-TIME timeouts over the same events
     // parquet. Closed sessions = every session a later event closed, plus
     // last sessions whose timeout timestamp the final watermark strictly
     // passed; the oracle replicates exactly that.
     "stream_sessions" -> ((s: SparkSession, dir: String) => {
-      import org.apache.spark.sql.streaming.Trigger
       import s.implicits._
-      val raw = s.read.parquet(s"$dir/events.parquet")
-      var stream: DataFrame = s.readStream.schema(raw.schema)
-        .parquet(s"$dir/events.parque*")
-      if (stream.schema("ts").dataType ==
-          org.apache.spark.sql.types.LongType)
-        stream = stream.withColumn("ts",
-          timestamp_micros(expr("ts div 1000")))
-      val evts = stream.select(col("user_id"), col("ts"), col("value"))
+      val evts = eventsStream(s, dir)
+        .select(col("user_id"), col("ts"), col("value"))
         .as[graft.streaming.EventsStream.Evt]
-      val name = "graft_stream_sessions"
-      val q = graft.streaming.EventsStream.sessionize(evts)
-        .writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      s.table(name).orderBy("user_id", "start_ms")
+      drainStream(s, "graft_stream_sessions", "append",
+        graft.streaming.EventsStream.sessionize(evts).toDF())
+        .orderBy("user_id", "start_ms")
     }),
     "join_enrich" -> ((s: SparkSession, dir: String) =>
       Events.enrichCustomer(Tables.customer(s, dir), Tables.nation(s, dir),
@@ -278,12 +254,47 @@ object SparkEntry {
     "join_revenue" -> ((s: SparkSession, dir: String) =>
       Events.revenueBySegment(Tables.orders(s, dir), Tables.customer(s, dir))
         .orderBy("c_mktsegment")),
+    // the same aggregate through the SALTED shuffle join (Skew.saltedJoin):
+    // salting splits hot keys across reducers without changing matches —
+    // certified here by hash-matching the identical oracle as join_revenue
+    "join_salted" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Skew.saltedJoin(
+          Tables.orders(s, dir),
+          Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment")),
+          "o_custkey", "c_custkey", "o_orderkey", buckets = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("revenue"))
+        .orderBy("c_mktsegment")),
     // ----- §2.10 multimodal plumbing (stub decode, real Spark shape) -----
     "mm_features" -> ((s: SparkSession, dir: String) =>
       Multimodal.features(
           Multimodal.fromDocuments(s, Tables.documents(s, dir)))
         .toDF().orderBy("id")),
   )
+
+  /** Streaming read of the events table: glob (not the literal file path —
+    * the file source requires basePath to be a directory), schema from a
+    * batch probe, TIMESTAMP_NANOS-as-long converted like Tables.events. */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val stream = s.readStream.schema(raw.schema).parquet(s"$dir/events.parque*")
+    if (stream.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else stream
+  }
+
+  /** Run a streaming frame to a memory sink with Trigger.AvailableNow and
+    * return the drained table. */
+  private def drainStream(s: SparkSession, name: String, mode: String,
+                          frame: DataFrame): DataFrame = {
+    val q = frame.writeStream.format("memory").queryName(name)
+      .outputMode(mode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name)
+  }
 
   /** Deterministic query vector for the similarity entries: the embedding of
     * vec_id 0, collected once (one row — metadata-sized, not a data scan). */
@@ -322,8 +333,14 @@ object SparkEntry {
        |  FROM tok WHERE t <> ''
        |), sums AS (
        |  SELECT doc_id, count(*) AS n, $ones FROM h GROUP BY doc_id
-       |), sig AS (
+       |), sigc AS (
        |  SELECT doc_id, $bits AS sig FROM sums
+       |), sig AS (
+       |  -- docs with no non-empty tokens get signature 0, like the engine
+       |  -- (empty hash array -> all-zero majority)
+       |  SELECT d.doc_id, COALESCE(s.sig, 0) AS sig
+       |  FROM (SELECT DISTINCT doc_id FROM documents) d
+       |  LEFT JOIN sigc s USING (doc_id)
        |)
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
@@ -653,6 +670,12 @@ object SparkEntry {
          |JOIN region ON n_regionkey = r_regionkey
          |ORDER BY c_custkey""".stripMargin),
     "join_revenue" ->
+      ("""SELECT c_mktsegment, count(*) AS n_orders,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+    // salted join must produce byte-identical results to the plain join
+    "join_salted" ->
       ("""SELECT c_mktsegment, count(*) AS n_orders,
          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
          |FROM orders JOIN customer ON o_custkey = c_custkey

@@ -60,17 +60,33 @@ final class QueryService(spark: SparkSession, catalog: Catalog) {
       val genSec = secs(genStart)
 
       // Stage 2: DB phase gets the remainder − 1 s buffer, floor 2 s
-      // (app_server.py:229-232)
+      // (app_server.py:229-232). The phase runs under a job tag so a
+      // timeout CANCELS the underlying Spark jobs — without this, every
+      // timed-out request would leave a zombie scan/collect burning
+      // executors (the client got its 408; nothing would ever reap the
+      // work).
       val remaining = math.max(req.timeoutSec - genSec - 1.0, 2.0)
       val df = catalog.resolve(req.db, req.collection)
+      val sc = spark.sparkContext
+      val tag = s"graft-query-${java.util.UUID.randomUUID()}"
+      val cancelled = new java.util.concurrent.atomic.AtomicBoolean(false)
       val dbStart = System.nanoTime()
       val result =
         try Await.result(
-          Future(Executor.exec(df, spec, req.limit, generationSec = genSec)),
+          Future {
+            sc.addJobTag(tag)
+            try {
+              if (cancelled.get()) throw new DbTimeout("cancelled before start")
+              Executor.exec(df, spec, req.limit, generationSec = genSec)
+            } finally sc.removeJobTag(tag)
+          },
           remaining.seconds)
         catch {
-          case _: TimeoutException => throw new DbTimeout(
-            f"Database query timed out after $remaining%.1f seconds")
+          case _: TimeoutException =>
+            cancelled.set(true)
+            sc.cancelJobsWithTag(tag)
+            throw new DbTimeout(
+              f"Database query timed out after $remaining%.1f seconds")
         }
       val dbSec = secs(dbStart)
 

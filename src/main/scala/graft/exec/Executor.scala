@@ -73,11 +73,12 @@ object Executor {
     *
     * Cancellation is job-TAG based (`cancelJobsWithTag`), not job-group:
     * a `cancelled` flag is checked on the submitting thread after the tag
-    * is attached, so the pre-submission race (timeout fires before the
-    * worker thread even registers the group → orphaned count job burning
-    * cluster resources) closes to a few instructions: either the worker
-    * sees the flag and never submits, or the job carries the tag and the
-    * cancel reaps it. */
+    * is attached — either the worker sees the flag and never submits, or
+    * the job carries the tag and the cancel reaps it. One narrow window
+    * remains (flag read false → timeout cancels nothing → job submits), so
+    * the timeout path issues a SECOND delayed cancel that lands after any
+    * such straggler has registered; a job that slips past both would have
+    * had to spend >200 ms between the flag check and submission. */
   def countWithTimeout(df: DataFrame, timeoutMs: Long,
                        fallback: => Long): (Long, Boolean) = {
     val sc = df.sparkSession.sparkContext
@@ -96,6 +97,10 @@ object Executor {
       case _: TimeoutException =>
         cancelled.set(true)
         sc.cancelJobsWithTag(tag)
+        Future { // reap a submit that raced past the first cancel
+          Thread.sleep(200)
+          if (!fut.isCompleted) sc.cancelJobsWithTag(tag)
+        }: Unit
         (fallback, true)
     }
   }

@@ -22,12 +22,32 @@ object VectorOps {
   /** Dot product; each side read as float or double per its array type and
     * widened to double BEFORE multiplying (float multiply then widen would
     * be a different value). Length mismatch → NaN would hide bugs; the
-    * expression layer returns null instead via [[ArrayDot.nullSafeEval]]. */
+    * expression layer returns null instead via [[ArrayDot.nullSafeEval]].
+    * Only safe when neither input array can contain null elements. */
   def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
     val n = a.numElements()
     var s = 0.0
     var i = 0
     while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      s += x * y
+      i += 1
+    }
+    s
+  }
+
+  /** Null-element-tolerant variant for `containsNull` array types: any null
+    * element nulls the whole product — the same propagation as the
+    * `zip_with` + `aggregate` formulation this expression replaced (an
+    * unchecked read would silently treat null slots as 0.0). */
+  def dotNullable(a: ArrayData, b: ArrayData,
+                  aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
       s += x * y
@@ -76,23 +96,48 @@ case class ArrayDot(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
+  private def elemsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _                          => false
+  })
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     if (x.numElements() != y.numElements()) null
+    else if (elemsNullable)
+      VectorOps.dotNullable(x, y, elemIsFloat(left), elemIsFloat(right))
     else VectorOps.dot(x, y, elemIsFloat(left), elemIsFloat(right))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val lf = elemIsFloat(left).toString
     val rf = elemIsFloat(right).toString
-    nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      |if ($a.numElements() != $b.numElements()) {
-      |  ${ev.isNull} = true;
-      |} else {
-      |  ${ev.value} = graft.functions.VectorOps.dot($a, $b, $lf, $rf);
-      |}
-    """.stripMargin)
+    if (!elemsNullable)
+      nullSafeCodeGen(ctx, ev, (a, b) => s"""
+        |if ($a.numElements() != $b.numElements()) {
+        |  ${ev.isNull} = true;
+        |} else {
+        |  ${ev.value} = graft.functions.VectorOps.dot($a, $b, $lf, $rf);
+        |}
+      """.stripMargin)
+    else {
+      val tmp = ctx.freshName("graftDot") // unique per instance: several
+      // ArrayDots can share one codegen scope and locals must not collide
+      nullSafeCodeGen(ctx, ev, (a, b) => s"""
+        |if ($a.numElements() != $b.numElements()) {
+        |  ${ev.isNull} = true;
+        |} else {
+        |  java.lang.Double $tmp =
+        |    graft.functions.VectorOps.dotNullable($a, $b, $lf, $rf);
+        |  if ($tmp == null) {
+        |    ${ev.isNull} = true;
+        |  } else {
+        |    ${ev.value} = $tmp.doubleValue();
+        |  }
+        |}
+      """.stripMargin)
+    }
   }
 
   override protected def withNewChildrenInternal(

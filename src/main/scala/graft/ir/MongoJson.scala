@@ -155,7 +155,12 @@ object MongoJson {
     if (v.isNull) null
     else if (v.isTextual) v.asText
     else if (v.isBoolean) v.asBoolean
-    else if (v.isNumber) v.asDouble // JSON numbers are doubles (§1.2)
+    // integral literals stay arbitrary-precision (Python int semantics —
+    // FilterCompiler.narrowBigInt narrows exactly or errors; collapsing to
+    // Double here would silently round 2^53+1 on the JSON entry point, the
+    // exact divergence the NL path refuses)
+    else if (v.isIntegralNumber) BigInt(v.bigIntegerValue)
+    else if (v.isNumber) v.asDouble // non-integral JSON numbers are doubles
     else
       throw new UnsupportedQueryException(
         s"unsupported literal ${v.getNodeType}: $v")
@@ -199,6 +204,7 @@ object MongoJson {
       vs.foreach {
         case s: String => arr.add(s)
         case d: Double => addNum(arr, d)
+        case bi: BigInt => arr.add(bi.bigInteger): Unit
         case b: Boolean => arr.add(b)
         case null => arr.addNull()
         case other => arr.add(other.toString)

@@ -19,24 +19,36 @@ import scala.jdk.CollectionConverters._
 object ParquetMeta {
 
   /** Exact row count from parquet footers. `path` may be a single file or
-    * a directory (recursed one level, the standard layout). */
+    * a directory tree (fully recursed — Hive-partitioned layouts like
+    * `root/dt=.../part-*.parquet` count correctly). */
   def footerCount(spark: SparkSession, path: String): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     val files: Seq[String] =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).toSeq
-          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-          .map(_.getPath.toString)
-      else Seq(path)
+      if (fs.getFileStatus(p).isDirectory) {
+        val it = fs.listFiles(p, /* recursive = */ true)
+        val out = Seq.newBuilder[String]
+        while (it.hasNext) {
+          val s = it.next()
+          if (s.isFile && s.getPath.getName.endsWith(".parquet"))
+            out += s.getPath.toString
+        }
+        out.result()
+      } else Seq(path)
     if (files.isEmpty) return 0L
-    // footer reads run on executors; the Hadoop conf is rebuilt there
-    // (default construction resolves local/HDFS URIs embedded in the paths)
+    // The driver's Hadoop conf carries filesystem credentials/impls
+    // (spark.hadoop.* — s3a keys, custom nameservices); ship the entries to
+    // the executors rather than rebuilding a default Configuration there,
+    // which would break on any non-default filesystem.
+    val confEntries: Array[(String, String)] =
+      conf.iterator().asScala.map(e => e.getKey -> e.getValue).toArray
+    val bc = spark.sparkContext.broadcast(confEntries)
     spark.sparkContext
       .parallelize(files, math.min(files.size, spark.sparkContext.defaultParallelism))
       .map { f =>
-        val c = new Configuration()
+        val c = new Configuration(false)
+        bc.value.foreach { case (k, v) => c.set(k, v) }
         val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(f), c))
         try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum

@@ -11,29 +11,33 @@ class MongoJsonSpec extends AnyFunSuite {
     val spec = MongoJson.parse(
       """{"filter": {"a": 1, "b": {"$gt": 2, "$lte": 5}},
         | "projection": {"a": 1, "b": 1}}""".stripMargin)
+    // integral JSON literals stay arbitrary-precision (BigInt) so the
+    // typed-literal layer can narrow them exactly; only non-integral
+    // numbers become doubles
     assert(spec.filter == FilterExpr.And(Seq(
-      FilterExpr.Eq("a", 1.0),
-      FilterExpr.And(Seq(FilterExpr.Gt("b", 2.0), FilterExpr.Lte("b", 5.0))))))
+      FilterExpr.Eq("a", BigInt(1)),
+      FilterExpr.And(Seq(
+        FilterExpr.Gt("b", BigInt(2)), FilterExpr.Lte("b", BigInt(5)))))))
     assert(spec.projection == Seq("a", "b"))
   }
 
   test("repair stage 0: code fences stripped") {
     val spec = MongoJson.parseWithRepair(
       "```json\n{\"filter\": {\"x\": 1}, \"projection\": {}}\n```")
-    assert(spec.filter == FilterExpr.Eq("x", 1.0))
+    assert(spec.filter == FilterExpr.Eq("x", BigInt(1)))
   }
 
   test("repair stage 2: single quotes and bare keys fixed") {
     val spec = MongoJson.parseWithRepair("{'filter': {'x': {'$lt': 3}}}")
-    assert(spec.filter == FilterExpr.Lt("x", 3.0))
+    assert(spec.filter == FilterExpr.Lt("x", BigInt(3)))
     val bare = MongoJson.parseWithRepair("""{filter: {x: 1}}""")
-    assert(bare.filter == FilterExpr.Eq("x", 1.0))
+    assert(bare.filter == FilterExpr.Eq("x", BigInt(1)))
   }
 
   test("repair stage 3: first {...} blob extracted from prose") {
     val spec = MongoJson.parseWithRepair(
       "Sure! Here is your query: {\"filter\": {\"x\": 9}, \"projection\": {}} hope it helps")
-    assert(spec.filter == FilterExpr.Eq("x", 9.0))
+    assert(spec.filter == FilterExpr.Eq("x", BigInt(9)))
   }
 
   test("total failure degrades to the empty spec (No_Sql.py:304-314)") {
@@ -56,8 +60,8 @@ class MongoJsonSpec extends AnyFunSuite {
   }
 
   test("$in needs an array; parses with mixed scalars and null") {
-    val s = MongoJson.parse("""{"filter": {"x": {"$in": [1, "a", null]}}}""")
-    assert(s.filter == FilterExpr.In("x", Seq(1.0, "a", null)))
+    val s = MongoJson.parse("""{"filter": {"x": {"$in": [1, 2.5, "a", null]}}}""")
+    assert(s.filter == FilterExpr.In("x", Seq(BigInt(1), 2.5, "a", null)))
     intercept[UnsupportedQueryException] {
       MongoJson.parse("""{"filter": {"x": {"$in": 5}}}""")
     }
@@ -79,6 +83,15 @@ class MongoJsonSpec extends AnyFunSuite {
     intercept[UnsupportedQueryException] {
       MongoJson.parse("""{"projection": {"x": 0}}""") // exclude-projection
     }
+  }
+
+  test("huge integral literals survive the JSON path without rounding") {
+    val spec = MongoJson.parse(
+      """{"filter": {"k": {"$lt": 9007199254740993}}}""")
+    assert(spec.filter == FilterExpr.Lt("k", BigInt("9007199254740993")))
+    // and round-trip through the envelope serializer intact
+    assert(MongoJson.toJson(spec) ==
+      """{"filter":{"k":{"$lt":9007199254740993}},"projection":{}}""")
   }
 
   test("toJson round-trips the envelope shapes, including BigInt") {
