@@ -272,6 +272,13 @@ object SparkEntry {
       Multimodal.features(
           Multimodal.fromDocuments(s, Tables.documents(s, dir)))
         .toDF().orderBy("id")),
+    // frame sampling: fixed 64-byte "frames", every 4th kept — the video
+    // sampling shape with a byte-arithmetic stub for the decoder
+    "mm_frames" -> ((s: SparkSession, dir: String) =>
+      Multimodal.frameSample(
+          Multimodal.fromDocuments(s, Tables.documents(s, dir)),
+          frameBytes = 64, step = 4)
+        .toDF().orderBy("id", "frame_idx")),
   )
 
   /** Streaming read of the events table: glob (not the literal file path —
@@ -680,6 +687,19 @@ object SparkEntry {
          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
          |FROM orders JOIN customer ON o_custkey = c_custkey
          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+    "mm_frames" ->
+      // documents.text is pure ASCII on this corpus (proven by mm_features'
+      // byte_sum oracle matching), so substr/ascii arithmetic equals the
+      // engine's byte arithmetic
+      ("""WITH f AS (
+         |  SELECT doc_id, text,
+         |    unnest([i for i in range(0, CAST(ceil(length(text) / 64.0) AS INT), 4)]) AS frame_idx
+         |  FROM documents
+         |)
+         |SELECT doc_id AS id, CAST(frame_idx AS BIGINT) AS frame_idx,
+         |  CAST(length(substr(text, frame_idx * 64 + 1, 64)) AS BIGINT) AS n_bytes,
+         |  CAST(list_sum([CAST(ascii(c) AS BIGINT) for c in string_split(substr(text, frame_idx * 64 + 1, 64), '')]) AS BIGINT) AS byte_sum
+         |FROM f ORDER BY id, frame_idx""".stripMargin),
     "mm_features" ->
       ("""SELECT doc_id AS id, 'text' AS kind,
          |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,

@@ -62,4 +62,34 @@ object Multimodal {
   def meta(documents: DataFrame): DataFrame =
     documents.select(col("doc_id"),
       octet_length(col("text")).cast("long").as("n_bytes"))
+
+  final case class Frame(id: Long, frame_idx: Long, n_bytes: Long,
+                         byte_sum: Long)
+
+  /** Frame sampling over an opaque media payload: the byte stream is cut
+    * into fixed `frameBytes` chunks ("frames" — a real decoder would emit
+    * decoded frames here) and every `step`-th frame is kept. The classic
+    * video-pipeline shape: per-partition batch transform, one output row
+    * per sampled frame, no shuffle — sampling density scales the work
+    * linearly and each 100 TB split samples independently.
+    *
+    * The per-frame feature is the STUB (byte count + byte sum standing in
+    * for a decode+embed); the flatMap plumbing — chunking, stride, typed
+    * output rows — is the part a real codec drops into. */
+  def frameSample(media: Dataset[Media], frameBytes: Int = 64,
+                  step: Int = 4): Dataset[Frame] = {
+    require(frameBytes > 0 && step > 0)
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      val nFrames = (m.bytes.length + frameBytes - 1) / frameBytes
+      (0 until nFrames by step).iterator.map { i =>
+        val from = i * frameBytes
+        val until = math.min(from + frameBytes, m.bytes.length)
+        var sum = 0L
+        var j = from
+        while (j < until) { sum += m.bytes(j) & 0xff; j += 1 }
+        Frame(m.id, i.toLong, (until - from).toLong, sum)
+      }
+    }
+  }
 }

@@ -29,6 +29,18 @@ class SanitizerSinksSpec extends SparkSpec {
     assert(r.getLong(0) == 1L && r.getString(1) == "x")
   }
 
+  test("frameSample: chunking, stride, and byte features") {
+    import spark.implicits._
+    val bytes = Array.tabulate[Byte](130)(i => (i % 7).toByte) // 3 chunks of 64
+    val media = Seq(graft.ext.Multimodal.Media(1L, "video", bytes)).toDS()
+    val frames = graft.ext.Multimodal.frameSample(media, frameBytes = 64, step = 2)
+      .collect().sortBy(_.frame_idx)
+    // chunks 0,1,2 exist; stride 2 keeps 0 and 2; chunk 2 has 130-128=2 bytes
+    assert(frames.map(f => (f.frame_idx, f.n_bytes)).toSeq == Seq((0L, 64L), (2L, 2L)))
+    assert(frames(0).byte_sum == (0 until 64).map(_ % 7).sum)
+    assert(frames(1).byte_sum == (128 until 130).map(_ % 7).sum)
+  }
+
   test("jsonRows: sanitized toJSON envelope rows") {
     import spark.implicits._
     val df = Seq((1L, "a")).toDF("id", "name")
