@@ -33,14 +33,23 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None        => SparkEntry.queries
     }
-    val results = selected.map { case (name, fn) =>
+    // Fixed lexicographic execution order: Map iteration order moved ~1s of
+    // residual JIT/codegen absorption between small queries from run to run
+    // (BENCH_r03's apparent filter_in/count_all regressions), hiding real
+    // deltas. Sorted order makes per-query numbers comparable across rounds.
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // release tracked cache blocks OUTSIDE the timed window: leaked
+      // blocks from earlier dedup queries evicted live ones and inflated
+      // late queries ~4x in BENCH_r03 (dedup_minhash 13.5s vs 3.0s isolated)
+      graft.ext.Dedup.unpersistAll()
+      name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -153,9 +153,12 @@ object SparkEntry {
     "dedup_fingerprint" -> ((s: SparkSession, dir: String) =>
       Dedup.byFingerprint(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
+    // skew guard ON: the uncut exact operator measures the implied
+    // candidate-pair count before launching the quadratic join and fails
+    // loudly over budget (the df-cut dual below is the silent-safe variant)
     "dedup_jaccard" -> ((s: SparkSession, dir: String) =>
       Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
-          n = 3, threshold = 0.5)
+          n = 3, threshold = 0.5, maxCandidatePairs = 50000000L)
         .orderBy("id_a", "id_b")),
     "dedup_minhash" -> ((s: SparkSession, dir: String) =>
       Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
@@ -183,6 +186,8 @@ object SparkEntry {
           queryVec(emb), k = 3)
         .orderBy("label", "rn")
     }),
+    // hard 50k-row input cap (loud failure above it): this is the bounded
+    // verification baseline — sim_lsh below is the unbounded-scale path
     "sim_neardup" -> ((s: SparkSession, dir: String) =>
       Similarity.nearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
           threshold = 0.4)

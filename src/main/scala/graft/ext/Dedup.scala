@@ -25,12 +25,37 @@ import org.apache.spark.sql.functions._
   *
   * Cache lifecycle: the pair operators persist their self-join inputs
   * (MEMORY_AND_DISK) so shingle/signature work runs once per row, not once
-  * per join side. The blocks live until the session ends or the LRU evicts
-  * them — long-lived services calling these repeatedly should
-  * `spark.catalog.clearCache()` between epochs, or wrap calls and
-  * `unpersist()` after the returned frame is fully consumed.
+  * per join side. Every persist is tracked; callers MUST invoke
+  * [[Dedup.unpersistAll]] once the returned frame has been fully consumed
+  * (counted / collected / written) — without it each call leaks cache
+  * blocks into the LRU and a long benchmark run ends up evicting and
+  * recomputing hot data (observed as a 4x slowdown of late queries in
+  * BENCH_r03 plus "Asked to cache already cached data" warnings).
   */
 object Dedup {
+
+  /** Cache blocks created by the pair operators, drained by
+    * [[unpersistAll]]. A queue (not a set) — repeated calls each add their
+    * own blocks and each deserves its own release. */
+  private val tracked =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  private def persistTracked(df: DataFrame): DataFrame = {
+    val p = df.persist()
+    tracked.add(p)
+    p
+  }
+
+  /** Release every cache block the pair operators have created since the
+    * last call. Safe to call while other frames are still lazy — Spark
+    * just recomputes; correctness never depends on the cache. */
+  def unpersistAll(blocking: Boolean = false): Unit = {
+    var df = tracked.poll()
+    while (df != null) {
+      df.unpersist(blocking)
+      df = tracked.poll()
+    }
+  }
 
   /** Whitespace tokenization (documents.text is space-separated). */
   def tokens(text: Column): Column = split(text, " ")
@@ -77,10 +102,23 @@ object Dedup {
     *                     recomputed post-prune so numerator and denominator
     *                     agree (pruning shingles from only the numerator
     *                     would systematically underestimate similarity).
+    * @param maxCandidatePairs skew guard for the UNcut exact operator: when
+    *                     > 0, the implied candidate-pair count
+    *                     Σ_gram df·(df−1)/2 is measured (one map-side-combined
+    *                     aggregation over the already-persisted exploded
+    *                     frame) BEFORE the quadratic join is launched, and a
+    *                     loud IllegalStateException names the hottest
+    *                     shingle's document frequency if the budget is
+    *                     blown. Fail-fast beats a job that quietly melts a
+    *                     cluster: exact Jaccard with no df-cut is quadratic
+    *                     in the hottest shingle's frequency, which on a
+    *                     stop-phrase-heavy corpus at 100 TB is the whole
+    *                     table.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.5,
-                   maxShingleDf: Long = 0L): DataFrame = {
+                   maxShingleDf: Long = 0L,
+                   maxCandidatePairs: Long = 0L): DataFrame = {
     // Shingles ride as 64-bit hashes end to end (codegen'd single-pass
     // kernel): the self-join shuffles each exploded row twice, and 8-byte
     // longs vs ~20-byte strings is the difference in shuffle bytes; a
@@ -90,9 +128,25 @@ object Dedup {
       col(idCol).cast("long").as("id"),
       shingle_hashes(col(textCol), n).as("grams"))
       .withColumn("sz", size(col("grams")).cast("long"))
-    val exploded = grams.select(col("id"), col("sz"),
-      explode(col("grams")).as("gram"))
-      .persist()
+    val exploded = persistTracked(grams.select(col("id"), col("sz"),
+      explode(col("grams")).as("gram")))
+    if (maxShingleDf <= 0 && maxCandidatePairs > 0) {
+      val bound = exploded.groupBy("gram")
+        .agg(count(lit(1)).as("c"))
+        .agg(sum((col("c") * (col("c") - 1) / 2).cast("decimal(38,0)"))
+          .as("pairs"),
+          max(col("c")).as("hottest"))
+        .head()
+      val pairs = Option(bound.getDecimal(0)).map(BigDecimal(_))
+        .getOrElse(BigDecimal(0))
+      if (pairs > maxCandidatePairs)
+        throw new IllegalStateException(
+          s"jaccardPairs candidate-pair budget blown: shared-shingle " +
+            s"blocking implies $pairs candidate pairs (> $maxCandidatePairs); " +
+            s"hottest shingle appears in ${bound.getLong(1)} documents. " +
+            "Set maxShingleDf to prune hot shingles (df-cut) or use " +
+            "minhashLshPairs, the scale path.")
+    }
     val pruned =
       if (maxShingleDf <= 0) exploded
       else {
@@ -177,10 +231,9 @@ object Dedup {
     val numHashes = bands * rowsPerBand
     // gram sets are read three times (signatures + both verify sides) —
     // persist so the shingle kernel runs once per row, not three times
-    val grams = df.select(
+    val grams = persistTracked(df.select(
       col(idCol).cast("long").as("id"),
-      shingle_hashes(col(textCol), n).as("grams"))
-      .persist()
+      shingle_hashes(col(textCol), n).as("grams")))
     // row-local sketch (no shuffle), then one band-key row per band
     val sigs = grams.select(col("id"),
       minhash_signature(col("grams"), minhashCoeffs(numHashes)).as("sig"))
@@ -198,12 +251,20 @@ object Dedup {
       .distinct()
     val ga = grams.select(col("id").as("id_a"), col("grams").as("grams_a"))
     val gb = grams.select(col("id").as("id_b"), col("grams").as("grams_b"))
+    // Size-ratio prune before the exact intersect: J = |∩|/|∪| can never
+    // exceed min(|A|,|B|)/max(|A|,|B|), so candidates whose set sizes are
+    // too lopsided are discarded without touching the arrays' contents.
+    // The 5e-5 slack keeps the prune lossless under the round(·, 4)
+    // threshold comparison (round(j,4) ≥ t admits true j ≥ t − 5e-5).
     val verified = candidates.join(ga, "id_a").join(gb, "id_b")
+      .withColumn("sz_a", size(col("grams_a")).cast("long"))
+      .withColumn("sz_b", size(col("grams_b")).cast("long"))
+      .filter(least(col("sz_a"), col("sz_b")) >=
+        lit(threshold - 0.00005) * greatest(col("sz_a"), col("sz_b")))
       .withColumn("shared",
         size(array_intersect(col("grams_a"), col("grams_b"))).cast("long"))
       .withColumn("jaccard", round(
-        col("shared") /
-          (size(col("grams_a")) + size(col("grams_b")) - col("shared")), 4))
+        col("shared") / (col("sz_a") + col("sz_b") - col("shared")), 4))
     verified.filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -268,13 +329,12 @@ object Dedup {
     val sigs = simhash(df, idCol, textCol)
     // persisted: both self-join sides read it (without this the whole
     // signature computation runs twice)
-    val banded = sigs.select(col("id"), col("simhash"),
+    val banded = persistTracked(sigs.select(col("id"), col("simhash"),
       posexplode(array((0 until bands).map { bIdx =>
         val width = base + (if (bIdx < extra) 1 else 0)
         shiftrightunsigned(col("simhash"), starts(bIdx))
           .bitwiseAND(lit((1L << width) - 1L))
-      }: _*)).as(Seq("band", "key")))
-      .persist()
+      }: _*)).as(Seq("band", "key"))))
     val l = banded.alias("l")
     val r = banded.alias("r")
     // hamming filter BEFORE distinct: bit_count(xor) is a codegen'd two

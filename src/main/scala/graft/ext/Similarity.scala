@@ -62,14 +62,32 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
-  /** Exact cosine near-dup pairs (all-pairs — O(n²), for bounded subsets or
-    * verification; the scale path is [[lshCosinePairs]]).
+  /** Exact cosine near-dup pairs (all-pairs — O(n²), a VERIFICATION
+    * baseline for bounded subsets; the scale path is [[lshCosinePairs]]).
+    *
+    * `maxRows` is a hard input cap (default 50k ≈ 1.25e9 pairs, the edge of
+    * single-job sanity): all-pairs cosine at 100× the rows is 10,000× the
+    * pairs, so an unbounded call is never what a production pipeline wants —
+    * it fails loudly with the row count and the scale alternative instead
+    * of quietly planning a broadcast-NL join over the full table. Pass
+    * `maxRows = 0` only from tests that knowingly bound the input
+    * themselves. The cap costs one `count()` — with aggregate pushdown on
+    * an unfiltered parquet scan that is a footer read, not a data scan.
     *
     * Norms are computed ONCE per row before the pair join: per pair the work
     * is one codegen'd dot + one divide, and the vectors shuffle as raw
     * floats (half the bytes of a pre-cast double array). */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                   threshold: Double): DataFrame = {
+                   threshold: Double, maxRows: Long = 50000L): DataFrame = {
+    if (maxRows > 0) {
+      val n = df.count()
+      if (n > maxRows)
+        throw new IllegalStateException(
+          s"nearDupPairs input has $n rows (> cap $maxRows): all-pairs " +
+            s"cosine is O(n²) — ${n * n / 2} pairs. Use lshCosinePairs " +
+            "(bucketed, near-linear) for unbounded inputs, or raise the " +
+            "cap explicitly for a bounded verification subset.")
+    }
     val v = df.select(col(idCol).cast("long").as("id"),
       col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
     val a = v.alias("a")

@@ -100,6 +100,32 @@ class DedupSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("candidate-pair budget: loud failure over budget, exact results under it") {
+    // fixture implies a handful of candidate pairs — budget 1 must blow
+    val e = intercept[IllegalStateException] {
+      Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.3,
+        maxCandidatePairs = 1L).count()
+    }
+    assert(e.getMessage.contains("candidate-pair budget"))
+    assert(e.getMessage.contains("maxShingleDf"))
+    // a generous budget changes nothing about the result
+    val guarded = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3,
+      threshold = 0.3, maxCandidatePairs = 1000000L)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(guarded == Seq(
+      (1L, 2L, 0.3333), (1L, 3L, 1.0), (2L, 3L, 0.3333), (5L, 6L, 1.0)))
+  }
+
+  test("unpersistAll releases every tracked cache block") {
+    Dedup.minhashLshPairs(docs, "doc_id", "text", n = 3,
+      bands = 16, rowsPerBand = 2, threshold = 0.3).count(): Unit
+    Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 0).count(): Unit
+    assert(!spark.sparkContext.getPersistentRDDs.isEmpty)
+    Dedup.unpersistAll(blocking = true)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("df-cut prunes hot shingles and recomputes sizes consistently") {
     // "a b c" appears in docs 1,2,3 (df=3); cut at df>2 removes it.
     // Doc1 {b c d}, doc2 {b c e}, doc3 {b c d}: J(1,3)=1 over retained sets.

@@ -67,6 +67,18 @@ class SimilaritySpec extends SparkSpec {
     assert(out == Seq((0L, 1L, 1.0)))
   }
 
+  test("nearDupPairs: input cap fails loudly, pointing at the scale path") {
+    val e = intercept[IllegalStateException] {
+      Similarity.nearDupPairs(vecs, "vec_id", "embedding", 0.99, maxRows = 2L)
+    }
+    assert(e.getMessage.contains("lshCosinePairs"))
+    // cap disabled -> same result as default
+    val out = Similarity.nearDupPairs(vecs, "vec_id", "embedding", 0.99,
+        maxRows = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(out == Seq((0L, 1L, 1.0)))
+  }
+
   test("lshCosinePairs finds the same high-sim pairs as brute force here") {
     val exact = Similarity.nearDupPairs(vecs, "vec_id", "embedding", 0.99)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
