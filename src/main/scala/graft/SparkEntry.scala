@@ -272,6 +272,28 @@ object SparkEntry {
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
             .as("revenue"))
         .orderBy("c_mktsegment")),
+    // the same aggregate through the BUCKETED co-located join: both sides
+    // are written bucketed+sorted by the join key (the one-time layout
+    // cost), then the equi-join reads the buckets directly — NO shuffle on
+    // either side at any scale (plan-asserted in BucketingSpec); certified
+    // by hash-matching the identical oracle as join_revenue
+    "join_bucketed" -> ((s: SparkSession, dir: String) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-join-bkt")
+        .toString
+      graft.sources.Bucketing.writeBucketed(
+        Tables.orders(s, dir).select(col("o_custkey"), col("o_totalprice")),
+        "graft_bkt_orders", s"$tmp/orders", "o_custkey", buckets = 8)
+      graft.sources.Bucketing.writeBucketed(
+        Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment")),
+        "graft_bkt_customer", s"$tmp/customer", "c_custkey", buckets = 8)
+      graft.sources.Bucketing.colocatedJoin(s,
+          "graft_bkt_orders", "graft_bkt_customer", "o_custkey", "c_custkey")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("revenue"))
+        .orderBy("c_mktsegment")
+    }),
     // ----- §2.10 multimodal plumbing (stub decode, real Spark shape) -----
     "mm_features" -> ((s: SparkSession, dir: String) =>
       Multimodal.features(
@@ -297,15 +319,34 @@ object SparkEntry {
     else stream
   }
 
-  /** Run a streaming frame to a memory sink with Trigger.AvailableNow and
-    * return the drained table. */
+  /** Drain a streaming frame through a DISTRIBUTED file sink with
+    * Trigger.AvailableNow and read the result back as parquet — no row ever
+    * passes through the driver (the r3 memory-sink drain collected the whole
+    * stream driver-side; fine for a 10k-row gate, wrong as the only
+    * certified end-to-end streaming path).
+    *
+    * Append-mode frames use the parquet file sink directly. Complete-mode
+    * aggregates can't (the file sink is append-only), so they drain via
+    * `foreachBatch` overwriting the output with each batch's full aggregate
+    * state — each write is a distributed `DataFrame.write`, and the last
+    * batch leaves exactly the final aggregate on disk. */
   private def drainStream(s: SparkSession, name: String, mode: String,
                           frame: DataFrame): DataFrame = {
-    val q = frame.writeStream.format("memory").queryName(name)
+    val base = java.nio.file.Files.createTempDirectory(s"graft-$name-")
+    val out = s"$base/out"
+    val writer = frame.writeStream
+      .option("checkpointLocation", s"$base/ckpt")
       .outputMode(mode)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    val q = mode match {
+      case "append" => writer.format("parquet").option("path", out).start()
+      case _ => writer.foreachBatch {
+          (batch: DataFrame, _: Long) =>
+            batch.write.mode("overwrite").parquet(out)
+        }.start()
+    }
     q.awaitTermination()
-    s.table(name)
+    s.read.schema(frame.schema).parquet(out)
   }
 
   /** Deterministic query vector for the similarity entries: the embedding of
@@ -682,6 +723,12 @@ object SparkEntry {
          |JOIN region ON n_regionkey = r_regionkey
          |ORDER BY c_custkey""".stripMargin),
     "join_revenue" ->
+      ("""SELECT c_mktsegment, count(*) AS n_orders,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+    // bucketed co-located join must produce byte-identical results too
+    "join_bucketed" ->
       ("""SELECT c_mktsegment, count(*) AS n_orders,
          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
          |FROM orders JOIN customer ON o_custkey = c_custkey

@@ -44,4 +44,26 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS bkt_customer")
     }
   }
+
+  test("declared join_bucketed: the only Exchange is the final aggregation") {
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("join_bucketed")(spark, "/root/testdata/sf0.001")
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(2000))
+      assert(plan.contains("Bucketed: true"), plan.take(2000))
+      // the JOIN reads both bucketed layouts with no shuffle on either
+      // side: the only Exchanges are the groupBy re-key and the output
+      // sort, never a re-partition on the join keys or a broadcast
+      assert(!plan.contains("Exchange hashpartitioning(o_custkey"), plan.take(2000))
+      assert(!plan.contains("Exchange hashpartitioning(c_custkey"), plan.take(2000))
+      assert(!plan.contains("BroadcastExchange"), plan.take(2000))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_orders")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_customer")
+    }
+  }
 }
