@@ -205,6 +205,17 @@ object SparkEntry {
       Similarity.ivfTopK(emb, "vec_id", "embedding", "label",
         queryVec(emb), k = 5, nprobe = 2)
     }),
+    // the PERSISTED IVF index: build once (vectors partitioned by cell +
+    // centroid table on disk), then query via probe selection + a scan
+    // that reads ONLY the probed cell partitions (partition pruning;
+    // plan-asserted in IvfIndexSpec) — no centroid rebuild per query
+    "sim_ivf_indexed" -> ((s: SparkSession, dir: String) => {
+      val emb = Tables.embeddings(s, dir)
+      val idx = java.nio.file.Files.createTempDirectory("graft-ivf-").toString
+      graft.ext.IvfIndex.build(emb, "vec_id", "embedding", "label", idx)
+      graft.ext.IvfIndex.topK(s, idx, "vec_id", "embedding",
+        queryVec(emb), k = 5, nprobe = 2)
+    }),
     // ----- §2.10 text analysis -----
     "text_tokens" -> ((s: SparkSession, dir: String) =>
       TextStats.tokenStats(Tables.documents(s, dir), "doc_id", "text")
@@ -597,6 +608,8 @@ object SparkEntry {
     "dedup_jaccard_pruned" -> PrunedJaccardOracle,
     "sim_lsh" -> LshOracle,
     "sim_ivf" -> IvfOracle,
+    // the indexed path answers the identical query — same oracle
+    "sim_ivf_indexed" -> IvfOracle,
     "sim_topk" ->
       (cosineSql("sim") + " SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id LIMIT 10"),
     "sim_topk_grouped" ->

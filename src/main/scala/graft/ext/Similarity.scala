@@ -151,7 +151,11 @@ object Similarity {
     * the label plays the nlist role; a production build would k-means), probe
     * the `nprobe` nearest centroids, brute-force only inside those cells.
     * Only the tiny centroid table (nlist rows) is collected to pick probes —
-    * the data-sized scan stays distributed and shrinks by nprobe/nlist. */
+    * the data-sized scan stays distributed and shrinks by nprobe/nlist.
+    *
+    * Centroids are recomputed on EVERY call — correct, but wasteful for
+    * repeated queries; [[graft.ext.IvfIndex]] is the build-once/query-many
+    * persisted dual (centroid table + cell-partitioned data on disk). */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, groupCol: String,
               query: Seq[Double], k: Int, nprobe: Int): DataFrame = {
     val cents = centroids(df, vecCol, groupCol)
