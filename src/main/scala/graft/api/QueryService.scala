@@ -6,9 +6,6 @@ import graft.ir.{MongoJson, QuerySpec, UnsupportedQueryException}
 import graft.sources.Catalog
 import org.apache.spark.sql.SparkSession
 
-import scala.concurrent.{Await, ExecutionContext, Future, TimeoutException}
-import scala.concurrent.duration._
-
 /** The reference's POST /query lifecycle (SURVEY.md §3.1,
   * /root/reference/app_server.py:202-278) as an engine-level service:
   * validated request → timed generation phase (≤ 70% of the budget) →
@@ -47,47 +44,43 @@ final class QueryService(spark: SparkSession, catalog: Catalog) {
     if (req.timeoutSec < 5 || req.timeoutSec > 60)
       return Left(QueryError("timeout must be in [5, 60] seconds", "HTTP_ERROR", 422, None))
     try {
-      // Stage 1: generation gets ≤ 70% of the budget (app_server.py:221)
-      implicit val ec: ExecutionContext = ExecutionContext.global
+      // Stage 1: generation gets ≤ 70% of the budget (app_server.py:221).
+      // The compiler runs as an interruptible FutureTask: on timeout it is
+      // cancel(true)'d so the thread is interrupted rather than abandoned —
+      // a plain Future would keep running (and keep a pool thread pinned)
+      // long after the client got its 408.
       val genBudget = req.timeoutSec * 0.7
       val genStart = System.nanoTime()
+      val genTask = new java.util.concurrent.FutureTask[QuerySpec](() => gen())
+      Executor.blockingEc.execute(genTask)
       val spec =
-        try Await.result(Future(gen()), genBudget.seconds)
+        try genTask.get((genBudget * 1000).toLong,
+          java.util.concurrent.TimeUnit.MILLISECONDS)
         catch {
-          case _: TimeoutException => throw new GenTimeout(
-            f"Query generation timed out after $genBudget%.1f seconds")
+          case _: java.util.concurrent.TimeoutException =>
+            genTask.cancel(true) // interrupt the abandoned compiler thread
+            throw new GenTimeout(
+              f"Query generation timed out after $genBudget%.1f seconds")
+          case e: java.util.concurrent.ExecutionException =>
+            throw e.getCause // surface the compiler's own error unchanged
         }
       val genSec = secs(genStart)
 
       // Stage 2: DB phase gets the remainder − 1 s buffer, floor 2 s
-      // (app_server.py:229-232). The phase runs under a job tag so a
-      // timeout CANCELS the underlying Spark jobs — without this, every
-      // timed-out request would leave a zombie scan/collect burning
-      // executors (the client got its 408; nothing would ever reap the
-      // work).
+      // (app_server.py:229-232). The phase runs under Executor's shared
+      // tag + flag + delayed-reaper harness so a timeout CANCELS the
+      // underlying Spark jobs — including one submitted in the narrow race
+      // between the timeout and the first cancel — rather than leaving a
+      // zombie scan/collect burning executors after the client's 408.
       val remaining = math.max(req.timeoutSec - genSec - 1.0, 2.0)
       val df = catalog.resolve(req.db, req.collection)
-      val sc = spark.sparkContext
-      val tag = s"graft-query-${java.util.UUID.randomUUID()}"
-      val cancelled = new java.util.concurrent.atomic.AtomicBoolean(false)
       val dbStart = System.nanoTime()
-      val result =
-        try Await.result(
-          Future {
-            sc.addJobTag(tag)
-            try {
-              if (cancelled.get()) throw new DbTimeout("cancelled before start")
-              Executor.exec(df, spec, req.limit, generationSec = genSec)
-            } finally sc.removeJobTag(tag)
-          },
-          remaining.seconds)
-        catch {
-          case _: TimeoutException =>
-            cancelled.set(true)
-            sc.cancelJobsWithTag(tag)
-            throw new DbTimeout(
-              f"Database query timed out after $remaining%.1f seconds")
-        }
+      val result = Executor.runCancellable(spark.sparkContext, "graft-query",
+          (remaining * 1000).toLong) { cancelled =>
+        if (cancelled.get()) throw new DbTimeout("cancelled before start")
+        Executor.exec(df, spec, req.limit, generationSec = genSec)
+      }.getOrElse(throw new DbTimeout(
+        f"Database query timed out after $remaining%.1f seconds"))
       val dbSec = secs(dbStart)
 
       Right(QuerySuccess(

@@ -2,9 +2,12 @@ package graft.exec
 
 import graft.compile.{FilterCompiler, NlCompiler}
 import graft.ir.{FilterExpr, MongoJson, QuerySpec, UnsupportedQueryException}
+import org.apache.spark.SparkContext
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.col
 
+import java.util.concurrent.Executors
+import java.util.concurrent.atomic.AtomicBoolean
 import scala.concurrent.{Await, ExecutionContext, Future, TimeoutException}
 import scala.concurrent.duration._
 
@@ -67,32 +70,43 @@ object Executor {
     spec.limit.map(n => projected.limit(clampLimit(n))).getOrElse(projected)
   }
 
-  /** Count with the reference's degradation policy: if it exceeds
-    * `timeoutMs`, cancel the running job and fall back to `fallback`
-    * (the reference's `len(results)`, No_Sql.py:419-421).
+  /** Daemon cached pool for BLOCKING Spark actions driven under `Await`.
+    * `ExecutionContext.global` is a fixed-size fork-join pool: parking
+    * blocking `count()`/`collect()` calls there starves every other future
+    * under concurrent requests, so `Await` fires spurious timeouts before
+    * the work has even been scheduled. A cached pool grows with concurrent
+    * blocked actions and shrinks back when idle. */
+  private[graft] val blockingEc: ExecutionContext =
+    ExecutionContext.fromExecutorService(
+      Executors.newCachedThreadPool { r =>
+        val t = new Thread(r, "graft-blocking")
+        t.setDaemon(true)
+        t
+      })
+
+  /** Shared timed-cancellation harness for Spark actions — the tag + flag +
+    * delayed-reaper pattern, factored so every timed phase (count timeout,
+    * the service's DB phase) reaps its jobs the same way.
     *
     * Cancellation is job-TAG based (`cancelJobsWithTag`), not job-group:
-    * a `cancelled` flag is checked on the submitting thread after the tag
-    * is attached — either the worker sees the flag and never submits, or
-    * the job carries the tag and the cancel reaps it. One narrow window
-    * remains (flag read false → timeout cancels nothing → job submits), so
-    * the timeout path issues a SECOND delayed cancel that lands after any
-    * such straggler has registered; a job that slips past both would have
-    * had to spend >200 ms between the flag check and submission. */
-  def countWithTimeout(df: DataFrame, timeoutMs: Long,
-                       fallback: => Long): (Long, Boolean) = {
-    val sc = df.sparkSession.sparkContext
-    val tag = s"graft-count-${java.util.UUID.randomUUID()}"
-    val cancelled = new java.util.concurrent.atomic.AtomicBoolean(false)
-    implicit val ec: ExecutionContext = ExecutionContext.global
+    * `body` receives a `cancelled` flag to check after the tag is attached —
+    * either the worker sees the flag and never submits, or the job carries
+    * the tag and the cancel reaps it. One narrow window remains (flag read
+    * false → timeout cancels nothing → job submits), so the timeout path
+    * issues a SECOND delayed cancel that lands after any such straggler has
+    * registered; a job that slips past both would have had to spend >200 ms
+    * between the flag check and submission. */
+  private[graft] def runCancellable[T](sc: SparkContext, tagPrefix: String,
+      timeoutMs: Long)(body: AtomicBoolean => T): Option[T] = {
+    val tag = s"$tagPrefix-${java.util.UUID.randomUUID()}"
+    val cancelled = new AtomicBoolean(false)
+    implicit val ec: ExecutionContext = blockingEc
     val fut = Future {
       sc.addJobTag(tag)
-      try {
-        if (cancelled.get()) fallback // timeout already fired: don't submit
-        else df.count()
-      } finally sc.removeJobTag(tag)
+      try body(cancelled)
+      finally sc.removeJobTag(tag)
     }
-    try (Await.result(fut, timeoutMs.millis), false)
+    try Some(Await.result(fut, timeoutMs.millis))
     catch {
       case _: TimeoutException =>
         cancelled.set(true)
@@ -101,9 +115,23 @@ object Executor {
           Thread.sleep(200)
           if (!fut.isCompleted) sc.cancelJobsWithTag(tag)
         }: Unit
-        (fallback, true)
+        None
     }
   }
+
+  /** Count with the reference's degradation policy: if it exceeds
+    * `timeoutMs`, cancel the running job ([[runCancellable]]) and fall back
+    * to `fallback` (the reference's `len(results)`, No_Sql.py:419-421). */
+  def countWithTimeout(df: DataFrame, timeoutMs: Long,
+                       fallback: => Long): (Long, Boolean) =
+    runCancellable(df.sparkSession.sparkContext, "graft-count", timeoutMs) {
+      cancelled =>
+        if (cancelled.get()) fallback // timeout already fired: don't submit
+        else df.count()
+    } match {
+      case Some(n) => (n, false)
+      case None    => (fallback, true)
+    }
 
   /** Full reference-parity execution: collected rows + total-matching count
     * + per-phase timings. Count runs on the UNlimited, UNprojected filtered

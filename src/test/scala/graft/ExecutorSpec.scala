@@ -54,6 +54,22 @@ class ExecutorSpec extends SparkSpec {
     assert(!d2 && n2 == 10L)
   }
 
+  test("runCancellable: timeout -> None + cancelled flag; success -> Some") {
+    val sc = spark.sparkContext
+    val flagSeen = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val out = Executor.runCancellable(sc, "graft-test", 50L) { cancelled =>
+      Thread.sleep(300)
+      flagSeen.set(cancelled.get())
+      "late"
+    }
+    assert(out.isEmpty)
+    // the worker observes the cancellation flag after the timeout fires
+    Thread.sleep(400)
+    assert(flagSeen.get())
+    val ok = Executor.runCancellable(sc, "graft-test", 5000L)(_ => 42)
+    assert(ok.contains(42))
+  }
+
   test("exec parses full find-spec JSON through the same path as the driver") {
     val spec = MongoJson.parse(
       """{"filter": {"department": {"$regex": "ENG", "$options": "i"}},
