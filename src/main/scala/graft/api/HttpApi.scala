@@ -1,0 +1,166 @@
+package graft.api
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+/** HTTP binding for [[QueryService]] — the reference's FastAPI surface
+  * (/root/reference/app_server.py) on the JDK's built-in HttpServer (zero
+  * added dependencies):
+  *
+  *   - `POST /query`       NL request → full response envelope (:202-278)
+  *   - `POST /query/json`  raw find-spec through the §2.7 repair cascade
+  *   - `GET  /test`        generation-only smoke probe (:172-199)
+  *   - `GET  /health`      engine + storage connectivity (:146-169)
+  *
+  * Wire shapes mirror the reference's pydantic models: requests take
+  * `{input, db, collection, limit, timeout}` with the same defaults and
+  * bounds; success bodies carry `ok, mongo_query, total_matching, results,
+  * result_count, execution_time, query_generation_time, db_execution_time,
+  * timeout_used` (app_server.py:84-93) and error bodies
+  * `ok=false, error, error_type, status_code, suggestion` (:292-332) with
+  * the HTTP status matching `status_code`.
+  *
+  * The server itself is intentionally thin: every decision (validation,
+  * budgets, typed errors, job cancellation) lives in [[QueryService]],
+  * which is what the engine-level tests certify — this class only moves
+  * bytes. Handlers run on a daemon cached pool, one thread per in-flight
+  * request, each of which spends its life blocked on the service call —
+  * the same threading shape as the reference's `asyncio.to_thread`.
+  */
+final class HttpApi(service: QueryService, port: Int = 0) {
+
+  import QueryService._
+
+  private val mapper = new ObjectMapper()
+  private val server =
+    HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+
+  server.createContext("/query", (ex: HttpExchange) => handle(ex) {
+    case "POST" =>
+      val path = ex.getRequestURI.getPath
+      if (path == "/query" || path == "/query/") run(ex, service.query)
+      else if (path == "/query/json") run(ex, service.queryJson)
+      else (404, errorJson("not found", "HTTP_ERROR", 404, None))
+    case _ => (405, errorJson("method not allowed", "HTTP_ERROR", 405, None))
+  })
+
+  server.createContext("/test", (ex: HttpExchange) => handle(ex) {
+    case "GET" =>
+      val t0 = System.nanoTime()
+      val (mongoJson, genSec) = service.test()
+      val out = mapper.createObjectNode()
+      out.put("status", "ok")
+      out.put("test_query", "Find all employees")
+      out.set[ObjectNode]("generated_mongo", mapper.readTree(mongoJson))
+      out.put("execution_time",
+        math.rint((System.nanoTime() - t0) / 1e9 * 1000) / 1000)
+      out.put("generation_time", genSec)
+      (200, out)
+    case _ => (405, errorJson("method not allowed", "HTTP_ERROR", 405, None))
+  })
+
+  server.createContext("/health", (ex: HttpExchange) => handle(ex) {
+    case "GET" =>
+      val h = service.health()
+      val out = mapper.createObjectNode()
+      // reference fields: mongodb_connected → storage, llm_connected →
+      // engine (the deterministic compiler needs no remote LLM; the
+      // Spark session plays the "is the backend up" role)
+      out.put("status", if (h.ok) "healthy" else "degraded")
+      out.put("engine_connected", h.engineOk)
+      out.put("storage_connected", h.storageOk)
+      (200, out)
+    case _ => (405, errorJson("method not allowed", "HTTP_ERROR", 405, None))
+  })
+
+  /** Start listening; returns the bound port (useful with port = 0). */
+  def start(): Int = {
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool {
+      r =>
+        val t = new Thread(r, "graft-http")
+        t.setDaemon(true)
+        t
+    })
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = server.stop(0)
+
+  // -------------------------------------------------------------------
+
+  /** Decode the request, run one service path, encode the envelope. */
+  private def run(ex: HttpExchange,
+      call: QueryRequest => Either[QueryError, QuerySuccess]):
+      (Int, ObjectNode) = {
+    val body =
+      try mapper.readTree(ex.getRequestBody.readAllBytes())
+      catch { case _: Exception => null }
+    if (body == null || !body.isObject)
+      return (422, errorJson("request body must be a JSON object",
+        "HTTP_ERROR", 422, None))
+    def str(f: String, dflt: String) =
+      if (body.hasNonNull(f)) body.get(f).asText() else dflt
+    def int(f: String, dflt: Int) =
+      if (body.hasNonNull(f)) body.get(f).asInt() else dflt
+    val req = QueryRequest(
+      input = str("input", ""),
+      db = str("db", "testdb"),
+      collection = str("collection", "testcoll"),
+      limit = int("limit", 50),
+      timeoutSec = int("timeout", 30))
+    call(req) match {
+      case Right(ok) =>
+        val out = mapper.createObjectNode()
+        out.put("ok", true)
+        out.set[ObjectNode]("mongo_query", mapper.readTree(ok.mongoQuery))
+        out.put("total_matching", ok.totalMatching)
+        val rows = mapper.createArrayNode()
+        ok.results.foreach(r => rows.add(mapper.readTree(r)): Unit)
+        out.set[ArrayNode]("results", rows)
+        out.put("result_count", ok.resultCount)
+        out.put("execution_time", ok.executionTime)
+        out.put("query_generation_time", ok.queryGenerationTime)
+        out.put("db_execution_time", ok.dbExecutionTime)
+        out.put("timeout_used", ok.timeoutUsed)
+        out.put("count_degraded", ok.countDegraded)
+        (200, out)
+      case Left(err) =>
+        (err.statusCode,
+          errorJson(err.error, err.errorType, err.statusCode, err.suggestion))
+    }
+  }
+
+  private def errorJson(msg: String, errType: String, status: Int,
+                        suggestion: Option[String]): ObjectNode = {
+    val out = mapper.createObjectNode()
+    out.put("ok", false)
+    out.put("error", msg)
+    out.put("error_type", errType)
+    out.put("status_code", status)
+    suggestion.foreach(s => out.put("suggestion", s): Unit)
+    out
+  }
+
+  /** Shared respond-or-500 wrapper: route on method, serialize, reply. */
+  private def handle(ex: HttpExchange)(
+      route: PartialFunction[String, (Int, ObjectNode)]): Unit = {
+    val (status, node) =
+      try route.applyOrElse(ex.getRequestMethod, (_: String) =>
+        (405, errorJson("method not allowed", "HTTP_ERROR", 405, None)))
+      catch {
+        case e: Exception =>
+          (500, errorJson(s"Internal server error: ${e.getMessage}",
+            "INTERNAL_ERROR", 500, None))
+      }
+    val bytes = mapper.writeValueAsBytes(node)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(status, bytes.length.toLong)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+}
