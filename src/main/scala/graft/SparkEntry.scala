@@ -140,6 +140,32 @@ object SparkEntry {
     // arbitrary-precision literal end-to-end: 2^60 is double-exact, so it
     // compiles (values beyond the exact range error loudly instead)
     "nl_bignum" -> (nl("salary below 1152921504606846976", "emp_id") _),
+    // dataset-scale NL compiler (§2.6 column-level mapping): classify a
+    // COLUMN of NL strings in one distributed codegen'd pass — templates
+    // cover every rule plus the quirks (substring "age" in "message",
+    // rule shadowing, direction-less fall-through); the oracle derives
+    // the EXPECTED classification per template independently (SQL CASE),
+    // so a green row certifies the classifier, not just the plumbing
+    "nl_bulk" -> ((s: SparkSession, dir: String) => {
+      val base = Tables.customer(s, dir).select(col("c_custkey").as("id"))
+      val k = col("id") % 10
+      val n = col("id").cast("string")
+      val nl = when(k === 0, concat(lit("find employees earning more than "), n))
+        .when(k === 1, concat(lit("employees with pay under "), n))
+        .when(k === 2, concat(lit("staff with salary exactly "), n))
+        .when(k === 3, concat(lit("people with age above "), n))
+        .when(k === 4, lit("message for engineers"))      // "age" substring quirk
+        .when(k === 5, lit("show customer names"))
+        .when(k === 6, concat(lit("with experience more than "), n))
+        .when(k === 7, lit("hello world"))
+        .when(k === 8, concat(lit("engineers with age over "), n)) // shadowing
+        .otherwise(concat(lit("age "), n, lit(" mentioned")))      // fall-through
+      val cls = graft.compile.NlColumnCompiler.classify(nl)
+      base.select(col("id"), cls.getField("rule").as("rule"),
+          cls.getField("field").as("field"), cls.getField("op").as("op"),
+          cls.getField("value").as("value"))
+        .orderBy("id")
+    }),
     // ----- §2.7 LLM-response repair cascade -----
     "nl_repair" -> ((s: SparkSession, dir: String) =>
       Executor.plan(Tables.employees(s, dir), MongoJson.parseWithRepair(
@@ -598,6 +624,30 @@ object SparkEntry {
       s"SELECT * FROM $Emp WHERE salary < 1152921504606846976 ORDER BY emp_id",
     "nl_repair" ->
       s"SELECT * FROM $Emp WHERE regexp_matches(department, '(?i)sales') ORDER BY emp_id",
+    // EXPECTED classification per template family, derived independently
+    // of the engine's string analysis: template k of customer row id must
+    // classify as the rule the template was built to trigger
+    "nl_bulk" ->
+      ("""SELECT c_custkey AS id,
+         |  CASE c_custkey % 10
+         |    WHEN 0 THEN 'salary' WHEN 1 THEN 'salary' WHEN 2 THEN 'salary'
+         |    WHEN 3 THEN 'age' WHEN 4 THEN 'department'
+         |    WHEN 5 THEN 'name_projection' WHEN 6 THEN 'experience'
+         |    WHEN 8 THEN 'age' ELSE 'all' END AS rule,
+         |  CASE c_custkey % 10
+         |    WHEN 0 THEN 'salary' WHEN 1 THEN 'salary' WHEN 2 THEN 'salary'
+         |    WHEN 3 THEN 'age' WHEN 4 THEN 'department'
+         |    WHEN 6 THEN 'experience_years' WHEN 8 THEN 'age'
+         |    ELSE NULL END AS field,
+         |  CASE c_custkey % 10
+         |    WHEN 0 THEN 'gt' WHEN 1 THEN 'lt' WHEN 2 THEN 'eq'
+         |    WHEN 3 THEN 'gt' WHEN 4 THEN 'regex' WHEN 6 THEN 'gt'
+         |    WHEN 8 THEN 'gt' ELSE NULL END AS op,
+         |  CASE c_custkey % 10
+         |    WHEN 4 THEN 'engineering'
+         |    WHEN 5 THEN NULL WHEN 7 THEN NULL WHEN 9 THEN NULL
+         |    ELSE CAST(c_custkey AS VARCHAR) END AS value
+         |FROM customer ORDER BY id""".stripMargin),
     "dedup_exact" ->
       "SELECT min(doc_id) AS doc_id, lang, source FROM documents GROUP BY lang, source ORDER BY 1",
     "dedup_fingerprint" ->

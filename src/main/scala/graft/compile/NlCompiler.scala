@@ -22,7 +22,11 @@ object NlCompiler {
   private val digits = """\d+""".r
 
   /** Dept synonym table, insertion order = dict iteration order
-    * (No_Sql.py:344-357). */
+    * (No_Sql.py:344-357). Shared with [[NlColumnCompiler]] so the scalar
+    * and column compilers can never drift. */
+  private[compile] def deptSynonymTable: Seq[(Seq[String], String)] =
+    deptSynonyms
+
   private val deptSynonyms: Seq[(Seq[String], String)] = Seq(
     Seq("engineer", "engineering", "developer", "dev") -> "engineering",
     Seq("marketing", "market")                          -> "marketing",
