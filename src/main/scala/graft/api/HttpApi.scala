@@ -77,6 +77,38 @@ final class HttpApi(service: QueryService, port: Int = 0) {
     case _ => (405, errorJson("method not allowed", "HTTP_ERROR", 405, None))
   })
 
+  server.createContext("/history", (ex: HttpExchange) => handle(ex) {
+    case "GET" =>
+      // the reference keeps history in the UI session (main.py:103-131,
+      // summary metrics :263-268); here the service accumulates it and
+      // this endpoint serves rows + the same three summary stats
+      val st = service.historyStats()
+      val out = mapper.createObjectNode()
+      out.put("total_queries", st.nQueries)
+      out.put("success_rate", st.successRate)
+      out.put("mean_execution_time", st.meanExec)
+      val rows = mapper.createArrayNode()
+      service.history.foreach { e =>
+        val r = mapper.createObjectNode()
+        r.put("query", e.query)
+        r.put("db", e.db)
+        r.put("collection", e.collection)
+        r.put("success", e.success)
+        r.put("execution_time", e.executionTime)
+        r.put("result_count", e.resultCount)
+        e.error.foreach(r.put("error", _))
+        rows.add(r): Unit
+      }
+      out.set[ArrayNode]("history", rows)
+      (200, out)
+    case "DELETE" => // main.py:275 "Clear History"
+      service.clearHistory()
+      val out = mapper.createObjectNode()
+      out.put("status", "cleared")
+      (200, out)
+    case _ => (405, errorJson("method not allowed", "HTTP_ERROR", 405, None))
+  })
+
   /** Start listening; returns the bound port (useful with port = 0). */
   def start(): Int = {
     server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool {

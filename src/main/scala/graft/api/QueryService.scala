@@ -23,14 +23,57 @@ final class QueryService(spark: SparkSession, catalog: Catalog) {
 
   import QueryService._
 
+  /** Per-request history, the reference's `st.session_state.query_history`
+    * (/root/reference/main.py:103-131): every query — success or failure —
+    * appends one entry; [[historyStats]] aggregates them with the same
+    * arithmetic as the UI's summary metrics (main.py:263-268). Bounded to
+    * the newest [[QueryService.HistoryCap]] entries so a long-lived service
+    * can't grow driver memory without limit. */
+  private val historyBuf =
+    new java.util.concurrent.ConcurrentLinkedDeque[HistoryEntry]()
+
   /** POST /query (app_server.py:202-278). */
   def query(req: QueryRequest): Either[QueryError, QuerySuccess] =
-    run(req)(() => NlCompiler.compile(req.input))
+    recorded(req)(run(req)(() => NlCompiler.compile(req.input)))
 
   /** Same lifecycle, generation = the LLM-response repair cascade
     * (No_Sql.py:269-302) over a raw find-spec payload. */
   def queryJson(req: QueryRequest): Either[QueryError, QuerySuccess] =
-    run(req)(() => MongoJson.parseWithRepair(req.input))
+    recorded(req)(run(req)(() => MongoJson.parseWithRepair(req.input)))
+
+  private def recorded(req: QueryRequest)(
+      out: Either[QueryError, QuerySuccess]): Either[QueryError, QuerySuccess] = {
+    val entry = out match {
+      case Right(ok) => HistoryEntry(req.input, req.db, req.collection,
+        success = true, ok.executionTime, ok.resultCount, error = None)
+      case Left(err) => HistoryEntry(req.input, req.db, req.collection,
+        success = false, 0.0, 0, error = Some(err.error))
+    }
+    historyBuf.addLast(entry)
+    while (historyBuf.size > HistoryCap) historyBuf.pollFirst(): Unit
+    out
+  }
+
+  /** Accumulated request history, oldest first (main.py render table). */
+  def history: Seq[HistoryEntry] = {
+    import scala.jdk.CollectionConverters._
+    historyBuf.iterator().asScala.toSeq
+  }
+
+  def clearHistory(): Unit = historyBuf.clear() // main.py:275
+
+  /** The UI's summary metrics (main.py:263-268): total queries, success
+    * rate (%), mean execution time — computed over THIS service's own
+    * accumulated calls, with the engine's usual decimal-exact mean. */
+  def historyStats(): HistoryStats = {
+    val h = history
+    if (h.isEmpty) HistoryStats(0, 0.0, 0.0)
+    else HistoryStats(
+      h.size,
+      h.count(_.success) * 100.0 / h.size,
+      (h.map(e => new java.math.BigDecimal(e.executionTime))
+        .reduce(_.add(_)).doubleValue) / h.size)
+  }
 
   private def run(req: QueryRequest)(
       gen: () => QuerySpec): Either[QueryError, QuerySuccess] = {
@@ -156,6 +199,23 @@ object QueryService {
       suggestion: Option[String])
 
   final case class Health(ok: Boolean, engineOk: Boolean, storageOk: Boolean)
+
+  /** One query-history row (main.py:103-131 dict shape). */
+  final case class HistoryEntry(
+      query: String,
+      db: String,
+      collection: String,
+      success: Boolean,
+      executionTime: Double,
+      resultCount: Int,
+      error: Option[String])
+
+  /** History summary metrics (main.py:263-268). */
+  final case class HistoryStats(
+      nQueries: Long, successRate: Double, meanExec: Double)
+
+  /** Newest-N bound on the in-memory history buffer. */
+  val HistoryCap = 10000
 
   private def round3(d: Double): Double = math.rint(d * 1000) / 1000
 

@@ -273,20 +273,17 @@ object Dedup {
   // SimHash
   // -----------------------------------------------------------------------
 
-  /** 64-bit SimHash per document: explode distinct tokens, hash once, sum
-    * the per-bit contributions in ONE shuffle (groupBy id), then pack the
-    * sign bits.
+  /** 64-bit SimHash per document, computed entirely row-locally: the
+    * codegen'd [[graft.functions.SimHashSignature]] kernel takes the
+    * document's distinct-token poly hashes (`token_poly_hashes`, also
+    * row-local) and folds per-bit majority votes into the sign-bit
+    * signature in one pass — no explode, no groupBy, zero shuffles.
     *
-    * The 64 per-bit counts are packed into 16 lane-aggregates (4 × 16-bit
-    * lanes per long): bit j of a token hash contributes `1 << (16*(j%4))`
-    * to aggregate j/4. One `sum` over simple bit arithmetic per lane group
-    * compiles to a fraction of the generated code of 64 `sum(when(...))`
-    * aggregates — plan codegen was HALF the cold runtime of the r2 shape —
-    * and the aggregation buffer shrinks 4x. Sign rule: bit set iff
-    * 2*ones >= n_tokens, identical (including the tie) to
-    * sum(±1) >= 0. Bound: a document must have < 65,536 DISTINCT tokens or
-    * a lane overflows (ANSI mode would throw, not corrupt); real corpora
-    * are orders of magnitude below.
+    * Sign rule: bit j set iff 2 * |{hashes with bit j}| >= n_tokens —
+    * majority with ties set, exactly the convention the DuckDB oracle
+    * reproduces. Because the kernel holds the 64 counters in a local
+    * int array there is no lane-packing overflow bound: any token count
+    * that fits an Int is exact.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
     // Token hash = portable 62-bit poly hash (graft.functions.TokenPolyOps),

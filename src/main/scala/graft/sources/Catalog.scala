@@ -22,9 +22,20 @@ final class Catalog(spark: SparkSession, root: String) {
   private val registered =
     scala.collection.concurrent.TrieMap.empty[(String, String), () => DataFrame]
 
+  /** json/csv schema inference is a full data scan; doing it on every
+    * resolve() (health() resolves too) re-reads the collection per request.
+    * First resolution memoizes the inferred schema per (db, collection) so
+    * later reads plan straight from it. Parquet is self-describing
+    * (footer-only schema) and is NOT cached — new files keep appearing in
+    * later reads, matching a live collection. */
+  private val inferredSchemas = scala.collection.concurrent.TrieMap
+    .empty[(String, String), org.apache.spark.sql.types.StructType]
+
   /** Explicitly bind (db, collection) to a frame factory (e.g. a view). */
-  def register(db: String, collection: String)(f: => DataFrame): Unit =
-    registered.put((db, collection), () => f): Unit
+  def register(db: String, collection: String)(f: => DataFrame): Unit = {
+    registered.put((db, collection), () => f)
+    inferredSchemas.remove((db, collection)): Unit
+  }
 
   def resolve(db: String, collection: String): DataFrame =
     registered.get((db, collection)).map(_.apply()).getOrElse(readPath(db, collection))
@@ -35,11 +46,18 @@ final class Catalog(spark: SparkSession, root: String) {
       (s"$root/$db/$collection.json", "json"),
       (s"$root/$db/$collection.csv", "csv"),
       (s"$root/$collection.parquet", "parquet"))
+    val key = (db, collection)
     candidates.find { case (p, _) => exists(p) } match {
       case Some((p, "parquet")) => spark.read.parquet(p)
-      case Some((p, "json"))    => spark.read.json(p)
-      case Some((p, "csv"))     =>
-        spark.read.option("header", "true").option("inferSchema", "true").csv(p)
+      case Some((p, "json")) =>
+        val schema = inferredSchemas.getOrElseUpdate(key,
+          spark.read.json(p).schema)
+        spark.read.schema(schema).json(p)
+      case Some((p, "csv")) =>
+        val schema = inferredSchemas.getOrElseUpdate(key,
+          spark.read.option("header", "true").option("inferSchema", "true")
+            .csv(p).schema)
+        spark.read.option("header", "true").schema(schema).csv(p)
       case _ =>
         throw new NoSuchElementException(
           s"no table for ($db, $collection) under $root " +

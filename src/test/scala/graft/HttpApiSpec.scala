@@ -61,6 +61,36 @@ class HttpApiSpec extends SparkSpec {
     assert(offSurface.body().contains(""""error_type":"HTTP_ERROR""""))
   }
 
+  test("GET /history accumulates requests; DELETE clears") {
+    // isolate from the shared api: fresh service + listener
+    val api2 = new HttpApi(new QueryService(spark, catalog))
+    val p2 = api2.start()
+    def get2(path: String) = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p2$path")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    try {
+      client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p2/query"))
+          .POST(HttpRequest.BodyPublishers.ofString("""{"input": "hello"}"""))
+          .build(), HttpResponse.BodyHandlers.ofString()): Unit
+      client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p2/query"))
+          .POST(HttpRequest.BodyPublishers.ofString(
+            """{"input": "x", "collection": "nope"}"""))
+          .build(), HttpResponse.BodyHandlers.ofString()): Unit
+      val h = get2("/history")
+      assert(h.statusCode() == 200)
+      assert(h.body().contains(""""total_queries":2"""))
+      assert(h.body().contains(""""success_rate":50.0"""))
+      assert(h.body().contains(""""query":"hello""""))
+      val cleared = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p2/history"))
+          .DELETE().build(), HttpResponse.BodyHandlers.ofString())
+      assert(cleared.statusCode() == 200)
+      assert(get2("/history").body().contains(""""total_queries":0"""))
+    } finally api2.stop()
+  }
+
   test("GET /test and /health; wrong methods are 405; unknown path 404") {
     val t = get("/test")
     assert(t.statusCode() == 200)

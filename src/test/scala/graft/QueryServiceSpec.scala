@@ -74,6 +74,41 @@ class QueryServiceSpec extends SparkSpec {
     intercept[NoSuchElementException] { c.resolve("testdb", "absent") }
   }
 
+  test("query history: every call appends, stats match the UI arithmetic") {
+    val s = new QueryService(spark, catalog) // fresh buffer, not the shared svc
+    assert(s.historyStats() == HistoryStats(0, 0.0, 0.0))
+    s.query(QueryRequest("earning more than 60000")): Unit // success
+    s.query(QueryRequest("hello", collection = "nope")): Unit // INTERNAL_ERROR
+    s.queryJson(QueryRequest("""{"filter": {"$or": [{"a": 1}]}}""")): Unit // 400
+    val h = s.history
+    assert(h.size == 3)
+    assert(h(0).success && h(0).resultCount == 3 && h(0).error.isEmpty)
+    assert(!h(1).success && h(1).error.nonEmpty)
+    assert(!h(2).success && h(2).error.exists(_.contains("$or")))
+    val st = s.historyStats()
+    assert(st.nQueries == 3)
+    assert(math.abs(st.successRate - 100.0 / 3) < 1e-9)
+    assert(st.meanExec >= 0.0 && st.meanExec <= h.map(_.executionTime).max)
+    s.clearHistory()
+    assert(s.history.isEmpty && s.historyStats().nQueries == 0)
+  }
+
+  test("catalog: json schema memoized — later reads see data, not re-inference") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-memo").toString
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$dir/db1"))
+    val f = java.nio.file.Paths.get(s"$dir/db1/docs.json")
+    java.nio.file.Files.writeString(f, "{\"a\": 1, \"b\": \"x\"}\n")
+    val c = new Catalog(spark, dir)
+    assert(c.resolve("db1", "docs").columns.sorted.toSeq == Seq("a", "b"))
+    // append a doc introducing a new field: the cached schema keeps the
+    // plan scan-free of re-inference (no column "d"), but new ROWS appear
+    java.nio.file.Files.writeString(f,
+      "{\"a\": 1, \"b\": \"x\"}\n{\"a\": 2, \"d\": true}\n")
+    val df = c.resolve("db1", "docs")
+    assert(df.columns.sorted.toSeq == Seq("a", "b"))
+    assert(df.count() == 2)
+  }
+
   test("catalog: json documents read like a schemaless collection") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cat").toString
     java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$dir/db1"))
