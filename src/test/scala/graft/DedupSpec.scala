@@ -118,12 +118,24 @@ class DedupSpec extends SparkSpec {
   }
 
   test("unpersistAll releases every tracked cache block") {
-    Dedup.minhashLshPairs(docs, "doc_id", "text", n = 3,
+    // Two sharp edges: the SparkContext is shared across concurrently
+    // running suites (global cache emptiness is not assertable), and the
+    // CacheManager dedupes persists by logical plan (re-running an op on
+    // `docs` reuses earlier tests' blocks). So: a frame unique to this
+    // test — its persists are guaranteed fresh — and assert exactly those
+    // blocks are gone after the drain.
+    import spark.implicits._
+    val fresh = Seq((101L, "u v w x y z u v w"), (102L, "u v w x y z u v w"))
+      .toDF("doc_id", "text")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Dedup.minhashLshPairs(fresh, "doc_id", "text", n = 3,
       bands = 16, rowsPerBand = 2, threshold = 0.3).count(): Unit
-    Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 0).count(): Unit
-    assert(!spark.sparkContext.getPersistentRDDs.isEmpty)
+    Dedup.simhashPairs(fresh, "doc_id", "text", maxHamming = 0).count(): Unit
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.nonEmpty)
     Dedup.unpersistAll(blocking = true)
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert(added.intersect(after).isEmpty)
   }
 
   test("df-cut prunes hot shingles and recomputes sizes consistently") {
