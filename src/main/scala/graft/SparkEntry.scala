@@ -258,6 +258,9 @@ object SparkEntry {
     "text_fingerprint" -> ((s: SparkSession, dir: String) =>
       TextStats.fingerprints(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
+    "text_topterms" -> ((s: SparkSession, dir: String) =>
+      TextStats.topTerms(Tables.documents(s, dir), "text", k = 50)
+        .orderBy(col("doc_freq").desc, col("term"))),
     // ----- §2.10 events / JSON / windows / joins -----
     "events_json" -> ((s: SparkSession, dir: String) =>
       Events.jsonProps(Tables.events(s, dir)).orderBy("event_id")),
@@ -289,6 +292,28 @@ object SparkEntry {
         graft.streaming.EventsStream.sessionize(evts).toDF())
         .orderBy("user_id", "start_ms")
     }),
+    // Streaming exact dedup: watermarked dropDuplicates on (hour window,
+    // user, type) — first occurrence emitted, state purged as the
+    // watermark passes each window. Oracle = batch SELECT DISTINCT.
+    "stream_dedup" -> ((s: SparkSession, dir: String) =>
+      drainStream(s, "graft_stream_dedup", "append",
+        graft.streaming.EventsStream.dedupKeys(eventsStream(s, dir)))
+        .orderBy("hour", "user_id", "event_type")),
+    // As-of join (latest order at or before each event, per customer) via
+    // the union + single-window merge shape — one shuffle of |L|+|R| rows,
+    // no join operator in the plan (AsOf scaladoc has the scale argument)
+    "join_asof" -> ((s: SparkSession, dir: String) =>
+      graft.ext.AsOf.asofJoin(
+          Tables.events(s, dir)
+            .select(col("event_id"), col("user_id"), col("ts")),
+          Tables.orders(s, dir),
+          "user_id", "o_custkey", "ts", "o_orderdate",
+          valueCols = Seq("o_orderkey", "o_totalprice"),
+          tieBreak = "o_orderkey")
+        .select(col("event_id"),
+          col("asof_o_orderkey").as("asof_orderkey"),
+          col("asof_o_totalprice").as("asof_price"))
+        .orderBy("event_id")),
     "join_enrich" -> ((s: SparkSession, dir: String) =>
       Events.enrichCustomer(Tables.customer(s, dir), Tables.nation(s, dir),
           Tables.region(s, dir))
@@ -726,6 +751,13 @@ object SparkEntry {
          |  CAST(list_reduce([CAST(ascii(c) AS BIGINT) for c in string_split(text, '')],
          |       (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT) AS fp
          |FROM documents ORDER BY doc_id""".stripMargin),
+    "text_topterms" ->
+      // same tokenization as the engine (single-space split, per-doc
+      // distinct) and the same deterministic k-boundary tie-break on term
+      ("""SELECT term, count(*) AS doc_freq FROM (
+         |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+         |  FROM documents
+         |) GROUP BY term ORDER BY doc_freq DESC, term LIMIT 50""".stripMargin),
     "events_json" ->
       ("SELECT event_id, event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k " +
         "FROM events ORDER BY event_id"),
@@ -786,6 +818,26 @@ object SparkEntry {
          |FROM agg, mx
          |WHERE s_end + INTERVAL 30 MINUTE < max_ts
          |ORDER BY user_id, start_ms""".stripMargin),
+    // streaming dedup emits each (hour, user, type) exactly once — the
+    // batch DISTINCT is its exact oracle (same hour stringification as
+    // events_hourly/stream_hourly)
+    "stream_dedup" ->
+      ("""SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour,
+         |  user_id, event_type
+         |FROM events GROUP BY 1, 2, 3
+         |ORDER BY hour, user_id, event_type""".stripMargin),
+    // deterministic as-of reference: latest admissible order date, ties on
+    // (date) broken by largest o_orderkey — the same total order the
+    // engine's (time, side, tie) window sort establishes
+    "join_asof" ->
+      ("""SELECT e.event_id,
+         |  (SELECT o.o_orderkey FROM orders o
+         |   WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+         |   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS asof_orderkey,
+         |  (SELECT o.o_totalprice FROM orders o
+         |   WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+         |   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS asof_price
+         |FROM events e ORDER BY e.event_id""".stripMargin),
     "join_enrich" ->
       ("""SELECT c_custkey, c_name, n_name, r_name
          |FROM customer

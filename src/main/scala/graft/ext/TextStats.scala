@@ -92,4 +92,19 @@ object TextStats {
 
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), rollingFingerprint(col(textCol)).as("fp"))
+
+  /** Corpus top-k terms by document frequency — the vocabulary /
+    * boilerplate / contamination probe every corpus audit starts with.
+    *
+    * explode(distinct per-doc tokens) → count per term → top-k. The
+    * groupBy gets map-side partial aggregation (the shuffle carries one
+    * row per (split, term), not one per occurrence) and the final top-k
+    * plans as TakeOrderedAndProject — no global sort of the vocabulary.
+    * Tie-break on the term itself keeps the k-boundary deterministic. */
+  def topTerms(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(array_distinct(toks(col(textCol)))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("term").asc)
+      .limit(k)
 }

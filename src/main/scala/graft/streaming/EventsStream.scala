@@ -31,6 +31,25 @@ object EventsStream {
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming exact deduplication: the first occurrence of each
+    * (hour window, user, event_type) key is emitted, later duplicates
+    * dropped. The window column carries event-time, so the watermark lets
+    * Spark purge a key's dedup state once its window falls behind the
+    * allowed lateness — BOUNDED state at any scale, the property that makes
+    * streaming dedup deployable (a keys-live-forever dropDuplicates grows
+    * state monotonically until the job dies).
+    *
+    * Batch dual: SELECT DISTINCT hour, user_id, event_type — the oracle
+    * for the `stream_dedup` entry. */
+  def dedupKeys(events: DataFrame, lateness: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .select(window(col("ts"), "1 hour").as("win"),
+        col("user_id"), col("event_type"))
+      .dropDuplicates("win", "user_id", "event_type")
+      .select(date_format(col("win.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("user_id"), col("event_type"))
+
   final case class Evt(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(nEvents: Long, start: Long, lastTs: Long)
   final case class SessionOut(user_id: Long, n_events: Long,

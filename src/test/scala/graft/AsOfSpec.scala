@@ -1,0 +1,69 @@
+package graft
+
+import graft.ext.AsOf
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** As-of join semantics: inclusive time boundary, deterministic tie-break,
+  * left-outer nulls, and the no-join-operator plan shape. */
+class AsOfSpec extends SparkSpec {
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private lazy val left = spark.createDataFrame(
+    spark.sparkContext.parallelize(Seq(
+      Row(1L, 10L, ts("2024-01-05 00:00:00")), // after two orders
+      Row(2L, 10L, ts("2024-01-02 00:00:00")), // exactly AT an order time
+      Row(3L, 10L, ts("2024-01-01 00:00:00")), // before every order
+      Row(4L, 20L, ts("2024-01-05 00:00:00")), // key with tied-time orders
+      Row(5L, 30L, ts("2024-01-05 00:00:00")) // key with no orders at all
+    )),
+    StructType(Seq(StructField("event_id", LongType),
+      StructField("user_id", LongType), StructField("ts", TimestampType))))
+
+  private lazy val right = spark.createDataFrame(
+    spark.sparkContext.parallelize(Seq(
+      Row(100L, 10L, ts("2024-01-02 00:00:00"), 11.0),
+      Row(101L, 10L, ts("2024-01-04 00:00:00"), 22.0),
+      Row(200L, 20L, ts("2024-01-03 00:00:00"), 33.0),
+      Row(201L, 20L, ts("2024-01-03 00:00:00"), 44.0) // same instant as 200
+    )),
+    StructType(Seq(StructField("o_id", LongType),
+      StructField("cust", LongType), StructField("odate", TimestampType),
+      StructField("price", DoubleType))))
+
+  private def run() =
+    AsOf.asofJoin(left, right, "user_id", "cust", "ts", "odate",
+        valueCols = Seq("o_id", "price"), tieBreak = "o_id")
+      .orderBy("event_id")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(3)), Option(r.get(4))))
+
+  test("picks latest at-or-before; boundary is inclusive; no match -> null") {
+    val rows = run()
+    assert(rows(0) == ((1L, Some(101L), Some(22.0)))) // latest of the two
+    assert(rows(1) == ((2L, Some(100L), Some(11.0)))) // odate == ts matches
+    assert(rows(2) == ((3L, None, None))) // before every order
+    assert(rows(4) == ((5L, None, None))) // key never appears on the right
+  }
+
+  test("simultaneous right rows: largest tie-break wins, value cols agree") {
+    val rows = run()
+    // orders 200/201 share (key, time); 201 has the larger o_id, so BOTH
+    // carried columns must come from 201 — never a mix of the two rows
+    assert(rows(3) == ((4L, Some(201L), Some(44.0))))
+  }
+
+  test("plan is a single-shuffle window merge — no join operator at all") {
+    val plan = AsOf.asofJoin(left, right, "user_id", "cust", "ts", "odate",
+      valueCols = Seq("o_id"), tieBreak = "o_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("Window"), plan.take(800))
+    // exactly one exchange: the hash partition on the key for the window
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      plan.take(1200))
+  }
+}

@@ -63,4 +63,16 @@ class TextStatsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fps(1L) == fps(2L) && fps(1L) != fps(3L))
   }
+
+  test("topTerms: document frequency (not occurrences), term tie-break") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "x x x y"), // x appears 3 times but counts ONCE for this doc
+      (2L, "x z"),
+      (3L, "z y")).toDF("doc_id", "text")
+    val top = TextStats.topTerms(df, "text", k = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // x:2 docs, y:2, z:2 — all tied; term order decides, k cuts at 2
+    assert(top == Seq(("x", 2L), ("y", 2L)))
+  }
 }
