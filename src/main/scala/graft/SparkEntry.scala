@@ -242,6 +242,15 @@ object SparkEntry {
       graft.ext.IvfIndex.topK(s, idx, "vec_id", "embedding",
         queryVec(emb), k = 5, nprobe = 2)
     }),
+    // Per-label mean embedding (average pooling) — the class-prototype /
+    // cluster-seed primitive. Decimal accumulation keeps the mean exact
+    // and order-independent (a double sum would vary with partitioning).
+    "emb_centroids" -> ((s: SparkSession, dir: String) =>
+      Similarity.centroidComponents(Tables.embeddings(s, dir),
+          "embedding", "label")
+        .select(col("grp").as("label"), col("pos").cast("long").as("pos"),
+          col("x").as("mean_v"))
+        .orderBy("label", "pos")),
     // ----- §2.10 text analysis -----
     "text_tokens" -> ((s: SparkSession, dir: String) =>
       TextStats.tokenStats(Tables.documents(s, dir), "doc_id", "text")
@@ -751,6 +760,21 @@ object SparkEntry {
          |  CAST(list_reduce([CAST(ascii(c) AS BIGINT) for c in string_split(text, '')],
          |       (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT) AS fp
          |FROM documents ORDER BY doc_id""".stripMargin),
+    // same floor(x*1e10 + 0.5) long quantization + exact integer sum as
+    // the engine — plain IEEE double ops, so both engines quantize every
+    // element to the identical long (a double→decimal cast does NOT agree
+    // across engines on boundary values; see Similarity.centroidComponents)
+    "emb_centroids" ->
+      ("""WITH comp AS (
+         |  SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+         |    unnest(embedding) AS v
+         |  FROM embeddings
+         |)
+         |SELECT label, CAST(pos AS BIGINT) AS pos,
+         |  CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1e10 + 0.5) AS BIGINT))
+         |         AS DOUBLE)
+         |    / count(*) / 1e10 AS mean_v
+         |FROM comp GROUP BY label, pos ORDER BY label, pos""".stripMargin),
     "text_topterms" ->
       // same tokenization as the engine (single-space split, per-doc
       // distinct) and the same deterministic k-boundary tie-break on term

@@ -138,14 +138,31 @@ object Similarity {
     * not reproducible across runs or engines; the decimal sum is exact and
     * order-independent, and the final double division is deterministic. */
   def centroids(df: DataFrame, vecCol: String, groupCol: String): DataFrame =
-    df.select(col(groupCol).as("grp"),
-        posexplode(asDouble(col(vecCol))).as(Seq("pos", "x")))
-      .groupBy("grp", "pos")
-      .agg((sum(col("x").cast("decimal(27,10)")).cast("double") /
-        count(lit(1))).as("x"))
+    centroidComponents(df, vecCol, groupCol)
       .groupBy("grp")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("x")))),
         s => s.getField("x")).as("centroid"))
+
+  /** The (group, position) → mean rows [[centroids]] assembles — exposed
+    * directly because exploded scalars are what an external oracle can
+    * hash-compare (array columns stringify differently across readers).
+    * One shuffle on (group, position) with map-side partial aggregation;
+    * cardinality is |groups| × dim regardless of row count.
+    *
+    * Quantization is `floor(x·1e10 + 0.5)` into a long — plain IEEE double
+    * ops, bit-identical in any engine — then an exact order-independent
+    * integer sum. NOT a double→decimal cast: engines disagree on boundary
+    * values there (Spark rounds the shortest decimal representation,
+    * DuckDB the exact binary value — observed one mismatched component in
+    * 640 at sf0.01). Long sum bound: |x|≤1 ⇒ ~1e10 per element, overflow
+    * needs ~9·10⁸ rows per (group, pos); past that, widen to decimal. */
+  def centroidComponents(df: DataFrame, vecCol: String,
+                         groupCol: String): DataFrame =
+    df.select(col(groupCol).as("grp"),
+        posexplode(asDouble(col(vecCol))).as(Seq("pos", "x")))
+      .groupBy("grp", "pos")
+      .agg((sum(floor(col("x") * lit(1e10) + lit(0.5)).cast("long"))
+        .cast("double") / count(lit(1)) / lit(1e10)).as("x"))
 
   /** IVF-style top-k: coarse-quantize by an existing partition column (here
     * the label plays the nlist role; a production build would k-means), probe

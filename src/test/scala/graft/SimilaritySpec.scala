@@ -94,9 +94,10 @@ class SimilaritySpec extends SparkSpec {
       .orderBy("grp").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
     assert(out.head._1 == 0)
-    assert(out.head._2 == Seq(2.0 / 3, 1.0 / 3, 0.0))
-    // 0.6f widens to 0.6000000238418579, not 0.6; the engine additionally
-    // rounds through decimal(27,10) accumulation — compare with tolerance
+    // the engine quantizes to 1e-10 (portable long sum) — tolerance compare
+    out.head._2.zip(Seq(2.0 / 3, 1.0 / 3, 0.0)).foreach { case (got, e) =>
+      assert(math.abs(got - e) < 1e-9, s"$got vs $e") }
+    // 0.6f widens to 0.6000000238418579, not 0.6
     val exp = Seq((0.6f.toDouble - 1.0) / 2, 0.8f.toDouble / 2, 0.0)
     out(1)._2.zip(exp).foreach { case (got, e) =>
       assert(math.abs(got - e) < 1e-9, s"$got vs $e") }
