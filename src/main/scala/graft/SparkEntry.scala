@@ -270,6 +270,28 @@ object SparkEntry {
     "text_topterms" -> ((s: SparkSession, dir: String) =>
       TextStats.topTerms(Tables.documents(s, dir), "text", k = 50)
         .orderBy(col("doc_freq").desc, col("term"))),
+    "text_lenhist" -> ((s: SparkSession, dir: String) =>
+      TextStats.lenHistogram(Tables.documents(s, dir), "n_chars", width = 100)
+        .orderBy("bucket")),
+    // Deterministic content-hash sampling: downsample English to 20%, keep
+    // 50% elsewhere — membership is a pure function of the text, so every
+    // engine/run/cluster selects the identical subset (rand() does not)
+    "sample_stratified" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Sampling.stratifiedHashSample(Tables.documents(s, dir),
+          "lang", "text", rates = Map("en" -> 2), defaultKeep = 5, outOf = 10)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")),
+    // Decontamination: scrub training docs whose exact normalized content
+    // appears in the held-out source (src19 plays the benchmark/eval set);
+    // anti-join on md5 fingerprints with the tiny eval side broadcast
+    "dedup_decontaminate" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables.documents(s, dir)
+      graft.ext.Dedup.decontaminate(
+          docs.filter(col("source") =!= "src19"),
+          docs.filter(col("source") === "src19"), "text")
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    }),
     // ----- §2.10 events / JSON / windows / joins -----
     "events_json" -> ((s: SparkSession, dir: String) =>
       Events.jsonProps(Tables.events(s, dir)).orderBy("event_id")),
@@ -775,6 +797,30 @@ object SparkEntry {
          |         AS DOUBLE)
          |    / count(*) / 1e10 AS mean_v
          |FROM comp GROUP BY label, pos ORDER BY label, pos""".stripMargin),
+    "text_lenhist" ->
+      ("""SELECT CAST(floor(n_chars / 100) AS BIGINT) AS bucket,
+         |  count(*) AS n_docs, min(n_chars) AS min_len, max(n_chars) AS max_len
+         |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin),
+    // the same Rabin-Karp fold as text_fingerprint decides membership, so
+    // the oracle reproduces the exact subset, not a statistical twin
+    "sample_stratified" ->
+      ("""WITH fp AS (
+         |  SELECT doc_id, lang,
+         |    CAST(list_reduce([CAST(ascii(c) AS BIGINT) for c in string_split(text, '')],
+         |         (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT) % 10 AS b
+         |  FROM documents
+         |)
+         |SELECT doc_id, lang FROM fp
+         |WHERE b < CASE WHEN lang = 'en' THEN 2 ELSE 5 END
+         |ORDER BY doc_id""".stripMargin),
+    // md5(lower(text)) equality == lower(text) equality (no collisions at
+    // any realistic corpus size), so NOT EXISTS over the text is exact
+    "dedup_decontaminate" ->
+      ("""SELECT d.doc_id FROM documents d
+         |WHERE d.source <> 'src19' AND NOT EXISTS (
+         |  SELECT 1 FROM documents e
+         |  WHERE e.source = 'src19' AND lower(e.text) = lower(d.text))
+         |ORDER BY d.doc_id""".stripMargin),
     "text_topterms" ->
       // same tokenization as the engine (single-space split, per-doc
       // distinct) and the same deterministic k-boundary tie-break on term

@@ -90,6 +90,23 @@ object Dedup {
       .groupBy(col("fp")).agg(min(col(idCol)).as(idCol))
       .select(col(idCol), col("fp"))
 
+  /** Decontamination: drop training rows whose exact (case-normalized)
+    * content appears in an evaluation set — the train/test-overlap scrub
+    * every benchmark-clean corpus needs.
+    *
+    * Shape: left_anti join on the md5 fingerprint, never the text — both
+    * sides shuffle (or broadcast) 32-byte keys, not documents. Eval sets
+    * are benchmarks, i.e. tiny next to a 100 TB corpus: Spark broadcasts
+    * the hashed eval side and the training scan filters in place with no
+    * shuffle at all. If the eval side ever outgrows the broadcast
+    * threshold, the same plan degrades gracefully to a shuffled anti-join
+    * on the fingerprints. */
+  def decontaminate(train: DataFrame, eval: DataFrame,
+                    textCol: String): DataFrame =
+    train.join(
+      broadcast(eval.select(fingerprint(col(textCol)).as("__evfp")).distinct()),
+      fingerprint(train(textCol)) === col("__evfp"), "left_anti")
+
   /** Exact n-gram Jaccard near-duplicate pairs, blocked on shared shingles.
     *
     * Both sides of the threshold comparison use `round(j, 4)` so the engine

@@ -1,0 +1,51 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic content-hash sampling — the reproducible way to cut a
+  * corpus down or rebalance strata for training runs.
+  *
+  * `sample(fraction)` / `rand()` are seed- and partitioning-dependent: a
+  * re-run, a different partition count, or a different engine yields a
+  * different subset, which poisons any downstream diff or cache. Hashing
+  * the CONTENT instead makes membership a pure function of the row: every
+  * engine, every run, every cluster size selects the identical subset, and
+  * the filter is a narrow per-row predicate the scan absorbs (no shuffle,
+  * no state).
+  *
+  * The hash is [[TextStats.rollingFingerprint]] (Rabin–Karp mod 1e9+7) —
+  * already engine-portable (the same fold is expressible in plain SQL),
+  * already codegen'd. Hash-mod sampling is biased only if the hash is; a
+  * 31-ary poly hash over natural text is uniform enough for rate control
+  * (it is NOT a cryptographic guarantee).
+  */
+object Sampling {
+
+  /** Keep rows whose content hash lands in [0, keep) of [0, outOf) —
+    * a deterministic ~keep/outOf sample. */
+  def hashSample(df: DataFrame, textCol: String,
+                 keep: Int, outOf: Int): DataFrame = {
+    require(outOf > 0 && keep >= 0 && keep <= outOf,
+      s"need 0 <= keep <= outOf, got $keep/$outOf")
+    df.filter(bucket(col(textCol), outOf) < keep)
+  }
+
+  /** Per-stratum keep rates (stratum value → keep numerator), e.g. lang →
+    * rate to downsample a dominant language. Strata absent from `rates`
+    * fall back to `defaultKeep`. Still one narrow scan — the rate lookup
+    * compiles to a `when` chain, never a join. */
+  def stratifiedHashSample(df: DataFrame, strataCol: String, textCol: String,
+                           rates: Map[String, Int], defaultKeep: Int,
+                           outOf: Int): DataFrame = {
+    require(outOf > 0, "outOf must be positive")
+    val keep = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultKeep)) {
+      case (acc, (stratum, k)) =>
+        when(col(strataCol) === lit(stratum), lit(k)).otherwise(acc)
+    }
+    df.filter(bucket(col(textCol), outOf) < keep)
+  }
+
+  private def bucket(text: Column, outOf: Int): Column =
+    pmod(TextStats.rollingFingerprint(text), lit(outOf.toLong))
+}

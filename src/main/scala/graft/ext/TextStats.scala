@@ -93,6 +93,19 @@ object TextStats {
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), rollingFingerprint(col(textCol)).as("fp"))
 
+  /** Document-length histogram: fixed-width buckets over a length column —
+    * the first plot of any corpus audit (truncation spikes, boilerplate
+    * bands, empty-doc mass all show up here). One partial-aggregated
+    * shuffle of |buckets| rows; min/max per bucket are exact integers so
+    * any engine agrees bit-for-bit. */
+  def lenHistogram(df: DataFrame, lenCol: String, width: Int): DataFrame = {
+    require(width > 0, "bucket width must be positive")
+    df.groupBy(floor(col(lenCol) / width).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col(lenCol)).as("min_len"),
+        max(col(lenCol)).as("max_len"))
+  }
+
   /** Corpus top-k terms by document frequency — the vocabulary /
     * boilerplate / contamination probe every corpus audit starts with.
     *

@@ -1,0 +1,77 @@
+package graft
+
+import graft.ext.{Dedup, Sampling, TextStats}
+import org.apache.spark.sql.functions._
+
+/** Deterministic hash sampling, length histogram, decontamination. */
+class SamplingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "en", "alpha beta gamma"),
+    (2L, "en", "beta gamma delta"),
+    (3L, "en", "gamma delta epsilon"),
+    (4L, "de", "zeta eta theta"),
+    (5L, "de", "eta theta iota"),
+    (6L, "fr", "iota kappa lambda")).toDF("doc_id", "lang", "text")
+
+  test("hashSample: deterministic across calls; keep=outOf keeps all") {
+    val a = Sampling.hashSample(docs, "text", 5, 10).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(docs, "text", 5, 10).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b) // membership is a function of content, not of the run
+    assert(Sampling.hashSample(docs, "text", 10, 10).count() == 6)
+    assert(Sampling.hashSample(docs, "text", 0, 10).count() == 0)
+  }
+
+  test("stratifiedHashSample: per-stratum rate, default for the rest") {
+    val kept = Sampling.stratifiedHashSample(docs, "lang", "text",
+      rates = Map("en" -> 0), defaultKeep = 10, outOf = 10)
+      .select("lang").collect().map(_.getString(0)).toSet
+    assert(kept == Set("de", "fr")) // en fully cut, others fully kept
+  }
+
+  test("stratified subset equals per-row hash predicate (the oracle rule)") {
+    val got = Sampling.stratifiedHashSample(docs, "lang", "text",
+      rates = Map("en" -> 2), defaultKeep = 5, outOf = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val byHand = docs
+      .withColumn("b", pmod(TextStats.rollingFingerprint(col("text")), lit(10L)))
+      .filter(when(col("lang") === "en", col("b") < 2).otherwise(col("b") < 5))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == byHand)
+  }
+
+  test("lenHistogram: bucket edges and exact min/max") {
+    val d = docs.withColumn("len", length(col("text")).cast("long"))
+    val h = TextStats.lenHistogram(d, "len", width = 10)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // lengths: 16,16,19 -> bucket 1; 14,13,17 -> bucket 1 too... compute:
+    val lens = docs.select(length(col("text"))).collect().map(_.getInt(0))
+    val exp = lens.groupBy(_ / 10).toSeq.sortBy(_._1)
+      .map { case (b, ls) => (b.toLong, ls.length.toLong,
+        ls.min.toLong, ls.max.toLong) }
+    assert(h.toSeq == exp)
+  }
+
+  test("decontaminate: drops exact-content overlap, case-insensitive") {
+    val train = Seq((1L, "keep me"), (2L, "Shared Text"), (3L, "also kept"))
+      .toDF("doc_id", "text")
+    val eval = Seq((100L, "shared text")).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(train, eval, "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 3L))
+  }
+
+  test("decontaminate plan: broadcast anti-join on fingerprints") {
+    val train = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val eval = Seq((3L, "b")).toDF("doc_id", "text")
+    val plan = Dedup.decontaminate(train, eval, "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      plan.take(800))
+  }
+}
