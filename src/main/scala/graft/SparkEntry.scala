@@ -273,6 +273,13 @@ object SparkEntry {
     "text_lenhist" -> ((s: SparkSession, dir: String) =>
       TextStats.lenHistogram(Tables.documents(s, dir), "n_chars", width = 100)
         .orderBy("bucket")),
+    // Sequence packing: per-language concat-and-cut block assignment at a
+    // 512-token budget — one window per shard, no global order
+    "pack_blocks" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Packing.packBlocks(Tables.documents(s, dir),
+          "doc_id", "text", "lang", budget = 512L)
+        .select(col("lang"), col("doc_id"), col("n_tokens"), col("block"))
+        .orderBy("lang", "doc_id")),
     // Deterministic content-hash sampling: downsample English to 20%, keep
     // 50% elsewhere — membership is a pure function of the text, so every
     // engine/run/cluster selects the identical subset (rand() does not)
@@ -797,6 +804,19 @@ object SparkEntry {
          |         AS DOUBLE)
          |    / count(*) / 1e10 AS mean_v
          |FROM comp GROUP BY label, pos ORDER BY label, pos""".stripMargin),
+    // same tokenization (single-space split) and the same
+    // preceding-total/budget float division + floor in both engines;
+    // integer token counts are exact in double far past any corpus size
+    "pack_blocks" ->
+      ("""WITH t AS (
+         |  SELECT lang, doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |)
+         |SELECT lang, doc_id, n_tokens,
+         |  CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+         |              - n_tokens) / 512.0) AS BIGINT) AS block
+         |FROM t ORDER BY lang, doc_id""".stripMargin),
     "text_lenhist" ->
       ("""SELECT CAST(floor(n_chars / 100) AS BIGINT) AS bucket,
          |  count(*) AS n_docs, min(n_chars) AS min_len, max(n_chars) AS max_len

@@ -66,6 +66,21 @@ class SamplingSpec extends SparkSpec {
     assert(out == Set(1L, 3L))
   }
 
+  test("packBlocks: per-shard concat-and-cut block assignment") {
+    val d = Seq(
+      (1L, "s1", "a b c"), // 3 tokens, starts at 0 -> block 0
+      (2L, "s1", "d e f g"), // starts at 3 -> block 0
+      (3L, "s1", "h i"), // starts at 7 -> block 1 (budget 5)
+      (4L, "s1", "j"), // starts at 9 -> block 1
+      (5L, "s2", "k l m n o p") // own shard, starts at 0 -> block 0
+    ).toDF("doc_id", "shard", "text")
+    val out = graft.ext.Packing.packBlocks(d, "doc_id", "text", "shard", 5L)
+      .orderBy("shard", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSeq
+    assert(out == Seq((1L, 3L, 0L), (2L, 4L, 0L), (3L, 2L, 1L),
+      (4L, 1L, 1L), (5L, 6L, 0L)))
+  }
+
   test("decontaminate plan: broadcast anti-join on fingerprints") {
     val train = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
     val eval = Seq((3L, "b")).toDF("doc_id", "text")
