@@ -93,4 +93,29 @@ class PlanShapeSpec extends SparkSpec {
     // equi-join on the hashed gram: shuffled hash or broadcast hash both fine
     assert(plan.contains("HashJoin"), plan.take(1200))
   }
+
+  test("top-terms is partial-agg + TakeOrderedAndProject, no global sort") {
+    val plan = executed(graft.ext.TextStats.topTerms(
+      Tables.documents(spark, dir), "text", k = 50))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+    assert(!plan.contains("Exchange rangepartitioning"), plan.take(1500))
+    // partial aggregation before the shuffle (two HashAggregate levels)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(1500))
+  }
+
+  test("hash sampling is a pure scan-side filter — zero exchanges") {
+    val plan = executed(graft.ext.Sampling.stratifiedHashSample(
+      Tables.documents(spark, dir), "lang", "text",
+      rates = Map("en" -> 2), defaultKeep = 5, outOf = 10))
+    assert(!plan.contains("Exchange"), plan.take(1200))
+    assert(plan.contains("Filter"), plan.take(800))
+  }
+
+  test("sequence packing shuffles once, on the shard column only") {
+    val plan = executed(graft.ext.Packing.packBlocks(
+      Tables.documents(spark, dir), "doc_id", "text", "lang", 512L))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      plan.take(1500))
+    assert(plan.contains("Window"), plan.take(800))
+  }
 }
