@@ -434,6 +434,10 @@ object SparkEntry {
                           frame: DataFrame): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory(s"graft-$name-")
     val out = s"$base/out"
+    // a zero-batch drain (empty source) never invokes foreachBatch, so the
+    // directory must exist for the read-back to return an empty frame
+    // instead of failing on a missing path
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out)): Unit
     val writer = frame.writeStream
       .option("checkpointLocation", s"$base/ckpt")
       .outputMode(mode)
@@ -600,7 +604,8 @@ object SparkEntry {
       |  SELECT label, generate_subscripts(e, 1) AS pos, unnest(e) AS x FROM v
       |), cent AS (
       |  SELECT label, pos,
-      |    CAST(sum(CAST(x AS DECIMAL(27,10))) AS DOUBLE) / count(*) AS x
+      |    CAST(sum(CAST(floor(x * 1e10 + 0.5) AS BIGINT)) AS DOUBLE)
+      |      / count(*) / 1e10 AS x
       |  FROM pos GROUP BY label, pos
       |), carr AS (
       |  SELECT label, list(x ORDER BY pos) AS c FROM cent GROUP BY label

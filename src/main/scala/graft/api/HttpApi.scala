@@ -121,7 +121,15 @@ final class HttpApi(service: QueryService, port: Int = 0) {
     server.getAddress.getPort
   }
 
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = {
+    server.stop(0)
+    // the cached pool outlives the server by its 60s keep-alive otherwise —
+    // repeated start/stop cycles in one process would accumulate idle threads
+    server.getExecutor match {
+      case es: java.util.concurrent.ExecutorService => es.shutdown()
+      case _ => ()
+    }
+  }
 
   // -------------------------------------------------------------------
 

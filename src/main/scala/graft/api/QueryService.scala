@@ -31,6 +31,9 @@ final class QueryService(spark: SparkSession, catalog: Catalog) {
     * can't grow driver memory without limit. */
   private val historyBuf =
     new java.util.concurrent.ConcurrentLinkedDeque[HistoryEntry]()
+  // ConcurrentLinkedDeque.size() walks the whole deque (O(n)); tracking the
+  // count separately keeps the per-request trim O(1)
+  private val historySize = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** POST /query (app_server.py:202-278). */
   def query(req: QueryRequest): Either[QueryError, QuerySuccess] =
@@ -50,7 +53,8 @@ final class QueryService(spark: SparkSession, catalog: Catalog) {
         success = false, 0.0, 0, error = Some(err.error))
     }
     historyBuf.addLast(entry)
-    while (historyBuf.size > HistoryCap) historyBuf.pollFirst(): Unit
+    if (historySize.incrementAndGet() > HistoryCap &&
+        historyBuf.pollFirst() != null) historySize.decrementAndGet(): Unit
     out
   }
 
@@ -60,7 +64,10 @@ final class QueryService(spark: SparkSession, catalog: Catalog) {
     historyBuf.iterator().asScala.toSeq
   }
 
-  def clearHistory(): Unit = historyBuf.clear() // main.py:275
+  def clearHistory(): Unit = { // main.py:275
+    historyBuf.clear()
+    historySize.set(0)
+  }
 
   /** The UI's summary metrics (main.py:263-268): total queries, success
     * rate (%), mean execution time — computed over THIS service's own

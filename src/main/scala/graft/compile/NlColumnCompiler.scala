@@ -42,8 +42,11 @@ object NlColumnCompiler {
   def classify(text: Column): Column = {
     val t = lower(text)
     // Python int(re.search(r'\d+', t)) — the FIRST digit run only
-    // (No_Sql.py:325); empty string = no number in the text
-    val num = regexp_extract(t, "\\d+", 0)
+    // (No_Sql.py:325); empty string = no number in the text. int() also
+    // NORMALIZES ("007" → 7), as does the scalar compiler's BigInt — strip
+    // leading zeros (keeping a lone "0") so the two compilers emit the
+    // same value string for every input, not just zero-free ones
+    val num = regexp_replace(regexp_extract(t, "\\d+", 0), "^0+(?=\\d)", "")
     val hasNum = num =!= ""
 
     // Rule 1: salary (No_Sql.py:322-331) — HAS an else branch (eq)

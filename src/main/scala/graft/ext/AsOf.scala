@@ -41,24 +41,36 @@ object AsOf {
                valueCols: Seq[String], tieBreak: String): DataFrame = {
     require(valueCols.nonEmpty, "asofJoin needs at least one value column")
     val leftCols = left.columns.toSeq
-    // cast both time axes to one type: the testdata mixes TIMESTAMP_NTZ
-    // (orders) with micros-truncated TIMESTAMP (events), and a union must
-    // agree; session timezone is UTC so the cast is instant-preserving
+    // the value columns ride in ONE struct so last(_, ignoreNulls) picks an
+    // entire right row atomically: selecting each value column with its own
+    // last() would tear columns across different right rows whenever the
+    // latest admissible row holds a NULL in one of them (struct-of-row is
+    // never null for a right row, even if every member is)
     val lTagged = left.select(
       (Seq(col(leftKey).as("__k"),
+        // one time type for the union: the testdata mixes TIMESTAMP_NTZ
+        // (orders) with micros-truncated TIMESTAMP (events); session
+        // timezone is UTC so the cast is instant-preserving
         col(leftTime).cast("timestamp").as("__t"),
         lit(1).as("__side"),
-        lit(null).cast(right.schema(tieBreak).dataType).as("__tie")) ++
-        valueCols.map(c =>
-          lit(null).cast(right.schema(c).dataType).as(s"__v_$c")) ++
+        lit(null).cast(right.schema(tieBreak).dataType).as("__tie"),
+        lit(null).cast(org.apache.spark.sql.types.StructType(valueCols.map(
+          c => org.apache.spark.sql.types.StructField(c, right.schema(c)
+            .dataType)))).as("__vs")) ++
         leftCols.map(col)): _*)
-    val rTagged = right.select(
-      (Seq(col(rightKey).as("__k"),
-        col(rightTime).cast("timestamp").as("__t"),
-        lit(0).as("__side"),
-        col(tieBreak).as("__tie")) ++
-        valueCols.map(c => col(c).as(s"__v_$c")) ++
-        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    val rTagged = right
+      // SQL comparison semantics: a right row with a NULL key or NULL time
+      // satisfies neither `r.key = l.key` nor `r.t <= l.t` — it must never
+      // match. (A NULL-key/time LEFT row still flows through: it sorts
+      // before any real right row in its partition and yields NULL values.)
+      .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
+      .select(
+        (Seq(col(rightKey).as("__k"),
+          col(rightTime).cast("timestamp").as("__t"),
+          lit(0).as("__side"),
+          col(tieBreak).as("__tie"),
+          struct(valueCols.map(col): _*).as("__vs")) ++
+          leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
     // right rows sort BEFORE left rows at equal time => the join is
     // inclusive (right.t <= left.t); among right rows at one instant the
     // largest tie-break sorts last and is what last() picks up
@@ -66,10 +78,10 @@ object AsOf {
       .orderBy(col("__t").asc, col("__side").asc, col("__tie").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lTagged.unionByName(rTagged)
-      .select((leftCols.map(col) :+ col("__side")) ++
-        valueCols.map(c =>
-          last(col(s"__v_$c"), ignoreNulls = true).over(w).as(s"asof_$c")): _*)
+      .select((leftCols.map(col) :+ col("__side")) :+
+        last(col("__vs"), ignoreNulls = true).over(w).as("__asof"): _*)
       .filter(col("__side") === 1)
-      .drop("__side")
+      .select(leftCols.map(col) ++
+        valueCols.map(c => col(s"__asof.$c").as(s"asof_$c")): _*)
   }
 }

@@ -22,8 +22,9 @@ import org.apache.spark.sql.functions._
   * nearest centroid — the index layout, probe selection, and pruned-scan
   * query path are identical either way.
   *
-  * Centroid arithmetic matches [[Similarity.centroids]] exactly (decimal
-  * accumulation, order-independent) so an external engine can reproduce the
+  * Centroid arithmetic matches [[Similarity.centroids]] exactly (the
+  * portable floor(x·1e10 + 0.5) long-quantized accumulation —
+  * order-independent integer sums) so an external engine can reproduce the
   * probe selection bit-for-bit.
   */
 object IvfIndex {

@@ -133,10 +133,10 @@ object Similarity {
   /** Per-group centroids via posexplode → (group, position) mean → array
     * reassembly. Fully distributed — no vector ever crosses the driver.
     *
-    * The mean is sum/count with DECIMAL accumulation, not `avg(double)`:
-    * double summation order varies with partitioning, so a double sum is
-    * not reproducible across runs or engines; the decimal sum is exact and
-    * order-independent, and the final double division is deterministic. */
+    * The mean is NOT `avg(double)` (summation order varies with
+    * partitioning, so a double sum is not reproducible across runs or
+    * engines) — see [[centroidComponents]] for the portable long-quantized
+    * accumulation both this and every oracle use. */
   def centroids(df: DataFrame, vecCol: String, groupCol: String): DataFrame =
     centroidComponents(df, vecCol, groupCol)
       .groupBy("grp")

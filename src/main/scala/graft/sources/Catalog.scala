@@ -25,11 +25,13 @@ final class Catalog(spark: SparkSession, root: String) {
   /** json/csv schema inference is a full data scan; doing it on every
     * resolve() (health() resolves too) re-reads the collection per request.
     * First resolution memoizes the inferred schema per (db, collection) so
-    * later reads plan straight from it. Parquet is self-describing
-    * (footer-only schema) and is NOT cached — new files keep appearing in
-    * later reads, matching a live collection. */
+    * later reads plan straight from it. The entry is keyed by the file's
+    * modification time: appends to a live schemaless collection (new docs
+    * may carry NEW fields) bump the mtime and trigger one re-inference —
+    * one extra FS stat per resolve buys staleness-freedom. Parquet is
+    * self-describing (footer-only schema) and is NOT cached. */
   private val inferredSchemas = scala.collection.concurrent.TrieMap
-    .empty[(String, String), org.apache.spark.sql.types.StructType]
+    .empty[(String, String), (Long, org.apache.spark.sql.types.StructType)]
 
   /** Explicitly bind (db, collection) to a frame factory (e.g. a view). */
   def register(db: String, collection: String)(f: => DataFrame): Unit = {
@@ -50,11 +52,10 @@ final class Catalog(spark: SparkSession, root: String) {
     candidates.find { case (p, _) => exists(p) } match {
       case Some((p, "parquet")) => spark.read.parquet(p)
       case Some((p, "json")) =>
-        val schema = inferredSchemas.getOrElseUpdate(key,
-          spark.read.json(p).schema)
+        val schema = cachedSchema(key, p, spark.read.json(p).schema)
         spark.read.schema(schema).json(p)
       case Some((p, "csv")) =>
-        val schema = inferredSchemas.getOrElseUpdate(key,
+        val schema = cachedSchema(key, p,
           spark.read.option("header", "true").option("inferSchema", "true")
             .csv(p).schema)
         spark.read.option("header", "true").schema(schema).csv(p)
@@ -62,6 +63,21 @@ final class Catalog(spark: SparkSession, root: String) {
         throw new NoSuchElementException(
           s"no table for ($db, $collection) under $root " +
             s"(tried ${candidates.map(_._1).mkString(", ")})")
+    }
+  }
+
+  private def cachedSchema(key: (String, String), path: String,
+      infer: => org.apache.spark.sql.types.StructType):
+      org.apache.spark.sql.types.StructType = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val mtime = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getFileStatus(p).getModificationTime
+    inferredSchemas.get(key) match {
+      case Some((t, s)) if t == mtime => s
+      case _ =>
+        val s = infer
+        inferredSchemas.put(key, (mtime, s))
+        s
     }
   }
 

@@ -55,6 +55,49 @@ class AsOfSpec extends SparkSpec {
     assert(rows(3) == ((4L, Some(201L), Some(44.0))))
   }
 
+  test("NULL in a value column of the winning row must not tear columns") {
+    val l = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, 10L, ts("2024-01-05 00:00:00")))),
+      StructType(Seq(StructField("event_id", LongType),
+        StructField("user_id", LongType), StructField("ts", TimestampType))))
+    val r = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(100L, 10L, ts("2024-01-02 00:00:00"), java.lang.Double.valueOf(11.0)),
+        Row(101L, 10L, ts("2024-01-04 00:00:00"), null: java.lang.Double))),
+      StructType(Seq(StructField("o_id", LongType),
+        StructField("cust", LongType), StructField("odate", TimestampType),
+        StructField("price", DoubleType))))
+    val out = AsOf.asofJoin(l, r, "user_id", "cust", "ts", "odate",
+      valueCols = Seq("o_id", "price"), tieBreak = "o_id").head()
+    // the latest row (101) wins for BOTH columns: key 101, price NULL —
+    // never key 101 with the stale price 11.0 from row 100
+    assert(out.getLong(3) == 101L)
+    assert(out.isNullAt(4))
+  }
+
+  test("NULL right keys/times never match; NULL left time yields NULL") {
+    val l = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, 10L, ts("2024-01-05 00:00:00")),
+        Row(2L, 10L, null: java.sql.Timestamp), // null event time
+        Row(3L, null: java.lang.Long, ts("2024-01-05 00:00:00")))), // null key
+      StructType(Seq(StructField("event_id", LongType),
+        StructField("user_id", LongType), StructField("ts", TimestampType))))
+    val r = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(100L, 10L, null: java.sql.Timestamp, 1.0), // null right time
+        Row(101L, null: java.lang.Long, ts("2024-01-01 00:00:00"), 2.0))), // null right key
+      StructType(Seq(StructField("o_id", LongType),
+        StructField("cust", LongType), StructField("odate", TimestampType),
+        StructField("price", DoubleType))))
+    val rows = AsOf.asofJoin(l, r, "user_id", "cust", "ts", "odate",
+        valueCols = Seq("o_id"), tieBreak = "o_id")
+      .orderBy("event_id").collect()
+    assert(rows.length == 3) // left-outer: every left row survives
+    assert(rows.forall(_.isNullAt(3))) // and none of them matched
+  }
+
   test("plan is a single-shuffle window merge — no join operator at all") {
     val plan = AsOf.asofJoin(left, right, "user_id", "cust", "ts", "odate",
       valueCols = Seq("o_id"), tieBreak = "o_id")

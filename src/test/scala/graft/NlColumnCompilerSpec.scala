@@ -65,7 +65,10 @@ class NlColumnCompilerSpec extends SparkSpec {
       "engineers with age over 30", // age shadows department
       "age 55 mentioned",           // direction-less age falls through to all
       "experience 9 noted",         // direction-less experience falls through
-      "salary")                     // keyword with no number -> all
+      "salary",                     // keyword with no number -> all
+      "salary below 007",           // int() normalization: 007 -> 7
+      "salary exactly 000",         // all-zero run -> single 0
+      "age over 0042")              // leading zeros through a non-salary rule
     assert(columnTuples(corpus) == corpus.map(scalarTuple))
   }
 

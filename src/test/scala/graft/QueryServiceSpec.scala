@@ -93,19 +93,23 @@ class QueryServiceSpec extends SparkSpec {
     assert(s.history.isEmpty && s.historyStats().nQueries == 0)
   }
 
-  test("catalog: json schema memoized — later reads see data, not re-inference") {
+  test("catalog: json schema memoized by mtime — re-inferred on change") {
     val dir = java.nio.file.Files.createTempDirectory("graft-memo").toString
     java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$dir/db1"))
     val f = java.nio.file.Paths.get(s"$dir/db1/docs.json")
     java.nio.file.Files.writeString(f, "{\"a\": 1, \"b\": \"x\"}\n")
     val c = new Catalog(spark, dir)
     assert(c.resolve("db1", "docs").columns.sorted.toSeq == Seq("a", "b"))
-    // append a doc introducing a new field: the cached schema keeps the
-    // plan scan-free of re-inference (no column "d"), but new ROWS appear
+    assert(c.resolve("db1", "docs").columns.sorted.toSeq == Seq("a", "b"))
+    // a live schemaless collection grows a NEW field: the mtime bump must
+    // invalidate the cached schema so queries can see column "d"
     java.nio.file.Files.writeString(f,
       "{\"a\": 1, \"b\": \"x\"}\n{\"a\": 2, \"d\": true}\n")
+    java.nio.file.Files.setLastModifiedTime(f, // defeat mtime granularity
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() + 5000))
     val df = c.resolve("db1", "docs")
-    assert(df.columns.sorted.toSeq == Seq("a", "b"))
+    assert(df.columns.sorted.toSeq == Seq("a", "b", "d"))
     assert(df.count() == 2)
   }
 
