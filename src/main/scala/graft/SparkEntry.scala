@@ -330,6 +330,14 @@ object SparkEntry {
         graft.streaming.EventsStream.sessionize(evts).toDF())
         .orderBy("user_id", "start_ms")
     }),
+    // Stream-static join: the event stream enriches against the broadcast
+    // customer dim, then aggregates per (hour, segment) — certified against
+    // the identical batch join+group SQL
+    "stream_enrich" -> ((s: SparkSession, dir: String) =>
+      drainStream(s, "graft_stream_enrich", "complete",
+        graft.streaming.EventsStream.hourlyBySegment(eventsStream(s, dir),
+          Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))))
+        .orderBy("hour", "c_mktsegment")),
     // Streaming exact dedup: watermarked dropDuplicates on (hour window,
     // user, type) — first occurrence emitted, state purged as the
     // watermark passes each window. Oracle = batch SELECT DISTINCT.
@@ -913,6 +921,13 @@ object SparkEntry {
          |FROM agg, mx
          |WHERE s_end + INTERVAL 30 MINUTE < max_ts
          |ORDER BY user_id, start_ms""".stripMargin),
+    // the stream-static join computes the identical batch join + aggregate
+    "stream_enrich" ->
+      ("""SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour,
+         |  c_mktsegment, count(*) AS n,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM events JOIN customer ON user_id = c_custkey
+         |GROUP BY 1, 2 ORDER BY hour, c_mktsegment""".stripMargin),
     // streaming dedup emits each (hour, user, type) exactly once — the
     // batch DISTINCT is its exact oracle (same hour stringification as
     // events_hourly/stream_hourly)

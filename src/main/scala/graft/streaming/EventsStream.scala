@@ -31,6 +31,23 @@ object EventsStream {
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Stream-static enrichment + windowed aggregate: the streaming fact
+    * joins a broadcast STATIC dimension before a watermarked tumbling
+    * aggregate — the canonical "enrich events with dims as they arrive"
+    * topology. A stream-static inner join keeps no join state at all (only
+    * the aggregate holds watermark-bounded state), the static side is
+    * re-planned per micro-batch, and the broadcast means the stream never
+    * shuffles for the join at any scale. */
+  def hourlyBySegment(events: DataFrame, dim: DataFrame,
+                      lateness: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("c_mktsegment"), col("n"), col("sum_value"))
+
   /** Streaming exact deduplication: the first occurrence of each
     * (hour window, user, event_type) key is emitted, later duplicates
     * dropped. The window column carries event-time, so the watermark lets
