@@ -446,18 +446,27 @@ object SparkEntry {
     // directory must exist for the read-back to return an empty frame
     // instead of failing on a missing path
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out)): Unit
-    val writer = frame.writeStream
-      .option("checkpointLocation", s"$base/ckpt")
-      .outputMode(mode)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-    val q = mode match {
-      case "append" => writer.format("parquet").option("path", out).start()
-      case _ => writer.foreachBatch {
-          (batch: DataFrame, _: Long) =>
-            batch.write.mode("overwrite").parquet(out)
-        }.start()
-    }
-    q.awaitTermination()
+    // a stateful stream allocates one state-store instance per shuffle
+    // partition PER BATCH; at gate scale 32 stores are pure task overhead.
+    // The partition count is captured by the query's checkpoint at start
+    // (fresh here), so scoping the conf to the drain is safe; a production
+    // deployment sizes this to its key cardinality instead.
+    val saved = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val writer = frame.writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode(mode)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      val q = mode match {
+        case "append" => writer.format("parquet").option("path", out).start()
+        case _ => writer.foreachBatch {
+            (batch: DataFrame, _: Long) =>
+              batch.write.mode("overwrite").parquet(out)
+          }.start()
+      }
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", saved)
     s.read.schema(frame.schema).parquet(out)
   }
 
