@@ -273,6 +273,12 @@ object SparkEntry {
     "text_lenhist" -> ((s: SparkSession, dir: String) =>
       TextStats.lenHistogram(Tables.documents(s, dir), "n_chars", width = 100)
         .orderBy("bucket")),
+    // exact per-language median doc length — middle-rows formulation, not
+    // percentile_approx, precisely so an external engine can reproduce it
+    "text_lenmedian" -> ((s: SparkSession, dir: String) =>
+      TextStats.groupMedian(Tables.documents(s, dir), "lang", "n_chars")
+        .withColumnRenamed("median", "median_chars")
+        .orderBy("lang")),
     // Sequence packing: per-language concat-and-cut block assignment at a
     // 512-token budget — one window per shard, no global order
     "pack_blocks" -> ((s: SparkSession, dir: String) =>
@@ -843,6 +849,19 @@ object SparkEntry {
       ("""SELECT CAST(floor(n_chars / 100) AS BIGINT) AS bucket,
          |  count(*) AS n_docs, min(n_chars) AS min_len, max(n_chars) AS max_len
          |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin),
+    // identical middle-rows median formulation; tie order among equal
+    // values cannot change which VALUES are selected
+    "text_lenmedian" ->
+      ("""WITH r AS (
+         |  SELECT lang, n_chars,
+         |    row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+         |    count(*) OVER (PARTITION BY lang) AS cnt
+         |  FROM documents
+         |)
+         |SELECT lang, max(cnt) AS n_docs,
+         |  CAST(sum(n_chars) AS DOUBLE) / count(*) AS median_chars
+         |FROM r WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+         |GROUP BY lang ORDER BY lang""".stripMargin),
     // the same Rabin-Karp fold as text_fingerprint decides membership, so
     // the oracle reproduces the exact subset, not a statistical twin
     "sample_stratified" ->

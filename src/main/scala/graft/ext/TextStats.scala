@@ -93,6 +93,30 @@ object TextStats {
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), rollingFingerprint(col(textCol)).as("fp"))
 
+  /** Exact per-group median of an integer column: rank within the group,
+    * keep the middle row (odd n) or middle two (even n), average them.
+    * sum/count over at most two exact integers is engine-portable double
+    * arithmetic — unlike percentile_approx (algorithm-defined, no external
+    * oracle can reproduce it) or interpolated percentile built-ins (engines
+    * disagree on the interpolation formula).
+    *
+    * Cost is the honest exact-median cost: one shuffle on the group and an
+    * in-partition sort. At 100 TB with huge groups, reach for
+    * percentile_approx and give up oracle-exactness consciously. */
+  def groupMedian(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byGrp = Window.partitionBy(col(groupCol))
+    val ranked = df.select(col(groupCol), col(valCol))
+      .withColumn("__rn", row_number().over(byGrp.orderBy(col(valCol))))
+      .withColumn("__n", count(lit(1)).over(byGrp))
+    ranked
+      .filter(col("__rn") === expr("(__n + 1) div 2") ||
+        col("__rn") === expr("(__n + 2) div 2"))
+      .groupBy(col(groupCol))
+      .agg(max(col("__n")).as("n_docs"),
+        (sum(col(valCol)).cast("double") / count(lit(1))).as("median"))
+  }
+
   /** Document-length histogram: fixed-width buckets over a length column —
     * the first plot of any corpus audit (truncation spikes, boilerplate
     * bands, empty-doc mass all show up here). One partial-aggregated

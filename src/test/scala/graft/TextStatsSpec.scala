@@ -64,6 +64,17 @@ class TextStatsSpec extends SparkSpec {
     assert(fps(1L) == fps(2L) && fps(1L) != fps(3L))
   }
 
+  test("groupMedian: odd and even group sizes, exact middle values") {
+    import spark.implicits._
+    val d = Seq(("a", 1L), ("a", 9L), ("a", 5L), // odd: median 5
+      ("b", 2L), ("b", 4L), ("b", 10L), ("b", 100L)) // even: (4+10)/2 = 7
+      .toDF("grp", "v")
+    val out = TextStats.groupMedian(d, "grp", "v")
+      .orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(out == Seq(("a", 3L, 5.0), ("b", 4L, 7.0)))
+  }
+
   test("topTerms: document frequency (not occurrences), term tie-break") {
     import spark.implicits._
     val df = Seq(
