@@ -457,6 +457,12 @@ object SparkEntry {
     // The partition count is captured by the query's checkpoint at start
     // (fresh here), so scoping the conf to the drain is safe; a production
     // deployment sizes this to its key cardinality instead.
+    //
+    // The save/set/restore mutates SESSION state: the object-level lock
+    // serializes overlapping drains (otherwise drain B could save A's
+    // temporary "8" and pin the session there). Verify/Bench call entries
+    // sequentially anyway; the lock makes the harness safe, not fast.
+    DrainLock.synchronized {
     val saved = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
     try {
@@ -473,8 +479,11 @@ object SparkEntry {
       }
       q.awaitTermination()
     } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+    }
     s.read.schema(frame.schema).parquet(out)
   }
+
+  private object DrainLock
 
   /** Deterministic query vector for the similarity entries: the embedding of
     * vec_id 0, collected once (one row — metadata-sized, not a data scan). */

@@ -11,11 +11,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * falling back to `root/<collection>.parquet` for flat layouts (the
   * driver's TESTDATA.md contract). Explicit registrations win over both.
   *
-  * Formats: parquet (columnar, the scale path), json (newline-delimited
-  * documents — the closest analog of a Mongo collection: schema inferred
-  * per read, extra/missing fields tolerated), csv (header + inferred
-  * schema). All reads are plain `spark.read` so Catalyst pushdown reaches
-  * every source that supports it.
+  * Formats: parquet and orc (columnar, self-describing — the scale paths),
+  * json (newline-delimited documents — the closest analog of a Mongo
+  * collection: schema inferred on first read, extra/missing fields
+  * tolerated), csv (header + inferred schema). All reads are plain
+  * `spark.read` so Catalyst pushdown reaches every source that supports it.
   */
 final class Catalog(spark: SparkSession, root: String) {
 
@@ -45,12 +45,14 @@ final class Catalog(spark: SparkSession, root: String) {
   private def readPath(db: String, collection: String): DataFrame = {
     val candidates = Seq(
       (s"$root/$db/$collection.parquet", "parquet"),
+      (s"$root/$db/$collection.orc", "orc"),
       (s"$root/$db/$collection.json", "json"),
       (s"$root/$db/$collection.csv", "csv"),
       (s"$root/$collection.parquet", "parquet"))
     val key = (db, collection)
     candidates.find { case (p, _) => exists(p) } match {
       case Some((p, "parquet")) => spark.read.parquet(p)
+      case Some((p, "orc"))     => spark.read.orc(p) // self-describing, like parquet
       case Some((p, "json")) =>
         val schema = cachedSchema(key, p, spark.read.json(p).schema)
         spark.read.schema(schema).json(p)

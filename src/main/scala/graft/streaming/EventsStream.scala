@@ -23,13 +23,22 @@ object EventsStream {
     * exactly (stringified hour, decimal-accumulated sum) so the streaming
     * result is certifiable against the same external oracle. */
   def hourlyCounts(events: DataFrame, lateness: String = "2 hours"): DataFrame =
+    hourlyAgg(events, "event_type", lateness)
+
+  /** The oracle-certified watermark → hourly window → decimal-accumulated
+    * aggregate → stringified-hour block, shared by every streaming entry
+    * that hash-matches a batch SQL oracle: the exact arithmetic and hour
+    * format MUST stay identical everywhere or one query's certification
+    * silently diverges. */
+  private def hourlyAgg(events: DataFrame, keyCol: String,
+                        lateness: String): DataFrame =
     events
       .withWatermark("ts", lateness)
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .groupBy(window(col("ts"), "1 hour"), col(keyCol))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
-        col("event_type"), col("n"), col("sum_value"))
+        col(keyCol), col("n"), col("sum_value"))
 
   /** Stream-static enrichment + windowed aggregate: the streaming fact
     * joins a broadcast STATIC dimension before a watermarked tumbling
@@ -40,13 +49,9 @@ object EventsStream {
     * shuffles for the join at any scale. */
   def hourlyBySegment(events: DataFrame, dim: DataFrame,
                       lateness: String = "2 hours"): DataFrame =
-    events.withWatermark("ts", lateness)
-      .join(broadcast(dim), col("user_id") === col("c_custkey"))
-      .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
-      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
-        col("c_mktsegment"), col("n"), col("sum_value"))
+    hourlyAgg(
+      events.join(broadcast(dim), col("user_id") === col("c_custkey")),
+      "c_mktsegment", lateness)
 
   /** Streaming exact deduplication: the first occurrence of each
     * (hour window, user, event_type) key is emitted, later duplicates

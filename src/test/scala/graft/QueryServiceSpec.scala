@@ -113,6 +113,14 @@ class QueryServiceSpec extends SparkSpec {
     assert(df.count() == 2)
   }
 
+  test("catalog: orc collections resolve like parquet (self-describing)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    employees.write.orc(s"$dir/db1/emps.orc")
+    val df = new Catalog(spark, dir).resolve("db1", "emps")
+    assert(df.count() == employees.count())
+    assert(df.columns.sorted.toSeq == employees.columns.sorted.toSeq)
+  }
+
   test("catalog: json documents read like a schemaless collection") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cat").toString
     java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$dir/db1"))
