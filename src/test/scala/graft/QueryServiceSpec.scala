@@ -74,6 +74,20 @@ class QueryServiceSpec extends SparkSpec {
     intercept[NoSuchElementException] { c.resolve("testdb", "absent") }
   }
 
+  test("concurrent requests all complete (no pool starvation timeouts)") {
+    val s = new QueryService(spark, catalog)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val results = Await.result(
+      Future.sequence((1 to 8).toList.map(_ =>
+        Future(s.query(QueryRequest("earning more than 60000"))))),
+      2.minutes)
+    assert(results.forall(_.isRight), results.find(_.isLeft).toString)
+    assert(s.historyStats().nQueries == 8)
+  }
+
   test("query history: every call appends, stats match the UI arithmetic") {
     val s = new QueryService(spark, catalog) // fresh buffer, not the shared svc
     assert(s.historyStats() == HistoryStats(0, 0.0, 0.0))
