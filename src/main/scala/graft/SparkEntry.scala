@@ -273,6 +273,13 @@ object SparkEntry {
     "text_lenhist" -> ((s: SparkSession, dir: String) =>
       TextStats.lenHistogram(Tables.documents(s, dir), "n_chars", width = 100)
         .orderBy("bucket")),
+    // C4-style quality gate: keep docs ≥100 chars, stopword ratio ≥0.02,
+    // mean token length ≤5.0 — thresholds on the ROUNDED metrics so the
+    // keep set is reproducible externally
+    "text_cleanpass" -> ((s: SparkSession, dir: String) =>
+      TextStats.cleanPass(Tables.documents(s, dir), "doc_id", "text",
+          minChars = 100L, minStopwordRatio = 0.02, maxAvgTokenLen = 5.0)
+        .orderBy("doc_id")),
     // exact per-language median doc length — middle-rows formulation, not
     // percentile_approx, precisely so an external engine can reproduce it
     "text_lenmedian" -> ((s: SparkSession, dir: String) =>
@@ -858,6 +865,22 @@ object SparkEntry {
       ("""SELECT CAST(floor(n_chars / 100) AS BIGINT) AS bucket,
          |  count(*) AS n_docs, min(n_chars) AS min_len, max(n_chars) AS max_len
          |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin),
+    // same metric arithmetic as text_quality with the same thresholds on
+    // the rounded values
+    "text_cleanpass" ->
+      ("""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS s FROM documents),
+         |q AS (
+         |  SELECT doc_id,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    round(CAST(list_sum([length(w) for w in s]) AS DOUBLE) / len(s), 4) AS avg_token_len,
+         |    round(CAST(len([w for w in s if w IN ('the','a','of','and','to','is')]) AS DOUBLE) / len(s), 4) AS stopword_ratio,
+         |    round(CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+         |          / greatest(length(text), 1), 4) AS punct_ratio
+         |  FROM t
+         |)
+         |SELECT * FROM q
+         |WHERE n_chars >= 100 AND stopword_ratio >= 0.02 AND avg_token_len <= 5.0
+         |ORDER BY doc_id""".stripMargin),
     // identical middle-rows median formulation; tie order among equal
     // values cannot change which VALUES are selected
     "text_lenmedian" ->

@@ -93,6 +93,21 @@ object TextStats {
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), rollingFingerprint(col(textCol)).as("fp"))
 
+  /** Quality-gate cleaning pass — the C4-style keep/drop filter every
+    * pretraining corpus goes through: keep documents inside a quality
+    * envelope (long enough, stopword-bearing, sane token lengths).
+    * Composes the [[quality]] metrics and thresholds their ROUNDED values,
+    * so an external engine reproduces the exact keep set (thresholding the
+    * unrounded doubles would disagree at representation boundaries). All
+    * narrow per-row expressions — the gate rides the scan, no shuffle. */
+  def cleanPass(df: DataFrame, idCol: String, textCol: String,
+                minChars: Long, minStopwordRatio: Double,
+                maxAvgTokenLen: Double): DataFrame =
+    quality(df, idCol, textCol)
+      .filter(col("n_chars") >= minChars &&
+        col("stopword_ratio") >= minStopwordRatio &&
+        col("avg_token_len") <= maxAvgTokenLen)
+
   /** Exact per-group median of an integer column: rank within the group,
     * keep the middle row (odd n) or middle two (even n), average them.
     * sum/count over at most two exact integers is engine-portable double

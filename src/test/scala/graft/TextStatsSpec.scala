@@ -64,6 +64,20 @@ class TextStatsSpec extends SparkSpec {
     assert(fps(1L) == fps(2L) && fps(1L) != fps(3L))
   }
 
+  test("cleanPass: each threshold drops its own violator") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the cat sat of the mat and it was a good mat to sit"), // keeps
+      (2L, "no stopwords here just content words only banana"), // ratio 0
+      (3L, "aa bb"), // too short
+      (4L, "the extraordinarily sesquipedalian circumlocutions of the magniloquent")) // long tokens
+      .toDF("doc_id", "text")
+    val kept = TextStats.cleanPass(d, "doc_id", "text",
+        minChars = 10L, minStopwordRatio = 0.02, maxAvgTokenLen = 6.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L))
+  }
+
   test("groupMedian: odd and even group sizes, exact middle values") {
     import spark.implicits._
     val d = Seq(("a", 1L), ("a", 9L), ("a", 5L), // odd: median 5
