@@ -186,6 +186,16 @@ object SparkEntry {
       Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
           n = 3, threshold = 0.5, maxCandidatePairs = 50000000L)
         .orderBy("id_a", "id_b")),
+    // pairs -> CLUSTERS: connected components by distributed min-label
+    // propagation over the banded-LSH pair graph, canonical rep = min id
+    // (the oracle resolves the same graph with a recursive CTE)
+    "dedup_clusters" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Components.connectedComponents(
+          Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+              n = 3, bands = 64, rowsPerBand = 2, threshold = 0.5)
+            .select(col("id_a").as("src"), col("id_b").as("dst")))
+        .select(col("id").as("doc_id"), col("comp").as("cluster"))
+        .orderBy("doc_id")),
     "dedup_minhash" -> ((s: SparkSession, dir: String) =>
       Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
           n = 3, bands = 64, rowsPerBand = 2, threshold = 0.5)
@@ -552,10 +562,11 @@ object SparkEntry {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
-  /** Shared CTE for jaccard/minhash oracles: distinct 3-gram shingles per
-    * doc (whole text when < 3 tokens), exploded with sizes. */
-  private val JaccardOracle: String =
-    """WITH toks AS (
+  /** Shared CTEs for jaccard/minhash/cluster oracles: distinct 3-gram
+    * shingles per doc (whole text when < 3 tokens), exploded with sizes,
+    * blocked pair counts. */
+  private val JaccardCtes: String =
+    """toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS s FROM documents
       |), g AS (
       |  SELECT doc_id,
@@ -570,10 +581,34 @@ object SparkEntry {
       |         count(*) AS sh
       |  FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2, 3, 4
-      |)
+      |)""".stripMargin
+
+  private val JaccardOracle: String =
+    s"""WITH $JaccardCtes
       |SELECT id_a, id_b, round(sh / (sz_a + sz_b - sh), 4) AS jaccard
       |FROM shared WHERE round(sh / (sz_a + sz_b - sh), 4) >= 0.5
       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Clusters = connected components over the exact-Jaccard pair graph:
+    * min-label reachability via a recursive CTE (the walk enumerates every
+    * (node, reachable-label) pair — fine at oracle scale; the ENGINE uses
+    * distributed label propagation instead). */
+  private val ClusterOracle: String =
+    s"""WITH RECURSIVE $JaccardCtes, pairs AS (
+      |  SELECT id_a, id_b FROM shared
+      |  WHERE round(sh / (sz_a + sz_b - sh), 4) >= 0.5
+      |), edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION ALL SELECT id_b, id_a FROM pairs
+      |), nodes AS (
+      |  SELECT DISTINCT src AS id FROM edges
+      |), walk(id, comp) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT e.src, w.comp FROM edges e JOIN walk w ON w.id = e.dst
+      |)
+      |SELECT id AS doc_id, min(comp) AS cluster
+      |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin
 
   /** Df-cut Jaccard oracle: shingles with document frequency > 10 dropped,
     * per-doc set sizes recomputed over the RETAINED shingles (matching
@@ -768,6 +803,7 @@ object SparkEntry {
       "SELECT min(doc_id) AS doc_id, md5(lower(text)) AS fp FROM documents GROUP BY md5(lower(text)) ORDER BY 1",
     "dedup_jaccard" -> JaccardOracle,
     "dedup_minhash" -> JaccardOracle,
+    "dedup_clusters" -> ClusterOracle,
     "dedup_simhash" -> SimhashOracle,
     "dedup_jaccard_pruned" -> PrunedJaccardOracle,
     "sim_lsh" -> LshOracle,
