@@ -196,6 +196,18 @@ object SparkEntry {
             .select(col("id_a").as("src"), col("id_b").as("dst")))
         .select(col("id").as("doc_id"), col("comp").as("cluster"))
         .orderBy("doc_id")),
+    // the APPLY step: corpus minus non-canonical cluster members — the
+    // deduplicated corpus itself (drop list broadcast; corpus unshuffled)
+    "dedup_survivors" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables.documents(s, dir)
+      graft.ext.Components.applyClusters(docs, "doc_id",
+          graft.ext.Components.connectedComponents(
+            Dedup.minhashLshPairs(docs, "doc_id", "text",
+                n = 3, bands = 64, rowsPerBand = 2, threshold = 0.5)
+              .select(col("id_a").as("src"), col("id_b").as("dst"))))
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id")
+    }),
     "dedup_minhash" -> ((s: SparkSession, dir: String) =>
       Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
           n = 3, bands = 64, rowsPerBand = 2, threshold = 0.5)
@@ -804,6 +816,27 @@ object SparkEntry {
     "dedup_jaccard" -> JaccardOracle,
     "dedup_minhash" -> JaccardOracle,
     "dedup_clusters" -> ClusterOracle,
+    // corpus minus non-canonical cluster members, via the same recursive
+    // component resolution
+    "dedup_survivors" ->
+      (s"""WITH RECURSIVE $JaccardCtes, pairs AS (
+         |  SELECT id_a, id_b FROM shared
+         |  WHERE round(sh / (sz_a + sz_b - sh), 4) >= 0.5
+         |), edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs
+         |), nodes AS (
+         |  SELECT DISTINCT src AS id FROM edges
+         |), walk(id, comp) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT e.src, w.comp FROM edges e JOIN walk w ON w.id = e.dst
+         |), drops AS (
+         |  SELECT id FROM walk GROUP BY id HAVING id <> min(comp)
+         |)
+         |SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM drops)
+         |ORDER BY doc_id""".stripMargin),
     "dedup_simhash" -> SimhashOracle,
     "dedup_jaccard_pruned" -> PrunedJaccardOracle,
     "sim_lsh" -> LshOracle,

@@ -56,4 +56,17 @@ object Components {
       s"connectedComponents did not converge in $maxIter rounds — graph " +
         "diameter exceeds the budget; raise maxIter explicitly")
   }
+
+  /** Apply a clustering to the corpus: keep every document EXCEPT
+    * non-canonical cluster members (the cluster minimum survives;
+    * documents in no cluster were never duplicated and pass through).
+    *
+    * Shape: left_anti join against the drop list. The drop list is
+    * |clustered docs| − |clusters| rows — duplicates only, tiny next to
+    * the corpus — so Spark broadcasts it and the corpus never shuffles. */
+  def applyClusters(df: DataFrame, idCol: String,
+                    clusters: DataFrame): DataFrame = {
+    val drop = clusters.filter(col("id") =!= col("comp")).select(col("id"))
+    df.join(broadcast(drop), df(idCol) === drop("id"), "left_anti")
+  }
 }

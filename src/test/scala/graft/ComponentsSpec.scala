@@ -33,6 +33,16 @@ class ComponentsSpec extends SparkSpec {
     assert(got.values.toSet == Set(2L))
   }
 
+  test("applyClusters keeps canonical members and unclustered docs") {
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (9L, "z"))
+      .toDF("doc_id", "text")
+    val clusters = Components.connectedComponents(
+      Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")) // cluster {1,2,3}, rep 1
+    val kept = Components.applyClusters(docs, "doc_id", clusters)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L, 9L)) // rep survives; 4 and 9 untouched
+  }
+
   test("non-convergence within maxIter fails loudly") {
     val e = intercept[IllegalStateException] {
       cc(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)), maxIter = 1)
