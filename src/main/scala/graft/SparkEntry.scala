@@ -601,12 +601,13 @@ object SparkEntry {
       |FROM shared WHERE round(sh / (sz_a + sz_b - sh), 4) >= 0.5
       |ORDER BY id_a, id_b""".stripMargin
 
-  /** Clusters = connected components over the exact-Jaccard pair graph:
-    * min-label reachability via a recursive CTE (the walk enumerates every
-    * (node, reachable-label) pair — fine at oracle scale; the ENGINE uses
-    * distributed label propagation instead). */
-  private val ClusterOracle: String =
-    s"""WITH RECURSIVE $JaccardCtes, pairs AS (
+  /** Shared recursive min-label reachability over the exact-Jaccard pair
+    * graph (the walk enumerates every (node, reachable-label) pair — fine
+    * at oracle scale; the ENGINE uses distributed label propagation
+    * instead). One string reused by both cluster oracles so the pair
+    * threshold and walk formulation cannot drift between them. */
+  private val ClusterWalkCtes: String =
+    s"""$JaccardCtes, pairs AS (
       |  SELECT id_a, id_b FROM shared
       |  WHERE round(sh / (sz_a + sz_b - sh), 4) >= 0.5
       |), edges AS (
@@ -618,9 +619,27 @@ object SparkEntry {
       |  SELECT id, id FROM nodes
       |  UNION
       |  SELECT e.src, w.comp FROM edges e JOIN walk w ON w.id = e.dst
-      |)
+      |)""".stripMargin
+
+  private val ClusterOracle: String =
+    s"""WITH RECURSIVE $ClusterWalkCtes
       |SELECT id AS doc_id, min(comp) AS cluster
       |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin
+
+  /** Shared quality-metric CTE (TextStats.quality arithmetic) — one string
+    * for text_quality and text_cleanpass so the metric arithmetic cannot
+    * drift between their oracles. */
+  private val QualityCtes: String =
+    """t AS (SELECT doc_id, text, string_split(text, ' ') AS s FROM documents),
+      |q AS (
+      |  SELECT doc_id,
+      |    CAST(length(text) AS BIGINT) AS n_chars,
+      |    round(CAST(list_sum([length(w) for w in s]) AS DOUBLE) / len(s), 4) AS avg_token_len,
+      |    round(CAST(len([w for w in s if w IN ('the','a','of','and','to','is')]) AS DOUBLE) / len(s), 4) AS stopword_ratio,
+      |    round(CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+      |          / greatest(length(text), 1), 4) AS punct_ratio
+      |  FROM t
+      |)""".stripMargin
 
   /** Df-cut Jaccard oracle: shingles with document frequency > 10 dropped,
     * per-doc set sizes recomputed over the RETAINED shingles (matching
@@ -819,19 +838,7 @@ object SparkEntry {
     // corpus minus non-canonical cluster members, via the same recursive
     // component resolution
     "dedup_survivors" ->
-      (s"""WITH RECURSIVE $JaccardCtes, pairs AS (
-         |  SELECT id_a, id_b FROM shared
-         |  WHERE round(sh / (sz_a + sz_b - sh), 4) >= 0.5
-         |), edges AS (
-         |  SELECT id_a AS src, id_b AS dst FROM pairs
-         |  UNION ALL SELECT id_b, id_a FROM pairs
-         |), nodes AS (
-         |  SELECT DISTINCT src AS id FROM edges
-         |), walk(id, comp) AS (
-         |  SELECT id, id FROM nodes
-         |  UNION
-         |  SELECT e.src, w.comp FROM edges e JOIN walk w ON w.id = e.dst
-         |), drops AS (
+      (s"""WITH RECURSIVE $ClusterWalkCtes, drops AS (
          |  SELECT id FROM walk GROUP BY id HAVING id <> min(comp)
          |)
          |SELECT doc_id, lang, source FROM documents
@@ -866,14 +873,7 @@ object SparkEntry {
          |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe
          |FROM documents ORDER BY doc_id""".stripMargin),
     "text_quality" ->
-      ("""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS s FROM documents)
-         |SELECT doc_id,
-         |  CAST(length(text) AS BIGINT) AS n_chars,
-         |  round(CAST(list_sum([length(w) for w in s]) AS DOUBLE) / len(s), 4) AS avg_token_len,
-         |  round(CAST(len([w for w in s if w IN ('the','a','of','and','to','is')]) AS DOUBLE) / len(s), 4) AS stopword_ratio,
-         |  round(CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
-         |        / greatest(length(text), 1), 4) AS punct_ratio
-         |FROM t ORDER BY doc_id""".stripMargin),
+      s"WITH $QualityCtes SELECT * FROM q ORDER BY doc_id",
     "text_langstats" ->
       ("""SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars,
          |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
@@ -934,19 +934,10 @@ object SparkEntry {
       ("""SELECT CAST(floor(n_chars / 100) AS BIGINT) AS bucket,
          |  count(*) AS n_docs, min(n_chars) AS min_len, max(n_chars) AS max_len
          |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin),
-    // same metric arithmetic as text_quality with the same thresholds on
+    // the SAME QualityCtes metric arithmetic with the gate's thresholds on
     // the rounded values
     "text_cleanpass" ->
-      ("""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS s FROM documents),
-         |q AS (
-         |  SELECT doc_id,
-         |    CAST(length(text) AS BIGINT) AS n_chars,
-         |    round(CAST(list_sum([length(w) for w in s]) AS DOUBLE) / len(s), 4) AS avg_token_len,
-         |    round(CAST(len([w for w in s if w IN ('the','a','of','and','to','is')]) AS DOUBLE) / len(s), 4) AS stopword_ratio,
-         |    round(CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
-         |          / greatest(length(text), 1), 4) AS punct_ratio
-         |  FROM t
-         |)
+      (s"""WITH $QualityCtes
          |SELECT * FROM q
          |WHERE n_chars >= 100 AND stopword_ratio >= 0.02 AND avg_token_len <= 5.0
          |ORDER BY doc_id""".stripMargin),

@@ -34,22 +34,33 @@ object Components {
       .union(edges.select(col("dst").cast("long").as("src"),
         col("src").cast("long").as("dst")))
       .localCheckpoint(true) // read many times; the pair job runs ONCE
-    var labels = sym.select(col("src").as("id")).distinct()
+    var prev = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint(true)
     var iter = 0
     while (iter < maxIter) {
-      val nbrMin = sym.join(labels, sym("dst") === labels("id"))
+      val nbrMin = sym.join(prev, sym("dst") === prev("id"))
         .groupBy(sym("src").as("nid"))
         .agg(min(col("comp")).as("nbr_comp"))
-      val next = labels.join(nbrMin, labels("id") === col("nid"), "left")
+      val next = prev.join(nbrMin, prev("id") === col("nid"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp")))
             .as("next_comp"), col("comp").as("prev_comp"))
         .localCheckpoint(true)
       val changed = next.filter(col("next_comp") < col("prev_comp")).count()
-      labels = next.select(col("id"), col("next_comp").as("comp"))
-      if (changed == 0) return labels
+      // the eager checkpoint of `next` severed its lineage from `prev`, so
+      // the previous round's blocks can be freed NOW — without this, a
+      // deep graph leaves one cached label frame per round until driver GC,
+      // evicting other queries' hot cache in a long session
+      freeCheckpoint(prev)
+      prev = next.select(col("id"), col("next_comp").as("comp"))
+      if (changed == 0) {
+        freeCheckpoint(sym) // the last join already ran (eager checkpoint)
+        // only the RESULT frame's blocks stay alive (freeing them would
+        // drop its only copy); it is clustering-output-sized and falls to
+        // the ContextCleaner once the caller drops the reference
+        return prev
+      }
       iter += 1
     }
     throw new IllegalStateException(
@@ -57,16 +68,28 @@ object Components {
         "diameter exceeds the budget; raise maxIter explicitly")
   }
 
+  /** Release a localCheckpoint's storage. `Dataset.unpersist` only talks
+    * to the CacheManager and is a silent no-op for checkpoints (their
+    * blocks are RDD-level) — the underlying RDD must be unpersisted. */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(false)
+    }: Unit
+
   /** Apply a clustering to the corpus: keep every document EXCEPT
     * non-canonical cluster members (the cluster minimum survives;
     * documents in no cluster were never duplicated and pass through).
     *
-    * Shape: left_anti join against the drop list. The drop list is
-    * |clustered docs| − |clusters| rows — duplicates only, tiny next to
-    * the corpus — so Spark broadcasts it and the corpus never shuffles. */
+    * Shape: left_anti join against the drop list (|clustered docs| −
+    * |clusters| rows — duplicates only). No forced broadcast hint: on a
+    * lightly-duplicated corpus the drop list is tiny and AQE broadcasts
+    * it (corpus unshuffled); on a heavily-duplicated web crawl (30-80%
+    * dup rates are normal) it is corpus-scale and a forced broadcast
+    * would OOM the driver — AQE picks the shuffled anti-join there. */
   def applyClusters(df: DataFrame, idCol: String,
                     clusters: DataFrame): DataFrame = {
     val drop = clusters.filter(col("id") =!= col("comp")).select(col("id"))
-    df.join(broadcast(drop), df(idCol) === drop("id"), "left_anti")
+    df.join(drop, df(idCol) === drop("id"), "left_anti")
   }
 }
