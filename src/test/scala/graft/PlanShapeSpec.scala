@@ -111,6 +111,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("Filter"), plan.take(800))
   }
 
+  test("centroid components prune the scan and pre-aggregate map-side") {
+    val plan = executed(graft.ext.Similarity.centroidComponents(
+      Tables.embeddings(spark, dir), "embedding", "label"))
+    // only the two needed columns reach the parquet reader
+    assert(plan.contains("ReadSchema: struct<embedding:array<float>,label:int>"),
+      plan.take(1500))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(1500))
+  }
+
   test("sequence packing shuffles once, on the shard column only") {
     val plan = executed(graft.ext.Packing.packBlocks(
       Tables.documents(spark, dir), "doc_id", "text", "lang", 512L))
