@@ -32,6 +32,33 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupKeys: duplicates across micro-batches emit once (real state)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val df = mem.toDF.toDF("ts", "user_id", "event_type")
+    val q = EventsStream.dedupKeys(df)
+      .writeStream.format("memory").queryName("ddk")
+      .outputMode("append").start()
+    try {
+      mem.addData((ts("2024-01-01 10:05:00"), 1L, "click"),
+        (ts("2024-01-01 10:20:00"), 1L, "click"), // in-batch duplicate
+        (ts("2024-01-01 10:30:00"), 2L, "view"))
+      q.processAllAvailable()
+      // a LATER batch repeats a key: only cross-batch STATE can drop it
+      // (the batch-DISTINCT oracle cannot distinguish this case)
+      mem.addData((ts("2024-01-01 10:45:00"), 1L, "click"),
+        (ts("2024-01-01 11:05:00"), 1L, "click")) // new hour -> new key
+      q.processAllAvailable()
+      val r = spark.table("ddk").orderBy("hour", "user_id").collect()
+        .map(x => (x.getString(0), x.getLong(1), x.getString(2))).toSeq
+      assert(r == Seq(
+        ("2024-01-01 10:00:00", 1L, "click"),
+        ("2024-01-01 10:00:00", 2L, "view"),
+        ("2024-01-01 11:00:00", 1L, "click")))
+    } finally q.stop()
+  }
+
   test("sessionize: closed sessions emitted, open session held in state") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
