@@ -81,6 +81,24 @@ class SamplingSpec extends SparkSpec {
       (4L, 1L, 1L), (5L, 6L, 0L)))
   }
 
+  test("packBlocks: blocks are contiguous, dense, and budget-bounded") {
+    // a longer shard: blocks must tile the prefix sums without gaps
+    val docs = (1L to 40L).map(i => (i, "s", ("w " * (i % 7 + 1).toInt).trim))
+      .toDF("doc_id", "shard", "text")
+    val rows = graft.ext.Packing.packBlocks(docs, "doc_id", "text", "shard", 10L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+    var cum = 0L
+    rows.foreach { case (_, n, block) =>
+      assert(block == cum / 10L) // starts in the block its prefix sum says
+      cum += n
+    }
+    // block ids are nondecreasing and never skip more than the doc spans
+    rows.sliding(2).foreach { case Array((_, _, b1), (_, n2, b2)) =>
+      assert(b2 >= b1 && b2 <= b1 + (n2 + 10L) / 10L + 1)
+    case _ => () }
+  }
+
   test("decontaminate plan: broadcast anti-join on fingerprints") {
     val train = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
     val eval = Seq((3L, "b")).toDF("doc_id", "text")
