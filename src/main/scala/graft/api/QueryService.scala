@@ -32,8 +32,11 @@ final class QueryService(spark: SparkSession, catalog: Catalog) {
   private val historyBuf =
     new java.util.concurrent.ConcurrentLinkedDeque[HistoryEntry]()
   // ConcurrentLinkedDeque.size() walks the whole deque (O(n)); tracking the
-  // count separately keeps the per-request trim O(1)
+  // count separately keeps the per-request trim O(1). Mutations hold
+  // historyLock so clear() can't interleave with an append and leave the
+  // counter permanently drifted from the deque (reads stay lock-free).
   private val historySize = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val historyLock = new Object
 
   /** POST /query (app_server.py:202-278). */
   def query(req: QueryRequest): Either[QueryError, QuerySuccess] =
@@ -52,9 +55,11 @@ final class QueryService(spark: SparkSession, catalog: Catalog) {
       case Left(err) => HistoryEntry(req.input, req.db, req.collection,
         success = false, 0.0, 0, error = Some(err.error))
     }
-    historyBuf.addLast(entry)
-    if (historySize.incrementAndGet() > HistoryCap &&
-        historyBuf.pollFirst() != null) historySize.decrementAndGet(): Unit
+    historyLock.synchronized {
+      historyBuf.addLast(entry)
+      if (historySize.incrementAndGet() > HistoryCap &&
+          historyBuf.pollFirst() != null) historySize.decrementAndGet(): Unit
+    }
     out
   }
 
@@ -64,7 +69,7 @@ final class QueryService(spark: SparkSession, catalog: Catalog) {
     historyBuf.iterator().asScala.toSeq
   }
 
-  def clearHistory(): Unit = { // main.py:275
+  def clearHistory(): Unit = historyLock.synchronized { // main.py:275
     historyBuf.clear()
     historySize.set(0)
   }

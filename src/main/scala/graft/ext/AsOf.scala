@@ -41,6 +41,16 @@ object AsOf {
                valueCols: Seq[String], tieBreak: String): DataFrame = {
     require(valueCols.nonEmpty, "asofJoin needs at least one value column")
     val leftCols = left.columns.toSeq
+    // the merge plan owns these working names and re-emits every left
+    // column by name on the right side; a caller whose frame already uses
+    // one would get ambiguous resolution, so fail loudly up front
+    val reserved = Set("__k", "__t", "__side", "__tie", "__vs")
+    val clashes = leftCols.filter(reserved) ++
+      leftCols.filter(c => valueCols.exists(v => s"asof_$v" == c))
+    require(clashes.isEmpty,
+      s"asofJoin reserved/output name collision on left side: " +
+        s"${clashes.mkString(", ")} (reserved: ${reserved.mkString(", ")}; " +
+        s"outputs: ${valueCols.map(v => s"asof_$v").mkString(", ")})")
     // the value columns ride in ONE struct so last(_, ignoreNulls) picks an
     // entire right row atomically: selecting each value column with its own
     // last() would tear columns across different right rows whenever the

@@ -98,13 +98,14 @@ object Dedup {
     * sides shuffle (or broadcast) 32-byte keys, not documents. Eval sets
     * are benchmarks, i.e. tiny next to a 100 TB corpus: Spark broadcasts
     * the hashed eval side and the training scan filters in place with no
-    * shuffle at all. If the eval side ever outgrows the broadcast
-    * threshold, the same plan degrades gracefully to a shuffled anti-join
-    * on the fingerprints. */
+    * shuffle at all. No forced broadcast hint — AQE decides from the
+    * hashed side's actual size, so an eval set past the broadcast
+    * threshold degrades gracefully to a shuffled anti-join on the
+    * fingerprints instead of OOMing the driver. */
   def decontaminate(train: DataFrame, eval: DataFrame,
                     textCol: String): DataFrame =
     train.join(
-      broadcast(eval.select(fingerprint(col(textCol)).as("__evfp")).distinct()),
+      eval.select(fingerprint(col(textCol)).as("__evfp")).distinct(),
       fingerprint(train(textCol)) === col("__evfp"), "left_anti")
 
   /** Exact n-gram Jaccard near-duplicate pairs, blocked on shared shingles.
@@ -148,9 +149,12 @@ object Dedup {
     val exploded = persistTracked(grams.select(col("id"), col("sz"),
       explode(col("grams")).as("gram")))
     if (maxShingleDf <= 0 && maxCandidatePairs > 0) {
+      // decimal BEFORE the multiply: c*(c-1) in long arithmetic silently
+      // wraps past df ≈ 3e9 (non-ANSI) — exactly the extreme-skew regime
+      // this guard exists to catch
       val bound = exploded.groupBy("gram")
         .agg(count(lit(1)).as("c"))
-        .agg(sum((col("c") * (col("c") - 1) / 2).cast("decimal(38,0)"))
+        .agg(sum(col("c").cast("decimal(38,0)") * (col("c") - 1) / 2)
           .as("pairs"),
           max(col("c")).as("hottest"))
         .head()

@@ -25,13 +25,17 @@ final class Catalog(spark: SparkSession, root: String) {
   /** json/csv schema inference is a full data scan; doing it on every
     * resolve() (health() resolves too) re-reads the collection per request.
     * First resolution memoizes the inferred schema per (db, collection) so
-    * later reads plan straight from it. The entry is keyed by the file's
-    * modification time: appends to a live schemaless collection (new docs
-    * may carry NEW fields) bump the mtime and trigger one re-inference —
-    * one extra FS stat per resolve buys staleness-freedom. Parquet is
-    * self-describing (footer-only schema) and is NOT cached. */
+    * later reads plan straight from it. The entry is keyed by a signature
+    * over the source's FILE LISTING — max(mtime) and total length of the
+    * contained files, not the top-level path's mtime: rewriting a part
+    * file in place inside a directory-backed source does not bump the
+    * directory mtime on most filesystems, so a path-mtime key would serve
+    * the stale schema indefinitely. Any append, rewrite, or file
+    * add/remove changes the signature and triggers one re-inference —
+    * one extra FS listing per resolve buys staleness-freedom. Parquet/ORC
+    * are self-describing (footer-only schema) and are NOT cached. */
   private val inferredSchemas = scala.collection.concurrent.TrieMap
-    .empty[(String, String), (Long, org.apache.spark.sql.types.StructType)]
+    .empty[(String, String), ((Long, Long), org.apache.spark.sql.types.StructType)]
 
   /** Explicitly bind (db, collection) to a frame factory (e.g. a view). */
   def register(db: String, collection: String)(f: => DataFrame): Unit = {
@@ -71,16 +75,31 @@ final class Catalog(spark: SparkSession, root: String) {
   private def cachedSchema(key: (String, String), path: String,
       infer: => org.apache.spark.sql.types.StructType):
       org.apache.spark.sql.types.StructType = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val mtime = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .getFileStatus(p).getModificationTime
+    val sig = listingSignature(path)
     inferredSchemas.get(key) match {
-      case Some((t, s)) if t == mtime => s
+      case Some((t, s)) if t == sig => s
       case _ =>
         val s = infer
-        inferredSchemas.put(key, (mtime, s))
+        inferredSchemas.put(key, (sig, s))
         s
     }
+  }
+
+  /** (max file mtime, total file bytes) over the path's recursive listing —
+    * a file path signs itself. Both components move on any content change
+    * a schema could depend on; same-second same-size rewrites are the one
+    * residual blind spot, shared with every mtime-based cache. */
+  private def listingSignature(path: String): (Long, Long) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var maxM = 0L; var bytes = 0L
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val st = it.next()
+      maxM = math.max(maxM, st.getModificationTime)
+      bytes += st.getLen
+    }
+    (maxM, bytes)
   }
 
   private def exists(path: String): Boolean = {
