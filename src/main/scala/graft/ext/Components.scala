@@ -34,8 +34,16 @@ object Components {
       .union(edges.select(col("dst").cast("long").as("src"),
         col("src").cast("long").as("dst")))
       .localCheckpoint(true) // read many times; the pair job runs ONCE
-    var prev = sym.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
+    // fused initialization: label₀ = min(id, min direct neighbor). One
+    // groupBy over the edge list replaces BOTH the distinct() (the node set
+    // is exactly the src side of the symmetrized edges) and the first
+    // propagation round — for the common near-dup case (dense clusters,
+    // diameter ≤ 2) the loop below then converges in a single fixpoint
+    // check instead of three rounds of join+checkpoint
+    var prev = sym.groupBy(col("src"))
+      .agg(min(col("dst")).as("__m"))
+      .select(col("src").as("id"),
+        least(col("src"), col("__m")).as("comp"))
       .localCheckpoint(true)
     var iter = 0
     while (iter < maxIter) {
