@@ -437,6 +437,68 @@ object SparkEntry {
             .as("revenue"))
         .orderBy("c_mktsegment")
     }),
+    // ----- multi-level OLAP aggregation (Olap scaladoc: one Expand +
+    // one shuffle per report, exact quantized money sums) -----
+    "agg_rollup" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Olap.rollupStats(Tables.orders(s, dir),
+          Seq("o_orderstatus", "o_orderpriority"), "o_totalprice")
+        // gid leads the sort so null dimension values (constant within a
+        // gid) never decide row order — Spark and DuckDB disagree on
+        // default NULL placement
+        .orderBy("gid", "o_orderstatus", "o_orderpriority")),
+    "agg_cube" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Olap.cubeStats(Tables.lineitem(s, dir),
+          Seq("l_returnflag", "l_linestatus"), "l_quantity")
+        .orderBy("gid", "l_returnflag", "l_linestatus")),
+    "agg_pivot" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Olap.pivotCounts(Tables.orders(s, dir),
+          "o_orderpriority", "o_orderstatus", Seq("F", "O", "P"))
+        .orderBy("o_orderpriority")),
+    "agg_distinct" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Olap.distinctCounts(Tables.events(s, dir),
+          "event_type", "user_id")
+        .orderBy("event_type")),
+    // ----- range (interval) join: clicks within 10 minutes of each signup,
+    // bucketed equi-join on (user, time bucket) — never a per-key cross
+    // product (RangeJoin scaladoc) -----
+    "join_range" -> ((s: SparkSession, dir: String) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+          col("ts").as("c_ts"))
+      val windows = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("signup_id"), col("user_id").as("s_user"),
+          col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("w_end"))
+      graft.ext.RangeJoin.pointInInterval(clicks, windows,
+          "c_user", "s_user", "c_ts", "w_start", "w_end",
+          bucketSeconds = 600L)
+        .groupBy(col("signup_id"))
+        .agg(count(lit(1)).as("n_clicks"),
+          min(col("click_id")).as("first_click"))
+        .orderBy("signup_id")
+    }),
+    // ----- ordered funnel over the event stream: signup → view → click →
+    // purchase, each step at-or-after the user's previous step time -----
+    "events_funnel" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Funnel.stages(Tables.events(s, dir), "user_id", "event_type",
+          "ts", Seq("signup", "view", "click", "purchase"))
+        .orderBy("stage")),
+    // ----- exact per-language length quantiles (type-1, integer-rank
+    // arithmetic — externally reproducible, unlike percentile_approx) -----
+    "text_quantiles" -> ((s: SparkSession, dir: String) =>
+      TextStats.groupQuantiles(Tables.documents(s, dir), "lang", "n_chars",
+          Seq(25, 50, 75, 90))
+        .orderBy("lang", "pct")),
+    // ----- per-document tf-idf keywords (integer-quantized idf) -----
+    "text_tfidf" -> ((s: SparkSession, dir: String) =>
+      TextStats.tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text",
+          k = 3)
+        .orderBy("doc_id", "rnk")),
+    // ----- corpus top bigrams by document frequency -----
+    "text_bigrams" -> ((s: SparkSession, dir: String) =>
+      TextStats.bigramTopTerms(Tables.documents(s, dir), "text", k = 40)
+        .orderBy(col("doc_freq").desc, col("bigram").asc)),
     // ----- §2.10 multimodal plumbing (stub decode, real Spark shape) -----
     "mm_features" -> ((s: SparkSession, dir: String) =>
       Multimodal.features(
@@ -1104,6 +1166,119 @@ object SparkEntry {
          |  CAST(length(substr(text, frame_idx * 64 + 1, 64)) AS BIGINT) AS n_bytes,
          |  CAST(list_sum([CAST(ascii(c) AS BIGINT) for c in string_split(substr(text, frame_idx * 64 + 1, 64), '')]) AS BIGINT) AS byte_sum
          |FROM f ORDER BY id, frame_idx""".stripMargin),
+    // same grouping-bit convention: DuckDB GROUPING(a,b) == Spark
+    // grouping_id(); same floor(x*1e4+0.5) long quantization as the engine
+    "agg_rollup" ->
+      ("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+         |  CAST(sum(CAST(floor(o_totalprice * 1e4 + 0.5) AS BIGINT)) AS DOUBLE)
+         |    / 1e4 AS total,
+         |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+         |FROM orders
+         |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+         |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin),
+    "agg_cube" ->
+      ("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+         |  CAST(sum(CAST(floor(l_quantity * 1e4 + 0.5) AS BIGINT)) AS DOUBLE)
+         |    / 1e4 AS total,
+         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+         |FROM lineitem
+         |GROUP BY CUBE(l_returnflag, l_linestatus)
+         |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin),
+    // count FILTER (not sum CASE): DuckDB sums integers into HUGEINT,
+    // count stays BIGINT like Spark's pivot-count columns
+    "agg_pivot" ->
+      ("""SELECT o_orderpriority,
+         |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+         |  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+         |  count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+         |FROM orders GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin),
+    "agg_distinct" ->
+      ("""SELECT event_type, count(DISTINCT user_id) AS n_distinct,
+         |  count(*) AS n_rows
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+    // both operands micros-truncated (CAST ts AS TIMESTAMP) exactly like
+    // the engine's nanos→micros events read — comparing at nanos could
+    // flip boundary pairs the engine sees as equal
+    "join_range" ->
+      ("""WITH e AS (
+         |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+         |  FROM events
+         |)
+         |SELECT s.event_id AS signup_id, count(*) AS n_clicks,
+         |  min(c.event_id) AS first_click
+         |FROM e s JOIN e c ON s.event_type = 'signup'
+         |  AND c.event_type = 'click' AND c.user_id = s.user_id
+         |  AND c.ts >= s.ts AND c.ts < s.ts + INTERVAL 10 MINUTE
+         |GROUP BY s.event_id ORDER BY signup_id""".stripMargin),
+    // the same chained min-time reach sets, micros-truncated timestamps
+    "events_funnel" ->
+      ("""WITH e AS (
+         |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+         |),
+         |r1 AS (SELECT user_id, min(ts) AS t FROM e
+         |       WHERE event_type = 'signup' GROUP BY user_id),
+         |r2 AS (SELECT e.user_id, min(e.ts) AS t FROM e
+         |       JOIN r1 ON e.user_id = r1.user_id
+         |       WHERE e.event_type = 'view' AND e.ts >= r1.t
+         |       GROUP BY e.user_id),
+         |r3 AS (SELECT e.user_id, min(e.ts) AS t FROM e
+         |       JOIN r2 ON e.user_id = r2.user_id
+         |       WHERE e.event_type = 'click' AND e.ts >= r2.t
+         |       GROUP BY e.user_id),
+         |r4 AS (SELECT e.user_id, min(e.ts) AS t FROM e
+         |       JOIN r3 ON e.user_id = r3.user_id
+         |       WHERE e.event_type = 'purchase' AND e.ts >= r3.t
+         |       GROUP BY e.user_id)
+         |SELECT CAST(1 AS BIGINT) AS stage, 'signup' AS step,
+         |  (SELECT count(*) FROM r1) AS n_users
+         |UNION ALL SELECT 2, 'view', (SELECT count(*) FROM r2)
+         |UNION ALL SELECT 3, 'click', (SELECT count(*) FROM r3)
+         |UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM r4)
+         |ORDER BY stage""".stripMargin),
+    // identical integer rank arithmetic ((n*p + 99) // 100, type-1)
+    "text_quantiles" ->
+      ("""WITH r AS (
+         |  SELECT lang, n_chars,
+         |    row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+         |    count(*) OVER (PARTITION BY lang) AS n
+         |  FROM documents
+         |)
+         |SELECT lang, CAST(pct AS BIGINT) AS pct, n_chars AS q_value
+         |FROM r, (SELECT unnest([25, 50, 75, 90]) AS pct) p
+         |WHERE rn = (n * pct + 99) // 100
+         |ORDER BY lang, pct""".stripMargin),
+    // identical integer-quantized idf ((n_docs*1e6) // df) and tie-break
+    "text_tfidf" ->
+      ("""WITH tfc AS (
+         |  SELECT doc_id, term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |        FROM documents)
+         |  GROUP BY doc_id, term
+         |), dfreq AS (
+         |  SELECT term, count(*) AS df_docs FROM tfc GROUP BY term
+         |), tot AS (SELECT count(*) AS n_docs FROM documents),
+         |ranked AS (
+         |  SELECT tfc.doc_id, tfc.term,
+         |    tfc.tf * ((tot.n_docs * 1000000) // dfreq.df_docs) AS score,
+         |    CAST(row_number() OVER (PARTITION BY tfc.doc_id
+         |      ORDER BY tfc.tf * ((tot.n_docs * 1000000) // dfreq.df_docs) DESC,
+         |               tfc.term) AS BIGINT) AS rnk
+         |  FROM tfc JOIN dfreq ON tfc.term = dfreq.term, tot
+         |)
+         |SELECT doc_id, rnk, term, score FROM ranked
+         |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin),
+    // same per-doc distinct word bigrams (sub-2-token docs contribute the
+    // whole text, mirroring Dedup.shingles) and the same k-boundary order
+    "text_bigrams" ->
+      ("""WITH b AS (
+         |  SELECT unnest(CASE WHEN len(ws) < 2 THEN [text]
+         |    ELSE list_distinct([ws[i] || ' ' || ws[i+1]
+         |                        for i in range(1, len(ws))]) END) AS bigram
+         |  FROM (SELECT text, string_split(text, ' ') AS ws FROM documents)
+         |)
+         |SELECT bigram, count(*) AS doc_freq FROM b GROUP BY bigram
+         |ORDER BY doc_freq DESC, bigram LIMIT 40""".stripMargin),
     "mm_features" ->
       ("""SELECT doc_id AS id, 'text' AS kind,
          |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,

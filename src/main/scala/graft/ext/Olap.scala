@@ -1,0 +1,74 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-level OLAP aggregation — ROLLUP, CUBE, pivot, distinct-count.
+  * The reference's analytics surface stops at single-level history
+  * aggregates (/root/reference/main.py:263-276); these are the standard
+  * report shapes a warehouse user expects on top of the same engine, each
+  * expressed as ONE declarative aggregate so Catalyst plans an Expand +
+  * single hash-partitioned aggregation with map-side partials — the
+  * multi-level report costs one shuffle, not one scan per level.
+  */
+object Olap {
+
+  /** Exact, order-independent sum of a money-like double column: quantize
+    * each value with floor(x·scale + 0.5) — two IEEE double ops, bit-exact
+    * in every engine — and sum the resulting longs. A double sum would vary
+    * with partitioning; a double→decimal CAST disagrees across engines on
+    * boundary values (see SparkEntry's emb_centroids note). The quotient
+    * sum/scale is exact as long as the integer sum stays below 2^53. */
+  def quantizedSum(c: Column, scale: Double = 1e4): Column =
+    sum(floor(c * scale + 0.5).cast("long"))
+
+  /** ROLLUP over `dims` (hierarchical subtotals: (a,b), (a), ()) with row
+    * count and an exact total of `valCol`. `gid` is Spark's grouping_id()
+    * bit vector — 1-bit = dimension aggregated away — which DuckDB's
+    * GROUPING(...) reproduces verbatim. One Expand + one shuffle. */
+  def rollupStats(df: DataFrame, dims: Seq[String], valCol: String,
+                  scale: Double = 1e4): DataFrame =
+    df.rollup(dims.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        (quantizedSum(col(valCol), scale).cast("double") / scale)
+          .as("total"),
+        grouping_id().cast("long").as("gid"))
+
+  /** CUBE over `dims` (every subset of the dimensions). Same shape and
+    * exactness contract as [[rollupStats]]; 2^|dims| grouping sets expand
+    * map-side, still one shuffle. */
+  def cubeStats(df: DataFrame, dims: Seq[String], valCol: String,
+                scale: Double = 1e4): DataFrame =
+    df.cube(dims.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        (quantizedSum(col(valCol), scale).cast("double") / scale)
+          .as("total"),
+        grouping_id().cast("long").as("gid"))
+
+  /** Pivot `pivotCol` into one count column per EXPLICIT value. Passing the
+    * value list matters at scale: without it Spark first runs a distinct
+    * scan over the pivot column to discover values (an extra job over the
+    * whole table) and the output schema becomes data-dependent. Empty
+    * cells are 0, not null, matching the conditional-aggregation dual any
+    * SQL engine writes. */
+  def pivotCounts(df: DataFrame, rowCol: String, pivotCol: String,
+                  values: Seq[String]): DataFrame =
+    df.groupBy(col(rowCol))
+      .pivot(pivotCol, values)
+      .agg(count(lit(1)))
+      .select(col(rowCol) +: values.map(v =>
+        coalesce(col(s"`$v`"), lit(0L)).as(s"n_${v.toLowerCase}")): _*)
+
+  /** Distinct-count per group: the cardinality report (distinct users per
+    * event type, distinct documents per source, ...). Spark plans
+    * count(DISTINCT x) as a two-stage aggregate — partial distinct on
+    * (group, x) before the shuffle, so the wire carries one row per
+    * distinct pair, never one per input row. For approximate-at-scale
+    * variants, approx_count_distinct slots into the same shape (given up
+    * here because no external oracle can reproduce HLL internals). */
+  def distinctCounts(df: DataFrame, groupCol: String,
+                     targetCol: String): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(count_distinct(col(targetCol)).as("n_distinct"),
+        count(lit(1)).as("n_rows"))
+}

@@ -1,0 +1,56 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Range (interval) join — match point rows to interval rows with the same
+  * key where `start <= t < end`. Spark has no native interval-join
+  * operator; the naive theta-join (`p.key = i.key AND p.t >= i.start AND
+  * p.t < i.end`) keeps the equality conjunct, so Spark CAN plan a hash
+  * join on the key — but then every point meets every interval of that
+  * key before the time filter runs, which is quadratic per key (a user
+  * with 10k events × 10k windows = 10^8 candidate rows).
+  *
+  * The scale shape is time bucketing: quantize time into fixed-width
+  * buckets, emit each interval once per bucket it covers, and equi-join on
+  * (key, bucket). Candidates per point collapse from |intervals-per-key|
+  * to |intervals overlapping its bucket|; the exact `start <= t < end`
+  * predicate then filters within the joined bucket. A point lives in
+  * exactly ONE bucket, so a matching pair meets exactly once — no
+  * post-join dedup. Replication cost is ceil(len/width)+1 rows per
+  * interval: pick the bucket width near the typical interval length.
+  */
+object RangeJoin {
+
+  /** Inner point-in-interval join: all `points` columns plus all
+    * `intervals` columns for each match. Column sets must be disjoint
+    * (alias before calling — this is a binary operator, not a projection).
+    *
+    * @param bucketSeconds time-bucket width; correctness never depends on
+    *                      it, only the replication/selectivity trade-off
+    */
+  def pointInInterval(points: DataFrame, intervals: DataFrame,
+                      pointKey: String, intervalKey: String,
+                      pointTs: String, startTs: String, endTs: String,
+                      bucketSeconds: Long = 600L): DataFrame = {
+    require(bucketSeconds > 0, "bucket width must be positive")
+    val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(overlap.isEmpty,
+      s"point/interval column names must be disjoint, both have: " +
+        s"${overlap.mkString(", ")} — alias one side first")
+    val width = bucketSeconds * 1000000L // micros
+    def bucketOf(c: org.apache.spark.sql.Column) =
+      floor(unix_micros(c) / width).cast("long")
+    val p = points.withColumn("__pb", bucketOf(col(pointTs)))
+    // one row per bucket the interval touches; empty/negative intervals
+    // produce an empty sequence and simply never match
+    val i = intervals.withColumn("__ib",
+      explode(when(col(endTs) > col(startTs),
+        sequence(bucketOf(col(startTs)), bucketOf(col(endTs))))
+        .otherwise(array().cast("array<long>"))))
+    p.join(i,
+        p(pointKey) === i(intervalKey) && col("__pb") === col("__ib") &&
+          p(pointTs) >= i(startTs) && p(pointTs) < i(endTs))
+      .drop("__pb", "__ib")
+  }
+}

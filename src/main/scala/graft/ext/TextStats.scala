@@ -145,6 +145,80 @@ object TextStats {
         max(col(lenCol)).as("max_len"))
   }
 
+  /** Exact per-group type-1 (lower) quantiles of an integer column: the
+    * value at rank ceil(n·p/100), computed as (n·p + 99) div 100 — pure
+    * integer arithmetic, so every engine selects the identical element
+    * (interpolated percentile built-ins disagree on the formula;
+    * percentile_approx is algorithm-defined and externally unreproducible).
+    * All requested percentiles ride ONE ranking window + one explode —
+    * adding a percentile costs nothing.
+    *
+    * Same honest cost note as [[groupMedian]]: one shuffle on the group
+    * and an in-partition sort; at extreme per-group cardinality reach for
+    * approx sketches and give up oracle-exactness consciously. */
+  def groupQuantiles(df: DataFrame, groupCol: String, valCol: String,
+                     percents: Seq[Int]): DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
+      "percents must be in [1, 100]")
+    import org.apache.spark.sql.expressions.Window
+    val byGrp = Window.partitionBy(col(groupCol))
+    df.select(col(groupCol), col(valCol))
+      .withColumn("__rn", row_number().over(byGrp.orderBy(col(valCol))))
+      .withColumn("__n", count(lit(1)).over(byGrp))
+      .select(col(groupCol), col(valCol),
+        col("__rn"), col("__n"),
+        explode(array(percents.map(p => lit(p.toLong)): _*)).as("pct"))
+      // `div`, not `/`: Column./ is double division and double rank
+      // arithmetic is exactly the cross-engine drift this op exists to avoid
+      .filter(col("__rn") === expr("(__n * pct + 99) div 100"))
+      .select(col(groupCol), col("pct"), col(valCol).as("q_value"))
+  }
+
+  /** Per-document top-k terms by tf-idf — the keyword/topic probe. The
+    * idf factor is integer-quantized ((N·10^6) div df) so the score
+    * tf·idf_q is exact 64-bit arithmetic, reproducible by any engine
+    * (a float log-idf would disagree in the last ulp and flip rank-k
+    * boundaries). Rank ties break on the term so the k-boundary is
+    * deterministic.
+    *
+    * Plan: explode → (doc, term) counts (map-side partials) → term doc
+    * frequencies (aggregated FROM the tf frame — one row per distinct
+    * pair, not re-exploded) → equi-join tf⋈df on the term → one ranking
+    * window per doc. The corpus-size scalar joins in as a broadcast
+    * single-row frame, never a driver-side collect. */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df.select(col(idCol).as("doc_id"),
+        explode(toks(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df_docs"))
+    val total = df.agg(count(lit(1)).as("__n_docs"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(total))
+      .withColumn("score", // integer div: exact in every engine
+        col("tf") * expr("(__n_docs * 1000000) div df_docs"))
+    scored
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk").cast("long").as("rnk"),
+        col("term"), col("score"))
+  }
+
+  /** Corpus top-k bigrams by document frequency — the n-gram language-model
+    * / boilerplate-phrase probe. Distinct word bigrams per document (the
+    * [[Dedup.shingles]] n=2 formulation: a sub-2-token document contributes
+    * its whole text) → count per bigram → top-k, same plan shape and
+    * determinism contract as [[topTerms]]. */
+  def bigramTopTerms(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(Dedup.shingles(col(textCol), 2)).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("bigram").asc)
+      .limit(k)
+
   /** Corpus top-k terms by document frequency — the vocabulary /
     * boilerplate / contamination probe every corpus audit starts with.
     *

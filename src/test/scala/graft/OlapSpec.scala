@@ -1,0 +1,68 @@
+package graft
+
+import graft.ext.Olap
+import org.apache.spark.sql.functions._
+
+/** Multi-level OLAP aggregation on hand-checkable rows. */
+class OlapSpec extends SparkSpec {
+
+  private lazy val sales = {
+    import spark.implicits._
+    Seq(
+      ("F", "HIGH", 10.5), ("F", "HIGH", 2.0), ("F", "LOW", 1.25),
+      ("O", "HIGH", 100.0), ("O", "LOW", 0.0001)
+    ).toDF("status", "prio", "amount")
+  }
+
+  test("rollupStats: per-pair, per-status subtotals, grand total, gid bits") {
+    val rows = Olap.rollupStats(sales, Seq("status", "prio"), "amount")
+      .orderBy("gid", "status", "prio").collect()
+      .map(r => (r.getLong(4), Option(r.getString(0)), Option(r.getString(1)),
+        r.getLong(2), r.getDouble(3)))
+    // gid 0: the four (status, prio) pairs
+    assert(rows(0) == (0L, Some("F"), Some("HIGH"), 2L, 12.5))
+    assert(rows(1) == (0L, Some("F"), Some("LOW"), 1L, 1.25))
+    // gid 1: prio rolled up
+    assert(rows(4) == (1L, Some("F"), None, 3L, 13.75))
+    // 0.0001 survives the 1e-4 quantization exactly
+    assert(rows(5) == (1L, Some("O"), None, 2L, 100.0001))
+    // gid 3: grand total
+    assert(rows(6) == (3L, None, None, 5L, 113.7501))
+    assert(rows.length == 7)
+  }
+
+  test("cubeStats: all four grouping sets, including status rolled up") {
+    val rows = Olap.cubeStats(sales, Seq("status", "prio"), "amount")
+      .collect().map(r => (r.getLong(4), Option(r.getString(0)),
+        Option(r.getString(1)), r.getLong(2))).toSet
+    assert(rows.contains((2L, None, Some("HIGH"), 3L))) // status aggregated away
+    assert(rows.contains((2L, None, Some("LOW"), 2L)))
+    assert(rows.contains((3L, None, None, 5L)))
+    assert(rows.size == 4 + 2 + 2 + 1)
+  }
+
+  test("rollup/cube plan: one Expand, one aggregation exchange") {
+    val plan = Olap.rollupStats(sales, Seq("status", "prio"), "amount")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), plan.take(500))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      plan.take(1500))
+  }
+
+  test("pivotCounts: explicit columns, empty cells are 0") {
+    val out = Olap.pivotCounts(sales, "prio", "status", Seq("F", "O", "P"))
+      .orderBy("prio").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(("HIGH", 2L, 1L, 0L), ("LOW", 1L, 1L, 0L)))
+  }
+
+  test("distinctCounts: distinct vs total per group") {
+    import spark.implicits._
+    val ev = Seq(("click", 7L), ("click", 7L), ("click", 8L), ("view", 7L))
+      .toDF("etype", "uid")
+    val out = Olap.distinctCounts(ev, "etype", "uid")
+      .orderBy("etype").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("click", 2L, 3L), ("view", 1L, 1L)))
+  }
+}

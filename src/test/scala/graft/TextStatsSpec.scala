@@ -89,6 +89,43 @@ class TextStatsSpec extends SparkSpec {
     assert(out == Seq(("a", 3L, 5.0), ("b", 4L, 7.0)))
   }
 
+  test("groupQuantiles: type-1 rank arithmetic on known groups") {
+    import spark.implicits._
+    val d = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L), // n=4
+      ("b", 10L))                                            // n=1
+      .toDF("grp", "v")
+    val out = TextStats.groupQuantiles(d, "grp", "v", Seq(25, 50, 75, 90))
+      .orderBy("grp", "pct").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // n=4: ranks ceil(1)=1, ceil(2)=2, ceil(3)=3, ceil(3.6)=4
+    assert(out == Seq(("a", 25L, 1L), ("a", 50L, 2L), ("a", 75L, 3L),
+      ("a", 90L, 4L),
+      ("b", 25L, 10L), ("b", 50L, 10L), ("b", 75L, 10L), ("b", 90L, 10L)))
+  }
+
+  test("tfidfTopTerms: rare terms outrank common ones; ties break on term") {
+    import spark.implicits._
+    // "common" in all 3 docs (idf_q = 1e6), "rare" only in doc 1 (idf_q = 3e6)
+    val d = Seq((1L, "common rare"), (2L, "common"), (3L, "common"))
+      .toDF("doc_id", "text")
+    val out = TextStats.tfidfTopTerms(d, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(out == Seq(
+      (1L, 1L, "rare", 3000000L), (1L, 2L, "common", 1000000L),
+      (2L, 1L, "common", 1000000L), (3L, 1L, "common", 1000000L)))
+  }
+
+  test("bigramTopTerms: per-doc distinct bigrams, single-token fallback") {
+    import spark.implicits._
+    val d = Seq((1L, "a b a b"), // distinct bigrams: "a b", "b a"
+      (2L, "a b"), (3L, "solo")).toDF("doc_id", "text")
+    val out = TextStats.bigramTopTerms(d, "text", k = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("a b", 2L), ("b a", 1L)))
+  }
+
   test("topTerms: document frequency (not occurrences), term tie-break") {
     import spark.implicits._
     val df = Seq(
