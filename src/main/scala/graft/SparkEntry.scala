@@ -458,6 +458,20 @@ object SparkEntry {
       graft.ext.Olap.distinctCounts(Tables.events(s, dir),
           "event_type", "user_id")
         .orderBy("event_type")),
+    // ----- window analytics: running totals and per-group top-n -----
+    "window_running" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Olap.runningTotal(
+          Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderdate"), col("o_totalprice")),
+          "o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+        .select(col("o_custkey"), col("o_orderkey"), col("running_total"))
+        .orderBy("o_custkey", "o_orderkey")),
+    "agg_topn" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Olap.topNPerGroup(
+          Tables.customer(s, dir).select(col("c_custkey"),
+            col("c_mktsegment"), col("c_acctbal")),
+          "c_mktsegment", "c_acctbal", "c_custkey", n = 3)
+        .orderBy("c_mktsegment", "rnk")),
     // ----- range (interval) join: clicks within 10 minutes of each signup,
     // bucketed equi-join on (user, time bucket) — never a per-key cross
     // product (RangeJoin scaladoc) -----
@@ -1197,6 +1211,21 @@ object SparkEntry {
       ("""SELECT event_type, count(DISTINCT user_id) AS n_distinct,
          |  count(*) AS n_rows
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+    // same decimal accumulation + total window order as the engine
+    "window_running" ->
+      ("""SELECT o_custkey, o_orderkey,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         |    AS running_total
+         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin),
+    "agg_topn" ->
+      ("""SELECT c_custkey, c_mktsegment, c_acctbal, rnk FROM (
+         |  SELECT c_custkey, c_mktsegment, c_acctbal,
+         |    CAST(row_number() OVER (PARTITION BY c_mktsegment
+         |      ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rnk
+         |  FROM customer) t
+         |WHERE rnk <= 3 ORDER BY c_mktsegment, rnk""".stripMargin),
     // both operands micros-truncated (CAST ts AS TIMESTAMP) exactly like
     // the engine's nanos→micros events read — comparing at nanos could
     // flip boundary pairs the engine sees as equal

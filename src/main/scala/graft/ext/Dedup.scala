@@ -34,28 +34,16 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Cache blocks created by the pair operators, drained by
-    * [[unpersistAll]]. A queue (not a set) — repeated calls each add their
-    * own blocks and each deserves its own release. */
-  private val tracked =
-    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private def persistTracked(df: DataFrame): DataFrame =
+    TrackedCache.persistTracked(df)
 
-  private def persistTracked(df: DataFrame): DataFrame = {
-    val p = df.persist()
-    tracked.add(p)
-    p
-  }
-
-  /** Release every cache block the pair operators have created since the
-    * last call. Safe to call while other frames are still lazy — Spark
-    * just recomputes; correctness never depends on the cache. */
-  def unpersistAll(blocking: Boolean = false): Unit = {
-    var df = tracked.poll()
-    while (df != null) {
-      df.unpersist(blocking)
-      df = tracked.poll()
-    }
-  }
+  /** Release every cache block the multi-read operators (here and in
+    * [[TextStats]]) have created since the last call — delegates to the
+    * shared [[TrackedCache]]. Safe to call while other frames are still
+    * lazy — Spark just recomputes; correctness never depends on the
+    * cache. */
+  def unpersistAll(blocking: Boolean = false): Unit =
+    TrackedCache.unpersistAll(blocking)
 
   /** Whitespace tokenization (documents.text is space-separated). */
   def tokens(text: Column): Column = split(text, " ")

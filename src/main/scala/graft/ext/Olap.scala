@@ -59,6 +59,37 @@ object Olap {
       .select(col(rowCol) +: values.map(v =>
         coalesce(col(s"`$v`"), lit(0L)).as(s"n_${v.toLowerCase}")): _*)
 
+  /** Running (cumulative) total of `valCol` per `partCol`, ordered by
+    * (`orderCol`, `tieCol`) — the balance-over-time / cumulative-revenue
+    * report. One hash shuffle on the partition key + an in-partition sort;
+    * the running frame is ROWS UNBOUNDED PRECEDING..CURRENT, which Spark
+    * evaluates in a single streaming pass over each partition (no
+    * per-row re-scan). The tie column must make the order total or the
+    * intermediate cumulative values are nondeterministic. Accumulation is
+    * decimal (exact, order-independent), surfaced as double. */
+  def runningTotal(df: DataFrame, partCol: String, orderCol: String,
+                   tieCol: String, valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(partCol))
+      .orderBy(col(orderCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("running_total",
+      sum(col(valCol).cast("decimal(18,2)")).over(w).cast("double"))
+  }
+
+  /** Top-n rows per group by `rankCol` descending, ties broken by
+    * `tieCol` — the "top customers per segment" report. One partitioned
+    * ranking window; the filter on row_number keeps state at n rows per
+    * group, never materializing a global sort. */
+  def topNPerGroup(df: DataFrame, groupCol: String, rankCol: String,
+                   tieCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("rnk",
+        row_number().over(Window.partitionBy(col(groupCol))
+          .orderBy(col(rankCol).desc, col(tieCol).asc)).cast("long"))
+      .filter(col("rnk") <= n)
+  }
+
   /** Distinct-count per group: the cardinality report (distinct users per
     * event type, distinct documents per source, ...). Spark plans
     * count(DISTINCT x) as a two-stage aggregate — partial distinct on

@@ -189,10 +189,14 @@ object TextStats {
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
                     k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tf = df.select(col(idCol).as("doc_id"),
-        explode(toks(col(textCol))).as("term"))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+    // persisted: read twice (doc frequencies are aggregated from it AND it
+    // is the left join side) — without this the explode+aggregate runs
+    // twice. Released by Dedup.unpersistAll (shared TrackedCache).
+    val tf = TrackedCache.persistTracked(
+      df.select(col(idCol).as("doc_id"),
+          explode(toks(col(textCol))).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df_docs"))
     val total = df.agg(count(lit(1)).as("__n_docs"))
     val scored = tf.join(dfreq, "term")

@@ -56,6 +56,29 @@ class OlapSpec extends SparkSpec {
     assert(out.toSeq == Seq(("HIGH", 2L, 1L, 0L), ("LOW", 1L, 1L, 0L)))
   }
 
+  test("runningTotal: cumulative per partition in (order, tie) order") {
+    import spark.implicits._
+    val d = Seq((1L, 10L, 1, 1.10), (1L, 20L, 2, 2.20), (1L, 30L, 2, 0.70),
+      (2L, 40L, 1, 5.00)).toDF("k", "id", "ord", "amt")
+    val out = Olap.runningTotal(d, "k", "ord", "id", "amt")
+      .orderBy("k", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4))).toSeq
+    // ties on ord=2 resolved by id: 20 before 30
+    assert(out == Seq((1L, 10L, 1.10), (1L, 20L, 3.30), (1L, 30L, 4.00),
+      (2L, 40L, 5.00)))
+  }
+
+  test("topNPerGroup: rank desc with tie-break, n-boundary deterministic") {
+    import spark.implicits._
+    val d = Seq(("a", 1L, 9.0), ("a", 2L, 9.0), ("a", 3L, 1.0),
+      ("b", 4L, 5.0)).toDF("g", "id", "score")
+    val out = Olap.topNPerGroup(d, "g", "score", "id", n = 2)
+      .orderBy("g", "rnk").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSeq
+    // equal scores rank by id asc; id=3 (score 1.0) is cut
+    assert(out == Seq(("a", 1L, 1L), ("a", 2L, 2L), ("b", 4L, 1L)))
+  }
+
   test("distinctCounts: distinct vs total per group") {
     import spark.implicits._
     val ev = Seq(("click", 7L), ("click", 7L), ("click", 8L), ("view", 7L))
