@@ -399,6 +399,17 @@ object SparkEntry {
       Events.enrichCustomer(Tables.customer(s, dir), Tables.nation(s, dir),
           Tables.region(s, dir))
         .orderBy("c_custkey")),
+    // TPC-H-Q5-shaped: two big-to-big shuffle joins + a broadcast dim,
+    // revenue quantized per row so the sum is exact (Events scaladoc)
+    "join_multiway" -> ((s: SparkSession, dir: String) =>
+      Events.revenueByNation(Tables.lineitem(s, dir), Tables.orders(s, dir),
+          Tables.customer(s, dir), Tables.nation(s, dir))
+        .orderBy("n_name")),
+    // cohort retention triangle over the event stream (distinct daily
+    // activity first; cells need no count-distinct after it)
+    "events_retention" -> ((s: SparkSession, dir: String) =>
+      Events.retention(Tables.events(s, dir), "user_id", "ts")
+        .orderBy("cohort_day", "day_offset")),
     "join_revenue" -> ((s: SparkSession, dir: String) =>
       Events.revenueBySegment(Tables.orders(s, dir), Tables.customer(s, dir))
         .orderBy("c_mktsegment")),
@@ -1144,6 +1155,27 @@ object SparkEntry {
          |   WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
          |   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS asof_price
          |FROM events e ORDER BY e.event_id""".stripMargin),
+    // same per-row quantization and left-assoc product as the engine
+    "join_multiway" ->
+      ("""SELECT n_name, count(*) AS n_items,
+         |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1e4 + 0.5)
+         |    AS BIGINT)) AS DOUBLE) / 1e4 AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY n_name ORDER BY n_name""".stripMargin),
+    // same distinct-daily-activity frame; cells count rows, not distinct
+    "events_retention" ->
+      ("""WITH days AS (
+         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+         |), coh AS (
+         |  SELECT user_id, min(day) AS coh FROM days GROUP BY user_id
+         |)
+         |SELECT strftime(coh, '%Y-%m-%d') AS cohort_day,
+         |  CAST(datediff('day', coh, day) AS BIGINT) AS day_offset,
+         |  count(*) AS n_users
+         |FROM days d JOIN coh c ON d.user_id = c.user_id
+         |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin),
     "join_enrich" ->
       ("""SELECT c_custkey, c_name, n_name, r_name
          |FROM customer

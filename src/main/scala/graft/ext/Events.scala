@@ -56,6 +56,28 @@ object Events {
         date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("s_end"))
   }
 
+  /** Cohort retention matrix: users bucketed by the DAY of their first
+    * event (the cohort), counted on each later active day as an offset
+    * from it — the standard growth-analytics triangle.
+    *
+    * Shape: distinct active (user, day) pairs first — the daily-activity
+    * frame is ~|users|·|days|, orders of magnitude smaller than the raw
+    * events, and everything downstream (cohort min, self-join, cell
+    * counts) runs on it. Two hash shuffles on the user key + one on the
+    * (cohort, offset) cell; after the distinct, cell counts need no
+    * count(DISTINCT) — (user, day) is already unique. The cohort day is
+    * stringified for engine-portable output. */
+  def retention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val days = events
+      .select(col(userCol).as("__u"), to_date(col(tsCol)).as("__day"))
+      .distinct()
+    val cohorts = days.groupBy(col("__u")).agg(min(col("__day")).as("__coh"))
+    days.join(cohorts, "__u")
+      .groupBy(date_format(col("__coh"), "yyyy-MM-dd").as("cohort_day"),
+        datediff(col("__day"), col("__coh")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Dimension enrichment: customer → nation → region. Both dims are
     * broadcast — at 100 TB the fact side never shuffles for these joins
     * (nation is 25 rows, region 5; the broadcast hint makes it explicit
@@ -68,6 +90,29 @@ object Events {
       .join(broadcast(region),
         nation("n_regionkey") === region("r_regionkey"))
       .select(col("c_custkey"), col("c_name"), col("n_name"), col("r_name"))
+
+  /** TPC-H-Q5-shaped multiway star join: lineitem → orders → customer →
+    * nation, revenue per nation. The first two joins are big-to-big —
+    * hash shuffles on their equi-keys (the only correct shape when both
+    * sides are fact-scale); nation is an explicit broadcast. Every input
+    * is column-pruned to its join keys + payload BEFORE the joins so the
+    * shuffles carry the minimum bytes; revenue is quantized to 1e-4 per
+    * row (two IEEE ops, engine-exact) and summed as longs, so the
+    * aggregate is order-independent and externally reproducible. */
+  def revenueByNation(lineitem: DataFrame, orders: DataFrame,
+                      customer: DataFrame, nation: DataFrame): DataFrame =
+    lineitem.select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("__rev"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_items"),
+        (sum(floor(col("__rev") * 1e4 + 0.5).cast("long")).cast("double")
+          / 1e4).as("revenue"))
 
   /** Revenue per market segment: fact (orders) joins the customer dim with
     * an explicit broadcast, then one partial-aggregated shuffle. */

@@ -67,6 +67,35 @@ class EventsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("retention: cohort = first active day, offsets count distinct users") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: active day 0 (twice — must count once) and day 2
+      (1L, ts("2024-01-01 09:00:00"), 1L),
+      (2L, ts("2024-01-01 23:00:00"), 1L),
+      (3L, ts("2024-01-03 10:00:00"), 1L),
+      // user 2: joins a day later, active that day only
+      (4L, ts("2024-01-02 08:00:00"), 2L)
+    ).toDF("event_id", "ts", "user_id")
+    val r = Events.retention(ev, "user_id", "ts")
+      .orderBy("cohort_day", "day_offset").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSeq
+    assert(r == Seq(("2024-01-01", 0L, 1L), ("2024-01-01", 2L, 1L),
+      ("2024-01-02", 0L, 1L)))
+  }
+
+  test("revenueByNation: quantized-exact revenue through three joins") {
+    import spark.implicits._
+    val li = Seq((1L, 100.0, 0.1), (1L, 50.0, 0.0), (2L, 10.0, 0.5))
+      .toDF("l_orderkey", "l_extendedprice", "l_discount")
+    val ord = Seq((1L, 7L), (2L, 8L)).toDF("o_orderkey", "o_custkey")
+    val cust = Seq((7L, 30), (8L, 30)).toDF("c_custkey", "c_nationkey")
+    val nat = Seq((30, "PERU")).toDF("n_nationkey", "n_name")
+    val r = Events.revenueByNation(li, ord, cust, nat).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getDouble(2))).toSeq
+    assert(r == Seq(("PERU", 3L, 90.0 + 50.0 + 5.0)))
+  }
+
   test("revenueBySegment: decimal-exact aggregation") {
     import spark.implicits._
     val orders = Seq((1L, 1L, 10.10), (2L, 1L, 20.20), (3L, 2L, 5.05))
