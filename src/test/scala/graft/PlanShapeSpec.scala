@@ -120,6 +120,43 @@ class PlanShapeSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(1500))
   }
 
+  test("multiway star join: equi-joins only, pruned fact scan") {
+    val plan = executed(graft.ext.Events.revenueByNation(
+      Tables.lineitem(spark, dir), Tables.orders(spark, dir),
+      Tables.customer(spark, dir), Tables.nation(spark, dir)))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+    // the fact scan reads exactly the three needed columns
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint," +
+      "l_extendedprice:double,l_discount:double>"), plan.take(3000))
+  }
+
+  test("range join: event-type filter pushed down, no nested-loop product") {
+    val ev = Tables.events(spark, dir)
+    import org.apache.spark.sql.functions._
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    val windows = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id").as("s_user"),
+        col("ts").as("w_start"),
+        (col("ts") + expr("INTERVAL 10 MINUTES")).as("w_end"))
+    val plan = executed(graft.ext.RangeJoin.pointInInterval(clicks, windows,
+      "c_user", "s_user", "c_ts", "w_start", "w_end"))
+    assert(plan.contains("EqualTo(event_type,click)"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(1500))
+  }
+
+  test("tf-idf top-k prunes per-partition before the window shuffle") {
+    val plan = executed(graft.ext.TextStats.tfidfTopTerms(
+      Tables.documents(spark, dir), "doc_id", "text", k = 3))
+    // WindowGroupLimit keeps only k rows per group BEFORE the exchange —
+    // without it the full (doc, term) frame shuffles to be discarded
+    assert(plan.contains("WindowGroupLimit"), plan.take(2500))
+    graft.ext.Dedup.unpersistAll()
+  }
+
   test("sequence packing shuffles once, on the shard column only") {
     val plan = executed(graft.ext.Packing.packBlocks(
       Tables.documents(spark, dir), "doc_id", "text", "lang", 512L))
