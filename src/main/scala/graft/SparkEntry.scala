@@ -453,9 +453,9 @@ object SparkEntry {
     "agg_rollup" -> ((s: SparkSession, dir: String) =>
       graft.ext.Olap.rollupStats(Tables.orders(s, dir),
           Seq("o_orderstatus", "o_orderpriority"), "o_totalprice")
-        // gid leads the sort so null dimension values (constant within a
-        // gid) never decide row order — Spark and DuckDB disagree on
-        // default NULL placement
+        // gid leads the sort so grouping-introduced NULLs (constant within
+        // a gid) never decide row order; genuine data NULLs in a dimension
+        // still could, so the oracle pins NULLS FIRST to Spark's asc order
         .orderBy("gid", "o_orderstatus", "o_orderpriority")),
     "agg_cube" -> ((s: SparkSession, dir: String) =>
       graft.ext.Olap.cubeStats(Tables.lineitem(s, dir),
@@ -1221,7 +1221,8 @@ object SparkEntry {
          |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
          |FROM orders
          |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
-         |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin),
+         |ORDER BY gid, o_orderstatus NULLS FIRST,
+         |  o_orderpriority NULLS FIRST""".stripMargin),
     "agg_cube" ->
       ("""SELECT l_returnflag, l_linestatus, count(*) AS n,
          |  CAST(sum(CAST(floor(l_quantity * 1e4 + 0.5) AS BIGINT)) AS DOUBLE)
@@ -1229,7 +1230,8 @@ object SparkEntry {
          |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
          |FROM lineitem
          |GROUP BY CUBE(l_returnflag, l_linestatus)
-         |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin),
+         |ORDER BY gid, l_returnflag NULLS FIRST,
+         |  l_linestatus NULLS FIRST""".stripMargin),
     // count FILTER (not sum CASE): DuckDB sums integers into HUGEINT,
     // count stays BIGINT like Spark's pivot-count columns
     "agg_pivot" ->

@@ -52,12 +52,18 @@ object Olap {
     * cells are 0, not null, matching the conditional-aggregation dual any
     * SQL engine writes. */
   def pivotCounts(df: DataFrame, rowCol: String, pivotCol: String,
-                  values: Seq[String]): DataFrame =
+                  values: Seq[String]): DataFrame = {
+    require(values.nonEmpty && !values.exists(_.contains("`")),
+      "pivot values must be non-empty and backtick-free")
+    require(values.map(_.toLowerCase).distinct.size == values.size,
+      s"pivot values must be distinct case-insensitively (output columns " +
+        s"are n_<lowercase value>): ${values.mkString(", ")}")
     df.groupBy(col(rowCol))
       .pivot(pivotCol, values)
       .agg(count(lit(1)))
       .select(col(rowCol) +: values.map(v =>
         coalesce(col(s"`$v`"), lit(0L)).as(s"n_${v.toLowerCase}")): _*)
+  }
 
   /** Running (cumulative) total of `valCol` per `partCol`, ordered by
     * (`orderCol`, `tieCol`) — the balance-over-time / cumulative-revenue
@@ -69,6 +75,9 @@ object Olap {
     * decimal (exact, order-independent), surfaced as double. */
   def runningTotal(df: DataFrame, partCol: String, orderCol: String,
                    tieCol: String, valCol: String): DataFrame = {
+    require(!df.columns.contains("running_total"),
+      "input already has a 'running_total' column — alias it first " +
+        "(withColumn would silently overwrite it)")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(partCol))
       .orderBy(col(orderCol), col(tieCol))
@@ -83,6 +92,9 @@ object Olap {
     * group, never materializing a global sort. */
   def topNPerGroup(df: DataFrame, groupCol: String, rankCol: String,
                    tieCol: String, n: Int): DataFrame = {
+    require(!df.columns.contains("rnk"),
+      "input already has a 'rnk' column — alias it first " +
+        "(withColumn would silently overwrite it)")
     import org.apache.spark.sql.expressions.Window
     df.withColumn("rnk",
         row_number().over(Window.partitionBy(col(groupCol))

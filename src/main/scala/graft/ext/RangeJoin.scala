@@ -28,26 +28,42 @@ object RangeJoin {
     *
     * @param bucketSeconds time-bucket width; correctness never depends on
     *                      it, only the replication/selectivity trade-off
+    * @param maxBucketsPerInterval loud per-row guard on interval
+    *                      replication: one corrupt or sentinel far-future
+    *                      end timestamp would otherwise build a
+    *                      multi-gigabyte bucket array in a single row and
+    *                      OOM an executor — fail naming the span instead
     */
   def pointInInterval(points: DataFrame, intervals: DataFrame,
                       pointKey: String, intervalKey: String,
                       pointTs: String, startTs: String, endTs: String,
-                      bucketSeconds: Long = 600L): DataFrame = {
+                      bucketSeconds: Long = 600L,
+                      maxBucketsPerInterval: Long = 10000L): DataFrame = {
     require(bucketSeconds > 0, "bucket width must be positive")
-    val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(maxBucketsPerInterval > 0, "replication cap must be positive")
+    val reserved = Set("__pb", "__ib")
+    val overlap = points.columns.toSet.intersect(intervals.columns.toSet) ++
+      (points.columns.toSet ++ intervals.columns.toSet).intersect(reserved)
     require(overlap.isEmpty,
-      s"point/interval column names must be disjoint, both have: " +
-        s"${overlap.mkString(", ")} — alias one side first")
+      s"point/interval column names must be disjoint and must not use the " +
+        s"operator's working names (${reserved.mkString(", ")}); " +
+        s"offending: ${overlap.mkString(", ")} — alias first")
     val width = bucketSeconds * 1000000L // micros
     def bucketOf(c: org.apache.spark.sql.Column) =
       floor(unix_micros(c) / width).cast("long")
     val p = points.withColumn("__pb", bucketOf(col(pointTs)))
     // one row per bucket the interval touches; empty/negative intervals
     // produce an empty sequence and simply never match
+    val span = bucketOf(col(endTs)) - bucketOf(col(startTs)) + 1L
     val i = intervals.withColumn("__ib",
-      explode(when(col(endTs) > col(startTs),
-        sequence(bucketOf(col(startTs)), bucketOf(col(endTs))))
-        .otherwise(array().cast("array<long>"))))
+      explode(when(col(endTs) <= col(startTs), array().cast("array<long>"))
+        .when(span > maxBucketsPerInterval,
+          raise_error(concat(lit("pointInInterval: interval spans "),
+            span.cast("string"),
+            lit(s" buckets (> $maxBucketsPerInterval) — widen " +
+              "bucketSeconds, cap interval lengths, or raise " +
+              "maxBucketsPerInterval"))).cast("array<long>"))
+        .otherwise(sequence(bucketOf(col(startTs)), bucketOf(col(endTs))))))
     p.join(i,
         p(pointKey) === i(intervalKey) && col("__pb") === col("__ib") &&
           p(pointTs) >= i(startTs) && p(pointTs) < i(endTs))

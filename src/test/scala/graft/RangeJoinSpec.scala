@@ -63,6 +63,31 @@ class RangeJoinSpec extends SparkSpec {
       !plan.contains("CartesianProduct"), plan.take(1200))
   }
 
+  test("runaway interval replication fails loudly, not with an OOM") {
+    import spark.implicits._
+    val openEnded = Seq(
+      (300L, 10L, ts("2024-01-01 00:00:00"), ts("9999-12-31 00:00:00"))
+    ).toDF("iid", "i_key", "i_start", "i_end")
+    val e = intercept[Exception] {
+      RangeJoin.pointInInterval(points, openEnded,
+        "p_key", "i_key", "p_ts", "i_start", "i_end",
+        bucketSeconds = 600L, maxBucketsPerInterval = 10000L).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("buckets")), e.toString.take(400))
+  }
+
+  test("working-name collisions are rejected loudly") {
+    import spark.implicits._
+    val bad = intervals.withColumnRenamed("iid", "__pb")
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(points, bad,
+        "p_key", "i_key", "p_ts", "i_start", "i_end")
+    }
+    assert(e.getMessage.contains("__pb"))
+  }
+
   test("overlapping column names are rejected loudly") {
     val e = intercept[IllegalArgumentException] {
       RangeJoin.pointInInterval(points, points,
