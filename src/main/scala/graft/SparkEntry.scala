@@ -483,6 +483,34 @@ object SparkEntry {
             col("c_mktsegment"), col("c_acctbal")),
           "c_mktsegment", "c_acctbal", "c_custkey", n = 3)
         .orderBy("c_mktsegment", "rnk")),
+    // ----- set operators: Spark plans distinct-union as one aggregate,
+    // intersect/except as semi/anti hash joins — all shuffle on the full
+    // row (here a single pruned key column, the scale-right input) -----
+    "set_union" -> ((s: SparkSession, dir: String) => {
+      val ev = Tables.events(s, dir)
+      ev.filter(col("event_type") === "click").select(col("user_id"))
+        .union(ev.filter(col("event_type") === "purchase")
+          .select(col("user_id")))
+        .distinct().orderBy("user_id")
+    }),
+    // first-3-days slice: over the full range every user has every event
+    // type, which would make these trivially-full/empty certifications
+    "set_intersect" -> ((s: SparkSession, dir: String) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("ts") < to_timestamp(lit("2024-01-03")))
+      ev.filter(col("event_type") === "error").select(col("user_id"))
+        .intersect(ev.filter(col("event_type") === "purchase")
+          .select(col("user_id")))
+        .orderBy("user_id")
+    }),
+    "set_except" -> ((s: SparkSession, dir: String) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("ts") < to_timestamp(lit("2024-01-03")))
+      ev.filter(col("event_type") === "signup").select(col("user_id"))
+        .except(ev.filter(col("event_type") === "purchase")
+          .select(col("user_id")))
+        .orderBy("user_id")
+    }),
     // ----- range (interval) join: clicks within 10 minutes of each signup,
     // bucketed equi-join on (user, time bucket) — never a per-key cross
     // product (RangeJoin scaladoc) -----
@@ -1260,6 +1288,25 @@ object SparkEntry {
          |      ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rnk
          |  FROM customer) t
          |WHERE rnk <= 3 ORDER BY c_mktsegment, rnk""".stripMargin),
+    "set_union" ->
+      ("""SELECT user_id FROM events WHERE event_type = 'click'
+         |UNION
+         |SELECT user_id FROM events WHERE event_type = 'purchase'
+         |ORDER BY user_id""".stripMargin),
+    "set_intersect" ->
+      ("""SELECT user_id FROM events
+         |WHERE event_type = 'error' AND ts < TIMESTAMP '2024-01-03'
+         |INTERSECT
+         |SELECT user_id FROM events
+         |WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-03'
+         |ORDER BY user_id""".stripMargin),
+    "set_except" ->
+      ("""SELECT user_id FROM events
+         |WHERE event_type = 'signup' AND ts < TIMESTAMP '2024-01-03'
+         |EXCEPT
+         |SELECT user_id FROM events
+         |WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-03'
+         |ORDER BY user_id""".stripMargin),
     // both operands micros-truncated (CAST ts AS TIMESTAMP) exactly like
     // the engine's nanos→micros events read — comparing at nanos could
     // flip boundary pairs the engine sees as equal
