@@ -1,0 +1,137 @@
+package graft
+
+import graft.ext.{Funnel, Olap, RangeJoin, TextStats}
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.propBoolean
+
+/** Properties for the round-5 analytics operators, each checked against an
+  * independent in-memory Scala oracle on random inputs:
+  *  - the bucketed range join equals the naive point-in-interval scan for
+  *    every bucket width (bucketing must never change matches);
+  *  - type-1 group quantiles equal the sorted-list element at rank
+  *    ceil(n·p/100);
+  *  - funnel stage counts equal a per-user sequential scan. */
+object NewOpsPropertySpec extends Properties("newops") {
+
+  private lazy val spark = TestSpark.spark
+
+  private def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+
+  // ---------------------------------------------------------------- range
+  private val genRange: Gen[(List[(Long, Long, Long)],
+      List[(Long, Long, Long, Long)], Long)] = for {
+    np <- Gen.choose(0, 15)
+    ni <- Gen.choose(0, 8)
+    ps <- Gen.listOfN(np, Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 120L)))
+    is <- Gen.listOfN(ni, Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 120L),
+      Gen.choose(-5L, 60L))) // negative lengths: must match nothing
+    w <- Gen.oneOf(1L, 7L, 60L, 600L)
+  } yield (
+    ps.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) },
+    is.zipWithIndex.map { case ((k, s, len), i) =>
+      (100L + i, k, s, s + len) },
+    w)
+
+  property("range join equals the naive scan for every bucket width") =
+    Prop.forAll(genRange) { case (ps, is, w) =>
+      import spark.implicits._
+      val pDf = ps.map { case (id, k, t) => (id, k, ts(t)) }
+        .toDF("pid", "p_key", "p_ts")
+      val iDf = is.map { case (id, k, s, e) => (id, k, ts(s), ts(e)) }
+        .toDF("iid", "i_key", "i_start", "i_end")
+      val got = RangeJoin.pointInInterval(pDf, iDf, "p_key", "i_key",
+          "p_ts", "i_start", "i_end", bucketSeconds = w)
+        .select("pid", "iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (for {
+        (pid, pk, pt) <- ps
+        (iid, ik, s, e) <- is
+        if pk == ik && pt >= s && pt < e
+      } yield (pid, iid)).toSet
+      (got == want) :| s"w=$w got=$got want=$want"
+    }
+
+  // ------------------------------------------------------------ quantiles
+  private val genGroups: Gen[List[(String, Long)]] = for {
+    n <- Gen.choose(1, 30)
+    xs <- Gen.listOfN(n, Gen.zip(Gen.oneOf("a", "b", "c"),
+      Gen.choose(-50L, 50L)))
+  } yield xs
+
+  property("group quantiles equal sorted-list rank selection") =
+    Prop.forAll(genGroups, Gen.nonEmptyListOf(Gen.choose(1, 100))) {
+      (xs, pcts0) =>
+        import spark.implicits._
+        val pcts = pcts0.distinct
+        val got = TextStats.groupQuantiles(xs.toDF("grp", "v"), "grp", "v",
+            pcts)
+          .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2)))
+          .toMap
+        val want = (for {
+          (g, vs) <- xs.groupBy(_._1).toSeq
+          sorted = vs.map(_._2).sorted
+          p <- pcts
+        } yield ((g, p.toLong),
+          sorted(((sorted.size * p + 99) / 100 - 1).toInt))).toMap
+        (got == want) :| s"got=$got want=$want"
+    }
+
+  // --------------------------------------------------------------- funnel
+  private val genEvents: Gen[List[(Long, String, Long)]] = for {
+    n <- Gen.choose(0, 25)
+    xs <- Gen.listOfN(n, Gen.zip(Gen.choose(1L, 4L),
+      Gen.oneOf("A", "B", "C"), Gen.choose(0L, 20L)))
+  } yield xs.zipWithIndex.map { case ((u, t, s), i) => (u, t, s) }
+
+  private def reachOracle(evts: Seq[(Long, String, Long)],
+                          steps: Seq[String]): Seq[Long] = {
+    val byUser = evts.groupBy(_._1)
+    def reach(userEvts: Seq[(String, Long)]): Int = {
+      var stage = 0
+      var tMin = Long.MinValue
+      for (step <- steps) {
+        val cand = userEvts.filter(e => e._1 == step && e._2 >= tMin)
+        if (stage == steps.indexOf(step) && cand.nonEmpty) {
+          stage += 1
+          tMin = cand.map(_._2).min
+        }
+      }
+      stage
+    }
+    val stages = byUser.values.map(es => reach(es.map(e => (e._2, e._3))))
+    steps.indices.map(i => stages.count(_ >= i + 1).toLong)
+  }
+
+  property("funnel stage counts equal the per-user sequential oracle") =
+    Prop.forAll(genEvents) { evts =>
+      import spark.implicits._
+      val df = evts.map { case (u, t, s) => (u, t, ts(s)) }
+        .toDF("uid", "etype", "ets")
+      val steps = Seq("A", "B", "C")
+      val got = Funnel.stages(df, "uid", "etype", "ets", steps)
+        .orderBy("stage").collect().map(_.getLong(2)).toSeq
+      val want = reachOracle(evts, steps)
+      (got == want) :| s"got=$got want=$want"
+    }
+
+  // ---------------------------------------------------------------- olap
+  property("rollup subtotals are consistent across grouping levels") =
+    Prop.forAll(genGroups) { xs =>
+      import spark.implicits._
+      val df = xs.map { case (g, v) => (g, if (v >= 0) "p" else "n",
+        v.toDouble / 4) }.toDF("a", "b", "amt")
+      val rows = Olap.rollupStats(df, Seq("a", "b"), "amt").collect()
+        .map(r => (r.getLong(4), Option(r.getString(0)),
+          Option(r.getString(1)), r.getLong(2)))
+      val leaf = rows.filter(_._1 == 0L)
+      val mid = rows.filter(_._1 == 1L)
+      val top = rows.filter(_._1 == 3L)
+      val leafSum = leaf.map(_._4).sum
+      Prop.all(
+        (top.length == 1 && top.head._4 == xs.size.toLong) :| "grand total",
+        (leafSum == xs.size.toLong) :| "leaves partition the input",
+        Prop.all(mid.map(m => (m._4 ==
+          leaf.filter(_._2 == m._2).map(_._4).sum) :|
+          s"subtotal ${m._2}"): _*))
+    }
+}
