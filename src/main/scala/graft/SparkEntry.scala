@@ -552,6 +552,26 @@ object SparkEntry {
     "text_bigrams" -> ((s: SparkSession, dir: String) =>
       TextStats.bigramTopTerms(Tables.documents(s, dir), "text", k = 40)
         .orderBy(col("doc_freq").desc, col("bigram").asc)),
+    // ----- vocabulary fit + token-id encode (TextStats scaladoc: bounded
+    // broadcast vocab, corpus never shuffles to encode) -----
+    "text_vocab_encode" -> ((s: SparkSession, dir: String) =>
+      TextStats.vocabEncode(Tables.documents(s, dir), "doc_id", "text",
+          vocabSize = 1000)
+        .orderBy("doc_id", "pos")),
+    // ----- partitioned-layout round trip: write by language, read one
+    // language back through partition pruning (plan-asserted in
+    // PartitionedSpec — the scan enumerates only the lang=en directory)
+    "sink_partitioned" -> ((s: SparkSession, dir: String) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-part-")
+        .toString
+      graft.sources.Partitioned.write(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+          col("n_chars")), "lang", tmp)
+      graft.sources.Partitioned.read(s, tmp)
+        .filter(col("lang") === "en")
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
     // ----- §2.10 multimodal plumbing (stub decode, real Spark shape) -----
     "mm_features" -> ((s: SparkSession, dir: String) =>
       Multimodal.features(
@@ -1378,6 +1398,29 @@ object SparkEntry {
          |)
          |SELECT doc_id, rnk, term, score FROM ranked
          |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin),
+    // same deterministic vocab rank (count desc, term) and -1 unknowns;
+    // DuckDB's parallel unnests zip, giving the same (pos, term) pairs
+    "text_vocab_encode" ->
+      ("""WITH tp AS (
+         |  SELECT doc_id,
+         |    generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+         |    unnest(string_split(text, ' ')) AS term
+         |  FROM documents
+         |), v AS (
+         |  SELECT term,
+         |    CAST(row_number() OVER (ORDER BY count(*) DESC, term)
+         |      AS BIGINT) AS tok_id
+         |  FROM tp GROUP BY term
+         |  QUALIFY tok_id <= 1000
+         |)
+         |SELECT tp.doc_id, CAST(tp.pos AS BIGINT) AS pos,
+         |  coalesce(v.tok_id, -1) AS tok_id
+         |FROM tp LEFT JOIN v USING (term)
+         |ORDER BY doc_id, pos""".stripMargin),
+    // the partitioned round trip must reproduce the plain filtered scan
+    "sink_partitioned" ->
+      ("""SELECT doc_id, n_chars FROM documents
+         |WHERE lang = 'en' ORDER BY doc_id""".stripMargin),
     // same per-doc distinct word bigrams (sub-2-token docs contribute the
     // whole text, mirroring Dedup.shingles) and the same k-boundary order
     "text_bigrams" ->

@@ -211,6 +211,41 @@ object TextStats {
         col("term"), col("score"))
   }
 
+  /** Vocabulary build + token-id encoding — the tokenizer-fitting step of
+    * a pretraining pipeline: rank the corpus's `vocabSize` most frequent
+    * terms (occurrence count, ties broken by term so the id assignment is
+    * deterministic), then re-emit every token position as its vocabulary
+    * id, unknown tokens as -1.
+    *
+    * Plan: one explode → term-count aggregate (map-side partials) →
+    * WindowGroupLimit-style rank cut for the vocab, then a second explode
+    * joined against the vocab. The vocab is bounded by construction
+    * (`vocabSize` rows), so Spark broadcasts it and the encode pass is a
+    * scan-parallel map — the corpus never shuffles to be encoded, at any
+    * scale. Output is (doc, pos, tok_id) rows rather than an id array:
+    * downstream packing wants the long layout anyway, and it keeps every
+    * value a comparable scalar. */
+  def vocabEncode(df: DataFrame, idCol: String, textCol: String,
+                  vocabSize: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(vocabSize > 0, "vocabSize must be positive")
+    val toksPos = df.select(col(idCol).as("doc_id"),
+      posexplode(toks(col(textCol))).as(Seq("pos", "term")))
+    // top-k FIRST (TakeOrderedAndProject — per-partition heaps, no global
+    // sort of the vocabulary), THEN the id-assigning rank window over the
+    // bounded k-row result. Ranking the full term table directly would be
+    // an unpartitioned window — every distinct term on one reducer.
+    val vocab = toksPos.groupBy(col("term"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("term").asc).limit(vocabSize)
+      .withColumn("tok_id", row_number().over(
+        Window.orderBy(col("freq").desc, col("term").asc)).cast("long"))
+      .select(col("term"), col("tok_id"))
+    toksPos.join(broadcast(vocab), Seq("term"), "left")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        coalesce(col("tok_id"), lit(-1L)).as("tok_id"))
+  }
+
   /** Corpus top-k bigrams by document frequency — the n-gram language-model
     * / boilerplate-phrase probe. Distinct word bigrams per document (the
     * [[Dedup.shingles]] n=2 formulation: a sub-2-token document contributes
