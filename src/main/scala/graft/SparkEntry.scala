@@ -552,6 +552,11 @@ object SparkEntry {
     "text_bigrams" -> ((s: SparkSession, dir: String) =>
       TextStats.bigramTopTerms(Tables.documents(s, dir), "text", k = 40)
         .orderBy(col("doc_freq").desc, col("bigram").asc)),
+    // ----- sliding-window token chunking (64-token chunks, stride 48) -----
+    "text_chunks" -> ((s: SparkSession, dir: String) =>
+      TextStats.tokenChunks(Tables.documents(s, dir), "doc_id", "text",
+          chunk = 64, stride = 48)
+        .orderBy("doc_id", "chunk_idx")),
     // ----- vocabulary fit + token-id encode (TextStats scaladoc: bounded
     // broadcast vocab, corpus never shuffles to encode) -----
     "text_vocab_encode" -> ((s: SparkSession, dir: String) =>
@@ -1398,6 +1403,23 @@ object SparkEntry {
          |)
          |SELECT doc_id, rnk, term, score FROM ranked
          |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin),
+    // same start grid (0..n-1 step 48) and 1-based boundary indexing
+    "text_chunks" ->
+      ("""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws,
+         |    len(string_split(text, ' ')) AS n
+         |  FROM documents
+         |), c AS (
+         |  SELECT doc_id, ws, n,
+         |    unnest(range(0, n, 48)) AS start,
+         |    generate_subscripts(range(0, n, 48), 1) - 1 AS chunk_idx
+         |  FROM t
+         |)
+         |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         |  CAST(least(64, n - start) AS BIGINT) AS chunk_len,
+         |  ws[start + 1] AS first_term,
+         |  ws[start + least(64, n - start)] AS last_term
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin),
     // same deterministic vocab rank (count desc, term) and -1 unknowns;
     // DuckDB's parallel unnests zip, giving the same (pos, term) pairs
     "text_vocab_encode" ->

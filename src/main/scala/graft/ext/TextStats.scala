@@ -246,6 +246,30 @@ object TextStats {
         coalesce(col("tok_id"), lit(-1L)).as("tok_id"))
   }
 
+  /** Sliding-window token chunking — the RAG / context-window splitting
+    * step: fixed `chunk`-token windows every `stride` tokens (overlap =
+    * chunk − stride). Emits (doc, chunk_idx, chunk_len, first/last term)
+    * — the boundary terms pin the exact split externally without
+    * shipping chunk text twice. Pure row-local array arithmetic plus one
+    * generator; no shuffle, scales with input splits. */
+  def tokenChunks(df: DataFrame, idCol: String, textCol: String,
+                  chunk: Int, stride: Int): DataFrame = {
+    require(chunk > 0 && stride > 0 && stride <= chunk,
+      "need 0 < stride <= chunk (stride > chunk would drop tokens)")
+    val t = toks(col(textCol))
+    df.select(col(idCol).as("doc_id"), t.as("__t"),
+        size(t).as("__n"),
+        posexplode(sequence(lit(0), greatest(size(t) - 1, lit(0)),
+          lit(stride))).as(Seq("chunk_idx", "start")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        least(lit(chunk), col("__n") - col("start")).cast("long")
+          .as("chunk_len"),
+        element_at(col("__t"), col("start") + 1).as("first_term"),
+        element_at(col("__t"),
+          col("start") + least(lit(chunk), col("__n") - col("start")))
+          .as("last_term"))
+  }
+
   /** Corpus top-k bigrams by document frequency — the n-gram language-model
     * / boilerplate-phrase probe. Distinct word bigrams per document (the
     * [[Dedup.shingles]] n=2 formulation: a sub-2-token document contributes

@@ -117,6 +117,29 @@ class TextStatsSpec extends SparkSpec {
       (2L, 1L, "common", 1000000L), (3L, 1L, "common", 1000000L)))
   }
 
+  test("tokenChunks: stride grid, truncated tail, boundary terms") {
+    import spark.implicits._
+    // 7 tokens, chunk=3, stride=2 -> starts 0,2,4,6; lens 3,3,3,1
+    val d = Seq((1L, "a b c d e f g")).toDF("doc_id", "text")
+    val out = TextStats.tokenChunks(d, "doc_id", "text", chunk = 3, stride = 2)
+      .orderBy("chunk_idx").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))
+      .toSeq
+    assert(out == Seq((0L, 3L, "a", "c"), (1L, 3L, "c", "e"),
+      (2L, 3L, "e", "g"), (3L, 1L, "g", "g")))
+  }
+
+  test("tokenChunks: single chunk covers a short doc; bad strides rejected") {
+    import spark.implicits._
+    val d = Seq((1L, "x y")).toDF("doc_id", "text")
+    val out = TextStats.tokenChunks(d, "doc_id", "text", chunk = 64, stride = 48)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((0L, 2L)))
+    intercept[IllegalArgumentException] {
+      TextStats.tokenChunks(d, "doc_id", "text", chunk = 3, stride = 4)
+    }
+  }
+
   test("bigramTopTerms: per-doc distinct bigrams, single-token fallback") {
     import spark.implicits._
     val d = Seq((1L, "a b a b"), // distinct bigrams: "a b", "b a"
