@@ -246,6 +246,14 @@ object SparkEntry {
       Similarity.lshCosinePairs(Tables.embeddings(s, dir), "vec_id",
           "embedding", dim = 64, threshold = 0.4, numPlanes = 8, seed = 42L)
         .orderBy("id_a", "id_b")),
+    // batched k-NN join: one broadcast query batch (vec_id < 5), top-3
+    // neighbors each in a single candidate scan (Similarity scaladoc)
+    "sim_knn" -> ((s: SparkSession, dir: String) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.knnJoin(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", "vec_id", "embedding", k = 3)
+        .orderBy("query_id", "rn")
+    }),
     // IVF-style probed top-k: label plays the nlist role; only the two
     // nearest cells are brute-forced
     "sim_ivf" -> ((s: SparkSession, dir: String) => {
@@ -997,6 +1005,26 @@ object SparkEntry {
         ", ranked AS (SELECT label, vec_id, sim, " +
         "CAST(row_number() OVER (PARTITION BY label ORDER BY sim DESC, vec_id) AS BIGINT) AS rn " +
         "FROM scored) SELECT label, vec_id, sim, rn FROM ranked WHERE rn <= 3 ORDER BY label, rn"),
+    // same (candidate, query) operand order and norm product as the engine
+    "sim_knn" ->
+      ("""WITH v AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+         |), q AS (
+         |  SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5
+         |), scored AS (
+         |  SELECT q.query_id, v.vec_id AS cand_id,
+         |    round(list_dot_product(v.e, qe) /
+         |      (sqrt(list_dot_product(v.e, v.e)) *
+         |       sqrt(list_dot_product(qe, qe))), 4) AS sim
+         |  FROM v, q
+         |), ranked AS (
+         |  SELECT query_id, cand_id, sim,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, cand_id) AS BIGINT) AS rn
+         |  FROM scored
+         |)
+         |SELECT query_id, cand_id, sim, rn FROM ranked
+         |WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin),
     "sim_neardup" ->
       ("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
          |pairs AS (

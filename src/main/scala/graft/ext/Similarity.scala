@@ -99,6 +99,33 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** Batched k-NN join: top-k neighbors for EVERY query in a query batch
+    * at once — the retrieval shape of RAG and eval pipelines. The query
+    * side is broadcast (a query batch is bounded by construction, not a
+    * table); each candidate partition scores against all queries locally,
+    * so the candidate table never shuffles for the scoring itself, and
+    * WindowGroupLimit prunes to k per query before the one shuffle on the
+    * query id. Work is O(|queries|·n·d) exact brute force — the baseline
+    * that parallelizes perfectly; swap the candidate side for an
+    * IVF-probed subset ([[ivfTopK]]/[[IvfIndex]]) for large repeated
+    * batches. Norms are computed once per side before the join. */
+  def knnJoin(candidates: DataFrame, queries: DataFrame,
+              candIdCol: String, candVecCol: String,
+              qIdCol: String, qVecCol: String, k: Int): DataFrame = {
+    val c = candidates.select(col(candIdCol).cast("long").as("cand_id"),
+      col(candVecCol).as("__cv"), norm(col(candVecCol)).as("__cn"))
+    val q = queries.select(col(qIdCol).cast("long").as("query_id"),
+      col(qVecCol).as("__qv"), norm(col(qVecCol)).as("__qn"))
+    c.crossJoin(broadcast(q))
+      .select(col("query_id"), col("cand_id"),
+        round(array_dot(col("__cv"), col("__qv")) /
+          (col("__cn") * col("__qn")), 4).as("sim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("cand_id"))).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
   /** Deterministic pseudo-random unit-ish hyperplanes (seeded, reproducible
     * across executors — the planes are literals in the plan). */
   private[graft] def hyperplanes(numPlanes: Int, dim: Int,

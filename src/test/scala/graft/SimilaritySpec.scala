@@ -61,6 +61,24 @@ class SimilaritySpec extends SparkSpec {
     assert(out == Seq((0, 0L, 1L), (1, 3L, 1L)))
   }
 
+  test("knnJoin: per-query top-k with self-match first, deterministic ties") {
+    val out = Similarity.knnJoin(vecs, vecs.filter(col("vec_id") < 2),
+        "vec_id", "embedding", "vec_id", "embedding", k = 2)
+      .orderBy("query_id", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSeq
+    // queries 0 and 1 are identical e1 vectors: both rank {0, 1} (cos 1.0
+    // each, tie broken by cand_id) ahead of everything else
+    assert(out == Seq((0L, 0L, 1.0, 1L), (0L, 1L, 1.0, 2L),
+      (1L, 0L, 1.0, 1L), (1L, 1L, 1.0, 2L)))
+    // plan shape: broadcast of the query batch, never a shuffled cross
+    val plan = Similarity.knnJoin(vecs, vecs.filter(col("vec_id") < 2),
+        "vec_id", "embedding", "vec_id", "embedding", k = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(900))
+    assert(plan.contains("WindowGroupLimit"), plan.take(1800))
+  }
+
   test("nearDupPairs: threshold and exact cosine on known vectors") {
     val out = Similarity.nearDupPairs(vecs, "vec_id", "embedding", 0.99)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
