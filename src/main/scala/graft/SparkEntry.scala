@@ -272,6 +272,11 @@ object SparkEntry {
       graft.ext.IvfIndex.topK(s, idx, "vec_id", "embedding",
         queryVec(emb), k = 5, nprobe = 2)
     }),
+    // symmetric int8 quantization, exploded to scalars for the oracle
+    "emb_quantize" -> ((s: SparkSession, dir: String) =>
+      Similarity.quantizeInt8(Tables.embeddings(s, dir), "vec_id",
+          "embedding")
+        .orderBy("vec_id", "pos")),
     // Per-label mean embedding (average pooling) — the class-prototype /
     // cluster-seed primitive. Decimal accumulation keeps the mean exact
     // and order-independent (a double sum would vary with partitioning).
@@ -1074,6 +1079,21 @@ object SparkEntry {
     // the engine — plain IEEE double ops, so both engines quantize every
     // element to the identical long (a double→decimal cast does NOT agree
     // across engines on boundary values; see Similarity.centroidComponents)
+    // same fixed op order (x / scale * 127 + 0.5) — IEEE-exact both sides
+    "emb_quantize" ->
+      ("""WITH v AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+         |), m AS (
+         |  SELECT vec_id, e,
+         |    list_max(list_transform(e, x -> abs(x))) AS scale
+         |  FROM v
+         |)
+         |SELECT vec_id,
+         |  CAST(generate_subscripts(e, 1) - 1 AS BIGINT) AS pos,
+         |  CASE WHEN scale = 0 THEN 0
+         |       ELSE CAST(floor(unnest(e) / scale * 127 + 0.5) AS BIGINT)
+         |  END AS q
+         |FROM m ORDER BY vec_id, pos""".stripMargin),
     "emb_centroids" ->
       ("""WITH comp AS (
          |  SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,

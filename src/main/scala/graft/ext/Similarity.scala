@@ -157,6 +157,24 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** Symmetric per-vector int8 quantization — the 4× compression step a
+    * billion-vector ANN index takes before anything else: scale = the
+    * vector's max |component|, qᵢ = floor(vᵢ/scale·127 + 0.5) ∈ [−127,127]
+    * (an all-zero vector quantizes to zeros). Entirely row-local IEEE
+    * arithmetic in a fixed operation order, so any engine reproduces every
+    * code exactly; emitted as exploded (id, pos, q) scalars for the same
+    * oracle-comparability reason as [[centroidComponents]]. */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = asDouble(col(vecCol))
+    val scale = array_max(transform(v, x => abs(x)))
+    df.select(col(idCol), scale.as("__s"),
+        posexplode(v).as(Seq("pos", "x")))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        when(col("__s") === 0d, lit(0L))
+          .otherwise(floor(col("x") / col("__s") * 127d + 0.5d).cast("long"))
+          .as("q"))
+  }
+
   /** Per-group centroids via posexplode → (group, position) mean → array
     * reassembly. Fully distributed — no vector ever crosses the driver.
     *

@@ -79,6 +79,19 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan.take(1800))
   }
 
+  test("quantizeInt8: max-abs scaling, rounding, zero-vector guard") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f)), // scale 1.0 -> 64 (63.5 rounds up), -127, 32
+      (2L, Seq(0.0f, 0.0f, 0.0f))    // zero vector -> all zeros, no NaN
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(d, "vec_id", "embedding")
+      .orderBy("vec_id", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, 0L, 64L), (1L, 1L, -127L), (1L, 2L, 32L),
+      (2L, 0L, 0L), (2L, 1L, 0L), (2L, 2L, 0L)))
+  }
+
   test("nearDupPairs: threshold and exact cosine on known vectors") {
     val out = Similarity.nearDupPairs(vecs, "vec_id", "embedding", 0.99)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
