@@ -506,8 +506,8 @@ object SparkEntry {
           .select(col("user_id")))
         .distinct().orderBy("user_id")
     }),
-    // first-3-days slice: over the full range every user has every event
-    // type, which would make these trivially-full/empty certifications
+    // Jan 1-2 slice (ts < Jan 3): over the full range every user has
+    // every event type, making these trivially-full/empty certifications
     "set_intersect" -> ((s: SparkSession, dir: String) => {
       val ev = Tables.events(s, dir)
         .filter(col("ts") < to_timestamp(lit("2024-01-03")))

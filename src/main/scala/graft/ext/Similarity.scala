@@ -112,6 +112,12 @@ object Similarity {
   def knnJoin(candidates: DataFrame, queries: DataFrame,
               candIdCol: String, candVecCol: String,
               qIdCol: String, qVecCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    // ids are narrowed with cast('long'); a non-numeric id column would
+    // silently null every id, so reject it here instead
+    Seq(candidates.schema(candIdCol), queries.schema(qIdCol)).foreach(f =>
+      require(f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"id column ${f.name} must be numeric, found ${f.dataType}"))
     val c = candidates.select(col(candIdCol).cast("long").as("cand_id"),
       col(candVecCol).as("__cv"), norm(col(candVecCol)).as("__cn"))
     val q = queries.select(col(qIdCol).cast("long").as("query_id"),

@@ -257,10 +257,14 @@ object TextStats {
     require(chunk > 0 && stride > 0 && stride <= chunk,
       "need 0 < stride <= chunk (stride > chunk would drop tokens)")
     val t = toks(col(textCol))
+    // null-guarded grid: posexplode of a null array drops the row, so a
+    // null-text document emits no chunks (matching the oracle's
+    // range(0, NULL, stride)) instead of one garbage length -1 row
     df.select(col(idCol).as("doc_id"), t.as("__t"),
         size(t).as("__n"),
-        posexplode(sequence(lit(0), greatest(size(t) - 1, lit(0)),
-          lit(stride))).as(Seq("chunk_idx", "start")))
+        posexplode(when(col(textCol).isNotNull,
+          sequence(lit(0), greatest(size(t) - 1, lit(0)), lit(stride))))
+          .as(Seq("chunk_idx", "start")))
       .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
         least(lit(chunk), col("__n") - col("start")).cast("long")
           .as("chunk_len"),

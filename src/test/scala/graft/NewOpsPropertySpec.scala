@@ -39,15 +39,17 @@ object NewOpsPropertySpec extends Properties("newops") {
         .toDF("pid", "p_key", "p_ts")
       val iDf = is.map { case (id, k, s, e) => (id, k, ts(s), ts(e)) }
         .toDF("iid", "i_key", "i_start", "i_end")
+      // sorted Seq, not Set: a bucketing regression that emits a matching
+      // pair twice must fail the property, not be collapsed away
       val got = RangeJoin.pointInInterval(pDf, iDf, "p_key", "i_key",
           "p_ts", "i_start", "i_end", bucketSeconds = w)
         .select("pid", "iid").collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
       val want = (for {
         (pid, pk, pt) <- ps
         (iid, ik, s, e) <- is
         if pk == ik && pt >= s && pt < e
-      } yield (pid, iid)).toSet
+      } yield (pid, iid)).sorted
       (got == want) :| s"w=$w got=$got want=$want"
     }
 
@@ -81,7 +83,7 @@ object NewOpsPropertySpec extends Properties("newops") {
     n <- Gen.choose(0, 25)
     xs <- Gen.listOfN(n, Gen.zip(Gen.choose(1L, 4L),
       Gen.oneOf("A", "B", "C"), Gen.choose(0L, 20L)))
-  } yield xs.zipWithIndex.map { case ((u, t, s), i) => (u, t, s) }
+  } yield xs
 
   private def reachOracle(evts: Seq[(Long, String, Long)],
                           steps: Seq[String]): Seq[Long] = {

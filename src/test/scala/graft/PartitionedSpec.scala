@@ -29,23 +29,4 @@ class PartitionedSpec extends SparkSpec {
         .contains("= en"), plan.take(1500))
   }
 
-  test("vocabEncode: deterministic ids, unknowns are -1, positions align") {
-    import spark.implicits._
-    val d = Seq((1L, "b a b"), (2L, "a b z")).toDF("doc_id", "text")
-    // freqs: b=3, a=2, z=1; vocabSize=2 -> b=1, a=2, z=unknown
-    val out = graft.ext.TextStats.vocabEncode(d, "doc_id", "text", 2)
-      .orderBy("doc_id", "pos").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
-    assert(out == Seq((1L, 0L, 1L), (1L, 1L, 2L), (1L, 2L, 1L),
-      (2L, 0L, 2L), (2L, 1L, 1L), (2L, 2L, -1L)))
-  }
-
-  test("vocabEncode: frequency ties rank by term, ids stay in [1, k]") {
-    import spark.implicits._
-    val d = Seq((1L, "x y x y")).toDF("doc_id", "text")
-    val out = graft.ext.TextStats.vocabEncode(d, "doc_id", "text", 10)
-      .orderBy("doc_id", "pos").collect().map(_.getLong(2)).toSeq
-    // x and y both freq 2: x ranks first lexicographically
-    assert(out == Seq(1L, 2L, 1L, 2L))
-  }
 }

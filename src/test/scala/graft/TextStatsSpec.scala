@@ -117,6 +117,40 @@ class TextStatsSpec extends SparkSpec {
       (2L, 1L, "common", 1000000L), (3L, 1L, "common", 1000000L)))
   }
 
+  test("vocabEncode: deterministic ids, unknowns are -1, positions align") {
+    import spark.implicits._
+    val d = Seq((1L, "b a b"), (2L, "a b z")).toDF("doc_id", "text")
+    // freqs: b=3, a=2, z=1; vocabSize=2 -> b=1, a=2, z=unknown
+    val out = TextStats.vocabEncode(d, "doc_id", "text", 2)
+      .orderBy("doc_id", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, 0L, 1L), (1L, 1L, 2L), (1L, 2L, 1L),
+      (2L, 0L, 2L), (2L, 1L, 1L), (2L, 2L, -1L)))
+  }
+
+  test("vocabEncode: frequency ties rank by term, ids stay in [1, k]") {
+    import spark.implicits._
+    val d = Seq((1L, "x y x y")).toDF("doc_id", "text")
+    val out = TextStats.vocabEncode(d, "doc_id", "text", 10)
+      .orderBy("doc_id", "pos").collect().map(_.getLong(2)).toSeq
+    // x and y both freq 2: x ranks first lexicographically
+    assert(out == Seq(1L, 2L, 1L, 2L))
+  }
+
+  test("tokenChunks: null text emits no rows (no garbage lengths)") {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val d = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(1L, null),
+        org.apache.spark.sql.Row(2L, "a b")), schema)
+    val out = TextStats.tokenChunks(d, "doc_id", "text", 64, 48)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(out == Seq((2L, 2L)))
+  }
+
   test("tokenChunks: stride grid, truncated tail, boundary terms") {
     import spark.implicits._
     // 7 tokens, chunk=3, stride=2 -> starts 0,2,4,6; lens 3,3,3,1
