@@ -482,6 +482,13 @@ object SparkEntry {
       graft.ext.Olap.distinctCounts(Tables.events(s, dir),
           "event_type", "user_id")
         .orderBy("event_type")),
+    // oracle-certified HyperLogLog (Hll scaladoc: every register and the
+    // harmonic sum are exact integers; DuckDB replays the sketch
+    // bit-for-bit — approx_count_distinct could never be certified)
+    "agg_hll" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Hll.distinctEstimate(Tables.events(s, dir),
+          "event_type", "user_id")
+        .orderBy("event_type")),
     // ----- window analytics: running totals and per-group top-n -----
     "window_running" -> ((s: SparkSession, dir: String) =>
       graft.ext.Olap.runningTotal(
@@ -1346,6 +1353,39 @@ object SparkEntry {
       ("""SELECT event_type, count(DISTINCT user_id) AS n_distinct,
          |  count(*) AS n_rows
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+    // the full HLL sketch replayed in SQL: same hash, register split,
+    // bitlength rank, max-merge, exact integer harmonic sum, and the
+    // identical fixed-order double estimate
+    "agg_hll" ->
+      ("""WITH x1 AS (
+         |  SELECT event_type,
+         |    (user_id % 2147483647) * 1103515245 % 2147483647 AS v
+         |  FROM events WHERE user_id IS NOT NULL
+         |), x2 AS (
+         |  SELECT event_type, xor(v, v >> 15) AS v FROM x1
+         |), x3 AS (
+         |  SELECT event_type, v * 1566083941 % 2147483647 AS v FROM x2
+         |), h AS (
+         |  SELECT event_type, xor(v, v >> 13) AS hv FROM x3
+         |), ranked AS (
+         |  SELECT event_type, hv % 64 AS reg,
+         |    CASE WHEN hv // 64 = 0 THEN 26
+         |         ELSE 26 - length(printf('%b', hv // 64)) END AS rank
+         |  FROM h
+         |), regs AS (
+         |  SELECT event_type, reg, max(rank) AS m_j
+         |  FROM ranked GROUP BY event_type, reg
+         |), state AS (
+         |  SELECT event_type, count(*) AS n_regs,
+         |    sum(CAST(1 AS BIGINT) << (26 - m_j)) AS isum_p
+         |  FROM regs GROUP BY event_type
+         |)
+         |SELECT event_type, n_regs,
+         |  CAST(isum_p + (64 - n_regs) * 67108864 AS BIGINT) AS isum,
+         |  CAST(0.709 AS DOUBLE) * 4096 * 67108864 /
+         |    CAST(isum_p + (64 - n_regs) * 67108864 AS DOUBLE)
+         |    AS hll_estimate
+         |FROM state ORDER BY event_type""".stripMargin),
     // same decimal accumulation + total window order as the engine
     "window_running" ->
       ("""SELECT o_custkey, o_orderkey,
