@@ -393,6 +393,17 @@ object SparkEntry {
       drainStream(s, "graft_stream_dedup", "append",
         graft.streaming.EventsStream.dedupKeys(eventsStream(s, dir)))
         .orderBy("hour", "user_id", "event_type")),
+    // STREAMING sketch maintenance: the HLL register state is one
+    // supported max-aggregation, maintained incrementally over the event
+    // stream (complete mode, ≤ m rows per group of state) and finalized
+    // batch-side — certified against the identical batch-HLL oracle
+    "stream_hll" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Hll.finalize(
+          drainStream(s, "graft_stream_hll", "complete",
+            graft.ext.Hll.registers(eventsStream(s, dir),
+              "event_type", "user_id")),
+          "event_type")
+        .orderBy("event_type")),
     // As-of join (latest order at or before each event, per customer) via
     // the union + single-window merge shape — one shuffle of |L|+|R| rows,
     // no join operator in the plan (AsOf scaladoc has the scale argument)
@@ -754,6 +765,40 @@ object SparkEntry {
       |  FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2, 3, 4
       |)""".stripMargin
+
+  /** The [[graft.ext.Hll]] sketch replayed end-to-end in SQL — shared by
+    * the batch (`agg_hll`) and streaming (`stream_hll`) entries, which
+    * must produce the identical state by construction. */
+  private val HllOracle: String =
+    """WITH x1 AS (
+      |  SELECT event_type,
+      |    (user_id % 2147483647) * 1103515245 % 2147483647 AS v
+      |  FROM events WHERE user_id IS NOT NULL
+      |), x2 AS (
+      |  SELECT event_type, xor(v, v >> 15) AS v FROM x1
+      |), x3 AS (
+      |  SELECT event_type, v * 1566083941 % 2147483647 AS v FROM x2
+      |), h AS (
+      |  SELECT event_type, xor(v, v >> 13) AS hv FROM x3
+      |), ranked AS (
+      |  SELECT event_type, hv % 64 AS reg,
+      |    CASE WHEN hv // 64 = 0 THEN 26
+      |         ELSE 26 - length(printf('%b', hv // 64)) END AS rank
+      |  FROM h
+      |), regs AS (
+      |  SELECT event_type, reg, max(rank) AS m_j
+      |  FROM ranked GROUP BY event_type, reg
+      |), state AS (
+      |  SELECT event_type, count(*) AS n_regs,
+      |    sum(CAST(1 AS BIGINT) << (26 - m_j)) AS isum_p
+      |  FROM regs GROUP BY event_type
+      |)
+      |SELECT event_type, n_regs,
+      |  CAST(isum_p + (64 - n_regs) * 67108864 AS BIGINT) AS isum,
+      |  CAST(0.709 AS DOUBLE) * 4096 * 67108864 /
+      |    CAST(isum_p + (64 - n_regs) * 67108864 AS DOUBLE)
+      |    AS hll_estimate
+      |FROM state ORDER BY event_type""".stripMargin
 
   private val JaccardOracle: String =
     s"""WITH $JaccardCtes
@@ -1356,36 +1401,9 @@ object SparkEntry {
     // the full HLL sketch replayed in SQL: same hash, register split,
     // bitlength rank, max-merge, exact integer harmonic sum, and the
     // identical fixed-order double estimate
-    "agg_hll" ->
-      ("""WITH x1 AS (
-         |  SELECT event_type,
-         |    (user_id % 2147483647) * 1103515245 % 2147483647 AS v
-         |  FROM events WHERE user_id IS NOT NULL
-         |), x2 AS (
-         |  SELECT event_type, xor(v, v >> 15) AS v FROM x1
-         |), x3 AS (
-         |  SELECT event_type, v * 1566083941 % 2147483647 AS v FROM x2
-         |), h AS (
-         |  SELECT event_type, xor(v, v >> 13) AS hv FROM x3
-         |), ranked AS (
-         |  SELECT event_type, hv % 64 AS reg,
-         |    CASE WHEN hv // 64 = 0 THEN 26
-         |         ELSE 26 - length(printf('%b', hv // 64)) END AS rank
-         |  FROM h
-         |), regs AS (
-         |  SELECT event_type, reg, max(rank) AS m_j
-         |  FROM ranked GROUP BY event_type, reg
-         |), state AS (
-         |  SELECT event_type, count(*) AS n_regs,
-         |    sum(CAST(1 AS BIGINT) << (26 - m_j)) AS isum_p
-         |  FROM regs GROUP BY event_type
-         |)
-         |SELECT event_type, n_regs,
-         |  CAST(isum_p + (64 - n_regs) * 67108864 AS BIGINT) AS isum,
-         |  CAST(0.709 AS DOUBLE) * 4096 * 67108864 /
-         |    CAST(isum_p + (64 - n_regs) * 67108864 AS DOUBLE)
-         |    AS hll_estimate
-         |FROM state ORDER BY event_type""".stripMargin),
+    "agg_hll" -> HllOracle,
+    // the streaming register maintenance computes the identical sketch
+    "stream_hll" -> HllOracle,
     // same decimal accumulation + total window order as the engine
     "window_running" ->
       ("""SELECT o_custkey, o_orderkey,

@@ -37,10 +37,12 @@ object Hll {
 
   val Registers = 64 // m — power of two; payload = 25 bits of h div m
 
-  /** Per-group HLL state and raw estimate:
-    * (group, n_regs hit, exact harmonic integer sum, estimate). */
-  def distinctEstimate(df: DataFrame, groupCol: String,
-                       keyCol: String): DataFrame = {
+  /** The sketch STATE: (grp, reg, m_j) — max rank per register. This is
+    * the mergeable, bounded (≤ m rows per group) representation; in
+    * Structured Streaming it is a single supported `max` aggregation, so
+    * the sketch can be maintained incrementally over a stream and
+    * finalized batch-side ([[finalize]]) — see the `stream_hll` entry. */
+  def registers(df: DataFrame, groupCol: String, keyCol: String): DataFrame = {
     // SQL count-distinct semantics: NULL keys count nothing
     val p = lit(2147483647L)
     val hashed = df.filter(col(keyCol).isNotNull)
@@ -58,8 +60,12 @@ object Hll {
       .select(col("grp"), col("reg"),
         when(col("w") === 0L, lit(26L))
           .otherwise(lit(26L) - length(bin(col("w")))).as("rank"))
-    val regs = ranked.groupBy(col("grp"), col("reg"))
+    ranked.groupBy(col("grp"), col("reg"))
       .agg(max(col("rank")).as("m_j"))
+  }
+
+  /** Fold register state into (group, n_regs, isum, estimate). */
+  def finalize(regs: DataFrame, groupCol: String): DataFrame =
     regs.groupBy(col("grp"))
       .agg(count(lit(1)).as("n_regs"),
         sum(expr("shiftleft(1L, cast(26 - m_j as int))")).as("__isum_p"))
@@ -72,5 +78,10 @@ object Hll {
         ((lit(0.709) * lit(4096.0)) * lit(67108864.0) /
           (col("__isum_p") + (lit(Registers.toLong) - col("n_regs")) *
             lit(67108864L)).cast("double")).as("hll_estimate"))
-  }
+
+  /** Per-group HLL state and raw estimate:
+    * (group, n_regs hit, exact harmonic integer sum, estimate). */
+  def distinctEstimate(df: DataFrame, groupCol: String,
+                       keyCol: String): DataFrame =
+    finalize(registers(df, groupCol, keyCol), groupCol)
 }
