@@ -106,9 +106,10 @@ object Olap {
     * event type, distinct documents per source, ...). Spark plans
     * count(DISTINCT x) as a two-stage aggregate — partial distinct on
     * (group, x) before the shuffle, so the wire carries one row per
-    * distinct pair, never one per input row. For approximate-at-scale
-    * variants, approx_count_distinct slots into the same shape (given up
-    * here because no external oracle can reproduce HLL internals). */
+    * distinct pair, never one per input row. The approximate-at-scale
+    * dual is [[Hll.distinctEstimate]] — a portable HyperLogLog whose
+    * sketch an external oracle replays exactly (built-in
+    * approx_count_distinct could never be certified). */
   def distinctCounts(df: DataFrame, groupCol: String,
                      targetCol: String): DataFrame =
     df.groupBy(col(groupCol))

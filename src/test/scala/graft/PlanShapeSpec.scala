@@ -157,6 +157,17 @@ class PlanShapeSpec extends SparkSpec {
     graft.ext.Dedup.unpersistAll()
   }
 
+  test("HLL registers pre-aggregate map-side — the wire carries sketch " +
+      "rows, not events") {
+    val plan = executed(graft.ext.Hll.registers(
+      Tables.events(spark, dir), "event_type", "user_id"))
+    // partial max(rank) before the exchange: at most (groups × m) rows
+    // shuffle regardless of input size — the whole point of a sketch
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(1500))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      plan.take(1500))
+  }
+
   test("sequence packing shuffles once, on the shard column only") {
     val plan = executed(graft.ext.Packing.packBlocks(
       Tables.documents(spark, dir), "doc_id", "text", "lang", 512L))
