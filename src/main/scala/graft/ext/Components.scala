@@ -29,11 +29,26 @@ object Components {
     *         canonical representative; only nodes present in `edges`
     *         appear (singletons have no pair and need no resolution) */
   def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
-    val sym = edges.select(col("src").cast("long").as("src"),
+    val symWide = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
       .union(edges.select(col("dst").cast("long").as("src"),
         col("src").cast("long").as("dst")))
       .localCheckpoint(true) // read many times; the pair job runs ONCE
+    // size the iteration parallelism to the MATERIALIZED edge count (free
+    // to read off the checkpoint): near-dup pair graphs are typically many
+    // orders of magnitude smaller than the corpus, and running each
+    // round's joins at corpus parallelism makes the loop pure task
+    // overhead. ~100k edges per partition, capped at the session default —
+    // at genuine billion-edge scale this is a no-op.
+    val parts = math.max(1L, math.min(
+      symWide.rdd.getNumPartitions.toLong, symWide.count() / 100000L + 1L))
+      .toInt
+    // coalesce is a narrow view over the checkpointed blocks — no second
+    // materialization; freeCheckpoint(sym) below still reaches the
+    // underlying LogicalRDD through the Repartition node
+    val sym =
+      if (parts < symWide.rdd.getNumPartitions) symWide.coalesce(parts)
+      else symWide
     // fused initialization: label₀ = min(id, min direct neighbor). One
     // groupBy over the edge list replaces BOTH the distinct() (the node set
     // is exactly the src side of the symmetrized edges) and the first
