@@ -434,6 +434,10 @@ object SparkEntry {
     "events_retention" -> ((s: SparkSession, dir: String) =>
       Events.retention(Tables.events(s, dir), "user_id", "ts")
         .orderBy("cohort_day", "day_offset")),
+    // first-order Markov transition matrix over per-user event sequences
+    "events_transitions" -> ((s: SparkSession, dir: String) =>
+      Events.transitions(Tables.events(s, dir))
+        .orderBy("prev_type", "next_type")),
     "join_revenue" -> ((s: SparkSession, dir: String) =>
       Events.revenueBySegment(Tables.orders(s, dir), Tables.customer(s, dir))
         .orderBy("c_mktsegment")),
@@ -1329,6 +1333,18 @@ object SparkEntry {
          |  count(*) AS n_users
          |FROM days d JOIN coh c ON d.user_id = c.user_id
          |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin),
+    // same deterministic (ts, event_id) lag order as events_sessions
+    "events_transitions" ->
+      ("""WITH seq AS (
+         |  SELECT user_id, event_type,
+         |    lag(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS prev_type
+         |  FROM events
+         |)
+         |SELECT prev_type, event_type AS next_type, count(*) AS n
+         |FROM seq WHERE prev_type IS NOT NULL
+         |GROUP BY prev_type, event_type
+         |ORDER BY prev_type, next_type""".stripMargin),
     "join_enrich" ->
       ("""SELECT c_custkey, c_name, n_name, r_name
          |FROM customer

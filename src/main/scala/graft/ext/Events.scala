@@ -56,6 +56,22 @@ object Events {
         date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("s_end"))
   }
 
+  /** Per-user event-type transition counts — the first-order Markov /
+    * user-journey matrix ("what do users do right after X"). One lag
+    * window per user (deterministic (ts, event_id) order, like
+    * [[sessions]]) + one partial-aggregated count shuffle over the
+    * |types|² transition cells. */
+  def transitions(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Cohort retention matrix: users bucketed by the DAY of their first
     * event (the cohort), counted on each later active day as an offset
     * from it — the standard growth-analytics triangle.

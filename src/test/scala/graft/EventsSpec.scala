@@ -67,6 +67,16 @@ class EventsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("transitions: per-user lag pairs, cross-user pairs never counted") {
+    val r = Events.transitions(events).orderBy("prev_type", "next_type")
+      .collect().map(x => (x.getString(0), x.getString(1), x.getLong(2)))
+      .toSeq
+    // user 100 (time order): click,click,view -> (click,click),(click,view)
+    // user 200: error,click -> (error,click); no pair spans users
+    assert(r == Seq(("click", "click", 1L), ("click", "view", 1L),
+      ("error", "click", 1L)))
+  }
+
   test("retention: cohort = first active day, offsets count distinct users") {
     import spark.implicits._
     val ev = Seq(

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.{Funnel, Olap, RangeJoin, TextStats}
+import graft.ext.{Funnel, Hll, Olap, RangeJoin, TextStats}
 import org.scalacheck.{Gen, Prop, Properties}
 import org.scalacheck.Prop.propBoolean
 
@@ -113,6 +113,30 @@ object NewOpsPropertySpec extends Properties("newops") {
       val got = Funnel.stages(df, "uid", "etype", "ets", steps)
         .orderBy("stage").collect().map(_.getLong(2)).toSeq
       val want = reachOracle(evts, steps)
+      (got == want) :| s"got=$got want=$want"
+    }
+
+  // ----------------------------------------------------------------- hll
+  private def hllReplica(keys: Seq[Long]): Map[Long, Long] = {
+    val p = 2147483647L
+    keys.map { k =>
+      val x0 = ((k % p) + p) % p
+      val x1 = x0 * 1103515245L % p
+      val x2 = x1 ^ (x1 >>> 15)
+      val x3 = x2 * 1566083941L % p
+      val h = x3 ^ (x3 >>> 13)
+      val w = h / 64
+      (h % 64, if (w == 0) 26L else 26L - (64 - java.lang.Long.numberOfLeadingZeros(w)))
+    }.groupBy(_._1).map { case (reg, rs) => reg -> rs.map(_._2).max }
+  }
+
+  property("hll register state equals the bit-level scala replica") =
+    Prop.forAll(Gen.listOf(Gen.choose(0L, 5000000L))) { keys =>
+      import spark.implicits._
+      val got = Hll.registers(keys.map(("g", _)).toDF("grp", "key"),
+          "grp", "key")
+        .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+      val want = hllReplica(keys)
       (got == want) :| s"got=$got want=$want"
     }
 
