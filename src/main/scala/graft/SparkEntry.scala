@@ -776,7 +776,8 @@ object SparkEntry {
   private val HllOracle: String =
     """WITH x1 AS (
       |  SELECT event_type,
-      |    (user_id % 2147483647) * 1103515245 % 2147483647 AS v
+      |    ((user_id % 2147483647) + 2147483647) % 2147483647
+      |      * 1103515245 % 2147483647 AS v
       |  FROM events WHERE user_id IS NOT NULL
       |), x2 AS (
       |  SELECT event_type, xor(v, v >> 15) AS v FROM x1

@@ -34,12 +34,14 @@ object Components {
       .union(edges.select(col("dst").cast("long").as("src"),
         col("src").cast("long").as("dst")))
       .localCheckpoint(true) // read many times; the pair job runs ONCE
-    // size the iteration parallelism to the MATERIALIZED edge count (free
-    // to read off the checkpoint): near-dup pair graphs are typically many
-    // orders of magnitude smaller than the corpus, and running each
-    // round's joins at corpus parallelism makes the loop pure task
-    // overhead. ~100k edges per partition, capped at the session default —
-    // at genuine billion-edge scale this is a no-op.
+    // size the MAP-side parallelism of each round to the MATERIALIZED
+    // edge count (free to read off the checkpoint): near-dup pair graphs
+    // are typically many orders of magnitude smaller than the corpus, and
+    // scanning the tiny edge list with corpus-many tasks every round is
+    // pure overhead. ~100k edges per partition, capped at the
+    // checkpoint's own partition count, so at genuine billion-edge scale
+    // this is a no-op. Reduce-side parallelism stays at
+    // spark.sql.shuffle.partitions; AQE coalesces those post-shuffle.
     val parts = math.max(1L, math.min(
       symWide.rdd.getNumPartitions.toLong, symWide.count() / 100000L + 1L))
       .toInt

@@ -33,15 +33,20 @@ object Events {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
 
+  /** The per-user event ordering every sequential operator here shares
+    * ([[sessions]], [[transitions]]). The event_id tiebreak is
+    * determinism-critical: two events with identical (user_id, ts) would
+    * otherwise make lag() order — session boundaries, transition pairs —
+    * nondeterministic, and the DuckDB oracles pin the same
+    * (ts, event_id) order. */
+  private def byUser: org.apache.spark.sql.expressions.WindowSpec =
+    Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+
   /** Gap-based sessionization: a new session starts when the per-user gap
     * exceeds `gapMinutes`. Interval comparison on full-precision timestamps
     * (no epoch truncation). Two shuffles: one window partition on user_id,
     * one groupBy — the canonical distributed formulation. */
   def sessions(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
-    // event_id tiebreak: two events with identical (user_id, ts) would make
-    // lag() order — and therefore session boundaries — nondeterministic.
-    val byUser = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
     val gap = expr(s"INTERVAL $gapMinutes MINUTES")
     val flagged = events.withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("new_sess",
@@ -61,16 +66,13 @@ object Events {
     * window per user (deterministic (ts, event_id) order, like
     * [[sessions]]) + one partial-aggregated count shuffle over the
     * |types|² transition cells. */
-  def transitions(events: DataFrame): DataFrame = {
-    val byUser = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
+  def transitions(events: DataFrame): DataFrame =
     events
       .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
       .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
       .filter(col("prev_type").isNotNull)
       .groupBy(col("prev_type"), col("event_type").as("next_type"))
       .agg(count(lit(1)).as("n"))
-  }
 
   /** Cohort retention matrix: users bucketed by the DAY of their first
     * event (the cohort), counted on each later active day as an offset

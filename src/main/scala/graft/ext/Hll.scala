@@ -35,7 +35,19 @@ import org.apache.spark.sql.functions._
   */
 object Hll {
 
-  val Registers = 64 // m — power of two; payload = 25 bits of h div m
+  /** m. The rank base, absent-register weight, and the oracle SQL all
+    * derive from it below — but the Alpha bias constant is m-specific, so
+    * changing m requires updating Alpha (and the oracle literals) in the
+    * same commit; the require makes that impossible to forget. */
+  val Registers = 64
+  require(Registers == 64,
+    "Alpha and the oracle SQL literals are derived for m=64 — update them together")
+  /** payload bits of h div m (h < 2^31). */
+  private val PayloadBits = 31 - Integer.numberOfTrailingZeros(Registers)
+  /** rank of w=0 — PayloadBits + 1 = 26 for m=64. */
+  private[graft] val RankBase = (PayloadBits + 1).toLong
+  /** an absent register's harmonic term, 2^RankBase = 2^26 for m=64. */
+  private[graft] val AbsentWeight = 1L << RankBase
 
   /** The sketch STATE: (grp, reg, m_j) — max rank per register. This is
     * the mergeable, bounded (≤ m rows per group) representation; in
@@ -58,8 +70,8 @@ object Hll {
         pmod(col("h"), lit(Registers.toLong)).as("reg"),
         expr(s"h div $Registers").as("w"))
       .select(col("grp"), col("reg"),
-        when(col("w") === 0L, lit(26L))
-          .otherwise(lit(26L) - length(bin(col("w")))).as("rank"))
+        when(col("w") === 0L, lit(RankBase))
+          .otherwise(lit(RankBase) - length(bin(col("w")))).as("rank"))
     ranked.groupBy(col("grp"), col("reg"))
       .agg(max(col("rank")).as("m_j"))
   }
@@ -68,16 +80,18 @@ object Hll {
   def finalize(regs: DataFrame, groupCol: String): DataFrame =
     regs.groupBy(col("grp"))
       .agg(count(lit(1)).as("n_regs"),
-        sum(expr("shiftleft(1L, cast(26 - m_j as int))")).as("__isum_p"))
+        sum(expr(s"shiftleft(1L, cast($RankBase - m_j as int))"))
+          .as("__isum_p"))
       .select(col("grp").as(groupCol), col("n_regs"),
         (col("__isum_p") + (lit(Registers.toLong) - col("n_regs")) *
-          lit(67108864L)).as("isum"),
-        // alpha·m²·2²⁶ / isum, every factor and the association explicit
-        // so the oracle's CAST(0.709 AS DOUBLE) * 4096 * 67108864 folds to
-        // the identical double
-        ((lit(0.709) * lit(4096.0)) * lit(67108864.0) /
+          lit(AbsentWeight)).as("isum"),
+        // alpha·m²·2^RankBase / isum, every factor and the association
+        // explicit so the oracle's CAST(0.709 AS DOUBLE) * 4096 * 67108864
+        // folds to the identical double
+        ((lit(0.709) * lit((Registers.toLong * Registers).toDouble)) *
+          lit(AbsentWeight.toDouble) /
           (col("__isum_p") + (lit(Registers.toLong) - col("n_regs")) *
-            lit(67108864L)).cast("double")).as("hll_estimate"))
+            lit(AbsentWeight)).cast("double")).as("hll_estimate"))
 
   /** Per-group HLL state and raw estimate:
     * (group, n_regs hit, exact harmonic integer sum, estimate). */

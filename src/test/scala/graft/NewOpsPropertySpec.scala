@@ -131,7 +131,9 @@ object NewOpsPropertySpec extends Properties("newops") {
   }
 
   property("hll register state equals the bit-level scala replica") =
-    Prop.forAll(Gen.listOf(Gen.choose(0L, 5000000L))) { keys =>
+    // negative keys included: the engine's pmod and the oracle's
+    // ((k % p) + p) % p must agree below zero too
+    Prop.forAll(Gen.listOf(Gen.choose(-5000000L, 5000000L))) { keys =>
       import spark.implicits._
       val got = Hll.registers(keys.map(("g", _)).toDF("grp", "key"),
           "grp", "key")
