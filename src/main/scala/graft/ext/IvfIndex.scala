@@ -53,7 +53,7 @@ object IvfIndex {
           .as("csim"))
       .orderBy(col("csim").desc, col("cell"))
       .limit(nprobe)
-      .collect().map(_.get(0))
+      .collect().map(_.get(0)).toIndexedSeq
     val data = spark.read.parquet(s"$path/data")
       .filter(col("cell").isin(probes: _*))
     Similarity.topK(data, idCol, vecCol, query, k)

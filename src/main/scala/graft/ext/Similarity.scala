@@ -231,7 +231,7 @@ object Similarity {
         round(cosine(col("centroid"), typedLit(query)), 4).as("csim"))
       .orderBy(col("csim").desc, col("grp"))
       .limit(nprobe)
-    val probes = cents.collect().map(_.get(0)) // nlist rows — metadata-sized
+    val probes = cents.collect().map(_.get(0)).toIndexedSeq // nlist rows — metadata-sized
     topK(df.filter(col(groupCol).isin(probes: _*)), idCol, vecCol, query, k)
   }
 }
