@@ -336,6 +336,13 @@ object SparkEntry {
           "lang", "text", rates = Map("en" -> 2), defaultKeep = 5, outOf = 10)
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")),
+    // the uniform dual: one global ~30% keep rate, same pure-content
+    // membership function (a narrow scan-resident predicate, no shuffle)
+    "sample_hash" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Sampling.hashSample(Tables.documents(s, dir),
+          "text", keep = 3, outOf = 10)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")),
     // Decontamination: scrub training docs whose exact normalized content
     // appears in the held-out source (src19 plays the benchmark/eval set);
     // anti-join on md5 fingerprints with the tiny eval side broadcast
@@ -476,6 +483,23 @@ object SparkEntry {
             .as("revenue"))
         .orderBy("c_mktsegment")
     }),
+    // the same join through an explicit BLOOM runtime filter: the selective
+    // part dim (p_size = 1) folds into an 8 KiB bit set and the lineitem
+    // scan keeps only probe survivors before the join shuffle — the exact
+    // join after the prune makes the result identical to the plain join,
+    // so the oracle is ordinary SQL (Bloom scaladoc has the FP/no-FN math)
+    "join_bloom" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Bloom.bloomPrunedJoin(
+          Tables.lineitem(s, dir).select(col("l_partkey"),
+            col("l_extendedprice"), col("l_discount")),
+          Tables.part(s, dir).filter(col("p_size") === 1)
+            .select(col("p_partkey"), col("p_brand")),
+          "l_partkey", "p_partkey")
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_items"),
+          (sum(floor(col("l_extendedprice") * (lit(1d) - col("l_discount"))
+              * 1e4 + 0.5).cast("long")).cast("double") / 1e4).as("revenue"))
+        .orderBy("p_brand")),
     // ----- multi-level OLAP aggregation (Olap scaladoc: one Expand +
     // one shuffle per report, exact quantized money sums) -----
     "agg_rollup" -> ((s: SparkSession, dir: String) =>
@@ -1201,6 +1225,15 @@ object SparkEntry {
          |GROUP BY lang ORDER BY lang""".stripMargin),
     // the same Rabin-Karp fold as text_fingerprint decides membership, so
     // the oracle reproduces the exact subset, not a statistical twin
+    "sample_hash" ->
+      ("""WITH fp AS (
+         |  SELECT doc_id, lang,
+         |    CAST(list_reduce([CAST(ascii(c) AS BIGINT) for c in string_split(text, '')],
+         |         (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT) % 10 AS b
+         |  FROM documents
+         |)
+         |SELECT doc_id, lang FROM fp WHERE b < 3
+         |ORDER BY doc_id""".stripMargin),
     "sample_stratified" ->
       ("""WITH fp AS (
          |  SELECT doc_id, lang,
@@ -1313,6 +1346,15 @@ object SparkEntry {
          |   WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
          |   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS asof_price
          |FROM events e ORDER BY e.event_id""".stripMargin),
+    // plain join: the bloom prune is plan-internal and changes no rows —
+    // false positives are joined away, false negatives are impossible
+    "join_bloom" ->
+      ("""SELECT p_brand, count(*) AS n_items,
+         |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1e4 + 0.5)
+         |    AS BIGINT)) AS DOUBLE) / 1e4 AS revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE p_size = 1
+         |GROUP BY p_brand ORDER BY p_brand""".stripMargin),
     // same per-row quantization and left-assoc product as the engine
     "join_multiway" ->
       ("""SELECT n_name, count(*) AS n_items,
