@@ -4,7 +4,7 @@ import graft.compile.NlCompiler
 import graft.exec.Executor
 import graft.ext.{Dedup, Events, Multimodal, Similarity, TextStats}
 import graft.ir.MongoJson
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Driver contract — one declared query per implemented operator
@@ -648,6 +648,41 @@ object SparkEntry {
           Multimodal.fromDocuments(s, Tables.documents(s, dir)),
           frameBytes = 64, step = 4)
         .toDF().orderBy("id", "frame_idx")),
+    // ----- CDC merge / upsert: latest-wins change feed applied to the
+    // base snapshot (Merge scaladoc: feed-only window + broadcast-sized
+    // anti-join — the base never shuffles). The feed is derived
+    // deterministically from orders: keys ≡3 (mod 10) updated, keys ≡7
+    // updated-then-deleted (the seq-2 delete wins), keys ≡1 re-inserted
+    // shifted above the key space -----
+    "merge_upsert" -> ((s: SparkSession, dir: String) => {
+      val base = Tables.orders(s, dir).select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+      val m = col("o_orderkey") % 10
+      def feed(cond: Column, status: String, op: String, seq: Long,
+               shift: Long = 0L) =
+        base.filter(cond).select(
+          (col("o_orderkey") + shift).as("o_orderkey"), col("o_custkey"),
+          lit(status).as("o_orderstatus"), col("o_totalprice"),
+          lit(op).as("op"), lit(seq).as("seq"))
+      val changes = feed(m === 3, "X", "U", 1L)
+        .union(feed(m === 7, "Y", "U", 1L))
+        .union(feed(m === 7, "Z", "D", 2L))
+        .union(feed(m === 1, "N", "I", 1L, shift = 100000000L))
+      graft.ext.Merge.upsert(base, changes, "o_orderkey", "op", "seq")
+        .orderBy("o_orderkey")
+    }),
+    // ----- column profiling: one scan, one Expand-based aggregate for
+    // every statistic, row-local unpivot (Profile scaladoc); doubles
+    // pre-quantized to cents so min/max strings are engine-portable -----
+    "profile_stats" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Profile.columns(
+          Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderstatus"), col("o_orderpriority"),
+            floor(col("o_totalprice") * 100 + 0.5).cast("long")
+              .as("o_price_c")),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+            "o_price_c"))
+        .orderBy("col_name")),
   )
 
   /** Streaming read of the events table: glob (not the literal file path —
@@ -1626,5 +1661,53 @@ object SparkEntry {
          |  CAST(ascii(substr(text, 1, 1)) + 1 AS INTEGER) AS width,
          |  CAST(CASE WHEN length(text) > 1 THEN ascii(substr(text, 2, 1)) + 1 ELSE 0 END AS INTEGER) AS height
          |FROM documents ORDER BY id""".stripMargin),
+    // same derived feed, same latest-wins rule (seq desc, op desc),
+    // anti-join + surviving-upsert union
+    "merge_upsert" ->
+      ("""WITH base AS (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+         |  FROM orders
+         |), changes AS (
+         |  SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus, o_totalprice,
+         |    'U' AS op, 1 AS seq FROM base WHERE o_orderkey % 10 = 3
+         |  UNION ALL SELECT o_orderkey, o_custkey, 'Y', o_totalprice, 'U', 1
+         |    FROM base WHERE o_orderkey % 10 = 7
+         |  UNION ALL SELECT o_orderkey, o_custkey, 'Z', o_totalprice, 'D', 2
+         |    FROM base WHERE o_orderkey % 10 = 7
+         |  UNION ALL SELECT o_orderkey + 100000000, o_custkey, 'N',
+         |    o_totalprice, 'I', 1 FROM base WHERE o_orderkey % 10 = 1
+         |), latest AS (
+         |  SELECT *, row_number() OVER (PARTITION BY o_orderkey
+         |    ORDER BY seq DESC, op DESC) AS rnk FROM changes
+         |  QUALIFY rnk = 1
+         |)
+         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+         |FROM base b
+         |WHERE NOT EXISTS (SELECT 1 FROM latest l
+         |                  WHERE l.o_orderkey = b.o_orderkey)
+         |UNION ALL
+         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+         |FROM latest WHERE op <> 'D'
+         |ORDER BY o_orderkey""".stripMargin),
+    // per-column stats; doubles quantized to cents before min/max so the
+    // string rendering is integer on both engines
+    "profile_stats" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderpriority", "o_price_c")
+      val arms = cols.map { c =>
+        s"""SELECT '$c' AS col_name,
+           |  count(*) FILTER (WHERE $c IS NULL) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_val,
+           |  CAST(max($c) AS VARCHAR) AS max_val FROM src""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH src AS (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+         |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS o_price_c
+         |  FROM orders
+         |)
+         |$arms
+         |ORDER BY col_name""".stripMargin
+    },
   )
 }

@@ -1,0 +1,54 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** CDC merge / upsert — applying an incremental change feed to a base
+  * snapshot, the maintenance step of every continuously-refreshed training
+  * corpus (new crawls in, takedowns out, metadata fixes in place).
+  *
+  * Semantics (MERGE with latest-wins): the change feed carries full rows
+  * plus an op column (`I`/`U` upsert, `D` delete) and a monotonically
+  * increasing sequence column; for each key only the HIGHEST-sequence
+  * change applies (ties broken by op descending — `U` over `I` over `D` —
+  * so replayed feeds are deterministic), then
+  *
+  *   result = (base ⟕̸ touched-keys) ∪ (latest changes that are upserts)
+  *
+  * Plan shape at 100 TB: the change feed is orders of magnitude smaller
+  * than the base, so the latest-wins window runs on the feed alone (one
+  * small shuffle), and the anti-join against its key set is
+  * broadcast-sized — AQE picks BroadcastHashJoin and the BASE NEVER
+  * SHUFFLES; survivors stream straight from the scan into the union. No
+  * hint is forced: a pathological feed bigger than the broadcast threshold
+  * degrades to a shuffled anti-join instead of OOMing the driver (the
+  * same deliberate choice as [[Components.applyClusters]]).
+  */
+object Merge {
+
+  /** Apply `changes` to `base`. `changes` must have every `base` column
+    * plus `opCol` (values I/U/D) and `seqCol`; output has exactly the
+    * `base` columns. Reserved-name collisions fail loudly up front. */
+  def upsert(base: DataFrame, changes: DataFrame, keyCol: String,
+             opCol: String, seqCol: String): DataFrame = {
+    val reserved = Seq("__rnk")
+    require(!(base.columns ++ changes.columns).exists(reserved.contains),
+      s"column names ${reserved.mkString(",")} are reserved by Merge.upsert")
+    val baseCols = base.columns.toSeq
+    require(baseCols.forall(changes.columns.contains),
+      "changes must carry every base column")
+    // latest change per key: window over the FEED only (small by contract)
+    val latest = changes
+      .withColumn("__rnk", row_number().over(
+        Window.partitionBy(col(keyCol))
+          .orderBy(col(seqCol).desc, col(opCol).desc)))
+      .filter(col("__rnk") === 1)
+    // every touched key leaves the base; upserts re-enter with feed values
+    val touched = latest.select(col(keyCol))
+    val survivors = base.join(touched, Seq(keyCol), "left_anti")
+    val upserts = latest.filter(col(opCol) =!= "D")
+      .select(baseCols.map(col): _*)
+    survivors.union(upserts)
+  }
+}

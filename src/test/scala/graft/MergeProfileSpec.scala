@@ -1,0 +1,70 @@
+package graft
+
+import graft.ext.{Merge, Profile}
+import org.apache.spark.sql.functions._
+
+class MergeProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def base = Seq(
+    (1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L), (4L, "d", 40L)
+  ).toDF("id", "name", "v")
+
+  test("upsert applies latest-wins inserts, updates, and deletes") {
+    val changes = Seq(
+      (2L, "b2", 21L, "U", 1L),   // plain update
+      (3L, "c2", 31L, "U", 1L),   // updated then deleted -> net delete
+      (3L, "c3", 32L, "D", 2L),
+      (5L, "e", 50L, "I", 1L),    // insert
+      (5L, "e2", 51L, "U", 2L)    // later upsert of the same key wins
+    ).toDF("id", "name", "v", "op", "seq")
+    val out = Merge.upsert(base, changes, "id", "op", "seq")
+      .orderBy("id").as[(Long, String, Long)].collect()
+    assert(out === Seq((1L, "a", 10L), (2L, "b2", 21L), (4L, "d", 40L),
+      (5L, "e2", 51L)))
+  }
+
+  test("upsert same-seq tie breaks op-descending (U over D)") {
+    val changes = Seq(
+      (1L, "a2", 11L, "D", 5L),
+      (1L, "a3", 12L, "U", 5L)
+    ).toDF("id", "name", "v", "op", "seq")
+    val out = Merge.upsert(base, changes, "id", "op", "seq")
+      .orderBy("id").as[(Long, String, Long)].collect()
+    assert(out.toSeq === Seq((1L, "a3", 12L), (2L, "b", 20L),
+      (3L, "c", 30L), (4L, "d", 40L)))
+  }
+
+  test("upsert rejects reserved column names and missing base columns") {
+    val clash = base.withColumn("__rnk", lit(1))
+    val feed = Seq((1L, "x", 1L, "U", 1L)).toDF("id", "name", "v", "op", "seq")
+    intercept[IllegalArgumentException] {
+      Merge.upsert(clash, feed.withColumn("__rnk", lit(1)), "id", "op", "seq")
+    }
+    intercept[IllegalArgumentException] {
+      Merge.upsert(base, feed.drop("v"), "id", "op", "seq")
+    }
+  }
+
+  test("profile reports nulls, distincts, and string min/max per column") {
+    val df = Seq(
+      (Some(1L), Some("x")), (Some(2L), None), (Some(2L), Some("y")),
+      (None, Some("x"))
+    ).toDF("k", "s")
+    val rows = Profile.columns(df, Seq("k", "s"))
+      .orderBy("col_name")
+      .as[(String, Long, Long, String, String)].collect()
+    assert(rows(0) === (("k", 1L, 2L, "1", "2")))
+    assert(rows(1) === (("s", 1L, 2L, "x", "y")))
+  }
+
+  test("profile scans the table once (single aggregate subtree)") {
+    val df = Seq((1L, "x"), (2L, "y")).toDF("k", "s")
+    val plan = Profile.columns(df, Seq("k", "s"))
+      .queryExecution.optimizedPlan
+    val scans = plan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }
+    assert(scans.size === 1, s"expected one scan of the input, got:\n$plan")
+  }
+}
