@@ -611,6 +611,24 @@ object SparkEntry {
     "text_bigrams" -> ((s: SparkSession, dir: String) =>
       TextStats.bigramTopTerms(Tables.documents(s, dir), "text", k = 40)
         .orderBy(col("doc_freq").desc, col("bigram").asc)),
+    // ----- per-document BM25 top-k (TextStats scaladoc: denominators
+    // cleared to integer-exact rationals, one IEEE division) -----
+    "text_bm25" -> ((s: SparkSession, dir: String) =>
+      TextStats.bm25TopTerms(Tables.documents(s, dir), "doc_id", "text",
+          k = 3)
+        .orderBy("doc_id", "rnk")),
+    // ----- inverted-index postings: df band [2,50] applied before any
+    // posting materializes, lists capped at 10 via WindowGroupLimit -----
+    "index_postings" -> ((s: SparkSession, dir: String) =>
+      TextStats.postings(Tables.documents(s, dir), "doc_id", "text",
+          minDf = 2L, maxDf = 50L, cap = 10)
+        .orderBy("term", "slot")),
+    // ----- certified count-min sketch: exact top-20 terms probed against
+    // the d·w-cell sketch (FreqSketch scaladoc; est ≥ exact always) -----
+    "sketch_cms" -> ((s: SparkSession, dir: String) =>
+      graft.ext.FreqSketch.estimateTopK(Tables.documents(s, dir), "text",
+          k = 20)
+        .orderBy(col("exact_cnt").desc, col("term").asc)),
     // ----- sliding-window token chunking (64-token chunks, stride 48) -----
     "text_chunks" -> ((s: SparkSession, dir: String) =>
       TextStats.tokenChunks(Tables.documents(s, dir), "doc_id", "text",

@@ -300,4 +300,83 @@ object TextStats {
       .agg(count(lit(1)).as("doc_freq"))
       .orderBy(col("doc_freq").desc, col("term").asc)
       .limit(k)
+
+  /** Inverted-index construction — term → capped, sorted posting list,
+    * the retrieval-side artifact of a RAG / search pipeline. Emitted as
+    * (term, df_docs, slot, doc_id) rows rather than list columns: the long
+    * layout is what a posting-file writer wants, and every value stays a
+    * comparable scalar for certification.
+    *
+    * The document-frequency band [minDf, maxDf] is applied BEFORE any
+    * posting is materialized — hapax noise and stop-word terms (whose
+    * posting lists are the corpus itself) never reach the window — so the
+    * per-term state is bounded by maxDf at any corpus size; `cap` then
+    * prunes each list to its head via a rank that Spark 4 plans as
+    * WindowGroupLimit (per-partition partial prune before the shuffle).
+    * The pairs frame is read twice (df aggregate + join back), hence
+    * tracked-persisted like [[tfidfTopTerms]]'s tf frame. */
+  def postings(df: DataFrame, idCol: String, textCol: String,
+               minDf: Long, maxDf: Long, cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = TrackedCache.persistTracked(
+      df.select(col(idCol).as("doc_id"),
+        explode(array_distinct(toks(col(textCol)))).as("term")))
+    val band = pairs.groupBy(col("term"))
+      .agg(count(lit(1)).as("df_docs"))
+      .filter(col("df_docs") >= minDf && col("df_docs") <= maxDf)
+    pairs.join(band, "term")
+      .withColumn("slot", row_number().over(
+        Window.partitionBy(col("term")).orderBy(col("doc_id"))))
+      .filter(col("slot") <= cap)
+      .select(col("term"), col("df_docs"),
+        col("slot").cast("long").as("slot"), col("doc_id"))
+  }
+
+  /** Per-document BM25 top-k terms — the ranking function behind lexical
+    * retrieval, with EXACT cross-engine arithmetic. With k1 = 6/5 and
+    * b = 3/4, the classic tf side
+    *
+    *   tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * clears denominators against avgdl = S/N (S = corpus token count,
+    * N = docs) into the integer-exact rational
+    *
+    *   22·S·tf / (10·S·tf + 3·S + 9·dl·N)
+    *
+    * whose one double division is IEEE-identical in every engine; the idf
+    * side reuses [[tfidfTopTerms]]'s integer-quantized (N·10⁶ div df).
+    * score = floor(ratio · idf_q6 + 0.5) — fixed op order, bit-portable.
+    * Long arithmetic holds while S·tf < 2⁶³/22 (≈ 4·10¹⁷ token-occurrence
+    * products — beyond that, lift num/den to decimal(38,0) and keep the
+    * same shape).
+    *
+    * Plan: the tf frame is tracked-persisted (df aggregate + doc lengths +
+    * join all read it), the two corpus totals ride one broadcast row, and
+    * the top-k rank is WindowGroupLimit-pruned. */
+  def bm25TopTerms(df: DataFrame, idCol: String, textCol: String,
+                   k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = TrackedCache.persistTracked(
+      df.select(col(idCol).as("doc_id"),
+          explode(toks(col(textCol))).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf")))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df_docs"))
+    val tot = dl.agg(count(lit(1)).as("__n"), sum(col("dl")).as("__s"))
+    val num = lit(22L) * col("__s") * col("tf")
+    val den = lit(10L) * col("__s") * col("tf") + lit(3L) * col("__s") +
+      lit(9L) * col("dl") * col("__n")
+    val idf = expr("(__n * 1000000) div df_docs")
+    val score = floor(num.cast("double") / den.cast("double") *
+      idf.cast("double") + lit(0.5)).cast("long")
+    tf.join(dl, "doc_id").join(dfreq, "term")
+      .crossJoin(broadcast(tot))
+      .withColumn("score", score)
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk").cast("long").as("rnk"),
+        col("term"), col("score"))
+  }
 }
