@@ -1672,6 +1672,98 @@ object SparkEntry {
          |)
          |SELECT bigram, count(*) AS doc_freq FROM b GROUP BY bigram
          |ORDER BY doc_freq DESC, bigram LIMIT 40""".stripMargin),
+    // BM25 with cleared denominators (TextStats.bm25TopTerms scaladoc):
+    // num = 22·S·tf, den = 10·S·tf + 3·S + 9·dl·N are exact integers on
+    // both engines; the single num/den double division, the integer-
+    // quantized idf ((N·10⁶) // df — same trick as text_tfidf), and the
+    // fixed op order (ratio · idf + 0.5, then floor) are IEEE-identical
+    "text_bm25" ->
+      ("""WITH tf AS (
+         |  SELECT doc_id, term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |        FROM documents)
+         |  GROUP BY doc_id, term
+         |), dl AS (
+         |  SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id
+         |), dfreq AS (
+         |  SELECT term, count(*) AS df_docs FROM tf GROUP BY term
+         |), tot AS (SELECT count(*) AS n, sum(dl) AS s FROM dl),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    CAST(floor(
+         |      CAST(22 * tot.s * tf.tf AS DOUBLE) /
+         |      CAST(10 * tot.s * tf.tf + 3 * tot.s + 9 * dl.dl * tot.n
+         |           AS DOUBLE) *
+         |      CAST((tot.n * 1000000) // dfreq.df_docs AS DOUBLE)
+         |      + 0.5) AS BIGINT) AS score
+         |  FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term), tot
+         |), ranked AS (
+         |  SELECT doc_id, term, score,
+         |    CAST(row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, term) AS BIGINT) AS rnk
+         |  FROM scored
+         |)
+         |SELECT doc_id, rnk, term, score FROM ranked
+         |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin),
+    // same df band [2,50] before any posting materializes, same cap-10
+    // rank over doc_id (unique per term, so the order is total)
+    "index_postings" ->
+      ("""WITH pairs AS (
+         |  SELECT DISTINCT doc_id, term
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |        FROM documents)
+         |), band AS (
+         |  SELECT term, count(*) AS df_docs FROM pairs GROUP BY term
+         |  HAVING count(*) BETWEEN 2 AND 50
+         |)
+         |SELECT p.term, b.df_docs,
+         |  CAST(row_number() OVER (PARTITION BY p.term ORDER BY p.doc_id)
+         |    AS BIGINT) AS slot,
+         |  p.doc_id
+         |FROM pairs p JOIN band b USING (term)
+         |QUALIFY row_number() OVER (PARTITION BY p.term ORDER BY p.doc_id)
+         |  <= 10
+         |ORDER BY term, slot""".stripMargin),
+    // the FreqSketch Rabin–Karp folds replayed with list_reduce (the
+    // dedup_simhash construction): list_reduce's first-element seed equals
+    // the Spark fold's 0-seed first step (cp % p = cp); d=3 rows × 512
+    // cells, est = min over the 3 probed cells, ≥ exact always
+    "sketch_cms" ->
+      ("""WITH terms AS (
+         |  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+         |), counts AS (
+         |  SELECT term, count(*) AS cnt FROM terms WHERE term <> ''
+         |  GROUP BY term
+         |), hashed AS (
+         |  SELECT term, cnt,
+         |    list_reduce([CAST(ascii(c) AS BIGINT)
+         |                 for c in string_split(term, '')],
+         |      (a, x) -> (a * 31 + x) % 2147483647) % 512 AS c0,
+         |    list_reduce([CAST(ascii(c) AS BIGINT)
+         |                 for c in string_split(term, '')],
+         |      (a, x) -> (a * 131 + x) % 2147483629) % 512 AS c1,
+         |    list_reduce([CAST(ascii(c) AS BIGINT)
+         |                 for c in string_split(term, '')],
+         |      (a, x) -> (a * 1031 + x) % 2147483587) % 512 AS c2
+         |  FROM counts
+         |), cells AS (
+         |  SELECT 0 AS hrow, c0 AS cell, cnt FROM hashed
+         |  UNION ALL SELECT 1, c1, cnt FROM hashed
+         |  UNION ALL SELECT 2, c2, cnt FROM hashed
+         |), sk AS (
+         |  SELECT hrow, cell, sum(cnt) AS scnt FROM cells GROUP BY hrow, cell
+         |), top AS (
+         |  SELECT term, cnt AS exact_cnt, c0, c1, c2 FROM hashed
+         |  ORDER BY cnt DESC, term LIMIT 20
+         |), probes AS (
+         |  SELECT term, exact_cnt, 0 AS hrow, c0 AS cell FROM top
+         |  UNION ALL SELECT term, exact_cnt, 1, c1 FROM top
+         |  UNION ALL SELECT term, exact_cnt, 2, c2 FROM top
+         |)
+         |SELECT p.term, p.exact_cnt, CAST(min(s.scnt) AS BIGINT) AS est_cnt
+         |FROM probes p JOIN sk s ON p.hrow = s.hrow AND p.cell = s.cell
+         |GROUP BY p.term, p.exact_cnt
+         |ORDER BY exact_cnt DESC, term""".stripMargin),
     "mm_features" ->
       ("""SELECT doc_id AS id, 'text' AS kind,
          |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,

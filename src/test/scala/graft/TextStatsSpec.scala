@@ -194,4 +194,72 @@ class TextStatsSpec extends SparkSpec {
     // x:2 docs, y:2, z:2 — all tied; term order decides, k cuts at 2
     assert(top == Seq(("x", 2L), ("y", 2L)))
   }
+
+  test("postings: df band applied before materialization, cap, slot order") {
+    import spark.implicits._
+    val d = Seq(
+      (10L, "a b c"),  // a in 3 docs, b in 2, c/d hapax
+      (20L, "a b"),
+      (30L, "a d")).toDF("doc_id", "text")
+    // band [2,2]: only b survives (a's df=3 > maxDf, c/d df=1 < minDf)
+    val out = TextStats.postings(d, "doc_id", "text",
+        minDf = 2L, maxDf = 2L, cap = 10)
+      .orderBy("term", "slot").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(out == Seq(("b", 2L, 1L, 10L), ("b", 2L, 2L, 20L)))
+    // cap=1 prunes each list to its doc_id-ordered head
+    val capped = TextStats.postings(d, "doc_id", "text",
+        minDf = 2L, maxDf = 3L, cap = 1)
+      .orderBy("term").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(capped == Seq(("a", 3L, 1L, 10L), ("b", 2L, 1L, 10L)))
+  }
+
+  test("bm25TopTerms matches a from-scratch Scala replay of the rational") {
+    import spark.implicits._
+    val d = Seq((1L, "the cat sat on the mat"),
+      (2L, "el gato y la casa de los"),
+      (3L, "zzz qqq")).toDF("doc_id", "text")
+    // local reference: same integer rational, same single double division
+    val toks = Map(1L -> "the cat sat on the mat",
+      2L -> "el gato y la casa de los", 3L -> "zzz qqq")
+      .view.mapValues(_.split(" ").toSeq).toMap
+    val tf = toks.toSeq.flatMap { case (id, ts) =>
+      ts.groupBy(identity).map { case (t, o) => (id, t, o.size.toLong) } }
+    val dl = toks.view.mapValues(_.size.toLong).toMap
+    val dfreq = tf.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val n = toks.size.toLong
+    val s = dl.values.sum
+    val expected = tf.map { case (id, t, f) =>
+      val num = 22L * s * f
+      val den = 10L * s * f + 3L * s + 9L * dl(id) * n
+      val idf = (n * 1000000L) / dfreq(t)
+      (id, t,
+        math.floor(num.toDouble / den.toDouble * idf.toDouble + 0.5).toLong)
+    }.groupBy(_._1).flatMap { case (id, rows) =>
+      rows.sortBy { case (_, t, sc) => (-sc, t) }.take(3).zipWithIndex
+        .map { case ((_, t, sc), i) => (id, i + 1L, t, sc) }
+    }.toSeq.sortBy(r => (r._1, r._2))
+    val out = TextStats.bm25TopTerms(d, "doc_id", "text", k = 3)
+      .orderBy("doc_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(out == expected)
+    // sanity: a doc's repeated term ("the", tf=2) outranks its tf=1 terms
+    assert(out.head == ((1L, 1L, "the", out.head._4)))
+  }
+
+  test("bm25TopTerms: rank is dense per doc, k bounds, score tie-break") {
+    import spark.implicits._
+    // all-distinct tokens → every (doc, term) has tf=1; within a doc,
+    // equal dl and tf mean equal score for equal df — term asc decides
+    val d = Seq((1L, "b a c"), (2L, "d e f")).toDF("doc_id", "text")
+    val out = TextStats.bm25TopTerms(d, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(out == Seq((1L, 1L, "a"), (1L, 2L, "b"),
+      (2L, 1L, "d"), (2L, 2L, "e")))
+  }
 }
