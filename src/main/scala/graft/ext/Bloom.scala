@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{NumericType, StringType}
 
 /** Bloom-filter runtime pruning for selective joins — the explicit form of
   * the row-level runtime filter a 100 TB fact join lives or dies by.
@@ -17,8 +18,9 @@ import org.apache.spark.sql.functions._
   * set — see the ScalaCheck property).
   *
   * The filter itself is deliberately tiny (default 1024 words = 8 KiB): it
-  * is collected to the driver once and shipped inside the plan as an array
-  * literal, the same way Spark's own `InjectRuntimeFilter` ships its bloom.
+  * is collected to the driver once and shipped inside the plan as a codegen
+  * reference object, the same way Spark's own `InjectRuntimeFilter` ships
+  * its bloom.
   * That driver hop is O(words), NEVER O(|dim|) — the aggregation that folds
   * keys into words is distributed (map-side partial `bit_or`, then a
   * ≤`words`-row shuffle). Sizing: FP rate ≈ (1 − e^(−k·n/m))^k with
@@ -34,10 +36,31 @@ object Bloom {
 
   private val P = 2147483647L // 2^31 - 1 (prime)
 
+  /** Normalize a key column to the long the mixes operate on. Numeric
+    * keys cast; STRING keys fold through xxhash64 — build and probe
+    * apply the identical fold, which is all a transparent runtime filter
+    * needs (the exact join after the prune restores engine-portable
+    * results, so the string hash never has to be oracle-replayed).
+    * Anything else would cast to NULL on both sides and silently wipe
+    * the join out — reject it loudly instead. */
+  private[graft] def stringKey(df: DataFrame, keyCol: String): Boolean =
+    df.schema(keyCol).dataType match {
+      case StringType     => true
+      case _: NumericType => false
+      case other => throw new IllegalArgumentException(
+        s"bloom key '$keyCol' must be numeric or string, got " +
+          s"${other.simpleString} — a cast-to-long of this type is NULL " +
+          "and every probe would fail")
+    }
+
+  private def norm(key: Column, isString: Boolean): Column =
+    if (isString) xxhash64(key) else key.cast("long")
+
   /** Two rounds of multiply-mod-P interleaved with xor-shift folds —
-    * the [[Hll]] avalanche recipe with caller-chosen odd multipliers. */
+    * the [[Hll]] avalanche recipe with caller-chosen odd multipliers.
+    * Expects a pre-normalized long key. */
   private def mix(key: Column, m1: Long, m2: Long): Column = {
-    val x0 = pmod(key.cast("long"), lit(P))
+    val x0 = pmod(key, lit(P))
     val x1 = pmod(x0 * lit(m1), lit(P))
     val x2 = x1.bitwiseXOR(shiftrightunsigned(x1, 15))
     val x3 = pmod(x2 * lit(m2), lit(P))
@@ -49,7 +72,10 @@ object Bloom {
 
   /** Probe position j over m = words·64 bits. `2·h2+1` keeps the stride
     * odd so a zero h2 cannot collapse all k probes onto one bit; j ≤ k and
-    * h2 < 2³¹ bound the product far below overflow. */
+    * h2 < 2³¹ bound the product far below overflow. Build-side only —
+    * the probe side runs the same arithmetic in one codegen'd kernel
+    * ([[graft.functions.BloomOps]]; floorMod ≡ pmod for these positive
+    * moduli), computing h1/h2 once per row instead of once per conjunct. */
   private def pos(key: Column, j: Int, words: Int): Column =
     pmod(h1(key) + lit(j.toLong) * (h2(key) * 2L + 1L),
       lit(words.toLong * 64L))
@@ -62,9 +88,10 @@ object Bloom {
   def buildWords(dim: DataFrame, keyCol: String,
                  words: Int = 1024, k: Int = 5): Array[Long] = {
     require(words >= 1 && k >= 1, s"need words >= 1 and k >= 1, got $words/$k")
+    val keyed = norm(col(keyCol), stringKey(dim, keyCol))
     val probed = dim.filter(col(keyCol).isNotNull)
       .select(explode(array((0 until k).map(j =>
-        pos(col(keyCol), j, words)): _*)).as("pos"))
+        pos(keyed, j, words)): _*)).as("pos"))
       // the Scala shiftleft overload wants a literal shift; the SQL
       // function takes a column (codegen'd identically)
       .select((col("pos") / 64L).cast("int").as("w"),
@@ -79,30 +106,38 @@ object Bloom {
   }
 
   /** Membership probe as one narrow scan-resident predicate: all k bits
-    * set. The word array rides the plan as a literal — no join, no
-    * broadcast exchange, no state. NULL keys probe to NULL and are
-    * filtered (they cannot survive the exact inner join either). */
-  def mightContain(key: Column, wordsArr: Array[Long], k: Int = 5): Column = {
+    * set, evaluated by a single codegen'd kernel that derives h1/h2 once
+    * per row ([[graft.functions.BloomProbe]]; the word array rides the
+    * plan as a codegen reference object). No join, no broadcast exchange,
+    * no state. NULL keys probe to NULL and are filtered (they cannot
+    * survive the exact inner join either). Set `isString` for string
+    * keys — it must match the type `buildWords` saw, and a plain numeric
+    * cast of a string would NULL out and drop every row. */
+  def mightContain(key: Column, wordsArr: Array[Long], k: Int = 5,
+                   isString: Boolean = false): Column = {
     require(wordsArr.nonEmpty && k >= 1, "empty filter or k < 1")
-    val wordsLit = array(wordsArr.toIndexedSeq.map(lit): _*)
-    (0 until k).map { j =>
-      val p = pos(key, j, wordsArr.length)
-      call_function("shiftrightunsigned",
-        element_at(wordsLit, (p / 64L).cast("int") + 1),
-        (p % 64L).cast("int")).bitwiseAND(lit(1L)) === lit(1L)
-    }.reduce(_ && _)
+    graft.functions.BloomFunctions.bloom_probe(norm(key, isString), wordsArr, k)
   }
 
   /** Inner equi-join with the fact side bloom-pruned before the shuffle.
     * Result rows are identical to `fact.join(dim, fact(factKey) ===
     * dim(dimKey))` — the bloom only removes rows the join would drop.
     * The dim side is evaluated twice (build + join); pass a cheap or
-    * cached dim, which a selective runtime-filter build side always is. */
+    * cached dim, which a selective runtime-filter build side always is.
+    * Key types are taken from the schemas: numeric keys hash via cast,
+    * string keys via xxhash64, mixed or exotic sides are rejected loudly
+    * (a silent NULL-cast would return an empty "pruned" join). */
   def bloomPrunedJoin(fact: DataFrame, dim: DataFrame,
                       factKey: String, dimKey: String,
                       words: Int = 1024, k: Int = 5): DataFrame = {
+    val dimStr = stringKey(dim, dimKey)
+    val factStr = stringKey(fact, factKey)
+    require(dimStr == factStr,
+      s"bloom join keys disagree: '$factKey' is " +
+        s"${if (factStr) "string" else "numeric"} but '$dimKey' is " +
+        s"${if (dimStr) "string" else "numeric"} — hash folds would differ")
     val arr = buildWords(dim, dimKey, words, k)
-    fact.filter(mightContain(col(factKey), arr, k))
+    fact.filter(mightContain(col(factKey), arr, k, isString = factStr))
       .join(dim, col(factKey) === dim(dimKey))
   }
 }

@@ -54,4 +54,54 @@ class BloomSpec extends SparkSpec {
     intercept[IllegalArgumentException](Bloom.buildWords(dim, "dk", words = 0))
     intercept[IllegalArgumentException](Bloom.mightContain(col("x"), Array.empty[Long]))
   }
+
+  test("string keys: pruned join == plain join (no silent empty result)") {
+    import spark.implicits._
+    val fact = (1 to 2000).map(i => (i.toLong, s"doc-${i % 499}"))
+      .toDF("rowid", "fk")
+    val dim = Seq("doc-3", "doc-17", "doc-250", "doc-498")
+      .map(d => (d, s"meta-$d")).toDF("dk", "name")
+    val plain = fact.join(dim, col("fk") === col("dk"))
+      .select("rowid", "name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(plain.nonEmpty) // the bug this guards against returned empty
+    val pruned = Bloom.bloomPrunedJoin(fact, dim, "fk", "dk", words = 64)
+      .select("rowid", "name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(pruned == plain)
+    // and the prune is still selective on the 499 distinct string keys
+    val arr = Bloom.buildWords(dim, "dk", words = 64)
+    val kept = fact.filter(
+      Bloom.mightContain(col("fk"), arr, 5, isString = true)).count()
+    assert(kept < 500L, s"bloom kept $kept of 2000 — not selective")
+  }
+
+  test("unsupported and mismatched key types are rejected loudly") {
+    import spark.implicits._
+    val arrDim = Seq(Tuple1(Seq(1L))).toDF("dk") // array key: no sane fold
+    intercept[IllegalArgumentException](Bloom.buildWords(arrDim, "dk"))
+    val sFact = Seq(Tuple1("a")).toDF("fk")
+    val nDim = Seq(Tuple1(1L)).toDF("dk")
+    intercept[IllegalArgumentException](
+      Bloom.bloomPrunedJoin(sFact, nDim, "fk", "dk"))
+  }
+
+  test("probe runs inside whole-stage codegen") {
+    import spark.implicits._
+    val dim = Seq(1L, 2L).toDF("dk")
+    val arr = Bloom.buildWords(dim, "dk", words = 16)
+    // spark.range, not a local Seq: ConvertToLocalRelation would fold a
+    // deterministic filter over LocalRelation at optimization time
+    val probed = spark.range(100).toDF("fk")
+      .filter(Bloom.mightContain(col("fk"), arr))
+    val stages = probed.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(stages.nonEmpty, "bloom probe fell out of whole-stage codegen:\n" +
+      probed.queryExecution.executedPlan)
+    val inCodegen = stages.exists(_.collectLeaves().nonEmpty) &&
+      stages.exists(w => w.toString.contains("bloomprobe") ||
+        w.child.toString.toLowerCase.contains("bloomprobe"))
+    assert(inCodegen, s"probe not inside a codegen stage:\n${stages.head}")
+  }
 }
