@@ -11,8 +11,12 @@ import org.apache.spark.sql.functions._
   * Semantics (MERGE with latest-wins): the change feed carries full rows
   * plus an op column (`I`/`U` upsert, `D` delete) and a monotonically
   * increasing sequence column; for each key only the HIGHEST-sequence
-  * change applies (ties broken by op descending — `U` over `I` over `D` —
-  * so replayed feeds are deterministic), then
+  * change applies. Ties break by op descending (`U` over `I` over `D`),
+  * then by a 64-bit hash of the full payload — a TOTAL order, so a feed
+  * that carries duplicate `(key, seq, op)` rows with different payloads
+  * still replays to the same survivor on every run and every partition
+  * layout (row_number over a partial order would pick whichever row the
+  * shuffle happened to deliver first). Then
   *
   *   result = (base ⟕̸ touched-keys) ∪ (latest changes that are upserts)
   *
@@ -38,11 +42,15 @@ object Merge {
     val baseCols = base.columns.toSeq
     require(baseCols.forall(changes.columns.contains),
       "changes must carry every base column")
-    // latest change per key: window over the FEED only (small by contract)
+    // latest change per key: window over the FEED only (small by contract).
+    // The payload-hash third key makes the order TOTAL: duplicate
+    // (key, seq, op) rows survive deterministically (hash-equal payloads
+    // are identical rows, so either pick is the same row).
     val latest = changes
       .withColumn("__rnk", row_number().over(
         Window.partitionBy(col(keyCol))
-          .orderBy(col(seqCol).desc, col(opCol).desc)))
+          .orderBy(col(seqCol).desc, col(opCol).desc,
+            xxhash64(baseCols.map(col): _*).desc)))
       .filter(col("__rnk") === 1)
     // every touched key leaves the base; upserts re-enter with feed values
     val touched = latest.select(col(keyCol))

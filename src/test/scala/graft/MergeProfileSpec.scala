@@ -35,6 +35,26 @@ class MergeProfileSpec extends SparkSpec {
       (3L, "c", 30L), (4L, "d", 40L)))
   }
 
+  test("upsert duplicate (key, seq, op) rows replay deterministically") {
+    // two U-rows tie on every window key the scaladoc orders by; the
+    // payload-hash tiebreak must pick the SAME survivor regardless of
+    // input order or partition layout
+    val a = (1L, "dup-a", 100L, "U", 9L)
+    val b = (1L, "dup-b", 200L, "U", 9L)
+    val runs = Seq(
+      Seq(a, b).toDF("id", "name", "v", "op", "seq").repartition(1),
+      Seq(b, a).toDF("id", "name", "v", "op", "seq").repartition(7),
+      Seq(a, b, a, b).toDF("id", "name", "v", "op", "seq").repartition(3)
+    ).map { feed =>
+      Merge.upsert(base, feed, "id", "op", "seq")
+        .filter(col("id") === 1L).as[(Long, String, Long)].collect().toSeq
+    }
+    assert(runs(0).size == 1)
+    assert(Set("dup-a", "dup-b").contains(runs(0).head._2))
+    assert(runs(1) == runs(0) && runs(2) == runs(0),
+      s"tie survivor changed across layouts: $runs")
+  }
+
   test("upsert rejects reserved column names and missing base columns") {
     val clash = base.withColumn("__rnk", lit(1))
     val feed = Seq((1L, "x", 1L, "U", 1L)).toDF("id", "name", "v", "op", "seq")
