@@ -701,6 +701,16 @@ object SparkEntry {
           Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
             "o_price_c"))
         .orderBy("col_name")),
+    // ----- the 100 TB profile: distinct via certified HLL registers, no
+    // full-key shuffle (Profile.columnsSketch scaladoc); the near-unique
+    // o_orderkey is exactly the column exact-distinct chokes on -----
+    "profile_stats_sketch" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Profile.columnsSketch(
+          Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+            floor(col("o_totalprice") * 100 + 0.5).cast("long")
+              .as("o_price_c")),
+          Seq("o_orderkey", "o_custkey", "o_price_c"))
+        .orderBy("col_name")),
   )
 
   /** Streaming read of the events table: glob (not the literal file path —
@@ -1819,5 +1829,54 @@ object SparkEntry {
          |$arms
          |ORDER BY col_name""".stripMargin
     },
+    // the HllOracle pipeline replayed per profiled column over the
+    // unpivoted (col_name, v) frame, joined to exact nulls/min/max
+    "profile_stats_sketch" ->
+      ("""WITH src AS (
+         |  SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+         |    CAST(o_custkey AS BIGINT) AS o_custkey,
+         |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS o_price_c
+         |  FROM orders
+         |), u AS (
+         |  SELECT 'o_orderkey' AS col_name, o_orderkey AS v FROM src
+         |  UNION ALL SELECT 'o_custkey', o_custkey FROM src
+         |  UNION ALL SELECT 'o_price_c', o_price_c FROM src
+         |), stats AS (
+         |  SELECT col_name, count(*) FILTER (WHERE v IS NULL) AS n_nulls,
+         |    CAST(min(v) AS VARCHAR) AS min_val,
+         |    CAST(max(v) AS VARCHAR) AS max_val
+         |  FROM u GROUP BY col_name
+         |), x1 AS (
+         |  SELECT col_name,
+         |    ((v % 2147483647) + 2147483647) % 2147483647
+         |      * 1103515245 % 2147483647 AS w
+         |  FROM u WHERE v IS NOT NULL
+         |), x2 AS (
+         |  SELECT col_name, xor(w, w >> 15) AS w FROM x1
+         |), x3 AS (
+         |  SELECT col_name, w * 1566083941 % 2147483647 AS w FROM x2
+         |), h AS (
+         |  SELECT col_name, xor(w, w >> 13) AS hv FROM x3
+         |), ranked AS (
+         |  SELECT col_name, hv % 64 AS reg,
+         |    CASE WHEN hv // 64 = 0 THEN 26
+         |         ELSE 26 - length(printf('%b', hv // 64)) END AS rank
+         |  FROM h
+         |), regs AS (
+         |  SELECT col_name, reg, max(rank) AS m_j
+         |  FROM ranked GROUP BY col_name, reg
+         |), state AS (
+         |  SELECT col_name, count(*) AS n_regs,
+         |    sum(CAST(1 AS BIGINT) << (26 - m_j)) AS isum_p
+         |  FROM regs GROUP BY col_name
+         |)
+         |SELECT s.col_name, t.n_nulls, s.n_regs,
+         |  CAST(s.isum_p + (64 - s.n_regs) * 67108864 AS BIGINT) AS isum,
+         |  CAST(0.709 AS DOUBLE) * 4096 * 67108864 /
+         |    CAST(s.isum_p + (64 - s.n_regs) * 67108864 AS DOUBLE)
+         |    AS hll_estimate,
+         |  t.min_val, t.max_val
+         |FROM state s JOIN stats t USING (col_name)
+         |ORDER BY col_name""".stripMargin),
   )
 }

@@ -78,6 +78,40 @@ class MergeProfileSpec extends SparkSpec {
     assert(rows(1) === (("s", 1L, 2L, "x", "y")))
   }
 
+  test("columnsSketch: exact nulls/min/max, bounded registers, loud reject") {
+    val df = Seq(
+      (Some(10L), Some(1)), (Some(20L), Some(2)), (Some(20L), None),
+      (None, Some(2))
+    ).toDF("k", "i")
+    val rows = Profile.columnsSketch(df, Seq("k", "i"))
+      .orderBy("col_name").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("i", "k"))
+    val i = rows(0); val k = rows(1)
+    assert(i.getLong(1) == 1L && i.getString(5) == "1" && i.getString(6) == "2")
+    assert(k.getLong(1) == 1L && k.getString(5) == "10" && k.getString(6) == "20")
+    // register state is bounded; the RAW estimate (no small-range
+    // correction, same surface as the certified agg_hll) is positive and
+    // finite — tiny inputs read high by construction
+    Seq(i, k).foreach { r =>
+      assert(r.getLong(2) <= 64L)
+      assert(r.getDouble(4) > 0.0 && !r.getDouble(4).isInfinite,
+        s"estimate degenerate: $r")
+    }
+    // non-integral columns are rejected, not silently NULL-profiled
+    val s = Seq((1L, "x")).toDF("k", "s")
+    intercept[IllegalArgumentException](Profile.columnsSketch(s, Seq("s")))
+    val d = Seq((1L, 1.5)).toDF("k", "d")
+    intercept[IllegalArgumentException](Profile.columnsSketch(d, Seq("d")))
+  }
+
+  test("columnsSketch plan has no expand-based exact distinct") {
+    val df = Seq((1L, 2L)).toDF("a", "b")
+    val plan = Profile.columnsSketch(df, Seq("a", "b"))
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("count(distinct"),
+      s"sketch profile still plans an exact distinct:\n$plan")
+  }
+
   test("profile scans the table once (single aggregate subtree)") {
     val df = Seq((1L, "x"), (2L, "y")).toDF("k", "s")
     val plan = Profile.columns(df, Seq("k", "s"))
