@@ -162,4 +162,40 @@ object NewOpsPropertySpec extends Properties("newops") {
           leaf.filter(_._2 == m._2).map(_._4).sum) :|
           s"subtotal ${m._2}"): _*))
     }
+
+  // --------------------------------------------------------------- bloom
+  private val genWord: Gen[String] =
+    Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString.take(12))
+
+  property("string bloom keys never produce false negatives") =
+    // the round-7 landmine: string keys cast to NULL and the "pruned"
+    // join silently returned empty — every built key must now probe true
+    Prop.forAll(Gen.nonEmptyListOf(genWord)) { words =>
+      import spark.implicits._
+      val dim = words.toDF("k")
+      val arr = graft.ext.Bloom.buildWords(dim, "k", words = 32, k = 4)
+      val missed = dim.filter(!graft.ext.Bloom.mightContain(
+        org.apache.spark.sql.functions.col("k"), arr, 4,
+        isString = true)).count()
+      (missed == 0L) :| s"$missed of ${words.size} built keys probed false"
+    }
+
+  // ----------------------------------------------------------- count-min
+  property("count-min estimate is bounded below by the exact count") =
+    Prop.forAll(Gen.nonEmptyListOf(genWord)) { words =>
+      import spark.implicits._
+      val docs = words.grouped(5).zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+        .toDF("doc_id", "text")
+      val rows = graft.ext.FreqSketch.estimateTopK(docs, "text", k = 8)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      graft.ext.Dedup.unpersistAll()
+      val exact = words.groupBy(identity).view.mapValues(_.size.toLong)
+      Prop.all(
+        (rows.nonEmpty && rows.forall { case (_, ex, est) => est >= ex })
+          :| s"count-min underestimated: ${rows.mkString(",")}",
+        rows.map { case (t, ex, _) =>
+          (exact.getOrElse(t, -1L) == ex) :| s"exact count drift for '$t'"
+        }.reduce(_ && _))
+    }
 }
