@@ -81,14 +81,12 @@ object TextStats {
 
   /** Rabin-Karp rolling fingerprint over the character stream:
     * fold(acc * 31 + codepoint) mod 1e9+7. A cheap content-defined document
-    * fingerprint; pure sequential array fold, codegen'd.
-    *
-    * Java's `split("", -1)` can emit empty strings at the boundaries
-    * (ascii('') = 0 would silently shift the hash); filter them out so the
-    * fold sees exactly the characters. */
+    * fingerprint, evaluated by one codegen'd code-point loop
+    * ([[graft.functions.RollingFingerprint]]) — arithmetic verified
+    * identical to the SQL-replayable split/ascii/aggregate fold the
+    * oracles use, surrogate pairs included. */
   def rollingFingerprint(text: Column): Column =
-    aggregate(filter(split(text, ""), c => length(c) > 0), lit(0L),
-      (acc, c) => pmod(acc * 31L + ascii(c), lit(1000000007L)))
+    graft.functions.FingerprintFunctions.rolling_fingerprint(text)
 
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), rollingFingerprint(col(textCol)).as("fp"))
