@@ -55,6 +55,17 @@ object Hll {
     * the sketch can be maintained incrementally over a stream and
     * finalized batch-side ([[finalize]]) — see the `stream_hll` entry. */
   def registers(df: DataFrame, groupCol: String, keyCol: String): DataFrame = {
+    // the register hash is a LONG fold: a non-numeric key would cast to
+    // NULL after the isNotNull filter and silently produce garbage
+    // registers (the Bloom string-key landmine class) — reject loudly;
+    // pre-fold strings to a long (e.g. a portable poly hash) first
+    df.schema(keyCol).dataType match {
+      case _: org.apache.spark.sql.types.NumericType => ()
+      case other => throw new IllegalArgumentException(
+        s"Hll key '$keyCol' must be numeric, got ${other.simpleString} — " +
+          "cast-to-long of this type is NULL and the sketch would be empty" +
+          " or wrong; fold strings to a long first")
+    }
     // SQL count-distinct semantics: NULL keys count nothing
     val p = lit(2147483647L)
     val hashed = df.filter(col(keyCol).isNotNull)

@@ -48,4 +48,12 @@ class HllSpec extends SparkSpec {
     assert(out.length == 1 && out.head.getString(0) == "g" &&
       out.head.getLong(1) == 1L)
   }
+
+  test("non-numeric keys are rejected loudly, not silently NULL-hashed") {
+    import spark.implicits._
+    val df = Seq(("g", "doc-1")).toDF("grp", "key")
+    val e = intercept[IllegalArgumentException](
+      Hll.distinctEstimate(df, "grp", "key"))
+    assert(e.getMessage.contains("must be numeric"))
+  }
 }
