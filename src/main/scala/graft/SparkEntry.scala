@@ -343,6 +343,13 @@ object SparkEntry {
           "text", keep = 3, outOf = 10)
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")),
+    // Per-source quota rebalancing: at most 8 docs per source, picked by
+    // content-fingerprint order — the deterministic data-mixing cut
+    // (Sampling.quotaSample scaladoc: WindowGroupLimit prunes map-side)
+    "sample_quota" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Sampling.quotaSample(Tables.documents(s, dir),
+          "source", "doc_id", "text", quota = 8)
+        .orderBy("source", "rnk")),
     // Decontamination: scrub training docs whose exact normalized content
     // appears in the held-out source (src19 plays the benchmark/eval set);
     // anti-join on md5 fingerprints with the tiny eval side broadcast
@@ -611,6 +618,17 @@ object SparkEntry {
     "text_bigrams" -> ((s: SparkSession, dir: String) =>
       TextStats.bigramTopTerms(Tables.documents(s, dir), "text", k = 40)
         .orderBy(col("doc_freq").desc, col("bigram").asc)),
+    // ----- Gopher-style repetition metrics: duplicate-bigram and
+    // top-token fractions, exact integer ratios rounded to 4 decimals -----
+    "text_repetition" -> ((s: SparkSession, dir: String) =>
+      TextStats.repetitionStats(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+    // ----- PMI collocations: top word pairs by the integer-rational
+    // P(x,y)/(P(x)P(y)) — one IEEE division, deterministic k-boundary -----
+    "text_pmi" -> ((s: SparkSession, dir: String) =>
+      TextStats.pmiTopBigrams(Tables.documents(s, dir), "text",
+          minCount = 5L, k = 40)
+        .orderBy(col("score").desc, col("x").asc, col("y").asc)),
     // ----- per-document BM25 top-k (TextStats scaladoc: denominators
     // cleared to integer-exact rationals, one IEEE division) -----
     "text_bm25" -> ((s: SparkSession, dir: String) =>
@@ -653,6 +671,20 @@ object SparkEntry {
         .filter(col("lang") === "en")
         .select(col("doc_id"), col("n_chars"))
         .orderBy("doc_id")
+    }),
+    // ----- JSONL codec round trip: events (incl. the JSON-in-string
+    // props column — the quoting torture case) serialized to JSON lines
+    // and read back schema-enforced; hash-matching the oracle on the
+    // ORIGINAL table certifies the codec end to end -----
+    "source_jsonl" -> ((s: SparkSession, dir: String) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-jsonl-")
+        .toString
+      graft.sources.JsonLines.roundTrip(
+        Tables.events(s, dir).select(col("event_id"), col("user_id"),
+          col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("long").as("value_c"),
+          col("props")), tmp)
+        .orderBy("event_id")
     }),
     // ----- §2.10 multimodal plumbing (stub decode, real Spark shape) -----
     "mm_features" -> ((s: SparkSession, dir: String) =>
@@ -1307,6 +1339,21 @@ object SparkEntry {
          |SELECT doc_id, lang FROM fp
          |WHERE b < CASE WHEN lang = 'en' THEN 2 ELSE 5 END
          |ORDER BY doc_id""".stripMargin),
+    // the full (un-modded) fingerprint fold orders the per-source pick,
+    // so the oracle reproduces the exact quota subset and rank
+    "sample_quota" ->
+      ("""WITH fp AS (
+         |  SELECT source, doc_id,
+         |    CAST(list_reduce([CAST(ascii(c) AS BIGINT) for c in string_split(text, '')],
+         |         (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT) AS fp
+         |  FROM documents
+         |)
+         |SELECT source, doc_id,
+         |  CAST(row_number() OVER (PARTITION BY source ORDER BY fp, doc_id)
+         |    AS BIGINT) AS rnk
+         |FROM fp
+         |QUALIFY rnk <= 8
+         |ORDER BY source, rnk""".stripMargin),
     // md5(lower(text)) equality == lower(text) equality (no collisions at
     // any realistic corpus size), so NOT EXISTS over the text is exact
     "dedup_decontaminate" ->
@@ -1671,6 +1718,12 @@ object SparkEntry {
     "sink_partitioned" ->
       ("""SELECT doc_id, n_chars FROM documents
          |WHERE lang = 'en' ORDER BY doc_id""".stripMargin),
+    // the JSONL round trip must reproduce the original table — if the
+    // codec mangles quoting, escapes, or numerics, the hash breaks
+    "source_jsonl" ->
+      ("""SELECT event_id, user_id, event_type,
+         |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c, props
+         |FROM events ORDER BY event_id""".stripMargin),
     // same per-doc distinct word bigrams (sub-2-token docs contribute the
     // whole text, mirroring Dedup.shingles) and the same k-boundary order
     "text_bigrams" ->
@@ -1682,6 +1735,52 @@ object SparkEntry {
          |)
          |SELECT bigram, count(*) AS doc_freq FROM b GROUP BY bigram
          |ORDER BY doc_freq DESC, bigram LIMIT 40""".stripMargin),
+    // same occurrence bigrams (positional zip), same exact-integer ratios
+    // rounded to 4 decimals; n<2 docs emit 0.0 on both engines
+    "text_repetition" ->
+      ("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+         |           FROM documents),
+         |m AS (
+         |  SELECT doc_id, len(ws) AS n,
+         |    CASE WHEN len(ws) < 2 THEN 0
+         |      ELSE len(ws) - 1 - len(list_distinct(
+         |        [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))])) END
+         |      AS dupb,
+         |    list_max([len(list_filter(ws, x -> x = t))
+         |              for t in list_distinct(ws)]) AS topc
+         |  FROM w
+         |)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+         |  CASE WHEN n < 2 THEN 0.0
+         |    ELSE round(CAST(dupb AS DOUBLE) / (n - 1), 4) END
+         |    AS dup_bigram_frac,
+         |  round(CAST(topc AS DOUBLE) / greatest(n, 1), 4) AS top_token_frac
+         |FROM m ORDER BY doc_id""".stripMargin),
+    // PMI as the integer rational c_xy·nu²/(nb·c_x·c_y): both engines
+    // form exact BIGINT products and perform ONE identical double
+    // division, so score and rank order match bit-for-bit
+    "text_pmi" ->
+      ("""WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+         |pairs AS (
+         |  SELECT unnest([ws[i] || ' ' || ws[i+1]
+         |                 for i in range(1, len(ws))]) AS bg FROM w
+         |), cxy AS (
+         |  SELECT string_split(bg, ' ')[1] AS x, string_split(bg, ' ')[2] AS y,
+         |    count(*) AS c_xy
+         |  FROM pairs GROUP BY 1, 2 HAVING count(*) >= 5
+         |), cu AS (
+         |  SELECT word, count(*) AS c
+         |  FROM (SELECT unnest(ws) AS word FROM w) GROUP BY word
+         |), tot AS (
+         |  SELECT sum(len(ws)) AS nu, sum(greatest(len(ws) - 1, 0)) AS nb
+         |  FROM w
+         |)
+         |SELECT c.x, c.y, c.c_xy, cx.c AS c_x, cy.c AS c_y,
+         |  CAST(c.c_xy * t.nu * t.nu AS DOUBLE) /
+         |  CAST(t.nb * cx.c * cy.c AS DOUBLE) AS score
+         |FROM cxy c JOIN cu cx ON c.x = cx.word
+         |JOIN cu cy ON c.y = cy.word, tot t
+         |ORDER BY score DESC, x, y LIMIT 40""".stripMargin),
     // BM25 with cleared denominators (TextStats.bm25TopTerms scaladoc):
     // num = 22·S·tf, den = 10·S·tf + 3·S + 9·dl·N are exact integers on
     // both engines; the single num/den double division, the integer-

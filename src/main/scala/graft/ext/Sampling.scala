@@ -46,6 +46,30 @@ object Sampling {
     df.filter(bucket(col(textCol), outOf) < keep)
   }
 
+  /** Per-group quota sampling — the data-mixing primitive: keep at most
+    * `quota` rows per group (source, language, domain), chosen by content-
+    * fingerprint order with an id tie-break so the selection is a pure
+    * function of the data — every engine/run/cluster picks the identical
+    * rows, unlike rand()-ranked reservoir draws.
+    *
+    * One shuffle on the group column; the `row_number <= quota` filter is
+    * the shape Spark 4 plans as WindowGroupLimit, so each map partition
+    * prunes to its local top-`quota` BEFORE the shuffle — the exchange
+    * carries O(partitions · quota) rows per group, not the group's full
+    * mass. That is what keeps a 100 TB source-rebalancing pass from
+    * shuffling 100 TB. */
+  def quotaSample(df: DataFrame, groupCol: String, idCol: String,
+                  textCol: String, quota: Int): DataFrame = {
+    require(quota > 0, "quota must be positive")
+    import org.apache.spark.sql.expressions.Window
+    df.select(col(groupCol), col(idCol),
+        TextStats.rollingFingerprint(col(textCol)).as("__fp"))
+      .withColumn("rnk", row_number().over(Window.partitionBy(col(groupCol))
+        .orderBy(col("__fp"), col(idCol))))
+      .filter(col("rnk") <= quota)
+      .select(col(groupCol), col(idCol), col("rnk").cast("long").as("rnk"))
+  }
+
   private def bucket(text: Column, outOf: Int): Column =
     pmod(TextStats.rollingFingerprint(text), lit(outOf.toLong))
 }

@@ -299,6 +299,82 @@ object TextStats {
       .orderBy(col("doc_freq").desc, col("term").asc)
       .limit(k)
 
+  /** Gopher-style intra-document repetition metrics — the quality signals
+    * that catch degenerate generations and boilerplate loops (Rae et al.
+    * 2021 §A1.1 use exactly these to filter MassiveText): the fraction of
+    * bigram positions occupied by a repeated bigram, and the fraction of
+    * the document given to its single most frequent token.
+    *
+    * All row-local array arithmetic riding the scan — no shuffle, scales
+    * with input splits. The top-token pass is O(distinct·n) per row, the
+    * honest exact cost; ratios are computed on exact integers and rounded
+    * to 4 decimals so any engine reproduces them bit-for-bit. */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = toks(col(textCol))
+    val n = size(t)
+    val nBig = n - 1
+    // occurrence bigrams via positional zip; distinct count gives the
+    // duplicated mass as (occurrences - distinct)
+    val bigrams = zip_with(slice(t, lit(1), greatest(nBig, lit(0))),
+      slice(t, lit(2), greatest(nBig, lit(0))), (a, b) => concat_ws(" ", a, b))
+    val topCount = array_max(transform(array_distinct(t),
+      w => size(filter(t, x => x === w))))
+    df.select(col(idCol),
+      n.cast("long").as("n_tokens"),
+      when(nBig < 1, lit(0.0))
+        .otherwise(round((nBig - size(array_distinct(bigrams)))
+          .cast("double") / nBig, 4)).as("dup_bigram_frac"),
+      round(topCount.cast("double") / greatest(n, lit(1)), 4)
+        .as("top_token_frac"))
+  }
+
+  /** Corpus PMI collocations — the top-k word pairs whose co-occurrence
+    * most exceeds independence, the classic collocation / multi-word-
+    * expression probe (Church & Hanks 1990). The PMI ratio
+    * P(x,y)/(P(x)P(y)) is computed as the integer rational
+    *
+    *   c_xy · N_uni² / (N_big · c_x · c_y)
+    *
+    * — exact 64-bit products on both sides of ONE double division, so
+    * every engine ranks identically (a log-space float PMI drifts in the
+    * last ulp and flips rank-k boundaries). Long arithmetic holds while
+    * c_xy·N_uni² < 2⁶³ (≈10¹⁸ — beyond that lift the products to
+    * decimal(38,0), same shape).
+    *
+    * Plan: one explode → bigram counts (map-side partials), one explode →
+    * unigram counts. The unigram table is vocabulary-sized, so both x- and
+    * y-side lookups broadcast; the corpus totals ride one broadcast row;
+    * the k-boundary plans as TakeOrderedAndProject with a deterministic
+    * (x, y) tie-break. `minCount` prunes hapax noise before the joins. */
+  def pmiTopBigrams(df: DataFrame, textCol: String, minCount: Long,
+                    k: Int): DataFrame = {
+    val t = toks(col(textCol))
+    val nBig = greatest(size(t) - 1, lit(0))
+    val pairs = df.select(explode(zip_with(slice(t, lit(1), nBig),
+      slice(t, lit(2), nBig),
+      (a, b) => struct(a.as("x"), b.as("y")))).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
+    val cxy = pairs.groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+    val uni = df.select(explode(t).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    // totals from one row-local aggregate over the docs — not a second
+    // pass over the exploded pairs
+    val tot = df.agg(sum(size(t)).as("__nu"), sum(nBig).as("__nb"))
+    cxy
+      .join(broadcast(uni.select(col("w").as("x"), col("c").as("c_x"))), "x")
+      .join(broadcast(uni.select(col("w").as("y"), col("c").as("c_y"))), "y")
+      .crossJoin(broadcast(tot))
+      .withColumn("score",
+        (col("c_xy") * col("__nu") * col("__nu")).cast("double") /
+          (col("__nb") * col("c_x") * col("c_y")).cast("double"))
+      .select(col("x"), col("y"), col("c_xy"), col("c_x"), col("c_y"),
+        col("score"))
+      .orderBy(col("score").desc, col("x").asc, col("y").asc)
+      .limit(k)
+  }
+
   /** Inverted-index construction — term → capped, sorted posting list,
     * the retrieval-side artifact of a RAG / search pipeline. Emitted as
     * (term, df_docs, slot, doc_id) rows rather than list columns: the long

@@ -99,6 +99,36 @@ class SamplingSpec extends SparkSpec {
     case _ => () }
   }
 
+  test("quotaSample: at most quota rows per group, fingerprint-ordered") {
+    val out = Sampling.quotaSample(docs, "lang", "doc_id", "text", quota = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // per-group caps respected; fr has only one doc
+    val byLang = out.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(byLang == Map("en" -> 2, "de" -> 2, "fr" -> 1))
+    // ranks are 1..n within each group
+    assert(out.groupBy(_._1).values.forall(g =>
+      g.map(_._3).sorted.toSeq == (1L to g.length).toSeq))
+    // the pick order is the fingerprint order, reproduced by hand
+    val fps = docs
+      .withColumn("fp", TextStats.rollingFingerprint(col("text")))
+      .collect().map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("fp")))
+    val expected = fps.groupBy(_._1).toSeq.flatMap { case (lang, g) =>
+      g.sortBy(r => (r._3, r._2)).take(2).zipWithIndex
+        .map { case ((_, id, _), i) => (lang, id, i + 1L) }
+    }.toSet
+    assert(out.toSet == expected)
+  }
+
+  test("quotaSample: deterministic across runs and repartitionings") {
+    val a = Sampling.quotaSample(docs, "lang", "doc_id", "text", 1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val b = Sampling.quotaSample(docs.repartition(7), "lang", "doc_id",
+        "text", 1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+
   test("decontaminate plan: broadcast anti-join on fingerprints") {
     val train = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
     val eval = Seq((3L, "b")).toDF("doc_id", "text")

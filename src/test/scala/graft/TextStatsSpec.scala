@@ -251,6 +251,46 @@ class TextStatsSpec extends SparkSpec {
     assert(out.head == ((1L, 1L, "the", out.head._4)))
   }
 
+  test("repetitionStats: dup-bigram and top-token fractions, hand-computed") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b a b c"), // bigrams: ab,ba,ab,bc -> 4 occ, 3 distinct
+      (2L, "x y z"),     // all bigrams distinct
+      (3L, "w")          // sub-2-token doc: defined as 0.0
+    ).toDF("doc_id", "text")
+    val out = TextStats.repetitionStats(d, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(out == Seq(
+      (5L, 0.25, 0.4),      // 1/4 dup bigram; "a" (or "b") 2/5
+      (3L, 0.0, 0.3333),    // round(1/3, 4)
+      (1L, 0.0, 1.0)))
+  }
+
+  test("pmiTopBigrams: integer-rational score and deterministic tie-break") {
+    import spark.implicits._
+    // tokens: a=3 b=2 c=1; nu=6, nb=3; (a,b)=2, (a,c)=1
+    // score(a,b) = 2*36/(3*3*2) = 4.0; score(a,c) = 1*36/(3*3*1) = 4.0
+    // equal scores -> (x, y) ascending decides
+    val d = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    val out = TextStats.pmiTopBigrams(d, "text", minCount = 1L, k = 10)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    assert(out == Seq(
+      ("a", "b", 2L, 3L, 2L, 4.0),
+      ("a", "c", 1L, 3L, 1L, 4.0)))
+  }
+
+  test("pmiTopBigrams: minCount prunes, k caps") {
+    import spark.implicits._
+    val d = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    val pruned = TextStats.pmiTopBigrams(d, "text", minCount = 2L, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(pruned == Seq(("a", "b")))
+    assert(TextStats.pmiTopBigrams(d, "text", 1L, 1).count() == 1L)
+  }
+
   test("bm25TopTerms: rank is dense per doc, k bounds, score tie-break") {
     import spark.implicits._
     // all-distinct tokens → every (doc, term) has tf=1; within a doc,
