@@ -535,6 +535,21 @@ object SparkEntry {
       graft.ext.Hll.distinctEstimate(Tables.events(s, dir),
           "event_type", "user_id")
         .orderBy("event_type")),
+    // the union path: sketch two disjoint halves of events independently,
+    // max-merge the register states, finalize. The halves partition the
+    // table, so the merged state must equal the direct sketch — the oracle
+    // (shared with agg_hll) sketches the un-split table and the hashes
+    // must match bit-for-bit. This is the shard/day/source merge pattern
+    // that makes the sketch usable as persisted infrastructure at 100 TB
+    "agg_hll_union" -> ((s: SparkSession, dir: String) => {
+      val ev = Tables.events(s, dir)
+      val a = graft.ext.Hll.registers(
+        ev.filter(col("event_id") % 2 === 0), "event_type", "user_id")
+      val b = graft.ext.Hll.registers(
+        ev.filter(col("event_id") % 2 === 1), "event_type", "user_id")
+      graft.ext.Hll.finalize(graft.ext.Hll.merge(a, b), "event_type")
+        .orderBy("event_type")
+    }),
     // ----- window analytics: running totals and per-group top-n -----
     "window_running" -> ((s: SparkSession, dir: String) =>
       graft.ext.Olap.runningTotal(
@@ -1571,6 +1586,9 @@ object SparkEntry {
     // bitlength rank, max-merge, exact integer harmonic sum, and the
     // identical fixed-order double estimate
     "agg_hll" -> HllOracle,
+    // the merged half-sketches must equal the direct sketch of the whole
+    // table — same oracle, by design
+    "agg_hll_union" -> HllOracle,
     // the streaming register maintenance computes the identical sketch
     "stream_hll" -> HllOracle,
     // same decimal accumulation + total window order as the engine

@@ -87,6 +87,21 @@ object Hll {
       .agg(max(col("rank")).as("m_j"))
   }
 
+  /** The HLL UNION: merge two register states by max per (group,
+    * register). This is the property that makes the sketch an
+    * infrastructure primitive rather than a one-shot aggregate — shard
+    * sketches, daily sketches, or per-source sketches combine into the
+    * exact sketch of the unioned input (max is associative, commutative,
+    * idempotent), so a 100 TB distinct count can be maintained as cheap
+    * per-partition states and merged on demand. The merged state is
+    * bit-identical to [[registers]] over the concatenated inputs by
+    * construction — certified by the `agg_hll_union` entry, whose oracle
+    * sketches the un-split table directly. */
+  def merge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("grp"), col("reg"))
+      .agg(max(col("m_j")).as("m_j"))
+
   /** Fold register state into (group, n_regs, isum, estimate). */
   def finalize(regs: DataFrame, groupCol: String): DataFrame =
     regs.groupBy(col("grp"))

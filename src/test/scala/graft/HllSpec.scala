@@ -56,4 +56,28 @@ class HllSpec extends SparkSpec {
       Hll.distinctEstimate(df, "grp", "key"))
     assert(e.getMessage.contains("must be numeric"))
   }
+
+  test("merge of split sketches equals the direct sketch of the union") {
+    import spark.implicits._
+    val df = (1L to 500L).map(i => (s"g${i % 3}", i % 137))
+      .toDF("grp", "key")
+    val a = Hll.registers(df.filter($"key" % 2 === 0), "grp", "key")
+    val b = Hll.registers(df.filter($"key" % 2 === 1), "grp", "key")
+    val merged = Hll.merge(a, b)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = Hll.registers(df, "grp", "key")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(merged == direct) // bit-identical state, not just close estimates
+  }
+
+  test("merge is idempotent: A merged with itself is A") {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => ("g", i)).toDF("grp", "key")
+    val a = Hll.registers(df, "grp", "key")
+    val twice = Hll.merge(a, a)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val once = a.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(twice == once)
+  }
 }

@@ -168,6 +168,32 @@ class PlanShapeSpec extends SparkSpec {
       plan.take(1500))
   }
 
+  test("quota sampling prunes per-partition before the group shuffle") {
+    val plan = executed(graft.ext.Sampling.quotaSample(
+      Tables.documents(spark, dir), "source", "doc_id", "text", quota = 8))
+    // WindowGroupLimit caps each map partition at quota rows per group —
+    // the exchange carries O(partitions · quota), not the group's mass
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      plan.take(1500))
+  }
+
+  test("PMI collocations broadcast the vocabulary and totals — the pair " +
+      "frame never re-shuffles for the lookups") {
+    val plan = executed(graft.ext.TextStats.pmiTopBigrams(
+      Tables.documents(spark, dir), "text", minCount = 5L, k = 40))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    assert(!plan.contains("SortMergeJoin"), plan.take(1500))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
+  test("repetition metrics ride the scan — zero exchanges") {
+    val plan = executed(graft.ext.TextStats.repetitionStats(
+      Tables.documents(spark, dir), "doc_id", "text"))
+    assert(!plan.contains("Exchange"), plan.take(1200))
+  }
+
   test("sequence packing shuffles once, on the shard column only") {
     val plan = executed(graft.ext.Packing.packBlocks(
       Tables.documents(spark, dir), "doc_id", "text", "lang", 512L))
