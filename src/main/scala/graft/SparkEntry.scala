@@ -364,6 +364,13 @@ object SparkEntry {
     // ----- §2.10 events / JSON / windows / joins -----
     "events_json" -> ((s: SparkSession, dir: String) =>
       Events.jsonProps(Tables.events(s, dir)).orderBy("event_id")),
+    // 3σ anomaly flag with division-free integer arithmetic (Events
+    // .outliers scaladoc) — the boundary set is engine-exact, so the
+    // oracle reproduces the flagged rows bit-for-bit
+    "events_outliers" -> ((s: SparkSession, dir: String) =>
+      Events.outliers(Tables.events(s, dir), "event_type", "value",
+          sigmas = 3)
+        .orderBy("event_id")),
     "events_hourly" -> ((s: SparkSession, dir: String) =>
       Events.hourly(Tables.events(s, dir)).orderBy("hour", "event_type")),
     "events_sessions" -> ((s: SparkSession, dir: String) =>
@@ -1387,6 +1394,24 @@ object SparkEntry {
     "events_json" ->
       ("SELECT event_id, event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k " +
         "FROM events ORDER BY event_id"),
+    // the cleared-denominator 3σ test replayed in int128: (n·v − sv)² >
+    // 9·(n·svv − sv²) over cent-quantized values — no float anywhere
+    "events_outliers" ->
+      ("""WITH q AS (
+         |  SELECT event_id, event_type,
+         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c
+         |  FROM events
+         |), s AS (
+         |  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+         |    CAST(sum(value_c) AS HUGEINT) AS sv,
+         |    CAST(sum(value_c * value_c) AS HUGEINT) AS svv
+         |  FROM q GROUP BY event_type
+         |)
+         |SELECT q.event_id, q.event_type, q.value_c
+         |FROM q JOIN s USING (event_type)
+         |WHERE (s.n * q.value_c - s.sv) * (s.n * q.value_c - s.sv)
+         |  > 9 * (s.n * s.svv - s.sv * s.sv)
+         |ORDER BY event_id""".stripMargin),
     "events_hourly" ->
       ("""SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
          |  count(*) AS n,

@@ -12,6 +12,42 @@ import org.apache.spark.sql.functions._
   */
 object Events {
 
+  /** Per-group z-score outlier flagging with EXACT cross-engine
+    * arithmetic — the anomaly probe of an events pipeline (fraud spikes,
+    * instrumentation bugs, unit mixups), kept oracle-certifiable by never
+    * touching a float: |v − μ| > kσ is squared and cleared of divisions
+    * into the integer comparison
+    *
+    *   (n·v − sv)² > k²·(n·svv − sv²)
+    *
+    * over cent-quantized values (v = floor(value·100 + 0.5)), with the
+    * products lifted to decimal(38,0) — a double σ would drift in the
+    * last ulp and flip boundary rows between engines. Headroom: n·v and
+    * the decimal squares hold to ~10¹⁹ row-count·cent products / 10³⁸
+    * squared — beyond that, widen the quantization or shard the window.
+    *
+    * Plan: one partial-aggregated shuffle for the per-group moment sums
+    * (3 longs per group), broadcast back (group cardinality is tiny), and
+    * the flag itself is a scan-side filter — the event mass never
+    * shuffles, at any scale. */
+  def outliers(events: DataFrame, groupCol: String, valueCol: String,
+               sigmas: Int = 3): DataFrame = {
+    require(sigmas > 0, "sigmas must be positive")
+    val q = events.select(col("event_id"), col(groupCol),
+      floor(col(valueCol) * 100 + 0.5).cast("long").as("value_c"))
+    val stats = q.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"), sum(col("value_c")).as("__sv"),
+        sum(col("value_c") * col("value_c")).as("__svv"))
+    val dec = "decimal(19,0)"
+    val root = (col("__n") * col("value_c") - col("__sv")).cast(dec)
+    val lhs = root * root
+    val rhs = lit(sigmas.toLong * sigmas) *
+      (col("__n").cast(dec) * col("__svv") - col("__sv").cast(dec) * col("__sv"))
+    q.join(broadcast(stats), groupCol)
+      .filter(lhs > rhs)
+      .select(col("event_id"), col(groupCol), col("value_c"))
+  }
+
   /** `props` is a JSON string column; extract `$.k` as a typed value.
     * `get_json_object` is a codegen'd scalar — no shuffle, scan-parallel. */
   def jsonProps(events: DataFrame): DataFrame =

@@ -26,6 +26,29 @@ class EventsSpec extends SparkSpec {
       Seq(7L, 8L, 9L, -1L, 2L))
   }
 
+  test("outliers: the spike is flagged, the bulk is not; BigInt-exact") {
+    import spark.implicits._
+    val rows = ((1L to 20L).map(i => (i, "g", 1.0 + (i % 3) * 0.1)) :+
+      ((21L, "g", 250.0)) :+ ((22L, "h", 5.0))).toSeq
+    val df = rows.toDF("event_id", "event_type", "value")
+    val got = Events.outliers(df, "event_type", "value", sigmas = 3)
+      .collect().map(_.getLong(0)).toSet
+    // replicate the cleared-denominator test with BigInt (no precision cap)
+    val want = rows.groupBy(_._2).toSeq.flatMap { case (_, g) =>
+      val vs = g.map(r => BigInt(math.floor(r._3 * 100 + 0.5).toLong))
+      val (n, sv, svv) = (BigInt(vs.length), vs.sum, vs.map(v => v * v).sum)
+      g.zip(vs).collect { case ((id, _, _), v)
+        if (n * v - sv).pow(2) > 9 * (n * svv - sv * sv) => id }
+    }.toSet
+    assert(got == want && got == Set(21L)) // only the 250.0 spike
+  }
+
+  test("outliers: zero-variance group flags nothing") {
+    import spark.implicits._
+    val df = (1L to 5L).map(i => (i, "g", 7.0)).toDF("event_id", "event_type", "value")
+    assert(Events.outliers(df, "event_type", "value").count() == 0L)
+  }
+
   test("hourly: tumbling window counts and exact decimal-accumulated sums") {
     val r = Events.hourly(events).orderBy("hour", "event_type").collect()
       .map(x => (x.getString(0), x.getString(1), x.getLong(2), x.getDouble(3))).toSeq

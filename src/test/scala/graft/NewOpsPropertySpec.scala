@@ -180,6 +180,77 @@ object NewOpsPropertySpec extends Properties("newops") {
       (missed == 0L) :| s"$missed of ${words.size} built keys probed false"
     }
 
+  // ---------------------------------------------------------- repetition
+  private val genDoc: Gen[String] = Gen.chooseNum(1, 12).flatMap(n =>
+    Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc", "dd")).map(_.mkString(" ")))
+
+  property("repetition metrics equal the in-memory token-count oracle") =
+    Prop.forAll(Gen.nonEmptyListOf(genDoc)) { texts =>
+      import spark.implicits._
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = TextStats.repetitionStats(docs, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3))).toSeq.sortBy(_._1)
+      val want = texts.zipWithIndex.map { case (t, i) =>
+        val toks = t.split(" ", -1).toSeq
+        val n = toks.length
+        val bigrams = toks.sliding(2).filter(_.length == 2)
+          .map(_.mkString(" ")).toSeq
+        val dup = if (n < 2) 0.0
+          else math.rint((bigrams.length - bigrams.distinct.length).toDouble /
+            bigrams.length * 10000) / 10000
+        val top = math.rint(toks.groupBy(identity).values.map(_.size).max
+          .toDouble / n * 10000) / 10000
+        (i.toLong, n.toLong, dup, top)
+      }
+      (got == want) :| s"got=$got want=$want"
+    }
+
+  property("pmi pairs carry exact counts and respect minCount ordering") =
+    Prop.forAll(Gen.nonEmptyListOf(genDoc)) { texts =>
+      import spark.implicits._
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = TextStats.pmiTopBigrams(docs, "text", minCount = 1L, k = 1000)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq
+      val toks = texts.map(_.split(" ", -1).toSeq)
+      val uni = toks.flatten.groupBy(identity).view.mapValues(_.size.toLong)
+      val big = toks.flatMap(_.sliding(2).filter(_.length == 2))
+        .groupBy(w => (w(0), w(1))).view.mapValues(_.size.toLong)
+      Prop.all(
+        (got.length == big.size) :| s"pair count ${got.length} != ${big.size}",
+        Prop.all(got.map { case (x, y, cxy, cx, cy) =>
+          (big.getOrElse((x, y), -1L) == cxy && uni(x) == cx && uni(y) == cy)
+            .:|(s"counts drift for ($x,$y)")
+        }: _*))
+    }
+
+  // ------------------------------------------------------- quota sampling
+  property("quota sampling picks exactly the fingerprint-first rows") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.zip(Gen.oneOf("s0", "s1", "s2"),
+        genDoc)), Gen.chooseNum(1, 4)) { (rows, quota) =>
+      import spark.implicits._
+      val docs = rows.zipWithIndex.map { case ((src, t), i) =>
+        (i.toLong, src, t) }.toDF("doc_id", "source", "text")
+      val got = graft.ext.Sampling.quotaSample(docs, "source", "doc_id",
+          "text", quota)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      // the portable Rabin-Karp fold, replicated over code points
+      def fp(s: String): Long =
+        s.codePoints().toArray.foldLeft(0L)((a, c) => (a * 31 + c)
+          % 1000000007L)
+      val want = rows.zipWithIndex.groupBy(_._1._1).toSeq
+        .flatMap { case (src, g) =>
+          g.map { case ((_, t), i) => (i.toLong, fp(t)) }
+            .sortBy { case (id, f) => (f, id) }.take(quota).zipWithIndex
+            .map { case ((id, _), r) => (src, id, r + 1L) }
+        }.toSet
+      (got == want) :| s"got=$got want=$want"
+    }
+
   // ----------------------------------------------------------- count-min
   property("count-min estimate is bounded below by the exact count") =
     Prop.forAll(Gen.nonEmptyListOf(genWord)) { words =>
