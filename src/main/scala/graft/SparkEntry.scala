@@ -350,6 +350,21 @@ object SparkEntry {
       graft.ext.Sampling.quotaSample(Tables.documents(s, dir),
           "source", "doc_id", "text", quota = 8)
         .orderBy("source", "rnk")),
+    // Incremental-ingest dedup: sources 0-9 play the already-accepted
+    // corpus (persisted as a 32-byte/doc fingerprint index), sources
+    // 10-19 the new batch — survivors are batch docs whose content the
+    // index has not seen. The corpus text is never rescanned
+    "dedup_incremental" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables.documents(s, dir)
+      val srcNum = expr("CAST(substr(source, 4) AS INT)")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-fpix-")
+        .toString
+      graft.ext.Dedup.buildFingerprintIndex(
+        docs.filter(srcNum < 10), "text", tmp)
+      graft.ext.Dedup.incremental(docs.filter(srcNum >= 10), "text", tmp)
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    }),
     // Decontamination: scrub training docs whose exact normalized content
     // appears in the held-out source (src19 plays the benchmark/eval set);
     // anti-join on md5 fingerprints with the tiny eval side broadcast
@@ -1378,6 +1393,13 @@ object SparkEntry {
          |ORDER BY source, rnk""".stripMargin),
     // md5(lower(text)) equality == lower(text) equality (no collisions at
     // any realistic corpus size), so NOT EXISTS over the text is exact
+    "dedup_incremental" ->
+      ("""SELECT d.doc_id FROM documents d
+         |WHERE CAST(substr(d.source, 4) AS INT) >= 10 AND NOT EXISTS (
+         |  SELECT 1 FROM documents e
+         |  WHERE CAST(substr(e.source, 4) AS INT) < 10
+         |    AND lower(e.text) = lower(d.text))
+         |ORDER BY d.doc_id""".stripMargin),
     "dedup_decontaminate" ->
       ("""SELECT d.doc_id FROM documents d
          |WHERE d.source <> 'src19' AND NOT EXISTS (

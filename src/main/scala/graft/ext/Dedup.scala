@@ -78,6 +78,35 @@ object Dedup {
       .groupBy(col("fp")).agg(min(col(idCol)).as(idCol))
       .select(col(idCol), col("fp"))
 
+  /** Persisted fingerprint index — the incremental-ingest dedup pattern:
+    * a production corpus deduplicates each NEW batch against everything
+    * already accepted without rescanning the corpus. The index is just
+    * the distinct md5 fingerprints as parquet (32 bytes/doc — a 100 TB
+    * corpus indexes into ~tens of GB), appendable batch over batch. */
+  def buildFingerprintIndex(df: DataFrame, textCol: String,
+                            path: String): Unit =
+    df.select(fingerprint(col(textCol)).as("fp")).distinct()
+      .write.mode("overwrite").parquet(path)
+
+  /** Append a new batch's fingerprints to an existing index. Parquet
+    * append is file-level atomic per task; duplicate fps across appends
+    * are harmless (the probe is an anti-join — membership, not counts). */
+  def appendToFingerprintIndex(df: DataFrame, textCol: String,
+                               path: String): Unit =
+    df.select(fingerprint(col(textCol)).as("fp")).distinct()
+      .write.mode("append").parquet(path)
+
+  /** Keep only batch rows whose content is NOT in the index — the same
+    * anti-join-on-fingerprints shape as [[decontaminate]], with the index
+    * side streamed from its parquet (never the corpus text). AQE picks
+    * broadcast vs shuffled-hash from the index's actual size. */
+  def incremental(batch: DataFrame, textCol: String,
+                  indexPath: String): DataFrame =
+    batch.join(
+      batch.sparkSession.read.parquet(indexPath)
+        .select(col("fp").as("__ixfp")).distinct(),
+      fingerprint(batch(textCol)) === col("__ixfp"), "left_anti")
+
   /** Decontamination: drop training rows whose exact (case-normalized)
     * content appears in an evaluation set — the train/test-overlap scrub
     * every benchmark-clean corpus needs.

@@ -147,4 +147,38 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(pairs == Seq((1L, 3L, 1.0), (5L, 6L, 1.0)))
   }
+
+  test("incremental: batch docs already in the index are dropped; append " +
+      "extends the index") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-fpix-spec-")
+      .toString
+    val corpus = Seq((1L, "seen text"), (2L, "Other Seen")).toDF("doc_id", "text")
+    Dedup.buildFingerprintIndex(corpus, "text", dir)
+    val batch = Seq(
+      (10L, "seen text"),   // exact overlap -> dropped
+      (11L, "other seen"),  // case-normalized overlap -> dropped
+      (12L, "brand new")    // survives
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incremental(batch, "text", dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(12L))
+    // accept the survivors into the index; a re-run of the same batch
+    // now drops everything — the idempotence an ingest loop relies on
+    Dedup.appendToFingerprintIndex(batch.filter($"doc_id" === 12L),
+      "text", dir)
+    assert(Dedup.incremental(batch, "text", dir).count() == 0L)
+  }
+
+  test("incremental plan: anti-join probes 32-byte fingerprints, not text") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-fpix-spec-")
+      .toString
+    Dedup.buildFingerprintIndex(Seq((1L, "a")).toDF("doc_id", "text"),
+      "text", dir)
+    val plan = Dedup.incremental(Seq((2L, "b")).toDF("doc_id", "text"),
+      "text", dir).queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), plan.take(800))
+    assert(plan.contains("md5"), plan.take(1200)) // the key is the digest
+  }
 }
