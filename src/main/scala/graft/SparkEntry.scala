@@ -53,6 +53,51 @@ object SparkEntry {
 
   private val Emp = Tables.EmployeesOracleView
 
+  /** Documents with deterministic PII/URL decorations appended: the
+    * synthetic corpus is clean, so the compliance queries (`text_pii`,
+    * `text_domains`) derive a dirty variant as a pure function of
+    * `doc_id` — the oracle replays the identical derivation in SQL
+    * ([[DirtyCte]]), and the regex scan has real, varied signal to find:
+    * some docs get an email, some a phone, some an IPv4, some one or two
+    * URLs, many get combinations, the rest stay clean. */
+  private def dirtyDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    def part(cond: Column, pieces: Column*): Column =
+      when(cond, concat(pieces: _*)).otherwise(lit(""))
+    val id = col("doc_id")
+    d.select(id, concat(col("text"),
+      part(id % 3 === 0, lit(" contact user"), id.cast("string"),
+        lit("@example.com")),
+      part(id % 5 === 0, lit(" call 555-010-"),
+        lpad((id % 10000).cast("string"), 4, "0")),
+      part(id % 4 === 0, lit(" from 10.0."), (id % 256).cast("string"),
+        lit(".7")),
+      part(id % 2 === 0, lit(" see https://site"), (id % 7).cast("string"),
+        lit(".example.org/page")),
+      part(id % 6 === 0, lit(" mirror http://m.site"), (id % 7).cast("string"),
+        lit(".example.org/x"))).as("text"))
+  }
+
+  /** SQL replay of [[dirtyDocs]] — keep the two derivations in lockstep. */
+  private val DirtyCte: String =
+    """dirty AS (
+      |  SELECT doc_id, text ||
+      |    CASE WHEN doc_id % 3 = 0
+      |      THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
+      |    CASE WHEN doc_id % 5 = 0
+      |      THEN ' call 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |      ELSE '' END ||
+      |    CASE WHEN doc_id % 4 = 0
+      |      THEN ' from 10.0.' || (doc_id % 256) || '.7' ELSE '' END ||
+      |    CASE WHEN doc_id % 2 = 0
+      |      THEN ' see https://site' || (doc_id % 7) || '.example.org/page'
+      |      ELSE '' END ||
+      |    CASE WHEN doc_id % 6 = 0
+      |      THEN ' mirror http://m.site' || (doc_id % 7) || '.example.org/x'
+      |      ELSE '' END AS text
+      |  FROM documents
+      |)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ----- §2.1 core filter predicates (full JSON→IR→Column pipeline) -----
     "filter_eq" -> (mongo("customer",
@@ -695,6 +740,18 @@ object SparkEntry {
       TextStats.vocabEncode(Tables.documents(s, dir), "doc_id", "text",
           vocabSize = 1000)
         .orderBy("doc_id", "pos")),
+    // ----- PII census + redaction in one codegen projection (Pii
+    // scaladoc: portable regex subset, zero shuffles) over the
+    // deterministically-decorated corpus [[dirtyDocs]] -----
+    "text_pii" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Pii.scanRedact(dirtyDocs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+    // ----- URL host extraction + per-domain mention/doc counts (the one
+    // shuffle is the groupBy on host; map-side combine collapses hot
+    // hosts before the exchange) -----
+    "text_domains" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Pii.domainStats(dirtyDocs(s, dir), "doc_id", "text")
+        .orderBy(col("n_mentions").desc, col("domain"))),
     // ----- partitioned-layout round trip: write by language, read one
     // language back through partition pruning (plan-asserted in
     // PartitionedSpec — the scan enumerates only the lang=en directory)
@@ -1779,6 +1836,38 @@ object SparkEntry {
          |  coalesce(v.tok_id, -1) AS tok_id
          |FROM tp LEFT JOIN v USING (term)
          |ORDER BY doc_id, pos""".stripMargin),
+    // PII counts on the raw decorated text; redaction replayed with the
+    // identical patterns in the identical email → IPv4 → phone order
+    "text_pii" ->
+      (s"""WITH $DirtyCte
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text,
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+         |    AS n_emails,
+         |  CAST(len(regexp_extract_all(text,
+         |    '\\d{3}-\\d{3}-\\d{4}')) AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(text,
+         |    '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}')) AS BIGINT) AS n_ips,
+         |  (len(regexp_extract_all(text,
+         |     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+         |   + len(regexp_extract_all(text, '\\d{3}-\\d{3}-\\d{4}'))
+         |   + len(regexp_extract_all(text,
+         |       '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}')) > 0) AS has_pii,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |    '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}', '<IP>', 'g'),
+         |    '\\d{3}-\\d{3}-\\d{4}', '<PHONE>', 'g') AS redacted
+         |FROM dirty ORDER BY doc_id""".stripMargin),
+    "text_domains" ->
+      (s"""WITH $DirtyCte, u AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_extract_all(text, 'https?://[A-Za-z0-9.-]+')) AS url
+         |  FROM dirty
+         |)
+         |SELECT regexp_replace(url, 'https?://', '') AS domain,
+         |  count(*) AS n_mentions,
+         |  count(DISTINCT doc_id) AS n_docs
+         |FROM u GROUP BY 1 ORDER BY n_mentions DESC, domain""".stripMargin),
     // the partitioned round trip must reproduce the plain filtered scan
     "sink_partitioned" ->
       ("""SELECT doc_id, n_chars FROM documents
