@@ -519,6 +519,12 @@ object SparkEntry {
     "events_transitions" -> ((s: SparkSession, dir: String) =>
       Events.transitions(Tables.events(s, dir))
         .orderBy("prev_type", "next_type")),
+    // ----- per-user inter-arrival gap stats (Events.interArrival
+    // scaladoc: exact integer micros, lag window + groupBy share the
+    // user_id partitioning — one shuffle total) -----
+    "events_interarrival" -> ((s: SparkSession, dir: String) =>
+      Events.interArrival(Tables.events(s, dir))
+        .orderBy("user_id")),
     "join_revenue" -> ((s: SparkSession, dir: String) =>
       Events.revenueBySegment(Tables.orders(s, dir), Tables.customer(s, dir))
         .orderBy("c_mktsegment")),
@@ -595,6 +601,13 @@ object SparkEntry {
       graft.ext.Olap.distinctCounts(Tables.events(s, dir),
           "event_type", "user_id")
         .orderBy("event_type")),
+    // ----- per-customer first/latest order via one-pass min_by/max_by
+    // with a total ordering key (Olap.argExtremes scaladoc: no window
+    // sort exchange, one partial-aggregated shuffle) -----
+    "agg_argmax" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Olap.argExtremes(Tables.orders(s, dir),
+          "o_custkey", "o_orderkey", "o_orderdate")
+        .orderBy("o_custkey")),
     // oracle-certified HyperLogLog (Hll scaladoc: every register and the
     // harmonic sum are exact integers; DuckDB replays the sketch
     // bit-for-bit — approx_count_distinct could never be certified)
@@ -1617,6 +1630,20 @@ object SparkEntry {
          |FROM seq WHERE prev_type IS NOT NULL
          |GROUP BY prev_type, event_type
          |ORDER BY prev_type, next_type""".stripMargin),
+    // exact integer-microsecond gaps; single-event users excluded on
+    // both sides rather than emitting nulls
+    "events_interarrival" ->
+      ("""WITH g AS (
+         |  SELECT user_id,
+         |    epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id)) AS gap_us
+         |  FROM events
+         |)
+         |SELECT user_id, count(*) + 1 AS n_events,
+         |  round(avg(gap_us), 4) AS avg_gap_us,
+         |  min(gap_us) AS min_gap_us, max(gap_us) AS max_gap_us
+         |FROM g WHERE gap_us IS NOT NULL
+         |GROUP BY user_id ORDER BY user_id""".stripMargin),
     "join_enrich" ->
       ("""SELECT c_custkey, c_name, n_name, r_name
          |FROM customer
@@ -1686,6 +1713,20 @@ object SparkEntry {
       ("""SELECT event_type, count(DISTINCT user_id) AS n_distinct,
          |  count(*) AS n_rows
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+    // the identical zero-padded total ordering key makes arg_min/arg_max
+    // tie-free, so the per-group winners match Spark's min_by/max_by
+    "agg_argmax" ->
+      ("""WITH k AS (
+         |  SELECT o_custkey, o_orderkey, o_orderdate,
+         |    lpad(CAST(epoch_us(o_orderdate) AS VARCHAR), 16, '0') ||
+         |    lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS ord_key
+         |  FROM orders
+         |)
+         |SELECT o_custkey, count(*) AS n_rows,
+         |  arg_min(o_orderkey, ord_key) AS first_id,
+         |  arg_max(o_orderkey, ord_key) AS last_id,
+         |  strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS last_ts
+         |FROM k GROUP BY o_custkey ORDER BY o_custkey""".stripMargin),
     // the full HLL sketch replayed in SQL: same hash, register split,
     // bitlength rank, max-merge, exact integer harmonic sum, and the
     // identical fixed-order double estimate

@@ -97,6 +97,27 @@ object Events {
         date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("s_end"))
   }
 
+  /** Per-user inter-arrival statistics: the gap (exact integer
+    * MICROSECONDS — no float truncation anywhere) between consecutive
+    * events of the same user, aggregated to count/avg/min/max. The lag
+    * window and the groupBy share the user_id partitioning, so the plan
+    * is one shuffle + one map-side-combined aggregate; ties on ts are
+    * ordered by event_id like every other window here, and since equal
+    * timestamps yield the same gap multiset under any tie order, the
+    * output is engine-portable by construction. Users with a single
+    * event have no gap and are excluded (rather than emitting nulls). */
+  def interArrival(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byUser)))
+      .filter(col("gap_us").isNotNull)
+      .groupBy(col("user_id"))
+      .agg((count(lit(1)) + 1).as("n_events"),
+        round(avg(col("gap_us")), 4).as("avg_gap_us"),
+        min(col("gap_us")).as("min_gap_us"),
+        max(col("gap_us")).as("max_gap_us"))
+
   /** Per-user event-type transition counts — the first-order Markov /
     * user-journey matrix ("what do users do right after X"). One lag
     * window per user (deterministic (ts, event_id) order, like

@@ -115,4 +115,31 @@ object Olap {
     df.groupBy(col(groupCol))
       .agg(count_distinct(col(targetCol)).as("n_distinct"),
         count(lit(1)).as("n_rows"))
+
+  /** Per-group argmax/argmin via `max_by`/`min_by` — "the id of each
+    * group's first/latest row" in ONE partial-aggregating pass: each map
+    * task keeps a single running (key, id) pair per group, so the shuffle
+    * carries one row per group per task instead of the window-function
+    * formulation's full-table sort exchange.
+    *
+    * `max_by` on ties is engine-defined, so the ordering key is made
+    * TOTAL before the aggregate: epoch-micros and the id are zero-padded
+    * into one lexicographic string (micros < 10^15 and ids < 10^12 —
+    * loudly out-of-range values would widen the pad, not corrupt the
+    * order, because both fields are non-negative). The same key
+    * expression replays verbatim in any SQL engine, which is what makes
+    * the per-group winners certifiable at all. */
+  def argExtremes(df: DataFrame, groupCol: String, idCol: String,
+                  tsCol: String): DataFrame = {
+    // NTZ columns cast through the (UTC) session zone so the epoch the
+    // key embeds is the wall-clock micros any SQL replay computes
+    val ordKey = concat(
+      lpad(unix_micros(col(tsCol).cast("timestamp")).cast("string"), 16, "0"),
+      lpad(col(idCol).cast("string"), 12, "0"))
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"),
+        min_by(col(idCol), ordKey).as("first_id"),
+        max_by(col(idCol), ordKey).as("last_id"),
+        date_format(max(col(tsCol)), "yyyy-MM-dd HH:mm:ss").as("last_ts"))
+  }
 }

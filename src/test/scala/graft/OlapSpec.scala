@@ -88,4 +88,24 @@ class OlapSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(out.toSeq == Seq(("click", 2L, 3L), ("view", 1L, 1L)))
   }
+
+  test("argExtremes: first/latest id per group, id tie-break on equal ts") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val d = Seq(
+      (1L, 11L, ts("2024-01-02 00:00:00")),
+      (1L, 12L, ts("2024-01-01 00:00:00")),
+      // group 2: identical timestamps — the padded key must break the
+      // tie by id, so first=21, last=23 on every run
+      (2L, 23L, ts("2024-01-05 00:00:00")),
+      (2L, 21L, ts("2024-01-05 00:00:00")),
+      (2L, 22L, ts("2024-01-05 00:00:00"))
+    ).toDF("g", "id", "t")
+    val out = Olap.argExtremes(d, "g", "id", "t").orderBy("g").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 12L, 11L, "2024-01-02 00:00:00"),
+      (2L, 3L, 21L, 23L, "2024-01-05 00:00:00")))
+  }
 }
