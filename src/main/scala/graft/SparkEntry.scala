@@ -828,6 +828,28 @@ object SparkEntry {
       graft.ext.Merge.upsert(base, changes, "o_orderkey", "op", "seq")
         .orderBy("o_orderkey")
     }),
+    // ----- SCD2 history from the same style of change feed: versioned
+    // validity intervals, deletes close intervals without emitting rows
+    // (Merge.scd2 scaladoc: one exchange for dedup + lead; the base
+    // table is never touched) -----
+    "merge_scd2" -> ((s: SparkSession, dir: String) => {
+      val base = Tables.orders(s, dir).select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+      val m = col("o_orderkey") % 10
+      def feed(cond: Column, status: String, op: String, seq: Long,
+               shift: Long = 0L) =
+        base.filter(cond).select(
+          (col("o_orderkey") + shift).as("o_orderkey"), col("o_custkey"),
+          lit(status).as("o_orderstatus"), col("o_totalprice"),
+          lit(op).as("op"), lit(seq).as("seq"))
+      val changes = feed(m === 3, "X", "U", 1L)
+        .union(feed(m === 7, "Y", "U", 1L))
+        .union(feed(m === 3, "X2", "U", 2L))
+        .union(feed(m === 7, "Z", "D", 2L))
+        .union(feed(m === 1, "N", "I", 1L, shift = 100000000L))
+      graft.ext.Merge.scd2(changes, "o_orderkey", "op", "seq")
+        .orderBy("o_orderkey", "valid_from")
+    }),
     // ----- column profiling: one scan, one Expand-based aggregate for
     // every statistic, row-local unpivot (Profile scaladoc); doubles
     // pre-quantized to cents so min/max strings are engine-portable -----
@@ -2103,6 +2125,34 @@ object SparkEntry {
          |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
          |FROM latest WHERE op <> 'D'
          |ORDER BY o_orderkey""".stripMargin),
+    // identical feed; versions chained with lead() per key, deletes close
+    // but emit nothing, so m%10=7 keys end with no current row
+    "merge_scd2" ->
+      ("""WITH base AS (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+         |  FROM orders
+         |), changes AS (
+         |  SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus, o_totalprice,
+         |    'U' AS op, CAST(1 AS BIGINT) AS seq
+         |    FROM base WHERE o_orderkey % 10 = 3
+         |  UNION ALL SELECT o_orderkey, o_custkey, 'Y', o_totalprice, 'U',
+         |    CAST(1 AS BIGINT) FROM base WHERE o_orderkey % 10 = 7
+         |  UNION ALL SELECT o_orderkey, o_custkey, 'X2', o_totalprice, 'U',
+         |    CAST(2 AS BIGINT) FROM base WHERE o_orderkey % 10 = 3
+         |  UNION ALL SELECT o_orderkey, o_custkey, 'Z', o_totalprice, 'D',
+         |    CAST(2 AS BIGINT) FROM base WHERE o_orderkey % 10 = 7
+         |  UNION ALL SELECT o_orderkey + 100000000, o_custkey, 'N',
+         |    o_totalprice, 'I', CAST(1 AS BIGINT)
+         |    FROM base WHERE o_orderkey % 10 = 1
+         |), v AS (
+         |  SELECT *, seq AS valid_from,
+         |    lead(seq) OVER (PARTITION BY o_orderkey ORDER BY seq) AS valid_to
+         |  FROM changes
+         |)
+         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         |  valid_from, valid_to, (valid_to IS NULL) AS is_current
+         |FROM v WHERE op <> 'D'
+         |ORDER BY o_orderkey, valid_from""".stripMargin),
     // per-column stats; doubles quantized to cents before min/max so the
     // string rendering is integer on both engines
     "profile_stats" -> {

@@ -59,4 +59,41 @@ object Merge {
       .select(baseCols.map(col): _*)
     survivors.union(upserts)
   }
+
+  /** Build the full SCD-type-2 history from a change feed: one validity
+    * interval per change, `valid_from` = its own sequence, `valid_to` =
+    * the NEXT change's sequence for the key (null while current), and
+    * `is_current` only on the open interval. Delete rows close the
+    * previous interval (they participate in the `lead`) but emit no
+    * version of their own — after a delete tail the key has no current
+    * row, which is exactly what "deleted" means in a history table.
+    *
+    * Duplicate `(key, seq)` rows are replayed latest-wins FIRST with the
+    * same total order as [[upsert]] (op desc, then payload hash), so the
+    * interval chain is well-defined on any feed the upsert path accepts.
+    *
+    * Plan shape: both the dedup and the `lead` are windows over the SAME
+    * `(key, seq)` partitioning — Spark plans ONE exchange and sorts once;
+    * nothing here touches the base table at all, so history maintenance
+    * scales with the feed, not the corpus. */
+  def scd2(changes: DataFrame, keyCol: String, opCol: String,
+           seqCol: String): DataFrame = {
+    val reserved = Seq("__rnk")
+    require(!changes.columns.exists(reserved.contains),
+      s"column names ${reserved.mkString(",")} are reserved by Merge.scd2")
+    val payload = changes.columns.toSeq.filterNot(c => c == opCol || c == seqCol)
+    val byKeySeq = Window.partitionBy(col(keyCol)).orderBy(col(seqCol))
+    val deduped = changes
+      .withColumn("__rnk", row_number().over(
+        Window.partitionBy(col(keyCol), col(seqCol))
+          .orderBy(col(opCol).desc, xxhash64(payload.map(col): _*).desc)))
+      .filter(col("__rnk") === 1)
+      .drop("__rnk")
+    deduped
+      .withColumn("valid_from", col(seqCol))
+      .withColumn("valid_to", lead(col(seqCol), 1).over(byKeySeq))
+      .filter(col(opCol) =!= "D")
+      .select(payload.map(col) ++ Seq(col("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current")): _*)
+  }
 }

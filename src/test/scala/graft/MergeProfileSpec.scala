@@ -55,6 +55,42 @@ class MergeProfileSpec extends SparkSpec {
       s"tie survivor changed across layouts: $runs")
   }
 
+  test("scd2 chains validity intervals; deletes close without emitting") {
+    val changes = Seq(
+      (1L, "v1", 10L, "I", 1L),   // two versions, second current
+      (1L, "v2", 11L, "U", 3L),
+      (2L, "w1", 20L, "I", 1L),   // created then deleted -> closed, no current
+      (2L, "w2", 21L, "D", 2L),
+      (3L, "x1", 30L, "I", 5L)    // single open version
+    ).toDF("id", "name", "v", "op", "seq")
+    val out = Merge.scd2(changes, "id", "op", "seq")
+      .orderBy("id", "valid_from")
+      .select("id", "name", "valid_from", "valid_to", "is_current")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))
+    assert(out.toSeq == Seq(
+      (1L, "v1", 1L, 3L, false), (1L, "v2", 3L, -1L, true),
+      (2L, "w1", 1L, 2L, false),
+      (3L, "x1", 5L, -1L, true)))
+  }
+
+  test("scd2 duplicate (key, seq) rows dedupe to one deterministic version") {
+    val a = (1L, "dup-a", 1L, "U", 4L)
+    val b = (1L, "dup-b", 2L, "U", 4L)
+    val runs = Seq(
+      Seq(a, b).toDF("id", "name", "v", "op", "seq").repartition(1),
+      Seq(b, a).toDF("id", "name", "v", "op", "seq").repartition(5)
+    ).map { feed =>
+      Merge.scd2(feed, "id", "op", "seq")
+        .select("id", "name", "valid_from", "is_current")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getBoolean(3))).toSeq
+    }
+    assert(runs(0).size == 1 && runs(0).head._4)
+    assert(runs(1) == runs(0), s"dup survivor changed across layouts: $runs")
+  }
+
   test("upsert rejects reserved column names and missing base columns") {
     val clash = base.withColumn("__rnk", lit(1))
     val feed = Seq((1L, "x", 1L, "U", 1L)).toDF("id", "name", "v", "op", "seq")
