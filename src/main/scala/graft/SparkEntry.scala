@@ -793,6 +793,28 @@ object SparkEntry {
           col("props")), tmp)
         .orderBy("event_id")
     }),
+    // ----- ORC round trip: the second columnar interchange format,
+    // certified the same way as JSONL — write, schema-enforced re-read,
+    // hash-match vs the oracle on the original parquet -----
+    "source_orc" -> ((s: SparkSession, dir: String) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-orc-")
+        .toString
+      graft.sources.OrcTable.roundTrip(
+        Tables.documents(s, dir).select(col("doc_id"), col("text"),
+          col("lang"), col("source"), col("n_chars")), tmp)
+        .orderBy("doc_id")
+    }),
+    // ----- small-file compaction plan: greedy cumulative fill per
+    // partition dir (Compaction scaladoc: O(files) metadata, windowed by
+    // partition dir — no global sort) over a per-(lang, source) inventory -----
+    "ops_compaction" -> ((s: SparkSession, dir: String) => {
+      val inventory = Tables.documents(s, dir)
+        .groupBy(col("lang"), col("source"))
+        .agg(sum(col("n_chars")).as("bytes"))
+      graft.sources.Compaction.plan(inventory, "lang", "source", "bytes",
+          targetBytes = 15000L)
+        .orderBy("lang", "source")
+    }),
     // ----- §2.10 multimodal plumbing (stub decode, real Spark shape) -----
     "mm_features" -> ((s: SparkSession, dir: String) =>
       Multimodal.features(
@@ -1941,6 +1963,25 @@ object SparkEntry {
       ("""SELECT event_id, user_id, event_type,
          |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c, props
          |FROM events ORDER BY event_id""".stripMargin),
+    // the ORC round trip must reproduce the original table byte-for-byte
+    "source_orc" ->
+      ("""SELECT doc_id, text, lang, source, n_chars
+         |FROM documents ORDER BY doc_id""".stripMargin),
+    // greedy cumulative fill replayed with the same window: a file opens
+    // a new group when its START offset crosses a target boundary
+    "ops_compaction" ->
+      ("""WITH inv AS (
+         |  SELECT lang, source, CAST(sum(n_chars) AS BIGINT) AS bytes
+         |  FROM documents GROUP BY lang, source
+         |), c AS (
+         |  SELECT lang, source, bytes,
+         |    sum(bytes) OVER (PARTITION BY lang ORDER BY source
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - bytes
+         |      AS start_off
+         |  FROM inv
+         |)
+         |SELECT lang, source, bytes, start_off // 15000 AS grp
+         |FROM c ORDER BY lang, source""".stripMargin),
     // same per-doc distinct word bigrams (sub-2-token docs contribute the
     // whole text, mirroring Dedup.shingles) and the same k-boundary order
     "text_bigrams" ->

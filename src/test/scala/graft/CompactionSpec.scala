@@ -1,0 +1,54 @@
+package graft
+
+import graft.sources.{Compaction, OrcTable}
+
+/** Compaction planning and the ORC codec round trip. */
+class CompactionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("plan: greedy cumulative fill, group break at the target boundary") {
+    val inv = Seq(
+      ("p1", "a", 60L), ("p1", "b", 60L), ("p1", "c", 60L), ("p1", "d", 10L)
+    ).toDF("part", "path", "bytes")
+    val out = Compaction.plan(inv, "part", "path", "bytes", targetBytes = 100L)
+      .orderBy("path").collect().map(r => (r.getString(1), r.getLong(3)))
+    // offsets 0,60,120,180 -> groups 0,0,1,1
+    assert(out.toSeq == Seq(("a", 0L), ("b", 0L), ("c", 1L), ("d", 1L)))
+  }
+
+  test("plan: an oversized file spans boundaries but is never split") {
+    val inv = Seq(("p1", "big", 250L), ("p1", "tiny", 1L))
+      .toDF("part", "path", "bytes")
+    val out = Compaction.plan(inv, "part", "path", "bytes", targetBytes = 100L)
+      .orderBy("path").collect().map(r => (r.getString(1), r.getLong(3)))
+    // big starts at 0 -> grp 0 (one row, one group); tiny starts at 250 -> grp 2
+    assert(out.toSeq == Seq(("big", 0L), ("tiny", 2L)))
+  }
+
+  test("plan: partition dirs fill independently; target <= 0 rejected") {
+    val inv = Seq(("p1", "a", 90L), ("p2", "a", 90L), ("p2", "b", 20L))
+      .toDF("part", "path", "bytes")
+    val out = Compaction.plan(inv, "part", "path", "bytes", targetBytes = 100L)
+      .orderBy("part", "path").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(3)))
+    assert(out.toSeq == Seq(("p1", "a", 0L), ("p2", "a", 0L), ("p2", "b", 0L)))
+    val e = intercept[IllegalArgumentException](
+      Compaction.plan(inv, "part", "path", "bytes", targetBytes = 0L))
+    assert(e.getMessage.contains("targetBytes"))
+  }
+
+  test("orc round trip preserves strings with quotes/newlines and nulls") {
+    val df = Seq(
+      (1L, Some("plain"), Some(10L)),
+      (2L, Some("quote \" tab \t newline \n done"), None),
+      (3L, None, Some(-5L))
+    ).toDF("id", "s", "v")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-orc-spec-")
+      .toString
+    val back = OrcTable.roundTrip(df, tmp).orderBy("id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(back.toSeq == Seq((1L, "plain", 10L),
+      (2L, "quote \" tab \t newline \n done", -1L), (3L, null, -5L)))
+  }
+}
