@@ -353,6 +353,12 @@ object SparkEntry {
     "text_lenhist" -> ((s: SparkSession, dir: String) =>
       TextStats.lenHistogram(Tables.documents(s, dir), "n_chars", width = 100)
         .orderBy("bucket")),
+    // ----- equi-depth dual of the histogram: ~50 docs per decile, cut
+    // points from the aggregated length distribution (TextStats
+    // .lenDeciles scaladoc: the corpus is never globally sorted) -----
+    "text_ntile" -> ((s: SparkSession, dir: String) =>
+      TextStats.lenDeciles(Tables.documents(s, dir), "n_chars", buckets = 10)
+        .orderBy("bucket")),
     // C4-style quality gate: keep docs ≥100 chars, stopword ratio ≥0.02,
     // mean token length ≤5.0 — thresholds on the ROUNDED metrics so the
     // keep set is reproducible externally
@@ -419,6 +425,17 @@ object SparkEntry {
           docs.filter(col("source") =!= "src19"),
           docs.filter(col("source") === "src19"), "text")
         .select(col("doc_id"))
+        .orderBy("doc_id")
+    }),
+    // ----- graded contamination score: per eval doc, the fraction of its
+    // distinct shingles found anywhere in train (Dedup.overlapRate
+    // scaladoc: one broadcast equi-join on the shingle, train never
+    // shuffles) -----
+    "dedup_overlap" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables.documents(s, dir)
+      graft.ext.Dedup.overlapRate(
+          docs.filter(col("source") =!= "src19"),
+          docs.filter(col("source") === "src19"), "doc_id", "text")
         .orderBy("doc_id")
     }),
     // ----- §2.10 events / JSON / windows / joins -----
@@ -1449,6 +1466,22 @@ object SparkEntry {
       ("""SELECT CAST(floor(n_chars / 100) AS BIGINT) AS bucket,
          |  count(*) AS n_docs, min(n_chars) AS min_len, max(n_chars) AS max_len
          |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin),
+    // equi-depth cut points from the aggregated length distribution,
+    // exact integer arithmetic: bucket = (cum_before * 10) div total
+    "text_ntile" ->
+      ("""WITH d AS (
+         |  SELECT n_chars, count(*) AS cnt FROM documents GROUP BY n_chars
+         |), c AS (
+         |  SELECT n_chars, cnt,
+         |    sum(cnt) OVER (ORDER BY n_chars
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt AS cum0,
+         |    (SELECT sum(cnt) FROM d) AS total
+         |  FROM d
+         |)
+         |SELECT (cum0 * 10) // total AS bucket,
+         |  CAST(sum(cnt) AS BIGINT) AS n_docs,
+         |  min(n_chars) AS min_len, max(n_chars) AS max_len
+         |FROM c GROUP BY 1 ORDER BY bucket""".stripMargin),
     // the SAME QualityCtes metric arithmetic with the gate's thresholds on
     // the rounded values
     "text_cleanpass" ->
@@ -1520,6 +1553,32 @@ object SparkEntry {
          |  SELECT 1 FROM documents e
          |  WHERE e.source = 'src19' AND lower(e.text) = lower(d.text))
          |ORDER BY d.doc_id""".stripMargin),
+    // same distinct 3-gram shingle derivation as JaccardCtes, split by
+    // the src19 eval cut; hit fraction rounded like the engine
+    "dedup_overlap" ->
+      ("""WITH toks AS (
+         |  SELECT doc_id, source, string_split(text, ' ') AS s FROM documents
+         |), g AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN len(s) < 3 THEN [array_to_string(s, ' ')]
+         |         ELSE list_distinct([array_to_string(s[i:i+2], ' ')
+         |                             for i in range(1, len(s) - 1)]) END AS grams
+         |  FROM toks
+         |), ev AS (
+         |  SELECT doc_id, unnest(grams) AS gram FROM g WHERE source = 'src19'
+         |), tr AS (
+         |  SELECT DISTINCT gram FROM (
+         |    SELECT unnest(grams) AS gram FROM g WHERE source <> 'src19')
+         |), j AS (
+         |  SELECT ev.doc_id, count(*) AS n_grams,
+         |    sum(CASE WHEN tr.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+         |  FROM ev LEFT JOIN tr ON ev.gram = tr.gram
+         |  GROUP BY ev.doc_id
+         |)
+         |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+         |  CAST(n_hits AS BIGINT) AS n_hits,
+         |  round(CAST(n_hits AS DOUBLE) / n_grams, 4) AS overlap
+         |FROM j ORDER BY doc_id""".stripMargin),
     "text_topterms" ->
       // same tokenization as the engine (single-space split, per-doc
       // distinct) and the same deterministic k-boundary tie-break on term

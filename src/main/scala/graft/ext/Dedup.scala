@@ -125,6 +125,34 @@ object Dedup {
       eval.select(fingerprint(col(textCol)).as("__evfp")).distinct(),
       fingerprint(train(textCol)) === col("__evfp"), "left_anti")
 
+  /** Graded decontamination: for each EVAL doc, the fraction of its
+    * distinct n-gram shingles that appear anywhere in the TRAIN corpus —
+    * the standard contamination score ("this benchmark item is 83% covered
+    * by training text") where [[decontaminate]]'s whole-document
+    * fingerprint match is the binary cut.
+    *
+    * Shape at 100 TB: both sides explode to distinct shingles, the train
+    * side is deduped (map-side combine collapses repeats before the
+    * exchange), and the probe is one hash equi-join on the shingle — the
+    * small eval side is broadcast by AQE, so the train shingles stream
+    * through without a join shuffle. Shingles join as STRINGS because the
+    * score is certified against a SQL oracle; an uncertified production
+    * variant could join on xxhash64(gram) to carry 8 bytes per shingle
+    * instead of the text, trading a ~2⁻⁶⁴ overcount for wire width. */
+  def overlapRate(train: DataFrame, eval: DataFrame, idCol: String,
+                  textCol: String, n: Int = 3): DataFrame = {
+    val evalG = eval.select(col(idCol),
+      explode(shingles(col(textCol), n)).as("gram"))
+    val trainG = train.select(explode(shingles(col(textCol), n)).as("gram"))
+      .distinct().withColumn("__hit", lit(1L))
+    evalG.join(trainG, Seq("gram"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+      .select(col(idCol), col("n_grams"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_grams"), 4).as("overlap"))
+  }
+
   /** Exact n-gram Jaccard near-duplicate pairs, blocked on shared shingles.
     *
     * Both sides of the threshold comparison use `round(j, 4)` so the engine

@@ -143,6 +143,35 @@ object TextStats {
         max(col(lenCol)).as("max_len"))
   }
 
+  /** Equi-DEPTH length buckets — [[lenHistogram]]'s dual: bucket
+    * boundaries placed so each bucket holds ~|corpus|/buckets documents,
+    * the histogram a query planner or a curriculum sampler actually wants
+    * when the length distribution is skewed.
+    *
+    * Formulation chosen for scale: documents are NEVER globally ranked
+    * (an ntile over the corpus would sort 100 TB into one partition).
+    * Instead the length DISTRIBUTION is aggregated first — one row per
+    * distinct length, metadata-sized — and the cumulative walk runs over
+    * that tiny frame; docs with equal lengths land in the same bucket by
+    * construction (an equi-depth boundary can only sit between distinct
+    * values). `bucket = (cum_before · buckets) div total` in exact integer
+    * arithmetic, so the cut points are engine-portable. */
+  def lenDeciles(df: DataFrame, lenCol: String, buckets: Int = 10): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val counts = df.groupBy(col(lenCol)).agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(lenCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    counts
+      .withColumn("cum0", sum(col("cnt")).over(w) - col("cnt"))
+      .crossJoin(broadcast(counts.agg(sum(col("cnt")).as("total"))))
+      .withColumn("bucket", expr(s"(cum0 * $buckets) div total"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("cnt")).as("n_docs"),
+        min(col(lenCol)).as("min_len"),
+        max(col(lenCol)).as("max_len"))
+  }
+
   /** Exact per-group type-1 (lower) quantiles of an integer column: the
     * value at rank ceil(n·p/100), computed as (n·p + 99) div 100 — pure
     * integer arithmetic, so every engine selects the identical element

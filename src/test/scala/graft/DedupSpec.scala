@@ -170,6 +170,25 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.incremental(batch, "text", dir).count() == 0L)
   }
 
+  test("overlapRate: per-eval-doc hit fraction over distinct shingles") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "a b c d"),          // shingles: "a b c", "b c d"
+      (2L, "x y z w")           // shingles: "x y z", "y z w"
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (10L, "a b c d"),         // both shingles in train -> 1.0
+      (11L, "a b c q"),         // "a b c" hits, "b c q" misses -> 0.5
+      (12L, "q r s t"),         // nothing hits -> 0.0
+      (13L, "hi")               // short doc: whole text, no hit -> 0.0
+    ).toDF("doc_id", "text")
+    val out = Dedup.overlapRate(train, eval, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((10L, 2L, 2L, 1.0), (11L, 2L, 1L, 0.5),
+      (12L, 2L, 0L, 0.0), (13L, 1L, 0L, 0.0)))
+  }
+
   test("incremental plan: anti-join probes 32-byte fingerprints, not text") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-fpix-spec-")

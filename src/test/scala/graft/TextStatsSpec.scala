@@ -302,4 +302,27 @@ class TextStatsSpec extends SparkSpec {
     assert(out == Seq((1L, 1L, "a"), (1L, 2L, "b"),
       (2L, 1L, "d"), (2L, 2L, "e")))
   }
+
+  test("lenDeciles: equal lengths share a bucket, counts partition evenly") {
+    import spark.implicits._
+    // 6 docs, 2 buckets: lengths 1,1,2 | 3,4,5 -> cut at cum 3
+    val d = Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 3L), (5L, 4L), (6L, 5L))
+      .toDF("doc_id", "n_chars")
+    val out = TextStats.lenDeciles(d, "n_chars", buckets = 2)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((0L, 3L, 1L, 2L), (1L, 3L, 3L, 5L)))
+  }
+
+  test("lenDeciles: a dominant length value never splits across buckets") {
+    import spark.implicits._
+    val d = ((1 to 8).map(i => (i.toLong, 7L)) ++ Seq((9L, 9L), (10L, 1L)))
+      .toDF("doc_id", "n_chars")
+    val out = TextStats.lenDeciles(d, "n_chars", buckets = 4)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // len 1 (cum0=0) -> b0; the 8-doc run of len 7 (cum0=1) -> b0 too;
+    // len 9 (cum0=9) -> b3. No bucket contains part of the len-7 run.
+    assert(out.toSeq == Seq((0L, 9L, 1L, 7L), (3L, 1L, 9L, 9L)))
+  }
 }
