@@ -201,4 +201,41 @@ class PlanShapeSpec extends SparkSpec {
       plan.take(1500))
     assert(plan.contains("Window"), plan.take(800))
   }
+
+  test("PII census/redaction rides the scan — zero exchanges") {
+    val plan = executed(graft.ext.Pii.scanRedact(
+      Tables.documents(spark, dir), "doc_id", "text"))
+    assert(!plan.contains("Exchange"), plan.take(1500))
+    // `*(1)` is the whole-stage-codegen stage marker in toString form
+    assert(plan.contains("*(1) Project"), plan.take(800))
+  }
+
+  test("inter-arrival: lag window and groupBy share ONE user_id exchange") {
+    val plan = executed(graft.ext.Events.interArrival(
+      Tables.events(spark, dir)))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      plan.take(2000))
+  }
+
+  test("argExtremes is one aggregate pass — no window, no sort exchange") {
+    val plan = executed(graft.ext.Olap.argExtremes(
+      Tables.orders(spark, dir), "o_custkey", "o_orderkey", "o_orderdate"))
+    assert(!plan.contains("Window"), plan.take(1500))
+    assert(!plan.contains("Exchange rangepartitioning"), plan.take(1500))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      plan.take(2000))
+  }
+
+  test("compaction plan windows per partition dir, never globally") {
+    val inv = Tables.documents(spark, dir)
+      .groupBy(org.apache.spark.sql.functions.col("lang"),
+        org.apache.spark.sql.functions.col("source"))
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("n_chars")).as("bytes"))
+    val plan = executed(graft.sources.Compaction.plan(
+      inv, "lang", "source", "bytes", 15000L))
+    // a partitionless window would plan Exchange SinglePartition
+    assert(!plan.contains("Exchange SinglePartition"), plan.take(2000))
+    assert(plan.contains("Window"), plan.take(800))
+  }
 }
