@@ -542,6 +542,16 @@ object SparkEntry {
     "events_interarrival" -> ((s: SparkSession, dir: String) =>
       Events.interArrival(Tables.events(s, dir))
         .orderBy("user_id")),
+    // ----- hour-over-hour growth per type: lag over the AGGREGATED
+    // hourly frame, first hours keep null delta/pct -----
+    "events_growth" -> ((s: SparkSession, dir: String) =>
+      Events.hourlyGrowth(Tables.events(s, dir))
+        .orderBy("event_type", "hour")),
+    // ----- new-vs-returning daily split over the distinct activity
+    // frame (Events.newVsReturning scaladoc) -----
+    "events_newusers" -> ((s: SparkSession, dir: String) =>
+      Events.newVsReturning(Tables.events(s, dir))
+        .orderBy("day")),
     "join_revenue" -> ((s: SparkSession, dir: String) =>
       Events.revenueBySegment(Tables.orders(s, dir), Tables.customer(s, dir))
         .orderBy("c_mktsegment")),
@@ -625,6 +635,12 @@ object SparkEntry {
       graft.ext.Olap.argExtremes(Tables.orders(s, dir),
           "o_custkey", "o_orderkey", "o_orderdate")
         .orderBy("o_custkey")),
+    // ----- exact moment-sum mean/variance per type (Olap.momentStats
+    // scaladoc: decimal(38,0) moments, one division per statistic) -----
+    "agg_varstats" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Olap.momentStats(Tables.events(s, dir),
+          "event_type", "value")
+        .orderBy("event_type")),
     // oracle-certified HyperLogLog (Hll scaladoc: every register and the
     // harmonic sum are exact integers; DuckDB replays the sketch
     // bit-for-bit — approx_count_distinct could never be certified)
@@ -1747,6 +1763,35 @@ object SparkEntry {
          |  min(gap_us) AS min_gap_us, max(gap_us) AS max_gap_us
          |FROM g WHERE gap_us IS NOT NULL
          |GROUP BY user_id ORDER BY user_id""".stripMargin),
+    // same fixed-order (n-prev)*100.0/prev arithmetic; first hours null
+    "events_growth" ->
+      ("""WITH h AS (
+         |  SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour,
+         |    event_type, count(*) AS n
+         |  FROM events GROUP BY 1, 2
+         |), g AS (
+         |  SELECT hour, event_type, n,
+         |    lag(n) OVER (PARTITION BY event_type ORDER BY hour) AS prev_n
+         |  FROM h
+         |)
+         |SELECT hour, event_type, n, n - prev_n AS delta,
+         |  round((n - prev_n) * 100.0 / prev_n, 4) AS pct
+         |FROM g ORDER BY event_type, hour""".stripMargin),
+    "events_newusers" ->
+      ("""WITH a AS (
+         |  SELECT DISTINCT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         |    user_id
+         |  FROM events
+         |), f AS (
+         |  SELECT user_id, min(day) AS first_day FROM a GROUP BY user_id
+         |)
+         |SELECT day, count(*) AS n_active,
+         |  CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_new,
+         |  CAST(count(*) - sum(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_returning
+         |FROM a JOIN f USING (user_id)
+         |GROUP BY day ORDER BY day""".stripMargin),
     "join_enrich" ->
       ("""SELECT c_custkey, c_name, n_name, r_name
          |FROM customer
@@ -1818,6 +1863,22 @@ object SparkEntry {
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
     // the identical zero-padded total ordering key makes arg_min/arg_max
     // tie-free, so the per-group winners match Spark's min_by/max_by
+    // identical cent quantization and moment arithmetic: hugeint sums
+    // play decimal(38,0); one cast + one division per statistic
+    "agg_varstats" ->
+      ("""WITH c AS (
+         |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+         |  FROM events
+         |), m AS (
+         |  SELECT event_type, count(*) AS n, sum(vc) AS sv,
+         |    sum(vc * vc) AS svv
+         |  FROM c GROUP BY event_type
+         |)
+         |SELECT event_type, n,
+         |  round(CAST(sv AS DOUBLE) / n, 4) AS mean_c,
+         |  round(CAST(n * svv - sv * sv AS DOUBLE) /
+         |        CAST(n * n AS DOUBLE), 4) AS var_c
+         |FROM m ORDER BY event_type""".stripMargin),
     "agg_argmax" ->
       ("""WITH k AS (
          |  SELECT o_custkey, o_orderkey, o_orderdate,

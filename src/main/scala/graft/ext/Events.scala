@@ -118,6 +118,52 @@ object Events {
         min(col("gap_us")).as("min_gap_us"),
         max(col("gap_us")).as("max_gap_us"))
 
+  /** Hour-over-hour growth per event type: hourly counts with the
+    * previous hour's count, absolute delta, and percent change — the
+    * trend line every ops dashboard draws. The lag window runs over the
+    * AGGREGATED hourly frame (|types|·|hours| rows, metadata-sized next
+    * to the events), partitioned by event_type; the raw table is touched
+    * once by the partial-aggregated groupBy. The first hour of each type
+    * has no predecessor: delta/pct are null, not fabricated zeros. The
+    * percent arithmetic is (n−prev)·100.0/prev in that fixed order — one
+    * integer subtract, one exact double product, ONE division — so any
+    * engine reproduces it bit-for-bit. */
+  def hourlyGrowth(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(date_format(date_trunc("hour", col("ts")),
+          "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+    hourly
+      .withColumn("prev_n", lag(col("n"), 1).over(w))
+      .select(col("hour"), col("event_type"), col("n"),
+        (col("n") - col("prev_n")).as("delta"),
+        round((col("n") - col("prev_n")) * lit(100.0) / col("prev_n"), 4)
+          .as("pct"))
+  }
+
+  /** New-vs-returning daily split: each active user counts as "new" on
+    * their first-ever active day and "returning" after. Same scale shape
+    * as [[retention]]: the distinct (user, day) activity frame is built
+    * FIRST (~|users|·|days|, far smaller than the raw events), the
+    * first-day window and the daily counts both run on it. */
+  def newVsReturning(events: DataFrame): DataFrame = {
+    val activity = events
+      .select(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd")
+          .as("day"),
+        col("user_id"))
+      .distinct()
+    val firstDay = min(col("day")).over(Window.partitionBy(col("user_id")))
+    activity
+      .withColumn("first_day", firstDay)
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+          .as("n_new"))
+      .withColumn("n_returning", col("n_active") - col("n_new"))
+  }
+
   /** Per-user event-type transition counts — the first-order Markov /
     * user-journey matrix ("what do users do right after X"). One lag
     * window per user (deterministic (ts, event_id) order, like

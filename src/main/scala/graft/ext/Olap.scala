@@ -116,6 +116,31 @@ object Olap {
       .agg(count_distinct(col(targetCol)).as("n_distinct"),
         count(lit(1)).as("n_rows"))
 
+  /** Exact per-group mean and population variance of a money column,
+    * certified: values quantize to integer cents, the three moment sums
+    * (n, Σv, Σv²) accumulate in decimal(38,0) — 128-bit exact, the same
+    * trick as [[graft.ext.Events.outliers]] — and the only floating-point
+    * steps are ONE cast and ONE division each for mean = Σv/n and
+    * var = (n·Σv² − (Σv)²)/n², in that fixed literal order. A built-in
+    * `var_pop` could never be certified: engines disagree on the
+    * accumulation scheme (Welford vs naive) in the last ulps.
+    *
+    * Cost: one partial-aggregated shuffle of three numbers per group —
+    * the moments formulation never needs the mean first, so it is
+    * single-pass at any scale. */
+  def momentStats(df: DataFrame, groupCol: String,
+                  valueCol: String): DataFrame = {
+    val vc = floor(col(valueCol) * 100 + 0.5).cast("decimal(38,0)")
+    val big = (c: Column) => c.cast("decimal(38,0)")
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(vc).as("sv"), sum(vc * vc).as("svv"))
+      .select(col(groupCol), col("n"),
+        round(col("sv").cast("double") / col("n"), 4).as("mean_c"),
+        round((big(col("n")) * col("svv") - col("sv") * col("sv"))
+            .cast("double") /
+          (big(col("n")) * big(col("n"))).cast("double"), 4).as("var_c"))
+  }
+
   /** Per-group argmax/argmin via `max_by`/`min_by` — "the id of each
     * group's first/latest row" in ONE partial-aggregating pass: each map
     * task keeps a single running (key, id) pair per group, so the shuffle

@@ -100,6 +100,46 @@ class EventsSpec extends SparkSpec {
       ("error", "click", 1L)))
   }
 
+  test("hourlyGrowth: per-type lag deltas; first hour stays null") {
+    val r = Events.hourlyGrowth(events).orderBy("event_type", "hour")
+      .collect().map(x => (x.getString(0).substring(11, 13), x.getString(1),
+        x.getLong(2), if (x.isNullAt(3)) null else x.getLong(3)))
+    // clicks: 10:00 has 3 (two user-100 + one user-200), 11:00 none;
+    // view 11:00 first -> null delta; error 10:00 first -> null delta
+    assert(r.toSeq == Seq(("10", "click", 3L, null), ("10", "error", 1L, null),
+      ("11", "view", 1L, null)))
+  }
+
+  test("hourlyGrowth: delta and pct between consecutive hours") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "click", 0.0, "{}"),
+      (2L, ts("2024-01-01 10:30:00"), 2L, "click", 0.0, "{}"),
+      (3L, ts("2024-01-01 11:00:00"), 3L, "click", 0.0, "{}"),
+      (4L, ts("2024-01-01 11:10:00"), 4L, "click", 0.0, "{}"),
+      (5L, ts("2024-01-01 11:20:00"), 5L, "click", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Events.hourlyGrowth(ev).orderBy("hour").collect()
+      .map(x => (x.getLong(2), if (x.isNullAt(3)) -99L else x.getLong(3),
+        if (x.isNullAt(4)) -99.0 else x.getDouble(4)))
+    assert(r.toSeq == Seq((2L, -99L, -99.0), (3L, 1L, 50.0)))
+  }
+
+  test("newVsReturning: first-seen day counts as new, later days returning") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "c", 0.0, "{}"),
+      (2L, ts("2024-01-01 11:00:00"), 1L, "c", 0.0, "{}"), // same day dup
+      (3L, ts("2024-01-01 10:00:00"), 2L, "c", 0.0, "{}"),
+      (4L, ts("2024-01-02 10:00:00"), 1L, "c", 0.0, "{}"), // returning
+      (5L, ts("2024-01-02 10:00:00"), 3L, "c", 0.0, "{}")  // new on day 2
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Events.newVsReturning(ev).orderBy("day").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.toSeq == Seq(("2024-01-01", 2L, 2L, 0L),
+      ("2024-01-02", 2L, 1L, 1L)))
+  }
+
   test("interArrival: exact micro gaps per user, single-event users dropped") {
     import spark.implicits._
     val ev = events.union(Seq(

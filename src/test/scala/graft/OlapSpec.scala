@@ -89,6 +89,17 @@ class OlapSpec extends SparkSpec {
     assert(out.toSeq == Seq(("click", 2L, 3L), ("view", 1L, 1L)))
   }
 
+  test("momentStats: exact cent-quantized mean and population variance") {
+    import spark.implicits._
+    // values 1.00, 2.00, 3.00 -> cents 100,200,300: mean 200, var 6666.6667
+    val d = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 5.0))
+      .toDF("g", "v")
+    val out = Olap.momentStats(d, "g", "v").orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(out.toSeq == Seq(("a", 3L, 200.0, 6666.6667), ("b", 1L, 500.0, 0.0)))
+  }
+
   test("argExtremes: first/latest id per group, id tie-break on equal ts") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
