@@ -318,6 +318,12 @@ object SparkEntry {
         queryVec(emb), k = 5, nprobe = 2)
     }),
     // symmetric int8 quantization, exploded to scalars for the oracle
+    // ----- unit-L2 normalization to exploded scalars (Similarity
+    // .normalizeUnit scaladoc: codegen'd norm, zero-vector-safe) -----
+    "emb_normalize" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Similarity.normalizeUnit(Tables.embeddings(s, dir),
+          "vec_id", "embedding")
+        .orderBy("vec_id", "pos")),
     "emb_quantize" -> ((s: SparkSession, dir: String) =>
       Similarity.quantizeInt8(Tables.embeddings(s, dir), "vec_id",
           "embedding")
@@ -635,6 +641,13 @@ object SparkEntry {
       graft.ext.Olap.argExtremes(Tables.orders(s, dir),
           "o_custkey", "o_orderkey", "o_orderdate")
         .orderBy("o_custkey")),
+    // ----- bounded ordered string agg: 3 lexicographically-first
+    // customer names per segment (Olap.topKStringAgg scaladoc:
+    // WindowGroupLimit prunes to k per map partition) -----
+    "agg_stringagg" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Olap.topKStringAgg(Tables.customer(s, dir),
+          "c_mktsegment", "c_name", k = 3)
+        .orderBy("c_mktsegment")),
     // ----- exact moment-sum mean/variance per type (Olap.momentStats
     // scaladoc: decimal(38,0) moments, one division per statistic) -----
     "agg_varstats" -> ((s: SparkSession, dir: String) =>
@@ -786,6 +799,25 @@ object SparkEntry {
       TextStats.vocabEncode(Tables.documents(s, dir), "doc_id", "text",
           vocabSize = 1000)
         .orderBy("doc_id", "pos")),
+    // ----- language × quality-gate contingency (TextStats
+    // .qualityCrosstab scaladoc: scan-side metrics, tiny (lang, kept)
+    // groupBy), same thresholds as text_cleanpass -----
+    "text_crosstab" -> ((s: SparkSession, dir: String) =>
+      TextStats.qualityCrosstab(Tables.documents(s, dir), "doc_id", "text",
+          "lang", minChars = 100L, minStopwordRatio = 0.02,
+          maxAvgTokenLen = 5.0)
+        .orderBy("lang", "kept")),
+    // ----- canonical normalization pass over a deterministically-messed
+    // variant (mixed case, run-on spaces, a control char) so the cleanup
+    // has real work to certify -----
+    "text_normalize" -> ((s: SparkSession, dir: String) =>
+      TextStats.normalize(
+          Tables.documents(s, dir).select(col("doc_id"),
+            concat(upper(substring(col("text"), 1, 10)),
+              expr("substring(text, 11)"), lit("   PADDED "), lit("\t"),
+              lit(" END  ")).as("text")),
+          "doc_id", "text")
+        .orderBy("doc_id")),
     // ----- PII census + redaction in one codegen projection (Pii
     // scaladoc: portable regex subset, zero shuffles) over the
     // deterministically-decorated corpus [[dirtyDocs]] -----
@@ -1440,6 +1472,19 @@ object SparkEntry {
     // element to the identical long (a double→decimal cast does NOT agree
     // across engines on boundary values; see Similarity.centroidComponents)
     // same fixed op order (x / scale * 127 + 0.5) — IEEE-exact both sides
+    // the same double-widened dot for the norm and one division per
+    // element; zero vectors emit 0.0 like the engine
+    "emb_normalize" ->
+      ("""WITH v AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+         |), n AS (
+         |  SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v
+         |)
+         |SELECT vec_id,
+         |  CAST(generate_subscripts(e, 1) - 1 AS BIGINT) AS pos,
+         |  CASE WHEN nrm = 0 THEN 0.0
+         |       ELSE round(unnest(e) / nrm, 4) END AS u
+         |FROM n ORDER BY vec_id, pos""".stripMargin),
     "emb_quantize" ->
       ("""WITH v AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
@@ -1863,6 +1908,21 @@ object SparkEntry {
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
     // the identical zero-padded total ordering key makes arg_min/arg_max
     // tie-free, so the per-group winners match Spark's min_by/max_by
+    // same k-bounded rank-then-join ordering; string_agg ORDER BY makes
+    // the joined list deterministic on both engines
+    "agg_stringagg" ->
+      ("""WITH d AS (
+         |  SELECT DISTINCT c_mktsegment, c_name FROM customer
+         |), r AS (
+         |  SELECT c_mktsegment, c_name,
+         |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_name)
+         |      AS rn
+         |  FROM d
+         |)
+         |SELECT c_mktsegment,
+         |  string_agg(c_name, ',' ORDER BY c_name) AS top_vals
+         |FROM r WHERE rn <= 3
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
     // identical cent quantization and moment arithmetic: hugeint sums
     // play decimal(38,0); one cast + one division per statistic
     "agg_varstats" ->
@@ -2041,6 +2101,33 @@ object SparkEntry {
          |  coalesce(v.tok_id, -1) AS tok_id
          |FROM tp LEFT JOIN v USING (term)
          |ORDER BY doc_id, pos""".stripMargin),
+    // the shared QualityCtes metrics joined back for lang, gated with the
+    // cleanpass thresholds
+    "text_crosstab" ->
+      (s"""WITH $QualityCtes
+         |SELECT d.lang,
+         |  (q.n_chars >= 100 AND q.stopword_ratio >= 0.02
+         |    AND q.avg_token_len <= 5.0) AS kept,
+         |  count(*) AS n
+         |FROM q JOIN documents d USING (doc_id)
+         |GROUP BY 1, 2 ORDER BY lang, kept""".stripMargin),
+    // identical mess derivation (upper prefix, padding, a tab via chr(9))
+    // and the identical lower → strip-control → collapse → trim chain
+    "text_normalize" ->
+      ("""WITH messy AS (
+         |  SELECT doc_id,
+         |    upper(substr(text, 1, 10)) || substr(text, 11) ||
+         |    '   PADDED ' || chr(9) || ' END  ' AS text
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_chars_raw,
+         |  trim(regexp_replace(regexp_replace(lower(text),
+         |    '[\x00-\x1f]', ' ', 'g'), '  *', ' ', 'g')) AS norm_text,
+         |  CAST(length(trim(regexp_replace(regexp_replace(lower(text),
+         |    '[\x00-\x1f]', ' ', 'g'), '  *', ' ', 'g'))) AS BIGINT)
+         |    AS n_chars_norm
+         |FROM messy ORDER BY doc_id""".stripMargin),
     // PII counts on the raw decorated text; redaction replayed with the
     // identical patterns in the identical email → IPv4 → phone order
     "text_pii" ->

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multi-level OLAP aggregation — ROLLUP, CUBE, pivot, distinct-count.
@@ -115,6 +116,24 @@ object Olap {
     df.groupBy(col(groupCol))
       .agg(count_distinct(col(targetCol)).as("n_distinct"),
         count(lit(1)).as("n_rows"))
+
+  /** Bounded ordered string aggregation: the k lexicographically-first
+    * distinct values per group, joined into one string — "show me example
+    * members" without the unbounded `collect_set` footgun. The ranking
+    * window prunes to k rows per group PER MAP PARTITION
+    * (WindowGroupLimit) before the shuffle, so group size never reaches
+    * the wire; the final array holds ≤ k elements by construction. */
+  def topKStringAgg(df: DataFrame, groupCol: String, valCol: String,
+                    k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(valCol))
+    df.select(col(groupCol), col(valCol)).distinct()
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .groupBy(col(groupCol))
+      .agg(concat_ws(",", array_sort(collect_list(col(valCol))))
+        .as("top_vals"))
+  }
 
   /** Exact per-group mean and population variance of a money column,
     * certified: values quantize to integer cents, the three moment sums

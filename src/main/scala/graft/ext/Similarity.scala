@@ -170,6 +170,23 @@ object Similarity {
     * arithmetic in a fixed operation order, so any engine reproduces every
     * code exactly; emitted as exploded (id, pos, q) scalars for the same
     * oracle-comparability reason as [[centroidComponents]]. */
+  /** Unit-L2 normalization, emitted as exploded (id, pos, u) scalars —
+    * the retrieval-prep step that turns cosine into plain dot product.
+    * Exploded rows rather than an array column for the same reason as
+    * [[centroidComponents]]: scalars are what an external oracle can
+    * hash-compare. Row-local arithmetic riding the scan (the codegen'd
+    * [[dot]] for the norm, one division per element, rounded to 4
+    * decimals like every similarity score here); zero-vector rows emit
+    * 0.0 components instead of NaN-poisoning downstream math. */
+  def normalizeUnit(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val n = norm(col(vecCol))
+    df.select(col(idCol), n.as("__n"),
+        posexplode(asDouble(col(vecCol))).as(Seq("pos", "x")))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        when(col("__n") === 0d, lit(0d))
+          .otherwise(round(col("x") / col("__n"), 4)).as("u"))
+  }
+
   def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val v = asDouble(col(vecCol))
     val scale = array_max(transform(v, x => abs(x)))

@@ -29,8 +29,11 @@ object TextStats {
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "is")
 
   /** Quality-score components: char length, mean token length, stopword
-    * ratio, punctuation ratio. Rounded to 4 decimals so any oracle agrees. */
-  def quality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * ratio, punctuation ratio. Rounded to 4 decimals so any oracle agrees.
+    * `passthrough` columns (e.g. lang for [[qualityCrosstab]]) ride along
+    * unchanged. */
+  def quality(df: DataFrame, idCol: String, textCol: String,
+              passthrough: Seq[String] = Nil): DataFrame = {
     val t = toks(col(textCol))
     val nTok = size(t)
     val sumLen = aggregate(transform(t, w => length(w)),
@@ -38,12 +41,43 @@ object TextStats {
     val stopHits = size(filter(t, w => w.isin(Stopwords: _*)))
     val punct = length(col(textCol)) -
       length(regexp_replace(col(textCol), "[^a-z0-9 ]", ""))
-    df.select(col(idCol),
+    df.select(col(idCol) +: passthrough.map(col) ++: Seq(
       length(col(textCol)).cast("long").as("n_chars"),
       round(sumLen.cast("double") / nTok, 4).as("avg_token_len"),
       round(stopHits.cast("double") / nTok, 4).as("stopword_ratio"),
       round(punct.cast("double") / greatest(length(col(textCol)), lit(1)), 4)
-        .as("punct_ratio"))
+        .as("punct_ratio")): _*)
+  }
+
+  /** Language × quality-gate contingency table: how much of each
+    * language's sub-corpus the [[cleanPass]] thresholds would keep —
+    * the per-slice audit run before committing to a cleaning config.
+    * The metrics are scan-side expressions; the only shuffle is the tiny
+    * (lang, kept) groupBy with map-side combine. */
+  def qualityCrosstab(df: DataFrame, idCol: String, textCol: String,
+                      langCol: String, minChars: Long,
+                      minStopwordRatio: Double,
+                      maxAvgTokenLen: Double): DataFrame =
+    quality(df, idCol, textCol, Seq(langCol))
+      .groupBy(col(langCol),
+        (col("n_chars") >= minChars &&
+          col("stopword_ratio") >= minStopwordRatio &&
+          col("avg_token_len") <= maxAvgTokenLen).as("kept"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Canonical text normalization: lowercase, control chars → space,
+    * whitespace runs collapsed, ends trimmed — the cleanup every corpus
+    * runs before fingerprinting/dedup so cosmetic variants collapse.
+    * Pure row-local regex work inside whole-stage codegen (the patterns
+    * stay in the Java ∩ RE2 portable subset, like [[graft.ext.Pii]]);
+    * before/after lengths ride along for shrinkage audits. */
+  def normalize(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val cleaned = trim(regexp_replace(
+      regexp_replace(lower(col(textCol)), "[\\x00-\\x1f]", " "), "  *", " "))
+    df.select(col(idCol),
+      length(col(textCol)).cast("long").as("n_chars_raw"),
+      cleaned.as("norm_text"),
+      length(cleaned).cast("long").as("n_chars_norm"))
   }
 
   /** Language breakdown: per-lang doc count, mean length, total tokens. */

@@ -89,6 +89,16 @@ class OlapSpec extends SparkSpec {
     assert(out.toSeq == Seq(("click", 2L, 3L), ("view", 1L, 1L)))
   }
 
+  test("topKStringAgg: k-first distinct values, sorted and joined") {
+    import spark.implicits._
+    val d = Seq(("a", "z"), ("a", "x"), ("a", "y"), ("a", "x"), ("a", "w"),
+      ("b", "q")).toDF("g", "v")
+    val out = Olap.topKStringAgg(d, "g", "v", k = 3).orderBy("g").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(out.toSeq == Seq(("a", "w,x,y"), ("b", "q")))
+    intercept[IllegalArgumentException](Olap.topKStringAgg(d, "g", "v", 0))
+  }
+
   test("momentStats: exact cent-quantized mean and population variance") {
     import spark.implicits._
     // values 1.00, 2.00, 3.00 -> cents 100,200,300: mean 200, var 6666.6667

@@ -140,4 +140,15 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(out == Seq(0L, 1L)) // label-0 cell is nearest; its best two
   }
+
+  test("normalizeUnit: components divide by the L2 norm; zero vector -> 0s") {
+    import spark.implicits._
+    val d = Seq((1L, Seq(3.0f, 4.0f)), (2L, Seq(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.normalizeUnit(d, "vec_id", "embedding")
+      .orderBy("vec_id", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, 0L, 0.6), (1L, 1L, 0.8),
+      (2L, 0L, 0.0), (2L, 1L, 0.0)))
+  }
 }

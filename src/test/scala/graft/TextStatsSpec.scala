@@ -303,6 +303,31 @@ class TextStatsSpec extends SparkSpec {
       (2L, 1L, "d"), (2L, 2L, "e")))
   }
 
+  test("normalize: case, control chars, and space runs collapse; trim ends") {
+    import spark.implicits._
+    val d = Seq((1L, "  Hello\tWORLD   again "), (2L, "clean text"))
+      .toDF("doc_id", "text")
+    val r = TextStats.normalize(d, "doc_id", "text").orderBy("doc_id")
+      .collect().map(x => (x.getLong(1), x.getString(2), x.getLong(3)))
+    assert(r(0) == ((22L, "hello world again", 17L)))
+    assert(r(1) == ((10L, "clean text", 10L)))
+  }
+
+  test("qualityCrosstab: per-lang kept/dropped counts at the gate") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the cat sat on the mat over the hill and far away", "en"),
+      (2L, "zz", "en"),                      // too short -> dropped
+      (3L, "el gato y la casa de los", "es") // no en-stopwords -> dropped
+    ).toDF("doc_id", "text", "lang")
+    val r = TextStats.qualityCrosstab(d, "doc_id", "text", "lang",
+        minChars = 10L, minStopwordRatio = 0.1, maxAvgTokenLen = 5.0)
+      .orderBy("lang", "kept").collect()
+      .map(x => (x.getString(0), x.getBoolean(1), x.getLong(2)))
+    assert(r.toSeq == Seq(("en", false, 1L), ("en", true, 1L),
+      ("es", false, 1L)))
+  }
+
   test("lenDeciles: equal lengths share a bucket, counts partition evenly") {
     import spark.implicits._
     // 6 docs, 2 buckets: lengths 1,1,2 | 3,4,5 -> cut at cum 3
