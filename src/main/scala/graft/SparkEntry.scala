@@ -444,6 +444,20 @@ object SparkEntry {
           docs.filter(col("source") === "src19"), "doc_id", "text")
         .orderBy("doc_id")
     }),
+    // ----- who-copies-from-whom: shared distinct fingerprints per source
+    // pair (Dedup.crossSourceDupes scaladoc: 32-byte fp join, documents
+    // never shuffle). The synthetic corpus has almost no natural
+    // cross-source dupes, so a 'mirror' source re-emitting every 7th doc
+    // is planted — the derivation is pure doc_id arithmetic the oracle
+    // replays, and it guarantees the certification compares real rows -----
+    "dedup_crossrate" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables.documents(s, dir)
+      val corpus = docs.select(col("source"), col("text"))
+        .union(docs.filter(col("doc_id") % 7 === 0)
+          .select(lit("mirror").as("source"), col("text")))
+      graft.ext.Dedup.crossSourceDupes(corpus, "text", "source")
+        .orderBy("src_a", "src_b")
+    }),
     // ----- §2.10 events / JSON / windows / joins -----
     "events_json" -> ((s: SparkSession, dir: String) =>
       Events.jsonProps(Tables.events(s, dir)).orderBy("event_id")),
@@ -468,6 +482,14 @@ object SparkEntry {
       drainStream(s, "graft_stream_hourly", "complete",
         graft.streaming.EventsStream.hourlyCounts(eventsStream(s, dir)))
         .orderBy("hour", "event_type")),
+    // streaming hourly counts finalized with the batch growth arithmetic
+    // (Events.growthOverHourly) — certifies against the events_growth
+    // oracle, the stream_hll maintain-then-finalize pattern
+    "stream_growth" -> ((s: SparkSession, dir: String) =>
+      Events.growthOverHourly(
+          drainStream(s, "graft_stream_growth", "complete",
+            graft.streaming.EventsStream.hourlyCounts(eventsStream(s, dir))))
+        .orderBy("event_type", "hour")),
     // Stateful streaming certified against SQL: gap sessionization via
     // flatMapGroupsWithState + EVENT-TIME timeouts over the same events
     // parquet. Closed sessions = every session a later event closed, plus
@@ -744,6 +766,13 @@ object SparkEntry {
       graft.ext.Funnel.stages(Tables.events(s, dir), "user_id", "event_type",
           "ts", Seq("signup", "view", "click", "purchase"))
         .orderBy("stage")),
+    // ----- per-completer conversion time through the same ordered chain
+    // (Funnel.latency scaladoc: completer set is the smallest frame,
+    // exact integer micros) -----
+    "events_funnel_latency" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Funnel.latency(Tables.events(s, dir), "user_id",
+          "event_type", "ts", Seq("signup", "view", "click", "purchase"))
+        .orderBy("user_id")),
     // ----- exact per-language length quantiles (type-1, integer-rank
     // arithmetic — externally reproducible, unlike percentile_approx) -----
     "text_quantiles" -> ((s: SparkSession, dir: String) =>
@@ -1614,6 +1643,20 @@ object SparkEntry {
          |  SELECT 1 FROM documents e
          |  WHERE e.source = 'src19' AND lower(e.text) = lower(d.text))
          |ORDER BY d.doc_id""".stripMargin),
+    // distinct (source, md5) pairs, fp equi-join, strict ordering keeps
+    // each unordered source pair once
+    "dedup_crossrate" ->
+      ("""WITH corpus AS (
+         |  SELECT source, text FROM documents
+         |  UNION ALL
+         |  SELECT 'mirror', text FROM documents WHERE doc_id % 7 = 0
+         |), fp AS (
+         |  SELECT DISTINCT source AS src, md5(lower(text)) AS fp
+         |  FROM corpus
+         |)
+         |SELECT a.src AS src_a, b.src AS src_b, count(*) AS n_shared
+         |FROM fp a JOIN fp b ON a.fp = b.fp AND a.src < b.src
+         |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin),
     // same distinct 3-gram shingle derivation as JaccardCtes, split by
     // the src19 eval cut; hit fraction rounded like the engine
     "dedup_overlap" ->
@@ -1810,6 +1853,21 @@ object SparkEntry {
          |GROUP BY user_id ORDER BY user_id""".stripMargin),
     // same fixed-order (n-prev)*100.0/prev arithmetic; first hours null
     "events_growth" ->
+      ("""WITH h AS (
+         |  SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour,
+         |    event_type, count(*) AS n
+         |  FROM events GROUP BY 1, 2
+         |), g AS (
+         |  SELECT hour, event_type, n,
+         |    lag(n) OVER (PARTITION BY event_type ORDER BY hour) AS prev_n
+         |  FROM h
+         |)
+         |SELECT hour, event_type, n, n - prev_n AS delta,
+         |  round((n - prev_n) * 100.0 / prev_n, 4) AS pct
+         |FROM g ORDER BY event_type, hour""".stripMargin),
+    // the complete-mode drain retains every window, so the streaming
+    // finalize answers the identical question — same oracle
+    "stream_growth" ->
       ("""WITH h AS (
          |  SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour,
          |    event_type, count(*) AS n
@@ -2033,6 +2091,30 @@ object SparkEntry {
          |UNION ALL SELECT 3, 'click', (SELECT count(*) FROM r3)
          |UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM r4)
          |ORDER BY stage""".stripMargin),
+    // the same chained-min CTEs; completion latency = last minus first
+    // admissible time in exact integer micros
+    "events_funnel_latency" ->
+      ("""WITH e AS (
+         |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+         |),
+         |r1 AS (SELECT user_id, min(ts) AS t FROM e
+         |       WHERE event_type = 'signup' GROUP BY user_id),
+         |r2 AS (SELECT e.user_id, min(e.ts) AS t FROM e
+         |       JOIN r1 ON e.user_id = r1.user_id
+         |       WHERE e.event_type = 'view' AND e.ts >= r1.t
+         |       GROUP BY e.user_id),
+         |r3 AS (SELECT e.user_id, min(e.ts) AS t FROM e
+         |       JOIN r2 ON e.user_id = r2.user_id
+         |       WHERE e.event_type = 'click' AND e.ts >= r2.t
+         |       GROUP BY e.user_id),
+         |r4 AS (SELECT e.user_id, min(e.ts) AS t FROM e
+         |       JOIN r3 ON e.user_id = r3.user_id
+         |       WHERE e.event_type = 'purchase' AND e.ts >= r3.t
+         |       GROUP BY e.user_id)
+         |SELECT r4.user_id,
+         |  strftime(r1.t, '%Y-%m-%d %H:%M:%S') AS started,
+         |  epoch_us(r4.t) - epoch_us(r1.t) AS latency_us
+         |FROM r4 JOIN r1 USING (user_id) ORDER BY user_id""".stripMargin),
     // identical integer rank arithmetic ((n*p + 99) // 100, type-1)
     "text_quantiles" ->
       ("""WITH r AS (

@@ -125,6 +125,24 @@ object Dedup {
       eval.select(fingerprint(col(textCol)).as("__evfp")).distinct(),
       fingerprint(train(textCol)) === col("__evfp"), "left_anti")
 
+  /** Cross-source duplication matrix: for every source pair, how many
+    * distinct content fingerprints they share — "who copies from whom"
+    * across crawls/feeds, the provenance audit behind source weighting.
+    * Distinct (source, fp) pairs first (map-side combine collapses
+    * per-source repeats), then one fp equi-join; `src_a < src_b` keeps
+    * each unordered pair once and kills the self-match diagonal. The
+    * joined rows are (32-byte fp, source) — the documents themselves
+    * never reach the join. */
+  def crossSourceDupes(df: DataFrame, textCol: String,
+                       srcCol: String): DataFrame = {
+    val fp = df.select(col(srcCol).as("src"),
+      fingerprint(col(textCol)).as("fp")).distinct()
+    fp.as("a").join(fp.as("b"),
+        col("a.fp") === col("b.fp") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Graded decontamination: for each EVAL doc, the fraction of its
     * distinct n-gram shingles that appear anywhere in the TRAIN corpus —
     * the standard contamination score ("this benchmark item is 83% covered

@@ -128,14 +128,21 @@ object Events {
     * percent arithmetic is (n−prev)·100.0/prev in that fixed order — one
     * integer subtract, one exact double product, ONE division — so any
     * engine reproduces it bit-for-bit. */
-  def hourlyGrowth(events: DataFrame): DataFrame = {
-    val hourly = events
+  def hourlyGrowth(events: DataFrame): DataFrame =
+    growthOverHourly(events
       .groupBy(date_format(date_trunc("hour", col("ts")),
           "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")))
+
+  /** The lag/delta/pct step of [[hourlyGrowth]] over an ALREADY-built
+    * (hour, event_type, n) frame — exposed so the streaming drain can
+    * finalize with the identical arithmetic (`stream_growth` certifies
+    * against the same oracle as `events_growth`). */
+  def growthOverHourly(hourly: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
     hourly
+      .select(col("hour"), col("event_type"), col("n"))
       .withColumn("prev_n", lag(col("n"), 1).over(w))
       .select(col("hour"), col("event_type"), col("n"),
         (col("n") - col("prev_n")).as("delta"),

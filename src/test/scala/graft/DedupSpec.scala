@@ -170,6 +170,21 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.incremental(batch, "text", dir).count() == 0L)
   }
 
+  test("crossSourceDupes: shared fingerprints per unordered source pair") {
+    import spark.implicits._
+    val d = Seq(
+      ("s1", "same text"), ("s2", "Same Text"),   // case-folded dup
+      ("s1", "other"), ("s3", "other"),
+      ("s2", "other"),
+      ("s1", "unique one"), ("s1", "same text")   // in-source repeat: 1 fp
+    ).toDF("source", "text")
+    val out = Dedup.crossSourceDupes(d, "text", "source")
+      .orderBy("src_a", "src_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    // pairs share: (s1,s2): "same text"+"other"=2; (s1,s3): 1; (s2,s3): 1
+    assert(out == Seq(("s1", "s2", 2L), ("s1", "s3", 1L), ("s2", "s3", 1L)))
+  }
+
   test("overlapRate: per-eval-doc hit fraction over distinct shingles") {
     import spark.implicits._
     val train = Seq(

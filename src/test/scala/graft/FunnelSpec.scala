@@ -45,4 +45,15 @@ class FunnelSpec extends SparkSpec {
       .orderBy("stage").collect().map(_.getLong(2)).toSeq
     assert(counts.zip(counts.tail).forall { case (a, b) => b <= a })
   }
+
+  test("latency: completers only, exact micros from first A to its B") {
+    val out = Funnel.latency(events, "uid", "etype", "ets", Seq("A", "B"))
+      .orderBy("uid").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    // user 1: A at 00:00, B at 00:01 -> 60s; user 3: same-instant B
+    // admitted at 0 latency; users 2 and 4 never complete -> absent
+    assert(out == Seq(
+      (1L, "2024-01-01 00:00:00", 60L * 1000000),
+      (3L, "2024-01-01 00:02:00", 0L)))
+  }
 }
