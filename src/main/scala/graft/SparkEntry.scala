@@ -644,6 +644,15 @@ object SparkEntry {
         // a gid) never decide row order; genuine data NULLs in a dimension
         // still could, so the oracle pins NULLS FIRST to Spark's asc order
         .orderBy("gid", "o_orderstatus", "o_orderpriority")),
+    // ----- explicit GROUPING SETS: exactly the requested subtotals —
+    // "(priority) but not ()" — which neither rollup nor cube can say
+    // without waste (Olap.groupingSetsStats scaladoc) -----
+    "agg_groupingsets" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Olap.groupingSetsStats(Tables.orders(s, dir),
+          Seq(Seq("o_orderstatus", "o_orderpriority"), Seq("o_orderstatus"),
+            Seq("o_orderpriority")),
+          Seq("o_orderstatus", "o_orderpriority"), "o_totalprice")
+        .orderBy("gid", "o_orderstatus", "o_orderpriority")),
     "agg_cube" -> ((s: SparkSession, dir: String) =>
       graft.ext.Olap.cubeStats(Tables.lineitem(s, dir),
           Seq("l_returnflag", "l_linestatus"), "l_quantity")
@@ -828,6 +837,13 @@ object SparkEntry {
       TextStats.vocabEncode(Tables.documents(s, dir), "doc_id", "text",
           vocabSize = 1000)
         .orderBy("doc_id", "pos")),
+    // ----- hashing-trick bag-of-words (TextStats.hashVectorize scaladoc:
+    // no vocabulary, certified bucket assignment via the portable poly
+    // hash) -----
+    "text_hashvec" -> ((s: SparkSession, dir: String) =>
+      TextStats.hashVectorize(Tables.documents(s, dir), "doc_id", "text",
+          buckets = 64)
+        .orderBy("doc_id", "bucket")),
     // ----- language × quality-gate contingency (TextStats
     // .qualityCrosstab scaladoc: scan-side metrics, tiny (lang, kept)
     // groupBy), same thresholds as text_cleanpass -----
@@ -908,6 +924,17 @@ object SparkEntry {
       graft.sources.Compaction.plan(inventory, "lang", "source", "bytes",
           targetBytes = 15000L)
         .orderBy("lang", "source")
+    }),
+    // ----- CSV round trip: header + schema-enforced FAILFAST re-read;
+    // all columns non-null by construction (CsvTable scaladoc names the
+    // inherent empty-vs-null CSV ambiguity) -----
+    "source_csv" -> ((s: SparkSession, dir: String) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-csv-")
+        .toString
+      graft.sources.CsvTable.roundTrip(
+        Tables.documents(s, dir).select(col("doc_id"), col("text"),
+          col("lang"), col("source"), col("n_chars")), tmp)
+        .orderBy("doc_id")
     }),
     // ----- §2.10 multimodal plumbing (stub decode, real Spark shape) -----
     "mm_features" -> ((s: SparkSession, dir: String) =>
@@ -1942,6 +1969,17 @@ object SparkEntry {
          |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
          |ORDER BY gid, o_orderstatus NULLS FIRST,
          |  o_orderpriority NULLS FIRST""".stripMargin),
+    // the same three explicit sets; GROUPING() reproduces Spark's gid bits
+    "agg_groupingsets" ->
+      ("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+         |  CAST(sum(CAST(floor(o_totalprice * 1e4 + 0.5) AS BIGINT)) AS DOUBLE)
+         |    / 1e4 AS total,
+         |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+         |FROM orders
+         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+         |  (o_orderstatus), (o_orderpriority))
+         |ORDER BY gid, o_orderstatus NULLS FIRST,
+         |  o_orderpriority NULLS FIRST""".stripMargin),
     "agg_cube" ->
       ("""SELECT l_returnflag, l_linestatus, count(*) AS n,
          |  CAST(sum(CAST(floor(l_quantity * 1e4 + 0.5) AS BIGINT)) AS DOUBLE)
@@ -2183,6 +2221,21 @@ object SparkEntry {
          |  coalesce(v.tok_id, -1) AS tok_id
          |FROM tp LEFT JOIN v USING (term)
          |ORDER BY doc_id, pos""".stripMargin),
+    // per-occurrence (not distinct) tokens through the same 62-bit poly
+    // hash the SimHash oracle replays, bucketed mod 64
+    "text_hashvec" ->
+      ("""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+         |), h AS (
+         |  SELECT doc_id,
+         |    list_reduce([CAST(ascii(c) AS BIGINT) for c in string_split(t,'')],
+         |      (a,x) -> (a*31+x) % 2147483647) * 2147483648
+         |    + list_reduce([CAST(ascii(c) AS BIGINT) for c in string_split(t,'')],
+         |      (a,x) -> (a*131+x) % 2147483629) AS h
+         |  FROM tok WHERE t <> ''
+         |)
+         |SELECT doc_id, h % 64 AS bucket, count(*) AS n
+         |FROM h GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin),
     // the shared QualityCtes metrics joined back for lang, gated with the
     // cleanpass thresholds
     "text_crosstab" ->
@@ -2254,6 +2307,10 @@ object SparkEntry {
          |FROM events ORDER BY event_id""".stripMargin),
     // the ORC round trip must reproduce the original table byte-for-byte
     "source_orc" ->
+      ("""SELECT doc_id, text, lang, source, n_chars
+         |FROM documents ORDER BY doc_id""".stripMargin),
+    // and so must the CSV round trip (same all-non-null projection)
+    "source_csv" ->
       ("""SELECT doc_id, text, lang, source, n_chars
          |FROM documents ORDER BY doc_id""".stripMargin),
     // greedy cumulative fill replayed with the same window: a file opens

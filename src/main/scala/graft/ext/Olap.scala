@@ -46,6 +46,22 @@ object Olap {
           .as("total"),
         grouping_id().cast("long").as("gid"))
 
+  /** Explicit GROUPING SETS — the general form [[rollupStats]]/[[cubeStats]]
+    * are shorthands of: exactly the requested subtotal combinations, no
+    * more (rollup can't express "(b) but not ()"; cube computes every
+    * subset whether wanted or not — at 2^|dims| Expand rows per input row,
+    * unrequested sets are pure waste at scale). Same exactness contract:
+    * quantized money total, grouping_id bit vector, one Expand + one
+    * partial-aggregated shuffle. */
+  def groupingSetsStats(df: DataFrame, sets: Seq[Seq[String]],
+                        dims: Seq[String], valCol: String,
+                        scale: Double = 1e4): DataFrame =
+    df.groupingSets(sets.map(_.map(col)), dims.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        (quantizedSum(col(valCol), scale).cast("double") / scale)
+          .as("total"),
+        grouping_id().cast("long").as("gid"))
+
   /** Pivot `pivotCol` into one count column per EXPLICIT value. Passing the
     * value list matters at scale: without it Spark first runs a distinct
     * scan over the pivot column to discover values (an extra job over the

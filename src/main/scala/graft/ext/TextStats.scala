@@ -177,6 +177,32 @@ object TextStats {
         max(col(lenCol)).as("max_len"))
   }
 
+  /** Hashing-trick vectorizer: every token occurrence maps to
+    * `polyhash(token) mod buckets`, counted per (doc, bucket) — the
+    * fixed-width bag-of-words features a downstream model consumes
+    * without ever materializing a vocabulary (no fit pass, no broadcast,
+    * stable under corpus growth — the properties that make the hashing
+    * trick the scale default over [[vocabEncode]]).
+    *
+    * The hash is the [[graft.functions.TokenPolyHashes]] 62-bit
+    * polynomial — codegen'd per row here, and replayable in plain SQL
+    * (`list_reduce` over code points, same as the certified SimHash
+    * oracle), which is what lets the bucket assignment itself be
+    * certified rather than trusted. One explode + one (doc, bucket)
+    * groupBy with map-side combine. */
+  def hashVectorize(df: DataFrame, idCol: String, textCol: String,
+                    buckets: Int): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    df.select(col(idCol), explode(split(col(textCol), " ")).as("t"))
+      .filter(col("t") =!= "")
+      .select(col(idCol),
+        pmod(element_at(
+          graft.functions.ShingleFunctions.token_poly_hashes(col("t")), 1),
+          lit(buckets.toLong)).as("bucket"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Equi-DEPTH length buckets — [[lenHistogram]]'s dual: bucket
     * boundaries placed so each bucket holds ~|corpus|/buckets documents,
     * the histogram a query planner or a curriculum sampler actually wants

@@ -37,6 +37,22 @@ class CompactionSpec extends SparkSpec {
     assert(e.getMessage.contains("targetBytes"))
   }
 
+  test("csv round trip preserves commas, quotes, and embedded newlines") {
+    val df = Seq(
+      (1L, "plain text", 10L),
+      (2L, "comma, inside", 20L),
+      (3L, "quote \" and, more", 30L),
+      (4L, "embedded\nnewline", 40L)
+    ).toDF("id", "s", "v")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-csv-spec-")
+      .toString
+    val back = graft.sources.CsvTable.roundTrip(df, tmp).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(back.toSeq == Seq((1L, "plain text", 10L),
+      (2L, "comma, inside", 20L), (3L, "quote \" and, more", 30L),
+      (4L, "embedded\nnewline", 40L)))
+  }
+
   test("orc round trip preserves strings with quotes/newlines and nulls") {
     val df = Seq(
       (1L, Some("plain"), Some(10L)),

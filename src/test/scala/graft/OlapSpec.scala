@@ -89,6 +89,25 @@ class OlapSpec extends SparkSpec {
     assert(out.toSeq == Seq(("click", 2L, 3L), ("view", 1L, 1L)))
   }
 
+  test("groupingSets: exactly the requested subtotals, correct gid bits") {
+    import spark.implicits._
+    val d = Seq(("O", "HIGH", 1.0), ("O", "LOW", 2.0), ("F", "HIGH", 3.0))
+      .toDF("st", "pr", "price")
+    val out = Olap.groupingSetsStats(d,
+        Seq(Seq("st", "pr"), Seq("st"), Seq("pr")), Seq("st", "pr"), "price")
+      .orderBy("gid", "st", "pr").collect()
+      .map(r => (Option(r.getString(0)).getOrElse("-"),
+        Option(r.getString(1)).getOrElse("-"), r.getLong(2), r.getDouble(3),
+        r.getLong(4)))
+    // gid 0: (st,pr) cells; gid 1: (st) with pr nulled; gid 2: (pr) with
+    // st nulled; NO grand-total row (that's what sets ((),...) would add)
+    assert(out.toSeq == Seq(
+      ("F", "HIGH", 1L, 3.0, 0L), ("O", "HIGH", 1L, 1.0, 0L),
+      ("O", "LOW", 1L, 2.0, 0L),
+      ("F", "-", 1L, 3.0, 1L), ("O", "-", 2L, 3.0, 1L),
+      ("-", "HIGH", 2L, 4.0, 2L), ("-", "LOW", 1L, 2.0, 2L)))
+  }
+
   test("topKStringAgg: k-first distinct values, sorted and joined") {
     import spark.implicits._
     val d = Seq(("a", "z"), ("a", "x"), ("a", "y"), ("a", "x"), ("a", "w"),

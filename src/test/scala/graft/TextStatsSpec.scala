@@ -303,6 +303,21 @@ class TextStatsSpec extends SparkSpec {
       (2L, 1L, "d"), (2L, 2L, "e")))
   }
 
+  test("hashVectorize: occurrences counted per bucket, same token same " +
+      "bucket, bucket counts sum to token count") {
+    import spark.implicits._
+    val d = Seq((1L, "a b a a c"), (2L, "a")).toDF("doc_id", "text")
+    val rows = TextStats.hashVectorize(d, "doc_id", "text", buckets = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val doc1 = rows.filter(_._1 == 1L)
+    assert(doc1.map(_._3).sum == 5L)         // 5 token occurrences
+    assert(doc1.count(_._3 == 3L) == 1)      // "a" x3 in one bucket
+    // "a" lands in the same bucket in both docs
+    val aBucket1 = doc1.find(_._3 == 3L).get._2
+    assert(rows.filter(_._1 == 2L).toSeq == Seq((2L, aBucket1, 1L)))
+    assert(rows.forall(r => r._2 >= 0 && r._2 < 64))
+  }
+
   test("normalize: case, control chars, and space runs collapse; trim ends") {
     import spark.implicits._
     val d = Seq((1L, "  Hello\tWORLD   again "), (2L, "clean text"))
