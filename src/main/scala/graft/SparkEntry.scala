@@ -482,6 +482,13 @@ object SparkEntry {
       drainStream(s, "graft_stream_hourly", "complete",
         graft.streaming.EventsStream.hourlyCounts(eventsStream(s, dir)))
         .orderBy("hour", "event_type")),
+    // watermarked stream-stream interval join (EventsStream
+    // .viewToClickJoin scaladoc: two-sided time bound -> provably bounded
+    // state), drained append-mode, certified vs the batch interval join
+    "stream_join" -> ((s: SparkSession, dir: String) =>
+      drainStream(s, "graft_stream_join", "append",
+        graft.streaming.EventsStream.viewToClickJoin(eventsStream(s, dir)))
+        .orderBy("user_id", "view_t", "click_t")),
     // streaming hourly counts finalized with the batch growth arithmetic
     // (Events.growthOverHourly) — certifies against the events_growth
     // oracle, the stream_hll maintain-then-finalize pattern
@@ -1892,6 +1899,19 @@ object SparkEntry {
          |SELECT hour, event_type, n, n - prev_n AS delta,
          |  round((n - prev_n) * 100.0 / prev_n, 4) AS pct
          |FROM g ORDER BY event_type, hour""".stripMargin),
+    // the drained inner join emits exactly the matched pairs of the plain
+    // batch interval self-join
+    "stream_join" ->
+      ("""SELECT v.user_id,
+         |  strftime(v.vts, '%Y-%m-%d %H:%M:%S') AS view_t,
+         |  strftime(c.cts, '%Y-%m-%d %H:%M:%S') AS click_t
+         |FROM (SELECT user_id, ts AS vts FROM events
+         |      WHERE event_type = 'view') v
+         |JOIN (SELECT user_id, ts AS cts FROM events
+         |      WHERE event_type = 'click') c
+         |  ON v.user_id = c.user_id AND c.cts >= v.vts
+         | AND c.cts <= v.vts + INTERVAL 5 MINUTE
+         |ORDER BY v.user_id, view_t, click_t""".stripMargin),
     // the complete-mode drain retains every window, so the streaming
     // finalize answers the identical question — same oracle
     "stream_growth" ->

@@ -72,6 +72,39 @@ object EventsStream {
       .select(date_format(col("win.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("user_id"), col("event_type"))
 
+  /** Watermarked stream-stream interval join: every (view, click) pair of
+    * the same user with the click inside `gapMinutes` after the view —
+    * the attribution join, and the one genuinely stream×stream operator
+    * in the surface (everything else joins a static side).
+    *
+    * Both inputs carry watermarks and the join condition bounds
+    * click_ts − view_ts on BOTH sides, which is exactly what lets Spark
+    * prove when a buffered view can no longer match any future click and
+    * purge it: state is bounded by lateness + gap, not by stream length.
+    * An unbounded-condition stream-stream join would buffer forever —
+    * the deployability line this operator exists to demonstrate.
+    *
+    * Batch dual (the oracle): the plain interval self-join — inner joins
+    * emit exactly the matched pairs, so the drained result hash-matches
+    * plain SQL. */
+  def viewToClickJoin(events: DataFrame, gapMinutes: Int = 5,
+                      lateness: String = "2 hours"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", lateness)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("__cu"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", lateness)
+    views.join(clicks,
+        col("user_id") === col("__cu") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") +
+          expr(s"INTERVAL $gapMinutes MINUTES"))
+      .select(col("user_id"),
+        date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss").as("view_t"),
+        date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_t"))
+  }
+
   final case class Evt(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(nEvents: Long, start: Long, lastTs: Long)
   final case class SessionOut(user_id: Long, n_events: Long,

@@ -86,4 +86,30 @@ class EventsStreamSpec extends SparkSpec {
       assert(r == Seq((1L, 2L)))
     } finally q.stop()
   }
+
+  test("viewToClickJoin: pairs within the gap, across micro-batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val df = mem.toDF.toDF("ts", "user_id", "event_type")
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val q = EventsStream.viewToClickJoin(df, gapMinutes = 5)
+      .writeStream.format("memory").queryName("vcj")
+      .outputMode("append").start()
+    try {
+      mem.addData((ts("2024-01-01 10:00:00"), 1L, "view"),
+        (ts("2024-01-01 10:03:00"), 1L, "click"),  // in gap -> pair
+        (ts("2024-01-01 10:09:00"), 1L, "click"),  // past gap -> no pair
+        (ts("2024-01-01 10:00:00"), 2L, "click"))  // other user -> no pair
+      q.processAllAvailable()
+      // a click in a LATER batch joins a buffered view: real join state
+      mem.addData((ts("2024-01-01 10:04:00"), 1L, "click"))
+      q.processAllAvailable()
+      val r = spark.table("vcj").orderBy("click_t").collect()
+        .map(x => (x.getLong(0), x.getString(1), x.getString(2))).toSeq
+      assert(r == Seq(
+        (1L, "2024-01-01 10:00:00", "2024-01-01 10:03:00"),
+        (1L, "2024-01-01 10:00:00", "2024-01-01 10:04:00")))
+    } finally q.stop()
+  }
 }
