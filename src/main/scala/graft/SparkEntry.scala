@@ -692,6 +692,20 @@ object SparkEntry {
       graft.ext.Olap.momentStats(Tables.events(s, dir),
           "event_type", "value")
         .orderBy("event_type")),
+    // ----- incremental aggregate maintenance: disjoint slice states
+    // merged by addition == the full recompute (Olap.momentState
+    // scaladoc) — certified against the very same full-scan oracle -----
+    "ops_incragg" -> ((s: SparkSession, dir: String) => {
+      val ev = Tables.events(s, dir)
+      val oldState = graft.ext.Olap.momentState(
+        ev.filter(col("event_id") % 2 === 0), "event_type", "value")
+      val delta = graft.ext.Olap.momentState(
+        ev.filter(col("event_id") % 2 =!= 0), "event_type", "value")
+      graft.ext.Olap.finalizeMoments(
+          graft.ext.Olap.mergeMomentStates(Seq(oldState, delta),
+            "event_type"), "event_type")
+        .orderBy("event_type")
+    }),
     // oracle-certified HyperLogLog (Hll scaladoc: every register and the
     // harmonic sum are exact integers; DuckDB replays the sketch
     // bit-for-bit — approx_count_distinct could never be certified)
@@ -2042,6 +2056,22 @@ object SparkEntry {
     // identical cent quantization and moment arithmetic: hugeint sums
     // play decimal(38,0); one cast + one division per statistic
     "agg_varstats" ->
+      ("""WITH c AS (
+         |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+         |  FROM events
+         |), m AS (
+         |  SELECT event_type, count(*) AS n, sum(vc) AS sv,
+         |    sum(vc * vc) AS svv
+         |  FROM c GROUP BY event_type
+         |)
+         |SELECT event_type, n,
+         |  round(CAST(sv AS DOUBLE) / n, 4) AS mean_c,
+         |  round(CAST(n * svv - sv * sv AS DOUBLE) /
+         |        CAST(n * n AS DOUBLE), 4) AS var_c
+         |FROM m ORDER BY event_type""".stripMargin),
+    // merged slice states must equal the full recompute — the oracle IS
+    // the full recompute
+    "ops_incragg" ->
       ("""WITH c AS (
          |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
          |  FROM events

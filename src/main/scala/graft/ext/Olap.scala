@@ -164,16 +164,42 @@ object Olap {
     * the moments formulation never needs the mean first, so it is
     * single-pass at any scale. */
   def momentStats(df: DataFrame, groupCol: String,
+                  valueCol: String): DataFrame =
+    finalizeMoments(momentState(df, groupCol, valueCol), groupCol)
+
+  /** The mergeable per-group moment state (n, Σv, Σv²) behind
+    * [[momentStats]] — exposed because the three sums are ASSOCIATIVE:
+    * states computed over disjoint slices (yesterday's corpus + today's
+    * delta, one state per shard/day/source) merge by plain addition into
+    * exactly the full-recompute state. That makes aggregate maintenance
+    * incremental: persist the state, add each new batch's state, finalize
+    * on read — the base data is scanned once ever, the same contract as
+    * [[Hll.merge]] for distincts and the fingerprint index for dedup. */
+  def momentState(df: DataFrame, groupCol: String,
                   valueCol: String): DataFrame = {
     val vc = floor(col(valueCol) * 100 + 0.5).cast("decimal(38,0)")
-    val big = (c: Column) => c.cast("decimal(38,0)")
     df.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n"), sum(vc).as("sv"), sum(vc * vc).as("svv"))
-      .select(col(groupCol), col("n"),
-        round(col("sv").cast("double") / col("n"), 4).as("mean_c"),
-        round((big(col("n")) * col("svv") - col("sv") * col("sv"))
-            .cast("double") /
-          (big(col("n")) * big(col("n"))).cast("double"), 4).as("var_c"))
+  }
+
+  /** Merge moment states from disjoint slices: group-wise sums. */
+  def mergeMomentStates(states: Seq[DataFrame], groupCol: String): DataFrame = {
+    require(states.nonEmpty, "need at least one state to merge")
+    states.reduce(_.unionByName(_))
+      .groupBy(col(groupCol))
+      .agg(sum(col("n")).cast("long").as("n"), sum(col("sv")).as("sv"),
+        sum(col("svv")).as("svv"))
+  }
+
+  /** One cast + one division per statistic, as documented on
+    * [[momentStats]]. */
+  def finalizeMoments(state: DataFrame, groupCol: String): DataFrame = {
+    val big = (c: Column) => c.cast("decimal(38,0)")
+    state.select(col(groupCol), col("n"),
+      round(col("sv").cast("double") / col("n"), 4).as("mean_c"),
+      round((big(col("n")) * col("svv") - col("sv") * col("sv"))
+          .cast("double") /
+        (big(col("n")) * big(col("n"))).cast("double"), 4).as("var_c"))
   }
 
   /** Per-group argmax/argmin via `max_by`/`min_by` — "the id of each

@@ -129,6 +129,23 @@ class OlapSpec extends SparkSpec {
     assert(out.toSeq == Seq(("a", 3L, 200.0, 6666.6667), ("b", 1L, 500.0, 0.0)))
   }
 
+  test("moment states over disjoint slices merge to the full recompute") {
+    import spark.implicits._
+    val d = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 5.0), ("b", 7.0))
+      .toDF("g", "v")
+    val full = Olap.momentStats(d, "g", "v").orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSeq
+    val s1 = Olap.momentState(d.limit(2), "g", "v")
+    val s2 = Olap.momentState(d.exceptAll(d.limit(2)), "g", "v")
+    val merged = Olap.finalizeMoments(
+        Olap.mergeMomentStates(Seq(s1, s2), "g"), "g")
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSeq
+    assert(merged == full)
+  }
+
   test("argExtremes: first/latest id per group, id tie-break on equal ts") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)

@@ -226,6 +226,22 @@ class PlanShapeSpec extends SparkSpec {
       plan.take(2000))
   }
 
+  test("moment stats is one partial-aggregated exchange of 3 sums") {
+    val plan = executed(graft.ext.Olap.momentStats(
+      Tables.events(spark, dir), "event_type", "value"))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      plan.take(2000))
+    assert(!plan.contains("Expand"), plan.take(1500))
+  }
+
+  test("hash vectorizer: codegen'd hash, one (doc, bucket) exchange") {
+    val plan = executed(graft.ext.TextStats.hashVectorize(
+      Tables.documents(spark, dir), "doc_id", "text", 64))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      plan.take(2000))
+    assert(plan.toLowerCase.contains("tokenpolyhashes"), plan.take(1500))
+  }
+
   test("compaction plan windows per partition dir, never globally") {
     val inv = Tables.documents(spark, dir)
       .groupBy(org.apache.spark.sql.functions.col("lang"),
