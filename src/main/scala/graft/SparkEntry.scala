@@ -318,6 +318,13 @@ object SparkEntry {
         queryVec(emb), k = 5, nprobe = 2)
     }),
     // symmetric int8 quantization, exploded to scalars for the oracle
+    // ----- product-quantization codes: 4 subspaces, per-label codebook,
+    // broadcast encode (Similarity.pqEncode scaladoc: vectors never
+    // shuffle; rounded-then-argmin portable assignment) -----
+    "emb_pq" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Similarity.pqEncode(Tables.embeddings(s, dir),
+          "vec_id", "embedding", "label", numSub = 4)
+        .orderBy("vec_id", "sub")),
     // ----- unit-L2 normalization to exploded scalars (Similarity
     // .normalizeUnit scaladoc: codegen'd norm, zero-vector-safe) -----
     "emb_normalize" -> ((s: SparkSession, dir: String) =>
@@ -1549,6 +1556,40 @@ object SparkEntry {
     // element to the identical long (a double→decimal cast does NOT agree
     // across engines on boundary values; see Similarity.centroidComponents)
     // same fixed op order (x / scale * 127 + 0.5) — IEEE-exact both sides
+    // same subspace slices, same 1e-10 quantized-mean codebook, same
+    // expanded-form distance with fixed op order, rounded before argmin
+    "emb_pq" ->
+      ("""WITH v AS (
+         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM embeddings
+         |), s AS (
+         |  SELECT vec_id, label, sub, e[sub*16+1 : sub*16+16] AS sv
+         |  FROM v, (SELECT unnest(range(0, 4)) AS sub)
+         |), comp AS (
+         |  SELECT sub, label, generate_subscripts(sv, 1) AS pos,
+         |    unnest(sv) AS x
+         |  FROM s
+         |), cent AS (
+         |  SELECT sub, label, pos,
+         |    CAST(sum(CAST(floor(x * 1e10 + 0.5) AS BIGINT)) AS DOUBLE)
+         |      / count(*) / 1e10 AS x
+         |  FROM comp GROUP BY 1, 2, 3
+         |), cb AS (
+         |  SELECT sub, label AS lbl, list(x ORDER BY pos) AS cent
+         |  FROM cent GROUP BY 1, 2
+         |), scored AS (
+         |  SELECT s.vec_id, s.sub, cb.lbl,
+         |    round(list_dot_product(sv, sv) - 2.0 * list_dot_product(sv, cent)
+         |      + list_dot_product(cent, cent), 6) AS d2
+         |  FROM s JOIN cb ON s.sub = cb.sub
+         |), best AS (
+         |  SELECT vec_id, sub, lbl, d2,
+         |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, lbl)
+         |      AS rn
+         |  FROM scored
+         |)
+         |SELECT vec_id, CAST(sub AS BIGINT) AS sub, lbl AS code, d2
+         |FROM best WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin),
     // the same double-widened dot for the norm and one division per
     // element; zero vectors emit 0.0 like the engine
     "emb_normalize" ->

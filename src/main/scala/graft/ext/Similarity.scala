@@ -170,6 +170,55 @@ object Similarity {
     * arithmetic in a fixed operation order, so any engine reproduces every
     * code exactly; emitted as exploded (id, pos, q) scalars for the same
     * oracle-comparability reason as [[centroidComponents]]. */
+  /** Product-quantization encode: split each vector into `numSub` equal
+    * subspaces, build a per-subspace codebook, emit each vector as
+    * `numSub` small codes plus its quantization error — the memory-side
+    * half of IVF-PQ, collapsing d floats to numSub bytes so a 100 TB
+    * embedding store's candidate lists fit in RAM.
+    *
+    * Codebook entries are the per-label portable-quantized means of each
+    * subspace slice (the same honest stand-in for k-means as [[ivfTopK]]'s
+    * label cells, and the same 1e-10 long-quantized mean every centroid
+    * oracle replays). Distances use the expanded form
+    * ‖a‖² − 2a·c + ‖c‖² — three codegen'd dots in a fixed literal order,
+    * rounded before the argmin, ties broken by code id — so the assigned
+    * codes are engine-portable, not ulp-lottery.
+    *
+    * Shape: the codebook is (numSub · |labels|) rows — broadcast-sized by
+    * construction — so encoding is one broadcast join over the exploded
+    * subvectors and a WindowGroupLimit-pruned argmin; the vectors
+    * themselves never shuffle. */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+               groupCol: String, numSub: Int): DataFrame = {
+    val dims = df.select(size(col(vecCol)).as("d")).head().getInt(0)
+    require(numSub > 0 && dims % numSub == 0,
+      s"numSub=$numSub must divide the dimension $dims")
+    val width = dims / numSub
+    val subs = df.select(col(idCol), col(groupCol),
+      posexplode(transform(sequence(lit(0), lit(numSub - 1)),
+        i => slice(asDouble(col(vecCol)), i * width + 1, lit(width))))
+        .as(Seq("sub", "sv")))
+    val codebook = subs
+      .select(col("sub"), col(groupCol).as("lbl"),
+        posexplode(col("sv")).as(Seq("pos", "x")))
+      .groupBy(col("sub"), col("lbl"), col("pos"))
+      .agg((sum(floor(col("x") * lit(1e10) + lit(0.5)).cast("long"))
+        .cast("double") / count(lit(1)) / lit(1e10)).as("x"))
+      .groupBy(col("sub"), col("lbl"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("x")))),
+        s => s.getField("x")).as("cent"))
+    val scored = subs.join(broadcast(codebook), Seq("sub"))
+      .select(col(idCol), col("sub"), col("lbl"),
+        round(dot(col("sv"), col("sv")) - lit(2.0) * dot(col("sv"), col("cent"))
+          + dot(col("cent"), col("cent")), 6).as("d2"))
+    val w = Window.partitionBy(col(idCol), col("sub"))
+      .orderBy(col("d2"), col("lbl"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("sub").cast("long").as("sub"),
+        col("lbl").as("code"), col("d2"))
+  }
+
   /** Unit-L2 normalization, emitted as exploded (id, pos, u) scalars —
     * the retrieval-prep step that turns cosine into plain dot product.
     * Exploded rows rather than an array column for the same reason as

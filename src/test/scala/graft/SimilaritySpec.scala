@@ -141,6 +141,30 @@ class SimilaritySpec extends SparkSpec {
     assert(out == Seq(0L, 1L)) // label-0 cell is nearest; its best two
   }
 
+  test("pqEncode: separated labels self-assign with zero error; a vector " +
+      "nearer the other cluster crosses over") {
+    import spark.implicits._
+    // label 0 lives at (1,1,..), label 1 at (9,9,..); 4 dims, 2 subspaces
+    val d = Seq(
+      (1L, Seq(1.0f, 1.0f, 1.0f, 1.0f), 0),
+      (2L, Seq(1.0f, 1.0f, 1.0f, 1.0f), 0),
+      (3L, Seq(9.0f, 9.0f, 9.0f, 9.0f), 1),
+      // labeled 0 but sitting on cluster 1: codes must follow geometry.
+      // Its pull makes centroid-0 = (3.67..), still nearer 9 than 3.67?
+      // dist to c0 = (9-11/3)^2*2 ≈ 56.9; to c1 = 0 -> codes 1, not 0
+      (4L, Seq(9.0f, 9.0f, 9.0f, 9.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.pqEncode(d, "vec_id", "embedding", "label", 2)
+      .orderBy("vec_id", "sub").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(out.length == 8)
+    // vectors 3 and 4 sit exactly on centroid 1 -> code 1, d2 = 0
+    assert(out.filter(r => r._1 == 3L || r._1 == 4L)
+      .forall(r => r._3 == 1 && r._4 == 0.0))
+    // vectors 1,2 are nearer their own centroid than centroid 1
+    assert(out.filter(r => r._1 <= 2L).forall(_._3 == 0))
+  }
+
   test("normalizeUnit: components divide by the L2 norm; zero vector -> 0s") {
     import spark.implicits._
     val d = Seq((1L, Seq(3.0f, 4.0f)), (2L, Seq(0.0f, 0.0f)))
