@@ -325,6 +325,14 @@ object SparkEntry {
       graft.ext.Similarity.pqEncode(Tables.embeddings(s, dir),
           "vec_id", "embedding", "label", numSub = 4)
         .orderBy("vec_id", "sub")),
+    // ----- asymmetric-distance top-k from the codes alone — the query
+    // half of IVF-PQ (Similarity.pqTopK scaladoc: embeddings never
+    // touched at query time, fixed-order component folds) -----
+    "sim_pq_adc" -> ((s: SparkSession, dir: String) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.ext.Similarity.pqTopK(emb, "vec_id", "embedding", "label",
+        numSub = 4, queryVec(emb), k = 10)
+    }),
     // ----- unit-L2 normalization to exploded scalars (Similarity
     // .normalizeUnit scaladoc: codegen'd norm, zero-vector-safe) -----
     "emb_normalize" -> ((s: SparkSession, dir: String) =>
@@ -942,6 +950,29 @@ object SparkEntry {
           col("lang"), col("source"), col("n_chars")), tmp)
         .orderBy("doc_id")
     }),
+    // ----- referential-integrity audit: orphan counts per relationship
+    // (Integrity scaladoc: distinct parent keys, anti-join, one count
+    // row per check). Every 97th lineitem key re-ingested shifted plays
+    // the broken-feed case so the audit certifies non-zero counts -----
+    "ops_fkcheck" -> ((s: SparkSession, dir: String) => {
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"))
+      val child = li.union(li.filter(col("l_orderkey") % 97 === 0)
+        .select((col("l_orderkey") + 900000000L).as("l_orderkey")))
+      graft.ext.Integrity.audit(Seq(
+        graft.ext.Integrity.orphans(child, Tables.orders(s, dir),
+          "l_orderkey", "o_orderkey", "lineitem->orders"),
+        graft.ext.Integrity.orphans(
+          Tables.orders(s, dir).select(col("o_custkey")),
+          Tables.customer(s, dir), "o_custkey", "c_custkey",
+          "orders->customer")))
+        .orderBy("rel")
+    }),
+    // ----- join-key skew audit: the k heaviest keys + exact per-mille
+    // share (Skew.keySkew scaladoc: the pre-join broadcast/salt
+    // decision input) -----
+    "profile_skew" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Skew.keySkew(Tables.lineitem(s, dir), "l_partkey", k = 20)
+        .orderBy(col("cnt").desc, col("l_partkey"))),
     // ----- small-file compaction plan: greedy cumulative fill per
     // partition dir (Compaction scaladoc: O(files) metadata, windowed by
     // partition dir — no global sort) over a per-(lang, source) inventory -----
@@ -1556,6 +1587,31 @@ object SparkEntry {
     // element to the identical long (a double→decimal cast does NOT agree
     // across engines on boundary values; see Similarity.centroidComponents)
     // same fixed op order (x / scale * 127 + 0.5) — IEEE-exact both sides
+    // the planted shifted keys orphan exactly; the natural relationships
+    // audit to zero — both counts compared, not assumed
+    "ops_fkcheck" ->
+      ("""WITH child AS (
+         |  SELECT l_orderkey FROM lineitem
+         |  UNION ALL
+         |  SELECT l_orderkey + 900000000 FROM lineitem
+         |  WHERE l_orderkey % 97 = 0
+         |)
+         |SELECT 'lineitem->orders' AS rel,
+         |  (SELECT count(*) FROM child c WHERE NOT EXISTS
+         |    (SELECT 1 FROM orders o WHERE o.o_orderkey = c.l_orderkey))
+         |  AS n_orphans
+         |UNION ALL
+         |SELECT 'orders->customer',
+         |  (SELECT count(*) FROM orders o WHERE NOT EXISTS
+         |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+         |ORDER BY rel""".stripMargin),
+    // same integer per-mille share; ties at the k boundary break by key
+    "profile_skew" ->
+      ("""WITH c AS (
+         |  SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY 1
+         |), t AS (SELECT count(*) AS total FROM lineitem)
+         |SELECT l_partkey, cnt, (cnt * 1000) // total AS permille
+         |FROM c, t ORDER BY cnt DESC, l_partkey LIMIT 20""".stripMargin),
     // same subspace slices, same 1e-10 quantized-mean codebook, same
     // expanded-form distance with fixed op order, rounded before argmin
     "emb_pq" ->
@@ -1590,6 +1646,59 @@ object SparkEntry {
          |)
          |SELECT vec_id, CAST(sub AS BIGINT) AS sub, lbl AS code, d2
          |FROM best WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin),
+    // the emb_pq pipeline through codes, then the ADC score: per-sub
+    // lookup scalars, fixed sub-order folds, one division, top-k
+    "sim_pq_adc" ->
+      ("""WITH v AS (
+         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM embeddings
+         |), s AS (
+         |  SELECT vec_id, label, sub, e[sub*16+1 : sub*16+16] AS sv
+         |  FROM v, (SELECT unnest(range(0, 4)) AS sub)
+         |), comp AS (
+         |  SELECT sub, label, generate_subscripts(sv, 1) AS pos,
+         |    unnest(sv) AS x
+         |  FROM s
+         |), cent AS (
+         |  SELECT sub, label, pos,
+         |    CAST(sum(CAST(floor(x * 1e10 + 0.5) AS BIGINT)) AS DOUBLE)
+         |      / count(*) / 1e10 AS x
+         |  FROM comp GROUP BY 1, 2, 3
+         |), cb AS (
+         |  SELECT sub, label AS lbl, list(x ORDER BY pos) AS cent
+         |  FROM cent GROUP BY 1, 2
+         |), scored AS (
+         |  SELECT s.vec_id, s.sub, cb.lbl,
+         |    round(list_dot_product(sv, sv) - 2.0 * list_dot_product(sv, cent)
+         |      + list_dot_product(cent, cent), 6) AS d2
+         |  FROM s JOIN cb ON s.sub = cb.sub
+         |), best AS (
+         |  SELECT vec_id, sub, lbl,
+         |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, lbl)
+         |      AS rn
+         |  FROM scored
+         |), q AS (
+         |  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+         |  WHERE vec_id = 0
+         |), lut AS (
+         |  SELECT cb.sub, cb.lbl,
+         |    list_dot_product(cent, qe[cb.sub*16+1 : cb.sub*16+16]) AS qd,
+         |    list_dot_product(cent, cent) AS cn
+         |  FROM cb, q
+         |), parts AS (
+         |  SELECT b.vec_id, b.sub, lut.qd, lut.cn
+         |  FROM (SELECT vec_id, sub, lbl FROM best WHERE rn = 1) b
+         |  JOIN lut ON b.sub = lut.sub AND b.lbl = lut.lbl
+         |), agg AS (
+         |  SELECT vec_id,
+         |    list_reduce(list(qd ORDER BY sub), (a, x) -> a + x) AS dotsum,
+         |    list_reduce(list(cn ORDER BY sub), (a, x) -> a + x) AS norm2
+         |  FROM parts GROUP BY vec_id
+         |)
+         |SELECT vec_id,
+         |  round(dotsum / (sqrt(norm2) * sqrt(list_dot_product(qe, qe))), 4)
+         |    AS sim_pq
+         |FROM agg, q ORDER BY sim_pq DESC, vec_id LIMIT 10""".stripMargin),
     // the same double-widened dot for the norm and one division per
     // element; zero vectors emit 0.0 like the engine
     "emb_normalize" ->

@@ -190,24 +190,9 @@ object Similarity {
     * themselves never shuffle. */
   def pqEncode(df: DataFrame, idCol: String, vecCol: String,
                groupCol: String, numSub: Int): DataFrame = {
-    val dims = df.select(size(col(vecCol)).as("d")).head().getInt(0)
-    require(numSub > 0 && dims % numSub == 0,
-      s"numSub=$numSub must divide the dimension $dims")
-    val width = dims / numSub
-    val subs = df.select(col(idCol), col(groupCol),
-      posexplode(transform(sequence(lit(0), lit(numSub - 1)),
-        i => slice(asDouble(col(vecCol)), i * width + 1, lit(width))))
-        .as(Seq("sub", "sv")))
-    val codebook = subs
-      .select(col("sub"), col(groupCol).as("lbl"),
-        posexplode(col("sv")).as(Seq("pos", "x")))
-      .groupBy(col("sub"), col("lbl"), col("pos"))
-      .agg((sum(floor(col("x") * lit(1e10) + lit(0.5)).cast("long"))
-        .cast("double") / count(lit(1)) / lit(1e10)).as("x"))
-      .groupBy(col("sub"), col("lbl"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("x")))),
-        s => s.getField("x")).as("cent"))
-    val scored = subs.join(broadcast(codebook), Seq("sub"))
+    val subs = pqSubvectors(df, Seq(col(idCol), col(groupCol)), vecCol, numSub)
+    val scored = subs.join(broadcast(pqCodebook(df, vecCol, groupCol, numSub)),
+        Seq("sub"))
       .select(col(idCol), col("sub"), col("lbl"),
         round(dot(col("sv"), col("sv")) - lit(2.0) * dot(col("sv"), col("cent"))
           + dot(col("cent"), col("cent")), 6).as("d2"))
@@ -217,6 +202,78 @@ object Similarity {
       .filter(col("__rn") === 1)
       .select(col(idCol), col("sub").cast("long").as("sub"),
         col("lbl").as("code"), col("d2"))
+  }
+
+  /** (keep-cols, sub, sv): each vector exploded into its `numSub`
+    * subspace slices. */
+  private def pqSubvectors(df: DataFrame, keep: Seq[Column], vecCol: String,
+                           numSub: Int): DataFrame = {
+    val dims = df.select(size(col(vecCol)).as("d")).head().getInt(0)
+    require(numSub > 0 && dims % numSub == 0,
+      s"numSub=$numSub must divide the dimension $dims")
+    val width = dims / numSub
+    df.select(keep :+
+      posexplode(transform(sequence(lit(0), lit(numSub - 1)),
+        i => slice(asDouble(col(vecCol)), i * width + 1, lit(width))))
+        .as(Seq("sub", "sv")): _*)
+  }
+
+  /** The per-subspace codebook behind [[pqEncode]]/[[pqTopK]]:
+    * (sub, lbl, cent) with the portable 1e-10 quantized-mean centroid of
+    * each label's slice — numSub·|labels| rows, broadcast-sized. */
+  def pqCodebook(df: DataFrame, vecCol: String, groupCol: String,
+                 numSub: Int): DataFrame =
+    pqSubvectors(df, Seq(col(groupCol)), vecCol, numSub)
+      .select(col("sub"), col(groupCol).as("lbl"),
+        posexplode(col("sv")).as(Seq("pos", "x")))
+      .groupBy(col("sub"), col("lbl"), col("pos"))
+      .agg((sum(floor(col("x") * lit(1e10) + lit(0.5)).cast("long"))
+        .cast("double") / count(lit(1)) / lit(1e10)).as("x"))
+      .groupBy(col("sub"), col("lbl"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("x")))),
+        s => s.getField("x")).as("cent"))
+
+  /** Asymmetric-distance top-k over PQ codes — the query half of IVF-PQ:
+    * vectors are scored from their `numSub` codes and the codebook ALONE
+    * (the d-float embeddings are never touched at query time, which is
+    * the entire point of PQ at 100 TB). Approximate cosine =
+    * Σ q_s·c_s / (√(Σ ‖c_s‖²) · ‖q‖); the per-id component sums fold in
+    * fixed `sub` order over a sorted collected array (a `sum(double)`
+    * would be partition-order-dependent in the last ulp and could flip
+    * the 1e-4 rounding — the same reason every centroid here quantizes).
+    * Cost: the codes frame joins one broadcast lookup of
+    * numSub·|labels| precomputed scalars, one groupBy on the id, one
+    * TakeOrderedAndProject. */
+  def pqTopK(df: DataFrame, idCol: String, vecCol: String, groupCol: String,
+             numSub: Int, query: Seq[Double], k: Int): DataFrame = {
+    val codes = pqEncode(df, idCol, vecCol, groupCol, numSub)
+    val width = query.size / numSub
+    // the engine's own codegen'd dot, not Scala's Seq#sum: ArrayDot's
+    // fold order is the one DuckDB's list_dot_product replays
+    val qnorm = sqrt(dot(typedLit(query), typedLit(query)))
+    // per (sub, lbl): dot(q_sub, cent) and ||cent||^2 — broadcast scalars
+    import df.sparkSession.implicits._
+    val qdf = query.grouped(width).zipWithIndex
+      .map { case (qs, i) => (i, qs) }.toSeq.toDF("sub", "qsub")
+    val lut = pqCodebook(df, vecCol, groupCol, numSub)
+      .join(broadcast(qdf), Seq("sub"))
+      .select(col("sub").cast("long").as("sub"), col("lbl"),
+        dot(col("cent"), col("qsub")).as("qd"),
+        dot(col("cent"), col("cent")).as("cn"))
+    val fold = (arr: Column) => aggregate(arr, lit(0.0), (a, x) => a + x)
+    codes.join(broadcast(lut),
+        codes("sub") === lut("sub") && codes("code") === lut("lbl"))
+      .groupBy(col(idCol))
+      .agg(
+        fold(transform(array_sort(collect_list(struct(codes("sub"), col("qd")))),
+          s => s.getField("qd"))).as("dotsum"),
+        fold(transform(array_sort(collect_list(struct(codes("sub"), col("cn")))),
+          s => s.getField("cn"))).as("norm2"))
+      .select(col(idCol),
+        round(col("dotsum") / (sqrt(col("norm2")) * qnorm), 4)
+          .as("sim_pq"))
+      .orderBy(col("sim_pq").desc, col(idCol))
+      .limit(k)
   }
 
   /** Unit-L2 normalization, emitted as exploded (id, pos, u) scalars —

@@ -24,6 +24,24 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /** Deterministic salt from a unique column — stable across retries. */
+  /** Join-key skew audit: the k heaviest keys of a prospective join key
+    * with their row counts and per-mille share of the table — the number
+    * you look at BEFORE deciding between a plain shuffle join, a
+    * broadcast, or [[saltedJoin]]. One partial-aggregated groupBy on the
+    * key + a TakeOrderedAndProject prune to k; the share is exact integer
+    * per-mille ((cnt·1000) div total) so the report hash-matches any
+    * engine. */
+  def keySkew(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    counts
+      .crossJoin(broadcast(df.agg(count(lit(1)).as("total"))))
+      .select(col(keyCol), col("cnt"),
+        expr("(cnt * 1000) div total").as("permille"))
+      .orderBy(col("cnt").desc, col(keyCol))
+      .limit(k)
+  }
+
   def salt(uniqueCol: Column, buckets: Int): Column =
     pmod(xxhash64(uniqueCol), lit(buckets.toLong)).cast("int")
 

@@ -165,6 +165,24 @@ class SimilaritySpec extends SparkSpec {
     assert(out.filter(r => r._1 <= 2L).forall(_._3 == 0))
   }
 
+  test("pqTopK: ADC ranks the query's own cluster highest, k bounds") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, Seq(1.0f, 0.0f, 1.0f, 0.0f), 0),
+      (2L, Seq(1.0f, 0.0f, 1.0f, 0.0f), 0),
+      (3L, Seq(0.0f, 9.0f, 0.0f, 9.0f), 1),
+      (4L, Seq(0.0f, 9.0f, 0.0f, 9.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.pqTopK(d, "vec_id", "embedding", "label",
+        numSub = 2, query = Seq(1.0, 0.0, 1.0, 0.0), k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.length == 3)
+    // cluster-0 members reconstruct exactly to the query direction
+    assert(out.take(2).map(_._1).toSet == Set(1L, 2L))
+    assert(out.take(2).forall(_._2 == 1.0))
+    assert(out(2)._2 < 1.0)
+  }
+
   test("normalizeUnit: components divide by the L2 norm; zero vector -> 0s") {
     import spark.implicits._
     val d = Seq((1L, Seq(3.0f, 4.0f)), (2L, Seq(0.0f, 0.0f)))

@@ -36,4 +36,29 @@ class SkewSpec extends SparkSpec {
     // roughly uniform: no bucket takes more than 2.5x its fair share
     assert(distribution.values.max < 1000 / 8 * 5 / 2)
   }
+
+  test("keySkew: heaviest keys first, exact per-mille, k bound, tie-break") {
+    import spark.implicits._
+    val d = (Seq.fill(6)("hot") ++ Seq.fill(2)("warm") ++
+      Seq.fill(2)("cool")).toDF("k")
+    val out = Skew.keySkew(d, "k", k = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // 6/10 = 600 permille; warm and cool tie at 2 -> "cool" wins by key
+    assert(out.toSeq == Seq(("hot", 6L, 600L), ("cool", 2L, 200L)))
+    intercept[IllegalArgumentException](Skew.keySkew(d, "k", 0))
+  }
+
+  test("orphans: missing parents and NULL FKs counted; audit unions rows") {
+    import spark.implicits._
+    val child = Seq(Some(1L), Some(2L), Some(99L), None).toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val out = graft.ext.Integrity.audit(Seq(
+        graft.ext.Integrity.orphans(child, parent, "fk", "pk", "c->p"),
+        graft.ext.Integrity.orphans(parent.select(col("pk").as("fk")),
+          parent, "fk", "pk", "p->p")))
+      .orderBy("rel").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // 99 has no parent and the NULL fk references nothing -> 2 orphans
+    assert(out.toSeq == Seq(("c->p", 2L), ("p->p", 0L)))
+  }
 }
