@@ -512,6 +512,16 @@ object SparkEntry {
           drainStream(s, "graft_stream_growth", "complete",
             graft.streaming.EventsStream.hourlyCounts(eventsStream(s, dir))))
         .orderBy("event_type", "hour")),
+    // the moment state (Olap.momentState) maintained AS A STREAM — sums
+    // and counts are streaming-native aggregates with |types| state rows —
+    // finalized batch-side; certifies against the agg_varstats oracle
+    "stream_incragg" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Olap.finalizeMoments(
+          drainStream(s, "graft_stream_incragg", "complete",
+            graft.ext.Olap.momentState(eventsStream(s, dir),
+              "event_type", "value")),
+          "event_type")
+        .orderBy("event_type")),
     // Stateful streaming certified against SQL: gap sessionization via
     // flatMapGroupsWithState + EVENT-TIME timeouts over the same events
     // parquet. Closed sessions = every session a later event closed, plus
@@ -601,6 +611,11 @@ object SparkEntry {
     // frame (Events.newVsReturning scaladoc) -----
     "events_newusers" -> ((s: SparkSession, dir: String) =>
       Events.newVsReturning(Tables.events(s, dir))
+        .orderBy("day")),
+    // ----- cumulative-user growth curve via the first-seen trick
+    // (Events.cumulativeUsers scaladoc: no running count DISTINCT) -----
+    "events_cumusers" -> ((s: SparkSession, dir: String) =>
+      Events.cumulativeUsers(Tables.events(s, dir))
         .orderBy("day")),
     "join_revenue" -> ((s: SparkSession, dir: String) =>
       Events.revenueBySegment(Tables.orders(s, dir), Tables.customer(s, dir))
@@ -2076,6 +2091,22 @@ object SparkEntry {
          |  ON v.user_id = c.user_id AND c.cts >= v.vts
          | AND c.cts <= v.vts + INTERVAL 5 MINUTE
          |ORDER BY v.user_id, view_t, click_t""".stripMargin),
+    // the streamed moment state finalizes to the identical statistics —
+    // the agg_varstats oracle verbatim
+    "stream_incragg" ->
+      ("""WITH c AS (
+         |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+         |  FROM events
+         |), m AS (
+         |  SELECT event_type, count(*) AS n, sum(vc) AS sv,
+         |    sum(vc * vc) AS svv
+         |  FROM c GROUP BY event_type
+         |)
+         |SELECT event_type, n,
+         |  round(CAST(sv AS DOUBLE) / n, 4) AS mean_c,
+         |  round(CAST(n * svv - sv * sv AS DOUBLE) /
+         |        CAST(n * n AS DOUBLE), 4) AS var_c
+         |FROM m ORDER BY event_type""".stripMargin),
     // the complete-mode drain retains every window, so the streaming
     // finalize answers the identical question — same oracle
     "stream_growth" ->
@@ -2106,6 +2137,26 @@ object SparkEntry {
          |    AS BIGINT) AS n_returning
          |FROM a JOIN f USING (user_id)
          |GROUP BY day ORDER BY day""".stripMargin),
+    // first-seen counts over EVERY active day (zero-new days included),
+    // cumsum'd over the per-day frame
+    "events_cumusers" ->
+      ("""WITH a AS (
+         |  SELECT DISTINCT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         |    user_id
+         |  FROM events
+         |), f AS (
+         |  SELECT user_id, min(day) AS first_day FROM a GROUP BY user_id
+         |), d AS (
+         |  SELECT a.day,
+         |    CAST(sum(CASE WHEN a.day = f.first_day THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_new
+         |  FROM a JOIN f USING (user_id) GROUP BY a.day
+         |)
+         |SELECT day, n_new,
+         |  CAST(sum(n_new) OVER (ORDER BY day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cum_users
+         |FROM d ORDER BY day""".stripMargin),
     "join_enrich" ->
       ("""SELECT c_custkey, c_name, n_name, r_name
          |FROM customer

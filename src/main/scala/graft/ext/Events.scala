@@ -171,6 +171,20 @@ object Events {
       .withColumn("n_returning", col("n_active") - col("n_new"))
   }
 
+  /** Cumulative unique users by day — the growth curve: each day's new
+    * users (first-ever activity, via [[newVsReturning]]'s frame) plus
+    * the running total. A running count(DISTINCT) is unbounded-state at
+    * scale; counting each user ONCE, on their first day, then cumsum —
+    * the first-seen trick — gives the identical curve from a bounded
+    * aggregate. The global window runs over the per-DAY frame (|days|
+    * rows, metadata-sized), never over users or events. */
+  def cumulativeUsers(events: DataFrame): DataFrame =
+    newVsReturning(events)
+      .select(col("day"), col("n_new"))
+      .withColumn("cum_users",
+        sum(col("n_new")).over(Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+
   /** Per-user event-type transition counts — the first-order Markov /
     * user-journey matrix ("what do users do right after X"). One lag
     * window per user (deterministic (ts, event_id) order, like

@@ -140,6 +140,20 @@ class EventsSpec extends SparkSpec {
       ("2024-01-02", 2L, 1L, 1L)))
   }
 
+  test("cumulativeUsers: first-seen counts accumulate; zero-new days kept") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "c", 0.0, "{}"),
+      (2L, ts("2024-01-01 10:00:00"), 2L, "c", 0.0, "{}"),
+      (3L, ts("2024-01-02 10:00:00"), 1L, "c", 0.0, "{}"), // returning only
+      (4L, ts("2024-01-03 10:00:00"), 3L, "c", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Events.cumulativeUsers(ev).orderBy("day").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    assert(r.toSeq == Seq(("2024-01-01", 2L, 2L), ("2024-01-02", 0L, 2L),
+      ("2024-01-03", 1L, 3L)))
+  }
+
   test("interArrival: exact micro gaps per user, single-event users dropped") {
     import spark.implicits._
     val ev = events.union(Seq(

@@ -242,6 +242,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.toLowerCase.contains("tokenpolyhashes"), plan.take(1500))
   }
 
+  test("PQ ADC search: broadcast lookups only, top-k prune, no cartesian") {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.where(org.apache.spark.sql.functions.col("vec_id") === 0)
+      .select(org.apache.spark.sql.functions.col("embedding"))
+      .head().getSeq[Float](0).map(_.toDouble)
+    val plan = executed(graft.ext.Similarity.pqTopK(
+      emb, "vec_id", "embedding", "label", 4, q, 10))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
   test("compaction plan windows per partition dir, never globally") {
     val inv = Tables.documents(spark, dir)
       .groupBy(org.apache.spark.sql.functions.col("lang"),
