@@ -722,6 +722,12 @@ object SparkEntry {
       graft.ext.Olap.momentStats(Tables.events(s, dir),
           "event_type", "value")
         .orderBy("event_type")),
+    // ----- exact co-moment Pearson correlation (Olap.corrStats
+    // scaladoc: decimal moments, two sqrts + one division) -----
+    "agg_corr" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Olap.corrStats(Tables.lineitem(s, dir), "l_returnflag",
+          "l_quantity", "l_extendedprice")
+        .orderBy("l_returnflag")),
     // ----- incremental aggregate maintenance: disjoint slice states
     // merged by addition == the full recompute (Olap.momentState
     // scaladoc) — certified against the very same full-scan oracle -----
@@ -2270,6 +2276,27 @@ object SparkEntry {
          |  round(CAST(n * svv - sv * sv AS DOUBLE) /
          |        CAST(n * n AS DOUBLE), 4) AS var_c
          |FROM m ORDER BY event_type""".stripMargin),
+    // same cent quantization and co-moments; hugeint sums, fixed-order
+    // cov / (sqrt·sqrt) finish; zero-variance groups null out
+    "agg_corr" ->
+      ("""WITH c AS (
+         |  SELECT l_returnflag,
+         |    CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS xc,
+         |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS yc
+         |  FROM lineitem
+         |), m AS (
+         |  SELECT l_returnflag, count(*) AS n, sum(xc) AS sx, sum(yc) AS sy,
+         |    sum(xc * yc) AS sxy, sum(xc * xc) AS sxx, sum(yc * yc) AS syy
+         |  FROM c GROUP BY l_returnflag
+         |)
+         |SELECT l_returnflag, n,
+         |  CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) = 0
+         |         OR CAST(n * syy - sy * sy AS DOUBLE) = 0 THEN NULL
+         |       ELSE round(CAST(n * sxy - sx * sy AS DOUBLE) /
+         |         (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+         |          sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 4)
+         |  END AS corr
+         |FROM m ORDER BY l_returnflag""".stripMargin),
     // merged slice states must equal the full recompute — the oracle IS
     // the full recompute
     "ops_incragg" ->

@@ -202,6 +202,33 @@ object Olap {
         (big(col("n")) * big(col("n"))).cast("double"), 4).as("var_c"))
   }
 
+  /** Exact per-group Pearson correlation of two money columns — the
+    * co-moment extension of [[momentStats]]: both sides quantize to
+    * integer cents, the five sums (n, Σx, Σy, Σxy, Σx², Σy²) accumulate
+    * in decimal(38,0), and the only floating-point steps are two
+    * correctly-rounded sqrts and ONE division in a fixed literal order.
+    * Built-in `corr` accumulates doubles co-moment-style (partitioning-
+    * order-dependent, engine-divergent in the last ulps) and could never
+    * be certified. Zero-variance groups emit null, not NaN. */
+  def corrStats(df: DataFrame, groupCol: String, xCol: String,
+                yCol: String): DataFrame = {
+    val xc = floor(col(xCol) * 100 + 0.5).cast("decimal(38,0)")
+    val yc = floor(col(yCol) * 100 + 0.5).cast("decimal(38,0)")
+    val big = (c: Column) => c.cast("decimal(38,0)")
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(xc).as("sx"), sum(yc).as("sy"),
+        sum(xc * yc).as("sxy"), sum(xc * xc).as("sxx"),
+        sum(yc * yc).as("syy"))
+      .select(col(groupCol), col("n"), {
+        val n = big(col("n"))
+        val varx = (n * col("sxx") - col("sx") * col("sx")).cast("double")
+        val vary = (n * col("syy") - col("sy") * col("sy")).cast("double")
+        val cov = (n * col("sxy") - col("sx") * col("sy")).cast("double")
+        when(varx === 0d || vary === 0d, lit(null).cast("double"))
+          .otherwise(round(cov / (sqrt(varx) * sqrt(vary)), 4)).as("corr")
+      })
+  }
+
   /** Per-group argmax/argmin via `max_by`/`min_by` — "the id of each
     * group's first/latest row" in ONE partial-aggregating pass: each map
     * task keeps a single running (key, id) pair per group, so the shuffle

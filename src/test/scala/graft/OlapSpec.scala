@@ -129,6 +129,21 @@ class OlapSpec extends SparkSpec {
     assert(out.toSeq == Seq(("a", 3L, 200.0, 6666.6667), ("b", 1L, 500.0, 0.0)))
   }
 
+  test("corrStats: perfect +/- correlation exact, zero variance -> null") {
+    import spark.implicits._
+    val d = Seq(
+      ("up", 1.0, 10.0), ("up", 2.0, 20.0), ("up", 3.0, 30.0),
+      ("down", 1.0, 30.0), ("down", 2.0, 20.0), ("down", 3.0, 10.0),
+      ("flat", 1.0, 5.0), ("flat", 2.0, 5.0)
+    ).toDF("g", "x", "y")
+    val out = Olap.corrStats(d, "g", "x", "y").orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))
+    assert(out(0)._1 == "down" && out(0)._3 == -1.0)
+    assert(out(1)._1 == "flat" && out(1)._3.isNaN)
+    assert(out(2)._1 == "up" && out(2)._3 == 1.0)
+  }
+
   test("moment states over disjoint slices merge to the full recompute") {
     import spark.implicits._
     val d = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 5.0), ("b", 7.0))
