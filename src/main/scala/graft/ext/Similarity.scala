@@ -208,6 +208,8 @@ object Similarity {
     * subspace slices. */
   private def pqSubvectors(df: DataFrame, keep: Seq[Column], vecCol: String,
                            numSub: Int): DataFrame = {
+    // one-row dimension probe (array width is data, not schema) — a
+    // limit-1 scan, same class of metadata hop as [[ivfTopK]]'s probes
     val dims = df.select(size(col(vecCol)).as("d")).head().getInt(0)
     require(numSub > 0 && dims % numSub == 0,
       s"numSub=$numSub must divide the dimension $dims")
