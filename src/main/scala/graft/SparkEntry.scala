@@ -722,6 +722,12 @@ object SparkEntry {
       graft.ext.Olap.momentStats(Tables.events(s, dir),
           "event_type", "value")
         .orderBy("event_type")),
+    // ----- per-group mode with deterministic tie-break (Olap.modeStats
+    // scaladoc: counts first, WindowGroupLimit rank) -----
+    "agg_mode" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Olap.modeStats(Tables.customer(s, dir),
+          "c_nationkey", "c_mktsegment")
+        .orderBy("c_nationkey")),
     // ----- exact co-moment Pearson correlation (Olap.corrStats
     // scaladoc: decimal moments, two sqrts + one division) -----
     "agg_corr" -> ((s: SparkSession, dir: String) =>
@@ -970,6 +976,25 @@ object SparkEntry {
         Tables.documents(s, dir).select(col("doc_id"), col("text"),
           col("lang"), col("source"), col("n_chars")), tmp)
         .orderBy("doc_id")
+    }),
+    // ----- interval×interval overlap join: 60-min view/click windows
+    // per user (RangeJoin.intervalOverlap scaladoc: first-shared-bucket
+    // trick — every pair meets exactly once, no post-join distinct) -----
+    "join_overlap" -> ((s: SparkSession, dir: String) => {
+      val e = Tables.events(s, dir)
+      def win(t: String, idAs: String, keyAs: String, sAs: String,
+              eAs: String) =
+        e.filter(col("event_type") === t).select(
+          col("event_id").as(idAs), col("user_id").as(keyAs),
+          col("ts").as(sAs),
+          (col("ts") + expr("INTERVAL 60 MINUTES")).as(eAs))
+      graft.ext.RangeJoin.intervalOverlap(
+          win("view", "v_id", "v_user", "v_start", "v_end"),
+          win("click", "c_id", "c_user", "c_start", "c_end"),
+          "v_user", "c_user", "v_start", "v_end", "c_start", "c_end",
+          bucketSeconds = 3600L)
+        .select(col("v_id"), col("c_id"))
+        .orderBy("v_id", "c_id")
     }),
     // ----- referential-integrity audit: orphan counts per relationship
     // (Integrity scaladoc: distinct parent keys, anti-join, one count
@@ -2276,6 +2301,30 @@ object SparkEntry {
          |  round(CAST(n * svv - sv * sv AS DOUBLE) /
          |        CAST(n * n AS DOUBLE), 4) AS var_c
          |FROM m ORDER BY event_type""".stripMargin),
+    // counts-then-rank with the identical (cnt desc, value) tie order
+    "agg_mode" ->
+      ("""WITH c AS (
+         |  SELECT c_nationkey, c_mktsegment, count(*) AS cnt
+         |  FROM customer GROUP BY 1, 2
+         |)
+         |SELECT c_nationkey, c_mktsegment AS mode, cnt FROM c
+         |QUALIFY row_number() OVER (PARTITION BY c_nationkey
+         |  ORDER BY cnt DESC, c_mktsegment) = 1
+         |ORDER BY c_nationkey""".stripMargin),
+    // the plain overlap theta-join — bucketing must not change matches
+    "join_overlap" ->
+      ("""WITH v AS (
+         |  SELECT event_id AS v_id, user_id AS vu, ts AS vs,
+         |    ts + INTERVAL 60 MINUTE AS ve
+         |  FROM events WHERE event_type = 'view'
+         |), c AS (
+         |  SELECT event_id AS c_id, user_id AS cu, ts AS cs,
+         |    ts + INTERVAL 60 MINUTE AS ce
+         |  FROM events WHERE event_type = 'click'
+         |)
+         |SELECT v_id, c_id FROM v JOIN c
+         |ON vu = cu AND vs < ce AND cs < ve
+         |ORDER BY v_id, c_id""".stripMargin),
     // same cent quantization and co-moments; hugeint sums, fixed-order
     // cov / (sqrt·sqrt) finish; zero-variance groups null out
     "agg_corr" ->

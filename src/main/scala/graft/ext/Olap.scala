@@ -133,6 +133,21 @@ object Olap {
       .agg(count_distinct(col(targetCol)).as("n_distinct"),
         count(lit(1)).as("n_rows"))
 
+  /** Per-group mode: the most frequent value, ties broken by the value
+    * itself — deterministic where `mode()` built-ins are engine-defined
+    * on ties. Partial-aggregated (group, value) counts, then a
+    * WindowGroupLimit-pruned rank: the wire carries one row per distinct
+    * (group, value), never one per input row. */
+  def modeStats(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val counts = df.groupBy(col(groupCol), col(valCol))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("cnt").desc, col(valCol))
+    counts.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(groupCol), col(valCol).as("mode"), col("cnt"))
+  }
+
   /** Bounded ordered string aggregation: the k lexicographically-first
     * distinct values per group, joined into one string — "show me example
     * members" without the unbounded `collect_set` footgun. The ranking

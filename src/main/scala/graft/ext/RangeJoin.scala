@@ -69,4 +69,56 @@ object RangeJoin {
           p(pointTs) >= i(startTs) && p(pointTs) < i(endTs))
       .drop("__pb", "__ib")
   }
+
+  /** Interval×interval overlap join — the other half of the range-join
+    * family: pairs with the same key whose half-open spans intersect
+    * (`l.start < r.end AND r.start < l.end`). Same bucketing scale shape
+    * as [[pointInInterval]], with one twist: BOTH sides replicate, so a
+    * pair can share several buckets — the join keeps a pair only in the
+    * pair's FIRST shared bucket (`max` of the two start buckets), which
+    * makes every overlapping pair meet exactly once WITHOUT a post-join
+    * distinct (a distinct would shuffle the full match set again).
+    *
+    * Same loud replication cap per side, same correctness-independent
+    * width choice: pick `bucketSeconds` near the typical span length. */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+                      leftKey: String, rightKey: String,
+                      leftStart: String, leftEnd: String,
+                      rightStart: String, rightEnd: String,
+                      bucketSeconds: Long = 600L,
+                      maxBucketsPerInterval: Long = 10000L): DataFrame = {
+    require(bucketSeconds > 0, "bucket width must be positive")
+    require(maxBucketsPerInterval > 0, "replication cap must be positive")
+    val reserved = Set("__lb", "__rb")
+    val overlap = left.columns.toSet.intersect(right.columns.toSet) ++
+      (left.columns.toSet ++ right.columns.toSet).intersect(reserved)
+    require(overlap.isEmpty,
+      s"left/right column names must be disjoint and must not use the " +
+        s"operator's working names (${reserved.mkString(", ")}); " +
+        s"offending: ${overlap.mkString(", ")} — alias first")
+    val width = bucketSeconds * 1000000L // micros
+    def bucketOf(c: org.apache.spark.sql.Column) =
+      floor(unix_micros(c) / width).cast("long")
+    def replicate(df: DataFrame, startC: String, endC: String,
+                  out: String) = {
+      val span = bucketOf(col(endC)) - bucketOf(col(startC)) + 1L
+      df.withColumn(out,
+        explode(when(col(endC) <= col(startC), array().cast("array<long>"))
+          .when(span > maxBucketsPerInterval,
+            raise_error(concat(lit("intervalOverlap: interval spans "),
+              span.cast("string"),
+              lit(s" buckets (> $maxBucketsPerInterval) — widen " +
+                "bucketSeconds, cap interval lengths, or raise " +
+                "maxBucketsPerInterval"))).cast("array<long>"))
+          .otherwise(sequence(bucketOf(col(startC)), bucketOf(col(endC))))))
+    }
+    val l = replicate(left, leftStart, leftEnd, "__lb")
+    val r = replicate(right, rightStart, rightEnd, "__rb")
+    l.join(r,
+        l(leftKey) === r(rightKey) && col("__lb") === col("__rb") &&
+          l(leftStart) < r(rightEnd) && r(rightStart) < l(leftEnd) &&
+          col("__lb") === greatest(bucketOf(l(leftStart)),
+            bucketOf(r(rightStart))))
+      .drop("__lb", "__rb")
+  }
 }

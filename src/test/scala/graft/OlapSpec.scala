@@ -129,6 +129,16 @@ class OlapSpec extends SparkSpec {
     assert(out.toSeq == Seq(("a", 3L, 200.0, 6666.6667), ("b", 1L, 500.0, 0.0)))
   }
 
+  test("modeStats: most frequent wins, count ties break by value") {
+    import spark.implicits._
+    val d = Seq(("g1", "b"), ("g1", "b"), ("g1", "a"),
+      ("g2", "z"), ("g2", "y")).toDF("g", "v")
+    val out = Olap.modeStats(d, "g", "v").orderBy("g").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // g2: z and y tie at 1 -> y wins by value order
+    assert(out.toSeq == Seq(("g1", "b", 2L), ("g2", "y", 1L)))
+  }
+
   test("corrStats: perfect +/- correlation exact, zero variance -> null") {
     import spark.implicits._
     val d = Seq(

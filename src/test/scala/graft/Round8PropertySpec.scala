@@ -142,6 +142,45 @@ object Round8PropertySpec extends Properties("round8") {
       (bounded && exact && self) :| s"got=$got"
     }
 
+  // -------------------------------------------------------- intervalOverlap
+  private val genOverlap: Gen[(List[(Long, Long, Long, Long)],
+      List[(Long, Long, Long, Long)], Long)] = {
+    val iv = Gen.zip(Gen.choose(0L, 2L), Gen.choose(0L, 120L),
+      Gen.choose(-5L, 90L)) // negative lengths: must match nothing
+    for {
+      nl <- Gen.choose(0, 12); nr <- Gen.choose(0, 12)
+      ls <- Gen.listOfN(nl, iv); rs <- Gen.listOfN(nr, iv)
+      w <- Gen.oneOf(1L, 7L, 60L, 600L)
+    } yield (
+      ls.zipWithIndex.map { case ((k, s, len), i) =>
+        (i.toLong, k, s, s + len) },
+      rs.zipWithIndex.map { case ((k, s, len), i) =>
+        (100L + i, k, s, s + len) },
+      w)
+  }
+
+  property("interval overlap equals the naive scan; every pair ONCE") =
+    Prop.forAll(genOverlap) { case (ls, rs, w) =>
+      import spark.implicits._
+      def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+      val lDf = ls.map { case (id, k, s, e) => (id, k, ts(s), ts(e)) }
+        .toDF("lid", "l_key", "l_start", "l_end")
+      val rDf = rs.map { case (id, k, s, e) => (id, k, ts(s), ts(e)) }
+        .toDF("rid", "r_key", "r_start", "r_end")
+      // sorted Seq, not Set: a pair emitted twice must FAIL, not collapse
+      val got = graft.ext.RangeJoin.intervalOverlap(lDf, rDf,
+          "l_key", "r_key", "l_start", "l_end", "r_start", "r_end",
+          bucketSeconds = w)
+        .select("lid", "rid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      val want = (for {
+        (lid, lk, s1, e1) <- ls
+        (rid, rk, s2, e2) <- rs
+        if lk == rk && s1 < e2 && s2 < e1 && e1 > s1 && e2 > s2
+      } yield (lid, rid)).sorted
+      (got == want) :| s"w=$w got=$got want=$want"
+    }
+
   // ----------------------------------------------------------------- scd2
   private val genFeed: Gen[List[(Long, String, Long, String)]] = for {
     n <- Gen.choose(1, 20)
