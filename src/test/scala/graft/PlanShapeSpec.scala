@@ -254,6 +254,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("interval overlap join: hash equi-join on (key, bucket), no BNL") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val e = Tables.events(spark, dir)
+    def win(t: String, idAs: String, keyAs: String, sAs: String,
+            eAs: String) =
+      e.filter(col("event_type") === t).select(
+        col("event_id").as(idAs), col("user_id").as(keyAs),
+        col("ts").as(sAs), (col("ts") + expr("INTERVAL 60 MINUTES")).as(eAs))
+    val plan = executed(graft.ext.RangeJoin.intervalOverlap(
+      win("view", "v_id", "v_user", "v_start", "v_end"),
+      win("click", "c_id", "c_user", "c_start", "c_end"),
+      "v_user", "c_user", "v_start", "v_end", "c_start", "c_end", 3600L))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
   test("compaction plan windows per partition dir, never globally") {
     val inv = Tables.documents(spark, dir)
       .groupBy(org.apache.spark.sql.functions.col("lang"),

@@ -181,6 +181,48 @@ object Round8PropertySpec extends Properties("round8") {
       (got == want) :| s"w=$w got=$got want=$want"
     }
 
+  // ------------------------------------------------------------ corrStats
+  property("corrStats equals exact BigInt co-moments + fixed-order finish") =
+    Prop.forAll(genMoney, genMoney) { (xsRaw, ysRaw) =>
+      import spark.implicits._
+      val rows = xsRaw.zip(ysRaw).map { case ((g, x), (_, y)) =>
+        (g, x / 100.0, y / 100.0) }
+      val df = rows.toDF("g", "x", "y")
+      val got = Olap.corrStats(df, "g", "x", "y").collect()
+        .map(r => (r.getString(0),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+      val want = rows.groupBy(_._1).map { case (g, rs) =>
+        val xs = rs.map(r => BigInt(math.floor(r._2 * 100 + 0.5).toLong))
+        val ys = rs.map(r => BigInt(math.floor(r._3 * 100 + 0.5).toLong))
+        val n = BigInt(rs.size)
+        val varx = n * xs.map(v => v * v).sum - xs.sum * xs.sum
+        val vary = n * ys.map(v => v * v).sum - ys.sum * ys.sum
+        val cov = n * xs.zip(ys).map { case (a, b) => a * b }.sum -
+          xs.sum * ys.sum
+        g -> (if (varx.toDouble == 0.0 || vary.toDouble == 0.0) None
+          else Some(round4(cov.toDouble /
+            (math.sqrt(varx.toDouble) * math.sqrt(vary.toDouble)))))
+      }
+      (got == want) :| s"got=$got want=$want"
+    }
+
+  // -------------------------------------------------------------- keySkew
+  property("keySkew matches the counting oracle with its exact per-mille") =
+    Prop.forAll(Gen.listOf(Gen.oneOf("a", "b", "c", "d")), Gen.choose(1, 4)) {
+      (keys, k) =>
+        import spark.implicits._
+        (keys.nonEmpty) ==> {
+          val got = graft.ext.Skew.keySkew(keys.toDF("key"), "key", k)
+            .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+            .toSeq
+          val total = keys.size.toLong
+          val want = keys.groupBy(identity).map { case (key, g) =>
+            (key, g.size.toLong, g.size.toLong * 1000 / total) }
+            .toSeq.sortBy(r => (-r._2, r._1)).take(k)
+          (got == want) :| s"k=$k got=$got want=$want"
+        }
+    }
+
   // ----------------------------------------------------------------- scd2
   private val genFeed: Gen[List[(Long, String, Long, String)]] = for {
     n <- Gen.choose(1, 20)
