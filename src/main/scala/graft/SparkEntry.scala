@@ -422,6 +422,14 @@ object SparkEntry {
       graft.ext.Sampling.quotaSample(Tables.documents(s, dir),
           "source", "doc_id", "text", quota = 8)
         .orderBy("source", "rnk")),
+    // Reproducible 80/10/10 train/val/test assignment — membership is a
+    // pure function of the text (Sampling.threeWaySplit scaladoc:
+    // append-stable, leak-proof under duplication, zero shuffles)
+    "sample_split" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Sampling.threeWaySplit(Tables.documents(s, dir), "text",
+          trainPct = 80, valPct = 10)
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id")),
     // Incremental-ingest dedup: sources 0-9 play the already-accepted
     // corpus (persisted as a 32-byte/doc fingerprint index), sources
     // 10-19 the new batch — survivors are batch docs whose content the
@@ -616,6 +624,12 @@ object SparkEntry {
     // (Events.cumulativeUsers scaladoc: no running count DISTINCT) -----
     "events_cumusers" -> ((s: SparkSession, dir: String) =>
       Events.cumulativeUsers(Tables.events(s, dir))
+        .orderBy("day")),
+    // ----- DAU / trailing-7-day-MAU stickiness via bounded contribution
+    // explode (Events.stickiness scaladoc: exact rolling distinct with
+    // no rolling state) -----
+    "events_stickiness" -> ((s: SparkSession, dir: String) =>
+      Events.stickiness(Tables.events(s, dir), windowDays = 7)
         .orderBy("day")),
     "join_revenue" -> ((s: SparkSession, dir: String) =>
       Events.revenueBySegment(Tables.orders(s, dir), Tables.customer(s, dir))
@@ -1838,6 +1852,18 @@ object SparkEntry {
          |GROUP BY lang ORDER BY lang""".stripMargin),
     // the same Rabin-Karp fold as text_fingerprint decides membership, so
     // the oracle reproduces the exact subset, not a statistical twin
+    // the identical Rabin–Karp fold mod 100 with the 80/90 cut points
+    "sample_split" ->
+      ("""WITH fp AS (
+         |  SELECT doc_id,
+         |    CAST(list_reduce([CAST(ascii(c) AS BIGINT) for c in string_split(text, '')],
+         |         (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT) % 100 AS b
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM fp ORDER BY doc_id""".stripMargin),
     "sample_hash" ->
       ("""WITH fp AS (
          |  SELECT doc_id, lang,
@@ -2168,6 +2194,23 @@ object SparkEntry {
          |    AS BIGINT) AS n_returning
          |FROM a JOIN f USING (user_id)
          |GROUP BY day ORDER BY day""".stripMargin),
+    // same contribution-explode rolling distinct and integer per-mille
+    "events_stickiness" ->
+      ("""WITH a AS (
+         |  SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events
+         |), dau AS (
+         |  SELECT d, count(*) AS dau FROM a GROUP BY d
+         |), contrib AS (
+         |  SELECT user_id,
+         |    unnest(generate_series(d, d + INTERVAL 6 DAY,
+         |      INTERVAL 1 DAY)) AS d
+         |  FROM a
+         |), mau AS (
+         |  SELECT d, count(DISTINCT user_id) AS mau FROM contrib GROUP BY d
+         |)
+         |SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau, mau,
+         |  (dau * 1000) // mau AS stickiness_pm
+         |FROM dau JOIN mau USING (d) ORDER BY day""".stripMargin),
     // first-seen counts over EVERY active day (zero-new days included),
     // cumsum'd over the per-day frame
     "events_cumusers" ->

@@ -171,6 +171,34 @@ object Events {
       .withColumn("n_returning", col("n_active") - col("n_new"))
   }
 
+  /** DAU / trailing-window MAU stickiness per day. Exact rolling distinct
+    * without rolling-distinct state: the distinct (user, day) activity
+    * frame is built once, then each active day CONTRIBUTES itself to the
+    * `windowDays` following days (a bounded explode of the metadata-sized
+    * frame, ×windowDays), and the trailing distinct collapses to a plain
+    * count(DISTINCT) per (target day, user) — no window function ever
+    * sees user-level data. Days with zero activity emit no row (there is
+    * nothing to report a ratio against). Ratio = exact integer per-mille,
+    * like [[graft.ext.Skew.keySkew]]. */
+  def stickiness(events: DataFrame, windowDays: Int = 30): DataFrame = {
+    require(windowDays > 0, s"windowDays must be positive, got $windowDays")
+    val activity = events
+      .select(date_trunc("day", col("ts")).as("d"), col("user_id"))
+      .distinct()
+    val dau = activity.groupBy(col("d"))
+      .agg(count(lit(1)).as("dau"))
+    val contrib = activity.select(col("user_id"),
+      explode(sequence(col("d"),
+        col("d") + expr(s"INTERVAL ${windowDays - 1} DAYS"),
+        expr("INTERVAL 1 DAY"))).as("d"))
+    val mau = contrib.groupBy(col("d"))
+      .agg(count_distinct(col("user_id")).as("mau"))
+    dau.join(mau, Seq("d"))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("mau"),
+        expr("(dau * 1000) div mau").as("stickiness_pm"))
+  }
+
   /** Cumulative unique users by day — the growth curve: each day's new
     * users (first-ever activity, via [[newVsReturning]]'s frame) plus
     * the running total. A running count(DISTINCT) is unbounded-state at

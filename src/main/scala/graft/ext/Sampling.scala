@@ -70,6 +70,26 @@ object Sampling {
       .select(col(groupCol), col(idCol), col("rnk").cast("long").as("rnk"))
   }
 
+  /** Deterministic train/val/test assignment: content hash mod 100 cut at
+    * `trainPct` and `trainPct + valPct` — the reproducible split every
+    * training pipeline needs. Because membership is a pure function of
+    * the TEXT, the split survives re-runs, repartitions, engine swaps,
+    * and incremental appends (a new document lands in its split without
+    * moving anyone else — rand()-splits reshuffle everyone). A document
+    * duplicated across snapshots always lands in the same split, so the
+    * split can never leak a near-copy across the train/eval wall by
+    * nondeterminism. Zero shuffles: one narrow scan-side expression. */
+  def threeWaySplit(df: DataFrame, textCol: String,
+                    trainPct: Int, valPct: Int): DataFrame = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"need trainPct + valPct <= 100, got $trainPct + $valPct")
+    val b = bucket(col(textCol), 100)
+    df.withColumn("split",
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
   private def bucket(text: Column, outOf: Int): Column =
     pmod(TextStats.rollingFingerprint(text), lit(outOf.toLong))
 }

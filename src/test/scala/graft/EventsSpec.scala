@@ -140,6 +140,24 @@ class EventsSpec extends SparkSpec {
       ("2024-01-02", 2L, 1L, 1L)))
   }
 
+  test("stickiness: trailing-window distinct via contribution explode") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "c", 0.0, "{}"),
+      (2L, ts("2024-01-01 11:00:00"), 2L, "c", 0.0, "{}"),
+      (3L, ts("2024-01-02 10:00:00"), 1L, "c", 0.0, "{}"),
+      (4L, ts("2024-01-04 10:00:00"), 3L, "c", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Events.stickiness(ev, windowDays = 3).orderBy("day").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    // day1: dau 2, mau(window d1) = 2; day2: dau 1, mau {1,2} = 2;
+    // day4: dau 1, mau over d2-d4 = {1 (active d2), 3} = 2
+    assert(r.toSeq == Seq(
+      ("2024-01-01", 2L, 2L, 1000L),
+      ("2024-01-02", 1L, 2L, 500L),
+      ("2024-01-04", 1L, 2L, 500L)))
+  }
+
   test("cumulativeUsers: first-seen counts accumulate; zero-new days kept") {
     import spark.implicits._
     val ev = Seq(

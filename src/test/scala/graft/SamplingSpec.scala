@@ -129,6 +129,25 @@ class SamplingSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("threeWaySplit: pure function of text, splits partition the corpus") {
+    val docs = (1L to 200L).map(i => (i, s"document number $i text"))
+      .toDF("doc_id", "text")
+    val a = graft.ext.Sampling.threeWaySplit(docs, "text", 80, 10)
+      .select("doc_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    // identical under a different partitioning — and every doc has a split
+    val b = graft.ext.Sampling.threeWaySplit(docs.repartition(7), "text",
+        80, 10)
+      .select("doc_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(a == b)
+    assert(a.map(_._2).toSet.subsetOf(Set("train", "val", "test")))
+    val shares = a.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(shares("train") > shares.getOrElse("test", 0))
+    intercept[IllegalArgumentException](
+      graft.ext.Sampling.threeWaySplit(docs, "text", 80, 30))
+  }
+
   test("decontaminate plan: broadcast anti-join on fingerprints") {
     val train = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
     val eval = Seq((3L, "b")).toDF("doc_id", "text")
