@@ -1759,8 +1759,10 @@ object SparkEntry {
          |  round(dotsum / (sqrt(norm2) * sqrt(list_dot_product(qe, qe))), 4)
          |    AS sim_pq
          |FROM agg, q ORDER BY sim_pq DESC, vec_id LIMIT 10""".stripMargin),
-    // the same double-widened dot for the norm and one division per
-    // element; zero vectors emit 0.0 like the engine
+    // the same double-widened dot for the norm, one division per element,
+    // then the portable floor-quantize into 1e-4 long units (plain IEEE
+    // ops — round() ties and -0.0 diverge across engines, integers don't);
+    // zero vectors emit 0 like the engine
     "emb_normalize" ->
       ("""WITH v AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
@@ -1769,8 +1771,9 @@ object SparkEntry {
          |)
          |SELECT vec_id,
          |  CAST(generate_subscripts(e, 1) - 1 AS BIGINT) AS pos,
-         |  CASE WHEN nrm = 0 THEN 0.0
-         |       ELSE round(unnest(e) / nrm, 4) END AS u
+         |  CASE WHEN nrm = 0 THEN 0
+         |       ELSE CAST(floor(unnest(e) / nrm * 1e4 + 0.5) AS BIGINT)
+         |  END AS u
          |FROM n ORDER BY vec_id, pos""".stripMargin),
     "emb_quantize" ->
       ("""WITH v AS (
@@ -1826,7 +1829,7 @@ object SparkEntry {
          |    (SELECT sum(cnt) FROM d) AS total
          |  FROM d
          |)
-         |SELECT (cum0 * 10) // total AS bucket,
+         |SELECT CAST((cum0 * 10) // total AS BIGINT) AS bucket,
          |  CAST(sum(cnt) AS BIGINT) AS n_docs,
          |  min(n_chars) AS min_len, max(n_chars) AS max_len
          |FROM c GROUP BY 1 ORDER BY bucket""".stripMargin),
@@ -2696,7 +2699,8 @@ object SparkEntry {
          |      AS start_off
          |  FROM inv
          |)
-         |SELECT lang, source, bytes, start_off // 15000 AS grp
+         |SELECT lang, source, bytes,
+         |  CAST(start_off // 15000 AS BIGINT) AS grp
          |FROM c ORDER BY lang, source""".stripMargin),
     // same per-doc distinct word bigrams (sub-2-token docs contribute the
     // whole text, mirroring Dedup.shingles) and the same k-boundary order

@@ -78,7 +78,7 @@ object Merge {
     * scales with the feed, not the corpus. */
   def scd2(changes: DataFrame, keyCol: String, opCol: String,
            seqCol: String): DataFrame = {
-    val reserved = Seq("__rnk")
+    val reserved = Seq("__rnk", "valid_from", "valid_to", "is_current")
     require(!changes.columns.exists(reserved.contains),
       s"column names ${reserved.mkString(",")} are reserved by Merge.scd2")
     val payload = changes.columns.toSeq.filterNot(c => c == opCol || c == seqCol)

@@ -283,16 +283,24 @@ object Similarity {
     * Exploded rows rather than an array column for the same reason as
     * [[centroidComponents]]: scalars are what an external oracle can
     * hash-compare. Row-local arithmetic riding the scan (the codegen'd
-    * [[dot]] for the norm, one division per element, rounded to 4
-    * decimals like every similarity score here); zero-vector rows emit
-    * 0.0 components instead of NaN-poisoning downstream math. */
+    * [[dot]] for the norm, one division per element).
+    *
+    * `u` is the component quantized to 1e-4 units as a LONG —
+    * `floor(x/‖v‖ · 1e4 + 0.5)` — the same plain-IEEE recipe as
+    * [[quantizeInt8]] / [[pqEncode]], bit-identical in any engine.
+    * Spark's `round` on doubles goes through BigDecimal HALF_UP and
+    * collapses `-0.0`, which diverges from other engines on
+    * representation-boundary ties; an integer quantity cannot. Divide by
+    * 1e4 to recover the unit component. Zero-vector rows emit 0
+    * components instead of NaN-poisoning downstream math. */
   def normalizeUnit(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val n = norm(col(vecCol))
     df.select(col(idCol), n.as("__n"),
         posexplode(asDouble(col(vecCol))).as(Seq("pos", "x")))
       .select(col(idCol), col("pos").cast("long").as("pos"),
-        when(col("__n") === 0d, lit(0d))
-          .otherwise(round(col("x") / col("__n"), 4)).as("u"))
+        when(col("__n") === 0d, lit(0L))
+          .otherwise(floor(col("x") / col("__n") * 1e4 + 0.5d).cast("long"))
+          .as("u"))
   }
 
   def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {

@@ -1,0 +1,104 @@
+package graft
+
+import graft.ext.Similarity
+import graft.sources.Compaction
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.propBoolean
+
+/** Properties for the round-9 certification fixes, each checked against
+  * an independent in-memory Scala oracle on random inputs:
+  *  - normalizeUnit equals the exact IEEE recipe floor(x/‖v‖·1e4 + 0.5)
+  *    (same in-order double accumulation for the norm), so the quantized
+  *    components reconstruct a unit vector within quantization error and
+  *    zero vectors emit all-zero components;
+  *  - Compaction.plan groups are contiguous runs in path order whose
+  *    bytes minus the (possibly overshooting) last file stay under the
+  *    target — greedy first-fit never splits a file and never underfills
+  *    a closed group boundary. */
+object Round9PropertySpec extends Properties("round9") {
+
+  private lazy val spark = TestSpark.spark
+
+  // --------------------------------------------------------- normalizeUnit
+  private val genVecs: Gen[List[List[Float]]] = for {
+    n <- Gen.choose(1, 8)
+    vs <- Gen.listOfN(n, for {
+      d <- Gen.choose(1, 8)
+      xs <- Gen.listOfN(d, Gen.oneOf(
+        Gen.const(0.0f),
+        Gen.choose(-100.0f, 100.0f),
+        Gen.choose(-1e-4f, 1e-4f))) // tiny components: the -0.0 trap zone
+    } yield xs)
+  } yield vs
+
+  /** The engine's norm is the codegen'd array_dot: in-order double
+    * accumulation over the widened components, then sqrt. */
+  private def l2(xs: List[Float]): Double =
+    math.sqrt(xs.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+
+  property("normalizeUnit = floor(x/norm*1e4+0.5); unit within quant err") =
+    Prop.forAll(genVecs) { vs =>
+      import spark.implicits._
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+      val got = Similarity.normalizeUnit(df, "vec_id", "embedding")
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+        .toMap
+      val want = vs.zipWithIndex.flatMap { case (v, i) =>
+        val n = l2(v)
+        v.zipWithIndex.map { case (x, p) =>
+          ((i.toLong, p.toLong),
+            if (n == 0.0) 0L
+            else math.floor(x.toDouble / n * 1e4 + 0.5).toLong)
+        }
+      }.toMap
+      val exact = got == want
+      val unit = vs.zipWithIndex.forall { case (v, i) =>
+        val ss = v.indices.map(p => {
+          val u = got((i.toLong, p.toLong)) / 1e4
+          u * u
+        }).sum
+        if (l2(v) == 0.0) ss == 0.0
+        // d components each off by ≤0.5e-4 → |Σu²−1| ≤ ~2·d·1e-4 + ε
+        else math.abs(ss - 1.0) <= 2e-3
+      }
+      (exact && unit) :| s"got=$got want=$want"
+    }
+
+  // ------------------------------------------------- compaction fill bound
+  private val genInv: Gen[(List[(String, String, Long)], Long)] = for {
+    n <- Gen.choose(0, 30)
+    rows <- Gen.listOfN(n, Gen.zip(Gen.oneOf("p1", "p2", "p3"),
+      Gen.choose(1L, 400L))) // files can exceed the 50-byte target
+    t <- Gen.oneOf(50L, 120L, 1000L)
+  } yield (rows.zipWithIndex.map { case ((p, b), i) =>
+    (p, f"f$i%03d", b) }, t)
+
+  property("compaction: contiguous groups, closed fill < target, no split") =
+    Prop.forAll(genInv) { case (rows, target) =>
+      import spark.implicits._
+      val df = rows.toDF("part", "path", "bytes")
+      val planned = Compaction.plan(df, "part", "path", "bytes", target)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3)))
+      // every input file appears exactly once — a plan never splits/drops
+      val oneRowPerFile =
+        planned.map(r => (r._1, r._2)).toSet == rows.map(r => (r._1, r._2)).toSet &&
+        planned.length == rows.size
+      val perDir = planned.groupBy(_._1).values.forall { fs =>
+        val inOrder = fs.sortBy(_._2)
+        // group ids never decrease as we walk files in path order
+        val monotone = inOrder.map(_._4).sliding(2).forall {
+          case Array(a, b) => a <= b
+          case _           => true
+        }
+        // a group's bytes minus its LAST file fit under target: only the
+        // final file may overshoot the boundary (never-split trade)
+        val fill = inOrder.groupBy(_._4).values.forall { g =>
+          g.sortBy(_._2).dropRight(1).map(_._3).sum < target
+        }
+        monotone && fill
+      }
+      (oneRowPerFile && perDir) :| s"t=$target planned=${planned.toList}"
+    }
+}

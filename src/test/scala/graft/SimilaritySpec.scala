@@ -183,14 +183,14 @@ class SimilaritySpec extends SparkSpec {
     assert(out(2)._2 < 1.0)
   }
 
-  test("normalizeUnit: components divide by the L2 norm; zero vector -> 0s") {
+  test("normalizeUnit: 1e-4-quantized components of x/norm; zero vector -> 0s") {
     import spark.implicits._
     val d = Seq((1L, Seq(3.0f, 4.0f)), (2L, Seq(0.0f, 0.0f)))
       .toDF("vec_id", "embedding")
     val out = Similarity.normalizeUnit(d, "vec_id", "embedding")
       .orderBy("vec_id", "pos").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-    assert(out.toSeq == Seq((1L, 0L, 0.6), (1L, 1L, 0.8),
-      (2L, 0L, 0.0), (2L, 1L, 0.0)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 0L, 6000L), (1L, 1L, 8000L),
+      (2L, 0L, 0L), (2L, 1L, 0L)))
   }
 }

@@ -5,9 +5,16 @@ Usage: python3 tools/check_oracle.py <sfdir> <verify_outdir>
 
 For each <name> dir in outdir: read the Spark parquet result, run
 oracle_sql.json[<name>] in DuckDB with views over the sf tables, compare
-schema (column name sets), row counts, and exact values (columns sorted by
-name, row order as produced). Prints a per-query PASS/FAIL table and the
-first diff for failures.
+schema (column name sets), per-column Arrow dtypes, row counts, and
+canonical cell values (columns sorted by name, row order as produced).
+Prints a per-query PASS/FAIL table and the first diff for failures.
+
+Cells are compared as (arrow dtype, repr(value)) — NOT Python equality —
+because the driver hashes a canonical serialization. Python `==` treats
+-0.0 == 0.0 and Decimal(HUGEINT) == int(BIGINT), which is exactly how
+three round-8 queries shipped locally green but failed the driver's hash
+gate. repr() distinguishes both (repr(-0.0) = '-0.0'; a Decimal reprs as
+Decimal('…')), so local green implies driver green.
 """
 import json
 import math
@@ -16,6 +23,7 @@ import sys
 
 import duckdb
 
+
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
@@ -23,12 +31,19 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return v
-    return v
+        return repr(v)  # shortest-roundtrip; keeps the -0.0 sign
+    return repr(v)  # Decimal('5') != 5, so HUGEINT leaks are visible
 
 
-def rows_of(rel):
-    return [tuple(canon(v) for v in row) for row in rel.fetchall()]
+def cells_of(rel):
+    """(sorted cols, {col: dtype}, rows as tuples of canonical reprs)."""
+    tbl = rel.arrow()
+    cols = sorted(tbl.column_names)
+    types = {c: str(tbl.schema.field(c).type) for c in cols}
+    col_vals = [tbl.column(c).to_pylist() for c in cols]
+    rows = [tuple(canon(col[i]) for col in col_vals)
+            for i in range(tbl.num_rows)]
+    return cols, types, rows
 
 
 def main(sfdir, outdir):
@@ -50,15 +65,18 @@ def main(sfdir, outdir):
             print(f"{name:22s} FAIL oracle-sql-error: {e}")
             n_fail += 1
             continue
-        scols = sorted(spark_rel.columns)
-        dcols = sorted(duck_rel.columns)
+        scols, stypes, srows = cells_of(spark_rel)
+        dcols, dtypes, drows = cells_of(duck_rel)
         if scols != dcols:
             print(f"{name:22s} FAIL schema spark={scols} duck={dcols}")
             n_fail += 1
             continue
-        sq = spark_rel.project(", ".join(f'"{c}"' for c in scols))
-        dq = duck_rel.project(", ".join(f'"{c}"' for c in scols))
-        srows, drows = rows_of(sq), rows_of(dq)
+        if stypes != dtypes:
+            bad = {c: (stypes[c], dtypes[c]) for c in scols
+                   if stypes[c] != dtypes[c]}
+            print(f"{name:22s} FAIL dtype (spark, duck) per col: {bad}")
+            n_fail += 1
+            continue
         if len(srows) != len(drows):
             print(f"{name:22s} FAIL rows spark={len(srows)} duck={len(drows)}")
             n_fail += 1
