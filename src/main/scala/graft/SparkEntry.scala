@@ -343,6 +343,27 @@ object SparkEntry {
       Similarity.quantizeInt8(Tables.embeddings(s, dir), "vec_id",
           "embedding")
         .orderBy("vec_id", "pos")),
+    // ----- SemDeDup-shape semantic dedup inside label clusters
+    // (Similarity.semDedupSurvivors scaladoc: cluster-local pair search,
+    // capped loudly). The synthetic embeddings have no natural near-dups
+    // (max within-label cosine ≈ 0.47), so planted signal: scaled copies
+    // (cosine 1 → must drop) AND negated copies (cosine −1 → must
+    // survive) — pure vec_id arithmetic the oracle replays, exact float
+    // ops (×2, negate are exponent/sign-bit changes) -----
+    "dedup_semantic" -> ((s: SparkSession, dir: String) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"), col("embedding"))
+      val planted = emb.filter(col("vec_id") % 9 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("label"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+        .union(emb.filter(col("vec_id") % 11 === 0)
+          .select((col("vec_id") + 200000L).as("vec_id"), col("label"),
+            transform(col("embedding"), x => -x).as("embedding")))
+      Similarity.semDedupSurvivors(emb.union(planted), "vec_id",
+          "embedding", "label", threshold = 0.99)
+        .select(col("vec_id"), col("label"))
+        .orderBy("vec_id")
+    }),
     // Per-label mean embedding (average pooling) — the class-prototype /
     // cluster-seed primitive. Decimal accumulation keeps the mean exact
     // and order-independent (a double sum would vary with partitioning).
@@ -965,6 +986,30 @@ object SparkEntry {
         .filter(col("lang") === "en")
         .select(col("doc_id"), col("n_chars"))
         .orderBy("doc_id")
+    }),
+    // ----- transactional manifest-log table (TxTable scaladoc: atomic
+    // create-exclusive publish, snapshot isolation, time travel). The
+    // commit sequence overwrite(en) -> append(de) -> overwrite(fr) is
+    // replayed as three versioned snapshot reads: v1/v2 prove history
+    // stays readable after later commits, v2 proves append accumulates,
+    // v3 proves overwrite replaces -----
+    "sink_txlog" -> ((s: SparkSession, dir: String) => {
+      val tbl = java.nio.file.Files.createTempDirectory("graft-tx-")
+        .toString + "/tbl"
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "en"), tbl, "overwrite")
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "de"), tbl, "append")
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "fr"), tbl, "overwrite")
+      Seq(1L, 2L, 3L).map(v =>
+          graft.sources.TxTable.readVersion(s, tbl, v)
+            .select(lit(v).as("version"), col("doc_id"), col("lang"),
+              col("n_chars")))
+        .reduce(_.union(_))
+        .orderBy("version", "doc_id")
     }),
     // ----- JSONL codec round trip: events (incl. the JSON-in-string
     // props column — the quoting torture case) serialized to JSON lines
@@ -1775,6 +1820,32 @@ object SparkEntry {
          |       ELSE CAST(floor(unnest(e) / nrm * 1e4 + 0.5) AS BIGINT)
          |  END AS u
          |FROM n ORDER BY vec_id, pos""".stripMargin),
+    // the same planted corpus (×2 / negated copies via exact float ops),
+    // the same lower-id drop rule on cluster-local rounded cosine
+    "dedup_semantic" ->
+      ("""WITH base AS (
+         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM embeddings
+         |), corpus AS (
+         |  SELECT vec_id, label, e FROM base
+         |  UNION ALL
+         |  SELECT vec_id + 100000, label, list_transform(e, x -> x * 2)
+         |  FROM base WHERE vec_id % 9 = 0
+         |  UNION ALL
+         |  SELECT vec_id + 200000, label, list_transform(e, x -> -x)
+         |  FROM base WHERE vec_id % 11 = 0
+         |), n AS (
+         |  SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS nrm
+         |  FROM corpus
+         |), dropped AS (
+         |  SELECT DISTINCT b.vec_id AS d
+         |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4)
+         |          >= 0.99
+         |)
+         |SELECT vec_id, label FROM corpus
+         |WHERE vec_id NOT IN (SELECT d FROM dropped)
+         |ORDER BY vec_id""".stripMargin),
     "emb_quantize" ->
       ("""WITH v AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
@@ -2672,6 +2743,18 @@ object SparkEntry {
     "sink_partitioned" ->
       ("""SELECT doc_id, n_chars FROM documents
          |WHERE lang = 'en' ORDER BY doc_id""".stripMargin),
+    // three literal-version snapshot selects replaying the commit
+    // sequence: overwrite(en) -> append(de) -> overwrite(fr)
+    "sink_txlog" ->
+      ("""SELECT CAST(1 AS BIGINT) AS version, doc_id, lang, n_chars
+         |FROM documents WHERE lang = 'en'
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), doc_id, lang, n_chars
+         |FROM documents WHERE lang IN ('en', 'de')
+         |UNION ALL
+         |SELECT CAST(3 AS BIGINT), doc_id, lang, n_chars
+         |FROM documents WHERE lang = 'fr'
+         |ORDER BY version, doc_id""".stripMargin),
     // the JSONL round trip must reproduce the original table — if the
     // codec mangles quoting, escapes, or numerics, the hash breaks
     "source_jsonl" ->

@@ -303,6 +303,55 @@ object Similarity {
           .as("u"))
   }
 
+  /** SemDeDup-shape semantic deduplication: inside each cluster
+    * (`groupCol` — the same honest k-means stand-in as [[ivfTopK]]'s
+    * cells and [[pqCodebook]]'s labels), a row is a semantic duplicate
+    * when some LOWER-id member of its cluster has cosine ≥ `threshold`;
+    * the survivors are everything else. The cluster-local pair search is
+    * the entire point of the SemDeDup recipe (Abbas et al.,
+    * arXiv:2303.09540): dedup work is Σ|cluster|², bounded by clustering
+    * granularity — at 100 TB you size |clusters| ∝ √N precisely so this
+    * stays near-linear — never corpus-global all-pairs.
+    *
+    * The drop rule compares against every lower id, not only surviving
+    * ones: one pass, no iterative dependency, deterministic on any
+    * engine, and the usual production simplification of the paper's
+    * keep-one-representative rule.
+    *
+    * Plan shape: norms are computed once per row before the join; the
+    * self-join keys on the cluster id (hash equi-join — pairs never
+    * cross clusters); survivors come from one anti-join on the distinct
+    * dropped-id set. `maxClusterRows` rejects a degenerate clustering
+    * loudly (one metadata-sized agg) instead of quietly planning a
+    * quadratic blow-up — the same contract as [[nearDupPairs]]'s cap. */
+  def semDedupSurvivors(df: DataFrame, idCol: String, vecCol: String,
+                        groupCol: String, threshold: Double,
+                        maxClusterRows: Long = 100000L): DataFrame = {
+    if (maxClusterRows > 0) {
+      val top = df.groupBy(col(groupCol)).count().agg(max("count")).head()
+      val biggest = if (top.isNullAt(0)) 0L else top.getLong(0)
+      if (biggest > maxClusterRows)
+        throw new IllegalStateException(
+          s"semDedupSurvivors: largest cluster has $biggest rows (> cap " +
+            s"$maxClusterRows) — within-cluster pair search is O(|c|²). " +
+            "Refine the clustering (more cells) or raise the cap " +
+            "explicitly for a bounded corpus.")
+    }
+    val v = df.select(col(idCol).cast("long").as("__id"),
+      col(groupCol).as("__grp"), col(vecCol).as("__v"),
+      norm(col(vecCol)).as("__nrm"))
+    val a = v.alias("a")
+    val b = v.alias("b")
+    val dropped = a.join(b,
+        col("a.__grp") === col("b.__grp") && col("a.__id") < col("b.__id"))
+      .select(col("b.__id").as("__dropped"),
+        round(array_dot(col("a.__v"), col("b.__v")) /
+          (col("a.__nrm") * col("b.__nrm")), 4).as("__sim"))
+      .filter(col("__sim") >= threshold)
+      .select(col("__dropped")).distinct()
+    df.join(dropped, col(idCol).cast("long") === col("__dropped"), "left_anti")
+  }
+
   def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val v = asDouble(col(vecCol))
     val scale = array_max(transform(v, x => abs(x)))

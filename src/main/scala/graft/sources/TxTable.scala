@@ -1,0 +1,154 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Transactional parquet table via a manifest log — the minimal
+  * Delta/Iceberg-shaped commit contract a long-lived 100 TB corpus needs
+  * on top of raw directories: atomic visibility (a reader never sees a
+  * half-written commit), snapshot isolation (a query reads ONE version's
+  * file list, concurrent writers never corrupt it), optimistic
+  * concurrency (two writers racing the same version: exactly one wins,
+  * the other fails LOUDLY instead of silently interleaving files), and
+  * time travel (every historical version stays readable until vacuumed).
+  *
+  * Layout:
+  * {{{
+  *   <table>/data/<commit-uuid>/part-*.parquet   — immutable data files
+  *   <table>/_txlog/v00001.json …                — one manifest per version
+  * }}}
+  *
+  * A manifest is the FULL file list of its version (plus schema and the
+  * op that produced it) — O(live files) metadata, read in one pass, no
+  * log replay. Data files are immutable and shared across versions:
+  * `append` writes only the new files and lists old + new; `overwrite`
+  * lists only the new ones, leaving prior versions' files for time
+  * travel.
+  *
+  * Commit protocol (single-filesystem): data files land first under a
+  * commit-unique directory no reader references yet; the manifest is
+  * fully written to a temp name, then PUBLISHED with an atomic
+  * create-exclusive link — `Files.createLink(target, tmp)` fails with
+  * `FileAlreadyExistsException` when the version was taken, which is the
+  * entire conflict check. POSIX link(2) is atomic; an object store would
+  * swap this single primitive for a conditional PUT / commit service,
+  * exactly as the published lakehouse designs do.
+  *
+  * Scale notes: commits move only metadata through the driver (the file
+  * listing — O(files), never rows); reads hand Spark the resolved file
+  * list so planning, pruning, and scan parallelism are plain parquet.
+  */
+object TxTable {
+
+  private val LogDir = "_txlog"
+
+  final case class Manifest(version: Long, op: String, schemaJson: String,
+                            files: Seq[String])
+
+  /** Commit `df` as the next version. `mode` is "overwrite" (the new
+    * version is exactly this frame) or "append" (this frame plus the
+    * previous version's files). Returns the committed version number.
+    * Throws `java.nio.file.FileAlreadyExistsException` when another
+    * writer took the version first — the caller decides whether the
+    * operation is idempotent enough to retry. */
+  def commit(df: DataFrame, tableDir: String, mode: String): Long = {
+    require(mode == "overwrite" || mode == "append",
+      s"mode must be overwrite|append, got '$mode'")
+    val root = Paths.get(tableDir)
+    Files.createDirectories(root.resolve(LogDir))
+    val prev = latestVersion(tableDir).map(v => readManifest(root, v))
+    prev.foreach { m =>
+      require(DataType.fromJson(m.schemaJson) == df.schema || mode == "overwrite",
+        s"append schema ${df.schema.simpleString} does not match table " +
+          s"schema ${DataType.fromJson(m.schemaJson).simpleString}")
+    }
+    val commitId = java.util.UUID.randomUUID().toString
+    val dataRel = s"data/$commitId"
+    df.write.parquet(root.resolve(dataRel).toString)
+    val newFiles = Files.list(root.resolve(dataRel)).iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .map(p => s"$dataRel/${p.getFileName}").toSeq.sorted
+    val carried =
+      if (mode == "append") prev.map(_.files).getOrElse(Seq.empty)
+      else Seq.empty
+    val version = prev.map(_.version + 1).getOrElse(1L)
+    val manifest = Manifest(version, mode, df.schema.json,
+      carried ++ newFiles)
+    publish(root, manifest)
+    version
+  }
+
+  /** Latest committed version, if any commit has ever succeeded. */
+  def latestVersion(tableDir: String): Option[Long] = {
+    val log = Paths.get(tableDir).resolve(LogDir)
+    if (!Files.isDirectory(log)) None
+    else {
+      val vs = Files.list(log).iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case VersionName(v) => v }.toSeq
+      if (vs.isEmpty) None else Some(vs.max)
+    }
+  }
+
+  /** Read the latest snapshot. Loud on a never-committed table — an
+    * empty frame would silently hide a wrong path. */
+  def read(spark: SparkSession, tableDir: String): DataFrame =
+    readVersion(spark, tableDir,
+      latestVersion(tableDir).getOrElse(throw new IllegalStateException(
+        s"no committed version under $tableDir/$LogDir")))
+
+  /** Time travel: read exactly version `v`'s snapshot. */
+  def readVersion(spark: SparkSession, tableDir: String, v: Long): DataFrame = {
+    val root = Paths.get(tableDir)
+    val m = readManifest(root, v)
+    val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    if (m.files.isEmpty) spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema)
+      .parquet(m.files.map(f => root.resolve(f).toString): _*)
+  }
+
+  // ------------------------------------------------------------ internals
+
+  private object VersionName {
+    private val P = "^v(\\d{5,})\\.json$".r
+    def unapply(name: String): Option[Long] = name match {
+      case P(d) => Some(d.toLong)
+      case _    => None
+    }
+  }
+
+  private def manifestPath(root: Path, v: Long): Path =
+    root.resolve(LogDir).resolve(f"v$v%05d.json")
+
+  /** Write fully to a temp name, then atomically create-exclusive link it
+    * into place. The link is the commit point: it either publishes a
+    * complete manifest or fails because the version exists. */
+  private def publish(root: Path, m: Manifest): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    node.put("version", m.version)
+    node.put("op", m.op)
+    node.put("schema", m.schemaJson)
+    val arr = node.putArray("files")
+    m.files.foreach(arr.add)
+    val tmp = root.resolve(LogDir)
+      .resolve(s".tmp-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, mapper.writeValueAsBytes(node))
+    try Files.createLink(manifestPath(root, m.version), tmp)
+    finally Files.deleteIfExists(tmp): Unit
+  }
+
+  private def readManifest(root: Path, v: Long): Manifest = {
+    val p = manifestPath(root, v)
+    require(Files.exists(p), s"version $v does not exist under $root")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(Files.readAllBytes(p))
+    Manifest(node.get("version").asLong(), node.get("op").asText(),
+      node.get("schema").asText(),
+      node.get("files").elements().asScala.map(_.asText()).toSeq)
+  }
+}

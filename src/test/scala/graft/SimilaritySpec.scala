@@ -183,6 +183,31 @@ class SimilaritySpec extends SparkSpec {
     assert(out(2)._2 < 1.0)
   }
 
+  test("semDedupSurvivors: lower-id cosine-dup dropped, negation kept, " +
+      "clusters isolated") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, Seq(1.0f, 0.0f), 0),
+      (1L, Seq(2.0f, 0.0f), 0),  // scaled copy of 0 -> cos 1 -> dropped
+      (2L, Seq(-1.0f, 0.0f), 0), // negation -> cos -1 -> kept
+      (3L, Seq(1.0f, 0.0f), 1)   // same direction as 0 but OTHER cluster
+    ).toDF("vec_id", "embedding", "label")
+    val kept = Similarity.semDedupSurvivors(d, "vec_id", "embedding",
+      "label", threshold = 0.99).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 2L, 3L))
+  }
+
+  test("semDedupSurvivors: degenerate clustering is rejected loudly") {
+    import spark.implicits._
+    val d = (0L to 9L).map(i => (i, Seq(i.toFloat, 1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val e = intercept[IllegalStateException](
+      Similarity.semDedupSurvivors(d, "vec_id", "embedding", "label",
+        threshold = 0.9, maxClusterRows = 5L))
+    assert(e.getMessage.contains("largest cluster"))
+  }
+
   test("normalizeUnit: 1e-4-quantized components of x/norm; zero vector -> 0s") {
     import spark.implicits._
     val d = Seq((1L, Seq(3.0f, 4.0f)), (2L, Seq(0.0f, 0.0f)))
