@@ -935,6 +935,20 @@ object SparkEntry {
       TextStats.vocabEncode(Tables.documents(s, dir), "doc_id", "text",
           vocabSize = 1000)
         .orderBy("doc_id", "pos")),
+    // ----- greedy longest-prefix subword encoding (TextStats
+    // .subwordEncode scaladoc: corpus-derived piece vocab, distinct-word
+    // tokenizer cache, row-local fold). The natural corpus is a 31-word
+    // pool where every word would be its own piece, so compound words
+    // glued from corpus terms + digit suffixes are planted (pure doc_id
+    // arithmetic the oracle replays) to give the splitter real
+    // multi-piece work and exercise the character fallback -----
+    "text_subword" -> ((s: SparkSession, dir: String) => {
+      val comp = Tables.documents(s, dir).select(concat(col("text"),
+        lit(" scancolumn"), (col("doc_id") % 10).cast("string"),
+        lit(" columnscan"), (col("doc_id") % 7).cast("string")).as("text"))
+      TextStats.subwordEncode(comp, "text", topK = 16)
+        .orderBy("word", "piece_pos")
+    }),
     // ----- hashing-trick bag-of-words (TextStats.hashVectorize scaladoc:
     // no vocabulary, certified bucket assignment via the portable poly
     // hash) -----
@@ -2648,6 +2662,44 @@ object SparkEntry {
          |FROM c ORDER BY doc_id, chunk_idx""".stripMargin),
     // same deterministic vocab rank (count desc, term) and -1 unknowns;
     // DuckDB's parallel unnests zip, giving the same (pos, term) pairs
+    // the same compound decoration, vocab derivation (top-16 by
+    // (freq DESC, word) + distinct characters), and greedy
+    // longest-prefix walk — the recursion step IS the engine's fold step
+    "text_subword" ->
+      ("""WITH RECURSIVE comp AS (
+         |  SELECT text || ' scancolumn' || (doc_id % 10)
+         |              || ' columnscan' || (doc_id % 7) AS text
+         |  FROM documents
+         |), occ AS (
+         |  SELECT unnest(list_filter(string_split(text, ' '),
+         |                            w -> w <> '')) AS word
+         |  FROM comp
+         |), top AS (
+         |  SELECT word AS piece FROM occ GROUP BY word
+         |  ORDER BY count(*) DESC, word LIMIT 16
+         |), dw AS (
+         |  SELECT DISTINCT word FROM occ
+         |), chars AS (
+         |  SELECT DISTINCT unnest(string_split(word, '')) AS piece FROM dw
+         |), vocab AS (
+         |  SELECT list(DISTINCT piece) AS vs, max(len(piece)) AS ml
+         |  FROM (SELECT piece FROM top UNION SELECT piece FROM chars)
+         |), enc AS (
+         |  SELECT word, word AS rem, CAST(0 AS BIGINT) AS pp,
+         |    CAST(NULL AS VARCHAR) AS piece
+         |  FROM dw
+         |  UNION ALL
+         |  SELECT word, substring(rem, len(m) + 1, 100000000), pp + 1, m
+         |  FROM (
+         |    SELECT e.word, e.rem, e.pp,
+         |      list_filter(list_transform(range(least(len(e.rem), v.ml),
+         |          0, -1), l -> substring(e.rem, 1, l)),
+         |        p -> list_contains(v.vs, p))[1] AS m
+         |    FROM enc e, vocab v WHERE len(e.rem) > 0
+         |  )
+         |)
+         |SELECT word, pp AS piece_pos, piece FROM enc
+         |WHERE piece IS NOT NULL ORDER BY word, piece_pos""".stripMargin),
     "text_vocab_encode" ->
       ("""WITH tp AS (
          |  SELECT doc_id,

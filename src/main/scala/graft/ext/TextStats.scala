@@ -333,6 +333,72 @@ object TextStats {
         coalesce(col("tok_id"), lit(-1L)).as("tok_id"))
   }
 
+  /** Greedy longest-prefix subword encoding — the tokenizer-exact step
+    * past [[vocabEncode]]'s word ids: each DISTINCT word is split into
+    * vocabulary pieces by repeated longest-prefix match (the WordPiece /
+    * BPE-inference greedy rule). The piece vocabulary derives from the
+    * corpus itself: the `topK` most frequent words (freq desc, then word —
+    * deterministic ties) plus every single character of the distinct
+    * words, so the match always progresses and unknown words degrade to
+    * characters instead of failing.
+    *
+    * Scale shape: encoding runs over DISTINCT words (the tokenizer-cache
+    * trick — occurrence-level ids are one broadcast join away), the
+    * greedy loop is a row-local HOF fold (`aggregate` over the word's
+    * length — each step consumes ≥1 character), and the vocabulary is
+    * METADATA-sized by construction (topK + charset, a few KB) so it
+    * ships as a plan literal, not a join. Driver work is two bounded
+    * collects — the same contract as [[graft.ext.Bloom]]'s word cap.
+    *
+    * Output: (word, piece_pos ≥ 1, piece) — one row per emitted piece in
+    * greedy order, exploded scalars for oracle comparability. */
+  def subwordEncode(df: DataFrame, textCol: String, topK: Int = 16,
+                    maxChars: Int = 2048): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    val words = df.select(explode(filter(toks(col(textCol)),
+      w => w =!= "")).as("word"))
+    val top = words.groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word").asc).limit(topK)
+      .select("word").collect().map(_.getString(0)).toSeq
+    val dwords = words.distinct()
+    val chars = dwords
+      .select(explode(filter(split(col("word"), ""), c => c =!= "")).as("c"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    require(chars.size <= maxChars,
+      s"corpus has ${chars.size} distinct characters (> cap $maxChars) — " +
+        "a binary/multilingual blob corpus wants a byte-level vocabulary, " +
+        "not this character fallback")
+    val vocab = (top ++ chars).distinct
+    val maxLen = vocab.map(_.length).max
+    val inVocab = typedLit(vocab.map(_ -> 1).toMap)
+    val enc = dwords.select(col("word"),
+      aggregate(
+        sequence(lit(1), length(col("word"))),
+        struct(col("word").as("rem"),
+          array().cast("array<string>").as("ps")),
+        (acc, _) => {
+          val rem = acc.getField("rem")
+          // longest vocab piece prefixing the remainder: candidate
+          // lengths descend, first hit wins
+          val m = element_at(
+            filter(
+              transform(sequence(least(length(rem), lit(maxLen)), lit(1),
+                lit(-1)), l => rem.substr(lit(1), l)),
+              p => element_at(inVocab, p).isNotNull),
+            1)
+          val go = length(rem) > 0 && m.isNotNull
+          struct(
+            when(go, rem.substr(length(m) + 1, lit(Int.MaxValue)))
+              .otherwise(rem).as("rem"),
+            when(go, concat(acc.getField("ps"), array(m)))
+              .otherwise(acc.getField("ps")).as("ps"))
+        }).getField("ps").as("ps"))
+    enc.select(col("word"),
+      posexplode(col("ps")).as(Seq("piece_pos", "piece")))
+      .select(col("word"),
+        (col("piece_pos") + 1).cast("long").as("piece_pos"), col("piece"))
+  }
+
   /** Sliding-window token chunking — the RAG / context-window splitting
     * step: fixed `chunk`-token windows every `stride` tokens (overlap =
     * chunk − stride). Emits (doc, chunk_idx, chunk_len, first/last term)

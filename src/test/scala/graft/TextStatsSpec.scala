@@ -365,4 +365,32 @@ class TextStatsSpec extends SparkSpec {
     // len 9 (cum0=9) -> b3. No bucket contains part of the len-7 run.
     assert(out.toSeq == Seq((0L, 9L, 1L, 7L), (3L, 1L, 9L, 9L)))
   }
+
+  test("subwordEncode: greedy longest-prefix with character fallback") {
+    import spark.implicits._
+    // 'the' dominates (3 occurrences) so topK=1 puts only 'the' in the
+    // multi-char vocab; every other piece is a character
+    val d = Seq("the the the cat", "thecatx the").toDF("text")
+    val out = TextStats.subwordEncode(d, "text", topK = 1)
+      .orderBy("word", "piece_pos").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(out.toSeq == Seq(
+      ("cat", 1L, "c"), ("cat", 2L, "a"), ("cat", 3L, "t"),
+      ("the", 1L, "the"),
+      // greedy takes the LONGEST prefix 'the', never 't'+'h'+'e'
+      ("thecatx", 1L, "the"), ("thecatx", 2L, "c"), ("thecatx", 3L, "a"),
+      ("thecatx", 4L, "t"), ("thecatx", 5L, "x")))
+  }
+
+  test("subwordEncode: every piece round-trips — concat(pieces) = word") {
+    import spark.implicits._
+    val d = Seq("alpha beta alphabeta betaalpha gamma77").toDF("text")
+    val enc = TextStats.subwordEncode(d, "text", topK = 2)
+    val rebuilt = enc.groupBy("word")
+      .agg(concat_ws("", transform(
+        array_sort(collect_list(struct(col("piece_pos"), col("piece")))),
+        s => s.getField("piece"))).as("re"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rebuilt.forall { case (w, re) => w == re })
+  }
 }
