@@ -98,6 +98,50 @@ object SparkEntry {
       |  FROM documents
       |)""".stripMargin
 
+  /** Documents with deterministic multi-line structure: the synthetic
+    * corpus is single-line, so the line-hygiene query (`text_linededup`)
+    * derives a lined variant as a pure function of `doc_id` — boilerplate
+    * footer lines planted on modular classes (overlapping at the lcm's,
+    * so docs carry 0–3 boilerplate lines), plus one genuinely unique line
+    * on the %13 class that must SURVIVE the dedup. The corpus's own
+    * exact-duplicate documents contribute the second signal source: their
+    * identical body lines repeat across docs and are dropped too. */
+  private def linedDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    def part(cond: Column, pieces: Column*): Column =
+      when(cond, concat(pieces: _*)).otherwise(lit(""))
+    val id = col("doc_id")
+    d.select(id, concat(col("text"),
+      part(id % 7 === 0, lit("\nsubscribe to our newsletter today")),
+      part(id % 5 === 0, lit("\nall rights reserved footer")),
+      part(id % 11 === 0, lit("\nnavigation home about contact")),
+      part(id % 13 === 0, lit("\nrare line "), id.cast("string")))
+      .as("text"))
+  }
+
+  /** SQL replay of [[linedDocs]] — keep the two derivations in lockstep. */
+  private val LinedCte: String =
+    """lined AS (
+      |  SELECT doc_id, text ||
+      |    CASE WHEN doc_id % 7 = 0
+      |      THEN chr(10) || 'subscribe to our newsletter today' ELSE '' END ||
+      |    CASE WHEN doc_id % 5 = 0
+      |      THEN chr(10) || 'all rights reserved footer' ELSE '' END ||
+      |    CASE WHEN doc_id % 11 = 0
+      |      THEN chr(10) || 'navigation home about contact' ELSE '' END ||
+      |    CASE WHEN doc_id % 13 = 0
+      |      THEN chr(10) || 'rare line ' || doc_id ELSE '' END AS text
+      |  FROM documents
+      |)""".stripMargin
+
+  /** The z-value bit-interleave as portable SQL over columns `x`/`y` —
+    * generated from the same (bits = 8) term list [[graft.sources.Layout
+    * .zValue]] composes, so the oracle replays the engine arithmetic
+    * exactly. */
+  private val ZInterleave8: String = (0 until 8).map(i =>
+    s"(((x >> $i) & 1) << ${2 * i}) | (((y >> $i) & 1) << ${2 * i + 1})")
+    .mkString(" | ")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ----- §2.1 core filter predicates (full JSON→IR→Column pipeline) -----
     "filter_eq" -> (mongo("customer",
@@ -975,6 +1019,20 @@ object SparkEntry {
               lit(" END  ")).as("text")),
           "doc_id", "text")
         .orderBy("doc_id")),
+    // ----- C4-style repeated-line removal (TextStats.lineDedup scaladoc:
+    // output-bounded boilerplate set, order-preserving reassembly) over
+    // the deterministically-lined corpus [[linedDocs]]: planted footer
+    // lines plus the corpus's own exact-dup bodies get dropped; the
+    // unique %13 lines must survive -----
+    "text_linededup" -> ((s: SparkSession, dir: String) =>
+      TextStats.lineDedup(linedDocs(s, dir), "doc_id", "text", minDocs = 2)
+        .orderBy("doc_id")),
+    // ----- token-rarity quality score (TextStats.rarityScore scaladoc:
+    // the CCNet LM-filter shape in exact integer ppm — no floats to
+    // diverge between engines) -----
+    "text_rarity" -> ((s: SparkSession, dir: String) =>
+      TextStats.rarityScore(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
     // ----- PII census + redaction in one codegen projection (Pii
     // scaladoc: portable regex subset, zero shuffles) over the
     // deterministically-decorated corpus [[dirtyDocs]] -----
@@ -1103,6 +1161,17 @@ object SparkEntry {
           targetBytes = 15000L)
         .orderBy("lang", "source")
     }),
+    // ----- Z-order layout audit (Layout scaladoc: Morton interleave in
+    // pure codegen bit ops; each z-prefix bucket is one 16×16 tile of the
+    // (partkey, suppkey) plane, extent-bounded in BOTH keys — the
+    // min/max-prunable layout for two-key scan predicates) -----
+    "ops_zorder" -> ((s: SparkSession, dir: String) =>
+      graft.sources.Layout.zOrderStats(
+          Tables.lineitem(s, dir).select(
+            (col("l_partkey") % 256).as("x"),
+            (col("l_suppkey") % 256).as("y")),
+          "x", "y", bits = 8, prefixShift = 8)
+        .orderBy("bucket")),
     // ----- CSV round trip: header + schema-enforced FAILFAST re-read;
     // all columns non-null by construction (CsvTable scaladoc names the
     // inherent empty-vs-null CSV ambiguity) -----
@@ -2744,6 +2813,53 @@ object SparkEntry {
          |GROUP BY 1, 2 ORDER BY lang, kept""".stripMargin),
     // identical mess derivation (upper prefix, padding, a tab via chr(9))
     // and the identical lower → strip-control → collapse → trim chain
+    // same lined decoration ([[LinedCte]]); DuckDB's zipped unnests give
+    // (line, pos), string_agg(... ORDER BY pos) replays the engine's
+    // array_sort(collect_list(struct(pos, line))) reassembly, and the
+    // CASE-to-NULL trick inside the aggregates replays the when(keep, _)
+    // null-skipping
+    "text_linededup" ->
+      (s"""WITH $LinedCte,
+         |ls AS (
+         |  SELECT doc_id,
+         |    unnest(string_split(text, chr(10))) AS line,
+         |    unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+         |  FROM lined
+         |), freq AS (
+         |  SELECT line FROM ls GROUP BY line
+         |  HAVING count(DISTINCT doc_id) >= 2
+         |)
+         |SELECT ls.doc_id,
+         |  coalesce(string_agg(CASE WHEN f.line IS NULL THEN ls.line END,
+         |    chr(10) ORDER BY ls.pos), '') AS clean_text,
+         |  CAST(count(CASE WHEN f.line IS NULL THEN 1 END) AS BIGINT)
+         |    AS n_kept,
+         |  CAST(count(CASE WHEN f.line IS NOT NULL THEN 1 END) AS BIGINT)
+         |    AS n_dropped
+         |FROM ls LEFT JOIN freq f ON ls.line = f.line
+         |GROUP BY ls.doc_id ORDER BY ls.doc_id""".stripMargin),
+    // integer-ppm commonness: every division is //, every window-free
+    // sum cast to BIGINT before it can widen downstream arithmetic to
+    // HUGEINT
+    "text_rarity" ->
+      ("""WITH tfc AS (
+         |  SELECT doc_id, term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |        FROM documents)
+         |  GROUP BY doc_id, term
+         |), cnts AS (
+         |  SELECT term, CAST(sum(tf) AS BIGINT) AS cnt FROM tfc
+         |  GROUP BY term
+         |), tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_toks FROM cnts),
+         |scored AS (
+         |  SELECT tfc.doc_id, tfc.tf,
+         |    CAST((cnts.cnt * 1000000) // tot.n_toks AS BIGINT) AS ppm
+         |  FROM tfc JOIN cnts USING (term), tot
+         |)
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         |  CAST(sum(tf * ppm) // sum(tf) AS BIGINT) AS avg_ppm,
+         |  min(ppm) AS min_ppm
+         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     "text_normalize" ->
       ("""WITH messy AS (
          |  SELECT doc_id,
@@ -2823,6 +2939,18 @@ object SparkEntry {
          |FROM documents ORDER BY doc_id""".stripMargin),
     // greedy cumulative fill replayed with the same window: a file opens
     // a new group when its START offset crosses a target boundary
+    // same [[ZInterleave8]] bit arithmetic; x, y, and the shifts are all
+    // BIGINT end to end, so no HUGEINT widening anywhere
+    "ops_zorder" ->
+      (s"""WITH pts AS (
+         |  SELECT l_partkey % 256 AS x, l_suppkey % 256 AS y FROM lineitem
+         |), z AS (
+         |  SELECT x, y, ($ZInterleave8) AS zv FROM pts
+         |)
+         |SELECT zv >> 8 AS bucket, CAST(count(*) AS BIGINT) AS n,
+         |  min(x) AS min_x, max(x) AS max_x,
+         |  min(y) AS min_y, max(y) AS max_y
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin),
     "ops_compaction" ->
       ("""WITH inv AS (
          |  SELECT lang, source, CAST(sum(n_chars) AS BIGINT) AS bytes

@@ -608,4 +608,84 @@ object TextStats {
       .select(col("doc_id"), col("rnk").cast("long").as("rnk"),
         col("term"), col("score"))
   }
+
+  /** C4-style repeated-line removal (Raffel et al. 2020 §2.2 "we discarded
+    * any line that occurred more than once in the data set" — here the
+    * threshold is distinct-document count, the boilerplate-robust variant):
+    * a line appearing in ≥ `minDocs` DISTINCT documents is corpus-global
+    * boilerplate (navigation chrome, cookie banners, license footers) and
+    * is removed from every document; surviving lines are re-joined in
+    * their original order.
+    *
+    * Scale shape: one `posexplode` (narrow), a distinct+count aggregate on
+    * `(line, doc)` — map-side partials shrink each split to its distinct
+    * lines before the shuffle — and one left join of the exploded corpus
+    * against the frequent-line set. That set is OUTPUT-bounded (only lines
+    * repeated across documents — in practice the boilerplate vocabulary,
+    * metadata-sized), so AQE turns the join into a broadcast at runtime;
+    * the pessimistic plan is one hash-partitioned shuffle on the line
+    * text. Reassembly is the usual order-preserving fold:
+    * `array_sort(collect_list(struct(pos, line)))` per document — state
+    * bounded by a single document's line count, never the corpus's. A
+    * document whose every line is boilerplate survives as an empty string
+    * (dropping rows would silently change corpus membership).
+    *
+    * The reference has no corpus-level text hygiene at all (its documents
+    * are opaque Mongo payloads, `No_Sql.py:316-377` compiles filters
+    * only); this is pipeline surface the reference cannot express. */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+                minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2 (got $minDocs): " +
+      "a 1-threshold would drop every line of every document")
+    val lines = df.select(col(idCol).as("doc_id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val freq = lines.select(col("line"), col("doc_id")).distinct()
+      .groupBy(col("line")).agg(count(lit(1)).as("__docs"))
+      .filter(col("__docs") >= minDocs)
+      .select(col("line"), lit(true).as("__boiler"))
+    val keep = col("__boiler").isNull
+    lines.join(freq, Seq("line"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(keep,
+            struct(col("pos"), col("line"))))),
+          x => x.getField("line")), "\n").as("clean_text"),
+        count(when(keep, lit(1))).as("n_kept"),
+        count(when(!keep, lit(1))).as("n_dropped"))
+  }
+
+  /** Token-rarity quality score — the CCNet/KenLM language-model filter
+    * reduced to its portable core: a document full of common tokens scores
+    * high (fluent boilerplate-adjacent text), one full of rare tokens
+    * scores low (OCR noise, code, gibberish) — mean unigram commonness is
+    * a monotone proxy for mean unigram log-likelihood, computed here in
+    * EXACT integer arithmetic (parts-per-million by integer division)
+    * instead of floating-point logs so any engine reproduces it
+    * bit-for-bit.
+    *
+    * Plan: one explode → (doc, term) tf aggregate (map-side partials),
+    * corpus term counts aggregated FROM that tf table (vocabulary-sized,
+    * never re-scans the corpus), the 1-row token total broadcast, and the
+    * ppm lookup joined back — Zipf keeps the vocabulary side small enough
+    * that AQE broadcasts it; nothing in the plan is corpus-global except
+    * the tf aggregate itself. Output per document: `n_tokens`, `avg_ppm`
+    * (tf-weighted mean token commonness, floor), `min_ppm` (the rarest
+    * token — a 0 means a hapax in a corpus of ≥1M tokens). */
+  def rarityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = TrackedCache.persistTracked(
+      df.select(col(idCol).as("doc_id"),
+          explode(toks(col(textCol))).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf")))
+    val cnts = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
+    val total = cnts.agg(sum(col("cnt")).as("__n_toks"))
+    tf.join(cnts, "term")
+      .crossJoin(broadcast(total))
+      .withColumn("ppm", expr("(cnt * 1000000) div __n_toks"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        expr("sum(tf * ppm) div sum(tf)").as("avg_ppm"),
+        min(col("ppm")).as("min_ppm"))
+  }
 }

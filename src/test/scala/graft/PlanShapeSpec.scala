@@ -282,4 +282,34 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Exchange SinglePartition"), plan.take(2000))
     assert(plan.contains("Window"), plan.take(800))
   }
+
+  test("z-order stats: codegen'd bit interleave, one aggregate exchange") {
+    import org.apache.spark.sql.functions.col
+    val plan = executed(graft.sources.Layout.zOrderStats(
+      Tables.lineitem(spark, dir).select(
+        (col("l_partkey") % 256).as("x"), (col("l_suppkey") % 256).as("y")),
+      "x", "y", bits = 8, prefixShift = 8))
+    // the interleave is shiftleft/and/or built-ins: no BatchEvalPython,
+    // no udf marker, and exactly the one hashpartitioning exchange of
+    // the groupBy — the z-value itself rides the scan
+    assert(!plan.contains("udf"), plan.take(2000))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
+    assert(plan.contains("ReadSchema: struct<l_partkey:bigint,l_suppkey:bigint>"),
+      plan.take(2000))
+  }
+
+  test("line dedup: equi-join on the line, map-side-distinct frequent set") {
+    import org.apache.spark.sql.functions.{col, concat, lit, when}
+    val lined = Tables.documents(spark, dir).select(col("doc_id"),
+      concat(col("text"), when(col("doc_id") % 7 === 0,
+        lit("\nfooter")).otherwise(lit(""))).as("text"))
+    val plan = executed(
+      graft.ext.TextStats.lineDedup(lined, "doc_id", "text"))
+    // the corpus-vs-frequent-lines join must stay an equi-join: a BNL or
+    // cartesian here is quadratic in the corpus
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    // distinct (line, doc) pairs pre-aggregate before the count shuffle
+    assert(plan.contains("HashAggregate"), plan.take(800))
+  }
 }

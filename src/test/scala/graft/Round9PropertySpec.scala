@@ -101,4 +101,71 @@ object Round9PropertySpec extends Properties("round9") {
       }
       (oneRowPerFile && perDir) :| s"t=$target planned=${planned.toList}"
     }
+
+  // ------------------------------------------------------ z-order layout
+  /** Independent bit-at-a-time Morton model. */
+  private def morton(x: Long, y: Long, bits: Int): Long =
+    (0 until bits).foldLeft(0L) { (acc, i) =>
+      acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+    }
+
+  private val genPts: Gen[(List[(Long, Long)], Int)] = for {
+    bits <- Gen.choose(1, 16)
+    n <- Gen.choose(1, 40)
+    pts <- Gen.listOfN(n, Gen.zip(Gen.choose(0L, (1L << bits) - 1),
+      Gen.choose(0L, (1L << bits) - 1)))
+  } yield (pts, bits)
+
+  property("zValue = independent Morton model; same tile bounds both dims") =
+    Prop.forAll(genPts) { case (pts, bits) =>
+      import spark.implicits._
+      val df = pts.toDF("x", "y")
+      val got = df.select(org.apache.spark.sql.functions.col("x"),
+          org.apache.spark.sql.functions.col("y"),
+          graft.sources.Layout.zValue(
+            org.apache.spark.sql.functions.col("x"),
+            org.apache.spark.sql.functions.col("y"), bits).as("z"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val model = got.forall { case (x, y, z) => z == morton(x, y, bits) }
+      // dropping 2k low z-bits (one tile) pins x>>k and y>>k: two points
+      // in the same tile agree on both high parts — the pruning property
+      val k = bits / 2
+      val tiles = got.groupBy(_._3 >> (2 * k))
+      val bounded = k == 0 || tiles.values.forall { g =>
+        g.map(_._1 >> k).distinct.length == 1 &&
+          g.map(_._2 >> k).distinct.length == 1
+      }
+      (model && bounded) :| s"bits=$bits got=${got.toList}"
+    }
+
+  // ------------------------------------------------- line dedup vs oracle
+  private val genCorpus: Gen[List[(Long, String)]] = for {
+    n <- Gen.choose(1, 12)
+    docs <- Gen.listOfN(n, for {
+      k <- Gen.choose(1, 5)
+      ls <- Gen.listOfN(k, Gen.oneOf(
+        "shared footer", "nav bar", "cookie banner",
+        "alpha", "beta", "gamma", "delta", "epsilon"))
+    } yield ls.mkString("\n"))
+  } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  property("lineDedup = per-line distinct-doc-count oracle, order kept") =
+    Prop.forAll(genCorpus) { docs =>
+      import spark.implicits._
+      val df = docs.toDF("doc_id", "text")
+      val got = graft.ext.TextStats.lineDedup(df, "doc_id", "text", 2)
+        .collect()
+        .map(r => (r.getLong(0), (r.getString(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      val docsPerLine = docs.flatMap { case (id, t) =>
+        t.split("\n", -1).distinct.map(l => (l, id))
+      }.groupBy(_._1).map { case (l, xs) => (l, xs.size) }
+      val want = docs.map { case (id, t) =>
+        val ls = t.split("\n", -1)
+        val kept = ls.filter(l => docsPerLine(l) < 2)
+        (id, (kept.mkString("\n"), kept.length.toLong,
+          (ls.length - kept.length).toLong))
+      }.toMap
+      (got == want) :| s"got=$got want=$want"
+    }
 }

@@ -393,4 +393,51 @@ class TextStatsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1)))
     assert(rebuilt.forall { case (w, re) => w == re })
   }
+
+  test("lineDedup: corpus-repeated lines drop, order survives, empty stays") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "unique body one\nshared footer\nanother unique"),
+      (2L, "unique body two\nshared footer"),
+      (3L, "shared footer"), // all boilerplate -> empty doc, row kept
+      (4L, "solo doc with no boilerplate")
+    ).toDF("doc_id", "text")
+    val out = TextStats.lineDedup(d, "doc_id", "text", minDocs = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, "unique body one\nanother unique", 2L, 1L),
+      (2L, "unique body two", 1L, 1L),
+      (3L, "", 0L, 1L),
+      (4L, "solo doc with no boilerplate", 1L, 0L)))
+  }
+
+  test("lineDedup: threshold counts DISTINCT docs, not occurrences") {
+    import spark.implicits._
+    // 'twice here' appears twice but inside ONE doc -> never boilerplate
+    val d = Seq(
+      (1L, "twice here\nmiddle\ntwice here"),
+      (2L, "other")
+    ).toDF("doc_id", "text")
+    val out = TextStats.lineDedup(d, "doc_id", "text", minDocs = 2)
+      .orderBy("doc_id").head()
+    assert(out.getString(1) == "twice here\nmiddle\ntwice here")
+    assert(out.getLong(3) == 0L)
+  }
+
+  test("rarityScore: integer ppm commonness, tf-weighted mean, rarest min") {
+    import spark.implicits._
+    // corpus: the x3, cat x2, rare x1 -> N=6 tokens
+    // ppm: the=500000, cat=333333, rare=166666
+    val d = Seq(
+      (1L, "the cat the"),   // (2*500000+333333) div 3 = 444444
+      (2L, "cat rare the")   // (333333+166666+500000) div 3 = 333333
+    ).toDF("doc_id", "text")
+    val out = TextStats.rarityScore(d, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 444444L, 333333L),
+      (2L, 3L, 333333L, 166666L)))
+  }
 }
