@@ -1033,6 +1033,14 @@ object SparkEntry {
     "text_rarity" -> ((s: SparkSession, dir: String) =>
       TextStats.rarityScore(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
+    // ----- winnowing fingerprints (TextStats.winnowFingerprints
+    // scaladoc: the MOSS local-min selection with the w+k-1 match
+    // guarantee; codegen'd sequential gram hashes, row-local sliding
+    // min) -----
+    "text_winnow" -> ((s: SparkSession, dir: String) =>
+      TextStats.winnowFingerprints(Tables.documents(s, dir), "doc_id",
+          "text", k = 4, w = 5)
+        .orderBy("doc_id", "fp")),
     // ----- PII census + redaction in one codegen projection (Pii
     // scaladoc: portable regex subset, zero shuffles) over the
     // deterministically-decorated corpus [[dirtyDocs]] -----
@@ -2860,6 +2868,40 @@ object SparkEntry {
          |  CAST(sum(tf * ppm) // sum(tf) AS BIGINT) AS avg_ppm,
          |  min(ppm) AS min_ppm
          |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    // the same sequential k-gram poly hash (GramPolyOps scaladoc:
+    // tokens joined by one space, two Rabin-Karp folds — list_reduce's
+    // first-element seeding equals the engine's 0-seeded fold because
+    // (0*31 + cp) = cp), then the same value-distinct sliding min.
+    // range(1, greatest(n-k, 0) + 2) emits n-k+1 gram positions for
+    // n >= k and exactly one (whole-text) otherwise; list slices clamp
+    "text_winnow" ->
+      ("""WITH t AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(text, ' '), x -> x <> '') AS ws
+         |  FROM documents
+         |), g AS (
+         |  SELECT doc_id,
+         |    list_transform(range(1, greatest(len(ws) - 4, 0) + 2),
+         |      i -> array_to_string(ws[i:i+3], ' ')) AS grams
+         |  FROM t WHERE len(ws) > 0
+         |), h AS (
+         |  SELECT doc_id, list_transform(grams, t2 ->
+         |    list_reduce([CAST(ascii(c) AS BIGINT)
+         |                 for c in string_split(t2, '')],
+         |      (a, x) -> (a * 31 + x) % 2147483647) * 2147483648
+         |    + list_reduce([CAST(ascii(c) AS BIGINT)
+         |                   for c in string_split(t2, '')],
+         |      (a, x) -> (a * 131 + x) % 2147483629)) AS hs
+         |  FROM g
+         |), win AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(
+         |      range(1, greatest(len(hs) - 5, 0) + 2),
+         |      i -> list_min(hs[i:i+4]))) AS fps
+         |  FROM h
+         |)
+         |SELECT doc_id, unnest(fps) AS fp FROM win
+         |ORDER BY doc_id, fp""".stripMargin),
     "text_normalize" ->
       ("""WITH messy AS (
          |  SELECT doc_id,

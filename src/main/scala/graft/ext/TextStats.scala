@@ -688,4 +688,36 @@ object TextStats {
         expr("sum(tf * ppm) div sum(tf)").as("avg_ppm"),
         min(col("ppm")).as("min_ppm"))
   }
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 — the MOSS
+    * algorithm): slide a window of `w` consecutive k-gram hashes over the
+    * document and keep each window's MINIMUM; the resulting set is the
+    * document's fingerprint with the classic guarantee that any match of
+    * at least w + k - 1 consecutive tokens between two documents shares at
+    * least one selected hash — robust partial-overlap detection where
+    * whole-document fingerprints ([[rollingFingerprint]]) see nothing.
+    * Selection here is value-distinct (no positional tie rule): with
+    * 62-bit hashes, equal values in a window mean equal grams, which
+    * classical winnowing also collapses in the fingerprint SET.
+    *
+    * Scale shape: the gram hash stream is one codegen'd pass
+    * ([[graft.functions.GramPolyOps]] — sequential, SQL-replayable), the
+    * sliding minimum is a row-local higher-order transform over that
+    * bounded array (interpreted, but per-row and allocation-light), and
+    * nothing shuffles until the caller aggregates fingerprints — the
+    * output is (doc, fp) rows ready for the same groupBy/anti-join
+    * machinery the dedup family uses. Documents shorter than one window
+    * emit their single best hash; empty documents emit nothing. */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 4, w: Int = 5): DataFrame = {
+    require(k >= 1, s"gram size k must be >= 1, got $k")
+    require(w >= 1, s"window w must be >= 1, got $w")
+    val g = graft.functions.ShingleFunctions.gram_poly_hashes(col(textCol), k)
+    df.select(col(idCol).as("doc_id"), g.as("__g"))
+      .where(size(col("__g")) > 0)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(
+          sequence(lit(0), greatest(size(col("__g")) - w, lit(0))),
+          i => array_min(slice(col("__g"), i + 1, lit(w)))))).as("fp"))
+  }
 }

@@ -185,6 +185,92 @@ case class TokenPolyHashes(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Runtime kernel for [[GramPolyHashes]]: the SEQUENTIAL (per-position,
+  * duplicates kept) 62-bit poly hashes of a text's word k-grams — the
+  * winnowing input, where [[TokenPolyOps]] (distinct, order-lost) and
+  * [[ShingleOps]] (distinct, FNV — not SQL-replayable) both can't serve.
+  * Each k-gram is hashed as its tokens joined by a single space, with the
+  * same two Rabin-Karp folds as [[TokenPolyOps]], so an external SQL
+  * engine reproduces every value via `array_to_string(ws[i:i+k-1], ' ')`
+  * + `list_reduce` over code points. Empty tokens are skipped; fewer than
+  * k tokens collapse to ONE whole-text gram; zero tokens yield an empty
+  * array. O(tokens·k·chars) per row — the rolling-hash variant (prefix
+  * hashes + precomputed modular powers) drops the k factor if profiles
+  * ever show it, at the cost of a less obviously-portable formula. */
+object GramPolyOps {
+  private final val P1 = 2147483647L // 2^31 - 1
+  private final val P2 = 2147483629L
+
+  def gramPolyHashes(text: UTF8String, k: Int): ArrayData = {
+    val s = text.toString
+    val starts = new java.util.ArrayList[Int]()
+    val ends = new java.util.ArrayList[Int]()
+    var i = 0
+    val len = s.length
+    while (i <= len) {
+      val e0 = s.indexOf(' ', i)
+      val e = if (e0 < 0) len else e0
+      if (e > i) { starts.add(i); ends.add(e) }
+      i = e + 1
+    }
+    val t = starts.size()
+    if (t == 0) return new GenericArrayData(Array.emptyLongArray)
+    val kk = math.min(k, t)
+    val nG = t - kk + 1
+    val out = new Array[Long](nG)
+    var g = 0
+    while (g < nG) {
+      var h1 = 0L
+      var h2 = 0L
+      var w = 0
+      while (w < kk) {
+        if (w > 0) { // the joining space, code point 32
+          h1 = (h1 * 31L + 32L) % P1
+          h2 = (h2 * 131L + 32L) % P2
+        }
+        var j = starts.get(g + w)
+        val e = ends.get(g + w)
+        while (j < e) {
+          val cp = s.codePointAt(j)
+          h1 = (h1 * 31L + cp) % P1
+          h2 = (h2 * 131L + cp) % P2
+          j += Character.charCount(cp)
+        }
+        w += 1
+      }
+      out(g) = h1 * 2147483648L + h2
+      g += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Codegen'd `text → array<long>` of SEQUENTIAL word-k-gram poly-hashes
+  * (62-bit, SQL-portable — see [[GramPolyOps]]). The winnowing front end. */
+case class GramPolyHashes(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  require(k >= 1, s"gram size must be >= 1, got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"gram_poly_hashes needs a string input, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    GramPolyOps.gramPolyHashes(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.GramPolyOps.gramPolyHashes($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): GramPolyHashes =
+    copy(child = newChild)
+}
+
 object ShingleFunctions {
   /** Distinct word n-gram shingle hashes of a text column, as array<long>. */
   def shingle_hashes(text: Column, n: Int): Column =
@@ -193,4 +279,8 @@ object ShingleFunctions {
   /** Distinct non-empty token poly-hashes (62-bit, SQL-portable). */
   def token_poly_hashes(text: Column): Column =
     GraftBridge.column(TokenPolyHashes(GraftBridge.expression(text)))
+
+  /** Sequential word-k-gram poly-hashes (62-bit, SQL-portable). */
+  def gram_poly_hashes(text: Column, k: Int): Column =
+    GraftBridge.column(GramPolyHashes(GraftBridge.expression(text), k))
 }

@@ -298,6 +298,14 @@ class PlanShapeSpec extends SparkSpec {
       plan.take(2000))
   }
 
+  test("winnowing fingerprints ride the scan — zero exchanges") {
+    val plan = executed(graft.ext.TextStats.winnowFingerprints(
+      Tables.documents(spark, dir), "doc_id", "text"))
+    assert(!plan.contains("Exchange"), plan.take(2000))
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      plan.take(2000))
+  }
+
   test("line dedup: equi-join on the line, map-side-distinct frequent set") {
     import org.apache.spark.sql.functions.{col, concat, lit, when}
     val lined = Tables.documents(spark, dir).select(col("doc_id"),

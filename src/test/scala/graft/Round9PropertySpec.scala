@@ -168,4 +168,72 @@ object Round9PropertySpec extends Properties("round9") {
       }.toMap
       (got == want) :| s"got=$got want=$want"
     }
+
+  // ------------------------------------------------ winnowing vs oracle
+  /** Independent replay of GramPolyOps + the sliding value-min. */
+  private def polyGram(tokens: Seq[String]): Long = {
+    val s = tokens.mkString(" ")
+    var h1 = 0L
+    var h2 = 0L
+    var j = 0
+    while (j < s.length) {
+      val cp = s.codePointAt(j)
+      h1 = (h1 * 31 + cp) % 2147483647L
+      h2 = (h2 * 131 + cp) % 2147483629L
+      j += Character.charCount(cp)
+    }
+    h1 * 2147483648L + h2
+  }
+
+  private def winnowModel(text: String, k: Int, w: Int): Set[Long] = {
+    val ts = text.split(" ").filter(_.nonEmpty).toSeq
+    if (ts.isEmpty) Set.empty
+    else {
+      val kk = math.min(k, ts.length)
+      val grams = ts.sliding(kk).map(polyGram).toVector
+      (0 to math.max(grams.length - w, 0))
+        .map(i => grams.slice(i, i + w).min).toSet
+    }
+  }
+
+  private val genWinnow: Gen[(List[String], Int, Int)] = for {
+    k <- Gen.choose(1, 5)
+    w <- Gen.choose(1, 6)
+    n <- Gen.choose(1, 10)
+    docs <- Gen.listOfN(n, for {
+      t <- Gen.choose(0, 25)
+      ws <- Gen.listOfN(t, Gen.oneOf(
+        "aa", "bb", "cc", "dd", "ee", "ff", "gg"))
+    } yield ws.mkString(" "))
+  } yield (docs, k, w)
+
+  property("winnowFingerprints = independent gram-hash sliding-min model") =
+    Prop.forAll(genWinnow) { case (docs, k, w) =>
+      import spark.implicits._
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.ext.TextStats
+        .winnowFingerprints(df, "doc_id", "text", k, w)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (id, xs) => (id, xs.map(_._2).toSet) }
+      val want = docs.zipWithIndex
+        .map { case (t, i) => (i.toLong, winnowModel(t, k, w)) }
+        .filter(_._2.nonEmpty).toMap
+      (got == want) :| s"k=$k w=$w got=$got want=$want"
+    }
+
+  property("winnowing guarantee: w+k-1 shared tokens ⇒ shared fingerprint") =
+    Prop.forAll(for {
+      k <- Gen.choose(2, 4)
+      w <- Gen.choose(2, 5)
+      runLen = w + k - 1
+      run <- Gen.listOfN(runLen, Gen.identifier.map(_.take(4)))
+      pre <- Gen.listOfN(6, Gen.identifier.map(_.take(3)))
+      post <- Gen.listOfN(6, Gen.identifier.map(_.take(3)))
+    } yield (k, w, (pre ++ run).mkString(" "), (run ++ post).mkString(" "))) {
+      case (k, w, d1, d2) =>
+        val s1 = winnowModel(d1, k, w)
+        val s2 = winnowModel(d2, k, w)
+        (s1 & s2).nonEmpty :| s"k=$k w=$w d1=$d1 d2=$d2"
+    }
 }

@@ -425,6 +425,27 @@ class TextStatsSpec extends SparkSpec {
     assert(out.getLong(3) == 0L)
   }
 
+  test("winnowFingerprints: short doc = 1 fp, empty doc = none, " +
+    "long shared run ⇒ shared fp") {
+    import spark.implicits._
+    val noise1 = "aa bb cc dd ee ff gg hh"
+    val noise2 = "pp qq rr ss tt uu vv ww"
+    val run = "one two three four five six seven eight" // 8 >= w+k-1
+    val d = Seq(
+      (1L, s"$noise1 $run"),
+      (2L, s"$run $noise2"),
+      (3L, "tiny doc"), // 2 tokens < k -> one whole-text gram -> one fp
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val fps = TextStats.winnowFingerprints(d, "doc_id", "text", k = 4, w = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (id, xs) => (id, xs.map(_._2).toSet) }
+    // the MOSS guarantee: >= w+k-1 shared consecutive tokens -> shared fp
+    assert((fps(1L) & fps(2L)).nonEmpty)
+    assert(fps(3L).size == 1)
+    assert(!fps.contains(4L))
+  }
+
   test("rarityScore: integer ppm commonness, tf-weighted mean, rarest min") {
     import spark.implicits._
     // corpus: the x3, cat x2, rare x1 -> N=6 tokens
