@@ -134,6 +134,41 @@ object SparkEntry {
       |  FROM documents
       |)""".stripMargin
 
+  /** Winnowing fingerprint derivation as portable SQL (ends in `win`
+    * with per-doc `fps` lists) — the same sequential k=4-gram poly hash
+    * (GramPolyOps scaladoc: tokens joined by one space, two Rabin-Karp
+    * folds — list_reduce's first-element seeding equals the engine's
+    * 0-seeded fold because (0*31 + cp) = cp) and the same value-distinct
+    * sliding w=5 min. range(1, greatest(n-k, 0) + 2) emits n-k+1 gram
+    * positions for n >= k and exactly one (whole-text) otherwise; list
+    * slices clamp. Shared by `text_winnow` and `dedup_winnow`. */
+  private val WinnowCte: String =
+    """t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      |  FROM documents
+      |), g AS (
+      |  SELECT doc_id,
+      |    list_transform(range(1, greatest(len(ws) - 4, 0) + 2),
+      |      i -> array_to_string(ws[i:i+3], ' ')) AS grams
+      |  FROM t WHERE len(ws) > 0
+      |), h AS (
+      |  SELECT doc_id, list_transform(grams, t2 ->
+      |    list_reduce([CAST(ascii(c) AS BIGINT)
+      |                 for c in string_split(t2, '')],
+      |      (a, x) -> (a * 31 + x) % 2147483647) * 2147483648
+      |    + list_reduce([CAST(ascii(c) AS BIGINT)
+      |                   for c in string_split(t2, '')],
+      |      (a, x) -> (a * 131 + x) % 2147483629)) AS hs
+      |  FROM g
+      |), win AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      range(1, greatest(len(hs) - 5, 0) + 2),
+      |      i -> list_min(hs[i:i+4]))) AS fps
+      |  FROM h
+      |)""".stripMargin
+
   /** The z-value bit-interleave as portable SQL over columns `x`/`y` —
     * generated from the same (bits = 8) term list [[graft.sources.Layout
     * .zValue]] composes, so the oracle replays the engine arithmetic
@@ -408,6 +443,13 @@ object SparkEntry {
         .select(col("vec_id"), col("label"))
         .orderBy("vec_id")
     }),
+    // ----- partial-overlap near-dup pairs from winnowing fingerprints
+    // (Dedup.winnowPairs scaladoc: localized shared-run detection where
+    // whole-set Jaccard dilutes; fp df-cut bounds the blocking join) -----
+    "dedup_winnow" -> ((s: SparkSession, dir: String) =>
+      Dedup.winnowPairs(Tables.documents(s, dir), "doc_id", "text",
+          k = 4, w = 5, minShared = 2L, maxFpDf = 100L)
+        .orderBy("doc_a", "doc_b")),
     // Per-label mean embedding (average pooling) — the class-prototype /
     // cluster-seed primitive. Decimal accumulation keeps the mean exact
     // and order-independent (a double sum would vary with partitioning).
@@ -2868,40 +2910,26 @@ object SparkEntry {
          |  CAST(sum(tf * ppm) // sum(tf) AS BIGINT) AS avg_ppm,
          |  min(ppm) AS min_ppm
          |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin),
-    // the same sequential k-gram poly hash (GramPolyOps scaladoc:
-    // tokens joined by one space, two Rabin-Karp folds — list_reduce's
-    // first-element seeding equals the engine's 0-seeded fold because
-    // (0*31 + cp) = cp), then the same value-distinct sliding min.
-    // range(1, greatest(n-k, 0) + 2) emits n-k+1 gram positions for
-    // n >= k and exactly one (whole-text) otherwise; list slices clamp
     "text_winnow" ->
-      ("""WITH t AS (
-         |  SELECT doc_id,
-         |    list_filter(string_split(text, ' '), x -> x <> '') AS ws
-         |  FROM documents
-         |), g AS (
-         |  SELECT doc_id,
-         |    list_transform(range(1, greatest(len(ws) - 4, 0) + 2),
-         |      i -> array_to_string(ws[i:i+3], ' ')) AS grams
-         |  FROM t WHERE len(ws) > 0
-         |), h AS (
-         |  SELECT doc_id, list_transform(grams, t2 ->
-         |    list_reduce([CAST(ascii(c) AS BIGINT)
-         |                 for c in string_split(t2, '')],
-         |      (a, x) -> (a * 31 + x) % 2147483647) * 2147483648
-         |    + list_reduce([CAST(ascii(c) AS BIGINT)
-         |                   for c in string_split(t2, '')],
-         |      (a, x) -> (a * 131 + x) % 2147483629)) AS hs
-         |  FROM g
-         |), win AS (
-         |  SELECT doc_id,
-         |    list_distinct(list_transform(
-         |      range(1, greatest(len(hs) - 5, 0) + 2),
-         |      i -> list_min(hs[i:i+4]))) AS fps
-         |  FROM h
-         |)
+      (s"""WITH $WinnowCte
          |SELECT doc_id, unnest(fps) AS fp FROM win
          |ORDER BY doc_id, fp""".stripMargin),
+    // same [[WinnowCte]] fingerprints, then the df-cut band (2 <= df <=
+    // 100) and the blocked self-join counting distinct shared hashes
+    "dedup_winnow" ->
+      (s"""WITH $WinnowCte,
+         |fps AS (SELECT doc_id, unnest(fps) AS fp FROM win),
+         |band AS (
+         |  SELECT fp FROM fps GROUP BY fp
+         |  HAVING count(*) >= 2 AND count(*) <= 100
+         |), pr AS (
+         |  SELECT f.doc_id, f.fp FROM fps f JOIN band USING (fp)
+         |)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(count(*) AS BIGINT) AS shared
+         |FROM pr a JOIN pr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2
+         |ORDER BY doc_a, doc_b""".stripMargin),
     "text_normalize" ->
       ("""WITH messy AS (
          |  SELECT doc_id,

@@ -171,6 +171,42 @@ object Dedup {
         round(col("n_hits").cast("double") / col("n_grams"), 4).as("overlap"))
   }
 
+  /** Partial-overlap near-duplicate pairs from winnowing fingerprints
+    * ([[TextStats.winnowFingerprints]]): two documents pair when they
+    * share at least `minShared` selected hashes. Unlike whole-set Jaccard
+    * (document-GLOBAL similarity, diluted to nothing by surrounding
+    * fresh text), winnowing pairs fire on one LOCALIZED shared run of
+    * ≥ w + k - 1 tokens — the quoted-block / contaminated-paragraph /
+    * template-reuse case, which is exactly what MOSS uses it for.
+    *
+    * Scale shape: the blocking join is a hash equi-join on the 8-byte
+    * fingerprint, bounded by a df-cut with the same trade as the shingle
+    * df-cut in [[jaccardPairs]]: a fingerprint in a single document can
+    * never pair (dropped for free), and one in more than `maxFpDf`
+    * documents is corpus boilerplate whose blocking group grows the join
+    * quadratically while carrying no discriminative signal — pruned
+    * BEFORE the self-join, so the worst group replicates ≤ maxFpDf².
+    * `shared` counts DISTINCT shared fingerprints (the per-doc stream is
+    * value-distinct by construction). */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+                  k: Int = 4, w: Int = 5, minShared: Long = 2L,
+                  maxFpDf: Long = 100L): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    require(maxFpDf >= 2, s"maxFpDf must be >= 2 (2 is the smallest df " +
+      s"that can form a pair), got $maxFpDf")
+    val fps = persistTracked(
+      TextStats.winnowFingerprints(df, idCol, textCol, k, w))
+    val band = fps.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= 2 && col("__df") <= maxFpDf)
+      .select(col("fp"))
+    val pruned = fps.join(band, Seq("fp"))
+    pruned.as("a").join(pruned.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** Exact n-gram Jaccard near-duplicate pairs, blocked on shared shingles.
     *
     * Both sides of the threshold comparison use `round(j, 4)` so the engine

@@ -215,4 +215,35 @@ class DedupSpec extends SparkSpec {
     assert(plan.contains("LeftAnti"), plan.take(800))
     assert(plan.contains("md5"), plan.take(1200)) // the key is the digest
   }
+
+  test("winnowPairs: localized shared run pairs docs Jaccard would miss") {
+    import spark.implicits._
+    // docs 1/2 share an 8-token run (>= w+k-1 = 8) inside unrelated text:
+    // whole-set 3-gram Jaccard is ~6/32 < 0.5, but winnowing fires
+    val run = "one two three four five six seven eight"
+    val d = Seq(
+      (1L, s"aa bb cc dd ee ff gg hh $run"),
+      (2L, s"$run pp qq rr ss tt uu vv ww"),
+      (3L, "totally unrelated words here only once")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(d, "doc_id", "text",
+        k = 4, w = 5, minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs == Seq((1L, 2L)))
+    val jac = Dedup.jaccardPairs(d, "doc_id", "text", n = 3,
+      threshold = 0.5).count()
+    assert(jac == 0L) // the global-similarity operator can't see the run
+  }
+
+  test("winnowPairs: minShared filters, df-cut silences boilerplate fps") {
+    import spark.implicits._
+    // the same text in 4 docs: every fp has df=4; maxFpDf=3 prunes all
+    val d = (1L to 4L).map(i => (i, "common boiler plate line repeated"))
+      .toDF("doc_id", "text")
+    assert(Dedup.winnowPairs(d, "doc_id", "text", maxFpDf = 3L,
+      minShared = 1L).count() == 0L)
+    // with the cap above df the 6 pairs all appear
+    assert(Dedup.winnowPairs(d, "doc_id", "text", maxFpDf = 10L,
+      minShared = 1L).count() == 6L)
+  }
 }
