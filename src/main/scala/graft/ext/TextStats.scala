@@ -355,12 +355,24 @@ object TextStats {
   def subwordEncode(df: DataFrame, textCol: String, topK: Int = 16,
                     maxChars: Int = 2048): DataFrame = {
     require(topK > 0, "topK must be positive")
-    val words = df.select(explode(filter(toks(col(textCol)),
-      w => w =!= "")).as("word"))
+    // persisted: the exploded occurrence frame feeds THREE actions (top-K
+    // collect, charset collect, distinct-word encode) — uncached, the
+    // corpus explode re-runs per action. Released by Dedup.unpersistAll
+    // (shared TrackedCache).
+    val words = TrackedCache.persistTracked(
+      df.select(explode(filter(toks(col(textCol)),
+        w => w =!= "")).as("word")))
     val top = words.groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("word").asc).limit(topK)
       .select("word").collect().map(_.getString(0)).toSeq
-    val dwords = words.distinct()
+    // persisted for TWO reasons: (a) the charset pass and the encode pass
+    // both read it; (b) the cache is a fusion BARRIER — without it the
+    // optimizer merges the encode fold into the distinct's final
+    // HashAggregate, whose result expressions disqualify the codegen fast
+    // hashmap and push the whole occurrence-level aggregation onto the
+    // slow path (measured 5.7 s vs 0.8 s at sf0.1). The cached frame is
+    // vocabulary-sized, never corpus-sized.
+    val dwords = TrackedCache.persistTracked(words.distinct())
     val chars = dwords
       .select(explode(filter(split(col("word"), ""), c => c =!= "")).as("c"))
       .distinct().collect().map(_.getString(0)).toSeq
