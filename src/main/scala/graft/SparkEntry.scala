@@ -1133,6 +1133,30 @@ object SparkEntry {
         .reduce(_.union(_))
         .orderBy("version", "doc_id")
     }),
+    // ----- snapshot diff / change-data-feed (TxTable.diff scaladoc:
+    // multiset exceptAll both ways, manifests prune to exactly the two
+    // snapshots) over the same 3-commit history as sink_txlog: v1→v2 is
+    // the de append (inserts only), v2→v3 the fr overwrite (en+de out,
+    // fr in) -----
+    "ops_txdiff" -> ((s: SparkSession, dir: String) => {
+      val tbl = java.nio.file.Files.createTempDirectory("graft-txd-")
+        .toString + "/tbl"
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "en"), tbl, "overwrite")
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "de"), tbl, "append")
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "fr"), tbl, "overwrite")
+      graft.sources.TxTable.diff(s, tbl, 1L, 2L)
+        .select(lit("v1v2").as("step"), col("change"), col("doc_id"),
+          col("lang"), col("n_chars"))
+        .union(graft.sources.TxTable.diff(s, tbl, 2L, 3L)
+          .select(lit("v2v3").as("step"), col("change"), col("doc_id"),
+            col("lang"), col("n_chars")))
+        .orderBy("step", "change", "doc_id")
+    }),
     // ----- JSONL codec round trip: events (incl. the JSON-in-string
     // props column — the quoting torture case) serialized to JSON lines
     // and read back schema-enforced; hash-matching the oracle on the
@@ -2993,6 +3017,18 @@ object SparkEntry {
          |SELECT CAST(3 AS BIGINT), doc_id, lang, n_chars
          |FROM documents WHERE lang = 'fr'
          |ORDER BY version, doc_id""".stripMargin),
+    // the diff replays from the commit definitions: append de = inserts
+    // only; overwrite fr = delete everything live (en + de), insert fr
+    "ops_txdiff" ->
+      ("""SELECT 'v1v2' AS step, 'insert' AS change, doc_id, lang, n_chars
+         |FROM documents WHERE lang = 'de'
+         |UNION ALL
+         |SELECT 'v2v3', 'insert', doc_id, lang, n_chars
+         |FROM documents WHERE lang = 'fr'
+         |UNION ALL
+         |SELECT 'v2v3', 'delete', doc_id, lang, n_chars
+         |FROM documents WHERE lang IN ('en', 'de')
+         |ORDER BY step, change, doc_id""".stripMargin),
     // the JSONL round trip must reproduce the original table — if the
     // codec mangles quoting, escapes, or numerics, the hash breaks
     "source_jsonl" ->

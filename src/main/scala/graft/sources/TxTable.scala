@@ -3,7 +3,7 @@ package graft.sources
 import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession, functions}
 import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Transactional parquet table via a manifest log — the minimal
@@ -99,6 +99,33 @@ object TxTable {
     readVersion(spark, tableDir,
       latestVersion(tableDir).getOrElse(throw new IllegalStateException(
         s"no committed version under $tableDir/$LogDir")))
+
+  /** Row-level diff between two committed snapshots — the change-data-feed
+    * question ("what changed between version v1 and v2?") answered from
+    * snapshots alone, for tables whose commits didn't record row-level
+    * changes. MULTISET semantics via `exceptAll` in both directions: a row
+    * appearing 3× in v2 and 1× in v1 yields 2 `insert` rows — set-based
+    * EXCEPT would silently under-report on tables with legitimate
+    * duplicate rows. Output is the snapshot schema plus a `change` column
+    * (`insert` rows are in v2 only, `delete` in v1 only); an updated row
+    * appears as its delete + its insert, the standard keyless-CDF
+    * degeneracy.
+    *
+    * Scale: `exceptAll` plans as one hash-partitioned count-difference
+    * aggregate per direction over exactly the two snapshots' files (the
+    * manifests prune everything else); there is no cheaper keyless row
+    * diff. Schema drift across an overwrite is rejected loudly — a silent
+    * positional comparison of different schemas is how diffs lie. */
+  def diff(spark: SparkSession, tableDir: String, v1: Long,
+           v2: Long): DataFrame = {
+    val a = readVersion(spark, tableDir, v1)
+    val b = readVersion(spark, tableDir, v2)
+    require(a.schema == b.schema,
+      s"diff across schema change: v$v1 is ${a.schema.simpleString}, " +
+        s"v$v2 is ${b.schema.simpleString}")
+    b.exceptAll(a).withColumn("change", functions.lit("insert"))
+      .unionByName(a.exceptAll(b).withColumn("change", functions.lit("delete")))
+  }
 
   /** Time travel: read exactly version `v`'s snapshot. */
   def readVersion(spark: SparkSession, tableDir: String, v: Long): DataFrame = {

@@ -81,4 +81,31 @@ class TxTableSpec extends SparkSpec {
     val out = TxTable.read(spark, tbl)
     assert(out.columns.toSeq == Seq("id", "payload") && out.count() == 0L)
   }
+
+  test("diff: inserts and deletes labeled; identical versions diff empty") {
+    val tbl = tmpTable()
+    TxTable.commit(frame(1L, 2L), tbl, "overwrite")
+    TxTable.commit(frame(3L), tbl, "append")
+    TxTable.commit(frame(2L, 9L), tbl, "overwrite")
+    val d13 = TxTable.diff(spark, tbl, 1L, 3L)
+      .collect().map(r => (r.getString(2), r.getLong(0))).toSet
+    assert(d13 == Set(("insert", 9L), ("delete", 1L))) // 2 survives both
+    assert(TxTable.diff(spark, tbl, 2L, 2L).count() == 0L)
+  }
+
+  test("diff: multiset semantics count duplicate rows exactly") {
+    val tbl = tmpTable()
+    TxTable.commit(frame(7L), tbl, "overwrite")
+    TxTable.commit(frame(7L, 7L, 7L), tbl, "overwrite") // same row 3x
+    val d = TxTable.diff(spark, tbl, 1L, 2L).collect()
+    assert(d.length == 2 && d.forall(_.getString(2) == "insert"))
+  }
+
+  test("diff across a schema change is rejected loudly") {
+    import spark.implicits._
+    val tbl = tmpTable()
+    TxTable.commit(frame(1L), tbl, "overwrite")
+    TxTable.commit(Seq((1L, 2.5)).toDF("id", "score"), tbl, "overwrite")
+    intercept[IllegalArgumentException](TxTable.diff(spark, tbl, 1L, 2L))
+  }
 }
