@@ -169,6 +169,22 @@ object SparkEntry {
       |  FROM h
       |)""".stripMargin
 
+  /** One integer power-method PageRank iteration as portable SQL — the
+    * exact arithmetic of [[graft.ext.Components.pageRank]] at the default
+    * scale 1e9: per-edge contribution `pr·85·w // (100·outW)`, teleport
+    * base `15·scale // (100·N)`, dangling mass dropped. Chained by the
+    * `events_pagerank` oracle. */
+  private def PrIterCte(i: Int, prev: String): String =
+    s"""c$i AS (
+       |  SELECT ew.dst AS node,
+       |    CAST(sum((r.pr * 85 * ew.w) // (100 * ew.outw)) AS BIGINT) AS cs
+       |  FROM ew JOIN $prev r ON ew.src = r.node GROUP BY ew.dst
+       |), r$i AS (
+       |  SELECT node, (15 * CAST(1000000000 AS BIGINT)) //
+       |    (100 * (SELECT c FROM nn)) + coalesce(cs, CAST(0 AS BIGINT)) AS pr
+       |  FROM nodes LEFT JOIN c$i USING (node)
+       |)""".stripMargin
+
   /** The z-value bit-interleave as portable SQL over columns `x`/`y` —
     * generated from the same (bits = 8) term list [[graft.sources.Layout
     * .zValue]] composes, so the oracle replays the engine arithmetic
@@ -711,6 +727,15 @@ object SparkEntry {
     "events_transitions" -> ((s: SparkSession, dir: String) =>
       Events.transitions(Tables.events(s, dir))
         .orderBy("prev_type", "next_type")),
+    // ----- integer-exact weighted PageRank over the transition graph
+    // (Components.pageRank scaladoc: fixed-point 85/100 damping, the
+    // iterative rank-vector × edge-list join, certifiable where float
+    // power methods aren't) -----
+    "events_pagerank" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Components.pageRank(
+          Events.transitions(Tables.events(s, dir)),
+          "prev_type", "next_type", "n", iters = 3)
+        .orderBy("node")),
     // ----- per-user inter-arrival gap stats (Events.interArrival
     // scaladoc: exact integer micros, lag window + groupBy share the
     // user_id partitioning — one shuffle total) -----
@@ -2338,6 +2363,34 @@ object SparkEntry {
          |FROM seq WHERE prev_type IS NOT NULL
          |GROUP BY prev_type, event_type
          |ORDER BY prev_type, next_type""".stripMargin),
+    // the same edge derivation, then 3 generated power-method iterations
+    // ([[PrIterCte]]): every value BIGINT, every division integral, the
+    // same 85/100 damping split and dropped dangling mass as the engine
+    "events_pagerank" ->
+      (s"""WITH seq AS (
+         |  SELECT user_id, event_type,
+         |    lag(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS prev_type
+         |  FROM events
+         |), edges AS (
+         |  SELECT prev_type AS src, event_type AS dst,
+         |    CAST(count(*) AS BIGINT) AS w
+         |  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+         |), nodes AS (
+         |  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+         |), nn AS (SELECT CAST(count(*) AS BIGINT) AS c FROM nodes),
+         |ow AS (
+         |  SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM edges
+         |  GROUP BY src
+         |), ew AS (
+         |  SELECT e.src, e.dst, e.w, o.outw FROM edges e JOIN ow o USING (src)
+         |), r0 AS (
+         |  SELECT node, CAST(1000000000 AS BIGINT) // c AS pr FROM nodes, nn
+         |),
+         |${PrIterCte(1, "r0")},
+         |${PrIterCte(2, "r1")},
+         |${PrIterCte(3, "r2")}
+         |SELECT node, pr FROM r3 ORDER BY node""".stripMargin),
     // exact integer-microsecond gaps; single-event users excluded on
     // both sides rather than emitting nulls
     "events_interarrival" ->

@@ -117,4 +117,56 @@ object Components {
     val drop = clusters.filter(col("id") =!= col("comp")).select(col("id"))
     df.join(drop, df(idCol) === drop("id"), "left_anti")
   }
+
+  /** Weighted PageRank over an edge list, bounded-iteration power method
+    * in EXACT integer arithmetic: ranks live in `scale` fixed-point units,
+    * the damping split is 85/100, and every division is integral — so any
+    * engine replays the exact values and the output is certifiable, where
+    * a floating-point power method diverges across engines in the last
+    * bits. Each iteration is the canonical Spark iterative-join shape: the
+    * rank vector equi-joins the (cached) out-weighted edge list, per-edge
+    * contributions `pr·85·w div (100·outW)` partial-aggregate map-side,
+    * and the teleport base `15·scale div (100·N)` re-seeds every node.
+    *
+    * Contract and bounds, loudly documented rather than silently wrong:
+    * `scale · 85 · max(w)` must fit signed 64-bit (the default 1e9 scale
+    * leaves room for edge weights to 1e8); dangling-node mass is dropped,
+    * not redistributed (the usual simplification — both this and any
+    * oracle must agree); iterations are capped, not converged — rank
+    * ORDERING stabilizes in a few hops on event-transition-sized graphs,
+    * and a fixed bound keeps the lineage shallow (each round adds one
+    * join + one aggregate; no checkpoint needed at ≤ 20 rounds). */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               wCol: String, iters: Int = 3,
+               scale: Long = 1000000000L): DataFrame = {
+    require(iters >= 1 && iters <= 20,
+      s"iters must be in [1,20], got $iters")
+    require(scale >= 1000L, s"scale must be >= 1000, got $scale")
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(wCol).cast("long").as("w"))
+    val nodes = TrackedCache.persistTracked(
+      e0.select(col("src").as("node"))
+        .union(e0.select(col("dst").as("node"))).distinct())
+    val outw = e0.groupBy(col("src")).agg(sum(col("w")).as("outw"))
+    val e = TrackedCache.persistTracked(e0.join(outw, Seq("src")))
+    val n = nodes.agg(count(lit(1)).as("__n"))
+    // pre-folded long literals: 15 * scale as two int literals would
+    // overflow int32 under ANSI before ever reaching long arithmetic
+    val teleportNum = 15L * scale
+    var rank = nodes.crossJoin(broadcast(n))
+      .select(col("node"), expr(s"${scale}L div __n").as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(rank.select(col("node").as("src"), col("pr")), Seq("src"))
+        .select(col("dst").as("node"),
+          expr("(pr * 85 * w) div (100 * outw)").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("cs"))
+      rank = nodes.crossJoin(broadcast(n))
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (expr(s"${teleportNum}L div (100 * __n)") +
+            coalesce(col("cs"), lit(0L))).as("pr"))
+    }
+    rank
+  }
 }

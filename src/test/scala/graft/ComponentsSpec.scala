@@ -49,4 +49,48 @@ class ComponentsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("did not converge"))
   }
+
+  private def pr(edges: Seq[(String, String, Long)],
+                 iters: Int): Map[String, Long] =
+    Components.pageRank(edges.toDF("src", "dst", "w"), "src", "dst", "w",
+        iters)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+
+  test("pageRank matches a hand-stepped integer power iteration") {
+    // a -> b (w 1), b -> a (w 1): symmetric 2-node graph, N = 2
+    // r0 = 5e8 each; every iteration: base 75e6 + (5e8*85*1) div (100*1)
+    //   = 75_000_000 + 425_000_000 = 500_000_000 — an exact fixpoint
+    val got = pr(Seq(("a", "b", 1L), ("b", "a", 1L)), iters = 3)
+    assert(got == Map("a" -> 500000000L, "b" -> 500000000L))
+  }
+
+  test("pageRank: sinks collect rank, dangling mass drops, mass bounded") {
+    // star into a sink: a->c, b->c, c has no out-edges (dangling)
+    val got = pr(Seq(("a", "c", 2L), ("b", "c", 1L)), iters = 3)
+    // sources only ever hold the teleport base after iteration 1
+    val base = 15L * 1000000000L / (100L * 3L)
+    assert(got("a") == base && got("b") == base)
+    assert(got("c") > got("a")) // the sink accumulates
+    // dangling c re-emits nothing: total mass strictly below scale
+    assert(got.values.sum < 1000000000L)
+  }
+
+  test("pageRank: higher in-weight means higher rank, deterministic") {
+    val edges = Seq(("a", "b", 9L), ("a", "c", 1L),
+      ("b", "a", 1L), ("c", "a", 1L))
+    val r1 = pr(edges, iters = 3)
+    val r2 = pr(edges, iters = 3)
+    assert(r1 == r2)                 // bit-identical across runs
+    assert(r1("b") > r1("c"))        // 90% of a's vote vs 10%
+  }
+
+  test("pageRank rejects bad iteration and scale bounds loudly") {
+    val e = Seq(("a", "b", 1L)).toDF("src", "dst", "w")
+    intercept[IllegalArgumentException](
+      Components.pageRank(e, "src", "dst", "w", iters = 0))
+    intercept[IllegalArgumentException](
+      Components.pageRank(e, "src", "dst", "w", iters = 21))
+    intercept[IllegalArgumentException](
+      Components.pageRank(e, "src", "dst", "w", iters = 3, scale = 10L))
+  }
 }

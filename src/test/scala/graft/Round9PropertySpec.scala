@@ -222,6 +222,48 @@ object Round9PropertySpec extends Properties("round9") {
       (got == want) :| s"k=$k w=$w got=$got want=$want"
     }
 
+  // ----------------------------------------------- integer pagerank
+  /** Independent per-edge replay of Components.pageRank's arithmetic:
+    * contribution divisions happen per EDGE ROW (then sum), exactly as
+    * the engine's projection does. */
+  private def prModel(edges: Seq[(String, String, Long)],
+                      iters: Int): Map[String, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val n = nodes.size
+    val outw = edges.groupBy(_._1).map { case (s, es) =>
+      (s, es.map(_._3).sum) }
+    var pr = nodes.map(v => v -> 1000000000L / n).toMap
+    for (_ <- 1 to iters) {
+      val contrib = edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _, w) =>
+          pr(s) * 85L * w / (100L * outw(s)) }.sum }
+      pr = nodes.map(v =>
+        v -> (15L * 1000000000L / (100L * n) +
+          contrib.getOrElse(v, 0L))).toMap
+    }
+    pr
+  }
+
+  private val genGraph: Gen[(List[(String, String, Long)], Int)] = for {
+    iters <- Gen.choose(1, 4)
+    m <- Gen.choose(1, 12)
+    edges <- Gen.listOfN(m, for {
+      s <- Gen.oneOf("a", "b", "c", "d", "e")
+      d <- Gen.oneOf("a", "b", "c", "d", "e")
+      w <- Gen.choose(1L, 20L)
+    } yield (s, d, w))
+  } yield (edges, iters)
+
+  property("pageRank = independent integer power-iteration model") =
+    Prop.forAll(genGraph) { case (edges, iters) =>
+      import spark.implicits._
+      val got = graft.ext.Components.pageRank(
+          edges.toDF("src", "dst", "w"), "src", "dst", "w", iters)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      val want = prModel(edges, iters)
+      (got == want) :| s"iters=$iters edges=$edges got=$got want=$want"
+    }
+
   property("winnowing guarantee: w+k-1 shared tokens ⇒ shared fingerprint") =
     Prop.forAll(for {
       k <- Gen.choose(2, 4)
