@@ -306,6 +306,23 @@ class PlanShapeSpec extends SparkSpec {
       plan.take(2000))
   }
 
+  test("pagerank iteration: equi-joins + partial aggregates, no cartesian") {
+    import org.apache.spark.sql.functions.col
+    val edges = graft.ext.Events.transitions(Tables.events(spark, dir))
+    val plan = executed(graft.ext.Components.pageRank(
+      edges, "prev_type", "next_type", "n", iters = 2))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    // the only nested-loop joins are the broadcast 1-row node-count
+    // totals (the teleport base) — every rank×edge join is an equi-join
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    val equi = "SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r
+      .findAllIn(plan).length
+    assert(bnl <= 3 && equi >= 2, s"bnl=$bnl equi=$equi\n" + plan.take(2000))
+    // the cached edge list feeds every iteration — no per-iteration rescan
+    assert(plan.contains("InMemoryTableScan"), plan.take(2000))
+    graft.ext.Dedup.unpersistAll()
+  }
+
   test("line dedup: equi-join on the line, map-side-distinct frequent set") {
     import org.apache.spark.sql.functions.{col, concat, lit, when}
     val lined = Tables.documents(spark, dir).select(col("doc_id"),
