@@ -614,6 +614,13 @@ object SparkEntry {
       Events.outliers(Tables.events(s, dir), "event_type", "value",
           sigmas = 3)
         .orderBy("event_id")),
+    // ----- robust MAD anomaly flags (Events.madOutliers scaladoc:
+    // doubled-median integer arithmetic, 50% breakdown point where the
+    // z-score's σ is inflated by the very spikes it hunts) -----
+    "events_mad" -> ((s: SparkSession, dir: String) =>
+      Events.madOutliers(Tables.events(s, dir), "event_type", "value",
+          k = 5)
+        .orderBy("event_id")),
     "events_hourly" -> ((s: SparkSession, dir: String) =>
       Events.hourly(Tables.events(s, dir)).orderBy("hour", "event_type")),
     "events_sessions" -> ((s: SparkSession, dir: String) =>
@@ -2236,6 +2243,44 @@ object SparkEntry {
          |FROM q JOIN s USING (event_type)
          |WHERE (s.n * q.value_c - s.sv) * (s.n * q.value_c - s.sv)
          |  > 9 * (s.n * s.svv - s.sv * s.sv)
+         |ORDER BY event_id""".stripMargin),
+    // the same doubled-median rank selection: med2 = two middle ranks
+    // (x2 when the group is odd), mad4 likewise over |2x - med2|, flag
+    // 2*ad2 > k*mad4 — every value BIGINT, no division anywhere
+    "events_mad" ->
+      ("""WITH q AS (
+         |  SELECT event_id, event_type,
+         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c
+         |  FROM events
+         |), r AS (
+         |  SELECT *,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY value_c) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM q
+         |), med AS (
+         |  SELECT event_type, CAST(sum(value_c) *
+         |    (CASE WHEN max(n) % 2 = 1 THEN 2 ELSE 1 END) AS BIGINT) AS med2
+         |  FROM r WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+         |  GROUP BY event_type
+         |), d AS (
+         |  SELECT q.event_id, q.event_type, q.value_c,
+         |    abs(q.value_c * 2 - m.med2) AS ad2
+         |  FROM q JOIN med m USING (event_type)
+         |), r2 AS (
+         |  SELECT *,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY ad2) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM d
+         |), mad AS (
+         |  SELECT event_type, CAST(sum(ad2) *
+         |    (CASE WHEN max(n) % 2 = 1 THEN 2 ELSE 1 END) AS BIGINT) AS mad4
+         |  FROM r2 WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+         |  GROUP BY event_type
+         |)
+         |SELECT d.event_id, d.event_type, d.value_c
+         |FROM d JOIN mad USING (event_type)
+         |WHERE d.ad2 * 2 > 5 * mad.mad4
          |ORDER BY event_id""".stripMargin),
     "events_hourly" ->
       ("""SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,

@@ -48,6 +48,54 @@ object Events {
       .select(col("event_id"), col(groupCol), col("value_c"))
   }
 
+  /** Per-group sum of the two middle ranks of `valCol` — 2× the exact
+    * median for odd groups (the selected rank counted twice), lower+upper
+    * middle for even ones: the DOUBLED median, always an integer, never a
+    * fraction an engine could round differently. Rank selection only
+    * reads the sorted multiset, so ties need no tiebreak. */
+  private def twoMidSum(df: DataFrame, groupCol: String, valCol: String,
+                        outCol: String): DataFrame = {
+    val byG = Window.partitionBy(col(groupCol))
+    df.withColumn("__rn", row_number().over(byG.orderBy(col(valCol))))
+      .withColumn("__n", count(lit(1)).over(byG))
+      .filter(col("__rn") === expr("(__n + 1) div 2") ||
+        col("__rn") === expr("(__n + 2) div 2"))
+      .groupBy(col(groupCol))
+      .agg((sum(col(valCol)) *
+        when(max(col("__n")) % 2 === 1, 2).otherwise(1)).as(outCol))
+  }
+
+  /** MAD (median-absolute-deviation) anomaly flags — the ROBUST dual of
+    * [[outliers]]: mean/stddev z-scores move with the very anomalies they
+    * hunt (one 1000× spike inflates σ until nothing else flags), while
+    * the median and MAD have a 50% breakdown point. Flagged: rows with
+    * |x − median| > k·MAD, evaluated entirely in integer arithmetic —
+    * values quantized to cents, medians carried DOUBLED (`med2`, so even
+    * groups stay integral), deviations doubled again (`mad4`), and the
+    * test `2·ad2 > k·mad4` clears every denominator. Any engine replays
+    * it bit-for-bit; MAD = 0 (over half the group identical) flags every
+    * deviating row, the standard degenerate-MAD behavior.
+    *
+    * Cost shape, honestly: exact rank selection means the value mass
+    * shuffles on the group key twice (median pass, deviation-median
+    * pass) — windowed per group, never a global sort. That is the
+    * inherent price of an EXACT MAD; the sketch path for wide groups is
+    * [[TextStats.groupQuantiles]]'s rank arithmetic over an aggregated
+    * distribution. */
+  def madOutliers(events: DataFrame, groupCol: String, valueCol: String,
+                  k: Int = 5): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val q = events.select(col("event_id"), col(groupCol),
+      floor(col(valueCol) * 100 + 0.5).cast("long").as("value_c"))
+    val med = twoMidSum(q, groupCol, "value_c", "med2")
+    val dev = q.join(broadcast(med), Seq(groupCol))
+      .withColumn("ad2", abs(col("value_c") * 2 - col("med2")))
+    val mad = twoMidSum(dev, groupCol, "ad2", "mad4")
+    dev.join(broadcast(mad), Seq(groupCol))
+      .filter(col("ad2") * 2 > lit(k.toLong) * col("mad4"))
+      .select(col("event_id"), col(groupCol), col("value_c"))
+  }
+
   /** `props` is a JSON string column; extract `$.k` as a typed value.
     * `get_json_object` is a codegen'd scalar — no shuffle, scan-parallel. */
   def jsonProps(events: DataFrame): DataFrame =

@@ -49,6 +49,45 @@ class EventsSpec extends SparkSpec {
     assert(Events.outliers(df, "event_type", "value").count() == 0L)
   }
 
+  test("madOutliers: robust where the z-score drowns — and hand-exact") {
+    import spark.implicits._
+    // 9 values at ~1.0 and TWO huge spikes: the spikes inflate sigma so
+    // 3-sigma flags NEITHER, while the median/MAD flag both
+    val rows = (1L to 9L).map(i => (i, "g", 1.0 + (i % 3) * 0.01)) ++
+      Seq((10L, "g", 500.0), (11L, "g", 510.0))
+    val df = rows.toDF("event_id", "event_type", "value")
+    assert(Events.outliers(df, "event_type", "value", sigmas = 3)
+      .count() == 0L)
+    val mad = Events.madOutliers(df, "event_type", "value", k = 5)
+      .collect().map(_.getLong(0)).toSet
+    // med = 101 (cents), ad2 of the bulk <= 2, mad4 = 4; spikes ad2 ~ 1e5
+    assert(mad == Set(10L, 11L))
+  }
+
+  test("madOutliers: even group, doubled-median arithmetic is exact") {
+    import spark.implicits._
+    // values 1,2,3,10 (cents 100,200,300,1000): med2 = 500 (median 2.5)
+    // ad2: |200-500|=300, |400-500|=100, |600-500|=100, |2000-500|=1500
+    // sorted ad2: 100,100,300,1500 -> mad4 = 100+300 = 400 (MAD 1.0)
+    // k=3: flag 2*ad2 > 1200 -> only the 10.0 row
+    val df = Seq((1L, "g", 1.0), (2L, "g", 2.0), (3L, "g", 3.0),
+      (4L, "g", 10.0)).toDF("event_id", "event_type", "value")
+    val got = Events.madOutliers(df, "event_type", "value", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(got == Seq((4L, 1000L)))
+  }
+
+  test("madOutliers: zero MAD flags every deviating row, not nothing") {
+    import spark.implicits._
+    // >half identical -> MAD = 0: any deviation is infinitely many MADs
+    val df = (Seq.fill(6)(7.0) :+ 7.01).zipWithIndex
+      .map { case (v, i) => (i.toLong, "g", v) }
+      .toDF("event_id", "event_type", "value")
+    val got = Events.madOutliers(df, "event_type", "value", k = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(6L))
+  }
+
   test("hourly: tumbling window counts and exact decimal-accumulated sums") {
     val r = Events.hourly(events).orderBy("hour", "event_type").collect()
       .map(x => (x.getString(0), x.getString(1), x.getLong(2), x.getDouble(3))).toSeq
