@@ -348,6 +348,20 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy("doc_id")
     }),
+    // quality-aware APPLY: keep each cluster's LONGEST member (ties to
+    // the smallest id), not the arbitrary min-id — Components
+    // .applyClustersBest scaladoc: one packed-struct argmax pass
+    "dedup_best" -> ((s: SparkSession, dir: String) => {
+      val docs = Tables.documents(s, dir)
+      graft.ext.Components.applyClustersBest(docs, "doc_id",
+          graft.ext.Components.connectedComponents(
+            Dedup.minhashLshPairs(docs, "doc_id", "text",
+                n = 3, bands = 64, rowsPerBand = 2, threshold = 0.5)
+              .select(col("id_a").as("src"), col("id_b").as("dst"))),
+          "n_chars")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
     "dedup_minhash" -> ((s: SparkSession, dir: String) =>
       Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
           n = 3, bands = 64, rowsPerBand = 2, threshold = 0.5)
@@ -1796,6 +1810,26 @@ object SparkEntry {
          |  SELECT id FROM walk GROUP BY id HAVING id <> min(comp)
          |)
          |SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM drops)
+         |ORDER BY doc_id""".stripMargin),
+    // same cluster walk, then per-cluster argmax(n_chars) with the min-id
+    // tie-break replayed as max-score join + min(id)
+    "dedup_best" ->
+      (s"""WITH RECURSIVE $ClusterWalkCtes, cl AS (
+         |  SELECT id, min(comp) AS comp FROM walk GROUP BY id
+         |), scored AS (
+         |  SELECT cl.id, cl.comp, d.n_chars FROM cl
+         |  JOIN documents d ON d.doc_id = cl.id
+         |), mx AS (
+         |  SELECT comp, max(n_chars) AS ms FROM scored GROUP BY comp
+         |), reps AS (
+         |  SELECT s.comp, min(s.id) AS keep
+         |  FROM scored s JOIN mx ON s.comp = mx.comp AND s.n_chars = mx.ms
+         |  GROUP BY s.comp
+         |), drops AS (
+         |  SELECT id FROM cl WHERE id NOT IN (SELECT keep FROM reps)
+         |)
+         |SELECT doc_id, lang, n_chars FROM documents
          |WHERE doc_id NOT IN (SELECT id FROM drops)
          |ORDER BY doc_id""".stripMargin),
     "dedup_simhash" -> SimhashOracle,

@@ -118,6 +118,32 @@ object Components {
     df.join(drop, df(idCol) === drop("id"), "left_anti")
   }
 
+  /** Quality-aware cluster application: keep the HIGHEST-SCORING member
+    * of each near-dup cluster (ties to the smallest id), not the
+    * arbitrary min-id representative [[applyClusters]] keeps. This is
+    * what a production dedup actually wants — among near-duplicate page
+    * versions, keep the longest / highest-quality one; min-id keeps
+    * whichever crawled first.
+    *
+    * Shape: representative selection is ONE aggregate pass over the
+    * cluster-member score join — `max(struct(score, -id))` packs the
+    * argmax and its deterministic tie-break into a single partial-
+    * aggregable max, no window, no sort. The drop list then anti-joins
+    * the corpus exactly as [[applyClusters]] (AQE broadcast when small,
+    * shuffled anti-join on a heavily-duplicated crawl). */
+  def applyClustersBest(df: DataFrame, idCol: String, clusters: DataFrame,
+                        scoreCol: String): DataFrame = {
+    val scored = clusters.join(
+      df.select(col(idCol).cast("long").as("id"), col(scoreCol).as("__s")),
+      Seq("id"))
+    val reps = scored.groupBy(col("comp"))
+      .agg(max(struct(col("__s").as("__s"), (-col("id")).as("__ni")))
+        .as("__m"))
+      .select((-col("__m.__ni")).as("id"))
+    val drop = clusters.select(col("id")).join(reps, Seq("id"), "left_anti")
+    df.join(drop, df(idCol) === drop("id"), "left_anti")
+  }
+
   /** Weighted PageRank over an edge list, bounded-iteration power method
     * in EXACT integer arithmetic: ranks live in `scale` fixed-point units,
     * the damping split is 85/100, and every division is integral — so any

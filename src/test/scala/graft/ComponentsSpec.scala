@@ -43,6 +43,17 @@ class ComponentsSpec extends SparkSpec {
     assert(kept == Set(1L, 4L, 9L)) // rep survives; 4 and 9 untouched
   }
 
+  test("applyClustersBest keeps the highest score, ties to smallest id") {
+    val docs = Seq((1L, 5L), (2L, 9L), (3L, 9L), (4L, 2L), (9L, 7L))
+      .toDF("doc_id", "len")
+    val clusters = Components.connectedComponents(
+      Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")) // cluster {1,2,3}
+    val kept = Components.applyClustersBest(docs, "doc_id", clusters, "len")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 2 and 3 tie at score 9 -> smaller id 2 wins; min-id would keep 1
+    assert(kept == Set(2L, 4L, 9L))
+  }
+
   test("non-convergence within maxIter fails loudly") {
     val e = intercept[IllegalStateException] {
       cc(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)), maxIter = 1)
