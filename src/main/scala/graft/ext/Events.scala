@@ -48,23 +48,6 @@ object Events {
       .select(col("event_id"), col(groupCol), col("value_c"))
   }
 
-  /** Per-group sum of the two middle ranks of `valCol` — 2× the exact
-    * median for odd groups (the selected rank counted twice), lower+upper
-    * middle for even ones: the DOUBLED median, always an integer, never a
-    * fraction an engine could round differently. Rank selection only
-    * reads the sorted multiset, so ties need no tiebreak. */
-  private def twoMidSum(df: DataFrame, groupCol: String, valCol: String,
-                        outCol: String): DataFrame = {
-    val byG = Window.partitionBy(col(groupCol))
-    df.withColumn("__rn", row_number().over(byG.orderBy(col(valCol))))
-      .withColumn("__n", count(lit(1)).over(byG))
-      .filter(col("__rn") === expr("(__n + 1) div 2") ||
-        col("__rn") === expr("(__n + 2) div 2"))
-      .groupBy(col(groupCol))
-      .agg((sum(col(valCol)) *
-        when(max(col("__n")) % 2 === 1, 2).otherwise(1)).as(outCol))
-  }
-
   /** MAD (median-absolute-deviation) anomaly flags — the ROBUST dual of
     * [[outliers]]: mean/stddev z-scores move with the very anomalies they
     * hunt (one 1000× spike inflates σ until nothing else flags), while
@@ -76,22 +59,36 @@ object Events {
     * it bit-for-bit; MAD = 0 (over half the group identical) flags every
     * deviating row, the standard degenerate-MAD behavior.
     *
-    * Cost shape, honestly: exact rank selection means the value mass
-    * shuffles on the group key twice (median pass, deviation-median
-    * pass) — windowed per group, never a global sort. That is the
-    * inherent price of an EXACT MAD; the sketch path for wide groups is
+    * Cost shape: the value mass shuffles on the group key ONCE. Both
+    * rank selections (the median and the deviation median) run inside
+    * that single hash partitioning as window stages — rank by value, a
+    * whole-partition conditional sum broadcasts `med2` to every row of
+    * its group without aggregating the frame away, then rank by
+    * deviation and repeat for `mad4`. The second selection needs only a
+    * per-partition re-SORT (Spark's EnsureRequirements sees the
+    * partitioning already satisfied — asserted in `PlanShapeSpec`);
+    * exact MAD cannot avoid that second sort, since deviation ranks
+    * depend on the median. The sketch path for wide groups is
     * [[TextStats.groupQuantiles]]'s rank arithmetic over an aggregated
     * distribution. */
   def madOutliers(events: DataFrame, groupCol: String, valueCol: String,
                   k: Int = 5): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val q = events.select(col("event_id"), col(groupCol),
-      floor(col(valueCol) * 100 + 0.5).cast("long").as("value_c"))
-    val med = twoMidSum(q, groupCol, "value_c", "med2")
-    val dev = q.join(broadcast(med), Seq(groupCol))
+    val byG = Window.partitionBy(col(groupCol))
+    // "(__rn = lo or hi) middle selection; odd groups (lo = hi) count the
+    // single middle twice via the ×2 — the DOUBLED median, always integral
+    def mid2(rankCol: String, valCol: String) =
+      sum(when(col(rankCol) === expr("(__n + 1) div 2") ||
+          col(rankCol) === expr("(__n + 2) div 2"), col(valCol)))
+        .over(byG) * when(col("__n") % 2 === 1, 2).otherwise(1)
+    events.select(col("event_id"), col(groupCol),
+        floor(col(valueCol) * 100 + 0.5).cast("long").as("value_c"))
+      .withColumn("__rn", row_number().over(byG.orderBy(col("value_c"))))
+      .withColumn("__n", count(lit(1)).over(byG))
+      .withColumn("med2", mid2("__rn", "value_c"))
       .withColumn("ad2", abs(col("value_c") * 2 - col("med2")))
-    val mad = twoMidSum(dev, groupCol, "ad2", "mad4")
-    dev.join(broadcast(mad), Seq(groupCol))
+      .withColumn("__rn2", row_number().over(byG.orderBy(col("ad2"))))
+      .withColumn("mad4", mid2("__rn2", "ad2"))
       .filter(col("ad2") * 2 > lit(k.toLong) * col("mad4"))
       .select(col("event_id"), col(groupCol), col("value_c"))
   }

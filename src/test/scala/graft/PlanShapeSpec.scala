@@ -323,6 +323,18 @@ class PlanShapeSpec extends SparkSpec {
     graft.ext.Dedup.unpersistAll()
   }
 
+  test("MAD flags: both rank selections inside ONE group-key exchange") {
+    val plan = executed(graft.ext.Events.madOutliers(
+      Tables.events(spark, dir), "event_type", "value", k = 5))
+    // the r9 two-pass formulation shuffled the value mass twice (one
+    // windowed rank selection per median); the single-partitioning
+    // formulation re-sorts within partitions for the deviation ranks
+    // but never re-shuffles — and needs no joins at all
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      plan.take(2500))
+    assert(!plan.contains("Join"), plan.take(2500))
+  }
+
   test("line dedup: equi-join on the line, map-side-distinct frequent set") {
     import org.apache.spark.sql.functions.{col, concat, lit, when}
     val lined = Tables.documents(spark, dir).select(col("doc_id"),
