@@ -126,9 +126,12 @@ object Components {
     * whichever crawled first.
     *
     * Shape: representative selection is ONE aggregate pass over the
-    * cluster-member score join — `max(struct(score, -id))` packs the
+    * cluster-member score join — `max(struct(score, ~id))` packs the
     * argmax and its deterministic tie-break into a single partial-
-    * aggregable max, no window, no sort. The drop list then anti-joins
+    * aggregable max, no window, no sort. The tie-break inverts the id
+    * ordering with bitwise NOT (`~id = -id - 1`), a TOTAL order-reversing
+    * bijection on long — unlike arithmetic negation, which overflows on
+    * `Long.MinValue` under ANSI. The drop list then anti-joins
     * the corpus exactly as [[applyClusters]] (AQE broadcast when small,
     * shuffled anti-join on a heavily-duplicated crawl). */
   def applyClustersBest(df: DataFrame, idCol: String, clusters: DataFrame,
@@ -137,9 +140,9 @@ object Components {
       df.select(col(idCol).cast("long").as("id"), col(scoreCol).as("__s")),
       Seq("id"))
     val reps = scored.groupBy(col("comp"))
-      .agg(max(struct(col("__s").as("__s"), (-col("id")).as("__ni")))
+      .agg(max(struct(col("__s").as("__s"), bitwise_not(col("id")).as("__ni")))
         .as("__m"))
-      .select((-col("__m.__ni")).as("id"))
+      .select(bitwise_not(col("__m.__ni")).as("id"))
     val drop = clusters.select(col("id")).join(reps, Seq("id"), "left_anti")
     df.join(drop, df(idCol) === drop("id"), "left_anti")
   }
@@ -156,15 +159,22 @@ object Components {
     *
     * Contract and bounds, loudly documented rather than silently wrong:
     * `scale · 85 · max(w)` must fit signed 64-bit (the default 1e9 scale
-    * leaves room for edge weights to 1e8); dangling-node mass is dropped,
-    * not redistributed (the usual simplification — both this and any
-    * oracle must agree); iterations are capped, not converged — rank
-    * ORDERING stabilizes in a few hops on event-transition-sized graphs,
-    * and a fixed bound keeps the lineage shallow (each round adds one
-    * join + one aggregate; no checkpoint needed at ≤ 20 rounds). */
+    * leaves room for edge weights to 1e8); dangling-node mass is DROPPED
+    * by default, not redistributed (the usual simplification — both this
+    * and any oracle must agree), with `redistributeDangling = true`
+    * switching to the mass-conserving variant a general-graph user wants:
+    * each iteration sums the rank sitting on out-degree-0 nodes (one
+    * metadata-sized aggregate riding the same broadcast as N) and gives
+    * every node its integral share `85·D div (100·N)` — same fixed-point
+    * arithmetic, still engine-exact; iterations are capped, not
+    * converged — rank ORDERING stabilizes in a few hops on
+    * event-transition-sized graphs, and a fixed bound keeps the lineage
+    * shallow (each round adds one join + one aggregate; no checkpoint
+    * needed at ≤ 20 rounds). */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                wCol: String, iters: Int = 3,
-               scale: Long = 1000000000L): DataFrame = {
+               scale: Long = 1000000000L,
+               redistributeDangling: Boolean = false): DataFrame = {
     require(iters >= 1 && iters <= 20,
       s"iters must be in [1,20], got $iters")
     require(scale >= 1000L, s"scale must be >= 1000, got $scale")
@@ -181,17 +191,33 @@ object Components {
     val teleportNum = 15L * scale
     var rank = nodes.crossJoin(broadcast(n))
       .select(col("node"), expr(s"${scale}L div __n").as("pr"))
+    val srcNodes = outw.select(col("src").as("node"))
     for (_ <- 1 to iters) {
       val contrib = e
         .join(rank.select(col("node").as("src"), col("pr")), Seq("src"))
         .select(col("dst").as("node"),
           expr("(pr * 85 * w) div (100 * outw)").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("cs"))
-      rank = nodes.crossJoin(broadcast(n))
+      val base = nodes.crossJoin(broadcast(n))
         .join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          (expr(s"${teleportNum}L div (100 * __n)") +
-            coalesce(col("cs"), lit(0L))).as("pr"))
+      rank =
+        if (!redistributeDangling)
+          base.select(col("node"),
+            (expr(s"${teleportNum}L div (100 * __n)") +
+              coalesce(col("cs"), lit(0L))).as("pr"))
+        else {
+          // dangling mass D = rank on nodes with no out-edges; a 1-row
+          // aggregate (anti-join against the out-degree table, sum),
+          // broadcast alongside N. 85·D ≤ 85·scale·(1+ε) — no overflow
+          // headroom cost beyond the documented scale bound.
+          val dang = rank.join(srcNodes, Seq("node"), "left_anti")
+            .agg(coalesce(sum(col("pr")), lit(0L)).as("__d"))
+          base.crossJoin(broadcast(dang))
+            .select(col("node"),
+              (expr(s"${teleportNum}L div (100 * __n)") +
+                expr("(__d * 85) div (100 * __n)") +
+                coalesce(col("cs"), lit(0L))).as("pr"))
+        }
     }
     rank
   }
