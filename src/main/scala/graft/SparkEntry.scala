@@ -53,6 +53,21 @@ object SparkEntry {
 
   private val Emp = Tables.EmployeesOracleView
 
+  /** Scratch directory reclaimed at JVM exit. Deletion cannot be eager —
+    * the returned DataFrames read these files lazily — but without the
+    * hook every verify/bench run leaks its parquet scratch under /tmp. */
+  private def scratchDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(p.toFile)
+    }))
+    p.toString
+  }
+
   /** Documents with deterministic PII/URL decorations appended: the
     * synthetic corpus is clean, so the compliance queries (`text_pii`,
     * `text_domains`) derive a dirty variant as a pure function of
@@ -421,7 +436,7 @@ object SparkEntry {
     // plan-asserted in IvfIndexSpec) — no centroid rebuild per query
     "sim_ivf_indexed" -> ((s: SparkSession, dir: String) => {
       val emb = Tables.embeddings(s, dir)
-      val idx = java.nio.file.Files.createTempDirectory("graft-ivf-").toString
+      val idx = scratchDir("graft-ivf-")
       graft.ext.IvfIndex.build(emb, "vec_id", "embedding", "label", idx)
       graft.ext.IvfIndex.topK(s, idx, "vec_id", "embedding",
         queryVec(emb), k = 5, nprobe = 2)
@@ -574,8 +589,7 @@ object SparkEntry {
     "dedup_incremental" -> ((s: SparkSession, dir: String) => {
       val docs = Tables.documents(s, dir)
       val srcNum = expr("CAST(substr(source, 4) AS INT)")
-      val tmp = java.nio.file.Files.createTempDirectory("graft-fpix-")
-        .toString
+      val tmp = scratchDir("graft-fpix-")
       graft.ext.Dedup.buildFingerprintIndex(
         docs.filter(srcNum < 10), "text", tmp)
       graft.ext.Dedup.incremental(docs.filter(srcNum >= 10), "text", tmp)
@@ -806,8 +820,7 @@ object SparkEntry {
     // either side at any scale (plan-asserted in BucketingSpec); certified
     // by hash-matching the identical oracle as join_revenue
     "join_bucketed" -> ((s: SparkSession, dir: String) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-join-bkt")
-        .toString
+      val tmp = scratchDir("graft-join-bkt")
       graft.sources.Bucketing.writeBucketed(
         Tables.orders(s, dir).select(col("o_custkey"), col("o_totalprice")),
         "graft_bkt_orders", s"$tmp/orders", "o_custkey", buckets = 8)
@@ -1145,8 +1158,7 @@ object SparkEntry {
     // language back through partition pruning (plan-asserted in
     // PartitionedSpec — the scan enumerates only the lang=en directory)
     "sink_partitioned" -> ((s: SparkSession, dir: String) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-part-")
-        .toString
+      val tmp = scratchDir("graft-part-")
       graft.sources.Partitioned.write(
         Tables.documents(s, dir).select(col("doc_id"), col("lang"),
           col("n_chars")), "lang", tmp)
@@ -1162,8 +1174,7 @@ object SparkEntry {
     // stays readable after later commits, v2 proves append accumulates,
     // v3 proves overwrite replaces -----
     "sink_txlog" -> ((s: SparkSession, dir: String) => {
-      val tbl = java.nio.file.Files.createTempDirectory("graft-tx-")
-        .toString + "/tbl"
+      val tbl = scratchDir("graft-tx-") + "/tbl"
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"), col("n_chars"))
       graft.sources.TxTable.commit(
@@ -1185,8 +1196,7 @@ object SparkEntry {
     // the de append (inserts only), v2→v3 the fr overwrite (en+de out,
     // fr in) -----
     "ops_txdiff" -> ((s: SparkSession, dir: String) => {
-      val tbl = java.nio.file.Files.createTempDirectory("graft-txd-")
-        .toString + "/tbl"
+      val tbl = scratchDir("graft-txd-") + "/tbl"
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"), col("n_chars"))
       graft.sources.TxTable.commit(
@@ -1203,13 +1213,36 @@ object SparkEntry {
             col("lang"), col("n_chars")))
         .orderBy("step", "change", "doc_id")
     }),
+    // ----- vacuum / retention (TxTable.vacuum scaladoc: expire all but
+    // the newest N manifests, delete only files no retained manifest
+    // lists) over the same 3-commit history: retain=2 expires exactly
+    // v1, and both retained snapshots must read back intact — the
+    // certified output IS the post-vacuum content of v2 and v3 -----
+    "ops_vacuum" -> ((s: SparkSession, dir: String) => {
+      val tbl = scratchDir("graft-vac-") + "/tbl"
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "en"), tbl, "overwrite")
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "de"), tbl, "append")
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "fr"), tbl, "overwrite")
+      val stats = graft.sources.TxTable.vacuum(tbl, retain = 2)
+      Seq(2L, 3L).map(v =>
+          graft.sources.TxTable.readVersion(s, tbl, v)
+            .select(lit(v).as("version"), col("doc_id"), col("lang"),
+              col("n_chars"),
+              lit(stats.expiredVersions == Seq(1L)).as("expired_v1")))
+        .reduce(_.union(_))
+        .orderBy("version", "doc_id")
+    }),
     // ----- JSONL codec round trip: events (incl. the JSON-in-string
     // props column — the quoting torture case) serialized to JSON lines
     // and read back schema-enforced; hash-matching the oracle on the
     // ORIGINAL table certifies the codec end to end -----
     "source_jsonl" -> ((s: SparkSession, dir: String) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-jsonl-")
-        .toString
+      val tmp = scratchDir("graft-jsonl-")
       graft.sources.JsonLines.roundTrip(
         Tables.events(s, dir).select(col("event_id"), col("user_id"),
           col("event_type"),
@@ -1221,8 +1254,7 @@ object SparkEntry {
     // certified the same way as JSONL — write, schema-enforced re-read,
     // hash-match vs the oracle on the original parquet -----
     "source_orc" -> ((s: SparkSession, dir: String) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-orc-")
-        .toString
+      val tmp = scratchDir("graft-orc-")
       graft.sources.OrcTable.roundTrip(
         Tables.documents(s, dir).select(col("doc_id"), col("text"),
           col("lang"), col("source"), col("n_chars")), tmp)
@@ -1296,8 +1328,7 @@ object SparkEntry {
     // all columns non-null by construction (CsvTable scaladoc names the
     // inherent empty-vs-null CSV ambiguity) -----
     "source_csv" -> ((s: SparkSession, dir: String) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-csv-")
-        .toString
+      val tmp = scratchDir("graft-csv-")
       graft.sources.CsvTable.roundTrip(
         Tables.documents(s, dir).select(col("doc_id"), col("text"),
           col("lang"), col("source"), col("n_chars")), tmp)
@@ -1408,7 +1439,7 @@ object SparkEntry {
     * batch leaves exactly the final aggregate on disk. */
   private def drainStream(s: SparkSession, name: String, mode: String,
                           frame: DataFrame): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory(s"graft-$name-")
+    val base = java.nio.file.Paths.get(scratchDir(s"graft-$name-"))
     val out = s"$base/out"
     // a zero-batch drain (empty source) never invokes foreachBatch, so the
     // directory must exist for the read-back to return an empty frame
@@ -2063,8 +2094,9 @@ object SparkEntry {
          |), dropped AS (
          |  SELECT DISTINCT b.vec_id AS d
          |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-         |  WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4)
-         |          >= 0.99
+         |  WHERE (CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0
+         |         ELSE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4)
+         |         END) >= 0.99
          |)
          |SELECT vec_id, label FROM corpus
          |WHERE vec_id NOT IN (SELECT d FROM dropped)
@@ -3161,6 +3193,17 @@ object SparkEntry {
          |SELECT 'v2v3', 'delete', doc_id, lang, n_chars
          |FROM documents WHERE lang IN ('en', 'de')
          |ORDER BY step, change, doc_id""".stripMargin),
+    // vacuum(retain=2) expires exactly v1; the retained snapshots replay
+    // from the commit definitions: v2 = en+de append state, v3 = fr
+    // overwrite state — identical content before and after the vacuum
+    "ops_vacuum" ->
+      ("""SELECT CAST(2 AS BIGINT) AS version, doc_id, lang, n_chars,
+         |  TRUE AS expired_v1
+         |FROM documents WHERE lang IN ('en', 'de')
+         |UNION ALL
+         |SELECT CAST(3 AS BIGINT), doc_id, lang, n_chars, TRUE
+         |FROM documents WHERE lang = 'fr'
+         |ORDER BY version, doc_id""".stripMargin),
     // the JSONL round trip must reproduce the original table — if the
     // codec mangles quoting, escapes, or numerics, the hash breaks
     "source_jsonl" ->

@@ -342,11 +342,17 @@ object Similarity {
       norm(col(vecCol)).as("__nrm"))
     val a = v.alias("a")
     val b = v.alias("b")
+    // Zero-norm guard: 0/0 is NaN, and Spark orders NaN ABOVE every
+    // double, so an unguarded `__sim >= threshold` would be true against
+    // a zero vector and wrongly drop every higher-id member of its
+    // cluster. Define cosine-vs-zero-vector as 0 (no direction, never a
+    // duplicate), matching [[normalizeUnit]]'s zero-vector contract.
     val dropped = a.join(b,
         col("a.__grp") === col("b.__grp") && col("a.__id") < col("b.__id"))
       .select(col("b.__id").as("__dropped"),
-        round(array_dot(col("a.__v"), col("b.__v")) /
-          (col("a.__nrm") * col("b.__nrm")), 4).as("__sim"))
+        when(col("a.__nrm") === 0d || col("b.__nrm") === 0d, lit(0d))
+          .otherwise(round(array_dot(col("a.__v"), col("b.__v")) /
+            (col("a.__nrm") * col("b.__nrm")), 4)).as("__sim"))
       .filter(col("__sim") >= threshold)
       .select(col("__dropped")).distinct()
     df.join(dropped, col(idCol).cast("long") === col("__dropped"), "left_anti")

@@ -4,7 +4,7 @@ import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession, functions}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructField, StructType}
 
 /** Transactional parquet table via a manifest log — the minimal
   * Delta/Iceberg-shaped commit contract a long-lived 100 TB corpus needs
@@ -61,23 +61,36 @@ object TxTable {
     Files.createDirectories(root.resolve(LogDir))
     val prev = latestVersion(tableDir).map(v => readManifest(root, v))
     prev.foreach { m =>
-      require(DataType.fromJson(m.schemaJson) == df.schema || mode == "overwrite",
+      // Nullability-insensitive compare: a frame read back from parquet
+      // comes out all-nullable, which must still append to a table whose
+      // schema was committed from a non-nullable source (same contract as
+      // Spark's own insertInto resolution).
+      require(mode == "overwrite" ||
+          asNullable(DataType.fromJson(m.schemaJson)) == asNullable(df.schema),
         s"append schema ${df.schema.simpleString} does not match table " +
           s"schema ${DataType.fromJson(m.schemaJson).simpleString}")
     }
     val commitId = java.util.UUID.randomUUID().toString
     val dataRel = s"data/$commitId"
     df.write.parquet(root.resolve(dataRel).toString)
-    val newFiles = Files.list(root.resolve(dataRel)).iterator().asScala
-      .filter(p => p.getFileName.toString.endsWith(".parquet"))
-      .map(p => s"$dataRel/${p.getFileName}").toSeq.sorted
+    val newFiles = listNames(root.resolve(dataRel))
+      .filter(_.endsWith(".parquet"))
+      .map(n => s"$dataRel/$n").sorted
     val carried =
       if (mode == "append") prev.map(_.files).getOrElse(Seq.empty)
       else Seq.empty
     val version = prev.map(_.version + 1).getOrElse(1L)
     val manifest = Manifest(version, mode, df.schema.json,
       carried ++ newFiles)
-    publish(root, manifest)
+    try publish(root, manifest)
+    catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        // Lost the commit race: this commit's data files are unreachable
+        // (no manifest references a data/<uuid> dir but its own), so
+        // best-effort reclaim them before surfacing the conflict.
+        try deleteRecursively(root.resolve(dataRel)) catch { case _: Exception => () }
+        throw e
+    }
     version
   }
 
@@ -86,9 +99,7 @@ object TxTable {
     val log = Paths.get(tableDir).resolve(LogDir)
     if (!Files.isDirectory(log)) None
     else {
-      val vs = Files.list(log).iterator().asScala
-        .map(_.getFileName.toString)
-        .collect { case VersionName(v) => v }.toSeq
+      val vs = listNames(log).collect { case VersionName(v) => v }
       if (vs.isEmpty) None else Some(vs.max)
     }
   }
@@ -127,6 +138,77 @@ object TxTable {
       .unionByName(a.exceptAll(b).withColumn("change", functions.lit("delete")))
   }
 
+  final case class VacuumStats(expiredVersions: Seq[Long], deletedFiles: Long,
+                               deletedBytes: Long)
+
+  /** Reclaim storage: expire every version older than the newest `retain`
+    * manifests, then delete data files no retained manifest references.
+    * This is the retention contract `overwrite`'s keep-everything time
+    * travel needs at 100 TB — without it a frequently-overwritten table
+    * grows without bound (the same reason Delta has VACUUM and Iceberg
+    * has expire_snapshots).
+    *
+    * Safety invariants:
+    *   - A file listed by ANY retained manifest is never deleted — the
+    *     live set is computed first and checked per file; retained
+    *     versions read identically before and after (property-tested in
+    *     `TxTableSpec`).
+    *   - Expired manifests are removed BEFORE their files: a crash
+    *     mid-vacuum leaves orphaned data files (reclaimed by the next
+    *     vacuum), never a readable version with missing files.
+    *   - `minAgeMillis` guards in-flight commits: a concurrent writer's
+    *     data files exist before its manifest publishes, so production
+    *     sets this above the longest plausible commit duration (the
+    *     standard orphan-file age threshold); 0 is for quiesced tables
+    *     and tests.
+    *   - Live commits' sidecar files (`_SUCCESS`, checksums) survive:
+    *     only `.parquet` files are deleted from directories that still
+    *     contain live files; fully-dead commit directories are removed
+    *     whole.
+    *
+    * Cost shape: O(files) metadata + deletes through the driver, zero
+    * data movement, no Spark job — the same envelope as commit. */
+  def vacuum(tableDir: String, retain: Int,
+             minAgeMillis: Long = 0L): VacuumStats = {
+    require(retain >= 1, s"retain must be >= 1, got $retain")
+    val root = Paths.get(tableDir)
+    val latest = latestVersion(tableDir).getOrElse(
+      throw new IllegalStateException(
+        s"no committed version under $tableDir/$LogDir"))
+    val versions = listNames(root.resolve(LogDir))
+      .collect { case VersionName(v) => v }.sorted
+    val (expired, retained) = versions.partition(_ <= latest - retain)
+    val live = retained.flatMap(v => readManifest(root, v).files).toSet
+    expired.foreach(v => Files.deleteIfExists(manifestPath(root, v)))
+    val dataDir = root.resolve("data")
+    val now = System.currentTimeMillis()
+    var nFiles = 0L
+    var nBytes = 0L
+    def oldEnough(p: Path): Boolean =
+      now - Files.getLastModifiedTime(p).toMillis >= minAgeMillis
+    if (Files.isDirectory(dataDir)) {
+      listNames(dataDir).foreach { commit =>
+        val dir = dataDir.resolve(commit)
+        if (Files.isDirectory(dir)) {
+          val names = listNames(dir)
+          val hasLive = names.exists(n => live.contains(s"data/$commit/$n"))
+          names.foreach { n =>
+            val p = dir.resolve(n)
+            val dead = !live.contains(s"data/$commit/$n") &&
+              (n.endsWith(".parquet") || !hasLive)
+            if (dead && Files.isRegularFile(p) && oldEnough(p)) {
+              nBytes += Files.size(p)
+              Files.delete(p)
+              nFiles += 1
+            }
+          }
+          if (listNames(dir).isEmpty) Files.deleteIfExists(dir): Unit
+        }
+      }
+    }
+    VacuumStats(expired, nFiles, nBytes)
+  }
+
   /** Time travel: read exactly version `v`'s snapshot. */
   def readVersion(spark: SparkSession, tableDir: String, v: Long): DataFrame = {
     val root = Paths.get(tableDir)
@@ -139,6 +221,35 @@ object TxTable {
   }
 
   // ------------------------------------------------------------ internals
+
+  /** Directory listing that CLOSES the underlying stream — `Files.list`
+    * holds a directory handle until closed, which leaks in a long-lived
+    * driver doing many commits/reads. */
+  private def listNames(dir: Path): Seq[String] = {
+    val s = Files.list(dir)
+    try s.iterator().asScala.map(_.getFileName.toString).toSeq
+    finally s.close()
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      listNames(p).foreach(n => deleteRecursively(p.resolve(n)))
+    Files.deleteIfExists(p): Unit
+  }
+
+  /** Structural schema with every nullability flag (and field metadata)
+    * normalized — parquet round trips widen to nullable, which must not
+    * fail a legitimate append. */
+  private def asNullable(dt: DataType): DataType = dt match {
+    case s: StructType =>
+      StructType(s.fields.map(f =>
+        StructField(f.name, asNullable(f.dataType), nullable = true)))
+    case a: ArrayType => ArrayType(asNullable(a.elementType), containsNull = true)
+    case m: MapType =>
+      MapType(asNullable(m.keyType), asNullable(m.valueType),
+        valueContainsNull = true)
+    case other => other
+  }
 
   private object VersionName {
     private val P = "^v(\\d{5,})\\.json$".r

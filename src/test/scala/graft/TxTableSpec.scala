@@ -108,4 +108,88 @@ class TxTableSpec extends SparkSpec {
     TxTable.commit(Seq((1L, 2.5)).toDF("id", "score"), tbl, "overwrite")
     intercept[IllegalArgumentException](TxTable.diff(spark, tbl, 1L, 2L))
   }
+
+  test("append accepts an all-nullable parquet read-back of its own schema") {
+    val tbl = tmpTable()
+    TxTable.commit(frame(1L), tbl, "overwrite") // id/payload non-nullable
+    // round-trip through parquet widens every field to nullable
+    TxTable.commit(TxTable.read(spark, tbl), tbl, "append")
+    assert(TxTable.read(spark, tbl).count() == 2L)
+  }
+
+  private def dataFiles(tbl: String): Set[String] =
+    Files.walk(Paths.get(tbl, "data")).iterator().asScala
+      .filter(Files.isRegularFile(_)).map(_.toString).toSet
+
+  test("vacuum frees overwritten versions, keeps every retained one intact") {
+    val tbl = tmpTable()
+    TxTable.commit(frame(1L, 2L), tbl, "overwrite")
+    TxTable.commit(frame(3L), tbl, "append")
+    TxTable.commit(frame(9L), tbl, "overwrite")
+    val v2Before = TxTable.readVersion(spark, tbl, 2L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val stats = TxTable.vacuum(tbl, retain = 2)
+    assert(stats.expiredVersions == Seq(1L))
+    assert(stats.deletedFiles == 0L) // v1's files are all carried by v2
+    // retained versions read identically; the expired one fails loudly
+    assert(TxTable.readVersion(spark, tbl, 2L).select("id").collect()
+      .map(_.getLong(0)).toSet == v2Before)
+    assert(TxTable.read(spark, tbl).select("id").collect()
+      .map(_.getLong(0)).toSet == Set(9L))
+    intercept[IllegalArgumentException](TxTable.readVersion(spark, tbl, 1L))
+    // a second vacuum down to 1 version deletes v1+v2's now-dead files
+    val files2 = dataFiles(tbl)
+    val stats2 = TxTable.vacuum(tbl, retain = 1)
+    assert(stats2.expiredVersions == Seq(2L) && stats2.deletedFiles > 0L)
+    assert(dataFiles(tbl).size < files2.size)
+    assert(TxTable.read(spark, tbl).select("id").collect()
+      .map(_.getLong(0)).toSet == Set(9L))
+  }
+
+  test("vacuum never deletes a file a retained manifest lists") {
+    // randomized-ish commit histories driven from a fixed seed: the
+    // property the contract hangs on, checked over many shapes
+    val rnd = new scala.util.Random(7)
+    (1 to 5).foreach { _ =>
+      val tbl = tmpTable()
+      val nCommits = 2 + rnd.nextInt(4)
+      (1 to nCommits).foreach { i =>
+        val ids = (1 to (1 + rnd.nextInt(3))).map(_ => rnd.nextLong(50))
+        TxTable.commit(frame(ids: _*), tbl,
+          if (rnd.nextBoolean()) "append" else "overwrite")
+      }
+      val retain = 1 + rnd.nextInt(nCommits)
+      val keep = ((nCommits - retain + 1) to nCommits).map(_.toLong)
+      val before = keep.map(v => v -> TxTable.readVersion(spark, tbl, v)
+        .select("id").collect().map(_.getLong(0)).toSeq.sorted).toMap
+      TxTable.vacuum(tbl, retain)
+      keep.foreach { v =>
+        assert(TxTable.readVersion(spark, tbl, v).select("id").collect()
+          .map(_.getLong(0)).toSeq.sorted == before(v),
+          s"version $v changed after vacuum(retain=$retain)")
+      }
+    }
+  }
+
+  test("vacuum minAge spares young unreferenced files (in-flight commits)") {
+    val tbl = tmpTable()
+    TxTable.commit(frame(1L), tbl, "overwrite")
+    TxTable.commit(frame(2L), tbl, "overwrite")
+    val before = dataFiles(tbl)
+    // every file here is seconds old — a 1h age floor must delete nothing
+    val stats = TxTable.vacuum(tbl, retain = 1, minAgeMillis = 3600000L)
+    assert(stats.deletedFiles == 0L && dataFiles(tbl) == before)
+  }
+
+  test("a lost commit race reclaims its own data files") {
+    val tbl = tmpTable()
+    TxTable.commit(frame(1L), tbl, "overwrite")
+    val log = Paths.get(tbl).resolve("_txlog")
+    Files.write(log.resolve("v00002.json"),
+      Files.readAllBytes(log.resolve("v00001.json")))
+    val before = dataFiles(tbl)
+    intercept[java.nio.file.FileAlreadyExistsException](
+      TxTable.commit(frame(2L), tbl, "append"))
+    assert(dataFiles(tbl) == before) // no orphaned data/<uuid> left behind
+  }
 }
