@@ -441,6 +441,18 @@ object SparkEntry {
       graft.ext.IvfIndex.topK(s, idx, "vec_id", "embedding",
         queryVec(emb), k = 5, nprobe = 2)
     }),
+    // ----- the COMPOSED IVF-PQ serving path (IvfIndex.topKPq scaladoc:
+    // coarse quantizer prunes to nprobe cell partitions, ADC scores the
+    // PQ codes inside them — embeddings unread — then the final k
+    // rescore exactly against the pruned raw partitions only) -----
+    "sim_ivfpq" -> ((s: SparkSession, dir: String) => {
+      val emb = Tables.embeddings(s, dir)
+      val idx = scratchDir("graft-ivfpq-")
+      graft.ext.IvfIndex.buildPq(emb, "vec_id", "embedding", "label", idx,
+        numSub = 4)
+      graft.ext.IvfIndex.topKPq(s, idx, "vec_id", queryVec(emb), k = 10,
+        nprobe = 2, rescore = true)
+    }),
     // symmetric int8 quantization, exploded to scalars for the oracle
     // ----- product-quantization codes: 4 subspaces, per-label codebook,
     // broadcast encode (Similarity.pqEncode scaladoc: vectors never
@@ -2058,6 +2070,87 @@ object SparkEntry {
          |  round(dotsum / (sqrt(norm2) * sqrt(list_dot_product(qe, qe))), 4)
          |    AS sim_pq
          |FROM agg, q ORDER BY sim_pq DESC, vec_id LIMIT 10""".stripMargin),
+    // the IVF-PQ composition: the sim_ivf probe selection (portable
+    // quantized-mean coarse centroids, top-2 by rounded cosine) gates
+    // WHICH vec_ids enter the sim_pq_adc ADC pipeline; the final 10 are
+    // re-scored with the exact cosine and reordered by it
+    "sim_ivfpq" ->
+      ("""WITH v AS (
+         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM embeddings
+         |), q AS (
+         |  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+         |  WHERE vec_id = 0
+         |), cpos AS (
+         |  SELECT label, generate_subscripts(e, 1) AS pos, unnest(e) AS x
+         |  FROM v
+         |), ccent AS (
+         |  SELECT label, pos,
+         |    CAST(sum(CAST(floor(x * 1e10 + 0.5) AS BIGINT)) AS DOUBLE)
+         |      / count(*) / 1e10 AS x
+         |  FROM cpos GROUP BY label, pos
+         |), carr AS (
+         |  SELECT label, list(x ORDER BY pos) AS c FROM ccent GROUP BY label
+         |), probes AS (
+         |  SELECT label,
+         |    round(list_dot_product(c, qe) /
+         |      (sqrt(list_dot_product(c, c)) *
+         |       sqrt(list_dot_product(qe, qe))), 4) AS cs
+         |  FROM carr, q ORDER BY cs DESC, label LIMIT 2
+         |), s AS (
+         |  SELECT vec_id, label, sub, e[sub*16+1 : sub*16+16] AS sv
+         |  FROM v, (SELECT unnest(range(0, 4)) AS sub)
+         |), comp AS (
+         |  SELECT sub, label, generate_subscripts(sv, 1) AS pos,
+         |    unnest(sv) AS x
+         |  FROM s
+         |), cent AS (
+         |  SELECT sub, label, pos,
+         |    CAST(sum(CAST(floor(x * 1e10 + 0.5) AS BIGINT)) AS DOUBLE)
+         |      / count(*) / 1e10 AS x
+         |  FROM comp GROUP BY 1, 2, 3
+         |), cb AS (
+         |  SELECT sub, label AS lbl, list(x ORDER BY pos) AS cent
+         |  FROM cent GROUP BY 1, 2
+         |), scored AS (
+         |  SELECT s.vec_id, s.sub, cb.lbl,
+         |    round(list_dot_product(sv, sv) - 2.0 * list_dot_product(sv, cent)
+         |      + list_dot_product(cent, cent), 6) AS d2
+         |  FROM s JOIN cb ON s.sub = cb.sub
+         |), best AS (
+         |  SELECT vec_id, sub, lbl,
+         |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, lbl)
+         |      AS rn
+         |  FROM scored
+         |), lut AS (
+         |  SELECT cb.sub, cb.lbl,
+         |    list_dot_product(cent, qe[cb.sub*16+1 : cb.sub*16+16]) AS qd,
+         |    list_dot_product(cent, cent) AS cn
+         |  FROM cb, q
+         |), pv AS (
+         |  SELECT vec_id FROM v JOIN probes USING (label)
+         |), parts AS (
+         |  SELECT b.vec_id, b.sub, lut.qd, lut.cn
+         |  FROM (SELECT vec_id, sub, lbl FROM best WHERE rn = 1) b
+         |  JOIN pv ON b.vec_id = pv.vec_id
+         |  JOIN lut ON b.sub = lut.sub AND b.lbl = lut.lbl
+         |), agg AS (
+         |  SELECT vec_id,
+         |    list_reduce(list(qd ORDER BY sub), (a, x) -> a + x) AS dotsum,
+         |    list_reduce(list(cn ORDER BY sub), (a, x) -> a + x) AS norm2
+         |  FROM parts GROUP BY vec_id
+         |), adc AS (
+         |  SELECT vec_id,
+         |    round(dotsum / (sqrt(norm2) * sqrt(list_dot_product(qe, qe))), 4)
+         |      AS sim_pq
+         |  FROM agg, q ORDER BY sim_pq DESC, vec_id LIMIT 10
+         |)
+         |SELECT adc.vec_id, adc.sim_pq,
+         |  round(list_dot_product(v.e, qe) /
+         |    (sqrt(list_dot_product(v.e, v.e)) *
+         |     sqrt(list_dot_product(qe, qe))), 4) AS sim
+         |FROM adc JOIN v ON adc.vec_id = v.vec_id, q
+         |ORDER BY sim DESC, adc.vec_id""".stripMargin),
     // the same double-widened dot for the norm, one division per element,
     // then the portable floor-quantize into 1e-4 long units (plain IEEE
     // ops — round() ties and -0.0 diverge across engines, integers don't);

@@ -47,15 +47,91 @@ object IvfIndex {
     * full-table scan. */
   def topK(spark: SparkSession, path: String, idCol: String, vecCol: String,
            query: Seq[Double], k: Int, nprobe: Int): DataFrame = {
-    val probes = spark.read.parquet(s"$path/centroids")
+    val data = spark.read.parquet(s"$path/data")
+      .filter(col("cell").isin(probe(spark, path, query, nprobe): _*))
+    Similarity.topK(data, idCol, vecCol, query, k)
+  }
+
+  /** Rank the coarse centroids against the query and pick the `nprobe`
+    * nearest cells — nlist rows collected to the driver, the metadata hop
+    * every IVF variant shares. */
+  private def probe(spark: SparkSession, path: String, query: Seq[Double],
+                    nprobe: Int): IndexedSeq[Any] =
+    spark.read.parquet(s"$path/centroids")
       .select(col("cell"),
         round(Similarity.cosine(col("centroid"), typedLit(query)), 4)
           .as("csim"))
       .orderBy(col("csim").desc, col("cell"))
       .limit(nprobe)
       .collect().map(_.get(0)).toIndexedSeq
-    val data = spark.read.parquet(s"$path/data")
+
+  /** Build the COMPOSED IVF-PQ index — the 100 TB ANN serving layout
+    * (FAISS's IVFADC is the public model: coarse quantizer prunes, product
+    * codes score). On top of [[build]]'s layout it adds:
+    *
+    *   `<path>/codebook/`       — (sub, lbl, cent): the per-subspace PQ
+    *                              codebook, numSub·|labels| rows,
+    *                              broadcast-sized at any scale.
+    *   `<path>/codes/cell=<v>/` — (id, sub, code, d2) PQ codes,
+    *                              PARTITIONED BY THE ROW'S COARSE CELL, so
+    *                              the ADC scan prunes exactly like the
+    *                              raw-vector scan — but reads ~numSub longs
+    *                              per vector instead of d floats.
+    *
+    * Raw vectors are still written (`data/`) for the optional exact
+    * rescore of the final k; a pure-ADC deployment can drop them.
+    * Build cost: the [[build]] passes plus one broadcast-join encode pass
+    * — all distributed, nothing corpus-sized through the driver. */
+  def buildPq(df: DataFrame, idCol: String, vecCol: String, cellCol: String,
+              path: String, numSub: Int): Unit = {
+    build(df, idCol, vecCol, cellCol, path)
+    Similarity.pqCodebook(df, vecCol, cellCol, numSub)
+      .write.mode("overwrite").parquet(s"$path/codebook")
+    Similarity.pqEncodeKeepCell(df, idCol, vecCol, cellCol, numSub)
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** IVF-PQ top-k: the coarse quantizer prunes the scan to `nprobe` cell
+    * partitions, asymmetric distance scores the PQ CODES inside those
+    * cells (the embeddings are never read), and — with `rescore` — the
+    * final k ADC winners are re-scored exactly against the raw vectors of
+    * the probed cells only, fixing ADC's quantization-induced rank noise
+    * at the cost of k full-precision dots.
+    *
+    * Query cost shape at 100 TB: one nlist-row centroid rank (driver
+    * metadata), a partition-pruned scan of nprobe/nlist of the CODE table
+    * (~numSub longs per vector), one broadcast LUT join + per-id fold,
+    * one TakeOrderedAndProject; rescore adds a broadcast semi-join of k
+    * ids against the pruned raw-vector partitions. No raw vector ever
+    * shuffles — plan-asserted in `IvfIndexSpec`.
+    *
+    * Output: (id, sim_pq) — or with rescore (id, sim_pq, sim), reordered
+    * by the exact score. */
+  def topKPq(spark: SparkSession, path: String, idCol: String,
+             query: Seq[Double], k: Int, nprobe: Int,
+             rescore: Boolean = false,
+             vecCol: String = "embedding"): DataFrame = {
+    val probes = probe(spark, path, query, nprobe)
+    val codebook = spark.read.parquet(s"$path/codebook")
+    // geometry off the persisted codebook (metadata-sized probes): the
+    // subspace width from one centroid, numSub from the sub ids
+    val width = codebook.select(size(col("cent"))).head().getInt(0)
+    val numSub = codebook.agg(max(col("sub"))).head().getInt(0) + 1
+    require(query.size == numSub * width,
+      s"query dim ${query.size} != numSub $numSub x width $width")
+    val codes = spark.read.parquet(s"$path/codes")
       .filter(col("cell").isin(probes: _*))
-    Similarity.topK(data, idCol, vecCol, query, k)
+    val adc = Similarity.adcTopK(codes,
+      Similarity.pqQueryLut(codebook, query, width), idCol, query, k)
+    if (!rescore) adc
+    else {
+      val data = spark.read.parquet(s"$path/data")
+        .filter(col("cell").isin(probes: _*))
+      data.join(broadcast(adc), Seq(idCol))
+        .select(col(idCol), col("sim_pq"),
+          round(Similarity.cosine(col(vecCol), typedLit(query)), 4)
+            .as("sim"))
+        .orderBy(col("sim").desc, col(idCol))
+    }
   }
 }

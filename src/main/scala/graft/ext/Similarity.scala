@@ -189,18 +189,26 @@ object Similarity {
     * subvectors and a WindowGroupLimit-pruned argmin; the vectors
     * themselves never shuffle. */
   def pqEncode(df: DataFrame, idCol: String, vecCol: String,
-               groupCol: String, numSub: Int): DataFrame = {
+               groupCol: String, numSub: Int): DataFrame =
+    pqEncodeKeepCell(df, idCol, vecCol, groupCol, numSub).drop("cell")
+
+  /** [[pqEncode]] retaining each row's own coarse cell (`groupCol`) as a
+    * `cell` column — what [[graft.ext.IvfIndex.buildPq]] partitions the
+    * persisted code table by, so probe-time scans prune to nprobe cells. */
+  private[graft] def pqEncodeKeepCell(df: DataFrame, idCol: String,
+                                      vecCol: String, groupCol: String,
+                                      numSub: Int): DataFrame = {
     val subs = pqSubvectors(df, Seq(col(idCol), col(groupCol)), vecCol, numSub)
     val scored = subs.join(broadcast(pqCodebook(df, vecCol, groupCol, numSub)),
         Seq("sub"))
-      .select(col(idCol), col("sub"), col("lbl"),
+      .select(col(idCol), col(groupCol).as("cell"), col("sub"), col("lbl"),
         round(dot(col("sv"), col("sv")) - lit(2.0) * dot(col("sv"), col("cent"))
           + dot(col("cent"), col("cent")), 6).as("d2"))
     val w = Window.partitionBy(col(idCol), col("sub"))
       .orderBy(col("d2"), col("lbl"))
     scored.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .select(col(idCol), col("sub").cast("long").as("sub"),
+      .select(col(idCol), col("cell"), col("sub").cast("long").as("sub"),
         col("lbl").as("code"), col("d2"))
   }
 
@@ -249,19 +257,35 @@ object Similarity {
   def pqTopK(df: DataFrame, idCol: String, vecCol: String, groupCol: String,
              numSub: Int, query: Seq[Double], k: Int): DataFrame = {
     val codes = pqEncode(df, idCol, vecCol, groupCol, numSub)
-    val width = query.size / numSub
-    // the engine's own codegen'd dot, not Scala's Seq#sum: ArrayDot's
-    // fold order is the one DuckDB's list_dot_product replays
-    val qnorm = sqrt(dot(typedLit(query), typedLit(query)))
-    // per (sub, lbl): dot(q_sub, cent) and ||cent||^2 — broadcast scalars
-    import df.sparkSession.implicits._
+    val lut = pqQueryLut(pqCodebook(df, vecCol, groupCol, numSub), query,
+      query.size / numSub)
+    adcTopK(codes, lut, idCol, query, k)
+  }
+
+  /** The query-time half of the ADC lookup table: per (sub, lbl), the
+    * query-subvector dot and the squared codeword norm — numSub·|labels|
+    * broadcast scalars. The dots are the engine's own codegen'd
+    * [[dot]], not Scala's `Seq#sum`: ArrayDot's fold order is the one
+    * DuckDB's `list_dot_product` replays. */
+  private[graft] def pqQueryLut(codebook: DataFrame, query: Seq[Double],
+                                width: Int): DataFrame = {
+    import codebook.sparkSession.implicits._
     val qdf = query.grouped(width).zipWithIndex
       .map { case (qs, i) => (i, qs) }.toSeq.toDF("sub", "qsub")
-    val lut = pqCodebook(df, vecCol, groupCol, numSub)
-      .join(broadcast(qdf), Seq("sub"))
+    codebook.join(broadcast(qdf), Seq("sub"))
       .select(col("sub").cast("long").as("sub"), col("lbl"),
         dot(col("cent"), col("qsub")).as("qd"),
         dot(col("cent"), col("cent")).as("cn"))
+  }
+
+  /** Asymmetric-distance top-k from a codes frame and a query LUT — the
+    * shared scoring tail of [[pqTopK]] and [[graft.ext.IvfIndex.topKPq]]:
+    * one broadcast lookup join, per-id folds in fixed `sub` order (a
+    * `sum(double)` would be partition-order-dependent in the last ulp and
+    * could flip the 1e-4 rounding), one TakeOrderedAndProject. */
+  private[graft] def adcTopK(codes: DataFrame, lut: DataFrame, idCol: String,
+                             query: Seq[Double], k: Int): DataFrame = {
+    val qnorm = sqrt(dot(typedLit(query), typedLit(query)))
     val fold = (arr: Column) => aggregate(arr, lit(0.0), (a, x) => a + x)
     codes.join(broadcast(lut),
         codes("sub") === lut("sub") && codes("code") === lut("lbl"))

@@ -47,4 +47,44 @@ class IvfIndexSpec extends SparkSpec {
     assert("PartitionFilters: \\[[^\\]]*IN \\(0,1\\)".r
       .findFirstIn(plan).isDefined, plan.take(2000))
   }
+
+  test("IVF-PQ with every cell probed matches plain ADC top-k") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-eq").toString
+    IvfIndex.buildPq(vecs, "vec_id", "embedding", "label", dir, numSub = 3)
+    val q = Seq(1.0, 0.05, 0.0)
+    val composed = IvfIndex.topKPq(spark, dir, "vec_id", q, k = 4, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val plain = Similarity.pqTopK(vecs, "vec_id", "embedding", "label",
+        numSub = 3, q, k = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(composed == plain)
+  }
+
+  test("IVF-PQ prunes codes AND rescore scans; vectors never shuffle") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-pl").toString
+    IvfIndex.buildPq(vecs, "vec_id", "embedding", "label", dir, numSub = 3)
+    val out = IvfIndex.topKPq(spark, dir, "vec_id", Seq(1.0, 0.05, 0.0),
+      k = 3, nprobe = 2, rescore = true)
+    val rows = out.collect()
+    // rescore output is ordered by the EXACT similarity
+    assert(rows.map(_.getDouble(2)).toSeq ==
+      rows.map(_.getDouble(2)).sortBy(-_).toSeq)
+    assert(rows.map(_.getLong(0)).toSet.subsetOf(Set(0L, 1L, 2L, 3L)))
+    val plan = out.queryExecution.executedPlan
+    val ps = plan.toString
+    // BOTH data-sized scans prune to the probed cells: the PQ code scan
+    // (the ADC input) and the raw-vector scan (the rescore input) — count
+    // in the AQE final plan only (toString repeats the initial plan)
+    val finalPs = ps.split("== Initial Plan ==").head
+    assert("PartitionFilters: \\[[^\\]]*IN \\(0,1\\)".r
+      .findAllIn(finalPs).size == 2, ps.take(4000))
+    // the embeddings never cross an exchange — ADC scores codes, and the
+    // k winners BROADCAST to the pruned raw scan for the rescore
+    val shuffledCols = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.output.map(_.name)
+    }.flatten
+    assert(!shuffledCols.contains("embedding"), shuffledCols.toString)
+    assert(ps.contains("BroadcastHashJoin"), ps.take(4000))
+  }
 }
