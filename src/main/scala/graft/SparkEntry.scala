@@ -200,6 +200,35 @@ object SparkEntry {
        |  FROM nodes LEFT JOIN c$i USING (node)
        |)""".stripMargin
 
+  /** One BPE training round as portable SQL, chained by the `text_bpe`
+    * oracle. Segmentations live as strings of `|`-prefixed
+    * space-terminated symbols (`"|h |e |l |l |o "`): the `|` anchors a
+    * symbol start so a pair pattern can never match inside a longer
+    * symbol, and plain `replace` (leftmost, non-overlapping in BOTH
+    * engines and in [[graft.ext.TextStats.learnBpeMerges]]) IS the
+    * exhaustive merge application — including the cascade where merging
+    * `[a,b,a,b]` twice yields `[ab,ab]`. Pair counting weights every
+    * adjacent position by word frequency; the winner is count desc, then
+    * (l, r) — the `|` prefix is order-transparent because it is common
+    * to every symbol. */
+  private def BpeIterCte(i: Int): String =
+    s"""pr$i AS (
+       |  SELECT l, r, CAST(sum(freq) AS BIGINT) AS c FROM (
+       |    SELECT freq,
+       |      unnest(syms[1:len(syms)-1]) AS l,
+       |      unnest(syms[2:len(syms)]) AS r
+       |    FROM (SELECT freq, string_split(rtrim(seg), ' ') AS syms
+       |          FROM seg${i - 1})
+       |  ) GROUP BY l, r
+       |), b$i AS (
+       |  SELECT l, r FROM pr$i ORDER BY c DESC, l, r LIMIT 1
+       |), seg$i AS (
+       |  SELECT word, freq,
+       |    replace(seg, b.l || ' ' || b.r || ' ',
+       |            b.l || substring(b.r, 2) || ' ') AS seg
+       |  FROM seg${i - 1}, b$i b
+       |)""".stripMargin
+
   /** The z-value bit-interleave as portable SQL over columns `x`/`y` —
     * generated from the same (bits = 8) term list [[graft.sources.Layout
     * .zValue]] composes, so the oracle replays the engine arithmetic
@@ -1106,6 +1135,13 @@ object SparkEntry {
       TextStats.subwordEncode(comp, "text", topK = 16)
         .orderBy("word", "piece_pos")
     }),
+    // ----- merges-exact BPE (TextStats.bpeEncode scaladoc: corpus-
+    // derived merge table, reference iterative min-rank encode; on
+    // training words the encode equals the training segmentation, which
+    // the oracle replays by unrolling the 8 rounds) -----
+    "text_bpe" -> ((s: SparkSession, dir: String) =>
+      TextStats.bpeEncode(Tables.documents(s, dir), "text", numMerges = 8)
+        .orderBy("word", "piece_pos")),
     // ----- hashing-trick bag-of-words (TextStats.hashVectorize scaladoc:
     // no vocabulary, certified bucket assignment via the portable poly
     // hash) -----
@@ -3100,6 +3136,30 @@ object SparkEntry {
          |)
          |SELECT word, pp AS piece_pos, piece FROM enc
          |WHERE piece IS NOT NULL ORDER BY word, piece_pos""".stripMargin),
+    // unrolled BPE training (BpeIterCte scaladoc: |-anchored symbol
+    // strings, replace() as the exhaustive merge) — the final round's
+    // segmentation IS the encode of every training word
+    "text_bpe" ->
+      (s"""WITH bw AS (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+         |    SELECT unnest(list_filter(string_split(text, ' '),
+         |                              w -> w <> '')) AS word
+         |    FROM documents)
+         |  GROUP BY word
+         |), seg0 AS (
+         |  SELECT word, freq,
+         |    regexp_replace(word, '(.)', '|\\1 ', 'g') AS seg
+         |  FROM bw
+         |), ${(1 to 8).map(BpeIterCte).mkString(", ")}
+         |SELECT word, CAST(pos AS BIGINT) AS piece_pos,
+         |  substring(piece, 2) AS piece
+         |FROM (
+         |  SELECT word, generate_subscripts(syms, 1) AS pos,
+         |    unnest(syms) AS piece
+         |  FROM (SELECT word, string_split(rtrim(seg), ' ') AS syms
+         |        FROM seg8)
+         |)
+         |ORDER BY word, piece_pos""".stripMargin),
     "text_vocab_encode" ->
       ("""WITH tp AS (
          |  SELECT doc_id,

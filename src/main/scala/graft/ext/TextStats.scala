@@ -411,6 +411,153 @@ object TextStats {
         (col("piece_pos") + 1).cast("long").as("piece_pos"), col("piece"))
   }
 
+  /** Learn an ordered BPE merge-rule table from a (word, frequency)
+    * dictionary — EXACT byte-pair-encoding training (Sennrich et al.,
+    * arXiv:1508.07909; the algorithm behind GPT-2/HF tokenizers): every
+    * round counts adjacent symbol pairs weighted by word frequency
+    * (every adjacent position, the reference trainers' convention),
+    * merges the most frequent pair everywhere (left-to-right,
+    * non-overlapping), and records the rule. Deterministic tie-break:
+    * count desc, then (left, right) lexicographically — so any engine
+    * replaying the same dictionary learns the same table.
+    *
+    * Driver-side BY DESIGN, like every reference BPE trainer: training
+    * state is the distinct-word dictionary (bounded, collected loudly by
+    * [[bpeEncode]]), not the corpus. Throws when the dictionary runs out
+    * of pairs before `numMerges` — a silently-short merge table would
+    * desynchronize from any oracle replaying the full unrolled rounds. */
+  private[graft] def learnBpeMerges(wordFreq: Seq[(String, Long)],
+                                    numMerges: Int): Seq[(String, String)] = {
+    require(numMerges > 0, s"numMerges must be positive, got $numMerges")
+    var segs = wordFreq.map { case (w, f) =>
+      (w.split("").filter(_.nonEmpty).toVector, f)
+    }.toVector
+    val out = Vector.newBuilder[(String, String)]
+    for (round <- 1 to numMerges) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      segs.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          counts.update(p, counts.getOrElse(p, 0L) + f)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) throw new IllegalStateException(
+        s"learnBpeMerges: dictionary exhausted pairs at round $round of " +
+          s"$numMerges — every word is one symbol; lower numMerges")
+      val best = counts.toSeq
+        .sortBy { case ((l, r), c) => (-c, l, r) }.head._1
+      out += best
+      segs = segs.map { case (syms, f) => (applyBpeMerge(syms, best), f) }
+    }
+    out.result()
+  }
+
+  /** One exhaustive left-to-right non-overlapping application of a merge
+    * rule — the training-side re-segmentation step. */
+  private def applyBpeMerge(syms: Vector[String],
+                            m: (String, String)): Vector[String] = {
+    val buf = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == m._1 && syms(i + 1) == m._2) {
+        buf += syms(i) + syms(i + 1); i += 2
+      } else { buf += syms(i); i += 1 }
+    }
+    buf.result()
+  }
+
+  /** Merges-exact BPE: learn `numMerges` rules from the corpus's own
+    * word-frequency dictionary ([[learnBpeMerges]]), then encode every
+    * DISTINCT word with the reference iterative algorithm — repeatedly
+    * find the LOWEST-RANK rule present among the word's adjacent symbol
+    * pairs and merge all its occurrences — exactly what GPT-2's `bpe()`
+    * and the HF tokenizers do, where [[subwordEncode]] is only
+    * greedy-longest-prefix WordPiece. On words the dictionary was trained
+    * on (here: all of them), the result equals the training-time
+    * segmentation, which is what an external oracle can replay by
+    * unrolling the training rounds.
+    *
+    * Scale shape: the corpus never leaves the cluster — one shuffle
+    * builds the (word, freq) dictionary, which is the ONLY thing
+    * collected (capped loudly at `maxTrainWords`, the same contract as
+    * [[graft.ext.Bloom]]: reference BPE trainers are dictionary-resident
+    * by nature, and a web-scale corpus first shards/samples its
+    * dictionary). The merge table ships back as a plan literal
+    * (numMerges entries — KB), and encoding is a row-local nested fold
+    * over the tokenizer-cache distinct words: outer loop bounded by word
+    * length (every merge removes a symbol), inner pass merges the argmin
+    * pair left-to-right. The distinct-word frame is persisted both as a
+    * reuse point and as the aggregate-fusion barrier [[subwordEncode]]
+    * documents.
+    *
+    * Output: (word, piece_pos ≥ 1, piece) exploded scalars, like
+    * [[subwordEncode]]. */
+  def bpeEncode(df: DataFrame, textCol: String, numMerges: Int = 8,
+                maxTrainWords: Int = 200000): DataFrame = {
+    val words = TrackedCache.persistTracked(
+      df.select(explode(filter(toks(col(textCol)),
+        w => w =!= "")).as("word")))
+    val wf = words.groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    val dict = wf.orderBy(col("word")).limit(maxTrainWords + 1).collect()
+    require(dict.length <= maxTrainWords,
+      s"bpeEncode: corpus has > $maxTrainWords distinct words — BPE " +
+        "training is dictionary-resident; sample or shard the dictionary " +
+        "(or raise the cap explicitly for a bounded corpus)")
+    val merges = learnBpeMerges(
+      dict.map(r => (r.getString(0), r.getLong(1))).toSeq, numMerges)
+    val sep = " "
+    val rankMap = typedLit(merges.zipWithIndex.map { case ((l, r), i) =>
+      (l + sep + r) -> (i + 1)
+    }.toMap)
+    // the distinct words are the dictionary keys — reuse wf's aggregate;
+    // persisted as the fusion barrier (see subwordEncode) and because the
+    // encode feeds the explode below
+    val dwords = TrackedCache.persistTracked(wf.select(col("word")))
+    // try_element_at: under ANSI, a plain element_at throws on the
+    // i+1 > size probe at the last symbol instead of yielding the null
+    // that means "no pair here"
+    val pairRank = (syms: Column, i: Column) =>
+      try_element_at(rankMap, concat(try_element_at(syms, i), lit(sep),
+        try_element_at(syms, i + 1)))
+    val enc = dwords.select(col("word"),
+      aggregate(
+        sequence(lit(1), length(col("word"))),
+        filter(split(col("word"), ""), c => c =!= ""),
+        (syms, _) => {
+          // lowest-rank rule among the adjacent pairs, if any
+          val minR = array_min(transform(
+            sequence(lit(1), greatest(size(syms) - 1, lit(1))),
+            i => pairRank(syms, i)))
+          when(size(syms) <= 1 || minR.isNull, syms).otherwise(
+            // merge every left-to-right non-overlapping occurrence of
+            // the argmin pair (ranks are unique, so rank identifies it)
+            aggregate(
+              sequence(lit(1), size(syms)),
+              struct(array().cast("array<string>").as("out"),
+                lit(false).as("skip")),
+              (st, i) => {
+                val isPair = pairRank(syms, i) <=> minR
+                when(st.getField("skip"),
+                  struct(st.getField("out").as("out"),
+                    lit(false).as("skip")))
+                  .otherwise(when(isPair,
+                    struct(concat(st.getField("out"),
+                      array(concat(try_element_at(syms, i),
+                        try_element_at(syms, i + 1)))).as("out"),
+                      lit(true).as("skip")))
+                    .otherwise(struct(concat(st.getField("out"),
+                      array(try_element_at(syms, i))).as("out"),
+                      lit(false).as("skip"))))
+              }).getField("out"))
+        }).as("ps"))
+    enc.select(col("word"),
+      posexplode(col("ps")).as(Seq("piece_pos", "piece")))
+      .select(col("word"),
+        (col("piece_pos") + 1).cast("long").as("piece_pos"), col("piece"))
+  }
+
   /** Sliding-window token chunking — the RAG / context-window splitting
     * step: fixed `chunk`-token windows every `stride` tokens (overlap =
     * chunk − stride). Emits (doc, chunk_idx, chunk_len, first/last term)

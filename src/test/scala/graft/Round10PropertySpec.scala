@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.Components
+import graft.ext.{Components, TextStats}
 import org.scalacheck.{Gen, Prop, Properties}
 
 /** Properties for the round-10 hardening work, each checked against an
@@ -116,5 +116,94 @@ object Round10PropertySpec extends Properties("round10") {
       // redistribution conserves (floor-rounded) mass the drop variant
       // sheds through the dangling node
       got == want && want.values.sum >= dropTotal
+    }
+
+  // --------------------------------------------------------------- BPE
+  /** Independent model of one exhaustive left-to-right merge pass —
+    * recursive pattern match, deliberately unlike the engine's
+    * imperative builder. */
+  private def mergeList(syms: List[String],
+                        m: (String, String)): List[String] = syms match {
+    case a :: b :: rest if a == m._1 && b == m._2 =>
+      (a + b) :: mergeList(rest, m)
+    case a :: rest => a :: mergeList(rest, m)
+    case Nil       => Nil
+  }
+
+  /** Independent BPE trainer: recompute every round's weighted pair
+    * counts from scratch (zip/groupBy), winner = count desc then lex
+    * pair; stops early when pairs run out. */
+  private def modelMerges(wordFreq: Map[String, Long],
+                          rounds: Int): List[(String, String)] = {
+    var segs = wordFreq.map { case (w, f) =>
+      w -> (w.toList.map(_.toString), f)
+    }
+    var ms = List.empty[(String, String)]
+    var continue = rounds > 0
+    while (continue) {
+      val counts = segs.values.toList
+        .flatMap { case (syms, f) => syms.zip(syms.drop(1)).map(_ -> f) }
+        .groupBy(_._1).map { case (p, fs) => p -> fs.map(_._2).sum }
+      if (counts.isEmpty) continue = false
+      else {
+        val best = counts.toList
+          .sortBy { case ((l, r), c) => (-c, l, r) }.head._1
+        ms = ms :+ best
+        segs = segs.map { case (w, (syms, f)) =>
+          w -> (mergeList(syms, best), f)
+        }
+        continue = ms.size < rounds
+      }
+    }
+    ms
+  }
+
+  /** Independent reference encoder: the GPT-2 `bpe()` loop — repeatedly
+    * merge ALL occurrences of the lowest-rank pair present. */
+  private def modelEncode(word: String,
+                          merges: List[(String, String)]): List[String] = {
+    val rank = merges.zipWithIndex.toMap
+    var syms = word.toList.map(_.toString)
+    var done = false
+    while (!done) {
+      val ranked = syms.zip(syms.drop(1)).flatMap(p => rank.get(p))
+      if (ranked.isEmpty) done = true
+      else syms = mergeList(syms, merges(ranked.min))
+    }
+    syms
+  }
+
+  private val genCorpus: Gen[(List[String], Int)] = for {
+    n <- Gen.choose(1, 8)
+    words <- Gen.listOfN(n, for {
+      len <- Gen.choose(1, 8)
+      cs <- Gen.listOfN(len, Gen.oneOf("a", "b", "c"))
+    } yield cs.mkString)
+    dup <- Gen.listOfN(n, Gen.choose(1, 3)) // occurrence weights
+    k <- Gen.choose(1, 5)
+  } yield (words.zip(dup).flatMap { case (w, d) => List.fill(d)(w) }, k)
+
+  property("bpeEncode = independent trainer + GPT-2-loop encoder") =
+    Prop.forAll(genCorpus) { case (occurrences, k) =>
+      import spark.implicits._
+      val wf = occurrences.groupBy(identity)
+        .map { case (w, os) => w -> os.size.toLong }
+      val ms = modelMerges(wf, k)
+      ms.isEmpty || {
+        val n = ms.size // achievable rounds (engine throws past them)
+        assert(TextStats.learnBpeMerges(wf.toList.sortBy(_._1), n) == ms)
+        val got = TextStats.bpeEncode(occurrences.toDF("text"), "text",
+            numMerges = n)
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+          .groupBy(_._1)
+          .map { case (w, rows) =>
+            w -> rows.sortBy(_._2).map(_._3).toList
+          }
+        val want = wf.keys.map(w => w -> modelEncode(w, ms)).toMap
+        graft.ext.Dedup.unpersistAll()
+        // pieces match the reference loop AND reassemble the word
+        got == want && got.forall { case (w, ps) => ps.mkString == w }
+      }
     }
 }
