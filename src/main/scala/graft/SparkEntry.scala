@@ -1285,6 +1285,27 @@ object SparkEntry {
         .reduce(_.union(_))
         .orderBy("version", "doc_id")
     }),
+    // ----- transactional compaction / OPTIMIZE (TxTable.compact
+    // scaladoc: Compaction.plan groups the manifest inventory, one
+    // coalesced file per group, committed as a new version) — three
+    // append-y commits leave small files; the certified output is the
+    // POST-OPTIMIZE snapshot, which must be the identical multiset -----
+    "ops_optimize" -> ((s: SparkSession, dir: String) => {
+      val tbl = scratchDir("graft-opt-") + "/tbl"
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "en"), tbl, "overwrite")
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "de"), tbl, "append")
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "fr"), tbl, "append")
+      val v = graft.sources.TxTable.compact(s, tbl, targetBytes = 1L << 30)
+      graft.sources.TxTable.readVersion(s, tbl, v)
+        .select(lit(v).as("version"), col("doc_id"), col("lang"),
+          col("n_chars"))
+        .orderBy("doc_id")
+    }),
     // ----- JSONL codec round trip: events (incl. the JSON-in-string
     // props column — the quoting torture case) serialized to JSON lines
     // and read back schema-enforced; hash-matching the oracle on the
@@ -3346,6 +3367,12 @@ object SparkEntry {
          |SELECT 'v2v3', 'delete', doc_id, lang, n_chars
          |FROM documents WHERE lang IN ('en', 'de')
          |ORDER BY step, change, doc_id""".stripMargin),
+    // OPTIMIZE commits version 4 with the identical en+de+fr multiset —
+    // compaction moves bytes, never rows
+    "ops_optimize" ->
+      ("""SELECT CAST(4 AS BIGINT) AS version, doc_id, lang, n_chars
+         |FROM documents WHERE lang IN ('en', 'de', 'fr')
+         |ORDER BY doc_id""".stripMargin),
     // vacuum(retain=2) expires exactly v1; the retained snapshots replay
     // from the commit definitions: v2 = en+de append state, v3 = fr
     // overwrite state — identical content before and after the vacuum

@@ -186,27 +186,101 @@ object TxTable {
     var nBytes = 0L
     def oldEnough(p: Path): Boolean =
       now - Files.getLastModifiedTime(p).toMillis >= minAgeMillis
+    def walk(p: Path): Seq[Path] =
+      if (Files.isDirectory(p)) listNames(p).flatMap(n => walk(p.resolve(n)))
+      else Seq(p)
+    // bottom-up removal of directories the file deletes emptied
+    def pruneEmpty(p: Path): Unit =
+      if (Files.isDirectory(p)) {
+        listNames(p).foreach(n => pruneEmpty(p.resolve(n)))
+        if (listNames(p).isEmpty) Files.deleteIfExists(p): Unit
+      }
     if (Files.isDirectory(dataDir)) {
       listNames(dataDir).foreach { commit =>
         val dir = dataDir.resolve(commit)
         if (Files.isDirectory(dir)) {
-          val names = listNames(dir)
-          val hasLive = names.exists(n => live.contains(s"data/$commit/$n"))
-          names.foreach { n =>
-            val p = dir.resolve(n)
-            val dead = !live.contains(s"data/$commit/$n") &&
-              (n.endsWith(".parquet") || !hasLive)
+          // recursive: a crashed compaction can leave nested scratch
+          // files inside a dead commit dir
+          val files = walk(dir)
+          def rel(p: Path): String = root.relativize(p).toString
+          val hasLive = files.exists(p => live.contains(rel(p)))
+          files.foreach { p =>
+            val dead = !live.contains(rel(p)) &&
+              (p.getFileName.toString.endsWith(".parquet") || !hasLive)
             if (dead && Files.isRegularFile(p) && oldEnough(p)) {
               nBytes += Files.size(p)
               Files.delete(p)
               nFiles += 1
             }
           }
-          if (listNames(dir).isEmpty) Files.deleteIfExists(dir): Unit
+          pruneEmpty(dir)
         }
       }
     }
     VacuumStats(expired, nFiles, nBytes)
+  }
+
+  /** Transactional compaction — OPTIMIZE: rewrite the current snapshot's
+    * files into ~`targetBytes` files and commit the result as a NEW
+    * version, leaving every prior version time-travelable (and
+    * reclaimable by [[vacuum]]). This is the missing consumer of
+    * [[Compaction.plan]]: streaming/append ingest leaves a long-lived
+    * table as thousands of small files, and scan throughput dies on
+    * file-open overhead long before bytes are the bottleneck.
+    *
+    * The group assignment IS [[Compaction.plan]]'s greedy cumulative
+    * fill over the manifest's file inventory (O(files) metadata rows);
+    * each group is read distributed and coalesced to one output file —
+    * a union of per-group single-partition reads, so the rewrite job
+    * writes exactly one file per group and never shuffles a row. The
+    * commit races like any other: a concurrent writer taking the
+    * version makes this throw loudly rather than clobber.
+    *
+    * No-op (returns the current version) on an empty snapshot. */
+  def compact(spark: SparkSession, tableDir: String,
+              targetBytes: Long): Long = {
+    val root = Paths.get(tableDir)
+    val v = latestVersion(tableDir).getOrElse(
+      throw new IllegalStateException(
+        s"no committed version under $tableDir/$LogDir"))
+    val m = readManifest(root, v)
+    val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    if (m.files.isEmpty) return v
+    import spark.implicits._
+    val inv = m.files.map(f => ("", f, Files.size(root.resolve(f))))
+      .toDF("part", "path", "bytes")
+    val groups = Compaction.plan(inv, "part", "path", "bytes", targetBytes)
+      .select(functions.col("path"), functions.col("grp")).collect()
+      .groupBy(_.getLong(1)).toSeq.sortBy(_._1)
+      .map(_._2.map(_.getString(0)).sorted.toSeq)
+    // One distributed read+write per group, coalesced to a single file.
+    // NOT a union of coalesce(1) children — the optimizer collapses that
+    // into ONE partition for the whole union, undoing the grouping. Each
+    // group lands in a scratch dir and its file moves (a rename, not a
+    // copy) into the flat commit dir under a group-prefixed name.
+    val commitId = java.util.UUID.randomUUID().toString
+    val dataRel = s"data/$commitId"
+    val dataDir = root.resolve(dataRel)
+    Files.createDirectories(dataDir)
+    groups.zipWithIndex.foreach { case (fs, i) =>
+      val tmp = root.resolve(s"$dataRel-g$i")
+      spark.read.schema(schema)
+        .parquet(fs.map(f => root.resolve(f).toString): _*)
+        .coalesce(1).write.parquet(tmp.toString)
+      listNames(tmp).filter(_.endsWith(".parquet")).foreach(n =>
+        Files.move(tmp.resolve(n), dataDir.resolve(f"g$i%05d-$n")))
+      deleteRecursively(tmp)
+    }
+    val newFiles = listNames(dataDir).filter(_.endsWith(".parquet"))
+      .map(n => s"$dataRel/$n").sorted
+    val manifest = Manifest(v + 1, "overwrite", m.schemaJson, newFiles)
+    try publish(root, manifest)
+    catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        try deleteRecursively(dataDir) catch { case _: Exception => () }
+        throw e
+    }
+    v + 1
   }
 
   /** Time travel: read exactly version `v`'s snapshot. */

@@ -181,6 +181,43 @@ class TxTableSpec extends SparkSpec {
     assert(stats.deletedFiles == 0L && dataFiles(tbl) == before)
   }
 
+  test("compact: fewer files, identical content, history intact") {
+    val tbl = tmpTable()
+    TxTable.commit(frame(1L, 2L), tbl, "overwrite")
+    TxTable.commit(frame(3L), tbl, "append")
+    TxTable.commit(frame(4L, 5L), tbl, "append")
+    val before = TxTable.read(spark, tbl).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    val nFilesBefore = dataFiles(tbl).count(_.endsWith(".parquet"))
+    assert(nFilesBefore >= 3) // one+ per commit — something to compact
+    val v = TxTable.compact(spark, tbl, targetBytes = 1L << 30)
+    assert(v == 4L)
+    // content identical, now in ONE file (everything fits one group)
+    assert(TxTable.read(spark, tbl).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq == before)
+    val manifest = java.nio.file.Files.readString(
+      Paths.get(tbl, "_txlog", "v00004.json"))
+    assert(manifest.split("\\.parquet").length - 1 == 1, manifest)
+    // pre-compaction versions stay readable until vacuumed
+    assert(TxTable.readVersion(spark, tbl, 2L).count() == 3L)
+    val stats = TxTable.vacuum(tbl, retain = 1)
+    assert(stats.deletedFiles >= nFilesBefore)
+    assert(TxTable.read(spark, tbl).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq == before)
+  }
+
+  test("compact splits into multiple files when groups overflow target") {
+    val tbl = tmpTable()
+    TxTable.commit(frame(1L, 2L), tbl, "overwrite")
+    TxTable.commit(frame(3L, 4L), tbl, "append")
+    TxTable.compact(spark, tbl, targetBytes = 1L) // every file overflows
+    val manifest = java.nio.file.Files.readString(Paths.get(tbl, "_txlog",
+      f"v${TxTable.latestVersion(tbl).get}%05d.json"))
+    assert(manifest.split("\\.parquet").length - 1 >= 2, manifest)
+    assert(TxTable.read(spark, tbl).select("id").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L))
+  }
+
   test("a lost commit race reclaims its own data files") {
     val tbl = tmpTable()
     TxTable.commit(frame(1L), tbl, "overwrite")
