@@ -1,5 +1,7 @@
 package graft.ext
 
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -84,11 +86,32 @@ object IvfIndex {
     * — all distributed, nothing corpus-sized through the driver. */
   def buildPq(df: DataFrame, idCol: String, vecCol: String, cellCol: String,
               path: String, numSub: Int): Unit = {
+    val spark = df.sparkSession
     build(df, idCol, vecCol, cellCol, path)
-    Similarity.pqCodebook(df, vecCol, cellCol, numSub)
+    // The PQ codebook is a RESHAPE of the coarse centroids just written:
+    // the per-(sub, lbl, pos) quantized mean equals the per-(lbl,
+    // sub·width+pos) component of [[Similarity.centroids]] — identical
+    // floor(x·1e10+0.5) long-sum arithmetic over identical row sets — so
+    // slicing the persisted centroid table replaces a second full
+    // aggregation pass over the exploded corpus.
+    val cents = spark.read.parquet(s"$path/centroids")
+    val dims = cents.select(size(col("centroid"))).head().getInt(0)
+    require(numSub > 0 && dims % numSub == 0,
+      s"numSub=$numSub must divide the dimension $dims")
+    val width = dims / numSub
+    cents.select(col("cell").as("lbl"),
+        posexplode(transform(sequence(lit(0), lit(numSub - 1)),
+          i => slice(col("centroid"), i * width + 1, lit(width))))
+          .as(Seq("sub", "cent")))
+      .select(col("sub"), col("lbl"), col("cent"))
       .write.mode("overwrite").parquet(s"$path/codebook")
-    Similarity.pqEncodeKeepCell(df, idCol, vecCol, cellCol, numSub)
+    Similarity.pqEncodeKeepCell(df, idCol, vecCol, cellCol, numSub,
+        Some(spark.read.parquet(s"$path/codebook")))
       .write.partitionBy("cell").mode("overwrite").parquet(s"$path/codes")
+    // geometry as driver-side metadata: query time should spend its jobs
+    // on data, not on probing numSub/width out of the codebook
+    Files.write(Paths.get(path, "meta.json"),
+      s"""{"numSub":$numSub,"width":$width}""".getBytes): Unit
   }
 
   /** IVF-PQ top-k: the coarse quantizer prunes the scan to `nprobe` cell
@@ -113,10 +136,9 @@ object IvfIndex {
              vecCol: String = "embedding"): DataFrame = {
     val probes = probe(spark, path, query, nprobe)
     val codebook = spark.read.parquet(s"$path/codebook")
-    // geometry off the persisted codebook (metadata-sized probes): the
-    // subspace width from one centroid, numSub from the sub ids
-    val width = codebook.select(size(col("cent"))).head().getInt(0)
-    val numSub = codebook.agg(max(col("sub"))).head().getInt(0) + 1
+    val meta = new String(Files.readAllBytes(Paths.get(path, "meta.json")))
+    val numSub = "\"numSub\":(\\d+)".r.findFirstMatchIn(meta).get.group(1).toInt
+    val width = "\"width\":(\\d+)".r.findFirstMatchIn(meta).get.group(1).toInt
     require(query.size == numSub * width,
       s"query dim ${query.size} != numSub $numSub x width $width")
     val codes = spark.read.parquet(s"$path/codes")

@@ -194,22 +194,27 @@ object Similarity {
 
   /** [[pqEncode]] retaining each row's own coarse cell (`groupCol`) as a
     * `cell` column — what [[graft.ext.IvfIndex.buildPq]] partitions the
-    * persisted code table by, so probe-time scans prune to nprobe cells. */
+    * persisted code table by, so probe-time scans prune to nprobe cells.
+    * `codebookOpt` lets a caller that already materialized the codebook
+    * (the index build persists it anyway) skip recomputing it. */
   private[graft] def pqEncodeKeepCell(df: DataFrame, idCol: String,
                                       vecCol: String, groupCol: String,
-                                      numSub: Int): DataFrame = {
+                                      numSub: Int,
+                                      codebookOpt: Option[DataFrame] = None)
+      : DataFrame = {
     val subs = pqSubvectors(df, Seq(col(idCol), col(groupCol)), vecCol, numSub)
-    val scored = subs.join(broadcast(pqCodebook(df, vecCol, groupCol, numSub)),
-        Seq("sub"))
+    val cb = codebookOpt.getOrElse(pqCodebook(df, vecCol, groupCol, numSub))
+    val scored = subs.join(broadcast(cb), Seq("sub"))
       .select(col(idCol), col(groupCol).as("cell"), col("sub"), col("lbl"),
         round(dot(col("sv"), col("sv")) - lit(2.0) * dot(col("sv"), col("cent"))
           + dot(col("cent"), col("cent")), 6).as("d2"))
-    val w = Window.partitionBy(col(idCol), col("sub"))
-      .orderBy(col("d2"), col("lbl"))
-    scored.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
+    // argmin as a partial-aggregable min(struct(d2, lbl)) — same
+    // (distance, then code id) order a windowed row_number would sort by,
+    // but map-side combinable and sort-free
+    scored.groupBy(col(idCol), col("cell"), col("sub"))
+      .agg(min(struct(col("d2").as("d2"), col("lbl").as("lbl"))).as("__m"))
       .select(col(idCol), col("cell"), col("sub").cast("long").as("sub"),
-        col("lbl").as("code"), col("d2"))
+        col("__m.lbl").as("code"), col("__m.d2").as("d2"))
   }
 
   /** (keep-cols, sub, sv): each vector exploded into its `numSub`
