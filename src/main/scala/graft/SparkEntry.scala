@@ -776,6 +776,34 @@ object SparkEntry {
       drainStream(s, "graft_stream_dedup", "append",
         graft.streaming.EventsStream.dedupKeys(eventsStream(s, dir)))
         .orderBy("hour", "user_id", "event_type")),
+    // ----- exactly-once transactional streaming sink (TxSink scaladoc:
+    // each micro-batch is one atomic TxTable commit stamped with its
+    // batch id; replays skip) — the certified output is the final table,
+    // which must be EXACTLY the source multiset: a duplicated or dropped
+    // batch breaks the hash -----
+    "stream_txsink" -> ((s: SparkSession, dir: String) => {
+      val base = scratchDir("graft-stx-")
+      val tbl = s"$base/tbl"
+      val src = eventsStream(s, dir).select(col("event_id"), col("user_id"),
+        col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("value_c"))
+      DrainLock.synchronized {
+        val saved = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val q = src.writeStream
+            .option("checkpointLocation", s"$base/ckpt")
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .foreachBatch { (b: DataFrame, id: Long) =>
+              graft.streaming.TxSink.appendBatch(tbl, b, id): Unit
+            }
+            .start()
+          q.awaitTermination()
+        } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+      }
+      graft.sources.TxTable.read(s, tbl).orderBy("event_id")
+    }),
     // STREAMING sketch maintenance: the HLL register state is one
     // supported max-aggregation, maintained incrementally over the event
     // stream (complete mode, ≤ m rows per group of state) and finalized
@@ -2588,6 +2616,12 @@ object SparkEntry {
          |  user_id, event_type
          |FROM events GROUP BY 1, 2, 3
          |ORDER BY hour, user_id, event_type""".stripMargin),
+    // the exactly-once sink must land the source multiset bit-for-bit:
+    // a replayed (duplicated) or dropped micro-batch breaks this hash
+    "stream_txsink" ->
+      ("""SELECT event_id, user_id, event_type,
+         |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c
+         |FROM events ORDER BY event_id""".stripMargin),
     // deterministic as-of reference: latest admissible order date, ties on
     // (date) broken by largest o_orderkey — the same total order the
     // engine's (time, side, tie) window sort establishes

@@ -53,8 +53,14 @@ object TxTable {
     * previous version's files). Returns the committed version number.
     * Throws `java.nio.file.FileAlreadyExistsException` when another
     * writer took the version first — the caller decides whether the
-    * operation is idempotent enough to retry. */
-  def commit(df: DataFrame, tableDir: String, mode: String): Long = {
+    * operation is idempotent enough to retry.
+    *
+    * `opLabel` overrides the op string recorded in the manifest (the
+    * commit SEMANTICS stay `mode`) — how an idempotent writer like
+    * [[graft.streaming.TxSink]] stamps its application-level transaction
+    * id into the log, the Delta txnAppId/txnVersion pattern. */
+  def commit(df: DataFrame, tableDir: String, mode: String,
+             opLabel: Option[String] = None): Long = {
     require(mode == "overwrite" || mode == "append",
       s"mode must be overwrite|append, got '$mode'")
     val root = Paths.get(tableDir)
@@ -80,7 +86,7 @@ object TxTable {
       if (mode == "append") prev.map(_.files).getOrElse(Seq.empty)
       else Seq.empty
     val version = prev.map(_.version + 1).getOrElse(1L)
-    val manifest = Manifest(version, mode, df.schema.json,
+    val manifest = Manifest(version, opLabel.getOrElse(mode), df.schema.json,
       carried ++ newFiles)
     try publish(root, manifest)
     catch {
@@ -92,6 +98,17 @@ object TxTable {
         throw e
     }
     version
+  }
+
+  /** The committed (version, op) history, oldest first — O(versions)
+    * driver metadata, one manifest read each. What an idempotent writer
+    * scans on restart to find its own last recorded transaction id. */
+  def history(tableDir: String): Seq[(Long, String)] = {
+    val root = Paths.get(tableDir)
+    val log = root.resolve(LogDir)
+    if (!Files.isDirectory(log)) Seq.empty
+    else listNames(log).collect { case VersionName(v) => v }.sorted
+      .map(v => v -> readManifest(root, v).op)
   }
 
   /** Latest committed version, if any commit has ever succeeded. */

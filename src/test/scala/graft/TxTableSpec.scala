@@ -218,6 +218,25 @@ class TxTableSpec extends SparkSpec {
       .map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L))
   }
 
+  test("TxSink: replayed batch ids commit exactly once") {
+    import graft.streaming.TxSink
+    val tbl = tmpTable()
+    assert(TxSink.appendBatch(tbl, frame(1L, 2L), 0L))
+    assert(TxSink.appendBatch(tbl, frame(3L), 1L))
+    // crash-recovery replay of batch 1: same id, must be skipped
+    assert(!TxSink.appendBatch(tbl, frame(3L), 1L))
+    assert(!TxSink.appendBatch(tbl, frame(99L), 0L)) // stale replay too
+    assert(TxSink.appendBatch(tbl, frame(4L), 2L))
+    assert(TxTable.read(spark, tbl).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(TxSink.lastBatchId(tbl).contains(2L))
+    // a batch writer interleaves without disturbing the stream's ids
+    TxTable.commit(frame(50L), tbl, "append")
+    assert(TxSink.lastBatchId(tbl).contains(2L))
+    assert(TxSink.appendBatch(tbl, frame(5L), 3L))
+    assert(TxTable.read(spark, tbl).count() == 6L)
+  }
+
   test("a lost commit race reclaims its own data files") {
     val tbl = tmpTable()
     TxTable.commit(frame(1L), tbl, "overwrite")
