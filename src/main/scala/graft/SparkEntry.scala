@@ -526,6 +526,13 @@ object SparkEntry {
       Similarity.quantizeInt8(Tables.embeddings(s, dir), "vec_id",
           "embedding")
         .orderBy("vec_id", "pos")),
+    // ----- JL random projection 64 → 16 dims (Similarity.randomProject
+    // scaladoc: hash-derived Achlioptas sign matrix — both engines
+    // regenerate it from the formula, nothing stored) -----
+    "emb_project" -> ((s: SparkSession, dir: String) =>
+      Similarity.randomProject(Tables.embeddings(s, dir), "vec_id",
+          "embedding", outDim = 16)
+        .orderBy("vec_id", "j")),
     // ----- SemDeDup-shape semantic dedup inside label clusters
     // (Similarity.semDedupSurvivors scaladoc: cluster-local pair search,
     // capped loudly). The synthetic embeddings have no natural near-dups
@@ -2297,6 +2304,26 @@ object SparkEntry {
          |SELECT vec_id, label FROM corpus
          |WHERE vec_id NOT IN (SELECT d FROM dropped)
          |ORDER BY vec_id""".stripMargin),
+    // the same (i, j) multiply-mod-prime sign and the same in-order fold
+    // (list_reduce seeds with the first element, which equals Spark's
+    // 0.0-seeded fold exactly since 0.0 + x == x in IEEE)
+    "emb_project" ->
+      ("""WITH v AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+         |)
+         |SELECT vec_id, CAST(j AS BIGINT) AS j,
+         |  CAST(floor(yraw / sqrt(16.0) * 1e4 + 0.5) AS BIGINT) AS y
+         |FROM (
+         |  SELECT vec_id, j,
+         |    list_reduce(
+         |      [(1.0 - 2.0 * (((((((i-1) * 73856093 + j * 19349663
+         |             + 83492791) % 65521) * 2654435761) % 2147483647) % 2))
+         |        ) * e[i]
+         |       for i in range(1, len(e) + 1)],
+         |      (a, x) -> a + x) AS yraw
+         |  FROM v, (SELECT unnest(range(0, 16)) AS j)
+         |)
+         |ORDER BY vec_id, j""".stripMargin),
     "emb_quantize" ->
       ("""WITH v AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings

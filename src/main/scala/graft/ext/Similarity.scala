@@ -387,6 +387,40 @@ object Similarity {
     df.join(dropped, col(idCol).cast("long") === col("__dropped"), "left_anti")
   }
 
+  /** Johnson–Lindenstrauss random projection to `outDim` dimensions with
+    * an Achlioptas ±1 sign matrix — the dimensionality-reduction step a
+    * 100 TB retrieval pipeline runs before ANN (shorter vectors: smaller
+    * index, cheaper dots) with distance distortion bounded by the JL
+    * lemma. y_j = Σ_i sign(i,j)·x_i / √outDim.
+    *
+    * The "random" matrix is DERIVED, not sampled: sign(i,j) comes from a
+    * small integer hash of (i, j) — multiply-mod-prime mixing with every
+    * intermediate bounded far under 2⁶³ — so any engine regenerates the
+    * identical matrix from the formula alone (no seed state, no stored
+    * matrix, certifiable like every sketch here). Entirely row-local
+    * arithmetic riding the scan: the fold over input positions is an
+    * in-order IEEE sum (matching `list_reduce`), quantized to 1e-4 longs
+    * like [[normalizeUnit]]. Zero shuffles, zero driver hops.
+    *
+    * Output: (id, j ∈ [0, outDim), y) exploded scalars. */
+  def randomProject(df: DataFrame, idCol: String, vecCol: String,
+                    outDim: Int = 16): DataFrame = {
+    require(outDim > 0, s"outDim must be positive, got $outDim")
+    val v = asDouble(col(vecCol))
+    val proj = transform(sequence(lit(0), lit(outDim - 1)), j =>
+      aggregate(sequence(lit(0), size(v) - 1), lit(0.0), (acc, i) => {
+        val h = (i * lit(73856093L) + j * lit(19349663L) + lit(83492791L)) %
+          lit(65521L)
+        val m = (h * lit(2654435761L)) % lit(2147483647L)
+        val sign = lit(1.0) - lit(2.0) * (m % lit(2L)).cast("double")
+        acc + sign * element_at(v, i + 1)
+      }))
+    df.select(col(idCol), posexplode(proj).as(Seq("j", "__y")))
+      .select(col(idCol), col("j").cast("long").as("j"),
+        floor(col("__y") / sqrt(lit(outDim.toDouble)) * 1e4 + 0.5)
+          .cast("long").as("y"))
+  }
+
   def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val v = asDouble(col(vecCol))
     val scale = array_max(transform(v, x => abs(x)))

@@ -173,6 +173,49 @@ object Round10PropertySpec extends Properties("round10") {
     syms
   }
 
+  // ------------------------------------------- JL random projection
+  /** Independent model of [[graft.ext.Similarity.randomProject]]: same
+    * hash formula, in-order double fold, floor-quantize. */
+  private def modelProject(vec: List[Float],
+                           outDim: Int): Map[Long, Long] =
+    (0 until outDim).map { j =>
+      var acc = 0.0
+      var i = 0
+      while (i < vec.length) {
+        val h = (i.toLong * 73856093L + j.toLong * 19349663L + 83492791L) %
+          65521L
+        val m = (h * 2654435761L) % 2147483647L
+        val sign = 1.0 - 2.0 * (m % 2L).toDouble
+        acc = acc + sign * vec(i).toDouble
+        i += 1
+      }
+      j.toLong -> math.floor(acc / math.sqrt(outDim.toDouble) * 1e4 + 0.5)
+        .toLong
+    }.toMap
+
+  private val genProjVecs: Gen[(List[List[Float]], Int)] = for {
+    n <- Gen.choose(1, 6)
+    d <- Gen.choose(1, 12)
+    vs <- Gen.listOfN(n, Gen.listOfN(d, Gen.oneOf(
+      Gen.const(0.0f), Gen.choose(-100.0f, 100.0f))))
+    outDim <- Gen.choose(1, 8)
+  } yield (vs, outDim)
+
+  property("randomProject = in-memory hash-sign fold model") =
+    Prop.forAll(genProjVecs) { case (vs, outDim) =>
+      import spark.implicits._
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+      val got = graft.ext.Similarity
+        .randomProject(df, "vec_id", "embedding", outDim)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+        .toMap
+      val want = vs.zipWithIndex.flatMap { case (v, i) =>
+        modelProject(v, outDim).map { case (j, y) => ((i.toLong, j), y) }
+      }.toMap
+      got == want
+    }
+
   private val genCorpus: Gen[(List[String], Int)] = for {
     n <- Gen.choose(1, 8)
     words <- Gen.listOfN(n, for {
