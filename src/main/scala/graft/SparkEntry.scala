@@ -1044,6 +1044,13 @@ object SparkEntry {
       graft.ext.Hll.finalize(graft.ext.Hll.merge(a, b), "event_type")
         .orderBy("event_type")
     }),
+    // HLL set-intersection by inclusion–exclusion (Hll.intersectEstimate
+    // scaladoc: sketch once, then the audience-overlap matrix runs on
+    // register states alone — ≤ m rows per group whatever the corpus)
+    "agg_hll_intersect" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Hll.intersectEstimate(Tables.events(s, dir),
+          "event_type", "user_id")
+        .orderBy("grp_a", "grp_b")),
     // ----- window analytics: running totals and per-group top-n -----
     "window_running" -> ((s: SparkSession, dir: String) =>
       graft.ext.Olap.runningTotal(
@@ -1681,11 +1688,11 @@ object SparkEntry {
       |  GROUP BY 1, 2, 3, 4
       |)""".stripMargin
 
-  /** The [[graft.ext.Hll]] sketch replayed end-to-end in SQL — shared by
-    * the batch (`agg_hll`) and streaming (`stream_hll`) entries, which
-    * must produce the identical state by construction. */
-  private val HllOracle: String =
-    """WITH x1 AS (
+  /** The register + per-group-state CTE chain of the [[graft.ext.Hll]]
+    * sketch — shared by [[HllOracle]] and the `agg_hll_intersect` oracle
+    * so the hash, rank, and harmonic arithmetic cannot drift. */
+  private val HllCtes: String =
+    """x1 AS (
       |  SELECT event_type,
       |    ((user_id % 2147483647) + 2147483647) % 2147483647
       |      * 1103515245 % 2147483647 AS v
@@ -1708,7 +1715,13 @@ object SparkEntry {
       |  SELECT event_type, count(*) AS n_regs,
       |    sum(CAST(1 AS BIGINT) << (26 - m_j)) AS isum_p
       |  FROM regs GROUP BY event_type
-      |)
+      |)""".stripMargin
+
+  /** The [[graft.ext.Hll]] sketch replayed end-to-end in SQL — shared by
+    * the batch (`agg_hll`) and streaming (`stream_hll`) entries, which
+    * must produce the identical state by construction. */
+  private val HllOracle: String =
+    s"""WITH $HllCtes
       |SELECT event_type, n_regs,
       |  CAST(isum_p + (64 - n_regs) * 67108864 AS BIGINT) AS isum,
       |  CAST(0.709 AS DOUBLE) * 4096 * 67108864 /
@@ -3048,6 +3061,44 @@ object SparkEntry {
     // the merged half-sketches must equal the direct sketch of the whole
     // table — same oracle, by design
     "agg_hll_union" -> HllOracle,
+    // inclusion–exclusion over the shared register CTEs: single-group
+    // estimates from `state`, the union estimate from the pairwise
+    // max-merged registers, identical double association everywhere
+    "agg_hll_intersect" ->
+      (s"""WITH $HllCtes, est AS (
+         |  SELECT event_type,
+         |    CAST(0.709 AS DOUBLE) * 4096 * 67108864 /
+         |      CAST(isum_p + (64 - n_regs) * 67108864 AS DOUBLE) AS est
+         |  FROM state
+         |), pairs AS (
+         |  SELECT a.event_type AS grp_a, b.event_type AS grp_b
+         |  FROM (SELECT DISTINCT event_type FROM regs) a,
+         |       (SELECT DISTINCT event_type FROM regs) b
+         |  WHERE a.event_type < b.event_type
+         |), u AS (
+         |  SELECT p.grp_a, p.grp_b, r.reg, max(r.m_j) AS m_j
+         |  FROM pairs p JOIN regs r
+         |    ON r.event_type = p.grp_a OR r.event_type = p.grp_b
+         |  GROUP BY 1, 2, 3
+         |), ustate AS (
+         |  SELECT grp_a, grp_b, count(*) AS n_regs,
+         |    sum(CAST(1 AS BIGINT) << (26 - m_j)) AS isum_p
+         |  FROM u GROUP BY 1, 2
+         |), uest AS (
+         |  SELECT grp_a, grp_b,
+         |    CAST(0.709 AS DOUBLE) * 4096 * 67108864 /
+         |      CAST(isum_p + (64 - n_regs) * 67108864 AS DOUBLE) AS est_union
+         |  FROM ustate
+         |)
+         |SELECT u.grp_a, u.grp_b, ea.est AS est_a, eb.est AS est_b,
+         |  u.est_union,
+         |  greatest(CAST(0 AS BIGINT),
+         |    CAST(floor((ea.est + eb.est - u.est_union) * 1e4 + 0.5)
+         |      AS BIGINT)) AS isect_e4
+         |FROM uest u
+         |JOIN est ea ON ea.event_type = u.grp_a
+         |JOIN est eb ON eb.event_type = u.grp_b
+         |ORDER BY u.grp_a, u.grp_b""".stripMargin),
     // the streaming register maintenance computes the identical sketch
     "stream_hll" -> HllOracle,
     // same decimal accumulation + total window order as the engine

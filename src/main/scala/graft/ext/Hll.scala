@@ -102,6 +102,17 @@ object Hll {
       .groupBy(col("grp"), col("reg"))
       .agg(max(col("m_j")).as("m_j"))
 
+  /** The partial harmonic sum → isum column (integer, exact). */
+  private def isumExpr = col("__isum_p") +
+    (lit(Registers.toLong) - col("n_regs")) * lit(AbsentWeight)
+
+  /** alpha·m²·2^RankBase / isum, every factor and the association
+    * explicit so the oracle's CAST(0.709 AS DOUBLE) * 4096 * 67108864
+    * folds to the identical double. */
+  private def estimateExpr =
+    (lit(0.709) * lit((Registers.toLong * Registers).toDouble)) *
+      lit(AbsentWeight.toDouble) / isumExpr.cast("double")
+
   /** Fold register state into (group, n_regs, isum, estimate). */
   def finalize(regs: DataFrame, groupCol: String): DataFrame =
     regs.groupBy(col("grp"))
@@ -109,15 +120,56 @@ object Hll {
         sum(expr(s"shiftleft(1L, cast($RankBase - m_j as int))"))
           .as("__isum_p"))
       .select(col("grp").as(groupCol), col("n_regs"),
-        (col("__isum_p") + (lit(Registers.toLong) - col("n_regs")) *
-          lit(AbsentWeight)).as("isum"),
-        // alpha·m²·2^RankBase / isum, every factor and the association
-        // explicit so the oracle's CAST(0.709 AS DOUBLE) * 4096 * 67108864
-        // folds to the identical double
-        ((lit(0.709) * lit((Registers.toLong * Registers).toDouble)) *
-          lit(AbsentWeight.toDouble) /
-          (col("__isum_p") + (lit(Registers.toLong) - col("n_regs")) *
-            lit(AbsentWeight)).cast("double")).as("hll_estimate"))
+        isumExpr.as("isum"), estimateExpr.as("hll_estimate"))
+
+  /** Pairwise SET-INTERSECTION estimates by inclusion–exclusion over the
+    * sketch: |A∩B| ≈ Ê(A) + Ê(B) − Ê(A∪B), where Ê(A∪B) is the estimate
+    * of the max-merged register state — the measure HLL supports
+    * natively (the sketch is closed under union but NOT intersection, so
+    * audience-overlap / shared-user questions are answered exactly this
+    * way in practice, error compounding as the standard ~1.04/√m per
+    * term). Negative differences clamp to zero; the clamped value is
+    * floor-quantized to 1e-4 like every certified double here.
+    *
+    * Cost shape: the corpus is sketched ONCE ([[registers]] — the only
+    * pass that sees data mass); everything after runs on register
+    * states, ≤ m rows per group. Pair enumeration is |G|²/2 on the tiny
+    * distinct-group frame, and each pair's union state is ≤ 2m rows into
+    * a partial-aggregated max — at 100 TB the intersection matrix costs
+    * the same as at 100 MB once the sketches exist. */
+  def intersectEstimate(df: DataFrame, groupCol: String,
+                        keyCol: String): DataFrame = {
+    val regs = registers(df, groupCol, keyCol)
+    val singles = finalize(regs, groupCol)
+      .select(col(groupCol), col("hll_estimate"))
+    val groups = regs.select(col("grp")).distinct()
+    val pairs = groups.select(col("grp").as("grp_a"))
+      .crossJoin(groups.select(col("grp").as("grp_b")))
+      .filter(col("grp_a") < col("grp_b"))
+    val ra = regs.select(col("grp").as("grp_a"), col("reg"), col("m_j"))
+    val rb = regs.select(col("grp").as("grp_b"), col("reg"), col("m_j"))
+    val unioned = pairs.join(ra, Seq("grp_a"))
+      .select(col("grp_a"), col("grp_b"), col("reg"), col("m_j"))
+      .unionByName(pairs.join(rb, Seq("grp_b"))
+        .select(col("grp_a"), col("grp_b"), col("reg"), col("m_j")))
+      .groupBy(col("grp_a"), col("grp_b"), col("reg"))
+      .agg(max(col("m_j")).as("m_j"))
+    val uest = unioned.groupBy(col("grp_a"), col("grp_b"))
+      .agg(count(lit(1)).as("n_regs"),
+        sum(expr(s"shiftleft(1L, cast($RankBase - m_j as int))"))
+          .as("__isum_p"))
+      .select(col("grp_a"), col("grp_b"), estimateExpr.as("est_union"))
+    val ea = singles.select(col(groupCol).as("grp_a"),
+      col("hll_estimate").as("est_a"))
+    val eb = singles.select(col(groupCol).as("grp_b"),
+      col("hll_estimate").as("est_b"))
+    uest.join(broadcast(ea), Seq("grp_a")).join(broadcast(eb), Seq("grp_b"))
+      .select(col("grp_a"), col("grp_b"), col("est_a"), col("est_b"),
+        col("est_union"),
+        greatest(lit(0L),
+          floor((col("est_a") + col("est_b") - col("est_union")) * 1e4 + 0.5)
+            .cast("long")).as("isect_e4"))
+  }
 
   /** Per-group HLL state and raw estimate:
     * (group, n_regs hit, exact harmonic integer sum, estimate). */
