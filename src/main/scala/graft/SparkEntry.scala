@@ -69,16 +69,24 @@ object SparkEntry {
 
   /** Scratch directory reclaimed at JVM exit. Deletion cannot be eager —
     * the returned DataFrames read these files lazily — but without the
-    * hook every verify/bench run leaks its parquet scratch under /tmp. */
-  private def scratchDir(prefix: String): String = {
-    val p = java.nio.file.Files.createTempDirectory(prefix)
+    * hook every verify/bench run leaks its parquet scratch under /tmp.
+    * ONE shared shutdown hook drains a concurrent list of paths: a hook
+    * Thread per call would accumulate unboundedly in a long-lived driver
+    * re-running scratch-using queries (bench/verify loops). */
+  private val scratchPaths =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val scratchHook: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {
         val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
         f.delete(): Unit
       }
-      rm(p.toFile)
+      scratchPaths.forEach(p => rm(p.toFile))
     }))
+  private def scratchDir(prefix: String): String = {
+    scratchHook
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    scratchPaths.add(p)
     p.toString
   }
 
@@ -803,7 +811,11 @@ object SparkEntry {
             .outputMode("append")
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .foreachBatch { (b: DataFrame, id: Long) =>
-              graft.streaming.TxSink.appendBatch(tbl, b, id): Unit
+              // appId scopes the exactly-once watermark to THIS logical
+              // stream — a fresh checkpoint restarting ids at 0 against
+              // a shared table must not collide with other writers
+              graft.streaming.TxSink.appendBatch(tbl, b, id,
+                appId = "stream_txsink"): Unit
             }
             .start()
           q.awaitTermination()
@@ -1336,7 +1348,10 @@ object SparkEntry {
         docs.filter(col("lang") === "de"), tbl, "append")
       graft.sources.TxTable.commit(
         docs.filter(col("lang") === "fr"), tbl, "overwrite")
-      val stats = graft.sources.TxTable.vacuum(tbl, retain = 2)
+      // minAgeMillis=0: this table is quiesced by construction (the
+      // three commits above finished before the vacuum starts)
+      val stats = graft.sources.TxTable.vacuum(tbl, retain = 2,
+        minAgeMillis = 0L)
       Seq(2L, 3L).map(v =>
           graft.sources.TxTable.readVersion(s, tbl, v)
             .select(lit(v).as("version"), col("doc_id"), col("lang"),

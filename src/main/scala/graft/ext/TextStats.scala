@@ -507,9 +507,12 @@ object TextStats {
         "(or raise the cap explicitly for a bounded corpus)")
     val merges = learnBpeMerges(
       dict.map(r => (r.getString(0), r.getLong(1))).toSeq, numMerges)
-    val sep = " "
+    // pair key = "<len(l)>:<l><r>" — the length prefix pins the split
+    // point, so the key is collision-free for ANY symbol contents (no
+    // separator character that raw corpus text could also contain) and
+    // the source stays pure text (no control bytes in literals)
     val rankMap = typedLit(merges.zipWithIndex.map { case ((l, r), i) =>
-      (l + sep + r) -> (i + 1)
+      (s"${l.length}:$l$r") -> (i + 1)
     }.toMap)
     // the distinct words are the dictionary keys — reuse wf's aggregate;
     // persisted as the fusion barrier (see subwordEncode) and because the
@@ -519,8 +522,9 @@ object TextStats {
     // i+1 > size probe at the last symbol instead of yielding the null
     // that means "no pair here"
     val pairRank = (syms: Column, i: Column) =>
-      try_element_at(rankMap, concat(try_element_at(syms, i), lit(sep),
-        try_element_at(syms, i + 1)))
+      try_element_at(rankMap, concat(
+        length(try_element_at(syms, i)).cast("string"), lit(":"),
+        try_element_at(syms, i), try_element_at(syms, i + 1)))
     val enc = dwords.select(col("word"),
       aggregate(
         sequence(lit(1), length(col("word"))),

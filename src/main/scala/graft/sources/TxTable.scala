@@ -28,25 +28,63 @@ import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructField, St
   * lists only the new ones, leaving prior versions' files for time
   * travel.
   *
-  * Commit protocol (single-filesystem): data files land first under a
-  * commit-unique directory no reader references yet; the manifest is
-  * fully written to a temp name, then PUBLISHED with an atomic
-  * create-exclusive link — `Files.createLink(target, tmp)` fails with
-  * `FileAlreadyExistsException` when the version was taken, which is the
-  * entire conflict check. POSIX link(2) is atomic; an object store would
-  * swap this single primitive for a conditional PUT / commit service,
-  * exactly as the published lakehouse designs do.
+  * Commit protocol: data files land first under a commit-unique
+  * directory no reader references yet; the manifest is then PUBLISHED
+  * through a [[CommitPrimitive]] — an atomic create-exclusive write
+  * that fails with `FileAlreadyExistsException` when the version was
+  * taken, which is the entire conflict check. The default
+  * [[PosixLinkPrimitive]] uses POSIX link(2); an object store swaps in
+  * a conditional-PUT primitive (the trait is the documented, tested
+  * port seam), exactly as the published lakehouse designs do.
   *
   * Scale notes: commits move only metadata through the driver (the file
   * listing — O(files), never rows); reads hand Spark the resolved file
   * list so planning, pruning, and scan parallelism are plain parquet.
   */
+/** The single atomic primitive the whole commit protocol stands on:
+  * publish `bytes` at `target` iff no file exists there, atomically.
+  * Everything else in [[TxTable]] is plain metadata plumbing, so porting
+  * the table to an object store means swapping THIS ONE implementation
+  * for a conditional PUT (`If-None-Match: *`) or a commit service —
+  * exactly the seam the published lakehouse designs isolate. The
+  * contract is tested against both the POSIX impl and an in-memory
+  * conditional-PUT double (`TxTableSpec` OCC race tests). */
+trait CommitPrimitive {
+  /** Atomically create `target` with `bytes`; throw
+    * `java.nio.file.FileAlreadyExistsException` when `target` exists
+    * (the losing side of the OCC race). Partial content must never be
+    * visible at `target`. */
+  def publishExclusive(target: Path, bytes: Array[Byte]): Unit
+}
+
+/** Single-filesystem impl: write fully to a temp name in the same
+  * directory, then `Files.createLink` it into place — POSIX link(2) is
+  * atomic and create-exclusive, so it either publishes the complete
+  * file or fails because the name was taken. */
+object PosixLinkPrimitive extends CommitPrimitive {
+  def publishExclusive(target: Path, bytes: Array[Byte]): Unit = {
+    val tmp = target.getParent
+      .resolve(s".tmp-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, bytes)
+    try Files.createLink(target, tmp)
+    finally Files.deleteIfExists(tmp): Unit
+  }
+}
+
 object TxTable {
 
   private val LogDir = "_txlog"
 
+  /** `txns` is the Delta-style application-transaction high-water-mark
+    * map (`appId -> last recorded version`), carried forward verbatim by
+    * EVERY commit (append, overwrite, compaction alike) and merged with
+    * the committing writer's own stamp. Because the LATEST manifest
+    * always holds the full map, an idempotent writer's watermark
+    * survives [[TxTable.vacuum]] expiring the historical manifest that
+    * first recorded it — reading history for watermarks would not. */
   final case class Manifest(version: Long, op: String, schemaJson: String,
-                            files: Seq[String])
+                            files: Seq[String],
+                            txns: Map[String, Long] = Map.empty)
 
   /** Commit `df` as the next version. `mode` is "overwrite" (the new
     * version is exactly this frame) or "append" (this frame plus the
@@ -56,11 +94,14 @@ object TxTable {
     * operation is idempotent enough to retry.
     *
     * `opLabel` overrides the op string recorded in the manifest (the
-    * commit SEMANTICS stay `mode`) — how an idempotent writer like
-    * [[graft.streaming.TxSink]] stamps its application-level transaction
-    * id into the log, the Delta txnAppId/txnVersion pattern. */
+    * commit SEMANTICS stay `mode`). `txn` records an application-level
+    * `appId -> version` watermark into the manifest's carried-forward
+    * `txns` map — the Delta txnAppId/txnVersion pattern an idempotent
+    * writer like [[graft.streaming.TxSink]] uses to skip replays. */
   def commit(df: DataFrame, tableDir: String, mode: String,
-             opLabel: Option[String] = None): Long = {
+             opLabel: Option[String] = None,
+             txn: Option[(String, Long)] = None,
+             primitive: CommitPrimitive = PosixLinkPrimitive): Long = {
     require(mode == "overwrite" || mode == "append",
       s"mode must be overwrite|append, got '$mode'")
     val root = Paths.get(tableDir)
@@ -87,8 +128,9 @@ object TxTable {
       else Seq.empty
     val version = prev.map(_.version + 1).getOrElse(1L)
     val manifest = Manifest(version, opLabel.getOrElse(mode), df.schema.json,
-      carried ++ newFiles)
-    try publish(root, manifest)
+      carried ++ newFiles,
+      prev.map(_.txns).getOrElse(Map.empty) ++ txn)
+    try publish(root, manifest, primitive)
     catch {
       case e: java.nio.file.FileAlreadyExistsException =>
         // Lost the commit race: this commit's data files are unreachable
@@ -110,6 +152,13 @@ object TxTable {
     else listNames(log).collect { case VersionName(v) => v }.sorted
       .map(v => v -> readManifest(root, v).op)
   }
+
+  /** The application-transaction watermark recorded for `appId`, read
+    * from the LATEST manifest's carried-forward `txns` map — O(1)
+    * manifest reads, and vacuum-safe (see [[Manifest]]). */
+  def lastTxn(tableDir: String, appId: String): Option[Long] =
+    latestVersion(tableDir).flatMap(v =>
+      readManifest(Paths.get(tableDir), v).txns.get(appId))
 
   /** Latest committed version, if any commit has ever succeeded. */
   def latestVersion(tableDir: String): Option[Long] = {
@@ -174,10 +223,10 @@ object TxTable {
     *     mid-vacuum leaves orphaned data files (reclaimed by the next
     *     vacuum), never a readable version with missing files.
     *   - `minAgeMillis` guards in-flight commits: a concurrent writer's
-    *     data files exist before its manifest publishes, so production
-    *     sets this above the longest plausible commit duration (the
-    *     standard orphan-file age threshold); 0 is for quiesced tables
-    *     and tests.
+    *     data files exist before its manifest publishes, so the default
+    *     is a conservative 10 minutes (above any plausible commit
+    *     duration — the standard orphan-file age threshold); pass 0
+    *     explicitly for quiesced tables and tests.
     *   - Live commits' sidecar files (`_SUCCESS`, checksums) survive:
     *     only `.parquet` files are deleted from directories that still
     *     contain live files; fully-dead commit directories are removed
@@ -186,7 +235,7 @@ object TxTable {
     * Cost shape: O(files) metadata + deletes through the driver, zero
     * data movement, no Spark job — the same envelope as commit. */
   def vacuum(tableDir: String, retain: Int,
-             minAgeMillis: Long = 0L): VacuumStats = {
+             minAgeMillis: Long = 600000L): VacuumStats = {
     require(retain >= 1, s"retain must be >= 1, got $retain")
     val root = Paths.get(tableDir)
     val latest = latestVersion(tableDir).getOrElse(
@@ -219,7 +268,12 @@ object TxTable {
           // recursive: a crashed compaction can leave nested scratch
           // files inside a dead commit dir
           val files = walk(dir)
-          def rel(p: Path): String = root.relativize(p).toString
+          // manifests store '/'-joined paths; normalize the platform
+          // separator so a non-'/' filesystem never misclassifies every
+          // live file as dead (which would be silent data loss)
+          def rel(p: Path): String =
+            root.relativize(p).toString
+              .replace(java.io.File.separatorChar, '/')
           val hasLive = files.exists(p => live.contains(rel(p)))
           files.foreach { p =>
             val dead = !live.contains(rel(p)) &&
@@ -253,9 +307,19 @@ object TxTable {
     * commit races like any other: a concurrent writer taking the
     * version makes this throw loudly rather than clobber.
     *
+    * Group rewrites are INDEPENDENT Spark jobs, so they are submitted
+    * from a bounded pool of `maxConcurrentJobs` threads (Spark's
+    * scheduler is thread-safe and FAIR/FIFO-schedules concurrent jobs):
+    * a 1000-group backlog pays ~1000/pool sequential waves of cheap
+    * coalesce jobs, not 1000 serialized driver submissions — the
+    * difference between minutes and hours on a small-file-heavy 100 TB
+    * table. The per-group scratch dirs are disjoint, and the commit
+    * point is still the single atomic manifest publish at the end.
+    *
     * No-op (returns the current version) on an empty snapshot. */
   def compact(spark: SparkSession, tableDir: String,
-              targetBytes: Long): Long = {
+              targetBytes: Long, maxConcurrentJobs: Int = 8,
+              primitive: CommitPrimitive = PosixLinkPrimitive): Long = {
     val root = Paths.get(tableDir)
     val v = latestVersion(tableDir).getOrElse(
       throw new IllegalStateException(
@@ -279,7 +343,8 @@ object TxTable {
     val dataRel = s"data/$commitId"
     val dataDir = root.resolve(dataRel)
     Files.createDirectories(dataDir)
-    groups.zipWithIndex.foreach { case (fs, i) =>
+    runConcurrently(groups.size, maxConcurrentJobs) { i =>
+      val fs = groups(i)
       val tmp = root.resolve(s"$dataRel-g$i")
       spark.read.schema(schema)
         .parquet(fs.map(f => root.resolve(f).toString): _*)
@@ -290,8 +355,9 @@ object TxTable {
     }
     val newFiles = listNames(dataDir).filter(_.endsWith(".parquet"))
       .map(n => s"$dataRel/$n").sorted
-    val manifest = Manifest(v + 1, "overwrite", m.schemaJson, newFiles)
-    try publish(root, manifest)
+    val manifest = Manifest(v + 1, "overwrite", m.schemaJson, newFiles,
+      m.txns)
+    try publish(root, manifest, primitive)
     catch {
       case e: java.nio.file.FileAlreadyExistsException =>
         try deleteRecursively(dataDir) catch { case _: Exception => () }
@@ -322,6 +388,36 @@ object TxTable {
     finally s.close()
   }
 
+  /** Run `task(0 until n)` on a bounded pool of `parallelism` daemon
+    * threads, propagating the first failure after all threads stop.
+    * Factored out of [[compact]] so the pool discipline (never more
+    * than `parallelism` tasks in flight, all `n` complete exactly once)
+    * is testable without Spark jobs. */
+  private[graft] def runConcurrently(n: Int, parallelism: Int)
+                                    (task: Int => Unit): Unit = {
+    require(parallelism >= 1, s"parallelism must be >= 1, got $parallelism")
+    if (n <= 0) return
+    if (n == 1 || parallelism == 1) { (0 until n).foreach(task); return }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(n, parallelism),
+      (r: Runnable) => { val t = new Thread(r); t.setDaemon(true); t })
+    try {
+      val futures = (0 until n).map(i =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = task(i)
+        }))
+      // get() each: surfaces the first failure (unwrapped) and ensures
+      // every task finished before the caller publishes the manifest
+      futures.foreach { f =>
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            throw e.getCause
+        }
+      }
+    } finally { pool.shutdownNow(); () }
+  }
+
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p))
       listNames(p).foreach(n => deleteRecursively(p.resolve(n)))
@@ -333,8 +429,12 @@ object TxTable {
     * fail a legitimate append. */
   private def asNullable(dt: DataType): DataType = dt match {
     case s: StructType =>
+      // fields rebuilt from scratch: nullability forced true AND
+      // per-field metadata dropped (explicitly, so the doc contract is
+      // visible here) — both are representation noise for this compare
       StructType(s.fields.map(f =>
-        StructField(f.name, asNullable(f.dataType), nullable = true)))
+        StructField(f.name, asNullable(f.dataType), nullable = true,
+          metadata = org.apache.spark.sql.types.Metadata.empty)))
     case a: ArrayType => ArrayType(asNullable(a.elementType), containsNull = true)
     case m: MapType =>
       MapType(asNullable(m.keyType), asNullable(m.valueType),
@@ -353,10 +453,11 @@ object TxTable {
   private def manifestPath(root: Path, v: Long): Path =
     root.resolve(LogDir).resolve(f"v$v%05d.json")
 
-  /** Write fully to a temp name, then atomically create-exclusive link it
-    * into place. The link is the commit point: it either publishes a
-    * complete manifest or fails because the version exists. */
-  private def publish(root: Path, m: Manifest): Unit = {
+  /** Serialize the manifest and hand it to the [[CommitPrimitive]] —
+    * the primitive's exclusive-create is the commit point: it either
+    * publishes a complete manifest or fails because the version exists. */
+  private def publish(root: Path, m: Manifest,
+                      primitive: CommitPrimitive): Unit = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.createObjectNode()
     node.put("version", m.version)
@@ -364,11 +465,12 @@ object TxTable {
     node.put("schema", m.schemaJson)
     val arr = node.putArray("files")
     m.files.foreach(arr.add)
-    val tmp = root.resolve(LogDir)
-      .resolve(s".tmp-${java.util.UUID.randomUUID()}")
-    Files.write(tmp, mapper.writeValueAsBytes(node))
-    try Files.createLink(manifestPath(root, m.version), tmp)
-    finally Files.deleteIfExists(tmp): Unit
+    if (m.txns.nonEmpty) {
+      val tx = node.putObject("txns")
+      m.txns.toSeq.sortBy(_._1).foreach { case (k, ver) => tx.put(k, ver) }
+    }
+    primitive.publishExclusive(manifestPath(root, m.version),
+      mapper.writeValueAsBytes(node))
   }
 
   private def readManifest(root: Path, v: Long): Manifest = {
@@ -376,8 +478,11 @@ object TxTable {
     require(Files.exists(p), s"version $v does not exist under $root")
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.readTree(Files.readAllBytes(p))
+    val txns = Option(node.get("txns")).map { tx =>
+      tx.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+    }.getOrElse(Map.empty[String, Long])
     Manifest(node.get("version").asLong(), node.get("op").asText(),
       node.get("schema").asText(),
-      node.get("files").elements().asScala.map(_.asText()).toSeq)
+      node.get("files").elements().asScala.map(_.asText()).toSeq, txns)
   }
 }

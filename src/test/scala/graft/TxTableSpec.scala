@@ -128,7 +128,7 @@ class TxTableSpec extends SparkSpec {
     TxTable.commit(frame(9L), tbl, "overwrite")
     val v2Before = TxTable.readVersion(spark, tbl, 2L)
       .select("id").collect().map(_.getLong(0)).toSet
-    val stats = TxTable.vacuum(tbl, retain = 2)
+    val stats = TxTable.vacuum(tbl, retain = 2, minAgeMillis = 0L)
     assert(stats.expiredVersions == Seq(1L))
     assert(stats.deletedFiles == 0L) // v1's files are all carried by v2
     // retained versions read identically; the expired one fails loudly
@@ -139,7 +139,7 @@ class TxTableSpec extends SparkSpec {
     intercept[IllegalArgumentException](TxTable.readVersion(spark, tbl, 1L))
     // a second vacuum down to 1 version deletes v1+v2's now-dead files
     val files2 = dataFiles(tbl)
-    val stats2 = TxTable.vacuum(tbl, retain = 1)
+    val stats2 = TxTable.vacuum(tbl, retain = 1, minAgeMillis = 0L)
     assert(stats2.expiredVersions == Seq(2L) && stats2.deletedFiles > 0L)
     assert(dataFiles(tbl).size < files2.size)
     assert(TxTable.read(spark, tbl).select("id").collect()
@@ -162,7 +162,7 @@ class TxTableSpec extends SparkSpec {
       val keep = ((nCommits - retain + 1) to nCommits).map(_.toLong)
       val before = keep.map(v => v -> TxTable.readVersion(spark, tbl, v)
         .select("id").collect().map(_.getLong(0)).toSeq.sorted).toMap
-      TxTable.vacuum(tbl, retain)
+      TxTable.vacuum(tbl, retain, minAgeMillis = 0L)
       keep.foreach { v =>
         assert(TxTable.readVersion(spark, tbl, v).select("id").collect()
           .map(_.getLong(0)).toSeq.sorted == before(v),
@@ -200,7 +200,7 @@ class TxTableSpec extends SparkSpec {
     assert(manifest.split("\\.parquet").length - 1 == 1, manifest)
     // pre-compaction versions stay readable until vacuumed
     assert(TxTable.readVersion(spark, tbl, 2L).count() == 3L)
-    val stats = TxTable.vacuum(tbl, retain = 1)
+    val stats = TxTable.vacuum(tbl, retain = 1, minAgeMillis = 0L)
     assert(stats.deletedFiles >= nFilesBefore)
     assert(TxTable.read(spark, tbl).collect()
       .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq == before)
@@ -221,20 +221,130 @@ class TxTableSpec extends SparkSpec {
   test("TxSink: replayed batch ids commit exactly once") {
     import graft.streaming.TxSink
     val tbl = tmpTable()
-    assert(TxSink.appendBatch(tbl, frame(1L, 2L), 0L))
-    assert(TxSink.appendBatch(tbl, frame(3L), 1L))
+    assert(TxSink.appendBatch(tbl, frame(1L, 2L), 0L, "qA"))
+    assert(TxSink.appendBatch(tbl, frame(3L), 1L, "qA"))
     // crash-recovery replay of batch 1: same id, must be skipped
-    assert(!TxSink.appendBatch(tbl, frame(3L), 1L))
-    assert(!TxSink.appendBatch(tbl, frame(99L), 0L)) // stale replay too
-    assert(TxSink.appendBatch(tbl, frame(4L), 2L))
+    assert(!TxSink.appendBatch(tbl, frame(3L), 1L, "qA"))
+    assert(!TxSink.appendBatch(tbl, frame(99L), 0L, "qA")) // stale replay too
+    assert(TxSink.appendBatch(tbl, frame(4L), 2L, "qA"))
     assert(TxTable.read(spark, tbl).select("id").collect()
       .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 4L))
-    assert(TxSink.lastBatchId(tbl).contains(2L))
+    assert(TxSink.lastBatchId(tbl, "qA").contains(2L))
     // a batch writer interleaves without disturbing the stream's ids
     TxTable.commit(frame(50L), tbl, "append")
-    assert(TxSink.lastBatchId(tbl).contains(2L))
-    assert(TxSink.appendBatch(tbl, frame(5L), 3L))
+    assert(TxSink.lastBatchId(tbl, "qA").contains(2L))
+    assert(TxSink.appendBatch(tbl, frame(5L), 3L, "qA"))
     assert(TxTable.read(spark, tbl).count() == 6L)
+  }
+
+  test("TxSink: watermarks are per-appId — a fresh stream's batch 0 lands") {
+    import graft.streaming.TxSink
+    val tbl = tmpTable()
+    // stream A has advanced to batch 7 on this table
+    assert(TxSink.appendBatch(tbl, frame(1L), 7L, "qA"))
+    // a NEW stream (fresh checkpoint) restarts batch ids at 0 — an
+    // unscoped high-water mark would silently drop all its batches
+    assert(TxSink.appendBatch(tbl, frame(2L), 0L, "qB"))
+    assert(TxSink.appendBatch(tbl, frame(3L), 1L, "qB"))
+    assert(!TxSink.appendBatch(tbl, frame(3L), 1L, "qB")) // B's own replay
+    assert(!TxSink.appendBatch(tbl, frame(9L), 7L, "qA")) // A's own replay
+    assert(TxSink.lastBatchId(tbl, "qA").contains(7L))
+    assert(TxSink.lastBatchId(tbl, "qB").contains(1L))
+    assert(TxSink.lastBatchId(tbl, "qC").isEmpty)
+    assert(TxTable.read(spark, tbl).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("TxSink: watermark survives vacuum and compaction (txns carry)") {
+    import graft.streaming.TxSink
+    val tbl = tmpTable()
+    assert(TxSink.appendBatch(tbl, frame(1L), 0L, "qA"))
+    assert(TxSink.appendBatch(tbl, frame(2L), 1L, "qA"))
+    // overwrite + vacuum expires the manifests whose op labels recorded
+    // batches 0 and 1; the carried-forward txns map must still hold them
+    TxTable.commit(frame(9L), tbl, "overwrite")
+    TxTable.vacuum(tbl, retain = 1, minAgeMillis = 0L)
+    assert(TxSink.lastBatchId(tbl, "qA").contains(1L))
+    assert(!TxSink.appendBatch(tbl, frame(99L), 1L, "qA")) // replay still skips
+    assert(TxSink.appendBatch(tbl, frame(3L), 2L, "qA"))
+    // compaction rewrites the snapshot — watermark rides through
+    TxTable.compact(spark, tbl, targetBytes = 1L << 30)
+    assert(TxSink.lastBatchId(tbl, "qA").contains(2L))
+    assert(TxTable.read(spark, tbl).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(3L, 9L))
+  }
+
+  test("runConcurrently: bounded in-flight, every task exactly once, loud failure") {
+    import java.util.concurrent.atomic.AtomicInteger
+    val active = new AtomicInteger(0)
+    val peak = new AtomicInteger(0)
+    val runs = new AtomicInteger(0)
+    TxTable.runConcurrently(24, 4) { _ =>
+      val a = active.incrementAndGet()
+      peak.updateAndGet(m => math.max(m, a))
+      Thread.sleep(20)
+      runs.incrementAndGet()
+      active.decrementAndGet(): Unit
+    }
+    assert(runs.get() == 24)
+    assert(peak.get() <= 4, s"pool bound violated: ${peak.get()} in flight")
+    assert(peak.get() >= 2, "tasks never overlapped — pool is sequential")
+    // a failing task propagates its own exception, not a wrapper
+    val e = intercept[IllegalStateException](
+      TxTable.runConcurrently(8, 3)(i =>
+        if (i == 5) throw new IllegalStateException("task 5 failed")))
+    assert(e.getMessage == "task 5 failed")
+  }
+
+  /** In-memory conditional-PUT double: the object-store shape of the
+    * commit primitive — putIfAbsent on a shared map serializes the OCC
+    * decision, then the winner writes the file (non-atomically, which
+    * is fine: the map, not the filesystem, is the source of truth for
+    * the race, exactly like an If-None-Match PUT). */
+  private class ConditionalPutPrimitive extends graft.sources.CommitPrimitive {
+    val puts =
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+    def publishExclusive(target: java.nio.file.Path,
+                         bytes: Array[Byte]): Unit = {
+      if (puts.putIfAbsent(target.toString, java.lang.Boolean.TRUE) != null)
+        throw new java.nio.file.FileAlreadyExistsException(target.toString)
+      Files.write(target, bytes): Unit
+    }
+  }
+
+  test("OCC race: exactly one winner per version under both primitives") {
+    val doubles = Seq(
+      "posix" -> graft.sources.PosixLinkPrimitive,
+      "condput" -> new ConditionalPutPrimitive)
+    doubles.foreach { case (name, prim) =>
+      val tbl = tmpTable()
+      TxTable.commit(frame(0L), tbl, "overwrite", primitive = prim)
+      // 6 threads race to append; every conflict retries until it lands,
+      // so all 6 commits must serialize into versions 2..7
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+      val okay = new java.util.concurrent.atomic.AtomicInteger(0)
+      try {
+        val fs = (1 to 6).map(i => pool.submit(new Runnable {
+          def run(): Unit = {
+            var done = false
+            while (!done) {
+              try {
+                TxTable.commit(frame(i.toLong), tbl, "append",
+                  primitive = prim)
+                okay.incrementAndGet(); done = true
+              } catch {
+                case _: java.nio.file.FileAlreadyExistsException => ()
+              }
+            }
+          }
+        }))
+        fs.foreach(_.get())
+      } finally pool.shutdownNow()
+      assert(okay.get() == 6, s"$name: not every writer landed")
+      assert(TxTable.latestVersion(tbl).contains(7L), s"$name: gaps")
+      assert(TxTable.read(spark, tbl).select("id").collect()
+        .map(_.getLong(0)).sorted.toSeq == (0L to 6L), s"$name: lost rows")
+    }
   }
 
   test("a lost commit race reclaims its own data files") {
