@@ -58,12 +58,17 @@ object SparkEntry {
   private val ivfPqCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Shared k-means coarse-quantizer config for the three IVF entries
+    * (and their oracles, which unroll the same training rounds). */
+  private val KmK = 4
+  private val KmIters = 3
+
   private def ivfPqIndexFor(s: SparkSession, dir: String,
                             emb: DataFrame): String =
     ivfPqCache.computeIfAbsent(dir, _ => {
       val p = scratchDir("graft-ivfpq-")
-      graft.ext.IvfIndex.buildPq(emb, "vec_id", "embedding", "label", p,
-        numSub = 4)
+      graft.ext.IvfIndex.buildPqKMeans(emb, "vec_id", "embedding", p,
+        nlist = KmK, numSub = 4)
       p
     })
 
@@ -474,21 +479,26 @@ object SparkEntry {
           "vec_id", "embedding", "vec_id", "embedding", k = 3)
         .orderBy("query_id", "rn")
     }),
-    // IVF-style probed top-k: label plays the nlist role; only the two
-    // nearest cells are brute-forced
+    // IVF-style probed top-k over a LEARNED coarse quantizer: 4 k-means
+    // cells (3 Lloyd rounds, KMeans scaladoc has the portable-arithmetic
+    // contract), only the two nearest cells are brute-forced
     "sim_ivf" -> ((s: SparkSession, dir: String) => {
       val emb = Tables.embeddings(s, dir)
-      Similarity.ivfTopK(emb, "vec_id", "embedding", "label",
-        queryVec(emb), k = 5, nprobe = 2)
+      Similarity.ivfTopK(
+        graft.ext.KMeans.assigned(emb, "vec_id", "embedding",
+          k = KmK, iters = KmIters),
+        "vec_id", "embedding", "cell", queryVec(emb), k = 5, nprobe = 2)
     }),
-    // the PERSISTED IVF index: build once (vectors partitioned by cell +
+    // the PERSISTED IVF index with a LEARNED quantizer: k-means cells
+    // trained at build time (vectors partitioned by learned cell +
     // centroid table on disk), then query via probe selection + a scan
     // that reads ONLY the probed cell partitions (partition pruning;
     // plan-asserted in IvfIndexSpec) — no centroid rebuild per query
     "sim_ivf_indexed" -> ((s: SparkSession, dir: String) => {
       val emb = Tables.embeddings(s, dir)
       val idx = scratchDir("graft-ivf-")
-      graft.ext.IvfIndex.build(emb, "vec_id", "embedding", "label", idx)
+      graft.ext.IvfIndex.buildKMeans(emb, "vec_id", "embedding", idx,
+        nlist = KmK, iters = KmIters)
       graft.ext.IvfIndex.topK(s, idx, "vec_id", "embedding",
         queryVec(emb), k = 5, nprobe = 2)
     }),
@@ -1846,33 +1856,88 @@ object SparkEntry {
        |SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.4 ORDER BY id_a, id_b""".stripMargin
   }
 
-  /** sim_ivf oracle: per-label centroids with decimal-exact accumulation
-    * (matching Similarity.centroids), probe the 2 nearest cells, brute-force
-    * within. */
+  /** Unrolled distributed-k-means training rounds as a CTE chain — the
+    * DuckDB replay of [[graft.ext.KMeans.fit]]+[[graft.ext.KMeans
+    * .assigned]] (same contract as BpeIterCte: external engines verify
+    * TRAINING, not just serving). Expects a prior CTE `v(vec_id, e)` with
+    * e already DOUBLE[]. Produces `km_fin(vec_id, cell)` — the learned
+    * assignment. Arithmetic mirrors KMeans exactly: seeds = the k
+    * smallest vec_ids' vectors; distance = floor(in-order Σ(e−c)²·1e8
+    * +0.5) BIGINT with ties to the lower cell (list_reduce's
+    * first-element seed equals the 0.0-seeded Spark fold bit-for-bit);
+    * update = the 1e-10 quantized mean; empty cells keep their previous
+    * centroid via the left-join coalesce. */
+  private def kmeansCte(k: Int, iters: Int, dims: Int): String = {
+    val d2 = "CAST(floor(list_reduce([ (e[i]-c[i])*(e[i]-c[i]) " +
+      s"for i in range(1, ${dims + 1}) ], (a,b) -> a + b) * 1e8 + 0.5) " +
+      "AS BIGINT)"
+    val sb = new StringBuilder
+    sb.append(
+      s"""km_c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+         |    e AS c
+         |  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT $k)
+         |)""".stripMargin)
+    for (t <- 1 to iters) {
+      sb.append(
+        s""", km_s$t AS (
+           |  SELECT vec_id, e, cell,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY $d2, cell) AS rn
+           |  FROM v CROSS JOIN km_c${t - 1}
+           |), km_u$t AS (
+           |  SELECT cell, generate_subscripts(e, 1) AS pos, unnest(e) AS x
+           |  FROM km_s$t WHERE rn = 1
+           |), km_m$t AS (
+           |  SELECT cell, pos,
+           |    CAST(sum(CAST(floor(x * 1e10 + 0.5) AS BIGINT)) AS DOUBLE)
+           |      / count(*) / 1e10 AS x
+           |  FROM km_u$t GROUP BY cell, pos
+           |), km_n$t AS (
+           |  SELECT cell, list(x ORDER BY pos) AS c FROM km_m$t GROUP BY cell
+           |), km_c$t AS (
+           |  SELECT p.cell, coalesce(n.c, p.c) AS c
+           |  FROM km_c${t - 1} p LEFT JOIN km_n$t n USING (cell)
+           |)""".stripMargin)
+    }
+    sb.append(
+      s""", km_fin AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY $d2, cell) AS rn
+         |    FROM v CROSS JOIN km_c$iters) WHERE rn = 1
+         |)""".stripMargin)
+    sb.toString
+  }
+
+  /** sim_ivf oracle: k-means-learned cells (km_fin), per-cell centroids
+    * with decimal-exact accumulation (matching Similarity.centroids),
+    * probe the 2 nearest cells, brute-force within. */
   private val IvfOracle: String =
-    """WITH v AS (
-      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    s"""WITH v AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
       |), q AS (
       |  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0
+      |), ${kmeansCte(k = 4, iters = 3, dims = 64)}, vc AS (
+      |  SELECT v.vec_id, v.e, f.cell FROM v JOIN km_fin f USING (vec_id)
       |), pos AS (
-      |  SELECT label, generate_subscripts(e, 1) AS pos, unnest(e) AS x FROM v
+      |  SELECT cell, generate_subscripts(e, 1) AS pos, unnest(e) AS x FROM vc
       |), cent AS (
-      |  SELECT label, pos,
+      |  SELECT cell, pos,
       |    CAST(sum(CAST(floor(x * 1e10 + 0.5) AS BIGINT)) AS DOUBLE)
       |      / count(*) / 1e10 AS x
-      |  FROM pos GROUP BY label, pos
+      |  FROM pos GROUP BY cell, pos
       |), carr AS (
-      |  SELECT label, list(x ORDER BY pos) AS c FROM cent GROUP BY label
+      |  SELECT cell, list(x ORDER BY pos) AS c FROM cent GROUP BY cell
       |), probes AS (
-      |  SELECT label,
+      |  SELECT cell,
       |    round(list_dot_product(c, qe) /
       |      (sqrt(list_dot_product(c, c)) * sqrt(list_dot_product(qe, qe))), 4) AS cs
-      |  FROM carr, q ORDER BY cs DESC, label LIMIT 2
+      |  FROM carr, q ORDER BY cs DESC, cell LIMIT 2
       |)
       |SELECT vec_id,
-      |  round(list_dot_product(v.e, qe) /
-      |    (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(qe, qe))), 4) AS sim
-      |FROM v JOIN probes USING (label), q
+      |  round(list_dot_product(vc.e, qe) /
+      |    (sqrt(list_dot_product(vc.e, vc.e)) * sqrt(list_dot_product(qe, qe))), 4) AS sim
+      |FROM vc JOIN probes USING (cell), q
       |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin
 
   /** Cosine similarity vs the vec_id-0 embedding, double math, rounded 4. */
@@ -2208,20 +2273,25 @@ object SparkEntry {
          |  round(dotsum / (sqrt(norm2) * sqrt(list_dot_product(qe, qe))), 4)
          |    AS sim_pq
          |FROM agg, q ORDER BY sim_pq DESC, vec_id LIMIT 10""".stripMargin),
-    // the IVF-PQ composition: the sim_ivf probe selection (portable
-    // quantized-mean coarse centroids, top-2 by rounded cosine) gates
-    // WHICH vec_ids enter the sim_pq_adc ADC pipeline; the final 10 are
+    // the IVF-PQ composition over the LEARNED coarse quantizer: the
+    // k-means training rounds are unrolled (km_* CTEs), their final
+    // assignment plays the label role for both the probe selection
+    // (portable quantized-mean coarse centroids, top-2 by rounded
+    // cosine) and the PQ codebook; the final 10 ADC winners are
     // re-scored with the exact cosine and reordered by it
     "sim_ivfpq" ->
-      ("""WITH v AS (
-         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+      (s"""WITH v AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
          |  FROM embeddings
          |), q AS (
          |  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
          |  WHERE vec_id = 0
+         |), ${kmeansCte(k = 4, iters = 3, dims = 64)}, vl AS (
+         |  SELECT v.vec_id, f.cell AS label, v.e
+         |  FROM v JOIN km_fin f USING (vec_id)
          |), cpos AS (
          |  SELECT label, generate_subscripts(e, 1) AS pos, unnest(e) AS x
-         |  FROM v
+         |  FROM vl
          |), ccent AS (
          |  SELECT label, pos,
          |    CAST(sum(CAST(floor(x * 1e10 + 0.5) AS BIGINT)) AS DOUBLE)
@@ -2237,7 +2307,7 @@ object SparkEntry {
          |  FROM carr, q ORDER BY cs DESC, label LIMIT 2
          |), s AS (
          |  SELECT vec_id, label, sub, e[sub*16+1 : sub*16+16] AS sv
-         |  FROM v, (SELECT unnest(range(0, 4)) AS sub)
+         |  FROM vl, (SELECT unnest(range(0, 4)) AS sub)
          |), comp AS (
          |  SELECT sub, label, generate_subscripts(sv, 1) AS pos,
          |    unnest(sv) AS x
@@ -2266,7 +2336,7 @@ object SparkEntry {
          |    list_dot_product(cent, cent) AS cn
          |  FROM cb, q
          |), pv AS (
-         |  SELECT vec_id FROM v JOIN probes USING (label)
+         |  SELECT vec_id FROM vl JOIN probes USING (label)
          |), parts AS (
          |  SELECT b.vec_id, b.sub, lut.qd, lut.cn
          |  FROM (SELECT vec_id, sub, lbl FROM best WHERE rn = 1) b

@@ -18,11 +18,12 @@ import org.apache.spark.sql.functions._
   *                         on the scan), so query cost is nprobe/nlist of
   *                         the data regardless of table size.
   *
-  * The cell assignment is an existing coarse-quantization column (the
-  * `label` column plays the nlist role on the test corpus); a production
-  * build would learn cells with k-means over a sample and assign by
-  * nearest centroid — the index layout, probe selection, and pruned-scan
-  * query path are identical either way.
+  * The coarse quantizer is LEARNED: [[buildKMeans]]/[[buildPqKMeans]]
+  * train nlist cells with distributed Lloyd iterations ([[KMeans]]) and
+  * assign every vector to its nearest learned centroid — no pre-existing
+  * partition column required, which is the real-corpus contract (FAISS
+  * trains its IVF quantizer the same way). [[build]]/[[buildPq]] remain
+  * for corpora that already carry a meaningful cell column.
   *
   * Centroid arithmetic matches [[Similarity.centroids]] exactly (the
   * portable floor(x·1e10 + 0.5) long-quantized accumulation —
@@ -42,6 +43,23 @@ object IvfIndex {
       .withColumnRenamed("grp", "cell")
       .write.mode("overwrite").parquet(s"$path/centroids")
   }
+
+  /** [[build]] with a LEARNED coarse quantizer: k-means the vectors into
+    * `nlist` cells ([[KMeans]] has the portable-arithmetic contract),
+    * assign by nearest trained centroid, and lay the index out exactly
+    * like [[build]]. The extra cost over [[build]] is `iters` training
+    * scans (production fits on a sample — [[KMeans]] class doc). */
+  def buildKMeans(df: DataFrame, idCol: String, vecCol: String,
+                  path: String, nlist: Int, iters: Int = 3): Unit =
+    build(KMeans.assigned(df, idCol, vecCol, nlist, iters),
+      idCol, vecCol, "cell", path)
+
+  /** [[buildPq]] with the [[buildKMeans]] learned coarse quantizer. */
+  def buildPqKMeans(df: DataFrame, idCol: String, vecCol: String,
+                    path: String, nlist: Int, numSub: Int,
+                    iters: Int = 3): Unit =
+    buildPq(KMeans.assigned(df, idCol, vecCol, nlist, iters),
+      idCol, vecCol, "cell", path, numSub)
 
   /** Top-k cosine search against a built index: rank the nlist centroids
     * (tiny — collected to the driver like any metadata), then scan ONLY the

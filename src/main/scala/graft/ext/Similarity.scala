@@ -466,9 +466,10 @@ object Similarity {
       .agg((sum(floor(col("x") * lit(1e10) + lit(0.5)).cast("long"))
         .cast("double") / count(lit(1)) / lit(1e10)).as("x"))
 
-  /** IVF-style top-k: coarse-quantize by an existing partition column (here
-    * the label plays the nlist role; a production build would k-means), probe
-    * the `nprobe` nearest centroids, brute-force only inside those cells.
+  /** IVF-style top-k: coarse-quantize by a cell column — either an
+    * existing partition key or a LEARNED one ([[KMeans.assigned]], which
+    * is what the engine's certified queries use) — probe the `nprobe`
+    * nearest centroids, brute-force only inside those cells.
     * Only the tiny centroid table (nlist rows) is collected to pick probes —
     * the data-sized scan stays distributed and shrinks by nprobe/nlist.
     *

@@ -87,4 +87,42 @@ class IvfIndexSpec extends SparkSpec {
     assert(!shuffledCols.contains("embedding"), shuffledCols.toString)
     assert(ps.contains("BroadcastHashJoin"), ps.take(4000))
   }
+
+  test("learned-quantizer index: parity with label build on separable data") {
+    // the planted labels ARE the true clusters, and k-means with k=3
+    // converges to them on this separable set — so the learned index
+    // must return the same top-k as the label-built one
+    val dirL = java.nio.file.Files.createTempDirectory("graft-ivf-lab").toString
+    val dirK = java.nio.file.Files.createTempDirectory("graft-ivf-km").toString
+    IvfIndex.build(vecs, "vec_id", "embedding", "label", dirL)
+    IvfIndex.buildKMeans(vecs, "vec_id", "embedding", dirK,
+      nlist = 3, iters = 4)
+    val q = Seq(1.0, 0.05, 0.0)
+    def res(dir: String) =
+      IvfIndex.topK(spark, dir, "vec_id", "embedding", q, k = 3, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(res(dirK) == res(dirL))
+  }
+
+  test("k-means assignment is a row-local projection — no shuffle") {
+    val assigned = graft.ext.KMeans.assigned(vecs, "vec_id", "embedding",
+      k = 3, iters = 2)
+    val shuffles = assigned.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.isEmpty,
+      "assignment must ride the scan (centroids are plan literals): " +
+        shuffles.toString)
+    // and the learned PQ index still serves with pruning intact
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpqkm").toString
+    IvfIndex.buildPqKMeans(vecs, "vec_id", "embedding", dir,
+      nlist = 3, numSub = 3, iters = 4)
+    val out = IvfIndex.topKPq(spark, dir, "vec_id", Seq(1.0, 0.05, 0.0),
+      k = 3, nprobe = 2, rescore = true)
+    assert(out.collect().nonEmpty)
+    val ps = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("PartitionFilters: \\[[^\\]]*IN \\(".r
+      .findAllIn(ps).size == 2, ps.take(4000))
+  }
 }

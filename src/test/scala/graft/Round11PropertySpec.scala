@@ -1,0 +1,78 @@
+package graft
+
+import graft.ext.KMeans
+import org.scalacheck.{Gen, Prop, Properties}
+
+/** Properties for the round-11 work, checked against independent
+  * in-memory Scala oracles on random inputs:
+  *  - distributed KMeans.fit/assigned equal an in-memory Lloyd model
+  *    that re-implements the portable arithmetic contract (quantized
+  *    squared-distance argmin with lower-cell ties, 1e-10 long-quantized
+  *    means, keep-previous on empty cells) — EXACT double equality, not
+  *    tolerance: the whole point of the contract is bit-reproducibility. */
+object Round11PropertySpec extends Properties("round11") {
+
+  private lazy val spark = TestSpark.spark
+
+  // ------------------------------------------------------------ k-means
+  /** In-order IEEE fold then floor-quantize — mirrors KMeans.qdist2. */
+  private def qd2(v: Seq[Double], c: Seq[Double]): Long = {
+    var acc = 0.0
+    var i = 0
+    while (i < v.length) { val d = v(i) - c(i); acc += d * d; i += 1 }
+    math.floor(acc * 1e8 + 0.5).toLong
+  }
+
+  private def argminCell(v: Seq[Double],
+                         cents: IndexedSeq[Seq[Double]]): Int =
+    cents.zipWithIndex.map { case (c, j) => (qd2(v, c), j) }.min._2
+
+  /** Naive driver-side Lloyd with the identical portable arithmetic. */
+  private def fitModel(rows: Seq[(Long, Seq[Double])], k: Int,
+                       iters: Int): IndexedSeq[Seq[Double]] = {
+    var cents = rows.sortBy(_._1).take(k).map(_._2).toIndexedSeq
+    for (_ <- 1 to iters) {
+      val groups = rows.groupBy { case (_, v) => argminCell(v, cents) }
+      cents = cents.indices.map { j =>
+        groups.get(j) match {
+          case Some(vs) =>
+            val n = vs.size
+            cents(j).indices.map { p =>
+              vs.map(r => math.floor(r._2(p) * 1e10 + 0.5).toLong).sum
+                .toDouble / n / 1e10
+            }
+          case None => cents(j)
+        }
+      }
+    }
+    cents
+  }
+
+  private val genKmeans: Gen[(List[(Long, List[Double])], Int, Int)] = for {
+    dims <- Gen.choose(2, 6)
+    n <- Gen.choose(3, 20)
+    k <- Gen.choose(1, 3)
+    iters <- Gen.choose(0, 3)
+    vecs <- Gen.listOfN(n, Gen.listOfN(dims, Gen.choose(-4.0, 4.0)))
+  } yield (vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) },
+    math.min(k, n), iters)
+
+  property("KMeans.fit/assigned = in-memory Lloyd model, bit-exact") =
+    Prop.forAll(genKmeans) { case (rows, k, iters) =>
+      import spark.implicits._
+      val df = rows.toDF("vec_id", "embedding")
+      val got = KMeans.fit(df, "vec_id", "embedding", k, iters)
+      val want = fitModel(rows, k, iters)
+      val centroidsMatch = got.size == want.size &&
+        got.zip(want).forall { case (g, w) =>
+          g.size == w.size && g.zip(w).forall { case (a, b) => a == b }
+        }
+      val gotCells = KMeans.assigned(df, "vec_id", "embedding", k, iters)
+        .select("vec_id", "cell").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val cellsMatch = rows.forall { case (id, v) =>
+        gotCells(id) == argminCell(v, want)
+      }
+      centroidsMatch && cellsMatch
+    }
+}
