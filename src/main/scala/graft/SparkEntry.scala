@@ -176,6 +176,43 @@ object SparkEntry {
       |  FROM documents
       |)""".stripMargin
 
+  /** Documents with deterministic cross-document boilerplate RUNS planted
+    * for the substring-dedup queries: the %7 and %9 classes append two
+    * different shared sentences (≥ 5 tokens each — at or above the gram
+    * size, so they form duplicated spans), overlapping at the lcm where
+    * both sentences concatenate into ONE longer merged span; the %13
+    * class appends a doc-unique suffix that must NOT be flagged. The
+    * corpus's own exact-duplicate documents contribute whole-document
+    * spans as the second signal source. */
+  private def spanDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    def part(cond: Column, pieces: Column*): Column =
+      when(cond, concat(pieces: _*)).otherwise(lit(""))
+    val id = col("doc_id")
+    d.select(id, concat(col("text"),
+      part(id % 7 === 0,
+        lit(" limited time offer click here to claim your reward now")),
+      part(id % 9 === 0,
+        lit(" this content is provided for informational purposes only")),
+      part(id % 13 === 0, lit(" signature token "), id.cast("string")))
+      .as("text"))
+  }
+
+  /** SQL replay of [[spanDocs]] — keep the two derivations in lockstep. */
+  private val SpanCte: String =
+    """spand AS (
+      |  SELECT doc_id, text ||
+      |    CASE WHEN doc_id % 7 = 0
+      |      THEN ' limited time offer click here to claim your reward now'
+      |      ELSE '' END ||
+      |    CASE WHEN doc_id % 9 = 0
+      |      THEN ' this content is provided for informational purposes only'
+      |      ELSE '' END ||
+      |    CASE WHEN doc_id % 13 = 0
+      |      THEN ' signature token ' || doc_id ELSE '' END AS text
+      |  FROM documents
+      |)""".stripMargin
+
   /** Winnowing fingerprint derivation as portable SQL (ends in `win`
     * with per-doc `fps` lists) — the same sequential k=4-gram poly hash
     * (GramPolyOps scaladoc: tokens joined by one space, two Rabin-Karp
@@ -680,6 +717,21 @@ object SparkEntry {
         .select(col("doc_id"))
         .orderBy("doc_id")
     }),
+    // ----- SUBSTRING-level exact dedup (Dedup.substringSpans scaladoc:
+    // cross-document duplicated runs ≥ k tokens found as merged k-gram
+    // anchor coverage — the Lee-et-al span-removal shape, bounded) over
+    // the planted-boilerplate corpus; certified output is every maximal
+    // duplicated span with its text -----
+    "dedup_substring" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Dedup.substringSpans(spanDocs(s, dir), "doc_id", "text",
+          k = 5)
+        .orderBy("doc_id", "start")),
+    // the excision half: spans cut out, survivors re-joined — certified
+    // per-doc clean text + removed-token count
+    "dedup_substring_clean" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Dedup.removeDupSpans(spanDocs(s, dir), "doc_id", "text",
+          k = 5)
+        .orderBy("doc_id")),
     // Decontamination: scrub training docs whose exact normalized content
     // appears in the held-out source (src19 plays the benchmark/eval set);
     // anti-join on md5 fingerprints with the tiny eval side broadcast
@@ -2563,6 +2615,115 @@ object SparkEntry {
          |  SELECT 1 FROM documents e
          |  WHERE e.source = 'src19' AND lower(e.text) = lower(d.text))
          |ORDER BY d.doc_id""".stripMargin),
+    // the substring-dedup derivation shared by both substring queries:
+    // SpanCte plants the boilerplate, then the same sequential 5-gram
+    // poly hash as the engine (GramPolyOps — list_reduce's first-element
+    // seed equals the 0-seeded fold), cross-doc-duplicated grams via
+    // HAVING count(DISTINCT doc_id) >= 2, and gaps-and-islands coverage
+    // merge (windows of equal width: a later start within `width` of the
+    // previous hit keeps the island open)
+    "dedup_substring" ->
+      (s"""WITH $SpanCte, t AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+         |  FROM spand
+         |), g AS (
+         |  SELECT doc_id, least(5, len(ws)) AS width,
+         |    list_transform(range(1, greatest(len(ws) - 5, 0) + 2),
+         |      i -> array_to_string(ws[i:i+4], ' ')) AS grams
+         |  FROM t WHERE len(ws) > 0
+         |), h AS (
+         |  SELECT doc_id, width, list_transform(grams, t2 ->
+         |    list_reduce([CAST(ascii(c) AS BIGINT)
+         |                 for c in string_split(t2, '')],
+         |      (a, x) -> (a * 31 + x) % 2147483647) * 2147483648
+         |    + list_reduce([CAST(ascii(c) AS BIGINT)
+         |                   for c in string_split(t2, '')],
+         |      (a, x) -> (a * 131 + x) % 2147483629)) AS hs
+         |  FROM g
+         |), ph AS (
+         |  SELECT doc_id, width, generate_subscripts(hs, 1) - 1 AS pos,
+         |    unnest(hs) AS hv
+         |  FROM h
+         |), dup AS (
+         |  SELECT hv FROM ph GROUP BY hv HAVING count(DISTINCT doc_id) >= 2
+         |), hit AS (
+         |  SELECT doc_id, width, pos FROM ph JOIN dup USING (hv)
+         |), isl AS (
+         |  SELECT doc_id, width, pos,
+         |    CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+         |                 + width
+         |      THEN 1 ELSE 0 END AS brk
+         |  FROM hit
+         |), cum AS (
+         |  SELECT doc_id, width, pos,
+         |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |  FROM isl
+         |), sp AS (
+         |  SELECT doc_id, min(pos) AS start, max(pos) + max(width) - 1 AS endp
+         |  FROM cum GROUP BY doc_id, grp
+         |)
+         |SELECT sp.doc_id, CAST(start AS BIGINT) AS start,
+         |  CAST(endp - start + 1 AS BIGINT) AS len,
+         |  array_to_string(ws[start+1 : endp+1], ' ') AS span_text
+         |FROM sp JOIN t USING (doc_id)
+         |ORDER BY doc_id, start""".stripMargin),
+    // same span derivation, then per-token covered flags via a range
+    // join against the spans; survivors string_agg back in order
+    "dedup_substring_clean" ->
+      (s"""WITH $SpanCte, t AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+         |  FROM spand
+         |), g AS (
+         |  SELECT doc_id, least(5, len(ws)) AS width,
+         |    list_transform(range(1, greatest(len(ws) - 5, 0) + 2),
+         |      i -> array_to_string(ws[i:i+4], ' ')) AS grams
+         |  FROM t WHERE len(ws) > 0
+         |), h AS (
+         |  SELECT doc_id, width, list_transform(grams, t2 ->
+         |    list_reduce([CAST(ascii(c) AS BIGINT)
+         |                 for c in string_split(t2, '')],
+         |      (a, x) -> (a * 31 + x) % 2147483647) * 2147483648
+         |    + list_reduce([CAST(ascii(c) AS BIGINT)
+         |                   for c in string_split(t2, '')],
+         |      (a, x) -> (a * 131 + x) % 2147483629)) AS hs
+         |  FROM g
+         |), ph AS (
+         |  SELECT doc_id, width, generate_subscripts(hs, 1) - 1 AS pos,
+         |    unnest(hs) AS hv
+         |  FROM h
+         |), dup AS (
+         |  SELECT hv FROM ph GROUP BY hv HAVING count(DISTINCT doc_id) >= 2
+         |), hit AS (
+         |  SELECT doc_id, width, pos FROM ph JOIN dup USING (hv)
+         |), isl AS (
+         |  SELECT doc_id, width, pos,
+         |    CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+         |                 + width
+         |      THEN 1 ELSE 0 END AS brk
+         |  FROM hit
+         |), cum AS (
+         |  SELECT doc_id, width, pos,
+         |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |  FROM isl
+         |), sp AS (
+         |  SELECT doc_id, min(pos) AS start, max(pos) + max(width) - 1 AS endp
+         |  FROM cum GROUP BY doc_id, grp
+         |), tokpos AS (
+         |  SELECT doc_id, generate_subscripts(ws, 1) - 1 AS ti, unnest(ws) AS tok
+         |  FROM t
+         |), marked AS (
+         |  SELECT tp.doc_id, tp.ti, tp.tok,
+         |    max(CASE WHEN sp.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS cov
+         |  FROM tokpos tp LEFT JOIN sp
+         |    ON sp.doc_id = tp.doc_id AND tp.ti >= sp.start AND tp.ti <= sp.endp
+         |  GROUP BY tp.doc_id, tp.ti, tp.tok
+         |)
+         |SELECT doc_id,
+         |  coalesce(string_agg(CASE WHEN cov = 0 THEN tok END, ' '
+         |                      ORDER BY ti), '') AS clean_text,
+         |  CAST(sum(cov) AS BIGINT) AS n_removed
+         |FROM marked GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin),
     // distinct (source, md5) pairs, fp equi-join, strict ordering keeps
     // each unordered source pair once
     "dedup_crossrate" ->

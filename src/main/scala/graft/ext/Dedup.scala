@@ -466,4 +466,91 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** SUBSTRING-level exact dedup: the maximal token spans duplicated
+    * ACROSS documents — the third leg of training-data dedup after
+    * whole-document ([[exact]]) and line-level (`Layout.lineDedup`):
+    * Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+    * Better") remove repeated spans with a suffix array; the bounded
+    * distributed shape here is the k-gram-anchor approximation — every
+    * duplicated run of ≥ k tokens is, by construction, a chain of
+    * duplicated k-grams, so finding cross-document k-grams and merging
+    * their overlapping/adjacent coverage per document yields exactly the
+    * maximal duplicated spans at k-token resolution. (Intra-document
+    * repetition is a different gate — `text_repetition`.)
+    *
+    * Pipeline, all declarative: one codegen'd sequential gram-hash pass
+    * ([[graft.functions.GramPolyOps]] — 62-bit, SQL-replayable), a
+    * (hash → distinct-doc-count ≥ 2) aggregate, an equi-join of gram
+    * occurrences against the duplicated set, then per-doc gaps-and-
+    * islands (lag + running sum over a doc-partitioned window) to merge
+    * window coverage [pos, pos+k-1] into maximal spans. Shuffles: one on
+    * the gram hash (8-byte keys, map-side-combined), one on doc_id for
+    * the window — both key-partitioned and skew-benign (a gram's
+    * occurrence list is corpus-bounded, never squared). Documents with
+    * fewer than k tokens hash as ONE whole-text gram (GramPolyOps
+    * contract), so short exact-dup docs surface as whole-doc spans.
+    *
+    * Output: (doc_id, start, len, span_text) — 0-based token offset,
+    * token count, and the duplicated run itself, one row per maximal
+    * span. */
+  def substringSpans(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 5): DataFrame = {
+    require(k >= 1, s"gram size k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val toks = filter(split(col(textCol), " "), t => t =!= "")
+    val grams = graft.functions.ShingleFunctions
+      .gram_poly_hashes(col(textCol), k)
+    // (doc, token-width of one gram window, gram positions+hashes);
+    // persisted: both the dup aggregate and the hit join read it
+    val pos = persistTracked(df
+      .select(col(idCol).as("doc_id"),
+        least(lit(k), size(toks)).as("width"), grams.as("__g"))
+      .where(size(col("__g")) > 0)
+      .select(col("doc_id"), col("width"),
+        posexplode(col("__g")).as(Seq("pos", "h"))))
+    val dup = pos.groupBy(col("h"))
+      .agg(count_distinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") >= 2).select(col("h"))
+    val hits = pos.join(dup, Seq("h"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    // coverage of two k-windows is contiguous iff the later start is
+    // within width of the earlier — strictly beyond opens a new island
+    val spans = hits
+      .withColumn("brk",
+        when(col("pos") > lag(col("pos"), 1).over(byDoc) + col("width"), 1)
+          .otherwise(0))
+      .withColumn("grp", sum(col("brk")).over(byDoc))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("start"),
+        (max(col("pos")) + first(col("width")) - 1).as("end"))
+    spans.join(df.select(col(idCol).as("doc_id"), toks.as("__ws")), "doc_id")
+      .select(col("doc_id"), col("start").cast("long").as("start"),
+        (col("end") - col("start") + 1).cast("long").as("len"),
+        concat_ws(" ", slice(col("__ws"), col("start") + 1,
+          col("end") - col("start") + 1)).as("span_text"))
+  }
+
+  /** Excise every [[substringSpans]] span from its document: tokens whose
+    * 0-based index falls inside any span are dropped, the rest re-join
+    * with single spaces. Row-local after a per-doc span collect (spans
+    * are few by construction — they cover only duplicated text). Output:
+    * (doc_id, clean_text, n_removed). */
+  def removeDupSpans(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 5): DataFrame = {
+    val spans = substringSpans(df, idCol, textCol, k)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("start"), col("len"))).as("__sp"))
+    val toks = filter(split(col(textCol), " "), t => t =!= "")
+    df.select(col(idCol).as("doc_id"), toks.as("__ws"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        concat_ws(" ", filter(col("__ws"), (t, i) =>
+          coalesce(!exists(col("__sp"), s =>
+            i >= s.getField("start") &&
+              i < s.getField("start") + s.getField("len")),
+            lit(true)))).as("clean_text"),
+        coalesce(aggregate(col("__sp"), lit(0L),
+          (acc, s) => acc + s.getField("len")), lit(0L)).as("n_removed"))
+  }
 }

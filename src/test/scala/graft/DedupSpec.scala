@@ -246,4 +246,62 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.winnowPairs(d, "doc_id", "text", maxFpDf = 10L,
       minShared = 1L).count() == 6L)
   }
+
+  test("substringSpans: maximal cross-doc spans at k-gram resolution") {
+    import spark.implicits._
+    // docs 1 and 2 share the interior run "v w x y z" (5 tokens = k);
+    // doc 3 is unrelated; doc 4 repeats a run with doc 5 TWICE (both
+    // occurrences must be flagged); intra-doc-only repetition (doc 3's
+    // own doubled tail) must NOT flag
+    val d = Seq(
+      (1L, "a1 b1 c1 v w x y z d1 e1"),
+      (2L, "p2 v w x y z q2 r2 s2 t2"),
+      (3L, "m3 n3 o3 m3 n3 o3 u3 i3 j3 k3"),
+      (4L, "g h i j k f4 g h i j k h4"),
+      (5L, "z5 g h i j k y5 x5 w5 v5")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.substringSpans(d, "doc_id", "text", k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    Dedup.unpersistAll()
+    assert(spans == Set(
+      (1L, 3L, 5L, "v w x y z"),
+      (2L, 1L, 5L, "v w x y z"),
+      (4L, 0L, 5L, "g h i j k"),
+      (4L, 6L, 5L, "g h i j k"),
+      (5L, 1L, 5L, "g h i j k")))
+    // excision drops exactly the spans and re-joins survivors
+    val clean = Dedup.removeDupSpans(d, "doc_id", "text", k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    Dedup.unpersistAll()
+    assert(clean == Set(
+      (1L, "a1 b1 c1 d1 e1", 5L),
+      (2L, "p2 q2 r2 s2 t2", 5L),
+      (3L, "m3 n3 o3 m3 n3 o3 u3 i3 j3 k3", 0L),
+      (4L, "f4 h4", 10L),
+      (5L, "z5 y5 x5 w5 v5", 5L)))
+  }
+
+  test("substringSpans: adjacent duplicated runs merge into one span") {
+    import spark.implicits._
+    // "q r s" + "t u v" planted back-to-back in doc 1; each 3-run is
+    // shared with a DIFFERENT partner doc, so the k-gram anchors differ
+    // but their coverage touches — one merged maximal span comes out
+    val d = Seq(
+      (1L, "x1 q r s t u v y1"),
+      (2L, "a2 q r s b2 c2 d2 e2"),
+      (3L, "t u v f3 g3 h3 i3 j3")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.substringSpans(d, "doc_id", "text", k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    Dedup.unpersistAll()
+    assert(spans == Set(
+      (1L, 1L, 6L, "q r s t u v"),
+      (2L, 1L, 3L, "q r s"),
+      (3L, 0L, 3L, "t u v")))
+  }
 }

@@ -75,4 +75,78 @@ object Round11PropertySpec extends Properties("round11") {
       }
       centroidsMatch && cellsMatch
     }
+
+  // ------------------------------------------- substring-level dedup
+  /** Naive in-memory model of Dedup.substringSpans at the GRAM-STRING
+    * level (the 62-bit poly hash is injective for test purposes): grams
+    * duplicated across >= 2 distinct docs, per-doc coverage merged with
+    * the same equal-width island rule. Returns (doc, start, len,
+    * span_text) and the excision (doc, clean, removed). */
+  private def modelSpans(docs: Seq[(Long, String)], k: Int)
+      : (Set[(Long, Long, Long, String)], Map[Long, (String, Long)]) = {
+    val toks = docs.map { case (id, t) =>
+      id -> t.split(" ").filter(_.nonEmpty).toIndexedSeq
+    }
+    val grams = toks.map { case (id, ws) =>
+      val kk = math.min(k, ws.length)
+      id -> (if (ws.isEmpty) IndexedSeq.empty[(Int, String)]
+             else (0 to ws.length - kk).map(i =>
+               (i, ws.slice(i, i + kk).mkString(" "))))
+    }
+    val dup = grams.flatMap { case (id, gs) => gs.map(g => (g._2, id)) }
+      .groupBy(_._1).filter(_._2.map(_._2).distinct.size >= 2).keySet
+    val spans = grams.flatMap { case (id, gs) =>
+      val ws = toks.toMap.apply(id)
+      val kk = math.min(k, ws.length)
+      val hits = gs.collect { case (p, g) if dup(g) => p }
+      val islands = scala.collection.mutable.ListBuffer[(Int, Int)]()
+      hits.foreach { p =>
+        // merge when coverage overlaps or touches: start <= last end + 1
+        if (islands.nonEmpty && p <= islands.last._2 + 1)
+          islands(islands.size - 1) =
+            (islands.last._1, math.max(islands.last._2, p + kk - 1))
+        else islands += ((p, p + kk - 1))
+      }
+      islands.map { case (s, e) =>
+        (id, s.toLong, (e - s + 1).toLong, ws.slice(s, e + 1).mkString(" "))
+      }
+    }.toSet
+    val cleaned = toks.map { case (id, ws) =>
+      val cov = spans.collect {
+        case (d, s, l, _) if d == id => (s.toInt until (s + l).toInt)
+      }.flatten.toSet
+      val kept = ws.zipWithIndex.collect {
+        case (w, i) if !cov(i) => w
+      }
+      id -> (kept.mkString(" "), cov.size.toLong)
+    }.toMap
+    (spans, cleaned)
+  }
+
+  private val genDocs: Gen[(List[(Long, String)], Int)] = for {
+    k <- Gen.choose(2, 4)
+    n <- Gen.choose(2, 8)
+    docs <- Gen.listOfN(n,
+      Gen.choose(0, 14).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d", "e"))
+          .map(_.mkString(" "))))
+  } yield (docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }, k)
+
+  property("substringSpans/removeDupSpans = in-memory span model") =
+    Prop.forAll(genDocs) { case (docs, k) =>
+      import spark.implicits._
+      val df = docs.toDF("doc_id", "text")
+      val (wantSpans, wantClean) = modelSpans(docs, k)
+      val gotSpans = graft.ext.Dedup
+        .substringSpans(df, "doc_id", "text", k)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toSet
+      val gotClean = graft.ext.Dedup
+        .removeDupSpans(df, "doc_id", "text", k)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+      graft.ext.Dedup.unpersistAll()
+      gotSpans == wantSpans && gotClean == wantClean
+    }
 }
