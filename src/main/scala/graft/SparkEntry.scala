@@ -1552,6 +1552,14 @@ object SparkEntry {
           Multimodal.fromDocuments(s, Tables.documents(s, dir)),
           frameBytes = 64, step = 4)
         .toDF().orderBy("id", "frame_idx")),
+    // REAL bytes→pixels decode: planted binary PPM (P6) payloads derived
+    // from doc_id by formula, parsed by the actual header-tokenizing
+    // decoder (Multimodal.decodePpm) — certifies decode arithmetic, not
+    // just plumbing; the oracle recomputes the features from the formula
+    "mm_decode" -> ((s: SparkSession, dir: String) =>
+      Multimodal.featuresPpm(
+          Multimodal.plantedPpm(s, Tables.documents(s, dir)))
+        .toDF().orderBy("id")),
     // ----- CDC merge / upsert: latest-wins change feed applied to the
     // base snapshot (Merge scaladoc: feed-only window + broadcast-sized
     // anti-join — the base never shuffles). The feed is derived
@@ -1623,13 +1631,20 @@ object SparkEntry {
 
   /** Streaming read of the events table: glob (not the literal file path —
     * the file source requires basePath to be a directory), schema from a
-    * batch probe, TIMESTAMP_NANOS-as-long converted like Tables.events. */
+    * batch probe, ts normalized to TimestampType exactly like
+    * Tables.events (both the NANOS-as-long and the TIMESTAMP_NTZ
+    * testdata generations — watermarks require TIMESTAMP). */
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
     val raw = s.read.parquet(s"$dir/events.parquet")
     val stream = s.readStream.schema(raw.schema).parquet(s"$dir/events.parque*")
-    if (stream.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else stream
+    stream.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        stream.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => stream
+    }
   }
 
   /** Drain a streaming frame through a DISTRIBUTED file sink with
@@ -3951,6 +3966,25 @@ object SparkEntry {
          |FROM probes p JOIN sk s ON p.hrow = s.hrow AND p.cell = s.cell
          |GROUP BY p.term, p.exact_cnt
          |ORDER BY exact_cnt DESC, term""".stripMargin),
+    // replay the planted-PPM formula: w = 1 + id%7, h = 1 + id%5,
+    // pixel(k) = (id*31 + 7k) mod 256 for k < w*h*3 (max 105 — the
+    // bounded series join); mean quantization is the engine's exact
+    // long arithmetic (sum*1e4 + n/2) div n
+    "mm_decode" ->
+      ("""WITH px AS (
+         |  SELECT doc_id AS id, 1 + doc_id % 7 AS w, 1 + doc_id % 5 AS h
+         |  FROM documents
+         |), sums AS (
+         |  SELECT id, w, h, sum((id*31 + 7*k) % 256) AS ps
+         |  FROM px, generate_series(0, 104) t(k)
+         |  WHERE k < w*h*3
+         |  GROUP BY id, w, h
+         |)
+         |SELECT id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+         |  CAST(ps AS BIGINT) AS pixel_sum,
+         |  CAST((ps*10000 + (w*h*3)//2) // (w*h*3) AS BIGINT)
+         |    AS pixel_mean_q4
+         |FROM sums ORDER BY id""".stripMargin),
     "mm_features" ->
       ("""SELECT doc_id AS id, 'text' AS kind,
          |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,

@@ -27,18 +27,30 @@ object Tables {
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
   def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects outright; with `spark.sql.legacy.parquet.nanosAsLong=true` (set
-    * in the session builders) it arrives as nanos-since-epoch LongType and is
-    * truncated here to a micros TimestampType — the same truncation DuckDB
-    * applies when casting TIMESTAMP_NS to TIMESTAMP, so both engines see
-    * identical instants. Integer `div` (not `/`): a double quotient would
-    * lose precision above 2^53 ns. */
+  /** events.ts normalized to a session-tz TimestampType whatever the
+    * parquet writer produced — the driver has regenerated the testdata
+    * with different physical types across rounds, and downstream
+    * event-time operators (`window()`, watermarks, `unix_micros`) require
+    * TIMESTAMP, not TIMESTAMP_NTZ:
+    *  - TIMESTAMP(NANOS): Spark's vectorized reader rejects it outright;
+    *    with `spark.sql.legacy.parquet.nanosAsLong=true` (set in the
+    *    session builders) it arrives as nanos-since-epoch LongType and is
+    *    truncated here to micros — the same truncation DuckDB applies
+    *    casting TIMESTAMP_NS to TIMESTAMP. Integer `div` (not `/`): a
+    *    double quotient would lose precision above 2^53 ns.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false) arrives as
+    *    TIMESTAMP_NTZ; the cast interprets the wall clock in the session
+    *    timezone (pinned UTC in every builder), which is exactly how
+    *    DuckDB's naive TIMESTAMP treats the same bytes — identical
+    *    instants on both engines. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = table(spark, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

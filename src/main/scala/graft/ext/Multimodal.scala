@@ -63,6 +63,114 @@ object Multimodal {
     documents.select(col("doc_id"),
       octet_length(col("text")).cast("long").as("n_bytes"))
 
+  // ------------------------------------------------------------------
+  // REAL bytes→pixels decode: binary PPM (P6), the one raster format
+  // simple enough to parse with zero codec dependencies. This certifies
+  // actual decode arithmetic (header tokenization + pixel extraction)
+  // through the same per-partition batch shape as [[features]] — the
+  // stub above stays as the documented seam for formats that DO need a
+  // native codec.
+  // ------------------------------------------------------------------
+
+  /** A decoded raster: dimensions from the header, integer pixel stats
+    * from the payload (exact, hash-comparable across engines). */
+  final case class Raster(width: Int, height: Int, maxVal: Int,
+                          pixelSum: Long)
+
+  /** Parse a binary PPM (P6) image — netpbm's uncompressed RGB format:
+    * ASCII header `P6 <width> <height> <maxval>` (tokens separated by
+    * whitespace, `#` comments running to end-of-line) followed by ONE
+    * whitespace byte and `width*height*3` raw channel bytes. A real
+    * parser, not a fixture reader: comments, arbitrary whitespace runs
+    * and truncated payloads are all handled. None on anything malformed
+    * — a decoder that guesses is worse than one that refuses. */
+  def decodePpm(bytes: Array[Byte]): Option[Raster] = {
+    var i = 0
+    def skipWs(): Unit = {
+      var go = true
+      while (go && i < bytes.length) {
+        val c = bytes(i).toChar
+        if (c == '#') { while (i < bytes.length && bytes(i) != '\n') i += 1 }
+        else if (c.isWhitespace) i += 1
+        else go = false
+      }
+    }
+    def token(): Option[String] = {
+      skipWs()
+      val start = i
+      while (i < bytes.length && !bytes(i).toChar.isWhitespace &&
+        bytes(i) != '#') i += 1
+      if (i > start) Some(new String(bytes, start, i - start, "US-ASCII"))
+      else None
+    }
+    def natInt(s: String): Option[Int] =
+      if (s.nonEmpty && s.forall(_.isDigit) && s.length <= 9) Some(s.toInt)
+      else None
+    for {
+      magic <- token() if magic == "P6"
+      w <- token().flatMap(natInt) if w > 0
+      h <- token().flatMap(natInt) if h > 0
+      m <- token().flatMap(natInt) if m > 0 && m < 65536
+      // exactly one whitespace byte separates header from payload
+      _ <- if (i < bytes.length && bytes(i).toChar.isWhitespace) { i += 1; Some(()) }
+           else None
+      n = w.toLong * h * 3 if m < 256 // 2-byte-per-sample PPMs not needed here
+      if bytes.length - i >= n
+    } yield {
+      var sum = 0L
+      var j = i
+      val end = i + n.toInt
+      while (j < end) { sum += bytes(j) & 0xff; j += 1 }
+      Raster(w, h, m, sum)
+    }
+  }
+
+  final case class DecodedFeatures(id: Long, width: Long, height: Long,
+                                   pixel_sum: Long, pixel_mean_q4: Long)
+
+  /** Real-decode feature extraction: [[decodePpm]] per row inside the
+    * same per-partition batch shape as [[features]]; undecodable rows are
+    * dropped (the quarantine-split a production pipeline would route to a
+    * dead-letter sink). `pixel_mean_q4` is the mean channel value
+    * quantized to 1e-4 via integer arithmetic (floor(sum*1e4/n + .5) on
+    * longs) so the value is exact and portable. */
+  def featuresPpm(media: Dataset[Media]): Dataset[DecodedFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { m =>
+        decodePpm(m.bytes).map { r =>
+          val n = r.width.toLong * r.height * 3
+          DecodedFeatures(m.id, r.width.toLong, r.height.toLong, r.pixelSum,
+            (r.pixelSum * 10000L + n / 2) / n)
+        }
+      }
+    }
+  }
+
+  /** Deterministic planted PPM payloads, one per document: width/height
+    * and every channel byte derive from `doc_id` by formula
+    * (`w = 1 + id%7`, `h = 1 + id%5`, `pixel(k) = (id*31 + 7k) mod 256`)
+    * so an external oracle recomputes the expected decoded features from
+    * the id alone — the planted-fixture analogue of the hash-derived JL
+    * sign matrix. Payload construction is row-local (no shuffle); a real
+    * pipeline reads the bytes column off parquet instead. */
+  def plantedPpm(spark: SparkSession, documents: DataFrame): Dataset[Media] = {
+    import spark.implicits._
+    documents.select(col("doc_id").cast("long")).as[Long].map { id =>
+      val w = (1 + id % 7).toInt
+      val h = (1 + id % 5).toInt
+      val header = s"P6\n# planted fixture\n$w $h\n255\n"
+        .getBytes("US-ASCII")
+      val body = new Array[Byte](w * h * 3)
+      var k = 0
+      while (k < body.length) {
+        body(k) = ((id * 31 + 7L * k) % 256).toByte
+        k += 1
+      }
+      Media(id, "image", header ++ body)
+    }
+  }
+
   final case class Frame(id: Long, frame_idx: Long, n_bytes: Long,
                          byte_sum: Long)
 

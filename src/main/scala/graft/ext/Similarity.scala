@@ -402,19 +402,18 @@ object Similarity {
     * in-order IEEE sum (matching `list_reduce`), quantized to 1e-4 longs
     * like [[normalizeUnit]]. Zero shuffles, zero driver hops.
     *
+    * The dim×outDim kernel is the codegen'd
+    * [[graft.functions.JlProject]] Expression (bit-identical to the
+    * interpreted `transform`×`aggregate` HOF nest it replaced — same
+    * hash, same per-j in-order fold — but a primitive loop inside
+    * whole-stage codegen instead of ~dim×outDim interpreted closure
+    * calls per row; the [[graft.functions.ArrayDot]] precedent).
+    *
     * Output: (id, j ∈ [0, outDim), y) exploded scalars. */
   def randomProject(df: DataFrame, idCol: String, vecCol: String,
                     outDim: Int = 16): DataFrame = {
     require(outDim > 0, s"outDim must be positive, got $outDim")
-    val v = asDouble(col(vecCol))
-    val proj = transform(sequence(lit(0), lit(outDim - 1)), j =>
-      aggregate(sequence(lit(0), size(v) - 1), lit(0.0), (acc, i) => {
-        val h = (i * lit(73856093L) + j * lit(19349663L) + lit(83492791L)) %
-          lit(65521L)
-        val m = (h * lit(2654435761L)) % lit(2147483647L)
-        val sign = lit(1.0) - lit(2.0) * (m % lit(2L)).cast("double")
-        acc + sign * element_at(v, i + 1)
-      }))
+    val proj = graft.functions.VectorFunctions.jl_project(col(vecCol), outDim)
     df.select(col(idCol), posexplode(proj).as(Seq("j", "__y")))
       .select(col(idCol), col("j").cast("long").as("j"),
         floor(col("__y") / sqrt(lit(outDim.toDouble)) * 1e4 + 0.5)

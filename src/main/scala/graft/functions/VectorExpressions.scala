@@ -145,9 +145,124 @@ case class ArrayDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Runtime kernel for [[JlProject]] — see that class for the contract. */
+object JlOps {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  /** The hash-derived Achlioptas ±1 sign: multiply-mod-prime mixing of
+    * (i, j) with every intermediate far under 2⁶³. MUST stay bit-identical
+    * to the formula documented at `graft.ext.Similarity.randomProject` —
+    * external engines regenerate the matrix from this formula alone. */
+  @inline private def sign(i: Long, j: Long): Double = {
+    val h = (i * 73856093L + j * 19349663L + 83492791L) % 65521L
+    val m = (h * 2654435761L) % 2147483647L
+    1.0 - 2.0 * (m % 2L).toDouble
+  }
+
+  /** All `outDim` projections of one vector: per-output-dim in-order IEEE
+    * double fold over input positions (i ascending), identical summation
+    * order to the interpreted `aggregate` HOF this kernel replaced. */
+  def project(v: ArrayData, isFloat: Boolean, outDim: Int): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Double](outDim)
+    var j = 0
+    while (j < outDim) {
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        s += sign(i.toLong, j.toLong) * x
+        i += 1
+      }
+      out(j) = s
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Null-element-tolerant variant: any null input slot nulls EVERY output
+    * slot — each output dim's fold reads every input position, so this is
+    * exactly what the interpreted `aggregate` produced (null poisons the
+    * accumulator). The row itself survives (array of nulls, not a null
+    * array) so downstream posexplode emits the same (j, null) rows. */
+  def projectNullable(v: ArrayData, isFloat: Boolean, outDim: Int): ArrayData = {
+    val n = v.numElements()
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i))
+        return new GenericArrayData(Array.fill[Any](outDim)(null))
+      i += 1
+    }
+    project(v, isFloat, outDim)
+  }
+}
+
+/** Codegen'd Johnson–Lindenstrauss projection of one `array<float|double>`
+  * vector onto `outDim` hash-derived ±1 Achlioptas directions (sign matrix
+  * regenerated from the (i,j) hash formula — nothing stored, nothing
+  * sampled; see `graft.ext.Similarity.randomProject` for the published
+  * construction this certifies against).
+  *
+  * Why an Expression: the interpreted formulation is a `transform` ×
+  * `aggregate` HOF nest — dim×outDim closure evaluations per row (~1,024
+  * at 64→16), the exact interpreted-HOF cost class [[ArrayDot]] was built
+  * to remove from the pairwise-similarity path. This compiles to two
+  * nested primitive loops inside whole-stage codegen, one kernel call per
+  * row. Output values are bit-identical to the HOF version: same hash,
+  * same per-j in-order IEEE double fold.
+  *
+  * Null contract: null input → null output; a null input SLOT → all-null
+  * output slots (matching null poisoning of the interpreted fold). */
+case class JlProject(child: Expression, outDim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  private def elemsNullable: Boolean = child.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _                          => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) | ArrayType(FloatType, _) =>
+      if (outDim > 0) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"jl_project outDim must be positive, got $outDim")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"jl_project needs an array<float|double> input, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = elemsNullable)
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    if (elemsNullable) JlOps.projectNullable(v, elemIsFloat, outDim)
+    else JlOps.project(v, elemIsFloat, outDim)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val f = elemIsFloat.toString
+    val kernel = if (elemsNullable) "projectNullable" else "project"
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.JlOps.$kernel($a, $f, $outDim);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): JlProject =
+    copy(child = newChild)
+}
+
 /** Column-level entry points for the custom expressions. */
 object VectorFunctions {
   /** `array_dot(a, b)` — codegen'd double dot product. */
   def array_dot(a: Column, b: Column): Column =
     GraftBridge.column(ArrayDot(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** `jl_project(v, outDim)` — codegen'd JL ±1 projection (array<double>
+    * of length outDim). */
+  def jl_project(v: Column, outDim: Int): Column =
+    GraftBridge.column(JlProject(GraftBridge.expression(v), outDim))
 }
