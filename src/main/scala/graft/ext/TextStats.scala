@@ -355,24 +355,25 @@ object TextStats {
   def subwordEncode(df: DataFrame, textCol: String, topK: Int = 16,
                     maxChars: Int = 2048): DataFrame = {
     require(topK > 0, "topK must be positive")
-    // persisted: the exploded occurrence frame feeds THREE actions (top-K
-    // collect, charset collect, distinct-word encode) — uncached, the
-    // corpus explode re-runs per action. Released by Dedup.unpersistAll
-    // (shared TrackedCache).
-    val words = TrackedCache.persistTracked(
+    // Persist the (word, freq) AGGREGATE, not the exploded occurrence
+    // frame: every downstream pass (top-K collect, charset collect,
+    // distinct-word encode) needs only the vocabulary-sized result, so
+    // the corpus is scanned and the one aggregation shuffle paid exactly
+    // once, and the cache holds vocabulary rows instead of corpus rows.
+    // (The earlier occurrence-level persist also ran a SECOND corpus
+    // shuffle for `words.distinct()` — pinned as half the query's warm
+    // cost at sf0.1.) Released by Dedup.unpersistAll (shared
+    // TrackedCache). The persist is also the fusion BARRIER documented
+    // at bpeEncode: without it the optimizer merges the encode fold into
+    // the aggregate's result expressions, disqualifying the codegen fast
+    // hashmap (measured 5.7 s vs 0.8 s at sf0.1).
+    val wf = TrackedCache.persistTracked(
       df.select(explode(filter(toks(col(textCol)),
-        w => w =!= "")).as("word")))
-    val top = words.groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      .orderBy(col("freq").desc, col("word").asc).limit(topK)
+          w => w =!= "")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq")))
+    val top = wf.orderBy(col("freq").desc, col("word").asc).limit(topK)
       .select("word").collect().map(_.getString(0)).toSeq
-    // persisted for TWO reasons: (a) the charset pass and the encode pass
-    // both read it; (b) the cache is a fusion BARRIER — without it the
-    // optimizer merges the encode fold into the distinct's final
-    // HashAggregate, whose result expressions disqualify the codegen fast
-    // hashmap and push the whole occurrence-level aggregation onto the
-    // slow path (measured 5.7 s vs 0.8 s at sf0.1). The cached frame is
-    // vocabulary-sized, never corpus-sized.
-    val dwords = TrackedCache.persistTracked(words.distinct())
+    val dwords = wf.select(col("word"))
     val chars = dwords
       .select(explode(filter(split(col("word"), ""), c => c =!= "")).as("c"))
       .distinct().collect().map(_.getString(0)).toSeq
@@ -496,10 +497,13 @@ object TextStats {
     * [[subwordEncode]]. */
   def bpeEncode(df: DataFrame, textCol: String, numMerges: Int = 8,
                 maxTrainWords: Int = 200000): DataFrame = {
-    val words = TrackedCache.persistTracked(
+    // vocabulary-sized persist, like subwordEncode: the dictionary collect
+    // and the encode pass both read the (word, freq) aggregate — one
+    // corpus scan, one shuffle, vocabulary rows cached
+    val wf = TrackedCache.persistTracked(
       df.select(explode(filter(toks(col(textCol)),
-        w => w =!= "")).as("word")))
-    val wf = words.groupBy(col("word")).agg(count(lit(1)).as("freq"))
+          w => w =!= "")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq")))
     val dict = wf.orderBy(col("word")).limit(maxTrainWords + 1).collect()
     require(dict.length <= maxTrainWords,
       s"bpeEncode: corpus has > $maxTrainWords distinct words — BPE " +
@@ -514,10 +518,10 @@ object TextStats {
     val rankMap = typedLit(merges.zipWithIndex.map { case ((l, r), i) =>
       (s"${l.length}:$l$r") -> (i + 1)
     }.toMap)
-    // the distinct words are the dictionary keys — reuse wf's aggregate;
-    // persisted as the fusion barrier (see subwordEncode) and because the
-    // encode feeds the explode below
-    val dwords = TrackedCache.persistTracked(wf.select(col("word")))
+    // the distinct words are the dictionary keys — wf is already the
+    // persisted vocabulary-sized frame (and the fusion barrier; see
+    // subwordEncode), so the encode rides its cache directly
+    val dwords = wf.select(col("word"))
     // try_element_at: under ANSI, a plain element_at throws on the
     // i+1 > size probe at the last symbol instead of yielding the null
     // that means "no pair here"
