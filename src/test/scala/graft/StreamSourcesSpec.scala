@@ -1,0 +1,95 @@
+package graft
+
+import graft.streaming.{EventsStream, StreamSources}
+import org.apache.spark.sql.functions._
+
+
+
+/** The operators are source-agnostic beyond file drains: the same
+  * [[EventsStream]] topology runs over a genuinely unbounded source
+  * (`rate-micro-batch` — deterministic rows per trigger, no
+  * end-of-input), and the aggregate any batch prefix produces equals the
+  * batch engine's answer over the formula-derived rows that prefix
+  * carried. */
+class StreamSourcesSpec extends SparkSpec {
+
+  test("hourlyCounts over the rate (Kafka-shaped) source matches the batch model") {
+    import spark.implicits._
+    val rowsPerBatch = 120
+    val targetBatch = 2L // assert on the complete state as of this batch
+    @volatile var captured: Option[(Long, Array[(String, String, Long, Double)])] = None
+    val q = EventsStream.hourlyCounts(
+        StreamSources.rateEvents(spark, rowsPerBatch), "0 seconds")
+      .writeStream.outputMode("complete")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        // EVERY batch must run a full action: Spark 4 validates that
+        // foreachBatch committed all state-store partitions and kills the
+        // query otherwise (STATE_STORE_COMMIT_VALIDATION_FAILED on a
+        // batch the function skips). Complete mode: each batch carries
+        // the FULL aggregate state, so one batch's frame is a consistent
+        // prefix snapshot.
+        val rows = df.orderBy("hour", "event_type").collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+            r.getDouble(3)))
+        if (id == targetBatch && captured.isEmpty) captured = Some((id, rows))
+      }
+      .start()
+    try {
+      val deadline = System.nanoTime() + 120L * 1000000000L
+      while (captured.isEmpty && q.exception.isEmpty &&
+        System.nanoTime() < deadline) Thread.sleep(200)
+      q.exception.foreach { e =>
+        var c: Throwable = e.cause
+        val sb = new StringBuilder(e.toString)
+        while (c != null) { sb.append(" <= ").append(c.toString); c = c.getCause }
+        fail(s"stream failed: $sb")
+      }
+      assert(captured.isDefined, "target batch never arrived")
+    } finally q.stop()
+
+    // batch i carries value ∈ [i*rowsPerBatch, (i+1)*rowsPerBatch): the
+    // state at targetBatch covers exactly [0, (targetBatch+1)*rowsPerBatch)
+    val n = (targetBatch + 1) * rowsPerBatch
+    val batchModel = spark.range(0, n).select(
+        timestamp_micros(col("id") * (60L * 1000000L)).as("ts"),
+        element_at(typedLit(Seq("view", "click", "purchase")),
+          (col("id") % 3L + 1L).cast("int")).as("event_type"),
+        ((col("id") * 31L % 1000L).cast("double") / 10.0).as("value"))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+        .as("hour"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy("hour", "event_type").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+
+    val (id, got) = captured.get
+    assert(id == targetBatch)
+    assert(got.toSeq == batchModel.toSeq)
+    // sanity: 360 one-per-minute events span exactly 6 hourly windows × 3 types
+    assert(got.map(_._1).distinct.length == 6 && got.length == 18)
+  }
+
+  test("rateEvents emits the declared events shape") {
+    val df = StreamSources.rateEvents(spark, 10)
+    assert(df.isStreaming)
+    assert(df.schema == StreamSources.EventsSchema ||
+      df.schema.map(f => (f.name, f.dataType)) ==
+        StreamSources.EventsSchema.map(f => (f.name, f.dataType)))
+  }
+
+  test("kafkaEvents wiring builds against the public API (config seam)") {
+    // the connector jar isn't in this container: constructing the plan may
+    // fail at source RESOLUTION, but the code path up to load() must be
+    // the only failure point — proving the wiring is config-complete
+    val ok = try {
+      val df = StreamSources.kafkaEvents(spark, "broker:9092", "events")
+      df.isStreaming // connector present: a real streaming frame
+    } catch {
+      case e: Throwable =>
+        val m = e.toString.toLowerCase
+        m.contains("kafka") // absent: the resolution error names the source
+    }
+    assert(ok)
+  }
+}
