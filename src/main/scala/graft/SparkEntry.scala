@@ -695,6 +695,16 @@ object SparkEntry {
       graft.ext.Sampling.quotaSample(Tables.documents(s, dir),
           "source", "doc_id", "text", quota = 8)
         .orderBy("source", "rnk")),
+    // Temperature-based source mixture (α = 1/2): keep ~half the corpus
+    // redistributed by sqrt-share — small sources boosted, multi-epoch
+    // `copies` where the boosted rate exceeds 1 (Sampling
+    // .temperatureSample scaladoc: one IEEE-exact sqrt per source, then
+    // pure integer arithmetic; membership is the same content-hash
+    // predicate as sample_hash)
+    "sample_temperature" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Sampling.temperatureSample(Tables.documents(s, dir),
+          "source", "doc_id", "text", targetNum = 1, targetDen = 2)
+        .orderBy("doc_id")),
     // Reproducible 80/10/10 train/val/test assignment — membership is a
     // pure function of the text (Sampling.threeWaySplit scaladoc:
     // append-stable, leak-proof under duplication, zero shuffles)
@@ -2599,6 +2609,33 @@ object SparkEntry {
          |)
          |SELECT doc_id, lang FROM fp
          |WHERE b < CASE WHEN lang = 'en' THEN 2 ELSE 5 END
+         |ORDER BY doc_id""".stripMargin),
+    // replay the temperature recipe: per-source counts, the ONE
+    // IEEE-correctly-rounded sqrt (quantized to 1e-3 longs), then pure
+    // integer rate/epoch/remainder arithmetic and the same content-hash
+    // membership fold as sample_hash (1e6 buckets)
+    "sample_temperature" ->
+      ("""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+         |q AS (SELECT source, n,
+         |        CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000) AS BIGINT) AS qs
+         |      FROM c),
+         |t AS (SELECT sum(n) AS nn, sum(qs) AS w FROM q),
+         |r AS (SELECT source, n, qs,
+         |        CAST((((SELECT nn FROM t) * 1 // 2) * qs * 1000000)
+         |          // ((SELECT w FROM t) * n) AS BIGINT) AS rate
+         |      FROM q),
+         |fp AS (SELECT doc_id, source,
+         |         CAST(list_reduce([CAST(ascii(ch) AS BIGINT) for ch in string_split(text, '')],
+         |           (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT)
+         |           % 1000000 AS b
+         |       FROM documents)
+         |SELECT fp.doc_id AS doc_id, fp.source AS source,
+         |  CAST(r.rate // 1000000
+         |    + CASE WHEN fp.b < r.rate % 1000000 THEN 1 ELSE 0 END
+         |    AS BIGINT) AS copies
+         |FROM fp JOIN r ON fp.source = r.source
+         |WHERE r.rate // 1000000
+         |    + CASE WHEN fp.b < r.rate % 1000000 THEN 1 ELSE 0 END > 0
          |ORDER BY doc_id""".stripMargin),
     // the full (un-modded) fingerprint fold orders the per-source pick,
     // so the oracle reproduces the exact quota subset and rank

@@ -90,6 +90,71 @@ object Sampling {
         .otherwise("test"))
   }
 
+  /** Temperature-based source mixture — the Pile/ROOTS data-mixing
+    * recipe: sample source `s` at a rate proportional to `n_s^α` with
+    * α = 1/2, so small sources are boosted relative to their share and a
+    * dominant crawl stops drowning everything (α=1 is natural frequency,
+    * α=0 is uniform-by-source; 1/2 is the classic temperature midpoint).
+    * A source whose boosted rate exceeds 1 is REPEATED — the output's
+    * `copies` column is the per-document multiplicity (integer epochs +
+    * a content-hash-sampled fractional epoch), exactly how multi-epoch
+    * upweighting is specified in the published mixtures.
+    *
+    * Engine-exact by construction: α = 1/2 is the one temperature whose
+    * power is IEEE-CORRECTLY-ROUNDED on every platform (`sqrt` is
+    * required exact by IEEE 754 where `pow(x, 0.7)` is not), and the
+    * single sqrt per SOURCE is immediately floor-quantized to 1e-3
+    * longs, after which every step — weight sum, target split, per-source
+    * rate in 1e-6 space, epoch/remainder split, hash membership — is
+    * integer arithmetic any engine replays bit-for-bit.
+    *
+    * Scale shape: one tiny per-source count aggregate (collected with a
+    * loud cap — sources are metadata, documents are not), rates compiled
+    * into a literal `when` chain, membership = the same scan-resident
+    * content-hash predicate as [[hashSample]]. No join, no shuffle
+    * beyond the count.
+    *
+    * `targetNum/targetDen` is the overall sampled fraction of N (e.g.
+    * 1/2 → keep about half the corpus, redistributed across sources by
+    * temperature). Output: (id, source, copies ≥ 1). */
+  def temperatureSample(df: DataFrame, sourceCol: String, idCol: String,
+                        textCol: String, targetNum: Long, targetDen: Long,
+                        maxSources: Int = 10000): DataFrame = {
+    require(targetNum > 0 && targetDen > 0,
+      s"target fraction must be positive, got $targetNum/$targetDen")
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+      .orderBy(col(sourceCol)).limit(maxSources + 1).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    require(counts.length <= maxSources,
+      s"more than $maxSources sources — the rate table is driver-resident" +
+        " metadata; aggregate your source labels or raise the cap")
+    // q_s = floor(sqrt(n_s)·1e3): the only floating-point step, and sqrt
+    // is correctly rounded by IEEE mandate — bit-identical across engines
+    val q = counts.map { case (s, n) =>
+      (s, n, math.floor(math.sqrt(n.toDouble) * 1000d).toLong)
+    }
+    val bigN = counts.map(_._2).sum
+    val w = q.map(_._3).sum // integer sum — order-free
+    val target = bigN * targetNum / targetDen
+    // rate_s in 1e-6 space: ideal rows for s = target·q_s/W, spread over
+    // n_s docs. BigInt intermediate: target·q_s·1e6 overflows a long at
+    // petabyte corpus sizes, the exact regime this is for.
+    val rates = q.map { case (s, n, qs) =>
+      val r = (BigInt(target) * qs * 1000000L / (BigInt(w) * n)).toLong
+      (s, r / 1000000L, r % 1000000L) // (source, whole epochs, remainder)
+    }
+    val epochs = rates.foldLeft(lit(0L)) { case (acc, (s, e, _)) =>
+      when(col(sourceCol) === lit(s), lit(e)).otherwise(acc)
+    }
+    val rem = rates.foldLeft(lit(0L)) { case (acc, (s, _, r)) =>
+      when(col(sourceCol) === lit(s), lit(r)).otherwise(acc)
+    }
+    df.select(col(idCol), col(sourceCol),
+        (epochs + when(bucket(col(textCol), 1000000) < rem, lit(1L))
+          .otherwise(lit(0L))).as("copies"))
+      .filter(col("copies") > 0)
+  }
+
   private def bucket(text: Column, outOf: Int): Column =
     pmod(TextStats.rollingFingerprint(text), lit(outOf.toLong))
 }

@@ -148,6 +148,45 @@ class SamplingSpec extends SparkSpec {
       graft.ext.Sampling.threeWaySplit(docs, "text", 80, 30))
   }
 
+  test("temperatureSample: sqrt-share rates, multi-epoch boost for rare sources") {
+    // 180 "web" docs vs 20 "book" docs, keep ~half: sqrt-share gives web
+    // q=13416, book q=4472 → rates web 100/180·13416/17888 = 0.4166…,
+    // book 100/20·4472/17888 = 1.25 → books get 1 whole epoch + 25% more
+    // varying LENGTHS, not just a numeric suffix: a 31-ary poly hash of
+    // texts differing only in the last chars clusters within 31^k of each
+    // other mod 1e6 — real corpora vary in length, the fixture must too
+    val docs = ((1L to 180L).map(i =>
+      (i, "web", s"web page $i " + "lorem ipsum " * (i % 11).toInt)) ++
+      (201L to 220L).map(i =>
+        (i, "book", s"book text $i " + "chapter " * (i % 5).toInt)))
+      .toDF("doc_id", "source", "text")
+    val out = Sampling.temperatureSample(docs, "source", "doc_id", "text",
+        targetNum = 1, targetDen = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // replay the documented integer arithmetic
+    val q = Map("web" -> math.floor(math.sqrt(180d) * 1000).toLong,
+      "book" -> math.floor(math.sqrt(20d) * 1000).toLong)
+    val w = q.values.sum
+    val target = 200L / 2
+    val rate = q.map { case (s, qs) =>
+      s -> (BigInt(target) * qs * 1000000L /
+        (BigInt(w) * (if (s == "web") 180L else 20L))).toLong
+    }
+    assert(rate("book") / 1000000L == 1L, s"book rate ${rate("book")}")
+    assert(rate("web") / 1000000L == 0L && rate("web") % 1000000L > 0L)
+    // every book appears (epoch floor = 1); copies ∈ {1, 2}
+    val books = out.filter(_._2 == "book")
+    assert(books.length == 20 && books.forall(c => c._3 == 1L || c._3 == 2L))
+    // web docs are a strict hash subset with copies == 1
+    val webs = out.filter(_._2 == "web")
+    assert(webs.nonEmpty && webs.length < 180 && webs.forall(_._3 == 1L))
+    // deterministic: identical under repartitioning
+    val out2 = Sampling.temperatureSample(docs.repartition(7), "source",
+        "doc_id", "text", 1, 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.sortBy(_._1).toSeq == out2.sortBy(_._1).toSeq)
+  }
+
   test("decontaminate plan: broadcast anti-join on fingerprints") {
     val train = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
     val eval = Seq((3L, "b")).toDF("doc_id", "text")
