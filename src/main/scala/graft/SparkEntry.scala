@@ -526,6 +526,21 @@ object SparkEntry {
           k = KmK, iters = KmIters),
         "vec_id", "embedding", "cell", queryVec(emb), k = 5, nprobe = 2)
     }),
+    // the learned clustering surfaced as its own certified result: cell
+    // sizes + id ranges of the distributed k-means assignment (KMeans
+    // scaladoc has the portable-arithmetic contract; the oracle replays
+    // ALL training rounds in SQL) — document/embedding clustering is a
+    // first-class pipeline op (SemDeDup's stage 1), not only IVF plumbing
+    "emb_kmeans" -> ((s: SparkSession, dir: String) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.ext.KMeans.assigned(emb, "vec_id", "embedding",
+          k = KmK, iters = KmIters)
+        .groupBy(col("cell")).agg(count(lit(1)).as("n"),
+          min(col("vec_id")).as("min_id"), max(col("vec_id")).as("max_id"))
+        .select(col("cell").cast("long").as("cell"), col("n"),
+          col("min_id"), col("max_id"))
+        .orderBy("cell")
+    }),
     // the PERSISTED IVF index with a LEARNED quantizer: k-means cells
     // trained at build time (vectors partitioned by learned cell +
     // centroid table on disk), then query via probe selection + a scan
@@ -2159,6 +2174,14 @@ object SparkEntry {
     "dedup_jaccard_pruned" -> PrunedJaccardOracle,
     "sim_lsh" -> LshOracle,
     "sim_ivf" -> IvfOracle,
+    // the same unrolled training replay, aggregated per learned cell
+    "emb_kmeans" ->
+      (s"""WITH v AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+         |), ${kmeansCte(k = 4, iters = 3, dims = 64)}
+         |SELECT CAST(cell AS BIGINT) AS cell, count(*) AS n,
+         |  min(vec_id) AS min_id, max(vec_id) AS max_id
+         |FROM km_fin GROUP BY cell ORDER BY cell""".stripMargin),
     // the indexed path answers the identical query — same oracle
     "sim_ivf_indexed" -> IvfOracle,
     "sim_topk" ->
