@@ -28,10 +28,14 @@ object Bench {
       // several seconds of C2-compilation — sim_neardup swung 4.5s↔13.4s
       // between otherwise-identical runs. A tiny limited slice compiles the
       // same generated code without doing the real query's work.
-      // sim_ivfpq: the warmup also triggers its session-memoized index
-      // build (the amortized OFFLINE half of an ANN serving path), so the
-      // timed number is the probe+ADC+rescore query it actually serves.
-      Seq("sim_topk", "dedup_minhash", "sim_ivfpq").foreach(n =>
+      // the IVF family: the warmup also triggers the session-memoized
+      // builds (trained coarse quantizer, persisted index, PQ index — the
+      // amortized OFFLINE half of an ANN serving path), so the timed
+      // numbers are the probe queries those entries actually serve.
+      // emb_kmeans is deliberately NOT warmed: it is the declared
+      // training query and its timed number IS the training.
+      Seq("sim_topk", "dedup_minhash", "sim_ivfpq", "sim_ivf",
+        "sim_ivf_indexed").foreach(n =>
         SparkEntry.queries.get(n).foreach { fn =>
           try fn(spark, sfDir).limit(1).collect(): Unit
           catch { case _: Throwable => () }

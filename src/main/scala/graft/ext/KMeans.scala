@@ -39,25 +39,17 @@ import org.apache.spark.sql.functions._
   */
 object KMeans {
 
-  /** Squared-L2 distance to one literal centroid, quantized to a long.
-    * In-order fold over positions — see the class doc for why this exact
-    * shape (seed 0.0, sequential adds, floor(·1e8+0.5)) is the portable
-    * one. */
-  private def qdist2(vec: Column, cent: Seq[Double]): Column =
-    floor(aggregate(sequence(lit(0), lit(cent.size - 1)), lit(0.0),
-      (acc, i) => {
-        val d = element_at(vec, i + 1) - element_at(typedLit(cent), i + 1)
-        acc + d * d
-      }) * lit(1e8) + lit(0.5)).cast("long")
-
-  /** The argmin cell for a vector column against literal centroids:
-    * `array_min` over (distance, cell) structs — lexicographic struct
-    * ordering IS "nearest, ties to the lower cell id". Row-local,
-    * codegen-friendly, no shuffle. */
+  /** The argmin cell for a vector column against literal centroids —
+    * the codegen'd [[graft.functions.CellArgmin]] Expression (primitive
+    * loops over a referenced centroid matrix inside whole-stage codegen;
+    * bit-identical to the interpreted `array_min` over `aggregate`-fold
+    * struct formulation it replaced, which cost k·d interpreted closure
+    * calls per row × `iters` corpus passes at build time). Distance is
+    * the portable quantized shape from the class doc: in-order IEEE fold
+    * of (x−c)² seeded 0.0, `floor(·1e8+0.5)` longs, ties to the lower
+    * cell. Row-local, no shuffle. */
   def assignCell(vec: Column, cents: IndexedSeq[Seq[Double]]): Column =
-    array_min(array(cents.zipWithIndex.map { case (c, j) =>
-      struct(qdist2(vec, c).as("d"), lit(j).as("cell"))
-    }: _*)).getField("cell")
+    graft.functions.VectorFunctions.cell_argmin(vec, cents)
 
   /** Learn `k` centroids with `iters` Lloyd rounds. Returns the final
     * centroid table (k × d doubles — driver metadata, like FAISS's
@@ -75,7 +67,7 @@ object KMeans {
     require(cents.size == k,
       s"k=$k seeds need k rows, found only ${cents.size}")
     for (_ <- 1 to iters) {
-      val assigned = df.select(assignCell(v, cents).as("cell"),
+      val assigned = df.select(assignCell(col(vecCol), cents).as("cell"),
         col(vecCol))
       val upd = Similarity.centroidComponents(assigned, vecCol, "cell")
         .collect()
@@ -94,7 +86,6 @@ object KMeans {
   def assigned(df: DataFrame, idCol: String, vecCol: String, k: Int,
                iters: Int): DataFrame = {
     val cents = fit(df, idCol, vecCol, k, iters)
-    df.withColumn("cell",
-      assignCell(Similarity.asDouble(col(vecCol)), cents))
+    df.withColumn("cell", assignCell(col(vecCol), cents))
   }
 }
