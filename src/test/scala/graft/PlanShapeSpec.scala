@@ -335,6 +335,37 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan.take(2500))
   }
 
+  test("JL projection: codegen'd kernel rides the scan — zero exchanges") {
+    val plan = executed(graft.ext.Similarity.randomProject(
+      Tables.embeddings(spark, dir), "vec_id", "embedding", outDim = 8))
+    // row-local by construction: no shuffle, no interpreted-HOF marker
+    // (the lambda runtime only appears when a HOF survives the plan)
+    assert(!plan.contains("Exchange"), plan.take(2000))
+    assert(!plan.contains("lambda"), plan.take(2000))
+  }
+
+  test("k-means assignment: codegen argmin, no shuffle, no HOF lambdas") {
+    val emb = Tables.embeddings(spark, dir)
+    val cents = graft.ext.KMeans.fit(emb, "vec_id", "embedding", 4, 1)
+    val plan = executed(emb.select(
+      graft.ext.KMeans.assignCell(
+        org.apache.spark.sql.functions.col("embedding"), cents).as("cell")))
+    assert(!plan.contains("Exchange"), plan.take(2000))
+    assert(!plan.contains("lambda"), plan.take(2000))
+    // the starred stage marker is this format's WholeStageCodegen flag —
+    // the argmin projection must sit inside one
+    assert("""\*\(\d+\) Project""".r.findFirstIn(plan).isDefined,
+      plan.take(2000))
+  }
+
+  test("pipeline funnel: decontamination is a broadcast anti-join") {
+    val plan = executed(
+      SparkEntry.queries("pipeline_funnel")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
   test("line dedup: equi-join on the line, map-side-distinct frequent set") {
     import org.apache.spark.sql.functions.{col, concat, lit, when}
     val lined = Tables.documents(spark, dir).select(col("doc_id"),
