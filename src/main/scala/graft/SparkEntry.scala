@@ -716,11 +716,17 @@ object SparkEntry {
       val s1 = TextStats.cleanPass(docs, "doc_id", "text",
         minChars = 100L, minStopwordRatio = 0.02, maxAvgTokenLen = 5.0)
         .select(col("doc_id"))
-      val d1 = docs.join(s1, Seq("doc_id"))
+      // each stage feeds BOTH its own count and every later stage:
+      // persisted (TrackedCache, released by Dedup.unpersistAll) so the
+      // gate/dedup work runs once, not once per downstream count — at
+      // 100 TB you materialize each funnel stage, never re-run it
+      val d1 = graft.ext.TrackedCache.persistTracked(
+        docs.join(s1, Seq("doc_id")))
       val byFp = org.apache.spark.sql.expressions.Window
         .partitionBy(md5(lower(col("text")))).orderBy(col("doc_id"))
-      val d2 = d1.withColumn("__rn", row_number().over(byFp))
-        .filter(col("__rn") === 1).drop("__rn")
+      val d2 = graft.ext.TrackedCache.persistTracked(
+        d1.withColumn("__rn", row_number().over(byFp))
+          .filter(col("__rn") === 1).drop("__rn"))
       val eval = docs.filter(col("source") === "src19")
         .select(lower(col("text")).as("__evtext")).distinct()
       val d3 = d2.filter(col("source") =!= "src19")

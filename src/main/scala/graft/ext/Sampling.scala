@@ -124,7 +124,11 @@ object Sampling {
       s"target fraction must be positive, got $targetNum/$targetDen")
     val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
       .orderBy(col(sourceCol)).limit(maxSources + 1).collect()
-      .map(r => (r.getString(0), r.getLong(1)))
+      .map { r =>
+        require(!r.isNullAt(0), s"null $sourceCol rows have no mixture " +
+          "weight — filter them or bucket them under an explicit label")
+        (r.getString(0), r.getLong(1))
+      }
     require(counts.length <= maxSources,
       s"more than $maxSources sources — the rate table is driver-resident" +
         " metadata; aggregate your source labels or raise the cap")

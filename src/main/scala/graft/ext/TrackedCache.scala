@@ -11,8 +11,12 @@ import org.apache.spark.sql.DataFrame
   * cached data" warnings).
   *
   * A queue (not a set): repeated calls each add their own blocks and each
-  * deserves its own release. */
-private[ext] object TrackedCache {
+  * deserves its own release.
+  *
+  * `private[graft]`: the declared-query layer (SparkEntry's composed
+  * pipeline entries) shares the same lifecycle — anything persisted here
+  * is released by the harness's per-query `Dedup.unpersistAll`. */
+private[graft] object TrackedCache {
 
   private val tracked =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()

@@ -149,4 +149,66 @@ object Round11PropertySpec extends Properties("round11") {
       graft.ext.Dedup.unpersistAll()
       gotSpans == wantSpans && gotClean == wantClean
     }
+
+  // --------------------------------------- temperature mixture sampling
+  /** The engine's content hash: floorMod(acc·31 + codePoint, 1e9+7)
+    * folded over code points, seed 0 (FingerprintExpressions). */
+  private def fp(s: String): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = java.lang.Math.floorMod(acc * 31L + cp, 1000000007L)
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  /** In-memory replay of Sampling.temperatureSample's documented
+    * arithmetic: per-source counts → floor(sqrt·1e3) weights → integer
+    * rates in 1e-6 space → epoch + hash-remainder copies. */
+  private def modelTemperature(docs: List[(Long, String, String)],
+                               num: Long, den: Long): Map[Long, Long] = {
+    val counts = docs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val q = counts.map { case (s, n) =>
+      s -> math.floor(math.sqrt(n.toDouble) * 1000d).toLong
+    }
+    val w = q.values.sum
+    val target = counts.values.sum * num / den
+    val rate = counts.map { case (s, n) =>
+      s -> (BigInt(target) * q(s) * 1000000L / (BigInt(w) * n)).toLong
+    }
+    docs.flatMap { case (id, s, text) =>
+      val r = rate(s)
+      val copies = r / 1000000L +
+        (if (java.lang.Math.floorMod(fp(text), 1000000L) < r % 1000000L) 1L
+         else 0L)
+      if (copies > 0) Some(id -> copies) else None
+    }.toMap
+  }
+
+  private val genMix: Gen[(List[(Long, String, String)], Long, Long)] = for {
+    nSrc <- Gen.choose(1, 4)
+    sizes <- Gen.listOfN(nSrc, Gen.choose(1, 25))
+    texts <- Gen.sequence[List[List[String]], List[String]](
+      sizes.map(sz => Gen.listOfN(sz,
+        Gen.choose(0, 30).flatMap(len =>
+          Gen.listOfN(len, Gen.alphaNumChar).map(_.mkString)))))
+    nd <- Gen.oneOf((1L, 2L), (1L, 3L), (2L, 3L), (1L, 1L), (3L, 2L))
+  } yield {
+    val docs = texts.zipWithIndex.flatMap { case (ts, si) =>
+      ts.map(t => (s"src$si", t))
+    }.zipWithIndex.map { case ((s, t), i) => (i.toLong, s, t) }
+    (docs, nd._1, nd._2)
+  }
+
+  property("temperatureSample = in-memory sqrt-share integer model") =
+    Prop.forAll(genMix) { case (docs, num, den) =>
+      import spark.implicits._
+      val df = docs.toDF("doc_id", "source", "text")
+      val got = graft.ext.Sampling
+        .temperatureSample(df, "source", "doc_id", "text", num, den)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      got == modelTemperature(docs, num, den)
+    }
 }
