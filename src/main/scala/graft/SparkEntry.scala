@@ -1321,6 +1321,19 @@ object SparkEntry {
       TextStats.bm25TopTerms(Tables.documents(s, dir), "doc_id", "text",
           k = 3)
         .orderBy("doc_id", "rnk")),
+    // ----- hybrid lexical+vector retrieval with reciprocal-rank fusion
+    // (Retrieval scaladoc: top-C per retriever via TakeOrderedAndProject,
+    // integer tf·idf_q6 lexical score, q4 cosine, Σ floor(1e9/(60+rank))
+    // fusion — the RAG serving topology as one certified query) -----
+    "search_hybrid" -> ((s: SparkSession, dir: String) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.ext.Retrieval.hybridTopK(
+          Tables.documents(s, dir), "doc_id", "text",
+          emb, "vec_id", "embedding",
+          queryTerms = Seq("data", "query", "join"),
+          queryVec = queryVec(emb), k = 10, candidates = 50)
+        .orderBy(col("rrf_score").desc, col("id").asc)
+    }),
     // ----- inverted-index postings: df band [2,50] applied before any
     // posting materializes, lists capped at 10 via WindowGroupLimit -----
     "index_postings" -> ((s: SparkSession, dir: String) =>
@@ -4057,6 +4070,47 @@ object SparkEntry {
          |)
          |SELECT doc_id, rnk, term, score FROM ranked
          |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin),
+    // replay both retrievers' top-50 lists (integer tf·idf_q6 lexical,
+    // q4 cosine) and the integer RRF fusion over them
+    "search_hybrid" ->
+      ("""WITH n AS (SELECT count(*) AS nn FROM documents),
+         |occ AS (
+         |  SELECT doc_id AS id, unnest(string_split(text, ' ')) AS term
+         |  FROM documents
+         |), tf AS (
+         |  SELECT id, term, count(*) AS tf FROM occ
+         |  WHERE term IN ('data', 'query', 'join') GROUP BY id, term
+         |), dfreq AS (SELECT term, count(*) AS df_docs FROM tf GROUP BY term),
+         |lex AS (
+         |  SELECT id,
+         |    sum(tf * (((SELECT nn FROM n) * 1000000) // df_docs)) AS lex_score
+         |  FROM tf JOIN dfreq USING (term) GROUP BY id
+         |), lextop AS (
+         |  SELECT id, CAST(row_number() OVER (ORDER BY lex_score DESC, id)
+         |    AS BIGINT) AS lex_rank
+         |  FROM lex ORDER BY lex_score DESC, id LIMIT 50
+         |), q AS (
+         |  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+         |  WHERE vec_id = 0
+         |), vec AS (
+         |  SELECT vec_id AS id,
+         |    round(list_dot_product(CAST(embedding AS DOUBLE[]), qe) /
+         |      (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                             CAST(embedding AS DOUBLE[]))) *
+         |       sqrt(list_dot_product(qe, qe))), 4) AS sim
+         |  FROM embeddings, q
+         |), vectop AS (
+         |  SELECT id, CAST(row_number() OVER (ORDER BY sim DESC, id)
+         |    AS BIGINT) AS vec_rank
+         |  FROM vec ORDER BY sim DESC, id LIMIT 50
+         |)
+         |SELECT id,
+         |  CAST(coalesce(1000000000 // (60 + lex_rank), 0)
+         |     + coalesce(1000000000 // (60 + vec_rank), 0) AS BIGINT)
+         |    AS rrf_score,
+         |  lex_rank, vec_rank
+         |FROM lextop FULL OUTER JOIN vectop USING (id)
+         |ORDER BY rrf_score DESC, id LIMIT 10""".stripMargin),
     // same df band [2,50] before any posting materializes, same cap-10
     // rank over doc_id (unique per term, so the order is total)
     "index_postings" ->

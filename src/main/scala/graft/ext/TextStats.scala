@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   */
 object TextStats {
 
-  private def toks(text: Column): Column = split(text, " ")
+  private[ext] def toks(text: Column): Column = split(text, " ")
 
   /** Whitespace tokens, distinct tokens, and a BPE-ish regex token count
     * (letter runs / digit runs / single other chars — the usual cheap
