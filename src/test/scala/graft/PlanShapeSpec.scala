@@ -366,6 +366,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
+  test("hybrid retrieval: top-C per retriever via TakeOrderedAndProject") {
+    val plan = executed(SparkEntry.queries("search_hybrid")(spark, dir))
+    // both candidate lists must reduce per-partition then merge C rows on
+    // the driver — a global Sort before the limit would be the scale bug
+    assert("TakeOrderedAndProject".r.findAllIn(plan).length >= 2,
+      plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
   test("line dedup: equi-join on the line, map-side-distinct frequent set") {
     import org.apache.spark.sql.functions.{col, concat, lit, when}
     val lined = Tables.documents(spark, dir).select(col("doc_id"),
