@@ -895,6 +895,32 @@ object SparkEntry {
       drainStream(s, "graft_stream_join", "append",
         graft.streaming.EventsStream.viewToClickJoin(eventsStream(s, dir)))
         .orderBy("user_id", "view_t", "click_t")),
+    // the CUSTOM DataSource V2 micro-batch source (graft-dirtail,
+    // sources/DirTailSource.scala): events re-shipped as immutable JSONL
+    // files (ts as epoch micros — the kafkaEvents wire convention), tailed
+    // back through the source's deterministic file-count offsets, and
+    // drained through the SAME certified hourly topology — a green hash
+    // certifies the source's offset/partition/row-decode machinery
+    // end-to-end, not just the aggregate
+    "stream_dirtail" -> ((s: SparkSession, dir: String) => {
+      val src = dirtailEventsDir(s, dir)
+      val wire = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType)))
+      val stream = s.readStream.format("graft-dirtail").schema(wire)
+        .option("path", src).load()
+      drainStream(s, "graft_stream_dirtail", "complete",
+        graft.streaming.EventsStream.hourlyCounts(stream))
+        .orderBy("hour", "event_type")
+    }),
     // streaming hourly counts finalized with the batch growth arithmetic
     // (Events.growthOverHourly) — certifies against the events_growth
     // oracle, the stream_hll maintain-then-finalize pattern
@@ -1662,6 +1688,14 @@ object SparkEntry {
       Multimodal.featuresPpm(
           Multimodal.plantedPpm(s, Tables.documents(s, dir)))
         .toDF().orderBy("id")),
+    // same planted pixel formula rendered as REAL PNGs (ImageIO encode)
+    // then decoded back through the JDK's inflate+unfilter path — the
+    // oracle is byte-for-byte the mm_decode formula replay, so a green
+    // hash certifies an actual compressed codec, not just plumbing
+    "mm_decode_png" -> ((s: SparkSession, dir: String) =>
+      Multimodal.featuresPng(
+          Multimodal.plantedPng(s, Tables.documents(s, dir)))
+        .toDF().orderBy("id")),
     // ----- CDC merge / upsert: latest-wins change feed applied to the
     // base snapshot (Merge scaladoc: feed-only window + broadcast-sized
     // anti-join — the base never shuffles). The feed is derived
@@ -1747,6 +1781,32 @@ object SparkEntry {
           col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => stream
     }
+  }
+
+  /** Events re-shipped as immutable JSONL files for the `graft-dirtail`
+    * DSv2 source: ts as epoch micros on the wire (the
+    * [[graft.streaming.StreamSources.kafkaEvents]] convention — a JSON
+    * number, no timezone ambiguity), written by the distributed text
+    * sink, then renamed to the source's `*.jsonl` immutable-file
+    * extension (a driver-side O(files) metadata pass, same economics as
+    * a TxTable commit). props is dropped from the wire: the hourly
+    * topology never reads it and JSON-in-JSON escaping would be pure
+    * fixture noise. */
+  private def dirtailEventsDir(s: SparkSession, dir: String): String = {
+    val src = scratchDir("graft-dirtail-src-")
+    Tables.events(s, dir)
+      .select(to_json(struct(col("event_id"),
+        unix_micros(col("ts")).as("ts"), col("user_id"),
+        col("event_type"), col("value"))).as("value"))
+      .write.mode("overwrite").text(src)
+    val it = java.nio.file.Files.list(java.nio.file.Paths.get(src)).iterator()
+    while (it.hasNext) {
+      val f = it.next()
+      val n = f.getFileName.toString
+      if (n.startsWith("part-") && !n.endsWith(".jsonl"))
+        java.nio.file.Files.move(f, f.resolveSibling(n + ".jsonl")): Unit
+    }
+    src
   }
 
   /** Drain a streaming frame through a DISTRIBUTED file sink with
@@ -3019,6 +3079,14 @@ object SparkEntry {
          |  count(*) AS n,
          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin),
+    // identical aggregate through the custom DSv2 source: the JSONL
+    // round trip (epoch-micros wire ts) must be value-exact, so the
+    // stream_hourly oracle certifies the source machinery verbatim
+    "stream_dirtail" ->
+      ("""SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
+         |  count(*) AS n,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin),
     "events_sessions" ->
       ("""WITH flagged AS (
          |  SELECT user_id, ts, event_id,
@@ -4175,6 +4243,24 @@ object SparkEntry {
     // bounded series join); mean quantization is the engine's exact
     // long arithmetic (sum*1e4 + n/2) div n
     "mm_decode" ->
+      ("""WITH px AS (
+         |  SELECT doc_id AS id, 1 + doc_id % 7 AS w, 1 + doc_id % 5 AS h
+         |  FROM documents
+         |), sums AS (
+         |  SELECT id, w, h, sum((id*31 + 7*k) % 256) AS ps
+         |  FROM px, generate_series(0, 104) t(k)
+         |  WHERE k < w*h*3
+         |  GROUP BY id, w, h
+         |)
+         |SELECT id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+         |  CAST(ps AS BIGINT) AS pixel_sum,
+         |  CAST((ps*10000 + (w*h*3)//2) // (w*h*3) AS BIGINT)
+         |    AS pixel_mean_q4
+         |FROM sums ORDER BY id""".stripMargin),
+    // the PNG entry shares the PPM oracle verbatim: PNG is lossless, so
+    // the encode→decode round trip must reproduce the identical planted
+    // pixels — any inflate/unfilter defect breaks the hash
+    "mm_decode_png" ->
       ("""WITH px AS (
          |  SELECT doc_id AS id, 1 + doc_id % 7 AS w, 1 + doc_id % 5 AS h
          |  FROM documents

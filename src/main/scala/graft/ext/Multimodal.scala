@@ -7,12 +7,17 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, and decode / feature-extraction runs as a
   * per-partition batch transform over a typed Dataset.
   *
-  * The DECODE STEP IS A STUB — no image/audio codecs exist in this
-  * container, so [[decodeStub]] derives deterministic fake features from the
-  * raw bytes. Everything around it is the real Spark shape you'd keep when
-  * swapping in a codec: schema, Encoders, `mapPartitions` batching (decoder
-  * state initialized once per partition, not per row), and partition-local
-  * work with no shuffle.
+  * Three decode tiers, same batch shape:
+  *   - [[decodeStub]] — deterministic fake features, the documented seam
+  *     for codecs that need a native lib absent from this container
+  *     (audio/video);
+  *   - [[decodePpm]] — REAL hand-rolled parse of uncompressed binary PPM
+  *     (header tokenization + pixel extraction);
+  *   - [[decodeImage]] — REAL compressed-codec decode (PNG et al.) via
+  *     the JDK's built-in `javax.imageio`, zero new dependencies.
+  * Everything around them is the Spark shape a production codec keeps:
+  * schema, Encoders, `mapPartitions` batching (decoder state initialized
+  * once per partition, not per row), partition-local work, no shuffle.
   */
 object Multimodal {
 
@@ -168,6 +173,106 @@ object Multimodal {
         k += 1
       }
       Media(id, "image", header ++ body)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // REAL compressed-codec decode: PNG through the JDK's built-in
+  // `javax.imageio` (zero new dependencies — the sandbox ships no
+  // external image libs, but ImageIO's PNG/JPEG/BMP readers are part of
+  // the JDK itself). Where [[decodePpm]] certified hand-rolled parse
+  // arithmetic on an uncompressed format, this certifies the seam a real
+  // corpus needs: an actual DEFLATE-compressed codec behind the same
+  // per-partition batch shape and the same planted-formula oracle.
+  // ------------------------------------------------------------------
+
+  /** Decode any ImageIO-supported raster (PNG here; the JDK reader set
+    * also covers JPEG/BMP/GIF) to the same [[Raster]] feature contract as
+    * [[decodePpm]]: dimensions + the exact sum of 8-bit R,G,B channel
+    * values over all pixels, row-major. None on undecodable bytes.
+    *
+    * PNG is lossless, so planted pixel formulas survive the
+    * encode→decode round trip EXACTLY — the decoded features certify
+    * real inflate+unfilter work against an external oracle that never
+    * ran the codec ([[plantedPng]]). JPEG would not (lossy), which is
+    * why the planted fixture standardizes on PNG. */
+  def decodeImage(bytes: Array[Byte]): Option[Raster] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None // unrecognized magic: not a supported raster
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y) // sRGB-packed, alpha ignored
+            sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        Some(Raster(w, h, 255, sum))
+      }
+    } catch { case _: Exception => None }
+
+  /** PNG-decode feature extraction — identical output contract to
+    * [[featuresPpm]] (same DecodedFeatures schema, same integer mean
+    * quantization) over [[decodeImage]]. The per-partition init is REAL
+    * here: ImageIO's disk-backed stream cache is disabled once per
+    * partition, not per row — the decoder-state-per-partition pattern
+    * the stub documents. */
+  def featuresPng(media: Dataset[Media]): Dataset[DecodedFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { m =>
+        decodeImage(m.bytes).map { r =>
+          val n = r.width.toLong * r.height * 3
+          DecodedFeatures(m.id, r.width.toLong, r.height.toLong, r.pixelSum,
+            (r.pixelSum * 10000L + n / 2) / n)
+        }
+      }
+    }
+  }
+
+  /** Planted PNG payloads: the SAME pixel formula as [[plantedPpm]]
+    * (`w = 1 + id%7`, `h = 1 + id%5`, channel k = (id*31 + 7k) mod 256,
+    * row-major RGB) rendered into a real PNG via ImageIO — so the
+    * mm_decode oracle's formula replay certifies both decoders
+    * unchanged, and any inflate/unfilter defect shows up as a hash
+    * mismatch. Encoding is row-local (no shuffle); PNG's losslessness is
+    * what licenses sharing the oracle. */
+  def plantedPng(spark: SparkSession, documents: DataFrame): Dataset[Media] = {
+    import spark.implicits._
+    documents.select(col("doc_id").cast("long")).as[Long].mapPartitions { ids =>
+      javax.imageio.ImageIO.setUseCache(false)
+      ids.map { id =>
+        val w = (1 + id % 7).toInt
+        val h = (1 + id % 5).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val k0 = 3L * (y.toLong * w + x)
+            val r = ((id * 31 + 7L * k0) % 256).toInt
+            val g = ((id * 31 + 7L * (k0 + 1)) % 256).toInt
+            val b = ((id * 31 + 7L * (k0 + 2)) % 256).toInt
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+            x += 1
+          }
+          y += 1
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        require(javax.imageio.ImageIO.write(img, "png", out),
+          "JDK PNG writer missing — ImageIO always ships one")
+        Media(id, "image", out.toByteArray)
+      }
     }
   }
 

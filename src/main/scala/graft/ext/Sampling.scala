@@ -110,9 +110,12 @@ object Sampling {
     *
     * Scale shape: one tiny per-source count aggregate (collected with a
     * loud cap — sources are metadata, documents are not), rates compiled
-    * into a literal `when` chain, membership = the same scan-resident
-    * content-hash predicate as [[hashSample]]. No join, no shuffle
-    * beyond the count.
+    * into a single literal-map lookup (`element_at` on a `typedLit` map —
+    * a `when`-chain at the 10k-source cap builds a ~10k-deep nested
+    * CaseWhen that overflows Catalyst's recursive transforms long before
+    * the loud cap fires; one flat map literal has constant tree depth),
+    * membership = the same scan-resident content-hash predicate as
+    * [[hashSample]]. No join, no shuffle beyond the count.
     *
     * `targetNum/targetDen` is the overall sampled fraction of N (e.g.
     * 1/2 → keep about half the corpus, redistributed across sources by
@@ -147,12 +150,15 @@ object Sampling {
       val r = (BigInt(target) * qs * 1000000L / (BigInt(w) * n)).toLong
       (s, r / 1000000L, r % 1000000L) // (source, whole epochs, remainder)
     }
-    val epochs = rates.foldLeft(lit(0L)) { case (acc, (s, e, _)) =>
-      when(col(sourceCol) === lit(s), lit(e)).otherwise(acc)
-    }
-    val rem = rates.foldLeft(lit(0L)) { case (acc, (s, _, r)) =>
-      when(col(sourceCol) === lit(s), lit(r)).otherwise(acc)
-    }
+    // missing keys are impossible (the count aggregate covered every
+    // source and rejected nulls) but coalesce keeps the closed-world
+    // default the when-chain's otherwise(0) used to provide
+    val epochs = coalesce(
+      element_at(typedLit(rates.map { case (s, e, _) => (s, e) }.toMap),
+        col(sourceCol)), lit(0L))
+    val rem = coalesce(
+      element_at(typedLit(rates.map { case (s, _, r) => (s, r) }.toMap),
+        col(sourceCol)), lit(0L))
     df.select(col(idCol), col(sourceCol),
         (epochs + when(bucket(col(textCol), 1000000) < rem, lit(1L))
           .otherwise(lit(0L))).as("copies"))

@@ -283,6 +283,22 @@ object CellOps {
     }
     bestJ
   }
+
+  /** Null-element-tolerant variant (the [[JlOps.projectNullable]] dual):
+    * any null input slot nulls the whole cell id — every cell's distance
+    * fold reads every slot, so a null slot poisons all k accumulators
+    * exactly as the interpreted `aggregate`+`array_min` it replaced
+    * propagated null. Returns a boxed Integer so codegen can branch. */
+  def argminNullable(v: ArrayData, isFloat: Boolean,
+                     cents: Array[Array[Double]]): java.lang.Integer = {
+    val n = v.numElements()
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) return null
+      i += 1
+    }
+    Integer.valueOf(argmin(v, isFloat, cents))
+  }
 }
 
 /** Codegen'd nearest-centroid assignment against a literal centroid
@@ -299,16 +315,24 @@ object CellOps {
   * whole-stage codegen — same arithmetic, same tiebreak, bit-identical
   * (property-tested vs the in-memory Lloyd model).
   *
-  * Null contract: null vector → null cell; vectors shorter than the
-  * centroid dimensionality are a caller bug surfaced as the same
-  * ArrayIndexOutOfBounds the interpreted fold would hide as null — the
-  * corpus contract everywhere here is fixed-dim non-null vectors. */
+  * Null contract: null vector → null cell; a null input SLOT (possible
+  * only when the array type declares containsNull) → null cell, matching
+  * the null poisoning of the interpreted fold (every cell's distance
+  * reads every slot). Vectors shorter than the centroid dimensionality
+  * are a caller bug surfaced as the same ArrayIndexOutOfBounds the
+  * interpreted fold would hide as null — the corpus contract everywhere
+  * here is fixed-dim vectors. */
 case class CellArgmin(child: Expression, cents: Seq[Seq[Double]])
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   private def elemIsFloat: Boolean = child.dataType match {
     case ArrayType(FloatType, _) => true
     case _                       => false
+  }
+
+  private def elemsNullable: Boolean = child.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _                          => false
   }
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -322,19 +346,27 @@ case class CellArgmin(child: Expression, cents: Seq[Seq[Double]])
   }
 
   override def dataType: DataType = IntegerType
-  override def nullable: Boolean = child.nullable
+  override def nullable: Boolean = child.nullable || elemsNullable
 
   @transient private lazy val matrix: Array[Array[Double]] =
     cents.map(_.toArray).toArray
 
   override def nullSafeEval(a: Any): Any =
-    CellOps.argmin(a.asInstanceOf[ArrayData], elemIsFloat, matrix)
+    if (elemsNullable)
+      CellOps.argminNullable(a.asInstanceOf[ArrayData], elemIsFloat, matrix)
+    else CellOps.argmin(a.asInstanceOf[ArrayData], elemIsFloat, matrix)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val f = elemIsFloat.toString
     val m = ctx.addReferenceObj("graftCents", matrix, "double[][]")
-    nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = graft.functions.CellOps.argmin($a, $f, $m);")
+    if (elemsNullable)
+      nullSafeCodeGen(ctx, ev, a => s"""
+        java.lang.Integer graftCell = graft.functions.CellOps.argminNullable($a, $f, $m);
+        if (graftCell == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = graftCell.intValue(); }""")
+    else
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.CellOps.argmin($a, $f, $m);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): CellArgmin =

@@ -60,7 +60,11 @@ trait CommitPrimitive {
 /** Single-filesystem impl: write fully to a temp name in the same
   * directory, then `Files.createLink` it into place — POSIX link(2) is
   * atomic and create-exclusive, so it either publishes the complete
-  * file or fails because the name was taken. */
+  * file or fails because the name was taken. (Atomic RENAME would not
+  * do: rename(2) silently REPLACES an existing target, so the
+  * exclusivity check would be a non-atomic pre-check and two racing
+  * writers could both "win" — link(2) is the one POSIX call whose
+  * failure IS the conflict detection.) */
 object PosixLinkPrimitive extends CommitPrimitive {
   def publishExclusive(target: Path, bytes: Array[Byte]): Unit = {
     val tmp = target.getParent
@@ -68,6 +72,32 @@ object PosixLinkPrimitive extends CommitPrimitive {
     Files.write(tmp, bytes)
     try Files.createLink(target, tmp)
     finally Files.deleteIfExists(tmp): Unit
+  }
+}
+
+/** Object-store-shaped impl: the commit decision is a conditional PUT —
+  * `putIfAbsent` on a strongly-consistent key space (here an in-process
+  * map standing in for the store's `If-None-Match: *` / precondition
+  * API), with the byte write FOLLOWING the won race. That ordering is
+  * the point: in an object store the key space, not the filesystem, is
+  * the source of truth, so the file write needs no atomicity of its own
+  * — a second writer already lost at the PUT. This is the second live
+  * implementation of the port seam (not a test double): swapping the
+  * `ConcurrentHashMap` for an S3/GCS precondition call is a one-line
+  * change, and the OCC race suite (`TxTableSpec`) runs the SAME
+  * contention property over both primitives.
+  *
+  * Scope: one namespace per JVM (`ConcurrentHashMap` semantics — the
+  * strong CAS every real object store provides across processes). Use
+  * [[PosixLinkPrimitive]] when multiple DRIVER PROCESSES share a POSIX
+  * table; this primitive models/serves the object-store deployment. */
+class CondPutPrimitive extends CommitPrimitive {
+  private val claims =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  def publishExclusive(target: Path, bytes: Array[Byte]): Unit = {
+    if (claims.putIfAbsent(target.toString, java.lang.Boolean.TRUE) != null)
+      throw new java.nio.file.FileAlreadyExistsException(target.toString)
+    Files.write(target, bytes): Unit
   }
 }
 

@@ -42,7 +42,7 @@ object StreamSources {
     * exactly `value ∈ [i·rowsPerBatch, (i+1)·rowsPerBatch)`, and every
     * column derives from `value` by formula — one event per minute from
     * the epoch, users cycling mod 97, types cycling view/click/purchase,
-    * a two-decimal value — so an external model recomputes any prefix's
+    * a one-decimal value in [0.0, 99.9] — so an external model recomputes any prefix's
     * aggregate exactly (the planted-fixture discipline of `plantedPpm`
     * and the JL sign matrix, applied to an unbounded source). */
   def rateEvents(spark: SparkSession, rowsPerBatch: Int = 100): DataFrame = {

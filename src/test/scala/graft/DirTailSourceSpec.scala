@@ -1,0 +1,117 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The custom DataSource V2 micro-batch source (`graft-dirtail`):
+  * deterministic offsets over an immutable sorted file listing. The
+  * properties that make it a SOURCE rather than a file reader —
+  * offset determinism, replay equality, checkpoint resume picking up
+  * exactly the unseen suffix — are each asserted directly. */
+class DirTailSourceSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("kind", StringType),
+    StructField("score", DoubleType), StructField("ts", TimestampType)))
+
+  private def writeFile(dir: Path, name: String, rows: Seq[String]): Unit =
+    Files.write(dir.resolve(name),
+      rows.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8)): Unit
+
+  private def line(id: Long): String =
+    s"""{"id":$id,"kind":"k${id % 3}","score":${id}.5,"ts":${id * 1000000L}}"""
+
+  private def drainOnce(src: Path, out: Path, ckpt: Path): Unit = {
+    val q = spark.readStream.format("graft-dirtail").schema(schema)
+      .option("path", src.toString).load()
+      .writeStream.format("parquet")
+      .option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  test("drains a directory exactly once with typed rows") {
+    val src = Files.createTempDirectory("dirtail-src")
+    val out = Files.createTempDirectory("dirtail-out")
+    val ckpt = Files.createTempDirectory("dirtail-ckpt")
+    writeFile(src, "part-0001.jsonl", (0L until 5L).map(line))
+    writeFile(src, "part-0002.jsonl", (5L until 9L).map(line))
+    // staged + foreign files must be invisible
+    writeFile(src, ".tmp-staging.jsonl", Seq(line(999)))
+    writeFile(src, "notes.txt", Seq("not data"))
+
+    drainOnce(src, out, ckpt)
+    val got = spark.read.schema(schema).parquet(out.toString)
+    assert(got.count() == 9)
+    val r4 = got.filter(col("id") === 4L).head()
+    assert(r4.getString(1) == "k1" && r4.getDouble(2) == 4.5)
+    assert(r4.getTimestamp(3).toInstant.getEpochSecond == 4L)
+  }
+
+  test("checkpoint resume reads exactly the unseen file suffix") {
+    val src = Files.createTempDirectory("dirtail-src")
+    val out = Files.createTempDirectory("dirtail-out")
+    val ckpt = Files.createTempDirectory("dirtail-ckpt")
+    writeFile(src, "a.jsonl", (0L until 3L).map(line))
+    drainOnce(src, out, ckpt)
+    // two new files arrive; the old one is NOT re-read (same checkpoint)
+    writeFile(src, "b.jsonl", (3L until 6L).map(line))
+    writeFile(src, "c.jsonl", (6L until 8L).map(line))
+    drainOnce(src, out, ckpt)
+    val ids = spark.read.schema(schema).parquet(out.toString)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == (0L until 8L), s"resume re-read or skipped rows: $ids")
+  }
+
+  test("offsets replay the identical file slice (determinism)") {
+    val src = Files.createTempDirectory("dirtail-src")
+    writeFile(src, "a.jsonl", Seq(line(1)))
+    writeFile(src, "b.jsonl", Seq(line(2)))
+    writeFile(src, "c.jsonl", Seq(line(3)))
+    val stream = new graft.sources.DirTailStream(schema, src.toString)
+    val s = stream.deserializeOffset("1")
+    val e = stream.deserializeOffset("3")
+    def slice() = stream.planInputPartitions(s, e)
+      .map(_.asInstanceOf[graft.sources.DirTailPartition].file).toSeq
+    val first = slice()
+    assert(first.map(f => f.substring(f.lastIndexOf('/') + 1)) ==
+      Seq("b.jsonl", "c.jsonl"))
+    assert(slice() == first, "same offsets must plan the same files")
+    // an offset past the listing is a loud contract violation, not a skip
+    val over = intercept[IllegalArgumentException] {
+      stream.planInputPartitions(s, stream.deserializeOffset("9")): Unit
+    }
+    assert(over.getMessage.contains("immutable"))
+  }
+
+  test("rejects schemaless reads and unsupported field types loudly") {
+    val noSchema = intercept[IllegalArgumentException] {
+      spark.readStream.format("graft-dirtail")
+        .option("path", "/tmp/x").load(): Unit
+    }
+    assert(noSchema.getMessage.contains("schema"))
+    val badType = intercept[IllegalArgumentException] {
+      spark.readStream.format("graft-dirtail")
+        .schema(StructType(Seq(StructField("v", ArrayType(LongType)))))
+        .option("path", "/tmp/x").load(): Unit
+    }
+    assert(badType.getMessage.contains("unsupported type"))
+  }
+
+  test("malformed JSON fails the batch loudly instead of dropping rows") {
+    val src = Files.createTempDirectory("dirtail-src")
+    val out = Files.createTempDirectory("dirtail-out")
+    val ckpt = Files.createTempDirectory("dirtail-ckpt")
+    writeFile(src, "a.jsonl", Seq(line(1), "{not json"))
+    val thrown = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drainOnce(src, out, ckpt)
+    }
+    assert(thrown.toString.contains("malformed JSON") ||
+      Option(thrown.getCause).exists(_.toString.contains("malformed JSON")))
+  }
+}

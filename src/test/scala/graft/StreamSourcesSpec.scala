@@ -86,9 +86,13 @@ class StreamSourcesSpec extends SparkSpec {
       val df = StreamSources.kafkaEvents(spark, "broker:9092", "events")
       df.isStreaming // connector present: a real streaming frame
     } catch {
+      // absent: accept ONLY the DataSource-resolution failure for the
+      // missing connector (a substring match on "kafka" would also pass
+      // for a real wiring bug whose error merely names the source)
       case e: Throwable =>
-        val m = e.toString.toLowerCase
-        m.contains("kafka") // absent: the resolution error names the source
+        val m = e.toString
+        m.contains("Failed to find data source: kafka") ||
+          m.contains("DATA_SOURCE_NOT_FOUND")
     }
     assert(ok)
   }

@@ -296,26 +296,39 @@ class TxTableSpec extends SparkSpec {
     assert(e.getMessage == "task 5 failed")
   }
 
-  /** In-memory conditional-PUT double: the object-store shape of the
-    * commit primitive — putIfAbsent on a shared map serializes the OCC
-    * decision, then the winner writes the file (non-atomically, which
-    * is fine: the map, not the filesystem, is the source of truth for
-    * the race, exactly like an If-None-Match PUT). */
-  private class ConditionalPutPrimitive extends graft.sources.CommitPrimitive {
-    val puts =
-      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
-    def publishExclusive(target: java.nio.file.Path,
-                         bytes: Array[Byte]): Unit = {
-      if (puts.putIfAbsent(target.toString, java.lang.Boolean.TRUE) != null)
-        throw new java.nio.file.FileAlreadyExistsException(target.toString)
-      Files.write(target, bytes): Unit
+  test("two-writer publishExclusive contention: exactly one PUT wins") {
+    // direct contention on the PRIMITIVE (below, the same race runs
+    // through the full commit protocol): two threads publish the same
+    // target simultaneously, many rounds; exactly one must succeed and
+    // the loser must see FileAlreadyExistsException every time
+    val prims = Seq[(String, () => graft.sources.CommitPrimitive)](
+      "posix" -> (() => graft.sources.PosixLinkPrimitive),
+      "condput" -> (() => new graft.sources.CondPutPrimitive))
+    prims.foreach { case (name, mk) =>
+      val prim = mk()
+      (0 until 25).foreach { round =>
+        val dir = Files.createTempDirectory("graft-prim-race")
+        val target = dir.resolve(s"v$round.json")
+        val gate = new java.util.concurrent.CountDownLatch(1)
+        val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+        val losses = new java.util.concurrent.atomic.AtomicInteger(0)
+        val ts = (1 to 2).map(i => new Thread(() => {
+          gate.await()
+          try { prim.publishExclusive(target, Array[Byte](i.toByte)); wins.incrementAndGet(): Unit }
+          catch { case _: java.nio.file.FileAlreadyExistsException => losses.incrementAndGet(): Unit }
+        }))
+        ts.foreach(_.start()); gate.countDown(); ts.foreach(_.join())
+        assert(wins.get() == 1 && losses.get() == 1,
+          s"$name round $round: ${wins.get()} winners")
+        assert(Files.size(target) == 1L, s"$name: torn/partial publish")
+      }
     }
   }
 
   test("OCC race: exactly one winner per version under both primitives") {
     val doubles = Seq(
       "posix" -> graft.sources.PosixLinkPrimitive,
-      "condput" -> new ConditionalPutPrimitive)
+      "condput" -> new graft.sources.CondPutPrimitive)
     doubles.foreach { case (name, prim) =>
       val tbl = tmpTable()
       TxTable.commit(frame(0L), tbl, "overwrite", primitive = prim)
