@@ -51,6 +51,19 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None        => SparkEntry.queries
     }
+    // Contention sentinel: the same trivial query timed immediately
+    // before and after the measured block. Identical code at both ends
+    // means any start/end divergence is MACHINE LOAD, not the queries —
+    // BENCH_r11 was 5-43x inflated by a contended rig and r9/r10 each
+    // burned a round on the same noise. A ratio (slow/fast) above ~2x
+    // says: discard this run and re-bench on an idle machine.
+    def sentinelProbe(): Double = {
+      val t0 = System.nanoTime()
+      try SparkEntry.queries("filter_eq")(spark, sfDir).count()
+      catch { case _: Throwable => -1L }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val sentinelStart = sentinelProbe()
     // Fixed lexicographic execution order: Map iteration order moved ~1s of
     // residual JIT/codegen absorption between small queries from run to run
     // (BENCH_r03's apparent filter_in/count_all regressions), hiding real
@@ -65,10 +78,21 @@ object Bench {
       graft.ext.Dedup.unpersistAll()
       name -> sec
     }
+    val sentinelEnd = sentinelProbe()
+    val sentinelRatio =
+      if (sentinelStart > 0 && sentinelEnd > 0)
+        math.max(sentinelStart, sentinelEnd) /
+          math.min(sentinelStart, sentinelEnd)
+      else -1.0
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","sentinel":{"start":$sentinelStart,"end":$sentinelEnd,"ratio":$sentinelRatio}}""")
+    if (sentinelRatio > 2.0)
+      System.err.println(f"[bench] WARNING: sentinel ratio $sentinelRatio%.2f " +
+        "> 2x (start " + f"$sentinelStart%.3f" + "s vs end " +
+        f"$sentinelEnd%.3f" + "s): the machine was NOT idle during this " +
+        "run — per-query numbers are contaminated, re-run on a quiet rig")
     spark.stop()
   }
 }

@@ -1348,9 +1348,10 @@ object SparkEntry {
           k = 3)
         .orderBy("doc_id", "rnk")),
     // ----- hybrid lexical+vector retrieval with reciprocal-rank fusion
-    // (Retrieval scaladoc: top-C per retriever via TakeOrderedAndProject,
-    // integer tf·idf_q6 lexical score, q4 cosine, Σ floor(1e9/(60+rank))
-    // fusion — the RAG serving topology as one certified query) -----
+    // (Retrieval scaladoc: per-query top-C via WindowGroupLimit, EXACT
+    // BM25 lexical score — bm25TopTerms' integer rational — q4 cosine,
+    // Σ floor(1e9/(60+rank)) fusion — the RAG serving topology as one
+    // certified query) -----
     "search_hybrid" -> ((s: SparkSession, dir: String) => {
       val emb = Tables.embeddings(s, dir)
       graft.ext.Retrieval.hybridTopK(
@@ -1359,6 +1360,26 @@ object SparkEntry {
           queryTerms = Seq("data", "query", "join"),
           queryVec = queryVec(emb), k = 10, candidates = 50)
         .orderBy(col("rrf_score").desc, col("id").asc)
+    }),
+    // ----- the batched serving shape: three queries ride ONE broadcast
+    // frame (terms + vectors — the sim_knn probe-batch pattern), the
+    // corpus is scanned once per side, and every rank is per-query
+    // partitioned (WindowGroupLimit prunes to C before any shuffle) -----
+    "search_hybrid_batch" -> ((s: SparkSession, dir: String) => {
+      val emb = Tables.embeddings(s, dir)
+      val qv = queryVecs(emb, Seq(0L, 1L, 2L))
+      graft.ext.Retrieval.hybridTopKBatch(
+          Tables.documents(s, dir), "doc_id", "text",
+          emb, "vec_id", "embedding",
+          Seq(
+            graft.ext.Retrieval.RetrievalQuery(0L,
+              Seq("data", "query", "join"), qv(0L)),
+            graft.ext.Retrieval.RetrievalQuery(1L,
+              Seq("spark", "table", "scan"), qv(1L)),
+            graft.ext.Retrieval.RetrievalQuery(2L,
+              Seq("stream", "window"), qv(2L))),
+          k = 10, candidates = 50)
+        .orderBy(col("query_id").asc, col("rrf_score").desc, col("id").asc)
     }),
     // ----- inverted-index postings: df band [2,50] applied before any
     // posting materializes, lists capped at 10 via WindowGroupLimit -----
@@ -1866,6 +1887,14 @@ object SparkEntry {
   private def queryVec(emb: DataFrame): Seq[Double] =
     emb.where(col("vec_id") === 0).select(col("embedding"))
       .head().getSeq[Float](0).map(_.toDouble)
+
+  /** Batch variant: the embeddings of `ids`, collected once (|ids| rows —
+    * the broadcast probe batch, metadata-sized like [[queryVec]]). */
+  private def queryVecs(emb: DataFrame, ids: Seq[Long]): Map[Long, Seq[Double]] =
+    emb.where(col("vec_id").isin(ids: _*))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq)
+      .toMap
 
   // =========================================================================
   // DuckDB oracles — same parquet tables, ANSI-ish SQL. Column names and
@@ -4138,21 +4167,29 @@ object SparkEntry {
          |)
          |SELECT doc_id, rnk, term, score FROM ranked
          |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin),
-    // replay both retrievers' top-50 lists (integer tf·idf_q6 lexical,
-    // q4 cosine) and the integer RRF fusion over them
+    // replay both retrievers' top-50 lists (EXACT BM25 lexical — the
+    // text_bm25 integer rational with dl = full token count — q4
+    // cosine) and the integer RRF fusion over them
     "search_hybrid" ->
-      ("""WITH n AS (SELECT count(*) AS nn FROM documents),
-         |occ AS (
-         |  SELECT doc_id AS id, unnest(string_split(text, ' ')) AS term
+      ("""WITH occ AS (
+         |  SELECT doc_id AS id, len(string_split(text, ' ')) AS dl,
+         |         unnest(string_split(text, ' ')) AS term
          |  FROM documents
          |), tf AS (
-         |  SELECT id, term, count(*) AS tf FROM occ
+         |  SELECT id, term, count(*) AS tf, max(dl) AS dl FROM occ
          |  WHERE term IN ('data', 'query', 'join') GROUP BY id, term
          |), dfreq AS (SELECT term, count(*) AS df_docs FROM tf GROUP BY term),
-         |lex AS (
-         |  SELECT id,
-         |    sum(tf * (((SELECT nn FROM n) * 1000000) // df_docs)) AS lex_score
-         |  FROM tf JOIN dfreq USING (term) GROUP BY id
+         |tot AS (
+         |  SELECT count(*) AS n, sum(len(string_split(text, ' '))) AS s
+         |  FROM documents
+         |), lex AS (
+         |  SELECT id, sum(CAST(floor(
+         |      CAST(22 * tot.s * tf.tf AS DOUBLE) /
+         |      CAST(10 * tot.s * tf.tf + 3 * tot.s + 9 * tf.dl * tot.n
+         |           AS DOUBLE) *
+         |      CAST((tot.n * 1000000) // dfreq.df_docs AS DOUBLE)
+         |      + 0.5) AS BIGINT)) AS lex_score
+         |  FROM tf JOIN dfreq USING (term), tot GROUP BY id
          |), lextop AS (
          |  SELECT id, CAST(row_number() OVER (ORDER BY lex_score DESC, id)
          |    AS BIGINT) AS lex_rank
@@ -4179,6 +4216,71 @@ object SparkEntry {
          |  lex_rank, vec_rank
          |FROM lextop FULL OUTER JOIN vectop USING (id)
          |ORDER BY rrf_score DESC, id LIMIT 10""".stripMargin),
+    // three queries through the same replay: broadcast query/term table,
+    // per-query BM25 + cosine ranks, per-query RRF top-10
+    "search_hybrid_batch" ->
+      ("""WITH queries(query_id, term) AS (
+         |  SELECT CAST(q AS BIGINT), t FROM (VALUES
+         |    (0, 'data'), (0, 'query'), (0, 'join'),
+         |    (1, 'spark'), (1, 'table'), (1, 'scan'),
+         |    (2, 'stream'), (2, 'window')) v(q, t)
+         |), qv AS (
+         |  SELECT CAST(vec_id AS BIGINT) AS query_id,
+         |         CAST(embedding AS DOUBLE[]) AS qe
+         |  FROM embeddings WHERE vec_id IN (0, 1, 2)
+         |), occ AS (
+         |  SELECT doc_id AS id, len(string_split(text, ' ')) AS dl,
+         |         unnest(string_split(text, ' ')) AS term
+         |  FROM documents
+         |), tf AS (
+         |  SELECT q.query_id, o.id, o.term, count(*) AS tf, max(o.dl) AS dl
+         |  FROM occ o JOIN queries q USING (term)
+         |  GROUP BY q.query_id, o.id, o.term
+         |), dfreq AS (
+         |  SELECT term, count(*) AS df_docs
+         |  FROM (SELECT DISTINCT term, id FROM tf) GROUP BY term
+         |), tot AS (
+         |  SELECT count(*) AS n, sum(len(string_split(text, ' '))) AS s
+         |  FROM documents
+         |), lex AS (
+         |  SELECT query_id, id, sum(CAST(floor(
+         |      CAST(22 * tot.s * tf.tf AS DOUBLE) /
+         |      CAST(10 * tot.s * tf.tf + 3 * tot.s + 9 * tf.dl * tot.n
+         |           AS DOUBLE) *
+         |      CAST((tot.n * 1000000) // dfreq.df_docs AS DOUBLE)
+         |      + 0.5) AS BIGINT)) AS lex_score
+         |  FROM tf JOIN dfreq USING (term), tot GROUP BY query_id, id
+         |), lextop AS (
+         |  SELECT query_id, id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY lex_score DESC, id) AS BIGINT) AS lex_rank
+         |  FROM lex
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY lex_score DESC, id) <= 50
+         |), vec AS (
+         |  SELECT qv.query_id, vec_id AS id,
+         |    round(list_dot_product(CAST(embedding AS DOUBLE[]), qe) /
+         |      (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                             CAST(embedding AS DOUBLE[]))) *
+         |       sqrt(list_dot_product(qe, qe))), 4) AS sim
+         |  FROM embeddings, qv
+         |), vectop AS (
+         |  SELECT query_id, id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, id) AS BIGINT) AS vec_rank
+         |  FROM vec
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY sim DESC, id) <= 50
+         |)
+         |SELECT query_id, id,
+         |  CAST(coalesce(1000000000 // (60 + lex_rank), 0)
+         |     + coalesce(1000000000 // (60 + vec_rank), 0) AS BIGINT)
+         |    AS rrf_score,
+         |  lex_rank, vec_rank
+         |FROM lextop FULL OUTER JOIN vectop USING (query_id, id)
+         |QUALIFY row_number() OVER (PARTITION BY query_id
+         |  ORDER BY rrf_score DESC, id) <= 10
+         |ORDER BY query_id, rrf_score DESC, id""".stripMargin),
     // same df band [2,50] before any posting materializes, same cap-10
     // rank over doc_id (unique per term, so the order is total)
     "index_postings" ->

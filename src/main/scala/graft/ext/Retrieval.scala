@@ -1,83 +1,145 @@
 package graft.ext
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Hybrid lexical + vector retrieval with reciprocal-rank fusion — the
   * standard RAG serving topology (Cormack et al. 2009's RRF over a BM25
   * list and an ANN list): each retriever contributes its top-C ranked
-  * candidates, and fusion scores a document `Σ 1/(rrfK + rank)` over the
-  * lists it appears in. Rank fusion deliberately ignores raw score
-  * scales — the two retrievers' scores are incomparable, their RANKS are
-  * not.
+  * candidates per query, and fusion scores a document
+  * `Σ 1/(rrfK + rank)` over the lists it appears in. Rank fusion
+  * deliberately ignores raw score scales — the two retrievers' scores
+  * are incomparable, their RANKS are not.
   *
-  * Engine-exact arithmetic: the lexical score is the integer
-  * tf·idf_q6 sum (idf_q6 = N·10⁶ div df, [[TextStats.tfidfTopTerms]]'s
-  * quantization), the cosine is the repo-standard round(·,4) double, and
-  * the fused score is `Σ floor(10⁹/(rrfK + rank))` — pure integer, no
-  * float drift across engines.
+  * Engine-exact arithmetic: the lexical score is the EXACT BM25 of
+  * [[TextStats.bm25TopTerms]] — the k1=6/5, b=3/4 tf side cleared into
+  * the integer rational `22·S·tf / (10·S·tf + 3·S + 9·dl·N)` (one
+  * IEEE-identical double division), times the integer-quantized
+  * idf_q6 = N·10⁶ div df, floor(·+0.5)-rounded and SUMMED over the
+  * query's terms. The cosine is the repo-standard round(·,4) double,
+  * and the fused score is `Σ floor(10⁹/(rrfK + rank))` — integers end
+  * to end, no float drift across engines.
   *
-  * Scale shape: each side reduces to its top-C by
-  * `orderBy(...).limit(C)` — planned as TakeOrderedAndProject (per-
-  * partition top-C then a C-row driver merge, never a global sort) — so
-  * the fusion join touches 2·C rows no matter the corpus size; the
-  * lexical tf aggregate only materializes the query terms' postings
-  * (filter-before-groupBy), and the vector side is one scan with the
-  * codegen'd [[graft.functions.ArrayDot]]. A full-corpus rank would be
-  * the anti-pattern: RRF only ever reads the heads of the lists. */
+  * Scale shape, per batch of Q queries:
+  *   - the query set rides a BROADCAST frame (terms and vectors are
+  *     driver metadata, like `sim_knn`'s probe batch) — the corpus is
+  *     scanned, never replicated per query beyond the Q-way multiply;
+  *   - the lexical tf aggregate materializes only the query terms'
+  *     postings (broadcast semi-join BEFORE the groupBy), and document
+  *     length rides the same scan (`size(tokens)` computed next to the
+  *     explode) so no corpus-wide length join exists;
+  *   - per-query top-C ranks use `row_number` over
+  *     `partitionBy(query_id)` with the rank filter adjacent — Spark 4
+  *     plans WindowGroupLimit (per-partition prune to C before the
+  *     shuffle), so the fusion join touches 2·C·Q rows at any corpus
+  *     size. A full-corpus rank would be the anti-pattern: RRF only
+  *     ever reads the heads of the lists. */
 object Retrieval {
 
-  /** Fused top-k: (id, rrf_score, lex_rank, vec_rank) — ranks are null
-    * for a document only one retriever surfaced. */
+  /** One retrieval query: an id the caller chooses, its lexical terms,
+    * its embedding-space vector. */
+  final case class RetrievalQuery(queryId: Long, terms: Seq[String],
+                                  vec: Seq[Double])
+
+  /** Batched fused top-k: (query_id, id, rrf_score, lex_rank, vec_rank)
+    * — ranks are null for a document only one retriever surfaced. */
+  def hybridTopKBatch(docs: DataFrame, docIdCol: String, textCol: String,
+                      emb: DataFrame, vecIdCol: String, vecCol: String,
+                      queries: Seq[RetrievalQuery],
+                      k: Int = 10, candidates: Int = 50,
+                      rrfK: Int = 60): DataFrame = {
+    require(queries.nonEmpty, "need at least one query")
+    require(queries.map(_.queryId).distinct.size == queries.size,
+      "query ids must be unique")
+    queries.foreach { q =>
+      require(q.terms.nonEmpty, s"query ${q.queryId}: need at least one term")
+      require(q.vec.nonEmpty, s"query ${q.queryId}: need a non-empty vector")
+    }
+    require(k > 0 && candidates >= k, s"need 0 < k <= candidates")
+    val s = docs.sparkSession
+    import s.implicits._
+
+    // ---- lexical side: exact BM25 over the query terms only ----
+    // (query_id, term) pairs as a broadcast frame: the semi-join replaces
+    // an isin() so one corpus explode serves every query in the batch
+    val qterms = broadcast(
+      queries.flatMap(q => q.terms.distinct.map(t => (q.queryId, t)))
+        .toDF("query_id", "term"))
+    val toks = TextStats.toks(col(textCol))
+    // dl (doc token count) rides the exploding scan — no corpus-wide
+    // length join; S and N are one broadcast totals row from a second
+    // scan-side aggregate
+    val occ = docs.select(col(docIdCol).as("id"),
+        size(toks).cast("long").as("dl"), explode(toks).as("term"))
+      .join(qterms, "term")
+    val tf = occ.groupBy(col("query_id"), col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    // df is a CORPUS property of the term (shared across queries)
+    val dfreq = tf.select(col("term"), col("id")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df_docs"))
+    val tot = docs.agg(count(lit(1)).as("__n"),
+      sum(size(toks).cast("long")).as("__s"))
+    // TextStats.bm25TopTerms' exact rational, verbatim
+    val num = lit(22L) * col("__s") * col("tf")
+    val den = lit(10L) * col("__s") * col("tf") + lit(3L) * col("__s") +
+      lit(9L) * col("dl") * col("__n")
+    val idf = expr("(__n * 1000000) div df_docs")
+    val w = floor(num.cast("double") / den.cast("double") *
+      idf.cast("double") + lit(0.5)).cast("long")
+    val lex = tf.join(dfreq, "term").crossJoin(broadcast(tot))
+      .withColumn("__w", w)
+      .groupBy(col("query_id"), col("id"))
+      .agg(sum(col("__w")).as("lex_score"))
+    val lexTop = lex
+      .withColumn("lex_rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("lex_score").desc, col("id").asc)).cast("long"))
+      .filter(col("lex_rank") <= candidates)
+      .select(col("query_id"), col("id"), col("lex_rank"))
+
+    // ---- vector side: q4 cosine vs the broadcast query-vector batch ----
+    val qvecs = broadcast(
+      queries.map(q => (q.queryId, q.vec,
+          math.sqrt(q.vec.foldLeft(0.0)((a, x) => a + x * x))))
+        .toDF("query_id", "qvec", "qnorm"))
+    val v = Similarity.asDouble(col(vecCol))
+    val cos = round(
+      graft.functions.VectorFunctions.array_dot(v, col("qvec")) /
+        (sqrt(graft.functions.VectorFunctions.array_dot(v, v)) *
+          col("qnorm")), 4)
+    val vecTop = emb.crossJoin(qvecs)
+      .select(col("query_id"), col(vecIdCol).as("id"), cos.as("sim"))
+      .withColumn("vec_rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("id").asc)).cast("long"))
+      .filter(col("vec_rank") <= candidates)
+      .select(col("query_id"), col("id"), col("vec_rank"))
+
+    // ---- RRF fusion over the two C-row lists per query ----
+    val fused = lexTop.join(vecTop, Seq("query_id", "id"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(expr(s"1000000000 div ($rrfK + lex_rank)"), lit(0L)) +
+          coalesce(expr(s"1000000000 div ($rrfK + vec_rank)"), lit(0L)))
+    fused
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("rrf_score").desc, col("id").asc)))
+      .filter(col("__r") <= k)
+      .select(col("query_id"), col("id"), col("rrf_score"),
+        col("lex_rank"), col("vec_rank"))
+  }
+
+  /** Single-query fused top-k: (id, rrf_score, lex_rank, vec_rank) —
+    * a batch of one (same plan shape; the query_id partition column
+    * also keeps every Window partitioned, so no single-partition
+    * WindowExec warning ever fires). */
   def hybridTopK(docs: DataFrame, docIdCol: String, textCol: String,
                  emb: DataFrame, vecIdCol: String, vecCol: String,
                  queryTerms: Seq[String], queryVec: Seq[Double],
                  k: Int = 10, candidates: Int = 50,
-                 rrfK: Int = 60): DataFrame = {
-    require(queryTerms.nonEmpty, "need at least one query term")
-    require(queryVec.nonEmpty, "need a non-empty query vector")
-    require(k > 0 && candidates >= k, s"need 0 < k <= candidates")
-
-    // ---- lexical side: tf·idf_q6 over the query terms only ----
-    val toks = TextStats.toks(col(textCol))
-    val occ = docs.select(col(docIdCol).as("id"),
-        explode(toks).as("term"))
-      .filter(col("term").isin(queryTerms: _*))
-    val tf = occ.groupBy(col("id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    val n = docs.agg(count(lit(1)).as("__n"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df_docs"))
-    val lexTop = tf.join(dfreq, "term").crossJoin(broadcast(n))
-      .withColumn("__w", col("tf") * expr("(__n * 1000000) div df_docs"))
-      .groupBy(col("id")).agg(sum(col("__w")).as("lex_score"))
-      .orderBy(col("lex_score").desc, col("id").asc)
-      .limit(candidates)
-      .select(col("id"),
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("lex_score").desc, col("id").asc))
-          .cast("long").as("lex_rank"))
-
-    // ---- vector side: cosine vs the query vector, repo-standard q4 ----
-    val v = Similarity.asDouble(col(vecCol))
-    val q = typedLit(queryVec)
-    val qn = math.sqrt(queryVec.foldLeft(0.0)((a, x) => a + x * x))
-    val cos = round(
-      graft.functions.VectorFunctions.array_dot(v, q) /
-        (sqrt(graft.functions.VectorFunctions.array_dot(v, v)) * lit(qn)), 4)
-    val vecTop = emb.select(col(vecIdCol).as("id"), cos.as("sim"))
-      .orderBy(col("sim").desc, col("id").asc)
-      .limit(candidates)
-      .select(col("id"),
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("sim").desc, col("id").asc))
-          .cast("long").as("vec_rank"))
-
-    // ---- RRF fusion over the two C-row lists ----
-    val fused = lexTop.join(vecTop, Seq("id"), "full_outer")
-      .withColumn("rrf_score",
-        coalesce(expr(s"1000000000 div ($rrfK + lex_rank)"), lit(0L)) +
-          coalesce(expr(s"1000000000 div ($rrfK + vec_rank)"), lit(0L)))
-    fused.orderBy(col("rrf_score").desc, col("id").asc).limit(k)
-      .select(col("id"), col("rrf_score"), col("lex_rank"), col("vec_rank"))
-  }
+                 rrfK: Int = 60): DataFrame =
+    hybridTopKBatch(docs, docIdCol, textCol, emb, vecIdCol, vecCol,
+      Seq(RetrievalQuery(0L, queryTerms, queryVec)), k, candidates, rrfK)
+      .drop("query_id")
 }

@@ -366,11 +366,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
-  test("hybrid retrieval: top-C per retriever via TakeOrderedAndProject") {
+  test("hybrid retrieval: per-query top-C ranks via WindowGroupLimit") {
     val plan = executed(SparkEntry.queries("search_hybrid")(spark, dir))
-    // both candidate lists must reduce per-partition then merge C rows on
-    // the driver — a global Sort before the limit would be the scale bug
-    assert("TakeOrderedAndProject".r.findAllIn(plan).length >= 2,
+    // every rank (lex top-C, vec top-C, fused top-k) is partitioned by
+    // query_id with its filter adjacent, so Spark must prune each
+    // partition to its head BEFORE the rank shuffle — a full-corpus
+    // Window (or a global Sort) here would be the scale bug
+    assert("WindowGroupLimit".r.findAllIn(plan).length >= 3,
+      plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    // the query batch (terms + vectors) must ride broadcasts, never a
+    // shuffled join side
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
+  test("batched hybrid retrieval keeps the same pruned per-query shape") {
+    val plan = executed(SparkEntry.queries("search_hybrid_batch")(spark, dir))
+    assert("WindowGroupLimit".r.findAllIn(plan).length >= 3,
       plan.take(3000))
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
