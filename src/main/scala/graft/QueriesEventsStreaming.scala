@@ -1,0 +1,389 @@
+package graft
+
+import graft.compile.NlCompiler
+import graft.exec.Executor
+import graft.ext.{Dedup, Events, Multimodal, Similarity, TextStats}
+import graft.ir.MongoJson
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import EntryHelpers._
+
+/** Event analytics (sessions, outliers) and every Structured Streaming drain, including the custom DSv2 dirtail source.
+
+  * One of six per-domain registries merged by [[SparkEntry.queries]] /
+  * [[SparkEntry.oracleSql]] — pure relocation of the former monolithic
+  * maps, no behavior change (15 entries). */
+private[graft] object QueriesEventsStreaming {
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // 3σ anomaly flag with division-free integer arithmetic (Events
+    // .outliers scaladoc) — the boundary set is engine-exact, so the
+    // oracle reproduces the flagged rows bit-for-bit
+    "events_outliers" -> ((s: SparkSession, dir: String) =>
+      Events.outliers(Tables.events(s, dir), "event_type", "value",
+          sigmas = 3)
+        .orderBy("event_id")),
+    // ----- robust MAD anomaly flags (Events.madOutliers scaladoc:
+    // doubled-median integer arithmetic, 50% breakdown point where the
+    // z-score's σ is inflated by the very spikes it hunts) -----
+    "events_mad" -> ((s: SparkSession, dir: String) =>
+      Events.madOutliers(Tables.events(s, dir), "event_type", "value",
+          k = 5)
+        .orderBy("event_id")),
+    "events_hourly" -> ((s: SparkSession, dir: String) =>
+      Events.hourly(Tables.events(s, dir)).orderBy("hour", "event_type")),
+    "events_sessions" -> ((s: SparkSession, dir: String) =>
+      Events.sessions(Tables.events(s, dir), gapMinutes = 30)
+        .orderBy("user_id", "session_id")),
+    // Structured Streaming end-to-end: readStream over the same parquet →
+    // watermarked hourly window agg → memory sink, drained with
+    // Trigger.AvailableNow. Same output schema and arithmetic as the batch
+    // events_hourly, so the STREAMING pipeline is certified against the
+    // same DuckDB oracle.
+    "stream_hourly" -> ((s: SparkSession, dir: String) =>
+      drainStream(s, "graft_stream_hourly", "complete",
+        graft.streaming.EventsStream.hourlyCounts(eventsStream(s, dir)))
+        .orderBy("hour", "event_type")),
+    // watermarked stream-stream interval join (EventsStream
+    // .viewToClickJoin scaladoc: two-sided time bound -> provably bounded
+    // state), drained append-mode, certified vs the batch interval join
+    "stream_join" -> ((s: SparkSession, dir: String) =>
+      drainStream(s, "graft_stream_join", "append",
+        graft.streaming.EventsStream.viewToClickJoin(eventsStream(s, dir)))
+        .orderBy("user_id", "view_t", "click_t")),
+    // the CUSTOM DataSource V2 micro-batch source (graft-dirtail,
+    // sources/DirTailSource.scala): events re-shipped as immutable JSONL
+    // files (ts as epoch micros — the kafkaEvents wire convention), tailed
+    // back through the source's deterministic file-count offsets, and
+    // drained through the SAME certified hourly topology — a green hash
+    // certifies the source's offset/partition/row-decode machinery
+    // end-to-end, not just the aggregate
+    "stream_dirtail" -> ((s: SparkSession, dir: String) => {
+      val src = dirtailEventsDir(s, dir)
+      val wire = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType)))
+      val stream = s.readStream.format("graft-dirtail").schema(wire)
+        .option("path", src).load()
+      drainStream(s, "graft_stream_dirtail", "complete",
+        graft.streaming.EventsStream.hourlyCounts(stream))
+        .orderBy("hour", "event_type")
+    }),
+    // streaming hourly counts finalized with the batch growth arithmetic
+    // (Events.growthOverHourly) — certifies against the events_growth
+    // oracle, the stream_hll maintain-then-finalize pattern
+    "stream_growth" -> ((s: SparkSession, dir: String) =>
+      Events.growthOverHourly(
+          drainStream(s, "graft_stream_growth", "complete",
+            graft.streaming.EventsStream.hourlyCounts(eventsStream(s, dir))))
+        .orderBy("event_type", "hour")),
+    // the moment state (Olap.momentState) maintained AS A STREAM — sums
+    // and counts are streaming-native aggregates with |types| state rows —
+    // finalized batch-side; certifies against the agg_varstats oracle
+    "stream_incragg" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Olap.finalizeMoments(
+          drainStream(s, "graft_stream_incragg", "complete",
+            graft.ext.Olap.momentState(eventsStream(s, dir),
+              "event_type", "value")),
+          "event_type")
+        .orderBy("event_type")),
+    // Stateful streaming certified against SQL: gap sessionization via
+    // flatMapGroupsWithState + EVENT-TIME timeouts over the same events
+    // parquet. Closed sessions = every session a later event closed, plus
+    // last sessions whose timeout timestamp the final watermark strictly
+    // passed; the oracle replicates exactly that.
+    "stream_sessions" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val evts = eventsStream(s, dir)
+        .select(col("user_id"), col("ts"), col("value"))
+        .as[graft.streaming.EventsStream.Evt]
+      drainStream(s, "graft_stream_sessions", "append",
+        graft.streaming.EventsStream.sessionize(evts).toDF())
+        .orderBy("user_id", "start_ms")
+    }),
+    // Stream-static join: the event stream enriches against the broadcast
+    // customer dim, then aggregates per (hour, segment) — certified against
+    // the identical batch join+group SQL
+    "stream_enrich" -> ((s: SparkSession, dir: String) =>
+      drainStream(s, "graft_stream_enrich", "complete",
+        graft.streaming.EventsStream.hourlyBySegment(eventsStream(s, dir),
+          Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))))
+        .orderBy("hour", "c_mktsegment")),
+    // Streaming exact dedup: watermarked dropDuplicates on (hour window,
+    // user, type) — first occurrence emitted, state purged as the
+    // watermark passes each window. Oracle = batch SELECT DISTINCT.
+    "stream_dedup" -> ((s: SparkSession, dir: String) =>
+      drainStream(s, "graft_stream_dedup", "append",
+        graft.streaming.EventsStream.dedupKeys(eventsStream(s, dir)))
+        .orderBy("hour", "user_id", "event_type")),
+    // ----- exactly-once transactional streaming sink (TxSink scaladoc:
+    // each micro-batch is one atomic TxTable commit stamped with its
+    // batch id; replays skip) — the certified output is the final table,
+    // which must be EXACTLY the source multiset: a duplicated or dropped
+    // batch breaks the hash -----
+    "stream_txsink" -> ((s: SparkSession, dir: String) => {
+      val base = scratchDir("graft-stx-")
+      val tbl = s"$base/tbl"
+      val src = eventsStream(s, dir).select(col("event_id"), col("user_id"),
+        col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("value_c"))
+      DrainLock.synchronized {
+        val saved = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val q = src.writeStream
+            .option("checkpointLocation", s"$base/ckpt")
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .foreachBatch { (b: DataFrame, id: Long) =>
+              // appId scopes the exactly-once watermark to THIS logical
+              // stream — a fresh checkpoint restarting ids at 0 against
+              // a shared table must not collide with other writers
+              graft.streaming.TxSink.appendBatch(tbl, b, id,
+                appId = "stream_txsink"): Unit
+            }
+            .start()
+          q.awaitTermination()
+        } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+      }
+      graft.sources.TxTable.read(s, tbl).orderBy("event_id")
+    }),
+    // STREAMING sketch maintenance: the HLL register state is one
+    // supported max-aggregation, maintained incrementally over the event
+    // stream (complete mode, ≤ m rows per group of state) and finalized
+    // batch-side — certified against the identical batch-HLL oracle
+    "stream_hll" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Hll.finalize(
+          drainStream(s, "graft_stream_hll", "complete",
+            graft.ext.Hll.registers(eventsStream(s, dir),
+              "event_type", "user_id")),
+          "event_type")
+        .orderBy("event_type")),
+    // As-of join (latest order at or before each event, per customer) via
+    // the union + single-window merge shape — one shuffle of |L|+|R| rows,
+    // no join operator in the plan (AsOf scaladoc has the scale argument)
+    "join_asof" -> ((s: SparkSession, dir: String) =>
+      graft.ext.AsOf.asofJoin(
+          Tables.events(s, dir)
+            .select(col("event_id"), col("user_id"), col("ts")),
+          Tables.orders(s, dir),
+          "user_id", "o_custkey", "ts", "o_orderdate",
+          valueCols = Seq("o_orderkey", "o_totalprice"),
+          tieBreak = "o_orderkey")
+        .select(col("event_id"),
+          col("asof_o_orderkey").as("asof_orderkey"),
+          col("asof_o_totalprice").as("asof_price"))
+        .orderBy("event_id")),
+  )
+
+  val oracles: Map[String, String] = Map(
+    // the cleared-denominator 3σ test replayed in int128: (n·v − sv)² >
+    // 9·(n·svv − sv²) over cent-quantized values — no float anywhere
+    "events_outliers" ->
+      ("""WITH q AS (
+         |  SELECT event_id, event_type,
+         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c
+         |  FROM events
+         |), s AS (
+         |  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+         |    CAST(sum(value_c) AS HUGEINT) AS sv,
+         |    CAST(sum(value_c * value_c) AS HUGEINT) AS svv
+         |  FROM q GROUP BY event_type
+         |)
+         |SELECT q.event_id, q.event_type, q.value_c
+         |FROM q JOIN s USING (event_type)
+         |WHERE (s.n * q.value_c - s.sv) * (s.n * q.value_c - s.sv)
+         |  > 9 * (s.n * s.svv - s.sv * s.sv)
+         |ORDER BY event_id""".stripMargin),
+    // the same doubled-median rank selection: med2 = two middle ranks
+    // (x2 when the group is odd), mad4 likewise over |2x - med2|, flag
+    // 2*ad2 > k*mad4 — every value BIGINT, no division anywhere
+    "events_mad" ->
+      ("""WITH q AS (
+         |  SELECT event_id, event_type,
+         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c
+         |  FROM events
+         |), r AS (
+         |  SELECT *,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY value_c) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM q
+         |), med AS (
+         |  SELECT event_type, CAST(sum(value_c) *
+         |    (CASE WHEN max(n) % 2 = 1 THEN 2 ELSE 1 END) AS BIGINT) AS med2
+         |  FROM r WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+         |  GROUP BY event_type
+         |), d AS (
+         |  SELECT q.event_id, q.event_type, q.value_c,
+         |    abs(q.value_c * 2 - m.med2) AS ad2
+         |  FROM q JOIN med m USING (event_type)
+         |), r2 AS (
+         |  SELECT *,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY ad2) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM d
+         |), mad AS (
+         |  SELECT event_type, CAST(sum(ad2) *
+         |    (CASE WHEN max(n) % 2 = 1 THEN 2 ELSE 1 END) AS BIGINT) AS mad4
+         |  FROM r2 WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+         |  GROUP BY event_type
+         |)
+         |SELECT d.event_id, d.event_type, d.value_c
+         |FROM d JOIN mad USING (event_type)
+         |WHERE d.ad2 * 2 > 5 * mad.mad4
+         |ORDER BY event_id""".stripMargin),
+    "events_hourly" ->
+      ("""SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
+         |  count(*) AS n,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin),
+    // the streaming pipeline computes the identical aggregate — same oracle
+    "stream_hourly" ->
+      ("""SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
+         |  count(*) AS n,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin),
+    // identical aggregate through the custom DSv2 source: the JSONL
+    // round trip (epoch-micros wire ts) must be value-exact, so the
+    // stream_hourly oracle certifies the source machinery verbatim
+    "stream_dirtail" ->
+      ("""SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
+         |  count(*) AS n,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin),
+    "events_sessions" ->
+      ("""WITH flagged AS (
+         |  SELECT user_id, ts, event_id,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |              OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+         |         THEN 1 ELSE 0 END AS new_sess
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |), sess AS (
+         |  SELECT user_id, ts,
+         |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         |  FROM flagged
+         |)
+         |SELECT user_id, session_id, count(*) AS n_events,
+         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
+         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS s_end
+         |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin),
+    // closed sessions only: non-last sessions (a later event exceeded the
+    // gap) plus last sessions whose lastTs+gap the final watermark
+    // (max ts, zero lateness) STRICTLY passed — Spark fires event-time
+    // timeouts when the watermark advances beyond the set timestamp
+    "stream_sessions" ->
+      ("""WITH flagged AS (
+         |  SELECT user_id, ts, event_id,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |              OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+         |         THEN 1 ELSE 0 END AS new_sess
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |), sess AS (
+         |  SELECT user_id, ts,
+         |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         |  FROM flagged
+         |), agg AS (
+         |  SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+         |    min(ts) AS s_start, max(ts) AS s_end
+         |  FROM sess GROUP BY user_id, session_id
+         |), mx AS (SELECT max(ts) AS max_ts FROM events)
+         |SELECT user_id, n_events,
+         |  CAST(epoch_ms(CAST(s_start AS TIMESTAMP)) AS BIGINT) AS start_ms,
+         |  CAST(epoch_ms(CAST(s_end AS TIMESTAMP)) AS BIGINT) AS end_ms
+         |FROM agg, mx
+         |WHERE s_end + INTERVAL 30 MINUTE < max_ts
+         |ORDER BY user_id, start_ms""".stripMargin),
+    // the stream-static join computes the identical batch join + aggregate
+    "stream_enrich" ->
+      ("""SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour,
+         |  c_mktsegment, count(*) AS n,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM events JOIN customer ON user_id = c_custkey
+         |GROUP BY 1, 2 ORDER BY hour, c_mktsegment""".stripMargin),
+    // streaming dedup emits each (hour, user, type) exactly once — the
+    // batch DISTINCT is its exact oracle (same hour stringification as
+    // events_hourly/stream_hourly)
+    "stream_dedup" ->
+      ("""SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour,
+         |  user_id, event_type
+         |FROM events GROUP BY 1, 2, 3
+         |ORDER BY hour, user_id, event_type""".stripMargin),
+    // the exactly-once sink must land the source multiset bit-for-bit:
+    // a replayed (duplicated) or dropped micro-batch breaks this hash
+    "stream_txsink" ->
+      ("""SELECT event_id, user_id, event_type,
+         |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c
+         |FROM events ORDER BY event_id""".stripMargin),
+    // deterministic as-of reference: latest admissible order date, ties on
+    // (date) broken by largest o_orderkey — the same total order the
+    // engine's (time, side, tie) window sort establishes
+    "join_asof" ->
+      ("""SELECT e.event_id,
+         |  (SELECT o.o_orderkey FROM orders o
+         |   WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+         |   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS asof_orderkey,
+         |  (SELECT o.o_totalprice FROM orders o
+         |   WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+         |   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS asof_price
+         |FROM events e ORDER BY e.event_id""".stripMargin),
+    // the drained inner join emits exactly the matched pairs of the plain
+    // batch interval self-join
+    "stream_join" ->
+      ("""SELECT v.user_id,
+         |  strftime(v.vts, '%Y-%m-%d %H:%M:%S') AS view_t,
+         |  strftime(c.cts, '%Y-%m-%d %H:%M:%S') AS click_t
+         |FROM (SELECT user_id, ts AS vts FROM events
+         |      WHERE event_type = 'view') v
+         |JOIN (SELECT user_id, ts AS cts FROM events
+         |      WHERE event_type = 'click') c
+         |  ON v.user_id = c.user_id AND c.cts >= v.vts
+         | AND c.cts <= v.vts + INTERVAL 5 MINUTE
+         |ORDER BY v.user_id, view_t, click_t""".stripMargin),
+    // the streamed moment state finalizes to the identical statistics —
+    // the agg_varstats oracle verbatim
+    "stream_incragg" ->
+      ("""WITH c AS (
+         |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+         |  FROM events
+         |), m AS (
+         |  SELECT event_type, count(*) AS n, sum(vc) AS sv,
+         |    sum(vc * vc) AS svv
+         |  FROM c GROUP BY event_type
+         |)
+         |SELECT event_type, n,
+         |  round(CAST(sv AS DOUBLE) / n, 4) AS mean_c,
+         |  round(CAST(n * svv - sv * sv AS DOUBLE) /
+         |        CAST(n * n AS DOUBLE), 4) AS var_c
+         |FROM m ORDER BY event_type""".stripMargin),
+    // the complete-mode drain retains every window, so the streaming
+    // finalize answers the identical question — same oracle
+    "stream_growth" ->
+      ("""WITH h AS (
+         |  SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour,
+         |    event_type, count(*) AS n
+         |  FROM events GROUP BY 1, 2
+         |), g AS (
+         |  SELECT hour, event_type, n,
+         |    lag(n) OVER (PARTITION BY event_type ORDER BY hour) AS prev_n
+         |  FROM h
+         |)
+         |SELECT hour, event_type, n, n - prev_n AS delta,
+         |  round((n - prev_n) * 100.0 / prev_n, 4) AS pct
+         |FROM g ORDER BY event_type, hour""".stripMargin),
+    // the streaming register maintenance computes the identical sketch
+    "stream_hll" -> HllOracle,
+  )
+}

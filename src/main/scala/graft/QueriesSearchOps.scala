@@ -1,0 +1,1305 @@
+package graft
+
+import graft.compile.NlCompiler
+import graft.exec.Executor
+import graft.ext.{Dedup, Events, Multimodal, Similarity, TextStats}
+import graft.ir.MongoJson
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import EntryHelpers._
+
+/** Ranking/retrieval (tf-idf, BM25, hybrid RRF), tokenization, sinks/sources, table ops (txlog, vacuum, optimize), multimodal, CDC merge, profiling.
+
+  * One of six per-domain registries merged by [[SparkEntry.queries]] /
+  * [[SparkEntry.oracleSql]] — pure relocation of the former monolithic
+  * maps, no behavior change (42 entries). */
+private[graft] object QueriesSearchOps {
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ----- per-document tf-idf keywords (integer-quantized idf) -----
+    "text_tfidf" -> ((s: SparkSession, dir: String) =>
+      TextStats.tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text",
+          k = 3)
+        .orderBy("doc_id", "rnk")),
+    // ----- corpus top bigrams by document frequency -----
+    "text_bigrams" -> ((s: SparkSession, dir: String) =>
+      TextStats.bigramTopTerms(Tables.documents(s, dir), "text", k = 40)
+        .orderBy(col("doc_freq").desc, col("bigram").asc)),
+    // ----- Gopher-style repetition metrics: duplicate-bigram and
+    // top-token fractions, exact integer ratios rounded to 4 decimals -----
+    "text_repetition" -> ((s: SparkSession, dir: String) =>
+      TextStats.repetitionStats(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+    // ----- PMI collocations: top word pairs by the integer-rational
+    // P(x,y)/(P(x)P(y)) — one IEEE division, deterministic k-boundary -----
+    "text_pmi" -> ((s: SparkSession, dir: String) =>
+      TextStats.pmiTopBigrams(Tables.documents(s, dir), "text",
+          minCount = 5L, k = 40)
+        .orderBy(col("score").desc, col("x").asc, col("y").asc)),
+    // ----- per-document BM25 top-k (TextStats scaladoc: denominators
+    // cleared to integer-exact rationals, one IEEE division) -----
+    "text_bm25" -> ((s: SparkSession, dir: String) =>
+      TextStats.bm25TopTerms(Tables.documents(s, dir), "doc_id", "text",
+          k = 3)
+        .orderBy("doc_id", "rnk")),
+    // ----- hybrid lexical+vector retrieval with reciprocal-rank fusion
+    // (Retrieval scaladoc: per-query top-C via WindowGroupLimit, EXACT
+    // BM25 lexical score — bm25TopTerms' integer rational — q4 cosine,
+    // Σ floor(1e9/(60+rank)) fusion — the RAG serving topology as one
+    // certified query) -----
+    "search_hybrid" -> ((s: SparkSession, dir: String) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.ext.Retrieval.hybridTopK(
+          Tables.documents(s, dir), "doc_id", "text",
+          emb, "vec_id", "embedding",
+          queryTerms = Seq("data", "query", "join"),
+          queryVec = queryVec(emb), k = 10, candidates = 50)
+        .orderBy(col("rrf_score").desc, col("id").asc)
+    }),
+    // ----- the batched serving shape: three queries ride ONE broadcast
+    // frame (terms + vectors — the sim_knn probe-batch pattern), the
+    // corpus is scanned once per side, and every rank is per-query
+    // partitioned (WindowGroupLimit prunes to C before any shuffle) -----
+    "search_hybrid_batch" -> ((s: SparkSession, dir: String) => {
+      val emb = Tables.embeddings(s, dir)
+      val qv = queryVecs(emb, Seq(0L, 1L, 2L))
+      graft.ext.Retrieval.hybridTopKBatch(
+          Tables.documents(s, dir), "doc_id", "text",
+          emb, "vec_id", "embedding",
+          Seq(
+            graft.ext.Retrieval.RetrievalQuery(0L,
+              Seq("data", "query", "join"), qv(0L)),
+            graft.ext.Retrieval.RetrievalQuery(1L,
+              Seq("spark", "table", "scan"), qv(1L)),
+            graft.ext.Retrieval.RetrievalQuery(2L,
+              Seq("stream", "window"), qv(2L))),
+          k = 10, candidates = 50)
+        .orderBy(col("query_id").asc, col("rrf_score").desc, col("id").asc)
+    }),
+    // ----- inverted-index postings: df band [2,50] applied before any
+    // posting materializes, lists capped at 10 via WindowGroupLimit -----
+    "index_postings" -> ((s: SparkSession, dir: String) =>
+      TextStats.postings(Tables.documents(s, dir), "doc_id", "text",
+          minDf = 2L, maxDf = 50L, cap = 10)
+        .orderBy("term", "slot")),
+    // ----- certified count-min sketch: exact top-20 terms probed against
+    // the d·w-cell sketch (FreqSketch scaladoc; est ≥ exact always) -----
+    "sketch_cms" -> ((s: SparkSession, dir: String) =>
+      graft.ext.FreqSketch.estimateTopK(Tables.documents(s, dir), "text",
+          k = 20)
+        .orderBy(col("exact_cnt").desc, col("term").asc)),
+    // ----- sliding-window token chunking (64-token chunks, stride 48) -----
+    "text_chunks" -> ((s: SparkSession, dir: String) =>
+      TextStats.tokenChunks(Tables.documents(s, dir), "doc_id", "text",
+          chunk = 64, stride = 48)
+        .orderBy("doc_id", "chunk_idx")),
+    // ----- vocabulary fit + token-id encode (TextStats scaladoc: bounded
+    // broadcast vocab, corpus never shuffles to encode) -----
+    "text_vocab_encode" -> ((s: SparkSession, dir: String) =>
+      TextStats.vocabEncode(Tables.documents(s, dir), "doc_id", "text",
+          vocabSize = 1000)
+        .orderBy("doc_id", "pos")),
+    // ----- greedy longest-prefix subword encoding (TextStats
+    // .subwordEncode scaladoc: corpus-derived piece vocab, distinct-word
+    // tokenizer cache, row-local fold). The natural corpus is a 31-word
+    // pool where every word would be its own piece, so compound words
+    // glued from corpus terms + digit suffixes are planted (pure doc_id
+    // arithmetic the oracle replays) to give the splitter real
+    // multi-piece work and exercise the character fallback -----
+    "text_subword" -> ((s: SparkSession, dir: String) => {
+      val comp = Tables.documents(s, dir).select(concat(col("text"),
+        lit(" scancolumn"), (col("doc_id") % 10).cast("string"),
+        lit(" columnscan"), (col("doc_id") % 7).cast("string")).as("text"))
+      TextStats.subwordEncode(comp, "text", topK = 16)
+        .orderBy("word", "piece_pos")
+    }),
+    // ----- merges-exact BPE (TextStats.bpeEncode scaladoc: corpus-
+    // derived merge table, reference iterative min-rank encode; on
+    // training words the encode equals the training segmentation, which
+    // the oracle replays by unrolling the 8 rounds) -----
+    "text_bpe" -> ((s: SparkSession, dir: String) =>
+      TextStats.bpeEncode(Tables.documents(s, dir), "text", numMerges = 8)
+        .orderBy("word", "piece_pos")),
+    // ----- hashing-trick bag-of-words (TextStats.hashVectorize scaladoc:
+    // no vocabulary, certified bucket assignment via the portable poly
+    // hash) -----
+    "text_hashvec" -> ((s: SparkSession, dir: String) =>
+      TextStats.hashVectorize(Tables.documents(s, dir), "doc_id", "text",
+          buckets = 64)
+        .orderBy("doc_id", "bucket")),
+    // ----- language × quality-gate contingency (TextStats
+    // .qualityCrosstab scaladoc: scan-side metrics, tiny (lang, kept)
+    // groupBy), same thresholds as text_cleanpass -----
+    "text_crosstab" -> ((s: SparkSession, dir: String) =>
+      TextStats.qualityCrosstab(Tables.documents(s, dir), "doc_id", "text",
+          "lang", minChars = 100L, minStopwordRatio = 0.02,
+          maxAvgTokenLen = 5.0)
+        .orderBy("lang", "kept")),
+    // ----- canonical normalization pass over a deterministically-messed
+    // variant (mixed case, run-on spaces, a control char) so the cleanup
+    // has real work to certify -----
+    "text_normalize" -> ((s: SparkSession, dir: String) =>
+      TextStats.normalize(
+          Tables.documents(s, dir).select(col("doc_id"),
+            concat(upper(substring(col("text"), 1, 10)),
+              expr("substring(text, 11)"), lit("   PADDED "), lit("\t"),
+              lit(" END  ")).as("text")),
+          "doc_id", "text")
+        .orderBy("doc_id")),
+    // ----- C4-style repeated-line removal (TextStats.lineDedup scaladoc:
+    // output-bounded boilerplate set, order-preserving reassembly) over
+    // the deterministically-lined corpus [[linedDocs]]: planted footer
+    // lines plus the corpus's own exact-dup bodies get dropped; the
+    // unique %13 lines must survive -----
+    "text_linededup" -> ((s: SparkSession, dir: String) =>
+      TextStats.lineDedup(linedDocs(s, dir), "doc_id", "text", minDocs = 2)
+        .orderBy("doc_id")),
+    // ----- token-rarity quality score (TextStats.rarityScore scaladoc:
+    // the CCNet LM-filter shape in exact integer ppm — no floats to
+    // diverge between engines) -----
+    "text_rarity" -> ((s: SparkSession, dir: String) =>
+      TextStats.rarityScore(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+    // ----- winnowing fingerprints (TextStats.winnowFingerprints
+    // scaladoc: the MOSS local-min selection with the w+k-1 match
+    // guarantee; codegen'd sequential gram hashes, row-local sliding
+    // min) -----
+    "text_winnow" -> ((s: SparkSession, dir: String) =>
+      TextStats.winnowFingerprints(Tables.documents(s, dir), "doc_id",
+          "text", k = 4, w = 5)
+        .orderBy("doc_id", "fp")),
+    // ----- PII census + redaction in one codegen projection (Pii
+    // scaladoc: portable regex subset, zero shuffles) over the
+    // deterministically-decorated corpus [[dirtyDocs]] -----
+    "text_pii" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Pii.scanRedact(dirtyDocs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+    // ----- URL host extraction + per-domain mention/doc counts (the one
+    // shuffle is the groupBy on host; map-side combine collapses hot
+    // hosts before the exchange) -----
+    "text_domains" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Pii.domainStats(dirtyDocs(s, dir), "doc_id", "text")
+        .orderBy(col("n_mentions").desc, col("domain"))),
+    // ----- partitioned-layout round trip: write by language, read one
+    // language back through partition pruning (plan-asserted in
+    // PartitionedSpec — the scan enumerates only the lang=en directory)
+    "sink_partitioned" -> ((s: SparkSession, dir: String) => {
+      val tmp = scratchDir("graft-part-")
+      graft.sources.Partitioned.write(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+          col("n_chars")), "lang", tmp)
+      graft.sources.Partitioned.read(s, tmp)
+        .filter(col("lang") === "en")
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+    // ----- transactional manifest-log table (TxTable scaladoc: atomic
+    // create-exclusive publish, snapshot isolation, time travel). The
+    // commit sequence overwrite(en) -> append(de) -> overwrite(fr) is
+    // replayed as three versioned snapshot reads: v1/v2 prove history
+    // stays readable after later commits, v2 proves append accumulates,
+    // v3 proves overwrite replaces -----
+    "sink_txlog" -> ((s: SparkSession, dir: String) => {
+      val tbl = scratchDir("graft-tx-") + "/tbl"
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "en"), tbl, "overwrite")
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "de"), tbl, "append")
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "fr"), tbl, "overwrite")
+      Seq(1L, 2L, 3L).map(v =>
+          graft.sources.TxTable.readVersion(s, tbl, v)
+            .select(lit(v).as("version"), col("doc_id"), col("lang"),
+              col("n_chars")))
+        .reduce(_.union(_))
+        .orderBy("version", "doc_id")
+    }),
+    // ----- snapshot diff / change-data-feed (TxTable.diff scaladoc:
+    // multiset exceptAll both ways, manifests prune to exactly the two
+    // snapshots) over the same 3-commit history as sink_txlog: v1→v2 is
+    // the de append (inserts only), v2→v3 the fr overwrite (en+de out,
+    // fr in) -----
+    "ops_txdiff" -> ((s: SparkSession, dir: String) => {
+      val tbl = scratchDir("graft-txd-") + "/tbl"
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "en"), tbl, "overwrite")
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "de"), tbl, "append")
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "fr"), tbl, "overwrite")
+      graft.sources.TxTable.diff(s, tbl, 1L, 2L)
+        .select(lit("v1v2").as("step"), col("change"), col("doc_id"),
+          col("lang"), col("n_chars"))
+        .union(graft.sources.TxTable.diff(s, tbl, 2L, 3L)
+          .select(lit("v2v3").as("step"), col("change"), col("doc_id"),
+            col("lang"), col("n_chars")))
+        .orderBy("step", "change", "doc_id")
+    }),
+    // ----- vacuum / retention (TxTable.vacuum scaladoc: expire all but
+    // the newest N manifests, delete only files no retained manifest
+    // lists) over the same 3-commit history: retain=2 expires exactly
+    // v1, and both retained snapshots must read back intact — the
+    // certified output IS the post-vacuum content of v2 and v3 -----
+    "ops_vacuum" -> ((s: SparkSession, dir: String) => {
+      val tbl = scratchDir("graft-vac-") + "/tbl"
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "en"), tbl, "overwrite")
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "de"), tbl, "append")
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "fr"), tbl, "overwrite")
+      // minAgeMillis=0: this table is quiesced by construction (the
+      // three commits above finished before the vacuum starts)
+      val stats = graft.sources.TxTable.vacuum(tbl, retain = 2,
+        minAgeMillis = 0L)
+      Seq(2L, 3L).map(v =>
+          graft.sources.TxTable.readVersion(s, tbl, v)
+            .select(lit(v).as("version"), col("doc_id"), col("lang"),
+              col("n_chars"),
+              lit(stats.expiredVersions == Seq(1L)).as("expired_v1")))
+        .reduce(_.union(_))
+        .orderBy("version", "doc_id")
+    }),
+    // ----- transactional compaction / OPTIMIZE (TxTable.compact
+    // scaladoc: Compaction.plan groups the manifest inventory, one
+    // coalesced file per group, committed as a new version) — three
+    // append-y commits leave small files; the certified output is the
+    // POST-OPTIMIZE snapshot, which must be the identical multiset -----
+    "ops_optimize" -> ((s: SparkSession, dir: String) => {
+      val tbl = scratchDir("graft-opt-") + "/tbl"
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "en"), tbl, "overwrite")
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "de"), tbl, "append")
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "fr"), tbl, "append")
+      val v = graft.sources.TxTable.compact(s, tbl, targetBytes = 1L << 30)
+      graft.sources.TxTable.readVersion(s, tbl, v)
+        .select(lit(v).as("version"), col("doc_id"), col("lang"),
+          col("n_chars"))
+        .orderBy("doc_id")
+    }),
+    // ----- JSONL codec round trip: events (incl. the JSON-in-string
+    // props column — the quoting torture case) serialized to JSON lines
+    // and read back schema-enforced; hash-matching the oracle on the
+    // ORIGINAL table certifies the codec end to end -----
+    "source_jsonl" -> ((s: SparkSession, dir: String) => {
+      val tmp = scratchDir("graft-jsonl-")
+      graft.sources.JsonLines.roundTrip(
+        Tables.events(s, dir).select(col("event_id"), col("user_id"),
+          col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("long").as("value_c"),
+          col("props")), tmp)
+        .orderBy("event_id")
+    }),
+    // ----- ORC round trip: the second columnar interchange format,
+    // certified the same way as JSONL — write, schema-enforced re-read,
+    // hash-match vs the oracle on the original parquet -----
+    "source_orc" -> ((s: SparkSession, dir: String) => {
+      val tmp = scratchDir("graft-orc-")
+      graft.sources.OrcTable.roundTrip(
+        Tables.documents(s, dir).select(col("doc_id"), col("text"),
+          col("lang"), col("source"), col("n_chars")), tmp)
+        .orderBy("doc_id")
+    }),
+    // ----- interval×interval overlap join: 60-min view/click windows
+    // per user (RangeJoin.intervalOverlap scaladoc: first-shared-bucket
+    // trick — every pair meets exactly once, no post-join distinct) -----
+    "join_overlap" -> ((s: SparkSession, dir: String) => {
+      val e = Tables.events(s, dir)
+      def win(t: String, idAs: String, keyAs: String, sAs: String,
+              eAs: String) =
+        e.filter(col("event_type") === t).select(
+          col("event_id").as(idAs), col("user_id").as(keyAs),
+          col("ts").as(sAs),
+          (col("ts") + expr("INTERVAL 60 MINUTES")).as(eAs))
+      graft.ext.RangeJoin.intervalOverlap(
+          win("view", "v_id", "v_user", "v_start", "v_end"),
+          win("click", "c_id", "c_user", "c_start", "c_end"),
+          "v_user", "c_user", "v_start", "v_end", "c_start", "c_end",
+          bucketSeconds = 3600L)
+        .select(col("v_id"), col("c_id"))
+        .orderBy("v_id", "c_id")
+    }),
+    // ----- referential-integrity audit: orphan counts per relationship
+    // (Integrity scaladoc: distinct parent keys, anti-join, one count
+    // row per check). Every 97th lineitem key re-ingested shifted plays
+    // the broken-feed case so the audit certifies non-zero counts -----
+    "ops_fkcheck" -> ((s: SparkSession, dir: String) => {
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"))
+      val child = li.union(li.filter(col("l_orderkey") % 97 === 0)
+        .select((col("l_orderkey") + 900000000L).as("l_orderkey")))
+      graft.ext.Integrity.audit(Seq(
+        graft.ext.Integrity.orphans(child, Tables.orders(s, dir),
+          "l_orderkey", "o_orderkey", "lineitem->orders"),
+        graft.ext.Integrity.orphans(
+          Tables.orders(s, dir).select(col("o_custkey")),
+          Tables.customer(s, dir), "o_custkey", "c_custkey",
+          "orders->customer")))
+        .orderBy("rel")
+    }),
+    // ----- join-key skew audit: the k heaviest keys + exact per-mille
+    // share (Skew.keySkew scaladoc: the pre-join broadcast/salt
+    // decision input) -----
+    "profile_skew" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Skew.keySkew(Tables.lineitem(s, dir), "l_partkey", k = 20)
+        .orderBy(col("cnt").desc, col("l_partkey"))),
+    // ----- small-file compaction plan: greedy cumulative fill per
+    // partition dir (Compaction scaladoc: O(files) metadata, windowed by
+    // partition dir — no global sort) over a per-(lang, source) inventory -----
+    "ops_compaction" -> ((s: SparkSession, dir: String) => {
+      val inventory = Tables.documents(s, dir)
+        .groupBy(col("lang"), col("source"))
+        .agg(sum(col("n_chars")).as("bytes"))
+      graft.sources.Compaction.plan(inventory, "lang", "source", "bytes",
+          targetBytes = 15000L)
+        .orderBy("lang", "source")
+    }),
+    // ----- Z-order layout audit (Layout scaladoc: Morton interleave in
+    // pure codegen bit ops; each z-prefix bucket is one 16×16 tile of the
+    // (partkey, suppkey) plane, extent-bounded in BOTH keys — the
+    // min/max-prunable layout for two-key scan predicates) -----
+    "ops_zorder" -> ((s: SparkSession, dir: String) =>
+      graft.sources.Layout.zOrderStats(
+          Tables.lineitem(s, dir).select(
+            (col("l_partkey") % 256).as("x"),
+            (col("l_suppkey") % 256).as("y")),
+          "x", "y", bits = 8, prefixShift = 8)
+        .orderBy("bucket")),
+    // ----- CSV round trip: header + schema-enforced FAILFAST re-read;
+    // all columns non-null by construction (CsvTable scaladoc names the
+    // inherent empty-vs-null CSV ambiguity) -----
+    "source_csv" -> ((s: SparkSession, dir: String) => {
+      val tmp = scratchDir("graft-csv-")
+      graft.sources.CsvTable.roundTrip(
+        Tables.documents(s, dir).select(col("doc_id"), col("text"),
+          col("lang"), col("source"), col("n_chars")), tmp)
+        .orderBy("doc_id")
+    }),
+    // ----- §2.10 multimodal plumbing (stub decode, real Spark shape) -----
+    "mm_features" -> ((s: SparkSession, dir: String) =>
+      Multimodal.features(
+          Multimodal.fromDocuments(s, Tables.documents(s, dir)))
+        .toDF().orderBy("id")),
+    // frame sampling: fixed 64-byte "frames", every 4th kept — the video
+    // sampling shape with a byte-arithmetic stub for the decoder
+    "mm_frames" -> ((s: SparkSession, dir: String) =>
+      Multimodal.frameSample(
+          Multimodal.fromDocuments(s, Tables.documents(s, dir)),
+          frameBytes = 64, step = 4)
+        .toDF().orderBy("id", "frame_idx")),
+    // REAL bytes→pixels decode: planted binary PPM (P6) payloads derived
+    // from doc_id by formula, parsed by the actual header-tokenizing
+    // decoder (Multimodal.decodePpm) — certifies decode arithmetic, not
+    // just plumbing; the oracle recomputes the features from the formula
+    "mm_decode" -> ((s: SparkSession, dir: String) =>
+      Multimodal.featuresPpm(
+          Multimodal.plantedPpm(s, Tables.documents(s, dir)))
+        .toDF().orderBy("id")),
+    // same planted pixel formula rendered as REAL PNGs (ImageIO encode)
+    // then decoded back through the JDK's inflate+unfilter path — the
+    // oracle is byte-for-byte the mm_decode formula replay, so a green
+    // hash certifies an actual compressed codec, not just plumbing
+    "mm_decode_png" -> ((s: SparkSession, dir: String) =>
+      Multimodal.featuresPng(
+          Multimodal.plantedPng(s, Tables.documents(s, dir)))
+        .toDF().orderBy("id")),
+    // ----- CDC merge / upsert: latest-wins change feed applied to the
+    // base snapshot (Merge scaladoc: feed-only window + broadcast-sized
+    // anti-join — the base never shuffles). The feed is derived
+    // deterministically from orders: keys ≡3 (mod 10) updated, keys ≡7
+    // updated-then-deleted (the seq-2 delete wins), keys ≡1 re-inserted
+    // shifted above the key space -----
+    "merge_upsert" -> ((s: SparkSession, dir: String) => {
+      val base = Tables.orders(s, dir).select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+      val m = col("o_orderkey") % 10
+      def feed(cond: Column, status: String, op: String, seq: Long,
+               shift: Long = 0L) =
+        base.filter(cond).select(
+          (col("o_orderkey") + shift).as("o_orderkey"), col("o_custkey"),
+          lit(status).as("o_orderstatus"), col("o_totalprice"),
+          lit(op).as("op"), lit(seq).as("seq"))
+      val changes = feed(m === 3, "X", "U", 1L)
+        .union(feed(m === 7, "Y", "U", 1L))
+        .union(feed(m === 7, "Z", "D", 2L))
+        .union(feed(m === 1, "N", "I", 1L, shift = 100000000L))
+      graft.ext.Merge.upsert(base, changes, "o_orderkey", "op", "seq")
+        .orderBy("o_orderkey")
+    }),
+    // ----- SCD2 history from the same style of change feed: versioned
+    // validity intervals, deletes close intervals without emitting rows
+    // (Merge.scd2 scaladoc: one exchange for dedup + lead; the base
+    // table is never touched) -----
+    "merge_scd2" -> ((s: SparkSession, dir: String) => {
+      val base = Tables.orders(s, dir).select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+      val m = col("o_orderkey") % 10
+      def feed(cond: Column, status: String, op: String, seq: Long,
+               shift: Long = 0L) =
+        base.filter(cond).select(
+          (col("o_orderkey") + shift).as("o_orderkey"), col("o_custkey"),
+          lit(status).as("o_orderstatus"), col("o_totalprice"),
+          lit(op).as("op"), lit(seq).as("seq"))
+      val changes = feed(m === 3, "X", "U", 1L)
+        .union(feed(m === 7, "Y", "U", 1L))
+        .union(feed(m === 3, "X2", "U", 2L))
+        .union(feed(m === 7, "Z", "D", 2L))
+        .union(feed(m === 1, "N", "I", 1L, shift = 100000000L))
+      graft.ext.Merge.scd2(changes, "o_orderkey", "op", "seq")
+        .orderBy("o_orderkey", "valid_from")
+    }),
+    // ----- column profiling: one scan, one Expand-based aggregate for
+    // every statistic, row-local unpivot (Profile scaladoc); doubles
+    // pre-quantized to cents so min/max strings are engine-portable -----
+    "profile_stats" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Profile.columns(
+          Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderstatus"), col("o_orderpriority"),
+            floor(col("o_totalprice") * 100 + 0.5).cast("long")
+              .as("o_price_c")),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+            "o_price_c"))
+        .orderBy("col_name")),
+    // ----- the 100 TB profile: distinct via certified HLL registers, no
+    // full-key shuffle (Profile.columnsSketch scaladoc); the near-unique
+    // o_orderkey is exactly the column exact-distinct chokes on -----
+    "profile_stats_sketch" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Profile.columnsSketch(
+          Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+            floor(col("o_totalprice") * 100 + 0.5).cast("long")
+              .as("o_price_c")),
+          Seq("o_orderkey", "o_custkey", "o_price_c"))
+        .orderBy("col_name")),
+  )
+
+  val oracles: Map[String, String] = Map(
+    // same floor(x*1e10 + 0.5) long quantization + exact integer sum as
+    // the engine — plain IEEE double ops, so both engines quantize every
+    // element to the identical long (a double→decimal cast does NOT agree
+    // across engines on boundary values; see Similarity.centroidComponents)
+    // same fixed op order (x / scale * 127 + 0.5) — IEEE-exact both sides
+    // the planted shifted keys orphan exactly; the natural relationships
+    // audit to zero — both counts compared, not assumed
+    "ops_fkcheck" ->
+      ("""WITH child AS (
+         |  SELECT l_orderkey FROM lineitem
+         |  UNION ALL
+         |  SELECT l_orderkey + 900000000 FROM lineitem
+         |  WHERE l_orderkey % 97 = 0
+         |)
+         |SELECT 'lineitem->orders' AS rel,
+         |  (SELECT count(*) FROM child c WHERE NOT EXISTS
+         |    (SELECT 1 FROM orders o WHERE o.o_orderkey = c.l_orderkey))
+         |  AS n_orphans
+         |UNION ALL
+         |SELECT 'orders->customer',
+         |  (SELECT count(*) FROM orders o WHERE NOT EXISTS
+         |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+         |ORDER BY rel""".stripMargin),
+    // same integer per-mille share; ties at the k boundary break by key
+    "profile_skew" ->
+      ("""WITH c AS (
+         |  SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY 1
+         |), t AS (SELECT count(*) AS total FROM lineitem)
+         |SELECT l_partkey, cnt, (cnt * 1000) // total AS permille
+         |FROM c, t ORDER BY cnt DESC, l_partkey LIMIT 20""".stripMargin),
+    "mm_frames" ->
+      // documents.text is pure ASCII on this corpus (proven by mm_features'
+      // byte_sum oracle matching), so substr/ascii arithmetic equals the
+      // engine's byte arithmetic
+      ("""WITH f AS (
+         |  SELECT doc_id, text,
+         |    unnest([i for i in range(0, CAST(ceil(length(text) / 64.0) AS INT), 4)]) AS frame_idx
+         |  FROM documents
+         |)
+         |SELECT doc_id AS id, CAST(frame_idx AS BIGINT) AS frame_idx,
+         |  CAST(length(substr(text, frame_idx * 64 + 1, 64)) AS BIGINT) AS n_bytes,
+         |  CAST(list_sum([CAST(ascii(c) AS BIGINT) for c in string_split(substr(text, frame_idx * 64 + 1, 64), '')]) AS BIGINT) AS byte_sum
+         |FROM f ORDER BY id, frame_idx""".stripMargin),
+    // the plain overlap theta-join — bucketing must not change matches
+    "join_overlap" ->
+      ("""WITH v AS (
+         |  SELECT event_id AS v_id, user_id AS vu, ts AS vs,
+         |    ts + INTERVAL 60 MINUTE AS ve
+         |  FROM events WHERE event_type = 'view'
+         |), c AS (
+         |  SELECT event_id AS c_id, user_id AS cu, ts AS cs,
+         |    ts + INTERVAL 60 MINUTE AS ce
+         |  FROM events WHERE event_type = 'click'
+         |)
+         |SELECT v_id, c_id FROM v JOIN c
+         |ON vu = cu AND vs < ce AND cs < ve
+         |ORDER BY v_id, c_id""".stripMargin),
+    // identical integer-quantized idf ((n_docs*1e6) // df) and tie-break
+    "text_tfidf" ->
+      ("""WITH tfc AS (
+         |  SELECT doc_id, term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |        FROM documents)
+         |  GROUP BY doc_id, term
+         |), dfreq AS (
+         |  SELECT term, count(*) AS df_docs FROM tfc GROUP BY term
+         |), tot AS (SELECT count(*) AS n_docs FROM documents),
+         |ranked AS (
+         |  SELECT tfc.doc_id, tfc.term,
+         |    tfc.tf * ((tot.n_docs * 1000000) // dfreq.df_docs) AS score,
+         |    CAST(row_number() OVER (PARTITION BY tfc.doc_id
+         |      ORDER BY tfc.tf * ((tot.n_docs * 1000000) // dfreq.df_docs) DESC,
+         |               tfc.term) AS BIGINT) AS rnk
+         |  FROM tfc JOIN dfreq ON tfc.term = dfreq.term, tot
+         |)
+         |SELECT doc_id, rnk, term, score FROM ranked
+         |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin),
+    // same start grid (0..n-1 step 48) and 1-based boundary indexing
+    "text_chunks" ->
+      ("""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws,
+         |    len(string_split(text, ' ')) AS n
+         |  FROM documents
+         |), c AS (
+         |  SELECT doc_id, ws, n,
+         |    unnest(range(0, n, 48)) AS start,
+         |    generate_subscripts(range(0, n, 48), 1) - 1 AS chunk_idx
+         |  FROM t
+         |)
+         |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         |  CAST(least(64, n - start) AS BIGINT) AS chunk_len,
+         |  ws[start + 1] AS first_term,
+         |  ws[start + least(64, n - start)] AS last_term
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin),
+    // same deterministic vocab rank (count desc, term) and -1 unknowns;
+    // DuckDB's parallel unnests zip, giving the same (pos, term) pairs
+    // the same compound decoration, vocab derivation (top-16 by
+    // (freq DESC, word) + distinct characters), and greedy
+    // longest-prefix walk — the recursion step IS the engine's fold step
+    "text_subword" ->
+      ("""WITH RECURSIVE comp AS (
+         |  SELECT text || ' scancolumn' || (doc_id % 10)
+         |              || ' columnscan' || (doc_id % 7) AS text
+         |  FROM documents
+         |), occ AS (
+         |  SELECT unnest(list_filter(string_split(text, ' '),
+         |                            w -> w <> '')) AS word
+         |  FROM comp
+         |), top AS (
+         |  SELECT word AS piece FROM occ GROUP BY word
+         |  ORDER BY count(*) DESC, word LIMIT 16
+         |), dw AS (
+         |  SELECT DISTINCT word FROM occ
+         |), chars AS (
+         |  SELECT DISTINCT unnest(string_split(word, '')) AS piece FROM dw
+         |), vocab AS (
+         |  SELECT list(DISTINCT piece) AS vs, max(len(piece)) AS ml
+         |  FROM (SELECT piece FROM top UNION SELECT piece FROM chars)
+         |), enc AS (
+         |  SELECT word, word AS rem, CAST(0 AS BIGINT) AS pp,
+         |    CAST(NULL AS VARCHAR) AS piece
+         |  FROM dw
+         |  UNION ALL
+         |  SELECT word, substring(rem, len(m) + 1, 100000000), pp + 1, m
+         |  FROM (
+         |    SELECT e.word, e.rem, e.pp,
+         |      list_filter(list_transform(range(least(len(e.rem), v.ml),
+         |          0, -1), l -> substring(e.rem, 1, l)),
+         |        p -> list_contains(v.vs, p))[1] AS m
+         |    FROM enc e, vocab v WHERE len(e.rem) > 0
+         |  )
+         |)
+         |SELECT word, pp AS piece_pos, piece FROM enc
+         |WHERE piece IS NOT NULL ORDER BY word, piece_pos""".stripMargin),
+    // unrolled BPE training (BpeIterCte scaladoc: |-anchored symbol
+    // strings, replace() as the exhaustive merge) — the final round's
+    // segmentation IS the encode of every training word
+    "text_bpe" ->
+      (s"""WITH bw AS (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+         |    SELECT unnest(list_filter(string_split(text, ' '),
+         |                              w -> w <> '')) AS word
+         |    FROM documents)
+         |  GROUP BY word
+         |), seg0 AS (
+         |  SELECT word, freq,
+         |    regexp_replace(word, '(.)', '|\\1 ', 'g') AS seg
+         |  FROM bw
+         |), ${(1 to 8).map(BpeIterCte).mkString(", ")}
+         |SELECT word, CAST(pos AS BIGINT) AS piece_pos,
+         |  substring(piece, 2) AS piece
+         |FROM (
+         |  SELECT word, generate_subscripts(syms, 1) AS pos,
+         |    unnest(syms) AS piece
+         |  FROM (SELECT word, string_split(rtrim(seg), ' ') AS syms
+         |        FROM seg8)
+         |)
+         |ORDER BY word, piece_pos""".stripMargin),
+    "text_vocab_encode" ->
+      ("""WITH tp AS (
+         |  SELECT doc_id,
+         |    generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+         |    unnest(string_split(text, ' ')) AS term
+         |  FROM documents
+         |), v AS (
+         |  SELECT term,
+         |    CAST(row_number() OVER (ORDER BY count(*) DESC, term)
+         |      AS BIGINT) AS tok_id
+         |  FROM tp GROUP BY term
+         |  QUALIFY tok_id <= 1000
+         |)
+         |SELECT tp.doc_id, CAST(tp.pos AS BIGINT) AS pos,
+         |  coalesce(v.tok_id, -1) AS tok_id
+         |FROM tp LEFT JOIN v USING (term)
+         |ORDER BY doc_id, pos""".stripMargin),
+    // per-occurrence (not distinct) tokens through the same 62-bit poly
+    // hash the SimHash oracle replays, bucketed mod 64
+    "text_hashvec" ->
+      ("""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+         |), h AS (
+         |  SELECT doc_id,
+         |    list_reduce([CAST(ascii(c) AS BIGINT) for c in string_split(t,'')],
+         |      (a,x) -> (a*31+x) % 2147483647) * 2147483648
+         |    + list_reduce([CAST(ascii(c) AS BIGINT) for c in string_split(t,'')],
+         |      (a,x) -> (a*131+x) % 2147483629) AS h
+         |  FROM tok WHERE t <> ''
+         |)
+         |SELECT doc_id, h % 64 AS bucket, count(*) AS n
+         |FROM h GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin),
+    // the shared QualityCtes metrics joined back for lang, gated with the
+    // cleanpass thresholds
+    "text_crosstab" ->
+      (s"""WITH $QualityCtes
+         |SELECT d.lang,
+         |  (q.n_chars >= 100 AND q.stopword_ratio >= 0.02
+         |    AND q.avg_token_len <= 5.0) AS kept,
+         |  count(*) AS n
+         |FROM q JOIN documents d USING (doc_id)
+         |GROUP BY 1, 2 ORDER BY lang, kept""".stripMargin),
+    // identical mess derivation (upper prefix, padding, a tab via chr(9))
+    // and the identical lower → strip-control → collapse → trim chain
+    // same lined decoration ([[LinedCte]]); DuckDB's zipped unnests give
+    // (line, pos), string_agg(... ORDER BY pos) replays the engine's
+    // array_sort(collect_list(struct(pos, line))) reassembly, and the
+    // CASE-to-NULL trick inside the aggregates replays the when(keep, _)
+    // null-skipping
+    "text_linededup" ->
+      (s"""WITH $LinedCte,
+         |ls AS (
+         |  SELECT doc_id,
+         |    unnest(string_split(text, chr(10))) AS line,
+         |    unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+         |  FROM lined
+         |), freq AS (
+         |  SELECT line FROM ls GROUP BY line
+         |  HAVING count(DISTINCT doc_id) >= 2
+         |)
+         |SELECT ls.doc_id,
+         |  coalesce(string_agg(CASE WHEN f.line IS NULL THEN ls.line END,
+         |    chr(10) ORDER BY ls.pos), '') AS clean_text,
+         |  CAST(count(CASE WHEN f.line IS NULL THEN 1 END) AS BIGINT)
+         |    AS n_kept,
+         |  CAST(count(CASE WHEN f.line IS NOT NULL THEN 1 END) AS BIGINT)
+         |    AS n_dropped
+         |FROM ls LEFT JOIN freq f ON ls.line = f.line
+         |GROUP BY ls.doc_id ORDER BY ls.doc_id""".stripMargin),
+    // integer-ppm commonness: every division is //, every window-free
+    // sum cast to BIGINT before it can widen downstream arithmetic to
+    // HUGEINT
+    "text_rarity" ->
+      ("""WITH tfc AS (
+         |  SELECT doc_id, term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |        FROM documents)
+         |  GROUP BY doc_id, term
+         |), cnts AS (
+         |  SELECT term, CAST(sum(tf) AS BIGINT) AS cnt FROM tfc
+         |  GROUP BY term
+         |), tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_toks FROM cnts),
+         |scored AS (
+         |  SELECT tfc.doc_id, tfc.tf,
+         |    CAST((cnts.cnt * 1000000) // tot.n_toks AS BIGINT) AS ppm
+         |  FROM tfc JOIN cnts USING (term), tot
+         |)
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+         |  CAST(sum(tf * ppm) // sum(tf) AS BIGINT) AS avg_ppm,
+         |  min(ppm) AS min_ppm
+         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    "text_winnow" ->
+      (s"""WITH $WinnowCte
+         |SELECT doc_id, unnest(fps) AS fp FROM win
+         |ORDER BY doc_id, fp""".stripMargin),
+    "text_normalize" ->
+      ("""WITH messy AS (
+         |  SELECT doc_id,
+         |    upper(substr(text, 1, 10)) || substr(text, 11) ||
+         |    '   PADDED ' || chr(9) || ' END  ' AS text
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_chars_raw,
+         |  trim(regexp_replace(regexp_replace(lower(text),
+         |    '[\x00-\x1f]', ' ', 'g'), '  *', ' ', 'g')) AS norm_text,
+         |  CAST(length(trim(regexp_replace(regexp_replace(lower(text),
+         |    '[\x00-\x1f]', ' ', 'g'), '  *', ' ', 'g'))) AS BIGINT)
+         |    AS n_chars_norm
+         |FROM messy ORDER BY doc_id""".stripMargin),
+    // PII counts on the raw decorated text; redaction replayed with the
+    // identical patterns in the identical email → IPv4 → phone order
+    "text_pii" ->
+      (s"""WITH $DirtyCte
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text,
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+         |    AS n_emails,
+         |  CAST(len(regexp_extract_all(text,
+         |    '\\d{3}-\\d{3}-\\d{4}')) AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(text,
+         |    '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}')) AS BIGINT) AS n_ips,
+         |  (len(regexp_extract_all(text,
+         |     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+         |   + len(regexp_extract_all(text, '\\d{3}-\\d{3}-\\d{4}'))
+         |   + len(regexp_extract_all(text,
+         |       '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}')) > 0) AS has_pii,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |    '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}', '<IP>', 'g'),
+         |    '\\d{3}-\\d{3}-\\d{4}', '<PHONE>', 'g') AS redacted
+         |FROM dirty ORDER BY doc_id""".stripMargin),
+    "text_domains" ->
+      (s"""WITH $DirtyCte, u AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_extract_all(text, 'https?://[A-Za-z0-9.-]+')) AS url
+         |  FROM dirty
+         |)
+         |SELECT regexp_replace(url, 'https?://', '') AS domain,
+         |  count(*) AS n_mentions,
+         |  count(DISTINCT doc_id) AS n_docs
+         |FROM u GROUP BY 1 ORDER BY n_mentions DESC, domain""".stripMargin),
+    // the partitioned round trip must reproduce the plain filtered scan
+    "sink_partitioned" ->
+      ("""SELECT doc_id, n_chars FROM documents
+         |WHERE lang = 'en' ORDER BY doc_id""".stripMargin),
+    // three literal-version snapshot selects replaying the commit
+    // sequence: overwrite(en) -> append(de) -> overwrite(fr)
+    "sink_txlog" ->
+      ("""SELECT CAST(1 AS BIGINT) AS version, doc_id, lang, n_chars
+         |FROM documents WHERE lang = 'en'
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), doc_id, lang, n_chars
+         |FROM documents WHERE lang IN ('en', 'de')
+         |UNION ALL
+         |SELECT CAST(3 AS BIGINT), doc_id, lang, n_chars
+         |FROM documents WHERE lang = 'fr'
+         |ORDER BY version, doc_id""".stripMargin),
+    // the diff replays from the commit definitions: append de = inserts
+    // only; overwrite fr = delete everything live (en + de), insert fr
+    "ops_txdiff" ->
+      ("""SELECT 'v1v2' AS step, 'insert' AS change, doc_id, lang, n_chars
+         |FROM documents WHERE lang = 'de'
+         |UNION ALL
+         |SELECT 'v2v3', 'insert', doc_id, lang, n_chars
+         |FROM documents WHERE lang = 'fr'
+         |UNION ALL
+         |SELECT 'v2v3', 'delete', doc_id, lang, n_chars
+         |FROM documents WHERE lang IN ('en', 'de')
+         |ORDER BY step, change, doc_id""".stripMargin),
+    // OPTIMIZE commits version 4 with the identical en+de+fr multiset —
+    // compaction moves bytes, never rows
+    "ops_optimize" ->
+      ("""SELECT CAST(4 AS BIGINT) AS version, doc_id, lang, n_chars
+         |FROM documents WHERE lang IN ('en', 'de', 'fr')
+         |ORDER BY doc_id""".stripMargin),
+    // vacuum(retain=2) expires exactly v1; the retained snapshots replay
+    // from the commit definitions: v2 = en+de append state, v3 = fr
+    // overwrite state — identical content before and after the vacuum
+    "ops_vacuum" ->
+      ("""SELECT CAST(2 AS BIGINT) AS version, doc_id, lang, n_chars,
+         |  TRUE AS expired_v1
+         |FROM documents WHERE lang IN ('en', 'de')
+         |UNION ALL
+         |SELECT CAST(3 AS BIGINT), doc_id, lang, n_chars, TRUE
+         |FROM documents WHERE lang = 'fr'
+         |ORDER BY version, doc_id""".stripMargin),
+    // the JSONL round trip must reproduce the original table — if the
+    // codec mangles quoting, escapes, or numerics, the hash breaks
+    "source_jsonl" ->
+      ("""SELECT event_id, user_id, event_type,
+         |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c, props
+         |FROM events ORDER BY event_id""".stripMargin),
+    // the ORC round trip must reproduce the original table byte-for-byte
+    "source_orc" ->
+      ("""SELECT doc_id, text, lang, source, n_chars
+         |FROM documents ORDER BY doc_id""".stripMargin),
+    // and so must the CSV round trip (same all-non-null projection)
+    "source_csv" ->
+      ("""SELECT doc_id, text, lang, source, n_chars
+         |FROM documents ORDER BY doc_id""".stripMargin),
+    // greedy cumulative fill replayed with the same window: a file opens
+    // a new group when its START offset crosses a target boundary
+    // same [[ZInterleave8]] bit arithmetic; x, y, and the shifts are all
+    // BIGINT end to end, so no HUGEINT widening anywhere
+    "ops_zorder" ->
+      (s"""WITH pts AS (
+         |  SELECT l_partkey % 256 AS x, l_suppkey % 256 AS y FROM lineitem
+         |), z AS (
+         |  SELECT x, y, ($ZInterleave8) AS zv FROM pts
+         |)
+         |SELECT zv >> 8 AS bucket, CAST(count(*) AS BIGINT) AS n,
+         |  min(x) AS min_x, max(x) AS max_x,
+         |  min(y) AS min_y, max(y) AS max_y
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin),
+    "ops_compaction" ->
+      ("""WITH inv AS (
+         |  SELECT lang, source, CAST(sum(n_chars) AS BIGINT) AS bytes
+         |  FROM documents GROUP BY lang, source
+         |), c AS (
+         |  SELECT lang, source, bytes,
+         |    sum(bytes) OVER (PARTITION BY lang ORDER BY source
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - bytes
+         |      AS start_off
+         |  FROM inv
+         |)
+         |SELECT lang, source, bytes,
+         |  CAST(start_off // 15000 AS BIGINT) AS grp
+         |FROM c ORDER BY lang, source""".stripMargin),
+    // same per-doc distinct word bigrams (sub-2-token docs contribute the
+    // whole text, mirroring Dedup.shingles) and the same k-boundary order
+    "text_bigrams" ->
+      ("""WITH b AS (
+         |  SELECT unnest(CASE WHEN len(ws) < 2 THEN [text]
+         |    ELSE list_distinct([ws[i] || ' ' || ws[i+1]
+         |                        for i in range(1, len(ws))]) END) AS bigram
+         |  FROM (SELECT text, string_split(text, ' ') AS ws FROM documents)
+         |)
+         |SELECT bigram, count(*) AS doc_freq FROM b GROUP BY bigram
+         |ORDER BY doc_freq DESC, bigram LIMIT 40""".stripMargin),
+    // same occurrence bigrams (positional zip), same exact-integer ratios
+    // rounded to 4 decimals; n<2 docs emit 0.0 on both engines
+    "text_repetition" ->
+      ("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+         |           FROM documents),
+         |m AS (
+         |  SELECT doc_id, len(ws) AS n,
+         |    CASE WHEN len(ws) < 2 THEN 0
+         |      ELSE len(ws) - 1 - len(list_distinct(
+         |        [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))])) END
+         |      AS dupb,
+         |    list_max([len(list_filter(ws, x -> x = t))
+         |              for t in list_distinct(ws)]) AS topc
+         |  FROM w
+         |)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+         |  CASE WHEN n < 2 THEN 0.0
+         |    ELSE round(CAST(dupb AS DOUBLE) / (n - 1), 4) END
+         |    AS dup_bigram_frac,
+         |  round(CAST(topc AS DOUBLE) / greatest(n, 1), 4) AS top_token_frac
+         |FROM m ORDER BY doc_id""".stripMargin),
+    // PMI as the integer rational c_xy·nu²/(nb·c_x·c_y): both engines
+    // form exact BIGINT products and perform ONE identical double
+    // division, so score and rank order match bit-for-bit
+    "text_pmi" ->
+      ("""WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+         |pairs AS (
+         |  SELECT unnest([ws[i] || ' ' || ws[i+1]
+         |                 for i in range(1, len(ws))]) AS bg FROM w
+         |), cxy AS (
+         |  SELECT string_split(bg, ' ')[1] AS x, string_split(bg, ' ')[2] AS y,
+         |    count(*) AS c_xy
+         |  FROM pairs GROUP BY 1, 2 HAVING count(*) >= 5
+         |), cu AS (
+         |  SELECT word, count(*) AS c
+         |  FROM (SELECT unnest(ws) AS word FROM w) GROUP BY word
+         |), tot AS (
+         |  SELECT sum(len(ws)) AS nu, sum(greatest(len(ws) - 1, 0)) AS nb
+         |  FROM w
+         |)
+         |SELECT c.x, c.y, c.c_xy, cx.c AS c_x, cy.c AS c_y,
+         |  CAST(c.c_xy * t.nu * t.nu AS DOUBLE) /
+         |  CAST(t.nb * cx.c * cy.c AS DOUBLE) AS score
+         |FROM cxy c JOIN cu cx ON c.x = cx.word
+         |JOIN cu cy ON c.y = cy.word, tot t
+         |ORDER BY score DESC, x, y LIMIT 40""".stripMargin),
+    // BM25 with cleared denominators (TextStats.bm25TopTerms scaladoc):
+    // num = 22·S·tf, den = 10·S·tf + 3·S + 9·dl·N are exact integers on
+    // both engines; the single num/den double division, the integer-
+    // quantized idf ((N·10⁶) // df — same trick as text_tfidf), and the
+    // fixed op order (ratio · idf + 0.5, then floor) are IEEE-identical
+    "text_bm25" ->
+      ("""WITH tf AS (
+         |  SELECT doc_id, term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |        FROM documents)
+         |  GROUP BY doc_id, term
+         |), dl AS (
+         |  SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id
+         |), dfreq AS (
+         |  SELECT term, count(*) AS df_docs FROM tf GROUP BY term
+         |), tot AS (SELECT count(*) AS n, sum(dl) AS s FROM dl),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    CAST(floor(
+         |      CAST(22 * tot.s * tf.tf AS DOUBLE) /
+         |      CAST(10 * tot.s * tf.tf + 3 * tot.s + 9 * dl.dl * tot.n
+         |           AS DOUBLE) *
+         |      CAST((tot.n * 1000000) // dfreq.df_docs AS DOUBLE)
+         |      + 0.5) AS BIGINT) AS score
+         |  FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term), tot
+         |), ranked AS (
+         |  SELECT doc_id, term, score,
+         |    CAST(row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, term) AS BIGINT) AS rnk
+         |  FROM scored
+         |)
+         |SELECT doc_id, rnk, term, score FROM ranked
+         |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin),
+    // replay both retrievers' top-50 lists (EXACT BM25 lexical — the
+    // text_bm25 integer rational with dl = full token count — q4
+    // cosine) and the integer RRF fusion over them
+    "search_hybrid" ->
+      ("""WITH occ AS (
+         |  SELECT doc_id AS id, len(string_split(text, ' ')) AS dl,
+         |         unnest(string_split(text, ' ')) AS term
+         |  FROM documents
+         |), tf AS (
+         |  SELECT id, term, count(*) AS tf, max(dl) AS dl FROM occ
+         |  WHERE term IN ('data', 'query', 'join') GROUP BY id, term
+         |), dfreq AS (SELECT term, count(*) AS df_docs FROM tf GROUP BY term),
+         |tot AS (
+         |  SELECT count(*) AS n, sum(len(string_split(text, ' '))) AS s
+         |  FROM documents
+         |), lex AS (
+         |  SELECT id, sum(CAST(floor(
+         |      CAST(22 * tot.s * tf.tf AS DOUBLE) /
+         |      CAST(10 * tot.s * tf.tf + 3 * tot.s + 9 * tf.dl * tot.n
+         |           AS DOUBLE) *
+         |      CAST((tot.n * 1000000) // dfreq.df_docs AS DOUBLE)
+         |      + 0.5) AS BIGINT)) AS lex_score
+         |  FROM tf JOIN dfreq USING (term), tot GROUP BY id
+         |), lextop AS (
+         |  SELECT id, CAST(row_number() OVER (ORDER BY lex_score DESC, id)
+         |    AS BIGINT) AS lex_rank
+         |  FROM lex ORDER BY lex_score DESC, id LIMIT 50
+         |), q AS (
+         |  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+         |  WHERE vec_id = 0
+         |), vec AS (
+         |  SELECT vec_id AS id,
+         |    round(list_dot_product(CAST(embedding AS DOUBLE[]), qe) /
+         |      (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                             CAST(embedding AS DOUBLE[]))) *
+         |       sqrt(list_dot_product(qe, qe))), 4) AS sim
+         |  FROM embeddings, q
+         |), vectop AS (
+         |  SELECT id, CAST(row_number() OVER (ORDER BY sim DESC, id)
+         |    AS BIGINT) AS vec_rank
+         |  FROM vec ORDER BY sim DESC, id LIMIT 50
+         |)
+         |SELECT id,
+         |  CAST(coalesce(1000000000 // (60 + lex_rank), 0)
+         |     + coalesce(1000000000 // (60 + vec_rank), 0) AS BIGINT)
+         |    AS rrf_score,
+         |  lex_rank, vec_rank
+         |FROM lextop FULL OUTER JOIN vectop USING (id)
+         |ORDER BY rrf_score DESC, id LIMIT 10""".stripMargin),
+    // three queries through the same replay: broadcast query/term table,
+    // per-query BM25 + cosine ranks, per-query RRF top-10
+    "search_hybrid_batch" ->
+      ("""WITH queries(query_id, term) AS (
+         |  SELECT CAST(q AS BIGINT), t FROM (VALUES
+         |    (0, 'data'), (0, 'query'), (0, 'join'),
+         |    (1, 'spark'), (1, 'table'), (1, 'scan'),
+         |    (2, 'stream'), (2, 'window')) v(q, t)
+         |), qv AS (
+         |  SELECT CAST(vec_id AS BIGINT) AS query_id,
+         |         CAST(embedding AS DOUBLE[]) AS qe
+         |  FROM embeddings WHERE vec_id IN (0, 1, 2)
+         |), occ AS (
+         |  SELECT doc_id AS id, len(string_split(text, ' ')) AS dl,
+         |         unnest(string_split(text, ' ')) AS term
+         |  FROM documents
+         |), tf AS (
+         |  SELECT q.query_id, o.id, o.term, count(*) AS tf, max(o.dl) AS dl
+         |  FROM occ o JOIN queries q USING (term)
+         |  GROUP BY q.query_id, o.id, o.term
+         |), dfreq AS (
+         |  SELECT term, count(*) AS df_docs
+         |  FROM (SELECT DISTINCT term, id FROM tf) GROUP BY term
+         |), tot AS (
+         |  SELECT count(*) AS n, sum(len(string_split(text, ' '))) AS s
+         |  FROM documents
+         |), lex AS (
+         |  SELECT query_id, id, sum(CAST(floor(
+         |      CAST(22 * tot.s * tf.tf AS DOUBLE) /
+         |      CAST(10 * tot.s * tf.tf + 3 * tot.s + 9 * tf.dl * tot.n
+         |           AS DOUBLE) *
+         |      CAST((tot.n * 1000000) // dfreq.df_docs AS DOUBLE)
+         |      + 0.5) AS BIGINT)) AS lex_score
+         |  FROM tf JOIN dfreq USING (term), tot GROUP BY query_id, id
+         |), lextop AS (
+         |  SELECT query_id, id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY lex_score DESC, id) AS BIGINT) AS lex_rank
+         |  FROM lex
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY lex_score DESC, id) <= 50
+         |), vec AS (
+         |  SELECT qv.query_id, vec_id AS id,
+         |    round(list_dot_product(CAST(embedding AS DOUBLE[]), qe) /
+         |      (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                             CAST(embedding AS DOUBLE[]))) *
+         |       sqrt(list_dot_product(qe, qe))), 4) AS sim
+         |  FROM embeddings, qv
+         |), vectop AS (
+         |  SELECT query_id, id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, id) AS BIGINT) AS vec_rank
+         |  FROM vec
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY sim DESC, id) <= 50
+         |)
+         |SELECT query_id, id,
+         |  CAST(coalesce(1000000000 // (60 + lex_rank), 0)
+         |     + coalesce(1000000000 // (60 + vec_rank), 0) AS BIGINT)
+         |    AS rrf_score,
+         |  lex_rank, vec_rank
+         |FROM lextop FULL OUTER JOIN vectop USING (query_id, id)
+         |QUALIFY row_number() OVER (PARTITION BY query_id
+         |  ORDER BY rrf_score DESC, id) <= 10
+         |ORDER BY query_id, rrf_score DESC, id""".stripMargin),
+    // same df band [2,50] before any posting materializes, same cap-10
+    // rank over doc_id (unique per term, so the order is total)
+    "index_postings" ->
+      ("""WITH pairs AS (
+         |  SELECT DISTINCT doc_id, term
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |        FROM documents)
+         |), band AS (
+         |  SELECT term, count(*) AS df_docs FROM pairs GROUP BY term
+         |  HAVING count(*) BETWEEN 2 AND 50
+         |)
+         |SELECT p.term, b.df_docs,
+         |  CAST(row_number() OVER (PARTITION BY p.term ORDER BY p.doc_id)
+         |    AS BIGINT) AS slot,
+         |  p.doc_id
+         |FROM pairs p JOIN band b USING (term)
+         |QUALIFY row_number() OVER (PARTITION BY p.term ORDER BY p.doc_id)
+         |  <= 10
+         |ORDER BY term, slot""".stripMargin),
+    // the FreqSketch Rabin–Karp folds replayed with list_reduce (the
+    // dedup_simhash construction): list_reduce's first-element seed equals
+    // the Spark fold's 0-seed first step (cp % p = cp); d=3 rows × 512
+    // cells, est = min over the 3 probed cells, ≥ exact always
+    "sketch_cms" ->
+      ("""WITH terms AS (
+         |  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+         |), counts AS (
+         |  SELECT term, count(*) AS cnt FROM terms WHERE term <> ''
+         |  GROUP BY term
+         |), hashed AS (
+         |  SELECT term, cnt,
+         |    list_reduce([CAST(ascii(c) AS BIGINT)
+         |                 for c in string_split(term, '')],
+         |      (a, x) -> (a * 31 + x) % 2147483647) % 512 AS c0,
+         |    list_reduce([CAST(ascii(c) AS BIGINT)
+         |                 for c in string_split(term, '')],
+         |      (a, x) -> (a * 131 + x) % 2147483629) % 512 AS c1,
+         |    list_reduce([CAST(ascii(c) AS BIGINT)
+         |                 for c in string_split(term, '')],
+         |      (a, x) -> (a * 1031 + x) % 2147483587) % 512 AS c2
+         |  FROM counts
+         |), cells AS (
+         |  SELECT 0 AS hrow, c0 AS cell, cnt FROM hashed
+         |  UNION ALL SELECT 1, c1, cnt FROM hashed
+         |  UNION ALL SELECT 2, c2, cnt FROM hashed
+         |), sk AS (
+         |  SELECT hrow, cell, sum(cnt) AS scnt FROM cells GROUP BY hrow, cell
+         |), top AS (
+         |  SELECT term, cnt AS exact_cnt, c0, c1, c2 FROM hashed
+         |  ORDER BY cnt DESC, term LIMIT 20
+         |), probes AS (
+         |  SELECT term, exact_cnt, 0 AS hrow, c0 AS cell FROM top
+         |  UNION ALL SELECT term, exact_cnt, 1, c1 FROM top
+         |  UNION ALL SELECT term, exact_cnt, 2, c2 FROM top
+         |)
+         |SELECT p.term, p.exact_cnt, CAST(min(s.scnt) AS BIGINT) AS est_cnt
+         |FROM probes p JOIN sk s ON p.hrow = s.hrow AND p.cell = s.cell
+         |GROUP BY p.term, p.exact_cnt
+         |ORDER BY exact_cnt DESC, term""".stripMargin),
+    // replay the planted-PPM formula: w = 1 + id%7, h = 1 + id%5,
+    // pixel(k) = (id*31 + 7k) mod 256 for k < w*h*3 (max 105 — the
+    // bounded series join); mean quantization is the engine's exact
+    // long arithmetic (sum*1e4 + n/2) div n
+    "mm_decode" ->
+      ("""WITH px AS (
+         |  SELECT doc_id AS id, 1 + doc_id % 7 AS w, 1 + doc_id % 5 AS h
+         |  FROM documents
+         |), sums AS (
+         |  SELECT id, w, h, sum((id*31 + 7*k) % 256) AS ps
+         |  FROM px, generate_series(0, 104) t(k)
+         |  WHERE k < w*h*3
+         |  GROUP BY id, w, h
+         |)
+         |SELECT id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+         |  CAST(ps AS BIGINT) AS pixel_sum,
+         |  CAST((ps*10000 + (w*h*3)//2) // (w*h*3) AS BIGINT)
+         |    AS pixel_mean_q4
+         |FROM sums ORDER BY id""".stripMargin),
+    // the PNG entry shares the PPM oracle verbatim: PNG is lossless, so
+    // the encode→decode round trip must reproduce the identical planted
+    // pixels — any inflate/unfilter defect breaks the hash
+    "mm_decode_png" ->
+      ("""WITH px AS (
+         |  SELECT doc_id AS id, 1 + doc_id % 7 AS w, 1 + doc_id % 5 AS h
+         |  FROM documents
+         |), sums AS (
+         |  SELECT id, w, h, sum((id*31 + 7*k) % 256) AS ps
+         |  FROM px, generate_series(0, 104) t(k)
+         |  WHERE k < w*h*3
+         |  GROUP BY id, w, h
+         |)
+         |SELECT id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+         |  CAST(ps AS BIGINT) AS pixel_sum,
+         |  CAST((ps*10000 + (w*h*3)//2) // (w*h*3) AS BIGINT)
+         |    AS pixel_mean_q4
+         |FROM sums ORDER BY id""".stripMargin),
+    "mm_features" ->
+      ("""SELECT doc_id AS id, 'text' AS kind,
+         |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+         |  CAST(list_sum([ascii(c) for c in string_split(text, '')]) AS BIGINT) AS byte_sum,
+         |  CAST(ascii(substr(text, 1, 1)) + 1 AS INTEGER) AS width,
+         |  CAST(CASE WHEN length(text) > 1 THEN ascii(substr(text, 2, 1)) + 1 ELSE 0 END AS INTEGER) AS height
+         |FROM documents ORDER BY id""".stripMargin),
+    // same derived feed, same latest-wins rule (seq desc, op desc),
+    // anti-join + surviving-upsert union
+    "merge_upsert" ->
+      ("""WITH base AS (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+         |  FROM orders
+         |), changes AS (
+         |  SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus, o_totalprice,
+         |    'U' AS op, 1 AS seq FROM base WHERE o_orderkey % 10 = 3
+         |  UNION ALL SELECT o_orderkey, o_custkey, 'Y', o_totalprice, 'U', 1
+         |    FROM base WHERE o_orderkey % 10 = 7
+         |  UNION ALL SELECT o_orderkey, o_custkey, 'Z', o_totalprice, 'D', 2
+         |    FROM base WHERE o_orderkey % 10 = 7
+         |  UNION ALL SELECT o_orderkey + 100000000, o_custkey, 'N',
+         |    o_totalprice, 'I', 1 FROM base WHERE o_orderkey % 10 = 1
+         |), latest AS (
+         |  SELECT *, row_number() OVER (PARTITION BY o_orderkey
+         |    ORDER BY seq DESC, op DESC) AS rnk FROM changes
+         |  QUALIFY rnk = 1
+         |)
+         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+         |FROM base b
+         |WHERE NOT EXISTS (SELECT 1 FROM latest l
+         |                  WHERE l.o_orderkey = b.o_orderkey)
+         |UNION ALL
+         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+         |FROM latest WHERE op <> 'D'
+         |ORDER BY o_orderkey""".stripMargin),
+    // identical feed; versions chained with lead() per key, deletes close
+    // but emit nothing, so m%10=7 keys end with no current row
+    "merge_scd2" ->
+      ("""WITH base AS (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+         |  FROM orders
+         |), changes AS (
+         |  SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus, o_totalprice,
+         |    'U' AS op, CAST(1 AS BIGINT) AS seq
+         |    FROM base WHERE o_orderkey % 10 = 3
+         |  UNION ALL SELECT o_orderkey, o_custkey, 'Y', o_totalprice, 'U',
+         |    CAST(1 AS BIGINT) FROM base WHERE o_orderkey % 10 = 7
+         |  UNION ALL SELECT o_orderkey, o_custkey, 'X2', o_totalprice, 'U',
+         |    CAST(2 AS BIGINT) FROM base WHERE o_orderkey % 10 = 3
+         |  UNION ALL SELECT o_orderkey, o_custkey, 'Z', o_totalprice, 'D',
+         |    CAST(2 AS BIGINT) FROM base WHERE o_orderkey % 10 = 7
+         |  UNION ALL SELECT o_orderkey + 100000000, o_custkey, 'N',
+         |    o_totalprice, 'I', CAST(1 AS BIGINT)
+         |    FROM base WHERE o_orderkey % 10 = 1
+         |), v AS (
+         |  SELECT *, seq AS valid_from,
+         |    lead(seq) OVER (PARTITION BY o_orderkey ORDER BY seq) AS valid_to
+         |  FROM changes
+         |)
+         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         |  valid_from, valid_to, (valid_to IS NULL) AS is_current
+         |FROM v WHERE op <> 'D'
+         |ORDER BY o_orderkey, valid_from""".stripMargin),
+    // per-column stats; doubles quantized to cents before min/max so the
+    // string rendering is integer on both engines
+    "profile_stats" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_orderpriority", "o_price_c")
+      val arms = cols.map { c =>
+        s"""SELECT '$c' AS col_name,
+           |  count(*) FILTER (WHERE $c IS NULL) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_val,
+           |  CAST(max($c) AS VARCHAR) AS max_val FROM src""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH src AS (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+         |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS o_price_c
+         |  FROM orders
+         |)
+         |$arms
+         |ORDER BY col_name""".stripMargin
+    },
+    // the HllOracle pipeline replayed per profiled column over the
+    // unpivoted (col_name, v) frame, joined to exact nulls/min/max
+    "profile_stats_sketch" ->
+      ("""WITH src AS (
+         |  SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+         |    CAST(o_custkey AS BIGINT) AS o_custkey,
+         |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS o_price_c
+         |  FROM orders
+         |), u AS (
+         |  SELECT 'o_orderkey' AS col_name, o_orderkey AS v FROM src
+         |  UNION ALL SELECT 'o_custkey', o_custkey FROM src
+         |  UNION ALL SELECT 'o_price_c', o_price_c FROM src
+         |), stats AS (
+         |  SELECT col_name, count(*) FILTER (WHERE v IS NULL) AS n_nulls,
+         |    CAST(min(v) AS VARCHAR) AS min_val,
+         |    CAST(max(v) AS VARCHAR) AS max_val
+         |  FROM u GROUP BY col_name
+         |), x1 AS (
+         |  SELECT col_name,
+         |    ((v % 2147483647) + 2147483647) % 2147483647
+         |      * 1103515245 % 2147483647 AS w
+         |  FROM u WHERE v IS NOT NULL
+         |), x2 AS (
+         |  SELECT col_name, xor(w, w >> 15) AS w FROM x1
+         |), x3 AS (
+         |  SELECT col_name, w * 1566083941 % 2147483647 AS w FROM x2
+         |), h AS (
+         |  SELECT col_name, xor(w, w >> 13) AS hv FROM x3
+         |), ranked AS (
+         |  SELECT col_name, hv % 64 AS reg,
+         |    CASE WHEN hv // 64 = 0 THEN 26
+         |         ELSE 26 - length(printf('%b', hv // 64)) END AS rank
+         |  FROM h
+         |), regs AS (
+         |  SELECT col_name, reg, max(rank) AS m_j
+         |  FROM ranked GROUP BY col_name, reg
+         |), state AS (
+         |  SELECT col_name, count(*) AS n_regs,
+         |    sum(CAST(1 AS BIGINT) << (26 - m_j)) AS isum_p
+         |  FROM regs GROUP BY col_name
+         |)
+         |SELECT s.col_name, t.n_nulls, s.n_regs,
+         |  CAST(s.isum_p + (64 - s.n_regs) * 67108864 AS BIGINT) AS isum,
+         |  CAST(0.709 AS DOUBLE) * 4096 * 67108864 /
+         |    CAST(s.isum_p + (64 - s.n_regs) * 67108864 AS DOUBLE)
+         |    AS hll_estimate,
+         |  t.min_val, t.max_val
+         |FROM state s JOIN stats t USING (col_name)
+         |ORDER BY col_name""".stripMargin),
+  )
+}

@@ -38,4476 +38,17 @@ object SparkEntry {
       .orderBy("emp_id")
   }
 
-  /** Mongo find-spec JSON → plan over a table, sorted. The declared-query
-    * backbone: exercises MongoJson.parse + FilterCompiler + Executor.plan. */
-  private def mongo(table: String, specJson: String, sortKeys: String*)(
-      spark: SparkSession, dir: String): DataFrame =
-    Executor.plan(Tables.table(spark, dir, table), MongoJson.parse(specJson))
-      .orderBy(sortKeys.map(col): _*)
+  /** The single gate contract, merged from six per-domain registries
+    * (EntryHelpers carries the shared plumbing). Key sets are disjoint
+    * by construction — each key lives in exactly one registry — and
+    * EntryContractSpec asserts queries/oracle key equality. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    QueriesCore.queries ++ QueriesDedupSim.queries ++
+      QueriesTextSampling.queries ++ QueriesEventsStreaming.queries ++
+      QueriesJoinsOlap.queries ++ QueriesSearchOps.queries
 
-  /** NL text → NlCompiler → plan over the employees view, sorted. */
-  private def nl(text: String, sortKeys: String*)(
-      spark: SparkSession, dir: String): DataFrame =
-    Executor.plan(Tables.employees(spark, dir), NlCompiler.compile(text))
-      .orderBy(sortKeys.map(col): _*)
-
-  private val Emp = Tables.EmployeesOracleView
-
-  /** Session-scoped IVF-PQ index cache: one deterministic build per
-    * corpus dir (see the `sim_ivfpq` entry's contract note). */
-  private val ivfPqCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  /** Shared k-means coarse-quantizer config for the three IVF entries
-    * (and their oracles, which unroll the same training rounds). */
-  private val KmK = 4
-  private val KmIters = 3
-
-  private def ivfPqIndexFor(s: SparkSession, dir: String,
-                            emb: DataFrame): String =
-    ivfPqCache.computeIfAbsent(dir, _ => {
-      val p = scratchDir("graft-ivfpq-")
-      graft.ext.IvfIndex.buildPqKMeans(emb, "vec_id", "embedding", p,
-        nlist = KmK, numSub = 4)
-      p
-    })
-
-  /** Session-scoped trained-quantizer cache for `sim_ivf`, same contract
-    * as [[ivfPqCache]]: the coarse quantizer is the build-once OFFLINE
-    * half of an ANN serving path and its training is deterministic, so
-    * a repeated invocation serves from the trained centroids instead of
-    * re-running Lloyd (`emb_kmeans` deliberately does NOT share this —
-    * it is the declared training query and measures the training). */
-  private val kmCentsCache = new java.util.concurrent.ConcurrentHashMap[
-    String, IndexedSeq[Seq[Double]]]()
-  private def kmCentsFor(dir: String, emb: DataFrame): IndexedSeq[Seq[Double]] =
-    kmCentsCache.computeIfAbsent(dir, _ =>
-      graft.ext.KMeans.fit(emb, "vec_id", "embedding", KmK, KmIters))
-
-  /** Session-scoped persisted-IVF index cache for `sim_ivf_indexed` —
-    * the on-disk dual of [[kmCentsCache]] (build-once/query-many is the
-    * persisted index's whole contract; the result is identical because
-    * the build is deterministic). */
-  private val ivfIndexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def ivfIndexFor(s: SparkSession, dir: String,
-                          emb: DataFrame): String =
-    ivfIndexCache.computeIfAbsent(dir, _ => {
-      val p = scratchDir("graft-ivf-")
-      graft.ext.IvfIndex.buildKMeans(emb, "vec_id", "embedding", p,
-        nlist = KmK, iters = KmIters)
-      p
-    })
-
-  /** Scratch directory reclaimed at JVM exit. Deletion cannot be eager —
-    * the returned DataFrames read these files lazily — but without the
-    * hook every verify/bench run leaks its parquet scratch under /tmp.
-    * ONE shared shutdown hook drains a concurrent list of paths: a hook
-    * Thread per call would accumulate unboundedly in a long-lived driver
-    * re-running scratch-using queries (bench/verify loops). */
-  private val scratchPaths =
-    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
-  private lazy val scratchHook: Unit =
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
-        f.delete(): Unit
-      }
-      scratchPaths.forEach(p => rm(p.toFile))
-    }))
-  private def scratchDir(prefix: String): String = {
-    scratchHook
-    val p = java.nio.file.Files.createTempDirectory(prefix)
-    scratchPaths.add(p)
-    p.toString
-  }
-
-  /** Documents with deterministic PII/URL decorations appended: the
-    * synthetic corpus is clean, so the compliance queries (`text_pii`,
-    * `text_domains`) derive a dirty variant as a pure function of
-    * `doc_id` — the oracle replays the identical derivation in SQL
-    * ([[DirtyCte]]), and the regex scan has real, varied signal to find:
-    * some docs get an email, some a phone, some an IPv4, some one or two
-    * URLs, many get combinations, the rest stay clean. */
-  private def dirtyDocs(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
-    def part(cond: Column, pieces: Column*): Column =
-      when(cond, concat(pieces: _*)).otherwise(lit(""))
-    val id = col("doc_id")
-    d.select(id, concat(col("text"),
-      part(id % 3 === 0, lit(" contact user"), id.cast("string"),
-        lit("@example.com")),
-      part(id % 5 === 0, lit(" call 555-010-"),
-        lpad((id % 10000).cast("string"), 4, "0")),
-      part(id % 4 === 0, lit(" from 10.0."), (id % 256).cast("string"),
-        lit(".7")),
-      part(id % 2 === 0, lit(" see https://site"), (id % 7).cast("string"),
-        lit(".example.org/page")),
-      part(id % 6 === 0, lit(" mirror http://m.site"), (id % 7).cast("string"),
-        lit(".example.org/x"))).as("text"))
-  }
-
-  /** SQL replay of [[dirtyDocs]] — keep the two derivations in lockstep. */
-  private val DirtyCte: String =
-    """dirty AS (
-      |  SELECT doc_id, text ||
-      |    CASE WHEN doc_id % 3 = 0
-      |      THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
-      |    CASE WHEN doc_id % 5 = 0
-      |      THEN ' call 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-      |      ELSE '' END ||
-      |    CASE WHEN doc_id % 4 = 0
-      |      THEN ' from 10.0.' || (doc_id % 256) || '.7' ELSE '' END ||
-      |    CASE WHEN doc_id % 2 = 0
-      |      THEN ' see https://site' || (doc_id % 7) || '.example.org/page'
-      |      ELSE '' END ||
-      |    CASE WHEN doc_id % 6 = 0
-      |      THEN ' mirror http://m.site' || (doc_id % 7) || '.example.org/x'
-      |      ELSE '' END AS text
-      |  FROM documents
-      |)""".stripMargin
-
-  /** Documents with deterministic multi-line structure: the synthetic
-    * corpus is single-line, so the line-hygiene query (`text_linededup`)
-    * derives a lined variant as a pure function of `doc_id` — boilerplate
-    * footer lines planted on modular classes (overlapping at the lcm's,
-    * so docs carry 0–3 boilerplate lines), plus one genuinely unique line
-    * on the %13 class that must SURVIVE the dedup. The corpus's own
-    * exact-duplicate documents contribute the second signal source: their
-    * identical body lines repeat across docs and are dropped too. */
-  private def linedDocs(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
-    def part(cond: Column, pieces: Column*): Column =
-      when(cond, concat(pieces: _*)).otherwise(lit(""))
-    val id = col("doc_id")
-    d.select(id, concat(col("text"),
-      part(id % 7 === 0, lit("\nsubscribe to our newsletter today")),
-      part(id % 5 === 0, lit("\nall rights reserved footer")),
-      part(id % 11 === 0, lit("\nnavigation home about contact")),
-      part(id % 13 === 0, lit("\nrare line "), id.cast("string")))
-      .as("text"))
-  }
-
-  /** SQL replay of [[linedDocs]] — keep the two derivations in lockstep. */
-  private val LinedCte: String =
-    """lined AS (
-      |  SELECT doc_id, text ||
-      |    CASE WHEN doc_id % 7 = 0
-      |      THEN chr(10) || 'subscribe to our newsletter today' ELSE '' END ||
-      |    CASE WHEN doc_id % 5 = 0
-      |      THEN chr(10) || 'all rights reserved footer' ELSE '' END ||
-      |    CASE WHEN doc_id % 11 = 0
-      |      THEN chr(10) || 'navigation home about contact' ELSE '' END ||
-      |    CASE WHEN doc_id % 13 = 0
-      |      THEN chr(10) || 'rare line ' || doc_id ELSE '' END AS text
-      |  FROM documents
-      |)""".stripMargin
-
-  /** Documents with deterministic cross-document boilerplate RUNS planted
-    * for the substring-dedup queries: the %7 and %9 classes append two
-    * different shared sentences (≥ 5 tokens each — at or above the gram
-    * size, so they form duplicated spans), overlapping at the lcm where
-    * both sentences concatenate into ONE longer merged span; the %13
-    * class appends a doc-unique suffix that must NOT be flagged. The
-    * corpus's own exact-duplicate documents contribute whole-document
-    * spans as the second signal source. */
-  private def spanDocs(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
-    def part(cond: Column, pieces: Column*): Column =
-      when(cond, concat(pieces: _*)).otherwise(lit(""))
-    val id = col("doc_id")
-    d.select(id, concat(col("text"),
-      part(id % 7 === 0,
-        lit(" limited time offer click here to claim your reward now")),
-      part(id % 9 === 0,
-        lit(" this content is provided for informational purposes only")),
-      part(id % 13 === 0, lit(" signature token "), id.cast("string")))
-      .as("text"))
-  }
-
-  /** SQL replay of [[spanDocs]] — keep the two derivations in lockstep. */
-  private val SpanCte: String =
-    """spand AS (
-      |  SELECT doc_id, text ||
-      |    CASE WHEN doc_id % 7 = 0
-      |      THEN ' limited time offer click here to claim your reward now'
-      |      ELSE '' END ||
-      |    CASE WHEN doc_id % 9 = 0
-      |      THEN ' this content is provided for informational purposes only'
-      |      ELSE '' END ||
-      |    CASE WHEN doc_id % 13 = 0
-      |      THEN ' signature token ' || doc_id ELSE '' END AS text
-      |  FROM documents
-      |)""".stripMargin
-
-  /** Winnowing fingerprint derivation as portable SQL (ends in `win`
-    * with per-doc `fps` lists) — the same sequential k=4-gram poly hash
-    * (GramPolyOps scaladoc: tokens joined by one space, two Rabin-Karp
-    * folds — list_reduce's first-element seeding equals the engine's
-    * 0-seeded fold because (0*31 + cp) = cp) and the same value-distinct
-    * sliding w=5 min. range(1, greatest(n-k, 0) + 2) emits n-k+1 gram
-    * positions for n >= k and exactly one (whole-text) otherwise; list
-    * slices clamp. Shared by `text_winnow` and `dedup_winnow`. */
-  private val WinnowCte: String =
-    """t AS (
-      |  SELECT doc_id,
-      |    list_filter(string_split(text, ' '), x -> x <> '') AS ws
-      |  FROM documents
-      |), g AS (
-      |  SELECT doc_id,
-      |    list_transform(range(1, greatest(len(ws) - 4, 0) + 2),
-      |      i -> array_to_string(ws[i:i+3], ' ')) AS grams
-      |  FROM t WHERE len(ws) > 0
-      |), h AS (
-      |  SELECT doc_id, list_transform(grams, t2 ->
-      |    list_reduce([CAST(ascii(c) AS BIGINT)
-      |                 for c in string_split(t2, '')],
-      |      (a, x) -> (a * 31 + x) % 2147483647) * 2147483648
-      |    + list_reduce([CAST(ascii(c) AS BIGINT)
-      |                   for c in string_split(t2, '')],
-      |      (a, x) -> (a * 131 + x) % 2147483629)) AS hs
-      |  FROM g
-      |), win AS (
-      |  SELECT doc_id,
-      |    list_distinct(list_transform(
-      |      range(1, greatest(len(hs) - 5, 0) + 2),
-      |      i -> list_min(hs[i:i+4]))) AS fps
-      |  FROM h
-      |)""".stripMargin
-
-  /** One integer power-method PageRank iteration as portable SQL — the
-    * exact arithmetic of [[graft.ext.Components.pageRank]] at the default
-    * scale 1e9: per-edge contribution `pr·85·w // (100·outW)`, teleport
-    * base `15·scale // (100·N)`, dangling mass dropped. Chained by the
-    * `events_pagerank` oracle. */
-  private def PrIterCte(i: Int, prev: String): String =
-    s"""c$i AS (
-       |  SELECT ew.dst AS node,
-       |    CAST(sum((r.pr * 85 * ew.w) // (100 * ew.outw)) AS BIGINT) AS cs
-       |  FROM ew JOIN $prev r ON ew.src = r.node GROUP BY ew.dst
-       |), r$i AS (
-       |  SELECT node, (15 * CAST(1000000000 AS BIGINT)) //
-       |    (100 * (SELECT c FROM nn)) + coalesce(cs, CAST(0 AS BIGINT)) AS pr
-       |  FROM nodes LEFT JOIN c$i USING (node)
-       |)""".stripMargin
-
-  /** One BPE training round as portable SQL, chained by the `text_bpe`
-    * oracle. Segmentations live as strings of `|`-prefixed
-    * space-terminated symbols (`"|h |e |l |l |o "`): the `|` anchors a
-    * symbol start so a pair pattern can never match inside a longer
-    * symbol, and plain `replace` (leftmost, non-overlapping in BOTH
-    * engines and in [[graft.ext.TextStats.learnBpeMerges]]) IS the
-    * exhaustive merge application — including the cascade where merging
-    * `[a,b,a,b]` twice yields `[ab,ab]`. Pair counting weights every
-    * adjacent position by word frequency; the winner is count desc, then
-    * (l, r) — the `|` prefix is order-transparent because it is common
-    * to every symbol. */
-  private def BpeIterCte(i: Int): String =
-    s"""pr$i AS (
-       |  SELECT l, r, CAST(sum(freq) AS BIGINT) AS c FROM (
-       |    SELECT freq,
-       |      unnest(syms[1:len(syms)-1]) AS l,
-       |      unnest(syms[2:len(syms)]) AS r
-       |    FROM (SELECT freq, string_split(rtrim(seg), ' ') AS syms
-       |          FROM seg${i - 1})
-       |  ) GROUP BY l, r
-       |), b$i AS (
-       |  SELECT l, r FROM pr$i ORDER BY c DESC, l, r LIMIT 1
-       |), seg$i AS (
-       |  SELECT word, freq,
-       |    replace(seg, b.l || ' ' || b.r || ' ',
-       |            b.l || substring(b.r, 2) || ' ') AS seg
-       |  FROM seg${i - 1}, b$i b
-       |)""".stripMargin
-
-  /** The z-value bit-interleave as portable SQL over columns `x`/`y` —
-    * generated from the same (bits = 8) term list [[graft.sources.Layout
-    * .zValue]] composes, so the oracle replays the engine arithmetic
-    * exactly. */
-  private val ZInterleave8: String = (0 until 8).map(i =>
-    s"(((x >> $i) & 1) << ${2 * i}) | (((y >> $i) & 1) << ${2 * i + 1})")
-    .mkString(" | ")
-
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // ----- §2.1 core filter predicates (full JSON→IR→Column pipeline) -----
-    "filter_eq" -> (mongo("customer",
-      """{"filter": {"c_mktsegment": "BUILDING"}}""", "c_custkey") _),
-    "filter_ne_nullsafe" -> (mongo("customer",
-      """{"filter": {"c_mktsegment": {"$ne": "BUILDING"}}}""", "c_custkey") _),
-    "filter_gt" -> (mongo("customer",
-      """{"filter": {"c_acctbal": {"$gt": 5000}}}""", "c_custkey") _),
-    "filter_lt" -> (mongo("customer",
-      """{"filter": {"c_acctbal": {"$lt": 1000}}}""", "c_custkey") _),
-    "filter_gte" -> (mongo("customer",
-      """{"filter": {"c_acctbal": {"$gte": 9000}}}""", "c_custkey") _),
-    "filter_lte" -> (mongo("customer",
-      """{"filter": {"c_acctbal": {"$lte": 100}}}""", "c_custkey") _),
-    "filter_in" -> (mongo("customer",
-      """{"filter": {"c_mktsegment": {"$in": ["MACHINERY", "FURNITURE"]}}}""",
-      "c_custkey") _),
-    "filter_regex_ci" -> (mongo("part",
-      """{"filter": {"p_type": {"$regex": "econ", "$options": "i"}}}""",
-      "p_partkey") _),
-    "filter_and" -> (mongo("customer",
-      """{"filter": {"c_mktsegment": "BUILDING", "c_acctbal": {"$gt": 2500}}}""",
-      "c_custkey") _),
-    "filter_between" -> (mongo("customer",
-      """{"filter": {"c_acctbal": {"$gte": 1000, "$lte": 2000}}}""",
-      "c_custkey") _),
-    // string literal against a real TimestampType column — the second typed
-    // path of FilterCompiler (SURVEY.md §7.4.3); projection keeps the raw
-    // timestamp out of the hashed output
-    "filter_date" -> (mongo("orders",
-      """{"filter": {"o_orderdate": {"$gte": "1997-06-15"}},
-        | "projection": {"o_orderkey": 1, "o_orderpriority": 1}}""".stripMargin,
-      "o_orderkey") _),
-    // ----- §2.2 projection / §2.3 limit -----
-    "projection" -> (mongo("customer",
-      """{"filter": {}, "projection": {"c_custkey": 1, "c_name": 1}}""",
-      "c_custkey") _),
-    "limit_topk" -> ((s: SparkSession, dir: String) =>
-      Executor.plan(
-        Tables.customer(s, dir).orderBy("c_custkey"),
-        MongoJson.parse("""{"filter": {}}""").copy(limit = Some(50)))),
-    "limit_clamp" -> ((s: SparkSession, dir: String) =>
-      // limit 5000 clamps to 1000 (No_Sql.py:397)
-      Executor.plan(
-        Tables.customer(s, dir).orderBy("c_custkey"),
-        MongoJson.parse("""{"filter": {}}""").copy(limit = Some(5000)))),
-    // ----- §2.4 counts -----
-    "count_filtered" -> ((s: SparkSession, dir: String) =>
-      Executor.plan(Tables.customer(s, dir),
-          MongoJson.parse("""{"filter": {"c_mktsegment": "BUILDING"}}"""))
-        .agg(count(lit(1)).as("n"))),
-    "count_all" -> ((s: SparkSession, dir: String) =>
-      Tables.customer(s, dir).agg(count(lit(1)).as("n"))),
-    // the metadata fast path itself (estimated_document_count,
-    // No_Sql.py:416): footer-only read, no scan job — same exact count
-    "count_meta" -> ((s: SparkSession, dir: String) => {
-      import s.implicits._
-      Seq(graft.sources.ParquetMeta.footerCount(s, s"$dir/customer.parquet"))
-        .toDF("n")
-    }),
-    "agg_history_stats" -> ((s: SparkSession, dir: String) => {
-      // query-history analytics (main.py:263-268) modeled on the events
-      // table: success = non-error event, execution_time = value
-      val ev = Tables.events(s, dir)
-      ev.agg(
-        count(lit(1)).as("n_queries"),
-        (sum((col("event_type") =!= "error").cast("long")) * lit(100.0) /
-          count(lit(1))).as("success_rate"),
-        (sum(col("value").cast("decimal(18,2)")).cast("double") /
-          count(lit(1))).as("mean_exec"))
-    }),
-    // ----- §2.6 NL fallback compiler (one per rule + quirks) -----
-    "nl_salary_gt" -> (nl("Find employees earning more than 3000", "emp_id") _),
-    "nl_salary_lt" -> (nl("employees with pay under 2000", "emp_id") _),
-    "nl_salary_eq" -> (nl("employees with salary 655", "emp_id") _),
-    "nl_age_gt" -> (nl("employees with age above 40", "emp_id") _),
-    "nl_age_lt" -> (nl("employees with age younger than 30", "emp_id") _),
-    // rule-order shadowing: the age rule fires first, the department
-    // predicate is dropped (No_Sql.py:334-341 before :344-359)
-    "nl_shadow" -> (nl("engineers with age over 30", "emp_id") _),
-    "nl_dept" -> (nl("show all engineers", "emp_id") _),
-    "nl_name_proj" -> (nl("show customer names", "name") _),
-    "nl_experience" -> (nl("people with experience more than 20", "emp_id") _),
-    "nl_default" -> (nl("hello world", "emp_id") _),
-    // arbitrary-precision literal end-to-end: 2^60 is double-exact, so it
-    // compiles (values beyond the exact range error loudly instead)
-    "nl_bignum" -> (nl("salary below 1152921504606846976", "emp_id") _),
-    // dataset-scale NL compiler (§2.6 column-level mapping): classify a
-    // COLUMN of NL strings in one distributed codegen'd pass — templates
-    // cover every rule plus the quirks (substring "age" in "message",
-    // rule shadowing, direction-less fall-through); the oracle derives
-    // the EXPECTED classification per template independently (SQL CASE),
-    // so a green row certifies the classifier, not just the plumbing
-    "nl_bulk" -> ((s: SparkSession, dir: String) => {
-      val base = Tables.customer(s, dir).select(col("c_custkey").as("id"))
-      val k = col("id") % 10
-      val n = col("id").cast("string")
-      val nl = when(k === 0, concat(lit("find employees earning more than "), n))
-        .when(k === 1, concat(lit("employees with pay under "), n))
-        .when(k === 2, concat(lit("staff with salary exactly "), n))
-        .when(k === 3, concat(lit("people with age above "), n))
-        .when(k === 4, lit("message for engineers"))      // "age" substring quirk
-        .when(k === 5, lit("show customer names"))
-        .when(k === 6, concat(lit("with experience more than "), n))
-        .when(k === 7, lit("hello world"))
-        .when(k === 8, concat(lit("engineers with age over "), n)) // shadowing
-        .otherwise(concat(lit("age "), n, lit(" mentioned")))      // fall-through
-      val cls = graft.compile.NlColumnCompiler.classify(nl)
-      base.select(col("id"), cls.getField("rule").as("rule"),
-          cls.getField("field").as("field"), cls.getField("op").as("op"),
-          cls.getField("value").as("value"))
-        .orderBy("id")
-    }),
-    // ----- §2.7 LLM-response repair cascade -----
-    "nl_repair" -> ((s: SparkSession, dir: String) =>
-      Executor.plan(Tables.employees(s, dir), MongoJson.parseWithRepair(
-        "```json\n{'filter': {'department': {'$regex': 'sales', " +
-          "'$options': 'i'}}, 'projection': {}}\n```"))
-        .orderBy("emp_id")),
-    // ----- §2.10 dedup -----
-    "dedup_exact" -> ((s: SparkSession, dir: String) =>
-      Dedup.exact(Tables.documents(s, dir), "doc_id", Seq("lang", "source"))
-        .orderBy("doc_id")),
-    "dedup_fingerprint" -> ((s: SparkSession, dir: String) =>
-      Dedup.byFingerprint(Tables.documents(s, dir), "doc_id", "text")
-        .orderBy("doc_id")),
-    // skew guard ON: the uncut exact operator measures the implied
-    // candidate-pair count before launching the quadratic join and fails
-    // loudly over budget (the df-cut dual below is the silent-safe variant)
-    "dedup_jaccard" -> ((s: SparkSession, dir: String) =>
-      Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
-          n = 3, threshold = 0.5, maxCandidatePairs = 50000000L)
-        .orderBy("id_a", "id_b")),
-    // pairs -> CLUSTERS: connected components by distributed min-label
-    // propagation over the banded-LSH pair graph, canonical rep = min id
-    // (the oracle resolves the same graph with a recursive CTE)
-    "dedup_clusters" -> ((s: SparkSession, dir: String) =>
-      graft.ext.Components.connectedComponents(
-          Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
-              n = 3, bands = 64, rowsPerBand = 2, threshold = 0.5)
-            .select(col("id_a").as("src"), col("id_b").as("dst")))
-        .select(col("id").as("doc_id"), col("comp").as("cluster"))
-        .orderBy("doc_id")),
-    // the APPLY step: corpus minus non-canonical cluster members — the
-    // deduplicated corpus itself (drop list broadcast; corpus unshuffled)
-    "dedup_survivors" -> ((s: SparkSession, dir: String) => {
-      val docs = Tables.documents(s, dir)
-      graft.ext.Components.applyClusters(docs, "doc_id",
-          graft.ext.Components.connectedComponents(
-            Dedup.minhashLshPairs(docs, "doc_id", "text",
-                n = 3, bands = 64, rowsPerBand = 2, threshold = 0.5)
-              .select(col("id_a").as("src"), col("id_b").as("dst"))))
-        .select(col("doc_id"), col("lang"), col("source"))
-        .orderBy("doc_id")
-    }),
-    // quality-aware APPLY: keep each cluster's LONGEST member (ties to
-    // the smallest id), not the arbitrary min-id — Components
-    // .applyClustersBest scaladoc: one packed-struct argmax pass
-    "dedup_best" -> ((s: SparkSession, dir: String) => {
-      val docs = Tables.documents(s, dir)
-      graft.ext.Components.applyClustersBest(docs, "doc_id",
-          graft.ext.Components.connectedComponents(
-            Dedup.minhashLshPairs(docs, "doc_id", "text",
-                n = 3, bands = 64, rowsPerBand = 2, threshold = 0.5)
-              .select(col("id_a").as("src"), col("id_b").as("dst"))),
-          "n_chars")
-        .select(col("doc_id"), col("lang"), col("n_chars"))
-        .orderBy("doc_id")
-    }),
-    "dedup_minhash" -> ((s: SparkSession, dir: String) =>
-      Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
-          n = 3, bands = 64, rowsPerBand = 2, threshold = 0.5)
-        .orderBy("id_a", "id_b")),
-    // df-cut variant: hot shingles (document frequency > 10) dropped BEFORE
-    // sizing — the skew guard that makes shared-shingle blocking survive
-    // stop-phrase-heavy corpora at scale
-    "dedup_jaccard_pruned" -> ((s: SparkSession, dir: String) =>
-      Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
-          n = 3, threshold = 0.5, maxShingleDf = 10L)
-        .orderBy("id_a", "id_b")),
-    "dedup_simhash" -> ((s: SparkSession, dir: String) =>
-      Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
-          maxHamming = 3)
-        .orderBy("id_a", "id_b")),
-    // ----- §2.10 similarity search -----
-    "sim_topk" -> ((s: SparkSession, dir: String) => {
-      val emb = Tables.embeddings(s, dir)
-      Similarity.topK(emb, "vec_id", "embedding", queryVec(emb), k = 10)
-    }),
-    "sim_topk_grouped" -> ((s: SparkSession, dir: String) => {
-      val emb = Tables.embeddings(s, dir)
-      Similarity.topKPerGroup(emb, "vec_id", "embedding", "label",
-          queryVec(emb), k = 3)
-        .orderBy("label", "rn")
-    }),
-    // hard 50k-row input cap (loud failure above it): this is the bounded
-    // verification baseline — sim_lsh below is the unbounded-scale path
-    "sim_neardup" -> ((s: SparkSession, dir: String) =>
-      Similarity.nearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
-          threshold = 0.4)
-        .orderBy("id_a", "id_b")),
-    // hyperplane-LSH near-dup pairs — the O(n²)-avoiding scale path; the
-    // seeded planes are plan literals, embedded verbatim in the oracle SQL
-    "sim_lsh" -> ((s: SparkSession, dir: String) =>
-      Similarity.lshCosinePairs(Tables.embeddings(s, dir), "vec_id",
-          "embedding", dim = 64, threshold = 0.4, numPlanes = 8, seed = 42L)
-        .orderBy("id_a", "id_b")),
-    // batched k-NN join: one broadcast query batch (vec_id < 5), top-3
-    // neighbors each in a single candidate scan (Similarity scaladoc)
-    "sim_knn" -> ((s: SparkSession, dir: String) => {
-      val emb = Tables.embeddings(s, dir)
-      Similarity.knnJoin(emb, emb.filter(col("vec_id") < 5),
-          "vec_id", "embedding", "vec_id", "embedding", k = 3)
-        .orderBy("query_id", "rn")
-    }),
-    // IVF-style probed top-k over a LEARNED coarse quantizer: 4 k-means
-    // cells (3 Lloyd rounds, KMeans scaladoc has the portable-arithmetic
-    // contract), only the two nearest cells are brute-forced
-    "sim_ivf" -> ((s: SparkSession, dir: String) => {
-      val emb = Tables.embeddings(s, dir)
-      // serving path: the session-memoized trained quantizer assigns
-      // cells (kmCentsFor scaladoc — identical result, training is
-      // deterministic; emb_kmeans is the query that measures training)
-      val cents = kmCentsFor(dir, emb)
-      Similarity.ivfTopK(
-        emb.withColumn("cell",
-          graft.ext.KMeans.assignCell(col("embedding"), cents)),
-        "vec_id", "embedding", "cell", queryVec(emb), k = 5, nprobe = 2)
-    }),
-    // the learned clustering surfaced as its own certified result: cell
-    // sizes + id ranges of the distributed k-means assignment (KMeans
-    // scaladoc has the portable-arithmetic contract; the oracle replays
-    // ALL training rounds in SQL) — document/embedding clustering is a
-    // first-class pipeline op (SemDeDup's stage 1), not only IVF plumbing
-    "emb_kmeans" -> ((s: SparkSession, dir: String) => {
-      val emb = Tables.embeddings(s, dir)
-      graft.ext.KMeans.assigned(emb, "vec_id", "embedding",
-          k = KmK, iters = KmIters)
-        .groupBy(col("cell")).agg(count(lit(1)).as("n"),
-          min(col("vec_id")).as("min_id"), max(col("vec_id")).as("max_id"))
-        .select(col("cell").cast("long").as("cell"), col("n"),
-          col("min_id"), col("max_id"))
-        .orderBy("cell")
-    }),
-    // the PERSISTED IVF index with a LEARNED quantizer: k-means cells
-    // trained at build time (vectors partitioned by learned cell +
-    // centroid table on disk), then query via probe selection + a scan
-    // that reads ONLY the probed cell partitions (partition pruning;
-    // plan-asserted in IvfIndexSpec) — no centroid rebuild per query
-    "sim_ivf_indexed" -> ((s: SparkSession, dir: String) => {
-      val emb = Tables.embeddings(s, dir)
-      val idx = ivfIndexFor(s, dir, emb)
-      graft.ext.IvfIndex.topK(s, idx, "vec_id", "embedding",
-        queryVec(emb), k = 5, nprobe = 2)
-    }),
-    // ----- the COMPOSED IVF-PQ serving path (IvfIndex.topKPq scaladoc:
-    // coarse quantizer prunes to nprobe cell partitions, ADC scores the
-    // PQ codes inside them — embeddings unread — then the final k
-    // rescore exactly against the pruned raw partitions only). The index
-    // build is memoized per corpus dir WITHIN the session: IvfIndex is
-    // the build-once/query-many persisted dual by contract, and an ANN
-    // serving path amortizes its offline build over every query — so
-    // repeated invocations (and the bench, which warms this entry like
-    // the other heavy kernels) measure the QUERY, not a rebuild. The
-    // result is identical either way: the build is deterministic. -----
-    "sim_ivfpq" -> ((s: SparkSession, dir: String) => {
-      val emb = Tables.embeddings(s, dir)
-      val idx = ivfPqIndexFor(s, dir, emb)
-      graft.ext.IvfIndex.topKPq(s, idx, "vec_id", queryVec(emb), k = 10,
-        nprobe = 2, rescore = true)
-    }),
-    // symmetric int8 quantization, exploded to scalars for the oracle
-    // ----- product-quantization codes: 4 subspaces, per-label codebook,
-    // broadcast encode (Similarity.pqEncode scaladoc: vectors never
-    // shuffle; rounded-then-argmin portable assignment) -----
-    "emb_pq" -> ((s: SparkSession, dir: String) =>
-      graft.ext.Similarity.pqEncode(Tables.embeddings(s, dir),
-          "vec_id", "embedding", "label", numSub = 4)
-        .orderBy("vec_id", "sub")),
-    // ----- asymmetric-distance top-k from the codes alone — the query
-    // half of IVF-PQ (Similarity.pqTopK scaladoc: embeddings never
-    // touched at query time, fixed-order component folds) -----
-    "sim_pq_adc" -> ((s: SparkSession, dir: String) => {
-      val emb = Tables.embeddings(s, dir)
-      graft.ext.Similarity.pqTopK(emb, "vec_id", "embedding", "label",
-        numSub = 4, queryVec(emb), k = 10)
-    }),
-    // ----- unit-L2 normalization to exploded scalars (Similarity
-    // .normalizeUnit scaladoc: codegen'd norm, zero-vector-safe) -----
-    "emb_normalize" -> ((s: SparkSession, dir: String) =>
-      graft.ext.Similarity.normalizeUnit(Tables.embeddings(s, dir),
-          "vec_id", "embedding")
-        .orderBy("vec_id", "pos")),
-    "emb_quantize" -> ((s: SparkSession, dir: String) =>
-      Similarity.quantizeInt8(Tables.embeddings(s, dir), "vec_id",
-          "embedding")
-        .orderBy("vec_id", "pos")),
-    // ----- JL random projection 64 → 16 dims (Similarity.randomProject
-    // scaladoc: hash-derived Achlioptas sign matrix — both engines
-    // regenerate it from the formula, nothing stored) -----
-    "emb_project" -> ((s: SparkSession, dir: String) =>
-      Similarity.randomProject(Tables.embeddings(s, dir), "vec_id",
-          "embedding", outDim = 16)
-        .orderBy("vec_id", "j")),
-    // ----- SemDeDup-shape semantic dedup inside label clusters
-    // (Similarity.semDedupSurvivors scaladoc: cluster-local pair search,
-    // capped loudly). The synthetic embeddings have no natural near-dups
-    // (max within-label cosine ≈ 0.47), so planted signal: scaled copies
-    // (cosine 1 → must drop) AND negated copies (cosine −1 → must
-    // survive) — pure vec_id arithmetic the oracle replays, exact float
-    // ops (×2, negate are exponent/sign-bit changes) -----
-    "dedup_semantic" -> ((s: SparkSession, dir: String) => {
-      val emb = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("label"), col("embedding"))
-      val planted = emb.filter(col("vec_id") % 9 === 0)
-        .select((col("vec_id") + 100000L).as("vec_id"), col("label"),
-          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
-        .union(emb.filter(col("vec_id") % 11 === 0)
-          .select((col("vec_id") + 200000L).as("vec_id"), col("label"),
-            transform(col("embedding"), x => -x).as("embedding")))
-      Similarity.semDedupSurvivors(emb.union(planted), "vec_id",
-          "embedding", "label", threshold = 0.99)
-        .select(col("vec_id"), col("label"))
-        .orderBy("vec_id")
-    }),
-    // ----- partial-overlap near-dup pairs from winnowing fingerprints
-    // (Dedup.winnowPairs scaladoc: localized shared-run detection where
-    // whole-set Jaccard dilutes; fp df-cut bounds the blocking join) -----
-    "dedup_winnow" -> ((s: SparkSession, dir: String) =>
-      Dedup.winnowPairs(Tables.documents(s, dir), "doc_id", "text",
-          k = 4, w = 5, minShared = 2L, maxFpDf = 100L)
-        .orderBy("doc_a", "doc_b")),
-    // Per-label mean embedding (average pooling) — the class-prototype /
-    // cluster-seed primitive. Decimal accumulation keeps the mean exact
-    // and order-independent (a double sum would vary with partitioning).
-    "emb_centroids" -> ((s: SparkSession, dir: String) =>
-      Similarity.centroidComponents(Tables.embeddings(s, dir),
-          "embedding", "label")
-        .select(col("grp").as("label"), col("pos").cast("long").as("pos"),
-          col("x").as("mean_v"))
-        .orderBy("label", "pos")),
-    // ----- §2.10 text analysis -----
-    "text_tokens" -> ((s: SparkSession, dir: String) =>
-      TextStats.tokenStats(Tables.documents(s, dir), "doc_id", "text")
-        .orderBy("doc_id")),
-    "text_quality" -> ((s: SparkSession, dir: String) =>
-      TextStats.quality(Tables.documents(s, dir), "doc_id", "text")
-        .orderBy("doc_id")),
-    "text_langstats" -> ((s: SparkSession, dir: String) =>
-      TextStats.langStats(Tables.documents(s, dir), "lang", "text", "n_chars")
-        .orderBy("lang")),
-    "text_langid" -> ((s: SparkSession, dir: String) =>
-      TextStats.langId(Tables.documents(s, dir), "doc_id", "text")
-        .orderBy("doc_id")),
-    "text_fingerprint" -> ((s: SparkSession, dir: String) =>
-      TextStats.fingerprints(Tables.documents(s, dir), "doc_id", "text")
-        .orderBy("doc_id")),
-    "text_topterms" -> ((s: SparkSession, dir: String) =>
-      TextStats.topTerms(Tables.documents(s, dir), "text", k = 50)
-        .orderBy(col("doc_freq").desc, col("term"))),
-    "text_lenhist" -> ((s: SparkSession, dir: String) =>
-      TextStats.lenHistogram(Tables.documents(s, dir), "n_chars", width = 100)
-        .orderBy("bucket")),
-    // ----- equi-depth dual of the histogram: ~50 docs per decile, cut
-    // points from the aggregated length distribution (TextStats
-    // .lenDeciles scaladoc: the corpus is never globally sorted) -----
-    "text_ntile" -> ((s: SparkSession, dir: String) =>
-      TextStats.lenDeciles(Tables.documents(s, dir), "n_chars", buckets = 10)
-        .orderBy("bucket")),
-    // C4-style quality gate: keep docs ≥100 chars, stopword ratio ≥0.02,
-    // mean token length ≤5.0 — thresholds on the ROUNDED metrics so the
-    // keep set is reproducible externally
-    "text_cleanpass" -> ((s: SparkSession, dir: String) =>
-      TextStats.cleanPass(Tables.documents(s, dir), "doc_id", "text",
-          minChars = 100L, minStopwordRatio = 0.02, maxAvgTokenLen = 5.0)
-        .orderBy("doc_id")),
-    // The COMPOSED training-data pipeline as one certified funnel: raw →
-    // C4 quality gate (text_cleanpass thresholds) → exact dedup (min-id
-    // per content hash) → decontamination (drop the eval slice and its
-    // exact matches) with per-stage survivor counts — the stages chain,
-    // which no single-stage query proves. Each stage is the operator the
-    // standalone query certifies; the broadcast anti-join keeps the
-    // survivors from re-shuffling for decontamination.
-    "pipeline_funnel" -> ((s: SparkSession, dir: String) => {
-      val docs = Tables.documents(s, dir)
-      val s1 = TextStats.cleanPass(docs, "doc_id", "text",
-        minChars = 100L, minStopwordRatio = 0.02, maxAvgTokenLen = 5.0)
-        .select(col("doc_id"))
-      // each stage feeds BOTH its own count and every later stage:
-      // persisted (TrackedCache, released by Dedup.unpersistAll) so the
-      // gate/dedup work runs once, not once per downstream count — at
-      // 100 TB you materialize each funnel stage, never re-run it
-      val d1 = graft.ext.TrackedCache.persistTracked(
-        docs.join(s1, Seq("doc_id")))
-      val byFp = org.apache.spark.sql.expressions.Window
-        .partitionBy(md5(lower(col("text")))).orderBy(col("doc_id"))
-      val d2 = graft.ext.TrackedCache.persistTracked(
-        d1.withColumn("__rn", row_number().over(byFp))
-          .filter(col("__rn") === 1).drop("__rn"))
-      val eval = docs.filter(col("source") === "src19")
-        .select(lower(col("text")).as("__evtext")).distinct()
-      val d3 = d2.filter(col("source") =!= "src19")
-        .join(broadcast(eval), lower(col("text")) === col("__evtext"),
-          "left_anti")
-      Seq(("raw", docs), ("quality_gate", d1), ("exact_dedup", d2),
-        ("decontaminated", d3)).zipWithIndex.map { case ((name, df), i) =>
-        df.agg(count(lit(1)).as("n_docs"))
-          .select(lit(i.toLong).as("stage"), lit(name).as("stage_name"),
-            col("n_docs"))
-      }.reduce(_ unionAll _).orderBy("stage")
-    }),
-    // exact per-language median doc length — middle-rows formulation, not
-    // percentile_approx, precisely so an external engine can reproduce it
-    "text_lenmedian" -> ((s: SparkSession, dir: String) =>
-      TextStats.groupMedian(Tables.documents(s, dir), "lang", "n_chars")
-        .withColumnRenamed("median", "median_chars")
-        .orderBy("lang")),
-    // Sequence packing: per-language concat-and-cut block assignment at a
-    // 512-token budget — one window per shard, no global order
-    "pack_blocks" -> ((s: SparkSession, dir: String) =>
-      graft.ext.Packing.packBlocks(Tables.documents(s, dir),
-          "doc_id", "text", "lang", budget = 512L)
-        .select(col("lang"), col("doc_id"), col("n_tokens"), col("block"))
-        .orderBy("lang", "doc_id")),
-    // Deterministic content-hash sampling: downsample English to 20%, keep
-    // 50% elsewhere — membership is a pure function of the text, so every
-    // engine/run/cluster selects the identical subset (rand() does not)
-    "sample_stratified" -> ((s: SparkSession, dir: String) =>
-      graft.ext.Sampling.stratifiedHashSample(Tables.documents(s, dir),
-          "lang", "text", rates = Map("en" -> 2), defaultKeep = 5, outOf = 10)
-        .select(col("doc_id"), col("lang"))
-        .orderBy("doc_id")),
-    // the uniform dual: one global ~30% keep rate, same pure-content
-    // membership function (a narrow scan-resident predicate, no shuffle)
-    "sample_hash" -> ((s: SparkSession, dir: String) =>
-      graft.ext.Sampling.hashSample(Tables.documents(s, dir),
-          "text", keep = 3, outOf = 10)
-        .select(col("doc_id"), col("lang"))
-        .orderBy("doc_id")),
-    // Per-source quota rebalancing: at most 8 docs per source, picked by
-    // content-fingerprint order — the deterministic data-mixing cut
-    // (Sampling.quotaSample scaladoc: WindowGroupLimit prunes map-side)
-    "sample_quota" -> ((s: SparkSession, dir: String) =>
-      graft.ext.Sampling.quotaSample(Tables.documents(s, dir),
-          "source", "doc_id", "text", quota = 8)
-        .orderBy("source", "rnk")),
-    // Temperature-based source mixture (α = 1/2): keep ~half the corpus
-    // redistributed by sqrt-share — small sources boosted, multi-epoch
-    // `copies` where the boosted rate exceeds 1 (Sampling
-    // .temperatureSample scaladoc: one IEEE-exact sqrt per source, then
-    // pure integer arithmetic; membership is the same content-hash
-    // predicate as sample_hash)
-    "sample_temperature" -> ((s: SparkSession, dir: String) =>
-      graft.ext.Sampling.temperatureSample(Tables.documents(s, dir),
-          "source", "doc_id", "text", targetNum = 1, targetDen = 2)
-        .orderBy("doc_id")),
-    // Reproducible 80/10/10 train/val/test assignment — membership is a
-    // pure function of the text (Sampling.threeWaySplit scaladoc:
-    // append-stable, leak-proof under duplication, zero shuffles)
-    "sample_split" -> ((s: SparkSession, dir: String) =>
-      graft.ext.Sampling.threeWaySplit(Tables.documents(s, dir), "text",
-          trainPct = 80, valPct = 10)
-        .select(col("doc_id"), col("split"))
-        .orderBy("doc_id")),
-    // Incremental-ingest dedup: sources 0-9 play the already-accepted
-    // corpus (persisted as a 32-byte/doc fingerprint index), sources
-    // 10-19 the new batch — survivors are batch docs whose content the
-    // index has not seen. The corpus text is never rescanned
-    "dedup_incremental" -> ((s: SparkSession, dir: String) => {
-      val docs = Tables.documents(s, dir)
-      val srcNum = expr("CAST(substr(source, 4) AS INT)")
-      val tmp = scratchDir("graft-fpix-")
-      graft.ext.Dedup.buildFingerprintIndex(
-        docs.filter(srcNum < 10), "text", tmp)
-      graft.ext.Dedup.incremental(docs.filter(srcNum >= 10), "text", tmp)
-        .select(col("doc_id"))
-        .orderBy("doc_id")
-    }),
-    // ----- SUBSTRING-level exact dedup (Dedup.substringSpans scaladoc:
-    // cross-document duplicated runs ≥ k tokens found as merged k-gram
-    // anchor coverage — the Lee-et-al span-removal shape, bounded) over
-    // the planted-boilerplate corpus; certified output is every maximal
-    // duplicated span with its text -----
-    "dedup_substring" -> ((s: SparkSession, dir: String) =>
-      graft.ext.Dedup.substringSpans(spanDocs(s, dir), "doc_id", "text",
-          k = 5)
-        .orderBy("doc_id", "start")),
-    // the excision half: spans cut out, survivors re-joined — certified
-    // per-doc clean text + removed-token count
-    "dedup_substring_clean" -> ((s: SparkSession, dir: String) =>
-      graft.ext.Dedup.removeDupSpans(spanDocs(s, dir), "doc_id", "text",
-          k = 5)
-        .orderBy("doc_id")),
-    // Decontamination: scrub training docs whose exact normalized content
-    // appears in the held-out source (src19 plays the benchmark/eval set);
-    // anti-join on md5 fingerprints with the tiny eval side broadcast
-    "dedup_decontaminate" -> ((s: SparkSession, dir: String) => {
-      val docs = Tables.documents(s, dir)
-      graft.ext.Dedup.decontaminate(
-          docs.filter(col("source") =!= "src19"),
-          docs.filter(col("source") === "src19"), "text")
-        .select(col("doc_id"))
-        .orderBy("doc_id")
-    }),
-    // ----- graded contamination score: per eval doc, the fraction of its
-    // distinct shingles found anywhere in train (Dedup.overlapRate
-    // scaladoc: one broadcast equi-join on the shingle, train never
-    // shuffles) -----
-    "dedup_overlap" -> ((s: SparkSession, dir: String) => {
-      val docs = Tables.documents(s, dir)
-      graft.ext.Dedup.overlapRate(
-          docs.filter(col("source") =!= "src19"),
-          docs.filter(col("source") === "src19"), "doc_id", "text")
-        .orderBy("doc_id")
-    }),
-    // ----- who-copies-from-whom: shared distinct fingerprints per source
-    // pair (Dedup.crossSourceDupes scaladoc: 32-byte fp join, documents
-    // never shuffle). The synthetic corpus has almost no natural
-    // cross-source dupes, so a 'mirror' source re-emitting every 7th doc
-    // is planted — the derivation is pure doc_id arithmetic the oracle
-    // replays, and it guarantees the certification compares real rows -----
-    "dedup_crossrate" -> ((s: SparkSession, dir: String) => {
-      val docs = Tables.documents(s, dir)
-      val corpus = docs.select(col("source"), col("text"))
-        .union(docs.filter(col("doc_id") % 7 === 0)
-          .select(lit("mirror").as("source"), col("text")))
-      graft.ext.Dedup.crossSourceDupes(corpus, "text", "source")
-        .orderBy("src_a", "src_b")
-    }),
-    // ----- §2.10 events / JSON / windows / joins -----
-    "events_json" -> ((s: SparkSession, dir: String) =>
-      Events.jsonProps(Tables.events(s, dir)).orderBy("event_id")),
-    // 3σ anomaly flag with division-free integer arithmetic (Events
-    // .outliers scaladoc) — the boundary set is engine-exact, so the
-    // oracle reproduces the flagged rows bit-for-bit
-    "events_outliers" -> ((s: SparkSession, dir: String) =>
-      Events.outliers(Tables.events(s, dir), "event_type", "value",
-          sigmas = 3)
-        .orderBy("event_id")),
-    // ----- robust MAD anomaly flags (Events.madOutliers scaladoc:
-    // doubled-median integer arithmetic, 50% breakdown point where the
-    // z-score's σ is inflated by the very spikes it hunts) -----
-    "events_mad" -> ((s: SparkSession, dir: String) =>
-      Events.madOutliers(Tables.events(s, dir), "event_type", "value",
-          k = 5)
-        .orderBy("event_id")),
-    "events_hourly" -> ((s: SparkSession, dir: String) =>
-      Events.hourly(Tables.events(s, dir)).orderBy("hour", "event_type")),
-    "events_sessions" -> ((s: SparkSession, dir: String) =>
-      Events.sessions(Tables.events(s, dir), gapMinutes = 30)
-        .orderBy("user_id", "session_id")),
-    // Structured Streaming end-to-end: readStream over the same parquet →
-    // watermarked hourly window agg → memory sink, drained with
-    // Trigger.AvailableNow. Same output schema and arithmetic as the batch
-    // events_hourly, so the STREAMING pipeline is certified against the
-    // same DuckDB oracle.
-    "stream_hourly" -> ((s: SparkSession, dir: String) =>
-      drainStream(s, "graft_stream_hourly", "complete",
-        graft.streaming.EventsStream.hourlyCounts(eventsStream(s, dir)))
-        .orderBy("hour", "event_type")),
-    // watermarked stream-stream interval join (EventsStream
-    // .viewToClickJoin scaladoc: two-sided time bound -> provably bounded
-    // state), drained append-mode, certified vs the batch interval join
-    "stream_join" -> ((s: SparkSession, dir: String) =>
-      drainStream(s, "graft_stream_join", "append",
-        graft.streaming.EventsStream.viewToClickJoin(eventsStream(s, dir)))
-        .orderBy("user_id", "view_t", "click_t")),
-    // the CUSTOM DataSource V2 micro-batch source (graft-dirtail,
-    // sources/DirTailSource.scala): events re-shipped as immutable JSONL
-    // files (ts as epoch micros — the kafkaEvents wire convention), tailed
-    // back through the source's deterministic file-count offsets, and
-    // drained through the SAME certified hourly topology — a green hash
-    // certifies the source's offset/partition/row-decode machinery
-    // end-to-end, not just the aggregate
-    "stream_dirtail" -> ((s: SparkSession, dir: String) => {
-      val src = dirtailEventsDir(s, dir)
-      val wire = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("event_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("ts",
-          org.apache.spark.sql.types.TimestampType),
-        org.apache.spark.sql.types.StructField("user_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("event_type",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("value",
-          org.apache.spark.sql.types.DoubleType)))
-      val stream = s.readStream.format("graft-dirtail").schema(wire)
-        .option("path", src).load()
-      drainStream(s, "graft_stream_dirtail", "complete",
-        graft.streaming.EventsStream.hourlyCounts(stream))
-        .orderBy("hour", "event_type")
-    }),
-    // streaming hourly counts finalized with the batch growth arithmetic
-    // (Events.growthOverHourly) — certifies against the events_growth
-    // oracle, the stream_hll maintain-then-finalize pattern
-    "stream_growth" -> ((s: SparkSession, dir: String) =>
-      Events.growthOverHourly(
-          drainStream(s, "graft_stream_growth", "complete",
-            graft.streaming.EventsStream.hourlyCounts(eventsStream(s, dir))))
-        .orderBy("event_type", "hour")),
-    // the moment state (Olap.momentState) maintained AS A STREAM — sums
-    // and counts are streaming-native aggregates with |types| state rows —
-    // finalized batch-side; certifies against the agg_varstats oracle
-    "stream_incragg" -> ((s: SparkSession, dir: String) =>
-      graft.ext.Olap.finalizeMoments(
-          drainStream(s, "graft_stream_incragg", "complete",
-            graft.ext.Olap.momentState(eventsStream(s, dir),
-              "event_type", "value")),
-          "event_type")
-        .orderBy("event_type")),
-    // Stateful streaming certified against SQL: gap sessionization via
-    // flatMapGroupsWithState + EVENT-TIME timeouts over the same events
-    // parquet. Closed sessions = every session a later event closed, plus
-    // last sessions whose timeout timestamp the final watermark strictly
-    // passed; the oracle replicates exactly that.
-    "stream_sessions" -> ((s: SparkSession, dir: String) => {
-      import s.implicits._
-      val evts = eventsStream(s, dir)
-        .select(col("user_id"), col("ts"), col("value"))
-        .as[graft.streaming.EventsStream.Evt]
-      drainStream(s, "graft_stream_sessions", "append",
-        graft.streaming.EventsStream.sessionize(evts).toDF())
-        .orderBy("user_id", "start_ms")
-    }),
-    // Stream-static join: the event stream enriches against the broadcast
-    // customer dim, then aggregates per (hour, segment) — certified against
-    // the identical batch join+group SQL
-    "stream_enrich" -> ((s: SparkSession, dir: String) =>
-      drainStream(s, "graft_stream_enrich", "complete",
-        graft.streaming.EventsStream.hourlyBySegment(eventsStream(s, dir),
-          Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))))
-        .orderBy("hour", "c_mktsegment")),
-    // Streaming exact dedup: watermarked dropDuplicates on (hour window,
-    // user, type) — first occurrence emitted, state purged as the
-    // watermark passes each window. Oracle = batch SELECT DISTINCT.
-    "stream_dedup" -> ((s: SparkSession, dir: String) =>
-      drainStream(s, "graft_stream_dedup", "append",
-        graft.streaming.EventsStream.dedupKeys(eventsStream(s, dir)))
-        .orderBy("hour", "user_id", "event_type")),
-    // ----- exactly-once transactional streaming sink (TxSink scaladoc:
-    // each micro-batch is one atomic TxTable commit stamped with its
-    // batch id; replays skip) — the certified output is the final table,
-    // which must be EXACTLY the source multiset: a duplicated or dropped
-    // batch breaks the hash -----
-    "stream_txsink" -> ((s: SparkSession, dir: String) => {
-      val base = scratchDir("graft-stx-")
-      val tbl = s"$base/tbl"
-      val src = eventsStream(s, dir).select(col("event_id"), col("user_id"),
-        col("event_type"),
-        floor(col("value") * 100 + 0.5).cast("long").as("value_c"))
-      DrainLock.synchronized {
-        val saved = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        try {
-          val q = src.writeStream
-            .option("checkpointLocation", s"$base/ckpt")
-            .outputMode("append")
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .foreachBatch { (b: DataFrame, id: Long) =>
-              // appId scopes the exactly-once watermark to THIS logical
-              // stream — a fresh checkpoint restarting ids at 0 against
-              // a shared table must not collide with other writers
-              graft.streaming.TxSink.appendBatch(tbl, b, id,
-                appId = "stream_txsink"): Unit
-            }
-            .start()
-          q.awaitTermination()
-        } finally s.conf.set("spark.sql.shuffle.partitions", saved)
-      }
-      graft.sources.TxTable.read(s, tbl).orderBy("event_id")
-    }),
-    // STREAMING sketch maintenance: the HLL register state is one
-    // supported max-aggregation, maintained incrementally over the event
-    // stream (complete mode, ≤ m rows per group of state) and finalized
-    // batch-side — certified against the identical batch-HLL oracle
-    "stream_hll" -> ((s: SparkSession, dir: String) =>
-      graft.ext.Hll.finalize(
-          drainStream(s, "graft_stream_hll", "complete",
-            graft.ext.Hll.registers(eventsStream(s, dir),
-              "event_type", "user_id")),
-          "event_type")
-        .orderBy("event_type")),
-    // As-of join (latest order at or before each event, per customer) via
-    // the union + single-window merge shape — one shuffle of |L|+|R| rows,
-    // no join operator in the plan (AsOf scaladoc has the scale argument)
-    "join_asof" -> ((s: SparkSession, dir: String) =>
-      graft.ext.AsOf.asofJoin(
-          Tables.events(s, dir)
-            .select(col("event_id"), col("user_id"), col("ts")),
-          Tables.orders(s, dir),
-          "user_id", "o_custkey", "ts", "o_orderdate",
-          valueCols = Seq("o_orderkey", "o_totalprice"),
-          tieBreak = "o_orderkey")
-        .select(col("event_id"),
-          col("asof_o_orderkey").as("asof_orderkey"),
-          col("asof_o_totalprice").as("asof_price"))
-        .orderBy("event_id")),
-    "join_enrich" -> ((s: SparkSession, dir: String) =>
-      Events.enrichCustomer(Tables.customer(s, dir), Tables.nation(s, dir),
-          Tables.region(s, dir))
-        .orderBy("c_custkey")),
-    // TPC-H-Q5-shaped: two big-to-big shuffle joins + a broadcast dim,
-    // revenue quantized per row so the sum is exact (Events scaladoc)
-    "join_multiway" -> ((s: SparkSession, dir: String) =>
-      Events.revenueByNation(Tables.lineitem(s, dir), Tables.orders(s, dir),
-          Tables.customer(s, dir), Tables.nation(s, dir))
-        .orderBy("n_name")),
-    // cohort retention triangle over the event stream (distinct daily
-    // activity first; cells need no count-distinct after it)
-    "events_retention" -> ((s: SparkSession, dir: String) =>
-      Events.retention(Tables.events(s, dir), "user_id", "ts")
-        .orderBy("cohort_day", "day_offset")),
-    // first-order Markov transition matrix over per-user event sequences
-    "events_transitions" -> ((s: SparkSession, dir: String) =>
-      Events.transitions(Tables.events(s, dir))
-        .orderBy("prev_type", "next_type")),
-    // ----- integer-exact weighted PageRank over the transition graph
-    // (Components.pageRank scaladoc: fixed-point 85/100 damping, the
-    // iterative rank-vector × edge-list join, certifiable where float
-    // power methods aren't) -----
-    "events_pagerank" -> ((s: SparkSession, dir: String) =>
-      graft.ext.Components.pageRank(
-          Events.transitions(Tables.events(s, dir)),
-          "prev_type", "next_type", "n", iters = 3)
-        .orderBy("node")),
-    // ----- per-user inter-arrival gap stats (Events.interArrival
-    // scaladoc: exact integer micros, lag window + groupBy share the
-    // user_id partitioning — one shuffle total) -----
-    "events_interarrival" -> ((s: SparkSession, dir: String) =>
-      Events.interArrival(Tables.events(s, dir))
-        .orderBy("user_id")),
-    // ----- hour-over-hour growth per type: lag over the AGGREGATED
-    // hourly frame, first hours keep null delta/pct -----
-    "events_growth" -> ((s: SparkSession, dir: String) =>
-      Events.hourlyGrowth(Tables.events(s, dir))
-        .orderBy("event_type", "hour")),
-    // ----- new-vs-returning daily split over the distinct activity
-    // frame (Events.newVsReturning scaladoc) -----
-    "events_newusers" -> ((s: SparkSession, dir: String) =>
-      Events.newVsReturning(Tables.events(s, dir))
-        .orderBy("day")),
-    // ----- cumulative-user growth curve via the first-seen trick
-    // (Events.cumulativeUsers scaladoc: no running count DISTINCT) -----
-    "events_cumusers" -> ((s: SparkSession, dir: String) =>
-      Events.cumulativeUsers(Tables.events(s, dir))
-        .orderBy("day")),
-    // ----- DAU / trailing-7-day-MAU stickiness via bounded contribution
-    // explode (Events.stickiness scaladoc: exact rolling distinct with
-    // no rolling state) -----
-    "events_stickiness" -> ((s: SparkSession, dir: String) =>
-      Events.stickiness(Tables.events(s, dir), windowDays = 7)
-        .orderBy("day")),
-    "join_revenue" -> ((s: SparkSession, dir: String) =>
-      Events.revenueBySegment(Tables.orders(s, dir), Tables.customer(s, dir))
-        .orderBy("c_mktsegment")),
-    // the same aggregate through the SALTED shuffle join (Skew.saltedJoin):
-    // salting splits hot keys across reducers without changing matches —
-    // certified here by hash-matching the identical oracle as join_revenue
-    "join_salted" -> ((s: SparkSession, dir: String) =>
-      graft.ext.Skew.saltedJoin(
-          Tables.orders(s, dir),
-          Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment")),
-          "o_custkey", "c_custkey", "o_orderkey", buckets = 8)
-        .groupBy(col("c_mktsegment"))
-        .agg(count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
-            .as("revenue"))
-        .orderBy("c_mktsegment")),
-    // the same aggregate through the BUCKETED co-located join: both sides
-    // are written bucketed+sorted by the join key (the one-time layout
-    // cost), then the equi-join reads the buckets directly — NO shuffle on
-    // either side at any scale (plan-asserted in BucketingSpec); certified
-    // by hash-matching the identical oracle as join_revenue
-    "join_bucketed" -> ((s: SparkSession, dir: String) => {
-      val tmp = scratchDir("graft-join-bkt")
-      graft.sources.Bucketing.writeBucketed(
-        Tables.orders(s, dir).select(col("o_custkey"), col("o_totalprice")),
-        "graft_bkt_orders", s"$tmp/orders", "o_custkey", buckets = 8)
-      graft.sources.Bucketing.writeBucketed(
-        Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment")),
-        "graft_bkt_customer", s"$tmp/customer", "c_custkey", buckets = 8)
-      graft.sources.Bucketing.colocatedJoin(s,
-          "graft_bkt_orders", "graft_bkt_customer", "o_custkey", "c_custkey")
-        .groupBy(col("c_mktsegment"))
-        .agg(count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
-            .as("revenue"))
-        .orderBy("c_mktsegment")
-    }),
-    // the same join through an explicit BLOOM runtime filter: the selective
-    // part dim (p_size = 1) folds into an 8 KiB bit set and the lineitem
-    // scan keeps only probe survivors before the join shuffle — the exact
-    // join after the prune makes the result identical to the plain join,
-    // so the oracle is ordinary SQL (Bloom scaladoc has the FP/no-FN math)
-    "join_bloom" -> ((s: SparkSession, dir: String) =>
-      graft.ext.Bloom.bloomPrunedJoin(
-          Tables.lineitem(s, dir).select(col("l_partkey"),
-            col("l_extendedprice"), col("l_discount")),
-          Tables.part(s, dir).filter(col("p_size") === 1)
-            .select(col("p_partkey"), col("p_brand")),
-          "l_partkey", "p_partkey")
-        .groupBy(col("p_brand"))
-        .agg(count(lit(1)).as("n_items"),
-          (sum(floor(col("l_extendedprice") * (lit(1d) - col("l_discount"))
-              * 1e4 + 0.5).cast("long")).cast("double") / 1e4).as("revenue"))
-        .orderBy("p_brand")),
-    // ----- multi-level OLAP aggregation (Olap scaladoc: one Expand +
-    // one shuffle per report, exact quantized money sums) -----
-    "agg_rollup" -> ((s: SparkSession, dir: String) =>
-      graft.ext.Olap.rollupStats(Tables.orders(s, dir),
-          Seq("o_orderstatus", "o_orderpriority"), "o_totalprice")
-        // gid leads the sort so grouping-introduced NULLs (constant within
-        // a gid) never decide row order; genuine data NULLs in a dimension
-        // still could, so the oracle pins NULLS FIRST to Spark's asc order
-        .orderBy("gid", "o_orderstatus", "o_orderpriority")),
-    // ----- explicit GROUPING SETS: exactly the requested subtotals —
-    // "(priority) but not ()" — which neither rollup nor cube can say
-    // without waste (Olap.groupingSetsStats scaladoc) -----
-    "agg_groupingsets" -> ((s: SparkSession, dir: String) =>
-      graft.ext.Olap.groupingSetsStats(Tables.orders(s, dir),
-          Seq(Seq("o_orderstatus", "o_orderpriority"), Seq("o_orderstatus"),
-            Seq("o_orderpriority")),
-          Seq("o_orderstatus", "o_orderpriority"), "o_totalprice")
-        .orderBy("gid", "o_orderstatus", "o_orderpriority")),
-    "agg_cube" -> ((s: SparkSession, dir: String) =>
-      graft.ext.Olap.cubeStats(Tables.lineitem(s, dir),
-          Seq("l_returnflag", "l_linestatus"), "l_quantity")
-        .orderBy("gid", "l_returnflag", "l_linestatus")),
-    "agg_pivot" -> ((s: SparkSession, dir: String) =>
-      graft.ext.Olap.pivotCounts(Tables.orders(s, dir),
-          "o_orderpriority", "o_orderstatus", Seq("F", "O", "P"))
-        .orderBy("o_orderpriority")),
-    "agg_distinct" -> ((s: SparkSession, dir: String) =>
-      graft.ext.Olap.distinctCounts(Tables.events(s, dir),
-          "event_type", "user_id")
-        .orderBy("event_type")),
-    // ----- per-customer first/latest order via one-pass min_by/max_by
-    // with a total ordering key (Olap.argExtremes scaladoc: no window
-    // sort exchange, one partial-aggregated shuffle) -----
-    "agg_argmax" -> ((s: SparkSession, dir: String) =>
-      graft.ext.Olap.argExtremes(Tables.orders(s, dir),
-          "o_custkey", "o_orderkey", "o_orderdate")
-        .orderBy("o_custkey")),
-    // ----- bounded ordered string agg: 3 lexicographically-first
-    // customer names per segment (Olap.topKStringAgg scaladoc:
-    // WindowGroupLimit prunes to k per map partition) -----
-    "agg_stringagg" -> ((s: SparkSession, dir: String) =>
-      graft.ext.Olap.topKStringAgg(Tables.customer(s, dir),
-          "c_mktsegment", "c_name", k = 3)
-        .orderBy("c_mktsegment")),
-    // ----- exact moment-sum mean/variance per type (Olap.momentStats
-    // scaladoc: decimal(38,0) moments, one division per statistic) -----
-    "agg_varstats" -> ((s: SparkSession, dir: String) =>
-      graft.ext.Olap.momentStats(Tables.events(s, dir),
-          "event_type", "value")
-        .orderBy("event_type")),
-    // ----- per-group mode with deterministic tie-break (Olap.modeStats
-    // scaladoc: counts first, WindowGroupLimit rank) -----
-    "agg_mode" -> ((s: SparkSession, dir: String) =>
-      graft.ext.Olap.modeStats(Tables.customer(s, dir),
-          "c_nationkey", "c_mktsegment")
-        .orderBy("c_nationkey")),
-    // ----- exact co-moment Pearson correlation (Olap.corrStats
-    // scaladoc: decimal moments, two sqrts + one division) -----
-    "agg_corr" -> ((s: SparkSession, dir: String) =>
-      graft.ext.Olap.corrStats(Tables.lineitem(s, dir), "l_returnflag",
-          "l_quantity", "l_extendedprice")
-        .orderBy("l_returnflag")),
-    // ----- incremental aggregate maintenance: disjoint slice states
-    // merged by addition == the full recompute (Olap.momentState
-    // scaladoc) — certified against the very same full-scan oracle -----
-    "ops_incragg" -> ((s: SparkSession, dir: String) => {
-      val ev = Tables.events(s, dir)
-      val oldState = graft.ext.Olap.momentState(
-        ev.filter(col("event_id") % 2 === 0), "event_type", "value")
-      val delta = graft.ext.Olap.momentState(
-        ev.filter(col("event_id") % 2 =!= 0), "event_type", "value")
-      graft.ext.Olap.finalizeMoments(
-          graft.ext.Olap.mergeMomentStates(Seq(oldState, delta),
-            "event_type"), "event_type")
-        .orderBy("event_type")
-    }),
-    // oracle-certified HyperLogLog (Hll scaladoc: every register and the
-    // harmonic sum are exact integers; DuckDB replays the sketch
-    // bit-for-bit — approx_count_distinct could never be certified)
-    "agg_hll" -> ((s: SparkSession, dir: String) =>
-      graft.ext.Hll.distinctEstimate(Tables.events(s, dir),
-          "event_type", "user_id")
-        .orderBy("event_type")),
-    // the union path: sketch two disjoint halves of events independently,
-    // max-merge the register states, finalize. The halves partition the
-    // table, so the merged state must equal the direct sketch — the oracle
-    // (shared with agg_hll) sketches the un-split table and the hashes
-    // must match bit-for-bit. This is the shard/day/source merge pattern
-    // that makes the sketch usable as persisted infrastructure at 100 TB
-    "agg_hll_union" -> ((s: SparkSession, dir: String) => {
-      val ev = Tables.events(s, dir)
-      val a = graft.ext.Hll.registers(
-        ev.filter(col("event_id") % 2 === 0), "event_type", "user_id")
-      val b = graft.ext.Hll.registers(
-        ev.filter(col("event_id") % 2 === 1), "event_type", "user_id")
-      graft.ext.Hll.finalize(graft.ext.Hll.merge(a, b), "event_type")
-        .orderBy("event_type")
-    }),
-    // HLL set-intersection by inclusion–exclusion (Hll.intersectEstimate
-    // scaladoc: sketch once, then the audience-overlap matrix runs on
-    // register states alone — ≤ m rows per group whatever the corpus)
-    "agg_hll_intersect" -> ((s: SparkSession, dir: String) =>
-      graft.ext.Hll.intersectEstimate(Tables.events(s, dir),
-          "event_type", "user_id")
-        .orderBy("grp_a", "grp_b")),
-    // ----- window analytics: running totals and per-group top-n -----
-    "window_running" -> ((s: SparkSession, dir: String) =>
-      graft.ext.Olap.runningTotal(
-          Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
-            col("o_orderdate"), col("o_totalprice")),
-          "o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
-        .select(col("o_custkey"), col("o_orderkey"), col("running_total"))
-        .orderBy("o_custkey", "o_orderkey")),
-    "agg_topn" -> ((s: SparkSession, dir: String) =>
-      graft.ext.Olap.topNPerGroup(
-          Tables.customer(s, dir).select(col("c_custkey"),
-            col("c_mktsegment"), col("c_acctbal")),
-          "c_mktsegment", "c_acctbal", "c_custkey", n = 3)
-        .orderBy("c_mktsegment", "rnk")),
-    // ----- set operators: Spark plans distinct-union as one aggregate,
-    // intersect/except as semi/anti hash joins — all shuffle on the full
-    // row (here a single pruned key column, the scale-right input) -----
-    "set_union" -> ((s: SparkSession, dir: String) => {
-      val ev = Tables.events(s, dir)
-      ev.filter(col("event_type") === "click").select(col("user_id"))
-        .union(ev.filter(col("event_type") === "purchase")
-          .select(col("user_id")))
-        .distinct().orderBy("user_id")
-    }),
-    // Jan 1-2 slice (ts < Jan 3): over the full range every user has
-    // every event type, making these trivially-full/empty certifications
-    "set_intersect" -> ((s: SparkSession, dir: String) => {
-      val ev = Tables.events(s, dir)
-        .filter(col("ts") < to_timestamp(lit("2024-01-03")))
-      ev.filter(col("event_type") === "error").select(col("user_id"))
-        .intersect(ev.filter(col("event_type") === "purchase")
-          .select(col("user_id")))
-        .orderBy("user_id")
-    }),
-    "set_except" -> ((s: SparkSession, dir: String) => {
-      val ev = Tables.events(s, dir)
-        .filter(col("ts") < to_timestamp(lit("2024-01-03")))
-      ev.filter(col("event_type") === "signup").select(col("user_id"))
-        .except(ev.filter(col("event_type") === "purchase")
-          .select(col("user_id")))
-        .orderBy("user_id")
-    }),
-    // ----- range (interval) join: clicks within 10 minutes of each signup,
-    // bucketed equi-join on (user, time bucket) — never a per-key cross
-    // product (RangeJoin scaladoc) -----
-    "join_range" -> ((s: SparkSession, dir: String) => {
-      val ev = Tables.events(s, dir)
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
-          col("ts").as("c_ts"))
-      val windows = ev.filter(col("event_type") === "signup")
-        .select(col("event_id").as("signup_id"), col("user_id").as("s_user"),
-          col("ts").as("w_start"),
-          (col("ts") + expr("INTERVAL 10 MINUTES")).as("w_end"))
-      graft.ext.RangeJoin.pointInInterval(clicks, windows,
-          "c_user", "s_user", "c_ts", "w_start", "w_end",
-          bucketSeconds = 600L)
-        .groupBy(col("signup_id"))
-        .agg(count(lit(1)).as("n_clicks"),
-          min(col("click_id")).as("first_click"))
-        .orderBy("signup_id")
-    }),
-    // ----- ordered funnel over the event stream: signup → view → click →
-    // purchase, each step at-or-after the user's previous step time -----
-    "events_funnel" -> ((s: SparkSession, dir: String) =>
-      graft.ext.Funnel.stages(Tables.events(s, dir), "user_id", "event_type",
-          "ts", Seq("signup", "view", "click", "purchase"))
-        .orderBy("stage")),
-    // ----- per-completer conversion time through the same ordered chain
-    // (Funnel.latency scaladoc: completer set is the smallest frame,
-    // exact integer micros) -----
-    "events_funnel_latency" -> ((s: SparkSession, dir: String) =>
-      graft.ext.Funnel.latency(Tables.events(s, dir), "user_id",
-          "event_type", "ts", Seq("signup", "view", "click", "purchase"))
-        .orderBy("user_id")),
-    // ----- exact per-language length quantiles (type-1, integer-rank
-    // arithmetic — externally reproducible, unlike percentile_approx) -----
-    "text_quantiles" -> ((s: SparkSession, dir: String) =>
-      TextStats.groupQuantiles(Tables.documents(s, dir), "lang", "n_chars",
-          Seq(25, 50, 75, 90))
-        .orderBy("lang", "pct")),
-    // ----- per-document tf-idf keywords (integer-quantized idf) -----
-    "text_tfidf" -> ((s: SparkSession, dir: String) =>
-      TextStats.tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text",
-          k = 3)
-        .orderBy("doc_id", "rnk")),
-    // ----- corpus top bigrams by document frequency -----
-    "text_bigrams" -> ((s: SparkSession, dir: String) =>
-      TextStats.bigramTopTerms(Tables.documents(s, dir), "text", k = 40)
-        .orderBy(col("doc_freq").desc, col("bigram").asc)),
-    // ----- Gopher-style repetition metrics: duplicate-bigram and
-    // top-token fractions, exact integer ratios rounded to 4 decimals -----
-    "text_repetition" -> ((s: SparkSession, dir: String) =>
-      TextStats.repetitionStats(Tables.documents(s, dir), "doc_id", "text")
-        .orderBy("doc_id")),
-    // ----- PMI collocations: top word pairs by the integer-rational
-    // P(x,y)/(P(x)P(y)) — one IEEE division, deterministic k-boundary -----
-    "text_pmi" -> ((s: SparkSession, dir: String) =>
-      TextStats.pmiTopBigrams(Tables.documents(s, dir), "text",
-          minCount = 5L, k = 40)
-        .orderBy(col("score").desc, col("x").asc, col("y").asc)),
-    // ----- per-document BM25 top-k (TextStats scaladoc: denominators
-    // cleared to integer-exact rationals, one IEEE division) -----
-    "text_bm25" -> ((s: SparkSession, dir: String) =>
-      TextStats.bm25TopTerms(Tables.documents(s, dir), "doc_id", "text",
-          k = 3)
-        .orderBy("doc_id", "rnk")),
-    // ----- hybrid lexical+vector retrieval with reciprocal-rank fusion
-    // (Retrieval scaladoc: per-query top-C via WindowGroupLimit, EXACT
-    // BM25 lexical score — bm25TopTerms' integer rational — q4 cosine,
-    // Σ floor(1e9/(60+rank)) fusion — the RAG serving topology as one
-    // certified query) -----
-    "search_hybrid" -> ((s: SparkSession, dir: String) => {
-      val emb = Tables.embeddings(s, dir)
-      graft.ext.Retrieval.hybridTopK(
-          Tables.documents(s, dir), "doc_id", "text",
-          emb, "vec_id", "embedding",
-          queryTerms = Seq("data", "query", "join"),
-          queryVec = queryVec(emb), k = 10, candidates = 50)
-        .orderBy(col("rrf_score").desc, col("id").asc)
-    }),
-    // ----- the batched serving shape: three queries ride ONE broadcast
-    // frame (terms + vectors — the sim_knn probe-batch pattern), the
-    // corpus is scanned once per side, and every rank is per-query
-    // partitioned (WindowGroupLimit prunes to C before any shuffle) -----
-    "search_hybrid_batch" -> ((s: SparkSession, dir: String) => {
-      val emb = Tables.embeddings(s, dir)
-      val qv = queryVecs(emb, Seq(0L, 1L, 2L))
-      graft.ext.Retrieval.hybridTopKBatch(
-          Tables.documents(s, dir), "doc_id", "text",
-          emb, "vec_id", "embedding",
-          Seq(
-            graft.ext.Retrieval.RetrievalQuery(0L,
-              Seq("data", "query", "join"), qv(0L)),
-            graft.ext.Retrieval.RetrievalQuery(1L,
-              Seq("spark", "table", "scan"), qv(1L)),
-            graft.ext.Retrieval.RetrievalQuery(2L,
-              Seq("stream", "window"), qv(2L))),
-          k = 10, candidates = 50)
-        .orderBy(col("query_id").asc, col("rrf_score").desc, col("id").asc)
-    }),
-    // ----- inverted-index postings: df band [2,50] applied before any
-    // posting materializes, lists capped at 10 via WindowGroupLimit -----
-    "index_postings" -> ((s: SparkSession, dir: String) =>
-      TextStats.postings(Tables.documents(s, dir), "doc_id", "text",
-          minDf = 2L, maxDf = 50L, cap = 10)
-        .orderBy("term", "slot")),
-    // ----- certified count-min sketch: exact top-20 terms probed against
-    // the d·w-cell sketch (FreqSketch scaladoc; est ≥ exact always) -----
-    "sketch_cms" -> ((s: SparkSession, dir: String) =>
-      graft.ext.FreqSketch.estimateTopK(Tables.documents(s, dir), "text",
-          k = 20)
-        .orderBy(col("exact_cnt").desc, col("term").asc)),
-    // ----- sliding-window token chunking (64-token chunks, stride 48) -----
-    "text_chunks" -> ((s: SparkSession, dir: String) =>
-      TextStats.tokenChunks(Tables.documents(s, dir), "doc_id", "text",
-          chunk = 64, stride = 48)
-        .orderBy("doc_id", "chunk_idx")),
-    // ----- vocabulary fit + token-id encode (TextStats scaladoc: bounded
-    // broadcast vocab, corpus never shuffles to encode) -----
-    "text_vocab_encode" -> ((s: SparkSession, dir: String) =>
-      TextStats.vocabEncode(Tables.documents(s, dir), "doc_id", "text",
-          vocabSize = 1000)
-        .orderBy("doc_id", "pos")),
-    // ----- greedy longest-prefix subword encoding (TextStats
-    // .subwordEncode scaladoc: corpus-derived piece vocab, distinct-word
-    // tokenizer cache, row-local fold). The natural corpus is a 31-word
-    // pool where every word would be its own piece, so compound words
-    // glued from corpus terms + digit suffixes are planted (pure doc_id
-    // arithmetic the oracle replays) to give the splitter real
-    // multi-piece work and exercise the character fallback -----
-    "text_subword" -> ((s: SparkSession, dir: String) => {
-      val comp = Tables.documents(s, dir).select(concat(col("text"),
-        lit(" scancolumn"), (col("doc_id") % 10).cast("string"),
-        lit(" columnscan"), (col("doc_id") % 7).cast("string")).as("text"))
-      TextStats.subwordEncode(comp, "text", topK = 16)
-        .orderBy("word", "piece_pos")
-    }),
-    // ----- merges-exact BPE (TextStats.bpeEncode scaladoc: corpus-
-    // derived merge table, reference iterative min-rank encode; on
-    // training words the encode equals the training segmentation, which
-    // the oracle replays by unrolling the 8 rounds) -----
-    "text_bpe" -> ((s: SparkSession, dir: String) =>
-      TextStats.bpeEncode(Tables.documents(s, dir), "text", numMerges = 8)
-        .orderBy("word", "piece_pos")),
-    // ----- hashing-trick bag-of-words (TextStats.hashVectorize scaladoc:
-    // no vocabulary, certified bucket assignment via the portable poly
-    // hash) -----
-    "text_hashvec" -> ((s: SparkSession, dir: String) =>
-      TextStats.hashVectorize(Tables.documents(s, dir), "doc_id", "text",
-          buckets = 64)
-        .orderBy("doc_id", "bucket")),
-    // ----- language × quality-gate contingency (TextStats
-    // .qualityCrosstab scaladoc: scan-side metrics, tiny (lang, kept)
-    // groupBy), same thresholds as text_cleanpass -----
-    "text_crosstab" -> ((s: SparkSession, dir: String) =>
-      TextStats.qualityCrosstab(Tables.documents(s, dir), "doc_id", "text",
-          "lang", minChars = 100L, minStopwordRatio = 0.02,
-          maxAvgTokenLen = 5.0)
-        .orderBy("lang", "kept")),
-    // ----- canonical normalization pass over a deterministically-messed
-    // variant (mixed case, run-on spaces, a control char) so the cleanup
-    // has real work to certify -----
-    "text_normalize" -> ((s: SparkSession, dir: String) =>
-      TextStats.normalize(
-          Tables.documents(s, dir).select(col("doc_id"),
-            concat(upper(substring(col("text"), 1, 10)),
-              expr("substring(text, 11)"), lit("   PADDED "), lit("\t"),
-              lit(" END  ")).as("text")),
-          "doc_id", "text")
-        .orderBy("doc_id")),
-    // ----- C4-style repeated-line removal (TextStats.lineDedup scaladoc:
-    // output-bounded boilerplate set, order-preserving reassembly) over
-    // the deterministically-lined corpus [[linedDocs]]: planted footer
-    // lines plus the corpus's own exact-dup bodies get dropped; the
-    // unique %13 lines must survive -----
-    "text_linededup" -> ((s: SparkSession, dir: String) =>
-      TextStats.lineDedup(linedDocs(s, dir), "doc_id", "text", minDocs = 2)
-        .orderBy("doc_id")),
-    // ----- token-rarity quality score (TextStats.rarityScore scaladoc:
-    // the CCNet LM-filter shape in exact integer ppm — no floats to
-    // diverge between engines) -----
-    "text_rarity" -> ((s: SparkSession, dir: String) =>
-      TextStats.rarityScore(Tables.documents(s, dir), "doc_id", "text")
-        .orderBy("doc_id")),
-    // ----- winnowing fingerprints (TextStats.winnowFingerprints
-    // scaladoc: the MOSS local-min selection with the w+k-1 match
-    // guarantee; codegen'd sequential gram hashes, row-local sliding
-    // min) -----
-    "text_winnow" -> ((s: SparkSession, dir: String) =>
-      TextStats.winnowFingerprints(Tables.documents(s, dir), "doc_id",
-          "text", k = 4, w = 5)
-        .orderBy("doc_id", "fp")),
-    // ----- PII census + redaction in one codegen projection (Pii
-    // scaladoc: portable regex subset, zero shuffles) over the
-    // deterministically-decorated corpus [[dirtyDocs]] -----
-    "text_pii" -> ((s: SparkSession, dir: String) =>
-      graft.ext.Pii.scanRedact(dirtyDocs(s, dir), "doc_id", "text")
-        .orderBy("doc_id")),
-    // ----- URL host extraction + per-domain mention/doc counts (the one
-    // shuffle is the groupBy on host; map-side combine collapses hot
-    // hosts before the exchange) -----
-    "text_domains" -> ((s: SparkSession, dir: String) =>
-      graft.ext.Pii.domainStats(dirtyDocs(s, dir), "doc_id", "text")
-        .orderBy(col("n_mentions").desc, col("domain"))),
-    // ----- partitioned-layout round trip: write by language, read one
-    // language back through partition pruning (plan-asserted in
-    // PartitionedSpec — the scan enumerates only the lang=en directory)
-    "sink_partitioned" -> ((s: SparkSession, dir: String) => {
-      val tmp = scratchDir("graft-part-")
-      graft.sources.Partitioned.write(
-        Tables.documents(s, dir).select(col("doc_id"), col("lang"),
-          col("n_chars")), "lang", tmp)
-      graft.sources.Partitioned.read(s, tmp)
-        .filter(col("lang") === "en")
-        .select(col("doc_id"), col("n_chars"))
-        .orderBy("doc_id")
-    }),
-    // ----- transactional manifest-log table (TxTable scaladoc: atomic
-    // create-exclusive publish, snapshot isolation, time travel). The
-    // commit sequence overwrite(en) -> append(de) -> overwrite(fr) is
-    // replayed as three versioned snapshot reads: v1/v2 prove history
-    // stays readable after later commits, v2 proves append accumulates,
-    // v3 proves overwrite replaces -----
-    "sink_txlog" -> ((s: SparkSession, dir: String) => {
-      val tbl = scratchDir("graft-tx-") + "/tbl"
-      val docs = Tables.documents(s, dir)
-        .select(col("doc_id"), col("lang"), col("n_chars"))
-      graft.sources.TxTable.commit(
-        docs.filter(col("lang") === "en"), tbl, "overwrite")
-      graft.sources.TxTable.commit(
-        docs.filter(col("lang") === "de"), tbl, "append")
-      graft.sources.TxTable.commit(
-        docs.filter(col("lang") === "fr"), tbl, "overwrite")
-      Seq(1L, 2L, 3L).map(v =>
-          graft.sources.TxTable.readVersion(s, tbl, v)
-            .select(lit(v).as("version"), col("doc_id"), col("lang"),
-              col("n_chars")))
-        .reduce(_.union(_))
-        .orderBy("version", "doc_id")
-    }),
-    // ----- snapshot diff / change-data-feed (TxTable.diff scaladoc:
-    // multiset exceptAll both ways, manifests prune to exactly the two
-    // snapshots) over the same 3-commit history as sink_txlog: v1→v2 is
-    // the de append (inserts only), v2→v3 the fr overwrite (en+de out,
-    // fr in) -----
-    "ops_txdiff" -> ((s: SparkSession, dir: String) => {
-      val tbl = scratchDir("graft-txd-") + "/tbl"
-      val docs = Tables.documents(s, dir)
-        .select(col("doc_id"), col("lang"), col("n_chars"))
-      graft.sources.TxTable.commit(
-        docs.filter(col("lang") === "en"), tbl, "overwrite")
-      graft.sources.TxTable.commit(
-        docs.filter(col("lang") === "de"), tbl, "append")
-      graft.sources.TxTable.commit(
-        docs.filter(col("lang") === "fr"), tbl, "overwrite")
-      graft.sources.TxTable.diff(s, tbl, 1L, 2L)
-        .select(lit("v1v2").as("step"), col("change"), col("doc_id"),
-          col("lang"), col("n_chars"))
-        .union(graft.sources.TxTable.diff(s, tbl, 2L, 3L)
-          .select(lit("v2v3").as("step"), col("change"), col("doc_id"),
-            col("lang"), col("n_chars")))
-        .orderBy("step", "change", "doc_id")
-    }),
-    // ----- vacuum / retention (TxTable.vacuum scaladoc: expire all but
-    // the newest N manifests, delete only files no retained manifest
-    // lists) over the same 3-commit history: retain=2 expires exactly
-    // v1, and both retained snapshots must read back intact — the
-    // certified output IS the post-vacuum content of v2 and v3 -----
-    "ops_vacuum" -> ((s: SparkSession, dir: String) => {
-      val tbl = scratchDir("graft-vac-") + "/tbl"
-      val docs = Tables.documents(s, dir)
-        .select(col("doc_id"), col("lang"), col("n_chars"))
-      graft.sources.TxTable.commit(
-        docs.filter(col("lang") === "en"), tbl, "overwrite")
-      graft.sources.TxTable.commit(
-        docs.filter(col("lang") === "de"), tbl, "append")
-      graft.sources.TxTable.commit(
-        docs.filter(col("lang") === "fr"), tbl, "overwrite")
-      // minAgeMillis=0: this table is quiesced by construction (the
-      // three commits above finished before the vacuum starts)
-      val stats = graft.sources.TxTable.vacuum(tbl, retain = 2,
-        minAgeMillis = 0L)
-      Seq(2L, 3L).map(v =>
-          graft.sources.TxTable.readVersion(s, tbl, v)
-            .select(lit(v).as("version"), col("doc_id"), col("lang"),
-              col("n_chars"),
-              lit(stats.expiredVersions == Seq(1L)).as("expired_v1")))
-        .reduce(_.union(_))
-        .orderBy("version", "doc_id")
-    }),
-    // ----- transactional compaction / OPTIMIZE (TxTable.compact
-    // scaladoc: Compaction.plan groups the manifest inventory, one
-    // coalesced file per group, committed as a new version) — three
-    // append-y commits leave small files; the certified output is the
-    // POST-OPTIMIZE snapshot, which must be the identical multiset -----
-    "ops_optimize" -> ((s: SparkSession, dir: String) => {
-      val tbl = scratchDir("graft-opt-") + "/tbl"
-      val docs = Tables.documents(s, dir)
-        .select(col("doc_id"), col("lang"), col("n_chars"))
-      graft.sources.TxTable.commit(
-        docs.filter(col("lang") === "en"), tbl, "overwrite")
-      graft.sources.TxTable.commit(
-        docs.filter(col("lang") === "de"), tbl, "append")
-      graft.sources.TxTable.commit(
-        docs.filter(col("lang") === "fr"), tbl, "append")
-      val v = graft.sources.TxTable.compact(s, tbl, targetBytes = 1L << 30)
-      graft.sources.TxTable.readVersion(s, tbl, v)
-        .select(lit(v).as("version"), col("doc_id"), col("lang"),
-          col("n_chars"))
-        .orderBy("doc_id")
-    }),
-    // ----- JSONL codec round trip: events (incl. the JSON-in-string
-    // props column — the quoting torture case) serialized to JSON lines
-    // and read back schema-enforced; hash-matching the oracle on the
-    // ORIGINAL table certifies the codec end to end -----
-    "source_jsonl" -> ((s: SparkSession, dir: String) => {
-      val tmp = scratchDir("graft-jsonl-")
-      graft.sources.JsonLines.roundTrip(
-        Tables.events(s, dir).select(col("event_id"), col("user_id"),
-          col("event_type"),
-          floor(col("value") * 100 + 0.5).cast("long").as("value_c"),
-          col("props")), tmp)
-        .orderBy("event_id")
-    }),
-    // ----- ORC round trip: the second columnar interchange format,
-    // certified the same way as JSONL — write, schema-enforced re-read,
-    // hash-match vs the oracle on the original parquet -----
-    "source_orc" -> ((s: SparkSession, dir: String) => {
-      val tmp = scratchDir("graft-orc-")
-      graft.sources.OrcTable.roundTrip(
-        Tables.documents(s, dir).select(col("doc_id"), col("text"),
-          col("lang"), col("source"), col("n_chars")), tmp)
-        .orderBy("doc_id")
-    }),
-    // ----- interval×interval overlap join: 60-min view/click windows
-    // per user (RangeJoin.intervalOverlap scaladoc: first-shared-bucket
-    // trick — every pair meets exactly once, no post-join distinct) -----
-    "join_overlap" -> ((s: SparkSession, dir: String) => {
-      val e = Tables.events(s, dir)
-      def win(t: String, idAs: String, keyAs: String, sAs: String,
-              eAs: String) =
-        e.filter(col("event_type") === t).select(
-          col("event_id").as(idAs), col("user_id").as(keyAs),
-          col("ts").as(sAs),
-          (col("ts") + expr("INTERVAL 60 MINUTES")).as(eAs))
-      graft.ext.RangeJoin.intervalOverlap(
-          win("view", "v_id", "v_user", "v_start", "v_end"),
-          win("click", "c_id", "c_user", "c_start", "c_end"),
-          "v_user", "c_user", "v_start", "v_end", "c_start", "c_end",
-          bucketSeconds = 3600L)
-        .select(col("v_id"), col("c_id"))
-        .orderBy("v_id", "c_id")
-    }),
-    // ----- referential-integrity audit: orphan counts per relationship
-    // (Integrity scaladoc: distinct parent keys, anti-join, one count
-    // row per check). Every 97th lineitem key re-ingested shifted plays
-    // the broken-feed case so the audit certifies non-zero counts -----
-    "ops_fkcheck" -> ((s: SparkSession, dir: String) => {
-      val li = Tables.lineitem(s, dir).select(col("l_orderkey"))
-      val child = li.union(li.filter(col("l_orderkey") % 97 === 0)
-        .select((col("l_orderkey") + 900000000L).as("l_orderkey")))
-      graft.ext.Integrity.audit(Seq(
-        graft.ext.Integrity.orphans(child, Tables.orders(s, dir),
-          "l_orderkey", "o_orderkey", "lineitem->orders"),
-        graft.ext.Integrity.orphans(
-          Tables.orders(s, dir).select(col("o_custkey")),
-          Tables.customer(s, dir), "o_custkey", "c_custkey",
-          "orders->customer")))
-        .orderBy("rel")
-    }),
-    // ----- join-key skew audit: the k heaviest keys + exact per-mille
-    // share (Skew.keySkew scaladoc: the pre-join broadcast/salt
-    // decision input) -----
-    "profile_skew" -> ((s: SparkSession, dir: String) =>
-      graft.ext.Skew.keySkew(Tables.lineitem(s, dir), "l_partkey", k = 20)
-        .orderBy(col("cnt").desc, col("l_partkey"))),
-    // ----- small-file compaction plan: greedy cumulative fill per
-    // partition dir (Compaction scaladoc: O(files) metadata, windowed by
-    // partition dir — no global sort) over a per-(lang, source) inventory -----
-    "ops_compaction" -> ((s: SparkSession, dir: String) => {
-      val inventory = Tables.documents(s, dir)
-        .groupBy(col("lang"), col("source"))
-        .agg(sum(col("n_chars")).as("bytes"))
-      graft.sources.Compaction.plan(inventory, "lang", "source", "bytes",
-          targetBytes = 15000L)
-        .orderBy("lang", "source")
-    }),
-    // ----- Z-order layout audit (Layout scaladoc: Morton interleave in
-    // pure codegen bit ops; each z-prefix bucket is one 16×16 tile of the
-    // (partkey, suppkey) plane, extent-bounded in BOTH keys — the
-    // min/max-prunable layout for two-key scan predicates) -----
-    "ops_zorder" -> ((s: SparkSession, dir: String) =>
-      graft.sources.Layout.zOrderStats(
-          Tables.lineitem(s, dir).select(
-            (col("l_partkey") % 256).as("x"),
-            (col("l_suppkey") % 256).as("y")),
-          "x", "y", bits = 8, prefixShift = 8)
-        .orderBy("bucket")),
-    // ----- CSV round trip: header + schema-enforced FAILFAST re-read;
-    // all columns non-null by construction (CsvTable scaladoc names the
-    // inherent empty-vs-null CSV ambiguity) -----
-    "source_csv" -> ((s: SparkSession, dir: String) => {
-      val tmp = scratchDir("graft-csv-")
-      graft.sources.CsvTable.roundTrip(
-        Tables.documents(s, dir).select(col("doc_id"), col("text"),
-          col("lang"), col("source"), col("n_chars")), tmp)
-        .orderBy("doc_id")
-    }),
-    // ----- §2.10 multimodal plumbing (stub decode, real Spark shape) -----
-    "mm_features" -> ((s: SparkSession, dir: String) =>
-      Multimodal.features(
-          Multimodal.fromDocuments(s, Tables.documents(s, dir)))
-        .toDF().orderBy("id")),
-    // frame sampling: fixed 64-byte "frames", every 4th kept — the video
-    // sampling shape with a byte-arithmetic stub for the decoder
-    "mm_frames" -> ((s: SparkSession, dir: String) =>
-      Multimodal.frameSample(
-          Multimodal.fromDocuments(s, Tables.documents(s, dir)),
-          frameBytes = 64, step = 4)
-        .toDF().orderBy("id", "frame_idx")),
-    // REAL bytes→pixels decode: planted binary PPM (P6) payloads derived
-    // from doc_id by formula, parsed by the actual header-tokenizing
-    // decoder (Multimodal.decodePpm) — certifies decode arithmetic, not
-    // just plumbing; the oracle recomputes the features from the formula
-    "mm_decode" -> ((s: SparkSession, dir: String) =>
-      Multimodal.featuresPpm(
-          Multimodal.plantedPpm(s, Tables.documents(s, dir)))
-        .toDF().orderBy("id")),
-    // same planted pixel formula rendered as REAL PNGs (ImageIO encode)
-    // then decoded back through the JDK's inflate+unfilter path — the
-    // oracle is byte-for-byte the mm_decode formula replay, so a green
-    // hash certifies an actual compressed codec, not just plumbing
-    "mm_decode_png" -> ((s: SparkSession, dir: String) =>
-      Multimodal.featuresPng(
-          Multimodal.plantedPng(s, Tables.documents(s, dir)))
-        .toDF().orderBy("id")),
-    // ----- CDC merge / upsert: latest-wins change feed applied to the
-    // base snapshot (Merge scaladoc: feed-only window + broadcast-sized
-    // anti-join — the base never shuffles). The feed is derived
-    // deterministically from orders: keys ≡3 (mod 10) updated, keys ≡7
-    // updated-then-deleted (the seq-2 delete wins), keys ≡1 re-inserted
-    // shifted above the key space -----
-    "merge_upsert" -> ((s: SparkSession, dir: String) => {
-      val base = Tables.orders(s, dir).select(col("o_orderkey"),
-        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
-      val m = col("o_orderkey") % 10
-      def feed(cond: Column, status: String, op: String, seq: Long,
-               shift: Long = 0L) =
-        base.filter(cond).select(
-          (col("o_orderkey") + shift).as("o_orderkey"), col("o_custkey"),
-          lit(status).as("o_orderstatus"), col("o_totalprice"),
-          lit(op).as("op"), lit(seq).as("seq"))
-      val changes = feed(m === 3, "X", "U", 1L)
-        .union(feed(m === 7, "Y", "U", 1L))
-        .union(feed(m === 7, "Z", "D", 2L))
-        .union(feed(m === 1, "N", "I", 1L, shift = 100000000L))
-      graft.ext.Merge.upsert(base, changes, "o_orderkey", "op", "seq")
-        .orderBy("o_orderkey")
-    }),
-    // ----- SCD2 history from the same style of change feed: versioned
-    // validity intervals, deletes close intervals without emitting rows
-    // (Merge.scd2 scaladoc: one exchange for dedup + lead; the base
-    // table is never touched) -----
-    "merge_scd2" -> ((s: SparkSession, dir: String) => {
-      val base = Tables.orders(s, dir).select(col("o_orderkey"),
-        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
-      val m = col("o_orderkey") % 10
-      def feed(cond: Column, status: String, op: String, seq: Long,
-               shift: Long = 0L) =
-        base.filter(cond).select(
-          (col("o_orderkey") + shift).as("o_orderkey"), col("o_custkey"),
-          lit(status).as("o_orderstatus"), col("o_totalprice"),
-          lit(op).as("op"), lit(seq).as("seq"))
-      val changes = feed(m === 3, "X", "U", 1L)
-        .union(feed(m === 7, "Y", "U", 1L))
-        .union(feed(m === 3, "X2", "U", 2L))
-        .union(feed(m === 7, "Z", "D", 2L))
-        .union(feed(m === 1, "N", "I", 1L, shift = 100000000L))
-      graft.ext.Merge.scd2(changes, "o_orderkey", "op", "seq")
-        .orderBy("o_orderkey", "valid_from")
-    }),
-    // ----- column profiling: one scan, one Expand-based aggregate for
-    // every statistic, row-local unpivot (Profile scaladoc); doubles
-    // pre-quantized to cents so min/max strings are engine-portable -----
-    "profile_stats" -> ((s: SparkSession, dir: String) =>
-      graft.ext.Profile.columns(
-          Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
-            col("o_orderstatus"), col("o_orderpriority"),
-            floor(col("o_totalprice") * 100 + 0.5).cast("long")
-              .as("o_price_c")),
-          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
-            "o_price_c"))
-        .orderBy("col_name")),
-    // ----- the 100 TB profile: distinct via certified HLL registers, no
-    // full-key shuffle (Profile.columnsSketch scaladoc); the near-unique
-    // o_orderkey is exactly the column exact-distinct chokes on -----
-    "profile_stats_sketch" -> ((s: SparkSession, dir: String) =>
-      graft.ext.Profile.columnsSketch(
-          Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
-            floor(col("o_totalprice") * 100 + 0.5).cast("long")
-              .as("o_price_c")),
-          Seq("o_orderkey", "o_custkey", "o_price_c"))
-        .orderBy("col_name")),
-  )
-
-  /** Streaming read of the events table: glob (not the literal file path —
-    * the file source requires basePath to be a directory), schema from a
-    * batch probe, ts normalized to TimestampType exactly like
-    * Tables.events (both the NANOS-as-long and the TIMESTAMP_NTZ
-    * testdata generations — watermarks require TIMESTAMP). */
-  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
-    val raw = s.read.parquet(s"$dir/events.parquet")
-    val stream = s.readStream.schema(raw.schema).parquet(s"$dir/events.parque*")
-    stream.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case org.apache.spark.sql.types.TimestampNTZType =>
-        stream.withColumn("ts",
-          col("ts").cast(org.apache.spark.sql.types.TimestampType))
-      case _ => stream
-    }
-  }
-
-  /** Events re-shipped as immutable JSONL files for the `graft-dirtail`
-    * DSv2 source: ts as epoch micros on the wire (the
-    * [[graft.streaming.StreamSources.kafkaEvents]] convention — a JSON
-    * number, no timezone ambiguity), written by the distributed text
-    * sink, then renamed to the source's `*.jsonl` immutable-file
-    * extension (a driver-side O(files) metadata pass, same economics as
-    * a TxTable commit). props is dropped from the wire: the hourly
-    * topology never reads it and JSON-in-JSON escaping would be pure
-    * fixture noise. */
-  private def dirtailEventsDir(s: SparkSession, dir: String): String = {
-    val src = scratchDir("graft-dirtail-src-")
-    Tables.events(s, dir)
-      .select(to_json(struct(col("event_id"),
-        unix_micros(col("ts")).as("ts"), col("user_id"),
-        col("event_type"), col("value"))).as("value"))
-      .write.mode("overwrite").text(src)
-    val it = java.nio.file.Files.list(java.nio.file.Paths.get(src)).iterator()
-    while (it.hasNext) {
-      val f = it.next()
-      val n = f.getFileName.toString
-      if (n.startsWith("part-") && !n.endsWith(".jsonl"))
-        java.nio.file.Files.move(f, f.resolveSibling(n + ".jsonl")): Unit
-    }
-    src
-  }
-
-  /** Drain a streaming frame through a DISTRIBUTED file sink with
-    * Trigger.AvailableNow and read the result back as parquet — no row ever
-    * passes through the driver (the r3 memory-sink drain collected the whole
-    * stream driver-side; fine for a 10k-row gate, wrong as the only
-    * certified end-to-end streaming path).
-    *
-    * Append-mode frames use the parquet file sink directly. Complete-mode
-    * aggregates can't (the file sink is append-only), so they drain via
-    * `foreachBatch` overwriting the output with each batch's full aggregate
-    * state — each write is a distributed `DataFrame.write`, and the last
-    * batch leaves exactly the final aggregate on disk. */
-  private def drainStream(s: SparkSession, name: String, mode: String,
-                          frame: DataFrame): DataFrame = {
-    val base = java.nio.file.Paths.get(scratchDir(s"graft-$name-"))
-    val out = s"$base/out"
-    // a zero-batch drain (empty source) never invokes foreachBatch, so the
-    // directory must exist for the read-back to return an empty frame
-    // instead of failing on a missing path
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out)): Unit
-    // a stateful stream allocates one state-store instance per shuffle
-    // partition PER BATCH; at gate scale 32 stores are pure task overhead.
-    // The partition count is captured by the query's checkpoint at start
-    // (fresh here), so scoping the conf to the drain is safe; a production
-    // deployment sizes this to its key cardinality instead.
-    //
-    // The save/set/restore mutates SESSION state: the object-level lock
-    // serializes overlapping drains (otherwise drain B could save A's
-    // temporary "8" and pin the session there). Verify/Bench call entries
-    // sequentially anyway; the lock makes the harness safe, not fast.
-    DrainLock.synchronized {
-    val saved = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val writer = frame.writeStream
-        .option("checkpointLocation", s"$base/ckpt")
-        .outputMode(mode)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      val q = mode match {
-        case "append" => writer.format("parquet").option("path", out).start()
-        case _ => writer.foreachBatch {
-            (batch: DataFrame, _: Long) =>
-              batch.write.mode("overwrite").parquet(out)
-          }.start()
-      }
-      q.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", saved)
-    }
-    s.read.schema(frame.schema).parquet(out)
-  }
-
-  private object DrainLock
-
-  /** Deterministic query vector for the similarity entries: the embedding of
-    * vec_id 0, collected once (one row — metadata-sized, not a data scan). */
-  private def queryVec(emb: DataFrame): Seq[Double] =
-    emb.where(col("vec_id") === 0).select(col("embedding"))
-      .head().getSeq[Float](0).map(_.toDouble)
-
-  /** Batch variant: the embeddings of `ids`, collected once (|ids| rows —
-    * the broadcast probe batch, metadata-sized like [[queryVec]]). */
-  private def queryVecs(emb: DataFrame, ids: Seq[Long]): Map[Long, Seq[Double]] =
-    emb.where(col("vec_id").isin(ids: _*))
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toSeq)
-      .toMap
-
-  // =========================================================================
-  // DuckDB oracles — same parquet tables, ANSI-ish SQL. Column names and
-  // row order match the engine formulations above. `dedup_minhash` reuses
-  // the exact-Jaccard oracle: banded MinHash (b=64, r=2) candidates are
-  // exact-verified, so false positives are impossible and the false-negative
-  // probability (1-s^r)^b is MAXIMAL at the threshold s=0.5 (≈1e-8) and
-  // decreasing in s. The residual FN risk is retired DETERMINISTICALLY,
-  // not probabilistically: hash seeds, band keys, and the driver's
-  // testdata (TESTDATA.md, seed=42, read-only) are all fixed, so the
-  // equality was validated by running this verify flow at every driver SF
-  // (sf0.001 smoke, sf0.01 oracle gate) — a band miss cannot newly appear
-  // at round time on identical inputs.
-  // =========================================================================
-
-  /** dedup_simhash oracle: the token hash is a PORTABLE 62-bit poly hash
-    * (graft.functions.TokenPolyOps — two 31-bit Rabin-Karp folds packed as
-    * h1*2^31+h2) precisely so this SQL can reproduce the full SimHash
-    * pipeline: per-token hash → per-bit majority vote (2*ones >= n, the
-    * same tie rule as the engine) → sign-bit signature → Hamming ≤ k pairs.
-    * The engine blocks on `maxHamming + 1` variable-width bands over the 62
-    * meaningful bits — pigeonhole-lossless at the declared radius (a pair
-    * within Hamming k differs in at most k of the k+1 bands, so one band
-    * always matches exactly) — so a plain all-pairs SQL join is an exact
-    * reference. */
-  private val SimhashOracle: String = {
-    val ones = (0 until 62).map(j => s"sum((h >> $j) & 1) AS o$j").mkString(", ")
-    val bits = (0 until 62)
-      .map(j => s"(CASE WHEN 2*o$j >= n THEN ${1L << j} ELSE 0 END)")
-      .mkString(" + ")
-    s"""WITH tok AS (
-       |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t FROM documents
-       |), h AS (
-       |  SELECT doc_id,
-       |    list_reduce([CAST(ascii(c) AS BIGINT) for c in string_split(t,'')], (a,x) -> (a*31+x) % 2147483647) * 2147483648
-       |    + list_reduce([CAST(ascii(c) AS BIGINT) for c in string_split(t,'')], (a,x) -> (a*131+x) % 2147483629) AS h
-       |  FROM tok WHERE t <> ''
-       |), sums AS (
-       |  SELECT doc_id, count(*) AS n, $ones FROM h GROUP BY doc_id
-       |), sigc AS (
-       |  SELECT doc_id, $bits AS sig FROM sums
-       |), sig AS (
-       |  -- docs with no non-empty tokens get signature 0, like the engine
-       |  -- (empty hash array -> all-zero majority)
-       |  SELECT d.doc_id, COALESCE(s.sig, 0) AS sig
-       |  FROM (SELECT DISTINCT doc_id FROM documents) d
-       |  LEFT JOIN sigc s USING (doc_id)
-       |)
-       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
-       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.sig, b.sig)) <= 3
-       |ORDER BY id_a, id_b""".stripMargin
-  }
-
-  /** Shared CTEs for jaccard/minhash/cluster oracles: distinct 3-gram
-    * shingles per doc (whole text when < 3 tokens), exploded with sizes,
-    * blocked pair counts. */
-  private val JaccardCtes: String =
-    """toks AS (
-      |  SELECT doc_id, string_split(text, ' ') AS s FROM documents
-      |), g AS (
-      |  SELECT doc_id,
-      |    CASE WHEN len(s) < 3 THEN [array_to_string(s, ' ')]
-      |         ELSE list_distinct([array_to_string(s[i:i+2], ' ')
-      |                             for i in range(1, len(s) - 1)]) END AS grams
-      |  FROM toks
-      |), e AS (
-      |  SELECT doc_id, len(grams) AS sz, unnest(grams) AS gram FROM g
-      |), shared AS (
-      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
-      |         count(*) AS sh
-      |  FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2, 3, 4
-      |)""".stripMargin
-
-  /** The register + per-group-state CTE chain of the [[graft.ext.Hll]]
-    * sketch — shared by [[HllOracle]] and the `agg_hll_intersect` oracle
-    * so the hash, rank, and harmonic arithmetic cannot drift. */
-  private val HllCtes: String =
-    """x1 AS (
-      |  SELECT event_type,
-      |    ((user_id % 2147483647) + 2147483647) % 2147483647
-      |      * 1103515245 % 2147483647 AS v
-      |  FROM events WHERE user_id IS NOT NULL
-      |), x2 AS (
-      |  SELECT event_type, xor(v, v >> 15) AS v FROM x1
-      |), x3 AS (
-      |  SELECT event_type, v * 1566083941 % 2147483647 AS v FROM x2
-      |), h AS (
-      |  SELECT event_type, xor(v, v >> 13) AS hv FROM x3
-      |), ranked AS (
-      |  SELECT event_type, hv % 64 AS reg,
-      |    CASE WHEN hv // 64 = 0 THEN 26
-      |         ELSE 26 - length(printf('%b', hv // 64)) END AS rank
-      |  FROM h
-      |), regs AS (
-      |  SELECT event_type, reg, max(rank) AS m_j
-      |  FROM ranked GROUP BY event_type, reg
-      |), state AS (
-      |  SELECT event_type, count(*) AS n_regs,
-      |    sum(CAST(1 AS BIGINT) << (26 - m_j)) AS isum_p
-      |  FROM regs GROUP BY event_type
-      |)""".stripMargin
-
-  /** The [[graft.ext.Hll]] sketch replayed end-to-end in SQL — shared by
-    * the batch (`agg_hll`) and streaming (`stream_hll`) entries, which
-    * must produce the identical state by construction. */
-  private val HllOracle: String =
-    s"""WITH $HllCtes
-      |SELECT event_type, n_regs,
-      |  CAST(isum_p + (64 - n_regs) * 67108864 AS BIGINT) AS isum,
-      |  CAST(0.709 AS DOUBLE) * 4096 * 67108864 /
-      |    CAST(isum_p + (64 - n_regs) * 67108864 AS DOUBLE)
-      |    AS hll_estimate
-      |FROM state ORDER BY event_type""".stripMargin
-
-  private val JaccardOracle: String =
-    s"""WITH $JaccardCtes
-      |SELECT id_a, id_b, round(sh / (sz_a + sz_b - sh), 4) AS jaccard
-      |FROM shared WHERE round(sh / (sz_a + sz_b - sh), 4) >= 0.5
-      |ORDER BY id_a, id_b""".stripMargin
-
-  /** Shared recursive min-label reachability over the exact-Jaccard pair
-    * graph (the walk enumerates every (node, reachable-label) pair — fine
-    * at oracle scale; the ENGINE uses distributed label propagation
-    * instead). One string reused by both cluster oracles so the pair
-    * threshold and walk formulation cannot drift between them. */
-  private val ClusterWalkCtes: String =
-    s"""$JaccardCtes, pairs AS (
-      |  SELECT id_a, id_b FROM shared
-      |  WHERE round(sh / (sz_a + sz_b - sh), 4) >= 0.5
-      |), edges AS (
-      |  SELECT id_a AS src, id_b AS dst FROM pairs
-      |  UNION ALL SELECT id_b, id_a FROM pairs
-      |), nodes AS (
-      |  SELECT DISTINCT src AS id FROM edges
-      |), walk(id, comp) AS (
-      |  SELECT id, id FROM nodes
-      |  UNION
-      |  SELECT e.src, w.comp FROM edges e JOIN walk w ON w.id = e.dst
-      |)""".stripMargin
-
-  private val ClusterOracle: String =
-    s"""WITH RECURSIVE $ClusterWalkCtes
-      |SELECT id AS doc_id, min(comp) AS cluster
-      |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin
-
-  /** Shared quality-metric CTE (TextStats.quality arithmetic) — one string
-    * for text_quality and text_cleanpass so the metric arithmetic cannot
-    * drift between their oracles. */
-  private val QualityCtes: String =
-    """t AS (SELECT doc_id, text, string_split(text, ' ') AS s FROM documents),
-      |q AS (
-      |  SELECT doc_id,
-      |    CAST(length(text) AS BIGINT) AS n_chars,
-      |    round(CAST(list_sum([length(w) for w in s]) AS DOUBLE) / len(s), 4) AS avg_token_len,
-      |    round(CAST(len([w for w in s if w IN ('the','a','of','and','to','is')]) AS DOUBLE) / len(s), 4) AS stopword_ratio,
-      |    round(CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
-      |          / greatest(length(text), 1), 4) AS punct_ratio
-      |  FROM t
-      |)""".stripMargin
-
-  /** Df-cut Jaccard oracle: shingles with document frequency > 10 dropped,
-    * per-doc set sizes recomputed over the RETAINED shingles (matching
-    * Dedup.jaccardPairs prune-then-size semantics). */
-  private val PrunedJaccardOracle: String =
-    """WITH toks AS (
-      |  SELECT doc_id, string_split(text, ' ') AS s FROM documents
-      |), g AS (
-      |  SELECT doc_id,
-      |    CASE WHEN len(s) < 3 THEN [array_to_string(s, ' ')]
-      |         ELSE list_distinct([array_to_string(s[i:i+2], ' ')
-      |                             for i in range(1, len(s) - 1)]) END AS grams
-      |  FROM toks
-      |), e AS (
-      |  SELECT doc_id, unnest(grams) AS gram FROM g
-      |), keep AS (
-      |  SELECT gram FROM e GROUP BY gram HAVING count(*) <= 10
-      |), ep AS (
-      |  SELECT e.doc_id, e.gram FROM e JOIN keep USING (gram)
-      |), sz AS (
-      |  SELECT doc_id, count(*) AS sz FROM ep GROUP BY doc_id
-      |), shared AS (
-      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS sh
-      |  FROM ep a JOIN ep b ON a.gram = b.gram AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2
-      |)
-      |SELECT id_a, id_b,
-      |  round(sh / (sa.sz + sb.sz - sh), 4) AS jaccard
-      |FROM shared
-      |JOIN sz sa ON sa.doc_id = id_a
-      |JOIN sz sb ON sb.doc_id = id_b
-      |WHERE round(sh / (sa.sz + sb.sz - sh), 4) >= 0.5
-      |ORDER BY id_a, id_b""".stripMargin
-
-  /** sim_lsh oracle: the 8 seeded hyperplanes are deterministic Scala-side
-    * literals — embed them verbatim (shortest-round-trip double formatting
-    * parses back to the identical double in DuckDB), bucket by the same
-    * sign-bit key, verify with the same rounded cosine. */
-  private val LshOracle: String = {
-    val planes = graft.ext.Similarity.hyperplanes(8, 64, 42L)
-    val bucket = planes.zipWithIndex.map { case (p, i) =>
-      val lst = p.mkString("[", ", ", "]")
-      s"(CASE WHEN list_dot_product(e, $lst) >= 0 THEN ${1L << i} ELSE 0 END)"
-    }.mkString(" + ")
-    s"""WITH v AS (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-       |), b AS (
-       |  SELECT vec_id, e, $bucket AS bucket FROM v
-       |), pairs AS (
-       |  SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
-       |    round(list_dot_product(a.e, b2.e) /
-       |      (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b2.e, b2.e))), 4) AS sim
-       |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
-       |)
-       |SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.4 ORDER BY id_a, id_b""".stripMargin
-  }
-
-  /** Unrolled distributed-k-means training rounds as a CTE chain — the
-    * DuckDB replay of [[graft.ext.KMeans.fit]]+[[graft.ext.KMeans
-    * .assigned]] (same contract as BpeIterCte: external engines verify
-    * TRAINING, not just serving). Expects a prior CTE `v(vec_id, e)` with
-    * e already DOUBLE[]. Produces `km_fin(vec_id, cell)` — the learned
-    * assignment. Arithmetic mirrors KMeans exactly: seeds = the k
-    * smallest vec_ids' vectors; distance = floor(in-order Σ(e−c)²·1e8
-    * +0.5) BIGINT with ties to the lower cell (list_reduce's
-    * first-element seed equals the 0.0-seeded Spark fold bit-for-bit);
-    * update = the 1e-10 quantized mean; empty cells keep their previous
-    * centroid via the left-join coalesce. */
-  private def kmeansCte(k: Int, iters: Int, dims: Int): String = {
-    val d2 = "CAST(floor(list_reduce([ (e[i]-c[i])*(e[i]-c[i]) " +
-      s"for i in range(1, ${dims + 1}) ], (a,b) -> a + b) * 1e8 + 0.5) " +
-      "AS BIGINT)"
-    val sb = new StringBuilder
-    sb.append(
-      s"""km_c0 AS (
-         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
-         |    e AS c
-         |  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT $k)
-         |)""".stripMargin)
-    for (t <- 1 to iters) {
-      sb.append(
-        s""", km_s$t AS (
-           |  SELECT vec_id, e, cell,
-           |    row_number() OVER (PARTITION BY vec_id ORDER BY $d2, cell) AS rn
-           |  FROM v CROSS JOIN km_c${t - 1}
-           |), km_u$t AS (
-           |  SELECT cell, generate_subscripts(e, 1) AS pos, unnest(e) AS x
-           |  FROM km_s$t WHERE rn = 1
-           |), km_m$t AS (
-           |  SELECT cell, pos,
-           |    CAST(sum(CAST(floor(x * 1e10 + 0.5) AS BIGINT)) AS DOUBLE)
-           |      / count(*) / 1e10 AS x
-           |  FROM km_u$t GROUP BY cell, pos
-           |), km_n$t AS (
-           |  SELECT cell, list(x ORDER BY pos) AS c FROM km_m$t GROUP BY cell
-           |), km_c$t AS (
-           |  SELECT p.cell, coalesce(n.c, p.c) AS c
-           |  FROM km_c${t - 1} p LEFT JOIN km_n$t n USING (cell)
-           |)""".stripMargin)
-    }
-    sb.append(
-      s""", km_fin AS (
-         |  SELECT vec_id, cell FROM (
-         |    SELECT vec_id, cell,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY $d2, cell) AS rn
-         |    FROM v CROSS JOIN km_c$iters) WHERE rn = 1
-         |)""".stripMargin)
-    sb.toString
-  }
-
-  /** sim_ivf oracle: k-means-learned cells (km_fin), per-cell centroids
-    * with decimal-exact accumulation (matching Similarity.centroids),
-    * probe the 2 nearest cells, brute-force within. */
-  private val IvfOracle: String =
-    s"""WITH v AS (
-      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-      |), q AS (
-      |  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0
-      |), ${kmeansCte(k = 4, iters = 3, dims = 64)}, vc AS (
-      |  SELECT v.vec_id, v.e, f.cell FROM v JOIN km_fin f USING (vec_id)
-      |), pos AS (
-      |  SELECT cell, generate_subscripts(e, 1) AS pos, unnest(e) AS x FROM vc
-      |), cent AS (
-      |  SELECT cell, pos,
-      |    CAST(sum(CAST(floor(x * 1e10 + 0.5) AS BIGINT)) AS DOUBLE)
-      |      / count(*) / 1e10 AS x
-      |  FROM pos GROUP BY cell, pos
-      |), carr AS (
-      |  SELECT cell, list(x ORDER BY pos) AS c FROM cent GROUP BY cell
-      |), probes AS (
-      |  SELECT cell,
-      |    round(list_dot_product(c, qe) /
-      |      (sqrt(list_dot_product(c, c)) * sqrt(list_dot_product(qe, qe))), 4) AS cs
-      |  FROM carr, q ORDER BY cs DESC, cell LIMIT 2
-      |)
-      |SELECT vec_id,
-      |  round(list_dot_product(vc.e, qe) /
-      |    (sqrt(list_dot_product(vc.e, vc.e)) * sqrt(list_dot_product(qe, qe))), 4) AS sim
-      |FROM vc JOIN probes USING (cell), q
-      |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin
-
-  /** Cosine similarity vs the vec_id-0 embedding, double math, rounded 4. */
-  private def cosineSql(scoreAlias: String): String =
-    s"""WITH q AS (
-       |  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0
-       |), scored AS (
-       |  SELECT vec_id, label,
-       |    round(list_dot_product(CAST(embedding AS DOUBLE[]), qe) /
-       |      (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-       |                             CAST(embedding AS DOUBLE[]))) *
-       |       sqrt(list_dot_product(qe, qe))), 4) AS $scoreAlias
-       |  FROM embeddings, q
-       |)""".stripMargin
-
-  def oracleSql: Map[String, String] = Map(
-    "filter_eq" ->
-      "SELECT * FROM customer WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey",
-    "filter_ne_nullsafe" ->
-      "SELECT * FROM customer WHERE c_mktsegment IS DISTINCT FROM 'BUILDING' ORDER BY c_custkey",
-    "filter_gt" ->
-      "SELECT * FROM customer WHERE c_acctbal > 5000 ORDER BY c_custkey",
-    "filter_lt" ->
-      "SELECT * FROM customer WHERE c_acctbal < 1000 ORDER BY c_custkey",
-    "filter_gte" ->
-      "SELECT * FROM customer WHERE c_acctbal >= 9000 ORDER BY c_custkey",
-    "filter_lte" ->
-      "SELECT * FROM customer WHERE c_acctbal <= 100 ORDER BY c_custkey",
-    "filter_in" ->
-      "SELECT * FROM customer WHERE c_mktsegment IN ('MACHINERY', 'FURNITURE') ORDER BY c_custkey",
-    "filter_regex_ci" ->
-      "SELECT * FROM part WHERE regexp_matches(p_type, '(?i)econ') ORDER BY p_partkey",
-    "filter_and" ->
-      "SELECT * FROM customer WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 2500 ORDER BY c_custkey",
-    "filter_between" ->
-      "SELECT * FROM customer WHERE c_acctbal >= 1000 AND c_acctbal <= 2000 ORDER BY c_custkey",
-    "filter_date" ->
-      ("SELECT o_orderkey, o_orderpriority FROM orders " +
-        "WHERE o_orderdate >= TIMESTAMP '1997-06-15 00:00:00' ORDER BY o_orderkey"),
-    "projection" ->
-      "SELECT c_custkey, c_name FROM customer ORDER BY c_custkey",
-    "limit_topk" ->
-      "SELECT * FROM customer ORDER BY c_custkey LIMIT 50",
-    "limit_clamp" ->
-      "SELECT * FROM customer ORDER BY c_custkey LIMIT 1000",
-    "count_filtered" ->
-      "SELECT count(*) AS n FROM customer WHERE c_mktsegment = 'BUILDING'",
-    "count_all" ->
-      "SELECT count(*) AS n FROM customer",
-    "count_meta" ->
-      "SELECT count(*) AS n FROM customer",
-    "agg_history_stats" ->
-      ("SELECT count(*) AS n_queries, " +
-        "sum(CASE WHEN event_type != 'error' THEN 1 ELSE 0 END) * 100.0 / count(*) AS success_rate, " +
-        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean_exec " +
-        "FROM events"),
-    "nl_salary_gt" ->
-      s"SELECT * FROM $Emp WHERE salary > 3000 ORDER BY emp_id",
-    "nl_salary_lt" ->
-      s"SELECT * FROM $Emp WHERE salary < 2000 ORDER BY emp_id",
-    "nl_salary_eq" ->
-      s"SELECT * FROM $Emp WHERE salary = 655 ORDER BY emp_id",
-    "nl_age_gt" ->
-      s"SELECT * FROM $Emp WHERE age > 40 ORDER BY emp_id",
-    "nl_age_lt" ->
-      s"SELECT * FROM $Emp WHERE age < 30 ORDER BY emp_id",
-    "nl_shadow" ->
-      s"SELECT * FROM $Emp WHERE age > 30 ORDER BY emp_id",
-    "nl_dept" ->
-      s"SELECT * FROM $Emp WHERE regexp_matches(department, '(?i)engineering') ORDER BY emp_id",
-    "nl_name_proj" ->
-      s"SELECT name FROM $Emp ORDER BY name",
-    "nl_experience" ->
-      s"SELECT * FROM $Emp WHERE experience_years > 20 ORDER BY emp_id",
-    "nl_default" ->
-      s"SELECT * FROM $Emp ORDER BY emp_id",
-    "nl_bignum" ->
-      s"SELECT * FROM $Emp WHERE salary < 1152921504606846976 ORDER BY emp_id",
-    "nl_repair" ->
-      s"SELECT * FROM $Emp WHERE regexp_matches(department, '(?i)sales') ORDER BY emp_id",
-    // EXPECTED classification per template family, derived independently
-    // of the engine's string analysis: template k of customer row id must
-    // classify as the rule the template was built to trigger
-    "nl_bulk" ->
-      ("""SELECT c_custkey AS id,
-         |  CASE c_custkey % 10
-         |    WHEN 0 THEN 'salary' WHEN 1 THEN 'salary' WHEN 2 THEN 'salary'
-         |    WHEN 3 THEN 'age' WHEN 4 THEN 'department'
-         |    WHEN 5 THEN 'name_projection' WHEN 6 THEN 'experience'
-         |    WHEN 8 THEN 'age' ELSE 'all' END AS rule,
-         |  CASE c_custkey % 10
-         |    WHEN 0 THEN 'salary' WHEN 1 THEN 'salary' WHEN 2 THEN 'salary'
-         |    WHEN 3 THEN 'age' WHEN 4 THEN 'department'
-         |    WHEN 6 THEN 'experience_years' WHEN 8 THEN 'age'
-         |    ELSE NULL END AS field,
-         |  CASE c_custkey % 10
-         |    WHEN 0 THEN 'gt' WHEN 1 THEN 'lt' WHEN 2 THEN 'eq'
-         |    WHEN 3 THEN 'gt' WHEN 4 THEN 'regex' WHEN 6 THEN 'gt'
-         |    WHEN 8 THEN 'gt' ELSE NULL END AS op,
-         |  CASE c_custkey % 10
-         |    WHEN 4 THEN 'engineering'
-         |    WHEN 5 THEN NULL WHEN 7 THEN NULL WHEN 9 THEN NULL
-         |    ELSE CAST(c_custkey AS VARCHAR) END AS value
-         |FROM customer ORDER BY id""".stripMargin),
-    "dedup_exact" ->
-      "SELECT min(doc_id) AS doc_id, lang, source FROM documents GROUP BY lang, source ORDER BY 1",
-    "dedup_fingerprint" ->
-      "SELECT min(doc_id) AS doc_id, md5(lower(text)) AS fp FROM documents GROUP BY md5(lower(text)) ORDER BY 1",
-    "dedup_jaccard" -> JaccardOracle,
-    "dedup_minhash" -> JaccardOracle,
-    "dedup_clusters" -> ClusterOracle,
-    // corpus minus non-canonical cluster members, via the same recursive
-    // component resolution
-    "dedup_survivors" ->
-      (s"""WITH RECURSIVE $ClusterWalkCtes, drops AS (
-         |  SELECT id FROM walk GROUP BY id HAVING id <> min(comp)
-         |)
-         |SELECT doc_id, lang, source FROM documents
-         |WHERE doc_id NOT IN (SELECT id FROM drops)
-         |ORDER BY doc_id""".stripMargin),
-    // same cluster walk, then per-cluster argmax(n_chars) with the min-id
-    // tie-break replayed as max-score join + min(id)
-    "dedup_best" ->
-      (s"""WITH RECURSIVE $ClusterWalkCtes, cl AS (
-         |  SELECT id, min(comp) AS comp FROM walk GROUP BY id
-         |), scored AS (
-         |  SELECT cl.id, cl.comp, d.n_chars FROM cl
-         |  JOIN documents d ON d.doc_id = cl.id
-         |), mx AS (
-         |  SELECT comp, max(n_chars) AS ms FROM scored GROUP BY comp
-         |), reps AS (
-         |  SELECT s.comp, min(s.id) AS keep
-         |  FROM scored s JOIN mx ON s.comp = mx.comp AND s.n_chars = mx.ms
-         |  GROUP BY s.comp
-         |), drops AS (
-         |  SELECT id FROM cl WHERE id NOT IN (SELECT keep FROM reps)
-         |)
-         |SELECT doc_id, lang, n_chars FROM documents
-         |WHERE doc_id NOT IN (SELECT id FROM drops)
-         |ORDER BY doc_id""".stripMargin),
-    "dedup_simhash" -> SimhashOracle,
-    "dedup_jaccard_pruned" -> PrunedJaccardOracle,
-    "sim_lsh" -> LshOracle,
-    "sim_ivf" -> IvfOracle,
-    // the same unrolled training replay, aggregated per learned cell
-    "emb_kmeans" ->
-      (s"""WITH v AS (
-         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-         |), ${kmeansCte(k = 4, iters = 3, dims = 64)}
-         |SELECT CAST(cell AS BIGINT) AS cell, count(*) AS n,
-         |  min(vec_id) AS min_id, max(vec_id) AS max_id
-         |FROM km_fin GROUP BY cell ORDER BY cell""".stripMargin),
-    // the indexed path answers the identical query — same oracle
-    "sim_ivf_indexed" -> IvfOracle,
-    "sim_topk" ->
-      (cosineSql("sim") + " SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id LIMIT 10"),
-    "sim_topk_grouped" ->
-      (cosineSql("sim") +
-        ", ranked AS (SELECT label, vec_id, sim, " +
-        "CAST(row_number() OVER (PARTITION BY label ORDER BY sim DESC, vec_id) AS BIGINT) AS rn " +
-        "FROM scored) SELECT label, vec_id, sim, rn FROM ranked WHERE rn <= 3 ORDER BY label, rn"),
-    // same (candidate, query) operand order and norm product as the engine
-    "sim_knn" ->
-      ("""WITH v AS (
-         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-         |), q AS (
-         |  SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5
-         |), scored AS (
-         |  SELECT q.query_id, v.vec_id AS cand_id,
-         |    round(list_dot_product(v.e, qe) /
-         |      (sqrt(list_dot_product(v.e, v.e)) *
-         |       sqrt(list_dot_product(qe, qe))), 4) AS sim
-         |  FROM v, q
-         |), ranked AS (
-         |  SELECT query_id, cand_id, sim,
-         |    CAST(row_number() OVER (PARTITION BY query_id
-         |      ORDER BY sim DESC, cand_id) AS BIGINT) AS rn
-         |  FROM scored
-         |)
-         |SELECT query_id, cand_id, sim, rn FROM ranked
-         |WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin),
-    "sim_neardup" ->
-      ("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-         |pairs AS (
-         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |    round(list_dot_product(a.e, b.e) /
-         |      (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4) AS sim
-         |  FROM v a JOIN v b ON a.vec_id < b.vec_id
-         |)
-         |SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.4 ORDER BY id_a, id_b""".stripMargin),
-    "text_tokens" ->
-      ("""SELECT doc_id,
-         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-         |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
-         |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe
-         |FROM documents ORDER BY doc_id""".stripMargin),
-    "text_quality" ->
-      s"WITH $QualityCtes SELECT * FROM q ORDER BY doc_id",
-    "text_langstats" ->
-      ("""SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars,
-         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
-         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
-    "text_langid" ->
-      ("""WITH s AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
-         |h AS (SELECT doc_id,
-         |  len([x for x in w if x IN ('the','and','of','to','is','in')]) AS en,
-         |  len([x for x in w if x IN ('el','la','de','que','y','los')]) AS es,
-         |  len([x for x in w if x IN ('der','die','und','das','nicht','ist')]) AS de,
-         |  len([x for x in w if x IN ('le','la','les','et','des','une')]) AS fr,
-         |  len([x for x in w if x IN ('的','是','了','在','我','有')]) AS zh
-         |  FROM s),
-         |b AS (SELECT doc_id, en, es, de, fr, zh, greatest(en, es, de, fr, zh) AS best FROM h)
-         |SELECT doc_id,
-         |  CASE WHEN best = 0 THEN 'und'
-         |       WHEN en = best THEN 'en' WHEN es = best THEN 'es'
-         |       WHEN de = best THEN 'de' WHEN fr = best THEN 'fr'
-         |       ELSE 'zh' END AS pred_lang,
-         |  CAST(best AS BIGINT) AS score
-         |FROM b ORDER BY doc_id""".stripMargin),
-    "text_fingerprint" ->
-      // BIGINT lambda input: DuckDB's list_reduce accumulates in the element
-      // type, and INT32 overflows at (acc * 31) — cast before folding.
-      ("""SELECT doc_id,
-         |  CAST(list_reduce([CAST(ascii(c) AS BIGINT) for c in string_split(text, '')],
-         |       (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT) AS fp
-         |FROM documents ORDER BY doc_id""".stripMargin),
-    // same floor(x*1e10 + 0.5) long quantization + exact integer sum as
-    // the engine — plain IEEE double ops, so both engines quantize every
-    // element to the identical long (a double→decimal cast does NOT agree
-    // across engines on boundary values; see Similarity.centroidComponents)
-    // same fixed op order (x / scale * 127 + 0.5) — IEEE-exact both sides
-    // the planted shifted keys orphan exactly; the natural relationships
-    // audit to zero — both counts compared, not assumed
-    "ops_fkcheck" ->
-      ("""WITH child AS (
-         |  SELECT l_orderkey FROM lineitem
-         |  UNION ALL
-         |  SELECT l_orderkey + 900000000 FROM lineitem
-         |  WHERE l_orderkey % 97 = 0
-         |)
-         |SELECT 'lineitem->orders' AS rel,
-         |  (SELECT count(*) FROM child c WHERE NOT EXISTS
-         |    (SELECT 1 FROM orders o WHERE o.o_orderkey = c.l_orderkey))
-         |  AS n_orphans
-         |UNION ALL
-         |SELECT 'orders->customer',
-         |  (SELECT count(*) FROM orders o WHERE NOT EXISTS
-         |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
-         |ORDER BY rel""".stripMargin),
-    // same integer per-mille share; ties at the k boundary break by key
-    "profile_skew" ->
-      ("""WITH c AS (
-         |  SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY 1
-         |), t AS (SELECT count(*) AS total FROM lineitem)
-         |SELECT l_partkey, cnt, (cnt * 1000) // total AS permille
-         |FROM c, t ORDER BY cnt DESC, l_partkey LIMIT 20""".stripMargin),
-    // same subspace slices, same 1e-10 quantized-mean codebook, same
-    // expanded-form distance with fixed op order, rounded before argmin
-    "emb_pq" ->
-      ("""WITH v AS (
-         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
-         |  FROM embeddings
-         |), s AS (
-         |  SELECT vec_id, label, sub, e[sub*16+1 : sub*16+16] AS sv
-         |  FROM v, (SELECT unnest(range(0, 4)) AS sub)
-         |), comp AS (
-         |  SELECT sub, label, generate_subscripts(sv, 1) AS pos,
-         |    unnest(sv) AS x
-         |  FROM s
-         |), cent AS (
-         |  SELECT sub, label, pos,
-         |    CAST(sum(CAST(floor(x * 1e10 + 0.5) AS BIGINT)) AS DOUBLE)
-         |      / count(*) / 1e10 AS x
-         |  FROM comp GROUP BY 1, 2, 3
-         |), cb AS (
-         |  SELECT sub, label AS lbl, list(x ORDER BY pos) AS cent
-         |  FROM cent GROUP BY 1, 2
-         |), scored AS (
-         |  SELECT s.vec_id, s.sub, cb.lbl,
-         |    round(list_dot_product(sv, sv) - 2.0 * list_dot_product(sv, cent)
-         |      + list_dot_product(cent, cent), 6) AS d2
-         |  FROM s JOIN cb ON s.sub = cb.sub
-         |), best AS (
-         |  SELECT vec_id, sub, lbl, d2,
-         |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, lbl)
-         |      AS rn
-         |  FROM scored
-         |)
-         |SELECT vec_id, CAST(sub AS BIGINT) AS sub, lbl AS code, d2
-         |FROM best WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin),
-    // the emb_pq pipeline through codes, then the ADC score: per-sub
-    // lookup scalars, fixed sub-order folds, one division, top-k
-    "sim_pq_adc" ->
-      ("""WITH v AS (
-         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
-         |  FROM embeddings
-         |), s AS (
-         |  SELECT vec_id, label, sub, e[sub*16+1 : sub*16+16] AS sv
-         |  FROM v, (SELECT unnest(range(0, 4)) AS sub)
-         |), comp AS (
-         |  SELECT sub, label, generate_subscripts(sv, 1) AS pos,
-         |    unnest(sv) AS x
-         |  FROM s
-         |), cent AS (
-         |  SELECT sub, label, pos,
-         |    CAST(sum(CAST(floor(x * 1e10 + 0.5) AS BIGINT)) AS DOUBLE)
-         |      / count(*) / 1e10 AS x
-         |  FROM comp GROUP BY 1, 2, 3
-         |), cb AS (
-         |  SELECT sub, label AS lbl, list(x ORDER BY pos) AS cent
-         |  FROM cent GROUP BY 1, 2
-         |), scored AS (
-         |  SELECT s.vec_id, s.sub, cb.lbl,
-         |    round(list_dot_product(sv, sv) - 2.0 * list_dot_product(sv, cent)
-         |      + list_dot_product(cent, cent), 6) AS d2
-         |  FROM s JOIN cb ON s.sub = cb.sub
-         |), best AS (
-         |  SELECT vec_id, sub, lbl,
-         |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, lbl)
-         |      AS rn
-         |  FROM scored
-         |), q AS (
-         |  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
-         |  WHERE vec_id = 0
-         |), lut AS (
-         |  SELECT cb.sub, cb.lbl,
-         |    list_dot_product(cent, qe[cb.sub*16+1 : cb.sub*16+16]) AS qd,
-         |    list_dot_product(cent, cent) AS cn
-         |  FROM cb, q
-         |), parts AS (
-         |  SELECT b.vec_id, b.sub, lut.qd, lut.cn
-         |  FROM (SELECT vec_id, sub, lbl FROM best WHERE rn = 1) b
-         |  JOIN lut ON b.sub = lut.sub AND b.lbl = lut.lbl
-         |), agg AS (
-         |  SELECT vec_id,
-         |    list_reduce(list(qd ORDER BY sub), (a, x) -> a + x) AS dotsum,
-         |    list_reduce(list(cn ORDER BY sub), (a, x) -> a + x) AS norm2
-         |  FROM parts GROUP BY vec_id
-         |)
-         |SELECT vec_id,
-         |  round(dotsum / (sqrt(norm2) * sqrt(list_dot_product(qe, qe))), 4)
-         |    AS sim_pq
-         |FROM agg, q ORDER BY sim_pq DESC, vec_id LIMIT 10""".stripMargin),
-    // the IVF-PQ composition over the LEARNED coarse quantizer: the
-    // k-means training rounds are unrolled (km_* CTEs), their final
-    // assignment plays the label role for both the probe selection
-    // (portable quantized-mean coarse centroids, top-2 by rounded
-    // cosine) and the PQ codebook; the final 10 ADC winners are
-    // re-scored with the exact cosine and reordered by it
-    "sim_ivfpq" ->
-      (s"""WITH v AS (
-         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-         |  FROM embeddings
-         |), q AS (
-         |  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
-         |  WHERE vec_id = 0
-         |), ${kmeansCte(k = 4, iters = 3, dims = 64)}, vl AS (
-         |  SELECT v.vec_id, f.cell AS label, v.e
-         |  FROM v JOIN km_fin f USING (vec_id)
-         |), cpos AS (
-         |  SELECT label, generate_subscripts(e, 1) AS pos, unnest(e) AS x
-         |  FROM vl
-         |), ccent AS (
-         |  SELECT label, pos,
-         |    CAST(sum(CAST(floor(x * 1e10 + 0.5) AS BIGINT)) AS DOUBLE)
-         |      / count(*) / 1e10 AS x
-         |  FROM cpos GROUP BY label, pos
-         |), carr AS (
-         |  SELECT label, list(x ORDER BY pos) AS c FROM ccent GROUP BY label
-         |), probes AS (
-         |  SELECT label,
-         |    round(list_dot_product(c, qe) /
-         |      (sqrt(list_dot_product(c, c)) *
-         |       sqrt(list_dot_product(qe, qe))), 4) AS cs
-         |  FROM carr, q ORDER BY cs DESC, label LIMIT 2
-         |), s AS (
-         |  SELECT vec_id, label, sub, e[sub*16+1 : sub*16+16] AS sv
-         |  FROM vl, (SELECT unnest(range(0, 4)) AS sub)
-         |), comp AS (
-         |  SELECT sub, label, generate_subscripts(sv, 1) AS pos,
-         |    unnest(sv) AS x
-         |  FROM s
-         |), cent AS (
-         |  SELECT sub, label, pos,
-         |    CAST(sum(CAST(floor(x * 1e10 + 0.5) AS BIGINT)) AS DOUBLE)
-         |      / count(*) / 1e10 AS x
-         |  FROM comp GROUP BY 1, 2, 3
-         |), cb AS (
-         |  SELECT sub, label AS lbl, list(x ORDER BY pos) AS cent
-         |  FROM cent GROUP BY 1, 2
-         |), scored AS (
-         |  SELECT s.vec_id, s.sub, cb.lbl,
-         |    round(list_dot_product(sv, sv) - 2.0 * list_dot_product(sv, cent)
-         |      + list_dot_product(cent, cent), 6) AS d2
-         |  FROM s JOIN cb ON s.sub = cb.sub
-         |), best AS (
-         |  SELECT vec_id, sub, lbl,
-         |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, lbl)
-         |      AS rn
-         |  FROM scored
-         |), lut AS (
-         |  SELECT cb.sub, cb.lbl,
-         |    list_dot_product(cent, qe[cb.sub*16+1 : cb.sub*16+16]) AS qd,
-         |    list_dot_product(cent, cent) AS cn
-         |  FROM cb, q
-         |), pv AS (
-         |  SELECT vec_id FROM vl JOIN probes USING (label)
-         |), parts AS (
-         |  SELECT b.vec_id, b.sub, lut.qd, lut.cn
-         |  FROM (SELECT vec_id, sub, lbl FROM best WHERE rn = 1) b
-         |  JOIN pv ON b.vec_id = pv.vec_id
-         |  JOIN lut ON b.sub = lut.sub AND b.lbl = lut.lbl
-         |), agg AS (
-         |  SELECT vec_id,
-         |    list_reduce(list(qd ORDER BY sub), (a, x) -> a + x) AS dotsum,
-         |    list_reduce(list(cn ORDER BY sub), (a, x) -> a + x) AS norm2
-         |  FROM parts GROUP BY vec_id
-         |), adc AS (
-         |  SELECT vec_id,
-         |    round(dotsum / (sqrt(norm2) * sqrt(list_dot_product(qe, qe))), 4)
-         |      AS sim_pq
-         |  FROM agg, q ORDER BY sim_pq DESC, vec_id LIMIT 10
-         |)
-         |SELECT adc.vec_id, adc.sim_pq,
-         |  round(list_dot_product(v.e, qe) /
-         |    (sqrt(list_dot_product(v.e, v.e)) *
-         |     sqrt(list_dot_product(qe, qe))), 4) AS sim
-         |FROM adc JOIN v ON adc.vec_id = v.vec_id, q
-         |ORDER BY sim DESC, adc.vec_id""".stripMargin),
-    // the same double-widened dot for the norm, one division per element,
-    // then the portable floor-quantize into 1e-4 long units (plain IEEE
-    // ops — round() ties and -0.0 diverge across engines, integers don't);
-    // zero vectors emit 0 like the engine
-    "emb_normalize" ->
-      ("""WITH v AS (
-         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-         |), n AS (
-         |  SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v
-         |)
-         |SELECT vec_id,
-         |  CAST(generate_subscripts(e, 1) - 1 AS BIGINT) AS pos,
-         |  CASE WHEN nrm = 0 THEN 0
-         |       ELSE CAST(floor(unnest(e) / nrm * 1e4 + 0.5) AS BIGINT)
-         |  END AS u
-         |FROM n ORDER BY vec_id, pos""".stripMargin),
-    // the same planted corpus (×2 / negated copies via exact float ops),
-    // the same lower-id drop rule on cluster-local rounded cosine
-    "dedup_semantic" ->
-      ("""WITH base AS (
-         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
-         |  FROM embeddings
-         |), corpus AS (
-         |  SELECT vec_id, label, e FROM base
-         |  UNION ALL
-         |  SELECT vec_id + 100000, label, list_transform(e, x -> x * 2)
-         |  FROM base WHERE vec_id % 9 = 0
-         |  UNION ALL
-         |  SELECT vec_id + 200000, label, list_transform(e, x -> -x)
-         |  FROM base WHERE vec_id % 11 = 0
-         |), n AS (
-         |  SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS nrm
-         |  FROM corpus
-         |), dropped AS (
-         |  SELECT DISTINCT b.vec_id AS d
-         |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-         |  WHERE (CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0
-         |         ELSE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4)
-         |         END) >= 0.99
-         |)
-         |SELECT vec_id, label FROM corpus
-         |WHERE vec_id NOT IN (SELECT d FROM dropped)
-         |ORDER BY vec_id""".stripMargin),
-    // the same (i, j) multiply-mod-prime sign and the same in-order fold
-    // (list_reduce seeds with the first element, which equals Spark's
-    // 0.0-seeded fold exactly since 0.0 + x == x in IEEE)
-    "emb_project" ->
-      ("""WITH v AS (
-         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-         |)
-         |SELECT vec_id, CAST(j AS BIGINT) AS j,
-         |  CAST(floor(yraw / sqrt(16.0) * 1e4 + 0.5) AS BIGINT) AS y
-         |FROM (
-         |  SELECT vec_id, j,
-         |    list_reduce(
-         |      [(1.0 - 2.0 * (((((((i-1) * 73856093 + j * 19349663
-         |             + 83492791) % 65521) * 2654435761) % 2147483647) % 2))
-         |        ) * e[i]
-         |       for i in range(1, len(e) + 1)],
-         |      (a, x) -> a + x) AS yraw
-         |  FROM v, (SELECT unnest(range(0, 16)) AS j)
-         |)
-         |ORDER BY vec_id, j""".stripMargin),
-    "emb_quantize" ->
-      ("""WITH v AS (
-         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-         |), m AS (
-         |  SELECT vec_id, e,
-         |    list_max(list_transform(e, x -> abs(x))) AS scale
-         |  FROM v
-         |)
-         |SELECT vec_id,
-         |  CAST(generate_subscripts(e, 1) - 1 AS BIGINT) AS pos,
-         |  CASE WHEN scale = 0 THEN 0
-         |       ELSE CAST(floor(unnest(e) / scale * 127 + 0.5) AS BIGINT)
-         |  END AS q
-         |FROM m ORDER BY vec_id, pos""".stripMargin),
-    "emb_centroids" ->
-      ("""WITH comp AS (
-         |  SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
-         |    unnest(embedding) AS v
-         |  FROM embeddings
-         |)
-         |SELECT label, CAST(pos AS BIGINT) AS pos,
-         |  CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1e10 + 0.5) AS BIGINT))
-         |         AS DOUBLE)
-         |    / count(*) / 1e10 AS mean_v
-         |FROM comp GROUP BY label, pos ORDER BY label, pos""".stripMargin),
-    // same tokenization (single-space split) and the same
-    // preceding-total/budget float division + floor in both engines;
-    // integer token counts are exact in double far past any corpus size
-    "pack_blocks" ->
-      ("""WITH t AS (
-         |  SELECT lang, doc_id,
-         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-         |  FROM documents
-         |)
-         |SELECT lang, doc_id, n_tokens,
-         |  CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
-         |              - n_tokens) / 512.0) AS BIGINT) AS block
-         |FROM t ORDER BY lang, doc_id""".stripMargin),
-    "text_lenhist" ->
-      ("""SELECT CAST(floor(n_chars / 100) AS BIGINT) AS bucket,
-         |  count(*) AS n_docs, min(n_chars) AS min_len, max(n_chars) AS max_len
-         |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin),
-    // equi-depth cut points from the aggregated length distribution,
-    // exact integer arithmetic: bucket = (cum_before * 10) div total
-    "text_ntile" ->
-      ("""WITH d AS (
-         |  SELECT n_chars, count(*) AS cnt FROM documents GROUP BY n_chars
-         |), c AS (
-         |  SELECT n_chars, cnt,
-         |    sum(cnt) OVER (ORDER BY n_chars
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt AS cum0,
-         |    (SELECT sum(cnt) FROM d) AS total
-         |  FROM d
-         |)
-         |SELECT CAST((cum0 * 10) // total AS BIGINT) AS bucket,
-         |  CAST(sum(cnt) AS BIGINT) AS n_docs,
-         |  min(n_chars) AS min_len, max(n_chars) AS max_len
-         |FROM c GROUP BY 1 ORDER BY bucket""".stripMargin),
-    // the SAME QualityCtes metric arithmetic with the gate's thresholds on
-    // the rounded values
-    "text_cleanpass" ->
-      (s"""WITH $QualityCtes
-         |SELECT * FROM q
-         |WHERE n_chars >= 100 AND stopword_ratio >= 0.02 AND avg_token_len <= 5.0
-         |ORDER BY doc_id""".stripMargin),
-    // the composed funnel: same QualityCtes gate, min-id-per-hash dedup,
-    // NOT-EXISTS decontamination — stage counts chain
-    "pipeline_funnel" ->
-      (s"""WITH $QualityCtes, s1 AS (
-         |  SELECT doc_id FROM q
-         |  WHERE n_chars >= 100 AND stopword_ratio >= 0.02
-         |    AND avg_token_len <= 5.0
-         |), d1 AS (
-         |  SELECT d.* FROM documents d JOIN s1 USING (doc_id)
-         |), d2 AS (
-         |  SELECT * FROM (
-         |    SELECT d1.*, row_number() OVER (
-         |      PARTITION BY md5(lower(text)) ORDER BY doc_id) AS rn
-         |    FROM d1) WHERE rn = 1
-         |), d3 AS (
-         |  SELECT * FROM d2 WHERE source <> 'src19' AND NOT EXISTS (
-         |    SELECT 1 FROM documents e
-         |    WHERE e.source = 'src19' AND lower(e.text) = lower(d2.text))
-         |)
-         |SELECT * FROM (
-         |  SELECT CAST(0 AS BIGINT) AS stage, 'raw' AS stage_name,
-         |    count(*) AS n_docs FROM documents
-         |  UNION ALL SELECT 1, 'quality_gate', count(*) FROM d1
-         |  UNION ALL SELECT 2, 'exact_dedup', count(*) FROM d2
-         |  UNION ALL SELECT 3, 'decontaminated', count(*) FROM d3
-         |) ORDER BY stage""".stripMargin),
-    // identical middle-rows median formulation; tie order among equal
-    // values cannot change which VALUES are selected
-    "text_lenmedian" ->
-      ("""WITH r AS (
-         |  SELECT lang, n_chars,
-         |    row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
-         |    count(*) OVER (PARTITION BY lang) AS cnt
-         |  FROM documents
-         |)
-         |SELECT lang, max(cnt) AS n_docs,
-         |  CAST(sum(n_chars) AS DOUBLE) / count(*) AS median_chars
-         |FROM r WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
-         |GROUP BY lang ORDER BY lang""".stripMargin),
-    // the same Rabin-Karp fold as text_fingerprint decides membership, so
-    // the oracle reproduces the exact subset, not a statistical twin
-    // the identical Rabin–Karp fold mod 100 with the 80/90 cut points
-    "sample_split" ->
-      ("""WITH fp AS (
-         |  SELECT doc_id,
-         |    CAST(list_reduce([CAST(ascii(c) AS BIGINT) for c in string_split(text, '')],
-         |         (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT) % 100 AS b
-         |  FROM documents
-         |)
-         |SELECT doc_id,
-         |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
-         |       ELSE 'test' END AS split
-         |FROM fp ORDER BY doc_id""".stripMargin),
-    "sample_hash" ->
-      ("""WITH fp AS (
-         |  SELECT doc_id, lang,
-         |    CAST(list_reduce([CAST(ascii(c) AS BIGINT) for c in string_split(text, '')],
-         |         (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT) % 10 AS b
-         |  FROM documents
-         |)
-         |SELECT doc_id, lang FROM fp WHERE b < 3
-         |ORDER BY doc_id""".stripMargin),
-    "sample_stratified" ->
-      ("""WITH fp AS (
-         |  SELECT doc_id, lang,
-         |    CAST(list_reduce([CAST(ascii(c) AS BIGINT) for c in string_split(text, '')],
-         |         (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT) % 10 AS b
-         |  FROM documents
-         |)
-         |SELECT doc_id, lang FROM fp
-         |WHERE b < CASE WHEN lang = 'en' THEN 2 ELSE 5 END
-         |ORDER BY doc_id""".stripMargin),
-    // replay the temperature recipe: per-source counts, the ONE
-    // IEEE-correctly-rounded sqrt (quantized to 1e-3 longs), then pure
-    // integer rate/epoch/remainder arithmetic and the same content-hash
-    // membership fold as sample_hash (1e6 buckets)
-    "sample_temperature" ->
-      ("""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
-         |q AS (SELECT source, n,
-         |        CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000) AS BIGINT) AS qs
-         |      FROM c),
-         |t AS (SELECT sum(n) AS nn, sum(qs) AS w FROM q),
-         |r AS (SELECT source, n, qs,
-         |        CAST((((SELECT nn FROM t) * 1 // 2) * qs * 1000000)
-         |          // ((SELECT w FROM t) * n) AS BIGINT) AS rate
-         |      FROM q),
-         |fp AS (SELECT doc_id, source,
-         |         CAST(list_reduce([CAST(ascii(ch) AS BIGINT) for ch in string_split(text, '')],
-         |           (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT)
-         |           % 1000000 AS b
-         |       FROM documents)
-         |SELECT fp.doc_id AS doc_id, fp.source AS source,
-         |  CAST(r.rate // 1000000
-         |    + CASE WHEN fp.b < r.rate % 1000000 THEN 1 ELSE 0 END
-         |    AS BIGINT) AS copies
-         |FROM fp JOIN r ON fp.source = r.source
-         |WHERE r.rate // 1000000
-         |    + CASE WHEN fp.b < r.rate % 1000000 THEN 1 ELSE 0 END > 0
-         |ORDER BY doc_id""".stripMargin),
-    // the full (un-modded) fingerprint fold orders the per-source pick,
-    // so the oracle reproduces the exact quota subset and rank
-    "sample_quota" ->
-      ("""WITH fp AS (
-         |  SELECT source, doc_id,
-         |    CAST(list_reduce([CAST(ascii(c) AS BIGINT) for c in string_split(text, '')],
-         |         (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT) AS fp
-         |  FROM documents
-         |)
-         |SELECT source, doc_id,
-         |  CAST(row_number() OVER (PARTITION BY source ORDER BY fp, doc_id)
-         |    AS BIGINT) AS rnk
-         |FROM fp
-         |QUALIFY rnk <= 8
-         |ORDER BY source, rnk""".stripMargin),
-    // md5(lower(text)) equality == lower(text) equality (no collisions at
-    // any realistic corpus size), so NOT EXISTS over the text is exact
-    "dedup_incremental" ->
-      ("""SELECT d.doc_id FROM documents d
-         |WHERE CAST(substr(d.source, 4) AS INT) >= 10 AND NOT EXISTS (
-         |  SELECT 1 FROM documents e
-         |  WHERE CAST(substr(e.source, 4) AS INT) < 10
-         |    AND lower(e.text) = lower(d.text))
-         |ORDER BY d.doc_id""".stripMargin),
-    "dedup_decontaminate" ->
-      ("""SELECT d.doc_id FROM documents d
-         |WHERE d.source <> 'src19' AND NOT EXISTS (
-         |  SELECT 1 FROM documents e
-         |  WHERE e.source = 'src19' AND lower(e.text) = lower(d.text))
-         |ORDER BY d.doc_id""".stripMargin),
-    // the substring-dedup derivation shared by both substring queries:
-    // SpanCte plants the boilerplate, then the same sequential 5-gram
-    // poly hash as the engine (GramPolyOps — list_reduce's first-element
-    // seed equals the 0-seeded fold), cross-doc-duplicated grams via
-    // HAVING count(DISTINCT doc_id) >= 2, and gaps-and-islands coverage
-    // merge (windows of equal width: a later start within `width` of the
-    // previous hit keeps the island open)
-    "dedup_substring" ->
-      (s"""WITH $SpanCte, t AS (
-         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
-         |  FROM spand
-         |), g AS (
-         |  SELECT doc_id, least(5, len(ws)) AS width,
-         |    list_transform(range(1, greatest(len(ws) - 5, 0) + 2),
-         |      i -> array_to_string(ws[i:i+4], ' ')) AS grams
-         |  FROM t WHERE len(ws) > 0
-         |), h AS (
-         |  SELECT doc_id, width, list_transform(grams, t2 ->
-         |    list_reduce([CAST(ascii(c) AS BIGINT)
-         |                 for c in string_split(t2, '')],
-         |      (a, x) -> (a * 31 + x) % 2147483647) * 2147483648
-         |    + list_reduce([CAST(ascii(c) AS BIGINT)
-         |                   for c in string_split(t2, '')],
-         |      (a, x) -> (a * 131 + x) % 2147483629)) AS hs
-         |  FROM g
-         |), ph AS (
-         |  SELECT doc_id, width, generate_subscripts(hs, 1) - 1 AS pos,
-         |    unnest(hs) AS hv
-         |  FROM h
-         |), dup AS (
-         |  SELECT hv FROM ph GROUP BY hv HAVING count(DISTINCT doc_id) >= 2
-         |), hit AS (
-         |  SELECT doc_id, width, pos FROM ph JOIN dup USING (hv)
-         |), isl AS (
-         |  SELECT doc_id, width, pos,
-         |    CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
-         |                 + width
-         |      THEN 1 ELSE 0 END AS brk
-         |  FROM hit
-         |), cum AS (
-         |  SELECT doc_id, width, pos,
-         |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-         |  FROM isl
-         |), sp AS (
-         |  SELECT doc_id, min(pos) AS start, max(pos) + max(width) - 1 AS endp
-         |  FROM cum GROUP BY doc_id, grp
-         |)
-         |SELECT sp.doc_id, CAST(start AS BIGINT) AS start,
-         |  CAST(endp - start + 1 AS BIGINT) AS len,
-         |  array_to_string(ws[start+1 : endp+1], ' ') AS span_text
-         |FROM sp JOIN t USING (doc_id)
-         |ORDER BY doc_id, start""".stripMargin),
-    // same span derivation, then per-token covered flags via a range
-    // join against the spans; survivors string_agg back in order
-    "dedup_substring_clean" ->
-      (s"""WITH $SpanCte, t AS (
-         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
-         |  FROM spand
-         |), g AS (
-         |  SELECT doc_id, least(5, len(ws)) AS width,
-         |    list_transform(range(1, greatest(len(ws) - 5, 0) + 2),
-         |      i -> array_to_string(ws[i:i+4], ' ')) AS grams
-         |  FROM t WHERE len(ws) > 0
-         |), h AS (
-         |  SELECT doc_id, width, list_transform(grams, t2 ->
-         |    list_reduce([CAST(ascii(c) AS BIGINT)
-         |                 for c in string_split(t2, '')],
-         |      (a, x) -> (a * 31 + x) % 2147483647) * 2147483648
-         |    + list_reduce([CAST(ascii(c) AS BIGINT)
-         |                   for c in string_split(t2, '')],
-         |      (a, x) -> (a * 131 + x) % 2147483629)) AS hs
-         |  FROM g
-         |), ph AS (
-         |  SELECT doc_id, width, generate_subscripts(hs, 1) - 1 AS pos,
-         |    unnest(hs) AS hv
-         |  FROM h
-         |), dup AS (
-         |  SELECT hv FROM ph GROUP BY hv HAVING count(DISTINCT doc_id) >= 2
-         |), hit AS (
-         |  SELECT doc_id, width, pos FROM ph JOIN dup USING (hv)
-         |), isl AS (
-         |  SELECT doc_id, width, pos,
-         |    CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
-         |                 + width
-         |      THEN 1 ELSE 0 END AS brk
-         |  FROM hit
-         |), cum AS (
-         |  SELECT doc_id, width, pos,
-         |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-         |  FROM isl
-         |), sp AS (
-         |  SELECT doc_id, min(pos) AS start, max(pos) + max(width) - 1 AS endp
-         |  FROM cum GROUP BY doc_id, grp
-         |), tokpos AS (
-         |  SELECT doc_id, generate_subscripts(ws, 1) - 1 AS ti, unnest(ws) AS tok
-         |  FROM t
-         |), marked AS (
-         |  SELECT tp.doc_id, tp.ti, tp.tok,
-         |    max(CASE WHEN sp.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS cov
-         |  FROM tokpos tp LEFT JOIN sp
-         |    ON sp.doc_id = tp.doc_id AND tp.ti >= sp.start AND tp.ti <= sp.endp
-         |  GROUP BY tp.doc_id, tp.ti, tp.tok
-         |)
-         |SELECT doc_id,
-         |  coalesce(string_agg(CASE WHEN cov = 0 THEN tok END, ' '
-         |                      ORDER BY ti), '') AS clean_text,
-         |  CAST(sum(cov) AS BIGINT) AS n_removed
-         |FROM marked GROUP BY doc_id
-         |ORDER BY doc_id""".stripMargin),
-    // distinct (source, md5) pairs, fp equi-join, strict ordering keeps
-    // each unordered source pair once
-    "dedup_crossrate" ->
-      ("""WITH corpus AS (
-         |  SELECT source, text FROM documents
-         |  UNION ALL
-         |  SELECT 'mirror', text FROM documents WHERE doc_id % 7 = 0
-         |), fp AS (
-         |  SELECT DISTINCT source AS src, md5(lower(text)) AS fp
-         |  FROM corpus
-         |)
-         |SELECT a.src AS src_a, b.src AS src_b, count(*) AS n_shared
-         |FROM fp a JOIN fp b ON a.fp = b.fp AND a.src < b.src
-         |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin),
-    // same distinct 3-gram shingle derivation as JaccardCtes, split by
-    // the src19 eval cut; hit fraction rounded like the engine
-    "dedup_overlap" ->
-      ("""WITH toks AS (
-         |  SELECT doc_id, source, string_split(text, ' ') AS s FROM documents
-         |), g AS (
-         |  SELECT doc_id, source,
-         |    CASE WHEN len(s) < 3 THEN [array_to_string(s, ' ')]
-         |         ELSE list_distinct([array_to_string(s[i:i+2], ' ')
-         |                             for i in range(1, len(s) - 1)]) END AS grams
-         |  FROM toks
-         |), ev AS (
-         |  SELECT doc_id, unnest(grams) AS gram FROM g WHERE source = 'src19'
-         |), tr AS (
-         |  SELECT DISTINCT gram FROM (
-         |    SELECT unnest(grams) AS gram FROM g WHERE source <> 'src19')
-         |), j AS (
-         |  SELECT ev.doc_id, count(*) AS n_grams,
-         |    sum(CASE WHEN tr.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
-         |  FROM ev LEFT JOIN tr ON ev.gram = tr.gram
-         |  GROUP BY ev.doc_id
-         |)
-         |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
-         |  CAST(n_hits AS BIGINT) AS n_hits,
-         |  round(CAST(n_hits AS DOUBLE) / n_grams, 4) AS overlap
-         |FROM j ORDER BY doc_id""".stripMargin),
-    "text_topterms" ->
-      // same tokenization as the engine (single-space split, per-doc
-      // distinct) and the same deterministic k-boundary tie-break on term
-      ("""SELECT term, count(*) AS doc_freq FROM (
-         |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
-         |  FROM documents
-         |) GROUP BY term ORDER BY doc_freq DESC, term LIMIT 50""".stripMargin),
-    "events_json" ->
-      ("SELECT event_id, event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k " +
-        "FROM events ORDER BY event_id"),
-    // the cleared-denominator 3σ test replayed in int128: (n·v − sv)² >
-    // 9·(n·svv − sv²) over cent-quantized values — no float anywhere
-    "events_outliers" ->
-      ("""WITH q AS (
-         |  SELECT event_id, event_type,
-         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c
-         |  FROM events
-         |), s AS (
-         |  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
-         |    CAST(sum(value_c) AS HUGEINT) AS sv,
-         |    CAST(sum(value_c * value_c) AS HUGEINT) AS svv
-         |  FROM q GROUP BY event_type
-         |)
-         |SELECT q.event_id, q.event_type, q.value_c
-         |FROM q JOIN s USING (event_type)
-         |WHERE (s.n * q.value_c - s.sv) * (s.n * q.value_c - s.sv)
-         |  > 9 * (s.n * s.svv - s.sv * s.sv)
-         |ORDER BY event_id""".stripMargin),
-    // the same doubled-median rank selection: med2 = two middle ranks
-    // (x2 when the group is odd), mad4 likewise over |2x - med2|, flag
-    // 2*ad2 > k*mad4 — every value BIGINT, no division anywhere
-    "events_mad" ->
-      ("""WITH q AS (
-         |  SELECT event_id, event_type,
-         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c
-         |  FROM events
-         |), r AS (
-         |  SELECT *,
-         |    row_number() OVER (PARTITION BY event_type
-         |      ORDER BY value_c) AS rn,
-         |    count(*) OVER (PARTITION BY event_type) AS n
-         |  FROM q
-         |), med AS (
-         |  SELECT event_type, CAST(sum(value_c) *
-         |    (CASE WHEN max(n) % 2 = 1 THEN 2 ELSE 1 END) AS BIGINT) AS med2
-         |  FROM r WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
-         |  GROUP BY event_type
-         |), d AS (
-         |  SELECT q.event_id, q.event_type, q.value_c,
-         |    abs(q.value_c * 2 - m.med2) AS ad2
-         |  FROM q JOIN med m USING (event_type)
-         |), r2 AS (
-         |  SELECT *,
-         |    row_number() OVER (PARTITION BY event_type ORDER BY ad2) AS rn,
-         |    count(*) OVER (PARTITION BY event_type) AS n
-         |  FROM d
-         |), mad AS (
-         |  SELECT event_type, CAST(sum(ad2) *
-         |    (CASE WHEN max(n) % 2 = 1 THEN 2 ELSE 1 END) AS BIGINT) AS mad4
-         |  FROM r2 WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
-         |  GROUP BY event_type
-         |)
-         |SELECT d.event_id, d.event_type, d.value_c
-         |FROM d JOIN mad USING (event_type)
-         |WHERE d.ad2 * 2 > 5 * mad.mad4
-         |ORDER BY event_id""".stripMargin),
-    "events_hourly" ->
-      ("""SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
-         |  count(*) AS n,
-         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin),
-    // the streaming pipeline computes the identical aggregate — same oracle
-    "stream_hourly" ->
-      ("""SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
-         |  count(*) AS n,
-         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin),
-    // identical aggregate through the custom DSv2 source: the JSONL
-    // round trip (epoch-micros wire ts) must be value-exact, so the
-    // stream_hourly oracle certifies the source machinery verbatim
-    "stream_dirtail" ->
-      ("""SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
-         |  count(*) AS n,
-         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin),
-    "events_sessions" ->
-      ("""WITH flagged AS (
-         |  SELECT user_id, ts, event_id,
-         |    CASE WHEN lag(ts) OVER w IS NULL
-         |              OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
-         |         THEN 1 ELSE 0 END AS new_sess
-         |  FROM events
-         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-         |), sess AS (
-         |  SELECT user_id, ts,
-         |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
-         |  FROM flagged
-         |)
-         |SELECT user_id, session_id, count(*) AS n_events,
-         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
-         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS s_end
-         |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin),
-    // closed sessions only: non-last sessions (a later event exceeded the
-    // gap) plus last sessions whose lastTs+gap the final watermark
-    // (max ts, zero lateness) STRICTLY passed — Spark fires event-time
-    // timeouts when the watermark advances beyond the set timestamp
-    "stream_sessions" ->
-      ("""WITH flagged AS (
-         |  SELECT user_id, ts, event_id,
-         |    CASE WHEN lag(ts) OVER w IS NULL
-         |              OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
-         |         THEN 1 ELSE 0 END AS new_sess
-         |  FROM events
-         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-         |), sess AS (
-         |  SELECT user_id, ts,
-         |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
-         |  FROM flagged
-         |), agg AS (
-         |  SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
-         |    min(ts) AS s_start, max(ts) AS s_end
-         |  FROM sess GROUP BY user_id, session_id
-         |), mx AS (SELECT max(ts) AS max_ts FROM events)
-         |SELECT user_id, n_events,
-         |  CAST(epoch_ms(CAST(s_start AS TIMESTAMP)) AS BIGINT) AS start_ms,
-         |  CAST(epoch_ms(CAST(s_end AS TIMESTAMP)) AS BIGINT) AS end_ms
-         |FROM agg, mx
-         |WHERE s_end + INTERVAL 30 MINUTE < max_ts
-         |ORDER BY user_id, start_ms""".stripMargin),
-    // the stream-static join computes the identical batch join + aggregate
-    "stream_enrich" ->
-      ("""SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour,
-         |  c_mktsegment, count(*) AS n,
-         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-         |FROM events JOIN customer ON user_id = c_custkey
-         |GROUP BY 1, 2 ORDER BY hour, c_mktsegment""".stripMargin),
-    // streaming dedup emits each (hour, user, type) exactly once — the
-    // batch DISTINCT is its exact oracle (same hour stringification as
-    // events_hourly/stream_hourly)
-    "stream_dedup" ->
-      ("""SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour,
-         |  user_id, event_type
-         |FROM events GROUP BY 1, 2, 3
-         |ORDER BY hour, user_id, event_type""".stripMargin),
-    // the exactly-once sink must land the source multiset bit-for-bit:
-    // a replayed (duplicated) or dropped micro-batch breaks this hash
-    "stream_txsink" ->
-      ("""SELECT event_id, user_id, event_type,
-         |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c
-         |FROM events ORDER BY event_id""".stripMargin),
-    // deterministic as-of reference: latest admissible order date, ties on
-    // (date) broken by largest o_orderkey — the same total order the
-    // engine's (time, side, tie) window sort establishes
-    "join_asof" ->
-      ("""SELECT e.event_id,
-         |  (SELECT o.o_orderkey FROM orders o
-         |   WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
-         |   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS asof_orderkey,
-         |  (SELECT o.o_totalprice FROM orders o
-         |   WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
-         |   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS asof_price
-         |FROM events e ORDER BY e.event_id""".stripMargin),
-    // plain join: the bloom prune is plan-internal and changes no rows —
-    // false positives are joined away, false negatives are impossible
-    "join_bloom" ->
-      ("""SELECT p_brand, count(*) AS n_items,
-         |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1e4 + 0.5)
-         |    AS BIGINT)) AS DOUBLE) / 1e4 AS revenue
-         |FROM lineitem JOIN part ON l_partkey = p_partkey
-         |WHERE p_size = 1
-         |GROUP BY p_brand ORDER BY p_brand""".stripMargin),
-    // same per-row quantization and left-assoc product as the engine
-    "join_multiway" ->
-      ("""SELECT n_name, count(*) AS n_items,
-         |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1e4 + 0.5)
-         |    AS BIGINT)) AS DOUBLE) / 1e4 AS revenue
-         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         |JOIN customer ON o_custkey = c_custkey
-         |JOIN nation ON c_nationkey = n_nationkey
-         |GROUP BY n_name ORDER BY n_name""".stripMargin),
-    // same distinct-daily-activity frame; cells count rows, not distinct
-    "events_retention" ->
-      ("""WITH days AS (
-         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
-         |), coh AS (
-         |  SELECT user_id, min(day) AS coh FROM days GROUP BY user_id
-         |)
-         |SELECT strftime(coh, '%Y-%m-%d') AS cohort_day,
-         |  CAST(datediff('day', coh, day) AS BIGINT) AS day_offset,
-         |  count(*) AS n_users
-         |FROM days d JOIN coh c ON d.user_id = c.user_id
-         |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin),
-    // same deterministic (ts, event_id) lag order as events_sessions
-    "events_transitions" ->
-      ("""WITH seq AS (
-         |  SELECT user_id, event_type,
-         |    lag(event_type) OVER (PARTITION BY user_id
-         |      ORDER BY ts, event_id) AS prev_type
-         |  FROM events
-         |)
-         |SELECT prev_type, event_type AS next_type, count(*) AS n
-         |FROM seq WHERE prev_type IS NOT NULL
-         |GROUP BY prev_type, event_type
-         |ORDER BY prev_type, next_type""".stripMargin),
-    // the same edge derivation, then 3 generated power-method iterations
-    // ([[PrIterCte]]): every value BIGINT, every division integral, the
-    // same 85/100 damping split and dropped dangling mass as the engine
-    "events_pagerank" ->
-      (s"""WITH seq AS (
-         |  SELECT user_id, event_type,
-         |    lag(event_type) OVER (PARTITION BY user_id
-         |      ORDER BY ts, event_id) AS prev_type
-         |  FROM events
-         |), edges AS (
-         |  SELECT prev_type AS src, event_type AS dst,
-         |    CAST(count(*) AS BIGINT) AS w
-         |  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
-         |), nodes AS (
-         |  SELECT src AS node FROM edges UNION SELECT dst FROM edges
-         |), nn AS (SELECT CAST(count(*) AS BIGINT) AS c FROM nodes),
-         |ow AS (
-         |  SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM edges
-         |  GROUP BY src
-         |), ew AS (
-         |  SELECT e.src, e.dst, e.w, o.outw FROM edges e JOIN ow o USING (src)
-         |), r0 AS (
-         |  SELECT node, CAST(1000000000 AS BIGINT) // c AS pr FROM nodes, nn
-         |),
-         |${PrIterCte(1, "r0")},
-         |${PrIterCte(2, "r1")},
-         |${PrIterCte(3, "r2")}
-         |SELECT node, pr FROM r3 ORDER BY node""".stripMargin),
-    // exact integer-microsecond gaps; single-event users excluded on
-    // both sides rather than emitting nulls
-    "events_interarrival" ->
-      ("""WITH g AS (
-         |  SELECT user_id,
-         |    epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
-         |      ORDER BY ts, event_id)) AS gap_us
-         |  FROM events
-         |)
-         |SELECT user_id, count(*) + 1 AS n_events,
-         |  round(avg(gap_us), 4) AS avg_gap_us,
-         |  min(gap_us) AS min_gap_us, max(gap_us) AS max_gap_us
-         |FROM g WHERE gap_us IS NOT NULL
-         |GROUP BY user_id ORDER BY user_id""".stripMargin),
-    // same fixed-order (n-prev)*100.0/prev arithmetic; first hours null
-    "events_growth" ->
-      ("""WITH h AS (
-         |  SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour,
-         |    event_type, count(*) AS n
-         |  FROM events GROUP BY 1, 2
-         |), g AS (
-         |  SELECT hour, event_type, n,
-         |    lag(n) OVER (PARTITION BY event_type ORDER BY hour) AS prev_n
-         |  FROM h
-         |)
-         |SELECT hour, event_type, n, n - prev_n AS delta,
-         |  round((n - prev_n) * 100.0 / prev_n, 4) AS pct
-         |FROM g ORDER BY event_type, hour""".stripMargin),
-    // the drained inner join emits exactly the matched pairs of the plain
-    // batch interval self-join
-    "stream_join" ->
-      ("""SELECT v.user_id,
-         |  strftime(v.vts, '%Y-%m-%d %H:%M:%S') AS view_t,
-         |  strftime(c.cts, '%Y-%m-%d %H:%M:%S') AS click_t
-         |FROM (SELECT user_id, ts AS vts FROM events
-         |      WHERE event_type = 'view') v
-         |JOIN (SELECT user_id, ts AS cts FROM events
-         |      WHERE event_type = 'click') c
-         |  ON v.user_id = c.user_id AND c.cts >= v.vts
-         | AND c.cts <= v.vts + INTERVAL 5 MINUTE
-         |ORDER BY v.user_id, view_t, click_t""".stripMargin),
-    // the streamed moment state finalizes to the identical statistics —
-    // the agg_varstats oracle verbatim
-    "stream_incragg" ->
-      ("""WITH c AS (
-         |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
-         |  FROM events
-         |), m AS (
-         |  SELECT event_type, count(*) AS n, sum(vc) AS sv,
-         |    sum(vc * vc) AS svv
-         |  FROM c GROUP BY event_type
-         |)
-         |SELECT event_type, n,
-         |  round(CAST(sv AS DOUBLE) / n, 4) AS mean_c,
-         |  round(CAST(n * svv - sv * sv AS DOUBLE) /
-         |        CAST(n * n AS DOUBLE), 4) AS var_c
-         |FROM m ORDER BY event_type""".stripMargin),
-    // the complete-mode drain retains every window, so the streaming
-    // finalize answers the identical question — same oracle
-    "stream_growth" ->
-      ("""WITH h AS (
-         |  SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour,
-         |    event_type, count(*) AS n
-         |  FROM events GROUP BY 1, 2
-         |), g AS (
-         |  SELECT hour, event_type, n,
-         |    lag(n) OVER (PARTITION BY event_type ORDER BY hour) AS prev_n
-         |  FROM h
-         |)
-         |SELECT hour, event_type, n, n - prev_n AS delta,
-         |  round((n - prev_n) * 100.0 / prev_n, 4) AS pct
-         |FROM g ORDER BY event_type, hour""".stripMargin),
-    "events_newusers" ->
-      ("""WITH a AS (
-         |  SELECT DISTINCT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
-         |    user_id
-         |  FROM events
-         |), f AS (
-         |  SELECT user_id, min(day) AS first_day FROM a GROUP BY user_id
-         |)
-         |SELECT day, count(*) AS n_active,
-         |  CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_new,
-         |  CAST(count(*) - sum(CASE WHEN day = first_day THEN 1 ELSE 0 END)
-         |    AS BIGINT) AS n_returning
-         |FROM a JOIN f USING (user_id)
-         |GROUP BY day ORDER BY day""".stripMargin),
-    // same contribution-explode rolling distinct and integer per-mille
-    "events_stickiness" ->
-      ("""WITH a AS (
-         |  SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events
-         |), dau AS (
-         |  SELECT d, count(*) AS dau FROM a GROUP BY d
-         |), contrib AS (
-         |  SELECT user_id,
-         |    unnest(generate_series(d, d + INTERVAL 6 DAY,
-         |      INTERVAL 1 DAY)) AS d
-         |  FROM a
-         |), mau AS (
-         |  SELECT d, count(DISTINCT user_id) AS mau FROM contrib GROUP BY d
-         |)
-         |SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau, mau,
-         |  (dau * 1000) // mau AS stickiness_pm
-         |FROM dau JOIN mau USING (d) ORDER BY day""".stripMargin),
-    // first-seen counts over EVERY active day (zero-new days included),
-    // cumsum'd over the per-day frame
-    "events_cumusers" ->
-      ("""WITH a AS (
-         |  SELECT DISTINCT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
-         |    user_id
-         |  FROM events
-         |), f AS (
-         |  SELECT user_id, min(day) AS first_day FROM a GROUP BY user_id
-         |), d AS (
-         |  SELECT a.day,
-         |    CAST(sum(CASE WHEN a.day = f.first_day THEN 1 ELSE 0 END)
-         |      AS BIGINT) AS n_new
-         |  FROM a JOIN f USING (user_id) GROUP BY a.day
-         |)
-         |SELECT day, n_new,
-         |  CAST(sum(n_new) OVER (ORDER BY day
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-         |    AS cum_users
-         |FROM d ORDER BY day""".stripMargin),
-    "join_enrich" ->
-      ("""SELECT c_custkey, c_name, n_name, r_name
-         |FROM customer
-         |JOIN nation ON c_nationkey = n_nationkey
-         |JOIN region ON n_regionkey = r_regionkey
-         |ORDER BY c_custkey""".stripMargin),
-    "join_revenue" ->
-      ("""SELECT c_mktsegment, count(*) AS n_orders,
-         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-         |FROM orders JOIN customer ON o_custkey = c_custkey
-         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
-    // bucketed co-located join must produce byte-identical results too
-    "join_bucketed" ->
-      ("""SELECT c_mktsegment, count(*) AS n_orders,
-         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-         |FROM orders JOIN customer ON o_custkey = c_custkey
-         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
-    // salted join must produce byte-identical results to the plain join
-    "join_salted" ->
-      ("""SELECT c_mktsegment, count(*) AS n_orders,
-         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-         |FROM orders JOIN customer ON o_custkey = c_custkey
-         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
-    "mm_frames" ->
-      // documents.text is pure ASCII on this corpus (proven by mm_features'
-      // byte_sum oracle matching), so substr/ascii arithmetic equals the
-      // engine's byte arithmetic
-      ("""WITH f AS (
-         |  SELECT doc_id, text,
-         |    unnest([i for i in range(0, CAST(ceil(length(text) / 64.0) AS INT), 4)]) AS frame_idx
-         |  FROM documents
-         |)
-         |SELECT doc_id AS id, CAST(frame_idx AS BIGINT) AS frame_idx,
-         |  CAST(length(substr(text, frame_idx * 64 + 1, 64)) AS BIGINT) AS n_bytes,
-         |  CAST(list_sum([CAST(ascii(c) AS BIGINT) for c in string_split(substr(text, frame_idx * 64 + 1, 64), '')]) AS BIGINT) AS byte_sum
-         |FROM f ORDER BY id, frame_idx""".stripMargin),
-    // same grouping-bit convention: DuckDB GROUPING(a,b) == Spark
-    // grouping_id(); same floor(x*1e4+0.5) long quantization as the engine
-    "agg_rollup" ->
-      ("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-         |  CAST(sum(CAST(floor(o_totalprice * 1e4 + 0.5) AS BIGINT)) AS DOUBLE)
-         |    / 1e4 AS total,
-         |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
-         |FROM orders
-         |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
-         |ORDER BY gid, o_orderstatus NULLS FIRST,
-         |  o_orderpriority NULLS FIRST""".stripMargin),
-    // the same three explicit sets; GROUPING() reproduces Spark's gid bits
-    "agg_groupingsets" ->
-      ("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-         |  CAST(sum(CAST(floor(o_totalprice * 1e4 + 0.5) AS BIGINT)) AS DOUBLE)
-         |    / 1e4 AS total,
-         |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
-         |FROM orders
-         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
-         |  (o_orderstatus), (o_orderpriority))
-         |ORDER BY gid, o_orderstatus NULLS FIRST,
-         |  o_orderpriority NULLS FIRST""".stripMargin),
-    "agg_cube" ->
-      ("""SELECT l_returnflag, l_linestatus, count(*) AS n,
-         |  CAST(sum(CAST(floor(l_quantity * 1e4 + 0.5) AS BIGINT)) AS DOUBLE)
-         |    / 1e4 AS total,
-         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
-         |FROM lineitem
-         |GROUP BY CUBE(l_returnflag, l_linestatus)
-         |ORDER BY gid, l_returnflag NULLS FIRST,
-         |  l_linestatus NULLS FIRST""".stripMargin),
-    // count FILTER (not sum CASE): DuckDB sums integers into HUGEINT,
-    // count stays BIGINT like Spark's pivot-count columns
-    "agg_pivot" ->
-      ("""SELECT o_orderpriority,
-         |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
-         |  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
-         |  count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
-         |FROM orders GROUP BY o_orderpriority
-         |ORDER BY o_orderpriority""".stripMargin),
-    "agg_distinct" ->
-      ("""SELECT event_type, count(DISTINCT user_id) AS n_distinct,
-         |  count(*) AS n_rows
-         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
-    // the identical zero-padded total ordering key makes arg_min/arg_max
-    // tie-free, so the per-group winners match Spark's min_by/max_by
-    // same k-bounded rank-then-join ordering; string_agg ORDER BY makes
-    // the joined list deterministic on both engines
-    "agg_stringagg" ->
-      ("""WITH d AS (
-         |  SELECT DISTINCT c_mktsegment, c_name FROM customer
-         |), r AS (
-         |  SELECT c_mktsegment, c_name,
-         |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_name)
-         |      AS rn
-         |  FROM d
-         |)
-         |SELECT c_mktsegment,
-         |  string_agg(c_name, ',' ORDER BY c_name) AS top_vals
-         |FROM r WHERE rn <= 3
-         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
-    // identical cent quantization and moment arithmetic: hugeint sums
-    // play decimal(38,0); one cast + one division per statistic
-    "agg_varstats" ->
-      ("""WITH c AS (
-         |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
-         |  FROM events
-         |), m AS (
-         |  SELECT event_type, count(*) AS n, sum(vc) AS sv,
-         |    sum(vc * vc) AS svv
-         |  FROM c GROUP BY event_type
-         |)
-         |SELECT event_type, n,
-         |  round(CAST(sv AS DOUBLE) / n, 4) AS mean_c,
-         |  round(CAST(n * svv - sv * sv AS DOUBLE) /
-         |        CAST(n * n AS DOUBLE), 4) AS var_c
-         |FROM m ORDER BY event_type""".stripMargin),
-    // counts-then-rank with the identical (cnt desc, value) tie order
-    "agg_mode" ->
-      ("""WITH c AS (
-         |  SELECT c_nationkey, c_mktsegment, count(*) AS cnt
-         |  FROM customer GROUP BY 1, 2
-         |)
-         |SELECT c_nationkey, c_mktsegment AS mode, cnt FROM c
-         |QUALIFY row_number() OVER (PARTITION BY c_nationkey
-         |  ORDER BY cnt DESC, c_mktsegment) = 1
-         |ORDER BY c_nationkey""".stripMargin),
-    // the plain overlap theta-join — bucketing must not change matches
-    "join_overlap" ->
-      ("""WITH v AS (
-         |  SELECT event_id AS v_id, user_id AS vu, ts AS vs,
-         |    ts + INTERVAL 60 MINUTE AS ve
-         |  FROM events WHERE event_type = 'view'
-         |), c AS (
-         |  SELECT event_id AS c_id, user_id AS cu, ts AS cs,
-         |    ts + INTERVAL 60 MINUTE AS ce
-         |  FROM events WHERE event_type = 'click'
-         |)
-         |SELECT v_id, c_id FROM v JOIN c
-         |ON vu = cu AND vs < ce AND cs < ve
-         |ORDER BY v_id, c_id""".stripMargin),
-    // same cent quantization and co-moments; hugeint sums, fixed-order
-    // cov / (sqrt·sqrt) finish; zero-variance groups null out
-    "agg_corr" ->
-      ("""WITH c AS (
-         |  SELECT l_returnflag,
-         |    CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS xc,
-         |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS yc
-         |  FROM lineitem
-         |), m AS (
-         |  SELECT l_returnflag, count(*) AS n, sum(xc) AS sx, sum(yc) AS sy,
-         |    sum(xc * yc) AS sxy, sum(xc * xc) AS sxx, sum(yc * yc) AS syy
-         |  FROM c GROUP BY l_returnflag
-         |)
-         |SELECT l_returnflag, n,
-         |  CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) = 0
-         |         OR CAST(n * syy - sy * sy AS DOUBLE) = 0 THEN NULL
-         |       ELSE round(CAST(n * sxy - sx * sy AS DOUBLE) /
-         |         (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
-         |          sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 4)
-         |  END AS corr
-         |FROM m ORDER BY l_returnflag""".stripMargin),
-    // merged slice states must equal the full recompute — the oracle IS
-    // the full recompute
-    "ops_incragg" ->
-      ("""WITH c AS (
-         |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
-         |  FROM events
-         |), m AS (
-         |  SELECT event_type, count(*) AS n, sum(vc) AS sv,
-         |    sum(vc * vc) AS svv
-         |  FROM c GROUP BY event_type
-         |)
-         |SELECT event_type, n,
-         |  round(CAST(sv AS DOUBLE) / n, 4) AS mean_c,
-         |  round(CAST(n * svv - sv * sv AS DOUBLE) /
-         |        CAST(n * n AS DOUBLE), 4) AS var_c
-         |FROM m ORDER BY event_type""".stripMargin),
-    "agg_argmax" ->
-      ("""WITH k AS (
-         |  SELECT o_custkey, o_orderkey, o_orderdate,
-         |    lpad(CAST(epoch_us(o_orderdate) AS VARCHAR), 16, '0') ||
-         |    lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS ord_key
-         |  FROM orders
-         |)
-         |SELECT o_custkey, count(*) AS n_rows,
-         |  arg_min(o_orderkey, ord_key) AS first_id,
-         |  arg_max(o_orderkey, ord_key) AS last_id,
-         |  strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS last_ts
-         |FROM k GROUP BY o_custkey ORDER BY o_custkey""".stripMargin),
-    // the full HLL sketch replayed in SQL: same hash, register split,
-    // bitlength rank, max-merge, exact integer harmonic sum, and the
-    // identical fixed-order double estimate
-    "agg_hll" -> HllOracle,
-    // the merged half-sketches must equal the direct sketch of the whole
-    // table — same oracle, by design
-    "agg_hll_union" -> HllOracle,
-    // inclusion–exclusion over the shared register CTEs: single-group
-    // estimates from `state`, the union estimate from the pairwise
-    // max-merged registers, identical double association everywhere
-    "agg_hll_intersect" ->
-      (s"""WITH $HllCtes, est AS (
-         |  SELECT event_type,
-         |    CAST(0.709 AS DOUBLE) * 4096 * 67108864 /
-         |      CAST(isum_p + (64 - n_regs) * 67108864 AS DOUBLE) AS est
-         |  FROM state
-         |), pairs AS (
-         |  SELECT a.event_type AS grp_a, b.event_type AS grp_b
-         |  FROM (SELECT DISTINCT event_type FROM regs) a,
-         |       (SELECT DISTINCT event_type FROM regs) b
-         |  WHERE a.event_type < b.event_type
-         |), u AS (
-         |  SELECT p.grp_a, p.grp_b, r.reg, max(r.m_j) AS m_j
-         |  FROM pairs p JOIN regs r
-         |    ON r.event_type = p.grp_a OR r.event_type = p.grp_b
-         |  GROUP BY 1, 2, 3
-         |), ustate AS (
-         |  SELECT grp_a, grp_b, count(*) AS n_regs,
-         |    sum(CAST(1 AS BIGINT) << (26 - m_j)) AS isum_p
-         |  FROM u GROUP BY 1, 2
-         |), uest AS (
-         |  SELECT grp_a, grp_b,
-         |    CAST(0.709 AS DOUBLE) * 4096 * 67108864 /
-         |      CAST(isum_p + (64 - n_regs) * 67108864 AS DOUBLE) AS est_union
-         |  FROM ustate
-         |)
-         |SELECT u.grp_a, u.grp_b, ea.est AS est_a, eb.est AS est_b,
-         |  u.est_union,
-         |  greatest(CAST(0 AS BIGINT),
-         |    CAST(floor((ea.est + eb.est - u.est_union) * 1e4 + 0.5)
-         |      AS BIGINT)) AS isect_e4
-         |FROM uest u
-         |JOIN est ea ON ea.event_type = u.grp_a
-         |JOIN est eb ON eb.event_type = u.grp_b
-         |ORDER BY u.grp_a, u.grp_b""".stripMargin),
-    // the streaming register maintenance computes the identical sketch
-    "stream_hll" -> HllOracle,
-    // same decimal accumulation + total window order as the engine
-    "window_running" ->
-      ("""SELECT o_custkey, o_orderkey,
-         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
-         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-         |    AS running_total
-         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin),
-    "agg_topn" ->
-      ("""SELECT c_custkey, c_mktsegment, c_acctbal, rnk FROM (
-         |  SELECT c_custkey, c_mktsegment, c_acctbal,
-         |    CAST(row_number() OVER (PARTITION BY c_mktsegment
-         |      ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rnk
-         |  FROM customer) t
-         |WHERE rnk <= 3 ORDER BY c_mktsegment, rnk""".stripMargin),
-    "set_union" ->
-      ("""SELECT user_id FROM events WHERE event_type = 'click'
-         |UNION
-         |SELECT user_id FROM events WHERE event_type = 'purchase'
-         |ORDER BY user_id""".stripMargin),
-    "set_intersect" ->
-      ("""SELECT user_id FROM events
-         |WHERE event_type = 'error' AND ts < TIMESTAMP '2024-01-03'
-         |INTERSECT
-         |SELECT user_id FROM events
-         |WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-03'
-         |ORDER BY user_id""".stripMargin),
-    "set_except" ->
-      ("""SELECT user_id FROM events
-         |WHERE event_type = 'signup' AND ts < TIMESTAMP '2024-01-03'
-         |EXCEPT
-         |SELECT user_id FROM events
-         |WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-03'
-         |ORDER BY user_id""".stripMargin),
-    // both operands micros-truncated (CAST ts AS TIMESTAMP) exactly like
-    // the engine's nanos→micros events read — comparing at nanos could
-    // flip boundary pairs the engine sees as equal
-    "join_range" ->
-      ("""WITH e AS (
-         |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
-         |  FROM events
-         |)
-         |SELECT s.event_id AS signup_id, count(*) AS n_clicks,
-         |  min(c.event_id) AS first_click
-         |FROM e s JOIN e c ON s.event_type = 'signup'
-         |  AND c.event_type = 'click' AND c.user_id = s.user_id
-         |  AND c.ts >= s.ts AND c.ts < s.ts + INTERVAL 10 MINUTE
-         |GROUP BY s.event_id ORDER BY signup_id""".stripMargin),
-    // the same chained min-time reach sets, micros-truncated timestamps
-    "events_funnel" ->
-      ("""WITH e AS (
-         |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
-         |),
-         |r1 AS (SELECT user_id, min(ts) AS t FROM e
-         |       WHERE event_type = 'signup' GROUP BY user_id),
-         |r2 AS (SELECT e.user_id, min(e.ts) AS t FROM e
-         |       JOIN r1 ON e.user_id = r1.user_id
-         |       WHERE e.event_type = 'view' AND e.ts >= r1.t
-         |       GROUP BY e.user_id),
-         |r3 AS (SELECT e.user_id, min(e.ts) AS t FROM e
-         |       JOIN r2 ON e.user_id = r2.user_id
-         |       WHERE e.event_type = 'click' AND e.ts >= r2.t
-         |       GROUP BY e.user_id),
-         |r4 AS (SELECT e.user_id, min(e.ts) AS t FROM e
-         |       JOIN r3 ON e.user_id = r3.user_id
-         |       WHERE e.event_type = 'purchase' AND e.ts >= r3.t
-         |       GROUP BY e.user_id)
-         |SELECT CAST(1 AS BIGINT) AS stage, 'signup' AS step,
-         |  (SELECT count(*) FROM r1) AS n_users
-         |UNION ALL SELECT 2, 'view', (SELECT count(*) FROM r2)
-         |UNION ALL SELECT 3, 'click', (SELECT count(*) FROM r3)
-         |UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM r4)
-         |ORDER BY stage""".stripMargin),
-    // the same chained-min CTEs; completion latency = last minus first
-    // admissible time in exact integer micros
-    "events_funnel_latency" ->
-      ("""WITH e AS (
-         |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
-         |),
-         |r1 AS (SELECT user_id, min(ts) AS t FROM e
-         |       WHERE event_type = 'signup' GROUP BY user_id),
-         |r2 AS (SELECT e.user_id, min(e.ts) AS t FROM e
-         |       JOIN r1 ON e.user_id = r1.user_id
-         |       WHERE e.event_type = 'view' AND e.ts >= r1.t
-         |       GROUP BY e.user_id),
-         |r3 AS (SELECT e.user_id, min(e.ts) AS t FROM e
-         |       JOIN r2 ON e.user_id = r2.user_id
-         |       WHERE e.event_type = 'click' AND e.ts >= r2.t
-         |       GROUP BY e.user_id),
-         |r4 AS (SELECT e.user_id, min(e.ts) AS t FROM e
-         |       JOIN r3 ON e.user_id = r3.user_id
-         |       WHERE e.event_type = 'purchase' AND e.ts >= r3.t
-         |       GROUP BY e.user_id)
-         |SELECT r4.user_id,
-         |  strftime(r1.t, '%Y-%m-%d %H:%M:%S') AS started,
-         |  epoch_us(r4.t) - epoch_us(r1.t) AS latency_us
-         |FROM r4 JOIN r1 USING (user_id) ORDER BY user_id""".stripMargin),
-    // identical integer rank arithmetic ((n*p + 99) // 100, type-1)
-    "text_quantiles" ->
-      ("""WITH r AS (
-         |  SELECT lang, n_chars,
-         |    row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
-         |    count(*) OVER (PARTITION BY lang) AS n
-         |  FROM documents
-         |)
-         |SELECT lang, CAST(pct AS BIGINT) AS pct, n_chars AS q_value
-         |FROM r, (SELECT unnest([25, 50, 75, 90]) AS pct) p
-         |WHERE rn = (n * pct + 99) // 100
-         |ORDER BY lang, pct""".stripMargin),
-    // identical integer-quantized idf ((n_docs*1e6) // df) and tie-break
-    "text_tfidf" ->
-      ("""WITH tfc AS (
-         |  SELECT doc_id, term, count(*) AS tf
-         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-         |        FROM documents)
-         |  GROUP BY doc_id, term
-         |), dfreq AS (
-         |  SELECT term, count(*) AS df_docs FROM tfc GROUP BY term
-         |), tot AS (SELECT count(*) AS n_docs FROM documents),
-         |ranked AS (
-         |  SELECT tfc.doc_id, tfc.term,
-         |    tfc.tf * ((tot.n_docs * 1000000) // dfreq.df_docs) AS score,
-         |    CAST(row_number() OVER (PARTITION BY tfc.doc_id
-         |      ORDER BY tfc.tf * ((tot.n_docs * 1000000) // dfreq.df_docs) DESC,
-         |               tfc.term) AS BIGINT) AS rnk
-         |  FROM tfc JOIN dfreq ON tfc.term = dfreq.term, tot
-         |)
-         |SELECT doc_id, rnk, term, score FROM ranked
-         |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin),
-    // same start grid (0..n-1 step 48) and 1-based boundary indexing
-    "text_chunks" ->
-      ("""WITH t AS (
-         |  SELECT doc_id, string_split(text, ' ') AS ws,
-         |    len(string_split(text, ' ')) AS n
-         |  FROM documents
-         |), c AS (
-         |  SELECT doc_id, ws, n,
-         |    unnest(range(0, n, 48)) AS start,
-         |    generate_subscripts(range(0, n, 48), 1) - 1 AS chunk_idx
-         |  FROM t
-         |)
-         |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
-         |  CAST(least(64, n - start) AS BIGINT) AS chunk_len,
-         |  ws[start + 1] AS first_term,
-         |  ws[start + least(64, n - start)] AS last_term
-         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin),
-    // same deterministic vocab rank (count desc, term) and -1 unknowns;
-    // DuckDB's parallel unnests zip, giving the same (pos, term) pairs
-    // the same compound decoration, vocab derivation (top-16 by
-    // (freq DESC, word) + distinct characters), and greedy
-    // longest-prefix walk — the recursion step IS the engine's fold step
-    "text_subword" ->
-      ("""WITH RECURSIVE comp AS (
-         |  SELECT text || ' scancolumn' || (doc_id % 10)
-         |              || ' columnscan' || (doc_id % 7) AS text
-         |  FROM documents
-         |), occ AS (
-         |  SELECT unnest(list_filter(string_split(text, ' '),
-         |                            w -> w <> '')) AS word
-         |  FROM comp
-         |), top AS (
-         |  SELECT word AS piece FROM occ GROUP BY word
-         |  ORDER BY count(*) DESC, word LIMIT 16
-         |), dw AS (
-         |  SELECT DISTINCT word FROM occ
-         |), chars AS (
-         |  SELECT DISTINCT unnest(string_split(word, '')) AS piece FROM dw
-         |), vocab AS (
-         |  SELECT list(DISTINCT piece) AS vs, max(len(piece)) AS ml
-         |  FROM (SELECT piece FROM top UNION SELECT piece FROM chars)
-         |), enc AS (
-         |  SELECT word, word AS rem, CAST(0 AS BIGINT) AS pp,
-         |    CAST(NULL AS VARCHAR) AS piece
-         |  FROM dw
-         |  UNION ALL
-         |  SELECT word, substring(rem, len(m) + 1, 100000000), pp + 1, m
-         |  FROM (
-         |    SELECT e.word, e.rem, e.pp,
-         |      list_filter(list_transform(range(least(len(e.rem), v.ml),
-         |          0, -1), l -> substring(e.rem, 1, l)),
-         |        p -> list_contains(v.vs, p))[1] AS m
-         |    FROM enc e, vocab v WHERE len(e.rem) > 0
-         |  )
-         |)
-         |SELECT word, pp AS piece_pos, piece FROM enc
-         |WHERE piece IS NOT NULL ORDER BY word, piece_pos""".stripMargin),
-    // unrolled BPE training (BpeIterCte scaladoc: |-anchored symbol
-    // strings, replace() as the exhaustive merge) — the final round's
-    // segmentation IS the encode of every training word
-    "text_bpe" ->
-      (s"""WITH bw AS (
-         |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
-         |    SELECT unnest(list_filter(string_split(text, ' '),
-         |                              w -> w <> '')) AS word
-         |    FROM documents)
-         |  GROUP BY word
-         |), seg0 AS (
-         |  SELECT word, freq,
-         |    regexp_replace(word, '(.)', '|\\1 ', 'g') AS seg
-         |  FROM bw
-         |), ${(1 to 8).map(BpeIterCte).mkString(", ")}
-         |SELECT word, CAST(pos AS BIGINT) AS piece_pos,
-         |  substring(piece, 2) AS piece
-         |FROM (
-         |  SELECT word, generate_subscripts(syms, 1) AS pos,
-         |    unnest(syms) AS piece
-         |  FROM (SELECT word, string_split(rtrim(seg), ' ') AS syms
-         |        FROM seg8)
-         |)
-         |ORDER BY word, piece_pos""".stripMargin),
-    "text_vocab_encode" ->
-      ("""WITH tp AS (
-         |  SELECT doc_id,
-         |    generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
-         |    unnest(string_split(text, ' ')) AS term
-         |  FROM documents
-         |), v AS (
-         |  SELECT term,
-         |    CAST(row_number() OVER (ORDER BY count(*) DESC, term)
-         |      AS BIGINT) AS tok_id
-         |  FROM tp GROUP BY term
-         |  QUALIFY tok_id <= 1000
-         |)
-         |SELECT tp.doc_id, CAST(tp.pos AS BIGINT) AS pos,
-         |  coalesce(v.tok_id, -1) AS tok_id
-         |FROM tp LEFT JOIN v USING (term)
-         |ORDER BY doc_id, pos""".stripMargin),
-    // per-occurrence (not distinct) tokens through the same 62-bit poly
-    // hash the SimHash oracle replays, bucketed mod 64
-    "text_hashvec" ->
-      ("""WITH tok AS (
-         |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
-         |), h AS (
-         |  SELECT doc_id,
-         |    list_reduce([CAST(ascii(c) AS BIGINT) for c in string_split(t,'')],
-         |      (a,x) -> (a*31+x) % 2147483647) * 2147483648
-         |    + list_reduce([CAST(ascii(c) AS BIGINT) for c in string_split(t,'')],
-         |      (a,x) -> (a*131+x) % 2147483629) AS h
-         |  FROM tok WHERE t <> ''
-         |)
-         |SELECT doc_id, h % 64 AS bucket, count(*) AS n
-         |FROM h GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin),
-    // the shared QualityCtes metrics joined back for lang, gated with the
-    // cleanpass thresholds
-    "text_crosstab" ->
-      (s"""WITH $QualityCtes
-         |SELECT d.lang,
-         |  (q.n_chars >= 100 AND q.stopword_ratio >= 0.02
-         |    AND q.avg_token_len <= 5.0) AS kept,
-         |  count(*) AS n
-         |FROM q JOIN documents d USING (doc_id)
-         |GROUP BY 1, 2 ORDER BY lang, kept""".stripMargin),
-    // identical mess derivation (upper prefix, padding, a tab via chr(9))
-    // and the identical lower → strip-control → collapse → trim chain
-    // same lined decoration ([[LinedCte]]); DuckDB's zipped unnests give
-    // (line, pos), string_agg(... ORDER BY pos) replays the engine's
-    // array_sort(collect_list(struct(pos, line))) reassembly, and the
-    // CASE-to-NULL trick inside the aggregates replays the when(keep, _)
-    // null-skipping
-    "text_linededup" ->
-      (s"""WITH $LinedCte,
-         |ls AS (
-         |  SELECT doc_id,
-         |    unnest(string_split(text, chr(10))) AS line,
-         |    unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
-         |  FROM lined
-         |), freq AS (
-         |  SELECT line FROM ls GROUP BY line
-         |  HAVING count(DISTINCT doc_id) >= 2
-         |)
-         |SELECT ls.doc_id,
-         |  coalesce(string_agg(CASE WHEN f.line IS NULL THEN ls.line END,
-         |    chr(10) ORDER BY ls.pos), '') AS clean_text,
-         |  CAST(count(CASE WHEN f.line IS NULL THEN 1 END) AS BIGINT)
-         |    AS n_kept,
-         |  CAST(count(CASE WHEN f.line IS NOT NULL THEN 1 END) AS BIGINT)
-         |    AS n_dropped
-         |FROM ls LEFT JOIN freq f ON ls.line = f.line
-         |GROUP BY ls.doc_id ORDER BY ls.doc_id""".stripMargin),
-    // integer-ppm commonness: every division is //, every window-free
-    // sum cast to BIGINT before it can widen downstream arithmetic to
-    // HUGEINT
-    "text_rarity" ->
-      ("""WITH tfc AS (
-         |  SELECT doc_id, term, count(*) AS tf
-         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-         |        FROM documents)
-         |  GROUP BY doc_id, term
-         |), cnts AS (
-         |  SELECT term, CAST(sum(tf) AS BIGINT) AS cnt FROM tfc
-         |  GROUP BY term
-         |), tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_toks FROM cnts),
-         |scored AS (
-         |  SELECT tfc.doc_id, tfc.tf,
-         |    CAST((cnts.cnt * 1000000) // tot.n_toks AS BIGINT) AS ppm
-         |  FROM tfc JOIN cnts USING (term), tot
-         |)
-         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
-         |  CAST(sum(tf * ppm) // sum(tf) AS BIGINT) AS avg_ppm,
-         |  min(ppm) AS min_ppm
-         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin),
-    "text_winnow" ->
-      (s"""WITH $WinnowCte
-         |SELECT doc_id, unnest(fps) AS fp FROM win
-         |ORDER BY doc_id, fp""".stripMargin),
-    // same [[WinnowCte]] fingerprints, then the df-cut band (2 <= df <=
-    // 100) and the blocked self-join counting distinct shared hashes
-    "dedup_winnow" ->
-      (s"""WITH $WinnowCte,
-         |fps AS (SELECT doc_id, unnest(fps) AS fp FROM win),
-         |band AS (
-         |  SELECT fp FROM fps GROUP BY fp
-         |  HAVING count(*) >= 2 AND count(*) <= 100
-         |), pr AS (
-         |  SELECT f.doc_id, f.fp FROM fps f JOIN band USING (fp)
-         |)
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |  CAST(count(*) AS BIGINT) AS shared
-         |FROM pr a JOIN pr b ON a.fp = b.fp AND a.doc_id < b.doc_id
-         |GROUP BY 1, 2 HAVING count(*) >= 2
-         |ORDER BY doc_a, doc_b""".stripMargin),
-    "text_normalize" ->
-      ("""WITH messy AS (
-         |  SELECT doc_id,
-         |    upper(substr(text, 1, 10)) || substr(text, 11) ||
-         |    '   PADDED ' || chr(9) || ' END  ' AS text
-         |  FROM documents
-         |)
-         |SELECT doc_id,
-         |  CAST(length(text) AS BIGINT) AS n_chars_raw,
-         |  trim(regexp_replace(regexp_replace(lower(text),
-         |    '[\x00-\x1f]', ' ', 'g'), '  *', ' ', 'g')) AS norm_text,
-         |  CAST(length(trim(regexp_replace(regexp_replace(lower(text),
-         |    '[\x00-\x1f]', ' ', 'g'), '  *', ' ', 'g'))) AS BIGINT)
-         |    AS n_chars_norm
-         |FROM messy ORDER BY doc_id""".stripMargin),
-    // PII counts on the raw decorated text; redaction replayed with the
-    // identical patterns in the identical email → IPv4 → phone order
-    "text_pii" ->
-      (s"""WITH $DirtyCte
-         |SELECT doc_id,
-         |  CAST(len(regexp_extract_all(text,
-         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
-         |    AS n_emails,
-         |  CAST(len(regexp_extract_all(text,
-         |    '\\d{3}-\\d{3}-\\d{4}')) AS BIGINT) AS n_phones,
-         |  CAST(len(regexp_extract_all(text,
-         |    '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}')) AS BIGINT) AS n_ips,
-         |  (len(regexp_extract_all(text,
-         |     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
-         |   + len(regexp_extract_all(text, '\\d{3}-\\d{3}-\\d{4}'))
-         |   + len(regexp_extract_all(text,
-         |       '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}')) > 0) AS has_pii,
-         |  regexp_replace(regexp_replace(regexp_replace(text,
-         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-         |    '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}', '<IP>', 'g'),
-         |    '\\d{3}-\\d{3}-\\d{4}', '<PHONE>', 'g') AS redacted
-         |FROM dirty ORDER BY doc_id""".stripMargin),
-    "text_domains" ->
-      (s"""WITH $DirtyCte, u AS (
-         |  SELECT doc_id,
-         |    unnest(regexp_extract_all(text, 'https?://[A-Za-z0-9.-]+')) AS url
-         |  FROM dirty
-         |)
-         |SELECT regexp_replace(url, 'https?://', '') AS domain,
-         |  count(*) AS n_mentions,
-         |  count(DISTINCT doc_id) AS n_docs
-         |FROM u GROUP BY 1 ORDER BY n_mentions DESC, domain""".stripMargin),
-    // the partitioned round trip must reproduce the plain filtered scan
-    "sink_partitioned" ->
-      ("""SELECT doc_id, n_chars FROM documents
-         |WHERE lang = 'en' ORDER BY doc_id""".stripMargin),
-    // three literal-version snapshot selects replaying the commit
-    // sequence: overwrite(en) -> append(de) -> overwrite(fr)
-    "sink_txlog" ->
-      ("""SELECT CAST(1 AS BIGINT) AS version, doc_id, lang, n_chars
-         |FROM documents WHERE lang = 'en'
-         |UNION ALL
-         |SELECT CAST(2 AS BIGINT), doc_id, lang, n_chars
-         |FROM documents WHERE lang IN ('en', 'de')
-         |UNION ALL
-         |SELECT CAST(3 AS BIGINT), doc_id, lang, n_chars
-         |FROM documents WHERE lang = 'fr'
-         |ORDER BY version, doc_id""".stripMargin),
-    // the diff replays from the commit definitions: append de = inserts
-    // only; overwrite fr = delete everything live (en + de), insert fr
-    "ops_txdiff" ->
-      ("""SELECT 'v1v2' AS step, 'insert' AS change, doc_id, lang, n_chars
-         |FROM documents WHERE lang = 'de'
-         |UNION ALL
-         |SELECT 'v2v3', 'insert', doc_id, lang, n_chars
-         |FROM documents WHERE lang = 'fr'
-         |UNION ALL
-         |SELECT 'v2v3', 'delete', doc_id, lang, n_chars
-         |FROM documents WHERE lang IN ('en', 'de')
-         |ORDER BY step, change, doc_id""".stripMargin),
-    // OPTIMIZE commits version 4 with the identical en+de+fr multiset —
-    // compaction moves bytes, never rows
-    "ops_optimize" ->
-      ("""SELECT CAST(4 AS BIGINT) AS version, doc_id, lang, n_chars
-         |FROM documents WHERE lang IN ('en', 'de', 'fr')
-         |ORDER BY doc_id""".stripMargin),
-    // vacuum(retain=2) expires exactly v1; the retained snapshots replay
-    // from the commit definitions: v2 = en+de append state, v3 = fr
-    // overwrite state — identical content before and after the vacuum
-    "ops_vacuum" ->
-      ("""SELECT CAST(2 AS BIGINT) AS version, doc_id, lang, n_chars,
-         |  TRUE AS expired_v1
-         |FROM documents WHERE lang IN ('en', 'de')
-         |UNION ALL
-         |SELECT CAST(3 AS BIGINT), doc_id, lang, n_chars, TRUE
-         |FROM documents WHERE lang = 'fr'
-         |ORDER BY version, doc_id""".stripMargin),
-    // the JSONL round trip must reproduce the original table — if the
-    // codec mangles quoting, escapes, or numerics, the hash breaks
-    "source_jsonl" ->
-      ("""SELECT event_id, user_id, event_type,
-         |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c, props
-         |FROM events ORDER BY event_id""".stripMargin),
-    // the ORC round trip must reproduce the original table byte-for-byte
-    "source_orc" ->
-      ("""SELECT doc_id, text, lang, source, n_chars
-         |FROM documents ORDER BY doc_id""".stripMargin),
-    // and so must the CSV round trip (same all-non-null projection)
-    "source_csv" ->
-      ("""SELECT doc_id, text, lang, source, n_chars
-         |FROM documents ORDER BY doc_id""".stripMargin),
-    // greedy cumulative fill replayed with the same window: a file opens
-    // a new group when its START offset crosses a target boundary
-    // same [[ZInterleave8]] bit arithmetic; x, y, and the shifts are all
-    // BIGINT end to end, so no HUGEINT widening anywhere
-    "ops_zorder" ->
-      (s"""WITH pts AS (
-         |  SELECT l_partkey % 256 AS x, l_suppkey % 256 AS y FROM lineitem
-         |), z AS (
-         |  SELECT x, y, ($ZInterleave8) AS zv FROM pts
-         |)
-         |SELECT zv >> 8 AS bucket, CAST(count(*) AS BIGINT) AS n,
-         |  min(x) AS min_x, max(x) AS max_x,
-         |  min(y) AS min_y, max(y) AS max_y
-         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin),
-    "ops_compaction" ->
-      ("""WITH inv AS (
-         |  SELECT lang, source, CAST(sum(n_chars) AS BIGINT) AS bytes
-         |  FROM documents GROUP BY lang, source
-         |), c AS (
-         |  SELECT lang, source, bytes,
-         |    sum(bytes) OVER (PARTITION BY lang ORDER BY source
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - bytes
-         |      AS start_off
-         |  FROM inv
-         |)
-         |SELECT lang, source, bytes,
-         |  CAST(start_off // 15000 AS BIGINT) AS grp
-         |FROM c ORDER BY lang, source""".stripMargin),
-    // same per-doc distinct word bigrams (sub-2-token docs contribute the
-    // whole text, mirroring Dedup.shingles) and the same k-boundary order
-    "text_bigrams" ->
-      ("""WITH b AS (
-         |  SELECT unnest(CASE WHEN len(ws) < 2 THEN [text]
-         |    ELSE list_distinct([ws[i] || ' ' || ws[i+1]
-         |                        for i in range(1, len(ws))]) END) AS bigram
-         |  FROM (SELECT text, string_split(text, ' ') AS ws FROM documents)
-         |)
-         |SELECT bigram, count(*) AS doc_freq FROM b GROUP BY bigram
-         |ORDER BY doc_freq DESC, bigram LIMIT 40""".stripMargin),
-    // same occurrence bigrams (positional zip), same exact-integer ratios
-    // rounded to 4 decimals; n<2 docs emit 0.0 on both engines
-    "text_repetition" ->
-      ("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
-         |           FROM documents),
-         |m AS (
-         |  SELECT doc_id, len(ws) AS n,
-         |    CASE WHEN len(ws) < 2 THEN 0
-         |      ELSE len(ws) - 1 - len(list_distinct(
-         |        [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))])) END
-         |      AS dupb,
-         |    list_max([len(list_filter(ws, x -> x = t))
-         |              for t in list_distinct(ws)]) AS topc
-         |  FROM w
-         |)
-         |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
-         |  CASE WHEN n < 2 THEN 0.0
-         |    ELSE round(CAST(dupb AS DOUBLE) / (n - 1), 4) END
-         |    AS dup_bigram_frac,
-         |  round(CAST(topc AS DOUBLE) / greatest(n, 1), 4) AS top_token_frac
-         |FROM m ORDER BY doc_id""".stripMargin),
-    // PMI as the integer rational c_xy·nu²/(nb·c_x·c_y): both engines
-    // form exact BIGINT products and perform ONE identical double
-    // division, so score and rank order match bit-for-bit
-    "text_pmi" ->
-      ("""WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
-         |pairs AS (
-         |  SELECT unnest([ws[i] || ' ' || ws[i+1]
-         |                 for i in range(1, len(ws))]) AS bg FROM w
-         |), cxy AS (
-         |  SELECT string_split(bg, ' ')[1] AS x, string_split(bg, ' ')[2] AS y,
-         |    count(*) AS c_xy
-         |  FROM pairs GROUP BY 1, 2 HAVING count(*) >= 5
-         |), cu AS (
-         |  SELECT word, count(*) AS c
-         |  FROM (SELECT unnest(ws) AS word FROM w) GROUP BY word
-         |), tot AS (
-         |  SELECT sum(len(ws)) AS nu, sum(greatest(len(ws) - 1, 0)) AS nb
-         |  FROM w
-         |)
-         |SELECT c.x, c.y, c.c_xy, cx.c AS c_x, cy.c AS c_y,
-         |  CAST(c.c_xy * t.nu * t.nu AS DOUBLE) /
-         |  CAST(t.nb * cx.c * cy.c AS DOUBLE) AS score
-         |FROM cxy c JOIN cu cx ON c.x = cx.word
-         |JOIN cu cy ON c.y = cy.word, tot t
-         |ORDER BY score DESC, x, y LIMIT 40""".stripMargin),
-    // BM25 with cleared denominators (TextStats.bm25TopTerms scaladoc):
-    // num = 22·S·tf, den = 10·S·tf + 3·S + 9·dl·N are exact integers on
-    // both engines; the single num/den double division, the integer-
-    // quantized idf ((N·10⁶) // df — same trick as text_tfidf), and the
-    // fixed op order (ratio · idf + 0.5, then floor) are IEEE-identical
-    "text_bm25" ->
-      ("""WITH tf AS (
-         |  SELECT doc_id, term, count(*) AS tf
-         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-         |        FROM documents)
-         |  GROUP BY doc_id, term
-         |), dl AS (
-         |  SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id
-         |), dfreq AS (
-         |  SELECT term, count(*) AS df_docs FROM tf GROUP BY term
-         |), tot AS (SELECT count(*) AS n, sum(dl) AS s FROM dl),
-         |scored AS (
-         |  SELECT tf.doc_id, tf.term,
-         |    CAST(floor(
-         |      CAST(22 * tot.s * tf.tf AS DOUBLE) /
-         |      CAST(10 * tot.s * tf.tf + 3 * tot.s + 9 * dl.dl * tot.n
-         |           AS DOUBLE) *
-         |      CAST((tot.n * 1000000) // dfreq.df_docs AS DOUBLE)
-         |      + 0.5) AS BIGINT) AS score
-         |  FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term), tot
-         |), ranked AS (
-         |  SELECT doc_id, term, score,
-         |    CAST(row_number() OVER (PARTITION BY doc_id
-         |      ORDER BY score DESC, term) AS BIGINT) AS rnk
-         |  FROM scored
-         |)
-         |SELECT doc_id, rnk, term, score FROM ranked
-         |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin),
-    // replay both retrievers' top-50 lists (EXACT BM25 lexical — the
-    // text_bm25 integer rational with dl = full token count — q4
-    // cosine) and the integer RRF fusion over them
-    "search_hybrid" ->
-      ("""WITH occ AS (
-         |  SELECT doc_id AS id, len(string_split(text, ' ')) AS dl,
-         |         unnest(string_split(text, ' ')) AS term
-         |  FROM documents
-         |), tf AS (
-         |  SELECT id, term, count(*) AS tf, max(dl) AS dl FROM occ
-         |  WHERE term IN ('data', 'query', 'join') GROUP BY id, term
-         |), dfreq AS (SELECT term, count(*) AS df_docs FROM tf GROUP BY term),
-         |tot AS (
-         |  SELECT count(*) AS n, sum(len(string_split(text, ' '))) AS s
-         |  FROM documents
-         |), lex AS (
-         |  SELECT id, sum(CAST(floor(
-         |      CAST(22 * tot.s * tf.tf AS DOUBLE) /
-         |      CAST(10 * tot.s * tf.tf + 3 * tot.s + 9 * tf.dl * tot.n
-         |           AS DOUBLE) *
-         |      CAST((tot.n * 1000000) // dfreq.df_docs AS DOUBLE)
-         |      + 0.5) AS BIGINT)) AS lex_score
-         |  FROM tf JOIN dfreq USING (term), tot GROUP BY id
-         |), lextop AS (
-         |  SELECT id, CAST(row_number() OVER (ORDER BY lex_score DESC, id)
-         |    AS BIGINT) AS lex_rank
-         |  FROM lex ORDER BY lex_score DESC, id LIMIT 50
-         |), q AS (
-         |  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
-         |  WHERE vec_id = 0
-         |), vec AS (
-         |  SELECT vec_id AS id,
-         |    round(list_dot_product(CAST(embedding AS DOUBLE[]), qe) /
-         |      (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-         |                             CAST(embedding AS DOUBLE[]))) *
-         |       sqrt(list_dot_product(qe, qe))), 4) AS sim
-         |  FROM embeddings, q
-         |), vectop AS (
-         |  SELECT id, CAST(row_number() OVER (ORDER BY sim DESC, id)
-         |    AS BIGINT) AS vec_rank
-         |  FROM vec ORDER BY sim DESC, id LIMIT 50
-         |)
-         |SELECT id,
-         |  CAST(coalesce(1000000000 // (60 + lex_rank), 0)
-         |     + coalesce(1000000000 // (60 + vec_rank), 0) AS BIGINT)
-         |    AS rrf_score,
-         |  lex_rank, vec_rank
-         |FROM lextop FULL OUTER JOIN vectop USING (id)
-         |ORDER BY rrf_score DESC, id LIMIT 10""".stripMargin),
-    // three queries through the same replay: broadcast query/term table,
-    // per-query BM25 + cosine ranks, per-query RRF top-10
-    "search_hybrid_batch" ->
-      ("""WITH queries(query_id, term) AS (
-         |  SELECT CAST(q AS BIGINT), t FROM (VALUES
-         |    (0, 'data'), (0, 'query'), (0, 'join'),
-         |    (1, 'spark'), (1, 'table'), (1, 'scan'),
-         |    (2, 'stream'), (2, 'window')) v(q, t)
-         |), qv AS (
-         |  SELECT CAST(vec_id AS BIGINT) AS query_id,
-         |         CAST(embedding AS DOUBLE[]) AS qe
-         |  FROM embeddings WHERE vec_id IN (0, 1, 2)
-         |), occ AS (
-         |  SELECT doc_id AS id, len(string_split(text, ' ')) AS dl,
-         |         unnest(string_split(text, ' ')) AS term
-         |  FROM documents
-         |), tf AS (
-         |  SELECT q.query_id, o.id, o.term, count(*) AS tf, max(o.dl) AS dl
-         |  FROM occ o JOIN queries q USING (term)
-         |  GROUP BY q.query_id, o.id, o.term
-         |), dfreq AS (
-         |  SELECT term, count(*) AS df_docs
-         |  FROM (SELECT DISTINCT term, id FROM tf) GROUP BY term
-         |), tot AS (
-         |  SELECT count(*) AS n, sum(len(string_split(text, ' '))) AS s
-         |  FROM documents
-         |), lex AS (
-         |  SELECT query_id, id, sum(CAST(floor(
-         |      CAST(22 * tot.s * tf.tf AS DOUBLE) /
-         |      CAST(10 * tot.s * tf.tf + 3 * tot.s + 9 * tf.dl * tot.n
-         |           AS DOUBLE) *
-         |      CAST((tot.n * 1000000) // dfreq.df_docs AS DOUBLE)
-         |      + 0.5) AS BIGINT)) AS lex_score
-         |  FROM tf JOIN dfreq USING (term), tot GROUP BY query_id, id
-         |), lextop AS (
-         |  SELECT query_id, id,
-         |    CAST(row_number() OVER (PARTITION BY query_id
-         |      ORDER BY lex_score DESC, id) AS BIGINT) AS lex_rank
-         |  FROM lex
-         |  QUALIFY row_number() OVER (PARTITION BY query_id
-         |    ORDER BY lex_score DESC, id) <= 50
-         |), vec AS (
-         |  SELECT qv.query_id, vec_id AS id,
-         |    round(list_dot_product(CAST(embedding AS DOUBLE[]), qe) /
-         |      (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-         |                             CAST(embedding AS DOUBLE[]))) *
-         |       sqrt(list_dot_product(qe, qe))), 4) AS sim
-         |  FROM embeddings, qv
-         |), vectop AS (
-         |  SELECT query_id, id,
-         |    CAST(row_number() OVER (PARTITION BY query_id
-         |      ORDER BY sim DESC, id) AS BIGINT) AS vec_rank
-         |  FROM vec
-         |  QUALIFY row_number() OVER (PARTITION BY query_id
-         |    ORDER BY sim DESC, id) <= 50
-         |)
-         |SELECT query_id, id,
-         |  CAST(coalesce(1000000000 // (60 + lex_rank), 0)
-         |     + coalesce(1000000000 // (60 + vec_rank), 0) AS BIGINT)
-         |    AS rrf_score,
-         |  lex_rank, vec_rank
-         |FROM lextop FULL OUTER JOIN vectop USING (query_id, id)
-         |QUALIFY row_number() OVER (PARTITION BY query_id
-         |  ORDER BY rrf_score DESC, id) <= 10
-         |ORDER BY query_id, rrf_score DESC, id""".stripMargin),
-    // same df band [2,50] before any posting materializes, same cap-10
-    // rank over doc_id (unique per term, so the order is total)
-    "index_postings" ->
-      ("""WITH pairs AS (
-         |  SELECT DISTINCT doc_id, term
-         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-         |        FROM documents)
-         |), band AS (
-         |  SELECT term, count(*) AS df_docs FROM pairs GROUP BY term
-         |  HAVING count(*) BETWEEN 2 AND 50
-         |)
-         |SELECT p.term, b.df_docs,
-         |  CAST(row_number() OVER (PARTITION BY p.term ORDER BY p.doc_id)
-         |    AS BIGINT) AS slot,
-         |  p.doc_id
-         |FROM pairs p JOIN band b USING (term)
-         |QUALIFY row_number() OVER (PARTITION BY p.term ORDER BY p.doc_id)
-         |  <= 10
-         |ORDER BY term, slot""".stripMargin),
-    // the FreqSketch Rabin–Karp folds replayed with list_reduce (the
-    // dedup_simhash construction): list_reduce's first-element seed equals
-    // the Spark fold's 0-seed first step (cp % p = cp); d=3 rows × 512
-    // cells, est = min over the 3 probed cells, ≥ exact always
-    "sketch_cms" ->
-      ("""WITH terms AS (
-         |  SELECT unnest(string_split(text, ' ')) AS term FROM documents
-         |), counts AS (
-         |  SELECT term, count(*) AS cnt FROM terms WHERE term <> ''
-         |  GROUP BY term
-         |), hashed AS (
-         |  SELECT term, cnt,
-         |    list_reduce([CAST(ascii(c) AS BIGINT)
-         |                 for c in string_split(term, '')],
-         |      (a, x) -> (a * 31 + x) % 2147483647) % 512 AS c0,
-         |    list_reduce([CAST(ascii(c) AS BIGINT)
-         |                 for c in string_split(term, '')],
-         |      (a, x) -> (a * 131 + x) % 2147483629) % 512 AS c1,
-         |    list_reduce([CAST(ascii(c) AS BIGINT)
-         |                 for c in string_split(term, '')],
-         |      (a, x) -> (a * 1031 + x) % 2147483587) % 512 AS c2
-         |  FROM counts
-         |), cells AS (
-         |  SELECT 0 AS hrow, c0 AS cell, cnt FROM hashed
-         |  UNION ALL SELECT 1, c1, cnt FROM hashed
-         |  UNION ALL SELECT 2, c2, cnt FROM hashed
-         |), sk AS (
-         |  SELECT hrow, cell, sum(cnt) AS scnt FROM cells GROUP BY hrow, cell
-         |), top AS (
-         |  SELECT term, cnt AS exact_cnt, c0, c1, c2 FROM hashed
-         |  ORDER BY cnt DESC, term LIMIT 20
-         |), probes AS (
-         |  SELECT term, exact_cnt, 0 AS hrow, c0 AS cell FROM top
-         |  UNION ALL SELECT term, exact_cnt, 1, c1 FROM top
-         |  UNION ALL SELECT term, exact_cnt, 2, c2 FROM top
-         |)
-         |SELECT p.term, p.exact_cnt, CAST(min(s.scnt) AS BIGINT) AS est_cnt
-         |FROM probes p JOIN sk s ON p.hrow = s.hrow AND p.cell = s.cell
-         |GROUP BY p.term, p.exact_cnt
-         |ORDER BY exact_cnt DESC, term""".stripMargin),
-    // replay the planted-PPM formula: w = 1 + id%7, h = 1 + id%5,
-    // pixel(k) = (id*31 + 7k) mod 256 for k < w*h*3 (max 105 — the
-    // bounded series join); mean quantization is the engine's exact
-    // long arithmetic (sum*1e4 + n/2) div n
-    "mm_decode" ->
-      ("""WITH px AS (
-         |  SELECT doc_id AS id, 1 + doc_id % 7 AS w, 1 + doc_id % 5 AS h
-         |  FROM documents
-         |), sums AS (
-         |  SELECT id, w, h, sum((id*31 + 7*k) % 256) AS ps
-         |  FROM px, generate_series(0, 104) t(k)
-         |  WHERE k < w*h*3
-         |  GROUP BY id, w, h
-         |)
-         |SELECT id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
-         |  CAST(ps AS BIGINT) AS pixel_sum,
-         |  CAST((ps*10000 + (w*h*3)//2) // (w*h*3) AS BIGINT)
-         |    AS pixel_mean_q4
-         |FROM sums ORDER BY id""".stripMargin),
-    // the PNG entry shares the PPM oracle verbatim: PNG is lossless, so
-    // the encode→decode round trip must reproduce the identical planted
-    // pixels — any inflate/unfilter defect breaks the hash
-    "mm_decode_png" ->
-      ("""WITH px AS (
-         |  SELECT doc_id AS id, 1 + doc_id % 7 AS w, 1 + doc_id % 5 AS h
-         |  FROM documents
-         |), sums AS (
-         |  SELECT id, w, h, sum((id*31 + 7*k) % 256) AS ps
-         |  FROM px, generate_series(0, 104) t(k)
-         |  WHERE k < w*h*3
-         |  GROUP BY id, w, h
-         |)
-         |SELECT id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
-         |  CAST(ps AS BIGINT) AS pixel_sum,
-         |  CAST((ps*10000 + (w*h*3)//2) // (w*h*3) AS BIGINT)
-         |    AS pixel_mean_q4
-         |FROM sums ORDER BY id""".stripMargin),
-    "mm_features" ->
-      ("""SELECT doc_id AS id, 'text' AS kind,
-         |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
-         |  CAST(list_sum([ascii(c) for c in string_split(text, '')]) AS BIGINT) AS byte_sum,
-         |  CAST(ascii(substr(text, 1, 1)) + 1 AS INTEGER) AS width,
-         |  CAST(CASE WHEN length(text) > 1 THEN ascii(substr(text, 2, 1)) + 1 ELSE 0 END AS INTEGER) AS height
-         |FROM documents ORDER BY id""".stripMargin),
-    // same derived feed, same latest-wins rule (seq desc, op desc),
-    // anti-join + surviving-upsert union
-    "merge_upsert" ->
-      ("""WITH base AS (
-         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
-         |  FROM orders
-         |), changes AS (
-         |  SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus, o_totalprice,
-         |    'U' AS op, 1 AS seq FROM base WHERE o_orderkey % 10 = 3
-         |  UNION ALL SELECT o_orderkey, o_custkey, 'Y', o_totalprice, 'U', 1
-         |    FROM base WHERE o_orderkey % 10 = 7
-         |  UNION ALL SELECT o_orderkey, o_custkey, 'Z', o_totalprice, 'D', 2
-         |    FROM base WHERE o_orderkey % 10 = 7
-         |  UNION ALL SELECT o_orderkey + 100000000, o_custkey, 'N',
-         |    o_totalprice, 'I', 1 FROM base WHERE o_orderkey % 10 = 1
-         |), latest AS (
-         |  SELECT *, row_number() OVER (PARTITION BY o_orderkey
-         |    ORDER BY seq DESC, op DESC) AS rnk FROM changes
-         |  QUALIFY rnk = 1
-         |)
-         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
-         |FROM base b
-         |WHERE NOT EXISTS (SELECT 1 FROM latest l
-         |                  WHERE l.o_orderkey = b.o_orderkey)
-         |UNION ALL
-         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
-         |FROM latest WHERE op <> 'D'
-         |ORDER BY o_orderkey""".stripMargin),
-    // identical feed; versions chained with lead() per key, deletes close
-    // but emit nothing, so m%10=7 keys end with no current row
-    "merge_scd2" ->
-      ("""WITH base AS (
-         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
-         |  FROM orders
-         |), changes AS (
-         |  SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus, o_totalprice,
-         |    'U' AS op, CAST(1 AS BIGINT) AS seq
-         |    FROM base WHERE o_orderkey % 10 = 3
-         |  UNION ALL SELECT o_orderkey, o_custkey, 'Y', o_totalprice, 'U',
-         |    CAST(1 AS BIGINT) FROM base WHERE o_orderkey % 10 = 7
-         |  UNION ALL SELECT o_orderkey, o_custkey, 'X2', o_totalprice, 'U',
-         |    CAST(2 AS BIGINT) FROM base WHERE o_orderkey % 10 = 3
-         |  UNION ALL SELECT o_orderkey, o_custkey, 'Z', o_totalprice, 'D',
-         |    CAST(2 AS BIGINT) FROM base WHERE o_orderkey % 10 = 7
-         |  UNION ALL SELECT o_orderkey + 100000000, o_custkey, 'N',
-         |    o_totalprice, 'I', CAST(1 AS BIGINT)
-         |    FROM base WHERE o_orderkey % 10 = 1
-         |), v AS (
-         |  SELECT *, seq AS valid_from,
-         |    lead(seq) OVER (PARTITION BY o_orderkey ORDER BY seq) AS valid_to
-         |  FROM changes
-         |)
-         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
-         |  valid_from, valid_to, (valid_to IS NULL) AS is_current
-         |FROM v WHERE op <> 'D'
-         |ORDER BY o_orderkey, valid_from""".stripMargin),
-    // per-column stats; doubles quantized to cents before min/max so the
-    // string rendering is integer on both engines
-    "profile_stats" -> {
-      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
-        "o_orderpriority", "o_price_c")
-      val arms = cols.map { c =>
-        s"""SELECT '$c' AS col_name,
-           |  count(*) FILTER (WHERE $c IS NULL) AS n_nulls,
-           |  count(DISTINCT $c) AS n_distinct,
-           |  CAST(min($c) AS VARCHAR) AS min_val,
-           |  CAST(max($c) AS VARCHAR) AS max_val FROM src""".stripMargin
-      }.mkString("\nUNION ALL\n")
-      s"""WITH src AS (
-         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
-         |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS o_price_c
-         |  FROM orders
-         |)
-         |$arms
-         |ORDER BY col_name""".stripMargin
-    },
-    // the HllOracle pipeline replayed per profiled column over the
-    // unpivoted (col_name, v) frame, joined to exact nulls/min/max
-    "profile_stats_sketch" ->
-      ("""WITH src AS (
-         |  SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
-         |    CAST(o_custkey AS BIGINT) AS o_custkey,
-         |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS o_price_c
-         |  FROM orders
-         |), u AS (
-         |  SELECT 'o_orderkey' AS col_name, o_orderkey AS v FROM src
-         |  UNION ALL SELECT 'o_custkey', o_custkey FROM src
-         |  UNION ALL SELECT 'o_price_c', o_price_c FROM src
-         |), stats AS (
-         |  SELECT col_name, count(*) FILTER (WHERE v IS NULL) AS n_nulls,
-         |    CAST(min(v) AS VARCHAR) AS min_val,
-         |    CAST(max(v) AS VARCHAR) AS max_val
-         |  FROM u GROUP BY col_name
-         |), x1 AS (
-         |  SELECT col_name,
-         |    ((v % 2147483647) + 2147483647) % 2147483647
-         |      * 1103515245 % 2147483647 AS w
-         |  FROM u WHERE v IS NOT NULL
-         |), x2 AS (
-         |  SELECT col_name, xor(w, w >> 15) AS w FROM x1
-         |), x3 AS (
-         |  SELECT col_name, w * 1566083941 % 2147483647 AS w FROM x2
-         |), h AS (
-         |  SELECT col_name, xor(w, w >> 13) AS hv FROM x3
-         |), ranked AS (
-         |  SELECT col_name, hv % 64 AS reg,
-         |    CASE WHEN hv // 64 = 0 THEN 26
-         |         ELSE 26 - length(printf('%b', hv // 64)) END AS rank
-         |  FROM h
-         |), regs AS (
-         |  SELECT col_name, reg, max(rank) AS m_j
-         |  FROM ranked GROUP BY col_name, reg
-         |), state AS (
-         |  SELECT col_name, count(*) AS n_regs,
-         |    sum(CAST(1 AS BIGINT) << (26 - m_j)) AS isum_p
-         |  FROM regs GROUP BY col_name
-         |)
-         |SELECT s.col_name, t.n_nulls, s.n_regs,
-         |  CAST(s.isum_p + (64 - s.n_regs) * 67108864 AS BIGINT) AS isum,
-         |  CAST(0.709 AS DOUBLE) * 4096 * 67108864 /
-         |    CAST(s.isum_p + (64 - s.n_regs) * 67108864 AS DOUBLE)
-         |    AS hll_estimate,
-         |  t.min_val, t.max_val
-         |FROM state s JOIN stats t USING (col_name)
-         |ORDER BY col_name""".stripMargin),
-  )
+  def oracleSql: Map[String, String] =
+    QueriesCore.oracles ++ QueriesDedupSim.oracles ++
+      QueriesTextSampling.oracles ++ QueriesEventsStreaming.oracles ++
+      QueriesJoinsOlap.oracles ++ QueriesSearchOps.oracles
 }
