@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 import EntryHelpers._
 
 /** Reference-parity core: find-spec filters, projection, limit clamp, counts, the NL fallback compiler, and the repair cascade.
-
+  *
   * One of six per-domain registries merged by [[SparkEntry.queries]] /
   * [[SparkEntry.oracleSql]] — pure relocation of the former monolithic
   * maps, no behavior change (32 entries). */

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 import EntryHelpers._
 
 /** Deduplication (exact through SimHash/winnow/cluster) and embedding similarity/ANN (brute force through IVF-PQ, k-means, JL).
-
+  *
   * One of six per-domain registries merged by [[SparkEntry.queries]] /
   * [[SparkEntry.oracleSql]] — pure relocation of the former monolithic
   * maps, no behavior change (26 entries). */

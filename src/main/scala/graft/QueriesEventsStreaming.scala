@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 import EntryHelpers._
 
 /** Event analytics (sessions, outliers) and every Structured Streaming drain, including the custom DSv2 dirtail source.
-
+  *
   * One of six per-domain registries merged by [[SparkEntry.queries]] /
   * [[SparkEntry.oracleSql]] — pure relocation of the former monolithic
   * maps, no behavior change (15 entries). */

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 import EntryHelpers._
 
 /** Join strategies (as-of, salted, bucketed, bloom, range), OLAP aggregates/windows/set ops, and event graph analytics.
-
+  *
   * One of six per-domain registries merged by [[SparkEntry.queries]] /
   * [[SparkEntry.oracleSql]] — pure relocation of the former monolithic
   * maps, no behavior change (37 entries). */

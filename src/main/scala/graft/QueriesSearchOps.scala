@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 import EntryHelpers._
 
 /** Ranking/retrieval (tf-idf, BM25, hybrid RRF), tokenization, sinks/sources, table ops (txlog, vacuum, optimize), multimodal, CDC merge, profiling.
-
+  *
   * One of six per-domain registries merged by [[SparkEntry.queries]] /
   * [[SparkEntry.oracleSql]] — pure relocation of the former monolithic
   * maps, no behavior change (42 entries). */
