@@ -412,6 +412,14 @@ private[graft] object QueriesSearchOps {
       Multimodal.featuresPng(
           Multimodal.plantedPng(s, Tables.documents(s, dir)))
         .toDF().orderBy("id")),
+    // audio made real the same way: formula-derived PCM16 samples encoded
+    // by the JDK's independent javax.sound WAVE writer, decoded back by
+    // the hand-rolled RIFF chunk walker — the oracle replays the sample
+    // formula's amplitude stats without running either codec
+    "mm_decode_wav" -> ((s: SparkSession, dir: String) =>
+      Multimodal.featuresWav(
+          Multimodal.plantedWav(s, Tables.documents(s, dir)))
+        .toDF().orderBy("id")),
     // ----- CDC merge / upsert: latest-wins change feed applied to the
     // base snapshot (Merge scaladoc: feed-only window + broadcast-sized
     // anti-join — the base never shuffles). The feed is derived
@@ -1168,6 +1176,30 @@ private[graft] object QueriesSearchOps {
          |  CAST(ps AS BIGINT) AS pixel_sum,
          |  CAST((ps*10000 + (w*h*3)//2) // (w*h*3) AS BIGINT)
          |    AS pixel_mean_q4
+         |FROM sums ORDER BY id""".stripMargin),
+    // replay the planted-WAV formula: channels = 1 + id%2,
+    // rate = 8000 + 4000*(id%3), frames = 16 + id%17,
+    // sample(k) = ((id*37 + 11k) mod 65536) - 32768 for
+    // k < frames*channels (max 64 — bounded series join); WAVE PCM is
+    // bit-exact, so the amplitude stats survive the JDK encode →
+    // hand-rolled RIFF parse round trip unchanged
+    "mm_decode_wav" ->
+      ("""WITH fx AS (
+         |  SELECT doc_id AS id, 1 + doc_id % 2 AS c,
+         |         8000 + 4000 * (doc_id % 3) AS rate,
+         |         16 + doc_id % 17 AS f
+         |  FROM documents
+         |), sums AS (
+         |  SELECT id, c, rate, f,
+         |    sum(abs(((id*37 + 11*k) % 65536) - 32768)) AS asum,
+         |    max(abs(((id*37 + 11*k) % 65536) - 32768)) AS amax
+         |  FROM fx, generate_series(0, 63) t(k)
+         |  WHERE k < f * c
+         |  GROUP BY id, c, rate, f
+         |)
+         |SELECT id, CAST(c AS BIGINT) AS channels,
+         |  CAST(rate AS BIGINT) AS sample_rate, CAST(f AS BIGINT) AS n_frames,
+         |  CAST(asum AS BIGINT) AS amp_sum, CAST(amax AS BIGINT) AS amp_max
          |FROM sums ORDER BY id""".stripMargin),
     "mm_features" ->
       ("""SELECT doc_id AS id, 'text' AS kind,

@@ -7,14 +7,16 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, and decode / feature-extraction runs as a
   * per-partition batch transform over a typed Dataset.
   *
-  * Three decode tiers, same batch shape:
+  * Four decode tiers, same batch shape:
   *   - [[decodeStub]] — deterministic fake features, the documented seam
   *     for codecs that need a native lib absent from this container
-  *     (audio/video);
+  *     (video);
   *   - [[decodePpm]] — REAL hand-rolled parse of uncompressed binary PPM
   *     (header tokenization + pixel extraction);
   *   - [[decodeImage]] — REAL compressed-codec decode (PNG et al.) via
-  *     the JDK's built-in `javax.imageio`, zero new dependencies.
+  *     the JDK's built-in `javax.imageio`, zero new dependencies;
+  *   - [[decodeWav]] — REAL audio decode: hand-rolled RIFF/WAVE PCM16
+  *     chunk walker, certified on the JDK `javax.sound` encoder's bytes.
   * Everything around them is the Spark shape a production codec keeps:
   * schema, Encoders, `mapPartitions` batching (decoder state initialized
   * once per partition, not per row), partition-local work, no shuffle.
@@ -272,6 +274,121 @@ object Multimodal {
         require(javax.imageio.ImageIO.write(img, "png", out),
           "JDK PNG writer missing — ImageIO always ships one")
         Media(id, "image", out.toByteArray)
+      }
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // REAL audio decode: RIFF/WAVE PCM16 via a hand-rolled chunk walker
+  // (the PPM discipline applied to audio — strict, loud, zero deps).
+  // The planted fixture is ENCODED by the JDK's independent
+  // `javax.sound.sampled` writer, so the parser is certified against
+  // bytes it never produced, and the DuckDB oracle replays the sample
+  // formula without ever running either codec.
+  // ------------------------------------------------------------------
+
+  /** A decoded PCM16 clip: format fields from the fmt chunk, integer
+    * amplitude stats from the data chunk (exact, hash-comparable). */
+  final case class AudioClip(channels: Int, sampleRate: Int, frames: Long,
+                             ampSum: Long, ampMax: Long)
+
+  /** Parse a RIFF/WAVE container with 16-bit signed little-endian PCM:
+    * walk the chunk list (any order, unknown chunks skipped, word-aligned
+    * sizes honored), require a PCM fmt chunk before data, and fold the
+    * data chunk's samples into |amplitude| sum/max. None on anything
+    * malformed or non-PCM16 — a decoder that guesses is worse than one
+    * that refuses. */
+  def decodeWav(bytes: Array[Byte]): Option[AudioClip] = {
+    def u16(i: Int): Int = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
+    def u32(i: Int): Long = (u16(i).toLong) | (u16(i + 2).toLong << 16)
+    def tag(i: Int): String =
+      if (i + 4 <= bytes.length) new String(bytes, i, 4, "US-ASCII") else ""
+    if (bytes.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var i = 12
+    var fmt: Option[(Int, Int)] = None // (channels, sampleRate)
+    while (i + 8 <= bytes.length) {
+      val id = tag(i)
+      val size = u32(i + 4)
+      val body = i + 8
+      if (body + size > bytes.length) return None // truncated chunk
+      if (id == "fmt ") {
+        if (size < 16) return None
+        val audioFormat = u16(body)
+        val channels = u16(body + 2)
+        val rate = u32(body + 4)
+        val bits = u16(body + 14)
+        // PCM (1) at 16 bits only — everything else is loudly not-ours
+        if (audioFormat != 1 || bits != 16 || channels < 1) return None
+        fmt = Some((channels, rate.toInt))
+      } else if (id == "data") {
+        val (channels, rate) = fmt.getOrElse(return None)
+        if (size % 2 != 0) return None
+        val n = (size / 2).toInt
+        var sum = 0L
+        var max = 0L
+        var k = 0
+        while (k < n) {
+          val s = u16(body + 2 * k).toShort.toInt // sign-extend LE int16
+          val a = math.abs(s).toLong
+          sum += a
+          if (a > max) max = a
+          k += 1
+        }
+        if (n % channels != 0) return None
+        return Some(AudioClip(channels, rate, (n / channels).toLong, sum, max))
+      }
+      i = body + size.toInt + (size.toInt & 1) // RIFF chunks are word-aligned
+    }
+    None // no data chunk
+  }
+
+  final case class WavFeatures(id: Long, channels: Long, sample_rate: Long,
+                               n_frames: Long, amp_sum: Long, amp_max: Long)
+
+  /** WAV-decode feature extraction over [[decodeWav]], same per-partition
+    * batch shape and quarantine-drop semantics as [[featuresPpm]]. */
+  def featuresWav(media: Dataset[Media]): Dataset[WavFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { m =>
+        decodeWav(m.bytes).map(c =>
+          WavFeatures(m.id, c.channels.toLong, c.sampleRate.toLong,
+            c.frames, c.ampSum, c.ampMax))
+      }
+    }
+  }
+
+  /** Planted WAV payloads, one per document, every field a formula of
+    * `doc_id` (channels = 1 + id%2, rate = 8000 + 4000·(id%3),
+    * frames = 16 + id%17, sample(k) = ((id·37 + 11k) mod 65536) − 32768
+    * over the interleaved sample index k) — ENCODED through the JDK's
+    * own `javax.sound.sampled` WAVE writer, so [[decodeWav]] is
+    * exercised on an independent encoder's bytes and the oracle
+    * recomputes the amplitude stats from the id alone. */
+  def plantedWav(spark: SparkSession, documents: DataFrame): Dataset[Media] = {
+    import spark.implicits._
+    documents.select(col("doc_id").cast("long")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val channels = (1 + id % 2).toInt
+        val rate = (8000 + 4000 * (id % 3)).toInt
+        val frames = (16 + id % 17).toInt
+        val total = frames * channels
+        val pcm = new Array[Byte](total * 2)
+        var k = 0
+        while (k < total) {
+          val s = (((id * 37 + 11L * k) % 65536) - 32768).toShort
+          pcm(2 * k) = (s & 0xff).toByte
+          pcm(2 * k + 1) = ((s >> 8) & 0xff).toByte
+          k += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(
+          rate.toFloat, 16, channels, true, false) // signed, little-endian
+        val out = new java.io.ByteArrayOutputStream()
+        val in = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+        javax.sound.sampled.AudioSystem.write(in,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, out): Unit
+        Media(id, "audio", out.toByteArray)
       }
     }
   }

@@ -79,14 +79,36 @@ private[sources] class DirTailTable(schema: StructType, path: String)
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  /** Column pruning is the one pushdown that matters for a JSONL tail:
+    * Catalyst hands the required columns down
+    * (`SupportsPushDownRequiredColumns`) and the reader PARSES only
+    * those fields — for a wide event schema projected to two columns,
+    * the JSON tokenizer still scans the line but none of the dropped
+    * fields are materialized, boxed, or converted (UTF8String copies are
+    * the dominant per-row cost). The pruned schema is what
+    * `planInputPartitions`' readers decode, so `.explain` shows the
+    * narrow ReadSchema exactly like the parquet scans. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new Scan {
-        override def readSchema(): StructType = schema
-        override def toMicroBatchStream(ckpt: String): MicroBatchStream =
-          new DirTailStream(schema, path)
-      }
-    }
+    new DirTailScanBuilder(schema, path)
+}
+
+private[graft] class DirTailScanBuilder(full: StructType, path: String)
+    extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+  private var pruned: StructType = full
+  override def pruneColumns(required: StructType): Unit = {
+    // keep the FULL schema's field order and types (`required` arrives in
+    // Catalyst's order and must not reorder what the reader emits); an
+    // empty projection (count(*) over the stream) legitimately prunes to
+    // zero fields — the reader then emits empty rows, the COUNT is the data
+    val keep = required.fieldNames.toSet
+    pruned = StructType(full.fields.filter(f => keep.contains(f.name)))
+  }
+  override def build(): Scan = new Scan {
+    override def readSchema(): StructType = pruned
+    override def toMicroBatchStream(ckpt: String): MicroBatchStream =
+      new DirTailStream(pruned, path)
+  }
 }
 
 /** Offset = number of files (of the lexicographically-sorted listing)

@@ -89,6 +89,37 @@ class DirTailSourceSpec extends SparkSpec {
     assert(over.getMessage.contains("immutable"))
   }
 
+  test("column pruning reaches the reader (narrow parse, stable order)") {
+    val b = new graft.sources.DirTailScanBuilder(schema, "/tmp/x")
+    // Catalyst may hand the required columns in ITS order; the pruned
+    // schema must keep the declared field order
+    b.pruneColumns(StructType(Seq(
+      StructField("score", DoubleType), StructField("id", LongType))))
+    assert(b.build().readSchema().fieldNames.toSeq == Seq("id", "score"))
+    // empty projection (count(*)): zero-field rows, rows still flow
+    val b2 = new graft.sources.DirTailScanBuilder(schema, "/tmp/x")
+    b2.pruneColumns(StructType(Nil))
+    assert(b2.build().readSchema().isEmpty)
+
+    // end-to-end: a projected drain returns only the selected column's
+    // values (the pruned schema is what the micro-batch actually decodes)
+    val src = Files.createTempDirectory("dirtail-src")
+    val out = Files.createTempDirectory("dirtail-out")
+    val ckpt = Files.createTempDirectory("dirtail-ckpt")
+    writeFile(src, "a.jsonl", (0L until 4L).map(line))
+    val q = spark.readStream.format("graft-dirtail").schema(schema)
+      .option("path", src.toString).load()
+      .select(col("id"))
+      .writeStream.format("parquet").option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.read.parquet(out.toString)
+    assert(got.schema.fieldNames.toSeq == Seq("id"))
+    assert(got.collect().map(_.getLong(0)).sorted.toSeq == (0L until 4L))
+  }
+
   test("rejects schemaless reads and unsupported field types loudly") {
     val noSchema = intercept[IllegalArgumentException] {
       spark.readStream.format("graft-dirtail")
