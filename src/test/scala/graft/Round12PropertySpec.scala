@@ -1,0 +1,119 @@
+package graft
+
+import graft.ext.Multimodal
+import org.scalacheck.{Gen, Prop, Properties}
+
+/** Properties for the round-12 work, checked against independent
+  * in-memory models on random inputs:
+  *  - every decoder is TOTAL (returns an Option, never throws) on
+  *    arbitrary garbage AND on bit-flipped corruptions of valid
+  *    payloads — the repair-cascade discipline applied to codecs;
+  *  - the WAV round trip is exact: random PCM16 clips encoded by the
+  *    JDK's independent `javax.sound` writer decode to the precise
+  *    amplitude stats an in-memory fold computes from the raw samples. */
+object Round12PropertySpec extends Properties("round12") {
+
+  // ------------------------------------------------------ WAV round trip
+  private case class Clip(channels: Int, rate: Int, samples: Array[Short])
+
+  private val genClip: Gen[Clip] = for {
+    channels <- Gen.choose(1, 2)
+    rate <- Gen.oneOf(8000, 16000, 44100)
+    frames <- Gen.choose(1, 200)
+    samples <- Gen.listOfN(frames * channels,
+      Gen.choose(Short.MinValue.toInt, Short.MaxValue.toInt).map(_.toShort))
+  } yield Clip(channels, rate, samples.toArray)
+
+  private def encodeJdk(c: Clip): Array[Byte] = {
+    val pcm = new Array[Byte](c.samples.length * 2)
+    var k = 0
+    while (k < c.samples.length) {
+      pcm(2 * k) = (c.samples(k) & 0xff).toByte
+      pcm(2 * k + 1) = ((c.samples(k) >> 8) & 0xff).toByte
+      k += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      c.rate.toFloat, 16, c.channels, true, false)
+    val out = new java.io.ByteArrayOutputStream()
+    val in = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt,
+      (c.samples.length / c.channels).toLong)
+    javax.sound.sampled.AudioSystem.write(in,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out): Unit
+    out.toByteArray
+  }
+
+  property("decodeWav inverts the JDK encoder with exact amplitude stats") =
+    Prop.forAll(genClip) { c =>
+      val got = Multimodal.decodeWav(encodeJdk(c))
+      val want = Multimodal.AudioClip(c.channels, c.rate,
+        (c.samples.length / c.channels).toLong,
+        c.samples.map(s => math.abs(s.toInt).toLong).sum,
+        c.samples.map(s => math.abs(s.toInt).toLong).max)
+      got.contains(want)
+    }
+
+  // ------------------------------------------------- decoder totality
+  private val genBytes: Gen[Array[Byte]] =
+    Gen.listOf(Gen.choose(-128, 127).map(_.toByte)).map(_.toArray)
+
+  /** A valid payload with a few random byte flips — the adversarial
+    * input class a fuzzer finds first (mostly-valid headers). */
+  private def corrupt(valid: Array[Byte]): Gen[Array[Byte]] = for {
+    n <- Gen.choose(1, 4)
+    idxs <- Gen.listOfN(n, Gen.choose(0, math.max(0, valid.length - 1)))
+    vals <- Gen.listOfN(n, Gen.choose(-128, 127).map(_.toByte))
+  } yield {
+    val b = valid.clone()
+    idxs.zip(vals).foreach { case (i, v) => if (b.nonEmpty) b(i) = v }
+    b
+  }
+
+  private val validWav: Array[Byte] =
+    encodeJdk(Clip(2, 8000, Array.tabulate(64)(k => (k * 991).toShort)))
+  private val validPpm: Array[Byte] =
+    ("P6\n4 3\n255\n" + "x" * 36).getBytes("US-ASCII")
+  private val validPng: Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(4, 3,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out): Unit
+    out.toByteArray
+  }
+
+  property("decodeWav is total on garbage and corrupted payloads") =
+    Prop.forAll(Gen.oneOf(genBytes, corrupt(validWav))) { b =>
+      Multimodal.decodeWav(b); true // Option out, no throw
+    }
+
+  property("decodePpm is total on garbage and corrupted payloads") =
+    Prop.forAll(Gen.oneOf(genBytes, corrupt(validPpm))) { b =>
+      Multimodal.decodePpm(b); true
+    }
+
+  property("decodeImage is total on garbage and corrupted payloads") =
+    Prop.forAll(Gen.oneOf(genBytes, corrupt(validPng))) { b =>
+      Multimodal.decodeImage(b); true
+    }
+
+  // ----------------------------------------- CellArgmin null-slot rule
+  /** A null element slot must null the whole cell id (the interpreted
+    * aggregate+array_min it replaced propagated null), while clean rows
+    * in the same frame still assign — exercised through a real plan so
+    * the containsNull=true codegen branch runs, not just nullSafeEval. */
+  property("cell_argmin nulls rows with null slots, assigns clean rows") =
+    Prop.forAll(Gen.choose(1, 5)) { nullAt0 =>
+      val spark = TestSpark.spark
+      import spark.implicits._
+      import org.apache.spark.sql.functions.{col, element_at}
+      val cents = Seq(Seq(0.0, 0.0), Seq(10.0, 10.0))
+      // arrays built via element_at tricks keep containsNull=true; row 1
+      // holds a null slot, row 2 is clean and nearest cell 1
+      val df = Seq((1L, Seq(Some(1.0), None)), (2L, Seq(Some(9.0), Some(9.0))))
+        .toDF("id", "v")
+        .select(col("id"), graft.functions.VectorFunctions.cell_argmin(
+          col("v"), cents).as("cell"))
+      val rows = df.orderBy("id").collect()
+      rows(0).isNullAt(1) && rows(1).getInt(1) == 1
+    }
+}
