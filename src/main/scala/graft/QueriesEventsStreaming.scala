@@ -77,6 +77,37 @@ private[graft] object QueriesEventsStreaming {
         graft.streaming.EventsStream.hourlyCounts(stream))
         .orderBy("hour", "event_type")
     }),
+    // the full custom-IO loop: events stream OUT through the dirtail
+    // DSv2 SINK (per-task staged JSONL, epoch-commit rename + exclusive
+    // marker — exactly-once to the visible namespace), then the sink's
+    // own output is tailed back through the dirtail SOURCE into the
+    // certified hourly topology — one green hash certifies writer
+    // serialization, commit protocol, offsets, and row decode together
+    "stream_dirtail_sink" -> ((s: SparkSession, dir: String) => {
+      val out = scratchDir("graft-dirtail-sink-")
+      val q = eventsStream(s, dir).writeStream.format("graft-dirtail")
+        .option("path", out)
+        .option("checkpointLocation", scratchDir("graft-dirtail-sinkckpt-"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val wire = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType)))
+      val back = s.readStream.format("graft-dirtail").schema(wire)
+        .option("path", out).load()
+      drainStream(s, "graft_stream_dirtail_sink", "complete",
+        graft.streaming.EventsStream.hourlyCounts(back))
+        .orderBy("hour", "event_type")
+    }),
     // streaming hourly counts finalized with the batch growth arithmetic
     // (Events.growthOverHourly) — certifies against the events_growth
     // oracle, the stream_hll maintain-then-finalize pattern
@@ -256,6 +287,13 @@ private[graft] object QueriesEventsStreaming {
     // round trip (epoch-micros wire ts) must be value-exact, so the
     // stream_hourly oracle certifies the source machinery verbatim
     "stream_dirtail" ->
+      ("""SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
+         |  count(*) AS n,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin),
+    // the sink→source loop must be value-exact end to end, so the same
+    // hourly oracle certifies the writer+commit+tail composition
+    "stream_dirtail_sink" ->
       ("""SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
          |  count(*) AS n,
          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

@@ -10,10 +10,12 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.write.{DataWriter, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -74,11 +76,21 @@ class DirTailSource extends TableProvider with DataSourceRegister {
 }
 
 private[sources] class DirTailTable(schema: StructType, path: String)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-dirtail:$path"
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    DirTail.validate(info.schema())
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toStreaming: StreamingWrite =
+          new DirTailStreamingWrite(info.schema(), path)
+      }
+    }
+  }
   /** Column pruning is the one pushdown that matters for a JSONL tail:
     * Catalyst hands the required columns down
     * (`SupportsPushDownRequiredColumns`) and the reader PARSES only
@@ -187,6 +199,113 @@ private[sources] class DirTailReader(schema: StructType, file: String)
   override def close(): Unit = ()
 }
 
+/** The WRITE side of the dirtail table — a DSv2 `StreamingWrite` whose
+  * epoch commit produces exactly the immutable `*.jsonl` files the read
+  * side tails, closing the custom-IO loop (stream out through the sink,
+  * tail back through the source).
+  *
+  * Commit protocol (the file-sink recipe without a manifest):
+  *   1. each task's [[DirTailDataWriter]] streams rows into a
+  *      dot-prefixed staging file (dot = invisible to the tail's
+  *      listing, the same in-flight convention the source documents);
+  *   2. the task's commit message carries the staged name; the DRIVER's
+  *      `commit(epochId, messages)` renames every staged file to its
+  *      DETERMINISTIC visible name `part-<epoch>-<partition>.jsonl` and
+  *      then publishes an exclusive `.epoch-<id>.committed` marker
+  *      through [[PosixLinkPrimitive]] — the same create-exclusive
+  *      primitive the TxTable commit stands on;
+  *   3. a REPLAYED epoch (restart after a crash between rename and
+  *      marker) sees the marker or the already-visible deterministic
+  *      names: marker present → drop the new staging files and return
+  *      (idempotent); names present → `REPLACE_EXISTING` move is
+  *      byte-idempotent because a replayed epoch re-writes the same
+  *      batch. Net: each epoch's rows appear in the visible namespace
+  *      exactly once, under names that sort in epoch order — so the
+  *      tail consumes epochs in commit order.
+  *
+  * Scale shape: rows never touch the driver — tasks write their own
+  * files; the driver moves O(partitions) names per epoch (metadata,
+  * TxTable economics). Serialization is the exact inverse of
+  * [[DirTail.parse]] (timestamps as epoch-micros numbers). */
+private[graft] class DirTailStreamingWrite(schema: StructType, path: String)
+    extends StreamingWrite {
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new DirTailWriterFactory(schema, path)
+
+  override def commit(epochId: Long,
+                      messages: Array[WriterCommitMessage]): Unit = {
+    val dir = Paths.get(path)
+    Files.createDirectories(dir): Unit
+    val marker = dir.resolve(f".epoch-$epochId%010d.committed")
+    val staged = messages.map(_.asInstanceOf[DirTailCommitMessage])
+    if (Files.exists(marker)) { // replayed epoch: already fully visible
+      staged.foreach(m => Files.deleteIfExists(dir.resolve(m.staged)): Unit)
+      return
+    }
+    staged.foreach { m =>
+      val target = dir.resolve(f"part-$epochId%010d-${m.partitionId}%05d.jsonl")
+      Files.move(dir.resolve(m.staged), target,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    }
+    try PosixLinkPrimitive.publishExclusive(marker, Array.emptyByteArray)
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+  }
+
+  override def abort(epochId: Long,
+                     messages: Array[WriterCommitMessage]): Unit = {
+    val dir = Paths.get(path)
+    messages.foreach {
+      case m: DirTailCommitMessage =>
+        Files.deleteIfExists(dir.resolve(m.staged)): Unit
+      case _ => ()
+    }
+  }
+}
+
+private[sources] case class DirTailCommitMessage(staged: String,
+                                                 partitionId: Int,
+                                                 rows: Long)
+    extends WriterCommitMessage
+
+private[graft] class DirTailWriterFactory(schema: StructType, path: String)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new DirTailDataWriter(schema, path, partitionId, epochId)
+}
+
+private[sources] class DirTailDataWriter(schema: StructType, path: String,
+                                         partitionId: Int, epochId: Long)
+    extends DataWriter[InternalRow] {
+  // task attempts stage under unique names; only the committed attempt's
+  // message reaches the driver, abort/close reaps the rest
+  private val staged =
+    f".stage-$epochId%010d-$partitionId%05d-${java.util.UUID.randomUUID()}.jsonl"
+  private val out = {
+    Files.createDirectories(Paths.get(path)): Unit
+    Files.newBufferedWriter(Paths.get(path).resolve(staged),
+      StandardCharsets.UTF_8)
+  }
+  private val mapper = new ObjectMapper()
+  private var rows = 0L
+
+  override def write(row: InternalRow): Unit = {
+    out.write(DirTail.serialize(mapper, schema, row))
+    out.newLine()
+    rows += 1
+  }
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    DirTailCommitMessage(staged, partitionId, rows)
+  }
+  override def abort(): Unit = {
+    out.close()
+    Files.deleteIfExists(Paths.get(path).resolve(staged)): Unit
+  }
+  override def close(): Unit = out.close()
+}
+
 private[sources] object DirTail {
   private val Supported: Set[DataType] = Set(LongType, IntegerType,
     DoubleType, StringType, BooleanType, TimestampType)
@@ -196,6 +315,34 @@ private[sources] object DirTail {
       s"graft-dirtail field '${f.name}': unsupported type " +
         s"${f.dataType.simpleString} (supported: bigint, int, double, " +
         "string, boolean, timestamp-as-epoch-micros)")
+  }
+
+  /** One InternalRow → JSONL line, the exact inverse of [[parse]]:
+    * timestamps as epoch-micros numbers, null fields written as JSON
+    * null (parse reads absent and null identically; explicit null keeps
+    * lines self-describing). Jackson handles string escaping and
+    * shortest-round-trip double formatting. */
+  def serialize(mapper: ObjectMapper, schema: StructType,
+                row: InternalRow): String = {
+    val node = mapper.createObjectNode()
+    var i = 0
+    while (i < schema.length) {
+      val f = schema(i)
+      if (row.isNullAt(i)) node.putNull(f.name): Unit
+      else f.dataType match {
+        case LongType      => node.put(f.name, row.getLong(i)): Unit
+        case IntegerType   => node.put(f.name, row.getInt(i)): Unit
+        case DoubleType    => node.put(f.name, row.getDouble(i)): Unit
+        case BooleanType   => node.put(f.name, row.getBoolean(i)): Unit
+        case StringType    =>
+          node.put(f.name, row.getUTF8String(i).toString): Unit
+        case TimestampType => node.put(f.name, row.getLong(i)): Unit
+        case other => throw new IllegalStateException(
+          s"unreachable: $other passed validate()")
+      }
+      i += 1
+    }
+    mapper.writeValueAsString(node)
   }
 
   /** One JSONL line → InternalRow. Loud on malformed JSON or a value of

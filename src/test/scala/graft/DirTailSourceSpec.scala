@@ -134,6 +134,74 @@ class DirTailSourceSpec extends SparkSpec {
     assert(badType.getMessage.contains("unsupported type"))
   }
 
+  test("streaming sink: rows stream out as tailable JSONL, typed round trip") {
+    import spark.implicits._
+    val data = Files.createTempDirectory("dirtail-data")
+    val out = Files.createTempDirectory("dirtail-sink-out")
+    val ckpt = Files.createTempDirectory("dirtail-sink-ckpt")
+    // file-source input so the sink drains a real micro-batch stream
+    (0L until 7L).map(i => (i, s"k${i % 3}", i + 0.5, i * 1000000L))
+      .toDF("id", "kind", "score", "ts_us")
+      .select(col("id"), col("kind"), col("score"),
+        timestamp_micros(col("ts_us")).as("ts"))
+      .write.mode("overwrite").parquet(data.toString)
+    val in = spark.readStream
+      .schema(spark.read.parquet(data.toString).schema)
+      .parquet(data.toString)
+    val q = in.writeStream.format("graft-dirtail")
+      .option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // visible namespace: only committed part-*.jsonl + the epoch marker
+    val files = Files.list(out).iterator()
+    val names = Iterator.continually(files).takeWhile(_.hasNext)
+      .map(_.next().getFileName.toString).toList
+    assert(names.exists(_.matches("part-\\d{10}-\\d{5}\\.jsonl")), names)
+    assert(names.exists(_.matches("\\.epoch-\\d{10}\\.committed")), names)
+    assert(!names.exists(_.startsWith(".stage-")), names)
+    // tail the sink's output back through the SOURCE: full custom-IO loop
+    val back = spark.readStream.format("graft-dirtail").schema(schema)
+      .option("path", out.toString).load()
+    val rtOut = Files.createTempDirectory("dirtail-rt-out")
+    val rtCkpt = Files.createTempDirectory("dirtail-rt-ckpt")
+    val q2 = back.writeStream.format("parquet")
+      .option("path", rtOut.toString)
+      .option("checkpointLocation", rtCkpt.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    val got = spark.read.schema(schema).parquet(rtOut.toString)
+      .orderBy("id").collect()
+    assert(got.length == 7)
+    assert(got.map(_.getLong(0)).toSeq == (0L until 7L))
+    assert(got(3).getString(1) == "k0" && got(3).getDouble(2) == 3.5)
+    assert(got(3).getTimestamp(3).toInstant.getEpochSecond == 3L)
+  }
+
+  test("streaming sink: replayed epoch commit is idempotent (no dup rows)") {
+    val out = Files.createTempDirectory("dirtail-replay")
+    val w = new graft.sources.DirTailStreamingWrite(schema, out.toString)
+    def stageAndCommit(): Unit = {
+      // simulate one task's writer for epoch 0 then the driver commit
+      val dw = new graft.sources.DirTailWriterFactory(schema, out.toString)
+        .createWriter(0, 0L, 0L)
+      val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](1L, org.apache.spark.unsafe.types.UTF8String.fromString("k"),
+          1.5, 1000000L))
+      dw.write(row)
+      w.commit(0L, Array(dw.commit()))
+    }
+    stageAndCommit()
+    stageAndCommit() // crash-replay of the same epoch
+    val visible = Files.list(out).iterator()
+    val names = Iterator.continually(visible).takeWhile(_.hasNext)
+      .map(_.next().getFileName.toString).toList
+    assert(names.count(_.endsWith(".jsonl")) == 1, names) // exactly once
+    assert(!names.exists(_.startsWith(".stage-")), names) // replay reaped
+  }
+
   test("malformed JSON fails the batch loudly instead of dropping rows") {
     val src = Files.createTempDirectory("dirtail-src")
     val out = Files.createTempDirectory("dirtail-out")
