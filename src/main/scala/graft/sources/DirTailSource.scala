@@ -2,7 +2,7 @@ package graft.sources
 
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
-import java.util.{List => JList, Map => JMap}
+import java.util.{Map => JMap}
 
 import scala.jdk.CollectionConverters._
 
@@ -179,24 +179,21 @@ private[sources] class DirTailReaderFactory(schema: StructType)
 
 private[sources] class DirTailReader(schema: StructType, file: String)
     extends PartitionReader[InternalRow] {
-  private val lines: java.util.Iterator[String] = {
-    val all: JList[String] =
-      Files.readAllLines(Paths.get(file), StandardCharsets.UTF_8)
-    all.iterator()
-  }
+  // stream, don't slurp: a task's memory must not scale with its file
+  // size (readAllLines would materialize the whole split at once)
+  private val in =
+    Files.newBufferedReader(Paths.get(file), StandardCharsets.UTF_8)
   private val mapper = new ObjectMapper()
   private var row: InternalRow = _
 
   override def next(): Boolean = {
-    var got = false
-    while (!got && lines.hasNext) {
-      val line = lines.next()
-      if (line.trim.nonEmpty) { row = DirTail.parse(mapper, schema, line, file); got = true }
-    }
-    got
+    var line = in.readLine()
+    while (line != null && line.trim.isEmpty) line = in.readLine()
+    if (line == null) false
+    else { row = DirTail.parse(mapper, schema, line, file); true }
   }
   override def get(): InternalRow = row
-  override def close(): Unit = ()
+  override def close(): Unit = in.close()
 }
 
 /** The WRITE side of the dirtail table — a DSv2 `StreamingWrite` whose
