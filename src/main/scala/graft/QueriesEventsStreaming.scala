@@ -13,7 +13,8 @@ import EntryHelpers._
   *
   * One of six per-domain registries merged by [[SparkEntry.queries]] /
   * [[SparkEntry.oracleSql]] — pure relocation of the former monolithic
-  * maps, no behavior change (15 entries). */
+  * maps, no behavior change (16 entries incl. the round-12 custom-exec
+  * as-of path). */
 private[graft] object QueriesEventsStreaming {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // 3σ anomaly flag with division-free integer arithmetic (Events
@@ -213,6 +214,23 @@ private[graft] object QueriesEventsStreaming {
           col("asof_o_orderkey").as("asof_orderkey"),
           col("asof_o_totalprice").as("asof_price"))
         .orderBy("event_id")),
+    // The SAME as-of semantics through the custom WHOLE-operator path:
+    // logical AsOfJoin node → injected planner strategy → broadcast
+    // binary-search AsOfJoinExec (plans/AsOfJoinPlan.scala scaladoc has
+    // the broadcast-dim vs merge-window routing). Certified against the
+    // identical oracle as join_asof — two physical plans, one answer.
+    "join_asof_phys" -> ((s: SparkSession, dir: String) =>
+      graft.plans.AsOfPhys.asofJoinBroadcast(
+          Tables.events(s, dir)
+            .select(col("event_id"), col("user_id"), col("ts")),
+          Tables.orders(s, dir),
+          "user_id", "o_custkey", "ts", "o_orderdate",
+          valueCols = Seq("o_orderkey", "o_totalprice"),
+          tieBreak = "o_orderkey")
+        .select(col("event_id"),
+          col("asof_o_orderkey").as("asof_orderkey"),
+          col("asof_o_totalprice").as("asof_price"))
+        .orderBy("event_id")),
   )
 
   val oracles: Map[String, String] = Map(
@@ -369,6 +387,17 @@ private[graft] object QueriesEventsStreaming {
     // (date) broken by largest o_orderkey — the same total order the
     // engine's (time, side, tie) window sort establishes
     "join_asof" ->
+      ("""SELECT e.event_id,
+         |  (SELECT o.o_orderkey FROM orders o
+         |   WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+         |   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS asof_orderkey,
+         |  (SELECT o.o_totalprice FROM orders o
+         |   WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+         |   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS asof_price
+         |FROM events e ORDER BY e.event_id""".stripMargin),
+    // identical reference for the custom-exec path: two physical plans
+    // (merge-window vs broadcast binary-search) must land one answer
+    "join_asof_phys" ->
       ("""SELECT e.event_id,
          |  (SELECT o.o_orderkey FROM orders o
          |   WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts

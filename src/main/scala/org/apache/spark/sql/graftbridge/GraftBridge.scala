@@ -22,4 +22,13 @@ object GraftBridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
+
+  /** Wrap a hand-built logical plan as a DataFrame (`Dataset.ofRows` is
+    * `private[sql]`) — the entry point for custom logical operators
+    * planned by an injected [[org.apache.spark.sql.execution.SparkStrategy]]. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }
