@@ -13,7 +13,7 @@ import EntryHelpers._
   *
   * One of six per-domain registries merged by [[SparkEntry.queries]] /
   * [[SparkEntry.oracleSql]] — pure relocation of the former monolithic
-  * maps, no behavior change (42 entries). */
+  * maps, no behavior change (43 entries incl. the round-12 Y4M video path). */
 private[graft] object QueriesSearchOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ----- per-document tf-idf keywords (integer-quantized idf) -----
@@ -420,6 +420,15 @@ private[graft] object QueriesSearchOps {
       Multimodal.featuresWav(
           Multimodal.plantedWav(s, Tables.documents(s, dir)))
         .toDF().orderBy("id")),
+    // video completes the trio: formula-derived planar YUV rendered as
+    // real YUV4MPEG2 streams, frame-SAMPLED during the container walk
+    // (skipped frames never read — the 1/step decode-work reduction),
+    // per-kept-frame Y/UV plane sums certifying the plane-boundary and
+    // frame-stride arithmetic against a formula-replay oracle
+    "mm_decode_y4m" -> ((s: SparkSession, dir: String) =>
+      Multimodal.featuresY4m(
+          Multimodal.plantedY4m(s, Tables.documents(s, dir)), step = 2)
+        .toDF().orderBy("id", "frame_idx")),
     // ----- CDC merge / upsert: latest-wins change feed applied to the
     // base snapshot (Merge scaladoc: feed-only window + broadcast-sized
     // anti-join — the base never shuffles). The feed is derived
@@ -1201,6 +1210,35 @@ private[graft] object QueriesSearchOps {
          |  CAST(rate AS BIGINT) AS sample_rate, CAST(f AS BIGINT) AS n_frames,
          |  CAST(asum AS BIGINT) AS amp_sum, CAST(amax AS BIGINT) AS amp_max
          |FROM sums ORDER BY id""".stripMargin),
+    // frame sampling replay: frames f < 1+id%5 with f%2=0 survive; luma
+    // byte k of frame f is (id*13+5f+3k) mod 256 over w*h bytes, chroma
+    // (id*17+7f+k) mod 256 over w*h/2 — exactly the planted formulas
+    "mm_decode_y4m" ->
+      ("""WITH g AS (
+         |  SELECT doc_id AS id, 2*(1 + doc_id % 3) AS w,
+         |         2*(1 + doc_id % 2) AS h, 1 + doc_id % 5 AS nf,
+         |         24 + doc_id % 2 AS fps
+         |  FROM documents
+         |), fr AS (
+         |  SELECT id, w, h, fps, f
+         |  FROM g, generate_series(0, 4) t(f)
+         |  WHERE f < nf AND f % 2 = 0
+         |), ys AS (
+         |  SELECT id, f, sum((id*13 + 5*f + 3*k) % 256) AS s
+         |  FROM fr, generate_series(0, 23) ty(k)
+         |  WHERE k < w*h GROUP BY id, f
+         |), uvs AS (
+         |  SELECT id, f, sum((id*17 + 7*f + k) % 256) AS s
+         |  FROM fr, generate_series(0, 11) tu(k)
+         |  WHERE k < w*h//2 GROUP BY id, f
+         |)
+         |SELECT fr.id, CAST(fr.f AS BIGINT) AS frame_idx,
+         |  CAST(fr.w AS BIGINT) AS width, CAST(fr.h AS BIGINT) AS height,
+         |  CAST(fr.fps AS BIGINT) AS fps_num, CAST(ys.s AS BIGINT) AS y_sum,
+         |  CAST(uvs.s AS BIGINT) AS uv_sum
+         |FROM fr JOIN ys ON fr.id = ys.id AND fr.f = ys.f
+         |        JOIN uvs ON fr.id = uvs.id AND fr.f = uvs.f
+         |ORDER BY fr.id, frame_idx""".stripMargin),
     "mm_features" ->
       ("""SELECT doc_id AS id, 'text' AS kind,
          |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,

@@ -393,6 +393,174 @@ object Multimodal {
     }
   }
 
+  // ------------------------------------------------------------------
+  // REAL video container parse: YUV4MPEG2 (Y4M) — the standard
+  // interchange format for RAW planar video (ffmpeg/x264/VMAF all speak
+  // it): a plain-text header, then `FRAME\n`-delimited uncompressed YUV
+  // planes. Like PPM for images, it is the honest zero-dependency video
+  // format: parsing it exercises real container work (header grammar,
+  // per-colorspace plane geometry, frame stride) with no codec library.
+  // Frame SAMPLING happens inside the walk: skipped frames are skipped
+  // by index arithmetic — their bytes are never read, which is exactly
+  // the 1/step work reduction frame sampling buys at 100 TB.
+  // ------------------------------------------------------------------
+
+  /** One sampled, decoded video frame: plane-separated byte sums (the
+    * Y/UV boundary arithmetic is what they certify) plus the header
+    * geometry replicated per row for the oracle. */
+  final case class VideoFrame(id: Long, frame_idx: Long, width: Long,
+                              height: Long, fps_num: Long, y_sum: Long,
+                              uv_sum: Long)
+
+  /** Parsed Y4M stream metadata + per-SAMPLED-frame plane sums. */
+  final case class Y4mClip(width: Int, height: Int, fpsNum: Int, fpsDen: Int,
+                           sampled: Seq[(Int, Long, Long)]) // (idx, ySum, uvSum)
+
+  /** Parse a YUV4MPEG2 stream, folding every `step`-th frame's luma and
+    * chroma planes into exact integer sums and SKIPPING the rest without
+    * reading them.
+    *
+    * Grammar (public Y4M spec, as written by ffmpeg): header line
+    * `YUV4MPEG2 (<tag><value>)*\n` with required `W`/`H`/`F<num>:<den>`
+    * tags; each frame is `FRAME(<params>)?\n` + one raw picture of
+    * geometry-determined size. Supported colorspaces: `C420*` (chroma
+    * subsampled 2×2 — frame is w·h + 2·(w/2)·(h/2) bytes, even
+    * dimensions required), `C444` (w·h·3), `Cmono` (w·h, uv_sum 0).
+    * `C422` and anything unknown → None: a parser that guesses plane
+    * geometry corrupts every downstream feature silently.
+    *
+    * None on any malformation (bad magic, missing tags, truncated
+    * frame, trailing garbage) — same strict-or-refuse discipline as
+    * [[decodePpm]]/[[decodeWav]]. */
+  def decodeY4m(bytes: Array[Byte], step: Int): Option[Y4mClip] = {
+    require(step > 0)
+    def lineEnd(from: Int): Int = {
+      var i = from
+      while (i < bytes.length && bytes(i) != '\n') i += 1
+      i // == length when unterminated
+    }
+    val hEnd = lineEnd(0)
+    if (hEnd >= bytes.length) return None // unterminated header
+    val header = new String(bytes, 0, hEnd, "US-ASCII")
+    val parts = header.split(" ")
+    if (parts.isEmpty || parts(0) != "YUV4MPEG2") return None
+    def natInt(s: String): Option[Int] =
+      if (s.nonEmpty && s.forall(c => c >= '0' && c <= '9'))
+        try Some(s.toInt) catch { case _: NumberFormatException => None }
+      else None
+    var w, h, fn, fd = -1
+    var cs = "420jpeg" // the Y4M default when no C tag is present
+    var pi = 1
+    while (pi < parts.length) {
+      val p = parts(pi)
+      if (p.nonEmpty) (p.head, p.tail) match {
+        case ('W', v) => w = natInt(v).getOrElse(-1)
+        case ('H', v) => h = natInt(v).getOrElse(-1)
+        case ('F', v) => v.split(":") match {
+          case Array(n, d) =>
+            fn = natInt(n).getOrElse(-1)
+            fd = natInt(d).getOrElse(-1)
+          case _ => return None
+        }
+        case ('C', v) => cs = v
+        case ('I' | 'A' | 'X', _) => // interlace/aspect/comment: ignored
+        case _ => return None // unknown tag letter: refuse, don't guess
+      }
+      pi += 1
+    }
+    if (w <= 0 || h <= 0 || fn <= 0 || fd <= 0) return None
+    val (ySize, uvSize) =
+      if (cs.startsWith("420")) {
+        if (w % 2 != 0 || h % 2 != 0) return None
+        (w * h, 2 * (w / 2) * (h / 2))
+      } else if (cs == "444") (w * h, 2 * w * h)
+      else if (cs == "mono") (w * h, 0)
+      else return None
+    val frameSize = ySize + uvSize
+    val sampled = Seq.newBuilder[(Int, Long, Long)]
+    var i = hEnd + 1
+    var idx = 0
+    while (i < bytes.length) {
+      // frame marker line: FRAME optionally followed by parameters
+      val fEnd = lineEnd(i)
+      if (fEnd >= bytes.length) return None
+      val marker = new String(bytes, i, fEnd - i, "US-ASCII")
+      if (marker != "FRAME" && !marker.startsWith("FRAME ")) return None
+      val body = fEnd + 1
+      if (body + frameSize > bytes.length) return None // truncated picture
+      if (idx % step == 0) {
+        var ySum = 0L
+        var k = body
+        val yEnd = body + ySize
+        while (k < yEnd) { ySum += bytes(k) & 0xff; k += 1 }
+        var uvSum = 0L
+        val uvEnd = yEnd + uvSize
+        while (k < uvEnd) { uvSum += bytes(k) & 0xff; k += 1 }
+        sampled += ((idx, ySum, uvSum))
+      } // else: the whole picture is SKIPPED — no byte reads
+      i = body + frameSize
+      idx += 1
+    }
+    Some(Y4mClip(w, h, fn, fd, sampled.result()))
+  }
+
+  /** Y4M frame-sampled feature extraction: one output row per kept frame,
+    * undecodable payloads quarantine-dropped — the real-codec version of
+    * [[frameSample]]'s stub chunking. Row-local flatMap, no shuffle; at
+    * scale each split samples independently and step divides the decode
+    * work, not just the output. */
+  def featuresY4m(media: Dataset[Media], step: Int = 2): Dataset[VideoFrame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      decodeY4m(m.bytes, step).iterator.flatMap { c =>
+        c.sampled.iterator.map { case (idx, ySum, uvSum) =>
+          VideoFrame(m.id, idx.toLong, c.width.toLong, c.height.toLong,
+            c.fpsNum.toLong, ySum, uvSum)
+        }
+      }
+    }
+  }
+
+  /** Planted Y4M payloads, every field a formula of `doc_id`:
+    * `w = 2·(1 + id%3)`, `h = 2·(1 + id%2)`, `frames = 1 + id%5`,
+    * `fps = (24 + id%2):1`, colorspace C420jpeg; luma byte k of frame f
+    * is `(id·13 + 5f + 3k) mod 256`, chroma byte k (U then V
+    * concatenated) is `(id·17 + 7f + k) mod 256`. The oracle replays
+    * these sums from the id alone — a wrong plane boundary, frame
+    * stride, or header parse shows up as a hash mismatch. */
+  def plantedY4m(spark: SparkSession, documents: DataFrame): Dataset[Media] = {
+    import spark.implicits._
+    documents.select(col("doc_id").cast("long")).as[Long].map { id =>
+      val w = (2 * (1 + id % 3)).toInt
+      val h = (2 * (1 + id % 2)).toInt
+      val frames = (1 + id % 5).toInt
+      val fps = (24 + id % 2).toInt
+      val header = s"YUV4MPEG2 W$w H$h F$fps:1 Ip A1:1 C420jpeg\n"
+        .getBytes("US-ASCII")
+      val ySize = w * h
+      val uvSize = 2 * (w / 2) * (h / 2)
+      val out = new java.io.ByteArrayOutputStream(
+        header.length + frames * (6 + ySize + uvSize))
+      out.write(header, 0, header.length)
+      var f = 0
+      while (f < frames) {
+        out.write("FRAME\n".getBytes("US-ASCII"), 0, 6)
+        var k = 0
+        while (k < ySize) {
+          out.write(((id * 13 + 5L * f + 3L * k) % 256).toInt)
+          k += 1
+        }
+        k = 0
+        while (k < uvSize) {
+          out.write(((id * 17 + 7L * f + k) % 256).toInt)
+          k += 1
+        }
+        f += 1
+      }
+      Media(id, "video", out.toByteArray)
+    }
+  }
+
   final case class Frame(id: Long, frame_idx: Long, n_bytes: Long,
                          byte_sum: Long)
 

@@ -96,6 +96,58 @@ object Round12PropertySpec extends Properties("round12") {
       Multimodal.decodeImage(b); true
     }
 
+  // ------------------------------------------------- Y4M video parse
+  private case class Vid(w: Int, h: Int, fn: Int, fd: Int,
+                         frames: Seq[Array[Byte]]) // per frame: Y then UV
+
+  private val genVid: Gen[Vid] = for {
+    w <- Gen.choose(1, 4).map(_ * 2) // C420 needs even dims
+    h <- Gen.choose(1, 3).map(_ * 2)
+    fn <- Gen.choose(1, 60)
+    fd <- Gen.choose(1, 2)
+    n <- Gen.choose(1, 6)
+    frames <- Gen.listOfN(n, Gen.listOfN(w * h + w * h / 2,
+      Gen.choose(-128, 127).map(_.toByte)).map(_.toArray))
+  } yield Vid(w, h, fn, fd, frames)
+
+  private def encodeY4m(v: Vid): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(s"YUV4MPEG2 W${v.w} H${v.h} F${v.fn}:${v.fd} Ip A0:0 C420jpeg\n"
+      .getBytes("US-ASCII"))
+    v.frames.foreach { f =>
+      out.write("FRAME\n".getBytes("US-ASCII"))
+      out.write(f)
+    }
+    out.toByteArray
+  }
+
+  property("decodeY4m recovers exact per-sampled-frame plane sums") =
+    Prop.forAll(genVid, Gen.choose(1, 3)) { (v, step) =>
+      val got = Multimodal.decodeY4m(encodeY4m(v), step)
+      val ySize = v.w * v.h
+      val want = v.frames.zipWithIndex.collect {
+        case (f, i) if i % step == 0 =>
+          (i, f.take(ySize).map(b => (b & 0xff).toLong).sum,
+            f.drop(ySize).map(b => (b & 0xff).toLong).sum)
+      }
+      got.contains(Multimodal.Y4mClip(v.w, v.h, v.fn, v.fd, want))
+    }
+
+  property("decodeY4m step-s output is the step-1 output filtered") =
+    Prop.forAll(genVid, Gen.choose(2, 4)) { (v, step) =>
+      val all = Multimodal.decodeY4m(encodeY4m(v), 1).get.sampled
+      val some = Multimodal.decodeY4m(encodeY4m(v), step).get.sampled
+      some == all.filter(_._1 % step == 0)
+    }
+
+  private val validY4m: Array[Byte] =
+    encodeY4m(Vid(4, 2, 25, 1, Seq(Array.tabulate(12)(_.toByte))))
+
+  property("decodeY4m is total on garbage and corrupted payloads") =
+    Prop.forAll(Gen.oneOf(genBytes, corrupt(validY4m))) { b =>
+      Multimodal.decodeY4m(b, 2); true
+    }
+
   // ----------------------------------------- CellArgmin null-slot rule
   /** A null element slot must null the whole cell id (the interpreted
     * aggregate+array_min it replaced propagated null), while clean rows
