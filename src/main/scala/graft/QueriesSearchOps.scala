@@ -13,7 +13,7 @@ import EntryHelpers._
   *
   * One of six per-domain registries merged by [[SparkEntry.queries]] /
   * [[SparkEntry.oracleSql]] — pure relocation of the former monolithic
-  * maps, no behavior change (43 entries incl. the round-12 Y4M video path). */
+  * maps, no behavior change (44 entries incl. the round-12 Y4M video + resize paths). */
 private[graft] object QueriesSearchOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ----- per-document tf-idf keywords (integer-quantized idf) -----
@@ -429,6 +429,14 @@ private[graft] object QueriesSearchOps {
       Multimodal.featuresY4m(
           Multimodal.plantedY4m(s, Tables.documents(s, dir)), step = 2)
         .toDF().orderBy("id", "frame_idx")),
+    // exact area-average downscale (factor 2): every output channel is
+    // the round-half-up integer mean of its 2x2 block, so the oracle can
+    // replay each block from the planted pixel formula — certifying the
+    // resize arithmetic itself, not just that some smaller image came out
+    "mm_resize" -> ((s: SparkSession, dir: String) =>
+      Multimodal.resizePpm(
+          Multimodal.plantedPpmEven(s, Tables.documents(s, dir)), factor = 2)
+        .toDF().orderBy("id")),
     // ----- CDC merge / upsert: latest-wins change feed applied to the
     // base snapshot (Merge scaladoc: feed-only window + broadcast-sized
     // anti-join — the base never shuffles). The feed is derived
@@ -1239,6 +1247,28 @@ private[graft] object QueriesSearchOps {
          |FROM fr JOIN ys ON fr.id = ys.id AND fr.f = ys.f
          |        JOIN uvs ON fr.id = uvs.id AND fr.f = uvs.f
          |ORDER BY fr.id, frame_idx""".stripMargin),
+    // block-mean replay: output channel (ox,oy,c) averages the four
+    // planted bytes of its 2x2 block with round-half-up ((bsum+2)//4)
+    "mm_resize" ->
+      ("""WITH g AS (
+         |  SELECT doc_id AS id, 2*(1 + doc_id % 3) AS w,
+         |         2*(1 + doc_id % 2) AS h
+         |  FROM documents
+         |), o AS (
+         |  SELECT id, w, h,
+         |    ((id*31 + 7*(3*((2*oy+0)*w + 2*ox+0)+c)) % 256
+         |   + (id*31 + 7*(3*((2*oy+0)*w + 2*ox+1)+c)) % 256
+         |   + (id*31 + 7*(3*((2*oy+1)*w + 2*ox+0)+c)) % 256
+         |   + (id*31 + 7*(3*((2*oy+1)*w + 2*ox+1)+c)) % 256) AS bsum
+         |  FROM g, generate_series(0, 2) tx(ox),
+         |       generate_series(0, 1) ty(oy), generate_series(0, 2) tc(c)
+         |  WHERE ox < w//2 AND oy < h//2
+         |)
+         |SELECT id, CAST(w//2 AS BIGINT) AS out_w,
+         |  CAST(h//2 AS BIGINT) AS out_h,
+         |  CAST(sum((bsum+2)//4) AS BIGINT) AS out_sum
+         |FROM o GROUP BY id, w, h
+         |ORDER BY id""".stripMargin),
     "mm_features" ->
       ("""SELECT doc_id AS id, 'text' AS kind,
          |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,

@@ -91,7 +91,10 @@ object Multimodal {
     * parser, not a fixture reader: comments, arbitrary whitespace runs
     * and truncated payloads are all handled. None on anything malformed
     * — a decoder that guesses is worse than one that refuses. */
-  def decodePpm(bytes: Array[Byte]): Option[Raster] = {
+  /** P6 header parse shared by [[decodePpm]] and [[decodePpmPixels]]:
+    * (width, height, maxval, payload offset), or None on malformation —
+    * identical accept/reject semantics to the original inline parse. */
+  private def parsePpmHeader(bytes: Array[Byte]): Option[(Int, Int, Int, Int)] = {
     var i = 0
     def skipWs(): Unit = {
       var go = true
@@ -121,16 +124,28 @@ object Multimodal {
       // exactly one whitespace byte separates header from payload
       _ <- if (i < bytes.length && bytes(i).toChar.isWhitespace) { i += 1; Some(()) }
            else None
-      n = w.toLong * h * 3 if m < 256 // 2-byte-per-sample PPMs not needed here
-      if bytes.length - i >= n
-    } yield {
-      var sum = 0L
-      var j = i
-      val end = i + n.toInt
-      while (j < end) { sum += bytes(j) & 0xff; j += 1 }
-      Raster(w, h, m, sum)
-    }
+    } yield (w, h, m, i)
   }
+
+  def decodePpm(bytes: Array[Byte]): Option[Raster] = for {
+    (w, h, m, off) <- parsePpmHeader(bytes)
+    n = w.toLong * h * 3 if m < 256 // 2-byte-per-sample PPMs not needed here
+    if bytes.length - off >= n
+  } yield {
+    var sum = 0L
+    var j = off
+    val end = off + n.toInt
+    while (j < end) { sum += bytes(j) & 0xff; j += 1 }
+    Raster(w, h, m, sum)
+  }
+
+  /** Like [[decodePpm]] but hands back the raw interleaved RGB bytes for
+    * pixel-level transforms ([[resizePpm]]). Same strictness. */
+  def decodePpmPixels(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = for {
+    (w, h, m, off) <- parsePpmHeader(bytes)
+    n = w.toLong * h * 3 if m < 256
+    if bytes.length - off >= n
+  } yield (w, h, java.util.Arrays.copyOfRange(bytes, off, off + n.toInt))
 
   final case class DecodedFeatures(id: Long, width: Long, height: Long,
                                    pixel_sum: Long, pixel_mean_q4: Long)
@@ -168,6 +183,97 @@ object Multimodal {
       val h = (1 + id % 5).toInt
       val header = s"P6\n# planted fixture\n$w $h\n255\n"
         .getBytes("US-ASCII")
+      val body = new Array[Byte](w * h * 3)
+      var k = 0
+      while (k < body.length) {
+        body(k) = ((id * 31 + 7L * k) % 256).toByte
+        k += 1
+      }
+      Media(id, "image", header ++ body)
+    }
+  }
+
+  /** Resized-image features: output geometry + the exact integer sum of
+    * all output channel values (certifies every block's rounding). */
+  final case class ResizedFeatures(id: Long, out_w: Long, out_h: Long,
+                                   out_sum: Long)
+
+  /** Deterministic area-average downscale by an integer factor — the
+    * image-pipeline resize step, made exact: each output channel value is
+    * `floor((Σ block + B/2) / B)` over its `factor×factor` input block
+    * (B = factor², round-half-up in pure longs), so the result is
+    * bit-identical on any engine and an external oracle can replay it.
+    * Images whose dimensions the factor does not divide are quarantine-
+    * dropped (same discipline as undecodable payloads) — a production
+    * variant would pad or crop, which is policy, not arithmetic.
+    *
+    * Row-local mapPartitions, no shuffle: at 100 TB each split resizes
+    * independently and the output is factor² times smaller than the
+    * input — the canonical decode→transform→shrink pipeline shape. */
+  def resizePpm(media: Dataset[Media], factor: Int = 2): Dataset[ResizedFeatures] = {
+    require(factor > 0)
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { m =>
+        decodePpmPixels(m.bytes).flatMap { case (w, h, px) =>
+          blockMeanSum(w, h, px, factor).map { case (ow, oh, s) =>
+            ResizedFeatures(m.id, ow.toLong, oh.toLong, s)
+          }
+        }
+      }
+    }
+  }
+
+  /** The pure resize kernel: (out_w, out_h, Σ rounded block means) over
+    * interleaved RGB bytes, None when factor doesn't divide the dims.
+    * Property-tested against a brute-force model independent of this
+    * loop nest. */
+  def blockMeanSum(w: Int, h: Int, px: Array[Byte],
+                   factor: Int): Option[(Int, Int, Long)] = {
+    if (w % factor != 0 || h % factor != 0) None
+    else {
+      val ow = w / factor
+      val oh = h / factor
+      val area = factor * factor
+      var outSum = 0L
+      var oy = 0
+      while (oy < oh) {
+        var ox = 0
+        while (ox < ow) {
+          var c = 0
+          while (c < 3) {
+            var bsum = 0L
+            var dy = 0
+            while (dy < factor) {
+              var dx = 0
+              while (dx < factor) {
+                val k = 3 * ((oy * factor + dy) * w + ox * factor + dx) + c
+                bsum += px(k) & 0xff
+                dx += 1
+              }
+              dy += 1
+            }
+            outSum += (bsum + area / 2) / area
+            c += 1
+          }
+          ox += 1
+        }
+        oy += 1
+      }
+      Some((ow, oh, outSum))
+    }
+  }
+
+  /** Planted even-dimension PPMs for the resize path: `w = 2·(1+id%3)`,
+    * `h = 2·(1+id%2)`, same channel formula as [[plantedPpm]]
+    * (`pixel(k) = (id·31 + 7k) mod 256`) — factor-2 blocks always
+    * complete, so the oracle replays every block's rounded mean. */
+  def plantedPpmEven(spark: SparkSession, documents: DataFrame): Dataset[Media] = {
+    import spark.implicits._
+    documents.select(col("doc_id").cast("long")).as[Long].map { id =>
+      val w = (2 * (1 + id % 3)).toInt
+      val h = (2 * (1 + id % 2)).toInt
+      val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
       val body = new Array[Byte](w * h * 3)
       var k = 0
       while (k < body.length) {

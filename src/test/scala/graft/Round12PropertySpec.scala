@@ -148,6 +148,32 @@ object Round12PropertySpec extends Properties("round12") {
       Multimodal.decodeY4m(b, 2); true
     }
 
+  // ------------------------------------------------- block-mean resize
+  property("blockMeanSum matches a brute-force per-block model") =
+    Prop.forAll(Gen.choose(1, 3), Gen.choose(1, 3), Gen.choose(1, 2),
+      Gen.choose(0L, Long.MaxValue)) { (bw, bh, factor, seed) =>
+      val w = bw * factor
+      val h = bh * factor
+      val rnd = new scala.util.Random(seed)
+      val px = Array.fill(w * h * 3)(rnd.nextInt(256).toByte)
+      val area = factor * factor
+      // model: group input channel values by (block, channel) via a map
+      val sums = scala.collection.mutable.Map.empty[(Int, Int, Int), Long]
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        sums.updateWith((y / factor, x / factor, c))(o =>
+          Some(o.getOrElse(0L) + (px(3 * (y * w + x) + c) & 0xff)))
+      val want = sums.values.map(s => (s + area / 2) / area).sum
+      Multimodal.blockMeanSum(w, h, px, factor)
+        .contains((w / factor, h / factor, want))
+    }
+
+  property("blockMeanSum refuses non-divisible dimensions") =
+    Prop.forAll(Gen.choose(1, 5), Gen.choose(1, 5)) { (w, h) =>
+      val px = new Array[Byte](w * h * 3)
+      val r = Multimodal.blockMeanSum(w, h, px, 2)
+      r.isDefined == (w % 2 == 0 && h % 2 == 0)
+    }
+
   // ----------------------------------------- CellArgmin null-slot rule
   /** A null element slot must null the whole cell id (the interpreted
     * aggregate+array_min it replaced propagated null), while clean rows
