@@ -13,12 +13,30 @@ import EntryHelpers._
   *
   * One of six per-domain registries merged by [[SparkEntry.queries]] /
   * [[SparkEntry.oracleSql]] — pure relocation of the former monolithic
-  * maps, no behavior change (26 entries). */
+  * maps, no behavior change (27 entries incl. the round-12 fuzzy ER path). */
 private[graft] object QueriesDedupSim {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_fingerprint" -> ((s: SparkSession, dir: String) =>
       Dedup.byFingerprint(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
+    // fuzzy entity resolution: dirty names (deterministic single-char
+    // deletions of customer names) matched back to the clean side via
+    // deletion-neighborhood blocking + exact levenshtein verify + argmin
+    // (EntityResolution scaladoc). The oracle BRUTE-FORCES all pairs —
+    // a green hash proves the blocking scheme loses no distance-1 match
+    "er_resolve" -> ((s: SparkSession, dir: String) => {
+      val cust = Tables.customer(s, dir)
+      val p0 = (col("c_custkey") % length(col("c_name"))).cast("int")
+      val dirty = cust.select(col("c_custkey").as("id"),
+        when(col("c_custkey") % 3 === 0, col("c_name"))
+          .otherwise(concat(col("c_name").substr(lit(1), p0),
+            col("c_name").substr(p0 + 2, lit(Int.MaxValue))))
+          .as("name"))
+      graft.ext.EntityResolution.resolve(dirty, "id", "name",
+          cust.select(col("c_custkey"), col("c_name")),
+          "c_custkey", "c_name")
+        .orderBy("id")
+    }),
     // skew guard ON: the uncut exact operator measures the implied
     // candidate-pair count before launching the quadratic join and fails
     // loudly over budget (the df-cut dual below is the silent-safe variant)
@@ -243,6 +261,29 @@ private[graft] object QueriesDedupSim {
   val oracles: Map[String, String] = Map(
     "dedup_fingerprint" ->
       "SELECT min(doc_id) AS doc_id, md5(lower(text)) AS fp FROM documents GROUP BY md5(lower(text)) ORDER BY 1",
+    // brute-force reference the engine never runs: ALL pairs at
+    // levenshtein <= 1, argmin (dist, clean key) per dirty id — proves
+    // the deletion-neighborhood blocking has exact distance-1 recall
+    "er_resolve" ->
+      ("""WITH dirty AS (
+         |  SELECT c_custkey AS id,
+         |    CASE WHEN c_custkey % 3 = 0 THEN c_name
+         |         ELSE substr(c_name, 1,
+         |                CAST(c_custkey % length(c_name) AS INT))
+         |           || substr(c_name,
+         |                CAST(c_custkey % length(c_name) AS INT) + 2)
+         |    END AS dn
+         |  FROM customer
+         |), pairs AS (
+         |  SELECT d.id, c.c_custkey AS ck,
+         |    levenshtein(d.dn, c.c_name) AS dist
+         |  FROM dirty d, customer c
+         |  WHERE levenshtein(d.dn, c.c_name) <= 1
+         |)
+         |SELECT id, ck AS match_c_custkey, CAST(dist AS INT) AS dist
+         |FROM pairs
+         |QUALIFY row_number() OVER (PARTITION BY id ORDER BY dist, ck) = 1
+         |ORDER BY id""".stripMargin),
     "dedup_jaccard" -> JaccardOracle,
     "dedup_minhash" -> JaccardOracle,
     "dedup_clusters" -> ClusterOracle,

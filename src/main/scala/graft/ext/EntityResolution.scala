@@ -1,0 +1,77 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fuzzy entity resolution: match dirty records to a clean reference by
+  * edit distance WITHOUT the all-pairs blowup — the record-linkage staple
+  * (catalog dedup, user-record merge) every large-scale data pipeline
+  * eventually needs.
+  *
+  * Shape: deletion-neighborhood blocking (the Symmetric-Delete scheme of
+  * Garbe's public SymSpell algorithm) + exact Levenshtein verification +
+  * deterministic argmin selection.
+  *
+  *  - BLOCK: each side expands its name into `{s} ∪ {s minus one char}`
+  *    — `len+1` candidate keys per row, all built from codegen'd builtin
+  *    functions (`sequence`/`transform`/`explode`, no UDF). Two strings
+  *    within Levenshtein distance 1 ALWAYS share a key (a substitution's
+  *    two sides share the deletion at that position; an insertion's long
+  *    side deletes the inserted char), so blocking recall is exact for
+  *    maxDist=1 — certified against a brute-force all-pairs oracle that
+  *    never sees the blocking. Distance-2 neighborhoods (delete up to 2
+  *    chars, len² keys) extend the same scheme when a looser match is
+  *    worth the key fan-out.
+  *  - VERIFY: shared keys admit some distance-2 impostors (two different
+  *    single-deletions can land on the same string), so every candidate
+  *    pair is re-checked with the exact `levenshtein` builtin.
+  *  - SELECT: per dirty id, `min(struct(dist, clean_id))` — closest
+  *    match, ties to the smallest clean id; deterministic, hash-stable.
+  *
+  * Scale: the only shuffle is the equi-join on variant keys, sized
+  * `O(n·len)` rows per side — never `O(n²)`. Block sizes are bounded by
+  * the true near-duplicate density (a variant key collides only for
+  * strings one edit apart plus the bounded impostor class), so no key
+  * explodes into a cartesian at 100× data. Duplicate candidate pairs
+  * (one pair sharing several variants) are NOT pre-deduplicated: the
+  * argmin aggregate absorbs them, saving a whole exchange.
+  */
+object EntityResolution {
+
+  /** `{s} ∪ single-deletion variants of s`, distinct, as an array column
+    * — pure builtin expressions, fully codegen'd. */
+  def deletionNeighborhood(name: Column): Column =
+    array_distinct(concat(
+      array(name),
+      transform(sequence(lit(1), length(name)),
+        i => concat(name.substr(lit(1), i - lit(1)),
+          name.substr(i + lit(1), lit(Int.MaxValue))))))
+
+  /** Resolve each dirty row to its closest clean row at Levenshtein
+    * distance ≤ `maxDist` (1 by default — the distance the blocking is
+    * exact for). Output: `(id, match_<cleanId>, dist)`, inner (dirty rows
+    * with no admissible match are dropped; run an anti-join on the output
+    * for the unmatched side). */
+  def resolve(dirty: DataFrame, dirtyId: String, dirtyName: String,
+              clean: DataFrame, cleanId: String, cleanName: String,
+              maxDist: Int = 1): DataFrame = {
+    require(maxDist == 1,
+      "resolve: deletion-neighborhood blocking is exact for maxDist=1; " +
+        "wider distances need the distance-2 neighborhood (len^2 keys) — " +
+        "fall back to a banded MinHash/LSH pass (Dedup.minhash) instead")
+    val dKeys = dirty.select(col(dirtyId).as("__did"),
+        col(dirtyName).as("__dn"),
+        explode(deletionNeighborhood(col(dirtyName))).as("__key"))
+    val cKeys = clean.select(col(cleanId).as("__cid"),
+        col(cleanName).as("__cn"),
+        explode(deletionNeighborhood(col(cleanName))).as("__key"))
+    dKeys.join(cKeys, "__key")
+      .where(levenshtein(col("__dn"), col("__cn")) <= maxDist)
+      .groupBy(col("__did"))
+      .agg(min(struct(levenshtein(col("__dn"), col("__cn")).as("dist"),
+        col("__cid").as("cid"))).as("__m"))
+      .select(col("__did").as("id"),
+        col("__m.cid").as(s"match_$cleanId"),
+        col("__m.dist").as("dist"))
+  }
+}
