@@ -13,7 +13,7 @@ import EntryHelpers._
   *
   * One of six per-domain registries merged by [[SparkEntry.queries]] /
   * [[SparkEntry.oracleSql]] — pure relocation of the former monolithic
-  * maps, no behavior change (37 entries). */
+  * maps, no behavior change (38 entries incl. the round-12 triangle path). */
 private[graft] object QueriesJoinsOlap {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_enrich" -> ((s: SparkSession, dir: String) =>
@@ -44,6 +44,15 @@ private[graft] object QueriesJoinsOlap {
           Events.transitions(Tables.events(s, dir)),
           "prev_type", "next_type", "n", iters = 3)
         .orderBy("node")),
+    // ----- triangle enumeration over the user co-activity graph via
+    // degree orientation + wedge join (Triangles scaladoc: Suri &
+    // Vassilvitskii's last-reducer fix — every out-degree capped at
+    // O(sqrt(m)), three equi-joins, no OR-join, no cartesian) -----
+    "graph_triangles" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Triangles.triangles(
+          graft.ext.Triangles.coActivityEdges(Tables.events(s, dir)),
+          "src", "dst")
+        .orderBy("a", "b", "c")),
     // ----- per-user inter-arrival gap stats (Events.interArrival
     // scaladoc: exact integer micros, lag window + groupBy share the
     // user_id partitioning — one shuffle total) -----
@@ -356,6 +365,34 @@ private[graft] object QueriesJoinsOlap {
          |FROM seq WHERE prev_type IS NOT NULL
          |GROUP BY prev_type, event_type
          |ORDER BY prev_type, next_type""".stripMargin),
+    // same co-activity derivation, same (degree, id) orientation, same
+    // wedge close — row-tuple comparison is lexicographic on both engines
+    "graph_triangles" ->
+      ("""WITH grp AS (
+         |  SELECT DISTINCT date_trunc('minute', ts) AS b0, user_id AS uid
+         |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+         |), e AS (
+         |  SELECT DISTINCT a.uid AS u, b.uid AS v
+         |  FROM grp a JOIN grp b ON a.b0 = b.b0 WHERE a.uid < b.uid
+         |), deg AS (
+         |  SELECT n, count(*) AS d
+         |  FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+         |  GROUP BY n
+         |), o AS (
+         |  SELECT CASE WHEN (du.d, u) < (dv.d, v) THEN u ELSE v END AS s,
+         |         CASE WHEN (du.d, u) < (dv.d, v) THEN v ELSE u END AS t
+         |  FROM e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v
+         |), w AS (
+         |  SELECT w1.s, w1.t AS t1, w2.t AS t2
+         |  FROM o w1 JOIN o w2 ON w1.s = w2.s AND w1.t < w2.t
+         |), cn AS (
+         |  SELECT least(s, t) AS x, greatest(s, t) AS y FROM o
+         |)
+         |SELECT least(s, t1, t2) AS a,
+         |  s + t1 + t2 - least(s, t1, t2) - greatest(s, t1, t2) AS b,
+         |  greatest(s, t1, t2) AS c
+         |FROM w JOIN cn ON cn.x = w.t1 AND cn.y = w.t2
+         |ORDER BY a, b, c""".stripMargin),
     // the same edge derivation, then 3 generated power-method iterations
     // ([[PrIterCte]]): every value BIGINT, every division integral, the
     // same 85/100 damping split and dropped dangling mass as the engine

@@ -1,0 +1,98 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed triangle enumeration — the graph-analytics primitive
+  * behind clustering coefficients, community cohesion, and spam/bot ring
+  * detection over interaction graphs.
+  *
+  * Algorithm: degree orientation + wedge join (the MapReduce scheme of
+  * Suri & Vassilvitskii, "Counting triangles and the curse of the last
+  * reducer", WWW 2011). Each undirected edge is oriented from its lower
+  * endpoint to its higher endpoint in the total order (degree, id); every
+  * triangle then has EXACTLY ONE vertex with out-edges to the other two,
+  * so enumerating wedges (s→t1, s→t2) and closing them against the edge
+  * set finds each triangle exactly once — no post-dedup needed.
+  *
+  * Why orientation matters at 100 TB: wedge count is Σ out-deg(v)², and
+  * orienting by degree caps every out-degree at O(√m) — a star node with
+  * a million neighbors contributes ZERO wedges (all its edges point
+  * outward-by-degree toward it... i.e. it is always the wedge tip, never
+  * the center), where the naive per-node neighbor-pair join would
+  * explode quadratically on exactly that node. This is the
+  * "curse of the last reducer" fix.
+  *
+  * Plan shape: three equi-joins (degree attach ×2, wedge self-join,
+  * closing-edge probe), all on key columns — no cartesian, no OR-join
+  * (the closing edge is probed through an id-normalized copy of the
+  * oriented set precisely so the match is a single conjunctive key).
+  */
+object Triangles {
+
+  /** Canonical triangle list (a < b < c by node id), one row per
+    * triangle, from an undirected edge list given as (srcCol, dstCol)
+    * rows in either orientation (duplicates and self-loops tolerated —
+    * normalized away first). */
+  def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    // normalize: simple undirected graph as id-ordered distinct pairs
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .distinct()
+    val deg = e.select(col("u").as("n"))
+      .unionAll(e.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    // orient lower (deg, id) -> higher (deg, id); struct comparison is
+    // lexicographic on both engines, and id breaks every degree tie
+    val o = e
+      .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
+      .select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          col("u")).otherwise(col("v")).as("s"),
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          col("v")).otherwise(col("u")).as("t"))
+    // wedges at each center s, ordered by id so each pair appears once
+    val w = o.as("w1").join(o.as("w2"),
+        col("w1.s") === col("w2.s") && col("w1.t") < col("w2.t"))
+      .select(col("w1.s").as("s"), col("w1.t").as("t1"), col("w2.t").as("t2"))
+    // the closing edge probed through an ID-normalized copy: (t1, t2) is
+    // id-ordered, so one conjunctive equi-join closes the wedge whatever
+    // the closing edge's degree orientation was
+    val cNorm = o.select(least(col("s"), col("t")).as("x"),
+      greatest(col("s"), col("t")).as("y"))
+    w.join(cNorm, col("t1") === col("x") && col("t2") === col("y"))
+      .select(sort_array(array(col("s"), col("t1"), col("t2"))).as("tri"))
+      .select(col("tri").getItem(0).as("a"), col("tri").getItem(1).as("b"),
+        col("tri").getItem(2).as("c"))
+  }
+
+  /** Co-activity edges: users active within the same time bucket. The
+    * self-join is per-bucket quadratic, so a loud guard measures the
+    * largest bucket FIRST and refuses over-budget graphs (the
+    * jaccardPairs discipline) — at corpus scale a global minute bucket
+    * needs a finer key (minute × shard) or a df-cut, both policy choices
+    * the caller makes consciously, not an operator that silently
+    * cartesians. */
+  def coActivityEdges(events: DataFrame, userCol: String = "user_id",
+                      tsCol: String = "ts",
+                      maxBucketUsers: Long = 100000L): DataFrame = {
+    val grp = events
+      .where(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(date_trunc("minute", col(tsCol)).as("b0"),
+        col(userCol).as("uid"))
+      .distinct()
+    val worst = grp.groupBy(col("b0")).agg(count(lit(1)).as("c"))
+      .agg(max(col("c"))).head().getLong(0)
+    require(worst <= maxBucketUsers,
+      s"coActivityEdges: largest bucket holds $worst users (cap " +
+        s"$maxBucketUsers) — the pair join would blow up; shard the " +
+        "bucket key or raise the cap deliberately")
+    grp.as("a").join(grp.as("b"),
+        col("a.b0") === col("b.b0") && col("a.uid") < col("b.uid"))
+      .select(col("a.uid").as("src"), col("b.uid").as("dst"))
+      .distinct()
+  }
+}
