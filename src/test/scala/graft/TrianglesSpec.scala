@@ -1,0 +1,104 @@
+package graft
+
+import graft.ext.{EntityResolution, Triangles}
+import org.apache.spark.sql.functions._
+
+/** Triangle enumeration semantics + the fuzzy-ER blocking/verify/argmin
+  * contract, both against hand-checkable fixtures and in-memory models. */
+class TrianglesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tri(edges: Seq[(Long, Long)]): Seq[(Long, Long, Long)] =
+    Triangles.triangles(edges.toDF("src", "dst"), "src", "dst")
+      .orderBy("a", "b", "c")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+  test("K4 yields its four triangles exactly once each") {
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    assert(tri(k4) == Seq((1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L),
+      (2L, 3L, 4L)))
+  }
+
+  test("stars and paths have no triangles") {
+    assert(tri(Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))).isEmpty)
+    assert(tri(Seq((1L, 2L), (2L, 3L), (3L, 4L))).isEmpty)
+  }
+
+  test("duplicate, reversed, and self-loop edges are normalized away") {
+    val noisy = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L),
+      (2L, 2L))
+    assert(tri(noisy) == Seq((1L, 2L, 3L)))
+  }
+
+  test("random graphs match a brute-force model") {
+    val rnd = new scala.util.Random(12L)
+    val edges = Seq.fill(60)((rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
+    val adj = edges.collect { case (u, v) if u != v => Set(u, v) }.toSet
+    val nodes = adj.flatten.toSeq.sorted
+    val want = for {
+      (a, i) <- nodes.zipWithIndex
+      b <- nodes.drop(i + 1) if adj(Set(a, b))
+      c <- nodes.dropWhile(_ <= b) if adj(Set(a, c)) && adj(Set(b, c))
+    } yield (a, b, c)
+    assert(tri(edges) == want)
+  }
+
+  test("coActivityEdges refuses an over-budget bucket loudly") {
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:30")
+    val ev = (1L to 10L).map(u => (u, ts)).toDF("user_id", "ts")
+    val e = intercept[IllegalArgumentException] {
+      Triangles.coActivityEdges(ev, maxBucketUsers = 5L).collect()
+    }
+    assert(e.getMessage.contains("largest bucket holds 10"))
+    assert(Triangles.coActivityEdges(ev, maxBucketUsers = 10L).count() == 45L)
+  }
+
+  // ------------------------------------------------------- fuzzy ER
+  test("ER resolves single-char corruptions to the closest clean row") {
+    val clean = Seq((1L, "margaret hamilton"), (2L, "grace hopper"),
+      (3L, "katherine johnson")).toDF("cid", "cn")
+    val dirty = Seq((10L, "margret hamilton"), // deletion
+      (11L, "grace hoppex"), // substitution
+      (12L, "katherine johnsoon"), // insertion
+      (13L, "totally unrelated")).toDF("did", "dn")
+    val got = EntityResolution.resolve(dirty, "did", "dn", clean, "cid", "cn")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got == Seq((10L, 1L, 1), (11L, 2L, 1), (12L, 3L, 1)))
+  }
+
+  test("a shared-deletion impostor at distance 2 is verified away") {
+    // "abc" and "bcx" share the deletion variant "bc" (block hit) but
+    // levenshtein("abc","bcx") = 2 — the verify step must drop the pair
+    val clean = Seq((1L, "bcx")).toDF("cid", "cn")
+    val dirty = Seq((10L, "abc")).toDF("did", "dn")
+    assert(EntityResolution.resolve(dirty, "did", "dn", clean, "cid", "cn")
+      .count() == 0L)
+  }
+
+  test("ER recall matches brute force at distance 1 on random strings") {
+    val rnd = new scala.util.Random(77L)
+    def word() = Seq.fill(3 + rnd.nextInt(4))(('a' + rnd.nextInt(3)).toChar)
+      .mkString
+    val cleanRows = (1L to 40L).map(i => (i, word()))
+    val dirtyRows = (101L to 140L).map(i => (i, word()))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = dirtyRows.flatMap { case (id, dn) =>
+      val ms = cleanRows.map { case (ck, cn) => (lev(dn, cn), ck) }
+        .filter(_._1 <= 1)
+      if (ms.isEmpty) None else Some((id, ms.min._2, ms.min._1))
+    }
+    val got = EntityResolution.resolve(dirtyRows.toDF("did", "dn"), "did",
+        "dn", cleanRows.toDF("cid", "cn"), "cid", "cn")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got == want)
+  }
+}
