@@ -200,6 +200,40 @@ case class AsOfJoinExec(
     copy(left = newLeft, right = newRight)
 }
 
+/** Injected optimizer rule: push left-side filters THROUGH the custom
+  * [[AsOfJoin]] node down to the probe child, where Catalyst's stock
+  * rules carry them on into the scan (`PushedFilters`).
+  *
+  * Catalyst cannot see through an unknown node — without this rule a
+  * `WHERE` on a probe column sits ABOVE the join and every left row is
+  * joined first, filtered after. The push is semantics-preserving
+  * because the operator is left-outer and 1:1: each left row yields
+  * exactly one output row whose left columns pass through verbatim, so
+  * any predicate over left columns commutes with the join. Predicates
+  * touching the produced `asof_*` columns stay above. This is the
+  * custom-operator half of the optimizer-extension surface
+  * (`experimental.extraOptimizations` /
+  * `SparkSessionExtensions.injectOptimizerRule`).
+  */
+object PushFilterThroughAsOfJoin
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.And
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, j: AsOfJoin) =>
+      val (push, keep) = splitConjunctivePredicates(cond)
+        .partition(p => p.deterministic &&
+          p.references.subsetOf(j.left.outputSet))
+      if (push.isEmpty) f
+      else {
+        val pushed = j.copy(left = Filter(push.reduce(And), j.left))
+        keep.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+}
+
 /** Builder + registration for the physical as-of join. */
 object AsOfPhys {
 
@@ -208,13 +242,17 @@ object AsOfPhys {
     * order as Spark's own broadcast threshold guidance. */
   val DefaultMaxBuildRows: Int = 5000000
 
-  /** Idempotently add the strategy to the session's planner (public
-    * `experimental.extraStrategies` hook). */
+  /** Idempotently add the strategy + optimizer rule to the session's
+    * planner (public `experimental.extraStrategies` /
+    * `extraOptimizations` hooks). */
   def ensureRegistered(spark: SparkSession): Unit = {
     val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     if (!cs.experimental.extraStrategies.contains(AsOfJoinStrategy))
       cs.experimental.extraStrategies =
         cs.experimental.extraStrategies :+ AsOfJoinStrategy
+    if (!cs.experimental.extraOptimizations.contains(PushFilterThroughAsOfJoin))
+      cs.experimental.extraOptimizations =
+        cs.experimental.extraOptimizations :+ PushFilterThroughAsOfJoin
   }
 
   /** Left-outer as-of join through [[AsOfJoinExec]] — same signature and

@@ -96,6 +96,27 @@ class AsOfPhysSpec extends SparkSpec {
     assert(phys == merge)
   }
 
+  test("left-side filters push through the custom node; asof_* stay above") {
+    val joined = AsOfPhys.asofJoinBroadcast(left, right, "user_id", "cust",
+      "ts", "odate", valueCols = Seq("o_id", "price"), tieBreak = "o_id")
+    val df = joined.where(col("event_id") > 2 && col("asof_price") > 20.0)
+    val plan = df.queryExecution.executedPlan
+    val exec = plan.collect { case e: AsOfJoinExec => e }.head
+    // the event_id predicate must sit BELOW the exec on the probe side...
+    val below = exec.left.collect {
+      case f: org.apache.spark.sql.execution.FilterExec => f.condition.sql
+    }
+    assert(below.exists(_.contains("event_id")),
+      s"probe-side filter not pushed below AsOfJoinExec:\n$plan")
+    // ...and the produced-column predicate must NOT have been pushed
+    assert(!below.exists(_.contains("asof_price")), s"illegal push:\n$plan")
+    // semantics unchanged vs filtering the collected result
+    val want = joined.collect().filter(r =>
+      r.getLong(0) > 2 && !r.isNullAt(4) && r.getDouble(4) > 20.0)
+      .map(_.getLong(0)).sorted.toSeq
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq == want)
+  }
+
   test("key-type mismatch fails loudly at build time") {
     val lInt = left.withColumn("user_id", col("user_id").cast("int"))
     val e = intercept[IllegalArgumentException] {
