@@ -13,7 +13,7 @@ import EntryHelpers._
   *
   * One of six per-domain registries merged by [[SparkEntry.queries]] /
   * [[SparkEntry.oracleSql]] — pure relocation of the former monolithic
-  * maps, no behavior change (38 entries incl. the round-12 triangle path). */
+  * maps, no behavior change (39 entries incl. the round-12 triangle + resample paths). */
 private[graft] object QueriesJoinsOlap {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_enrich" -> ((s: SparkSession, dir: String) =>
@@ -53,6 +53,13 @@ private[graft] object QueriesJoinsOlap {
           graft.ext.Triangles.coActivityEdges(Tables.events(s, dir)),
           "src", "dst")
         .orderBy("a", "b", "c")),
+    // ----- hourly resample with explicit gap rows: zero counts, NULL
+    // (unobserved) sums, forward-filled gauge — grid generation is
+    // distributed sequence+explode under a loud row budget (Resample
+    // scaladoc) -----
+    "ts_resample" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Resample.hourlyGapFill(Tables.events(s, dir))
+        .orderBy("event_type", "hour")),
     // ----- per-user inter-arrival gap stats (Events.interArrival
     // scaladoc: exact integer micros, lag window + groupBy share the
     // user_id partitioning — one shuffle total) -----
@@ -365,6 +372,30 @@ private[graft] object QueriesJoinsOlap {
          |FROM seq WHERE prev_type IS NOT NULL
          |GROUP BY prev_type, event_type
          |ORDER BY prev_type, next_type""".stripMargin),
+    // the same grid from generate_series; DuckDB's sum(BIGINT) widens to
+    // HUGEINT so both sum columns cast back; IGNORE NULLS carry mirrored
+    "ts_resample" ->
+      ("""WITH a AS (
+         |  SELECT event_type AS key, date_trunc('hour', ts) AS h,
+         |    count(*) AS n,
+         |    sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_c
+         |  FROM events GROUP BY 1, 2
+         |), span AS (
+         |  SELECT key, min(h) AS mn, max(h) AS mx FROM a GROUP BY key
+         |), grid AS (
+         |  SELECT key, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+         |  FROM span
+         |)
+         |SELECT g.key AS event_type,
+         |  strftime(g.h, '%Y-%m-%d %H:%M:%S') AS hour,
+         |  COALESCE(a.n, 0) AS n_events,
+         |  CAST(a.sum_c AS BIGINT) AS sum_c,
+         |  CAST(last_value(a.sum_c IGNORE NULLS) OVER (
+         |    PARTITION BY g.key ORDER BY g.h
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS ffill_c
+         |FROM grid g LEFT JOIN a ON a.key = g.key AND a.h = g.h
+         |ORDER BY event_type, hour""".stripMargin),
     // same co-activity derivation, same (degree, id) orientation, same
     // wedge close — row-tuple comparison is lexicographic on both engines
     "graph_triangles" ->
