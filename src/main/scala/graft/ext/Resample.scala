@@ -30,10 +30,13 @@ object Resample {
   def hourlyGapFill(events: DataFrame, keyCol: String = "event_type",
                     tsCol: String = "ts", valCol: String = "value",
                     maxGridHours: Long = 10000000L): DataFrame = {
-    val agg = events.groupBy(col(keyCol).as("__key"),
-        date_trunc("hour", col(tsCol)).as("__h"))
-      .agg(count(lit(1)).as("n"),
-        sum(floor(col(valCol) * 100 + 0.5).cast("long")).as("sum_c"))
+    // persisted (TrackedCache lifecycle): the span aggregate, the loud
+    // guard action, and the final grid join all read agg
+    val agg = TrackedCache.persistTracked(
+      events.groupBy(col(keyCol).as("__key"),
+          date_trunc("hour", col(tsCol)).as("__h"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col(valCol) * 100 + 0.5).cast("long")).as("sum_c")))
     val span = agg.groupBy(col("__key"))
       .agg(min(col("__h")).as("mn"), max(col("__h")).as("mx"))
       .withColumn("hours",

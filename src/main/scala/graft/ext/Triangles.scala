@@ -35,25 +35,32 @@ object Triangles {
     * rows in either orientation (duplicates and self-loops tolerated —
     * normalized away first). */
   def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    // normalize: simple undirected graph as id-ordered distinct pairs
-    val e = edges
+    // normalize: simple undirected graph as id-ordered distinct pairs.
+    // PERSISTED (TrackedCache lifecycle, released by the harness's
+    // per-query unpersistAll): e feeds the degree union twice and the
+    // orientation join once — unpersisted, the whole upstream edge
+    // derivation (itself a self-join) would replicate into every use
+    // (observed: 60 parquet scans in the co-activity plan).
+    val e = TrackedCache.persistTracked(edges
       .select(least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
       .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
-      .distinct()
+      .distinct())
     val deg = e.select(col("u").as("n"))
       .unionAll(e.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
     // orient lower (deg, id) -> higher (deg, id); struct comparison is
-    // lexicographic on both engines, and id breaks every degree tie
-    val o = e
+    // lexicographic on both engines, and id breaks every degree tie.
+    // Persisted: o is the wedge join's BOTH sides plus the closing-edge
+    // probe — three consumers of one oriented edge set.
+    val o = TrackedCache.persistTracked(e
       .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
       .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
       .select(
         when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
           col("u")).otherwise(col("v")).as("s"),
         when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
-          col("v")).otherwise(col("u")).as("t"))
+          col("v")).otherwise(col("u")).as("t")))
     // wedges at each center s, ordered by id so each pair appears once
     val w = o.as("w1").join(o.as("w2"),
         col("w1.s") === col("w2.s") && col("w1.t") < col("w2.t"))
@@ -79,11 +86,13 @@ object Triangles {
   def coActivityEdges(events: DataFrame, userCol: String = "user_id",
                       tsCol: String = "ts",
                       maxBucketUsers: Long = 100000L): DataFrame = {
-    val grp = events
+    // persisted: the guard action below plus both sides of the pair join
+    // read grp — three consumers (TrackedCache lifecycle)
+    val grp = TrackedCache.persistTracked(events
       .where(col(userCol).isNotNull && col(tsCol).isNotNull)
       .select(date_trunc("minute", col(tsCol)).as("b0"),
         col(userCol).as("uid"))
-      .distinct()
+      .distinct())
     val worst = grp.groupBy(col("b0")).agg(count(lit(1)).as("c"))
       .agg(max(col("c"))).head().getLong(0)
     require(worst <= maxBucketUsers,
