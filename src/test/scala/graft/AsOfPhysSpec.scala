@@ -117,6 +117,34 @@ class AsOfPhysSpec extends SparkSpec {
     assert(df.collect().map(_.getLong(0)).sorted.toSeq == want)
   }
 
+  test("string keys hash and match identically to the compose") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val rnd = new scala.util.Random(99L)
+    val base = ts("2024-01-01 00:00:00").getTime
+    def randTs() = new java.sql.Timestamp(base + rnd.nextInt(500) * 60000L)
+    val keys = Seq("alpha", "beta", "gamma", "delta")
+    val l = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (1L to 120L).map(i => Row(i, keys(rnd.nextInt(4)), randTs())), 3),
+      StructType(Seq(StructField("event_id", LongType),
+        StructField("k", StringType), StructField("ts", TimestampType))))
+    val r = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (1L to 80L).map(i => Row(i, keys(rnd.nextInt(4)), randTs(),
+          rnd.nextInt(50).toDouble)), 2),
+      StructType(Seq(StructField("o_id", LongType),
+        StructField("k", StringType), StructField("odate", TimestampType),
+        StructField("price", DoubleType))))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("event_id").collect()
+        .map(row => (row.getLong(0), Option(row.get(3)))).toSeq
+    val phys = canon(AsOfPhys.asofJoinBroadcast(l, r, "k", "k", "ts",
+      "odate", valueCols = Seq("price"), tieBreak = "o_id"))
+    val merge = canon(graft.ext.AsOf.asofJoin(l, r, "k", "k", "ts",
+      "odate", valueCols = Seq("price"), tieBreak = "o_id"))
+    assert(phys == merge)
+  }
+
   test("key-type mismatch fails loudly at build time") {
     val lInt = left.withColumn("user_id", col("user_id").cast("int"))
     val e = intercept[IllegalArgumentException] {

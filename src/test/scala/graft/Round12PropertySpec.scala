@@ -133,6 +133,32 @@ object Round12PropertySpec extends Properties("round12") {
       got.contains(Multimodal.Y4mClip(v.w, v.h, v.fn, v.fd, want))
     }
 
+  property("decodeY4m handles C444/mono plane geometry and rejects C422") =
+    Prop.forAll(Gen.oneOf("444", "mono", "422"), Gen.choose(1, 4),
+      Gen.choose(1, 4), Gen.choose(1, 3), Gen.choose(0L, Long.MaxValue)) {
+      (cs, w, h, n, seed) =>
+        val frameSize = cs match {
+          case "444"  => w * h * 3
+          case "mono" => w * h
+          case _      => w * h * 2 // 422's geometry, which must be refused
+        }
+        val rnd = new scala.util.Random(seed)
+        val frames = Seq.fill(n)(Array.fill(frameSize)(rnd.nextInt(256).toByte))
+        val out = new java.io.ByteArrayOutputStream()
+        out.write(s"YUV4MPEG2 W$w H$h F30:1 C$cs\n".getBytes("US-ASCII"))
+        frames.foreach { f => out.write("FRAME\n".getBytes("US-ASCII")); out.write(f) }
+        val got = Multimodal.decodeY4m(out.toByteArray, 1)
+        if (cs == "422") got.isEmpty // refuse, don't guess plane geometry
+        else {
+          val ySize = w * h
+          val want = frames.zipWithIndex.map { case (f, i) =>
+            (i, f.take(ySize).map(b => (b & 0xff).toLong).sum,
+              f.drop(ySize).map(b => (b & 0xff).toLong).sum)
+          }
+          got.contains(Multimodal.Y4mClip(w, h, 30, 1, want))
+        }
+    }
+
   property("decodeY4m step-s output is the step-1 output filtered") =
     Prop.forAll(genVid, Gen.choose(2, 4)) { (v, step) =>
       val all = Multimodal.decodeY4m(encodeY4m(v), 1).get.sampled
