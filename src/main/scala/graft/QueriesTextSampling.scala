@@ -13,7 +13,7 @@ import EntryHelpers._
   *
   * One of six per-domain registries merged by [[SparkEntry.queries]] /
   * [[SparkEntry.oracleSql]] — pure relocation of the former monolithic
-  * maps, no behavior change (23 entries). */
+  * maps, no behavior change (24 entries incl. the round-12 PPS path). */
 private[graft] object QueriesTextSampling {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_quality" -> ((s: SparkSession, dir: String) =>
@@ -117,6 +117,14 @@ private[graft] object QueriesTextSampling {
       graft.ext.Sampling.quotaSample(Tables.documents(s, dir),
           "source", "doc_id", "text", quota = 8)
         .orderBy("source", "rnk")),
+    // Systematic PPS sampling: exactly 20 weighted picks per source where
+    // a doc's pick count is proportional to its LENGTH share — telescoping
+    // floor((cum+w)k/W) arithmetic, content-fingerprint order, pure long
+    // division (Sampling.ppsSample scaladoc; heavy docs get copies > 1)
+    "sample_pps" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Sampling.ppsSample(Tables.documents(s, dir),
+          "doc_id", "text", "n_chars", "source", k = 20)
+        .orderBy("doc_id")),
     // Temperature-based source mixture (α = 1/2): keep ~half the corpus
     // redistributed by sqrt-share — small sources boosted, multi-epoch
     // `copies` where the boosted rate exceeds 1 (Sampling
@@ -390,6 +398,28 @@ private[graft] object QueriesTextSampling {
          |FROM fp
          |QUALIFY rnk <= 8
          |ORDER BY source, rnk""".stripMargin),
+    // the telescoping floor arithmetic replayed over the same
+    // fingerprint order; DuckDB's window sums widen to HUGEINT so the
+    // products never overflow and the final copies casts back
+    "sample_pps" ->
+      ("""WITH fp AS (
+         |  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS w,
+         |    CAST(list_reduce([CAST(ascii(c) AS BIGINT) for c in string_split(text, '')],
+         |         (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT) AS f
+         |  FROM documents WHERE n_chars > 0
+         |), c AS (
+         |  SELECT doc_id, source, w,
+         |    COALESCE(sum(w) OVER (PARTITION BY source ORDER BY f, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum,
+         |    sum(w) OVER (PARTITION BY source) AS tot
+         |  FROM fp
+         |)
+         |SELECT doc_id, source, w,
+         |  CAST(((cum + w) * 20) // tot - (cum * 20) // tot AS BIGINT)
+         |    AS copies
+         |FROM c
+         |WHERE ((cum + w) * 20) // tot - (cum * 20) // tot > 0
+         |ORDER BY doc_id""".stripMargin),
     // md5(lower(text)) equality == lower(text) equality (no collisions at
     // any realistic corpus size), so NOT EXISTS over the text is exact
     "dedup_incremental" ->

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic content-hash sampling — the reproducible way to cut a
@@ -167,4 +168,48 @@ object Sampling {
 
   private def bucket(text: Column, outOf: Int): Column =
     pmod(TextStats.rollingFingerprint(text), lit(outOf.toLong))
+
+  /** Systematic PPS (probability-proportional-to-size) sampling, per
+    * stratum: draw exactly `k` weighted picks from each stratum, where a
+    * row's pick count is proportional to its weight share — the
+    * weight-aware dual of [[quotaSample]]'s count quota (sample by doc
+    * LENGTH or quality mass, not per-doc).
+    *
+    * Deterministic and engine-exact: rows order by (content fingerprint,
+    * id) — a content-addressed total order, no rand() — and row i with
+    * exclusive running weight `cum` and weight `w` is picked
+    * `floor((cum+w)·k/W) − floor(cum·k/W)` times (W = stratum total).
+    * That telescopes to exactly k picks per stratum, heavy rows can be
+    * picked more than once (`copies` > 1 — a row heavier than W/k always
+    * is), and everything is long division — any engine replays it.
+    *
+    * Scale: one window shuffle partitioned by stratum (the pack_blocks
+    * per-shard pattern — NO global single-partition cumsum); the product
+    * cum·k must fit a long, guarded LOUDLY up front (at petabyte strata
+    * raise the grain or shard the stratum key — overflow is a config
+    * error, not a silent wrap). */
+  def ppsSample(df: DataFrame, idCol: String, textCol: String,
+                weightCol: String, strataCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val base = df.select(col(idCol), col(strataCol),
+        col(weightCol).cast("long").as("w"),
+        TextStats.rollingFingerprint(col(textCol)).as("__fp"))
+      .where(col("w") > 0)
+    val maxW = base.groupBy(col(strataCol)).agg(sum(col("w")).as("tw"))
+      .agg(coalesce(max(col("tw")), lit(0L))).head().getLong(0)
+    require(maxW <= Long.MaxValue / k,
+      s"ppsSample: stratum weight $maxW x k=$k overflows long arithmetic " +
+        "- shard the stratum key or reduce k")
+    val ord = Window.partitionBy(col(strataCol))
+      .orderBy(col("__fp"), col(idCol))
+    val cum = coalesce(sum(col("w")).over(
+      ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    val tot = sum(col("w")).over(Window.partitionBy(col(strataCol)))
+    base.select(col(idCol), col(strataCol), col("w"),
+        cum.as("__cum"), tot.as("__tot"))
+      .withColumn("copies",
+        expr(s"((__cum + w) * $k) div __tot - (__cum * $k) div __tot"))
+      .where(col("copies") > 0)
+      .select(col(idCol), col(strataCol), col("w"), col("copies"))
+  }
 }

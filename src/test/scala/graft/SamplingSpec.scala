@@ -187,6 +187,27 @@ class SamplingSpec extends SparkSpec {
     assert(out.sortBy(_._1).toSeq == out2.sortBy(_._1).toSeq)
   }
 
+  test("ppsSample draws exactly k weighted picks per stratum") {
+    val rnd = new scala.util.Random(5L)
+    val docs = (1L to 200L).map(i => (i, s"doc text $i ${rnd.nextInt(999)}",
+        (1 + rnd.nextInt(500)).toLong, s"s${i % 4}"))
+      .toDF("doc_id", "text", "n_chars", "source")
+    val out = Sampling.ppsSample(docs, "doc_id", "text", "n_chars",
+        "source", k = 13)
+      .collect().map(r => (r.getString(1), r.getLong(3)))
+    // the telescoping floors sum to exactly k per stratum, every time
+    val perStratum = out.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(perStratum == Map("s0" -> 13L, "s1" -> 13L, "s2" -> 13L,
+      "s3" -> 13L), perStratum.toString)
+    // a row heavier than W/k is picked more than once
+    val heavy = Seq((1L, "tiny", 1L, "x"), (2L, "huge", 1000L, "x"))
+      .toDF("doc_id", "text", "n_chars", "source")
+    val h = Sampling.ppsSample(heavy, "doc_id", "text", "n_chars",
+        "source", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(h(2L) >= 9L && h.values.sum == 10L)
+  }
+
   test("decontaminate plan: broadcast anti-join on fingerprints") {
     val train = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
     val eval = Seq((3L, "b")).toDF("doc_id", "text")
