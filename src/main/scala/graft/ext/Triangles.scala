@@ -34,7 +34,8 @@ object Triangles {
     * triangle, from an undirected edge list given as (srcCol, dstCol)
     * rows in either orientation (duplicates and self-loops tolerated —
     * normalized away first). */
-  def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+  def triangles(edges: DataFrame, srcCol: String, dstCol: String,
+                maxBroadcastEdges: Long = 5000000L): DataFrame = {
     // normalize: simple undirected graph as id-ordered distinct pairs.
     // PERSISTED (TrackedCache lifecycle, released by the harness's
     // per-query unpersistAll): e feeds the degree union twice and the
@@ -67,10 +68,17 @@ object Triangles {
       .select(col("w1.s").as("s"), col("w1.t").as("t1"), col("w2.t").as("t2"))
     // the closing edge probed through an ID-normalized copy: (t1, t2) is
     // id-ordered, so one conjunctive equi-join closes the wedge whatever
-    // the closing edge's degree orientation was
+    // the closing edge's degree orientation was. The wedge side is the
+    // BIG side (Σ out-deg² ≫ m), so when the edge set itself is
+    // broadcast-sized we ship IT and never shuffle-sort a single wedge —
+    // the count is free off the persisted frame (and materializes the
+    // cache before the multi-consumer plan runs). Above the cap the join
+    // falls back to the shuffle plan automatically.
+    val edgeCount = e.count()
     val cNorm = o.select(least(col("s"), col("t")).as("x"),
       greatest(col("s"), col("t")).as("y"))
-    w.join(cNorm, col("t1") === col("x") && col("t2") === col("y"))
+    val cSide = if (edgeCount <= maxBroadcastEdges) broadcast(cNorm) else cNorm
+    w.join(cSide, col("t1") === col("x") && col("t2") === col("y"))
       .select(sort_array(array(col("s"), col("t1"), col("t2"))).as("tri"))
       .select(col("tri").getItem(0).as("a"), col("tri").getItem(1).as("b"),
         col("tri").getItem(2).as("c"))
