@@ -66,9 +66,11 @@ object EntityResolution {
         col(cleanName).as("__cn"),
         explode(deletionNeighborhood(col(cleanName))).as("__key"))
     dKeys.join(cKeys, "__key")
-      .where(levenshtein(col("__dn"), col("__cn")) <= maxDist)
+      // one levenshtein per candidate row, shared by filter and argmin
+      .withColumn("__dist", levenshtein(col("__dn"), col("__cn")))
+      .where(col("__dist") <= maxDist)
       .groupBy(col("__did"))
-      .agg(min(struct(levenshtein(col("__dn"), col("__cn")).as("dist"),
+      .agg(min(struct(col("__dist").as("dist"),
         col("__cid").as("cid"))).as("__m"))
       .select(col("__did").as("id"),
         col("__m.cid").as(s"match_$cleanId"),
