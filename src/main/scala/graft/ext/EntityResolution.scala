@@ -54,7 +54,8 @@ object EntityResolution {
     * for the unmatched side). */
   def resolve(dirty: DataFrame, dirtyId: String, dirtyName: String,
               clean: DataFrame, cleanId: String, cleanName: String,
-              maxDist: Int = 1): DataFrame = {
+              maxDist: Int = 1,
+              maxBroadcastClean: Long = 1000000L): DataFrame = {
     require(maxDist == 1,
       "resolve: deletion-neighborhood blocking is exact for maxDist=1; " +
         "wider distances need the distance-2 neighborhood (len^2 keys) — " +
@@ -65,7 +66,14 @@ object EntityResolution {
     val cKeys = clean.select(col(cleanId).as("__cid"),
         col(cleanName).as("__cn"),
         explode(deletionNeighborhood(col(cleanName))).as("__key"))
-    dKeys.join(cKeys, "__key")
+    // the common production shape is a HUGE dirty feed against a
+    // dim-sized canonical reference: when the clean row count (one cheap
+    // metadata-friendly action) is bounded, broadcast its exploded key
+    // frame so the dirty side never shuffles at all; above the cap both
+    // sides hash-partition on the variant key as before
+    val cSide =
+      if (clean.count() <= maxBroadcastClean) broadcast(cKeys) else cKeys
+    dKeys.join(cSide, "__key")
       // one levenshtein per candidate row, shared by filter and argmin
       .withColumn("__dist", levenshtein(col("__dn"), col("__cn")))
       .where(col("__dist") <= maxDist)
