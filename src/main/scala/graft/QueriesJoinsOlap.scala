@@ -13,7 +13,7 @@ import EntryHelpers._
   *
   * One of six per-domain registries merged by [[SparkEntry.queries]] /
   * [[SparkEntry.oracleSql]] — pure relocation of the former monolithic
-  * maps, no behavior change (39 entries incl. the round-12 triangle + resample paths). */
+  * maps, no behavior change (40 entries incl. the round-12 triangle/resample/wmedian paths). */
 private[graft] object QueriesJoinsOlap {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_enrich" -> ((s: SparkSession, dir: String) =>
@@ -197,6 +197,14 @@ private[graft] object QueriesJoinsOlap {
       graft.ext.Olap.modeStats(Tables.customer(s, dir),
           "c_nationkey", "c_mktsegment")
         .orderBy("c_nationkey")),
+    // ----- volume-weighted median price per return flag: smallest cent
+    // value whose cumulative quantity reaches half the total (exact
+    // lower-median rule, no interpolation — Olap.weightedMedian
+    // scaladoc) -----
+    "agg_wmedian" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Olap.weightedMedian(Tables.lineitem(s, dir),
+          "l_returnflag", "l_extendedprice", "l_quantity")
+        .orderBy("l_returnflag")),
     // ----- exact co-moment Pearson correlation (Olap.corrStats
     // scaladoc: decimal moments, two sqrts + one division) -----
     "agg_corr" -> ((s: SparkSession, dir: String) =>
@@ -642,6 +650,26 @@ private[graft] object QueriesJoinsOlap {
          |QUALIFY row_number() OVER (PARTITION BY c_nationkey
          |  ORDER BY cnt DESC, c_mktsegment) = 1
          |ORDER BY c_nationkey""".stripMargin),
+    // the same pre-aggregated lower-median crossing; window sums widen
+    // to HUGEINT so the final value casts back
+    "agg_wmedian" ->
+      ("""WITH q AS (
+         |  SELECT l_returnflag,
+         |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
+         |    sum(CAST(l_quantity AS BIGINT)) AS wv
+         |  FROM lineitem WHERE l_quantity > 0
+         |  GROUP BY 1, 2
+         |), c AS (
+         |  SELECT l_returnflag, v,
+         |    sum(wv) OVER (PARTITION BY l_returnflag ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    sum(wv) OVER (PARTITION BY l_returnflag) AS tot
+         |  FROM q
+         |)
+         |SELECT l_returnflag, CAST(min(v) AS BIGINT) AS wmedian_c
+         |FROM c WHERE cum * 2 >= tot
+         |GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin),
     // same cent quantization and co-moments; hugeint sums, fixed-order
     // cov / (sqrt·sqrt) finish; zero-variance groups null out
     "agg_corr" ->

@@ -148,6 +148,36 @@ object Olap {
       .select(col(groupCol), col(valCol).as("mode"), col("cnt"))
   }
 
+  /** Per-group WEIGHTED median — the volume-weighted dual of the plain
+    * median (median price weighted by quantity traded): the smallest
+    * cent-quantized value whose cumulative weight reaches half the
+    * group's total (`2·cum ≥ W`, the lower weighted median — exact
+    * integer arithmetic, no interpolation, engine-portable where
+    * interpolating built-ins aren't).
+    *
+    * Determinism: weights are pre-aggregated per (group, value) BEFORE
+    * the running sum, so equal values can never straddle the crossing in
+    * an order-dependent way; the wire carries one row per distinct
+    * (group, value). One groupBy + one window + one final min — all
+    * partitioned by group, no global sort. */
+  def weightedMedian(df: DataFrame, groupCol: String, valCol: String,
+                     wCol: String): DataFrame = {
+    val q = df.select(col(groupCol),
+        floor(col(valCol) * 100 + 0.5).cast("long").as("__v"),
+        col(wCol).cast("long").as("__w"))
+      .where(col("__w") > 0)
+      .groupBy(col(groupCol), col("__v"))
+      .agg(sum(col("__w")).as("__wv"))
+    val cum = sum(col("__wv")).over(Window.partitionBy(col(groupCol))
+      .orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val tot = sum(col("__wv")).over(Window.partitionBy(col(groupCol)))
+    q.select(col(groupCol), col("__v"), cum.as("__cum"), tot.as("__tot"))
+      .where(col("__cum") * 2 >= col("__tot"))
+      .groupBy(col(groupCol))
+      .agg(min(col("__v")).as("wmedian_c"))
+  }
+
   /** Bounded ordered string aggregation: the k lexicographically-first
     * distinct values per group, joined into one string — "show me example
     * members" without the unbounded `collect_set` footgun. The ranking
