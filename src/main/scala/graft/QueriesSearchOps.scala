@@ -13,7 +13,7 @@ import EntryHelpers._
   *
   * One of six per-domain registries merged by [[SparkEntry.queries]] /
   * [[SparkEntry.oracleSql]] — pure relocation of the former monolithic
-  * maps, no behavior change (44 entries incl. the round-12 Y4M video + resize paths). */
+  * maps, no behavior change (45 entries incl. the round-12 Y4M/resize/png-meta paths). */
 private[graft] object QueriesSearchOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ----- per-document tf-idf keywords (integer-quantized idf) -----
@@ -429,6 +429,15 @@ private[graft] object QueriesSearchOps {
       Multimodal.featuresY4m(
           Multimodal.plantedY4m(s, Tables.documents(s, dir)), step = 2)
         .toDF().orderBy("id", "frame_idx")),
+    // metadata fast path: dimensions/bit-depth/color-type from the PNG
+    // signature + IHDR alone — 33 bytes of work per image, no inflate
+    // (the ParquetMeta footer-count analogue for images); the oracle
+    // replays the planted geometry and the fixed 8-bit-truecolor fields
+    // the JDK encoder always writes
+    "mm_meta_png" -> ((s: SparkSession, dir: String) =>
+      Multimodal.metaPng(
+          Multimodal.plantedPng(s, Tables.documents(s, dir)))
+        .toDF().orderBy("id")),
     // exact area-average downscale (factor 2): every output channel is
     // the round-half-up integer mean of its 2x2 block, so the oracle can
     // replay each block from the planted pixel formula — certifying the
@@ -1247,6 +1256,15 @@ private[graft] object QueriesSearchOps {
          |FROM fr JOIN ys ON fr.id = ys.id AND fr.f = ys.f
          |        JOIN uvs ON fr.id = uvs.id AND fr.f = uvs.f
          |ORDER BY fr.id, frame_idx""".stripMargin),
+    // the planted dims; bit depth 8 / color type 2 (truecolor) are what
+    // the JDK PNG writer emits for TYPE_INT_RGB, invariant over id
+    "mm_meta_png" ->
+      ("""SELECT doc_id AS id,
+         |  CAST(1 + doc_id % 7 AS BIGINT) AS width,
+         |  CAST(1 + doc_id % 5 AS BIGINT) AS height,
+         |  CAST(8 AS BIGINT) AS bit_depth,
+         |  CAST(2 AS BIGINT) AS color_type
+         |FROM documents ORDER BY id""".stripMargin),
     // block-mean replay: output channel (ox,oy,c) averages the four
     // planted bytes of its 2x2 block with round-half-up ((bsum+2)//4)
     "mm_resize" ->

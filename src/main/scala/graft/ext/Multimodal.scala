@@ -384,6 +384,53 @@ object Multimodal {
     }
   }
 
+  /** PNG IHDR fields — all the geometry a pipeline usually needs,
+    * extracted WITHOUT running the codec. */
+  final case class PngHeader(width: Int, height: Int, bitDepth: Int,
+                             colorType: Int)
+
+  /** Metadata fast path: read a PNG's dimensions from the 8-byte
+    * signature + IHDR chunk alone — no inflate, no unfilter, O(33 bytes)
+    * per image whatever its size. The image analogue of
+    * [[graft.sources.ParquetMeta]]'s footer-only count: filtering a
+    * corpus by resolution or aspect ratio must not pay full decode.
+    * Strict: exact signature, first chunk must be a 13-byte IHDR,
+    * positive dims — anything else is None. */
+  def decodePngHeader(bytes: Array[Byte]): Option[PngHeader] = {
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+    def u32(i: Int): Long =
+      ((bytes(i) & 0xffL) << 24) | ((bytes(i + 1) & 0xffL) << 16) |
+        ((bytes(i + 2) & 0xffL) << 8) | (bytes(i + 3) & 0xffL)
+    if (bytes.length < 33) None
+    else if (!bytes.take(8).sameElements(sig)) None
+    else if (u32(8) != 13L) None // IHDR data length is always 13
+    else if (new String(bytes, 12, 4, "US-ASCII") != "IHDR") None
+    else {
+      val w = u32(16)
+      val h = u32(20)
+      if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue) None
+      else Some(PngHeader(w.toInt, h.toInt, bytes(24) & 0xff, bytes(25) & 0xff))
+    }
+  }
+
+  final case class PngMeta(id: Long, width: Long, height: Long,
+                           bit_depth: Long, color_type: Long)
+
+  /** Header-only feature extraction over [[decodePngHeader]] — same
+    * quarantine-drop batch shape as the full decoders, a constant 33
+    * bytes of work per row. */
+  def metaPng(media: Dataset[Media]): Dataset[PngMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { m =>
+        decodePngHeader(m.bytes).map(p =>
+          PngMeta(m.id, p.width.toLong, p.height.toLong, p.bitDepth.toLong,
+            p.colorType.toLong))
+      }
+    }
+  }
+
   // ------------------------------------------------------------------
   // REAL audio decode: RIFF/WAVE PCM16 via a hand-rolled chunk walker
   // (the PPM discipline applied to audio — strict, loud, zero deps).

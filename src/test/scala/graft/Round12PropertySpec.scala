@@ -96,6 +96,21 @@ object Round12PropertySpec extends Properties("round12") {
       Multimodal.decodeImage(b); true
     }
 
+  property("decodePngHeader agrees with the full decoder on real PNGs") =
+    Prop.forAll(Gen.choose(1, 40), Gen.choose(1, 30)) { (w, h) =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out): Unit
+      val hdr = Multimodal.decodePngHeader(out.toByteArray)
+      hdr.contains(Multimodal.PngHeader(w, h, 8, 2))
+    }
+
+  property("decodePngHeader is total on garbage and corrupted payloads") =
+    Prop.forAll(Gen.oneOf(genBytes, corrupt(validPng))) { b =>
+      Multimodal.decodePngHeader(b); true
+    }
+
   // ------------------------------------------------- Y4M video parse
   private case class Vid(w: Int, h: Int, fn: Int, fd: Int,
                          frames: Seq[Array[Byte]]) // per frame: Y then UV
