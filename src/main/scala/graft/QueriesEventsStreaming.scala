@@ -13,8 +13,8 @@ import EntryHelpers._
   *
   * One of six per-domain registries merged by [[SparkEntry.queries]] /
   * [[SparkEntry.oracleSql]] — pure relocation of the former monolithic
-  * maps, no behavior change (16 entries incl. the round-12 custom-exec
-  * as-of path). */
+  * maps, no behavior change (17 entries incl. the round-12 custom-exec
+  * as-of and stream-scored-outlier paths). */
 private[graft] object QueriesEventsStreaming {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // 3σ anomaly flag with division-free integer arithmetic (Events
@@ -127,6 +127,19 @@ private[graft] object QueriesEventsStreaming {
               "event_type", "value")),
           "event_type")
         .orderBy("event_type")),
+    // the model-serving split certified end-to-end: the moment state is
+    // LEARNED over the stream (the stream_incragg drain), then applied
+    // as a broadcast scoring model to the batch frame with the identical
+    // integer 3-sigma test — flags hash-match the pure-batch
+    // events_outliers oracle, proving stream-learned == batch-computed
+    "stream_outliers" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Events.outliersFromState(
+          Tables.events(s, dir),
+          drainStream(s, "graft_stream_outliers", "complete",
+            graft.ext.Olap.momentState(eventsStream(s, dir),
+              "event_type", "value")),
+          "event_type", "value", sigmas = 3)
+        .orderBy("event_id")),
     // Stateful streaming certified against SQL: gap sessionization via
     // flatMapGroupsWithState + EVENT-TIME timeouts over the same events
     // parquet. Closed sessions = every session a later event closed, plus
@@ -236,6 +249,24 @@ private[graft] object QueriesEventsStreaming {
   val oracles: Map[String, String] = Map(
     // the cleared-denominator 3σ test replayed in int128: (n·v − sv)² >
     // 9·(n·svv − sv²) over cent-quantized values — no float anywhere
+    // a state maintained over the full stream equals the batch moments,
+    // so the stream-scored flags replay the batch oracle verbatim
+    "stream_outliers" ->
+      ("""WITH q AS (
+         |  SELECT event_id, event_type,
+         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c
+         |  FROM events
+         |), s AS (
+         |  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+         |    CAST(sum(value_c) AS HUGEINT) AS sv,
+         |    CAST(sum(value_c * value_c) AS HUGEINT) AS svv
+         |  FROM q GROUP BY event_type
+         |)
+         |SELECT q.event_id, q.event_type, q.value_c
+         |FROM q JOIN s USING (event_type)
+         |WHERE (s.n * q.value_c - s.sv) * (s.n * q.value_c - s.sv)
+         |  > 9 * (s.n * s.svv - s.sv * s.sv)
+         |ORDER BY event_id""".stripMargin),
     "events_outliers" ->
       ("""WITH q AS (
          |  SELECT event_id, event_type,

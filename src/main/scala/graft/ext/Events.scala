@@ -48,6 +48,31 @@ object Events {
       .select(col("event_id"), col(groupCol), col("value_c"))
   }
 
+  /** The [[outliers]] flag test applied against an EXTERNALLY-maintained
+    * moment state ([[Olap.momentState]] shape: group, n, sv, svv) instead
+    * of moments computed in-query — the model-serving split: the state is
+    * learned elsewhere (a streaming drain, yesterday's persisted state, a
+    * merged multi-shard state) and the flag pass is a broadcast join +
+    * scan-side filter over the data being scored. Identical integer
+    * arithmetic, so a state maintained over the SAME rows flags the
+    * identical set as the in-query computation — which is exactly what
+    * `stream_outliers` certifies end-to-end. */
+  def outliersFromState(events: DataFrame, state: DataFrame,
+                        groupCol: String, valueCol: String,
+                        sigmas: Int = 3): DataFrame = {
+    require(sigmas > 0, "sigmas must be positive")
+    val q = events.select(col("event_id"), col(groupCol),
+      floor(col(valueCol) * 100 + 0.5).cast("long").as("value_c"))
+    val dec = "decimal(38,0)"
+    val root = col("n").cast(dec) * col("value_c") - col("sv")
+    val lhs = root * root
+    val rhs = lit(sigmas.toLong * sigmas) *
+      (col("n").cast(dec) * col("svv") - col("sv") * col("sv"))
+    q.join(broadcast(state), groupCol)
+      .filter(lhs > rhs)
+      .select(col("event_id"), col(groupCol), col("value_c"))
+  }
+
   /** MAD (median-absolute-deviation) anomaly flags — the ROBUST dual of
     * [[outliers]]: mean/stddev z-scores move with the very anomalies they
     * hunt (one 1000× spike inflates σ until nothing else flags), while
