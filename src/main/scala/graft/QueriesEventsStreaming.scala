@@ -13,7 +13,7 @@ import EntryHelpers._
   *
   * One of six per-domain registries merged by [[SparkEntry.queries]] /
   * [[SparkEntry.oracleSql]] — pure relocation of the former monolithic
-  * maps, no behavior change (17 entries incl. the round-12 custom-exec
+  * maps, no behavior change (18 entries incl. the round-12 custom-exec
   * as-of and stream-scored-outlier paths). */
 private[graft] object QueriesEventsStreaming {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -13,7 +13,7 @@ import EntryHelpers._
   *
   * One of six per-domain registries merged by [[SparkEntry.queries]] /
   * [[SparkEntry.oracleSql]] — pure relocation of the former monolithic
-  * maps, no behavior change (40 entries incl. the round-12 triangle/resample/wmedian paths). */
+  * maps, no behavior change (41 entries incl. the round-12 triangle/resample/wmedian/native-HLL paths). */
 private[graft] object QueriesJoinsOlap {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_enrich" -> ((s: SparkSession, dir: String) =>
@@ -231,6 +231,19 @@ private[graft] object QueriesJoinsOlap {
     "agg_hll" -> ((s: SparkSession, dir: String) =>
       graft.ext.Hll.distinctEstimate(Tables.events(s, dir),
           "event_type", "user_id")
+        .orderBy("event_type")),
+    // the SAME sketch as a native TypedImperativeAggregate (functions/
+    // HllAggregate.scala): one 64-byte buffer per group partial-agged
+    // map-side, bytewise-max merge, no register frame materialized —
+    // two execution strategies certified against ONE oracle bit-for-bit
+    "agg_hll_native" -> ((s: SparkSession, dir: String) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(graft.functions.HllFunctions.hll_sketch(col("user_id"))
+          .as("__s"))
+        .select(col("event_type"), col("__s.n_regs").as("n_regs"),
+          col("__s.isum").as("isum"),
+          col("__s.hll_estimate").as("hll_estimate"))
         .orderBy("event_type")),
     // the union path: sketch two disjoint halves of events independently,
     // max-merge the register states, finalize. The halves partition the
@@ -723,6 +736,9 @@ private[graft] object QueriesJoinsOlap {
     // bitlength rank, max-merge, exact integer harmonic sum, and the
     // identical fixed-order double estimate
     "agg_hll" -> HllOracle,
+    // same oracle: the native-aggregate strategy must land the identical
+    // registers, harmonic sum, and estimate
+    "agg_hll_native" -> HllOracle,
     // the merged half-sketches must equal the direct sketch of the whole
     // table — same oracle, by design
     "agg_hll_union" -> HllOracle,

@@ -13,7 +13,7 @@ import EntryHelpers._
   *
   * One of six per-domain registries merged by [[SparkEntry.queries]] /
   * [[SparkEntry.oracleSql]] — pure relocation of the former monolithic
-  * maps, no behavior change (45 entries incl. the round-12 Y4M/resize/png-meta paths). */
+  * maps, no behavior change (46 entries incl. the round-12 Y4M/resize/png-meta paths). */
 private[graft] object QueriesSearchOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ----- per-document tf-idf keywords (integer-quantized idf) -----
