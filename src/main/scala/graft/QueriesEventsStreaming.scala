@@ -13,8 +13,8 @@ import EntryHelpers._
   *
   * One of six per-domain registries merged by [[SparkEntry.queries]] /
   * [[SparkEntry.oracleSql]] — pure relocation of the former monolithic
-  * maps, no behavior change (18 entries incl. the round-12 custom-exec
-  * as-of and stream-scored-outlier paths). */
+  * maps, no behavior change (19 entries incl. the round-12 custom-exec
+  * as-of, stream-scored-outlier, and pushdown-tail paths). */
 private[graft] object QueriesEventsStreaming {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // 3σ anomaly flag with division-free integer arithmetic (Events
@@ -59,6 +59,32 @@ private[graft] object QueriesEventsStreaming {
     // drained through the SAME certified hourly topology — a green hash
     // certifies the source's offset/partition/row-decode machinery
     // end-to-end, not just the aggregate
+    // pushdown through the custom source: the predicate references a
+    // column (user_id) the hourly aggregate PRUNES away — the source
+    // parses the projection-union, evaluates the pushed comparison
+    // during the tail, and emits only the narrow row (DirTailScanBuilder
+    // scaladoc); certified against the hourly oracle restricted by the
+    // same predicate
+    "stream_dirtail_filtered" -> ((s: SparkSession, dir: String) => {
+      val src = dirtailEventsDir(s, dir)
+      val wire = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType)))
+      val stream = s.readStream.format("graft-dirtail").schema(wire)
+        .option("path", src).load()
+        .where(col("user_id") > 75L)
+      drainStream(s, "graft_stream_dirtail_filtered", "complete",
+        graft.streaming.EventsStream.hourlyCounts(stream))
+        .orderBy("hour", "event_type")
+    }),
     "stream_dirtail" -> ((s: SparkSession, dir: String) => {
       val src = dirtailEventsDir(s, dir)
       val wire = org.apache.spark.sql.types.StructType(Seq(
@@ -332,6 +358,15 @@ private[graft] object QueriesEventsStreaming {
          |  count(*) AS n,
          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin),
+    // the hourly aggregate restricted by the predicate the SOURCE
+    // evaluated during the tail — any pushdown defect (wrong comparison,
+    // swallowed null, mis-projected row) breaks the hash
+    "stream_dirtail_filtered" ->
+      ("""SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
+         |  count(*) AS n,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM events WHERE user_id > 75
+         |GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin),
     // identical aggregate through the custom DSv2 source: the JSONL
     // round trip (epoch-micros wire ts) must be value-exact, so the
     // stream_hourly oracle certifies the source machinery verbatim

@@ -16,7 +16,7 @@ import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, Par
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write.{DataWriter, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -106,8 +106,10 @@ private[sources] class DirTailTable(schema: StructType, path: String)
 
 private[graft] class DirTailScanBuilder(full: StructType, path: String)
     extends ScanBuilder
-    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   private var pruned: StructType = full
+  private var pushed: Array[Filter] = Array.empty
   override def pruneColumns(required: StructType): Unit = {
     // keep the FULL schema's field order and types (`required` arrives in
     // Catalyst's order and must not reorder what the reader emits); an
@@ -116,10 +118,80 @@ private[graft] class DirTailScanBuilder(full: StructType, path: String)
     val keep = required.fieldNames.toSet
     pruned = StructType(full.fields.filter(f => keep.contains(f.name)))
   }
+  /** Accept the comparison/null-check subset [[DirTailFilters]] can
+    * evaluate during the parse; everything else is returned unhandled and
+    * Spark evaluates it above the scan. An ACCEPTED filter may reference
+    * a column the projection later prunes away — the reader parses the
+    * union (projection ∪ filter columns) and projects after evaluating,
+    * so pushdown never widens what reaches the query. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ours, rest) = filters.partition(DirTailFilters.supports(full, _))
+    pushed = ours
+    rest
+  }
+  override def pushedFilters(): Array[Filter] = pushed
   override def build(): Scan = new Scan {
     override def readSchema(): StructType = pruned
     override def toMicroBatchStream(ckpt: String): MicroBatchStream =
-      new DirTailStream(pruned, path)
+      new DirTailStream(pruned, full, pushed, path)
+    override def description(): String =
+      s"graft-dirtail path=$path PushedFilters: ${pushed.mkString("[", ", ", "]")}"
+  }
+}
+
+/** The pushable-filter subset and its row-side evaluator: =, <, <=, >,
+  * >=, IS NOT NULL over top-level long/int/double/string columns —
+  * SQL comparison semantics (NULL never matches). Timestamps and
+  * booleans are deliberately NOT pushed: their literal encodings vary by
+  * caller and a mis-decoded pushed filter silently drops rows, the one
+  * failure mode a source must never have. */
+private[graft] object DirTailFilters {
+  private def pushableCol(schema: StructType, name: String): Boolean =
+    schema.fields.exists(f => f.name == name && (f.dataType match {
+      case LongType | IntegerType | DoubleType | StringType => true
+      case _ => false
+    }))
+  private def pushableLit(v: Any): Boolean = v match {
+    case _: java.lang.Long | _: java.lang.Integer | _: java.lang.Double |
+         _: String => true
+    case _ => false
+  }
+  def supports(schema: StructType, f: Filter): Boolean = f match {
+    case EqualTo(a, v)            => pushableCol(schema, a) && pushableLit(v)
+    case GreaterThan(a, v)        => pushableCol(schema, a) && pushableLit(v)
+    case GreaterThanOrEqual(a, v) => pushableCol(schema, a) && pushableLit(v)
+    case LessThan(a, v)           => pushableCol(schema, a) && pushableLit(v)
+    case LessThanOrEqual(a, v)    => pushableCol(schema, a) && pushableLit(v)
+    case IsNotNull(a)             => pushableCol(schema, a)
+    case _                        => false
+  }
+  /** actual (parsed row slot: java Long/Int/Double/UTF8String/null) vs
+    * the filter literal; None = incomparable kinds (treated as no-match). */
+  private def cmp(actual: Any, lit: Any): Option[Int] = (actual, lit) match {
+    case (a: java.lang.Long, b: java.lang.Long)       => Some(a.compareTo(b))
+    case (a: java.lang.Long, b: java.lang.Integer)    => Some(a.compareTo(b.longValue()))
+    case (a: java.lang.Integer, b: java.lang.Integer) => Some(a.compareTo(b))
+    case (a: java.lang.Integer, b: java.lang.Long)    => Some(a.longValue().compareTo(b))
+    case (a: java.lang.Double, b: java.lang.Double)   => Some(a.compareTo(b))
+    case (a: java.lang.Double, b: java.lang.Long)     => Some(a.compareTo(b.doubleValue()))
+    case (a: java.lang.Double, b: java.lang.Integer)  => Some(a.compareTo(b.doubleValue()))
+    case (a: UTF8String, b: String)                   => Some(a.compareTo(UTF8String.fromString(b)))
+    case _                                            => None
+  }
+  def eval(f: Filter, get: String => Any): Boolean = f match {
+    case IsNotNull(a) => get(a) != null
+    case EqualTo(a, v) =>
+      val x = get(a); x != null && cmp(x, v).contains(0)
+    case GreaterThan(a, v) =>
+      val x = get(a); x != null && cmp(x, v).exists(_ > 0)
+    case GreaterThanOrEqual(a, v) =>
+      val x = get(a); x != null && cmp(x, v).exists(_ >= 0)
+    case LessThan(a, v) =>
+      val x = get(a); x != null && cmp(x, v).exists(_ < 0)
+    case LessThanOrEqual(a, v) =>
+      val x = get(a); x != null && cmp(x, v).exists(_ <= 0)
+    case other => throw new IllegalStateException(
+      s"unreachable: $other passed supports()")
   }
 }
 
@@ -130,8 +202,13 @@ private[sources] case class DirTailOffset(n: Long) extends Offset {
   override def json(): String = n.toString
 }
 
-private[graft] class DirTailStream(schema: StructType, path: String)
+private[graft] class DirTailStream(schema: StructType, full: StructType,
+                                   filters: Array[Filter], path: String)
     extends MicroBatchStream {
+
+  /** Back-compat two-arg shape (no pushed filters). */
+  def this(schema: StructType, path: String) =
+    this(schema, schema, Array.empty[Filter], path)
 
   /** Sorted stable listing. Files still being staged (dot-prefixed, the
     * convention every log shipper uses for in-flight writes) are
@@ -164,33 +241,62 @@ private[graft] class DirTailStream(schema: StructType, path: String)
       .map(f => DirTailPartition(s"$path/$f"): InputPartition)
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new DirTailReaderFactory(schema)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // parse schema = projection ∪ filter-referenced columns, in the FULL
+    // schema's declared order; the reader evaluates pushed filters on the
+    // parsed slots and emits only the projected fields
+    val need = schema.fieldNames.toSet ++ filters.flatMap(_.references)
+    val parseSchema = StructType(full.fields.filter(f => need.contains(f.name)))
+    val projIdx = schema.fieldNames.map(parseSchema.fieldIndex)
+    new DirTailReaderFactory(parseSchema, projIdx, filters)
+  }
 }
 
 private[graft] case class DirTailPartition(file: String)
     extends InputPartition
 
-private[sources] class DirTailReaderFactory(schema: StructType)
+private[sources] class DirTailReaderFactory(parseSchema: StructType,
+                                            projIdx: Array[Int],
+                                            filters: Array[Filter])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new DirTailReader(schema, p.asInstanceOf[DirTailPartition].file)
+    new DirTailReader(parseSchema, projIdx, filters,
+      p.asInstanceOf[DirTailPartition].file)
 }
 
-private[sources] class DirTailReader(schema: StructType, file: String)
+private[sources] class DirTailReader(parseSchema: StructType,
+                                     projIdx: Array[Int],
+                                     filters: Array[Filter], file: String)
     extends PartitionReader[InternalRow] {
   // stream, don't slurp: a task's memory must not scale with its file
   // size (readAllLines would materialize the whole split at once)
   private val in =
     Files.newBufferedReader(Paths.get(file), StandardCharsets.UTF_8)
   private val mapper = new ObjectMapper()
+  private val fieldIdx: Map[String, Int] =
+    parseSchema.fieldNames.zipWithIndex.toMap
+  // identity fast path: nothing pushed and nothing extra parsed
+  private val passThrough =
+    filters.isEmpty && projIdx.sameElements(parseSchema.indices)
   private var row: InternalRow = _
 
   override def next(): Boolean = {
-    var line = in.readLine()
-    while (line != null && line.trim.isEmpty) line = in.readLine()
-    if (line == null) false
-    else { row = DirTail.parse(mapper, schema, line, file); true }
+    while (true) {
+      var line = in.readLine()
+      while (line != null && line.trim.isEmpty) line = in.readLine()
+      if (line == null) return false
+      val parsed = DirTail.parse(mapper, parseSchema, line, file)
+      if (filters.forall(f =>
+          DirTailFilters.eval(f, name => parsed.get(fieldIdx(name),
+            parseSchema(fieldIdx(name)).dataType)))) {
+        row =
+          if (passThrough) parsed
+          else new GenericInternalRow(projIdx.map(i =>
+            parsed.get(i, parseSchema(i).dataType)))
+        return true
+      } // else: row filtered AT THE SOURCE — skip and keep reading
+    }
+    false // unreachable
   }
   override def get(): InternalRow = row
   override def close(): Unit = in.close()

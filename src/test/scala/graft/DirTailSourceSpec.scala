@@ -202,6 +202,69 @@ class DirTailSourceSpec extends SparkSpec {
     assert(!names.exists(_.startsWith(".stage-")), names) // replay reaped
   }
 
+  test("filter pushdown: builder contract, union parse, projected emit") {
+    import org.apache.spark.sql.sources._
+    val b = new graft.sources.DirTailScanBuilder(schema, "/tmp/x")
+    // supported comparisons are accepted; the rest come back unhandled
+    val rest = b.pushFilters(Array(
+      GreaterThan("id", 1L), EqualTo("kind", "k0"), IsNotNull("score"),
+      EqualTo("ts", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")), // ts: refused
+      StringContains("kind", "k"))) // not in the subset: refused
+    assert(rest.map(_.toString).toSet ==
+      Set(EqualTo("ts", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+        StringContains("kind", "k")).map(_.toString))
+    assert(b.pushedFilters().length == 3)
+    // prune AWAY the filter columns: the scan's visible schema narrows,
+    // the reader still evaluates the filters on the union parse
+    b.pruneColumns(StructType(Seq(StructField("kind", StringType))))
+    assert(b.build().readSchema().fieldNames.toSeq == Seq("kind"))
+
+    // end-to-end through a drain: rows with id <= 1 or kind != k0 must
+    // never surface, and only `kind` comes back
+    val src = Files.createTempDirectory("dirtail-src")
+    val out = Files.createTempDirectory("dirtail-out")
+    val ckpt = Files.createTempDirectory("dirtail-ckpt")
+    writeFile(src, "a.jsonl", (0L until 12L).map(line))
+    val q = spark.readStream.format("graft-dirtail").schema(schema)
+      .option("path", src.toString).load()
+      .where(col("id") > 1L && col("kind") === "k0")
+      .select(col("kind"))
+      .writeStream.format("parquet").option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.read.parquet(out.toString).collect().map(_.getString(0))
+    // ids 3, 6, 9 survive (k0 and > 1)
+    assert(got.length == 3 && got.forall(_ == "k0"), got.toSeq)
+  }
+
+  test("pushed-filter evaluation matches SQL comparison semantics") {
+    import org.apache.spark.sql.sources._
+    import graft.sources.DirTailFilters
+    val get: String => Any = {
+      case "l" => java.lang.Long.valueOf(5L)
+      case "d" => java.lang.Double.valueOf(2.5)
+      case "s" => org.apache.spark.unsafe.types.UTF8String.fromString("mid")
+      case "n" => null
+    }
+    assert(DirTailFilters.eval(GreaterThan("l", 4L), get))
+    assert(!DirTailFilters.eval(GreaterThan("l", 5L), get))
+    assert(DirTailFilters.eval(GreaterThanOrEqual("l", 5L), get))
+    assert(DirTailFilters.eval(LessThan("d", 2.6), get))
+    assert(DirTailFilters.eval(LessThanOrEqual("d", 2.5), get))
+    assert(DirTailFilters.eval(EqualTo("s", "mid"), get))
+    assert(!DirTailFilters.eval(EqualTo("s", "other"), get))
+    assert(DirTailFilters.eval(LessThan("s", "zz"), get)) // binary order
+    // NULL never matches a comparison; IsNotNull is the only null probe
+    assert(!DirTailFilters.eval(EqualTo("n", 1L), get))
+    assert(!DirTailFilters.eval(LessThan("n", 1L), get))
+    assert(!DirTailFilters.eval(IsNotNull("n"), get))
+    assert(DirTailFilters.eval(IsNotNull("l"), get))
+    // int literal against a long slot (Catalyst emits either width)
+    assert(DirTailFilters.eval(EqualTo("l", 5), get))
+  }
+
   test("malformed JSON fails the batch loudly instead of dropping rows") {
     val src = Files.createTempDirectory("dirtail-src")
     val out = Files.createTempDirectory("dirtail-out")
