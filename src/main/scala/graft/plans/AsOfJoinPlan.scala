@@ -255,6 +255,23 @@ object AsOfPhys {
         cs.experimental.extraOptimizations :+ PushFilterThroughAsOfJoin
   }
 
+  /** The documented duality made executable: route to the broadcast
+    * exec when the right side's row count (one action) fits the cap,
+    * else to the merge-window compose — the operator-level analogue of
+    * Spark's own BroadcastHashJoin / SortMergeJoin selection, with the
+    * threshold explicit instead of a stats estimate. */
+  def asofJoinAuto(left: DataFrame, right: DataFrame,
+                   leftKey: String, rightKey: String,
+                   leftTime: String, rightTime: String,
+                   valueCols: Seq[String], tieBreak: String,
+                   maxBuildRows: Long = DefaultMaxBuildRows.toLong): DataFrame =
+    if (right.count() <= maxBuildRows)
+      asofJoinBroadcast(left, right, leftKey, rightKey, leftTime, rightTime,
+        valueCols, tieBreak)
+    else
+      graft.ext.AsOf.asofJoin(left, right, leftKey, rightKey, leftTime,
+        rightTime, valueCols, tieBreak)
+
   /** Left-outer as-of join through [[AsOfJoinExec]] — same signature and
     * semantics as [[graft.ext.AsOf.asofJoin]] (outputs `asof_<col>`,
     * inclusive, largest-tie-wins), different physical plan: broadcast +

@@ -145,6 +145,22 @@ class AsOfPhysSpec extends SparkSpec {
     assert(phys == merge)
   }
 
+  test("auto routing: broadcast exec under the cap, merge compose above") {
+    val under = AsOfPhys.asofJoinAuto(left, right, "user_id", "cust", "ts",
+      "odate", valueCols = Seq("price"), tieBreak = "o_id")
+    assert(under.queryExecution.executedPlan
+      .collect { case e: AsOfJoinExec => e }.nonEmpty)
+    val over = AsOfPhys.asofJoinAuto(left, right, "user_id", "cust", "ts",
+      "odate", valueCols = Seq("price"), tieBreak = "o_id",
+      maxBuildRows = 1L)
+    assert(over.queryExecution.executedPlan
+      .collect { case e: AsOfJoinExec => e }.isEmpty)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("event_id").collect()
+        .map(r => (r.getLong(0), Option(r.get(3)))).toSeq
+    assert(canon(under) == canon(over)) // one answer, two plans
+  }
+
   test("key-type mismatch fails loudly at build time") {
     val lInt = left.withColumn("user_id", col("user_id").cast("int"))
     val e = intercept[IllegalArgumentException] {
