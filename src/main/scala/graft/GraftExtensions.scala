@@ -54,6 +54,14 @@ object GraftExtensions {
         require(args.length == 1, "token_poly_hashes takes 1 argument")
         TokenPolyHashes(args(0))
       }),
+    // an AGGREGATE registers the same way: the analyzer wraps a returned
+    // AggregateFunction in its AggregateExpression
+    ("hll_sketch",
+      "hll_sketch(key) - certified-HLL struct(n_regs, isum, hll_estimate)",
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "hll_sketch takes 1 argument")
+        graft.functions.HllSketchAgg(args(0))
+      }),
   )
 
   /** Register the functions on a live session (temp-function scope). */

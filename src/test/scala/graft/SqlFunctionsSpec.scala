@@ -25,6 +25,20 @@ class SqlFunctionsSpec extends SparkSpec {
     val viaSql = spark.sql(
       "SELECT id, size(shingle_hashes(text, 3)) AS n FROM t").head()
     assert(viaSql.getInt(1) == 3)
+
+    // the AGGREGATE registers too: the analyzer wraps the returned
+    // AggregateFunction, and SQL groups produce the same struct the
+    // Column API does
+    (1L to 100L).map(i => (s"g${i % 2}", i)).toDF("g", "k")
+      .createOrReplaceTempView("hll_t")
+    val viaAggSql = spark.sql(
+      "SELECT g, hll_sketch(k).hll_estimate AS e FROM hll_t GROUP BY g " +
+        "ORDER BY g").collect().map(r => (r.getString(0), r.getDouble(1)))
+    val viaColumn = spark.table("hll_t").groupBy($"g")
+      .agg(graft.functions.HllFunctions.hll_sketch($"k").as("s"))
+      .select($"g", $"s.hll_estimate").orderBy($"g")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(viaAggSql.toSeq == viaColumn.toSeq)
   }
 
   test("analysis-time errors for bad arity / non-literal n") {
