@@ -13,7 +13,7 @@ import EntryHelpers._
   *
   * One of six per-domain registries merged by [[SparkEntry.queries]] /
   * [[SparkEntry.oracleSql]] — pure relocation of the former monolithic
-  * maps, no behavior change (46 entries incl. the round-12 Y4M/resize/png-meta paths). */
+  * maps, no behavior change (47 entries incl. the round-12 Y4M/resize/media-meta paths). */
 private[graft] object QueriesSearchOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ----- per-document tf-idf keywords (integer-quantized idf) -----
@@ -429,6 +429,12 @@ private[graft] object QueriesSearchOps {
       Multimodal.featuresY4m(
           Multimodal.plantedY4m(s, Tables.documents(s, dir)), step = 2)
         .toDF().orderBy("id", "frame_idx")),
+    // audio metadata fast path: fmt fields + frame count from the chunk
+    // sizes alone — no sample byte is ever read (decodeWavMeta scaladoc)
+    "mm_meta_wav" -> ((s: SparkSession, dir: String) =>
+      Multimodal.metaWav(
+          Multimodal.plantedWav(s, Tables.documents(s, dir)))
+        .toDF().orderBy("id")),
     // metadata fast path: dimensions/bit-depth/color-type from the PNG
     // signature + IHDR alone — 33 bytes of work per image, no inflate
     // (the ParquetMeta footer-count analogue for images); the oracle
@@ -1256,6 +1262,14 @@ private[graft] object QueriesSearchOps {
          |FROM fr JOIN ys ON fr.id = ys.id AND fr.f = ys.f
          |        JOIN uvs ON fr.id = uvs.id AND fr.f = uvs.f
          |ORDER BY fr.id, frame_idx""".stripMargin),
+    // the planted fmt/frame formulas, amplitude-free — a frame count
+    // derived from a chunk SIZE instead of a sample walk must agree
+    "mm_meta_wav" ->
+      ("""SELECT doc_id AS id,
+         |  CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+         |  CAST(8000 + 4000 * (doc_id % 3) AS BIGINT) AS sample_rate,
+         |  CAST(16 + doc_id % 17 AS BIGINT) AS n_frames
+         |FROM documents ORDER BY id""".stripMargin),
     // the planted dims; bit depth 8 / color type 2 (truecolor) are what
     // the JDK PNG writer emits for TYPE_INT_RGB, invariant over id
     "mm_meta_png" ->

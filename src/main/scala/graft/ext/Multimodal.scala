@@ -495,6 +495,58 @@ object Multimodal {
     None // no data chunk
   }
 
+  /** WAV metadata without touching a sample: walk the chunk list, read
+    * the fmt fields, take the data chunk's SIZE — frames = size/(2·ch) —
+    * and never load its body. O(header) per clip whatever its length
+    * (the [[decodePngHeader]] discipline for audio: filtering a corpus
+    * by duration or sample rate must not pay a sample fold). Same
+    * strictness as [[decodeWav]]: PCM16 only, malformed → None. */
+  def decodeWavMeta(bytes: Array[Byte]): Option[AudioClip] = {
+    def u16(i: Int): Int = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
+    def u32(i: Int): Long = (u16(i).toLong) | (u16(i + 2).toLong << 16)
+    def tag(i: Int): String =
+      if (i + 4 <= bytes.length) new String(bytes, i, 4, "US-ASCII") else ""
+    if (bytes.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var i = 12
+    var fmt: Option[(Int, Int)] = None
+    while (i + 8 <= bytes.length) {
+      val id = tag(i)
+      val size = u32(i + 4)
+      val body = i + 8
+      if (body + size > bytes.length) return None
+      if (id == "fmt ") {
+        if (size < 16) return None
+        if (u16(body) != 1 || u16(body + 14) != 16 || u16(body + 2) < 1)
+          return None
+        fmt = Some((u16(body + 2), u32(body + 4).toInt))
+      } else if (id == "data") {
+        val (channels, rate) = fmt.getOrElse(return None)
+        if (size % 2 != 0) return None
+        val n = size / 2
+        if (n % channels != 0) return None
+        // amp stats are -1: explicitly "not computed", never mistaken
+        // for the silent-clip zeros a real fold can produce
+        return Some(AudioClip(channels, rate, n / channels, -1L, -1L))
+      }
+      i = body + size.toInt + (size.toInt & 1)
+    }
+    None
+  }
+
+  final case class WavMeta(id: Long, channels: Long, sample_rate: Long,
+                           n_frames: Long)
+
+  /** Header-only audio features over [[decodeWavMeta]]. */
+  def metaWav(media: Dataset[Media]): Dataset[WavMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { m =>
+        decodeWavMeta(m.bytes).map(c =>
+          WavMeta(m.id, c.channels.toLong, c.sampleRate.toLong, c.frames))
+      }
+    }
+  }
+
   final case class WavFeatures(id: Long, channels: Long, sample_rate: Long,
                                n_frames: Long, amp_sum: Long, amp_max: Long)
 
