@@ -81,6 +81,21 @@ object Round12PropertySpec extends Properties("round12") {
     out.toByteArray
   }
 
+  property("decodeWavMeta agrees with the full decoder, amp stats aside") =
+    Prop.forAll(genClip) { c =>
+      val bytes = encodeJdk(c)
+      val full = Multimodal.decodeWav(bytes)
+      val meta = Multimodal.decodeWavMeta(bytes)
+      meta.map(m => (m.channels, m.sampleRate, m.frames)) ==
+        full.map(f => (f.channels, f.sampleRate, f.frames)) &&
+        meta.forall(m => m.ampSum == -1L && m.ampMax == -1L)
+    }
+
+  property("decodeWavMeta is total on garbage and corrupted payloads") =
+    Prop.forAll(Gen.oneOf(genBytes, corrupt(validWav))) { b =>
+      Multimodal.decodeWavMeta(b); true
+    }
+
   property("decodeWav is total on garbage and corrupted payloads") =
     Prop.forAll(Gen.oneOf(genBytes, corrupt(validWav))) { b =>
       Multimodal.decodeWav(b); true // Option out, no throw
