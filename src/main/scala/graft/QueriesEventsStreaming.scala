@@ -13,8 +13,8 @@ import EntryHelpers._
   *
   * One of six per-domain registries merged by [[SparkEntry.queries]] /
   * [[SparkEntry.oracleSql]] — pure relocation of the former monolithic
-  * maps, no behavior change (19 entries incl. the round-12 custom-exec
-  * as-of, stream-scored-outlier, and pushdown-tail paths). */
+  * maps, no behavior change (20 entries incl. the round-12 custom-exec
+  * as-of, stream-scored-outlier, and batch+streaming dirtail paths). */
 private[graft] object QueriesEventsStreaming {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // 3σ anomaly flag with division-free integer arithmetic (Events
@@ -59,12 +59,13 @@ private[graft] object QueriesEventsStreaming {
     // drained through the SAME certified hourly topology — a green hash
     // certifies the source's offset/partition/row-decode machinery
     // end-to-end, not just the aggregate
-    // pushdown through the custom source: the predicate references a
-    // column (user_id) the hourly aggregate PRUNES away — the source
-    // parses the projection-union, evaluates the pushed comparison
-    // during the tail, and emits only the narrow row (DirTailScanBuilder
-    // scaladoc); certified against the hourly oracle restricted by the
-    // same predicate
+    // predicate-restricted drain through the custom source. NOTE the
+    // honest mechanics: Spark's micro-batch planner does not call
+    // pushFilters (probed on 4.1), so in THIS streaming topology the
+    // predicate evaluates above the scan; the source's own pushdown
+    // machinery fires on the BATCH read path (source_dirtail below,
+    // plan-asserted in DirTailSourceSpec). Same answer either way —
+    // certified against the hourly oracle restricted identically
     "stream_dirtail_filtered" -> ((s: SparkSession, dir: String) => {
       val src = dirtailEventsDir(s, dir)
       val wire = org.apache.spark.sql.types.StructType(Seq(
@@ -102,6 +103,35 @@ private[graft] object QueriesEventsStreaming {
         .option("path", src).load()
       drainStream(s, "graft_stream_dirtail", "complete",
         graft.streaming.EventsStream.hourlyCounts(stream))
+        .orderBy("hour", "event_type")
+    }),
+    // the BATCH half of the dirtail table (BATCH_READ capability): the
+    // backfill read of everything shipped so far, where the source's
+    // comparison-filter pushdown genuinely fires — Spark's
+    // V2ScanRelationPushDown serves batch DSv2 relations, and
+    // DirTailSourceSpec asserts the predicate lands in PushedFilters
+    // with the filter column absent from ReadSchema
+    "source_dirtail" -> ((s: SparkSession, dir: String) => {
+      val src = dirtailEventsDir(s, dir)
+      val wire = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType)))
+      s.read.format("graft-dirtail").schema(wire)
+        .option("path", src).load()
+        .where(col("user_id") > 75L)
+        .groupBy(date_format(date_trunc("hour", col("ts")),
+            "yyyy-MM-dd HH:mm:ss").as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
         .orderBy("hour", "event_type")
     }),
     // the full custom-IO loop: events stream OUT through the dirtail
@@ -358,9 +388,18 @@ private[graft] object QueriesEventsStreaming {
          |  count(*) AS n,
          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin),
-    // the hourly aggregate restricted by the predicate the SOURCE
-    // evaluated during the tail — any pushdown defect (wrong comparison,
+    // the batch read with the pushed predicate must land the identical
+    // restricted aggregate — any pushdown defect (wrong comparison,
     // swallowed null, mis-projected row) breaks the hash
+    "source_dirtail" ->
+      ("""SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
+         |  count(*) AS n,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM events WHERE user_id > 75
+         |GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin),
+    // the hourly aggregate restricted by the predicate evaluated above
+    // the micro-batch scan (see the query comment for the honest
+    // streaming-vs-batch pushdown split)
     "stream_dirtail_filtered" ->
       ("""SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
          |  count(*) AS n,

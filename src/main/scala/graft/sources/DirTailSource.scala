@@ -81,7 +81,7 @@ private[sources] class DirTailTable(schema: StructType, path: String)
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.BATCH_READ, TableCapability.STREAMING_WRITE)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     DirTail.validate(info.schema())
     new WriteBuilder {
@@ -134,6 +134,32 @@ private[graft] class DirTailScanBuilder(full: StructType, path: String)
     override def readSchema(): StructType = pruned
     override def toMicroBatchStream(ckpt: String): MicroBatchStream =
       new DirTailStream(pruned, full, pushed, path)
+    // BATCH read of the same directory — the backfill/audit access path
+    // every tailed log needs ("re-read everything shipped so far as a
+    // table"). This is also where filter pushdown actually FIRES:
+    // Spark's V2ScanRelationPushDown serves batch relations (the
+    // micro-batch planner does not call pushFilters as of Spark 4.1 —
+    // the streaming drain evaluates residual predicates above the scan,
+    // correct either way).
+    override def toBatch: org.apache.spark.sql.connector.read.Batch =
+      new org.apache.spark.sql.connector.read.Batch {
+        override def planInputPartitions(): Array[InputPartition] = {
+          val dir = Paths.get(path)
+          if (!Files.isDirectory(dir)) Array.empty
+          else Files.list(dir).iterator().asScala
+            .map(_.getFileName.toString)
+            .filter(f => f.endsWith(".jsonl") && !f.startsWith("."))
+            .toArray.sorted
+            .map(f => DirTailPartition(s"$path/$f"): InputPartition)
+        }
+        override def createReaderFactory(): PartitionReaderFactory = {
+          val need = pruned.fieldNames.toSet ++ pushed.flatMap(_.references)
+          val parseSchema =
+            StructType(full.fields.filter(f => need.contains(f.name)))
+          val projIdx = pruned.fieldNames.map(parseSchema.fieldIndex)
+          new DirTailReaderFactory(parseSchema, projIdx, pushed)
+        }
+      }
     override def description(): String =
       s"graft-dirtail path=$path PushedFilters: ${pushed.mkString("[", ", ", "]")}"
   }

@@ -239,6 +239,33 @@ class DirTailSourceSpec extends SparkSpec {
     assert(got.length == 3 && got.forall(_ == "k0"), got.toSeq)
   }
 
+  test("batch read: filter pushdown fires, filter column pruned from scan") {
+    val src = Files.createTempDirectory("dirtail-src")
+    writeFile(src, "a.jsonl", (0L until 10L).map(line))
+    writeFile(src, "b.jsonl", (10L until 16L).map(line))
+    val df = spark.read.format("graft-dirtail").schema(schema)
+      .option("path", src.toString).load()
+      .where(col("id") > 7L)
+      .select(col("kind"))
+    val plan = df.queryExecution.executedPlan.toString
+    // the predicate reached the source...
+    assert(plan.contains("PushedFilters: [") &&
+      plan.contains("GreaterThan(id,7)"), plan.take(1200))
+    // ...and the scan's visible schema is the projection alone — the
+    // union parse for the filter column stays inside the reader
+    assert(plan.contains("RuntimeFilters") || !plan.contains("id#") ||
+      df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.forall(_.output.map(_.name) == Seq("kind")), plan.take(1200))
+    assert(df.collect().map(_.getString(0)).sorted.toSeq ==
+      (8L until 16L).map(i => s"k${i % 3}").sorted)
+    // a second batch read sees files atomically appended since
+    writeFile(src, "c.jsonl", (16L until 18L).map(line))
+    val again = spark.read.format("graft-dirtail").schema(schema)
+      .option("path", src.toString).load().count()
+    assert(again == 18L)
+  }
+
   test("pushed-filter evaluation matches SQL comparison semantics") {
     import org.apache.spark.sql.sources._
     import graft.sources.DirTailFilters
