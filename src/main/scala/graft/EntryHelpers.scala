@@ -264,6 +264,25 @@ private[graft] object EntryHelpers {
        |  FROM nodes LEFT JOIN c$i USING (node)
        |)""".stripMargin
 
+  /** One k-core peeling round as portable SQL (degree among alive edges,
+    * drop-below-k, filter both endpoints), chained by the `graph_kcore`
+    * oracle from `e0`. A round past the fixpoint is a no-op (empty drop
+    * set), which is what lets a fixed unroll equal the engine's
+    * converge-then-stop loop. */
+  def KCoreIterCte(i: Int, k: Int): String =
+    // MATERIALIZED: each round references its predecessor several times;
+    // default CTE inlining would expand the base scan exponentially in
+    // the unroll depth (observed as a too-many-open-files blowup)
+    s"""d$i AS MATERIALIZED (
+       |  SELECT n, count(*) AS d
+       |  FROM (SELECT u AS n FROM e$i UNION ALL SELECT v FROM e$i)
+       |  GROUP BY n
+       |), e${i + 1} AS MATERIALIZED (
+       |  SELECT u, v FROM e$i
+       |  WHERE u IN (SELECT n FROM d$i WHERE d >= $k)
+       |    AND v IN (SELECT n FROM d$i WHERE d >= $k)
+       |)""".stripMargin
+
   /** One BPE training round as portable SQL, chained by the `text_bpe`
     * oracle. Segmentations live as strings of `|`-prefixed
     * space-terminated symbols (`"|h |e |l |l |o "`): the `|` anchors a

@@ -13,7 +13,7 @@ import EntryHelpers._
   *
   * One of six per-domain registries merged by [[SparkEntry.queries]] /
   * [[SparkEntry.oracleSql]] — pure relocation of the former monolithic
-  * maps, no behavior change (41 entries incl. the round-12 triangle/resample/wmedian/native-HLL paths). */
+  * maps, no behavior change (42 entries incl. the round-12 triangle/kcore/resample/wmedian/native-HLL paths). */
 private[graft] object QueriesJoinsOlap {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_enrich" -> ((s: SparkSession, dir: String) =>
@@ -53,6 +53,16 @@ private[graft] object QueriesJoinsOlap {
           graft.ext.Triangles.coActivityEdges(Tables.events(s, dir)),
           "src", "dst")
         .orderBy("a", "b", "c")),
+    // ----- k-core of the same co-activity graph: iterative peeling
+    // (deg < 8 nodes deleted until fixpoint — a node survives only if 8
+    // neighbors survive, beyond any single-pass filter; Triangles.kCore
+    // scaladoc); 6 rounds cover the fixture's peel depth at both SFs,
+    // and the oracle unrolls exactly those 6 no-op-tolerant rounds -----
+    "graph_kcore" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Triangles.kCore(
+          graft.ext.Triangles.coActivityEdges(Tables.events(s, dir)),
+          "src", "dst", k = 8, maxRounds = 6)
+        .orderBy("node")),
     // ----- hourly resample with explicit gap rows: zero counts, NULL
     // (unobserved) sums, forward-filled gauge — grid generation is
     // distributed sequence+explode under a loud row budget (Resample
@@ -417,6 +427,20 @@ private[graft] object QueriesJoinsOlap {
          |    AS ffill_c
          |FROM grid g LEFT JOIN a ON a.key = g.key AND a.h = g.h
          |ORDER BY event_type, hour""".stripMargin),
+    // the same peeling unrolled 6 rounds ([[EntryHelpers.KCoreIterCte]]):
+    // rounds past the fixpoint are no-ops, so the fixed unroll equals
+    // the engine's converge-then-stop loop exactly
+    "graph_kcore" ->
+      (s"""WITH grp AS (
+         |  SELECT DISTINCT date_trunc('minute', ts) AS b0, user_id AS uid
+         |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+         |), e0 AS MATERIALIZED (
+         |  SELECT DISTINCT a.uid AS u, b.uid AS v
+         |  FROM grp a JOIN grp b ON a.b0 = b.b0 WHERE a.uid < b.uid
+         |), ${(0 until 6).map(i => KCoreIterCte(i, 8)).mkString(", ")}
+         |SELECT node, CAST(count(*) AS BIGINT) AS core_deg
+         |FROM (SELECT u AS node FROM e6 UNION ALL SELECT v FROM e6)
+         |GROUP BY node ORDER BY node""".stripMargin),
     // same co-activity derivation, same (degree, id) orientation, same
     // wedge close — row-tuple comparison is lexicographic on both engines
     "graph_triangles" ->

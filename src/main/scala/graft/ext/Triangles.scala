@@ -84,6 +84,58 @@ object Triangles {
         col("tri").getItem(2).as("c"))
   }
 
+  /** k-core decomposition by iterative peeling: repeatedly delete every
+    * node with (current) degree < k until none remains — the standard
+    * "dense engagement core" / collusion-ring primitive (a node survives
+    * only if k of its neighbors ALSO survive, which no single-pass
+    * degree filter can express).
+    *
+    * Each round is one degree aggregate + two semi-join filters on the
+    * node key — no cartesian, no driver-side graph; the surviving edge
+    * set is re-persisted per round (TrackedCache) so lineage stays flat,
+    * the [[Components.connectedComponents]] iteration discipline.
+    * Convergence within `maxRounds` is REQUIRED loudly: peeling removes
+    * at least one node per non-final round, so rounds are bounded by the
+    * peel depth, not |V| — certified queries pick a bound their oracle
+    * unrolls (extra unrolled rounds are no-ops once the fixpoint is
+    * reached, so oracle and engine agree exactly).
+    *
+    * Output: surviving nodes with their in-core degree. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+            maxRounds: Int = 20): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    var e = TrackedCache.persistTracked(edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .distinct())
+    var converged = false
+    var r = 0
+    // AT MOST maxRounds peels, with the convergence CHECK allowed once
+    // more after the last: a certified query's oracle unrolls exactly
+    // maxRounds no-op-tolerant rounds, so the engine must reach (and
+    // verify) the fixpoint within that many peels, never peel past it
+    while (!converged && r <= maxRounds) {
+      val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select(col("n"))
+      if (deg.count() == keep.count()) converged = true
+      else if (r == maxRounds) r += 1 // budget exhausted: fail below
+      else {
+        e = TrackedCache.persistTracked(
+          e.join(keep.select(col("n").as("u")), Seq("u"), "left_semi")
+            .join(keep.select(col("n").as("v")), Seq("v"), "left_semi"))
+        r += 1
+      }
+    }
+    require(converged,
+      s"kCore(k=$k) did not converge within $maxRounds rounds — raise " +
+        "maxRounds (and the oracle's unroll) together")
+    e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("core_deg"))
+  }
+
   /** Co-activity edges: users active within the same time bucket. The
     * self-join is per-bucket quadratic, so a loud guard measures the
     * largest bucket FIRST and refuses over-budget graphs (the

@@ -43,6 +43,39 @@ class TrianglesSpec extends SparkSpec {
     assert(tri(edges) == want)
   }
 
+  test("kCore matches an in-memory peeling model on random graphs") {
+    val rnd = new scala.util.Random(31L)
+    val edges = Seq.fill(80)((rnd.nextInt(15).toLong, rnd.nextInt(15).toLong))
+    def model(k: Int): Map[Long, Long] = {
+      var es = edges.collect { case (u, v) if u != v =>
+        (math.min(u, v), math.max(u, v)) }.distinct
+      var changed = true
+      while (changed) {
+        val deg = es.flatMap(e => Seq(e._1, e._2))
+          .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val drop = deg.filter(_._2 < k).keySet
+        changed = drop.nonEmpty
+        es = es.filter(e => !drop(e._1) && !drop(e._2))
+      }
+      es.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+    }
+    for (k <- Seq(2, 4, 6)) {
+      val got = Triangles.kCore(edges.toDF("src", "dst"), "src", "dst", k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == model(k), s"k=$k")
+    }
+  }
+
+  test("kCore refuses loudly when the round budget is too small") {
+    // a path graph peels one node-pair layer per round under k=2
+    val path = (1L until 12L).map(i => (i, i + 1)).toDF("src", "dst")
+    val e = intercept[IllegalArgumentException] {
+      Triangles.kCore(path, "src", "dst", k = 2, maxRounds = 2).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("coActivityEdges refuses an over-budget bucket loudly") {
     val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:30")
     val ev = (1L to 10L).map(u => (u, ts)).toDF("user_id", "ts")
