@@ -13,7 +13,7 @@ import EntryHelpers._
   *
   * One of six per-domain registries merged by [[SparkEntry.queries]] /
   * [[SparkEntry.oracleSql]] — pure relocation of the former monolithic
-  * maps, no behavior change (42 entries incl. the round-12 triangle/kcore/resample/wmedian/native-HLL paths). */
+  * maps, no behavior change (43 entries incl. the round-12 graph/resample/wmedian/native-HLL paths). */
 private[graft] object QueriesJoinsOlap {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_enrich" -> ((s: SparkSession, dir: String) =>
@@ -53,6 +53,14 @@ private[graft] object QueriesJoinsOlap {
           graft.ext.Triangles.coActivityEdges(Tables.events(s, dir)),
           "src", "dst")
         .orderBy("a", "b", "c")),
+    // ----- local clustering coefficients over the same graph: per-node
+    // triangle participation vs (deg choose 2), 1e-4 integer rational,
+    // NULL for degree-1 nodes (Triangles.clusteringCoefficients) -----
+    "graph_clustering" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Triangles.clusteringCoefficients(
+          graft.ext.Triangles.coActivityEdges(Tables.events(s, dir)),
+          "src", "dst")
+        .orderBy("node")),
     // ----- k-core of the same co-activity graph: iterative peeling
     // (deg < 8 nodes deleted until fixpoint — a node survives only if 8
     // neighbors survive, beyond any single-pass filter; Triangles.kCore
@@ -427,6 +435,46 @@ private[graft] object QueriesJoinsOlap {
          |    AS ffill_c
          |FROM grid g LEFT JOIN a ON a.key = g.key AND a.h = g.h
          |ORDER BY event_type, hour""".stripMargin),
+    // the triangle derivation MATERIALIZED (tri is referenced three
+    // times by the per-vertex explode — default inlining would cube the
+    // wedge join), then per-node counts vs degrees in the same 1e-4
+    // integer rational
+    "graph_clustering" ->
+      ("""WITH grp AS (
+         |  SELECT DISTINCT date_trunc('minute', ts) AS b0, user_id AS uid
+         |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+         |), e AS MATERIALIZED (
+         |  SELECT DISTINCT a.uid AS u, b.uid AS v
+         |  FROM grp a JOIN grp b ON a.b0 = b.b0 WHERE a.uid < b.uid
+         |), deg AS MATERIALIZED (
+         |  SELECT n, count(*) AS d
+         |  FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+         |  GROUP BY n
+         |), o AS MATERIALIZED (
+         |  SELECT CASE WHEN (du.d, u) < (dv.d, v) THEN u ELSE v END AS s,
+         |         CASE WHEN (du.d, u) < (dv.d, v) THEN v ELSE u END AS t
+         |  FROM e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v
+         |), w AS (
+         |  SELECT w1.s, w1.t AS t1, w2.t AS t2
+         |  FROM o w1 JOIN o w2 ON w1.s = w2.s AND w1.t < w2.t
+         |), cn AS (
+         |  SELECT least(s, t) AS x, greatest(s, t) AS y FROM o
+         |), tri AS MATERIALIZED (
+         |  SELECT s, t1, t2 FROM w JOIN cn ON cn.x = w.t1 AND cn.y = w.t2
+         |), tc AS (
+         |  SELECT node, count(*) AS t
+         |  FROM (SELECT s AS node FROM tri UNION ALL
+         |        SELECT t1 FROM tri UNION ALL SELECT t2 FROM tri)
+         |  GROUP BY node
+         |)
+         |SELECT deg.n AS node, CAST(deg.d AS BIGINT) AS degree,
+         |  CAST(COALESCE(tc.t, 0) AS BIGINT) AS tri_cnt,
+         |  CASE WHEN deg.d >= 2 THEN
+         |    CAST((20000 * COALESCE(tc.t, 0)) // (deg.d * (deg.d - 1))
+         |      AS BIGINT)
+         |  END AS coeff_e4
+         |FROM deg LEFT JOIN tc ON tc.node = deg.n
+         |ORDER BY node""".stripMargin),
     // the same peeling unrolled 6 rounds ([[EntryHelpers.KCoreIterCte]]):
     // rounds past the fixpoint are no-ops, so the fixed unroll equals
     // the engine's converge-then-stop loop exactly

@@ -84,6 +84,37 @@ object Triangles {
         col("tri").getItem(2).as("c"))
   }
 
+  /** Local clustering coefficients — per node, how close its
+    * neighborhood is to a clique: `2·T(v) / (deg(v)·(deg(v)−1))` with
+    * T(v) the triangles through v. The community-structure microscope
+    * (and the Watts–Strogatz small-world statistic), computed here as a
+    * composition: the certified triangle list explodes into per-vertex
+    * participation counts, joins degrees, and the ratio is pure integer
+    * (`(20000·T) div (d·(d−1))`, a 1e-4 quantization) so any engine
+    * replays it. Degree-1 nodes have no defined coefficient → NULL.
+    * Cost = the triangle enumeration plus one explode + two metadata-
+    * sized aggregates. */
+  def clusteringCoefficients(edges: DataFrame, srcCol: String,
+                             dstCol: String): DataFrame = {
+    val tri = triangles(edges, srcCol, dstCol)
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .distinct()
+    val deg = e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    val triCnt = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("tri_cnt"))
+    deg.join(triCnt, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("tri_cnt"), lit(0L)).as("tri_cnt"),
+        when(col("degree") >= 2,
+          expr("(20000 * coalesce(tri_cnt, 0L)) div (degree * (degree - 1))"))
+          .as("coeff_e4"))
+  }
+
   /** k-core decomposition by iterative peeling: repeatedly delete every
     * node with (current) degree < k until none remains — the standard
     * "dense engagement core" / collusion-ring primitive (a node survives

@@ -43,6 +43,27 @@ class TrianglesSpec extends SparkSpec {
     assert(tri(edges) == want)
   }
 
+  test("clustering coefficients match an in-memory model") {
+    val rnd = new scala.util.Random(7L)
+    val edges = Seq.fill(70)((rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
+    val es = edges.collect { case (u, v) if u != v =>
+      (math.min(u, v), math.max(u, v)) }.distinct
+    val adj = es.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val want = adj.map { case (n, nbrs) =>
+      val d = nbrs.size.toLong
+      val tri = nbrs.toSeq.combinations(2)
+        .count { case Seq(x, y) => adj(x)(y) }.toLong
+      (n, (d, tri,
+        if (d >= 2) Some((20000L * tri) / (d * (d - 1))) else None))
+    }
+    val got = Triangles.clusteringCoefficients(
+        edges.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    assert(got == want)
+  }
+
   test("kCore matches an in-memory peeling model on random graphs") {
     val rnd = new scala.util.Random(31L)
     val edges = Seq.fill(80)((rnd.nextInt(15).toLong, rnd.nextInt(15).toLong))
