@@ -96,8 +96,12 @@ object Triangles {
     * sized aggregates. */
   def clusteringCoefficients(edges: DataFrame, srcCol: String,
                              dstCol: String): DataFrame = {
-    val tri = triangles(edges, srcCol, dstCol)
-    val e = edges
+    // persisted: the triangle enumeration AND the degree frame both
+    // consume the raw edge list — without this the upstream edge
+    // derivation (a self-join for co-activity graphs) runs twice
+    val eIn = TrackedCache.persistTracked(edges)
+    val tri = triangles(eIn, srcCol, dstCol)
+    val e = eIn
       .select(least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
       .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
