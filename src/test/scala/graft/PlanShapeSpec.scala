@@ -388,6 +388,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
+  test("round-12 graph/ER/resample/PPS plans never degenerate to NL joins") {
+    // every join in these operators is a conjunctive equi-join (or a
+    // bounded broadcast hash side) by design; a CartesianProduct or BNL
+    // appearing in any of them is the quadratic regression class
+    for (q <- Seq("er_resolve", "graph_triangles", "graph_clustering",
+        "graph_kcore", "ts_resample", "sample_pps", "agg_wmedian")) {
+      val plan = executed(SparkEntry.queries(q)(spark, dir))
+      assert(!plan.contains("CartesianProduct"), s"$q:\n${plan.take(1500)}")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$q:\n${plan.take(1500)}")
+      graft.ext.Dedup.unpersistAll()
+    }
+  }
+
+  test("triangle closing join broadcasts the bounded edge set") {
+    val plan = executed(SparkEntry.queries("graph_triangles")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    graft.ext.Dedup.unpersistAll()
+  }
+
   test("line dedup: equi-join on the line, map-side-distinct frequent set") {
     import org.apache.spark.sql.functions.{col, concat, lit, when}
     val lined = Tables.documents(spark, dir).select(col("doc_id"),
