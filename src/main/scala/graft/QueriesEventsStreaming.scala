@@ -13,8 +13,9 @@ import EntryHelpers._
   *
   * One of six per-domain registries merged by [[SparkEntry.queries]] /
   * [[SparkEntry.oracleSql]] — pure relocation of the former monolithic
-  * maps, no behavior change (20 entries incl. the round-12 custom-exec
-  * as-of, stream-scored-outlier, and batch+streaming dirtail paths). */
+  * maps, no behavior change (22 entries incl. the round-12 custom-exec
+  * as-of/attribution, stream-scored-outlier, and batch+streaming
+  * dirtail paths). */
 private[graft] object QueriesEventsStreaming {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // 3σ anomaly flag with division-free integer arithmetic (Events
@@ -283,6 +284,24 @@ private[graft] object QueriesEventsStreaming {
           col("asof_o_orderkey").as("asof_orderkey"),
           col("asof_o_totalprice").as("asof_price"))
         .orderBy("event_id")),
+    // last-touch attribution — each purchase credited to the user's
+    // latest click at or before it — is EXACTLY as-of semantics, solved
+    // here by the custom broadcast exec on a second real shape (facts on
+    // both sides of the same table; the click side is the bounded build)
+    "events_attribution" -> ((s: SparkSession, dir: String) => {
+      val ev = Tables.events(s, dir)
+      graft.plans.AsOfPhys.asofJoinBroadcast(
+          ev.filter(col("event_type") === "purchase")
+            .select(col("event_id"), col("user_id"), col("ts")),
+          ev.filter(col("event_type") === "click")
+            .select(col("event_id").as("click_id"), col("user_id"),
+              col("ts")),
+          "user_id", "user_id", "ts", "ts",
+          valueCols = Seq("click_id"), tieBreak = "click_id")
+        .select(col("event_id").as("purchase_id"),
+          col("asof_click_id").as("attributed_click"))
+        .orderBy("purchase_id")
+    }),
     // The SAME as-of semantics through the custom WHOLE-operator path:
     // logical AsOfJoin node → injected planner strategy → broadcast
     // binary-search AsOfJoinExec (plans/AsOfJoinPlan.scala scaladoc has
@@ -500,6 +519,17 @@ private[graft] object QueriesEventsStreaming {
          |   WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
          |   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS asof_price
          |FROM events e ORDER BY e.event_id""".stripMargin),
+    // the correlated last-click reference: latest admissible click time,
+    // ties to the largest click id — the exec's (time, tie) order
+    "events_attribution" ->
+      ("""SELECT p.event_id AS purchase_id,
+         |  (SELECT c.event_id FROM events c
+         |   WHERE c.event_type = 'click' AND c.user_id = p.user_id
+         |     AND c.ts <= p.ts
+         |   ORDER BY c.ts DESC, c.event_id DESC LIMIT 1)
+         |    AS attributed_click
+         |FROM events p WHERE p.event_type = 'purchase'
+         |ORDER BY purchase_id""".stripMargin),
     // identical reference for the custom-exec path: two physical plans
     // (merge-window vs broadcast binary-search) must land one answer
     "join_asof_phys" ->
