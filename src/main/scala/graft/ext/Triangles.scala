@@ -155,7 +155,8 @@ object Triangles {
       val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
         .groupBy(col("n")).agg(count(lit(1)).as("d"))
       val keep = deg.filter(col("d") >= k).select(col("n"))
-      if (deg.count() == keep.count()) converged = true
+      // one action decides convergence: count the DROP side directly
+      if (deg.filter(col("d") < k).limit(1).count() == 0L) converged = true
       else if (r == maxRounds) r += 1 // budget exhausted: fail below
       else {
         e = TrackedCache.persistTracked(
