@@ -59,9 +59,14 @@ object Bench {
     // says: discard this run and re-bench on an idle machine.
     def sentinelProbe(): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries("filter_eq")(spark, sfDir).count()
-      catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        SparkEntry.queries("filter_eq")(spark, sfDir).count(): Unit
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        // a FAILED probe must return the -1 marker, not its tiny elapsed
+        // time — otherwise the >0 guard below can never reject the run
+        case _: Throwable => -1.0
+      }
     }
     val sentinelStart = sentinelProbe()
     // Fixed lexicographic execution order: Map iteration order moved ~1s of

@@ -355,6 +355,23 @@ private[graft] object EntryHelpers {
     * exactly the source's contract — so reuse is safe within a session. */
   val dirtailCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** The dirtail JSONL wire schema (ts as epoch-micros on the wire,
+    * decoded to TimestampType) — ONE definition shared by every dirtail
+    * query; four inline copies previously invited silent divergence of
+    * one decode path when the wire convention changes. */
+  val DirtailWireSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+
   def dirtailEventsDir(s: SparkSession, dir: String): String =
     dirtailCache.computeIfAbsent(dir, _ => buildDirtailEventsDir(s, dir))
 
@@ -365,13 +382,17 @@ private[graft] object EntryHelpers {
         unix_micros(col("ts")).as("ts"), col("user_id"),
         col("event_type"), col("value"))).as("value"))
       .write.mode("overwrite").text(src)
-    val it = java.nio.file.Files.list(java.nio.file.Paths.get(src)).iterator()
-    while (it.hasNext) {
-      val f = it.next()
-      val n = f.getFileName.toString
-      if (n.startsWith("part-") && !n.endsWith(".jsonl"))
-        java.nio.file.Files.move(f, f.resolveSibling(n + ".jsonl")): Unit
-    }
+    // close the directory stream (an unclosed Files.list leaks an fd)
+    val s0 = java.nio.file.Files.list(java.nio.file.Paths.get(src))
+    try {
+      val it = s0.iterator()
+      while (it.hasNext) {
+        val f = it.next()
+        val n = f.getFileName.toString
+        if (n.startsWith("part-") && !n.endsWith(".jsonl"))
+          java.nio.file.Files.move(f, f.resolveSibling(n + ".jsonl")): Unit
+      }
+    } finally s0.close()
     src
   }
 

@@ -69,17 +69,7 @@ private[graft] object QueriesEventsStreaming {
     // certified against the hourly oracle restricted identically
     "stream_dirtail_filtered" -> ((s: SparkSession, dir: String) => {
       val src = dirtailEventsDir(s, dir)
-      val wire = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("event_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("ts",
-          org.apache.spark.sql.types.TimestampType),
-        org.apache.spark.sql.types.StructField("user_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("event_type",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("value",
-          org.apache.spark.sql.types.DoubleType)))
+      val wire = DirtailWireSchema
       val stream = s.readStream.format("graft-dirtail").schema(wire)
         .option("path", src).load()
         .where(col("user_id") > 75L)
@@ -89,17 +79,7 @@ private[graft] object QueriesEventsStreaming {
     }),
     "stream_dirtail" -> ((s: SparkSession, dir: String) => {
       val src = dirtailEventsDir(s, dir)
-      val wire = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("event_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("ts",
-          org.apache.spark.sql.types.TimestampType),
-        org.apache.spark.sql.types.StructField("user_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("event_type",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("value",
-          org.apache.spark.sql.types.DoubleType)))
+      val wire = DirtailWireSchema
       val stream = s.readStream.format("graft-dirtail").schema(wire)
         .option("path", src).load()
       drainStream(s, "graft_stream_dirtail", "complete",
@@ -114,17 +94,7 @@ private[graft] object QueriesEventsStreaming {
     // with the filter column absent from ReadSchema
     "source_dirtail" -> ((s: SparkSession, dir: String) => {
       val src = dirtailEventsDir(s, dir)
-      val wire = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("event_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("ts",
-          org.apache.spark.sql.types.TimestampType),
-        org.apache.spark.sql.types.StructField("user_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("event_type",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("value",
-          org.apache.spark.sql.types.DoubleType)))
+      val wire = DirtailWireSchema
       s.read.format("graft-dirtail").schema(wire)
         .option("path", src).load()
         .where(col("user_id") > 75L)
@@ -149,17 +119,7 @@ private[graft] object QueriesEventsStreaming {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      val wire = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("event_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("ts",
-          org.apache.spark.sql.types.TimestampType),
-        org.apache.spark.sql.types.StructField("user_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("event_type",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("value",
-          org.apache.spark.sql.types.DoubleType)))
+      val wire = DirtailWireSchema
       val back = s.readStream.format("graft-dirtail").schema(wire)
         .option("path", out).load()
       drainStream(s, "graft_stream_dirtail_sink", "complete",

@@ -674,8 +674,13 @@ object Multimodal {
       pi += 1
     }
     if (w <= 0 || h <= 0 || fn <= 0 || fd <= 0) return None
+    // EXACT 8-bit colorspace whitelist, not a "420" prefix match: a
+    // C420p10/C420p16 high-bit-depth stream has twice the plane bytes,
+    // and guessed 8-bit geometry would misalign every frame — the
+    // refuse-don't-guess contract applies to bit depth too
     val (ySize, uvSize) =
-      if (cs.startsWith("420")) {
+      if (cs == "420" || cs == "420jpeg" || cs == "420mpeg2" ||
+          cs == "420paldv") {
         if (w % 2 != 0 || h % 2 != 0) return None
         (w * h, 2 * (w / 2) * (h / 2))
       } else if (cs == "444") (w * h, 2 * w * h)

@@ -104,11 +104,16 @@ object Retrieval {
           math.sqrt(q.vec.foldLeft(0.0)((a, x) => a + x * x))))
         .toDF("query_id", "qvec", "qnorm"))
     val v = Similarity.asDouble(col(vecCol))
+    // self-norm hoisted BELOW the cross join: the projection sits under
+    // the join operator so ProjectCollapsing can't merge it upward, and
+    // each corpus vector's O(dim) self-dot + sqrt runs once — not once
+    // per query. Same arithmetic, same association, bit-identical cosine.
+    val embN = emb.select(col(vecIdCol), v.as("__v"),
+      sqrt(graft.functions.VectorFunctions.array_dot(v, v)).as("__vn"))
     val cos = round(
-      graft.functions.VectorFunctions.array_dot(v, col("qvec")) /
-        (sqrt(graft.functions.VectorFunctions.array_dot(v, v)) *
-          col("qnorm")), 4)
-    val vecTop = emb.crossJoin(qvecs)
+      graft.functions.VectorFunctions.array_dot(col("__v"), col("qvec")) /
+        (col("__vn") * col("qnorm")), 4)
+    val vecTop = embN.crossJoin(qvecs)
       .select(col("query_id"), col(vecIdCol).as("id"), cos.as("sim"))
       .withColumn("vec_rank", row_number().over(
         Window.partitionBy(col("query_id"))

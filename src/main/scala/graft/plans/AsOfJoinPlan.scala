@@ -48,7 +48,8 @@ case class AsOfJoin(
     rightTime: Attribute,
     rightTie: Attribute,
     rightValues: Seq[Attribute],
-    outAttrs: Seq[AttributeReference]) extends BinaryNode {
+    outAttrs: Seq[AttributeReference],
+    maxBuildRows: Long) extends BinaryNode {
 
   override def output: Seq[Attribute] = left.output ++ outAttrs
 
@@ -69,7 +70,7 @@ object AsOfJoinStrategy extends SparkStrategy {
     case j: AsOfJoin =>
       AsOfJoinExec(planLater(j.left), planLater(j.right), j.leftKey,
         j.leftTime, j.rightKey, j.rightTime, j.rightTie, j.rightValues,
-        j.outAttrs) :: Nil
+        j.outAttrs, j.maxBuildRows) :: Nil
     case _ => Nil
   }
 }
@@ -103,7 +104,8 @@ case class AsOfJoinExec(
     rightTime: Attribute,
     rightTie: Attribute,
     rightValues: Seq[Attribute],
-    outAttrs: Seq[AttributeReference]) extends BinaryExecNode {
+    outAttrs: Seq[AttributeReference],
+    maxBuildRows: Long) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ outAttrs
 
@@ -130,9 +132,9 @@ case class AsOfJoinExec(
     val keyType = rightKey.dataType
 
     val buildRows = right.executeCollect()
-    require(buildRows.length <= AsOfPhys.DefaultMaxBuildRows,
+    require(buildRows.length <= maxBuildRows,
       s"AsOfJoinExec build side has ${buildRows.length} rows (cap " +
-        s"${AsOfPhys.DefaultMaxBuildRows}): this exec broadcasts the right " +
+        s"$maxBuildRows): this exec broadcasts the right " +
         "side; for a fact-sized right side use graft.ext.AsOf.asofJoin " +
         "(merge-window, one |L|+|R| shuffle, no broadcast)")
 
@@ -267,7 +269,7 @@ object AsOfPhys {
                    maxBuildRows: Long = DefaultMaxBuildRows.toLong): DataFrame =
     if (right.count() <= maxBuildRows)
       asofJoinBroadcast(left, right, leftKey, rightKey, leftTime, rightTime,
-        valueCols, tieBreak)
+        valueCols, tieBreak, maxBuildRows)
     else
       graft.ext.AsOf.asofJoin(left, right, leftKey, rightKey, leftTime,
         rightTime, valueCols, tieBreak)
@@ -279,7 +281,9 @@ object AsOfPhys {
   def asofJoinBroadcast(left: DataFrame, right: DataFrame,
                         leftKey: String, rightKey: String,
                         leftTime: String, rightTime: String,
-                        valueCols: Seq[String], tieBreak: String): DataFrame = {
+                        valueCols: Seq[String], tieBreak: String,
+                        maxBuildRows: Long =
+                          DefaultMaxBuildRows.toLong): DataFrame = {
     require(valueCols.nonEmpty, "asofJoinBroadcast needs at least one value column")
     val spark = left.sparkSession
     ensureRegistered(spark)
@@ -313,7 +317,7 @@ object AsOfPhys {
     val node = AsOfJoin(lPlan, rPlan,
       attr(lPlan, leftKey), attr(lPlan, "__asof_t"),
       attr(rPlan, "__k"), attr(rPlan, "__t"), attr(rPlan, "__tie"),
-      valueAttrs, outAttrs)
+      valueAttrs, outAttrs, maxBuildRows)
     GraftBridge.ofRows(spark, node).drop("__asof_t")
   }
 

@@ -143,15 +143,9 @@ private[graft] class DirTailScanBuilder(full: StructType, path: String)
     // correct either way).
     override def toBatch: org.apache.spark.sql.connector.read.Batch =
       new org.apache.spark.sql.connector.read.Batch {
-        override def planInputPartitions(): Array[InputPartition] = {
-          val dir = Paths.get(path)
-          if (!Files.isDirectory(dir)) Array.empty
-          else Files.list(dir).iterator().asScala
-            .map(_.getFileName.toString)
-            .filter(f => f.endsWith(".jsonl") && !f.startsWith("."))
-            .toArray.sorted
+        override def planInputPartitions(): Array[InputPartition] =
+          DirTail.listing(path)
             .map(f => DirTailPartition(s"$path/$f"): InputPartition)
-        }
         override def createReaderFactory(): PartitionReaderFactory = {
           val need = pruned.fieldNames.toSet ++ pushed.flatMap(_.references)
           val parseSchema =
@@ -191,6 +185,18 @@ private[graft] object DirTailFilters {
     case IsNotNull(a)             => pushableCol(schema, a)
     case _                        => false
   }
+  /** IEEE comparison, not Double.compareTo: compareTo orders -0.0 below
+    * 0.0 (and NaN above everything), which would make a pushed
+    * `value = 0.0` silently drop a -0.0 row that Spark's own comparison
+    * (SQL semantics: -0.0 = 0.0) would keep — pushdown changing results
+    * is the one defect a source must never have. NaN (unreachable from
+    * JSON, which has no NaN literal) is incomparable → no-match. */
+  private def ieee(a: Double, b: Double): Option[Int] =
+    if (a.isNaN || b.isNaN) None
+    else if (a == b) Some(0)
+    else if (a < b) Some(-1)
+    else Some(1)
+
   /** actual (parsed row slot: java Long/Int/Double/UTF8String/null) vs
     * the filter literal; None = incomparable kinds (treated as no-match). */
   private def cmp(actual: Any, lit: Any): Option[Int] = (actual, lit) match {
@@ -198,9 +204,9 @@ private[graft] object DirTailFilters {
     case (a: java.lang.Long, b: java.lang.Integer)    => Some(a.compareTo(b.longValue()))
     case (a: java.lang.Integer, b: java.lang.Integer) => Some(a.compareTo(b))
     case (a: java.lang.Integer, b: java.lang.Long)    => Some(a.longValue().compareTo(b))
-    case (a: java.lang.Double, b: java.lang.Double)   => Some(a.compareTo(b))
-    case (a: java.lang.Double, b: java.lang.Long)     => Some(a.compareTo(b.doubleValue()))
-    case (a: java.lang.Double, b: java.lang.Integer)  => Some(a.compareTo(b.doubleValue()))
+    case (a: java.lang.Double, b: java.lang.Double)   => ieee(a, b)
+    case (a: java.lang.Double, b: java.lang.Long)     => ieee(a, b.doubleValue())
+    case (a: java.lang.Double, b: java.lang.Integer)  => ieee(a, b.doubleValue())
     case (a: UTF8String, b: String)                   => Some(a.compareTo(UTF8String.fromString(b)))
     case _                                            => None
   }
@@ -236,17 +242,9 @@ private[graft] class DirTailStream(schema: StructType, full: StructType,
   def this(schema: StructType, path: String) =
     this(schema, schema, Array.empty[Filter], path)
 
-  /** Sorted stable listing. Files still being staged (dot-prefixed, the
-    * convention every log shipper uses for in-flight writes) are
-    * invisible; only `*.jsonl` participate so sinks can share the dir. */
-  private def listing(): Array[String] = {
-    val dir = Paths.get(path)
-    if (!Files.isDirectory(dir)) Array.empty
-    else Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(f => f.endsWith(".jsonl") && !f.startsWith("."))
-      .toArray.sorted
-  }
+  /** Sorted stable listing (shared [[DirTail.listing]] — stream-closing,
+    * dot-staged files invisible, only `*.jsonl`). */
+  private def listing(): Array[String] = DirTail.listing(path)
 
   override def initialOffset(): Offset = DirTailOffset(0L)
   override def latestOffset(): Offset = DirTailOffset(listing().length.toLong)
@@ -439,6 +437,24 @@ private[sources] object DirTail {
   private val Supported: Set[DataType] = Set(LongType, IntegerType,
     DoubleType, StringType, BooleanType, TimestampType)
 
+  /** Sorted stable listing of visible data files, CLOSING the directory
+    * stream (an unclosed `Files.list` holds a descriptor until GC — the
+    * streaming source lists every trigger, so a leak here walks straight
+    * into the process ulimit). Dot-staged files invisible; only
+    * `*.jsonl` participates so sinks can share the dir. */
+  def listing(path: String): Array[String] = {
+    val dir = Paths.get(path)
+    if (!Files.isDirectory(dir)) Array.empty
+    else {
+      val s = Files.list(dir)
+      try s.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(f => f.endsWith(".jsonl") && !f.startsWith("."))
+        .toArray.sorted
+      finally s.close()
+    }
+  }
+
   def validate(schema: StructType): Unit = schema.fields.foreach { f =>
     require(Supported.contains(f.dataType),
       s"graft-dirtail field '${f.name}': unsupported type " +
@@ -490,15 +506,30 @@ private[sources] object DirTail {
     while (i < schema.length) {
       val f = schema(i)
       val v = node.get(f.name)
+      // kind-checked decode: Jackson's asLong/asBoolean/asText silently
+      // coerce the wrong JSON kind (textual ids → 0, numbers → false) —
+      // exactly the silent-corruption mode the class doc forbids. A
+      // producer schema drift must stop the batch, not zero a column.
+      def wrongKind(expected: String): Nothing =
+        throw new IllegalArgumentException(
+          s"graft-dirtail: field '${f.name}' in $file expected $expected, " +
+            s"got JSON ${v.getNodeType}: ${line.take(120)}")
       vals(i) =
         if (v == null || v.isNull) null
         else f.dataType match {
-          case LongType      => v.asLong()
-          case IntegerType   => v.asInt()
-          case DoubleType    => v.asDouble()
-          case BooleanType   => v.asBoolean()
-          case StringType    => UTF8String.fromString(v.asText())
-          case TimestampType => v.asLong() // epoch micros on the wire
+          case LongType =>
+            if (v.isIntegralNumber) v.asLong() else wrongKind("integer")
+          case IntegerType =>
+            if (v.isIntegralNumber) v.asInt() else wrongKind("integer")
+          case DoubleType =>
+            if (v.isNumber) v.asDouble() else wrongKind("number")
+          case BooleanType =>
+            if (v.isBoolean) v.asBoolean() else wrongKind("boolean")
+          case StringType =>
+            if (v.isTextual) UTF8String.fromString(v.asText())
+            else wrongKind("string")
+          case TimestampType => // epoch micros on the wire
+            if (v.isIntegralNumber) v.asLong() else wrongKind("integer micros")
           case other => throw new IllegalStateException(
             s"unreachable: $other passed validate()")
         }
