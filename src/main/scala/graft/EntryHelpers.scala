@@ -95,6 +95,30 @@ private[graft] object EntryHelpers {
     p.toString
   }
 
+  /** Session-stable TxCatalog warehouse for `sink_txlog_sql`: a DSv2
+    * catalog instance is cached BY NAME in the session's CatalogManager
+    * on first reference, so the root it was initialized with must never
+    * change within a session — one warehouse per (JVM, corpus dir), its
+    * three-commit history (en overwrite / de append / fr overwrite, the
+    * sink_txlog fixture) written exactly once. Repeat calls reuse it;
+    * the versions read are immutable either way. */
+  val txCatalogRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def txCatalogWarehouse(s: SparkSession, dir: String): String =
+    txCatalogRoots.computeIfAbsent(dir, _ => {
+      val wh = scratchDir("graft-txcat-")
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val tbl = s"$wh/db/t"
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "en"), tbl, "overwrite")
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "de"), tbl, "append")
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "fr"), tbl, "overwrite")
+      wh
+    })
+
   /** Documents with deterministic PII/URL decorations appended: the
     * synthetic corpus is clean, so the compliance queries (`text_pii`,
     * `text_domains`) derive a dirty variant as a pure function of

@@ -245,12 +245,14 @@ private[graft] object QueriesEventsStreaming {
           col("asof_o_totalprice").as("asof_price"))
         .orderBy("event_id")),
     // last-touch attribution — each purchase credited to the user's
-    // latest click at or before it — is EXACTLY as-of semantics, solved
-    // here by the custom broadcast exec on a second real shape (facts on
-    // both sides of the same table; the click side is the bounded build)
+    // latest click at or before it — is EXACTLY as-of semantics. The
+    // click side is a FACT, not a dimension (it grows with the corpus),
+    // so this routes through asofJoinAuto: broadcast exec while the
+    // build fits the cap, the merge-window compose past it — at 100×
+    // the query switches plans instead of dying on the broadcast cap.
     "events_attribution" -> ((s: SparkSession, dir: String) => {
       val ev = Tables.events(s, dir)
-      graft.plans.AsOfPhys.asofJoinBroadcast(
+      graft.plans.AsOfPhys.asofJoinAuto(
           ev.filter(col("event_type") === "purchase")
             .select(col("event_id"), col("user_id"), col("ts")),
           ev.filter(col("event_type") === "click")
@@ -262,6 +264,24 @@ private[graft] object QueriesEventsStreaming {
           col("asof_click_id").as("attributed_click"))
         .orderBy("purchase_id")
     }),
+    // the ROUTER's other arm certified: an explicit tiny cap forces the
+    // build side over the threshold, so asofJoinAuto provably takes the
+    // merge-window compose (plan-asserted in AsOfPhysSpec: no AsOfJoinExec
+    // node) — same oracle as join_asof/join_asof_phys, three plans, one
+    // answer, and no query anywhere hard-codes a fact-sized broadcast.
+    "join_asof_auto" -> ((s: SparkSession, dir: String) =>
+      graft.plans.AsOfPhys.asofJoinAuto(
+          Tables.events(s, dir)
+            .select(col("event_id"), col("user_id"), col("ts")),
+          Tables.orders(s, dir),
+          "user_id", "o_custkey", "ts", "o_orderdate",
+          valueCols = Seq("o_orderkey", "o_totalprice"),
+          tieBreak = "o_orderkey",
+          maxBuildRows = 100L)
+        .select(col("event_id"),
+          col("asof_o_orderkey").as("asof_orderkey"),
+          col("asof_o_totalprice").as("asof_price"))
+        .orderBy("event_id")),
     // The SAME as-of semantics through the custom WHOLE-operator path:
     // logical AsOfJoin node → injected planner strategy → broadcast
     // binary-search AsOfJoinExec (plans/AsOfJoinPlan.scala scaladoc has
@@ -493,6 +513,17 @@ private[graft] object QueriesEventsStreaming {
     // identical reference for the custom-exec path: two physical plans
     // (merge-window vs broadcast binary-search) must land one answer
     "join_asof_phys" ->
+      ("""SELECT e.event_id,
+         |  (SELECT o.o_orderkey FROM orders o
+         |   WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+         |   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS asof_orderkey,
+         |  (SELECT o.o_totalprice FROM orders o
+         |   WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+         |   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS asof_price
+         |FROM events e ORDER BY e.event_id""".stripMargin),
+    // the router's forced-merge arm answers the SAME reference as
+    // join_asof/join_asof_phys — three plans, one answer
+    "join_asof_auto" ->
       ("""SELECT e.event_id,
          |  (SELECT o.o_orderkey FROM orders o
          |   WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts

@@ -216,6 +216,27 @@ private[graft] object QueriesSearchOps {
         .reduce(_.union(_))
         .orderBy("version", "doc_id")
     }),
+    // ----- the SAME three-version history read through PURE SQL: the
+    // DSv2 TxCatalog resolves graft_tx.db.t and `VERSION AS OF n` goes
+    // through the catalog's time-travel hook — the engine's own table
+    // format addressed the way the reference addresses (db, collection),
+    // with the scan delegated to Spark's stock parquet path
+    // (sources/TxCatalog.scala scaladoc) -----
+    "sink_txlog_sql" -> ((s: SparkSession, dir: String) => {
+      val wh = EntryHelpers.txCatalogWarehouse(s, dir)
+      s.conf.set("spark.sql.catalog.graft_tx", "graft.sources.TxCatalog")
+      s.conf.set("spark.sql.catalog.graft_tx.root", wh)
+      s.sql(
+        """SELECT CAST(1 AS BIGINT) AS version, doc_id, lang, n_chars
+          |FROM graft_tx.db.t VERSION AS OF 1
+          |UNION ALL
+          |SELECT CAST(2 AS BIGINT), doc_id, lang, n_chars
+          |FROM graft_tx.db.t VERSION AS OF 2
+          |UNION ALL
+          |SELECT CAST(3 AS BIGINT), doc_id, lang, n_chars
+          |FROM graft_tx.db.t VERSION AS OF 3
+          |ORDER BY version, doc_id""".stripMargin)
+    }),
     // ----- snapshot diff / change-data-feed (TxTable.diff scaladoc:
     // multiset exceptAll both ways, manifests prune to exactly the two
     // snapshots) over the same 3-commit history as sink_txlog: v1→v2 is
@@ -829,6 +850,18 @@ private[graft] object QueriesSearchOps {
     // three literal-version snapshot selects replaying the commit
     // sequence: overwrite(en) -> append(de) -> overwrite(fr)
     "sink_txlog" ->
+      ("""SELECT CAST(1 AS BIGINT) AS version, doc_id, lang, n_chars
+         |FROM documents WHERE lang = 'en'
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), doc_id, lang, n_chars
+         |FROM documents WHERE lang IN ('en', 'de')
+         |UNION ALL
+         |SELECT CAST(3 AS BIGINT), doc_id, lang, n_chars
+         |FROM documents WHERE lang = 'fr'
+         |ORDER BY version, doc_id""".stripMargin),
+    // SQL time travel answers the identical reference as the Scala API —
+    // one commit history, two access surfaces
+    "sink_txlog_sql" ->
       ("""SELECT CAST(1 AS BIGINT) AS version, doc_id, lang, n_chars
          |FROM documents WHERE lang = 'en'
          |UNION ALL

@@ -280,6 +280,9 @@ object Events {
     newVsReturning(events)
       .select(col("day"), col("n_new"))
       .withColumn("cum_users",
+        // deliberately UNPARTITIONED window ("WindowExec: No Partition
+        // Defined" at runtime is expected): input is the aggregated
+        // per-day frame, |days| rows, metadata-sized at any corpus scale
         sum(col("n_new")).over(Window.orderBy(col("day"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
 

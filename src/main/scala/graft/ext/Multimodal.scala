@@ -677,16 +677,28 @@ object Multimodal {
     // EXACT 8-bit colorspace whitelist, not a "420" prefix match: a
     // C420p10/C420p16 high-bit-depth stream has twice the plane bytes,
     // and guessed 8-bit geometry would misalign every frame — the
-    // refuse-don't-guess contract applies to bit depth too
-    val (ySize, uvSize) =
+    // refuse-don't-guess contract applies to bit depth too.
+    // Plane sizes in Long: a crafted header like W46341 H46341 overflows
+    // w*h in Int to a NEGATIVE size, which slips past the truncation
+    // check and walks `bytes` at negative offsets — a task-killing
+    // ArrayIndexOutOfBounds instead of the contracted None (decodePpm
+    // already computes its byte count as Long for the same reason).
+    val (ySizeL, uvSizeL) =
       if (cs == "420" || cs == "420jpeg" || cs == "420mpeg2" ||
           cs == "420paldv") {
         if (w % 2 != 0 || h % 2 != 0) return None
-        (w * h, 2 * (w / 2) * (h / 2))
-      } else if (cs == "444") (w * h, 2 * w * h)
-      else if (cs == "mono") (w * h, 0)
+        (w.toLong * h, 2L * (w / 2) * (h / 2))
+      } else if (cs == "444") (w.toLong * h, 2L * w * h)
+      else if (cs == "mono") (w.toLong * h, 0L)
       else return None
-    val frameSize = ySize + uvSize
+    val frameSizeL = ySizeL + uvSizeL
+    // A frame larger than the payload (or than any JVM array can hold)
+    // can never parse — refuse before the walk so the Int narrowing
+    // below is provably lossless.
+    if (frameSizeL > bytes.length || frameSizeL > Int.MaxValue) return None
+    val ySize = ySizeL.toInt
+    val uvSize = uvSizeL.toInt
+    val frameSize = frameSizeL.toInt
     val sampled = Seq.newBuilder[(Int, Long, Long)]
     var i = hEnd + 1
     var idx = 0

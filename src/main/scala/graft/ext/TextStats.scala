@@ -219,6 +219,9 @@ object TextStats {
   def lenDeciles(df: DataFrame, lenCol: String, buckets: Int = 10): DataFrame = {
     require(buckets > 0, "buckets must be positive")
     val counts = df.groupBy(col(lenCol)).agg(count(lit(1)).as("cnt"))
+    // deliberately UNPARTITIONED window ("WindowExec: No Partition
+    // Defined" is expected): it runs over `counts` — one row per DISTINCT
+    // length, an aggregated metadata-sized frame, never over documents
     val w = org.apache.spark.sql.expressions.Window.orderBy(col(lenCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
@@ -325,6 +328,8 @@ object TextStats {
     val vocab = toksPos.groupBy(col("term"))
       .agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("term").asc).limit(vocabSize)
+      // deliberately UNPARTITIONED window ("WindowExec: No Partition
+      // Defined" is expected): ranks the ≤vocabSize-row limited frame
       .withColumn("tok_id", row_number().over(
         Window.orderBy(col("freq").desc, col("term").asc)).cast("long"))
       .select(col("term"), col("tok_id"))

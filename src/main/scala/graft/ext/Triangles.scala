@@ -181,7 +181,7 @@ object Triangles {
     * cartesians. */
   def coActivityEdges(events: DataFrame, userCol: String = "user_id",
                       tsCol: String = "ts",
-                      maxBucketUsers: Long = 100000L): DataFrame = {
+                      maxBucketUsers: Long = 10000L): DataFrame = {
     // persisted: the guard action below plus both sides of the pair join
     // read grp — three consumers (TrackedCache lifecycle)
     val grp = TrackedCache.persistTracked(events
@@ -189,15 +189,77 @@ object Triangles {
       .select(date_trunc("minute", col(tsCol)).as("b0"),
         col(userCol).as("uid"))
       .distinct())
+    // Default cap 10k ≈ 5×10⁷ pairs from the worst bucket — survivable
+    // on one task. (The old 100k default admitted ~5×10⁹ pairs before
+    // "guarding": a cap that fires only after the blowup it exists to
+    // prevent has been paid is no cap.) Raise it deliberately, or use
+    // [[coActivityEdgesSharded]] — the 100× formulation that splits each
+    // bucket's quadratic work across shard-pair tasks.
+    // coalesce: max() over ZERO buckets is NULL, and an empty events
+    // frame must yield an empty edge list, not an NPE in the guard.
     val worst = grp.groupBy(col("b0")).agg(count(lit(1)).as("c"))
-      .agg(max(col("c"))).head().getLong(0)
+      .agg(coalesce(max(col("c")), lit(0L))).head().getLong(0)
     require(worst <= maxBucketUsers,
       s"coActivityEdges: largest bucket holds $worst users (cap " +
-        s"$maxBucketUsers) — the pair join would blow up; shard the " +
-        "bucket key or raise the cap deliberately")
+        s"$maxBucketUsers) — the pair join would blow up; use " +
+        "coActivityEdgesSharded, shard the bucket key, or raise the cap " +
+        "deliberately")
     grp.as("a").join(grp.as("b"),
         col("a.b0") === col("b.b0") && col("a.uid") < col("b.uid"))
       .select(col("a.uid").as("src"), col("b.uid").as("dst"))
+      .distinct()
+  }
+
+  /** Sharded co-activity edges — the 100-TB formulation of
+    * [[coActivityEdges]]. Same output edge set, but each time bucket's
+    * quadratic pair work is split across `shards·(shards+1)/2` shard-pair
+    * tasks instead of landing on one reducer.
+    *
+    * Scheme (the classic all-pairs "triangle partitioning"): assign each
+    * user a shard `s = hash(uid) mod S`; a pair (u, v) with shards (i, j),
+    * i ≤ j, is produced by EXACTLY ONE join group keyed (bucket, i, j) —
+    * the left side replicates each row to groups (s, j) for j ≥ s, the
+    * right side to (i, s) for i ≤ s, so group (i, j) holds shard-i users
+    * on the left and shard-j users on the right. Replication is S+1
+    * copies per row (linear wire cost) in exchange for per-task pair
+    * count dropping from |bucket|² to (|bucket|/S)² — the shuffle key
+    * (b0, i, j) is exactly the "minute × shard" key the single-reducer
+    * guard tells you to reach for.
+    *
+    * Same-shard groups (i = j) hold the shard on both sides and keep
+    * pairs by `uid_a < uid_b`; cross-shard groups keep every (left,
+    * right) pair — each once, then id-normalized so the output matches
+    * [[coActivityEdges]] exactly (property-tested equivalence,
+    * `TrianglesSpec`). */
+  def coActivityEdgesSharded(events: DataFrame, userCol: String = "user_id",
+                             tsCol: String = "ts", shards: Int = 16,
+                             maxTaskPairs: Long = 50000000L): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val grp = TrackedCache.persistTracked(events
+      .where(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(date_trunc("minute", col(tsCol)).as("b0"),
+        col(userCol).as("uid"))
+      .distinct()
+      .withColumn("s", pmod(hash(col("uid")), lit(shards))))
+    // guard on the PER-TASK pair count (worst bucket / S)² — the quantity
+    // sharding actually bounds; coalesce keeps the empty frame total
+    val worst = grp.groupBy(col("b0")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(max(col("c")), lit(0L))).head().getLong(0)
+    val perShard = (worst + shards - 1) / shards.toLong
+    require(perShard * perShard <= maxTaskPairs,
+      s"coActivityEdgesSharded: worst bucket $worst over $shards shards " +
+        s"is ~${perShard * perShard} pairs per task (cap $maxTaskPairs) " +
+        "— raise shards")
+    val left = grp.withColumn("j",
+      explode(sequence(col("s"), lit(shards - 1))))
+    val right = grp.withColumn("i",
+      explode(sequence(lit(0), col("s"))))
+    left.as("a").join(right.as("b"),
+        col("a.b0") === col("b.b0") &&
+          col("a.s") === col("b.i") && col("a.j") === col("b.s") &&
+          (col("a.s") =!= col("b.s") || col("a.uid") < col("b.uid")))
+      .select(least(col("a.uid"), col("b.uid")).as("src"),
+        greatest(col("a.uid"), col("b.uid")).as("dst"))
       .distinct()
   }
 }

@@ -172,8 +172,13 @@ private[graft] object DirTailFilters {
       case _ => false
     }))
   private def pushableLit(v: Any): Boolean = v match {
-    case _: java.lang.Long | _: java.lang.Integer | _: java.lang.Double |
-         _: String => true
+    // NaN is NOT pushable: the row-side evaluator uses IEEE ordering
+    // (NaN incomparable → no-match) while Spark SQL orders NaN greater
+    // than everything and NaN = NaN true — a pushed `value < NaN` would
+    // drop every row Spark keeps. Left as a residual filter, Spark
+    // evaluates it with its own semantics above the scan.
+    case d: java.lang.Double => !d.isNaN
+    case _: java.lang.Long | _: java.lang.Integer | _: String => true
     case _ => false
   }
   def supports(schema: StructType, f: Filter): Boolean = f match {
@@ -517,10 +522,18 @@ private[sources] object DirTail {
       vals(i) =
         if (v == null || v.isNull) null
         else f.dataType match {
+          // isIntegralNumber AND canConvertToLong/Int: Jackson's asInt on
+          // an out-of-range long silently TRUNCATES to 32 bits — the same
+          // silent-coercion mode this guard exists to forbid. (canConvertTo*
+          // alone is not enough either: on a DoubleNode it checks only
+          // range, so 3.7 would "convert" to 3.) A value outside the
+          // target range is a wrong kind, not a value.
           case LongType =>
-            if (v.isIntegralNumber) v.asLong() else wrongKind("integer")
+            if (v.isIntegralNumber && v.canConvertToLong) v.asLong()
+            else wrongKind("integer (int64 range)")
           case IntegerType =>
-            if (v.isIntegralNumber) v.asInt() else wrongKind("integer")
+            if (v.isIntegralNumber && v.canConvertToInt) v.asInt()
+            else wrongKind("integer (int32 range)")
           case DoubleType =>
             if (v.isNumber) v.asDouble() else wrongKind("number")
           case BooleanType =>
@@ -529,7 +542,8 @@ private[sources] object DirTail {
             if (v.isTextual) UTF8String.fromString(v.asText())
             else wrongKind("string")
           case TimestampType => // epoch micros on the wire
-            if (v.isIntegralNumber) v.asLong() else wrongKind("integer micros")
+            if (v.isIntegralNumber && v.canConvertToLong) v.asLong()
+            else wrongKind("integer micros (int64 range)")
           case other => throw new IllegalStateException(
             s"unreachable: $other passed validate()")
         }

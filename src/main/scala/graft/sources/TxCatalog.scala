@@ -1,0 +1,254 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsNamespaces, SupportsRead, Table, TableCapability, TableCatalog, TableChange, Column => V2Column}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DSv2 `TableCatalog` over [[TxTable]] — the engine's own table format
+  * made SQL-addressable, the way the reference resolves `(db,
+  * collection)` names (No_Sql.py:389-390) but against a transactional
+  * parquet table instead of Mongo:
+  *
+  * {{{
+  *   spark.conf: spark.sql.catalog.graft      = graft.sources.TxCatalog
+  *               spark.sql.catalog.graft.root = /warehouse
+  *   SELECT * FROM graft.db.t                     -- latest snapshot
+  *   SELECT * FROM graft.db.t VERSION AS OF 2     -- time travel
+  *   SELECT * FROM graft.db.t TIMESTAMP AS OF ... -- commit-time travel
+  * }}}
+  *
+  * Name resolution is directory layout: identifier `db.t` is the
+  * tx table at `<root>/db/t` (any namespace depth, one directory per
+  * level); a table EXISTS iff its `_txlog/` holds a committed version.
+  * `VERSION AS OF n` goes through the DSv2 time-travel hook
+  * (`loadTable(ident, version)`), `TIMESTAMP AS OF ts` resolves to the
+  * newest version whose manifest was PUBLISHED at or before `ts` —
+  * publish time (the manifest file's mtime, set by the atomic
+  * [[CommitPrimitive]] publish) is the only clock a commit has.
+  *
+  * Scans delegate to Spark's own parquet DSv2 table over the manifest's
+  * resolved file list, so column pruning, filter pushdown, and
+  * vectorized reading are exactly the stock parquet path — the catalog
+  * adds snapshot resolution, never a bespoke reader. Reads only: the
+  * commit protocol (OCC versioning, carried txn watermarks) lives in
+  * [[TxTable.commit]], and a SQL INSERT that bypassed it would write
+  * files no manifest references — so the table deliberately does NOT
+  * implement SupportsWrite, and DDL (CREATE/ALTER/DROP/RENAME) is
+  * refused loudly with a pointer to the API that does commit.
+  */
+class TxCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var root: Path = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val r = options.get("root")
+    require(r != null && r.nonEmpty,
+      s"TxCatalog '$name' needs spark.sql.catalog.$name.root=<warehouse dir>")
+    root = Paths.get(r)
+  }
+
+  override def name(): String = catalogName
+
+  /** Path for an identifier, with each part validated as a plain
+    * directory name — a name carrying a separator or `..` would escape
+    * the warehouse root (a lookup must never be a path traversal). */
+  private def dirFor(ident: Identifier): Path = {
+    val parts = ident.namespace().toSeq :+ ident.name()
+    parts.foreach(p => require(
+      p.nonEmpty && !p.contains('/') && !p.contains('\\') && p != "." && p != "..",
+      s"illegal identifier part '$p' in ${parts.mkString(".")}"))
+    parts.foldLeft(root)(_.resolve(_))
+  }
+
+  private def isTxTable(dir: Path): Boolean =
+    TxTable.latestVersion(dir.toString).isDefined
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val ns = namespace.foldLeft(root)(_.resolve(_))
+    if (!Files.isDirectory(ns)) throw new NoSuchNamespaceException(namespace)
+    listDirs(ns).filter(d => isTxTable(ns.resolve(d)))
+      .map(d => Identifier.of(namespace, d)).toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    isTxTable(dirFor(ident))
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = dirFor(ident)
+    val v = TxTable.latestVersion(dir.toString)
+      .getOrElse(throw new NoSuchTableException(ident))
+    new TxSqlTable(fullName(ident), dir, v)
+  }
+
+  /** `VERSION AS OF <v>` — the DSv2 time-travel hook. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = dirFor(ident)
+    if (!isTxTable(dir)) throw new NoSuchTableException(ident)
+    val v =
+      try version.toLong
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"TxCatalog versions are integers, got '$version'")
+      }
+    require(TxTable.history(dir.toString).exists(_._1 == v),
+      s"version $v of ${fullName(ident)} does not exist (or was vacuumed); " +
+        s"committed: ${TxTable.history(dir.toString).map(_._1).mkString(", ")}")
+    new TxSqlTable(fullName(ident), dir, v)
+  }
+
+  /** `TIMESTAMP AS OF <ts>` (micros since epoch): newest version whose
+    * manifest publish time is at or before the asked instant. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val dir = dirFor(ident)
+    if (!isTxTable(dir)) throw new NoSuchTableException(ident)
+    val log = dir.resolve("_txlog")
+    val admissible = TxTable.history(dir.toString).map(_._1).filter { v =>
+      val mtimeMicros = Files.getLastModifiedTime(
+        log.resolve(f"v$v%05d.json")).toMillis * 1000L
+      mtimeMicros <= timestampMicros
+    }
+    require(admissible.nonEmpty,
+      s"no version of ${fullName(ident)} committed at or before " +
+        s"timestamp $timestampMicros")
+    new TxSqlTable(fullName(ident), dir, admissible.max)
+  }
+
+  override def createTable(ident: Identifier, columns: Array[V2Column],
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table =
+    throw new UnsupportedOperationException(
+      "TxCatalog is a read surface: create tables by committing a frame " +
+        "with graft.sources.TxTable.commit(df, dir, \"overwrite\") — SQL " +
+        "DDL cannot participate in the OCC commit protocol")
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table =
+    createTable(ident, Array.empty[V2Column], partitions, properties)
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "TxCatalog does not support ALTER TABLE — commit a new version " +
+        "through graft.sources.TxTable.commit")
+
+  override def dropTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException(
+      "TxCatalog does not support DROP TABLE — retention is " +
+        "graft.sources.TxTable.vacuum's job")
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "TxCatalog does not support RENAME TABLE")
+
+  // ------------------------------------------------- namespaces (dirs)
+
+  override def listNamespaces(): Array[Array[String]] =
+    listDirs(root).filter(d => !isTxTable(root.resolve(d)))
+      .map(Array(_)).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    val ns = namespace.foldLeft(root)(_.resolve(_))
+    if (!Files.isDirectory(ns)) throw new NoSuchNamespaceException(namespace)
+    listDirs(ns).filter(d => !isTxTable(ns.resolve(d)))
+      .map(namespace :+ _).toArray
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    val ns = namespace.foldLeft(root)(_.resolve(_))
+    if (!Files.isDirectory(ns)) throw new NoSuchNamespaceException(namespace)
+    Map("location" -> ns.toString).asJava
+  }
+
+  /** A namespace is just a directory — creating one is metadata-trivial
+    * and lets `TxTable.commit` target `<root>/<ns>/<t>` afterwards. */
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit = {
+    namespace.foreach(p => require(
+      p.nonEmpty && !p.contains('/') && !p.contains('\\') && p != "." && p != "..",
+      s"illegal namespace part '$p'"))
+    Files.createDirectories(namespace.foldLeft(root)(_.resolve(_))): Unit
+  }
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: org.apache.spark.sql.connector.catalog.NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "TxCatalog namespaces carry no alterable metadata")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
+    throw new UnsupportedOperationException(
+      "TxCatalog does not support DROP NAMESPACE — remove the directory " +
+        "deliberately out of band")
+
+  private def listDirs(p: Path): Seq[String] =
+    if (!Files.isDirectory(p)) Seq.empty
+    else {
+      val s = Files.list(p)
+      try s.iterator().asScala
+        .filter(Files.isDirectory(_))
+        .map(_.getFileName.toString)
+        .filterNot(n => n.startsWith("_") || n.startsWith("."))
+        .toSeq
+      finally s.close()
+    }
+
+  private def fullName(ident: Identifier): String =
+    (Seq(catalogName) ++ ident.namespace().toSeq :+ ident.name()).mkString(".")
+}
+
+/** One committed snapshot as a DSv2 read-only table: schema from the
+  * manifest, scan delegated to Spark's parquet DSv2 table over exactly
+  * the manifest's file list — pushdown/pruning/vectorization are the
+  * stock parquet path, the snapshot is the only thing this class adds.
+  * No SupportsWrite, deliberately (see [[TxCatalog]] scaladoc). */
+private[graft] class TxSqlTable(tableName: String, dir: Path, version: Long)
+  extends Table with SupportsRead {
+
+  private lazy val snapshot: (StructType, Seq[String]) = {
+    val m = TxTableMeta.manifest(dir, version)
+    (DataType.fromJson(m.schemaJson).asInstanceOf[StructType],
+      m.files.map(f => dir.resolve(f).toString))
+  }
+
+  override def name(): String = s"$tableName@v$version"
+  override def schema(): StructType = snapshot._1
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def properties(): util.Map[String, String] =
+    Map("format" -> "graft-txtable", "location" -> dir.toString,
+      "version" -> version.toString).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val (schema, files) = snapshot
+    // empty snapshot: hand the parquet table zero paths with the
+    // manifest schema — an empty scan with the right shape
+    ParquetTable(name(), SparkSession.active, options, files.toList,
+      Some(schema), classOf[ParquetFileFormat]).newScanBuilder(options)
+  }
+}
+
+/** Manifest access for the catalog without widening [[TxTable]]'s
+  * private surface: re-reads the version manifest (O(1) driver IO). */
+private[graft] object TxTableMeta {
+  final case class Meta(schemaJson: String, files: Seq[String])
+  def manifest(root: Path, v: Long): Meta = {
+    val p = root.resolve("_txlog").resolve(f"v$v%05d.json")
+    require(Files.exists(p), s"version $v does not exist under $root")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(Files.readAllBytes(p))
+    Meta(node.get("schema").asText(),
+      node.get("files").elements().asScala.map(_.asText()).toSeq)
+  }
+}
