@@ -292,6 +292,69 @@ class DirTailSourceSpec extends SparkSpec {
     assert(DirTailFilters.eval(EqualTo("l", 5), get))
   }
 
+  test("one AvailableNow drain equals the incremental multi-restart drain") {
+    // the offset-determinism claim (DirTailSource.scala scaladoc) made
+    // operational: draining everything in one AvailableNow pass and
+    // draining the same files across three checkpoint-resumed restarts
+    // must land the identical row multiset
+    val src1 = Files.createTempDirectory("dirtail-src")
+    val out1 = Files.createTempDirectory("dirtail-out")
+    val ckpt1 = Files.createTempDirectory("dirtail-ckpt")
+    val waves = Seq(0L until 4L, 4L until 9L, 9L until 12L)
+    waves.zipWithIndex.foreach { case (ids, i) =>
+      writeFile(src1, s"w$i.jsonl", ids.map(line))
+      drainOnce(src1, out1, ckpt1) // restart per wave: the incremental path
+    }
+    val src2 = Files.createTempDirectory("dirtail-src")
+    val out2 = Files.createTempDirectory("dirtail-out")
+    val ckpt2 = Files.createTempDirectory("dirtail-ckpt")
+    waves.zipWithIndex.foreach { case (ids, i) =>
+      writeFile(src2, s"w$i.jsonl", ids.map(line)) }
+    drainOnce(src2, out2, ckpt2) // everything in one AvailableNow pass
+    def canon(out: Path) = spark.read.parquet(out.toString)
+      .collect().map(_.toSeq).sortBy(_.toString()).toSeq
+    assert(canon(out1) == canon(out2))
+    assert(canon(out2).size == 12)
+  }
+
+  test("out-of-range integers are rejected, never silently truncated") {
+    val src = Files.createTempDirectory("dirtail-src")
+    val intSchema = StructType(Seq(StructField("id", IntegerType)))
+    // 2^31 wraps to a negative int under Jackson's asInt — must refuse
+    writeFile(src, "a.jsonl", Seq("""{"id":2147483648}"""))
+    val e = intercept[Exception] {
+      spark.read.format("graft-dirtail").schema(intSchema)
+        .option("path", src.toString).load().collect()
+    }
+    def causes(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else t.toString +: causes(t.getCause)
+    assert(causes(e).exists(_.contains("int32 range")), causes(e).mkString("\n"))
+    // non-integral numbers stay wrong-kind for integer slots
+    val src2 = Files.createTempDirectory("dirtail-src")
+    writeFile(src2, "a.jsonl", Seq("""{"id":3.7}"""))
+    val e2 = intercept[Exception] {
+      spark.read.format("graft-dirtail").schema(intSchema)
+        .option("path", src2.toString).load().collect()
+    }
+    assert(causes(e2).exists(_.contains("expected integer")))
+    // in-range values still parse
+    val src3 = Files.createTempDirectory("dirtail-src")
+    writeFile(src3, "a.jsonl", Seq("""{"id":2147483647}"""))
+    assert(spark.read.format("graft-dirtail").schema(intSchema)
+      .option("path", src3.toString).load()
+      .collect().map(_.getInt(0)).toSeq == Seq(Int.MaxValue))
+  }
+
+  test("NaN comparisons are never pushed down (Spark orders NaN, we don't)") {
+    import org.apache.spark.sql.sources._
+    import graft.sources.DirTailFilters
+    assert(DirTailFilters.supports(schema, LessThan("score", 2.5)))
+    assert(!DirTailFilters.supports(schema, LessThan("score", Double.NaN)))
+    assert(!DirTailFilters.supports(schema, EqualTo("score", Double.NaN)))
+    assert(!DirTailFilters.supports(schema,
+      GreaterThanOrEqual("score", Double.NaN)))
+  }
+
   test("malformed JSON fails the batch loudly instead of dropping rows") {
     val src = Files.createTempDirectory("dirtail-src")
     val out = Files.createTempDirectory("dirtail-out")

@@ -107,6 +107,46 @@ class TrianglesSpec extends SparkSpec {
     assert(Triangles.coActivityEdges(ev, maxBucketUsers = 10L).count() == 45L)
   }
 
+  test("coActivityEdges on an empty frame yields an empty edge list") {
+    val ev = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType))))
+    assert(Triangles.coActivityEdges(ev).count() == 0L)
+    assert(Triangles.coActivityEdgesSharded(ev, shards = 4).count() == 0L)
+  }
+
+  test("sharded co-activity edges equal the single-reducer formulation") {
+    val rnd = new scala.util.Random(41L)
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val ev = Seq.fill(300)((rnd.nextInt(25).toLong + 1L,
+        new java.sql.Timestamp(base + rnd.nextInt(5 * 60) * 1000L)))
+      .toDF("user_id", "ts")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain = canon(Triangles.coActivityEdges(ev))
+    // equivalence must hold at every shard count, including S=1 (no
+    // split) and S larger than the user population
+    for (s <- Seq(1, 2, 3, 7, 64))
+      assert(canon(Triangles.coActivityEdgesSharded(ev, shards = s)) == plain,
+        s"shards=$s")
+  }
+
+  test("sharded co-activity guards on the per-task pair count") {
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:30")
+    val ev = (1L to 100L).map(u => (u, ts)).toDF("user_id", "ts")
+    val e = intercept[IllegalArgumentException] {
+      Triangles.coActivityEdgesSharded(ev, shards = 2, maxTaskPairs = 100L)
+        .collect()
+    }
+    assert(e.getMessage.contains("pairs per task"))
+    assert(Triangles.coActivityEdgesSharded(ev, shards = 2,
+      maxTaskPairs = 10000L).count() == 4950L)
+  }
+
   // ------------------------------------------------------- fuzzy ER
   test("ER resolves single-char corruptions to the closest clean row") {
     val clean = Seq((1L, "margaret hamilton"), (2L, "grace hopper"),
