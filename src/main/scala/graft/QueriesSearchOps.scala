@@ -465,6 +465,15 @@ private[graft] object QueriesSearchOps {
       Multimodal.metaPng(
           Multimodal.plantedPng(s, Tables.documents(s, dir)))
         .toDF().orderBy("id")),
+    // JPEG metadata fast path: SOF marker walk — dimensions + precision
+    // + component count without Huffman/IDCT (real corpora are JPEG-
+    // heavy; lossy content is why only the HEADER shares the planted
+    // oracle). The fixture is encoded by the JDK's own JPEG writer, so
+    // the walk is certified against bytes it shares no code with
+    "mm_meta_jpeg" -> ((s: SparkSession, dir: String) =>
+      Multimodal.metaJpeg(
+          Multimodal.plantedJpeg(s, Tables.documents(s, dir)))
+        .toDF().orderBy("id")),
     // exact area-average downscale (factor 2): every output channel is
     // the round-half-up integer mean of its 2x2 block, so the oracle can
     // replay each block from the planted pixel formula — certifying the
@@ -1311,6 +1320,15 @@ private[graft] object QueriesSearchOps {
          |  CAST(1 + doc_id % 5 AS BIGINT) AS height,
          |  CAST(8 AS BIGINT) AS bit_depth,
          |  CAST(2 AS BIGINT) AS color_type
+         |FROM documents ORDER BY id""".stripMargin),
+    // the planted dims; precision 8 / 3 components are what the JDK
+    // baseline JPEG writer emits for TYPE_INT_RGB, invariant over id
+    "mm_meta_jpeg" ->
+      ("""SELECT doc_id AS id,
+         |  CAST(1 + doc_id % 7 AS BIGINT) AS width,
+         |  CAST(1 + doc_id % 5 AS BIGINT) AS height,
+         |  CAST(8 AS BIGINT) AS precision,
+         |  CAST(3 AS BIGINT) AS components
          |FROM documents ORDER BY id""".stripMargin),
     // block-mean replay: output channel (ox,oy,c) averages the four
     // planted bytes of its 2x2 block with round-half-up ((bsum+2)//4)

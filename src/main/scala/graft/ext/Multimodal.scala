@@ -431,6 +431,124 @@ object Multimodal {
     }
   }
 
+  /** JPEG frame-header fields from the SOF segment — geometry without
+    * entropy decode. `progressive` distinguishes SOF2 from baseline. */
+  final case class JpegHeader(width: Int, height: Int, precision: Int,
+                              components: Int, progressive: Boolean)
+
+  /** Metadata fast path for JPEG: walk the marker-segment list from SOI
+    * to the first SOF0/SOF1/SOF2 and read precision + dimensions +
+    * component count from it — no Huffman decode, no IDCT, O(header
+    * bytes) per image whatever its size. Real image corpora are
+    * JPEG-heavy, and filtering by resolution must not pay full decode
+    * (the [[decodePngHeader]] discipline; lossy content is exactly why
+    * the HEADER is the only exactly-checkable part of a JPEG).
+    *
+    * Grammar (public JPEG/JFIF spec): `FFD8` (SOI), then segments of
+    * `FF <marker> <len:u16 incl. itself> <payload>`; any number of FF
+    * fill bytes may precede a marker; standalone markers (TEM, RST0-7)
+    * carry no length. SOF payload is precision:u8, height:u16,
+    * width:u16, components:u8.
+    *
+    * Strict-or-refuse: truncated segments, a SOS/EOI before any SOF,
+    * zero dimensions (the DNL deferred-height form), non-baseline/
+    * non-progressive SOF variants (SOF3/5-7/9-11/13-15 — lossless and
+    * arithmetic codings this engine never certifies), or a length < 2
+    * all return None rather than guessing. */
+  def decodeJpegHeader(bytes: Array[Byte]): Option[JpegHeader] = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    if (bytes.length < 4 || u8(0) != 0xff || u8(1) != 0xd8) return None
+    var i = 2
+    while (i + 1 < bytes.length) {
+      if (u8(i) != 0xff) return None // marker must start with FF
+      var j = i
+      while (j < bytes.length && u8(j) == 0xff) j += 1 // FF fill bytes
+      if (j >= bytes.length) return None
+      val marker = u8(j)
+      j += 1
+      marker match {
+        case 0xc0 | 0xc1 | 0xc2 => // SOF0 baseline / SOF1 ext. / SOF2 prog.
+          if (j + 2 > bytes.length) return None
+          val len = u16(j)
+          // 8 = len(2) + precision(1) + height(2) + width(2) + ncomp(1)
+          if (len < 8 || j + len > bytes.length) return None
+          val precision = u8(j + 2)
+          val h = u16(j + 3)
+          val w = u16(j + 5)
+          val ncomp = u8(j + 7)
+          if (w <= 0 || h <= 0 || ncomp <= 0) return None
+          return Some(JpegHeader(w, h, precision, ncomp, marker == 0xc2))
+        case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd |
+             0xce | 0xcf =>
+          return None // other SOF families: refuse, don't guess
+        case 0xd9 | 0xda =>
+          return None // EOI / SOS before any SOF: no frame header exists
+        case 0x01 | 0xd0 | 0xd1 | 0xd2 | 0xd3 | 0xd4 | 0xd5 | 0xd6 | 0xd7 =>
+          i = j // standalone marker, no length field
+        case _ =>
+          if (j + 2 > bytes.length) return None
+          val len = u16(j)
+          if (len < 2 || j + len > bytes.length) return None
+          i = j + len
+      }
+    }
+    None // ran off the end without a SOF
+  }
+
+  final case class JpegMeta(id: Long, width: Long, height: Long,
+                            precision: Long, components: Long)
+
+  /** Header-only JPEG metadata over [[decodeJpegHeader]] — the same
+    * quarantine-drop batch shape as [[metaPng]]. */
+  def metaJpeg(media: Dataset[Media]): Dataset[JpegMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { m =>
+        decodeJpegHeader(m.bytes).map(p =>
+          JpegMeta(m.id, p.width.toLong, p.height.toLong, p.precision.toLong,
+            p.components.toLong))
+      }
+    }
+  }
+
+  /** Planted JPEG payloads: the [[plantedPng]] geometry (`w = 1 + id%7`,
+    * `h = 1 + id%5`) encoded by the JDK's own JPEG writer. The pixel
+    * CONTENT is lossy and never certified; the header fields are exact —
+    * the planted-formula oracle covers dimensions plus the 8-bit 3-
+    * component baseline frame the JDK writer always emits for
+    * TYPE_INT_RGB, so the marker walk is checked against an encoder it
+    * shares no code with. */
+  def plantedJpeg(spark: SparkSession, documents: DataFrame): Dataset[Media] = {
+    import spark.implicits._
+    documents.select(col("doc_id").cast("long")).as[Long].mapPartitions { ids =>
+      javax.imageio.ImageIO.setUseCache(false)
+      ids.map { id =>
+        val w = (1 + id % 7).toInt
+        val h = (1 + id % 5).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val k0 = 3L * (y.toLong * w + x)
+            val r = ((id * 31 + 7L * k0) % 256).toInt
+            val g = ((id * 31 + 7L * (k0 + 1)) % 256).toInt
+            val b = ((id * 31 + 7L * (k0 + 2)) % 256).toInt
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+            x += 1
+          }
+          y += 1
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        require(javax.imageio.ImageIO.write(img, "jpg", out),
+          "JDK JPEG writer missing — ImageIO always ships one")
+        Media(id, "image", out.toByteArray)
+      }
+    }
+  }
+
   // ------------------------------------------------------------------
   // REAL audio decode: RIFF/WAVE PCM16 via a hand-rolled chunk walker
   // (the PPM discipline applied to audio — strict, loud, zero deps).

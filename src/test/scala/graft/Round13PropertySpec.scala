@@ -1,0 +1,91 @@
+package graft
+
+import graft.ext.Multimodal
+import org.scalacheck.{Gen, Prop, Properties}
+
+/** Properties for the round-13 work:
+  *  - the JPEG SOF marker walk agrees with the JDK's full decoder on
+  *    real JPEGs it never produced (random dims, both writers' quality
+  *    settings) and is TOTAL on garbage and corrupted payloads;
+  *  - truncating a valid JPEG anywhere inside the header region makes
+  *    the walk refuse (None), never mis-read. */
+object Round13PropertySpec extends Properties("round13") {
+
+  private def encodeJpeg(w: Int, h: Int, seed: Long,
+                         quality: Option[Float]): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rnd = new scala.util.Random(seed)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, rnd.nextInt() & 0xffffff)
+    val out = new java.io.ByteArrayOutputStream()
+    quality match {
+      case None =>
+        require(javax.imageio.ImageIO.write(img, "jpg", out))
+      case Some(q) =>
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("jpg").next()
+        val params = writer.getDefaultWriteParam
+        params.setCompressionMode(
+          javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        params.setCompressionQuality(q)
+        val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+        writer.setOutput(ios)
+        writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+        writer.dispose(); ios.close()
+    }
+    out.toByteArray
+  }
+
+  private val genDims: Gen[(Int, Int, Long, Option[Float])] = for {
+    w <- Gen.choose(1, 40)
+    h <- Gen.choose(1, 40)
+    seed <- Gen.choose(0L, Long.MaxValue)
+    q <- Gen.oneOf(None, Some(0.3f), Some(0.95f))
+  } yield (w, h, seed, q)
+
+  property("decodeJpegHeader agrees with the JDK decoder on real JPEGs") =
+    Prop.forAll(genDims) { case (w, h, seed, q) =>
+      val bytes = encodeJpeg(w, h, seed, q)
+      val hdr = Multimodal.decodeJpegHeader(bytes)
+      val full = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      hdr.exists(p => p.width == full.getWidth && p.height == full.getHeight &&
+        p.precision == 8 && p.components == 3)
+    }
+
+  property("decodeJpegHeader refuses every header-region truncation") =
+    Prop.forAll(Gen.choose(1, 40), Gen.choose(1, 40)) { (w, h) =>
+      val bytes = encodeJpeg(w, h, 7L, None)
+      // find the SOF offset so we only truncate inside the header walk
+      // (truncating after the SOF still parses — trailing entropy data
+      // is beyond the fast path's contract, like decodePpm's trailing
+      // bytes)
+      val sof = bytes.indices.find(i =>
+        (bytes(i) & 0xff) == 0xff && i + 1 < bytes.length &&
+          (bytes(i + 1) & 0xff) == 0xc0).getOrElse(0)
+      (0 to math.min(sof + 7, bytes.length - 1)).forall(n =>
+        Multimodal.decodeJpegHeader(bytes.take(n)).isEmpty)
+    }
+
+  private val genBytes: Gen[Array[Byte]] =
+    Gen.listOf(Gen.choose(-128, 127).map(_.toByte)).map(_.toArray)
+
+  property("decodeJpegHeader is total on garbage and corrupted payloads") =
+    Prop.forAll(genBytes) { b =>
+      Multimodal.decodeJpegHeader(b)
+      val prefixed = Array(0xff.toByte, 0xd8.toByte) ++ b
+      Multimodal.decodeJpegHeader(prefixed)
+      true
+    }
+
+  property("decodeJpegHeader survives random byte flips in valid JPEGs") =
+    Prop.forAll(Gen.choose(1, 30), Gen.choose(1, 30),
+      Gen.listOfN(4, Gen.choose(0, Int.MaxValue))) { (w, h, flips) =>
+      val bytes = encodeJpeg(w, h, 3L, None)
+      flips.foreach(f => bytes(f % bytes.length) =
+        (bytes(f % bytes.length) ^ (1 << (f % 8))).toByte)
+      Multimodal.decodeJpegHeader(bytes) // must not throw; value free
+      true
+    }
+}
