@@ -1,12 +1,13 @@
 package graft
 
-import graft.functions.{ArrayDot, ShingleHashes, TokenPolyHashes}
+import graft.functions.{ArrayDot, CellArgmin, GramPolyHashes, JlProject, MinHashSignature, RollingFingerprint, ShingleHashes, SimHashSignature, TokenPolyHashes}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.GraftBridge
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType}
 
 /** SQL surface for the custom Catalyst expressions: `array_dot`,
   * `shingle_hashes`, `token_poly_hashes` become callable from
@@ -35,6 +36,42 @@ object GraftExtensions {
       s"$fn: expected a literal int, got $other")
   }
 
+  /** Evaluate a plan-constant argument at registration time — the SQL
+    * spelling of the Scala APIs' baked-in coefficient arrays. Resolution
+    * is bottom-up, so by the time this builder runs an `array(array(…))`
+    * argument is a resolved, foldable CreateArray tree; anything
+    * row-dependent is refused loudly (the kernels bake these values into
+    * generated code, so they must be constants). */
+  private def constArg(e: Expression, fn: String): Any = {
+    require(e.resolved && e.foldable,
+      s"$fn: argument must be a constant expression, got $e")
+    e.eval()
+  }
+
+  private def doubleMatrixArg(e: Expression, fn: String): Seq[Seq[Double]] = {
+    e.dataType match {
+      case ArrayType(ArrayType(DoubleType, _), _) => ()
+      case other => throw new IllegalArgumentException(
+        s"$fn: centroids must be array<array<double>> (cast element " +
+          s"literals to double), got ${other.simpleString}")
+    }
+    val rows = constArg(e, fn).asInstanceOf[ArrayData]
+    (0 until rows.numElements()).map { i =>
+      val r = rows.getArray(i)
+      require(r != null, s"$fn: centroid row $i is null")
+      (0 until r.numElements()).map(j => r.getDouble(j))
+    }
+  }
+
+  private def longArrayArg(e: Expression, fn: String): Array[Long] = {
+    e.dataType match {
+      case ArrayType(LongType, _) => ()
+      case other => throw new IllegalArgumentException(
+        s"$fn: coefficients must be array<bigint>, got ${other.simpleString}")
+    }
+    constArg(e, fn).asInstanceOf[ArrayData].toLongArray()
+  }
+
   private[graft] val descriptions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("array_dot",
       "array_dot(a, b) - codegen'd double dot product of two float/double arrays",
@@ -61,6 +98,51 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "hll_sketch takes 1 argument")
         graft.functions.HllSketchAgg(args(0))
+      }),
+    ("jl_project",
+      "jl_project(vec, out_dim) - codegen'd JL ±1 projection of an " +
+        "array<float|double> onto out_dim hash-derived directions",
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "jl_project takes 2 arguments")
+        JlProject(args(0), intArg(args(1), "jl_project"))
+      }),
+    ("cell_argmin",
+      "cell_argmin(vec, centroids) - nearest-centroid cell id over a " +
+        "constant array<array<double>> (quantized distance, low-id ties)",
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "cell_argmin takes 2 arguments")
+        CellArgmin(args(0), doubleMatrixArg(args(1), "cell_argmin"))
+      }),
+    ("rolling_fingerprint",
+      "rolling_fingerprint(text) - Rabin-Karp codepoint fingerprint mod 1e9+7",
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "rolling_fingerprint takes 1 argument")
+        RollingFingerprint(args(0))
+      }),
+    ("gram_poly_hashes",
+      "gram_poly_hashes(text, k) - sequential word-k-gram 62-bit poly " +
+        "hashes as array<bigint> (the winnowing front end)",
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "gram_poly_hashes takes 2 arguments")
+        GramPolyHashes(args(0), intArg(args(1), "gram_poly_hashes"))
+      }),
+    ("simhash_signature",
+      "simhash_signature(hashes) - 64-bit SimHash over an array<bigint> " +
+        "of token hashes",
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "simhash_signature takes 1 argument")
+        SimHashSignature(args(0))
+      }),
+    ("minhash_signature",
+      "minhash_signature(hashes, coeffs) - MinHash signature over an " +
+        "array<bigint> with a constant array<bigint> coefficient schedule",
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "minhash_signature takes 2 arguments")
+        val cs = longArrayArg(args(1), "minhash_signature")
+        require(cs.nonEmpty && cs.length % 2 == 0,
+          "minhash_signature: coefficients are (a,b) pairs — need an " +
+            s"even nonzero length, got ${cs.length}")
+        MinHashSignature(args(0), cs)
       }),
   )
 

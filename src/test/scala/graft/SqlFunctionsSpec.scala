@@ -41,6 +41,83 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(viaAggSql.toSeq == viaColumn.toSeq)
   }
 
+  test("round-13 kernels callable from SQL, bit-identical to the Column API") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    Seq((1L, Array(0.5, 1.5, -2.0, 3.0))).toDF("id", "v")
+      .createOrReplaceTempView("vt")
+
+    val jlSql = spark.sql("SELECT jl_project(v, 2) AS p FROM vt")
+      .head().getSeq[Double](0)
+    val jlCol = spark.table("vt")
+      .select(graft.functions.VectorFunctions.jl_project($"v", 2).as("p"))
+      .head().getSeq[Double](0)
+    assert(jlSql == jlCol && jlSql.length == 2)
+
+    // cell_argmin takes its centroid matrix as a constant SQL expression
+    val cents = Seq(Seq(0.0, 0.0, 0.0, 0.0), Seq(1.0, 1.0, -2.0, 3.0))
+    val cellSql = spark.sql(
+      "SELECT cell_argmin(v, array(array(0.0D,0.0D,0.0D,0.0D)," +
+        " array(1.0D,1.0D,-2.0D,3.0D))) AS c FROM vt").head().getInt(0)
+    val cellCol = spark.table("vt")
+      .select(graft.functions.VectorFunctions.cell_argmin($"v", cents).as("c"))
+      .head().getInt(0)
+    assert(cellSql == cellCol && cellSql == 1)
+
+    val fpSql = spark.sql("SELECT rolling_fingerprint('hello world') AS f")
+      .head().getLong(0)
+    val fpCol = Seq(Tuple1("hello world")).toDF("t")
+      .select(graft.functions.FingerprintFunctions.rolling_fingerprint($"t"))
+      .head().getLong(0)
+    assert(fpSql == fpCol)
+
+    val gramSql = spark.sql("SELECT gram_poly_hashes('a b c d', 2) AS g")
+      .head().getSeq[Long](0)
+    val gramCol = Seq(Tuple1("a b c d")).toDF("t")
+      .select(graft.functions.ShingleFunctions.gram_poly_hashes($"t", 2))
+      .head().getSeq[Long](0)
+    assert(gramSql == gramCol && gramSql.length == 3)
+
+    val shSql = spark.sql(
+      "SELECT simhash_signature(token_poly_hashes('a b c')) AS s")
+      .head().getLong(0)
+    val shCol = Seq(Tuple1("a b c")).toDF("t")
+      .select(graft.functions.SketchFunctions.simhash_signature(
+        graft.functions.ShingleFunctions.token_poly_hashes($"t")))
+      .head().getLong(0)
+    assert(shSql == shCol)
+
+    val coeffs = Array(3L, 5L, 7L, 11L)
+    val mhSql = spark.sql(
+      "SELECT minhash_signature(token_poly_hashes('a b c'), " +
+        "array(3L, 5L, 7L, 11L)) AS m").head().getSeq[Long](0)
+    val mhCol = Seq(Tuple1("a b c")).toDF("t")
+      .select(graft.functions.SketchFunctions.minhash_signature(
+        graft.functions.ShingleFunctions.token_poly_hashes($"t"), coeffs))
+      .head().getSeq[Long](0)
+    assert(mhSql == mhCol && mhSql.length == 2)
+  }
+
+  test("round-13 kernels refuse non-constant plan-baked arguments") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    Seq((1L, Array(0.5, 1.5))).toDF("id", "v").createOrReplaceTempView("vt2")
+    // a row-dependent centroid matrix cannot be baked into codegen
+    intercept[Exception] {
+      spark.sql("SELECT cell_argmin(v, array(v)) FROM vt2").collect()
+    }
+    intercept[Exception] {
+      spark.sql(
+        "SELECT minhash_signature(array(id), array(id, 5L)) FROM vt2")
+        .collect()
+    }
+    // odd coefficient count is not a valid (a,b) schedule
+    intercept[Exception] {
+      spark.sql(
+        "SELECT minhash_signature(array(1L), array(3L, 5L, 7L))").collect()
+    }
+  }
+
   test("analysis-time errors for bad arity / non-literal n") {
     GraftExtensions.register(spark)
     intercept[Exception] { spark.sql("SELECT array_dot(array(1.0D))").collect() }
