@@ -282,6 +282,21 @@ private[graft] object QueriesEventsStreaming {
           col("asof_o_orderkey").as("asof_orderkey"),
           col("asof_o_totalprice").as("asof_price"))
         .orderBy("event_id")),
+    // the mirror direction: EARLIEST order at or after each event ("next
+    // purchase after the click") — same single-shuffle merge-window plan
+    // scanned over reversed time, smallest-tie determinism
+    "join_asof_fwd" -> ((s: SparkSession, dir: String) =>
+      graft.ext.AsOf.asofJoinForward(
+          Tables.events(s, dir)
+            .select(col("event_id"), col("user_id"), col("ts")),
+          Tables.orders(s, dir),
+          "user_id", "o_custkey", "ts", "o_orderdate",
+          valueCols = Seq("o_orderkey", "o_totalprice"),
+          tieBreak = "o_orderkey")
+        .select(col("event_id"),
+          col("asof_o_orderkey").as("next_orderkey"),
+          col("asof_o_totalprice").as("next_price"))
+        .orderBy("event_id")),
     // The SAME as-of semantics through the custom WHOLE-operator path:
     // logical AsOfJoin node → injected planner strategy → broadcast
     // binary-search AsOfJoinExec (plans/AsOfJoinPlan.scala scaladoc has
@@ -520,6 +535,16 @@ private[graft] object QueriesEventsStreaming {
          |  (SELECT o.o_totalprice FROM orders o
          |   WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
          |   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS asof_price
+         |FROM events e ORDER BY e.event_id""".stripMargin),
+    // forward mirror: earliest admissible order, smallest key on ties
+    "join_asof_fwd" ->
+      ("""SELECT e.event_id,
+         |  (SELECT o.o_orderkey FROM orders o
+         |   WHERE o.o_custkey = e.user_id AND o.o_orderdate >= e.ts
+         |   ORDER BY o.o_orderdate ASC, o.o_orderkey ASC LIMIT 1) AS next_orderkey,
+         |  (SELECT o.o_totalprice FROM orders o
+         |   WHERE o.o_custkey = e.user_id AND o.o_orderdate >= e.ts
+         |   ORDER BY o.o_orderdate ASC, o.o_orderkey ASC LIMIT 1) AS next_price
          |FROM events e ORDER BY e.event_id""".stripMargin),
     // the router's forced-merge arm answers the SAME reference as
     // join_asof/join_asof_phys — three plans, one answer

@@ -263,6 +263,19 @@ private[graft] object QueriesJoinsOlap {
           col("__s.isum").as("isum"),
           col("__s.hll_estimate").as("hll_estimate"))
         .orderBy("event_type")),
+    // the native aggregate through the registered SQL surface: the
+    // analyzer wraps the returned AggregateFunction like any built-in,
+    // and the driver gate certifies the registry path end-to-end
+    "agg_hll_sql" -> ((s: SparkSession, dir: String) => {
+      GraftExtensions.register(s)
+      Tables.events(s, dir).createOrReplaceTempView("graft_events_hll")
+      s.sql(
+        """SELECT event_type, __s.n_regs AS n_regs, __s.isum AS isum,
+          |  __s.hll_estimate AS hll_estimate
+          |FROM (SELECT event_type, hll_sketch(user_id) AS __s
+          |      FROM graft_events_hll GROUP BY event_type)
+          |ORDER BY event_type""".stripMargin)
+    }),
     // the union path: sketch two disjoint halves of events independently,
     // max-merge the register states, finalize. The halves partition the
     // table, so the merged state must equal the direct sketch — the oracle
@@ -811,6 +824,8 @@ private[graft] object QueriesJoinsOlap {
     // same oracle: the native-aggregate strategy must land the identical
     // registers, harmonic sum, and estimate
     "agg_hll_native" -> HllOracle,
+    // identical state arithmetic through spark.sql — same oracle again
+    "agg_hll_sql" -> HllOracle,
     // the merged half-sketches must equal the direct sketch of the whole
     // table — same oracle, by design
     "agg_hll_union" -> HllOracle,

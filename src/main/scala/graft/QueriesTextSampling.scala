@@ -28,6 +28,16 @@ private[graft] object QueriesTextSampling {
     "text_fingerprint" -> ((s: SparkSession, dir: String) =>
       TextStats.fingerprints(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
+    // the SAME fingerprint through the registered SQL surface: pure
+    // spark.sql over the session-registered codegen kernel, certified by
+    // the driver gate against the identical oracle — proves the function
+    // registry path end-to-end, not just in a suite
+    "text_fingerprint_sql" -> ((s: SparkSession, dir: String) => {
+      GraftExtensions.register(s)
+      Tables.documents(s, dir).createOrReplaceTempView("graft_docs_fp")
+      s.sql("SELECT doc_id, rolling_fingerprint(text) AS fp " +
+        "FROM graft_docs_fp ORDER BY doc_id")
+    }),
     "text_topterms" -> ((s: SparkSession, dir: String) =>
       TextStats.topTerms(Tables.documents(s, dir), "text", k = 50)
         .orderBy(col("doc_freq").desc, col("term"))),
@@ -240,6 +250,12 @@ private[graft] object QueriesTextSampling {
     "text_fingerprint" ->
       // BIGINT lambda input: DuckDB's list_reduce accumulates in the element
       // type, and INT32 overflows at (acc * 31) — cast before folding.
+      ("""SELECT doc_id,
+         |  CAST(list_reduce([CAST(ascii(c) AS BIGINT) for c in string_split(text, '')],
+         |       (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT) AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin),
+    // one fingerprint, three surfaces: Column API, SQL function, oracle
+    "text_fingerprint_sql" ->
       ("""SELECT doc_id,
          |  CAST(list_reduce([CAST(ascii(c) AS BIGINT) for c in string_split(text, '')],
          |       (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT) AS fp

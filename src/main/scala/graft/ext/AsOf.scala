@@ -38,7 +38,31 @@ object AsOf {
   def asofJoin(left: DataFrame, right: DataFrame,
                leftKey: String, rightKey: String,
                leftTime: String, rightTime: String,
-               valueCols: Seq[String], tieBreak: String): DataFrame = {
+               valueCols: Seq[String], tieBreak: String): DataFrame =
+    merge(left, right, leftKey, rightKey, leftTime, rightTime, valueCols,
+      tieBreak, forward = false)
+
+  /** Forward as-of join — the mirror: for each left row, the single
+    * EARLIEST right row with the same key whose time is at or after the
+    * left row's time (inclusive). The "next event after" staple: next
+    * order after a click, next maintenance after a fault, label lookup
+    * at horizon start. Simultaneous right rows resolve to the SMALLEST
+    * tie-break (the mirror of the backward join's largest-at-latest
+    * rule), so the result is deterministic either direction. Identical
+    * plan shape and cost: one shuffle of |L|+|R| rows, one window pass,
+    * no join operator. */
+  def asofJoinForward(left: DataFrame, right: DataFrame,
+                      leftKey: String, rightKey: String,
+                      leftTime: String, rightTime: String,
+                      valueCols: Seq[String], tieBreak: String): DataFrame =
+    merge(left, right, leftKey, rightKey, leftTime, rightTime, valueCols,
+      tieBreak, forward = true)
+
+  private def merge(left: DataFrame, right: DataFrame,
+                    leftKey: String, rightKey: String,
+                    leftTime: String, rightTime: String,
+                    valueCols: Seq[String], tieBreak: String,
+                    forward: Boolean): DataFrame = {
     require(valueCols.nonEmpty, "asofJoin needs at least one value column")
     val leftCols = left.columns.toSeq
     // the merge plan owns these working names and re-emits every left
@@ -82,11 +106,23 @@ object AsOf {
           struct(valueCols.map(col): _*).as("__vs")) ++
           leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
     // right rows sort BEFORE left rows at equal time => the join is
-    // inclusive (right.t <= left.t); among right rows at one instant the
-    // largest tie-break sorts last and is what last() picks up
-    val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__t").asc, col("__side").asc, col("__tie").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // inclusive (backward: right.t <= left.t; forward: right.t >= left.t);
+    // among right rows at one instant the winner (backward: largest tie;
+    // forward: smallest tie) sorts LAST so last() picks it up. The
+    // forward direction is the same scan over time reversed: descending
+    // time, descending tie.
+    val w =
+      if (forward)
+        // desc_nulls_first: a NULL-time LEFT row must still match nothing
+        // (under plain desc NULLs sort last and would see every right row)
+        Window.partitionBy(col("__k"))
+          .orderBy(col("__t").desc_nulls_first, col("__side").asc,
+            col("__tie").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      else
+        Window.partitionBy(col("__k"))
+          .orderBy(col("__t").asc, col("__side").asc, col("__tie").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lTagged.unionByName(rTagged)
       .select((leftCols.map(col) :+ col("__side")) :+
         last(col("__vs"), ignoreNulls = true).over(w).as("__asof"): _*)

@@ -5,13 +5,15 @@ import java.util
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
-import org.apache.spark.sql.connector.catalog.{Identifier, SupportsNamespaces, SupportsRead, Table, TableCapability, TableCatalog, TableChange, Column => V2Column}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.types.{DataType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -40,12 +42,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Scans delegate to Spark's own parquet DSv2 table over the manifest's
   * resolved file list, so column pruning, filter pushdown, and
   * vectorized reading are exactly the stock parquet path — the catalog
-  * adds snapshot resolution, never a bespoke reader. Reads only: the
-  * commit protocol (OCC versioning, carried txn watermarks) lives in
-  * [[TxTable.commit]], and a SQL INSERT that bypassed it would write
-  * files no manifest references — so the table deliberately does NOT
-  * implement SupportsWrite, and DDL (CREATE/ALTER/DROP/RENAME) is
-  * refused loudly with a pointer to the API that does commit.
+  * adds snapshot resolution, never a bespoke reader. Writes never
+  * bypass the commit protocol: `CREATE TABLE` commits version 1 (empty
+  * snapshot of the declared schema) and `INSERT INTO` / `INSERT
+  * OVERWRITE` route through Spark's V1 write bridge into
+  * [[TxTable.commit]] — the same atomic OCC publish, schema check, and
+  * loud conflict failure the Scala API gets ([[TxSqlTable]] scaladoc).
+  * ALTER/DROP/RENAME stay refused loudly: schema evolution is a new
+  * commit, retention is [[TxTable.vacuum]]'s job.
   */
 class TxCatalog extends TableCatalog with SupportsNamespaces {
 
@@ -90,7 +94,10 @@ class TxCatalog extends TableCatalog with SupportsNamespaces {
     val dir = dirFor(ident)
     val v = TxTable.latestVersion(dir.toString)
       .getOrElse(throw new NoSuchTableException(ident))
-    new TxSqlTable(fullName(ident), dir, v)
+    // only the LATEST load is writable: a commit always produces the
+    // next version regardless of which snapshot was loaded, so offering
+    // a write surface on a time-travel handle would be a lie
+    new TxSqlTable(fullName(ident), dir, v, writable = true)
   }
 
   /** `VERSION AS OF <v>` — the DSv2 time-travel hook. */
@@ -126,18 +133,31 @@ class TxCatalog extends TableCatalog with SupportsNamespaces {
     new TxSqlTable(fullName(ident), dir, admissible.max)
   }
 
-  override def createTable(ident: Identifier, columns: Array[V2Column],
-                           partitions: Array[Transform],
-                           properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "TxCatalog is a read surface: create tables by committing a frame " +
-        "with graft.sources.TxTable.commit(df, dir, \"overwrite\") — SQL " +
-        "DDL cannot participate in the OCC commit protocol")
-
+  /** CREATE TABLE commits version 1 as an empty snapshot of the declared
+    * schema through the same OCC publish every write uses — a racing
+    * CREATE of the same name loses on the version-1 manifest and
+    * surfaces as already-exists. Partition transforms are refused: the
+    * manifest log tracks files, not hive-style directories, and
+    * accepting the clause while ignoring it would misrepresent layout. */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
-                           properties: util.Map[String, String]): Table =
-    createTable(ident, Array.empty[V2Column], partitions, properties)
+                           properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "TxCatalog tables are not hive-partitioned (the manifest log " +
+        "tracks files) — create without PARTITIONED BY")
+    val dir = dirFor(ident)
+    if (isTxTable(dir)) throw new TableAlreadyExistsException(ident)
+    val spark = SparkSession.active
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    try TxTable.commit(empty, dir.toString, "overwrite",
+      opLabel = Some("create"))
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new TableAlreadyExistsException(ident)
+    }
+    new TxSqlTable(fullName(ident), dir, 1L, writable = true)
+  }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException(
@@ -208,13 +228,22 @@ class TxCatalog extends TableCatalog with SupportsNamespaces {
     (Seq(catalogName) ++ ident.namespace().toSeq :+ ident.name()).mkString(".")
 }
 
-/** One committed snapshot as a DSv2 read-only table: schema from the
-  * manifest, scan delegated to Spark's parquet DSv2 table over exactly
-  * the manifest's file list — pushdown/pruning/vectorization are the
-  * stock parquet path, the snapshot is the only thing this class adds.
-  * No SupportsWrite, deliberately (see [[TxCatalog]] scaladoc). */
-private[graft] class TxSqlTable(tableName: String, dir: Path, version: Long)
-  extends Table with SupportsRead {
+/** One committed snapshot as a DSv2 table: schema from the manifest,
+  * scan delegated to Spark's parquet DSv2 table over exactly the
+  * manifest's file list — pushdown/pruning/vectorization are the stock
+  * parquet path, the snapshot is the only thing this class adds.
+  *
+  * Writes (only on a LATEST-version handle) go through Spark's V1 write
+  * bridge: `INSERT INTO` / `INSERT OVERWRITE` hand the driver a resolved
+  * frame that is committed by [[TxTable.commit]] — the SAME atomic OCC
+  * publish every Scala-API writer uses, so SQL writers get snapshot
+  * isolation, schema checks, and loud version-conflict failures for
+  * free, and a file no manifest references can never appear. Time-travel
+  * handles carry no write capability (a commit targets the log head, so
+  * a write surface on a historical snapshot would be a lie). */
+private[graft] class TxSqlTable(tableName: String, dir: Path, version: Long,
+                                writable: Boolean = false)
+  extends Table with SupportsRead with SupportsWrite {
 
   private lazy val snapshot: (StructType, Seq[String]) = {
     val m = TxTableMeta.manifest(dir, version)
@@ -225,7 +254,11 @@ private[graft] class TxSqlTable(tableName: String, dir: Path, version: Long)
   override def name(): String = s"$tableName@v$version"
   override def schema(): StructType = snapshot._1
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    if (writable)
+      util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+        TableCapability.TRUNCATE)
+    else util.EnumSet.of(TableCapability.BATCH_READ)
   override def properties(): util.Map[String, String] =
     Map("format" -> "graft-txtable", "location" -> dir.toString,
       "version" -> version.toString).asJava
@@ -236,6 +269,24 @@ private[graft] class TxSqlTable(tableName: String, dir: Path, version: Long)
     // manifest schema — an empty scan with the right shape
     ParquetTable(name(), SparkSession.active, options, files.toList,
       Some(schema), classOf[ParquetFileFormat]).newScanBuilder(options)
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(writable, s"$tableName: writes only target the latest " +
+      "version — load the table without VERSION/TIMESTAMP AS OF")
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, ovw: Boolean): Unit = {
+              TxTable.commit(data, dir.toString,
+                if (overwrite || ovw) "overwrite" else "append"): Unit
+            }
+          }
+      }
+    }
   }
 }
 

@@ -98,6 +98,63 @@ class AsOfSpec extends SparkSpec {
     assert(rows.forall(_.isNullAt(3))) // and none of them matched
   }
 
+  test("forward as-of: earliest at-or-after, inclusive, smallest tie wins") {
+    val rows = AsOf.asofJoinForward(left, right, "user_id", "cust", "ts",
+        "odate", valueCols = Seq("o_id", "price"), tieBreak = "o_id")
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(3)), Option(r.get(4))))
+    assert(rows(0) == ((1L, None, None))) // after every order: no match
+    assert(rows(1) == ((2L, Some(100L), Some(11.0)))) // odate == ts matches
+    assert(rows(2) == ((3L, Some(100L), Some(11.0)))) // earliest of the two
+    assert(rows(3) == ((4L, None, None))) // probe is after the tied orders
+    assert(rows(4) == ((5L, None, None)))
+    // tie case needs a probe BEFORE the tied instant: orders 200/201
+    // share (key 20, 2024-01-03); the SMALLEST o_id wins forward, and
+    // both carried columns come from that one row
+    val probe = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(9L, 20L, ts("2024-01-01 00:00:00")))),
+      StructType(Seq(StructField("event_id", LongType),
+        StructField("user_id", LongType), StructField("ts", TimestampType))))
+    val tied = AsOf.asofJoinForward(probe, right, "user_id", "cust", "ts",
+      "odate", valueCols = Seq("o_id", "price"), tieBreak = "o_id").head()
+    assert(tied.getLong(3) == 200L && tied.getDouble(4) == 33.0)
+  }
+
+  test("forward as-of matches a brute-force model on random data") {
+    val rnd = new scala.util.Random(19L)
+    def t(day: Int) = ts(f"2024-01-${1 + day}%02d 00:00:00")
+    val ls = (1L to 120L).map(i => (i, (rnd.nextInt(5) + 1).toLong,
+      t(rnd.nextInt(20))))
+    val rs = (1L to 90L).map(i => (i, (rnd.nextInt(5) + 1).toLong,
+      t(rnd.nextInt(20)), rnd.nextInt(100).toDouble))
+    import spark.implicits._
+    val got = AsOf.asofJoinForward(
+        ls.toDF("event_id", "user_id", "ts"),
+        rs.toDF("o_id", "cust", "odate", "price"),
+        "user_id", "cust", "ts", "odate",
+        valueCols = Seq("o_id"), tieBreak = "o_id")
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(3)))).toSeq
+    val want = ls.map { case (id, k, lt) =>
+      val ms = rs.filter(r => r._2 == k && !r._3.before(lt))
+      (id, if (ms.isEmpty) None
+           else Some(ms.minBy(r => (r._3.getTime, r._1))._1))
+    }
+    assert(got == want)
+  }
+
+  test("forward as-of: NULL left time matches nothing (desc nulls-first)") {
+    val l = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, 10L, null: java.sql.Timestamp))),
+      StructType(Seq(StructField("event_id", LongType),
+        StructField("user_id", LongType), StructField("ts", TimestampType))))
+    val out = AsOf.asofJoinForward(l, right, "user_id", "cust", "ts",
+      "odate", valueCols = Seq("o_id"), tieBreak = "o_id").head()
+    assert(out.isNullAt(3))
+  }
+
   test("plan is a single-shuffle window merge — no join operator at all") {
     val plan = AsOf.asofJoin(left, right, "user_id", "cust", "ts", "odate",
       valueCols = Seq("o_id"), tieBreak = "o_id")

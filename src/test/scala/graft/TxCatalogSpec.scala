@@ -92,22 +92,48 @@ class TxCatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("version 99"))
   }
 
-  test("DDL and writes are refused loudly, reads stay the only surface") {
+  test("CREATE + INSERT route through the commit protocol") {
     warehouse
-    val e1 = intercept[Exception] {
-      spark.sql("CREATE TABLE txspec.db.t2 (id BIGINT) USING parquet")
+    spark.sql("CREATE TABLE txspec.db.t2 (id BIGINT, s STRING)")
+    // v1 is the empty snapshot of the declared schema
+    assert(spark.sql("SELECT * FROM txspec.db.t2").count() == 0L)
+    spark.sql("INSERT INTO txspec.db.t2 VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO txspec.db.t2 VALUES (3, 'c')")
+    assert(spark.sql("SELECT id FROM txspec.db.t2 ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    spark.sql("INSERT OVERWRITE txspec.db.t2 VALUES (9, 'z')")
+    assert(spark.sql("SELECT id, s FROM txspec.db.t2").collect().toSeq ==
+      Seq(Row(9L, "z")))
+    // every SQL write is a manifest commit: create + 2 appends + overwrite
+    assert(TxTable.history(s"$warehouse/db/t2").map(_._2) ==
+      Seq("create", "append", "append", "overwrite"))
+    // and time travel sees each SQL-committed version
+    assert(spark.sql("SELECT id FROM txspec.db.t2 VERSION AS OF 3 ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // duplicate CREATE fails as already-exists
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("CREATE TABLE txspec.db.t2 (id BIGINT)")
     }
-    assert(e1.getMessage.contains("TxTable.commit"))
-    val e2 = intercept[Exception] {
-      spark.sql("INSERT INTO txspec.db.t VALUES (9, 'z', 9.0)")
+    // hive partitioning is refused, not silently ignored
+    val ep = intercept[Exception] {
+      spark.sql(
+        "CREATE TABLE txspec.db.t3 (id BIGINT, p STRING) PARTITIONED BY (p)")
     }
-    // no SupportsWrite capability → Spark rejects the append itself
-    assert(e2.getMessage.toLowerCase.contains("does not support") ||
-      e2.getMessage.toLowerCase.contains("unsupported"))
+    assert(ep.getMessage.contains("PARTITIONED BY") ||
+      ep.getMessage.contains("not hive-partitioned"))
+  }
+
+  test("ALTER / DROP stay refused loudly") {
+    warehouse
     val e3 = intercept[Exception] {
       spark.sql("DROP TABLE txspec.db.t")
     }
     assert(e3.getMessage.contains("vacuum"))
+    val e4 = intercept[Exception] {
+      spark.sql("ALTER TABLE txspec.db.t ADD COLUMN extra BIGINT")
+    }
+    assert(e4.getMessage.contains("ALTER TABLE") ||
+      e4.getMessage.contains("TxTable.commit"))
   }
 
   test("namespace listing sees the table, SHOW TABLES works") {
