@@ -91,6 +91,16 @@ class TxCatalog extends TableCatalog with SupportsNamespaces {
     isTxTable(dirFor(ident))
 
   override def loadTable(ident: Identifier): Table = {
+    // Iceberg-style metadata tables: `t$history` / `t$files` expose the
+    // manifest log itself to SQL — O(versions)/O(files) driver metadata
+    // served through a LocalScan, never a distributed job
+    ident.name().split('$') match {
+      case Array(base, kind @ ("history" | "files")) if base.nonEmpty =>
+        val dir = dirFor(Identifier.of(ident.namespace(), base))
+        if (!isTxTable(dir)) throw new NoSuchTableException(ident)
+        return TxMetaTables.table(fullName(ident), dir, kind)
+      case _ => ()
+    }
     val dir = dirFor(ident)
     val v = TxTable.latestVersion(dir.toString)
       .getOrElse(throw new NoSuchTableException(ident))
@@ -287,6 +297,74 @@ private[graft] class TxSqlTable(tableName: String, dir: Path, version: Long,
           }
       }
     }
+  }
+}
+
+/** Iceberg-style metadata tables over the manifest log, served through
+  * DSv2 `LocalScan` — the rows ARE driver metadata (one manifest read
+  * per version / one `Files.size` per live file), so shipping them
+  * through a distributed scan would be pure overhead. Read-only by
+  * construction.
+  *
+  *  - `t$history`: (version, op, published_at, n_files) — one row per
+  *    retained version, publish time from the manifest file's mtime
+  *    (the commit's only clock, same rule as `TIMESTAMP AS OF`).
+  *  - `t$files`:   (version, file, bytes) — the LATEST snapshot's
+  *    resolved file inventory, the input a compaction planner reads.
+  */
+private[graft] object TxMetaTables {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+  import org.apache.spark.sql.types.{LongType, StringType, StructField, TimestampType}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val HistorySchema = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("op", StringType, nullable = false),
+    StructField("published_at", TimestampType, nullable = false),
+    StructField("n_files", LongType, nullable = false)))
+
+  private val FilesSchema = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("file", StringType, nullable = false),
+    StructField("bytes", LongType, nullable = false)))
+
+  def table(name: String, dir: Path, kind: String): Table = kind match {
+    case "history" => new MetaTable(name, HistorySchema, () =>
+      TxTable.history(dir.toString).map { case (v, op) =>
+        val m = TxTableMeta.manifest(dir, v)
+        val mtime = Files.getLastModifiedTime(
+          dir.resolve("_txlog").resolve(f"v$v%05d.json")).toMillis
+        new GenericInternalRow(Array[Any](v, UTF8String.fromString(op),
+          mtime * 1000L, m.files.length.toLong)): InternalRow
+      }.toArray)
+    case "files" => new MetaTable(name, FilesSchema, () => {
+      val v = TxTable.latestVersion(dir.toString).getOrElse(
+        throw new IllegalStateException(s"no committed version under $dir"))
+      TxTableMeta.manifest(dir, v).files.map { f =>
+        new GenericInternalRow(Array[Any](v, UTF8String.fromString(f),
+          Files.size(dir.resolve(f)))): InternalRow
+      }.toArray
+    })
+  }
+
+  private final class MetaTable(tableName: String, tableSchema: StructType,
+                                mkRows: () => Array[InternalRow])
+    extends Table with SupportsRead {
+    override def name(): String = tableName
+    override def schema(): StructType = tableSchema
+    override def capabilities(): util.Set[TableCapability] =
+      util.EnumSet.of(TableCapability.BATCH_READ)
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+      new ScanBuilder {
+        override def build(): Scan = new LocalScan {
+          override def readSchema(): StructType = tableSchema
+          // built at scan time, not table-load time: SHOW TABLES or a
+          // cached plan must not freeze the log's state
+          override def rows(): Array[InternalRow] = mkRows()
+        }
+      }
   }
 }
 

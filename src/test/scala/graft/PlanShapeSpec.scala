@@ -408,6 +408,31 @@ class PlanShapeSpec extends SparkSpec {
     graft.ext.Dedup.unpersistAll()
   }
 
+  test("round-13 plans: forward as-of stays a no-join window merge; the " +
+      "SQL-surface and router queries never degenerate") {
+    val fwd = executed(SparkEntry.queries("join_asof_fwd")(spark, dir))
+    assert(!fwd.contains("Join"), fwd.take(1500))
+    assert(fwd.contains("Window"), fwd.take(800))
+    for (q <- Seq("join_asof_auto", "text_fingerprint_sql", "agg_hll_sql",
+        "mm_meta_jpeg")) {
+      val plan = executed(SparkEntry.queries(q)(spark, dir))
+      assert(!plan.contains("CartesianProduct"), s"$q:\n${plan.take(1500)}")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$q:\n${plan.take(1500)}")
+    }
+  }
+
+  test("sharded co-activity: conjunctive equi-join on (bucket, i, j)") {
+    import org.apache.spark.sql.functions.col
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"))
+    val plan = executed(
+      graft.ext.Triangles.coActivityEdgesSharded(ev, shards = 4))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    graft.ext.Dedup.unpersistAll()
+  }
+
   test("line dedup: equi-join on the line, map-side-distinct frequent set") {
     import org.apache.spark.sql.functions.{col, concat, lit, when}
     val lined = Tables.documents(spark, dir).select(col("doc_id"),

@@ -136,6 +136,36 @@ class TxCatalogSpec extends SparkSpec {
       e4.getMessage.contains("TxTable.commit"))
   }
 
+  test("$history and $files metadata tables expose the manifest log to SQL") {
+    warehouse
+    val hist = spark.sql(
+      "SELECT version, op, n_files FROM txspec.db.`t$history` ORDER BY version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(hist.map(h => (h._1, h._2)) ==
+      Seq((1L, "overwrite"), (2L, "append"), (3L, "overwrite")))
+    assert(hist(1)._3 > hist(0)._3) // the append carries v1's files + new
+    // published_at is real and non-decreasing across versions
+    val ts = spark.sql(
+      "SELECT published_at FROM txspec.db.`t$history` ORDER BY version")
+      .collect().map(_.getTimestamp(0).getTime)
+    assert(ts.sorted.toSeq == ts.toSeq)
+    // $files lists the LATEST snapshot's inventory with real sizes
+    val files = spark.sql(
+      "SELECT version, file, bytes FROM txspec.db.`t$files`")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(files.nonEmpty && files.forall(_._1 == 3L))
+    assert(files.forall(f => f._2.endsWith(".parquet") && f._3 > 0L))
+    // a LocalScan plan: driver metadata, no file source in sight
+    val plan = spark.sql("SELECT * FROM txspec.db.`t$history`")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan") || plan.contains("LocalScan"),
+      plan.take(500))
+    // metadata suffix on a missing base table still fails loudly
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT * FROM txspec.db.`nope$history`").collect()
+    }
+  }
+
   test("namespace listing sees the table, SHOW TABLES works") {
     warehouse
     val tables = spark.sql("SHOW TABLES IN txspec.db").collect()
