@@ -51,7 +51,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * ALTER/DROP/RENAME stay refused loudly: schema evolution is a new
   * commit, retention is [[TxTable.vacuum]]'s job.
   */
-class TxCatalog extends TableCatalog with SupportsNamespaces {
+class TxCatalog extends TableCatalog with SupportsNamespaces
+  with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: Path = _
@@ -222,6 +223,45 @@ class TxCatalog extends TableCatalog with SupportsNamespaces {
       "TxCatalog does not support DROP NAMESPACE — remove the directory " +
         "deliberately out of band")
 
+  // ------------------------------------------- procedures (CALL ...)
+
+  /** `CALL cat.system.compact('db.t', target_bytes)` and
+    * `CALL cat.system.vacuum('db.t', retain, min_age_ms)` — the two
+    * maintenance operations a long-lived table needs, exposed through
+    * Spark 4's procedure hook so an operator never leaves SQL. Both
+    * delegate to the [[TxTable]] entry points (same OCC commit / same
+    * retention invariants) and return their result as one LocalScan row. */
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.toSeq == Seq("system"))
+      Array(Identifier.of(namespace, "compact"),
+        Identifier.of(namespace, "vacuum"))
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier):
+      org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    if (ident.namespace().toSeq != Seq("system"))
+      throw new IllegalArgumentException(
+        s"unknown procedure namespace ${ident.namespace().mkString(".")} — " +
+          "procedures live under `system`")
+    val resolve: String => Path = { dotted =>
+      val parts = dotted.split('.').toSeq
+      require(parts.nonEmpty && parts.forall(p =>
+          p.nonEmpty && !p.contains('/') && !p.contains('\\') &&
+            p != "." && p != ".."),
+        s"illegal table name '$dotted'")
+      val dir = parts.foldLeft(root)(_.resolve(_))
+      require(isTxTable(dir), s"'$dotted' is not a committed tx table " +
+        s"under $root")
+      dir
+    }
+    ident.name() match {
+      case "compact" => TxProcedures.compact(resolve)
+      case "vacuum"  => TxProcedures.vacuum(resolve)
+      case other => throw new IllegalArgumentException(
+        s"unknown procedure system.$other (have: compact, vacuum)")
+    }
+  }
+
   private def listDirs(p: Path): Seq[String] =
     if (!Files.isDirectory(p)) Seq.empty
     else {
@@ -366,6 +406,86 @@ private[graft] object TxMetaTables {
         }
       }
   }
+}
+
+/** The CALL-able maintenance procedures. Each bound procedure's
+  * `call(args)` runs ON THE DRIVER (compaction submits its own bounded
+  * Spark jobs; vacuum is pure metadata IO) and yields one LocalScan row
+  * describing what happened — the lakehouse `CALL system.x` shape. */
+private[graft] object TxProcedures {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+  import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private def oneRowScan(schema: StructType, row: InternalRow): util.Iterator[Scan] =
+    util.Collections.singletonList(new LocalScan {
+      override def readSchema(): StructType = schema
+      override def rows(): Array[InternalRow] = Array(row)
+    }: Scan).iterator()
+
+  def compact(resolve: String => Path): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = "compact"
+      override def description(): String =
+        "rewrite the current snapshot into ~target_bytes files and commit " +
+          "it as a new time-travelable version (TxTable.compact)"
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = "compact"
+          override def parameters(): Array[ProcedureParameter] = Array(
+            ProcedureParameter.in("table", StringType)
+              .comment("dotted table name under the warehouse root").build(),
+            ProcedureParameter.in("target_bytes", LongType)
+              .comment("greedy bin-fill target per output file").build())
+          override def isDeterministic: Boolean = false // commits a version
+          override def call(args: InternalRow): util.Iterator[Scan] = {
+            val tbl = args.getUTF8String(0).toString
+            val target = args.getLong(1)
+            val v = TxTable.compact(SparkSession.active, resolve(tbl).toString,
+              target)
+            oneRowScan(
+              StructType(Seq(StructField("new_version", LongType, false))),
+              new GenericInternalRow(Array[Any](v)))
+          }
+        }
+    }
+
+  def vacuum(resolve: String => Path): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = "vacuum"
+      override def description(): String =
+        "expire versions older than the newest `retain` manifests and " +
+          "reclaim unreferenced data files (TxTable.vacuum)"
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = "vacuum"
+          override def parameters(): Array[ProcedureParameter] = Array(
+            ProcedureParameter.in("table", StringType)
+              .comment("dotted table name under the warehouse root").build(),
+            ProcedureParameter.in("retain", IntegerType)
+              .comment("how many newest versions stay readable").build(),
+            ProcedureParameter.in("min_age_ms", LongType)
+              .comment("orphan-file age guard; 0 only for quiesced tables")
+              .build())
+          override def isDeterministic: Boolean = false
+          override def call(args: InternalRow): util.Iterator[Scan] = {
+            val tbl = args.getUTF8String(0).toString
+            val stats = TxTable.vacuum(resolve(tbl).toString, args.getInt(1),
+              args.getLong(2))
+            oneRowScan(
+              StructType(Seq(
+                StructField("expired_versions", StringType, false),
+                StructField("deleted_files", LongType, false),
+                StructField("deleted_bytes", LongType, false))),
+              new GenericInternalRow(Array[Any](
+                UTF8String.fromString(stats.expiredVersions.mkString(",")),
+                stats.deletedFiles, stats.deletedBytes)))
+          }
+        }
+    }
 }
 
 /** Manifest access for the catalog without widening [[TxTable]]'s

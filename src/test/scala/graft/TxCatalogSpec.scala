@@ -166,6 +166,48 @@ class TxCatalogSpec extends SparkSpec {
     }
   }
 
+  test("CALL system.compact / system.vacuum run the maintenance ops from SQL") {
+    warehouse
+    // a fresh fragmented table: many tiny commits -> many small files
+    val dir = s"$warehouse/db/frag"
+    import spark.implicits._
+    (1L to 5L).foreach { i =>
+      TxTable.commit(Seq((i, s"row$i")).toDF("id", "s"), dir,
+        if (i == 1) "overwrite" else "append")
+    }
+    val before = spark.sql(
+      "SELECT count(*) FROM txspec.db.`frag$files`").head().getLong(0)
+    assert(before >= 5L)
+    val newV = spark.sql(
+      "CALL txspec.system.compact('db.frag', 1048576)").head().getLong(0)
+    assert(newV == 6L)
+    // content identical, inventory collapsed to one file
+    assert(spark.sql("SELECT id FROM txspec.db.frag ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == (1L to 5L))
+    assert(spark.sql("SELECT count(*) FROM txspec.db.`frag$files`")
+      .head().getLong(0) == 1L)
+    // vacuum keeping ONLY the compacted overwrite: v1..v5 expire and the
+    // five pre-compaction files (referenced by no retained manifest any
+    // more) are reclaimed — retain=2 would delete nothing, since v5
+    // still lists every original file (append shares files)
+    val vac = spark.sql(
+      "CALL txspec.system.vacuum('db.frag', 1, 0)").head()
+    assert(vac.getString(0).split(",").length == 5) // v1..v5 expired
+    assert(vac.getLong(1) >= 5L, s"deleted ${vac.getLong(1)} files")
+    assert(vac.getLong(2) > 0L)
+    assert(spark.sql("SELECT count(*) FROM txspec.db.`frag$history`")
+      .head().getLong(0) == 1L)
+    assert(spark.sql("SELECT id FROM txspec.db.frag ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == (1L to 5L))
+    // unknown procedure and non-table args fail loudly
+    intercept[Exception] {
+      spark.sql("CALL txspec.system.nope('db.frag')").collect()
+    }
+    intercept[Exception] {
+      spark.sql("CALL txspec.system.compact('db.missing', 1048576)").collect()
+    }
+  }
+
   test("namespace listing sees the table, SHOW TABLES works") {
     warehouse
     val tables = spark.sql("SHOW TABLES IN txspec.db").collect()
