@@ -308,6 +308,21 @@ private[graft] object QueriesSearchOps {
           col("n_chars"))
         .orderBy("doc_id")
     }),
+    // ----- OPTIMIZE through PURE SQL: the CALL-able procedure surface
+    // certified by the driver gate — compaction commits v4 via
+    // `CALL graft_tx.system.compact(...)` and the read is SQL time
+    // travel; same oracle shape as ops_optimize (compaction moves
+    // bytes, never rows) -----
+    "ops_optimize_sql" -> ((s: SparkSession, dir: String) => {
+      val wh = EntryHelpers.txCatalogWarehouse(s, dir)
+      s.conf.set("spark.sql.catalog.graft_tx", "graft.sources.TxCatalog")
+      s.conf.set("spark.sql.catalog.graft_tx.root", wh)
+      val v = EntryHelpers.txOptCompactedVersion(s, dir, wh)
+      s.sql(
+        s"""SELECT CAST($v AS BIGINT) AS version, doc_id, lang, n_chars
+           |FROM graft_tx.db.opt VERSION AS OF $v
+           |ORDER BY doc_id""".stripMargin)
+    }),
     // ----- JSONL codec round trip: events (incl. the JSON-in-string
     // props column — the quoting torture case) serialized to JSON lines
     // and read back schema-enforced; hash-matching the oracle on the
@@ -895,6 +910,11 @@ private[graft] object QueriesSearchOps {
     // OPTIMIZE commits version 4 with the identical en+de+fr multiset —
     // compaction moves bytes, never rows
     "ops_optimize" ->
+      ("""SELECT CAST(4 AS BIGINT) AS version, doc_id, lang, n_chars
+         |FROM documents WHERE lang IN ('en', 'de', 'fr')
+         |ORDER BY doc_id""".stripMargin),
+    // identical content through the CALL + time-travel SQL surface
+    "ops_optimize_sql" ->
       ("""SELECT CAST(4 AS BIGINT) AS version, doc_id, lang, n_chars
          |FROM documents WHERE lang IN ('en', 'de', 'fr')
          |ORDER BY doc_id""".stripMargin),

@@ -127,25 +127,44 @@ object TxTable {
     * commit SEMANTICS stay `mode`). `txn` records an application-level
     * `appId -> version` watermark into the manifest's carried-forward
     * `txns` map — the Delta txnAppId/txnVersion pattern an idempotent
-    * writer like [[graft.streaming.TxSink]] uses to skip replays. */
+    * writer like [[graft.streaming.TxSink]] uses to skip replays.
+    *
+    * `mergeSchema = true` opts an append into SCHEMA EVOLUTION (the
+    * Delta `mergeSchema` contract): the committed schema becomes the
+    * by-name union — table columns in their existing order, then the
+    * frame's new columns — and every read fills a file's absent columns
+    * with NULL (parquet resolves columns by name, so old files simply
+    * lack the new ones). A column present on BOTH sides must keep its
+    * type (nullability-insensitive) — silently widening `id: long` to
+    * `id: string` is data corruption, not evolution, and refuses
+    * loudly. Without the flag, any schema drift refuses as before:
+    * evolution must be a deliberate choice, never a producer accident. */
   def commit(df: DataFrame, tableDir: String, mode: String,
              opLabel: Option[String] = None,
              txn: Option[(String, Long)] = None,
-             primitive: CommitPrimitive = PosixLinkPrimitive): Long = {
+             primitive: CommitPrimitive = PosixLinkPrimitive,
+             mergeSchema: Boolean = false): Long = {
     require(mode == "overwrite" || mode == "append",
       s"mode must be overwrite|append, got '$mode'")
     val root = Paths.get(tableDir)
     Files.createDirectories(root.resolve(LogDir))
     val prev = latestVersion(tableDir).map(v => readManifest(root, v))
-    prev.foreach { m =>
-      // Nullability-insensitive compare: a frame read back from parquet
-      // comes out all-nullable, which must still append to a table whose
-      // schema was committed from a non-nullable source (same contract as
-      // Spark's own insertInto resolution).
-      require(mode == "overwrite" ||
-          asNullable(DataType.fromJson(m.schemaJson)) == asNullable(df.schema),
-        s"append schema ${df.schema.simpleString} does not match table " +
-          s"schema ${DataType.fromJson(m.schemaJson).simpleString}")
+    val committedSchema: StructType = prev match {
+      case Some(m) if mode == "append" =>
+        val table = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+        if (mergeSchema) mergeSchemas(table, df.schema)
+        else {
+          // Nullability-insensitive compare: a frame read back from
+          // parquet comes out all-nullable, which must still append to a
+          // table whose schema was committed from a non-nullable source
+          // (same contract as Spark's own insertInto resolution).
+          require(asNullable(table) == asNullable(df.schema),
+            s"append schema ${df.schema.simpleString} does not match " +
+              s"table schema ${table.simpleString} — pass " +
+              "mergeSchema = true to evolve deliberately")
+          df.schema
+        }
+      case _ => df.schema
     }
     val commitId = java.util.UUID.randomUUID().toString
     val dataRel = s"data/$commitId"
@@ -157,8 +176,8 @@ object TxTable {
       if (mode == "append") prev.map(_.files).getOrElse(Seq.empty)
       else Seq.empty
     val version = prev.map(_.version + 1).getOrElse(1L)
-    val manifest = Manifest(version, opLabel.getOrElse(mode), df.schema.json,
-      carried ++ newFiles,
+    val manifest = Manifest(version, opLabel.getOrElse(mode),
+      committedSchema.json, carried ++ newFiles,
       prev.map(_.txns).getOrElse(Map.empty) ++ txn)
     try publish(root, manifest, primitive)
     catch {
@@ -452,6 +471,31 @@ object TxTable {
     if (Files.isDirectory(p))
       listNames(p).foreach(n => deleteRecursively(p.resolve(n)))
     Files.deleteIfExists(p): Unit
+  }
+
+  /** By-name schema union for `mergeSchema` appends: table fields first
+    * (their order is what every existing reader resolves against), then
+    * the frame's genuinely-new fields; a name on both sides must agree
+    * on type up to nullability, or the merge refuses loudly. Every
+    * merged field is nullable — old files have no bytes for new
+    * columns, so NULL is the only honest value there. */
+  private[sources] def mergeSchemas(table: StructType,
+                                    frame: StructType): StructType = {
+    val byName = frame.fields.map(f => f.name -> f).toMap
+    table.fields.foreach { tf =>
+      byName.get(tf.name).foreach { ff =>
+        require(asNullable(tf.dataType) == asNullable(ff.dataType),
+          s"mergeSchema type conflict on '${tf.name}': table has " +
+            s"${tf.dataType.simpleString}, frame has " +
+            s"${ff.dataType.simpleString} — cast explicitly, a silent " +
+            "type change corrupts every existing row")
+      }
+    }
+    val tableNames = table.fieldNames.toSet
+    StructType(
+      (table.fields ++ frame.fields.filterNot(f => tableNames(f.name)))
+        .map(f => StructField(f.name, f.dataType, nullable = true,
+          metadata = f.metadata)))
   }
 
   /** Structural schema with every nullability flag (and field metadata)

@@ -60,6 +60,46 @@ class TxTableSpec extends SparkSpec {
     assert(TxTable.read(spark, tbl).columns.toSeq == Seq("id", "score"))
   }
 
+  test("mergeSchema append evolves by-name; old files read NULL new cols") {
+    import spark.implicits._
+    val tbl = tmpTable()
+    TxTable.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "payload"),
+      tbl, "overwrite")
+    // append a frame with a NEW column and WITHOUT the old payload
+    TxTable.commit(Seq((3L, 7.5)).toDF("id", "score"), tbl, "append",
+      mergeSchema = true)
+    val v2 = TxTable.readVersion(spark, tbl, 2L).orderBy("id")
+    assert(v2.schema.fieldNames.toSeq == Seq("id", "payload", "score"))
+    val rows = v2.collect().map(r =>
+      (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSeq
+    assert(rows == Seq(
+      (1L, Some("a"), None), (2L, Some("b"), None),
+      (3L, None, Some(7.5))))
+    // v1 still reads with its own committed (un-evolved) schema
+    assert(TxTable.readVersion(spark, tbl, 1L).schema.fieldNames.toSeq ==
+      Seq("id", "payload"))
+    // a further plain append must match the EVOLVED schema
+    TxTable.commit(
+      Seq((4L, "c", 1.0)).toDF("id", "payload", "score"), tbl, "append")
+    assert(TxTable.read(spark, tbl).count() == 4L)
+  }
+
+  test("mergeSchema refuses a type conflict on a shared column") {
+    import spark.implicits._
+    val tbl = tmpTable()
+    TxTable.commit(Seq((1L, "a")).toDF("id", "payload"), tbl, "overwrite")
+    val e = intercept[IllegalArgumentException] {
+      TxTable.commit(Seq((2L, 5.0)).toDF("id", "payload"), tbl, "append",
+        mergeSchema = true)
+    }
+    assert(e.getMessage.contains("type conflict on 'payload'"))
+    // and WITHOUT the flag, new columns still refuse (drift ≠ evolution)
+    val e2 = intercept[IllegalArgumentException] {
+      TxTable.commit(Seq((2L, 5.0)).toDF("id", "score"), tbl, "append")
+    }
+    assert(e2.getMessage.contains("mergeSchema"))
+  }
+
   test("reading a never-committed table fails loudly; data files immutable") {
     val tbl = tmpTable()
     intercept[IllegalStateException](TxTable.read(spark, tbl))
