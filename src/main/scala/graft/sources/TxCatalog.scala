@@ -314,11 +314,9 @@ private[graft] class TxSqlTable(tableName: String, dir: Path, version: Long,
       "version" -> version.toString).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val (schema, files) = snapshot
-    // empty snapshot: hand the parquet table zero paths with the
-    // manifest schema — an empty scan with the right shape
-    ParquetTable(name(), SparkSession.active, options, files.toList,
-      Some(schema), classOf[ParquetFileFormat]).newScanBuilder(options)
+    val (schema, _) = snapshot
+    val m = TxTableMeta.manifest(dir, version)
+    new TxScanBuilder(name(), schema, dir, m.files, m.stats, options)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -337,6 +335,60 @@ private[graft] class TxSqlTable(tableName: String, dir: Path, version: Long,
           }
       }
     }
+  }
+}
+
+/** The file-skipping scan: manifest min/max stats ([[TxStats]]) prune
+  * provably-excluded files BEFORE the parquet table is even
+  * constructed — a skipped file costs zero opens, zero footer reads,
+  * zero tasks. Filters are accepted at the Catalyst level, translated
+  * to source filters for the skip decision, and forwarded VERBATIM to
+  * the delegated parquet builder over the surviving file list, so
+  * row-group pruning and the plan's PushedFilters are unchanged; every
+  * filter is also returned as residual (parquet's own contract — stats
+  * are never row-exact), so a wrong skip is the only way results could
+  * change, and [[TxStats.excludes]] is conservative by construction. */
+private[graft] final class TxScanBuilder(
+    scanName: String, schema: StructType, dir: Path, relFiles: Seq[String],
+    stats: Map[String, Map[String, TxStats.ColStat]],
+    options: CaseInsensitiveStringMap)
+  extends ScanBuilder
+  with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+  with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+
+  import org.apache.spark.sql.catalyst.expressions.Expression
+
+  private var exprFilters: Seq[Expression] = Nil
+  private var skipFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil
+  private var required: StructType = schema
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    exprFilters = filters
+    skipFilters = filters.flatMap(e =>
+      org.apache.spark.sql.graftbridge.GraftBridge.translateFilter(e))
+    filters // all residual, like the parquet builder itself
+  }
+
+  override def pushedFilters: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    skipFilters.map(org.apache.spark.sql.graftbridge.GraftBridge.filterToV2)
+      .toArray
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): org.apache.spark.sql.connector.read.Scan = {
+    val kept = relFiles.filter { f =>
+      val st = stats.getOrElse(f, Map.empty[String, TxStats.ColStat])
+      st.isEmpty || !skipFilters.exists(fl => TxStats.excludes(st, schema, fl))
+    }
+    val inner = ParquetTable(
+      s"$scanName skipped=${relFiles.size - kept.size}/${relFiles.size}",
+      SparkSession.active, options,
+      kept.map(f => dir.resolve(f).toString).toList, Some(schema),
+      classOf[ParquetFileFormat]).newScanBuilder(options)
+    inner.pushFilters(exprFilters): Unit
+    inner.pruneColumns(required)
+    inner.build()
   }
 }
 
@@ -491,13 +543,22 @@ private[graft] object TxProcedures {
 /** Manifest access for the catalog without widening [[TxTable]]'s
   * private surface: re-reads the version manifest (O(1) driver IO). */
 private[graft] object TxTableMeta {
-  final case class Meta(schemaJson: String, files: Seq[String])
+  final case class Meta(schemaJson: String, files: Seq[String],
+                        stats: Map[String, Map[String, TxStats.ColStat]])
   def manifest(root: Path, v: Long): Meta = {
     val p = root.resolve("_txlog").resolve(f"v$v%05d.json")
     require(Files.exists(p), s"version $v does not exist under $root")
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.readTree(Files.readAllBytes(p))
+    val stats = Option(node.get("stats")).map { st =>
+      st.properties().asScala.map { fe =>
+        fe.getKey -> fe.getValue.properties().asScala.map { ce =>
+          ce.getKey -> TxStats.ColStat(ce.getValue.get("min").asText(),
+            ce.getValue.get("max").asText())
+        }.toMap
+      }.toMap
+    }.getOrElse(Map.empty[String, Map[String, TxStats.ColStat]])
     Meta(node.get("schema").asText(),
-      node.get("files").elements().asScala.map(_.asText()).toSeq)
+      node.get("files").elements().asScala.map(_.asText()).toSeq, stats)
   }
 }

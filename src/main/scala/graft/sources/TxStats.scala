@@ -1,0 +1,179 @@
+package graft.sources
+
+import java.nio.file.Path
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.column.statistics.{BinaryStatistics, DoubleStatistics, FloatStatistics, IntStatistics, LongStatistics}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType, LongType, StringType, StructType}
+
+/** Manifest-level column statistics — FILE SKIPPING for the tx table.
+  *
+  * At 100 TB the expensive part of a selective scan is not the bytes it
+  * keeps but the files it must OPEN to discover there is nothing to
+  * keep: parquet's own row-group pruning still costs one footer read
+  * per file per query. Recording per-file min/max into the commit
+  * manifest moves that check to the driver's single manifest read —
+  * zero file opens for a provably-excluded file, the Delta/Iceberg
+  * data-skipping design. Stats are computed ONCE at commit time from
+  * the freshly-written files' footers (O(new files) driver metadata
+  * IO, the same envelope the commit already pays for its listing) and
+  * carried forward with the files they describe.
+  *
+  * Correctness stance — skipping must never change results, so a file
+  * is skipped ONLY when the pushed predicate provably excludes its
+  * whole [min, max] range, and everything doubtful keeps the file:
+  *   - only top-level Int/Long/Double/Float/String columns carry stats
+  *     (timestamps would drag timezone conversions into the compare;
+  *     conservative = correct);
+  *   - double/float stats are dropped when min/max is NaN;
+  *   - string stats are used only when min, max, AND the literal are
+  *     pure ASCII (≤ [[MaxStringStat]] chars) — there Java's String
+  *     order equals parquet's unsigned-UTF-8 byte order, outside it
+  *     they can disagree and a wrong skip is silent data loss;
+  *   - a column missing stats in ANY block of a file drops the
+  *     column's entry for that file;
+  *   - NULL-probing predicates (IsNull/IsNotNull) never skip — the
+  *     manifest does not record null counts.
+  */
+object TxStats {
+
+  /** Min/max as canonical strings (decimal for integrals,
+    * `Double.toString` for floating point, raw for ASCII strings) —
+    * parsed back against the table schema's column type. */
+  final case class ColStat(min: String, max: String)
+
+  val MaxStringStat = 64
+
+  private def ascii(s: String): Boolean =
+    s.length <= MaxStringStat && s.forall(_ < 128)
+
+  /** Per-column stats of one freshly-written parquet file, from its
+    * footer alone. Columns whose every block carries usable statistics
+    * get an entry; everything else is absent (= never skipped on). */
+  def forFile(file: Path, schema: StructType): Map[String, ColStat] = {
+    val wanted = schema.fields.map(f => f.name -> f.dataType).toMap
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.toString), new Configuration()))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      if (blocks.isEmpty) return Map.empty
+      // (col -> per-block (min, max) strings); None poisons the column
+      var acc = Map.empty[String, Option[(String, String)]]
+      for (block <- blocks; col <- block.getColumns.asScala) {
+        val parts = col.getPath.toArray
+        if (parts.length == 1 && wanted.contains(parts(0))) {
+          val name = parts(0)
+          val s = col.getStatistics
+          val mm: Option[(String, String)] =
+            if (s == null || !s.hasNonNullValue) None
+            else (s, wanted(name)) match {
+              case (ls: LongStatistics, LongType) =>
+                Some((ls.getMin.toString, ls.getMax.toString))
+              case (is: IntStatistics, IntegerType) =>
+                Some((is.getMin.toString, is.getMax.toString))
+              case (ds: DoubleStatistics, DoubleType)
+                  if !ds.getMin.isNaN && !ds.getMax.isNaN =>
+                Some((ds.getMin.toString, ds.getMax.toString))
+              case (fs: FloatStatistics, FloatType)
+                  if !fs.getMin.isNaN && !fs.getMax.isNaN =>
+                Some((fs.getMin.toString, fs.getMax.toString))
+              case (bs: BinaryStatistics, StringType) =>
+                val mn = bs.genericGetMin.toStringUsingUTF8
+                val mx = bs.genericGetMax.toStringUsingUTF8
+                if (ascii(mn) && ascii(mx)) Some((mn, mx)) else None
+              case _ => None
+            }
+          acc = acc.updated(name, (acc.get(name), mm) match {
+            case (Some(Some((a, b))), Some((c, d))) =>
+              Some((minOf(wanted(name), a, c), maxOf(wanted(name), b, d)))
+            case (None, v) => v // first block
+            case _ => None // poisoned: some block lacks stats
+          })
+        }
+      }
+      acc.collect { case (k, Some((mn, mx))) => k -> ColStat(mn, mx) }
+    } finally reader.close()
+  }
+
+  private def minOf(dt: org.apache.spark.sql.types.DataType, a: String,
+                    b: String): String = dt match {
+    case LongType | IntegerType => if (a.toLong <= b.toLong) a else b
+    case DoubleType | FloatType => if (a.toDouble <= b.toDouble) a else b
+    case _ => if (a <= b) a else b
+  }
+  private def maxOf(dt: org.apache.spark.sql.types.DataType, a: String,
+                    b: String): String = dt match {
+    case LongType | IntegerType => if (a.toLong >= b.toLong) a else b
+    case DoubleType | FloatType => if (a.toDouble >= b.toDouble) a else b
+    case _ => if (a >= b) a else b
+  }
+
+  /** Does `filter` provably exclude every row of a file with these
+    * stats? Unknown columns, unhandled filter shapes, and un-parsable
+    * literals all answer false (keep the file). */
+  def excludes(stats: Map[String, ColStat], schema: StructType,
+               filter: Filter): Boolean = {
+    def longLit(v: Any): Option[Long] = v match {
+      case i: java.lang.Integer => Some(i.longValue())
+      case l: java.lang.Long    => Some(l.longValue())
+      case s: java.lang.Short   => Some(s.longValue())
+      case b: java.lang.Byte    => Some(b.longValue())
+      case _ => None
+    }
+    def dblLit(v: Any): Option[Double] = v match {
+      case d: java.lang.Double => if (d.isNaN) None else Some(d.doubleValue())
+      case f: java.lang.Float  => if (f.isNaN) None else Some(f.doubleValue())
+      case other => longLit(other).map(_.toDouble)
+    }
+    // per-type interval tests: lt = literal provably below every row, etc.
+    def outside(col: String, v: Any,
+                test: (Int, Int) => Boolean): Boolean = {
+      // test(cmpMin, cmpMax) where cmpMin = compare(v, min), cmpMax =
+      // compare(v, max); returns true when the file cannot match
+      (for {
+        st <- stats.get(col)
+        dt <- schema.fields.find(_.name == col).map(_.dataType)
+        cmp <- dt match {
+          case LongType | IntegerType =>
+            longLit(v).map(l =>
+              (java.lang.Long.compare(l, st.min.toLong),
+                java.lang.Long.compare(l, st.max.toLong)))
+          case DoubleType | FloatType =>
+            dblLit(v).map(d =>
+              (java.lang.Double.compare(d, st.min.toDouble),
+                java.lang.Double.compare(d, st.max.toDouble)))
+          case StringType => v match {
+            case s: String if ascii(s) =>
+              Some((s.compareTo(st.min), s.compareTo(st.max)))
+            case _ => None
+          }
+          case _ => None
+        }
+      } yield test(cmp._1, cmp._2)).getOrElse(false)
+    }
+    filter match {
+      case EqualTo(a, v) =>
+        outside(a, v, (cmpMin, cmpMax) => cmpMin < 0 || cmpMax > 0)
+      case GreaterThan(a, v) => // rows > v exist only if max > v
+        outside(a, v, (_, cmpMax) => cmpMax >= 0)
+      case GreaterThanOrEqual(a, v) =>
+        outside(a, v, (_, cmpMax) => cmpMax > 0)
+      case LessThan(a, v) => // rows < v exist only if min < v
+        outside(a, v, (cmpMin, _) => cmpMin <= 0)
+      case LessThanOrEqual(a, v) =>
+        outside(a, v, (cmpMin, _) => cmpMin < 0)
+      case In(a, vs) if vs != null && vs.nonEmpty =>
+        vs.forall(v => v != null &&
+          excludes(stats, schema, EqualTo(a, v)))
+      case And(l, r) => // a conjunct excluding alone excludes the file
+        excludes(stats, schema, l) || excludes(stats, schema, r)
+      case Or(l, r) =>
+        excludes(stats, schema, l) && excludes(stats, schema, r)
+      case _ => false
+    }
+  }
+}

@@ -112,9 +112,15 @@ object TxTable {
     * always holds the full map, an idempotent writer's watermark
     * survives [[TxTable.vacuum]] expiring the historical manifest that
     * first recorded it — reading history for watermarks would not. */
+  /** `stats`: per-file column min/max for FILE SKIPPING
+    * ([[TxStats]] scaladoc) — computed once at commit from the new
+    * files' footers, carried forward with the files they describe;
+    * absent entries simply never skip. */
   final case class Manifest(version: Long, op: String, schemaJson: String,
                             files: Seq[String],
-                            txns: Map[String, Long] = Map.empty)
+                            txns: Map[String, Long] = Map.empty,
+                            stats: Map[String, Map[String, TxStats.ColStat]] =
+                              Map.empty)
 
   /** Commit `df` as the next version. `mode` is "overwrite" (the new
     * version is exactly this frame) or "append" (this frame plus the
@@ -176,9 +182,23 @@ object TxTable {
       if (mode == "append") prev.map(_.files).getOrElse(Seq.empty)
       else Seq.empty
     val version = prev.map(_.version + 1).getOrElse(1L)
+    // skipping stats: carried files keep theirs, new files read their
+    // own footers once (same O(files) driver-metadata envelope as the
+    // listing above); a file whose footer yields nothing usable simply
+    // has no entry and is never skipped
+    val carriedStats =
+      if (mode == "append")
+        prev.map(m => m.stats.view.filterKeys(carried.contains).toMap)
+          .getOrElse(Map.empty)
+      else Map.empty[String, Map[String, TxStats.ColStat]]
+    val newStats = newFiles.flatMap { f =>
+      val s = TxStats.forFile(root.resolve(f), df.schema)
+      if (s.isEmpty) None else Some(f -> s)
+    }.toMap
     val manifest = Manifest(version, opLabel.getOrElse(mode),
       committedSchema.json, carried ++ newFiles,
-      prev.map(_.txns).getOrElse(Map.empty) ++ txn)
+      prev.map(_.txns).getOrElse(Map.empty) ++ txn,
+      carriedStats ++ newStats)
     try publish(root, manifest, primitive)
     catch {
       case e: java.nio.file.FileAlreadyExistsException =>
@@ -404,8 +424,12 @@ object TxTable {
     }
     val newFiles = listNames(dataDir).filter(_.endsWith(".parquet"))
       .map(n => s"$dataRel/$n").sorted
+    val compactStats = newFiles.flatMap { f =>
+      val s = TxStats.forFile(root.resolve(f), schema)
+      if (s.isEmpty) None else Some(f -> s)
+    }.toMap
     val manifest = Manifest(v + 1, "overwrite", m.schemaJson, newFiles,
-      m.txns)
+      m.txns, compactStats)
     try publish(root, manifest, primitive)
     catch {
       case e: java.nio.file.FileAlreadyExistsException =>
@@ -543,6 +567,17 @@ object TxTable {
       val tx = node.putObject("txns")
       m.txns.toSeq.sortBy(_._1).foreach { case (k, ver) => tx.put(k, ver) }
     }
+    if (m.stats.nonEmpty) {
+      val st = node.putObject("stats")
+      m.stats.toSeq.sortBy(_._1).foreach { case (file, cols) =>
+        val fo = st.putObject(file)
+        cols.toSeq.sortBy(_._1).foreach { case (c, cs) =>
+          val co = fo.putObject(c)
+          co.put("min", cs.min)
+          co.put("max", cs.max): Unit
+        }
+      }
+    }
     primitive.publishExclusive(manifestPath(root, m.version),
       mapper.writeValueAsBytes(node))
   }
@@ -555,8 +590,17 @@ object TxTable {
     val txns = Option(node.get("txns")).map { tx =>
       tx.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
     }.getOrElse(Map.empty[String, Long])
+    val stats = Option(node.get("stats")).map { st =>
+      st.properties().asScala.map { fe =>
+        fe.getKey -> fe.getValue.properties().asScala.map { ce =>
+          ce.getKey -> TxStats.ColStat(ce.getValue.get("min").asText(),
+            ce.getValue.get("max").asText())
+        }.toMap
+      }.toMap
+    }.getOrElse(Map.empty[String, Map[String, TxStats.ColStat]])
     Manifest(node.get("version").asLong(), node.get("op").asText(),
       node.get("schema").asText(),
-      node.get("files").elements().asScala.map(_.asText()).toSeq, txns)
+      node.get("files").elements().asScala.map(_.asText()).toSeq, txns,
+      stats)
   }
 }

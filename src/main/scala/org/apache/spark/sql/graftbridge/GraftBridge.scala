@@ -23,6 +23,21 @@ object GraftBridge {
       .sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
 
+  /** Catalyst predicate → source Filter (`DataSourceStrategy
+    * .translateFilter` is `protected[sql]`) — the translation the tx
+    * catalog's skipping builder runs to compare pushed predicates
+    * against manifest min/max stats. */
+  def translateFilter(e: Expression)
+      : Option[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.execution.datasources.DataSourceStrategy
+      .translateFilter(e, supportNestedPredicatePushdown = true)
+
+  /** Source-filter → V2 Predicate (`Filter.toV2` is `private[sql]`) —
+    * used by the tx catalog's file-skipping scan builder to report its
+    * pushed subset through the DSv2 `pushedFilters()` metadata hook. */
+  def filterToV2(f: org.apache.spark.sql.sources.Filter)
+      : org.apache.spark.sql.connector.expressions.filter.Predicate = f.toV2
+
   /** Wrap a hand-built logical plan as a DataFrame (`Dataset.ofRows` is
     * `private[sql]`) — the entry point for custom logical operators
     * planned by an injected [[org.apache.spark.sql.execution.SparkStrategy]]. */

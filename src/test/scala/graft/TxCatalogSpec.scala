@@ -208,6 +208,70 @@ class TxCatalogSpec extends SparkSpec {
     }
   }
 
+  test("manifest stats skip provably-excluded files before any open") {
+    warehouse
+    import spark.implicits._
+    val dir = s"$warehouse/db/ranges"
+    // three single-file commits with DISJOINT id ranges — the layout a
+    // time-ordered ingest naturally produces
+    Seq((1L, 100L), (101L, 200L), (201L, 300L)).zipWithIndex.foreach {
+      case ((lo, hi), i) =>
+        TxTable.commit(
+          (lo to hi).map(x => (x, s"v$x", x * 1.5)).toDF("id", "s", "v")
+            .coalesce(1),
+          dir, if (i == 0) "overwrite" else "append")
+    }
+    def planOf(sql: String) = spark.sql(sql).queryExecution.executedPlan.toString
+    // a point lookup provably lives in ONE file: the other two are
+    // skipped before the parquet table is even built
+    val p1 = planOf("SELECT s FROM txspec.db.ranges WHERE id = 150")
+    assert(p1.contains("InMemoryFileIndex(1 paths)"), p1.take(900))
+    // a range over two commits keeps exactly those two files
+    val p2 = planOf("SELECT s FROM txspec.db.ranges WHERE id > 120 AND id <= 250")
+    assert(p2.contains("InMemoryFileIndex(2 paths)"), p2.take(900))
+    // an unfilterable predicate keeps everything
+    val p3 = planOf("SELECT s FROM txspec.db.ranges WHERE s LIKE 'v%'")
+    assert(p3.contains("InMemoryFileIndex(3 paths)"), p3.take(900))
+    // and results are IDENTICAL to the unskipped read — the only
+    // contract that matters
+    val got = spark.sql(
+      "SELECT id FROM txspec.db.ranges WHERE id = 150 OR id = 250 ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(150L, 250L))
+    // double-column skipping too (v = id * 1.5)
+    val p4 = planOf("SELECT id FROM txspec.db.ranges WHERE v < 100.0")
+    assert(p4.contains("InMemoryFileIndex(1 paths)"), p4.take(900))
+    // boundary values are NEVER skipped away (min/max are inclusive)
+    assert(spark.sql("SELECT count(*) FROM txspec.db.ranges WHERE id = 100")
+      .head().getLong(0) == 1L)
+    assert(spark.sql("SELECT count(*) FROM txspec.db.ranges WHERE id = 101")
+      .head().getLong(0) == 1L)
+  }
+
+  test("skipping is differentially invisible on random filters") {
+    warehouse
+    import spark.implicits._
+    val dir = s"$warehouse/db/randskip"
+    val rnd = new scala.util.Random(23L)
+    (0 until 4).foreach { i =>
+      val rows = Seq.fill(50)((rnd.nextInt(1000).toLong,
+        ('a' + rnd.nextInt(26)).toChar.toString * 3))
+      TxTable.commit(rows.toDF("id", "s").coalesce(1), dir,
+        if (i == 0) "overwrite" else "append")
+    }
+    val preds = Seq("id = 17", "id > 500", "id <= 3", "id >= 999",
+      "s = 'mmm'", "s < 'ddd'", "id > 100 AND id < 200",
+      "id IN (5, 500, 995)", "id > 400 OR s = 'zzz'")
+    preds.foreach { p =>
+      val viaCatalog = spark.sql(
+        s"SELECT id, s FROM txspec.db.randskip WHERE $p ORDER BY id, s")
+        .collect().toSeq
+      val direct = TxTable.read(spark, dir).where(p)
+        .orderBy("id", "s").collect().toSeq
+      assert(viaCatalog == direct, s"predicate '$p' diverged")
+    }
+  }
+
   test("namespace listing sees the table, SHOW TABLES works") {
     warehouse
     val tables = spark.sql("SHOW TABLES IN txspec.db").collect()

@@ -100,6 +100,46 @@ class TxTableSpec extends SparkSpec {
     assert(e2.getMessage.contains("mergeSchema"))
   }
 
+  test("TxStats.excludes: boundaries inclusive, doubt keeps the file") {
+    import graft.sources.TxStats
+    import org.apache.spark.sql.sources._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", DoubleType), StructField("s", StringType)))
+    val st = Map("id" -> TxStats.ColStat("100", "200"),
+      "v" -> TxStats.ColStat("1.5", "9.5"),
+      "s" -> TxStats.ColStat("bbb", "mmm"))
+    def ex(f: Filter) = TxStats.excludes(st, schema, f)
+    // point lookups: outside skips, boundaries never do
+    assert(ex(EqualTo("id", 99L)) && ex(EqualTo("id", 201L)))
+    assert(!ex(EqualTo("id", 100L)) && !ex(EqualTo("id", 200L)))
+    assert(ex(EqualTo("id", 99)) /* int literal against long stats */)
+    // ranges: strict vs inclusive at the edges
+    assert(ex(GreaterThan("id", 200L)) && !ex(GreaterThan("id", 199L)))
+    assert(ex(GreaterThanOrEqual("id", 201L)) &&
+      !ex(GreaterThanOrEqual("id", 200L)))
+    assert(ex(LessThan("id", 100L)) && !ex(LessThan("id", 101L)))
+    assert(ex(LessThanOrEqual("id", 99L)) && !ex(LessThanOrEqual("id", 100L)))
+    // doubles, incl. the NaN guard (NaN literal must never skip)
+    assert(ex(LessThan("v", 1.5)) && !ex(LessThan("v", 1.6)))
+    assert(!ex(EqualTo("v", Double.NaN)))
+    // ASCII strings skip; non-ASCII literals keep the file
+    assert(ex(EqualTo("s", "aaa")) && !ex(EqualTo("s", "ccc")))
+    assert(!ex(EqualTo("s", "cccé")))
+    // IN skips only when EVERY member is excluded; null members keep
+    assert(ex(In("id", Array[Any](1L, 2L, 300L))))
+    assert(!ex(In("id", Array[Any](1L, 150L))))
+    assert(!ex(In("id", Array[Any](1L, null))))
+    // And: one excluding conjunct suffices; Or: both arms must exclude
+    assert(ex(And(EqualTo("id", 99L), EqualTo("s", "ccc"))))
+    assert(ex(Or(EqualTo("id", 99L), EqualTo("id", 300L))))
+    assert(!ex(Or(EqualTo("id", 99L), EqualTo("id", 150L))))
+    // unknown columns / shapes / missing stats never skip
+    assert(!ex(EqualTo("nope", 1L)))
+    assert(!ex(IsNull("id")) && !ex(IsNotNull("id")))
+    assert(!TxStats.excludes(Map.empty, schema, EqualTo("id", 99L)))
+  }
+
   test("reading a never-committed table fails loudly; data files immutable") {
     val tbl = tmpTable()
     intercept[IllegalStateException](TxTable.read(spark, tbl))
@@ -237,7 +277,10 @@ class TxTableSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq == before)
     val manifest = java.nio.file.Files.readString(
       Paths.get(tbl, "_txlog", "v00004.json"))
-    assert(manifest.split("\\.parquet").length - 1 == 1, manifest)
+    // parse, don't grep: each file name now also keys a stats entry
+    val filesArr = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(manifest).get("files")
+    assert(filesArr.size() == 1, manifest)
     // pre-compaction versions stay readable until vacuumed
     assert(TxTable.readVersion(spark, tbl, 2L).count() == 3L)
     val stats = TxTable.vacuum(tbl, retain = 1, minAgeMillis = 0L)
