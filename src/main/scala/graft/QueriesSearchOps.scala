@@ -308,6 +308,26 @@ private[graft] object QueriesSearchOps {
           col("n_chars"))
         .orderBy("doc_id")
     }),
+    // ----- schema evolution certified end-to-end: an opted-in
+    // mergeSchema append widens the table by-name (old rows read NULL
+    // for the new column, the appended frame NULL for the one it
+    // dropped) and the evolved snapshot hash-matches an oracle that
+    // replays the union from the commit definitions -----
+    "sink_txevolve" -> ((s: SparkSession, dir: String) => {
+      val tbl = scratchDir("graft-txe-") + "/tbl"
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "en"), tbl, "overwrite")
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "de")
+          .withColumn("flagged", col("n_chars") > 500)
+          .drop("n_chars"),
+        tbl, "append", mergeSchema = true)
+      graft.sources.TxTable.read(s, tbl)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("flagged"))
+        .orderBy("doc_id")
+    }),
     // ----- OPTIMIZE through PURE SQL: the CALL-able procedure surface
     // certified by the driver gate — compaction commits v4 via
     // `CALL graft_tx.system.compact(...)` and the read is SQL time
@@ -912,6 +932,15 @@ private[graft] object QueriesSearchOps {
     "ops_optimize" ->
       ("""SELECT CAST(4 AS BIGINT) AS version, doc_id, lang, n_chars
          |FROM documents WHERE lang IN ('en', 'de', 'fr')
+         |ORDER BY doc_id""".stripMargin),
+    // by-name union replayed from the commit definitions: NULLs where a
+    // side never had the column
+    "sink_txevolve" ->
+      ("""SELECT doc_id, lang, n_chars, CAST(NULL AS BOOLEAN) AS flagged
+         |FROM documents WHERE lang = 'en'
+         |UNION ALL
+         |SELECT doc_id, lang, CAST(NULL AS BIGINT), n_chars > 500
+         |FROM documents WHERE lang = 'de'
          |ORDER BY doc_id""".stripMargin),
     // identical content through the CALL + time-travel SQL surface
     "ops_optimize_sql" ->

@@ -80,6 +80,16 @@ object Bloom {
     pmod(h1(key) + lit(j.toLong) * (h2(key) * 2L + 1L),
       lit(words.toLong * 64L))
 
+  /** The k probe positions of a key as one array column — the build-side
+    * arithmetic exposed for per-file bloom construction
+    * ([[graft.sources.TxStats]] file skipping): callers explode this and
+    * bit_or per (file, word). */
+  private[graft] def posArray(key: Column, isString: Boolean, k: Int,
+                              words: Int): Column = {
+    val keyed = norm(key, isString)
+    array((0 until k).map(j => pos(keyed, j, words)): _*)
+  }
+
   /** Fold the distinct build keys into the word array: each key sets k
     * bits; bits land in 64-bit words via a distributed two-level `bit_or`
     * (map-side partials, ≤ `words` rows on the wire). The driver only ever

@@ -316,7 +316,8 @@ private[graft] class TxSqlTable(tableName: String, dir: Path, version: Long,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val (schema, _) = snapshot
     val m = TxTableMeta.manifest(dir, version)
-    new TxScanBuilder(name(), schema, dir, m.files, m.stats, options)
+    new TxScanBuilder(name(), schema, dir, m.files, m.stats, m.blooms,
+      options)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -351,6 +352,7 @@ private[graft] class TxSqlTable(tableName: String, dir: Path, version: Long,
 private[graft] final class TxScanBuilder(
     scanName: String, schema: StructType, dir: Path, relFiles: Seq[String],
     stats: Map[String, Map[String, TxStats.ColStat]],
+    blooms: Map[String, Map[String, TxStats.FileBloom]],
     options: CaseInsensitiveStringMap)
   extends ScanBuilder
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
@@ -379,7 +381,9 @@ private[graft] final class TxScanBuilder(
   override def build(): org.apache.spark.sql.connector.read.Scan = {
     val kept = relFiles.filter { f =>
       val st = stats.getOrElse(f, Map.empty[String, TxStats.ColStat])
-      st.isEmpty || !skipFilters.exists(fl => TxStats.excludes(st, schema, fl))
+      val bl = blooms.getOrElse(f, Map.empty[String, TxStats.FileBloom])
+      !skipFilters.exists(fl =>
+        TxStats.excludes(st, schema, fl) || TxStats.bloomExcludes(bl, fl))
     }
     val inner = ParquetTable(
       s"$scanName skipped=${relFiles.size - kept.size}/${relFiles.size}",
@@ -544,7 +548,8 @@ private[graft] object TxProcedures {
   * private surface: re-reads the version manifest (O(1) driver IO). */
 private[graft] object TxTableMeta {
   final case class Meta(schemaJson: String, files: Seq[String],
-                        stats: Map[String, Map[String, TxStats.ColStat]])
+                        stats: Map[String, Map[String, TxStats.ColStat]],
+                        blooms: Map[String, Map[String, TxStats.FileBloom]])
   def manifest(root: Path, v: Long): Meta = {
     val p = root.resolve("_txlog").resolve(f"v$v%05d.json")
     require(Files.exists(p), s"version $v does not exist under $root")
@@ -558,7 +563,15 @@ private[graft] object TxTableMeta {
         }.toMap
       }.toMap
     }.getOrElse(Map.empty[String, Map[String, TxStats.ColStat]])
+    val blooms = Option(node.get("blooms")).map { bl =>
+      bl.properties().asScala.map { fe =>
+        fe.getKey -> fe.getValue.properties().asScala.map { ce =>
+          ce.getKey -> TxTable.decodeBloom(ce.getValue)
+        }.toMap
+      }.toMap
+    }.getOrElse(Map.empty[String, Map[String, TxStats.FileBloom]])
     Meta(node.get("schema").asText(),
-      node.get("files").elements().asScala.map(_.asText()).toSeq, stats)
+      node.get("files").elements().asScala.map(_.asText()).toSeq, stats,
+      blooms)
   }
 }

@@ -45,6 +45,55 @@ object TxStats {
     * parsed back against the table schema's column type. */
   final case class ColStat(min: String, max: String)
 
+  /** Per-file bloom filter for point-lookup skipping on HIGH-CARDINALITY
+    * columns where min/max is useless (ids, uuids, hashes span the whole
+    * domain in every file). Opt-in at commit (`bloomColumns`), built by
+    * one distributed pass over the freshly-written files, stored
+    * base64-encoded in the manifest (~2 KiB per file-column at the
+    * default 256 words). The hash schedule is [[graft.ext.Bloom]]'s —
+    * numeric keys cast to long, strings through xxhash64(seed 42) — and
+    * the driver-side probe ([[graft.functions.BloomOps.mightContain]])
+    * runs the identical arithmetic, so a negative probe is PROOF the
+    * file holds no matching row; false positives only keep a file. */
+  final case class FileBloom(words: Array[Long], k: Int, isString: Boolean) {
+    def mightContain(key: Long): Boolean =
+      graft.functions.BloomOps.mightContain(key, words, k)
+  }
+
+  /** Normalize an equality literal the way the build side normalized its
+    * rows; None (unknown type / NaN-ish) never skips. */
+  private def bloomKey(v: Any, isString: Boolean): Option[Long] =
+    if (isString) v match {
+      case s: String => Some(
+        org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s),
+          StringType, 42L))
+      case _ => None
+    } else v match {
+      case i: java.lang.Integer => Some(i.longValue())
+      case l: java.lang.Long    => Some(l.longValue())
+      case s: java.lang.Short   => Some(s.longValue())
+      case b: java.lang.Byte    => Some(b.longValue())
+      // doubles cast to long on the build side (Bloom.norm) — mirror it
+      case d: java.lang.Double  => if (d.isNaN) None else Some(d.longValue())
+      case f: java.lang.Float   => if (f.isNaN) None else Some(f.longValue())
+      case _ => None
+    }
+
+  /** Does an equality-shaped filter provably miss every bloom'd row of
+    * the file? Composes with the min/max test in [[excludes]]. */
+  def bloomExcludes(blooms: Map[String, FileBloom], filter: Filter): Boolean =
+    filter match {
+      case EqualTo(a, v) if v != null =>
+        blooms.get(a).exists(b =>
+          bloomKey(v, b.isString).exists(k => !b.mightContain(k)))
+      case In(a, vs) if vs != null && vs.nonEmpty =>
+        vs.forall(v => v != null && bloomExcludes(blooms, EqualTo(a, v)))
+      case And(l, r) => bloomExcludes(blooms, l) || bloomExcludes(blooms, r)
+      case Or(l, r)  => bloomExcludes(blooms, l) && bloomExcludes(blooms, r)
+      case _ => false
+    }
+
   val MaxStringStat = 64
 
   private def ascii(s: String): Boolean =
@@ -110,6 +159,62 @@ object TxStats {
     case LongType | IntegerType => if (a.toLong >= b.toLong) a else b
     case DoubleType | FloatType => if (a.toDouble >= b.toDouble) a else b
     case _ => if (a >= b) a else b
+  }
+
+  /** Build per-file blooms for the freshly-written files of one commit:
+    * ONE distributed aggregation per column over the commit directory
+    * (`input_file_name` keys the fold), ≤ files·words rows collected.
+    * Numeric and string columns only — anything else refuses loudly
+    * (a silent NULL-cast bloom would skip every file). */
+  def buildFileBlooms(spark: org.apache.spark.sql.SparkSession,
+                      dataDir: Path, newFiles: Seq[String],
+                      schema: StructType, cols: Seq[String],
+                      words: Int = 256, k: Int = 5)
+      : Map[String, Map[String, FileBloom]] = {
+    import org.apache.spark.sql.functions._
+    if (cols.isEmpty || newFiles.isEmpty) return Map.empty
+    val byName = newFiles.map(f => f.split('/').last -> f).toMap
+    val read = spark.read.schema(schema).parquet(dataDir.toString)
+    val perCol = cols.map { c =>
+      val isString = schema.fields.find(_.name == c).map(_.dataType) match {
+        case Some(StringType) => true
+        case Some(_: org.apache.spark.sql.types.NumericType) => false
+        case other => throw new IllegalArgumentException(
+          s"bloom column '$c' must be numeric or string, got " +
+            s"${other.map(_.simpleString).getOrElse("<missing>")}")
+      }
+      val rows = read.filter(col(c).isNotNull)
+        .select(input_file_name().as("f"),
+          explode(graft.ext.Bloom.posArray(col(c), isString, k, words))
+            .as("pos"))
+        .select(col("f"), (col("pos") / 64L).cast("int").as("w"),
+          call_function("shiftleft", lit(1L),
+            (col("pos") % 64L).cast("int")).as("mask"))
+        .groupBy(col("f"), col("w")).agg(expr("bit_or(mask)").as("word"))
+        .collect()
+      val byFile = rows.groupBy(r => r.getString(0).split('/').last)
+      c -> byFile.flatMap { case (name, rs) =>
+        byName.get(name).map { rel =>
+          val arr = new Array[Long](words)
+          rs.foreach(r => arr(r.getInt(1)) = r.getLong(2))
+          rel -> FileBloom(arr, k, isString)
+        }
+      }
+    }
+    // pivot (col -> file -> bloom) into (file -> col -> bloom); a file
+    // with zero non-null rows gets an ALL-ZERO bloom (correct: nothing
+    // can match), so fill it in explicitly
+    newFiles.map { f =>
+      f -> perCol.flatMap { case (c, byFile) =>
+        byFile.get(f) match {
+          case Some(b) => Some(c -> b)
+          case None =>
+            val isString = schema.fields.find(_.name == c)
+              .exists(_.dataType == StringType)
+            Some(c -> FileBloom(new Array[Long](words), k, isString))
+        }
+      }.toMap
+    }.filter(_._2.nonEmpty).toMap
   }
 
   /** Does `filter` provably exclude every row of a file with these

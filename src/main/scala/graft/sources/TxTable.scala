@@ -120,6 +120,8 @@ object TxTable {
                             files: Seq[String],
                             txns: Map[String, Long] = Map.empty,
                             stats: Map[String, Map[String, TxStats.ColStat]] =
+                              Map.empty,
+                            blooms: Map[String, Map[String, TxStats.FileBloom]] =
                               Map.empty)
 
   /** Commit `df` as the next version. `mode` is "overwrite" (the new
@@ -149,7 +151,8 @@ object TxTable {
              opLabel: Option[String] = None,
              txn: Option[(String, Long)] = None,
              primitive: CommitPrimitive = PosixLinkPrimitive,
-             mergeSchema: Boolean = false): Long = {
+             mergeSchema: Boolean = false,
+             bloomColumns: Seq[String] = Nil): Long = {
     require(mode == "overwrite" || mode == "append",
       s"mode must be overwrite|append, got '$mode'")
     val root = Paths.get(tableDir)
@@ -195,10 +198,21 @@ object TxTable {
       val s = TxStats.forFile(root.resolve(f), df.schema)
       if (s.isEmpty) None else Some(f -> s)
     }.toMap
+    // opt-in point-lookup blooms (TxStats.FileBloom scaladoc): one
+    // distributed pass per column over the fresh commit dir; carried
+    // files keep the blooms they were committed with
+    val carriedBlooms =
+      if (mode == "append")
+        prev.map(m => m.blooms.view.filterKeys(carried.contains).toMap)
+          .getOrElse(Map.empty)
+      else Map.empty[String, Map[String, TxStats.FileBloom]]
+    val newBlooms = TxStats.buildFileBlooms(df.sparkSession,
+      root.resolve(dataRel), newFiles, df.schema, bloomColumns)
     val manifest = Manifest(version, opLabel.getOrElse(mode),
       committedSchema.json, carried ++ newFiles,
       prev.map(_.txns).getOrElse(Map.empty) ++ txn,
-      carriedStats ++ newStats)
+      carriedStats ++ newStats,
+      carriedBlooms ++ newBlooms)
     try publish(root, manifest, primitive)
     catch {
       case e: java.nio.file.FileAlreadyExistsException =>
@@ -428,8 +442,13 @@ object TxTable {
       val s = TxStats.forFile(root.resolve(f), schema)
       if (s.isEmpty) None else Some(f -> s)
     }.toMap
+    // bloom coverage survives compaction: rebuild over the rewritten
+    // files for every column any pre-compaction file bloomed
+    val bloomCols = m.blooms.values.flatMap(_.keys).toSet.toSeq.sorted
+    val compactBlooms = TxStats.buildFileBlooms(spark, dataDir, newFiles,
+      schema, bloomCols)
     val manifest = Manifest(v + 1, "overwrite", m.schemaJson, newFiles,
-      m.txns, compactStats)
+      m.txns, compactStats, compactBlooms)
     try publish(root, manifest, primitive)
     catch {
       case e: java.nio.file.FileAlreadyExistsException =>
@@ -578,8 +597,35 @@ object TxTable {
         }
       }
     }
+    if (m.blooms.nonEmpty) {
+      val bl = node.putObject("blooms")
+      m.blooms.toSeq.sortBy(_._1).foreach { case (file, cols) =>
+        val fo = bl.putObject(file)
+        cols.toSeq.sortBy(_._1).foreach { case (c, b) =>
+          val co = fo.putObject(c)
+          val buf = java.nio.ByteBuffer.allocate(b.words.length * 8)
+          buf.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          b.words.foreach(buf.putLong(_): Unit)
+          co.put("b64", java.util.Base64.getEncoder.encodeToString(buf.array()))
+          co.put("k", b.k)
+          co.put("str", b.isString): Unit
+        }
+      }
+    }
     primitive.publishExclusive(manifestPath(root, m.version),
       mapper.writeValueAsBytes(node))
+  }
+
+  private[sources] def decodeBloom(
+      node: com.fasterxml.jackson.databind.JsonNode): TxStats.FileBloom = {
+    val bytes = java.util.Base64.getDecoder.decode(node.get("b64").asText())
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    buf.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val words = new Array[Long](bytes.length / 8)
+    var i = 0
+    while (i < words.length) { words(i) = buf.getLong(); i += 1 }
+    TxStats.FileBloom(words, node.get("k").asInt(),
+      node.get("str").asBoolean())
   }
 
   private def readManifest(root: Path, v: Long): Manifest = {
@@ -598,9 +644,16 @@ object TxTable {
         }.toMap
       }.toMap
     }.getOrElse(Map.empty[String, Map[String, TxStats.ColStat]])
+    val blooms = Option(node.get("blooms")).map { bl =>
+      bl.properties().asScala.map { fe =>
+        fe.getKey -> fe.getValue.properties().asScala.map { ce =>
+          ce.getKey -> decodeBloom(ce.getValue)
+        }.toMap
+      }.toMap
+    }.getOrElse(Map.empty[String, Map[String, TxStats.FileBloom]])
     Manifest(node.get("version").asLong(), node.get("op").asText(),
       node.get("schema").asText(),
       node.get("files").elements().asScala.map(_.asText()).toSeq, txns,
-      stats)
+      stats, blooms)
   }
 }

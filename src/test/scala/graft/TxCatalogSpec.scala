@@ -248,6 +248,49 @@ class TxCatalogSpec extends SparkSpec {
       .head().getLong(0) == 1L)
   }
 
+  test("bloom skipping prunes point lookups where min/max is useless") {
+    warehouse
+    import spark.implicits._
+    val dir = s"$warehouse/db/uuids"
+    // hash-like string keys INTERLEAVED across files: every file spans
+    // nearly the whole lexicographic range, so min/max can prune nothing
+    // — exactly the layout ids/uuids/digests produce
+    def key(i: Long) = f"k${(i * 2654435761L) % 100000}%05d"
+    (0 until 3).foreach { c =>
+      val rows = (0 until 200).map(j => (c * 1000L + j, key(c * 1000L + j)))
+      TxTable.commit(rows.toDF("id", "uid").coalesce(1), dir,
+        if (c == 0) "overwrite" else "append",
+        bloomColumns = Seq("uid"))
+    }
+    def planOf(sql: String) = spark.sql(sql).queryExecution.executedPlan.toString
+    // a key committed in file 2 only: blooms exclude the other two files
+    val probe = key(1005L)
+    val p = planOf(s"SELECT id FROM txspec.db.uuids WHERE uid = '$probe'")
+    assert(p.contains("InMemoryFileIndex(1 paths)"), p.take(900))
+    assert(spark.sql(
+        s"SELECT id FROM txspec.db.uuids WHERE uid = '$probe'")
+      .collect().map(_.getLong(0)).toSeq == Seq(1005L))
+    // a key in NO file: every bloom excludes, zero files scanned
+    val p0 = planOf("SELECT id FROM txspec.db.uuids WHERE uid = 'nope'")
+    assert(p0.contains("InMemoryFileIndex(0 paths)"), p0.take(900))
+    assert(spark.sql(
+      "SELECT id FROM txspec.db.uuids WHERE uid = 'nope'").count() == 0L)
+    // every committed key still found (no false negatives, ever)
+    val missing = (0 until 3).flatMap(c => Seq(c * 1000L, c * 1000L + 199L))
+      .filterNot { i =>
+        spark.sql(s"SELECT id FROM txspec.db.uuids WHERE uid = '${key(i)}'")
+          .collect().map(_.getLong(0)).contains(i)
+      }
+    assert(missing.isEmpty, s"lost keys: $missing")
+    // blooms survive compaction (coverage rebuilt over rewritten files)
+    spark.sql("CALL txspec.system.compact('db.uuids', 1048576)").collect()
+    assert(spark.sql(
+        s"SELECT id FROM txspec.db.uuids WHERE uid = '$probe'")
+      .collect().map(_.getLong(0)).toSeq == Seq(1005L))
+    val pc = planOf("SELECT id FROM txspec.db.uuids WHERE uid = 'nope'")
+    assert(pc.contains("InMemoryFileIndex(0 paths)"), pc.take(900))
+  }
+
   test("skipping is differentially invisible on random filters") {
     warehouse
     import spark.implicits._
