@@ -105,6 +105,31 @@ private[graft] object QueriesEventsStreaming {
             .as("sum_value"))
         .orderBy("hour", "event_type")
     }),
+    // the BATCH write half of the dirtail table: two df.write epochs
+    // append through the claim-next-epoch commit protocol (staged files,
+    // deterministic part-<epoch>-<partition> names, exclusive marker),
+    // then the batch read aggregates everything back — one green hash
+    // certifies batch serialization + commit + decode together
+    "source_dirtail_write" -> ((s: SparkSession, dir: String) => {
+      val out = scratchDir("graft-dtw-")
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      ev.filter(col("event_type").isin("view", "click"))
+        .write.format("graft-dirtail").option("path", out)
+        .mode("append").save()
+      ev.filter(col("event_type") === "purchase")
+        .write.format("graft-dirtail").option("path", out)
+        .mode("append").save()
+      s.read.format("graft-dirtail").schema(DirtailWireSchema)
+        .option("path", out).load()
+        .groupBy(date_format(date_trunc("hour", col("ts")),
+            "yyyy-MM-dd HH:mm:ss").as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+        .orderBy("hour", "event_type")
+    }),
     // the full custom-IO loop: events stream OUT through the dirtail
     // DSv2 SINK (per-task staged JSONL, epoch-commit rename + exclusive
     // marker — exactly-once to the visible namespace), then the sink's
@@ -402,6 +427,14 @@ private[graft] object QueriesEventsStreaming {
          |  count(*) AS n,
          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin),
+    // the two batch-written epochs hold exactly the three event types —
+    // the hourly aggregate restricted to them must replay
+    "source_dirtail_write" ->
+      ("""SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
+         |  count(*) AS n,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM events WHERE event_type IN ('view', 'click', 'purchase')
+         |GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin),
     // the batch read with the pushed predicate must land the identical
     // restricted aggregate — any pushdown defect (wrong comparison,
     // swallowed null, mis-projected row) breaks the hash

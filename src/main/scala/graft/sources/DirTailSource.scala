@@ -81,13 +81,17 @@ private[sources] class DirTailTable(schema: StructType, path: String)
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_READ, TableCapability.STREAMING_WRITE)
+      TableCapability.BATCH_READ, TableCapability.STREAMING_WRITE,
+      TableCapability.BATCH_WRITE)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     DirTail.validate(info.schema())
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toStreaming: StreamingWrite =
           new DirTailStreamingWrite(info.schema(), path)
+        override def toBatch
+            : org.apache.spark.sql.connector.write.BatchWrite =
+          new DirTailBatchWrite(info.schema(), path)
       }
     }
   }
@@ -393,6 +397,80 @@ private[graft] class DirTailStreamingWrite(schema: StructType, path: String)
       case _ => ()
     }
   }
+}
+
+/** BATCH write into a tailed directory — the backfill/bootstrap dual of
+  * the batch READ: `df.write.format("graft-dirtail")` appends one
+  * "epoch" of files using the SAME staging/rename/marker discipline as
+  * the streaming sink, so the tail's offset determinism survives: the
+  * commit CLAIMS the next epoch number after everything visible
+  * (create-exclusive on the epoch marker — two racing batch writers
+  * each get their own number), then renames its staged files to the
+  * deterministic `part-<epoch>-<partition>.jsonl` names, which sort
+  * AFTER every already-consumed file — a checkpointed tail resumes onto
+  * exactly the appended suffix (suite-asserted). ONE writer at a time
+  * per directory: two racing batch commits claim distinct epochs but
+  * can finish renames out of claim order, and a streaming sink's
+  * Spark-assigned epoch ids restart from its own checkpoint — either
+  * interleaving can put a new file lexicographically BEFORE an
+  * already-consumed one, the one layout the tail's offset determinism
+  * cannot survive (the same single-writer assumption the streaming
+  * sink already documents). */
+private[graft] class DirTailBatchWrite(schema: StructType, path: String)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DataWriterFactory =
+    // a top-level factory: an anonymous one would capture this (non-
+    // serializable) BatchWrite into the task closure
+    new DirTailBatchWriterFactory(schema, path)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = Paths.get(path)
+    Files.createDirectories(dir): Unit
+    val EpochName = "^part-(\\d{10})-.*\\.jsonl$".r
+    var epoch = DirTail.listing(path).collect {
+      case EpochName(e) => e.toLong
+    }.foldLeft(-1L)(math.max) + 1
+    var claimed = false
+    var attempts = 0
+    while (!claimed && attempts < 10000) {
+      val marker = dir.resolve(f".epoch-$epoch%010d.committed")
+      try {
+        PosixLinkPrimitive.publishExclusive(marker, Array.emptyByteArray)
+        claimed = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          epoch += 1; attempts += 1
+      }
+    }
+    require(claimed,
+      s"dirtail batch write could not claim an epoch under $path after " +
+        s"$attempts attempts")
+    messages.map(_.asInstanceOf[DirTailCommitMessage]).foreach { m =>
+      val target = dir.resolve(f"part-$epoch%010d-${m.partitionId}%05d.jsonl")
+      Files.move(dir.resolve(m.staged), target,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = Paths.get(path)
+    messages.foreach {
+      case m: DirTailCommitMessage =>
+        Files.deleteIfExists(dir.resolve(m.staged)): Unit
+      case _ => ()
+    }
+  }
+}
+
+/** Serializable task-side factory for the batch write; staging names
+  * are uuid-unique, the claimed epoch lands at driver commit time. */
+private[graft] class DirTailBatchWriterFactory(schema: StructType,
+                                               path: String)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int,
+                            taskId: Long): DataWriter[InternalRow] =
+    new DirTailDataWriter(schema, path, partitionId, epochId = 0L)
 }
 
 private[sources] case class DirTailCommitMessage(staged: String,

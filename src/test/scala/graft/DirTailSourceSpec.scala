@@ -355,6 +355,40 @@ class DirTailSourceSpec extends SparkSpec {
       GreaterThanOrEqual("score", Double.NaN)))
   }
 
+  test("batch write appends epochs; a checkpointed tail resumes onto them") {
+    val src = Files.createTempDirectory("dirtail-src")
+    val out = Files.createTempDirectory("dirtail-out")
+    val ckpt = Files.createTempDirectory("dirtail-ckpt")
+    import spark.implicits._
+    def frame(ids: Seq[Long]) = ids.map(i =>
+        (i, s"k${i % 3}", i + 0.5, new java.sql.Timestamp(i * 1000L)))
+      .toDF("id", "kind", "score", "ts")
+    frame(0L until 7L).coalesce(2).write.format("graft-dirtail")
+      .option("path", src.toString).mode("append").save()
+    // the batch read sees the write immediately
+    assert(spark.read.format("graft-dirtail").schema(schema)
+      .option("path", src.toString).load().count() == 7L)
+    drainOnce(src, out, ckpt) // consume epoch 0
+    frame(7L until 12L).coalesce(1).write.format("graft-dirtail")
+      .option("path", src.toString).mode("append").save()
+    drainOnce(src, out, ckpt) // resumes onto exactly the appended suffix
+    val got = spark.read.parquet(out.toString)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == (0L until 12L)) // every row exactly once across resumes
+    // deterministic epoch-ordered names: claim protocol numbered 0 then 1
+    import scala.jdk.CollectionConverters._
+    val names = Files.list(src).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".jsonl")).toSeq.sorted
+    assert(names.count(_.startsWith("part-0000000000-")) == 2, names)
+    assert(names.count(_.startsWith("part-0000000001-")) == 1, names)
+    // typed round trip through the writer's serialize + reader's parse
+    val ts = spark.read.format("graft-dirtail").schema(schema)
+      .option("path", src.toString).load()
+      .where("id = 3").head()
+    assert(ts.getDouble(2) == 3.5)
+    assert(ts.getTimestamp(3).getTime == 3000L)
+  }
+
   test("malformed JSON fails the batch loudly instead of dropping rows") {
     val src = Files.createTempDirectory("dirtail-src")
     val out = Files.createTempDirectory("dirtail-out")
