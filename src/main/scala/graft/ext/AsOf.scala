@@ -113,11 +113,15 @@ object AsOf {
     // time, descending tie.
     val w =
       if (forward)
-        // desc_nulls_first: a NULL-time LEFT row must still match nothing
-        // (under plain desc NULLs sort last and would see every right row)
+        // desc_nulls_first on BOTH reversed keys: a NULL-time LEFT row
+        // must still match nothing (plain desc sorts NULLs last, where
+        // it would see every right row), and a NULL tie-break must LOSE
+        // to any real tie exactly as it does backward (asc = nulls
+        // first) — plain desc would sort the null tie last and last()
+        // would pick it over the documented smallest real tie-break
         Window.partitionBy(col("__k"))
           .orderBy(col("__t").desc_nulls_first, col("__side").asc,
-            col("__tie").desc)
+            col("__tie").desc_nulls_first)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       else
         Window.partitionBy(col("__k"))

@@ -403,9 +403,14 @@ private[graft] class DirTailStreamingWrite(schema: StructType, path: String)
   * the batch READ: `df.write.format("graft-dirtail")` appends one
   * "epoch" of files using the SAME staging/rename/marker discipline as
   * the streaming sink, so the tail's offset determinism survives: the
-  * commit CLAIMS the next epoch number after everything visible
-  * (create-exclusive on the epoch marker — two racing batch writers
-  * each get their own number), then renames its staged files to the
+  * commit CLAIMS the next epoch number past every visible file and
+  * every marker of either kind (create-exclusive on its OWN
+  * `.bepoch-N.claimed` marker — distinct from the streaming sink's
+  * `.epoch-N.committed` replay markers, which a batch claim must never
+  * impersonate: a streaming epoch finding a foreign marker under its
+  * number would silently discard its rows as "already replayed"; two
+  * racing batch writers each get their own number), then renames its
+  * staged files to the
   * deterministic `part-<epoch>-<partition>.jsonl` names, which sort
   * AFTER every already-consumed file — a checkpointed tail resumes onto
   * exactly the appended suffix (suite-asserted). ONE writer at a time
@@ -427,14 +432,31 @@ private[graft] class DirTailBatchWrite(schema: StructType, path: String)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = Paths.get(path)
     Files.createDirectories(dir): Unit
+    // the epoch counter starts past EVERYTHING already claimed: visible
+    // file names AND both marker kinds (a streaming epoch with zero
+    // output files left only its marker — writing under its number
+    // would produce files that sort before already-consumed ones)
     val EpochName = "^part-(\\d{10})-.*\\.jsonl$".r
-    var epoch = DirTail.listing(path).collect {
+    val MarkerName = "^\\.b?epoch-(\\d{10})\\.(committed|claimed)$".r
+    val fileMax = DirTail.listing(path).collect {
       case EpochName(e) => e.toLong
-    }.foldLeft(-1L)(math.max) + 1
+    }.foldLeft(-1L)(math.max)
+    val markerMax = {
+      val s = Files.list(dir)
+      try s.iterator().asScala.map(_.getFileName.toString).collect {
+        case MarkerName(e, _) => e.toLong
+      }.foldLeft(-1L)(math.max)
+      finally s.close()
+    }
+    var epoch = math.max(fileMax, markerMax) + 1
     var claimed = false
     var attempts = 0
     while (!claimed && attempts < 10000) {
-      val marker = dir.resolve(f".epoch-$epoch%010d.committed")
+      // a DISTINCT marker namespace (.bepoch-N.claimed): the streaming
+      // sink's replay check looks for ITS marker (.epoch-N.committed),
+      // and a batch claim reusing that name would make a later streaming
+      // epoch N silently discard its staged rows as "already replayed"
+      val marker = dir.resolve(f".bepoch-$epoch%010d.claimed")
       try {
         PosixLinkPrimitive.publishExclusive(marker, Array.emptyByteArray)
         claimed = true

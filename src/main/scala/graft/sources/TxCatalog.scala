@@ -121,9 +121,11 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
         case _: NumberFormatException => throw new IllegalArgumentException(
           s"TxCatalog versions are integers, got '$version'")
       }
-    require(TxTable.history(dir.toString).exists(_._1 == v),
+    // one stat call on the happy path; the O(versions) name listing only
+    // runs to compose the failure message
+    require(TxTable.versionExists(dir.toString, v),
       s"version $v of ${fullName(ident)} does not exist (or was vacuumed); " +
-        s"committed: ${TxTable.history(dir.toString).map(_._1).mkString(", ")}")
+        s"committed: ${TxTable.versions(dir.toString).mkString(", ")}")
     new TxSqlTable(fullName(ident), dir, v)
   }
 
@@ -133,7 +135,9 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
     val dir = dirFor(ident)
     if (!isTxTable(dir)) throw new NoSuchTableException(ident)
     val log = dir.resolve("_txlog")
-    val admissible = TxTable.history(dir.toString).map(_._1).filter { v =>
+    // versions() lists log-dir names only — no manifest parse per
+    // version just to read each file's mtime
+    val admissible = TxTable.versions(dir.toString).filter { v =>
       val mtimeMicros = Files.getLastModifiedTime(
         log.resolve(f"v$v%05d.json")).toMillis * 1000L
       mtimeMicros <= timestampMicros
@@ -161,8 +165,13 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
     val spark = SparkSession.active
     val empty = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    // requireVersion = 1 closes the check-then-commit window: a writer
+    // publishing v1 between our existence check and this commit makes
+    // the commit REFUSE (not publish an empty v2 overwrite that would
+    // silently truncate their data), and the v1 publish itself is
+    // create-exclusive — either way the race surfaces as already-exists
     try TxTable.commit(empty, dir.toString, "overwrite",
-      opLabel = Some("create"))
+      opLabel = Some("create"), requireVersion = Some(1L))
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new TableAlreadyExistsException(ident)
@@ -295,14 +304,16 @@ private[graft] class TxSqlTable(tableName: String, dir: Path, version: Long,
                                 writable: Boolean = false)
   extends Table with SupportsRead with SupportsWrite {
 
-  private lazy val snapshot: (StructType, Seq[String]) = {
-    val m = TxTableMeta.manifest(dir, version)
-    (DataType.fromJson(m.schemaJson).asInstanceOf[StructType],
-      m.files.map(f => dir.resolve(f).toString))
-  }
+  // ONE manifest read per table handle (a manifest is immutable for its
+  // version, and this handle is version-pinned) — schema, file list,
+  // stats, and blooms all derive from it
+  private lazy val manifest: TxTable.Manifest =
+    TxTable.readManifest(dir, version)
+  private lazy val tableSchema: StructType =
+    DataType.fromJson(manifest.schemaJson).asInstanceOf[StructType]
 
   override def name(): String = s"$tableName@v$version"
-  override def schema(): StructType = snapshot._1
+  override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     if (writable)
       util.EnumSet.of(TableCapability.BATCH_READ,
@@ -313,12 +324,9 @@ private[graft] class TxSqlTable(tableName: String, dir: Path, version: Long,
     Map("format" -> "graft-txtable", "location" -> dir.toString,
       "version" -> version.toString).asJava
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val (schema, _) = snapshot
-    val m = TxTableMeta.manifest(dir, version)
-    new TxScanBuilder(name(), schema, dir, m.files, m.stats, m.blooms,
-      options)
-  }
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new TxScanBuilder(name(), tableSchema, dir, manifest.files,
+      manifest.stats, manifest.blooms, options)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(writable, s"$tableName: writes only target the latest " +
@@ -429,7 +437,7 @@ private[graft] object TxMetaTables {
   def table(name: String, dir: Path, kind: String): Table = kind match {
     case "history" => new MetaTable(name, HistorySchema, () =>
       TxTable.history(dir.toString).map { case (v, op) =>
-        val m = TxTableMeta.manifest(dir, v)
+        val m = TxTable.readManifest(dir, v)
         val mtime = Files.getLastModifiedTime(
           dir.resolve("_txlog").resolve(f"v$v%05d.json")).toMillis
         new GenericInternalRow(Array[Any](v, UTF8String.fromString(op),
@@ -438,7 +446,7 @@ private[graft] object TxMetaTables {
     case "files" => new MetaTable(name, FilesSchema, () => {
       val v = TxTable.latestVersion(dir.toString).getOrElse(
         throw new IllegalStateException(s"no committed version under $dir"))
-      TxTableMeta.manifest(dir, v).files.map { f =>
+      TxTable.readManifest(dir, v).files.map { f =>
         new GenericInternalRow(Array[Any](v, UTF8String.fromString(f),
           Files.size(dir.resolve(f)))): InternalRow
       }.toArray
@@ -544,34 +552,3 @@ private[graft] object TxProcedures {
     }
 }
 
-/** Manifest access for the catalog without widening [[TxTable]]'s
-  * private surface: re-reads the version manifest (O(1) driver IO). */
-private[graft] object TxTableMeta {
-  final case class Meta(schemaJson: String, files: Seq[String],
-                        stats: Map[String, Map[String, TxStats.ColStat]],
-                        blooms: Map[String, Map[String, TxStats.FileBloom]])
-  def manifest(root: Path, v: Long): Meta = {
-    val p = root.resolve("_txlog").resolve(f"v$v%05d.json")
-    require(Files.exists(p), s"version $v does not exist under $root")
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val node = mapper.readTree(Files.readAllBytes(p))
-    val stats = Option(node.get("stats")).map { st =>
-      st.properties().asScala.map { fe =>
-        fe.getKey -> fe.getValue.properties().asScala.map { ce =>
-          ce.getKey -> TxStats.ColStat(ce.getValue.get("min").asText(),
-            ce.getValue.get("max").asText())
-        }.toMap
-      }.toMap
-    }.getOrElse(Map.empty[String, Map[String, TxStats.ColStat]])
-    val blooms = Option(node.get("blooms")).map { bl =>
-      bl.properties().asScala.map { fe =>
-        fe.getKey -> fe.getValue.properties().asScala.map { ce =>
-          ce.getKey -> TxTable.decodeBloom(ce.getValue)
-        }.toMap
-      }.toMap
-    }.getOrElse(Map.empty[String, Map[String, TxStats.FileBloom]])
-    Meta(node.get("schema").asText(),
-      node.get("files").elements().asScala.map(_.asText()).toSeq, stats,
-      blooms)
-  }
-}

@@ -247,10 +247,19 @@ object TxStats {
             longLit(v).map(l =>
               (java.lang.Long.compare(l, st.min.toLong),
                 java.lang.Long.compare(l, st.max.toLong)))
-          case DoubleType | FloatType =>
+          case DoubleType =>
             dblLit(v).map(d =>
               (java.lang.Double.compare(d, st.min.toDouble),
                 java.lang.Double.compare(d, st.max.toDouble)))
+          case FloatType =>
+            // parse the stat through Float FIRST: "0.1".toDouble and
+            // 0.1f widened to double are DIFFERENT values, and comparing
+            // across them can wrongly exclude a file whose rows equal
+            // the literal exactly — both sides must be the same widened
+            // float before any compare
+            dblLit(v).map(d =>
+              (java.lang.Double.compare(d, st.min.toFloat.toDouble),
+                java.lang.Double.compare(d, st.max.toFloat.toDouble)))
           case StringType => v match {
             case s: String if ascii(s) =>
               Some((s.compareTo(st.min), s.compareTo(st.max)))

@@ -152,7 +152,8 @@ object TxTable {
              txn: Option[(String, Long)] = None,
              primitive: CommitPrimitive = PosixLinkPrimitive,
              mergeSchema: Boolean = false,
-             bloomColumns: Seq[String] = Nil): Long = {
+             bloomColumns: Seq[String] = Nil,
+             requireVersion: Option[Long] = None): Long = {
     require(mode == "overwrite" || mode == "append",
       s"mode must be overwrite|append, got '$mode'")
     val root = Paths.get(tableDir)
@@ -185,13 +186,29 @@ object TxTable {
       if (mode == "append") prev.map(_.files).getOrElse(Seq.empty)
       else Seq.empty
     val version = prev.map(_.version + 1).getOrElse(1L)
+    // `requireVersion` closes the CREATE TOCTOU: a table-creating commit
+    // must land as v1 or not at all — if a concurrent writer published
+    // first, refusing HERE (before any publish) is what keeps an
+    // "empty overwrite" from silently truncating their data, and the
+    // v1 create-exclusive publish below settles the remaining race.
+    requireVersion.foreach { rv =>
+      if (version != rv) {
+        try deleteRecursively(root.resolve(dataRel)) catch { case _: Exception => () }
+        throw new java.nio.file.FileAlreadyExistsException(
+          s"$tableDir: expected to commit v$rv but the table is at " +
+            s"v${version - 1}")
+      }
+    }
     // skipping stats: carried files keep theirs, new files read their
     // own footers once (same O(files) driver-metadata envelope as the
     // listing above); a file whose footer yields nothing usable simply
     // has no entry and is never skipped
+    // Set membership, not Seq.contains: a linear probe per stats key is
+    // O(files²) driver time on a 100k-file append
+    val carriedSet = carried.toSet
     val carriedStats =
       if (mode == "append")
-        prev.map(m => m.stats.view.filterKeys(carried.contains).toMap)
+        prev.map(m => m.stats.view.filterKeys(carriedSet).toMap)
           .getOrElse(Map.empty)
       else Map.empty[String, Map[String, TxStats.ColStat]]
     val newStats = newFiles.flatMap { f =>
@@ -203,7 +220,7 @@ object TxTable {
     // files keep the blooms they were committed with
     val carriedBlooms =
       if (mode == "append")
-        prev.map(m => m.blooms.view.filterKeys(carried.contains).toMap)
+        prev.map(m => m.blooms.view.filterKeys(carriedSet).toMap)
           .getOrElse(Map.empty)
       else Map.empty[String, Map[String, TxStats.FileBloom]]
     val newBlooms = TxStats.buildFileBlooms(df.sparkSession,
@@ -245,13 +262,22 @@ object TxTable {
 
   /** Latest committed version, if any commit has ever succeeded. */
   def latestVersion(tableDir: String): Option[Long] = {
-    val log = Paths.get(tableDir).resolve(LogDir)
-    if (!Files.isDirectory(log)) None
-    else {
-      val vs = listNames(log).collect { case VersionName(v) => v }
-      if (vs.isEmpty) None else Some(vs.max)
-    }
+    val vs = versions(tableDir)
+    if (vs.isEmpty) None else Some(vs.max)
   }
+
+  /** Committed version numbers, ascending — log-directory NAMES only,
+    * zero manifest reads (history() parses every manifest; an existence
+    * or mtime question must not pay that). */
+  def versions(tableDir: String): Seq[Long] = {
+    val log = Paths.get(tableDir).resolve(LogDir)
+    if (!Files.isDirectory(log)) Seq.empty
+    else listNames(log).collect { case VersionName(v) => v }.sorted
+  }
+
+  /** Does version `v` exist (uncompacted, unvacuumed)? One stat call. */
+  def versionExists(tableDir: String, v: Long): Boolean =
+    Files.exists(manifestPath(Paths.get(tableDir), v))
 
   /** Read the latest snapshot. Loud on a never-committed table — an
     * empty frame would silently hide a wrong path. */
@@ -628,7 +654,7 @@ object TxTable {
       node.get("str").asBoolean())
   }
 
-  private def readManifest(root: Path, v: Long): Manifest = {
+  private[sources] def readManifest(root: Path, v: Long): Manifest = {
     val p = manifestPath(root, v)
     require(Files.exists(p), s"version $v does not exist under $root")
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()

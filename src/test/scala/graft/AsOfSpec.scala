@@ -144,6 +144,26 @@ class AsOfSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("forward as-of: a NULL tie-break loses to any real tie, like backward") {
+    val l = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, 20L, ts("2024-01-01 00:00:00")))),
+      StructType(Seq(StructField("event_id", LongType),
+        StructField("user_id", LongType), StructField("ts", TimestampType))))
+    val r = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(java.lang.Long.valueOf(5L), 20L, ts("2024-01-03 00:00:00"), 1.0),
+        Row(null: java.lang.Long, 20L, ts("2024-01-03 00:00:00"), 2.0))),
+      StructType(Seq(StructField("o_id", LongType),
+        StructField("cust", LongType), StructField("odate", TimestampType),
+        StructField("price", DoubleType))))
+    val out = AsOf.asofJoinForward(l, r, "user_id", "cust", "ts", "odate",
+      valueCols = Seq("o_id", "price"), tieBreak = "o_id").head()
+    // under plain desc the NULL-tie row sorted LAST and won; the
+    // contract (smallest real tie-break, mirroring backward) wants 5
+    assert(out.getLong(3) == 5L && out.getDouble(4) == 1.0)
+  }
+
   test("forward as-of: NULL left time matches nothing (desc nulls-first)") {
     val l = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(

@@ -381,6 +381,14 @@ class DirTailSourceSpec extends SparkSpec {
       .map(_.getFileName.toString).filter(_.endsWith(".jsonl")).toSeq.sorted
     assert(names.count(_.startsWith("part-0000000000-")) == 2, names)
     assert(names.count(_.startsWith("part-0000000001-")) == 1, names)
+    // batch claims live in their OWN marker namespace: impersonating the
+    // streaming sink's .epoch-N.committed would make a later streaming
+    // epoch N silently discard its rows as "already replayed"
+    val markers = Files.list(src).iterator().asScala
+      .map(_.getFileName.toString).filter(_.contains("epoch")).toSeq.sorted
+    assert(markers.contains(".bepoch-0000000000.claimed"), markers)
+    assert(markers.contains(".bepoch-0000000001.claimed"), markers)
+    assert(!markers.exists(_.startsWith(".epoch-")), markers)
     // typed round trip through the writer's serialize + reader's parse
     val ts = spark.read.format("graft-dirtail").schema(schema)
       .option("path", src.toString).load()

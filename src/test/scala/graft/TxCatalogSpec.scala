@@ -123,6 +123,24 @@ class TxCatalogSpec extends SparkSpec {
       ep.getMessage.contains("not hive-partitioned"))
   }
 
+  test("CREATE racing an out-of-band v1 commit refuses, never truncates") {
+    warehouse
+    import spark.implicits._
+    // model the TOCTOU: the existence check already passed (table absent)
+    // and v1 lands out of band before CREATE's empty commit — the
+    // requireVersion guard must refuse instead of publishing an empty v2
+    // overwrite on top of the freshly-committed data
+    TxTable.commit(Seq((1L, "live")).toDF("id", "s"),
+      s"$warehouse/db/race", "overwrite")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("CREATE TABLE txspec.db.race (id BIGINT, s STRING)")
+    }
+    // the data survived and no extra version appeared
+    assert(TxTable.history(s"$warehouse/db/race").map(_._1) == Seq(1L))
+    assert(spark.sql("SELECT s FROM txspec.db.race").head().getString(0)
+      == "live")
+  }
+
   test("ALTER / DROP stay refused loudly") {
     warehouse
     val e3 = intercept[Exception] {

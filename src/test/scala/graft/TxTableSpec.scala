@@ -138,6 +138,16 @@ class TxTableSpec extends SparkSpec {
     assert(!ex(EqualTo("nope", 1L)))
     assert(!ex(IsNull("id")) && !ex(IsNotNull("id")))
     assert(!TxStats.excludes(Map.empty, schema, EqualTo("id", 99L)))
+    // FLOAT stats parse through Float first: "0.1".toDouble and 0.1f
+    // widened to double differ, and the cross-domain compare wrongly
+    // excluded a file whose rows equal the literal exactly
+    val fSchema = StructType(Seq(StructField("f", FloatType)))
+    val fst = Map("f" -> TxStats.ColStat("0.1", "0.1"))
+    assert(!TxStats.excludes(fst, fSchema, EqualTo("f", 0.1f)))
+    assert(!TxStats.excludes(fst, fSchema, GreaterThanOrEqual("f", 0.1f)))
+    assert(!TxStats.excludes(fst, fSchema, LessThanOrEqual("f", 0.1f)))
+    assert(TxStats.excludes(fst, fSchema, GreaterThan("f", 0.1f)))
+    assert(TxStats.excludes(fst, fSchema, EqualTo("f", 0.2f)))
   }
 
   test("reading a never-committed table fails loudly; data files immutable") {
