@@ -229,9 +229,17 @@ object TxStats {
       case b: java.lang.Byte    => Some(b.longValue())
       case _ => None
     }
+    // -0.0 normalized to 0.0 on BOTH literal and stat sides:
+    // Double.compare orders -0.0 below 0.0 while SQL equality treats
+    // them equal, and the order mismatch could wrongly exclude a file
+    // whose min/max recorded the other zero (the DirTailFilters ieee
+    // lesson applied to stats)
+    def norm0(d: Double): Double = if (d == 0.0) 0.0 else d
     def dblLit(v: Any): Option[Double] = v match {
-      case d: java.lang.Double => if (d.isNaN) None else Some(d.doubleValue())
-      case f: java.lang.Float  => if (f.isNaN) None else Some(f.doubleValue())
+      case d: java.lang.Double =>
+        if (d.isNaN) None else Some(norm0(d.doubleValue()))
+      case f: java.lang.Float  =>
+        if (f.isNaN) None else Some(norm0(f.doubleValue()))
       case other => longLit(other).map(_.toDouble)
     }
     // per-type interval tests: lt = literal provably below every row, etc.
@@ -249,8 +257,8 @@ object TxStats {
                 java.lang.Long.compare(l, st.max.toLong)))
           case DoubleType =>
             dblLit(v).map(d =>
-              (java.lang.Double.compare(d, st.min.toDouble),
-                java.lang.Double.compare(d, st.max.toDouble)))
+              (java.lang.Double.compare(d, norm0(st.min.toDouble)),
+                java.lang.Double.compare(d, norm0(st.max.toDouble))))
           case FloatType =>
             // parse the stat through Float FIRST: "0.1".toDouble and
             // 0.1f widened to double are DIFFERENT values, and comparing
@@ -258,8 +266,8 @@ object TxStats {
             // the literal exactly — both sides must be the same widened
             // float before any compare
             dblLit(v).map(d =>
-              (java.lang.Double.compare(d, st.min.toFloat.toDouble),
-                java.lang.Double.compare(d, st.max.toFloat.toDouble)))
+              (java.lang.Double.compare(d, norm0(st.min.toFloat.toDouble)),
+                java.lang.Double.compare(d, norm0(st.max.toFloat.toDouble))))
           case StringType => v match {
             case s: String if ascii(s) =>
               Some((s.compareTo(st.min), s.compareTo(st.max)))

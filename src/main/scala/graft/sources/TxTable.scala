@@ -654,7 +654,7 @@ object TxTable {
       node.get("str").asBoolean())
   }
 
-  private[sources] def readManifest(root: Path, v: Long): Manifest = {
+  private[graft] def readManifest(root: Path, v: Long): Manifest = {
     val p = manifestPath(root, v)
     require(Files.exists(p), s"version $v does not exist under $root")
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()

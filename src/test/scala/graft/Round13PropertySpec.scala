@@ -68,6 +68,88 @@ object Round13PropertySpec extends Properties("round13") {
         Multimodal.decodeJpegHeader(bytes.take(n)).isEmpty)
     }
 
+  // ---------------------------------------- manifest stats / blooms
+  // (these need a SparkSession; minSuccessful kept modest — each trial
+  // writes real parquet)
+
+  private def withParquet[A](rows: Seq[(Long, Double, String)])(
+      f: (java.nio.file.Path, org.apache.spark.sql.DataFrame) => A): A = {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("r13-stats-")
+    val df = rows.toDF("id", "v", "s").coalesce(1)
+    df.write.mode("overwrite").parquet(dir.toString)
+    val listing = java.nio.file.Files.list(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      val p = listing.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      f(p, df)
+    } finally listing.close()
+  }
+
+  private val genRows: Gen[List[(Long, Double, String)]] =
+    Gen.nonEmptyListOf(for {
+      id <- Gen.choose(-1000000L, 1000000L)
+      v <- Gen.oneOf(Gen.choose(-1e6, 1e6), Gen.const(0.0), Gen.const(-0.0))
+      s <- Gen.alphaNumStr.map(_.take(20))
+    } yield (id, v, s))
+
+  property("forFile stats bracket every row the engine computes") =
+    Prop.forAllNoShrink(genRows) { rows =>
+      withParquet(rows) { (p, df) =>
+        val schema = df.schema
+        val st = graft.sources.TxStats.forFile(p, schema)
+        val ids = rows.map(_._1)
+        val vs = rows.map(_._2)
+        val ss = rows.map(_._3)
+        // min/max recorded must be TRUE bounds of the written rows —
+        // anything tighter would license a wrong skip
+        st.get("id").forall(c =>
+          c.min.toLong <= ids.min && c.max.toLong >= ids.max) &&
+        st.get("v").forall(c =>
+          c.min.toDouble <= vs.min && c.max.toDouble >= vs.max) &&
+        st.get("s").forall(c => ss.nonEmpty &&
+          c.min <= ss.min && c.max >= ss.max)
+      }
+    }
+
+  property("excludes never skips a file holding a matching row") =
+    Prop.forAllNoShrink(genRows, Gen.choose(0, 1000)) { (rows, pick) =>
+      withParquet(rows) { (p, df) =>
+        import org.apache.spark.sql.sources._
+        val st = graft.sources.TxStats.forFile(p, df.schema)
+        val (id, v, s) = rows(pick % rows.length)
+        // a literal taken FROM the file can never be excluded
+        Seq[Filter](EqualTo("id", id), GreaterThanOrEqual("id", id),
+          LessThanOrEqual("id", id), EqualTo("v", v), EqualTo("s", s),
+          In("id", Array[Any](id, 999999999L)),
+          And(EqualTo("id", id), EqualTo("s", s)))
+          .forall(f => !graft.sources.TxStats.excludes(st, df.schema, f))
+      }
+    }
+
+  property("file blooms have no false negatives on committed keys") =
+    Prop.forAllNoShrink(genRows) { rows =>
+      val spark = TestSpark.spark
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("r13-bloom-").toString
+      val tbl = s"$dir/t"
+      graft.sources.TxTable.commit(
+        rows.toDF("id", "v", "s").coalesce(1), tbl, "overwrite",
+        bloomColumns = Seq("id", "s"))
+      import org.apache.spark.sql.sources.EqualTo
+      val m = graft.sources.TxTable.readManifest(
+        java.nio.file.Paths.get(tbl), 1L)
+      m.files.forall { f =>
+        val bl = m.blooms.getOrElse(f, Map.empty)
+        rows.forall { case (id, _, s) =>
+          !graft.sources.TxStats.bloomExcludes(bl, EqualTo("id", id)) &&
+            !graft.sources.TxStats.bloomExcludes(bl, EqualTo("s", s))
+        }
+      }
+    }
+
   private val genBytes: Gen[Array[Byte]] =
     Gen.listOf(Gen.choose(-128, 127).map(_.toByte)).map(_.toArray)
 
