@@ -113,6 +113,13 @@ object GraftExtensions {
         require(args.length == 2, "cell_argmin takes 2 arguments")
         CellArgmin(args(0), doubleMatrixArg(args(1), "cell_argmin"))
       }),
+    ("html_strip",
+      "html_strip(html) - HTML-to-text: tags/comments/script+style " +
+        "bodies dropped, entities decoded; NULL on malformed input",
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "html_strip takes 1 argument")
+        graft.functions.HtmlStrip(args(0))
+      }),
     ("rolling_fingerprint",
       "rolling_fingerprint(text) - Rabin-Karp codepoint fingerprint mod 1e9+7",
       (args: Seq[Expression]) => {

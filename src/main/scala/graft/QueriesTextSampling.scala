@@ -38,6 +38,25 @@ private[graft] object QueriesTextSampling {
       s.sql("SELECT doc_id, rolling_fingerprint(text) AS fp " +
         "FROM graft_docs_fp ORDER BY doc_id")
     }),
+    // HTML-to-text over a planted wrapper: tags, a comment, and a
+    // script block (containing a bare '<' — the regex-stripper killer)
+    // wrap each document; the codegen'd single-pass stripper must
+    // recover exactly the clean text plus the decoded entity run
+    // (functions/HtmlExpressions.scala scaladoc). Scan-side kernel, no
+    // shuffle beyond the orderBy.
+    "text_html_strip" -> ((s: SparkSession, dir: String) => {
+      val clean = translate(col("text"), "<>&", "")
+      val planted = concat(
+        lit("<html><!-- meta "), (col("doc_id") % 7).cast("string"),
+        lit(" --><body class=\"d"), (col("doc_id") % 5).cast("string"),
+        lit("\"><p>"), clean,
+        lit("</p><div>x &amp; y &#65;&#x42;</div>" +
+          "<script>if (a<b) { var t = \"<p>\"; }</script></body></html>"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.functions.HtmlFunctions.html_strip(planted).as("stripped"))
+        .orderBy("doc_id")
+    }),
     "text_topterms" -> ((s: SparkSession, dir: String) =>
       TextStats.topTerms(Tables.documents(s, dir), "text", k = 50)
         .orderBy(col("doc_freq").desc, col("term"))),
@@ -253,6 +272,12 @@ private[graft] object QueriesTextSampling {
       ("""SELECT doc_id,
          |  CAST(list_reduce([CAST(ascii(c) AS BIGINT) for c in string_split(text, '')],
          |       (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT) AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin),
+    // the planted wrapper strips back to the clean text plus the fixed
+    // decoded-entity run — replayed without any HTML machinery at all
+    "text_html_strip" ->
+      ("""SELECT doc_id,
+         |  translate(text, '<>&', '') || 'x & y AB' AS stripped
          |FROM documents ORDER BY doc_id""".stripMargin),
     // one fingerprint, three surfaces: Column API, SQL function, oracle
     "text_fingerprint_sql" ->

@@ -150,6 +150,41 @@ object Round13PropertySpec extends Properties("round13") {
       }
     }
 
+  // ----------------------------------------------------- html strip
+  private val genTextPiece: Gen[String] =
+    Gen.oneOf(Gen.alphaNumStr.map(_.take(8)), Gen.const(" "),
+      Gen.const("AT&T"), Gen.const("a & b"))
+
+  private val genHtmlDoc: Gen[(String, String)] = {
+    // (html, expectedText) built together from a well-formed grammar
+    val piece: Gen[(String, String)] = Gen.frequency(
+      4 -> genTextPiece.map(t => (t, t)),
+      2 -> genTextPiece.map(t => (s"<b>$t</b>", t)),
+      1 -> Gen.const(("<!-- <p>x</p> -->", "")),
+      1 -> Gen.const(("<script>if (a<b) {}</script>", "")),
+      1 -> Gen.const(("<style>p { x: y }</style>", "")),
+      1 -> Gen.const(("&amp;&lt;&gt;&#65;&#x42;", "&<>AB")),
+      1 -> Gen.const(("<div class=\"q\">", "")))
+    Gen.listOf(piece).map { ps =>
+      (ps.map(_._1).mkString, ps.map(_._2).mkString)
+    }
+  }
+
+  property("html_strip recovers the model text from well-formed docs") =
+    Prop.forAll(genHtmlDoc) { case (html, want) =>
+      val got = graft.functions.HtmlOps.strip(
+        org.apache.spark.unsafe.types.UTF8String.fromString(html))
+      got != null && got.toString == want
+    }
+
+  property("html_strip is total on arbitrary strings (null, never throw)") =
+    Prop.forAll(Gen.listOf(Gen.oneOf('<', '>', '&', ';', '#', 'a', '!',
+      '-', '/', 's', 'c', 'r', 'i', 'p', 't', 'x', '1')).map(_.mkString)) { s =>
+      graft.functions.HtmlOps.strip(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      true
+    }
+
   private val genBytes: Gen[Array[Byte]] =
     Gen.listOf(Gen.choose(-128, 127).map(_.toByte)).map(_.toArray)
 

@@ -98,6 +98,36 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(mhSql == mhCol && mhSql.length == 2)
   }
 
+  test("html_strip: tags, comments, raw-text blocks, entities, strictness") {
+    GraftExtensions.register(spark)
+    def strip(h: String): Option[String] = {
+      val r = spark.sql(
+        s"SELECT html_strip('${h.replace("'", "\\'")}') AS t").head()
+      if (r.isNullAt(0)) None else Some(r.getString(0))
+    }
+    assert(strip("<p>hello <b>world</b></p>") == Some("hello world"))
+    // the regex-killer: a bare '<' INSIDE script code, and markup in a
+    // string literal — the whole block must vanish
+    assert(strip("a<script>if (x<1) { s = \"<p>\"; }</script>b") == Some("ab"))
+    assert(strip("a<STYLE>p { color: red }</STYLE>b") == Some("ab"))
+    assert(strip("a<!-- <p>not text</p> -->b") == Some("ab"))
+    // entities: named, decimal, hex; bare & stays literal
+    assert(strip("x &amp; y &#65;&#x42; &lt;tag&gt;") ==
+      Some("x & y AB <tag>"))
+    assert(strip("AT&T and R&D") == Some("AT&T and R&D"))
+    // strict-or-refuse on structural malformation (an OPEN '<' with no
+    // closing '>' — "<p>trailing text" is well-formed, the tag closed)
+    assert(strip("text <p unterminated") == None)
+    assert(strip("<!-- never closed") == None)
+    assert(strip("<script>var x = 1;") == None)
+    // SQL and Column API agree
+    import spark.implicits._
+    val viaCol = Seq(Tuple1("<i>x</i> &gt; y")).toDF("h")
+      .select(graft.functions.HtmlFunctions.html_strip($"h"))
+      .head().getString(0)
+    assert(viaCol == "x > y")
+  }
+
   test("round-13 kernels refuse non-constant plan-baked arguments") {
     GraftExtensions.register(spark)
     import spark.implicits._
