@@ -559,7 +559,9 @@ private[graft] object QueriesJoinsOlap {
          |${PrIterCte(3, "r2")}
          |SELECT node, pr FROM r3 ORDER BY node""".stripMargin),
     // exact integer-microsecond gaps; single-event users excluded on
-    // both sides rather than emitting nulls
+    // both sides rather than emitting nulls; the mean is the
+    // cleared-denominator (10^4 * sum) // count — avg(BIGINT) streams
+    // through a double accumulator in DuckDB and diverged at sf0.1
     "events_interarrival" ->
       ("""WITH g AS (
          |  SELECT user_id,
@@ -568,7 +570,7 @@ private[graft] object QueriesJoinsOlap {
          |  FROM events
          |)
          |SELECT user_id, count(*) + 1 AS n_events,
-         |  round(avg(gap_us), 4) AS avg_gap_us,
+         |  CAST((10000 * sum(gap_us)) // count(*) AS BIGINT) AS avg_gap_us_e4,
          |  min(gap_us) AS min_gap_us, max(gap_us) AS max_gap_us
          |FROM g WHERE gap_us IS NOT NULL
          |GROUP BY user_id ORDER BY user_id""".stripMargin),

@@ -175,7 +175,15 @@ object Events {
     * ordered by event_id like every other window here, and since equal
     * timestamps yield the same gap multiset under any tie order, the
     * output is engine-portable by construction. Users with a single
-    * event have no gap and are excluded (rather than emitting nulls). */
+    * event have no gap and are excluded (rather than emitting nulls).
+    *
+    * The mean is the cleared-denominator integer `(10⁴·Σgap) div n`
+    * (1e-4 µs quantization), NOT a float `avg()`: DuckDB's avg(BIGINT)
+    * streams through a double accumulator, and at sf0.1 the
+    * association-order noise reached the rounded 4th decimal — a float
+    * mean over exact integers is a portability bug waiting for enough
+    * rows. 10⁴·Σgap stays far under 2⁶³ for any realistic per-user
+    * span (30 days of gaps ≈ 2.6e12 µs → 2.6e16). */
   def interArrival(events: DataFrame): DataFrame =
     events
       .select(col("user_id"), col("ts"), col("event_id"))
@@ -184,7 +192,7 @@ object Events {
       .filter(col("gap_us").isNotNull)
       .groupBy(col("user_id"))
       .agg((count(lit(1)) + 1).as("n_events"),
-        round(avg(col("gap_us")), 4).as("avg_gap_us"),
+        expr("(10000 * sum(gap_us)) div count(1)").as("avg_gap_us_e4"),
         min(col("gap_us")).as("min_gap_us"),
         max(col("gap_us")).as("max_gap_us"))
 

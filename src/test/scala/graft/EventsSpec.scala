@@ -217,16 +217,17 @@ class EventsSpec extends SparkSpec {
       (6L, ts("2024-01-01 12:00:00"), 300L, "view", 1.0, "{}")
     ).toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
     val r = Events.interArrival(ev).orderBy("user_id").collect()
-      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2), x.getLong(3),
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3),
         x.getLong(4))).toSeq
     // user 100: gaps 10 min and 55 min; user 200: one 39:59 gap;
-    // user 300 has a single event -> no row
+    // user 300 has a single event -> no row; the mean is the exact
+    // integer (10^4 * sum) div count
     val tenMin = 600L * 1000000
     val g2 = 3300L * 1000000
     val u200 = 2399L * 1000000
     assert(r == Seq(
-      (100L, 3L, (tenMin + g2) / 2.0, tenMin, g2),
-      (200L, 2L, u200.toDouble, u200, u200)))
+      (100L, 3L, 10000L * (tenMin + g2) / 2, tenMin, g2),
+      (200L, 2L, 10000L * u200, u200, u200)))
   }
 
   test("retention: cohort = first active day, offsets count distinct users") {
