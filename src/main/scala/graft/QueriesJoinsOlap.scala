@@ -570,7 +570,9 @@ private[graft] object QueriesJoinsOlap {
          |  FROM events
          |)
          |SELECT user_id, count(*) + 1 AS n_events,
-         |  CAST((10000 * sum(gap_us)) // count(*) AS BIGINT) AS avg_gap_us_e4,
+         |  CAST(10000 * (sum(gap_us) // count(*)) +
+         |    (10000 * (sum(gap_us) % count(*))) // count(*)
+         |    AS BIGINT) AS avg_gap_us_e4,
          |  min(gap_us) AS min_gap_us, max(gap_us) AS max_gap_us
          |FROM g WHERE gap_us IS NOT NULL
          |GROUP BY user_id ORDER BY user_id""".stripMargin),

@@ -177,13 +177,20 @@ object Events {
     * output is engine-portable by construction. Users with a single
     * event have no gap and are excluded (rather than emitting nulls).
     *
-    * The mean is the cleared-denominator integer `(10⁴·Σgap) div n`
+    * The mean is the cleared-denominator integer `floor(10⁴·Σgap / n)`
     * (1e-4 µs quantization), NOT a float `avg()`: DuckDB's avg(BIGINT)
     * streams through a double accumulator, and at sf0.1 the
     * association-order noise reached the rounded 4th decimal — a float
     * mean over exact integers is a portability bug waiting for enough
-    * rows. 10⁴·Σgap stays far under 2⁶³ for any realistic per-user
-    * span (30 days of gaps ≈ 2.6e12 µs → 2.6e16). */
+    * rows. Computed by the split identity
+    * `10⁴·(s div n) + (10⁴·(s mod n)) div n` so the INTERMEDIATE never
+    * overflows Long even with dirty epoch-zero timestamps (one
+    * 54-year gap makes the naive 10⁴·Σgap ≈ 1.7e19 > 2⁶³): Σgap itself
+    * is bounded by the table's time span (centuries before Long
+    * saturates) and 10⁴·(s mod n) < 10⁴·n. The oracle computes the
+    * same identity over DuckDB's HUGEINT sum — identical on every
+    * input whose MEAN fits the declared bigint (a >29-year mean is out
+    * of the result domain on both engines, loudly). */
   def interArrival(events: DataFrame): DataFrame =
     events
       .select(col("user_id"), col("ts"), col("event_id"))
@@ -192,7 +199,9 @@ object Events {
       .filter(col("gap_us").isNotNull)
       .groupBy(col("user_id"))
       .agg((count(lit(1)) + 1).as("n_events"),
-        expr("(10000 * sum(gap_us)) div count(1)").as("avg_gap_us_e4"),
+        expr("10000 * (sum(gap_us) div count(1)) + " +
+          "(10000 * (sum(gap_us) % count(1))) div count(1)")
+          .as("avg_gap_us_e4"),
         min(col("gap_us")).as("min_gap_us"),
         max(col("gap_us")).as("max_gap_us"))
 

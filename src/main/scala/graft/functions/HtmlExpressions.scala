@@ -17,10 +17,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * Semantics (single forward scan, O(n), zero allocation beyond the
   * output builder):
   *   - `<!-- ... -->` comments are dropped whole;
-  *   - `<script ...>...</script>` and `<style ...>...</style>` are
-  *     dropped INCLUDING their contents (case-insensitive close-tag
-  *     search — code/CSS is not text);
-  *   - every other `<...>` tag is dropped;
+  *   - OPENING `<script ...>` / `<style ...>` drop their whole block
+  *     INCLUDING contents (case-insensitive close-tag search — code/CSS
+  *     is not text); a STRAY `</script>` with no opener just drops like
+  *     any other tag;
+  *   - every other `<...>` tag is dropped, with the closing `>` found
+  *     QUOTE-AWARE (a `>` inside `title="a>b"` is attribute data, not
+  *     the tag close);
   *   - entities decode: `&amp; &lt; &gt; &quot; &apos;`, decimal
   *     `&#NN;` and hex `&#xNN;` (code points through the supplementary
   *     planes); a bare `&` that opens no valid entity stays literal —
@@ -47,10 +50,18 @@ object HtmlOps {
           if (end < 0) return null // unterminated comment
           i = end + 3
         } else {
-          val close = s.indexOf('>', i + 1)
-          if (close < 0) return null // unterminated tag
+          // quote-aware close search: the first '>' may sit INSIDE a
+          // quoted attribute value (title="a>b", inline handlers with
+          // =>) — taking it as the tag close leaks attribute remnants
+          // into the text, the exact first-'>' flaw of the regex form
+          val close = findTagClose(s, i + 1)
+          if (close < 0) return null // unterminated tag or quote
+          // only an OPENING <script>/<style> starts a raw-text block: a
+          // STRAY close tag (common in real web HTML) must just drop,
+          // not hunt for a matching close and null/truncate the doc
+          val isClose = i + 1 < n && s.charAt(i + 1) == '/'
           val name = tagName(s, i + 1, close)
-          if (name == "script" || name == "style") {
+          if (!isClose && (name == "script" || name == "style")) {
             val endTag = indexOfIgnoreCase(s, "</" + name, close + 1)
             if (endTag < 0) return null // unterminated raw-text block
             val endClose = s.indexOf('>', endTag)
@@ -65,6 +76,24 @@ object HtmlOps {
       } else { out.append(c); i += 1 }
     }
     UTF8String.fromString(out.toString)
+  }
+
+  /** Index of the tag-closing '>' starting after '<', skipping over
+    * single- and double-quoted attribute values; −1 when the tag (or a
+    * quote) never closes. */
+  private def findTagClose(s: String, from: Int): Int = {
+    var j = from
+    val n = s.length
+    while (j < n) {
+      val c = s.charAt(j)
+      if (c == '>') return j
+      if (c == '"' || c == '\'') {
+        val end = s.indexOf(c, j + 1)
+        if (end < 0) return -1 // unterminated quote
+        j = end + 1
+      } else j += 1
+    }
+    -1
   }
 
   /** Lower-cased element name starting at `from` (after '<'), stopping
@@ -87,6 +116,15 @@ object HtmlOps {
     -1
   }
 
+  /** Numeric character reference, post-validated: surrogate code points
+    * (D800–DFFF) are not characters — the HTML spec maps them to U+FFFD,
+    * and appending a lone surrogate would turn into '?' mojibake inside
+    * UTF8String's encoder. */
+  private def numericCp(cp: Long, after: Int, fallback: Int): (Int, Int) =
+    if (cp >= 0xD800 && cp <= 0xDFFF) (0xFFFD, after)
+    else if (cp > 0 && cp <= Character.MAX_CODE_POINT) (cp.toInt, after)
+    else (0, fallback)
+
   /** Decode the entity starting at `i` ('&'); returns (codePoint,
     * indexAfter) or (_, i) when no valid entity starts here. */
   private def entity(s: String, i: Int): (Int, Int) = {
@@ -103,16 +141,13 @@ object HtmlOps {
         val hex = body.substring(2)
         if (hex.nonEmpty && hex.forall(ch => Character.digit(ch, 16) >= 0)) {
           val cp = java.lang.Long.parseLong(hex, 16)
-          if (cp > 0 && cp <= Character.MAX_CODE_POINT) (cp.toInt, semi + 1)
-          else (0, i)
+          numericCp(cp, semi + 1, i)
         } else (0, i)
       case _ if body.startsWith("#") =>
         val dec = body.substring(1)
-        if (dec.nonEmpty && dec.forall(_.isDigit) && dec.length <= 8) {
-          val cp = dec.toLong
-          if (cp > 0 && cp <= Character.MAX_CODE_POINT) (cp.toInt, semi + 1)
-          else (0, i)
-        } else (0, i)
+        if (dec.nonEmpty && dec.forall(_.isDigit) && dec.length <= 8)
+          numericCp(dec.toLong, semi + 1, i)
+        else (0, i)
       case _ => (0, i)
     }
   }

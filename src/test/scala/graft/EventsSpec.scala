@@ -228,6 +228,23 @@ class EventsSpec extends SparkSpec {
     assert(r == Seq(
       (100L, 3L, 10000L * (tenMin + g2) / 2, tenMin, g2),
       (200L, 2L, 10000L * u200, u200, u200)))
+    // dirty-data shape: one epoch-zero timestamp gives a ~54-year gap
+    // whose naive 10^4 * sum overflows Long — the split identity must
+    // still produce the exact floor(10^4 * sum / n)
+    val dirty = Seq(
+      (10L, java.sql.Timestamp.valueOf("1970-01-01 00:00:00"), 9L,
+        "view", 1.0, "{}"),
+      (11L, ts("2024-01-01 00:00:00"), 9L, "view", 1.0, "{}"),
+      (12L, ts("2024-01-01 00:00:07"), 9L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val big = Events.interArrival(dirty).head()
+    // gap from the actual Timestamp difference (JVM-timezone-proof)
+    val gap1 = (ts("2024-01-01 00:00:00").getTime -
+      java.sql.Timestamp.valueOf("1970-01-01 00:00:00").getTime) * 1000L
+    val sum = gap1 + 7000000L
+    assert(BigInt(10000) * BigInt(sum) > BigInt(Long.MaxValue)) // the trap
+    val want = BigInt(10000) * BigInt(sum) / 2
+    assert(BigInt(big.getLong(2)) == want)
   }
 
   test("retention: cohort = first active day, offsets count distinct users") {

@@ -11,6 +11,25 @@ import org.scalacheck.{Gen, Prop, Properties}
   *    the walk refuse (None), never mis-read. */
 object Round13PropertySpec extends Properties("round13") {
 
+  // 40 trials suite-wide: the stats/bloom properties each write real
+  // parquet (and the bloom one runs a full distributed commit) per
+  // trial — the default 100 triples suite wall time for no extra
+  // coverage class (the ComponentsPropertySpec discipline)
+  override def overrideParameters(p: org.scalacheck.Test.Parameters)
+      : org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(40)
+
+  private def rmTree(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.isDirectory(p)) {
+      val s = java.nio.file.Files.list(p)
+      try {
+        val it = s.iterator()
+        while (it.hasNext) rmTree(it.next())
+      } finally s.close()
+    }
+    java.nio.file.Files.deleteIfExists(p): Unit
+  }
+
   private def encodeJpeg(w: Int, h: Int, seed: Long,
                          quality: Option[Float]): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
@@ -69,23 +88,25 @@ object Round13PropertySpec extends Properties("round13") {
     }
 
   // ---------------------------------------- manifest stats / blooms
-  // (these need a SparkSession; minSuccessful kept modest — each trial
-  // writes real parquet)
+  // (these need a SparkSession; each trial writes real parquet and
+  // cleans its scratch up — see overrideParameters above)
 
   private def withParquet[A](rows: Seq[(Long, Double, String)])(
       f: (java.nio.file.Path, org.apache.spark.sql.DataFrame) => A): A = {
     val spark = TestSpark.spark
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("r13-stats-")
-    val df = rows.toDF("id", "v", "s").coalesce(1)
-    df.write.mode("overwrite").parquet(dir.toString)
-    val listing = java.nio.file.Files.list(dir)
     try {
-      import scala.jdk.CollectionConverters._
-      val p = listing.iterator().asScala
-        .find(_.getFileName.toString.endsWith(".parquet")).get
-      f(p, df)
-    } finally listing.close()
+      val df = rows.toDF("id", "v", "s").coalesce(1)
+      df.write.mode("overwrite").parquet(dir.toString)
+      val listing = java.nio.file.Files.list(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        val p = listing.iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        f(p, df)
+      } finally listing.close()
+    } finally rmTree(dir)
   }
 
   private val genRows: Gen[List[(Long, Double, String)]] =
@@ -133,21 +154,23 @@ object Round13PropertySpec extends Properties("round13") {
     Prop.forAllNoShrink(genRows) { rows =>
       val spark = TestSpark.spark
       import spark.implicits._
-      val dir = java.nio.file.Files.createTempDirectory("r13-bloom-").toString
-      val tbl = s"$dir/t"
-      graft.sources.TxTable.commit(
-        rows.toDF("id", "v", "s").coalesce(1), tbl, "overwrite",
-        bloomColumns = Seq("id", "s"))
-      import org.apache.spark.sql.sources.EqualTo
-      val m = graft.sources.TxTable.readManifest(
-        java.nio.file.Paths.get(tbl), 1L)
-      m.files.forall { f =>
-        val bl = m.blooms.getOrElse(f, Map.empty)
-        rows.forall { case (id, _, s) =>
-          !graft.sources.TxStats.bloomExcludes(bl, EqualTo("id", id)) &&
-            !graft.sources.TxStats.bloomExcludes(bl, EqualTo("s", s))
+      val dir = java.nio.file.Files.createTempDirectory("r13-bloom-")
+      try {
+        val tbl = s"$dir/t"
+        graft.sources.TxTable.commit(
+          rows.toDF("id", "v", "s").coalesce(1), tbl, "overwrite",
+          bloomColumns = Seq("id", "s"))
+        import org.apache.spark.sql.sources.EqualTo
+        val m = graft.sources.TxTable.readManifest(
+          java.nio.file.Paths.get(tbl), 1L)
+        m.files.forall { f =>
+          val bl = m.blooms.getOrElse(f, Map.empty)
+          rows.forall { case (id, _, s) =>
+            !graft.sources.TxStats.bloomExcludes(bl, EqualTo("id", id)) &&
+              !graft.sources.TxStats.bloomExcludes(bl, EqualTo("s", s))
+          }
         }
-      }
+      } finally rmTree(dir)
     }
 
   // ----------------------------------------------------- html strip

@@ -115,9 +115,22 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(strip("x &amp; y &#65;&#x42; &lt;tag&gt;") ==
       Some("x & y AB <tag>"))
     assert(strip("AT&T and R&D") == Some("AT&T and R&D"))
+    // a STRAY close tag (no opener — everywhere in real HTML) drops
+    // like any other tag instead of opening a phantom raw-text hunt
+    assert(strip("ok</script>") == Some("ok"))
+    assert(strip("a</script>b</script>c") == Some("abc"))
+    assert(strip("a</style>b") == Some("ab"))
+    // '>' inside a quoted attribute value is data, not the tag close
+    assert(strip("<a title=\"a>b\">x</a>") == Some("x"))
+    assert(strip("<div data-f='x => y'>t</div>") == Some("t"))
+    // surrogate numeric references map to U+FFFD, never lone surrogates
+    assert(strip("&#xD800;z") == Some("�z"))
+    assert(strip("&#55296;z") == Some("�z"))
     // strict-or-refuse on structural malformation (an OPEN '<' with no
-    // closing '>' — "<p>trailing text" is well-formed, the tag closed)
+    // closing '>' — "<p>trailing text" is well-formed, the tag closed;
+    // an unterminated attribute QUOTE is malformed too)
     assert(strip("text <p unterminated") == None)
+    assert(strip("<a title=\"never closed>x") == None)
     assert(strip("<!-- never closed") == None)
     assert(strip("<script>var x = 1;") == None)
     // SQL and Column API agree
