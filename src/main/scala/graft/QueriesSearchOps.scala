@@ -127,6 +127,17 @@ private[graft] object QueriesSearchOps {
       TextStats.hashVectorize(Tables.documents(s, dir), "doc_id", "text",
           buckets = 64)
         .orderBy("doc_id", "bucket")),
+    // ----- model-based quality filter (TextStats.modelScore scaladoc:
+    // linear-classifier inference over hashing-trick features with the
+    // weight lookup as a plan literal — no vector materialized, one
+    // scan + one per-doc sum). Planted integer weights
+    // w[b] = (b*37) mod 17 − 8 certify the arithmetic; a trained
+    // model's quantized weights drop into the same plan -----
+    "text_quality_model" -> ((s: SparkSession, dir: String) =>
+      TextStats.modelScore(Tables.documents(s, dir), "doc_id", "text",
+          weights = (0 until 64).map(b => ((b * 37) % 17 - 8).toLong),
+          threshold = 0L)
+        .orderBy("doc_id")),
     // ----- language × quality-gate contingency (TextStats
     // .qualityCrosstab scaladoc: scan-side metrics, tiny (lang, kept)
     // groupBy), same thresholds as text_cleanpass -----
@@ -777,6 +788,24 @@ private[graft] object QueriesSearchOps {
          |)
          |SELECT doc_id, h % 64 AS bucket, count(*) AS n
          |FROM h GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin),
+    // the same poly hash as the hashvec oracle, folded straight into the
+    // planted weight formula and summed per doc — ⟨w, counts⟩ by
+    // distributivity, no vector anywhere
+    "text_quality_model" ->
+      ("""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+         |), h AS (
+         |  SELECT doc_id,
+         |    list_reduce([CAST(ascii(c) AS BIGINT) for c in string_split(t,'')],
+         |      (a,x) -> (a*31+x) % 2147483647) * 2147483648
+         |    + list_reduce([CAST(ascii(c) AS BIGINT) for c in string_split(t,'')],
+         |      (a,x) -> (a*131+x) % 2147483629) AS h
+         |  FROM tok WHERE t <> ''
+         |)
+         |SELECT doc_id,
+         |  CAST(sum(((h % 64) * 37) % 17 - 8) AS BIGINT) AS logit,
+         |  sum(((h % 64) * 37) % 17 - 8) >= 0 AS kept
+         |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     // the shared QualityCtes metrics joined back for lang, gated with the
     // cleanpass thresholds
     "text_crosstab" ->

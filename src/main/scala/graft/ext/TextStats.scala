@@ -203,6 +203,44 @@ object TextStats {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Model-based quality filtering — the fineweb-edu / DCLM pipeline
+    * stage where a LEARNED classifier, not a heuristic, decides what
+    * survives: linear-model inference over [[hashVectorize]]'s
+    * hashing-trick features, executed without ever materializing the
+    * feature vector. Per token the bucket weight is looked up in a
+    * plan-literal array (`element_at(typedLit(w), bucket+1)` — a
+    * broadcast-free constant inside codegen) and summed per document:
+    * `logit(doc) = Σ_tokens w[polyhash(t) mod buckets]`, exactly the
+    * dot product ⟨w, counts⟩ by distributivity. One scan + one
+    * map-side-combined per-doc sum — the same cost as counting tokens,
+    * at ANY model width that fits a literal (capped loudly; a 100k-dim
+    * model ships ~800 KB inside the plan, fine; past that, carry
+    * weights as a broadcast join on bucket instead).
+    *
+    * Integer weights + integer threshold keep inference engine-exact
+    * (certified with planted deterministic weights; a real model's
+    * trained weights quantize to fixed-point the same way). Documents
+    * with zero tokens have no feature mass and emit no row — score a
+    * frame joined back to the corpus when empty docs need a verdict. */
+  def modelScore(df: DataFrame, idCol: String, textCol: String,
+                 weights: Seq[Long], threshold: Long): DataFrame = {
+    val buckets = weights.length
+    require(buckets > 0, "need at least one weight")
+    require(buckets <= (1 << 20),
+      s"$buckets weights exceed the plan-literal cap (1M) — carry the " +
+        "model as a broadcast (bucket, weight) join instead")
+    df.select(col(idCol), explode(split(col(textCol), " ")).as("t"))
+      .filter(col("t") =!= "")
+      .select(col(idCol),
+        element_at(typedLit(weights),
+          (pmod(element_at(
+            graft.functions.ShingleFunctions.token_poly_hashes(col("t")), 1),
+            lit(buckets.toLong)).cast("int") + 1)).as("w"))
+      .groupBy(col(idCol))
+      .agg(sum(col("w")).as("logit"))
+      .withColumn("kept", col("logit") >= threshold)
+  }
+
   /** Equi-DEPTH length buckets — [[lenHistogram]]'s dual: bucket
     * boundaries placed so each bucket holds ~|corpus|/buckets documents,
     * the histogram a query planner or a curriculum sampler actually wants

@@ -96,7 +96,8 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
     // manifest log itself to SQL — O(versions)/O(files) driver metadata
     // served through a LocalScan, never a distributed job
     ident.name().split('$') match {
-      case Array(base, kind @ ("history" | "files")) if base.nonEmpty =>
+      case Array(base, kind @ ("history" | "files" | "stats"))
+          if base.nonEmpty =>
         val dir = dirFor(Identifier.of(ident.namespace(), base))
         if (!isTxTable(dir)) throw new NoSuchTableException(ident)
         return TxMetaTables.table(fullName(ident), dir, kind)
@@ -243,7 +244,8 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.toSeq == Seq("system"))
       Array(Identifier.of(namespace, "compact"),
-        Identifier.of(namespace, "vacuum"))
+        Identifier.of(namespace, "vacuum"),
+        Identifier.of(namespace, "restore"))
     else Array.empty
 
   override def loadProcedure(ident: Identifier):
@@ -266,8 +268,9 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
     ident.name() match {
       case "compact" => TxProcedures.compact(resolve)
       case "vacuum"  => TxProcedures.vacuum(resolve)
+      case "restore" => TxProcedures.restore(resolve)
       case other => throw new IllegalArgumentException(
-        s"unknown procedure system.$other (have: compact, vacuum)")
+        s"unknown procedure system.$other (have: compact, vacuum, restore)")
     }
   }
 
@@ -434,7 +437,37 @@ private[graft] object TxMetaTables {
     StructField("file", StringType, nullable = false),
     StructField("bytes", LongType, nullable = false)))
 
+  private val StatsSchema = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("column", StringType, nullable = false),
+    StructField("min", StringType, nullable = true),
+    StructField("max", StringType, nullable = true),
+    StructField("has_bloom", org.apache.spark.sql.types.BooleanType,
+      nullable = false)))
+
   def table(name: String, dir: Path, kind: String): Table = kind match {
+    // `t$stats`: the data-skipping layer made introspectable — which
+    // files carry min/max for which columns, and which have blooms; the
+    // first question to ask when a point lookup scans more files than
+    // expected
+    case "stats" => new MetaTable(name, StatsSchema, () => {
+      val v = TxTable.latestVersion(dir.toString).getOrElse(
+        throw new IllegalStateException(s"no committed version under $dir"))
+      val m = TxTable.readManifest(dir, v)
+      m.files.sorted.flatMap { f =>
+        val st = m.stats.getOrElse(f, Map.empty)
+        val bl = m.blooms.getOrElse(f, Map.empty)
+        val cols = (st.keySet ++ bl.keySet).toSeq.sorted
+        cols.map { c =>
+          val cs = st.get(c)
+          new GenericInternalRow(Array[Any](
+            UTF8String.fromString(f), UTF8String.fromString(c),
+            cs.map(x => UTF8String.fromString(x.min)).orNull,
+            cs.map(x => UTF8String.fromString(x.max)).orNull,
+            bl.contains(c))): InternalRow
+        }
+      }.toArray
+    })
     case "history" => new MetaTable(name, HistorySchema, () =>
       TxTable.history(dir.toString).map { case (v, op) =>
         val m = TxTable.readManifest(dir, v)
@@ -510,6 +543,32 @@ private[graft] object TxProcedures {
             val target = args.getLong(1)
             val v = TxTable.compact(SparkSession.active, resolve(tbl).toString,
               target)
+            oneRowScan(
+              StructType(Seq(StructField("new_version", LongType, false))),
+              new GenericInternalRow(Array[Any](v)))
+          }
+        }
+    }
+
+  def restore(resolve: String => Path): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = "restore"
+      override def description(): String =
+        "roll the table back to a retained version by committing its " +
+          "snapshot as the new head — append-only history, zero data " +
+          "movement (TxTable.restore)"
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = "restore"
+          override def parameters(): Array[ProcedureParameter] = Array(
+            ProcedureParameter.in("table", StringType)
+              .comment("dotted table name under the warehouse root").build(),
+            ProcedureParameter.in("version", LongType)
+              .comment("retained version to restore").build())
+          override def isDeterministic: Boolean = false
+          override def call(args: InternalRow): util.Iterator[Scan] = {
+            val tbl = args.getUTF8String(0).toString
+            val v = TxTable.restore(resolve(tbl).toString, args.getLong(1))
             oneRowScan(
               StructType(Seq(StructField("new_version", LongType, false))),
               new GenericInternalRow(Array[Any](v)))

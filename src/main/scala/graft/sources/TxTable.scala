@@ -484,6 +484,33 @@ object TxTable {
     v + 1
   }
 
+  /** RESTORE — roll the table back to version `v` by committing v's
+    * snapshot as the NEW head (the Delta RESTORE shape: history is
+    * append-only, a rollback is one more version, nothing is deleted).
+    * Pure metadata: the new manifest re-lists v's files (with their
+    * stats and blooms) — zero data movement, O(1) manifest IO — and
+    * races like any commit (loud version conflict). Requires v to still
+    * be retained: vacuum deletes manifests BEFORE files, so a readable
+    * manifest implies its files exist, and once restored those files
+    * are live in the head and protected from future vacuums. The
+    * carried-forward `txns` watermarks come from the CURRENT head (an
+    * idempotent writer's progress is not part of the data being rolled
+    * back). */
+  def restore(tableDir: String, v: Long,
+              primitive: CommitPrimitive = PosixLinkPrimitive): Long = {
+    val root = Paths.get(tableDir)
+    val m = readManifest(root, v) // loud when v is gone
+    val latest = latestVersion(tableDir).getOrElse(
+      throw new IllegalStateException(
+        s"no committed version under $tableDir/$LogDir"))
+    require(v <= latest, s"cannot restore to future version $v (head $latest)")
+    val head = readManifest(root, latest)
+    val manifest = Manifest(latest + 1, "restore", m.schemaJson, m.files,
+      head.txns, m.stats, m.blooms)
+    publish(root, manifest, primitive)
+    latest + 1
+  }
+
   /** Time travel: read exactly version `v`'s snapshot. */
   def readVersion(spark: SparkSession, tableDir: String, v: Long): DataFrame = {
     val root = Paths.get(tableDir)

@@ -318,6 +318,38 @@ class TextStatsSpec extends SparkSpec {
     assert(rows.forall(r => r._2 >= 0 && r._2 < 64))
   }
 
+  test("modelScore = dot product of weights with hashVectorize counts") {
+    import spark.implicits._
+    val d = Seq((1L, "a b a a c"), (2L, "a"), (3L, "x y z z"),
+      (4L, "")).toDF("doc_id", "text")
+    val rnd = new scala.util.Random(5L)
+    val w = Seq.fill(64)(rnd.nextInt(21).toLong - 10L)
+    val got = TextStats.modelScore(d, "doc_id", "text", w, threshold = 0L)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(2))))
+      .toMap
+    // the explicit feature-vector formulation must agree exactly
+    val counts = TextStats.hashVectorize(d, "doc_id", "text", buckets = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = counts.groupBy(_._1).view.mapValues(rs =>
+      rs.map(r => w(r._2.toInt) * r._3).sum).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (id, logit) =>
+      assert(got(id) == ((logit, logit >= 0L)), s"doc $id")
+    }
+    // empty docs carry no feature mass and emit no row
+    assert(!got.contains(4L))
+    // the plan is scan + aggregate: no join, no vector materialization
+    val plan = TextStats.modelScore(d, "doc_id", "text", w, 0L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan.take(600))
+    // loud refusal past the plan-literal cap
+    val e = intercept[IllegalArgumentException] {
+      TextStats.modelScore(d, "doc_id", "text",
+        Seq.fill((1 << 20) + 1)(0L), 0L)
+    }
+    assert(e.getMessage.contains("broadcast"))
+  }
+
   test("normalize: case, control chars, and space runs collapse; trim ends") {
     import spark.implicits._
     val d = Seq((1L, "  Hello\tWORLD   again "), (2L, "clean text"))

@@ -333,6 +333,42 @@ class TxCatalogSpec extends SparkSpec {
     }
   }
 
+  test("CALL system.restore rolls back as a new version; $stats introspects skipping") {
+    warehouse
+    import spark.implicits._
+    val dir = s"$warehouse/db/rb"
+    TxTable.commit(Seq((1L, "keep")).toDF("id", "s"), dir, "overwrite",
+      bloomColumns = Seq("s"))
+    TxTable.commit(Seq((2L, "oops")).toDF("id", "s"), dir, "overwrite")
+    // bad deploy overwrote the table; RESTORE commits v1's snapshot as v3
+    val newV = spark.sql("CALL txspec.system.restore('db.rb', 1)")
+      .head().getLong(0)
+    assert(newV == 3L)
+    assert(spark.sql("SELECT s FROM txspec.db.rb").head().getString(0)
+      == "keep")
+    // append-only history: the bad version is still time-travelable
+    assert(spark.sql("SELECT s FROM txspec.db.rb VERSION AS OF 2")
+      .head().getString(0) == "oops")
+    assert(TxTable.history(dir).map(_._2) ==
+      Seq("overwrite", "overwrite", "restore"))
+    // the restored head carries v1's stats AND blooms: $stats shows the
+    // bloom'd column, and a point lookup on an absent key scans 0 files
+    val stats = spark.sql(
+      "SELECT column, min, max, has_bloom FROM txspec.db.`rb$stats`")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getBoolean(3))).toSeq
+    assert(stats.contains(("id", "1", "1", false)), stats)
+    assert(stats.exists(s => s._1 == "s" && s._4), stats)
+    val plan = spark.sql(
+      "SELECT id FROM txspec.db.rb WHERE s = 'absent'")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryFileIndex(0 paths)"), plan.take(600))
+    // restoring a vacuumed/unknown version fails loudly
+    intercept[Exception] {
+      spark.sql("CALL txspec.system.restore('db.rb', 99)").collect()
+    }
+  }
+
   test("namespace listing sees the table, SHOW TABLES works") {
     warehouse
     val tables = spark.sql("SHOW TABLES IN txspec.db").collect()
