@@ -520,6 +520,15 @@ private[graft] object QueriesSearchOps {
       Multimodal.metaJpeg(
           Multimodal.plantedJpeg(s, Tables.documents(s, dir)))
         .toDF().orderBy("id")),
+    // perceptual-hash signature for IMAGE near-dup blocking
+    // (Multimodal.phashPpm scaladoc: one bit per quadrant, 4·q > total
+    // in exact integers — the certified kernel of the 64-bit aHash);
+    // the oracle replays every quadrant sum from the planted pixel
+    // formula, so a wrong quadrant boundary or bit order breaks the hash
+    "mm_phash" -> ((s: SparkSession, dir: String) =>
+      Multimodal.phashPpm(
+          Multimodal.plantedPpmEven(s, Tables.documents(s, dir)))
+        .toDF().orderBy("id")),
     // exact area-average downscale (factor 2): every output channel is
     // the round-half-up integer mean of its 2x2 block, so the oracle can
     // replay each block from the planted pixel formula — certifying the
@@ -1399,6 +1408,33 @@ private[graft] object QueriesSearchOps {
          |  CAST(8 AS BIGINT) AS bit_depth,
          |  CAST(2 AS BIGINT) AS color_type
          |FROM documents ORDER BY id""".stripMargin),
+    // quadrant sums replayed as filtered range-sums of the planted
+    // formula (k//3 is the pixel index, y = p//w, x = p%w); the bit is
+    // 4·q > total — exact integers end to end
+    "mm_phash" ->
+      ("""WITH g AS (
+         |  SELECT doc_id AS id, 2*(1 + doc_id % 3) AS w,
+         |         2*(1 + doc_id % 2) AS h
+         |  FROM documents
+         |), q AS (
+         |  SELECT id,
+         |    CAST(list_sum([ (id*31 + 7*k) % 256 FOR k IN range(0, 3*w*h)
+         |      IF ((k//3)//w < h//2) AND ((k//3)%w < w//2) ]) AS BIGINT) AS q0,
+         |    CAST(list_sum([ (id*31 + 7*k) % 256 FOR k IN range(0, 3*w*h)
+         |      IF ((k//3)//w < h//2) AND ((k//3)%w >= w//2) ]) AS BIGINT) AS q1,
+         |    CAST(list_sum([ (id*31 + 7*k) % 256 FOR k IN range(0, 3*w*h)
+         |      IF ((k//3)//w >= h//2) AND ((k//3)%w < w//2) ]) AS BIGINT) AS q2,
+         |    CAST(list_sum([ (id*31 + 7*k) % 256 FOR k IN range(0, 3*w*h)
+         |      IF ((k//3)//w >= h//2) AND ((k//3)%w >= w//2) ]) AS BIGINT) AS q3
+         |  FROM g
+         |)
+         |SELECT id, q0, q1, q2, q3,
+         |  CAST((CASE WHEN 4*q0 > q0+q1+q2+q3 THEN 1 ELSE 0 END)
+         |     + (CASE WHEN 4*q1 > q0+q1+q2+q3 THEN 2 ELSE 0 END)
+         |     + (CASE WHEN 4*q2 > q0+q1+q2+q3 THEN 4 ELSE 0 END)
+         |     + (CASE WHEN 4*q3 > q0+q1+q2+q3 THEN 8 ELSE 0 END)
+         |    AS BIGINT) AS sig
+         |FROM q ORDER BY id""".stripMargin),
     // the planted dims; precision 8 / 3 components are what the JDK
     // baseline JPEG writer emits for TYPE_INT_RGB, invariant over id
     "mm_meta_jpeg" ->

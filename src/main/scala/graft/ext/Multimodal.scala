@@ -431,6 +431,54 @@ object Multimodal {
     }
   }
 
+  final case class PhashFeatures(id: Long, q0: Long, q1: Long, q2: Long,
+                                 q3: Long, sig: Long)
+
+  /** Perceptual-hash signature — IMAGE near-dup blocking, the visual
+    * analogue of SimHash: each quadrant contributes one bit, set iff
+    * the quadrant's pixel mass exceeds the image mean (`4·q > total` in
+    * exact integers — quadrants hold exactly n/4 samples on even dims,
+    * so no division, no float, engine-replayable). Equal signatures
+    * block candidate pairs the way MinHash bands do for text; a
+    * brightness-shifted or lightly-recompressed copy keeps its mass
+    * DISTRIBUTION and lands in the same bucket while exact hashing
+    * misses it. This 4-bit quadrant form is the certified kernel of the
+    * real 64-bit aHash/dHash (8×8 grid, same arithmetic, same plan);
+    * odd dimensions quarantine-drop like every decoder here. Row-local
+    * mapPartitions; the downstream blocking join is a plain groupBy on
+    * `sig`. */
+  def phashPpm(media: Dataset[Media]): Dataset[PhashFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { m =>
+        decodePpmPixels(m.bytes).flatMap { case (w, h, px) =>
+          if (w % 2 != 0 || h % 2 != 0) None
+          else {
+            val qs = new Array[Long](4)
+            var p = 0
+            val n = w * h
+            while (p < n) {
+              val y = p / w
+              val x = p % w
+              val q = (if (y >= h / 2) 2 else 0) + (if (x >= w / 2) 1 else 0)
+              var c = 0
+              while (c < 3) { qs(q) += px(3 * p + c) & 0xff; c += 1 }
+              p += 1
+            }
+            val total = qs.sum
+            var sig = 0L
+            var i = 0
+            while (i < 4) {
+              if (4L * qs(i) > total) sig |= (1L << i)
+              i += 1
+            }
+            Some(PhashFeatures(m.id, qs(0), qs(1), qs(2), qs(3), sig))
+          }
+        }
+      }
+    }
+  }
+
   /** JPEG frame-header fields from the SOF segment — geometry without
     * entropy decode. `progressive` distinguishes SOF2 from baseline. */
   final case class JpegHeader(width: Int, height: Int, precision: Int,
