@@ -496,6 +496,14 @@ private[graft] object QueriesSearchOps {
       Multimodal.featuresY4m(
           Multimodal.plantedY4m(s, Tables.documents(s, dir)), step = 2)
         .toDF().orderBy("id", "frame_idx")),
+    // shot-boundary detection over the SAME planted clips: per-pixel-
+    // normalized luma jumps without division (Multimodal.sceneCuts
+    // scaladoc); the oracle replays every frame's luma sum and the lag
+    // — single-frame clips have no transition and emit no row
+    "mm_scenecut" -> ((s: SparkSession, dir: String) =>
+      Multimodal.sceneCuts(
+          Multimodal.plantedY4m(s, Tables.documents(s, dir)), threshold = 2L)
+        .orderBy("id")),
     // audio metadata fast path: fmt fields + frame count from the chunk
     // sizes alone — no sample byte is ever read (decodeWavMeta scaladoc)
     "mm_meta_wav" -> ((s: SparkSession, dir: String) =>
@@ -1391,6 +1399,31 @@ private[graft] object QueriesSearchOps {
          |FROM fr JOIN ys ON fr.id = ys.id AND fr.f = ys.f
          |        JOIN uvs ON fr.id = uvs.id AND fr.f = uvs.f
          |ORDER BY fr.id, frame_idx""".stripMargin),
+    // every frame's luma sum replayed (step 1 — the detector sees all
+    // frames), lagged per clip, jump vs w*h*2 in pure integers
+    "mm_scenecut" ->
+      ("""WITH g AS (
+         |  SELECT doc_id AS id, 2*(1 + doc_id % 3) AS w,
+         |         2*(1 + doc_id % 2) AS h, 1 + doc_id % 5 AS nf
+         |  FROM documents
+         |), fr AS (
+         |  SELECT id, w, h, f FROM g, generate_series(0, 4) t(f)
+         |  WHERE f < nf
+         |), ys AS (
+         |  SELECT id, w, h, f, sum((id*13 + 5*f + 3*k) % 256) AS s
+         |  FROM fr, generate_series(0, 23) ty(k)
+         |  WHERE k < w*h GROUP BY id, w, h, f
+         |), j AS (
+         |  SELECT id, w, h,
+         |    abs(s - lag(s) OVER (PARTITION BY id ORDER BY f)) AS jump
+         |  FROM ys
+         |)
+         |SELECT id, count(*) AS n_transitions,
+         |  CAST(sum(CASE WHEN jump > w*h*2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_cuts,
+         |  CAST(max(jump) AS BIGINT) AS max_jump
+         |FROM j WHERE jump IS NOT NULL
+         |GROUP BY id ORDER BY id""".stripMargin),
     // the planted fmt/frame formulas, amplitude-free — a frame count
     // derived from a chunk SIZE instead of a sample walk must agree
     "mm_meta_wav" ->

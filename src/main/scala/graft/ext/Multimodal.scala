@@ -909,6 +909,32 @@ object Multimodal {
     }
   }
 
+  /** Scene-cut detection — the shot-boundary primitive that makes video
+    * frame sampling content-aware (sample per SHOT, not per fixed
+    * stride, and a cut list is the index a video search or captioning
+    * pipeline joins against). A cut is declared between consecutive
+    * frames when the luma mass jumps by more than `threshold` gray
+    * levels PER PIXEL: `|Δy_sum| > w·h·threshold` — dimension-
+    * normalized without division, pure integers, engine-replayable.
+    * Plan: the row-local frame decode ([[featuresY4m]] at step 1 — a
+    * cut detector must see every frame) feeds one lag window per clip
+    * and one per-clip aggregate; single-frame clips have no transition
+    * and emit no row. */
+  def sceneCuts(media: Dataset[Media], threshold: Long = 2L): DataFrame = {
+    require(threshold >= 0, s"threshold must be >= 0, got $threshold")
+    val f = featuresY4m(media, step = 1).toDF()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("frame_idx"))
+    f.withColumn("prev", lag(col("y_sum"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .withColumn("jump", abs(col("y_sum") - col("prev")))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_transitions"),
+        sum(when(col("jump") > col("width") * col("height") * threshold, 1L)
+          .otherwise(0L)).as("n_cuts"),
+        max(col("jump")).as("max_jump"))
+  }
+
   /** Planted Y4M payloads, every field a formula of `doc_id`:
     * `w = 2·(1 + id%3)`, `h = 2·(1 + id%2)`, `frames = 1 + id%5`,
     * `fps = (24 + id%2):1`, colorspace C420jpeg; luma byte k of frame f
