@@ -52,7 +52,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * commit, retention is [[TxTable.vacuum]]'s job.
   */
 class TxCatalog extends TableCatalog with SupportsNamespaces
-  with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+  with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+  with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
 
   private var catalogName: String = _
   private var root: Path = _
@@ -178,6 +179,51 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
         throw new TableAlreadyExistsException(ident)
     }
     new TxSqlTable(fullName(ident), dir, 1L, writable = true)
+  }
+
+  // -------------------------------------- atomic CTAS / RTAS staging
+
+  /** `CREATE TABLE ... AS SELECT` lands ATOMICALLY: the query's output
+    * stages as unpublished files (no manifest references them — a
+    * reader can never see a half-written table), and only
+    * `commitStagedChanges` publishes version 1 through the same
+    * create-exclusive OCC race CREATE uses; a failed query aborts by
+    * reclaiming the staged files, leaving no table behind. `REPLACE
+    * TABLE ... AS SELECT` publishes `latest+1` as an overwrite — the
+    * old content stays time-travelable like any overwrite. */
+  override def stageCreate(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    require(partitions.isEmpty,
+      "TxCatalog tables are not hive-partitioned — stage without " +
+        "PARTITIONED BY")
+    val dir = dirFor(ident)
+    if (isTxTable(dir)) throw new TableAlreadyExistsException(ident)
+    new StagedTxTable(fullName(ident), dir, schema, replace = false)
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+                            partitions: Array[Transform],
+                            properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    require(partitions.isEmpty,
+      "TxCatalog tables are not hive-partitioned — stage without " +
+        "PARTITIONED BY")
+    val dir = dirFor(ident)
+    if (!isTxTable(dir)) throw new NoSuchTableException(ident)
+    new StagedTxTable(fullName(ident), dir, schema, replace = true)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+                                    partitions: Array[Transform],
+                                    properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    require(partitions.isEmpty,
+      "TxCatalog tables are not hive-partitioned — stage without " +
+        "PARTITIONED BY")
+    new StagedTxTable(fullName(ident), dirFor(ident), schema,
+      replace = isTxTable(dirFor(ident)))
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
@@ -502,6 +548,59 @@ private[graft] object TxMetaTables {
           override def rows(): Array[InternalRow] = mkRows()
         }
       }
+  }
+}
+
+/** The staged table behind atomic CTAS/RTAS ([[TxCatalog.stageCreate]]
+  * scaladoc): inserts stage files via [[TxTable.stageData]] (written
+  * but referenced by NO manifest — invisible until publish),
+  * `commitStagedChanges` publishes them as one version (v1 with the
+  * CREATE TOCTOU guard, or `latest+1` as an overwrite for REPLACE),
+  * `abortStagedChanges` reclaims them. Thread-safe accumulation: Spark
+  * may run inserts before the driver-side commit, never concurrently
+  * with it, but the buffer is synchronized anyway — cheap insurance. */
+private[graft] class StagedTxTable(tableName: String, dir: Path,
+                                   declared: StructType, replace: Boolean)
+  extends org.apache.spark.sql.connector.catalog.StagedTable
+  with SupportsWrite {
+
+  private val slices =
+    java.util.Collections.synchronizedList(
+      new java.util.ArrayList[TxTable.StagedData]())
+
+  override def name(): String = s"$tableName (staged)"
+  override def schema(): StructType = declared
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      // CTAS/RTAS may plan the write as truncate+append; staging makes
+      // that a no-op distinction — everything lands in the one version
+      override def truncate(): WriteBuilder = this
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, ovw: Boolean): Unit = {
+              slices.add(TxTable.stageData(data, dir.toString)): Unit
+            }
+          }
+      }
+    }
+
+  override def commitStagedChanges(): Unit = {
+    val staged = scala.jdk.CollectionConverters
+      .ListHasAsScala(slices).asScala.toSeq
+    TxTable.publishStaged(dir.toString, staged, declared.json,
+      op = if (replace) "replace" else "create",
+      requireVersion = if (replace) None else Some(1L)): Unit
+  }
+
+  override def abortStagedChanges(): Unit = {
+    val staged = scala.jdk.CollectionConverters
+      .ListHasAsScala(slices).asScala.toSeq
+    TxTable.discardStaged(dir.toString, staged)
   }
 }
 

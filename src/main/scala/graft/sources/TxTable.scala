@@ -484,6 +484,75 @@ object TxTable {
     v + 1
   }
 
+  /** One staged (written but unpublished) slice of data — the two-phase
+    * half of [[commit]] that atomic CTAS/RTAS needs: files are on disk
+    * under their commit-unique dir (invisible — no manifest references
+    * them) with stats already computed; [[publishStaged]] makes a
+    * version of them, [[discardStaged]] reclaims them. */
+  final case class StagedData(dataRel: String, files: Seq[String],
+                              stats: Map[String, Map[String, TxStats.ColStat]],
+                              schemaJson: String)
+
+  /** Phase 1: write `df`'s files + footer stats, publish NOTHING. */
+  def stageData(df: DataFrame, tableDir: String): StagedData = {
+    val root = Paths.get(tableDir)
+    Files.createDirectories(root.resolve(LogDir))
+    val commitId = java.util.UUID.randomUUID().toString
+    val dataRel = s"data/$commitId"
+    df.write.parquet(root.resolve(dataRel).toString)
+    val files = listNames(root.resolve(dataRel))
+      .filter(_.endsWith(".parquet"))
+      .map(n => s"$dataRel/$n").sorted
+    val stats = files.flatMap { f =>
+      val s = TxStats.forFile(root.resolve(f), df.schema)
+      if (s.isEmpty) None else Some(f -> s)
+    }.toMap
+    StagedData(dataRel, files, stats, df.schema.json)
+  }
+
+  /** Phase 2: publish staged slices as one version. `requireVersion`
+    * has [[commit]]'s TOCTOU-closing semantics (atomic CREATE lands as
+    * v1 or refuses); a REPLACE publishes `latest + 1` as an overwrite.
+    * Returns the committed version. */
+  def publishStaged(tableDir: String, slices: Seq[StagedData],
+                    schemaJson: String, op: String,
+                    requireVersion: Option[Long] = None,
+                    primitive: CommitPrimitive = PosixLinkPrimitive): Long = {
+    val root = Paths.get(tableDir)
+    val prev = latestVersion(tableDir).map(v => readManifest(root, v))
+    val version = prev.map(_.version + 1).getOrElse(1L)
+    requireVersion.foreach { rv =>
+      if (version != rv) {
+        slices.foreach(s =>
+          try deleteRecursively(root.resolve(s.dataRel))
+          catch { case _: Exception => () })
+        throw new java.nio.file.FileAlreadyExistsException(
+          s"$tableDir: expected to commit v$rv but the table is at " +
+            s"v${version - 1}")
+      }
+    }
+    val manifest = Manifest(version, op, schemaJson,
+      slices.flatMap(_.files), prev.map(_.txns).getOrElse(Map.empty),
+      slices.flatMap(_.stats).toMap)
+    try publish(root, manifest, primitive)
+    catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        slices.foreach(s =>
+          try deleteRecursively(root.resolve(s.dataRel))
+          catch { case _: Exception => () })
+        throw e
+    }
+    version
+  }
+
+  /** Abort path: reclaim staged-but-unpublished files. */
+  def discardStaged(tableDir: String, slices: Seq[StagedData]): Unit = {
+    val root = Paths.get(tableDir)
+    slices.foreach(s =>
+      try deleteRecursively(root.resolve(s.dataRel))
+      catch { case _: Exception => () })
+  }
+
   /** RESTORE — roll the table back to version `v` by committing v's
     * snapshot as the NEW head (the Delta RESTORE shape: history is
     * append-only, a rollback is one more version, nothing is deleted).

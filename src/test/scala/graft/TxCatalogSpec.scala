@@ -369,6 +369,47 @@ class TxCatalogSpec extends SparkSpec {
     }
   }
 
+  test("atomic CTAS / RTAS stage through the commit protocol") {
+    warehouse
+    spark.sql(
+      """CREATE TABLE txspec.db.ctas AS
+        |SELECT id, s, v FROM txspec.db.t VERSION AS OF 2""".stripMargin)
+    assert(spark.sql("SELECT id FROM txspec.db.ctas ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // one atomic version: the query output IS v1, no create-then-append
+    assert(TxTable.history(s"$warehouse/db/ctas") == Seq((1L, "create")))
+    // stats staged with the files: skipping works on the CTAS output
+    val plan = spark.sql(
+      "SELECT s FROM txspec.db.ctas WHERE id = 99")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryFileIndex(0 paths)"), plan.take(600))
+    // CTAS over an existing name refuses (and stages nothing visible)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("CREATE TABLE txspec.db.ctas AS SELECT 1 AS x")
+    }
+    assert(TxTable.history(s"$warehouse/db/ctas") == Seq((1L, "create")))
+    // RTAS publishes latest+1 as an overwrite; v1 stays time-travelable
+    spark.sql(
+      "REPLACE TABLE txspec.db.ctas AS SELECT 9L AS id, 'z' AS s, 0.5 AS v")
+    assert(spark.sql("SELECT id FROM txspec.db.ctas").head().getLong(0) == 9L)
+    assert(spark.sql(
+        "SELECT count(*) FROM txspec.db.ctas VERSION AS OF 1")
+      .head().getLong(0) == 3L)
+    assert(TxTable.history(s"$warehouse/db/ctas").map(_._2) ==
+      Seq("create", "replace"))
+    // a FAILING CTAS aborts: no table, no half-written state
+    intercept[Exception] {
+      spark.sql(
+        """CREATE TABLE txspec.db.ctasfail AS
+          |SELECT CAST(raise_error('boom') AS STRING) AS s
+          |FROM txspec.db.t""".stripMargin)
+    }
+    assert(!TxTable.latestVersion(s"$warehouse/db/ctasfail").isDefined)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT * FROM txspec.db.ctasfail").collect()
+    }
+  }
+
   test("namespace listing sees the table, SHOW TABLES works") {
     warehouse
     val tables = spark.sql("SHOW TABLES IN txspec.db").collect()
