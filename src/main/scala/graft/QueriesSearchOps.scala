@@ -504,6 +504,14 @@ private[graft] object QueriesSearchOps {
       Multimodal.sceneCuts(
           Multimodal.plantedY4m(s, Tables.documents(s, dir)), threshold = 2L)
         .orderBy("id")),
+    // audio perceptual signature: one bit per temporal quarter of the
+    // clip's amplitude mass (Multimodal.phashWav scaladoc) — the energy-
+    // envelope blocking bucket a re-leveled copy still lands in; oracle
+    // replays every quarter's |amp| mass from the planted sample formula
+    "mm_phash_audio" -> ((s: SparkSession, dir: String) =>
+      Multimodal.phashWav(
+          Multimodal.plantedWav(s, Tables.documents(s, dir)))
+        .toDF().orderBy("id")),
     // audio metadata fast path: fmt fields + frame count from the chunk
     // sizes alone — no sample byte is ever read (decodeWavMeta scaladoc)
     "mm_meta_wav" -> ((s: SparkSession, dir: String) =>
@@ -1424,6 +1432,33 @@ private[graft] object QueriesSearchOps {
          |  CAST(max(jump) AS BIGINT) AS max_jump
          |FROM j WHERE jump IS NOT NULL
          |GROUP BY id ORDER BY id""".stripMargin),
+    // quarter membership is (4k)//n — both engines place every sample
+    // identically even when n % 4 != 0; bits are 4*q > total
+    "mm_phash_audio" ->
+      ("""WITH fx AS (
+         |  SELECT doc_id AS id, 1 + doc_id % 2 AS c, 16 + doc_id % 17 AS f
+         |  FROM documents
+         |), q AS (
+         |  SELECT id,
+         |    CAST(sum(CASE WHEN (4*k)//(f*c) = 0
+         |      THEN abs(((id*37 + 11*k) % 65536) - 32768) ELSE 0 END) AS BIGINT) AS q0,
+         |    CAST(sum(CASE WHEN (4*k)//(f*c) = 1
+         |      THEN abs(((id*37 + 11*k) % 65536) - 32768) ELSE 0 END) AS BIGINT) AS q1,
+         |    CAST(sum(CASE WHEN (4*k)//(f*c) = 2
+         |      THEN abs(((id*37 + 11*k) % 65536) - 32768) ELSE 0 END) AS BIGINT) AS q2,
+         |    CAST(sum(CASE WHEN (4*k)//(f*c) = 3
+         |      THEN abs(((id*37 + 11*k) % 65536) - 32768) ELSE 0 END) AS BIGINT) AS q3
+         |  FROM fx, generate_series(0, 63) t(k)
+         |  WHERE k < f * c
+         |  GROUP BY id
+         |)
+         |SELECT id, q0, q1, q2, q3,
+         |  CAST((CASE WHEN 4*q0 > q0+q1+q2+q3 THEN 1 ELSE 0 END)
+         |     + (CASE WHEN 4*q1 > q0+q1+q2+q3 THEN 2 ELSE 0 END)
+         |     + (CASE WHEN 4*q2 > q0+q1+q2+q3 THEN 4 ELSE 0 END)
+         |     + (CASE WHEN 4*q3 > q0+q1+q2+q3 THEN 8 ELSE 0 END)
+         |    AS BIGINT) AS sig
+         |FROM q ORDER BY id""".stripMargin),
     // the planted fmt/frame formulas, amplitude-free — a frame count
     // derived from a chunk SIZE instead of a sample walk must agree
     "mm_meta_wav" ->

@@ -617,7 +617,14 @@ object Multimodal {
     * data chunk's samples into |amplitude| sum/max. None on anything
     * malformed or non-PCM16 — a decoder that guesses is worse than one
     * that refuses. */
-  def decodeWav(bytes: Array[Byte]): Option[AudioClip] = {
+  def decodeWav(bytes: Array[Byte]): Option[AudioClip] =
+    decodeWavWith(bytes)(_ => (), (_, _) => ())
+
+  /** The chunk walk with per-sample hooks — ONE walker serves the plain
+    * decode and the signature fold ([[phashWav]]); `init` receives the
+    * total sample count before the first `onSample(index, |amp|)`. */
+  private def decodeWavWith(bytes: Array[Byte])(
+      init: Int => Unit, onSample: (Int, Long) => Unit): Option[AudioClip] = {
     def u16(i: Int): Int = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
     def u32(i: Int): Long = (u16(i).toLong) | (u16(i + 2).toLong << 16)
     def tag(i: Int): String =
@@ -643,6 +650,8 @@ object Multimodal {
         val (channels, rate) = fmt.getOrElse(return None)
         if (size % 2 != 0) return None
         val n = (size / 2).toInt
+        if (n % channels != 0) return None
+        init(n)
         var sum = 0L
         var max = 0L
         var k = 0
@@ -651,14 +660,54 @@ object Multimodal {
           val a = math.abs(s).toLong
           sum += a
           if (a > max) max = a
+          onSample(k, a)
           k += 1
         }
-        if (n % channels != 0) return None
         return Some(AudioClip(channels, rate, (n / channels).toLong, sum, max))
       }
       i = body + size.toInt + (size.toInt & 1) // RIFF chunks are word-aligned
     }
     None // no data chunk
+  }
+
+  final case class AudioPhash(id: Long, q0: Long, q1: Long, q2: Long,
+                              q3: Long, sig: Long)
+
+  /** Audio perceptual signature — [[phashPpm]]'s quadrants over TIME:
+    * one bit per temporal quarter of the clip, set iff that quarter's
+    * amplitude mass beats the clip mean (`4·q > total`, exact integers
+    * — quarter membership is `(4·k) div n`, so uneven quarters differ
+    * by at most one sample and both engines place every sample
+    * identically). A re-encoded or slightly re-leveled copy keeps its
+    * energy ENVELOPE and lands in the same blocking bucket; exact
+    * hashing misses it. The certified kernel of a real audio
+    * fingerprint (same arithmetic at 64+ bands/windows). Zero-sample
+    * clips refuse (a signature over nothing is a lie), malformed bytes
+    * quarantine-drop like every decoder here. */
+  def phashWav(media: Dataset[Media]): Dataset[AudioPhash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { m =>
+        var n = 0
+        val qs = new Array[Long](4)
+        decodeWavWith(m.bytes)(
+          total => n = total,
+          (k, a) => qs(((4L * k) / n).toInt) += a
+        ).flatMap { _ =>
+          if (n == 0) None
+          else {
+            val total = qs.sum
+            var sig = 0L
+            var i = 0
+            while (i < 4) {
+              if (4L * qs(i) > total) sig |= (1L << i)
+              i += 1
+            }
+            Some(AudioPhash(m.id, qs(0), qs(1), qs(2), qs(3), sig))
+          }
+        }
+      }
+    }
   }
 
   /** WAV metadata without touching a sample: walk the chunk list, read
