@@ -200,7 +200,8 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
         "PARTITIONED BY")
     val dir = dirFor(ident)
     if (isTxTable(dir)) throw new TableAlreadyExistsException(ident)
-    new StagedTxTable(fullName(ident), dir, schema, replace = false)
+    new StagedTxTable(fullName(ident), dir, schema,
+      mode = StagedTxTable.Create)
   }
 
   override def stageReplace(ident: Identifier, schema: StructType,
@@ -212,7 +213,8 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
         "PARTITIONED BY")
     val dir = dirFor(ident)
     if (!isTxTable(dir)) throw new NoSuchTableException(ident)
-    new StagedTxTable(fullName(ident), dir, schema, replace = true)
+    new StagedTxTable(fullName(ident), dir, schema,
+      mode = StagedTxTable.Replace)
   }
 
   override def stageCreateOrReplace(ident: Identifier, schema: StructType,
@@ -222,8 +224,11 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
     require(partitions.isEmpty,
       "TxCatalog tables are not hive-partitioned — stage without " +
         "PARTITIONED BY")
+    // create-vs-replace is decided at COMMIT time, not here: a racing
+    // writer creating the table mid-query must make CREATE OR REPLACE
+    // replace (its contract), not fail a stage-time snapshot decision
     new StagedTxTable(fullName(ident), dirFor(ident), schema,
-      replace = isTxTable(dirFor(ident)))
+      mode = StagedTxTable.CreateOrReplace)
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
@@ -559,8 +564,16 @@ private[graft] object TxMetaTables {
   * `abortStagedChanges` reclaims them. Thread-safe accumulation: Spark
   * may run inserts before the driver-side commit, never concurrently
   * with it, but the buffer is synchronized anyway — cheap insurance. */
+private[graft] object StagedTxTable {
+  sealed trait Mode
+  case object Create extends Mode
+  case object Replace extends Mode
+  case object CreateOrReplace extends Mode
+}
+
 private[graft] class StagedTxTable(tableName: String, dir: Path,
-                                   declared: StructType, replace: Boolean)
+                                   declared: StructType,
+                                   mode: StagedTxTable.Mode)
   extends org.apache.spark.sql.connector.catalog.StagedTable
   with SupportsWrite {
 
@@ -592,9 +605,32 @@ private[graft] class StagedTxTable(tableName: String, dir: Path,
   override def commitStagedChanges(): Unit = {
     val staged = scala.jdk.CollectionConverters
       .ListHasAsScala(slices).asScala.toSeq
-    TxTable.publishStaged(dir.toString, staged, declared.json,
-      op = if (replace) "replace" else "create",
-      requireVersion = if (replace) None else Some(1L)): Unit
+    mode match {
+      case StagedTxTable.Create =>
+        TxTable.publishStaged(dir.toString, staged, declared.json,
+          op = "create", requireVersion = Some(1L)): Unit
+      case StagedTxTable.Replace =>
+        TxTable.publishStaged(dir.toString, staged, declared.json,
+          op = "replace"): Unit
+      case StagedTxTable.CreateOrReplace =>
+        // decided NOW, under the publish: if the table appeared since
+        // staging (a racing writer), the contract says replace it — try
+        // the v1 create first with the staged files KEPT on conflict,
+        // then retry the same slices as a replace (bounded: replace
+        // races are ordinary version conflicts, loud like any commit)
+        if (TxTable.latestVersion(dir.toString).isEmpty) {
+          try {
+            TxTable.publishStaged(dir.toString, staged, declared.json,
+              op = "create", requireVersion = Some(1L),
+              reclaimOnConflict = false): Unit
+            return
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException => () // fall through
+          }
+        }
+        TxTable.publishStaged(dir.toString, staged, declared.json,
+          op = "replace"): Unit
+    }
   }
 
   override def abortStagedChanges(): Unit = {

@@ -176,12 +176,9 @@ object TxTable {
         }
       case _ => df.schema
     }
-    val commitId = java.util.UUID.randomUUID().toString
-    val dataRel = s"data/$commitId"
-    df.write.parquet(root.resolve(dataRel).toString)
-    val newFiles = listNames(root.resolve(dataRel))
-      .filter(_.endsWith(".parquet"))
-      .map(n => s"$dataRel/$n").sorted
+    // the write→list→stats block is the SHARED staging phase — one
+    // implementation serves direct commits and atomic CTAS/RTAS
+    val staged = stageData(df, tableDir)
     val carried =
       if (mode == "append") prev.map(_.files).getOrElse(Seq.empty)
       else Seq.empty
@@ -193,16 +190,14 @@ object TxTable {
     // v1 create-exclusive publish below settles the remaining race.
     requireVersion.foreach { rv =>
       if (version != rv) {
-        try deleteRecursively(root.resolve(dataRel)) catch { case _: Exception => () }
+        discardStaged(tableDir, Seq(staged))
         throw new java.nio.file.FileAlreadyExistsException(
           s"$tableDir: expected to commit v$rv but the table is at " +
             s"v${version - 1}")
       }
     }
-    // skipping stats: carried files keep theirs, new files read their
-    // own footers once (same O(files) driver-metadata envelope as the
-    // listing above); a file whose footer yields nothing usable simply
-    // has no entry and is never skipped
+    // skipping stats: carried files keep theirs, new files got their
+    // footers read once in the staging phase.
     // Set membership, not Seq.contains: a linear probe per stats key is
     // O(files²) driver time on a 100k-file append
     val carriedSet = carried.toSet
@@ -211,10 +206,6 @@ object TxTable {
         prev.map(m => m.stats.view.filterKeys(carriedSet).toMap)
           .getOrElse(Map.empty)
       else Map.empty[String, Map[String, TxStats.ColStat]]
-    val newStats = newFiles.flatMap { f =>
-      val s = TxStats.forFile(root.resolve(f), df.schema)
-      if (s.isEmpty) None else Some(f -> s)
-    }.toMap
     // opt-in point-lookup blooms (TxStats.FileBloom scaladoc): one
     // distributed pass per column over the fresh commit dir; carried
     // files keep the blooms they were committed with
@@ -224,11 +215,11 @@ object TxTable {
           .getOrElse(Map.empty)
       else Map.empty[String, Map[String, TxStats.FileBloom]]
     val newBlooms = TxStats.buildFileBlooms(df.sparkSession,
-      root.resolve(dataRel), newFiles, df.schema, bloomColumns)
+      root.resolve(staged.dataRel), staged.files, df.schema, bloomColumns)
     val manifest = Manifest(version, opLabel.getOrElse(mode),
-      committedSchema.json, carried ++ newFiles,
+      committedSchema.json, carried ++ staged.files,
       prev.map(_.txns).getOrElse(Map.empty) ++ txn,
-      carriedStats ++ newStats,
+      carriedStats ++ staged.stats,
       carriedBlooms ++ newBlooms)
     try publish(root, manifest, primitive)
     catch {
@@ -236,7 +227,7 @@ object TxTable {
         // Lost the commit race: this commit's data files are unreachable
         // (no manifest references a data/<uuid> dir but its own), so
         // best-effort reclaim them before surfacing the conflict.
-        try deleteRecursively(root.resolve(dataRel)) catch { case _: Exception => () }
+        discardStaged(tableDir, Seq(staged))
         throw e
     }
     version
@@ -493,10 +484,12 @@ object TxTable {
                               stats: Map[String, Map[String, TxStats.ColStat]],
                               schemaJson: String)
 
-  /** Phase 1: write `df`'s files + footer stats, publish NOTHING. */
+  /** Phase 1: write `df`'s files + footer stats, publish NOTHING —
+    * including no `_txlog/` skeleton: an aborted CTAS must leave no
+    * trace, so log-dir creation belongs to the publish that makes it
+    * meaningful. */
   def stageData(df: DataFrame, tableDir: String): StagedData = {
     val root = Paths.get(tableDir)
-    Files.createDirectories(root.resolve(LogDir))
     val commitId = java.util.UUID.randomUUID().toString
     val dataRel = s"data/$commitId"
     df.write.parquet(root.resolve(dataRel).toString)
@@ -514,18 +507,30 @@ object TxTable {
     * has [[commit]]'s TOCTOU-closing semantics (atomic CREATE lands as
     * v1 or refuses); a REPLACE publishes `latest + 1` as an overwrite.
     * Returns the committed version. */
+  /** `reclaimOnConflict = false` keeps the staged files on a version
+    * conflict so the caller can retry the publish under different terms
+    * (CREATE OR REPLACE losing the v1 race retries as a replace). */
   def publishStaged(tableDir: String, slices: Seq[StagedData],
                     schemaJson: String, op: String,
                     requireVersion: Option[Long] = None,
-                    primitive: CommitPrimitive = PosixLinkPrimitive): Long = {
+                    primitive: CommitPrimitive = PosixLinkPrimitive,
+                    reclaimOnConflict: Boolean = true): Long = {
+    // every slice must carry the declared schema (nullability- and
+    // metadata-insensitive): a drifting slice published silently would
+    // make the snapshot lie about its own columns
+    val declared = asNullable(DataType.fromJson(schemaJson))
+    slices.foreach { s =>
+      require(asNullable(DataType.fromJson(s.schemaJson)) == declared,
+        s"staged slice schema ${s.schemaJson} does not match the " +
+          s"declared table schema $schemaJson")
+    }
     val root = Paths.get(tableDir)
+    Files.createDirectories(root.resolve(LogDir))
     val prev = latestVersion(tableDir).map(v => readManifest(root, v))
     val version = prev.map(_.version + 1).getOrElse(1L)
     requireVersion.foreach { rv =>
       if (version != rv) {
-        slices.foreach(s =>
-          try deleteRecursively(root.resolve(s.dataRel))
-          catch { case _: Exception => () })
+        if (reclaimOnConflict) discardStaged(tableDir, slices)
         throw new java.nio.file.FileAlreadyExistsException(
           s"$tableDir: expected to commit v$rv but the table is at " +
             s"v${version - 1}")
@@ -537,9 +542,7 @@ object TxTable {
     try publish(root, manifest, primitive)
     catch {
       case e: java.nio.file.FileAlreadyExistsException =>
-        slices.foreach(s =>
-          try deleteRecursively(root.resolve(s.dataRel))
-          catch { case _: Exception => () })
+        if (reclaimOnConflict) discardStaged(tableDir, slices)
         throw e
     }
     version
@@ -560,23 +563,42 @@ object TxTable {
     * stats and blooms) — zero data movement, O(1) manifest IO — and
     * races like any commit (loud version conflict). Requires v to still
     * be retained: vacuum deletes manifests BEFORE files, so a readable
-    * manifest implies its files exist, and once restored those files
-    * are live in the head and protected from future vacuums. The
+    * manifest implies its files exist AT READ TIME, and once restored
+    * those files are live in the head and protected from future
+    * vacuums; a vacuum running CONCURRENTLY with the restore is the one
+    * window ordering cannot close (maintenance ops are single-writer by
+    * operational contract), so a post-publish existence tripwire
+    * WITHDRAWS a torn restore loudly instead of leaving a head that
+    * references deleted files. The
     * carried-forward `txns` watermarks come from the CURRENT head (an
     * idempotent writer's progress is not part of the data being rolled
     * back). */
   def restore(tableDir: String, v: Long,
               primitive: CommitPrimitive = PosixLinkPrimitive): Long = {
     val root = Paths.get(tableDir)
-    val m = readManifest(root, v) // loud when v is gone
-    val latest = latestVersion(tableDir).getOrElse(
-      throw new IllegalStateException(
-        s"no committed version under $tableDir/$LogDir"))
-    require(v <= latest, s"cannot restore to future version $v (head $latest)")
+    val m = readManifest(root, v) // loud when v is gone (readable ⇒ v ≤ head)
+    val latest = versions(tableDir).max // non-empty: v's manifest exists
     val head = readManifest(root, latest)
     val manifest = Manifest(latest + 1, "restore", m.schemaJson, m.files,
       head.txns, m.stats, m.blooms)
     publish(root, manifest, primitive)
+    // Tripwire for the one race the ordering argument cannot close: a
+    // vacuum running CONCURRENTLY may have snapshotted its live set
+    // before this publish and deleted v's files after we read v's
+    // manifest — the published head would reference missing files
+    // persistently. Maintenance ops are documented single-writer
+    // (standard lakehouse operational rule), but verify anyway: on a
+    // torn restore, withdraw the manifest we just published (removing
+    // the newest manifest restores the previous head) and fail loudly.
+    val missing = m.files.filterNot(f => Files.exists(root.resolve(f)))
+    if (missing.nonEmpty) {
+      Files.deleteIfExists(manifestPath(root, latest + 1)): Unit
+      throw new IllegalStateException(
+        s"restore($tableDir, v$v) raced a concurrent vacuum: " +
+          s"${missing.size} restored file(s) no longer exist " +
+          s"(first: ${missing.head}); the restore was withdrawn — " +
+          "do not run vacuum and restore concurrently")
+    }
     latest + 1
   }
 

@@ -397,7 +397,8 @@ class TxCatalogSpec extends SparkSpec {
       .head().getLong(0) == 3L)
     assert(TxTable.history(s"$warehouse/db/ctas").map(_._2) ==
       Seq("create", "replace"))
-    // a FAILING CTAS aborts: no table, no half-written state
+    // a FAILING CTAS aborts: no table, no half-written state, and not
+    // even an empty _txlog skeleton left behind
     intercept[Exception] {
       spark.sql(
         """CREATE TABLE txspec.db.ctasfail AS
@@ -405,9 +406,18 @@ class TxCatalogSpec extends SparkSpec {
           |FROM txspec.db.t""".stripMargin)
     }
     assert(!TxTable.latestVersion(s"$warehouse/db/ctasfail").isDefined)
+    assert(!Files.isDirectory(
+      java.nio.file.Paths.get(s"$warehouse/db/ctasfail/_txlog")))
     intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("SELECT * FROM txspec.db.ctasfail").collect()
     }
+    // CREATE OR REPLACE: creates when absent, replaces when present
+    spark.sql("CREATE OR REPLACE TABLE txspec.db.corp AS SELECT 1L AS id")
+    assert(TxTable.history(s"$warehouse/db/corp").map(_._2) == Seq("create"))
+    spark.sql("CREATE OR REPLACE TABLE txspec.db.corp AS SELECT 2L AS id")
+    assert(TxTable.history(s"$warehouse/db/corp").map(_._2) ==
+      Seq("create", "replace"))
+    assert(spark.sql("SELECT id FROM txspec.db.corp").head().getLong(0) == 2L)
   }
 
   test("namespace listing sees the table, SHOW TABLES works") {
