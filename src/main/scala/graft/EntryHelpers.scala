@@ -104,7 +104,18 @@ private[graft] object EntryHelpers {
     * the versions read are immutable either way. */
   val txCatalogRoots =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  def txCatalogWarehouse(s: SparkSession, dir: String): String =
+  def txCatalogWarehouse(s: SparkSession, dir: String): String = {
+    // ENFORCE the one-corpus-dir-per-JVM constraint the scaladoc states:
+    // Spark's CatalogManager caches the initialized `graft_tx` instance
+    // by NAME with the first-seen root, so a second corpus dir would
+    // silently read the first dir's warehouse — refuse loudly instead.
+    if (txCatalogRoots.size() > 0 && !txCatalogRoots.containsKey(dir))
+      throw new IllegalStateException(
+        s"txCatalogWarehouse: catalog 'graft_tx' is already bound to " +
+          s"corpus dir '${txCatalogRoots.keySet().iterator().next()}' in " +
+          s"this JVM session; a second dir ('$dir') would silently read " +
+          "the first warehouse (CatalogManager caches by name) — use a " +
+          "fresh session/JVM per corpus dir")
     txCatalogRoots.computeIfAbsent(dir, _ => {
       val wh = scratchDir("graft-txcat-")
       val docs = Tables.documents(s, dir)
@@ -118,6 +129,7 @@ private[graft] object EntryHelpers {
         docs.filter(col("lang") === "fr"), tbl, "overwrite")
       wh
     })
+  }
 
   /** `ops_optimize_sql` fixture: a second table (`db.opt`) in the shared
     * SQL warehouse, compacted THROUGH the SQL procedure surface exactly

@@ -47,10 +47,25 @@ private[graft] object QueriesJoinsOlap {
     // ----- triangle enumeration over the user co-activity graph via
     // degree orientation + wedge join (Triangles scaladoc: Suri &
     // Vassilvitskii's last-reducer fix — every out-degree capped at
-    // O(sqrt(m)), three equi-joins, no OR-join, no cartesian) -----
+    // O(sqrt(m)), three equi-joins, no OR-join, no cartesian). The edge
+    // builder ROUTES (coActivityEdgesAuto): plain pair join under the
+    // bucket cap, the sharded triangle-partitioned formulation over it —
+    // at 100× the query switches plans instead of refusing -----
     "graph_triangles" -> ((s: SparkSession, dir: String) =>
       graft.ext.Triangles.triangles(
-          graft.ext.Triangles.coActivityEdges(Tables.events(s, dir)),
+          graft.ext.Triangles.coActivityEdgesAuto(Tables.events(s, dir)),
+          "src", "dst")
+        .orderBy("a", "b", "c")),
+    // ----- the ROUTER's sharded arm certified end-to-end: a cap of 1
+    // forces every graph that has any edge at all over the threshold, so
+    // the triangle list is computed over coActivityEdgesSharded's
+    // shard-pair join groups (path-asserted in TrianglesSpec: the routed
+    // plan carries the shard explode) — same oracle as graph_triangles,
+    // two edge-builder plans, one answer -----
+    "graph_triangles_sharded" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Triangles.triangles(
+          graft.ext.Triangles.coActivityEdgesAuto(Tables.events(s, dir),
+            maxBucketUsers = 1L),
           "src", "dst")
         .orderBy("a", "b", "c")),
     // ----- local clustering coefficients over the same graph: per-node
@@ -58,7 +73,7 @@ private[graft] object QueriesJoinsOlap {
     // NULL for degree-1 nodes (Triangles.clusteringCoefficients) -----
     "graph_clustering" -> ((s: SparkSession, dir: String) =>
       graft.ext.Triangles.clusteringCoefficients(
-          graft.ext.Triangles.coActivityEdges(Tables.events(s, dir)),
+          graft.ext.Triangles.coActivityEdgesAuto(Tables.events(s, dir)),
           "src", "dst")
         .orderBy("node")),
     // ----- k-core of the same co-activity graph: iterative peeling
@@ -68,7 +83,7 @@ private[graft] object QueriesJoinsOlap {
     // and the oracle unrolls exactly those 6 no-op-tolerant rounds -----
     "graph_kcore" -> ((s: SparkSession, dir: String) =>
       graft.ext.Triangles.kCore(
-          graft.ext.Triangles.coActivityEdges(Tables.events(s, dir)),
+          graft.ext.Triangles.coActivityEdgesAuto(Tables.events(s, dir)),
           "src", "dst", k = 8, maxRounds = 6)
         .orderBy("node")),
     // ----- hourly resample with explicit gap rows: zero counts, NULL
@@ -502,9 +517,16 @@ private[graft] object QueriesJoinsOlap {
          |SELECT node, CAST(count(*) AS BIGINT) AS core_deg
          |FROM (SELECT u AS node FROM e6 UNION ALL SELECT v FROM e6)
          |GROUP BY node ORDER BY node""".stripMargin),
+    // the sharded edge-builder arm produces the IDENTICAL edge set
+    // (property-tested), so the same all-in-SQL reference certifies it
+    "graph_triangles_sharded" -> TriangleOracle,
     // same co-activity derivation, same (degree, id) orientation, same
     // wedge close — row-tuple comparison is lexicographic on both engines
-    "graph_triangles" ->
+    "graph_triangles" -> TriangleOracle,
+  ) ++ oraclesRest
+
+  /** The triangle reference shared by both edge-builder arms. */
+  private lazy val TriangleOracle: String =
       ("""WITH grp AS (
          |  SELECT DISTINCT date_trunc('minute', ts) AS b0, user_id AS uid
          |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
@@ -529,7 +551,9 @@ private[graft] object QueriesJoinsOlap {
          |  s + t1 + t2 - least(s, t1, t2) - greatest(s, t1, t2) AS b,
          |  greatest(s, t1, t2) AS c
          |FROM w JOIN cn ON cn.x = w.t1 AND cn.y = w.t2
-         |ORDER BY a, b, c""".stripMargin),
+         |ORDER BY a, b, c""".stripMargin)
+
+  private lazy val oraclesRest: Map[String, String] = Map(
     // the same edge derivation, then 3 generated power-method iterations
     // ([[PrIterCte]]): every value BIGINT, every division integral, the
     // same 85/100 damping split and dropped dangling mass as the engine

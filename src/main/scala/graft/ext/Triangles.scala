@@ -262,4 +262,42 @@ object Triangles {
         greatest(col("a.uid"), col("b.uid")).as("dst"))
       .distinct()
   }
+
+  /** Measure-then-route co-activity edges — the [[graft.plans.AsOfPhys]]
+    * `asofJoinAuto` discipline applied to the edge builder: ONE cheap
+    * metadata-sized action measures the worst bucket (the same aggregate
+    * both arms already run as their guard), then the plain per-bucket
+    * pair join ([[coActivityEdges]]) serves graphs under the cap and the
+    * sharded triangle-partitioned formulation ([[coActivityEdgesSharded]],
+    * property-tested output-identical) serves graphs over it. At 100×
+    * data the DECLARED graph queries switch plans instead of refusing on
+    * the cap — the guard's measurement becomes the router's decision.
+    *
+    * The distinct (bucket, uid) frame is built ONCE and persisted; both
+    * the measurement and the chosen arm's join consume it (the arms
+    * re-derive it idempotently — minute-truncating an already-truncated
+    * bucket and distinct-ing a distinct frame are no-ops over the cached
+    * blocks, so no second events scan happens).
+    *
+    * `shards` sizes the over-cap arm so its per-task pair count is
+    * ~(worst/shards)²; the default 16 turns a 10×-the-cap bucket (100k
+    * users ≈ 5×10⁹ pairs) into ~4×10⁷ pairs per shard-pair task across
+    * 136 tasks. The sharded arm's own guard still refuses graphs the
+    * shard count cannot absorb — raise `shards` deliberately there. */
+  def coActivityEdgesAuto(events: DataFrame, userCol: String = "user_id",
+                          tsCol: String = "ts",
+                          maxBucketUsers: Long = 10000L,
+                          shards: Int = 16): DataFrame = {
+    val grp = TrackedCache.persistTracked(events
+      .where(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(date_trunc("minute", col(tsCol)).as("b0"),
+        col(userCol).as("uid"))
+      .distinct())
+    val worst = grp.groupBy(col("b0")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(max(col("c")), lit(0L))).head().getLong(0)
+    val routed = grp.select(col("uid").as(userCol), col("b0").as(tsCol))
+    if (worst <= maxBucketUsers)
+      coActivityEdges(routed, userCol, tsCol, maxBucketUsers)
+    else coActivityEdgesSharded(routed, userCol, tsCol, shards)
+  }
 }

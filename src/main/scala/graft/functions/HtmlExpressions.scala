@@ -119,9 +119,12 @@ object HtmlOps {
   /** Numeric character reference, post-validated: surrogate code points
     * (D800–DFFF) are not characters — the HTML spec maps them to U+FFFD,
     * and appending a lone surrogate would turn into '?' mojibake inside
-    * UTF8String's encoder. */
+    * UTF8String's encoder. A NUL reference (`&#0;`) is the spec's other
+    * invalid-codepoint class and maps to U+FFFD the same way — falling
+    * back to literal '&#0;' text would treat the two classes
+    * inconsistently. */
   private def numericCp(cp: Long, after: Int, fallback: Int): (Int, Int) =
-    if (cp >= 0xD800 && cp <= 0xDFFF) (0xFFFD, after)
+    if ((cp >= 0xD800 && cp <= 0xDFFF) || cp == 0L) (0xFFFD, after)
     else if (cp > 0 && cp <= Character.MAX_CODE_POINT) (cp.toInt, after)
     else (0, fallback)
 

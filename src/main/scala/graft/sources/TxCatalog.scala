@@ -70,12 +70,19 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
 
   /** Path for an identifier, with each part validated as a plain
     * directory name — a name carrying a separator or `..` would escape
-    * the warehouse root (a lookup must never be a path traversal). */
+    * the warehouse root (a lookup must never be a path traversal).
+    * '$' is rejected too: the `t$history`/`t$files`/`t$stats` suffixes
+    * are a RESERVED metadata-table namespace, and a real table named
+    * with a '$' could be created but never read back (resolution would
+    * intercept it as a metadata lookup) — orphaning committed data
+    * silently, so creation refuses loudly instead. */
   private def dirFor(ident: Identifier): Path = {
     val parts = ident.namespace().toSeq :+ ident.name()
     parts.foreach(p => require(
-      p.nonEmpty && !p.contains('/') && !p.contains('\\') && p != "." && p != "..",
-      s"illegal identifier part '$p' in ${parts.mkString(".")}"))
+      p.nonEmpty && !p.contains('/') && !p.contains('\\') &&
+        !p.contains('$') && p != "." && p != "..",
+      s"illegal identifier part '$p' in ${parts.mkString(".")} — " +
+        "'$' is reserved for metadata tables (t$history/t$files/t$stats)"))
     parts.foldLeft(root)(_.resolve(_))
   }
 
@@ -138,11 +145,15 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
     if (!isTxTable(dir)) throw new NoSuchTableException(ident)
     val log = dir.resolve("_txlog")
     // versions() lists log-dir names only — no manifest parse per
-    // version just to read each file's mtime
+    // version just to read each file's mtime. A manifest that vanishes
+    // between the listing and the mtime stat was expired by a CONCURRENT
+    // vacuum (readers racing vacuum is a normal scenario) — it is older
+    // than any retained candidate, so skipping it is the clean
+    // resolution, not an error to surface.
     val admissible = TxTable.versions(dir.toString).filter { v =>
-      val mtimeMicros = Files.getLastModifiedTime(
-        log.resolve(f"v$v%05d.json")).toMillis * 1000L
-      mtimeMicros <= timestampMicros
+      try Files.getLastModifiedTime(
+        log.resolve(f"v$v%05d.json")).toMillis * 1000L <= timestampMicros
+      catch { case _: java.nio.file.NoSuchFileException => false }
     }
     require(admissible.nonEmpty,
       s"no version of ${fullName(ident)} committed at or before " +
@@ -269,7 +280,8 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
   override def createNamespace(namespace: Array[String],
                                metadata: util.Map[String, String]): Unit = {
     namespace.foreach(p => require(
-      p.nonEmpty && !p.contains('/') && !p.contains('\\') && p != "." && p != "..",
+      p.nonEmpty && !p.contains('/') && !p.contains('\\') &&
+        !p.contains('$') && p != "." && p != "..",
       s"illegal namespace part '$p'"))
     Files.createDirectories(namespace.foldLeft(root)(_.resolve(_))): Unit
   }
@@ -309,7 +321,7 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
       val parts = dotted.split('.').toSeq
       require(parts.nonEmpty && parts.forall(p =>
           p.nonEmpty && !p.contains('/') && !p.contains('\\') &&
-            p != "." && p != ".."),
+            !p.contains('$') && p != "." && p != ".."),
         s"illegal table name '$dotted'")
       val dir = parts.foldLeft(root)(_.resolve(_))
       require(isTxTable(dir), s"'$dotted' is not a committed tx table " +

@@ -126,6 +126,10 @@ class SqlFunctionsSpec extends SparkSpec {
     // surrogate numeric references map to U+FFFD, never lone surrogates
     assert(strip("&#xD800;z") == Some("�z"))
     assert(strip("&#55296;z") == Some("�z"))
+    // the NUL reference is the spec's other invalid-codepoint class —
+    // same U+FFFD mapping, not literal '&#0;' text
+    assert(strip("&#0;z") == Some("�z"))
+    assert(strip("&#x0;z") == Some("�z"))
     // strict-or-refuse on structural malformation (an OPEN '<' with no
     // closing '>' — "<p>trailing text" is well-formed, the tag closed;
     // an unterminated attribute QUOTE is malformed too)

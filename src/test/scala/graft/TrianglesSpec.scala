@@ -147,6 +147,42 @@ class TrianglesSpec extends SparkSpec {
       maxTaskPairs = 10000L).count() == 4950L)
   }
 
+  test("coActivityEdgesAuto routes: plain under the cap, sharded over it") {
+    val rnd = new scala.util.Random(43L)
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val ev = Seq.fill(200)((rnd.nextInt(20).toLong + 1L,
+        new java.sql.Timestamp(base + rnd.nextInt(3 * 60) * 1000L)))
+      .toDF("user_id", "ts")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain = canon(Triangles.coActivityEdges(ev))
+    // under the cap: the routed plan is the single pair join (no shard
+    // explode generator anywhere in it)
+    val under = Triangles.coActivityEdgesAuto(ev, maxBucketUsers = 10000L)
+    assert(!under.queryExecution.executedPlan.toString.contains("explode"),
+      "under-cap arm must be the plain pair join")
+    assert(canon(under) == plain)
+    // over the cap (forced by a cap of 1): the routed plan carries the
+    // shard-pair explode — the PATH assertion behind the
+    // graph_triangles_sharded CORRECTNESS entry — and the edge set is
+    // unchanged
+    val over = Triangles.coActivityEdgesAuto(ev, maxBucketUsers = 1L,
+      shards = 3)
+    assert(over.queryExecution.executedPlan.toString.contains("explode"),
+      "over-cap arm must be the sharded formulation")
+    assert(canon(over) == plain)
+    // an empty frame routes the plain arm and stays empty
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType))))
+    assert(Triangles.coActivityEdgesAuto(empty, maxBucketUsers = 1L)
+      .count() == 0L)
+  }
+
   // ------------------------------------------------------- fuzzy ER
   test("ER resolves single-char corruptions to the closest clean row") {
     val clean = Seq((1L, "margaret hamilton"), (2L, "grace hopper"),
