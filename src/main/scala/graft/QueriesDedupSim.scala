@@ -37,6 +37,28 @@ private[graft] object QueriesDedupSim {
           "c_custkey", "c_name")
         .orderBy("id")
     }),
+    // the DISTANCE-2 scheme (EntityResolution.deletionNeighborhood2:
+    // len²/2 keys per row — the deliberate fan-out price of the looser
+    // match): a third of the dirty names keep both planted deletions,
+    // and the brute-force all-pairs oracle at lev <= 2 proves the
+    // two-deletion blocking loses no match
+    "er_resolve2" -> ((s: SparkSession, dir: String) => {
+      val cust = Tables.customer(s, dir)
+      val p0 = (col("c_custkey") % length(col("c_name"))).cast("int")
+      val d1 = concat(col("c_name").substr(lit(1), p0),
+        col("c_name").substr(p0 + 2, lit(Int.MaxValue)))
+      val p1 = ((col("c_custkey") * 7) % length(d1)).cast("int")
+      val d2 = concat(d1.substr(lit(1), p1),
+        d1.substr(p1 + 2, lit(Int.MaxValue)))
+      val dirty = cust.select(col("c_custkey").as("id"),
+        when(col("c_custkey") % 3 === 0, col("c_name"))
+          .when(col("c_custkey") % 3 === 1, d1)
+          .otherwise(d2).as("name"))
+      graft.ext.EntityResolution.resolve(dirty, "id", "name",
+          cust.select(col("c_custkey"), col("c_name")),
+          "c_custkey", "c_name", maxDist = 2)
+        .orderBy("id")
+    }),
     // skew guard ON: the uncut exact operator measures the implied
     // candidate-pair count before launching the quadratic join and fails
     // loudly over budget (the df-cut dual below is the silent-safe variant)
@@ -279,6 +301,36 @@ private[graft] object QueriesDedupSim {
          |    levenshtein(d.dn, c.c_name) AS dist
          |  FROM dirty d, customer c
          |  WHERE levenshtein(d.dn, c.c_name) <= 1
+         |)
+         |SELECT id, ck AS match_c_custkey, CAST(dist AS INT) AS dist
+         |FROM pairs
+         |QUALIFY row_number() OVER (PARTITION BY id ORDER BY dist, ck) = 1
+         |ORDER BY id""".stripMargin),
+    // the distance-2 reference: the same brute force at lev <= 2 over a
+    // dirty side whose worst class carries TWO planted deletions — the
+    // identical substr arithmetic as the engine's derivation
+    "er_resolve2" ->
+      ("""WITH s1 AS (
+         |  SELECT c_custkey, c_name,
+         |    substr(c_name, 1, CAST(c_custkey % length(c_name) AS INT))
+         |      || substr(c_name,
+         |           CAST(c_custkey % length(c_name) AS INT) + 2) AS d1
+         |  FROM customer
+         |), dirty AS (
+         |  SELECT c_custkey AS id,
+         |    CASE WHEN c_custkey % 3 = 0 THEN c_name
+         |         WHEN c_custkey % 3 = 1 THEN d1
+         |         ELSE substr(d1, 1,
+         |                CAST((c_custkey * 7) % length(d1) AS INT))
+         |           || substr(d1,
+         |                CAST((c_custkey * 7) % length(d1) AS INT) + 2)
+         |    END AS dn
+         |  FROM s1
+         |), pairs AS (
+         |  SELECT d.id, c.c_custkey AS ck,
+         |    levenshtein(d.dn, c.c_name) AS dist
+         |  FROM dirty d, customer c
+         |  WHERE levenshtein(d.dn, c.c_name) <= 2
          |)
          |SELECT id, ck AS match_c_custkey, CAST(dist AS INT) AS dist
          |FROM pairs

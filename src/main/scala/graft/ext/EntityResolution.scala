@@ -47,25 +47,50 @@ object EntityResolution {
         i => concat(name.substr(lit(1), i - lit(1)),
           name.substr(i + lit(1), lit(Int.MaxValue))))))
 
+  /** The distance-2 neighborhood: `{s} ∪ delete-1 ∪ delete-2 variants`
+    * (positions i < j removed together — `len·(len−1)/2` extra keys).
+    * Two strings within Levenshtein distance 2 always share a member
+    * (the SymSpell delete-intersection property at d = 2, certified
+    * against the brute-force oracle exactly like the d = 1 scheme); the
+    * key fan-out grows from `len+1` to `O(len²/2)` per row, which is the
+    * deliberate price of the looser match. Still pure builtins — the
+    * nested position loop is `transform` over `sequence`, flattened. */
+  def deletionNeighborhood2(name: Column): Column =
+    array_distinct(concat(
+      deletionNeighborhood(name),
+      // guard: sequence(1, len-1) on a sub-2-char string would DESCEND
+      // (Spark infers step -1 when start > stop) — emit no pair keys
+      when(length(name) >= 2,
+        flatten(transform(sequence(lit(1), length(name) - lit(1)), i =>
+          transform(sequence(i + lit(1), length(name)), j =>
+            concat(name.substr(lit(1), i - lit(1)),
+              name.substr(i + lit(1), j - i - lit(1)),
+              name.substr(j + lit(1), lit(Int.MaxValue)))))))
+        .otherwise(array().cast("array<string>"))))
+
   /** Resolve each dirty row to its closest clean row at Levenshtein
-    * distance ≤ `maxDist` (1 by default — the distance the blocking is
-    * exact for). Output: `(id, match_<cleanId>, dist)`, inner (dirty rows
-    * with no admissible match are dropped; run an anti-join on the output
-    * for the unmatched side). */
+    * distance ≤ `maxDist` (1 by default; 2 switches both sides to the
+    * `len²`-key [[deletionNeighborhood2]] — blocking recall is exact at
+    * either setting, certified against brute-force oracles). Output:
+    * `(id, match_<cleanId>, dist)`, inner (dirty rows with no admissible
+    * match are dropped; run an anti-join on the output for the unmatched
+    * side). */
   def resolve(dirty: DataFrame, dirtyId: String, dirtyName: String,
               clean: DataFrame, cleanId: String, cleanName: String,
               maxDist: Int = 1,
               maxBroadcastClean: Long = 1000000L): DataFrame = {
-    require(maxDist == 1,
-      "resolve: deletion-neighborhood blocking is exact for maxDist=1; " +
-        "wider distances need the distance-2 neighborhood (len^2 keys) — " +
+    require(maxDist == 1 || maxDist == 2,
+      "resolve: deletion-neighborhood blocking is exact for maxDist 1 " +
+        "(len+1 keys/row) and 2 (len²/2 keys/row); wider distances — " +
         "fall back to a banded MinHash/LSH pass (Dedup.minhash) instead")
+    val nbhd: Column => Column =
+      if (maxDist == 1) deletionNeighborhood else deletionNeighborhood2
     val dKeys = dirty.select(col(dirtyId).as("__did"),
         col(dirtyName).as("__dn"),
-        explode(deletionNeighborhood(col(dirtyName))).as("__key"))
+        explode(nbhd(col(dirtyName))).as("__key"))
     val cKeys = clean.select(col(cleanId).as("__cid"),
         col(cleanName).as("__cn"),
-        explode(deletionNeighborhood(col(cleanName))).as("__key"))
+        explode(nbhd(col(cleanName))).as("__key"))
     // the common production shape is a HUGE dirty feed against a
     // dim-sized canonical reference: when the clean row count (one cheap
     // metadata-friendly action) is bounded, broadcast its exploded key

@@ -231,4 +231,45 @@ class TrianglesSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
     assert(got == want)
   }
+
+  test("ER recall matches brute force at distance 2 on random strings") {
+    val rnd = new scala.util.Random(78L)
+    def word() = Seq.fill(3 + rnd.nextInt(5))(('a' + rnd.nextInt(3)).toChar)
+      .mkString
+    val cleanRows = (1L to 40L).map(i => (i, word()))
+    val dirtyRows = (101L to 140L).map(i => (i, word()))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = dirtyRows.flatMap { case (id, dn) =>
+      val ms = cleanRows.map { case (ck, cn) => (lev(dn, cn), ck) }
+        .filter(_._1 <= 2)
+      if (ms.isEmpty) None else Some((id, ms.min._2, ms.min._1))
+    }
+    val got = EntityResolution.resolve(dirtyRows.toDF("did", "dn"), "did",
+        "dn", cleanRows.toDF("cid", "cn"), "cid", "cn", maxDist = 2)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got == want)
+  }
+
+  test("the distance-2 neighborhood handles degenerate short strings") {
+    // 0- and 1-char names must not feed sequence(1, 0) its descending
+    // trap: no pair keys, but the base + single-deletion keys survive
+    val clean = Seq((1L, "a"), (2L, "")).toDF("cid", "cn")
+    val dirty = Seq((10L, "ab"), (11L, "a"), (12L, "xyz"))
+      .toDF("did", "dn")
+    val got = EntityResolution.resolve(dirty, "did", "dn", clean, "cid",
+        "cn", maxDist = 2)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    // "ab"->"a" dist 1 (ties to cid 1 over ""@2); "a"->"a" dist 0;
+    // "xyz" is distance 3 from both — dropped
+    assert(got == Seq((10L, 1L, 1), (11L, 1L, 0)))
+  }
 }
