@@ -156,6 +156,32 @@ private[graft] object EntryHelpers {
       java.lang.Long.valueOf(v)
     }).longValue()
 
+  /** `ops_delete_sql` fixture: a third table (`db.del`) in the shared
+    * SQL warehouse, row-level-deleted THROUGH pure SQL exactly once per
+    * (JVM, corpus dir). The three commits land one language per commit,
+    * so every data file's manifest stats carry min=max=lang — the
+    * `DELETE WHERE lang='de'` rewrite provably touches only the de
+    * files (the en/fr files carry forward verbatim, suite-pinned in
+    * TxCatalogSpec) and commits v4 through the same OCC publish. */
+  val txDelDone =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  def txDeletedVersion(s: SparkSession, dir: String, wh: String): Long =
+    txDelDone.computeIfAbsent(dir, _ => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val tbl = s"$wh/db/del"
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "en"), tbl, "overwrite")
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "de"), tbl, "append")
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "fr"), tbl, "append")
+      s.sql("DELETE FROM graft_tx.db.del WHERE lang = 'de'")
+      val v = graft.sources.TxTable.latestVersion(tbl).getOrElse(0L)
+      require(v == 4L, s"expected the SQL delete to commit v4, got v$v")
+      java.lang.Long.valueOf(v)
+    }).longValue()
+
   /** Documents with deterministic PII/URL decorations appended: the
     * synthetic corpus is clean, so the compliance queries (`text_pii`,
     * `text_domains`) derive a dirty variant as a pure function of

@@ -354,6 +354,23 @@ private[graft] object QueriesSearchOps {
            |FROM graft_tx.db.opt VERSION AS OF $v
            |ORDER BY doc_id""".stripMargin)
     }),
+    // ----- row-level SQL DELETE as a copy-on-write commit (TxTable
+    // .deleteWhere scaladoc: the skipping layer decides which files can
+    // hold matches — provably-untouched files carry forward verbatim,
+    // only the de files rewrite; suite-pinned in TxCatalogSpec). The
+    // certified output is the post-delete snapshot read back through
+    // SQL time travel; v1-v3 stay readable, the delete is one more
+    // version -----
+    "ops_delete_sql" -> ((s: SparkSession, dir: String) => {
+      val wh = EntryHelpers.txCatalogWarehouse(s, dir)
+      s.conf.set("spark.sql.catalog.graft_tx", "graft.sources.TxCatalog")
+      s.conf.set("spark.sql.catalog.graft_tx.root", wh)
+      val v = EntryHelpers.txDeletedVersion(s, dir, wh)
+      s.sql(
+        s"""SELECT CAST($v AS BIGINT) AS version, doc_id, lang, n_chars
+           |FROM graft_tx.db.del VERSION AS OF $v
+           |ORDER BY doc_id""".stripMargin)
+    }),
     // ----- JSONL codec round trip: events (incl. the JSON-in-string
     // props column — the quoting torture case) serialized to JSON lines
     // and read back schema-enforced; hash-matching the oracle on the
@@ -1000,6 +1017,12 @@ private[graft] object QueriesSearchOps {
     "ops_optimize_sql" ->
       ("""SELECT CAST(4 AS BIGINT) AS version, doc_id, lang, n_chars
          |FROM documents WHERE lang IN ('en', 'de', 'fr')
+         |ORDER BY doc_id""".stripMargin),
+    // the SQL DELETE replayed from the commit definitions: en+de+fr
+    // accumulated, then the de rows removed — v4 is exactly en+fr
+    "ops_delete_sql" ->
+      ("""SELECT CAST(4 AS BIGINT) AS version, doc_id, lang, n_chars
+         |FROM documents WHERE lang IN ('en', 'fr')
          |ORDER BY doc_id""".stripMargin),
     // vacuum(retain=2) expires exactly v1; the retained snapshots replay
     // from the commit definitions: v2 = en+de append state, v3 = fr

@@ -368,7 +368,8 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
   * a write surface on a historical snapshot would be a lie). */
 private[graft] class TxSqlTable(tableName: String, dir: Path, version: Long,
                                 writable: Boolean = false)
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite
+  with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   // ONE manifest read per table handle (a manifest is immutable for its
   // version, and this handle is version-pinned) — schema, file list,
@@ -393,6 +394,23 @@ private[graft] class TxSqlTable(tableName: String, dir: Path, version: Long,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TxScanBuilder(name(), tableSchema, dir, manifest.files,
       manifest.stats, manifest.blooms, options)
+
+  // ---- SQL `DELETE FROM` — copy-on-write through the skipping layer
+  // (TxTable.deleteWhere scaladoc: provably-untouched files carry
+  // forward verbatim; the commit is the same OCC publish, so the
+  // pre-delete snapshot stays time-travelable). Only a latest-version
+  // handle deletes, like every write.
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    writable && filters.forall(f => SourceFilterColumns.toColumn(f).isDefined)
+
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    require(writable, s"$tableName: DELETE only targets the latest " +
+      "version — load the table without VERSION/TIMESTAMP AS OF")
+    TxTable.deleteWhere(SparkSession.active, dir.toString,
+      filters.toSeq): Unit
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(writable, s"$tableName: writes only target the latest " +

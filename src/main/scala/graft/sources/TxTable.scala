@@ -101,6 +101,41 @@ class CondPutPrimitive extends CommitPrimitive {
   }
 }
 
+/** Source `Filter` → `Column` for the copy-on-write DELETE rewrite: the
+  * row-keep predicate must evaluate the EXACT condition Spark pushed
+  * (manifest stats only prune files; rows inside a touched file still
+  * need the real test). Total over the filter algebra Spark's DELETE
+  * path emits; None for shapes it never produces on a flat schema —
+  * [[TxTable.deleteWhere]] refuses those loudly rather than guessing. */
+private[sources] object SourceFilterColumns {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit}
+  import org.apache.spark.sql.sources._
+
+  def toColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v)            => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v)      => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v)        => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v)           => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
+    case In(a, vs)                => Some(col(a).isin(vs.toSeq: _*))
+    case IsNull(a)                => Some(col(a).isNull)
+    case IsNotNull(a)             => Some(col(a).isNotNull)
+    case StringStartsWith(a, v)   => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v)     => Some(col(a).endsWith(v))
+    case StringContains(a, v)     => Some(col(a).contains(v))
+    case AlwaysTrue()             => Some(lit(true))
+    case AlwaysFalse()            => Some(lit(false))
+    case And(l, r) => for { lc <- toColumn(l); rc <- toColumn(r) }
+      yield lc && rc
+    case Or(l, r)  => for { lc <- toColumn(l); rc <- toColumn(r) }
+      yield lc || rc
+    case Not(c)    => toColumn(c).map(!_)
+    case _ => None
+  }
+}
+
 object TxTable {
 
   private val LogDir = "_txlog"
@@ -554,6 +589,77 @@ object TxTable {
     slices.foreach(s =>
       try deleteRecursively(root.resolve(s.dataRel))
       catch { case _: Exception => () })
+  }
+
+  /** Row-level DELETE as a copy-on-write commit — the engine behind SQL
+    * `DELETE FROM` on the tx catalog. The skipping layer answers exactly
+    * the question a delete asks ("which files can hold a matching
+    * row?"), so only files whose manifest stats/blooms CANNOT prove the
+    * predicate misses them are rewritten (surviving rows re-staged as
+    * new files); every provably-untouched file carries forward verbatim
+    * with its stats and blooms — zero reads, zero writes for it. The
+    * rewrite publishes through the same OCC commit as every writer, so
+    * the delete is time-travelable (the pre-delete snapshot stays
+    * readable) and RESTORE-able.
+    *
+    * Semantics: a row is deleted when the conjunction of `filters` is
+    * TRUE on it; NULL and FALSE both keep the row (ANSI DELETE). An
+    * empty filter list is SQL's unconditioned DELETE/TRUNCATE — the new
+    * version is an empty snapshot. A delete whose predicate provably
+    * touches NO file is a pure no-op: no rewrite, no commit, the current
+    * version is returned unchanged (suite-pinned).
+    *
+    * Cost shape at 100 TB: O(files) driver metadata for the skip
+    * decision, one distributed read+filter+write over ONLY the touched
+    * files, one manifest publish. Returns the committed (or unchanged)
+    * version. */
+  def deleteWhere(spark: SparkSession, tableDir: String,
+                  filters: Seq[org.apache.spark.sql.sources.Filter],
+                  primitive: CommitPrimitive = PosixLinkPrimitive): Long = {
+    val root = Paths.get(tableDir)
+    val v = latestVersion(tableDir).getOrElse(
+      throw new IllegalStateException(
+        s"no committed version under $tableDir/$LogDir"))
+    val m = readManifest(root, v)
+    val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    val cond: org.apache.spark.sql.Column = filters
+      .map(f => SourceFilterColumns.toColumn(f).getOrElse(
+        throw new UnsupportedOperationException(
+          s"DELETE condition not expressible as a source filter: $f")))
+      .reduceOption(_ && _).getOrElse(functions.lit(true))
+    // a file is untouched when ANY conjunct provably excludes all its
+    // rows (the TxScanBuilder skip rule applied to the DELETE predicate)
+    val (touched, untouched) = m.files.partition { f =>
+      val st = m.stats.getOrElse(f, Map.empty[String, TxStats.ColStat])
+      val bl = m.blooms.getOrElse(f, Map.empty[String, TxStats.FileBloom])
+      !filters.exists(fl =>
+        TxStats.excludes(st, schema, fl) || TxStats.bloomExcludes(bl, fl))
+    }
+    if (touched.isEmpty) return v // provably nothing to delete
+    // keep = NOT true(cond): NULL-condition rows survive, like ANSI
+    val survivors = spark.read.schema(schema)
+      .parquet(touched.map(f => root.resolve(f).toString): _*)
+      .filter(!functions.coalesce(cond, functions.lit(false)))
+    val staged = stageData(survivors, tableDir)
+    val untouchedSet = untouched.toSet
+    val keptStats = m.stats.view.filterKeys(untouchedSet).toMap
+    val keptBlooms = m.blooms.view.filterKeys(untouchedSet).toMap
+    // bloom coverage survives the rewrite, like compact: rebuild for
+    // every column any TOUCHED file bloomed
+    val bloomCols = touched.flatMap(f =>
+      m.blooms.getOrElse(f, Map.empty).keys).distinct.sorted
+    val newBlooms = TxStats.buildFileBlooms(spark,
+      root.resolve(staged.dataRel), staged.files, schema, bloomCols)
+    val manifest = Manifest(v + 1, "delete", m.schemaJson,
+      untouched ++ staged.files, m.txns,
+      keptStats ++ staged.stats, keptBlooms ++ newBlooms)
+    try publish(root, manifest, primitive)
+    catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        discardStaged(tableDir, Seq(staged))
+        throw e
+    }
+    v + 1
   }
 
   /** RESTORE — roll the table back to version `v` by committing v's

@@ -429,4 +429,59 @@ class TxCatalogSpec extends SparkSpec {
       .map(_.getString(0)).toSeq
     assert(ns.contains("db"))
   }
+
+  test("DELETE FROM is a stats-pruned copy-on-write commit") {
+    warehouse
+    import spark.implicits._
+    val tbl = s"$warehouse/db/del"
+    // one language per commit => per-file lang stats are min=max=lang
+    TxTable.commit(Seq((1L, "en", 5L), (2L, "en", 7L)).toDF("id", "lang", "n"),
+      tbl, "overwrite")
+    TxTable.commit(Seq((3L, "de", 9L)).toDF("id", "lang", "n"), tbl, "append")
+    TxTable.commit(Seq((4L, "fr", 2L)).toDF("id", "lang", "n"), tbl, "append")
+    val before = TxTable.readManifest(
+      java.nio.file.Paths.get(tbl), 3L)
+
+    // 1. a delete whose predicate provably touches NO file is a pure
+    //    no-op: no new version, no rewrite
+    spark.sql("DELETE FROM txspec.db.del WHERE lang = 'zz'")
+    assert(TxTable.latestVersion(tbl) == Some(3L))
+
+    // 2. the real delete rewrites ONLY the de files: every en/fr file
+    //    carries forward under its original name
+    spark.sql("DELETE FROM txspec.db.del WHERE lang = 'de'")
+    assert(TxTable.latestVersion(tbl) == Some(4L))
+    val after = TxTable.readManifest(java.nio.file.Paths.get(tbl), 4L)
+    assert(after.op == "delete")
+    val enFrFiles = before.files.filter { f =>
+      val st = before.stats(f)("lang"); st.min != "de"
+    }
+    assert(enFrFiles.nonEmpty &&
+      enFrFiles.forall(after.files.contains),
+      "untouched files must carry forward verbatim")
+    // the de rows are gone; everything else intact
+    assert(spark.sql("SELECT id FROM txspec.db.del ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L))
+    // carried files keep their stats entries
+    assert(enFrFiles.forall(after.stats.contains))
+
+    // 3. the pre-delete snapshot stays time-travelable
+    assert(spark.sql(
+        "SELECT id FROM txspec.db.del VERSION AS OF 3 ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+
+    // 4. ANSI NULL semantics: rows where the condition is NULL survive
+    TxTable.commit(Seq((5L, Option.empty[String], 1L))
+      .toDF("id", "lang", "n"), tbl, "append")
+    spark.sql("DELETE FROM txspec.db.del WHERE lang = 'fr'")
+    assert(spark.sql("SELECT id FROM txspec.db.del ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 5L))
+
+    // 5. unconditioned DELETE truncates as one more version
+    spark.sql("DELETE FROM txspec.db.del")
+    assert(spark.sql("SELECT * FROM txspec.db.del").count() == 0L)
+    // and history is intact behind it
+    assert(spark.sql("SELECT count(*) FROM txspec.db.del VERSION AS OF 4")
+      .head().getLong(0) == 3L)
+  }
 }
