@@ -119,9 +119,13 @@ object Bench {
             case Some(p) if p > 0 && sec > 3 * p =>
               names ::= name
               val t0 = System.nanoTime()
-              try { selected(name)(spark, sfDir).count() }
-              catch { case _: Throwable => -1L }
-              val sec2 = (System.nanoTime() - t0) / 1e9
+              // a retry that THROWS must not contribute its
+              // time-to-failure: min(sec, bogus-fast-failure) would
+              // commit a phantom improvement and mask a real regression
+              val sec2 =
+                try { selected(name)(spark, sfDir).count()
+                      (System.nanoTime() - t0) / 1e9 }
+                catch { case _: Throwable => Double.MaxValue }
               graft.ext.Dedup.unpersistAll()
               name -> math.min(sec, sec2)
             case _ => name -> sec

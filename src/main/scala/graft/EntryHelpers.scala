@@ -109,26 +109,37 @@ private[graft] object EntryHelpers {
     // Spark's CatalogManager caches the initialized `graft_tx` instance
     // by NAME with the first-seen root, so a second corpus dir would
     // silently read the first dir's warehouse — refuse loudly instead.
-    if (txCatalogRoots.size() > 0 && !txCatalogRoots.containsKey(dir))
-      throw new IllegalStateException(
-        s"txCatalogWarehouse: catalog 'graft_tx' is already bound to " +
-          s"corpus dir '${txCatalogRoots.keySet().iterator().next()}' in " +
-          s"this JVM session; a second dir ('$dir') would silently read " +
-          "the first warehouse (CatalogManager caches by name) — use a " +
-          "fresh session/JVM per corpus dir")
-    txCatalogRoots.computeIfAbsent(dir, _ => {
-      val wh = scratchDir("graft-txcat-")
-      val docs = Tables.documents(s, dir)
-        .select(col("doc_id"), col("lang"), col("n_chars"))
-      val tbl = s"$wh/db/t"
-      graft.sources.TxTable.commit(
-        docs.filter(col("lang") === "en"), tbl, "overwrite")
-      graft.sources.TxTable.commit(
-        docs.filter(col("lang") === "de"), tbl, "append")
-      graft.sources.TxTable.commit(
-        docs.filter(col("lang") === "fr"), tbl, "overwrite")
-      wh
-    })
+    // The check+insert is ATOMIC (synchronized on the map): two threads
+    // racing with different dirs must not both pass a bare size()==0
+    // check and recreate the silent wrong-warehouse hazard.
+    txCatalogRoots.synchronized {
+      if (txCatalogRoots.size() > 0 && !txCatalogRoots.containsKey(dir))
+        throw new IllegalStateException(
+          s"txCatalogWarehouse: catalog 'graft_tx' is already bound to " +
+            s"corpus dir '${txCatalogRoots.keySet().iterator().next()}' in " +
+            s"this JVM session; a second dir ('$dir') would silently read " +
+            "the first warehouse (CatalogManager caches by name) — use a " +
+            "fresh JVM per corpus dir (a fresh SparkSession in the same " +
+            "JVM still hits this JVM-global binding)")
+      // insert INSIDE the same critical section — a sibling thread with a
+      // different dir parked on the monitor sees this entry when it wakes
+      // and takes the refusal branch, never a second binding. The fixture
+      // write is once-per-JVM setup, so holding the monitor over it is
+      // cheap in every call but the first.
+      txCatalogRoots.computeIfAbsent(dir, _ => {
+        val wh = scratchDir("graft-txcat-")
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        val tbl = s"$wh/db/t"
+        graft.sources.TxTable.commit(
+          docs.filter(col("lang") === "en"), tbl, "overwrite")
+        graft.sources.TxTable.commit(
+          docs.filter(col("lang") === "de"), tbl, "append")
+        graft.sources.TxTable.commit(
+          docs.filter(col("lang") === "fr"), tbl, "overwrite")
+        wh
+      })
+    }
   }
 
   /** `ops_optimize_sql` fixture: a second table (`db.opt`) in the shared

@@ -61,11 +61,14 @@ private[graft] object QueriesJoinsOlap {
     // the triangle list is computed over coActivityEdgesSharded's
     // shard-pair join groups (path-asserted in TrianglesSpec: the routed
     // plan carries the shard explode) — same oracle as graph_triangles,
-    // two edge-builder plans, one answer -----
+    // two edge-builder plans, one answer. shards=4 (not the default 16):
+    // the path assertion is identical at any shard count, and S(S+1)/2
+    // replication drops 17x -> 5x, cutting the certification's standing
+    // bench cost without weakening it -----
     "graph_triangles_sharded" -> ((s: SparkSession, dir: String) =>
       graft.ext.Triangles.triangles(
           graft.ext.Triangles.coActivityEdgesAuto(Tables.events(s, dir),
-            maxBucketUsers = 1L),
+            maxBucketUsers = 1L, shards = 4),
           "src", "dst")
         .orderBy("a", "b", "c")),
     // ----- local clustering coefficients over the same graph: per-node

@@ -96,8 +96,19 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
       .map(d => Identifier.of(namespace, d)).toArray
   }
 
+  /** Existence mirrors [[loadTable]]'s resolution, including the `$`
+    * metadata namespace: `t$history` exists iff `t` does, and any OTHER
+    * '$'-bearing name is simply absent (false, so `DROP TABLE IF
+    * EXISTS`/`EXISTS` probes answer cleanly) — the hard '$' rejection
+    * stays on the create/namespace paths where it guards real data. */
   override def tableExists(ident: Identifier): Boolean =
-    isTxTable(dirFor(ident))
+    ident.name().split('$') match {
+      case Array(base, "history" | "files" | "stats") if base.nonEmpty =>
+        isTxTable(dirFor(Identifier.of(ident.namespace(), base)))
+      case _ if ident.name().contains('$') ||
+        ident.namespace().exists(_.contains('$')) => false
+      case _ => isTxTable(dirFor(ident))
+    }
 
   override def loadTable(ident: Identifier): Table = {
     // Iceberg-style metadata tables: `t$history` / `t$files` expose the
@@ -550,12 +561,18 @@ private[graft] object TxMetaTables {
       }.toArray
     })
     case "history" => new MetaTable(name, HistorySchema, () =>
-      TxTable.history(dir.toString).map { case (v, op) =>
-        val m = TxTable.readManifest(dir, v)
-        val mtime = Files.getLastModifiedTime(
-          dir.resolve("_txlog").resolve(f"v$v%05d.json")).toMillis
-        new GenericInternalRow(Array[Any](v, UTF8String.fromString(op),
-          mtime * 1000L, m.files.length.toLong)): InternalRow
+      TxTable.history(dir.toString).flatMap { case (v, op) =>
+        // a manifest that vanishes between the listing and this re-read
+        // was expired by a CONCURRENT vacuum — same normal-reader-races-
+        // vacuum scenario TIMESTAMP AS OF resolves by skipping (:165);
+        // the row simply no longer belongs in the history
+        try {
+          val m = TxTable.readManifest(dir, v)
+          val mtime = Files.getLastModifiedTime(
+            dir.resolve("_txlog").resolve(f"v$v%05d.json")).toMillis
+          Some(new GenericInternalRow(Array[Any](v, UTF8String.fromString(op),
+            mtime * 1000L, m.files.length.toLong)): InternalRow)
+        } catch { case _: java.nio.file.NoSuchFileException => None }
       }.toArray)
     case "files" => new MetaTable(name, FilesSchema, () => {
       val v = TxTable.latestVersion(dir.toString).getOrElse(
