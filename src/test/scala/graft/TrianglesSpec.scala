@@ -258,6 +258,48 @@ class TrianglesSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("ER refuses loudly when the measured pair budget trips") {
+    // a planted hot key: every clean row is the SAME name, so the
+    // variant-key join would be |dirty|x|clean| — the pricing aggregate
+    // must catch it BEFORE the join launches
+    val clean = (1L to 50L).map(i => (i, "aaaa")).toDF("cid", "cn")
+    val dirty = (101L to 150L).map(i => (i, "aaab")).toDF("did", "dn")
+    val e = intercept[IllegalArgumentException] {
+      EntityResolution.resolve(dirty, "did", "dn", clean, "cid", "cn",
+        maxCandidatePairs = 100L).count()
+    }
+    assert(e.getMessage.contains("candidate pairs"))
+    assert(e.getMessage.contains("budget 100"))
+    // the same fixture under a budget that covers it resolves fine
+    assert(EntityResolution.resolve(dirty, "did", "dn", clean, "cid", "cn",
+      maxCandidatePairs = 10000L).count() == 50L)
+  }
+
+  test("ER cascade short-circuits: an all-clean feed never runs stage 2") {
+    // every dirty row matches exactly at stage 1, so the d=2 stage must
+    // not launch. Pin: pick a pair budget BETWEEN the two stages'
+    // measured candidate counts — resolve succeeding under it proves the
+    // d=2 pricing never ran (it would have refused)
+    val clean = (1L to 50L).map(i => (i, f"name$i%04d")).toDF("cid", "cn")
+    val dirty = (1L to 50L).map(i => (i + 100L, f"name$i%04d"))
+      .toDF("did", "dn")
+    def pairs(nbhd: org.apache.spark.sql.Column =>
+        org.apache.spark.sql.Column): Long =
+      dirty.select(explode(nbhd(col("dn"))).as("k"))
+        .groupBy("k").agg(count(lit(1)).as("dc"))
+        .join(clean.select(explode(nbhd(col("cn"))).as("k"))
+          .groupBy("k").agg(count(lit(1)).as("cc")), "k")
+        .agg(coalesce(sum(col("dc") * col("cc")), lit(0L)))
+        .head().getLong(0)
+    val p1 = pairs(EntityResolution.deletionNeighborhood)
+    val p2 = pairs(EntityResolution.deletionNeighborhood2)
+    assert(p1 < p2, s"fixture must separate the stages: d1=$p1 d2=$p2")
+    val got = EntityResolution.resolve(dirty, "did", "dn", clean, "cid",
+        "cn", maxDist = 2, maxCandidatePairs = p1).orderBy("id").collect()
+    assert(got.length == 50)
+    assert(got.forall(_.getInt(2) == 0))
+  }
+
   test("the distance-2 neighborhood handles degenerate short strings") {
     // 0- and 1-char names must not feed sequence(1, 0) its descending
     // trap: no pair keys, but the base + single-deletion keys survive
