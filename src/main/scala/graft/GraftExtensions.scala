@@ -19,13 +19,15 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType}
   *  - [[GraftExtensions.register]] on a live session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.descriptions.foreach { case (name, usage, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft", name, usage),
         builder))
     }
+    ext.injectPostHocResolutionRule(s => ProbeRuleHolder.ProbeRule(s))
+  }
 }
 
 object GraftExtensions {
@@ -158,4 +160,22 @@ object GraftExtensions {
     descriptions.foreach { case (name, _, builder) =>
       GraftBridge.registerFunction(spark, name, builder)
     }
+}
+
+// TEMPORARY probe rule
+object ProbeRuleHolder {
+  case class ProbeRule(session: SparkSession)
+      extends org.apache.spark.sql.catalyst.rules.Rule[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    override def apply(plan: LogicalPlan): LogicalPlan = {
+      plan.foreach {
+        case u: UpdateTable =>
+          println(s"PROBE saw UpdateTable aligned=${u.aligned} rewritable=${u.rewritable} resolved=${u.resolved} assignments=${u.assignments} cond=${u.condition} tableClass=${u.table.getClass.getSimpleName}")
+        case m: MergeIntoTable =>
+          println(s"PROBE saw MergeIntoTable aligned=${m.aligned} resolved=${m.resolved} matched=${m.matchedActions} notMatched=${m.notMatchedActions} bySource=${m.notMatchedBySourceActions}")
+        case _ => ()
+      }
+      plan
+    }
+  }
 }

@@ -387,6 +387,14 @@ private[graft] class TxSqlTable(tableName: String, dir: Path, version: Long,
   // stats, and blooms all derive from it
   private lazy val manifest: TxTable.Manifest =
     TxTable.readManifest(dir, version)
+
+  /** Exposed for the row-level UPDATE/MERGE commands ([[TxRowLevel]]):
+    * the copy-on-write rewrite targets the table DIRECTORY (it commits
+    * against the latest version, like every writer), and only a
+    * writable (latest-loaded) handle may be rewritten — time-travel
+    * handles carry no write capability, same contract as INSERT. */
+  private[graft] def tablePath: Path = dir
+  private[graft] def isWritableHandle: Boolean = writable
   private lazy val tableSchema: StructType =
     DataType.fromJson(manifest.schemaJson).asInstanceOf[StructType]
 

@@ -1,0 +1,403 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, AttributeSet, Expression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, LogicalPlan, MergeAction, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateTable}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.GraftBridge
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
+
+/** SQL `UPDATE` and `MERGE INTO` on the tx catalog — the other half of
+  * row-level ops next to [[TxTable.deleteWhere]], as stats-pruned
+  * copy-on-write commands (the Delta architecture: a resolution rule
+  * swaps the analyzed `UpdateTable`/`MergeIntoTable` nodes for runnable
+  * commands that drive the rewrite with DataFrame ops — no custom
+  * physical writer, Spark's own parquet write path stages the files).
+  *
+  * Cost shape at 100 TB, both commands:
+  *  - CANDIDATE SELECTION is O(files) driver metadata: the predicate's
+  *    conjuncts run against manifest min/max stats and blooms (UPDATE:
+  *    the WHERE clause; MERGE: per equi-conjunct `t.k = s.k` bounds
+  *    `[min(s.k), max(s.k)]` measured from the source in one tiny
+  *    aggregate — the dynamic-file-pruning idea with the manifest as
+  *    the index). Files that provably hold no matching row carry
+  *    forward VERBATIM — stats, blooms, zero IO.
+  *  - The REWRITE is one distributed read over only the candidate
+  *    files, the row transform, one distributed staged write, one OCC
+  *    manifest publish (staged files reclaimed on a lost race). An
+  *    UPDATE or MERGE that provably touches nothing commits NO version.
+  *
+  * MERGE semantics (ANSI): first-match-wins across each clause list;
+  * WHEN MATCHED AND/UPDATE/DELETE, WHEN NOT MATCHED AND/INSERT, WHEN
+  * NOT MATCHED BY SOURCE AND/UPDATE/DELETE all supported; a target row
+  * matched by MORE than one source row refuses loudly when any MATCHED
+  * clause exists (the standard's cardinality violation — silently
+  * picking one source row corrupts data); `WITH SCHEMA EVOLUTION` and
+  * nested-field assignments refuse loudly. When NOT MATCHED BY SOURCE
+  * clauses exist, every file is a candidate by construction (unmatched
+  * rows live anywhere), so that clause class is the one that cannot
+  * prune — documented price, same as Delta.
+  *
+  * The commands capture ANALYZED expressions; attribute references are
+  * rebound BY NAME onto the re-read candidate frame (target) and the
+  * renamed source frame (`__s_` prefix), so the rewrite plan is plain
+  * DataFrame logic Catalyst optimizes like any other query.
+  */
+private[graft] object TxRowLevel {
+
+  /** Unwrap the (possibly aliased) DSv2 relation over a [[TxSqlTable]]. */
+  private def txRelation(plan: LogicalPlan)
+      : Option[(DataSourceV2Relation, TxSqlTable)] = plan match {
+    case r: DataSourceV2Relation => r.table match {
+      case t: TxSqlTable => Some((r, t))
+      case _ => None
+    }
+    case SubqueryAlias(_, child) => txRelation(child)
+    case _ => None
+  }
+
+  private def requireWritable(tx: TxSqlTable, op: String): Unit =
+    require(tx.isWritableHandle,
+      s"$op on a time-travel handle of ${tx.name()} — only the latest " +
+        "version is writable (a rewrite always commits the next " +
+        "version, so offering it on a snapshot would be a lie)")
+
+  private def refuseSubqueries(es: Iterable[Expression], op: String): Unit =
+    es.foreach(e => require(
+      !e.exists(_.isInstanceOf[SubqueryExpression]),
+      s"$op on the tx catalog does not support subqueries in " +
+        "conditions — materialize the subquery into the source/a view"))
+
+  /** The post-hoc resolution rule: analyzed UPDATE/MERGE over a tx
+    * table becomes the matching runnable command (executed eagerly by
+    * the command framework); every other table passes through to
+    * Spark's own (unsupported-feature) path untouched. */
+  final case class RowLevelRule(session: SparkSession)
+      extends Rule[LogicalPlan] {
+    override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+      case u @ UpdateTable(tbl, assignments, cond) if u.resolved =>
+        txRelation(tbl) match {
+          case Some((rel, tx)) =>
+            requireWritable(tx, "UPDATE")
+            refuseSubqueries(cond ++ assignments.map(_.value), "UPDATE")
+            TxUpdateCommand(tx.tablePath.toString, rel.output,
+              assignments, cond)
+          case None => u
+        }
+      case m: MergeIntoTable if m.resolved =>
+        txRelation(m.targetTable) match {
+          case Some((rel, tx)) =>
+            requireWritable(tx, "MERGE INTO")
+            require(!m.withSchemaEvolution,
+              "MERGE INTO the tx catalog does not support WITH SCHEMA " +
+                "EVOLUTION — evolve the schema with a mergeSchema " +
+                "append commit first")
+            val allActs = m.matchedActions ++ m.notMatchedActions ++
+              m.notMatchedBySourceActions
+            refuseSubqueries(
+              Seq(m.mergeCondition) ++ allActs.flatMap(actExprs), "MERGE INTO")
+            TxMergeCommand(tx.tablePath.toString, rel.output,
+              m.sourceTable, m.mergeCondition, m.matchedActions,
+              m.notMatchedActions, m.notMatchedBySourceActions)
+          case None => m
+        }
+    }
+  }
+
+  private def actExprs(a: MergeAction): Seq[Expression] = a match {
+    case UpdateAction(c, as, _) => c.toSeq ++ as.flatMap(x => Seq(x.key, x.value))
+    case InsertAction(c, as) => c.toSeq ++ as.flatMap(x => Seq(x.key, x.value))
+    case DeleteAction(c) => c.toSeq
+    case other => throw new UnsupportedOperationException(
+      s"unsupported MERGE action: $other")
+  }
+
+  /** Rebind an analyzed expression onto the rewrite frames: target
+    * attributes by plain (quoted) name, source attributes by their
+    * `__s_` rename. Anything else left in the tree is a bug — refuse. */
+  private def rebind(e: Expression, tgt: AttributeSet,
+                     src: AttributeSet): Column =
+    GraftBridge.column(e.transform {
+      case a: AttributeReference if tgt.contains(a) =>
+        UnresolvedAttribute.quoted(a.name)
+      case a: AttributeReference if src.contains(a) =>
+        UnresolvedAttribute.quoted(SrcPrefix + a.name)
+      case a: AttributeReference => throw new IllegalStateException(
+        s"MERGE/UPDATE expression references neither side: $a")
+    })
+
+  private val SrcPrefix = "__s_"
+  private val Tid = "__graft_tid"
+  private val SMark = "__graft_sm"
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+
+  /** deleteWhere's candidate partition generalized: a file is untouched
+    * when ANY translated conjunct of the predicate provably excludes all
+    * its rows (conjunct never TRUE there ⇒ conjunction never TRUE ⇒ no
+    * row of the file can match). Untranslatable conjuncts prune
+    * nothing — sound, just less sharp. */
+  private def partitionFiles(m: TxTable.Manifest, schema: StructType,
+                             filters: Seq[org.apache.spark.sql.sources.Filter])
+      : (Seq[String], Seq[String]) =
+    m.files.partition { f =>
+      val st = m.stats.getOrElse(f, Map.empty[String, TxStats.ColStat])
+      val bl = m.blooms.getOrElse(f, Map.empty[String, TxStats.FileBloom])
+      !filters.exists(fl =>
+        TxStats.excludes(st, schema, fl) || TxStats.bloomExcludes(bl, fl))
+    }
+
+  private def readFiles(spark: SparkSession, dir: String,
+                        schema: StructType, files: Seq[String]): DataFrame =
+    if (files.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+    else spark.read.schema(schema).parquet(
+      files.map(f => java.nio.file.Paths.get(dir).resolve(f).toString): _*)
+
+  /** First-match-wins clause chain: WHEN cond₁ → act₁ ELSE WHEN cond₂ →
+    * act₂ … ELSE default — the ANSI clause-order contract as one nested
+    * CASE (a missing AND is `true`; a NULL AND is `false`). */
+  private def firstMatch(actions: Seq[MergeAction],
+                         condOf: MergeAction => Option[Expression],
+                         onAction: MergeAction => Column,
+                         default: Column,
+                         bind: Expression => Column): Column =
+    actions.foldRight(default) { (a, rest) =>
+      val c = condOf(a).map(e => coalesce(bind(e), lit(false)))
+        .getOrElse(lit(true))
+      when(c, onAction(a)).otherwise(rest)
+    }
+
+  private def actCond(a: MergeAction): Option[Expression] = a match {
+    case UpdateAction(c, _, _) => c
+    case InsertAction(c, _) => c
+    case DeleteAction(c) => c
+    case other => throw new UnsupportedOperationException(
+      s"unsupported MERGE action: $other")
+  }
+
+  /** The assigned value for `field` under `a`, cast to the exact column
+    * type (Spark aligns+casts MERGE assignments itself, but UPDATE's
+    * unaligned SET list and defensive exactness both want the cast);
+    * an action that does not assign the field keeps `fallback`. */
+  private def assignedValue(as: Seq[Assignment], field: StructField,
+                            tgt: AttributeSet, fallback: Column,
+                            bind: Expression => Column): Column =
+    as.find(_.key match {
+      case k: AttributeReference => tgt.contains(k) && k.name == field.name
+      case _ => false
+    }) match {
+      case Some(Assignment(_, v)) => bind(v).cast(field.dataType)
+      case None =>
+        as.collectFirst { case Assignment(k, _)
+            if !k.isInstanceOf[AttributeReference] => k }
+          .foreach(k => throw new UnsupportedOperationException(
+            s"nested-field assignment is not supported on the tx " +
+              s"catalog (key $k) — assign the whole top-level column"))
+        fallback
+    }
+}
+
+/** `UPDATE <tx table> SET … WHERE …` as a stats-pruned copy-on-write
+  * commit ([[TxRowLevel]] scaladoc). An update whose predicate provably
+  * touches NO file commits NO version — the metadata no-op contract
+  * `deleteWhere` set. */
+private[graft] final case class TxUpdateCommand(
+    tableDir: String,
+    targetOutput: Seq[Attribute],
+    assignments: Seq[Assignment],
+    condition: Option[Expression]) extends LeafRunnableCommand {
+  import TxRowLevel._
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = TxTable.latestVersion(tableDir).getOrElse(
+      throw new IllegalStateException(
+        s"no committed version under $tableDir"))
+    val m = TxTable.readManifest(java.nio.file.Paths.get(tableDir), v)
+    val schema =
+      DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    val tgt = AttributeSet(targetOutput)
+    val bind: Expression => Column =
+      e => rebind(e, tgt, AttributeSet.empty)
+    val filters = condition.toSeq.flatMap(splitConjuncts)
+      .flatMap(GraftBridge.translateFilter)
+    val (touched, untouched) = condition match {
+      case None => (m.files, Seq.empty[String]) // unconditional UPDATE
+      case Some(_) => partitionFiles(m, schema, filters)
+    }
+    if (touched.isEmpty) return Seq.empty // provably nothing to update
+    val cond = condition.map(bind)
+      .map(c => coalesce(c, lit(false))).getOrElse(lit(true))
+    val rewritten = readFiles(spark, tableDir, schema, touched)
+      .select(schema.fields.toSeq.map { f =>
+        assignedValue(assignments, f, tgt, fallback = col(f.name), bind)
+          match {
+            case set if assignments.exists(_.key match {
+              case k: AttributeReference => k.name == f.name
+              case _ => false
+            }) => when(cond, set).otherwise(col(f.name)).as(f.name)
+            case _ => col(f.name).as(f.name)
+          }
+      }: _*)
+    TxTable.replaceFiles(spark, tableDir, m, untouched, rewritten,
+      "update")
+    Seq.empty
+  }
+}
+
+/** `MERGE INTO <tx table> USING <source> ON …` as a stats-pruned
+  * copy-on-write commit ([[TxRowLevel]] scaladoc). Candidate files come
+  * from the ON clause's equi-conjuncts bounded by the source's measured
+  * min/max; the rewrite is ONE pass over the full-outer join (matched /
+  * not-matched / not-matched-by-source all decided per row by null
+  * markers), and a MERGE that touches no file and inserts no row
+  * commits no version. */
+private[graft] final case class TxMergeCommand(
+    tableDir: String,
+    targetOutput: Seq[Attribute],
+    source: LogicalPlan,
+    mergeCondition: Expression,
+    matchedActions: Seq[MergeAction],
+    notMatchedActions: Seq[MergeAction],
+    notMatchedBySourceActions: Seq[MergeAction])
+  extends LeafRunnableCommand {
+  import TxRowLevel._
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = TxTable.latestVersion(tableDir).getOrElse(
+      throw new IllegalStateException(
+        s"no committed version under $tableDir"))
+    val m = TxTable.readManifest(java.nio.file.Paths.get(tableDir), v)
+    val schema =
+      DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    val tgt = AttributeSet(targetOutput)
+    val srcAttrs = AttributeSet(source.output)
+    require(!schema.fieldNames.exists(_.startsWith(SrcPrefix)),
+      s"target columns may not start with the reserved '$SrcPrefix'")
+    val srcNames = source.output.map(_.name)
+    require(srcNames.distinct.size == srcNames.size,
+      s"MERGE source has duplicate column names: ${srcNames.mkString(", ")}")
+    val bind: Expression => Column = e => rebind(e, tgt, srcAttrs)
+
+    val srcDf = graft.ext.TrackedCache.persistTracked(
+      GraftBridge.ofRows(spark, source).toDF(
+        srcNames.map(SrcPrefix + _): _*))
+
+    // ---- candidate files: equi-conjunct bounds measured from the source
+    val rewritesTarget =
+      matchedActions.nonEmpty || notMatchedBySourceActions.nonEmpty
+    val equiBounds: Seq[org.apache.spark.sql.sources.Filter] =
+      if (notMatchedBySourceActions.nonEmpty) Seq.empty // cannot prune
+      else splitConjuncts(mergeCondition).flatMap {
+        case org.apache.spark.sql.catalyst.expressions.EqualTo(l, r) =>
+          val (tSide, sSide) = (l, r) match {
+            case (a: AttributeReference, s) if tgt.contains(a) &&
+              s.references.subsetOf(srcAttrs) => (Some(a), Some(s))
+            case (s, a: AttributeReference) if tgt.contains(a) &&
+              s.references.subsetOf(srcAttrs) => (Some(a), Some(s))
+            case _ => (None, None)
+          }
+          (tSide, sSide) match {
+            case (Some(a), Some(s)) =>
+              val mm = srcDf.agg(min(bind(s)), max(bind(s))).head()
+              if (mm.isNullAt(0)) Seq(
+                // empty/all-null source key: the conjunct is never TRUE
+                org.apache.spark.sql.sources.AlwaysFalse())
+              else Seq(
+                org.apache.spark.sql.sources
+                  .GreaterThanOrEqual(a.name, mm.get(0)),
+                org.apache.spark.sql.sources
+                  .LessThanOrEqual(a.name, mm.get(1)))
+            case _ => Seq.empty
+          }
+        case _ => Seq.empty
+      }
+    val (touched0, untouched) =
+      if (!rewritesTarget) (Seq.empty[String], m.files) // insert-only
+      else if (notMatchedBySourceActions.nonEmpty)
+        (m.files, Seq.empty[String])
+      else partitionFiles(m, schema, equiBounds)
+    // insert-only MERGE still needs the FULL target for the anti
+    // semantics of NOT MATCHED, but rewrites none of it
+    val joinTargetFiles = if (rewritesTarget) touched0 else m.files
+
+    val tgtDf = readFiles(spark, tableDir, schema, joinTargetFiles)
+      .withColumn(Tid, monotonically_increasing_id())
+    val onCond = coalesce(bind(mergeCondition), lit(false))
+    val joined = graft.ext.TrackedCache.persistTracked(
+      tgtDf.join(srcDf.withColumn(SMark, lit(true)), onCond, "full_outer"))
+
+    // ANSI cardinality rule: a target row matched by >1 source row is
+    // ambiguous for MATCHED actions — refuse loudly, never pick one
+    if (matchedActions.nonEmpty) {
+      val dup = joined
+        .filter(col(SMark).isNotNull && col(Tid).isNotNull)
+        .groupBy(col(Tid)).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > 1).limit(1).count()
+      require(dup == 0L,
+        "MERGE INTO: at least one target row is matched by multiple " +
+          "source rows — deduplicate the source on the join key " +
+          "(latest-wins: a row_number window over the change sequence)")
+    }
+
+    val isInsert = col(Tid).isNull
+    val isMatched = col(SMark).isNotNull
+    def assignsOf(a: MergeAction): Seq[Assignment] = a match {
+      case UpdateAction(_, as, _) => as
+      case InsertAction(_, as) => as
+      case _ => Seq.empty
+    }
+    def keepOf(a: MergeAction): Column = a match {
+      case _: DeleteAction => lit(false)
+      case _ => lit(true)
+    }
+    val keep =
+      when(isInsert,
+        firstMatch(notMatchedActions, actCond, keepOf, lit(false), bind))
+      .when(isMatched,
+        firstMatch(matchedActions, actCond, keepOf, lit(true), bind))
+      .otherwise(
+        firstMatch(notMatchedBySourceActions, actCond, keepOf, lit(true),
+          bind))
+    val outCols = schema.fields.toSeq.map { f =>
+      val old = col(f.name)
+      def valOf(a: MergeAction): Column =
+        assignedValue(assignsOf(a), f, tgt, fallback = old, bind)
+      when(isInsert,
+        firstMatch(notMatchedActions, actCond, valOf,
+          lit(null).cast(f.dataType), bind))
+      .when(isMatched, firstMatch(matchedActions, actCond, valOf, old, bind))
+      .otherwise(
+        firstMatch(notMatchedBySourceActions, actCond, valOf, old, bind))
+      .cast(f.dataType).as(f.name)
+    }
+    // a matched target row with NO matched actions passes through
+    // unchanged but the full-outer join emitted it once PER MATCH —
+    // dedupe by the row id (values identical across duplicates: no
+    // matched action means no source column reaches the output)
+    val base =
+      if (matchedActions.isEmpty && rewritesTarget)
+        joined.filter(isInsert)
+          .unionByName(joined.filter(!isInsert).dropDuplicates(Tid))
+      else joined
+    val result = base.filter(keep).select(outCols: _*)
+
+    if (!rewritesTarget) {
+      // insert-only: old files all carry forward; nothing staged when
+      // the source matched everything (version-free no-op)
+      val inserts = result
+      if (inserts.isEmpty) return Seq.empty
+      TxTable.replaceFiles(spark, tableDir, m, untouched, inserts, "merge")
+    } else {
+      TxTable.replaceFiles(spark, tableDir, m, untouched, result, "merge")
+    }
+    Seq.empty
+  }
+}

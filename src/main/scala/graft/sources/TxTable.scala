@@ -640,18 +640,37 @@ object TxTable {
     val survivors = spark.read.schema(schema)
       .parquet(touched.map(f => root.resolve(f).toString): _*)
       .filter(!functions.coalesce(cond, functions.lit(false)))
-    val staged = stageData(survivors, tableDir)
+    replaceFiles(spark, tableDir, m, untouched, survivors, "delete",
+      primitive)
+  }
+
+  /** Shared copy-on-write tail for every row-level rewrite (DELETE /
+    * UPDATE / MERGE): stage `newData` as fresh files, carry the
+    * `untouched` files forward VERBATIM with their stats and blooms,
+    * rebuild blooms on the staged files for every column the snapshot
+    * bloomed anywhere (coverage never narrows through a rewrite), and
+    * publish `base.version + 1` as `op` through the same OCC commit as
+    * every writer — staged files reclaimed on a version conflict, so a
+    * lost race leaves no orphans and the pre-rewrite snapshot stays
+    * time-travelable either way. */
+  private[graft] def replaceFiles(spark: SparkSession, tableDir: String,
+                                  base: Manifest, untouched: Seq[String],
+                                  newData: DataFrame, op: String,
+                                  primitive: CommitPrimitive =
+                                    PosixLinkPrimitive): Long = {
+    val root = Paths.get(tableDir)
+    val schema =
+      DataType.fromJson(base.schemaJson).asInstanceOf[StructType]
+    val staged = stageData(newData, tableDir)
     val untouchedSet = untouched.toSet
-    val keptStats = m.stats.view.filterKeys(untouchedSet).toMap
-    val keptBlooms = m.blooms.view.filterKeys(untouchedSet).toMap
-    // bloom coverage survives the rewrite, like compact: rebuild for
-    // every column any TOUCHED file bloomed
-    val bloomCols = touched.flatMap(f =>
-      m.blooms.getOrElse(f, Map.empty).keys).distinct.sorted
+    val keptStats = base.stats.view.filterKeys(untouchedSet).toMap
+    val keptBlooms = base.blooms.view.filterKeys(untouchedSet).toMap
+    val bloomCols = base.blooms.values.flatMap(_.keys)
+      .toSeq.distinct.sorted
     val newBlooms = TxStats.buildFileBlooms(spark,
       root.resolve(staged.dataRel), staged.files, schema, bloomCols)
-    val manifest = Manifest(v + 1, "delete", m.schemaJson,
-      untouched ++ staged.files, m.txns,
+    val manifest = Manifest(base.version + 1, op, base.schemaJson,
+      untouched ++ staged.files, base.txns,
       keptStats ++ staged.stats, keptBlooms ++ newBlooms)
     try publish(root, manifest, primitive)
     catch {
@@ -659,7 +678,7 @@ object TxTable {
         discardStaged(tableDir, Seq(staged))
         throw e
     }
-    v + 1
+    base.version + 1
   }
 
   /** RESTORE — roll the table back to version `v` by committing v's
