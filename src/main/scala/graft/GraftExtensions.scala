@@ -26,7 +26,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft", name, usage),
         builder))
     }
-    ext.injectPostHocResolutionRule(s => ProbeRuleHolder.ProbeRule(s))
+    // SQL UPDATE / MERGE INTO on the tx catalog: the analyzed
+    // UpdateTable/MergeIntoTable nodes become runnable copy-on-write
+    // commands (see graft.sources.TxRowLevel).
+    ext.injectPostHocResolutionRule(s => graft.sources.TxRowLevel.RowLevelRule(s))
   }
 }
 
@@ -160,22 +163,4 @@ object GraftExtensions {
     descriptions.foreach { case (name, _, builder) =>
       GraftBridge.registerFunction(spark, name, builder)
     }
-}
-
-// TEMPORARY probe rule
-object ProbeRuleHolder {
-  case class ProbeRule(session: SparkSession)
-      extends org.apache.spark.sql.catalyst.rules.Rule[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
-    import org.apache.spark.sql.catalyst.plans.logical._
-    override def apply(plan: LogicalPlan): LogicalPlan = {
-      plan.foreach {
-        case u: UpdateTable =>
-          println(s"PROBE saw UpdateTable aligned=${u.aligned} rewritable=${u.rewritable} resolved=${u.resolved} assignments=${u.assignments} cond=${u.condition} tableClass=${u.table.getClass.getSimpleName}")
-        case m: MergeIntoTable =>
-          println(s"PROBE saw MergeIntoTable aligned=${m.aligned} resolved=${m.resolved} matched=${m.matchedActions} notMatched=${m.notMatchedActions} bySource=${m.notMatchedBySourceActions}")
-        case _ => ()
-      }
-      plan
-    }
-  }
 }

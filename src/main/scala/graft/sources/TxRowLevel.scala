@@ -119,7 +119,7 @@ private[graft] object TxRowLevel {
   /** Rebind an analyzed expression onto the rewrite frames: target
     * attributes by plain (quoted) name, source attributes by their
     * `__s_` rename. Anything else left in the tree is a bug — refuse. */
-  private def rebind(e: Expression, tgt: AttributeSet,
+  private[sources] def rebind(e: Expression, tgt: AttributeSet,
                      src: AttributeSet): Column =
     GraftBridge.column(e.transform {
       case a: AttributeReference if tgt.contains(a) =>
@@ -130,11 +130,11 @@ private[graft] object TxRowLevel {
         s"MERGE/UPDATE expression references neither side: $a")
     })
 
-  private val SrcPrefix = "__s_"
-  private val Tid = "__graft_tid"
-  private val SMark = "__graft_sm"
+  private[sources] val SrcPrefix = "__s_"
+  private[sources] val Tid = "__graft_tid"
+  private[sources] val SMark = "__graft_sm"
 
-  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+  private[sources] def splitConjuncts(e: Expression): Seq[Expression] = e match {
     case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
     case other => Seq(other)
   }
@@ -144,7 +144,7 @@ private[graft] object TxRowLevel {
     * its rows (conjunct never TRUE there ⇒ conjunction never TRUE ⇒ no
     * row of the file can match). Untranslatable conjuncts prune
     * nothing — sound, just less sharp. */
-  private def partitionFiles(m: TxTable.Manifest, schema: StructType,
+  private[sources] def partitionFiles(m: TxTable.Manifest, schema: StructType,
                              filters: Seq[org.apache.spark.sql.sources.Filter])
       : (Seq[String], Seq[String]) =
     m.files.partition { f =>
@@ -154,7 +154,7 @@ private[graft] object TxRowLevel {
         TxStats.excludes(st, schema, fl) || TxStats.bloomExcludes(bl, fl))
     }
 
-  private def readFiles(spark: SparkSession, dir: String,
+  private[sources] def readFiles(spark: SparkSession, dir: String,
                         schema: StructType, files: Seq[String]): DataFrame =
     if (files.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[Row](), schema)
@@ -164,7 +164,7 @@ private[graft] object TxRowLevel {
   /** First-match-wins clause chain: WHEN cond₁ → act₁ ELSE WHEN cond₂ →
     * act₂ … ELSE default — the ANSI clause-order contract as one nested
     * CASE (a missing AND is `true`; a NULL AND is `false`). */
-  private def firstMatch(actions: Seq[MergeAction],
+  private[sources] def firstMatch(actions: Seq[MergeAction],
                          condOf: MergeAction => Option[Expression],
                          onAction: MergeAction => Column,
                          default: Column,
@@ -175,7 +175,7 @@ private[graft] object TxRowLevel {
       when(c, onAction(a)).otherwise(rest)
     }
 
-  private def actCond(a: MergeAction): Option[Expression] = a match {
+  private[sources] def actCond(a: MergeAction): Option[Expression] = a match {
     case UpdateAction(c, _, _) => c
     case InsertAction(c, _) => c
     case DeleteAction(c) => c
@@ -187,7 +187,7 @@ private[graft] object TxRowLevel {
     * type (Spark aligns+casts MERGE assignments itself, but UPDATE's
     * unaligned SET list and defensive exactness both want the cast);
     * an action that does not assign the field keeps `fallback`. */
-  private def assignedValue(as: Seq[Assignment], field: StructField,
+  private[sources] def assignedValue(as: Seq[Assignment], field: StructField,
                             tgt: AttributeSet, fallback: Column,
                             bind: Expression => Column): Column =
     as.find(_.key match {
