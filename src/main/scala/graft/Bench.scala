@@ -10,6 +10,8 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // SQL functions + the tx-catalog row-level rule (UPDATE/MERGE)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -193,6 +193,69 @@ private[graft] object EntryHelpers {
       java.lang.Long.valueOf(v)
     }).longValue()
 
+  /** `ops_update_sql` fixture: a fourth table (`db.upd`) in the shared
+    * SQL warehouse, updated THROUGH pure SQL exactly once per (JVM,
+    * corpus dir). One language per commit means per-file min=max=lang
+    * manifest stats, so `UPDATE … WHERE lang='de'` provably touches
+    * only the de files (TxRowLevel's candidate partition — the en/fr
+    * files carry stats and blooms forward verbatim) and commits v4. */
+  val txUpdDone =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  def txUpdatedVersion(s: SparkSession, dir: String, wh: String): Long =
+    txUpdDone.computeIfAbsent(dir, _ => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val tbl = s"$wh/db/upd"
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "en"), tbl, "overwrite")
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "de"), tbl, "append")
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "fr"), tbl, "append")
+      s.sql(
+        "UPDATE graft_tx.db.upd SET n_chars = n_chars + 1000 " +
+          "WHERE lang = 'de'")
+      val v = graft.sources.TxTable.latestVersion(tbl).getOrElse(0L)
+      require(v == 4L, s"expected the SQL update to commit v4, got v$v")
+      java.lang.Long.valueOf(v)
+    }).longValue()
+
+  /** `ops_merge_sql` fixture: a fifth table (`db.mrg`), merged THROUGH
+    * pure SQL exactly once per (JVM, corpus dir). The source is the
+    * fr+es slice of documents, so one MERGE exercises all three clause
+    * classes: fr rows match (first-match-wins across the conditional
+    * DELETE and the unconditional UPDATE), es doc_ids are absent from
+    * the en+de+fr target (INSERT), en/de rows are untouched
+    * pass-throughs. Commits v4. */
+  val txMrgDone =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  def txMergedVersion(s: SparkSession, dir: String, wh: String): Long =
+    txMrgDone.computeIfAbsent(dir, _ => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val tbl = s"$wh/db/mrg"
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "en"), tbl, "overwrite")
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "de"), tbl, "append")
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "fr"), tbl, "append")
+      docs.filter(col("lang").isin("fr", "es"))
+        .createOrReplaceTempView("graft_mrg_src")
+      s.sql(
+        """MERGE INTO graft_tx.db.mrg t
+          |USING graft_mrg_src s
+          |ON t.doc_id = s.doc_id
+          |WHEN MATCHED AND s.n_chars > 400 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars + 1000
+          |WHEN NOT MATCHED THEN
+          |  INSERT (doc_id, lang, n_chars)
+          |  VALUES (s.doc_id, s.lang, s.n_chars)""".stripMargin)
+      val v = graft.sources.TxTable.latestVersion(tbl).getOrElse(0L)
+      require(v == 4L, s"expected the SQL merge to commit v4, got v$v")
+      java.lang.Long.valueOf(v)
+    }).longValue()
+
   /** Documents with deterministic PII/URL decorations appended: the
     * synthetic corpus is clean, so the compliance queries (`text_pii`,
     * `text_domains`) derive a dirty variant as a pure function of

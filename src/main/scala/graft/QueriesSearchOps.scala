@@ -371,6 +371,36 @@ private[graft] object QueriesSearchOps {
            |FROM graft_tx.db.del VERSION AS OF $v
            |ORDER BY doc_id""".stripMargin)
     }),
+    // ----- row-level SQL UPDATE as a stats-pruned copy-on-write commit
+    // (TxRowLevel scaladoc: the WHERE clause's conjuncts run against the
+    // manifest min/max stats and blooms, so with one language per commit
+    // only the de files rewrite — en/fr carry forward verbatim). The
+    // certified output is the post-update snapshot via SQL time travel -----
+    "ops_update_sql" -> ((s: SparkSession, dir: String) => {
+      val wh = EntryHelpers.txCatalogWarehouse(s, dir)
+      s.conf.set("spark.sql.catalog.graft_tx", "graft.sources.TxCatalog")
+      s.conf.set("spark.sql.catalog.graft_tx.root", wh)
+      val v = EntryHelpers.txUpdatedVersion(s, dir, wh)
+      s.sql(
+        s"""SELECT CAST($v AS BIGINT) AS version, doc_id, lang, n_chars
+           |FROM graft_tx.db.upd VERSION AS OF $v
+           |ORDER BY doc_id""".stripMargin)
+    }),
+    // ----- SQL MERGE INTO: one statement exercises all three ANSI clause
+    // classes against the en+de+fr target — fr rows take the conditional
+    // DELETE or the UPDATE (first-match-wins), es rows INSERT, en/de rows
+    // pass through untouched (TxRowLevel scaladoc: candidate files come
+    // from the ON equi-conjunct bounded by the source's measured min/max) -----
+    "ops_merge_sql" -> ((s: SparkSession, dir: String) => {
+      val wh = EntryHelpers.txCatalogWarehouse(s, dir)
+      s.conf.set("spark.sql.catalog.graft_tx", "graft.sources.TxCatalog")
+      s.conf.set("spark.sql.catalog.graft_tx.root", wh)
+      val v = EntryHelpers.txMergedVersion(s, dir, wh)
+      s.sql(
+        s"""SELECT CAST($v AS BIGINT) AS version, doc_id, lang, n_chars
+           |FROM graft_tx.db.mrg VERSION AS OF $v
+           |ORDER BY doc_id""".stripMargin)
+    }),
     // ----- JSONL codec round trip: events (incl. the JSON-in-string
     // props column — the quoting torture case) serialized to JSON lines
     // and read back schema-enforced; hash-matching the oracle on the
@@ -1023,6 +1053,28 @@ private[graft] object QueriesSearchOps {
     "ops_delete_sql" ->
       ("""SELECT CAST(4 AS BIGINT) AS version, doc_id, lang, n_chars
          |FROM documents WHERE lang IN ('en', 'fr')
+         |ORDER BY doc_id""".stripMargin),
+    // the SQL UPDATE replayed from the commit definitions: en+de+fr
+    // accumulated, then the de rows' n_chars shifted by 1000
+    "ops_update_sql" ->
+      ("""SELECT CAST(4 AS BIGINT) AS version, doc_id, lang,
+         |  CASE WHEN lang = 'de' THEN n_chars + 1000 ELSE n_chars END
+         |    AS n_chars
+         |FROM documents WHERE lang IN ('en', 'de', 'fr')
+         |ORDER BY doc_id""".stripMargin),
+    // the MERGE replayed clause by clause: en+de pass through, fr rows
+    // with n_chars > 400 delete, the rest update to n_chars + 1000
+    // (source n_chars == target n_chars for a self-derived source), and
+    // es rows insert verbatim
+    "ops_merge_sql" ->
+      ("""SELECT CAST(4 AS BIGINT) AS version, doc_id, lang, n_chars
+         |FROM documents WHERE lang IN ('en', 'de')
+         |UNION ALL
+         |SELECT CAST(4 AS BIGINT), doc_id, lang, n_chars + 1000
+         |FROM documents WHERE lang = 'fr' AND n_chars <= 400
+         |UNION ALL
+         |SELECT CAST(4 AS BIGINT), doc_id, lang, n_chars
+         |FROM documents WHERE lang = 'es'
          |ORDER BY doc_id""".stripMargin),
     // vacuum(retain=2) expires exactly v1; the retained snapshots replay
     // from the commit definitions: v2 = en+de append state, v3 = fr

@@ -16,6 +16,8 @@ object Verify {
       .config("spark.sql.parquet.aggregatePushdown", "true")
       // events.ts is TIMESTAMP(NANOS); read as long, converted in Tables.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // SQL functions + the tx-catalog row-level rule (UPDATE/MERGE)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

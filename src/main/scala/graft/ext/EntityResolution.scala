@@ -145,12 +145,17 @@ object EntityResolution {
           Seq("__key"), "full_outer")
         .agg(coalesce(sum(col("__cc")), lit(0L)),
           coalesce(sum(col("__dc")), lit(0L)),
-          coalesce(sum(coalesce(col("__cc"), lit(0L)) *
-            coalesce(col("__dc"), lit(0L))), lit(0L)))
+          // the pair sum runs in decimal(38,0): on exactly the hot-key
+          // inputs the budget exists for (two ~2^31-row sides sharing a
+          // key square to ~2^62 pairs), a Long product wraps negative and
+          // silently passes the require below
+          coalesce(sum(col("__cc").cast("decimal(38,0)") * col("__dc")),
+            lit(0L).cast("decimal(38,0)")))
         .head()
-      val (cKeyTotal, dKeyTotal, pairs) =
-        (stats.getLong(0), stats.getLong(1), stats.getLong(2))
-      require(pairs <= maxCandidatePairs,
+      val (cKeyTotal, dKeyTotal) = (stats.getLong(0), stats.getLong(1))
+      val pairs = stats.getDecimal(2)
+      require(pairs.compareTo(
+          java.math.BigDecimal.valueOf(maxCandidatePairs)) <= 0,
         s"EntityResolution.resolve: stage d=$d implies $pairs candidate " +
           s"pairs (budget $maxCandidatePairs) — the key space is too " +
           "dense for deletion blocking (templated/duplicate-heavy " +

@@ -328,8 +328,17 @@ private[graft] final case class TxMergeCommand(
     // semantics of NOT MATCHED, but rewrites none of it
     val joinTargetFiles = if (rewritesTarget) touched0 else m.files
 
-    val tgtDf = readFiles(spark, tableDir, schema, joinTargetFiles)
-      .withColumn(Tid, monotonically_increasing_id())
+    // The row id must survive recomputation (an executor loss recomputes
+    // cached blocks): monotonically_increasing_id would renumber rows and
+    // silently break the cardinality check and the dedupe below, so the
+    // id is the STABLE (file path, in-file row position) from the parquet
+    // reader's _metadata column.
+    val tgtDf0 = readFiles(spark, tableDir, schema, joinTargetFiles)
+    val tgtDf =
+      if (joinTargetFiles.isEmpty)
+        tgtDf0.withColumn(Tid, lit(null).cast("string"))
+      else tgtDf0.withColumn(Tid, concat_ws("#",
+        col("_metadata.file_path"), col("_metadata.row_index")))
     val onCond = coalesce(bind(mergeCondition), lit(false))
     val joined = graft.ext.TrackedCache.persistTracked(
       tgtDf.join(srcDf.withColumn(SMark, lit(true)), onCond, "full_outer"))
@@ -387,16 +396,17 @@ private[graft] final case class TxMergeCommand(
         joined.filter(isInsert)
           .unionByName(joined.filter(!isInsert).dropDuplicates(Tid))
       else joined
-    val result = base.filter(keep).select(outCols: _*)
-
     if (!rewritesTarget) {
-      // insert-only: old files all carry forward; nothing staged when
-      // the source matched everything (version-free no-op)
-      val inserts = result
+      // insert-only: old files all carry forward untouched, so only rows
+      // the source did NOT match may be staged — filter on the row id
+      // BEFORE outCols projects it away. Nothing staged when the source
+      // matched everything (version-free no-op).
+      val inserts = base.filter(keep && isInsert).select(outCols: _*)
       if (inserts.isEmpty) return Seq.empty
       TxTable.replaceFiles(spark, tableDir, m, untouched, inserts, "merge")
     } else {
-      TxTable.replaceFiles(spark, tableDir, m, untouched, result, "merge")
+      TxTable.replaceFiles(spark, tableDir, m, untouched,
+        base.filter(keep).select(outCols: _*), "merge")
     }
     Seq.empty
   }

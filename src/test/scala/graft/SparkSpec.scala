@@ -13,6 +13,8 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet is TIMESTAMP(NANOS): same legacy read as Verify/Bench
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // SQL functions + the tx-catalog row-level rule (UPDATE/MERGE)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")

@@ -1,0 +1,197 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.TxTable
+
+/** SQL `UPDATE` / `MERGE INTO` on the tx catalog (TxRowLevel): the
+  * stats-pruned copy-on-write contract, the version-free no-op paths,
+  * ANSI MERGE clause semantics (first-match-wins, cardinality refusal),
+  * and the insert-only path that must rewrite NOTHING. */
+class TxRowLevelSpec extends SparkSpec {
+
+  private lazy val warehouse: String = {
+    val wh = Files.createTempDirectory("txrl-spec-").toString
+    spark.conf.set("spark.sql.catalog.txrl", "graft.sources.TxCatalog")
+    spark.conf.set("spark.sql.catalog.txrl.root", wh)
+    wh
+  }
+
+  /** One language per commit => per-file min=max=lang manifest stats,
+    * the same pruning fixture the DELETE spec uses. */
+  private def mkLangTable(name: String): String = {
+    import spark.implicits._
+    val tbl = s"$warehouse/db/$name"
+    TxTable.commit(Seq((1L, "en", 5L), (2L, "en", 7L)).toDF("id", "lang", "n"),
+      tbl, "overwrite")
+    TxTable.commit(Seq((3L, "de", 9L)).toDF("id", "lang", "n"), tbl, "append")
+    TxTable.commit(Seq((4L, "fr", 2L)).toDF("id", "lang", "n"), tbl, "append")
+    tbl
+  }
+
+  private def rows(sql: String): Seq[(Long, String, Long)] =
+    spark.sql(sql).collect().toSeq
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1), r.getLong(2)))
+
+  test("UPDATE is a stats-pruned copy-on-write commit") {
+    val tbl = mkLangTable("upd")
+    val before = TxTable.readManifest(java.nio.file.Paths.get(tbl), 3L)
+
+    // 1. an update whose predicate provably touches NO file is a pure
+    //    no-op: no new version, no rewrite
+    spark.sql("UPDATE txrl.db.upd SET n = 0 WHERE lang = 'zz'")
+    assert(TxTable.latestVersion(tbl) == Some(3L))
+
+    // 2. the real update rewrites ONLY the de files: every en/fr file
+    //    carries forward under its original name, stats intact
+    spark.sql("UPDATE txrl.db.upd SET n = n + 100 WHERE lang = 'de'")
+    assert(TxTable.latestVersion(tbl) == Some(4L))
+    val after = TxTable.readManifest(java.nio.file.Paths.get(tbl), 4L)
+    assert(after.op == "update")
+    val enFrFiles = before.files.filter { f =>
+      val st = before.stats(f)("lang"); st.min != "de"
+    }
+    assert(enFrFiles.nonEmpty && enFrFiles.forall(after.files.contains),
+      "untouched files must carry forward verbatim")
+    assert(enFrFiles.forall(after.stats.contains))
+    assert(rows("SELECT id, lang, n FROM txrl.db.upd ORDER BY id") ==
+      Seq((1L, "en", 5L), (2L, "en", 7L), (3L, "de", 109L), (4L, "fr", 2L)))
+
+    // 3. the pre-update snapshot stays time-travelable
+    assert(rows(
+      "SELECT id, lang, n FROM txrl.db.upd VERSION AS OF 3 ORDER BY id")
+      .map(_._3) == Seq(5L, 7L, 9L, 2L))
+
+    // 4. ANSI NULL semantics: rows where the condition is NULL keep
+    //    their old value (the file DOES rewrite — NULL can't prune —
+    //    but the per-row CASE keeps the row unchanged)
+    import spark.implicits._
+    TxTable.commit(Seq((5L, Option.empty[String], 1L))
+      .toDF("id", "lang", "n"), tbl, "append")
+    spark.sql("UPDATE txrl.db.upd SET n = n * 10 WHERE lang = 'fr'")
+    assert(rows("SELECT id, lang, n FROM txrl.db.upd ORDER BY id") ==
+      Seq((1L, "en", 5L), (2L, "en", 7L), (3L, "de", 109L),
+        (4L, "fr", 20L), (5L, null, 1L)))
+
+    // 5. unconditional UPDATE rewrites every row as one more version;
+    //    history intact behind it
+    spark.sql("UPDATE txrl.db.upd SET n = 0")
+    assert(spark.sql("SELECT sum(n) FROM txrl.db.upd").head().getLong(0) == 0L)
+    assert(spark.sql(
+        "SELECT sum(n) FROM txrl.db.upd VERSION AS OF 3")
+      .head().getLong(0) == 23L)
+  }
+
+  test("UPDATE refuses subqueries loudly") {
+    mkLangTable("updsub")
+    val e = intercept[Exception](spark.sql(
+      "UPDATE txrl.db.updsub SET n = 0 WHERE id IN " +
+        "(SELECT id FROM txrl.db.updsub WHERE lang = 'de')"))
+    assert(e.getMessage.contains("subquer"))
+  }
+
+  test("MERGE runs matched UPDATE/DELETE + NOT MATCHED INSERT with first-match-wins") {
+    import spark.implicits._
+    val tbl = mkLangTable("mrg")
+    val before = TxTable.readManifest(java.nio.file.Paths.get(tbl), 3L)
+    // source: id 3 (de, matched), id 4 (fr, matched), id 9 (new)
+    Seq((3L, "de2", 100L), (4L, "fr2", 1L), (9L, "es", 50L))
+      .toDF("id", "lang", "n").createOrReplaceTempView("mrg_src")
+    spark.sql(
+      """MERGE INTO txrl.db.mrg t USING mrg_src s ON t.id = s.id
+        |WHEN MATCHED AND s.n > 50 THEN DELETE
+        |WHEN MATCHED AND s.n > 0 THEN UPDATE SET n = s.n, lang = s.lang
+        |WHEN MATCHED THEN UPDATE SET n = -1
+        |WHEN NOT MATCHED THEN INSERT (id, lang, n) VALUES (s.id, s.lang, s.n)
+        |""".stripMargin)
+    assert(TxTable.latestVersion(tbl) == Some(4L))
+    // id 3: first clause (n>50) wins => deleted, never reaches clause 2;
+    // id 4: clause 2 => updated; ids 1,2 untouched; id 9 inserted
+    assert(rows("SELECT id, lang, n FROM txrl.db.mrg ORDER BY id") ==
+      Seq((1L, "en", 5L), (2L, "en", 7L), (4L, "fr2", 1L), (9L, "es", 50L)))
+    // candidate pruning: the source ids bound [3, 9], so the en file
+    // (ids 1-2, max id 2) provably holds no match — carried verbatim
+    val after = TxTable.readManifest(java.nio.file.Paths.get(tbl), 4L)
+    val enFile = before.files.find(f => before.stats(f)("lang").min == "en")
+    assert(enFile.nonEmpty && after.files.contains(enFile.get),
+      "the id-range-excluded file must carry forward verbatim")
+  }
+
+  test("MERGE refuses a target row matched by multiple source rows") {
+    import spark.implicits._
+    mkLangTable("mrgdup")
+    Seq((3L, "a", 1L), (3L, "b", 2L))
+      .toDF("id", "lang", "n").createOrReplaceTempView("mrgdup_src")
+    val e = intercept[Exception](spark.sql(
+      """MERGE INTO txrl.db.mrgdup t USING mrgdup_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET n = s.n""".stripMargin))
+    assert(e.getMessage.contains("multiple"))
+    // the refusal must not have committed anything
+    assert(TxTable.latestVersion(s"$warehouse/db/mrgdup") == Some(3L))
+  }
+
+  test("insert-only MERGE rewrites nothing and inserts only unmatched rows") {
+    import spark.implicits._
+    val tbl = mkLangTable("mrgins")
+    val before = TxTable.readManifest(java.nio.file.Paths.get(tbl), 3L)
+    // ids 3,4 match (must NOT insert and must NOT duplicate the
+    // matched target rows); ids 7,8 are new
+    Seq((3L, "x", 0L), (4L, "x", 0L), (7L, "nw", 70L), (8L, "nw", 80L))
+      .toDF("id", "lang", "n").createOrReplaceTempView("mrgins_src")
+    spark.sql(
+      """MERGE INTO txrl.db.mrgins t USING mrgins_src s ON t.id = s.id
+        |WHEN NOT MATCHED THEN INSERT (id, lang, n) VALUES (s.id, s.lang, s.n)
+        |""".stripMargin)
+    assert(TxTable.latestVersion(tbl) == Some(4L))
+    val after = TxTable.readManifest(java.nio.file.Paths.get(tbl), 4L)
+    assert(before.files.forall(after.files.contains),
+      "insert-only MERGE must carry every old file forward verbatim")
+    // every target row exactly once, plus exactly the two new rows
+    assert(rows("SELECT id, lang, n FROM txrl.db.mrgins ORDER BY id") ==
+      Seq((1L, "en", 5L), (2L, "en", 7L), (3L, "de", 9L), (4L, "fr", 2L),
+        (7L, "nw", 70L), (8L, "nw", 80L)))
+
+    // a fully-matched source is a version-free no-op
+    Seq((1L, "x", 0L)).toDF("id", "lang", "n")
+      .createOrReplaceTempView("mrgins_src2")
+    spark.sql(
+      """MERGE INTO txrl.db.mrgins t USING mrgins_src2 s ON t.id = s.id
+        |WHEN NOT MATCHED THEN INSERT (id, lang, n) VALUES (s.id, s.lang, s.n)
+        |""".stripMargin)
+    assert(TxTable.latestVersion(tbl) == Some(4L))
+  }
+
+  test("NOT MATCHED BY SOURCE deletes/updates with matched rows deduped") {
+    import spark.implicits._
+    val tbl = mkLangTable("mrgsrc")
+    // ids 1 and 3 are "still present" upstream — id 1 TWICE (duplicate
+    // source keys are legal when no MATCHED clause exists; the matched
+    // target row must still come out exactly once); 2 and 4 are gone
+    Seq((1L, "en", 0L), (1L, "en", 1L), (3L, "de", 0L), (11L, "nw", 11L))
+      .toDF("id", "lang", "n").createOrReplaceTempView("mrgsrc_src")
+    spark.sql(
+      """MERGE INTO txrl.db.mrgsrc t USING mrgsrc_src s ON t.id = s.id
+        |WHEN NOT MATCHED THEN INSERT (id, lang, n) VALUES (s.id, s.lang, s.n)
+        |WHEN NOT MATCHED BY SOURCE AND t.lang = 'fr' THEN DELETE
+        |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET n = -1
+        |""".stripMargin)
+    // 1, 3 survive unchanged (matched, no MATCHED action, ONCE each);
+    // 4 (fr, unmatched) deleted; 2 (unmatched) set to -1; 11 inserted
+    assert(rows("SELECT id, lang, n FROM txrl.db.mrgsrc ORDER BY id") ==
+      Seq((1L, "en", 5L), (2L, "en", -1L), (3L, "de", 9L),
+        (11L, "nw", 11L)))
+  }
+
+  test("MERGE refuses WITH SCHEMA EVOLUTION and duplicate source columns loudly") {
+    import spark.implicits._
+    mkLangTable("mrgref")
+    Seq((3L, "a", 1L)).toDF("id", "lang", "n")
+      .createOrReplaceTempView("mrgref_src")
+    val e = intercept[Exception](spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO txrl.db.mrgref t
+        |USING mrgref_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET n = s.n""".stripMargin))
+    assert(e.getMessage.contains("SCHEMA EVOLUTION"))
+  }
+}
