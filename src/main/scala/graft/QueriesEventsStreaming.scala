@@ -243,6 +243,42 @@ private[graft] object QueriesEventsStreaming {
       }
       graft.sources.TxTable.read(s, tbl).orderBy("event_id")
     }),
+    // ----- streaming CHANGE-DATA-FEED over the tx table (TxCdfSource
+    // scaladoc: manifest versions are the offsets, each micro-batch
+    // serves exactly the files its versions added, rows tagged with
+    // _commit_version) — drained through the exactly-once FILE sink and
+    // read back: a wrong set-diff, a double-served file, or an
+    // off-by-one offset breaks the version column's hash -----
+    "stream_txcdf" -> ((s: SparkSession, dir: String) => {
+      val base = scratchDir("graft-txcdf-")
+      val tbl = s"$base/tbl"
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "en"), tbl, "overwrite")
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "de"), tbl, "append")
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "fr"), tbl, "append")
+      val out = s"$base/out"
+      DrainLock.synchronized {
+        val saved = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val q = s.readStream.format("graft-txcdf").option("path", tbl)
+            .load()
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", s"$base/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+      }
+      s.read.parquet(out)
+        .select(col("_commit_version").as("version"), col("doc_id"),
+          col("lang"), col("n_chars"))
+        .orderBy("version", "doc_id")
+    }),
     // STREAMING sketch maintenance: the HLL register state is one
     // supported max-aggregation, maintained incrementally over the event
     // stream (complete mode, ≤ m rows per group of state) and finalized
@@ -535,6 +571,18 @@ private[graft] object QueriesEventsStreaming {
       ("""SELECT event_id, user_id, event_type,
          |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c
          |FROM events ORDER BY event_id""".stripMargin),
+    // the CDF replays from the commit definitions: each append's rows
+    // arrive tagged with exactly the version that published them
+    "stream_txcdf" ->
+      ("""SELECT CAST(1 AS BIGINT) AS version, doc_id, lang, n_chars
+         |FROM documents WHERE lang = 'en'
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), doc_id, lang, n_chars
+         |FROM documents WHERE lang = 'de'
+         |UNION ALL
+         |SELECT CAST(3 AS BIGINT), doc_id, lang, n_chars
+         |FROM documents WHERE lang = 'fr'
+         |ORDER BY version, doc_id""".stripMargin),
     // deterministic as-of reference: latest admissible order date, ties on
     // (date) broken by largest o_orderkey — the same total order the
     // engine's (time, side, tie) window sort establishes

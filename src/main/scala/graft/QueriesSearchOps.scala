@@ -319,6 +319,30 @@ private[graft] object QueriesSearchOps {
           col("n_chars"))
         .orderBy("doc_id")
     }),
+    // ----- OPTIMIZE ZORDER as a real rewrite (TxTable.compactZOrder
+    // scaladoc: Morton key as a scan-side codegen projection, one
+    // sampled range shuffle clusters rows into 2-D tiles, fresh stats +
+    // blooms, OCC publish). Rows move between files, never change — the
+    // certified output is the post-rewrite snapshot, which must be the
+    // IDENTICAL multiset; the skipping improvement is suite-asserted in
+    // TxTableSpec -----
+    "ops_zorder_rewrite" -> ((s: SparkSession, dir: String) => {
+      val tbl = scratchDir("graft-zord-") + "/tbl"
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "en"), tbl, "overwrite")
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "de"), tbl, "append")
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "fr"), tbl, "append")
+      val v = graft.sources.TxTable.compactZOrder(s, tbl,
+        "doc_id", "n_chars", numFiles = 4)
+      graft.sources.TxTable.readVersion(s, tbl, v)
+        .select(lit(v).as("version"), col("doc_id"), col("lang"),
+          col("n_chars"))
+        .orderBy("doc_id")
+    }),
     // ----- schema evolution certified end-to-end: an opted-in
     // mergeSchema append widens the table by-name (old rows read NULL
     // for the new column, the appended frame NULL for the one it
@@ -1042,6 +1066,12 @@ private[graft] object QueriesSearchOps {
          |UNION ALL
          |SELECT doc_id, lang, CAST(NULL AS BIGINT), n_chars > 500
          |FROM documents WHERE lang = 'de'
+         |ORDER BY doc_id""".stripMargin),
+    // the z-order rewrite moves rows between files, never changes them:
+    // v4 is the identical en+de+fr multiset
+    "ops_zorder_rewrite" ->
+      ("""SELECT CAST(4 AS BIGINT) AS version, doc_id, lang, n_chars
+         |FROM documents WHERE lang IN ('en', 'de', 'fr')
          |ORDER BY doc_id""".stripMargin),
     // identical content through the CALL + time-travel SQL surface
     "ops_optimize_sql" ->

@@ -1,0 +1,223 @@
+package graft.sources
+
+import java.nio.file.Paths
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** `graft-txcdf` — a streaming CHANGE-DATA-FEED over a [[TxTable]]:
+  * `spark.readStream.format("graft-txcdf").option("path", tableDir)`
+  * drains every commit as micro-batches, each row tagged with the
+  * `_commit_version` that published it.
+  *
+  * Offset model (the dirtail discipline applied to the manifest log):
+  * an offset IS a committed manifest version — already-published
+  * manifests are immutable, so batch `(v_s, v_e]` names an exact,
+  * replayable set of versions, and each version's NEW rows are exactly
+  * the files its manifest lists that the previous manifest does not
+  * (data files are content-addressed `data/<uuid>/part-*`, never
+  * reused). Checkpoint recovery and `Trigger.AvailableNow` are exact
+  * for free.
+  *
+  * Append-only contract (the honest part): a commit whose op rewrites
+  * or removes rows (`overwrite`, `delete`, `update`, `merge`,
+  * `restore`) CANNOT be represented as a pure row feed from added
+  * files alone — its added files hold rewritten copies of old rows.
+  * Such a commit REFUSES loudly by default; `skipChangeCommits=true`
+  * opts into skipping those commits entirely (the Delta option of the
+  * same name — the consumer acknowledges it only wants appends).
+  * `compact` commits are skipped automatically: compaction moves
+  * bytes, never rows, so its "added" files are pure re-copies. v1 and
+  * `create` serve as the initial snapshot. `startingVersion=n` starts
+  * the feed at version n instead of 1.
+  *
+  * Scale shape: planning a batch is O(files-in-range) DRIVER metadata
+  * (one manifest read per version, consecutive manifests diffed as
+  * sets); the rows ship through Spark's own vectorized parquet reader
+  * — per version, the added files are handed to a stock
+  * [[ParquetTable]] scan and its planned partitions are wrapped with
+  * the constant version tag, so the data path is the same
+  * one-task-per-split parquet machinery as any batch read, at any
+  * number of executors. The wrapped reader appends `_commit_version`
+  * per-row via a [[JoinedRow]] — no copy, no codegen break below the
+  * scan boundary.
+  *
+  * Vacuum interplay: serving `(v_s, v_e]` needs manifests `v_s..v_e`
+  * retained. A checkpoint that fell behind a vacuum horizon refuses
+  * loudly (the standard too-old-offset contract) — silently skipping
+  * unreadable history would be data loss.
+  */
+class TxCdfSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-txcdf"
+
+  private def tablePath(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty,
+      "graft-txcdf: .option(\"path\", <tx table dir>) is required")
+    p
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val dir = tablePath(options)
+    val v = TxTable.latestVersion(dir).getOrElse(
+      throw new IllegalStateException(
+        s"graft-txcdf: no committed version under $dir — the feed's " +
+          "schema is the table's committed schema, so the table must " +
+          "exist before tailing it"))
+    val m = TxTable.readManifest(Paths.get(dir), v)
+    TxCdfSource.withVersionColumn(
+      DataType.fromJson(m.schemaJson).asInstanceOf[StructType])
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table =
+    new TxCdfTable(TxCdfSource.withoutVersionColumn(schema),
+      properties.get("path"))
+}
+
+private[graft] object TxCdfSource {
+  val VersionColumn = "_commit_version"
+
+  def withVersionColumn(table: StructType): StructType = {
+    require(!table.fieldNames.contains(VersionColumn),
+      s"graft-txcdf: the table already has a '$VersionColumn' column")
+    StructType(table.fields :+
+      StructField(VersionColumn, LongType, nullable = false))
+  }
+
+  def withoutVersionColumn(full: StructType): StructType =
+    StructType(full.fields.filterNot(_.name == VersionColumn))
+}
+
+private[graft] class TxCdfTable(tableSchema: StructType, path: String)
+  extends Table with SupportsRead {
+  override def name(): String = s"graft-txcdf:$path"
+  override def schema(): StructType =
+    TxCdfSource.withVersionColumn(tableSchema)
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = schema()
+        override def description(): String = s"graft-txcdf $path"
+        override def toMicroBatchStream(ckpt: String): MicroBatchStream =
+          new TxCdfStream(tableSchema, path,
+            startingVersion = options.getLong("startingVersion", 1L),
+            skipChangeCommits =
+              options.getBoolean("skipChangeCommits", false),
+            options)
+      }
+    }
+}
+
+private[sources] case class TxCdfOffset(v: Long) extends Offset {
+  override def json(): String = v.toString
+}
+
+private[graft] class TxCdfStream(tableSchema: StructType, dir: String,
+    startingVersion: Long, skipChangeCommits: Boolean,
+    options: CaseInsensitiveStringMap) extends MicroBatchStream {
+  require(startingVersion >= 1L,
+    s"graft-txcdf: startingVersion must be >= 1, got $startingVersion")
+
+  override def initialOffset(): Offset = TxCdfOffset(startingVersion - 1)
+  override def latestOffset(): Offset = TxCdfOffset(
+    math.max(TxTable.latestVersion(dir).getOrElse(0L), startingVersion - 1))
+  override def deserializeOffset(json: String): Offset =
+    TxCdfOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  private def manifestOrRefuse(v: Long): TxTable.Manifest = {
+    require(TxTable.versionExists(dir, v),
+      s"graft-txcdf: manifest v$v of $dir is gone (vacuumed?) but the " +
+        "stream's checkpoint still needs it — the feed cannot skip " +
+        "unreadable history silently. Restart from a fresh checkpoint " +
+        "(full replay of the current snapshot) or retain more versions")
+    TxTable.readManifest(Paths.get(dir), v)
+  }
+
+  /** Ops whose added files are genuinely NEW rows. `v1`/`create` are
+    * the initial snapshot; everything in a fresh table is an insert. */
+  private def servesAdds(v: Long, op: String): Boolean =
+    v == 1L || op == "append" || op == "create"
+
+  override def planInputPartitions(start: Offset,
+                                   end: Offset): Array[InputPartition] = {
+    val vs = start.asInstanceOf[TxCdfOffset].v
+    val ve = end.asInstanceOf[TxCdfOffset].v
+    val root = Paths.get(dir)
+    val parts = Array.newBuilder[InputPartition]
+    // walk the range once, carrying the previous manifest's file set so
+    // each manifest is read exactly once
+    var prevFiles: Set[String] =
+      if (vs < 1L) Set.empty else manifestOrRefuse(vs).files.toSet
+    ((vs + 1) to ve).foreach { v =>
+      val m = manifestOrRefuse(v)
+      val added = m.files.filterNot(prevFiles)
+      prevFiles = m.files.toSet
+      if (servesAdds(v, m.op)) {
+        if (added.nonEmpty) {
+          val scan = ParquetTable(s"txcdf $dir v$v", SparkSession.active,
+            options, added.map(f => root.resolve(f).toString).toList,
+            Some(tableSchema), classOf[ParquetFileFormat])
+            .newScanBuilder(options).build()
+          val batch = scan.toBatch
+          val factory = batch.createReaderFactory()
+          batch.planInputPartitions().foreach(p =>
+            parts += TxCdfPartition(p, v, factory))
+        }
+      } else if (m.op == "compact" || m.op == "zorder" ||
+          skipChangeCommits) {
+        // compaction and z-order re-copy rows they do not change —
+        // never a change; other rewrites skip only under the opt-in
+      } else {
+        throw new IllegalStateException(
+          s"graft-txcdf: version $v of $dir is a '${m.op}' commit that " +
+            "rewrites or removes rows — a pure-append feed cannot " +
+            "represent it. Pass skipChangeCommits=true to skip such " +
+            "commits deliberately, or backfill with TxTable.diff")
+      }
+    }
+    parts.result()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    TxCdfReaderFactory
+}
+
+/** A planned parquet split plus the version that published it. The
+  * stock parquet reader factory travels INSIDE the partition (it is
+  * built per-version on the driver and is serializable by design). */
+private[sources] case class TxCdfPartition(inner: InputPartition,
+    version: Long, factory: PartitionReaderFactory) extends InputPartition {
+  override def preferredLocations(): Array[String] =
+    inner.preferredLocations()
+}
+
+private[sources] object TxCdfReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val tp = p.asInstanceOf[TxCdfPartition]
+    val in = tp.factory.createReader(tp.inner)
+    val vrow = new GenericInternalRow(Array[Any](tp.version))
+    new PartitionReader[InternalRow] {
+      private val joined = new JoinedRow
+      override def next(): Boolean = in.next()
+      override def get(): InternalRow = joined(in.get(), vrow)
+      override def close(): Unit = in.close()
+    }
+  }
+}

@@ -499,12 +499,85 @@ object TxTable {
     val bloomCols = m.blooms.values.flatMap(_.keys).toSet.toSeq.sorted
     val compactBlooms = TxStats.buildFileBlooms(spark, dataDir, newFiles,
       schema, bloomCols)
-    val manifest = Manifest(v + 1, "overwrite", m.schemaJson, newFiles,
+    // op "compact", not "overwrite": the semantics ARE overwrite (the
+    // new version is exactly these files), but downstream consumers —
+    // the CDF stream above all — must be able to tell "bytes moved,
+    // rows unchanged" from a real rewrite
+    val manifest = Manifest(v + 1, "compact", m.schemaJson, newFiles,
       m.txns, compactStats, compactBlooms)
     try publish(root, manifest, primitive)
     catch {
       case e: java.nio.file.FileAlreadyExistsException =>
         try deleteRecursively(dataDir) catch { case _: Exception => () }
+        throw e
+    }
+    v + 1
+  }
+
+  /** `OPTIMIZE ZORDER` as a real REWRITE — [[compact]] moves bytes into
+    * fewer files; this moves ROWS into the files where two-dimensional
+    * skipping wants them (the Delta `OPTIMIZE ZORDER BY` / Iceberg
+    * zorder sort-order semantics, composed from [[Layout.zValue]] and
+    * the stats layer this table already certifies):
+    *
+    *  1. one distributed read of the latest snapshot;
+    *  2. the Morton key `z = interleave(xCol, yCol)` as a scan-side
+    *     codegen projection (Layout scaladoc — no UDF);
+    *  3. `repartitionByRange(numFiles, z)` + `sortWithinPartitions(z)`
+    *     — Spark's sampled range exchange IS the z-order clustering
+    *     pass, one shuffle of the data, no driver materialization;
+    *  4. staged write, fresh footer stats, blooms rebuilt for every
+    *     column the snapshot bloomed anywhere, one OCC publish
+    *     (op "zorder").
+    *
+    * Rows never change — only their file assignment — so the committed
+    * snapshot is the identical multiset (gate-certified) while every
+    * file's min/max extent becomes one Morton TILE of the key plane:
+    * bounded in `xCol` AND `yCol` simultaneously, which is exactly what
+    * makes manifest min/max pruning fire on filters over EITHER column
+    * (suite-asserted: a 2-D box probe keeps strictly fewer candidate
+    * files after the rewrite). Time travel keeps the pre-rewrite
+    * layout readable; vacuum reclaims it on retention.
+    *
+    * Caller bounds the keys into [0, 2^bits) (zValue's documented
+    * contract — layout keys are range-bucketed first). Cost at 100 TB:
+    * read + one range shuffle + write of the live bytes, the same
+    * economics as any full compaction; run it on the partition slices
+    * a real deployment compacts incrementally. */
+  def compactZOrder(spark: SparkSession, tableDir: String,
+                    xCol: String, yCol: String, numFiles: Int,
+                    bits: Int = 16,
+                    primitive: CommitPrimitive = PosixLinkPrimitive): Long = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    val root = Paths.get(tableDir)
+    val v = latestVersion(tableDir).getOrElse(
+      throw new IllegalStateException(
+        s"no committed version under $tableDir/$LogDir"))
+    val m = readManifest(root, v)
+    val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    Seq(xCol, yCol).foreach(c => require(
+      schema.fieldNames.contains(c), s"zorder column '$c' is not in " +
+        s"the table schema ${schema.simpleString}"))
+    val zc = "__graft_z"
+    require(!schema.fieldNames.contains(zc),
+      s"table may not have a '$zc' column")
+    val cols = schema.fieldNames.toSeq.map(functions.col)
+    val zsorted = readVersion(spark, tableDir, v)
+      .withColumn(zc, Layout.zValue(functions.col(xCol),
+        functions.col(yCol), bits))
+      .repartitionByRange(numFiles, functions.col(zc))
+      .sortWithinPartitions(zc)
+      .select(cols: _*)
+    val staged = stageData(zsorted, tableDir)
+    val bloomCols = m.blooms.values.flatMap(_.keys).toSet.toSeq.sorted
+    val newBlooms = TxStats.buildFileBlooms(spark,
+      root.resolve(staged.dataRel), staged.files, schema, bloomCols)
+    val manifest = Manifest(v + 1, "zorder", m.schemaJson, staged.files,
+      m.txns, staged.stats, newBlooms)
+    try publish(root, manifest, primitive)
+    catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        discardStaged(tableDir, Seq(staged))
         throw e
     }
     v + 1

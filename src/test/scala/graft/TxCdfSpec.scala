@@ -1,0 +1,145 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+
+import graft.sources.TxTable
+
+/** The `graft-txcdf` streaming change-data-feed: manifest-version
+  * offsets, exactly-once across checkpointed restarts, the append-only
+  * refusal contract, and the version tag's correctness. */
+class TxCdfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkBase(): String =
+    Files.createTempDirectory("txcdf-spec-").toString
+
+  private def drain(tbl: String, ckpt: String, out: String,
+                    opts: Map[String, String] = Map.empty): Unit = {
+    var r = spark.readStream.format("graft-txcdf").option("path", tbl)
+    opts.foreach { case (k, v) => r = r.option(k, v) }
+    val q = r.load()
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
+  private def got(out: String): Seq[(Long, Long, String)] = {
+    // a drain that failed before its first batch leaves the sink dir
+    // absent or metadata-only — both read as "nothing served"
+    val dir = new java.io.File(out)
+    val hasData = dir.exists() && dir.listFiles() != null &&
+      dir.listFiles().exists(_.getName.endsWith(".parquet"))
+    if (!hasData) Seq.empty
+    else spark.read.parquet(out)
+      .select("_commit_version", "id", "s").collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sorted
+  }
+
+  test("appends drain version-tagged, exactly once across checkpointed restarts") {
+    val base = mkBase()
+    val tbl = s"$base/tbl"
+    TxTable.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), tbl,
+      "overwrite")                                             // v1
+    TxTable.commit(Seq((3L, "c")).toDF("id", "s"), tbl, "append") // v2
+    drain(tbl, s"$base/ckpt", s"$base/out")
+    assert(got(s"$base/out") ==
+      Seq((1L, 1L, "a"), (1L, 2L, "b"), (2L, 3L, "c")))
+
+    // a new commit after the drain: the SAME checkpoint serves ONLY it
+    TxTable.commit(Seq((4L, "d")).toDF("id", "s"), tbl, "append") // v3
+    drain(tbl, s"$base/ckpt", s"$base/out")
+    assert(got(s"$base/out") ==
+      Seq((1L, 1L, "a"), (1L, 2L, "b"), (2L, 3L, "c"), (3L, 4L, "d")))
+
+    // and a drain with nothing new serves nothing (no duplicates)
+    drain(tbl, s"$base/ckpt", s"$base/out")
+    assert(got(s"$base/out").size == 4)
+  }
+
+  test("a rewriting commit refuses loudly; skipChangeCommits skips it") {
+    val base = mkBase()
+    val tbl = s"$base/tbl"
+    TxTable.commit(Seq((1L, "a")).toDF("id", "s"), tbl, "overwrite") // v1
+    TxTable.commit(Seq((2L, "b")).toDF("id", "s"), tbl, "overwrite") // v2
+    TxTable.commit(Seq((3L, "c")).toDF("id", "s"), tbl, "append")    // v3
+    val e = intercept[StreamingQueryException](
+      drain(tbl, s"$base/ckpt", s"$base/out"))
+    assert(e.getMessage.contains("rewrites or removes rows") ||
+      Option(e.getCause).exists(_.getMessage != null) &&
+        e.getCause.getMessage.contains("rewrites or removes rows"))
+    // nothing may have been served past the refusal point: v1 at most
+    assert(got(s"$base/out").forall(_._1 == 1L))
+
+    // the opt-in skips v2 entirely (v2's rewritten copy of nothing-new
+    // is NOT re-served) and still serves v1's snapshot + v3's append
+    drain(tbl, s"$base/ckpt2", s"$base/out2",
+      Map("skipChangeCommits" -> "true"))
+    assert(got(s"$base/out2") == Seq((1L, 1L, "a"), (3L, 3L, "c")))
+  }
+
+  test("compaction commits are skipped automatically") {
+    val base = mkBase()
+    val tbl = s"$base/tbl"
+    TxTable.commit(Seq((1L, "a")).toDF("id", "s"), tbl, "overwrite")
+    TxTable.commit(Seq((2L, "b")).toDF("id", "s"), tbl, "append")
+    val v = TxTable.compact(spark, tbl, targetBytes = 1L << 30) // v3
+    assert(v == 3L)
+    TxTable.commit(Seq((3L, "c")).toDF("id", "s"), tbl, "append") // v4
+    drain(tbl, s"$base/ckpt", s"$base/out")
+    // the compacted re-copies of ids 1-2 must NOT be re-served
+    assert(got(s"$base/out") ==
+      Seq((1L, 1L, "a"), (2L, 2L, "b"), (4L, 3L, "c")))
+  }
+
+  test("startingVersion begins the feed mid-history") {
+    val base = mkBase()
+    val tbl = s"$base/tbl"
+    TxTable.commit(Seq((1L, "a")).toDF("id", "s"), tbl, "overwrite")
+    TxTable.commit(Seq((2L, "b")).toDF("id", "s"), tbl, "append")
+    TxTable.commit(Seq((3L, "c")).toDF("id", "s"), tbl, "append")
+    drain(tbl, s"$base/ckpt", s"$base/out",
+      Map("startingVersion" -> "3"))
+    assert(got(s"$base/out") == Seq((3L, 3L, "c")))
+  }
+
+  test("a vacuumed manifest behind the checkpoint refuses loudly") {
+    val base = mkBase()
+    val tbl = s"$base/tbl"
+    TxTable.commit(Seq((1L, "a")).toDF("id", "s"), tbl, "overwrite")
+    drain(tbl, s"$base/ckpt", s"$base/out") // checkpoint at v1
+    TxTable.commit(Seq((2L, "b")).toDF("id", "s"), tbl, "append")  // v2
+    TxTable.commit(Seq((3L, "c")).toDF("id", "s"), tbl, "append")  // v3
+    TxTable.commit(Seq((4L, "d")).toDF("id", "s"), tbl, "append")  // v4
+    TxTable.vacuum(tbl, retain = 2, minAgeMillis = 0L) // v1, v2 gone
+    val e = intercept[StreamingQueryException](
+      drain(tbl, s"$base/ckpt", s"$base/out"))
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(6)
+      .flatMap(t => Option(t.getMessage)).mkString(" | ")
+    assert(msgs.contains("vacuumed"))
+  }
+
+  test("the batch drain answers the same rows as reading the versions directly") {
+    val base = mkBase()
+    val tbl = s"$base/tbl"
+    val r = new scala.util.Random(7)
+    (1 to 4).foreach { i =>
+      val rows = Seq.fill(5)((r.nextLong(1000), r.nextInt(100).toString))
+      TxTable.commit(rows.toDF("id", "s"), tbl,
+        if (i == 1) "overwrite" else "append")
+    }
+    drain(tbl, s"$base/ckpt", s"$base/out")
+    val cdf = spark.read.parquet(s"$base/out")
+      .select("id", "s").collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSeq.sorted
+    val direct = TxTable.read(spark, tbl)
+      .select("id", "s").collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSeq.sorted
+    assert(cdf == direct)
+  }
+}

@@ -464,4 +464,54 @@ class TxTableSpec extends SparkSpec {
       TxTable.commit(frame(2L), tbl, "append"))
     assert(dataFiles(tbl) == before) // no orphaned data/<uuid> left behind
   }
+
+  test("compactZOrder narrows 2-D tiles, never changes rows, keeps bloom coverage") {
+    import spark.implicits._
+    import graft.sources.TxStats
+    import org.apache.spark.sql.sources.{Filter, GreaterThanOrEqual, LessThanOrEqual}
+    val dir = Files.createTempDirectory("tx-zorder-").toString + "/tbl"
+    // 16 distinct (x, y) points scattered over the 16x16 plane, id-striped
+    // across three commits and hash-split within each — every pre-rewrite
+    // file spans nearly the full extent of BOTH dimensions
+    val rows = (0L until 200L).map(i => (i, i % 16, (i * 7) % 16))
+    (0 until 3).foreach { s =>
+      TxTable.commit(rows.filter(_._1 % 3 == s).toDF("id", "x", "y")
+          .repartition(2), dir,
+        if (s == 0) "overwrite" else "append", bloomColumns = Seq("id")): Unit
+    }
+    val before = TxTable.readManifest(Paths.get(dir), 3L)
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(before.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    // the 2-D box probe x<=3 AND y<=3: only (0,0) qualifies (x=i%16<=3
+    // with y=7i%16<=3 forces i%16=0), z = 0 — one Morton tile
+    val box: Seq[Filter] = Seq(
+      GreaterThanOrEqual("x", 0L), LessThanOrEqual("x", 3L),
+      GreaterThanOrEqual("y", 0L), LessThanOrEqual("y", 3L))
+    def kept(m: TxTable.Manifest): Int = m.files.count { f =>
+      val st = m.stats.getOrElse(f, Map.empty[String, TxStats.ColStat])
+      !box.exists(fl => TxStats.excludes(st, schema, fl))
+    }
+    val keptBefore = kept(before)
+    assert(keptBefore >= 4, s"fixture must start unprunable, kept=$keptBefore")
+    val v = TxTable.compactZOrder(spark, dir, "x", "y", numFiles = 8,
+      bits = 4)
+    assert(v == 4L)
+    val after = TxTable.readManifest(Paths.get(dir), 4L)
+    assert(after.op == "zorder")
+    // sampled range boundaries are not tile-aligned, so a straddling
+    // file or two can survive — the contract is a strict (here: at
+    // least halved) reduction, not a perfect single-tile hit
+    assert(kept(after) < keptBefore && kept(after) <= keptBefore / 2,
+      s"zorder must narrow the box's candidates: ${kept(after)} vs $keptBefore")
+    // rows moved between files but never changed: identical multiset,
+    // and the pre-rewrite layout stays time-travelable
+    def content(v: Long) = TxTable.readVersion(spark, dir, v)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(content(4L) == content(3L))
+    // bloom coverage survives the rewrite on every rewritten file
+    assert(after.files.nonEmpty &&
+      after.files.forall(f => after.blooms.get(f).exists(_.contains("id"))))
+  }
 }
