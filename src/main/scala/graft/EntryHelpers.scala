@@ -256,6 +256,29 @@ private[graft] object EntryHelpers {
       java.lang.Long.valueOf(v)
     }).longValue()
 
+  /** `sink_txpart` fixture: a PARTITIONED table (`db.part`,
+    * `PARTITIONED BY (lang)`) in the shared SQL warehouse — one
+    * partitioned overwrite (en+de+fr) plus one inherited append (es),
+    * so the certified read spans multiple commit dirs AND partition
+    * values, the case hive path discovery cannot serve and the
+    * manifest-driven scan must (TxTable.readVersion scaladoc). */
+  val txPartDone =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  def txPartitionedVersion(s: SparkSession, dir: String, wh: String): Long =
+    txPartDone.computeIfAbsent(dir, _ => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val tbl = s"$wh/db/part"
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang").isin("en", "de", "fr")), tbl,
+        "overwrite", partitionBy = Some(Seq("lang")))
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "es"), tbl, "append")
+      val v = graft.sources.TxTable.latestVersion(tbl).getOrElse(0L)
+      require(v == 2L, s"expected the partitioned fixture at v2, got v$v")
+      java.lang.Long.valueOf(v)
+    }).longValue()
+
   /** Documents with deterministic PII/URL decorations appended: the
     * synthetic corpus is clean, so the compliance queries (`text_pii`,
     * `text_domains`) derive a dirty variant as a pure function of

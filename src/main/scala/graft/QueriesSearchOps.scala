@@ -76,6 +76,21 @@ private[graft] object QueriesSearchOps {
           k = 10, candidates = 50)
         .orderBy(col("query_id").asc, col("rrf_score").desc, col("id").asc)
     }),
+    // ----- hybrid retrieval over the PERSISTED IVF-PQ index
+    // (Retrieval.hybridTopKAnn scaladoc: coarse cells prune the vector
+    // arm's scan to nprobe partitions, ADC scores codes, exact rescore
+    // ranks the candidates; lexical BM25 + RRF fusion unchanged) — the
+    // 100 TB serving topology of search_hybrid, sharing its session-
+    // memoized index with sim_ivfpq -----
+    "search_hybrid_ann" -> ((s: SparkSession, dir: String) => {
+      val emb = Tables.embeddings(s, dir)
+      val idx = ivfPqIndexFor(s, dir, emb)
+      graft.ext.Retrieval.hybridTopKAnn(
+          Tables.documents(s, dir), "doc_id", "text", idx, "vec_id",
+          queryTerms = Seq("data", "query", "join"),
+          queryVec = queryVec(emb), k = 10, candidates = 50, nprobe = 2)
+        .orderBy(col("rrf_score").desc, col("id").asc)
+    }),
     // ----- inverted-index postings: df band [2,50] applied before any
     // posting materializes, lists capped at 10 via WindowGroupLimit -----
     "index_postings" -> ((s: SparkSession, dir: String) =>
@@ -318,6 +333,20 @@ private[graft] object QueriesSearchOps {
         .select(lit(v).as("version"), col("doc_id"), col("lang"),
           col("n_chars"))
         .orderBy("doc_id")
+    }),
+    // ----- partition-column layout on the tx table: values live in
+    // file paths + manifest min=max stats, so partition pruning IS the
+    // skipping layer (plan-asserted skipped=2/3 in TxPartitionedSpec);
+    // the certified read crosses commit dirs and partition values
+    // through the manifest-driven scan, with a partition predicate -----
+    "sink_txpart" -> ((s: SparkSession, dir: String) => {
+      val wh = EntryHelpers.txCatalogWarehouse(s, dir)
+      s.conf.set("spark.sql.catalog.graft_tx", "graft.sources.TxCatalog")
+      s.conf.set("spark.sql.catalog.graft_tx.root", wh)
+      EntryHelpers.txPartitionedVersion(s, dir, wh): Unit
+      s.sql(
+        """SELECT doc_id, n_chars, lang FROM graft_tx.db.part
+          |WHERE lang IN ('en', 'es') ORDER BY doc_id""".stripMargin)
     }),
     // ----- OPTIMIZE ZORDER as a real rewrite (TxTable.compactZOrder
     // scaladoc: Morton key as a scan-side codegen projection, one
@@ -1067,6 +1096,11 @@ private[graft] object QueriesSearchOps {
          |SELECT doc_id, lang, CAST(NULL AS BIGINT), n_chars > 500
          |FROM documents WHERE lang = 'de'
          |ORDER BY doc_id""".stripMargin),
+    // the partitioned read must reproduce the plain filtered scan —
+    // values come from paths/manifest, never file bytes
+    "sink_txpart" ->
+      ("""SELECT doc_id, n_chars, lang FROM documents
+         |WHERE lang IN ('en', 'es') ORDER BY doc_id""".stripMargin),
     // the z-order rewrite moves rows between files, never changes them:
     // v4 is the identical en+de+fr multiset
     "ops_zorder_rewrite" ->
@@ -1290,6 +1324,124 @@ private[graft] object QueriesSearchOps {
          |  SELECT id, CAST(row_number() OVER (ORDER BY sim DESC, id)
          |    AS BIGINT) AS vec_rank
          |  FROM vec ORDER BY sim DESC, id LIMIT 50
+         |)
+         |SELECT id,
+         |  CAST(coalesce(1000000000 // (60 + lex_rank), 0)
+         |     + coalesce(1000000000 // (60 + vec_rank), 0) AS BIGINT)
+         |    AS rrf_score,
+         |  lex_rank, vec_rank
+         |FROM lextop FULL OUTER JOIN vectop USING (id)
+         |ORDER BY rrf_score DESC, id LIMIT 10""".stripMargin),
+    // the ANN-served hybrid: the vector arm replays the FULL sim_ivfpq
+    // pipeline (unrolled k-means training, quantized coarse centroids,
+    // top-2 probe, PQ codebook, ADC top-50, exact rescore) and ranks by
+    // the rescored cosine; lexical BM25 + RRF fusion replay unchanged
+    "search_hybrid_ann" ->
+      (s"""WITH v AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM embeddings
+         |), q AS (
+         |  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+         |  WHERE vec_id = 0
+         |), ${EntryHelpers.kmeansCte(k = 4, iters = 3, dims = 64)}, vl AS (
+         |  SELECT v.vec_id, f.cell AS label, v.e
+         |  FROM v JOIN km_fin f USING (vec_id)
+         |), cpos AS (
+         |  SELECT label, generate_subscripts(e, 1) AS pos, unnest(e) AS x
+         |  FROM vl
+         |), ccent AS (
+         |  SELECT label, pos,
+         |    CAST(sum(CAST(floor(x * 1e10 + 0.5) AS BIGINT)) AS DOUBLE)
+         |      / count(*) / 1e10 AS x
+         |  FROM cpos GROUP BY label, pos
+         |), carr AS (
+         |  SELECT label, list(x ORDER BY pos) AS c FROM ccent GROUP BY label
+         |), probes AS (
+         |  SELECT label,
+         |    round(list_dot_product(c, qe) /
+         |      (sqrt(list_dot_product(c, c)) *
+         |       sqrt(list_dot_product(qe, qe))), 4) AS cs
+         |  FROM carr, q ORDER BY cs DESC, label LIMIT 2
+         |), sv AS (
+         |  SELECT vec_id, label, sub, e[sub*16+1 : sub*16+16] AS sl
+         |  FROM vl, (SELECT unnest(range(0, 4)) AS sub)
+         |), comp AS (
+         |  SELECT sub, label, generate_subscripts(sl, 1) AS pos,
+         |    unnest(sl) AS x
+         |  FROM sv
+         |), cent AS (
+         |  SELECT sub, label, pos,
+         |    CAST(sum(CAST(floor(x * 1e10 + 0.5) AS BIGINT)) AS DOUBLE)
+         |      / count(*) / 1e10 AS x
+         |  FROM comp GROUP BY 1, 2, 3
+         |), cb AS (
+         |  SELECT sub, label AS lbl, list(x ORDER BY pos) AS cent
+         |  FROM cent GROUP BY 1, 2
+         |), scored AS (
+         |  SELECT sv.vec_id, sv.sub, cb.lbl,
+         |    round(list_dot_product(sl, sl) - 2.0 * list_dot_product(sl, cent)
+         |      + list_dot_product(cent, cent), 6) AS d2
+         |  FROM sv JOIN cb ON sv.sub = cb.sub
+         |), best AS (
+         |  SELECT vec_id, sub, lbl,
+         |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, lbl)
+         |      AS rn
+         |  FROM scored
+         |), lut AS (
+         |  SELECT cb.sub, cb.lbl,
+         |    list_dot_product(cent, qe[cb.sub*16+1 : cb.sub*16+16]) AS qd,
+         |    list_dot_product(cent, cent) AS cn
+         |  FROM cb, q
+         |), pv AS (
+         |  SELECT vec_id FROM vl JOIN probes USING (label)
+         |), parts AS (
+         |  SELECT b.vec_id, b.sub, lut.qd, lut.cn
+         |  FROM (SELECT vec_id, sub, lbl FROM best WHERE rn = 1) b
+         |  JOIN pv ON b.vec_id = pv.vec_id
+         |  JOIN lut ON b.sub = lut.sub AND b.lbl = lut.lbl
+         |), agg AS (
+         |  SELECT vec_id,
+         |    list_reduce(list(qd ORDER BY sub), (a, x) -> a + x) AS dotsum,
+         |    list_reduce(list(cn ORDER BY sub), (a, x) -> a + x) AS norm2
+         |  FROM parts GROUP BY vec_id
+         |), adc AS (
+         |  SELECT vec_id,
+         |    round(dotsum / (sqrt(norm2) * sqrt(list_dot_product(qe, qe))), 4)
+         |      AS sim_pq
+         |  FROM agg, q ORDER BY sim_pq DESC, vec_id LIMIT 50
+         |), rescored AS (
+         |  SELECT adc.vec_id AS id,
+         |    round(list_dot_product(v.e, qe) /
+         |      (sqrt(list_dot_product(v.e, v.e)) *
+         |       sqrt(list_dot_product(qe, qe))), 4) AS sim
+         |  FROM adc JOIN v ON adc.vec_id = v.vec_id, q
+         |), vectop AS (
+         |  SELECT id, CAST(row_number() OVER (ORDER BY sim DESC, id)
+         |    AS BIGINT) AS vec_rank
+         |  FROM rescored
+         |), occ AS (
+         |  SELECT doc_id AS id, len(string_split(text, ' ')) AS dl,
+         |         unnest(string_split(text, ' ')) AS term
+         |  FROM documents
+         |), tf AS (
+         |  SELECT id, term, count(*) AS tf, max(dl) AS dl FROM occ
+         |  WHERE term IN ('data', 'query', 'join') GROUP BY id, term
+         |), dfreq AS (SELECT term, count(*) AS df_docs FROM tf GROUP BY term),
+         |tot AS (
+         |  SELECT count(*) AS n, sum(len(string_split(text, ' '))) AS s
+         |  FROM documents
+         |), lex AS (
+         |  SELECT id, sum(CAST(floor(
+         |      CAST(22 * tot.s * tf.tf AS DOUBLE) /
+         |      CAST(10 * tot.s * tf.tf + 3 * tot.s + 9 * tf.dl * tot.n
+         |           AS DOUBLE) *
+         |      CAST((tot.n * 1000000) // dfreq.df_docs AS DOUBLE)
+         |      + 0.5) AS BIGINT)) AS lex_score
+         |  FROM tf JOIN dfreq USING (term), tot GROUP BY id
+         |), lextop AS (
+         |  SELECT id, CAST(row_number() OVER (ORDER BY lex_score DESC, id)
+         |    AS BIGINT) AS lex_rank
+         |  FROM lex ORDER BY lex_score DESC, id LIMIT 50
          |)
          |SELECT id,
          |  CAST(coalesce(1000000000 // (60 + lex_rank), 0)

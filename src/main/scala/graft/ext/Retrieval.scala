@@ -57,10 +57,18 @@ object Retrieval {
       require(q.vec.nonEmpty, s"query ${q.queryId}: need a non-empty vector")
     }
     require(k > 0 && candidates >= k, s"need 0 < k <= candidates")
+    val lexTop = lexTopBatch(docs, docIdCol, textCol, queries, candidates)
+    val vecTop = vecTopExact(emb, vecIdCol, vecCol, queries, candidates)
+    fuse(lexTop, vecTop, k, rrfK)
+  }
+
+  /** The lexical arm: per-query BM25 top-`candidates` ranks —
+    * (query_id, id, lex_rank). Object scaladoc has the scale shape. */
+  private def lexTopBatch(docs: DataFrame, docIdCol: String,
+                          textCol: String, queries: Seq[RetrievalQuery],
+                          candidates: Int): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-
-    // ---- lexical side: exact BM25 over the query terms only ----
     // (query_id, term) pairs as a broadcast frame: the semi-join replaces
     // an isin() so one corpus explode serves every query in the batch
     val qterms = broadcast(
@@ -91,14 +99,21 @@ object Retrieval {
       .withColumn("__w", w)
       .groupBy(col("query_id"), col("id"))
       .agg(sum(col("__w")).as("lex_score"))
-    val lexTop = lex
+    lex
       .withColumn("lex_rank", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("lex_score").desc, col("id").asc)).cast("long"))
       .filter(col("lex_rank") <= candidates)
       .select(col("query_id"), col("id"), col("lex_rank"))
+  }
 
-    // ---- vector side: q4 cosine vs the broadcast query-vector batch ----
+  /** The exact vector arm: per-query q4-cosine top-`candidates` ranks
+    * over a full corpus scan — (query_id, id, vec_rank). */
+  private def vecTopExact(emb: DataFrame, vecIdCol: String, vecCol: String,
+                          queries: Seq[RetrievalQuery],
+                          candidates: Int): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
     val qvecs = broadcast(
       queries.map(q => (q.queryId, q.vec,
           math.sqrt(q.vec.foldLeft(0.0)((a, x) => a + x * x))))
@@ -113,15 +128,18 @@ object Retrieval {
     val cos = round(
       graft.functions.VectorFunctions.array_dot(col("__v"), col("qvec")) /
         (col("__vn") * col("qnorm")), 4)
-    val vecTop = embN.crossJoin(qvecs)
+    embN.crossJoin(qvecs)
       .select(col("query_id"), col(vecIdCol).as("id"), cos.as("sim"))
       .withColumn("vec_rank", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("sim").desc, col("id").asc)).cast("long"))
       .filter(col("vec_rank") <= candidates)
       .select(col("query_id"), col("id"), col("vec_rank"))
+  }
 
-    // ---- RRF fusion over the two C-row lists per query ----
+  /** RRF fusion over the two per-query rank lists — object scaladoc. */
+  private def fuse(lexTop: DataFrame, vecTop: DataFrame, k: Int,
+                   rrfK: Int): DataFrame = {
     val fused = lexTop.join(vecTop, Seq("query_id", "id"), "full_outer")
       .withColumn("rrf_score",
         coalesce(expr(s"1000000000 div ($rrfK + lex_rank)"), lit(0L)) +
@@ -147,4 +165,37 @@ object Retrieval {
     hybridTopKBatch(docs, docIdCol, textCol, emb, vecIdCol, vecCol,
       Seq(RetrievalQuery(0L, queryTerms, queryVec)), k, candidates, rrfK)
       .drop("query_id")
+
+  /** [[hybridTopK]] with the vector arm served by the PERSISTED IVF-PQ
+    * index ([[IvfIndex.topKPq]]) — the 100 TB serving topology: the
+    * exact arm scans every embedding per query; here the coarse
+    * quantizer prunes the scan to `nprobe` cell PARTITIONS
+    * (plan-asserted PartitionFilters in `IvfIndexSpec`), asymmetric
+    * distance scores the PQ codes inside them (embeddings unread), and
+    * the final `candidates` ADC winners are re-scored exactly against
+    * the pruned raw partitions only. `vec_rank` ranks those candidates
+    * by the EXACT rescored cosine (ties to the smaller id) — the same
+    * orientation the exact arm uses, so fusion arithmetic is unchanged
+    * and recall loss is confined to candidates ADC missed. Lexical arm
+    * and RRF fusion are [[hybridTopKBatch]]'s, verbatim. */
+  def hybridTopKAnn(docs: DataFrame, docIdCol: String, textCol: String,
+                    indexPath: String, vecIdCol: String,
+                    queryTerms: Seq[String], queryVec: Seq[Double],
+                    k: Int = 10, candidates: Int = 50, nprobe: Int = 2,
+                    rrfK: Int = 60): DataFrame = {
+    require(queryTerms.nonEmpty, "need at least one term")
+    require(queryVec.nonEmpty, "need a non-empty query vector")
+    require(k > 0 && candidates >= k, s"need 0 < k <= candidates")
+    val s = docs.sparkSession
+    val lexTop = lexTopBatch(docs, docIdCol, textCol,
+      Seq(RetrievalQuery(0L, queryTerms, queryVec)), candidates)
+    val vecTop = IvfIndex.topKPq(s, indexPath, vecIdCol, queryVec,
+        k = candidates, nprobe = nprobe, rescore = true)
+      .withColumn("query_id", lit(0L))
+      .withColumn("vec_rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col(vecIdCol).asc)).cast("long"))
+      .select(col("query_id"), col(vecIdCol).as("id"), col("vec_rank"))
+    fuse(lexTop, vecTop, k, rrfK).drop("query_id")
+  }
 }

@@ -175,15 +175,16 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
   /** CREATE TABLE commits version 1 as an empty snapshot of the declared
     * schema through the same OCC publish every write uses — a racing
     * CREATE of the same name loses on the version-1 manifest and
-    * surfaces as already-exists. Partition transforms are refused: the
-    * manifest log tracks files, not hive-style directories, and
-    * accepting the clause while ignoring it would misrepresent layout. */
+    * surfaces as already-exists. `PARTITIONED BY (col, ...)` — identity
+    * transforms only — records the layout in the v1 manifest; every
+    * INSERT inherits it ([[TxTable.commit]] scaladoc: values land in
+    * file paths AND as min=max stats entries, so partition pruning
+    * rides the stats-skipping layer). Bucket/days/etc transforms refuse
+    * loudly rather than being silently ignored. */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "TxCatalog tables are not hive-partitioned (the manifest log " +
-        "tracks files) — create without PARTITIONED BY")
+    val partCols = TxCatalog.identityPartitionColumns(partitions)
     val dir = dirFor(ident)
     if (isTxTable(dir)) throw new TableAlreadyExistsException(ident)
     val spark = SparkSession.active
@@ -195,7 +196,8 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
     // silently truncate their data), and the v1 publish itself is
     // create-exclusive — either way the race surfaces as already-exists
     try TxTable.commit(empty, dir.toString, "overwrite",
-      opLabel = Some("create"), requireVersion = Some(1L))
+      opLabel = Some("create"), requireVersion = Some(1L),
+      partitionBy = Some(partCols))
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new TableAlreadyExistsException(ident)
@@ -364,6 +366,21 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
     (Seq(catalogName) ++ ident.namespace().toSeq :+ ident.name()).mkString(".")
 }
 
+private[sources] object TxCatalog {
+  /** Identity partition transforms → column names; anything fancier
+    * (bucket, days, truncate, ...) refuses loudly — accepting a clause
+    * the layout cannot honor would misrepresent the table. */
+  def identityPartitionColumns(partitions: Array[Transform]): Seq[String] =
+    partitions.toSeq.map {
+      case t if t.name() == "identity" && t.references().length == 1 &&
+          t.references()(0).fieldNames().length == 1 =>
+        t.references()(0).fieldNames()(0)
+      case other => throw new UnsupportedOperationException(
+        s"TxCatalog supports only identity PARTITIONED BY columns, " +
+          s"got $other")
+    }
+}
+
 /** One committed snapshot as a DSv2 table: schema from the manifest,
   * scan delegated to Spark's parquet DSv2 table over exactly the
   * manifest's file list — pushdown/pruning/vectorization are the stock
@@ -400,6 +417,10 @@ private[graft] class TxSqlTable(tableName: String, dir: Path, version: Long,
 
   override def name(): String = s"$tableName@v$version"
   override def schema(): StructType = tableSchema
+  override def partitioning(): Array[Transform] =
+    manifest.partitionColumns.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c))
+      .toArray
   override def capabilities(): util.Set[TableCapability] =
     if (writable)
       util.EnumSet.of(TableCapability.BATCH_READ,
@@ -412,7 +433,8 @@ private[graft] class TxSqlTable(tableName: String, dir: Path, version: Long,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TxScanBuilder(name(), tableSchema, dir, manifest.files,
-      manifest.stats, manifest.blooms, options)
+      manifest.stats, manifest.blooms, options,
+      manifest.partitionColumns)
 
   // ---- SQL `DELETE FROM` — copy-on-write through the skipping layer
   // (TxTable.deleteWhere scaladoc: provably-untouched files carry
@@ -464,7 +486,8 @@ private[graft] final class TxScanBuilder(
     scanName: String, schema: StructType, dir: Path, relFiles: Seq[String],
     stats: Map[String, Map[String, TxStats.ColStat]],
     blooms: Map[String, Map[String, TxStats.FileBloom]],
-    options: CaseInsensitiveStringMap)
+    options: CaseInsensitiveStringMap,
+    partitionColumns: Seq[String] = Nil)
   extends ScanBuilder
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
@@ -496,14 +519,120 @@ private[graft] final class TxScanBuilder(
       !skipFilters.exists(fl =>
         TxStats.excludes(st, schema, fl) || TxStats.bloomExcludes(bl, fl))
     }
-    val inner = ParquetTable(
-      s"$scanName skipped=${relFiles.size - kept.size}/${relFiles.size}",
-      SparkSession.active, options,
-      kept.map(f => dir.resolve(f).toString).toList, Some(schema),
-      classOf[ParquetFileFormat]).newScanBuilder(options)
-    inner.pushFilters(exprFilters): Unit
-    inner.pruneColumns(required)
-    inner.build()
+    val skipTag = s"skipped=${relFiles.size - kept.size}/${relFiles.size}"
+    if (partitionColumns.isEmpty) {
+      val inner = ParquetTable(s"$scanName $skipTag",
+        SparkSession.active, options,
+        kept.map(f => dir.resolve(f).toString).toList, Some(schema),
+        classOf[ParquetFileFormat]).newScanBuilder(options)
+      inner.pushFilters(exprFilters): Unit
+      inner.pruneColumns(required)
+      inner.build()
+    } else {
+      // PARTITIONED snapshot: hive path discovery cannot serve files
+      // spanning many commit dirs (conflicting roots), so the MANIFEST
+      // is the source of partition values (the Delta model): kept files
+      // group by value tuple — group count = live partition
+      // cardinality, not file count — each group delegates to a stock
+      // parquet scan over the DATA columns only, and its constant
+      // partition values ride the planned splits, appended per-row by
+      // the reader wrapper (JoinedRow — no copy). Manifest stats
+      // already did partition pruning above (values are min=max
+      // entries); filters referencing partition columns stay ABOVE the
+      // scan (all filters are residual by contract), only data-column
+      // filters forward into the inner builders.
+      val partSet = partitionColumns.toSet
+      val dataSchema = StructType(schema.filterNot(f => partSet(f.name)))
+      val dataNames = dataSchema.fieldNames.toSet
+      val requiredData =
+        StructType(required.filterNot(f => partSet(f.name)))
+      val requiredParts = required.filter(f => partSet(f.name))
+      val dataFilters = exprFilters.filter(
+        _.references.toSeq.forall(a => dataNames.contains(a.name)))
+      val outSchema = StructType(requiredData ++ requiredParts)
+      def catalystValue(v: Option[String],
+                        dt: org.apache.spark.sql.types.DataType): Any =
+        v match {
+          case None => null
+          case Some(s) => dt match {
+            case org.apache.spark.sql.types.StringType =>
+              org.apache.spark.unsafe.types.UTF8String.fromString(s)
+            case org.apache.spark.sql.types.LongType =>
+              java.lang.Long.valueOf(s)
+            case org.apache.spark.sql.types.IntegerType =>
+              java.lang.Integer.valueOf(s)
+            case other => throw new IllegalStateException(
+              s"unsupported partition type ${other.simpleString}")
+          }
+        }
+      new org.apache.spark.sql.connector.read.Scan {
+        override def readSchema(): StructType = outSchema
+        override def description(): String = s"$scanName $skipTag"
+        override def toBatch: org.apache.spark.sql.connector.read.Batch =
+          new org.apache.spark.sql.connector.read.Batch {
+            override def planInputPartitions()
+                : Array[org.apache.spark.sql.connector.read.InputPartition] =
+              kept.groupBy(f => partitionColumns.map(c =>
+                  TxTable.partitionValuesFromPath(f, partSet).get(c)))
+                .toSeq.sortBy(_._1.toString)
+                .flatMap { case (vals, fs) =>
+                  val inner = ParquetTable(s"$scanName $skipTag",
+                    SparkSession.active, options,
+                    fs.map(f => dir.resolve(f).toString).toList,
+                    Some(dataSchema), classOf[ParquetFileFormat])
+                    .newScanBuilder(options)
+                  inner.pushFilters(dataFilters): Unit
+                  inner.pruneColumns(requiredData)
+                  val b = inner.build().toBatch
+                  val fac = b.createReaderFactory()
+                  val tail: Array[Any] = requiredParts.map(f =>
+                    catalystValue(
+                      vals(partitionColumns.indexOf(f.name)),
+                      f.dataType)).toArray
+                  b.planInputPartitions()
+                    .map(p => AppendedColsPartition(p, tail, fac)
+                      : org.apache.spark.sql.connector.read.InputPartition)
+                }.toArray
+            override def createReaderFactory()
+                : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+              AppendedColsReaderFactory
+          }
+      }
+    }
+  }
+}
+
+/** A planned parquet split plus CONSTANT column values appended to every
+  * row — how the partitioned tx scan attaches manifest-derived
+  * partition values without hive path discovery ([[TxScanBuilder]]).
+  * The inner factory travels inside the partition (built per value
+  * group on the driver; serializable by design). */
+private[sources] case class AppendedColsPartition(
+    inner: org.apache.spark.sql.connector.read.InputPartition,
+    values: Array[Any],
+    factory: org.apache.spark.sql.connector.read.PartitionReaderFactory)
+  extends org.apache.spark.sql.connector.read.InputPartition {
+  override def preferredLocations(): Array[String] =
+    inner.preferredLocations()
+}
+
+private[sources] object AppendedColsReaderFactory
+  extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+  import org.apache.spark.sql.catalyst.InternalRow
+  override def createReader(
+      p: org.apache.spark.sql.connector.read.InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] = {
+    val ap = p.asInstanceOf[AppendedColsPartition]
+    val in = ap.factory.createReader(ap.inner)
+    val tail = new org.apache.spark.sql.catalyst.expressions
+      .GenericInternalRow(ap.values)
+    new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+      private val joined =
+        new org.apache.spark.sql.catalyst.expressions.JoinedRow
+      override def next(): Boolean = in.next()
+      override def get(): InternalRow = joined(in.get(), tail)
+      override def close(): Unit = in.close()
+    }
   }
 }
 

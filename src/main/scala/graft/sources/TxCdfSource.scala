@@ -170,10 +170,20 @@ private[graft] class TxCdfStream(tableSchema: StructType, dir: String,
       prevFiles = m.files.toSet
       if (servesAdds(v, m.op)) {
         if (added.nonEmpty) {
+          // partitioned tables carry column values in file paths —
+          // anchor hive-value discovery like the batch read does
+          val opts =
+            if (m.partitionColumns.isEmpty) options
+            else {
+              val m2 = new java.util.HashMap[String, String](
+                options.asCaseSensitiveMap())
+              m2.put("basePath", dir)
+              new CaseInsensitiveStringMap(m2)
+            }
           val scan = ParquetTable(s"txcdf $dir v$v", SparkSession.active,
-            options, added.map(f => root.resolve(f).toString).toList,
+            opts, added.map(f => root.resolve(f).toString).toList,
             Some(tableSchema), classOf[ParquetFileFormat])
-            .newScanBuilder(options).build()
+            .newScanBuilder(opts).build()
           val batch = scan.toBatch
           val factory = batch.createReaderFactory()
           batch.planInputPartitions().foreach(p =>

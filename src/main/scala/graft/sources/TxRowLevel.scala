@@ -221,6 +221,9 @@ private[graft] final case class TxUpdateCommand(
       throw new IllegalStateException(
         s"no committed version under $tableDir"))
     val m = TxTable.readManifest(java.nio.file.Paths.get(tableDir), v)
+    require(m.partitionColumns.isEmpty,
+      s"UPDATE on a partitioned tx table is not supported yet " +
+        s"($tableDir) — overwrite the affected partitions instead")
     val schema =
       DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
     val tgt = AttributeSet(targetOutput)
@@ -275,6 +278,9 @@ private[graft] final case class TxMergeCommand(
       throw new IllegalStateException(
         s"no committed version under $tableDir"))
     val m = TxTable.readManifest(java.nio.file.Paths.get(tableDir), v)
+    require(m.partitionColumns.isEmpty,
+      s"MERGE INTO a partitioned tx table is not supported yet " +
+        s"($tableDir) — overwrite the affected partitions instead")
     val schema =
       DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
     val tgt = AttributeSet(targetOutput)

@@ -151,13 +151,19 @@ object TxTable {
     * ([[TxStats]] scaladoc) — computed once at commit from the new
     * files' footers, carried forward with the files they describe;
     * absent entries simply never skip. */
+  /** `partitionColumns`: the table's hive-style partition layout (empty
+    * = flat). Partition values live in each file's PATH, not its bytes;
+    * they are ALSO recorded as min=max entries in `stats`, so partition
+    * pruning IS the existing stats-skipping layer — zero bespoke
+    * pruning code, and the same conservative-skip guarantees. */
   final case class Manifest(version: Long, op: String, schemaJson: String,
                             files: Seq[String],
                             txns: Map[String, Long] = Map.empty,
                             stats: Map[String, Map[String, TxStats.ColStat]] =
                               Map.empty,
                             blooms: Map[String, Map[String, TxStats.FileBloom]] =
-                              Map.empty)
+                              Map.empty,
+                            partitionColumns: Seq[String] = Nil)
 
   /** Commit `df` as the next version. `mode` is "overwrite" (the new
     * version is exactly this frame) or "append" (this frame plus the
@@ -182,18 +188,66 @@ object TxTable {
     * `id: string` is data corruption, not evolution, and refuses
     * loudly. Without the flag, any schema drift refuses as before:
     * evolution must be a deliberate choice, never a producer accident. */
+  /** `partitionBy`: `None` INHERITS the table's existing partition
+    * layout (the manifest is the table property — an appender or SQL
+    * INSERT must not need to restate it); `Some(cols)` declares it
+    * (first commit / overwrite relayout); `Some(Nil)` explicitly
+    * flattens on overwrite. Partition columns move to the END of the
+    * committed schema (the hive convention — also what keeps the
+    * delegated parquet scan's dataSchema++partitionSchema output order
+    * equal to the committed order), values land in file PATHS and as
+    * min=max stats entries so partition pruning rides the existing
+    * skipping layer. String/int/long partition types only — path
+    * round-trips of timestamps and floats are where layouts lie. */
   def commit(df: DataFrame, tableDir: String, mode: String,
              opLabel: Option[String] = None,
              txn: Option[(String, Long)] = None,
              primitive: CommitPrimitive = PosixLinkPrimitive,
              mergeSchema: Boolean = false,
              bloomColumns: Seq[String] = Nil,
-             requireVersion: Option[Long] = None): Long = {
+             requireVersion: Option[Long] = None,
+             partitionBy: Option[Seq[String]] = None): Long = {
     require(mode == "overwrite" || mode == "append",
       s"mode must be overwrite|append, got '$mode'")
     val root = Paths.get(tableDir)
     Files.createDirectories(root.resolve(LogDir))
-    val prev = latestVersion(tableDir).map(v => readManifest(root, v))
+    val prev0 = latestVersion(tableDir).map(v => readManifest(root, v))
+    val effParts: Seq[String] =
+      partitionBy.getOrElse(prev0.map(_.partitionColumns).getOrElse(Nil))
+    if (mode == "append") prev0.foreach(p => require(
+      effParts == p.partitionColumns,
+      s"append partitioning ${effParts.mkString(",")} does not match " +
+        s"the table's ${p.partitionColumns.mkString(",")} — relayout " +
+        "with an overwrite commit"))
+    if (effParts.nonEmpty) {
+      require(!mergeSchema,
+        "mergeSchema is not supported on partitioned tables — evolve " +
+          "through an explicit overwrite relayout")
+      require(effParts.distinct.size == effParts.size,
+        s"duplicate partition columns: ${effParts.mkString(",")}")
+      effParts.foreach(c => require(df.schema.fieldNames.contains(c),
+        s"partition column '$c' is not in the frame schema " +
+          df.schema.simpleString))
+      effParts.foreach(c => df.schema(c).dataType match {
+        case org.apache.spark.sql.types.StringType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => ()
+        case other => throw new IllegalArgumentException(
+          s"partition column '$c' must be string/int/long, got " +
+            s"${other.simpleString} — timestamp/float path round-trips " +
+            "are lossy, bucket into a typed column first")
+      })
+      require(effParts.toSet.intersect(bloomColumns.toSet).isEmpty,
+        "bloom columns cannot be partition columns — partition values " +
+          "never reach file bytes, the path IS their index")
+    }
+    // partition columns last in the committed order (scaladoc)
+    val dfOrdered =
+      if (effParts.isEmpty) df
+      else df.select((df.schema.fieldNames.toSeq.filterNot(effParts.contains)
+        ++ effParts).map(functions.col): _*)
+    val df2 = dfOrdered
+    val prev = prev0
     val committedSchema: StructType = prev match {
       case Some(m) if mode == "append" =>
         val table = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
@@ -203,17 +257,19 @@ object TxTable {
           // parquet comes out all-nullable, which must still append to a
           // table whose schema was committed from a non-nullable source
           // (same contract as Spark's own insertInto resolution).
-          require(asNullable(table) == asNullable(df.schema),
-            s"append schema ${df.schema.simpleString} does not match " +
+          require(asNullable(table) == asNullable(df2.schema),
+            s"append schema ${df2.schema.simpleString} does not match " +
               s"table schema ${table.simpleString} — pass " +
               "mergeSchema = true to evolve deliberately")
-          df.schema
+          df2.schema
         }
-      case _ => df.schema
+      case _ => df2.schema
     }
     // the write→list→stats block is the SHARED staging phase — one
     // implementation serves direct commits and atomic CTAS/RTAS
-    val staged = stageData(df, tableDir)
+    val staged =
+      if (effParts.isEmpty) stageData(df2, tableDir)
+      else stageDataPartitioned(df2, tableDir, effParts)
     val carried =
       if (mode == "append") prev.map(_.files).getOrElse(Seq.empty)
       else Seq.empty
@@ -249,13 +305,13 @@ object TxTable {
         prev.map(m => m.blooms.view.filterKeys(carriedSet).toMap)
           .getOrElse(Map.empty)
       else Map.empty[String, Map[String, TxStats.FileBloom]]
-    val newBlooms = TxStats.buildFileBlooms(df.sparkSession,
-      root.resolve(staged.dataRel), staged.files, df.schema, bloomColumns)
+    val newBlooms = TxStats.buildFileBlooms(df2.sparkSession,
+      root.resolve(staged.dataRel), staged.files, df2.schema, bloomColumns)
     val manifest = Manifest(version, opLabel.getOrElse(mode),
       committedSchema.json, carried ++ staged.files,
       prev.map(_.txns).getOrElse(Map.empty) ++ txn,
       carriedStats ++ staged.stats,
-      carriedBlooms ++ newBlooms)
+      carriedBlooms ++ newBlooms, effParts)
     try publish(root, manifest, primitive)
     catch {
       case e: java.nio.file.FileAlreadyExistsException =>
@@ -460,6 +516,9 @@ object TxTable {
       throw new IllegalStateException(
         s"no committed version under $tableDir/$LogDir"))
     val m = readManifest(root, v)
+    require(m.partitionColumns.isEmpty,
+      s"compact on a partitioned table is not supported yet " +
+        s"($tableDir) — compaction must group within partition values")
     val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
     if (m.files.isEmpty) return v
     import spark.implicits._
@@ -554,6 +613,9 @@ object TxTable {
       throw new IllegalStateException(
         s"no committed version under $tableDir/$LogDir"))
     val m = readManifest(root, v)
+    require(m.partitionColumns.isEmpty,
+      s"compactZOrder on a partitioned table is not supported yet " +
+        s"($tableDir) — z-order within each partition instead")
     val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
     Seq(xCol, yCol).foreach(c => require(
       schema.fieldNames.contains(c), s"zorder column '$c' is not in " +
@@ -609,6 +671,58 @@ object TxTable {
       if (s.isEmpty) None else Some(f -> s)
     }.toMap
     StagedData(dataRel, files, stats, df.schema.json)
+  }
+
+  /** [[stageData]] for a PARTITIONED commit: hive-layout write
+    * (`data/<uuid>/col=value/part-*.parquet`), recursive listing, and
+    * per-file stats = footer stats for the data columns PLUS one
+    * min=max entry per partition column parsed back from the file's
+    * path — which is all partition pruning needs ([[Manifest]]
+    * scaladoc). A null partition value (`__HIVE_DEFAULT_PARTITION__`)
+    * simply records no stat for that column — an unprunable file, the
+    * conservative default everywhere else in the stats layer. */
+  private[sources] def stageDataPartitioned(df: DataFrame, tableDir: String,
+                                            parts: Seq[String]): StagedData = {
+    val root = Paths.get(tableDir)
+    val commitId = java.util.UUID.randomUUID().toString
+    val dataRel = s"data/$commitId"
+    df.write.partitionBy(parts: _*).parquet(root.resolve(dataRel).toString)
+    val files = walkParquet(root.resolve(dataRel))
+      .map(p => root.relativize(p).toString.replace('\\', '/')).sorted
+    val dataSchema = StructType(
+      df.schema.fields.filterNot(f => parts.contains(f.name)))
+    val stats = files.flatMap { f =>
+      val footer = TxStats.forFile(root.resolve(f), dataSchema)
+      val fromPath = partitionValuesFromPath(f, parts.toSet)
+        .map { case (c, v) => c -> TxStats.ColStat(v, v) }
+      val all = footer ++ fromPath
+      if (all.isEmpty) None else Some(f -> all)
+    }.toMap
+    StagedData(dataRel, files, stats, df.schema.json)
+  }
+
+  /** Hive `col=value` segments of a file's relative path, unescaped;
+    * null markers are omitted (no stat → never pruned). */
+  private[sources] def partitionValuesFromPath(relPath: String,
+      parts: Set[String]): Map[String, String] =
+    relPath.split('/').toSeq.flatMap { seg =>
+      seg.indexOf('=') match {
+        case i if i > 0 =>
+          val (c, v) = (seg.substring(0, i), seg.substring(i + 1))
+          if (parts.contains(c) && v != "__HIVE_DEFAULT_PARTITION__")
+            Some(c -> org.apache.spark.sql.catalyst.catalog
+              .ExternalCatalogUtils.unescapePathName(v))
+          else None
+        case _ => None
+      }
+    }.toMap
+
+  private def walkParquet(dir: Path): Seq[Path] = {
+    def walk(p: Path): Seq[Path] =
+      if (Files.isDirectory(p)) listNames(p).flatMap(n => walk(p.resolve(n)))
+      else if (p.getFileName.toString.endsWith(".parquet")) Seq(p)
+      else Seq.empty
+    walk(dir)
   }
 
   /** Phase 2: publish staged slices as one version. `requireVersion`
@@ -731,6 +845,10 @@ object TxTable {
                                   newData: DataFrame, op: String,
                                   primitive: CommitPrimitive =
                                     PosixLinkPrimitive): Long = {
+    require(base.partitionColumns.isEmpty,
+      s"row-level rewrites on a partitioned table are not supported " +
+        s"yet (op '$op' on $tableDir) — overwrite the affected " +
+        "partitions instead")
     val root = Paths.get(tableDir)
     val schema =
       DataType.fromJson(base.schemaJson).asInstanceOf[StructType]
@@ -778,7 +896,7 @@ object TxTable {
     val latest = versions(tableDir).max // non-empty: v's manifest exists
     val head = readManifest(root, latest)
     val manifest = Manifest(latest + 1, "restore", m.schemaJson, m.files,
-      head.txns, m.stats, m.blooms)
+      head.txns, m.stats, m.blooms, m.partitionColumns)
     publish(root, manifest, primitive)
     // Tripwire for the one race the ordering argument cannot close: a
     // vacuum running CONCURRENTLY may have snapshotted its live set
@@ -800,15 +918,47 @@ object TxTable {
     latest + 1
   }
 
-  /** Time travel: read exactly version `v`'s snapshot. */
+  /** Time travel: read exactly version `v`'s snapshot.
+    *
+    * A partitioned snapshot does NOT use hive path discovery — a
+    * snapshot's files span many commit dirs (`data/<uuid>/col=v/...`),
+    * which discovery rejects as conflicting roots. Instead the manifest
+    * is the source of partition values (the Delta/Iceberg model): files
+    * group by their value tuple — the group count is the snapshot's
+    * live partition cardinality, the natural scale of hive layouts, NOT
+    * the file count — and each group reads as plain parquet over the
+    * data columns with its constant values attached as typed literals.
+    * Partition predicates above the union constant-fold per branch, so
+    * even a read that skipped manifest pruning prunes in the plan. */
   def readVersion(spark: SparkSession, tableDir: String, v: Long): DataFrame = {
     val root = Paths.get(tableDir)
     val m = readManifest(root, v)
     val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
     if (m.files.isEmpty) spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema)
+    else if (m.partitionColumns.isEmpty) spark.read.schema(schema)
       .parquet(m.files.map(f => root.resolve(f).toString): _*)
+    else {
+      val partSet = m.partitionColumns.toSet
+      val dataSchema =
+        StructType(schema.fields.filterNot(f => partSet(f.name)))
+      m.files
+        .groupBy(f => m.partitionColumns
+          .map(c => partitionValuesFromPath(f, partSet).get(c)))
+        .toSeq.sortBy(_._1.toString)
+        .map { case (vals, fs) =>
+          val base = spark.read.schema(dataSchema)
+            .parquet(fs.map(f => root.resolve(f).toString): _*)
+          m.partitionColumns.zip(vals).foldLeft(base) {
+            case (df, (c, v0)) =>
+              df.withColumn(c, v0.map(functions.lit(_))
+                .getOrElse(functions.lit(null))
+                .cast(schema(c).dataType))
+          }
+        }
+        .reduce(_ unionByName _)
+        .select(schema.fieldNames.toSeq.map(functions.col): _*)
+    }
   }
 
   // ------------------------------------------------------------ internals
@@ -954,6 +1104,10 @@ object TxTable {
         }
       }
     }
+    if (m.partitionColumns.nonEmpty) {
+      val pb = node.putArray("partitionBy")
+      m.partitionColumns.foreach(pb.add)
+    }
     primitive.publishExclusive(manifestPath(root, m.version),
       mapper.writeValueAsBytes(node))
   }
@@ -993,9 +1147,12 @@ object TxTable {
         }.toMap
       }.toMap
     }.getOrElse(Map.empty[String, Map[String, TxStats.FileBloom]])
+    val partitionColumns = Option(node.get("partitionBy"))
+      .map(_.elements().asScala.map(_.asText()).toSeq)
+      .getOrElse(Seq.empty)
     Manifest(node.get("version").asLong(), node.get("op").asText(),
       node.get("schema").asText(),
       node.get("files").elements().asScala.map(_.asText()).toSeq, txns,
-      stats, blooms)
+      stats, blooms, partitionColumns)
   }
 }

@@ -114,13 +114,20 @@ class TxCatalogSpec extends SparkSpec {
     intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("CREATE TABLE txspec.db.t2 (id BIGINT)")
     }
-    // hive partitioning is refused, not silently ignored
+    // identity PARTITIONED BY is a supported layout since r16
+    // (TxPartitionedSpec owns its semantics); the v1 manifest records it
+    spark.sql(
+      "CREATE TABLE txspec.db.t3 (id BIGINT, p STRING) PARTITIONED BY (p)")
+    assert(TxTable.readManifest(
+      java.nio.file.Paths.get(s"$warehouse/db/t3"), 1L)
+      .partitionColumns == Seq("p"))
+    // non-identity transforms still refuse, not silently ignore
     val ep = intercept[Exception] {
       spark.sql(
-        "CREATE TABLE txspec.db.t3 (id BIGINT, p STRING) PARTITIONED BY (p)")
+        "CREATE TABLE txspec.db.t4 (id BIGINT, p STRING) " +
+          "PARTITIONED BY (bucket(4, id))")
     }
-    assert(ep.getMessage.contains("PARTITIONED BY") ||
-      ep.getMessage.contains("not hive-partitioned"))
+    assert(ep.getMessage.contains("identity"))
   }
 
   test("CREATE racing an out-of-band v1 commit refuses, never truncates") {

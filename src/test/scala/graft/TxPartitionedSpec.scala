@@ -1,0 +1,198 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{TxStats, TxTable}
+
+/** Partition-column layout on the tx table: hive-style commit layout,
+  * values recorded as min=max stats (partition pruning IS the skipping
+  * layer), typed path round-trips, SQL CREATE ... PARTITIONED BY +
+  * INSERT inheritance, and the loud refusals on the compositions the
+  * layout does not support yet. */
+class TxPartitionedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("txpart-spec-").toString + "/tbl"
+
+  test("partitioned commit: hive layout, values as stats, pruned reads, inherited appends") {
+    val tbl = tmp()
+    // lang declared MID-schema: the committed order moves it last
+    val v1 = TxTable.commit(
+      Seq((1L, "en", 5L), (2L, "de", 7L), (3L, "en", 9L))
+        .toDF("id", "lang", "n"),
+      tbl, "overwrite", partitionBy = Some(Seq("lang")))
+    assert(v1 == 1L)
+    val m1 = TxTable.readManifest(Paths.get(tbl), 1L)
+    assert(m1.partitionColumns == Seq("lang"))
+    // files land under lang=<value> dirs
+    assert(m1.files.nonEmpty && m1.files.forall(_.contains("lang=")))
+    // the committed schema is partition-last
+    assert(org.apache.spark.sql.types.DataType.fromJson(m1.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Seq("id", "n", "lang"))
+    // every file carries the partition value as a min=max stat
+    assert(m1.files.forall { f =>
+      m1.stats.get(f).exists(_.get("lang").exists(cs => cs.min == cs.max))
+    })
+    // a plain append (no partitionBy argument) INHERITS the layout
+    val v2 = TxTable.commit(Seq((4L, "fr", 2L)).toDF("id", "lang", "n"),
+      tbl, "append")
+    assert(v2 == 2L)
+    val m2 = TxTable.readManifest(Paths.get(tbl), 2L)
+    assert(m2.partitionColumns == Seq("lang"))
+    // round trip: values come back from the paths, committed order
+    val got = TxTable.read(spark, tbl)
+      .select("id", "lang", "n").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    assert(got == Seq((1L, "en", 5L), (2L, "de", 7L), (3L, "en", 9L),
+      (4L, "fr", 2L)))
+    // partition pruning IS stats pruning: lang='de' excludes en/fr files
+    val schema = org.apache.spark.sql.types.DataType.fromJson(m2.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val de = org.apache.spark.sql.sources.EqualTo("lang", "de")
+    val kept = m2.files.count { f =>
+      !TxStats.excludes(m2.stats.getOrElse(f, Map.empty), schema, de)
+    }
+    assert(kept < m2.files.size && kept >= 1,
+      s"lang=de must prune: kept $kept of ${m2.files.size}")
+  }
+
+  test("typed and escaped partition values round-trip; nulls land unprunable") {
+    val tbl = tmp()
+    TxTable.commit(
+      Seq((1L, 10L, "a"), (2L, 20L, "x y%z=w"), (3L, 10L, null))
+        .toDF("id", "bucket", "s"),
+      tbl, "overwrite", partitionBy = Some(Seq("bucket", "s")))
+    val got = TxTable.read(spark, tbl).select("id", "bucket", "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getString(2))).sorted.toSeq
+    assert(got == Seq((1L, 10L, "a"), (2L, 20L, "x y%z=w"),
+      (3L, 10L, null)))
+    val m = TxTable.readManifest(Paths.get(tbl), 1L)
+    val schema = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    // the escaped value unescapes into its stat entry
+    assert(m.files.exists(f =>
+      m.stats.get(f).exists(_.get("s").exists(_.min == "x y%z=w"))))
+    // long partition stats prune numerically (bucket > 15 keeps only 20)
+    val gt = org.apache.spark.sql.sources.GreaterThan("bucket", 15L)
+    val kept = m.files.filter { f =>
+      !TxStats.excludes(m.stats.getOrElse(f, Map.empty), schema, gt)
+    }
+    assert(kept.forall(_.contains("bucket=20")) && kept.nonEmpty)
+    // the null-partition file has no 's' stat — never pruned on s
+    val nullFile = m.files.find(_.contains("__HIVE_DEFAULT_PARTITION__"))
+    assert(nullFile.isDefined)
+    assert(!m.stats.get(nullFile.get).exists(_.contains("s")))
+  }
+
+  test("SQL: CREATE PARTITIONED BY + INSERT inherit the layout and prune scans") {
+    val wh = Files.createTempDirectory("txpart-sql-").toString
+    spark.conf.set("spark.sql.catalog.txpart", "graft.sources.TxCatalog")
+    spark.conf.set("spark.sql.catalog.txpart.root", wh)
+    spark.sql("CREATE TABLE txpart.db.pt (id BIGINT, lang STRING, " +
+      "n BIGINT) PARTITIONED BY (lang)")
+    assert(TxTable.readManifest(Paths.get(s"$wh/db/pt"), 1L)
+      .partitionColumns == Seq("lang"))
+    // the committed order is partition-last (hive convention), so SQL
+    // INSERT positions are (id, n, lang)
+    spark.sql("INSERT INTO txpart.db.pt VALUES (1, 5, 'en'), (2, 7, 'de')")
+    spark.sql("INSERT INTO txpart.db.pt VALUES (3, 2, 'fr')")
+    val m = TxTable.readManifest(Paths.get(s"$wh/db/pt"), 3L)
+    assert(m.partitionColumns == Seq("lang") &&
+      m.files.forall(_.contains("lang=")))
+    // the partition-pruned scan: only the de file survives the skip
+    val q = spark.sql(
+      "SELECT id, n FROM txpart.db.pt WHERE lang = 'de' ORDER BY id")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("skipped=2/3"),
+      s"expected partition pruning in the delegated scan, got:\n$plan")
+    assert(q.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((2L, 7L)))
+    // full scan returns everything with values from paths
+    assert(spark.sql("SELECT sum(n) FROM txpart.db.pt").head().getLong(0)
+      == 14L)
+    // bucket transforms refuse loudly
+    val e = intercept[Exception](spark.sql(
+      "CREATE TABLE txpart.db.pt2 (id BIGINT, lang STRING) " +
+        "PARTITIONED BY (bucket(4, id))"))
+    assert(e.getMessage.contains("identity"))
+  }
+
+  test("append with a different layout refuses; unsupported compositions refuse") {
+    val tbl = tmp()
+    TxTable.commit(Seq((1L, "en", 5L)).toDF("id", "lang", "n"),
+      tbl, "overwrite", partitionBy = Some(Seq("lang")))
+    val df = Seq((2L, "de", 7L)).toDF("id", "lang", "n")
+    val e1 = intercept[IllegalArgumentException](
+      TxTable.commit(df, tbl, "append", partitionBy = Some(Seq("n"))))
+    assert(e1.getMessage.contains("does not match"))
+    val e2 = intercept[IllegalArgumentException](
+      TxTable.commit(df, tbl, "append", partitionBy = Some(Nil)))
+    assert(e2.getMessage.contains("does not match"))
+    // rewrite ops refuse loudly rather than reading partition columns
+    // as silent NULLs
+    assert(intercept[IllegalArgumentException](
+      TxTable.deleteWhere(spark, tbl,
+        Seq(org.apache.spark.sql.sources.EqualTo("lang", "en"))))
+      .getMessage.contains("partitioned"))
+    assert(intercept[IllegalArgumentException](
+      TxTable.compact(spark, tbl, 1L << 30))
+      .getMessage.contains("partitioned"))
+    assert(intercept[IllegalArgumentException](
+      TxTable.compactZOrder(spark, tbl, "id", "n", 2))
+      .getMessage.contains("partitioned"))
+    // mergeSchema + partitioning refuses
+    assert(intercept[IllegalArgumentException](
+      TxTable.commit(Seq((9L, "en", 1L, true)).toDF("id", "lang", "n", "b"),
+        tbl, "append", mergeSchema = true))
+      .getMessage.contains("mergeSchema"))
+    // bloom on a partition column refuses
+    assert(intercept[IllegalArgumentException](
+      TxTable.commit(df, tbl, "append", bloomColumns = Seq("lang")))
+      .getMessage.contains("bloom"))
+  }
+
+  test("time travel, diff, and vacuum work on partitioned tables") {
+    val tbl = tmp()
+    TxTable.commit(Seq((1L, "en", 5L)).toDF("id", "lang", "n"),
+      tbl, "overwrite", partitionBy = Some(Seq("lang")))
+    TxTable.commit(Seq((2L, "de", 7L)).toDF("id", "lang", "n"),
+      tbl, "append")
+    TxTable.commit(Seq((3L, "fr", 2L)).toDF("id", "lang", "n"),
+      tbl, "overwrite")
+    assert(TxTable.readVersion(spark, tbl, 2L).count() == 2L)
+    val d = TxTable.diff(spark, tbl, 2L, 3L)
+    assert(d.filter(col("change") === "delete").count() == 2L &&
+      d.filter(col("change") === "insert").count() == 1L)
+    val stats = TxTable.vacuum(tbl, retain = 1, minAgeMillis = 0L)
+    assert(stats.expiredVersions == Seq(1L, 2L) &&
+      stats.deletedFiles >= 2L)
+    // the retained snapshot reads intact after the reclaim
+    assert(TxTable.read(spark, tbl).select("id").head().getLong(0) == 3L)
+  }
+
+  test("the CDF stream serves partitioned appends with path-derived values") {
+    val base = Files.createTempDirectory("txpart-cdf-").toString
+    val tbl = s"$base/tbl"
+    TxTable.commit(Seq((1L, "en", 5L)).toDF("id", "lang", "n"),
+      tbl, "overwrite", partitionBy = Some(Seq("lang")))
+    TxTable.commit(Seq((2L, "de", 7L)).toDF("id", "lang", "n"),
+      tbl, "append")
+    val q = spark.readStream.format("graft-txcdf").option("path", tbl)
+      .load()
+      .writeStream.format("parquet").option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.read.parquet(s"$base/out")
+      .select("_commit_version", "id", "lang", "n").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sorted.toSeq
+    assert(got == Seq((1L, 1L, "en", 5L), (2L, 2L, "de", 7L)))
+  }
+}
