@@ -154,13 +154,6 @@ private[graft] object TxRowLevel {
         TxStats.excludes(st, schema, fl) || TxStats.bloomExcludes(bl, fl))
     }
 
-  private[sources] def readFiles(spark: SparkSession, dir: String,
-                        schema: StructType, files: Seq[String]): DataFrame =
-    if (files.isEmpty)
-      spark.createDataFrame(new java.util.ArrayList[Row](), schema)
-    else spark.read.schema(schema).parquet(
-      files.map(f => java.nio.file.Paths.get(dir).resolve(f).toString): _*)
-
   /** First-match-wins clause chain: WHEN cond₁ → act₁ ELSE WHEN cond₂ →
     * act₂ … ELSE default — the ANSI clause-order contract as one nested
     * CASE (a missing AND is `true`; a NULL AND is `false`). */
@@ -221,9 +214,6 @@ private[graft] final case class TxUpdateCommand(
       throw new IllegalStateException(
         s"no committed version under $tableDir"))
     val m = TxTable.readManifest(java.nio.file.Paths.get(tableDir), v)
-    require(m.partitionColumns.isEmpty,
-      s"UPDATE on a partitioned tx table is not supported yet " +
-        s"($tableDir) — overwrite the affected partitions instead")
     val schema =
       DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
     val tgt = AttributeSet(targetOutput)
@@ -238,7 +228,8 @@ private[graft] final case class TxUpdateCommand(
     if (touched.isEmpty) return Seq.empty // provably nothing to update
     val cond = condition.map(bind)
       .map(c => coalesce(c, lit(false))).getOrElse(lit(true))
-    val rewritten = readFiles(spark, tableDir, schema, touched)
+    val rewritten = TxTable.readSnapshotFiles(spark, tableDir, schema,
+        m.partitionColumns, touched)
       .select(schema.fields.toSeq.map { f =>
         assignedValue(assignments, f, tgt, fallback = col(f.name), bind)
           match {
@@ -278,9 +269,6 @@ private[graft] final case class TxMergeCommand(
       throw new IllegalStateException(
         s"no committed version under $tableDir"))
     val m = TxTable.readManifest(java.nio.file.Paths.get(tableDir), v)
-    require(m.partitionColumns.isEmpty,
-      s"MERGE INTO a partitioned tx table is not supported yet " +
-        s"($tableDir) — overwrite the affected partitions instead")
     val schema =
       DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
     val tgt = AttributeSet(targetOutput)
@@ -337,14 +325,11 @@ private[graft] final case class TxMergeCommand(
     // The row id must survive recomputation (an executor loss recomputes
     // cached blocks): monotonically_increasing_id would renumber rows and
     // silently break the cardinality check and the dedupe below, so the
-    // id is the STABLE (file path, in-file row position) from the parquet
-    // reader's _metadata column.
-    val tgtDf0 = readFiles(spark, tableDir, schema, joinTargetFiles)
-    val tgtDf =
-      if (joinTargetFiles.isEmpty)
-        tgtDf0.withColumn(Tid, lit(null).cast("string"))
-      else tgtDf0.withColumn(Tid, concat_ws("#",
-        col("_metadata.file_path"), col("_metadata.row_index")))
+    // shared snapshot reader derives a STABLE (file path, in-file row
+    // position) id from the parquet _metadata column (and attaches
+    // partition values on a partitioned table).
+    val tgtDf = TxTable.readSnapshotFiles(spark, tableDir, schema,
+      m.partitionColumns, joinTargetFiles, tidCol = Some(Tid))
     val onCond = coalesce(bind(mergeCondition), lit(false))
     val joined = graft.ext.TrackedCache.persistTracked(
       tgtDf.join(srcDf.withColumn(SMark, lit(true)), onCond, "full_outer"))

@@ -516,42 +516,61 @@ object TxTable {
       throw new IllegalStateException(
         s"no committed version under $tableDir/$LogDir"))
     val m = readManifest(root, v)
-    require(m.partitionColumns.isEmpty,
-      s"compact on a partitioned table is not supported yet " +
-        s"($tableDir) — compaction must group within partition values")
     val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
     if (m.files.isEmpty) return v
+    val partSet = m.partitionColumns.toSet
+    val dataSchema =
+      StructType(schema.fields.filterNot(f => partSet(f.name)))
+    // the partition-dir portion of a file's rel path
+    // (data/<uuid>/[col=v/...]file): what the planner groups by — a
+    // compaction group never crosses partition values, which is also
+    // what keeps partition pruning intact after the rewrite
+    def partSegs(f: String): String =
+      f.split('/').toSeq.drop(2).dropRight(1).mkString("/")
     import spark.implicits._
-    val inv = m.files.map(f => ("", f, Files.size(root.resolve(f))))
+    val inv = m.files.map(f =>
+        (if (m.partitionColumns.isEmpty) "" else partSegs(f), f,
+          Files.size(root.resolve(f))))
       .toDF("part", "path", "bytes")
+    // grp is 0-based WITHIN the partition dir — group by (part, grp)
     val groups = Compaction.plan(inv, "part", "path", "bytes", targetBytes)
-      .select(functions.col("path"), functions.col("grp")).collect()
-      .groupBy(_.getLong(1)).toSeq.sortBy(_._1)
-      .map(_._2.map(_.getString(0)).sorted.toSeq)
+      .select(functions.col("part"), functions.col("path"),
+        functions.col("grp")).collect()
+      .groupBy(r => (r.getString(0), r.getLong(2))).toSeq.sortBy(_._1)
+      .map { case ((part, _), rs) =>
+        (part, rs.map(_.getString(1)).sorted.toSeq) }
     // One distributed read+write per group, coalesced to a single file.
     // NOT a union of coalesce(1) children — the optimizer collapses that
     // into ONE partition for the whole union, undoing the grouping. Each
     // group lands in a scratch dir and its file moves (a rename, not a
-    // copy) into the flat commit dir under a group-prefixed name.
+    // copy) into the commit dir — under the group's own partition-value
+    // dirs on a partitioned table, so read-time value parsing and
+    // post-compaction pruning see the same layout as any commit.
     val commitId = java.util.UUID.randomUUID().toString
     val dataRel = s"data/$commitId"
     val dataDir = root.resolve(dataRel)
     Files.createDirectories(dataDir)
     runConcurrently(groups.size, maxConcurrentJobs) { i =>
-      val fs = groups(i)
+      val (part, fs) = groups(i)
       val tmp = root.resolve(s"$dataRel-g$i")
-      spark.read.schema(schema)
+      spark.read.schema(dataSchema)
         .parquet(fs.map(f => root.resolve(f).toString): _*)
         .coalesce(1).write.parquet(tmp.toString)
+      val outDir =
+        if (part.isEmpty) dataDir else dataDir.resolve(part)
+      Files.createDirectories(outDir)
       listNames(tmp).filter(_.endsWith(".parquet")).foreach(n =>
-        Files.move(tmp.resolve(n), dataDir.resolve(f"g$i%05d-$n")))
+        Files.move(tmp.resolve(n), outDir.resolve(f"g$i%05d-$n")))
       deleteRecursively(tmp)
     }
-    val newFiles = listNames(dataDir).filter(_.endsWith(".parquet"))
-      .map(n => s"$dataRel/$n").sorted
+    val newFiles = walkParquet(dataDir)
+      .map(p => root.relativize(p).toString.replace('\\', '/')).sorted
     val compactStats = newFiles.flatMap { f =>
-      val s = TxStats.forFile(root.resolve(f), schema)
-      if (s.isEmpty) None else Some(f -> s)
+      val footer = TxStats.forFile(root.resolve(f), dataSchema)
+      val fromPath = partitionValuesFromPath(f, partSet)
+        .map { case (c, pv) => c -> TxStats.ColStat(pv, pv) }
+      val all = footer ++ fromPath
+      if (all.isEmpty) None else Some(f -> all)
     }.toMap
     // bloom coverage survives compaction: rebuild over the rewritten
     // files for every column any pre-compaction file bloomed
@@ -563,7 +582,7 @@ object TxTable {
     // the CDF stream above all — must be able to tell "bytes moved,
     // rows unchanged" from a real rewrite
     val manifest = Manifest(v + 1, "compact", m.schemaJson, newFiles,
-      m.txns, compactStats, compactBlooms)
+      m.txns, compactStats, compactBlooms, m.partitionColumns)
     try publish(root, manifest, primitive)
     catch {
       case e: java.nio.file.FileAlreadyExistsException =>
@@ -613,29 +632,39 @@ object TxTable {
       throw new IllegalStateException(
         s"no committed version under $tableDir/$LogDir"))
     val m = readManifest(root, v)
-    require(m.partitionColumns.isEmpty,
-      s"compactZOrder on a partitioned table is not supported yet " +
-        s"($tableDir) — z-order within each partition instead")
     val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
     Seq(xCol, yCol).foreach(c => require(
       schema.fieldNames.contains(c), s"zorder column '$c' is not in " +
         s"the table schema ${schema.simpleString}"))
+    require(!m.partitionColumns.contains(xCol) &&
+      !m.partitionColumns.contains(yCol),
+      "zorder columns must be data columns — a partition column's " +
+        "layout is already its directory")
     val zc = "__graft_z"
     require(!schema.fieldNames.contains(zc),
       s"table may not have a '$zc' column")
     val cols = schema.fieldNames.toSeq.map(functions.col)
+    // on a partitioned table the range key is (partition cols..., z):
+    // the clustering happens WITHIN each partition value (the staged
+    // partitionBy write then re-splits mixed range-partitions by value,
+    // preserving the within-value z order — sortWithinPartitions keys
+    // on the same prefix)
+    val rangeKey =
+      m.partitionColumns.map(functions.col) :+ functions.col(zc)
     val zsorted = readVersion(spark, tableDir, v)
       .withColumn(zc, Layout.zValue(functions.col(xCol),
         functions.col(yCol), bits))
-      .repartitionByRange(numFiles, functions.col(zc))
-      .sortWithinPartitions(zc)
+      .repartitionByRange(numFiles, rangeKey: _*)
+      .sortWithinPartitions(rangeKey: _*)
       .select(cols: _*)
-    val staged = stageData(zsorted, tableDir)
+    val staged =
+      if (m.partitionColumns.isEmpty) stageData(zsorted, tableDir)
+      else stageDataPartitioned(zsorted, tableDir, m.partitionColumns)
     val bloomCols = m.blooms.values.flatMap(_.keys).toSet.toSeq.sorted
     val newBlooms = TxStats.buildFileBlooms(spark,
       root.resolve(staged.dataRel), staged.files, schema, bloomCols)
     val manifest = Manifest(v + 1, "zorder", m.schemaJson, staged.files,
-      m.txns, staged.stats, newBlooms)
+      m.txns, staged.stats, newBlooms, m.partitionColumns)
     try publish(root, manifest, primitive)
     catch {
       case e: java.nio.file.FileAlreadyExistsException =>
@@ -823,9 +852,12 @@ object TxTable {
         TxStats.excludes(st, schema, fl) || TxStats.bloomExcludes(bl, fl))
     }
     if (touched.isEmpty) return v // provably nothing to delete
-    // keep = NOT true(cond): NULL-condition rows survive, like ANSI
-    val survivors = spark.read.schema(schema)
-      .parquet(touched.map(f => root.resolve(f).toString): _*)
+    // keep = NOT true(cond): NULL-condition rows survive, like ANSI.
+    // The shared snapshot reader attaches partition values on a
+    // partitioned table, so the condition sees every column.
+    val survivors =
+      readSnapshotFiles(spark, tableDir, schema, m.partitionColumns,
+        touched)
       .filter(!functions.coalesce(cond, functions.lit(false)))
     replaceFiles(spark, tableDir, m, untouched, survivors, "delete",
       primitive)
@@ -845,14 +877,14 @@ object TxTable {
                                   newData: DataFrame, op: String,
                                   primitive: CommitPrimitive =
                                     PosixLinkPrimitive): Long = {
-    require(base.partitionColumns.isEmpty,
-      s"row-level rewrites on a partitioned table are not supported " +
-        s"yet (op '$op' on $tableDir) — overwrite the affected " +
-        "partitions instead")
     val root = Paths.get(tableDir)
     val schema =
       DataType.fromJson(base.schemaJson).asInstanceOf[StructType]
-    val staged = stageData(newData, tableDir)
+    // a partitioned table's rewritten rows re-stage through the hive
+    // layout so their partition values stay in paths + stats
+    val staged =
+      if (base.partitionColumns.isEmpty) stageData(newData, tableDir)
+      else stageDataPartitioned(newData, tableDir, base.partitionColumns)
     val untouchedSet = untouched.toSet
     val keptStats = base.stats.view.filterKeys(untouchedSet).toMap
     val keptBlooms = base.blooms.view.filterKeys(untouchedSet).toMap
@@ -862,7 +894,8 @@ object TxTable {
       root.resolve(staged.dataRel), staged.files, schema, bloomCols)
     val manifest = Manifest(base.version + 1, op, base.schemaJson,
       untouched ++ staged.files, base.txns,
-      keptStats ++ staged.stats, keptBlooms ++ newBlooms)
+      keptStats ++ staged.stats, keptBlooms ++ newBlooms,
+      base.partitionColumns)
     try publish(root, manifest, primitive)
     catch {
       case e: java.nio.file.FileAlreadyExistsException =>
@@ -934,22 +967,51 @@ object TxTable {
     val root = Paths.get(tableDir)
     val m = readManifest(root, v)
     val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
-    if (m.files.isEmpty) spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else if (m.partitionColumns.isEmpty) spark.read.schema(schema)
-      .parquet(m.files.map(f => root.resolve(f).toString): _*)
+    readSnapshotFiles(spark, tableDir, schema, m.partitionColumns, m.files)
+  }
+
+  /** The one snapshot-file reader every consumer shares (readVersion,
+    * DELETE's candidate read, UPDATE/MERGE's rewrite read): flat tables
+    * read as plain parquet; partitioned tables read per value group
+    * with the manifest-derived values attached as typed literals
+    * ([[readVersion]] scaladoc has the why-not-hive-discovery story).
+    * `tidCol` optionally appends a STABLE per-row identity — the
+    * parquet `_metadata` (file path, row index) — built INSIDE each
+    * branch so it survives the union; recomputation-safe by
+    * construction (the id is a function of immutable file bytes). */
+  private[sources] def readSnapshotFiles(spark: SparkSession,
+      tableDir: String, schema: StructType, partitionColumns: Seq[String],
+      files: Seq[String], tidCol: Option[String] = None): DataFrame = {
+    val root = Paths.get(tableDir)
+    val outFields =
+      schema.fieldNames.toSeq ++ tidCol.toSeq
+    def withTid(df: DataFrame): DataFrame = tidCol match {
+      case None => df
+      case Some(c) => df.withColumn(c, functions.concat_ws("#",
+        functions.col("_metadata.file_path"),
+        functions.col("_metadata.row_index")))
+    }
+    if (files.isEmpty) {
+      val base = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      tidCol.fold(base)(c =>
+        base.withColumn(c, functions.lit(null).cast("string")))
+    } else if (partitionColumns.isEmpty)
+      withTid(spark.read.schema(schema)
+        .parquet(files.map(f => root.resolve(f).toString): _*))
+        .select(outFields.map(functions.col): _*)
     else {
-      val partSet = m.partitionColumns.toSet
+      val partSet = partitionColumns.toSet
       val dataSchema =
         StructType(schema.fields.filterNot(f => partSet(f.name)))
-      m.files
-        .groupBy(f => m.partitionColumns
+      files
+        .groupBy(f => partitionColumns
           .map(c => partitionValuesFromPath(f, partSet).get(c)))
         .toSeq.sortBy(_._1.toString)
         .map { case (vals, fs) =>
-          val base = spark.read.schema(dataSchema)
-            .parquet(fs.map(f => root.resolve(f).toString): _*)
-          m.partitionColumns.zip(vals).foldLeft(base) {
+          val base = withTid(spark.read.schema(dataSchema)
+            .parquet(fs.map(f => root.resolve(f).toString): _*))
+          partitionColumns.zip(vals).foldLeft(base) {
             case (df, (c, v0)) =>
               df.withColumn(c, v0.map(functions.lit(_))
                 .getOrElse(functions.lit(null))
@@ -957,7 +1019,7 @@ object TxTable {
           }
         }
         .reduce(_ unionByName _)
-        .select(schema.fieldNames.toSeq.map(functions.col): _*)
+        .select(outFields.map(functions.col): _*)
     }
   }
 

@@ -133,18 +133,6 @@ class TxPartitionedSpec extends SparkSpec {
     val e2 = intercept[IllegalArgumentException](
       TxTable.commit(df, tbl, "append", partitionBy = Some(Nil)))
     assert(e2.getMessage.contains("does not match"))
-    // rewrite ops refuse loudly rather than reading partition columns
-    // as silent NULLs
-    assert(intercept[IllegalArgumentException](
-      TxTable.deleteWhere(spark, tbl,
-        Seq(org.apache.spark.sql.sources.EqualTo("lang", "en"))))
-      .getMessage.contains("partitioned"))
-    assert(intercept[IllegalArgumentException](
-      TxTable.compact(spark, tbl, 1L << 30))
-      .getMessage.contains("partitioned"))
-    assert(intercept[IllegalArgumentException](
-      TxTable.compactZOrder(spark, tbl, "id", "n", 2))
-      .getMessage.contains("partitioned"))
     // mergeSchema + partitioning refuses
     assert(intercept[IllegalArgumentException](
       TxTable.commit(Seq((9L, "en", 1L, true)).toDF("id", "lang", "n", "b"),
@@ -154,6 +142,100 @@ class TxPartitionedSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException](
       TxTable.commit(df, tbl, "append", bloomColumns = Seq("lang")))
       .getMessage.contains("bloom"))
+    // z-ordering BY a partition column refuses (its layout is its dir)
+    assert(intercept[IllegalArgumentException](
+      TxTable.compactZOrder(spark, tbl, "lang", "n", 2))
+      .getMessage.contains("partition"))
+  }
+
+  test("row-level DELETE and SQL UPDATE/MERGE rewrite partitioned tables correctly") {
+    val wh = Files.createTempDirectory("txpart-rl-").toString
+    spark.conf.set("spark.sql.catalog.txprl", "graft.sources.TxCatalog")
+    spark.conf.set("spark.sql.catalog.txprl.root", wh)
+    val tbl = s"$wh/db/rl"
+    TxTable.commit(
+      Seq((1L, "en", 5L), (2L, "de", 7L), (3L, "de", 9L), (4L, "fr", 2L))
+        .toDF("id", "lang", "n"),
+      tbl, "overwrite", partitionBy = Some(Seq("lang")))
+    val before = TxTable.readManifest(Paths.get(tbl), 1L)
+
+    // DELETE with a PARTITION-column predicate: the value stats prune
+    // en/fr files to verbatim carry-forward; only de rewrites
+    spark.sql("DELETE FROM txprl.db.rl WHERE lang = 'de' AND n > 8")
+    val m2 = TxTable.readManifest(Paths.get(tbl), 2L)
+    val enFr = before.files.filter(f =>
+      f.contains("lang=en") || f.contains("lang=fr"))
+    assert(enFr.nonEmpty && enFr.forall(m2.files.contains),
+      "partition-pruned files must carry forward verbatim")
+    // the rewritten survivors re-land under their value dirs
+    assert(m2.files.forall(_.contains("lang=")))
+    def rows() = spark.sql(
+        "SELECT id, lang, n FROM txprl.db.rl ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows() == Seq((1L, "en", 5L), (2L, "de", 7L), (4L, "fr", 2L)))
+
+    // SQL UPDATE mixing data and partition columns in the predicate
+    spark.sql("UPDATE txprl.db.rl SET n = n + 100 WHERE lang = 'de'")
+    assert(rows() == Seq((1L, "en", 5L), (2L, "de", 107L), (4L, "fr", 2L)))
+
+    // SQL MERGE: matched update + insert, against the partitioned target
+    import spark.implicits._
+    Seq((1L, "en", 50L), (9L, "zh", 90L)).toDF("id", "lang", "n")
+      .createOrReplaceTempView("txprl_src")
+    spark.sql(
+      """MERGE INTO txprl.db.rl t USING txprl_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET n = s.n
+        |WHEN NOT MATCHED THEN INSERT (id, lang, n)
+        |VALUES (s.id, s.lang, s.n)""".stripMargin)
+    assert(rows() == Seq((1L, "en", 50L), (2L, "de", 107L),
+      (4L, "fr", 2L), (9L, "zh", 90L)))
+    // the new zh row landed under its own value dir
+    assert(TxTable.latestVersion(tbl).exists(v =>
+      TxTable.readManifest(Paths.get(tbl), v).files
+        .exists(_.contains("lang=zh"))))
+  }
+
+  test("compact and compactZOrder preserve partitioned layout and content") {
+    val tbl = tmp()
+    // three small commits per language -> many tiny files per partition
+    (1 to 3).foreach { i =>
+      TxTable.commit(
+        Seq((i.toLong, "en", i * 10L), (i + 10L, "de", i * 20L))
+          .toDF("id", "lang", "n"),
+        tbl, if (i == 1) "overwrite" else "append",
+        partitionBy = if (i == 1) Some(Seq("lang")) else None,
+        bloomColumns = Seq("id"))
+    }
+    val before = TxTable.readManifest(Paths.get(tbl), 3L)
+    def content(v: Long) = TxTable.readVersion(spark, tbl, v)
+      .select("id", "lang", "n")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sorted.toSeq
+    val pre = content(3L)
+
+    val v4 = TxTable.compact(spark, tbl, targetBytes = 1L << 30)
+    assert(v4 == 4L)
+    val after = TxTable.readManifest(Paths.get(tbl), 4L)
+    assert(after.op == "compact" && after.partitionColumns == Seq("lang"))
+    // one file per partition value now, still under value dirs,
+    // values still present as stats, blooms rebuilt
+    assert(after.files.size < before.files.size)
+    assert(after.files.forall(_.contains("lang=")))
+    assert(after.files.forall(f =>
+      after.stats.get(f).exists(_.contains("lang"))))
+    assert(after.files.forall(f =>
+      after.blooms.get(f).exists(_.contains("id"))))
+    assert(content(4L) == pre)
+
+    // z-order within partitions: content identical, layout preserved
+    val v5 = TxTable.compactZOrder(spark, tbl, "id", "n", numFiles = 2,
+      bits = 8)
+    assert(v5 == 5L)
+    val zafter = TxTable.readManifest(Paths.get(tbl), 5L)
+    assert(zafter.op == "zorder" &&
+      zafter.partitionColumns == Seq("lang"))
+    assert(zafter.files.forall(_.contains("lang=")))
+    assert(content(5L) == pre)
   }
 
   test("time travel, diff, and vacuum work on partitioned tables") {
