@@ -256,6 +256,30 @@ private[graft] object EntryHelpers {
       java.lang.Long.valueOf(v)
     }).longValue()
 
+  /** `ops_zorder_sql` fixture: a sixth table (`db.zord`), z-order
+    * rewritten THROUGH the SQL procedure surface exactly once per
+    * (JVM, corpus dir) — `CALL graft_tx.system.zorder(...)` commits v4
+    * (three commits + the rewrite), rows unchanged. */
+  val txZordDone =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  def txZorderedVersion(s: SparkSession, dir: String, wh: String): Long =
+    txZordDone.computeIfAbsent(dir, _ => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val tbl = s"$wh/db/zord"
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "en"), tbl, "overwrite")
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "de"), tbl, "append")
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "fr"), tbl, "append")
+      val v = s.sql(
+        "CALL graft_tx.system.zorder('db.zord', 'doc_id', 'n_chars', 4)")
+        .head().getLong(0)
+      require(v == 4L, s"expected the SQL zorder to commit v4, got v$v")
+      java.lang.Long.valueOf(v)
+    }).longValue()
+
   /** `sink_txpart` fixture: a PARTITIONED table (`db.part`,
     * `PARTITIONED BY (lang)`) in the shared SQL warehouse — one
     * partitioned overwrite (en+de+fr) plus one inherited append (es),

@@ -334,6 +334,21 @@ private[graft] object QueriesSearchOps {
           col("n_chars"))
         .orderBy("doc_id")
     }),
+    // ----- OPTIMIZE ZORDER through PURE SQL: the CALL-able procedure
+    // surface (TxProcedures.zorder) commits v4 via
+    // `CALL graft_tx.system.zorder(...)` and the read is SQL time
+    // travel; same oracle shape as ops_zorder_rewrite (the rewrite
+    // moves rows between files, never changes them) -----
+    "ops_zorder_sql" -> ((s: SparkSession, dir: String) => {
+      val wh = EntryHelpers.txCatalogWarehouse(s, dir)
+      s.conf.set("spark.sql.catalog.graft_tx", "graft.sources.TxCatalog")
+      s.conf.set("spark.sql.catalog.graft_tx.root", wh)
+      val v = EntryHelpers.txZorderedVersion(s, dir, wh)
+      s.sql(
+        s"""SELECT CAST($v AS BIGINT) AS version, doc_id, lang, n_chars
+           |FROM graft_tx.db.zord VERSION AS OF $v
+           |ORDER BY doc_id""".stripMargin)
+    }),
     // ----- partition-column layout on the tx table: values live in
     // file paths + manifest min=max stats, so partition pruning IS the
     // skipping layer (plan-asserted skipped=2/3 in TxPartitionedSpec);
@@ -1095,6 +1110,11 @@ private[graft] object QueriesSearchOps {
          |UNION ALL
          |SELECT doc_id, lang, CAST(NULL AS BIGINT), n_chars > 500
          |FROM documents WHERE lang = 'de'
+         |ORDER BY doc_id""".stripMargin),
+    // identical content through the CALL + time-travel SQL surface
+    "ops_zorder_sql" ->
+      ("""SELECT CAST(4 AS BIGINT) AS version, doc_id, lang, n_chars
+         |FROM documents WHERE lang IN ('en', 'de', 'fr')
          |ORDER BY doc_id""".stripMargin),
     // the partitioned read must reproduce the plain filtered scan —
     // values come from paths/manifest, never file bytes

@@ -321,7 +321,8 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
     if (namespace.toSeq == Seq("system"))
       Array(Identifier.of(namespace, "compact"),
         Identifier.of(namespace, "vacuum"),
-        Identifier.of(namespace, "restore"))
+        Identifier.of(namespace, "restore"),
+        Identifier.of(namespace, "zorder"))
     else Array.empty
 
   override def loadProcedure(ident: Identifier):
@@ -345,8 +346,10 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
       case "compact" => TxProcedures.compact(resolve)
       case "vacuum"  => TxProcedures.vacuum(resolve)
       case "restore" => TxProcedures.restore(resolve)
+      case "zorder"  => TxProcedures.zorder(resolve)
       case other => throw new IllegalArgumentException(
-        s"unknown procedure system.$other (have: compact, vacuum, restore)")
+        s"unknown procedure system.$other (have: compact, vacuum, " +
+          "restore, zorder)")
     }
   }
 
@@ -862,6 +865,38 @@ private[graft] object TxProcedures {
             val target = args.getLong(1)
             val v = TxTable.compact(SparkSession.active, resolve(tbl).toString,
               target)
+            oneRowScan(
+              StructType(Seq(StructField("new_version", LongType, false))),
+              new GenericInternalRow(Array[Any](v)))
+          }
+        }
+    }
+
+  def zorder(resolve: String => Path): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = "zorder"
+      override def description(): String =
+        "OPTIMIZE ZORDER: rewrite the current snapshot clustered by the " +
+          "Morton interleave of two columns, so per-file min/max stats " +
+          "prune on either predicate (TxTable.compactZOrder)"
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = "zorder"
+          override def parameters(): Array[ProcedureParameter] = Array(
+            ProcedureParameter.in("table", StringType)
+              .comment("dotted table name under the warehouse root").build(),
+            ProcedureParameter.in("x_col", StringType)
+              .comment("first z-order key (non-negative int/long)").build(),
+            ProcedureParameter.in("y_col", StringType)
+              .comment("second z-order key (non-negative int/long)").build(),
+            ProcedureParameter.in("num_files", IntegerType)
+              .comment("output file count (range partitions)").build())
+          override def isDeterministic: Boolean = false // commits a version
+          override def call(args: InternalRow): util.Iterator[Scan] = {
+            val tbl = args.getUTF8String(0).toString
+            val v = TxTable.compactZOrder(SparkSession.active,
+              resolve(tbl).toString, args.getUTF8String(1).toString,
+              args.getUTF8String(2).toString, args.getInt(3))
             oneRowScan(
               StructType(Seq(StructField("new_version", LongType, false))),
               new GenericInternalRow(Array[Any](v)))

@@ -3,11 +3,9 @@ package graft.sources
 import java.nio.file.Paths
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
@@ -186,8 +184,10 @@ private[graft] class TxCdfStream(tableSchema: StructType, dir: String,
             .newScanBuilder(opts).build()
           val batch = scan.toBatch
           val factory = batch.createReaderFactory()
+          // the version tag rides the shared appended-constants wrapper
+          // (the same machinery the partitioned tx scan uses)
           batch.planInputPartitions().foreach(p =>
-            parts += TxCdfPartition(p, v, factory))
+            parts += AppendedColsPartition(p, Array[Any](v), factory))
         }
       } else if (m.op == "compact" || m.op == "zorder" ||
           skipChangeCommits) {
@@ -205,29 +205,5 @@ private[graft] class TxCdfStream(tableSchema: StructType, dir: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    TxCdfReaderFactory
-}
-
-/** A planned parquet split plus the version that published it. The
-  * stock parquet reader factory travels INSIDE the partition (it is
-  * built per-version on the driver and is serializable by design). */
-private[sources] case class TxCdfPartition(inner: InputPartition,
-    version: Long, factory: PartitionReaderFactory) extends InputPartition {
-  override def preferredLocations(): Array[String] =
-    inner.preferredLocations()
-}
-
-private[sources] object TxCdfReaderFactory extends PartitionReaderFactory {
-  override def createReader(p: InputPartition)
-      : PartitionReader[InternalRow] = {
-    val tp = p.asInstanceOf[TxCdfPartition]
-    val in = tp.factory.createReader(tp.inner)
-    val vrow = new GenericInternalRow(Array[Any](tp.version))
-    new PartitionReader[InternalRow] {
-      private val joined = new JoinedRow
-      override def next(): Boolean = in.next()
-      override def get(): InternalRow = joined(in.get(), vrow)
-      override def close(): Unit = in.close()
-    }
-  }
+    AppendedColsReaderFactory
 }
