@@ -279,6 +279,31 @@ private[graft] object QueriesEventsStreaming {
           col("lang"), col("n_chars"))
         .orderBy("version", "doc_id")
     }),
+    // ----- the CDF composed with STATEFUL streaming dedup — the
+    // incremental-ingest topology the feed exists for: commit v2
+    // re-appends every en row (planted duplicates), the tailed feed
+    // drains under a one-version-per-trigger admission cap
+    // (TxCdfStream scaladoc), and dropDuplicates' state keeps the
+    // FIRST occurrence per doc_id exactly once across micro-batch
+    // boundaries — a dropped or re-served version breaks the hash -----
+    "stream_txcdf_dedup" -> ((s: SparkSession, dir: String) => {
+      val base = scratchDir("graft-txcdfd-")
+      val tbl = s"$base/tbl"
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "en"), tbl, "overwrite")
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang").isin("de", "en")), tbl, "append")
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "fr"), tbl, "append")
+      drainStream(s, "graft_stream_txcdf_dedup", "append",
+        s.readStream.format("graft-txcdf").option("path", tbl)
+          .option("maxVersionsPerTrigger", "1").load()
+          .dropDuplicates("doc_id")
+          .select(col("doc_id"), col("lang"), col("n_chars")))
+        .orderBy("doc_id")
+    }),
     // STREAMING sketch maintenance: the HLL register state is one
     // supported max-aggregation, maintained incrementally over the event
     // stream (complete mode, ≤ m rows per group of state) and finalized
@@ -571,6 +596,12 @@ private[graft] object QueriesEventsStreaming {
       ("""SELECT event_id, user_id, event_type,
          |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c
          |FROM events ORDER BY event_id""".stripMargin),
+    // first-occurrence dedup over the duplicated feed: every doc once
+    // (the v2 en re-appends vanish into dropDuplicates' state)
+    "stream_txcdf_dedup" ->
+      ("""SELECT doc_id, lang, n_chars FROM documents
+         |WHERE lang IN ('en', 'de', 'fr')
+         |ORDER BY doc_id""".stripMargin),
     // the CDF replays from the commit definitions: each append's rows
     // arrive tagged with exactly the version that published them
     "stream_txcdf" ->

@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.sources.DataSourceRegister
@@ -126,13 +126,49 @@ private[sources] case class TxCdfOffset(v: Long) extends Offset {
 
 private[graft] class TxCdfStream(tableSchema: StructType, dir: String,
     startingVersion: Long, skipChangeCommits: Boolean,
-    options: CaseInsensitiveStringMap) extends MicroBatchStream {
+    options: CaseInsensitiveStringMap) extends MicroBatchStream
+  with SupportsAdmissionControl with SupportsTriggerAvailableNow {
   require(startingVersion >= 1L,
     s"graft-txcdf: startingVersion must be >= 1, got $startingVersion")
 
+  /** ADMISSION CONTROL: `maxVersionsPerTrigger=n` caps each micro-batch
+    * at n manifest versions — the file source's maxFilesPerTrigger
+    * discipline with versions as the unit, which is what bounds a batch
+    * to a commit's worth of work when a restarted stream faces a long
+    * backlog (without it, the catch-up batch is the WHOLE backlog). */
+  private val maxVersionsPerTrigger: Option[Int] =
+    Option(options.get("maxVersionsPerTrigger")).map { s =>
+      val n = s.toInt
+      require(n >= 1, s"graft-txcdf: maxVersionsPerTrigger must be " +
+        s">= 1, got $n")
+      n
+    }
+  private def currentLatest: Long =
+    math.max(TxTable.latestVersion(dir).getOrElse(0L), startingVersion - 1)
+  // Trigger.AvailableNow pins the drain's end BEFORE the first batch so
+  // a concurrent writer cannot keep the "drain everything then stop"
+  // query alive forever; batches still respect the per-trigger cap
+  private var availableNowEnd: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(currentLatest)
+
   override def initialOffset(): Offset = TxCdfOffset(startingVersion - 1)
-  override def latestOffset(): Offset = TxCdfOffset(
-    math.max(TxTable.latestVersion(dir).getOrElse(0L), startingVersion - 1))
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersionsPerTrigger.map(n => ReadLimit.maxFiles(n))
+      .getOrElse(ReadLimit.allAvailable())
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val vs = start.asInstanceOf[TxCdfOffset].v
+    val end0 = availableNowEnd.getOrElse(currentLatest)
+    val end = limit match {
+      case mf: ReadMaxFiles => math.min(end0, vs + mf.maxFiles())
+      case _ => end0
+    }
+    TxCdfOffset(math.max(end, vs))
+  }
+  override def reportLatestOffset(): Offset = TxCdfOffset(currentLatest)
+  override def latestOffset(): Offset = throw new UnsupportedOperationException(
+    "latestOffset(Offset, ReadLimit) should be called instead of this " +
+      "method (SupportsAdmissionControl)")
   override def deserializeOffset(json: String): Offset =
     TxCdfOffset(json.toLong)
   override def commit(end: Offset): Unit = ()

@@ -124,6 +124,32 @@ class TxCdfSpec extends SparkSpec {
     assert(msgs.contains("vacuumed"))
   }
 
+  test("maxVersionsPerTrigger caps each micro-batch at n versions") {
+    val base = mkBase()
+    val tbl = s"$base/tbl"
+    TxTable.commit(Seq((1L, "a")).toDF("id", "s"), tbl, "overwrite")
+    TxTable.commit(Seq((2L, "b")).toDF("id", "s"), tbl, "append")
+    TxTable.commit(Seq((3L, "c")).toDF("id", "s"), tbl, "append")
+    drain(tbl, s"$base/ckpt", s"$base/out",
+      Map("maxVersionsPerTrigger" -> "1"))
+    // complete AND correctly tagged...
+    assert(got(s"$base/out") ==
+      Seq((1L, 1L, "a"), (2L, 2L, "b"), (3L, 3L, "c")))
+    // ...in one micro-batch PER VERSION: the checkpoint's offset log
+    // records a batch per trigger (0, 1, 2)
+    val batches = new java.io.File(s"$base/ckpt/offsets").listFiles()
+      .map(_.getName).filterNot(_.startsWith(".")).map(_.toLong).sorted
+    assert(batches.toSeq == Seq(0L, 1L, 2L),
+      s"expected 3 one-version batches, got offsets ${batches.toSeq}")
+    // an invalid cap refuses loudly
+    val e = intercept[Exception](
+      drain(tbl, s"$base/ckpt2", s"$base/out2",
+        Map("maxVersionsPerTrigger" -> "0")))
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .take(6).flatMap(t => Option(t.getMessage))
+      .mkString(" | ").contains("maxVersionsPerTrigger"))
+  }
+
   test("the batch drain answers the same rows as reading the versions directly") {
     val base = mkBase()
     val tbl = s"$base/tbl"
