@@ -124,6 +124,15 @@ private[graft] object QueriesTextSampling {
           "doc_id", "text", "lang", budget = 512L)
         .select(col("lang"), col("doc_id"), col("n_tokens"), col("block"))
         .orderBy("lang", "doc_id")),
+    // Size-balanced shard export (Packing.shardBalanced scaladoc: the
+    // two-level LPT round-robin — per-bucket windows, never a global
+    // order): every doc assigned exactly once, per-doc assignment
+    // certified (the per-shard mass balance is suite-asserted)
+    "pack_shards" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Packing.shardBalanced(Tables.documents(s, dir),
+          "doc_id", "n_chars", numShards = 8, buckets = 4)
+        .select(col("doc_id"), col("n_chars"), col("shard"))
+        .orderBy("doc_id")),
     // Deterministic content-hash sampling: downsample English to 20%, keep
     // 50% elsewhere — membership is a pure function of the text, so every
     // engine/run/cluster selects the identical subset (rand() does not)
@@ -285,6 +294,18 @@ private[graft] object QueriesTextSampling {
          |  CAST(list_reduce([CAST(ascii(c) AS BIGINT) for c in string_split(text, '')],
          |       (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT) AS fp
          |FROM documents ORDER BY doc_id""".stripMargin),
+    // the same two-level round-robin replayed: per-bucket size-desc
+    // rank (ties to the lower doc_id), shard = (rank0 + bucket) mod k —
+    // pure integer arithmetic, identical on any engine
+    "pack_shards" ->
+      ("""WITH r AS (
+         |  SELECT doc_id, n_chars, doc_id % 4 AS b,
+         |    row_number() OVER (PARTITION BY doc_id % 4
+         |      ORDER BY n_chars DESC, doc_id) - 1 AS r0
+         |  FROM documents
+         |)
+         |SELECT doc_id, n_chars, CAST((r0 + b) % 8 AS BIGINT) AS shard
+         |FROM r ORDER BY doc_id""".stripMargin),
     // same tokenization (single-space split) and the same
     // preceding-total/budget float division + floor in both engines;
     // integer token counts are exact in double far past any corpus size

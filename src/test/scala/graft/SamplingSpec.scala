@@ -216,4 +216,32 @@ class SamplingSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
       plan.take(800))
   }
+
+  test("shardBalanced: every doc once, shards near-equal mass, deterministic") {
+    // heavy-tailed sizes: the case naive hash sharding gets wrong
+    val docs = (0L until 1000L)
+      .map(i => (i, if (i % 97 == 0) 5000L + i else (i * i) % 997 + 1))
+      .toDF("id", "sz")
+    val a = graft.ext.Packing.shardBalanced(docs, "id", "sz",
+      numShards = 8, buckets = 16)
+    // exactly-once assignment into [0, 8)
+    assert(a.count() == 1000L)
+    assert(a.select("id").distinct().count() == 1000L)
+    assert(a.filter(col("shard") < 0 || col("shard") >= 8).count() == 0L)
+    // near-equal mass: the round-robin of per-bucket size-sorted docs
+    // bounds the spread far below what skew-oblivious hashing gives
+    val masses = a.groupBy("shard").agg(sum(col("sz")).as("m"))
+      .collect().map(_.getLong(1))
+    assert(masses.length == 8)
+    val (mn, mx) = (masses.min, masses.max)
+    assert(mx.toDouble / mn < 1.25,
+      s"shard mass spread too wide: min=$mn max=$mx")
+    // deterministic: a second run assigns identically
+    val b = graft.ext.Packing.shardBalanced(docs, "id", "sz",
+      numShards = 8, buckets = 16)
+    assert(a.select("id", "shard").collect().map(r =>
+        (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      b.select("id", "shard").collect().map(r =>
+        (r.getLong(0), r.getLong(1))).sorted.toSeq)
+  }
 }
