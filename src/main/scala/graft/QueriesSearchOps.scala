@@ -91,6 +91,26 @@ private[graft] object QueriesSearchOps {
           queryVec = queryVec(emb), k = 10, candidates = 50, nprobe = 2)
         .orderBy(col("rrf_score").desc, col("id").asc)
     }),
+    // ----- the BATCHED ANN-served hybrid (Retrieval.hybridTopKAnnBatch
+    // scaladoc: one partition-pruned IVF-PQ probe per query — batch cost
+    // Q x (pruned code scan + k rescores), not Q x corpus; lexical arm
+    // and fusion ride search_hybrid_batch's one broadcast query frame) -----
+    "search_hybrid_ann_batch" -> ((s: SparkSession, dir: String) => {
+      val emb = Tables.embeddings(s, dir)
+      val idx = ivfPqIndexFor(s, dir, emb)
+      val qv = queryVecs(emb, Seq(0L, 1L, 2L))
+      graft.ext.Retrieval.hybridTopKAnnBatch(
+          Tables.documents(s, dir), "doc_id", "text", idx, "vec_id",
+          Seq(
+            graft.ext.Retrieval.RetrievalQuery(0L,
+              Seq("data", "query", "join"), qv(0L)),
+            graft.ext.Retrieval.RetrievalQuery(1L,
+              Seq("spark", "table", "scan"), qv(1L)),
+            graft.ext.Retrieval.RetrievalQuery(2L,
+              Seq("stream", "window"), qv(2L))),
+          k = 10, candidates = 50, nprobe = 2)
+        .orderBy(col("query_id").asc, col("rrf_score").desc, col("id").asc)
+    }),
     // ----- inverted-index postings: df band [2,50] applied before any
     // posting materializes, lists capped at 10 via WindowGroupLimit -----
     "index_postings" -> ((s: SparkSession, dir: String) =>
@@ -1525,6 +1545,149 @@ private[graft] object QueriesSearchOps {
          |  FROM vec
          |  QUALIFY row_number() OVER (PARTITION BY query_id
          |    ORDER BY sim DESC, id) <= 50
+         |)
+         |SELECT query_id, id,
+         |  CAST(coalesce(1000000000 // (60 + lex_rank), 0)
+         |     + coalesce(1000000000 // (60 + vec_rank), 0) AS BIGINT)
+         |    AS rrf_score,
+         |  lex_rank, vec_rank
+         |FROM lextop FULL OUTER JOIN vectop USING (query_id, id)
+         |QUALIFY row_number() OVER (PARTITION BY query_id
+         |  ORDER BY rrf_score DESC, id) <= 10
+         |ORDER BY query_id, rrf_score DESC, id""".stripMargin),
+    // the batched ANN hybrid: the vec pipeline's shared stages (training,
+    // coarse centroids, codebook, code assignment) replay once; probes,
+    // ADC, and rescore replay PER QUERY via query_id partitions; the
+    // lexical arm and fusion are search_hybrid_batch's replay verbatim
+    "search_hybrid_ann_batch" ->
+      (s"""WITH v AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM embeddings
+         |), qv AS (
+         |  SELECT CAST(vec_id AS BIGINT) AS query_id,
+         |         CAST(embedding AS DOUBLE[]) AS qe
+         |  FROM embeddings WHERE vec_id IN (0, 1, 2)
+         |), ${EntryHelpers.kmeansCte(k = 4, iters = 3, dims = 64)}, vl AS (
+         |  SELECT v.vec_id, f.cell AS label, v.e
+         |  FROM v JOIN km_fin f USING (vec_id)
+         |), cpos AS (
+         |  SELECT label, generate_subscripts(e, 1) AS pos, unnest(e) AS x
+         |  FROM vl
+         |), ccent AS (
+         |  SELECT label, pos,
+         |    CAST(sum(CAST(floor(x * 1e10 + 0.5) AS BIGINT)) AS DOUBLE)
+         |      / count(*) / 1e10 AS x
+         |  FROM cpos GROUP BY label, pos
+         |), carr AS (
+         |  SELECT label, list(x ORDER BY pos) AS c FROM ccent GROUP BY label
+         |), probes AS (
+         |  SELECT query_id, label FROM (
+         |    SELECT qv.query_id, carr.label,
+         |      row_number() OVER (PARTITION BY qv.query_id ORDER BY
+         |        round(list_dot_product(c, qe) /
+         |          (sqrt(list_dot_product(c, c)) *
+         |           sqrt(list_dot_product(qe, qe))), 4) DESC,
+         |        carr.label) AS rn
+         |    FROM carr, qv) WHERE rn <= 2
+         |), sv AS (
+         |  SELECT vec_id, label, sub, e[sub*16+1 : sub*16+16] AS sl
+         |  FROM vl, (SELECT unnest(range(0, 4)) AS sub)
+         |), comp AS (
+         |  SELECT sub, label, generate_subscripts(sl, 1) AS pos,
+         |    unnest(sl) AS x
+         |  FROM sv
+         |), cent AS (
+         |  SELECT sub, label, pos,
+         |    CAST(sum(CAST(floor(x * 1e10 + 0.5) AS BIGINT)) AS DOUBLE)
+         |      / count(*) / 1e10 AS x
+         |  FROM comp GROUP BY 1, 2, 3
+         |), cb AS (
+         |  SELECT sub, label AS lbl, list(x ORDER BY pos) AS cent
+         |  FROM cent GROUP BY 1, 2
+         |), scored AS (
+         |  SELECT sv.vec_id, sv.sub, cb.lbl,
+         |    round(list_dot_product(sl, sl) - 2.0 * list_dot_product(sl, cent)
+         |      + list_dot_product(cent, cent), 6) AS d2
+         |  FROM sv JOIN cb ON sv.sub = cb.sub
+         |), best AS (
+         |  SELECT vec_id, sub, lbl,
+         |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, lbl)
+         |      AS rn
+         |  FROM scored
+         |), lut AS (
+         |  SELECT qv.query_id, cb.sub, cb.lbl,
+         |    list_dot_product(cent, qe[cb.sub*16+1 : cb.sub*16+16]) AS qd,
+         |    list_dot_product(cent, cent) AS cn
+         |  FROM cb, qv
+         |), pv AS (
+         |  SELECT probes.query_id, vl.vec_id
+         |  FROM vl JOIN probes USING (label)
+         |), parts AS (
+         |  SELECT pv.query_id, b.vec_id, b.sub, lut.qd, lut.cn
+         |  FROM (SELECT vec_id, sub, lbl FROM best WHERE rn = 1) b
+         |  JOIN pv ON b.vec_id = pv.vec_id
+         |  JOIN lut ON lut.query_id = pv.query_id
+         |    AND b.sub = lut.sub AND b.lbl = lut.lbl
+         |), agg AS (
+         |  SELECT query_id, vec_id,
+         |    list_reduce(list(qd ORDER BY sub), (a, x) -> a + x) AS dotsum,
+         |    list_reduce(list(cn ORDER BY sub), (a, x) -> a + x) AS norm2
+         |  FROM parts GROUP BY query_id, vec_id
+         |), adc AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT agg.query_id, agg.vec_id,
+         |      row_number() OVER (PARTITION BY agg.query_id ORDER BY
+         |        round(dotsum / (sqrt(norm2) *
+         |          sqrt(list_dot_product(qe, qe))), 4) DESC,
+         |        agg.vec_id) AS rn
+         |    FROM agg JOIN qv ON agg.query_id = qv.query_id)
+         |  WHERE rn <= 50
+         |), rescored AS (
+         |  SELECT adc.query_id, adc.vec_id AS id,
+         |    round(list_dot_product(v.e, qe) /
+         |      (sqrt(list_dot_product(v.e, v.e)) *
+         |       sqrt(list_dot_product(qe, qe))), 4) AS sim
+         |  FROM adc JOIN v ON adc.vec_id = v.vec_id
+         |  JOIN qv ON adc.query_id = qv.query_id
+         |), vectop AS (
+         |  SELECT query_id, id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, id) AS BIGINT) AS vec_rank
+         |  FROM rescored
+         |), queries(query_id, term) AS (
+         |  SELECT CAST(q AS BIGINT), t FROM (VALUES
+         |    (0, 'data'), (0, 'query'), (0, 'join'),
+         |    (1, 'spark'), (1, 'table'), (1, 'scan'),
+         |    (2, 'stream'), (2, 'window')) vq(q, t)
+         |), occ AS (
+         |  SELECT doc_id AS id, len(string_split(text, ' ')) AS dl,
+         |         unnest(string_split(text, ' ')) AS term
+         |  FROM documents
+         |), tf AS (
+         |  SELECT q.query_id, o.id, o.term, count(*) AS tf, max(o.dl) AS dl
+         |  FROM occ o JOIN queries q USING (term)
+         |  GROUP BY q.query_id, o.id, o.term
+         |), dfreq AS (
+         |  SELECT term, count(*) AS df_docs
+         |  FROM (SELECT DISTINCT term, id FROM tf) GROUP BY term
+         |), tot AS (
+         |  SELECT count(*) AS n, sum(len(string_split(text, ' '))) AS s
+         |  FROM documents
+         |), lex AS (
+         |  SELECT query_id, id, sum(CAST(floor(
+         |      CAST(22 * tot.s * tf.tf AS DOUBLE) /
+         |      CAST(10 * tot.s * tf.tf + 3 * tot.s + 9 * tf.dl * tot.n
+         |           AS DOUBLE) *
+         |      CAST((tot.n * 1000000) // dfreq.df_docs AS DOUBLE)
+         |      + 0.5) AS BIGINT)) AS lex_score
+         |  FROM tf JOIN dfreq USING (term), tot GROUP BY query_id, id
+         |), lextop AS (
+         |  SELECT query_id, id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY lex_score DESC, id) AS BIGINT) AS lex_rank
+         |  FROM lex
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY lex_score DESC, id) <= 50
          |)
          |SELECT query_id, id,
          |  CAST(coalesce(1000000000 // (60 + lex_rank), 0)

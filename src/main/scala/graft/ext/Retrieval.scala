@@ -182,20 +182,44 @@ object Retrieval {
                     indexPath: String, vecIdCol: String,
                     queryTerms: Seq[String], queryVec: Seq[Double],
                     k: Int = 10, candidates: Int = 50, nprobe: Int = 2,
-                    rrfK: Int = 60): DataFrame = {
-    require(queryTerms.nonEmpty, "need at least one term")
-    require(queryVec.nonEmpty, "need a non-empty query vector")
+                    rrfK: Int = 60): DataFrame =
+    hybridTopKAnnBatch(docs, docIdCol, textCol, indexPath, vecIdCol,
+      Seq(RetrievalQuery(0L, queryTerms, queryVec)), k, candidates,
+      nprobe, rrfK)
+      .drop("query_id")
+
+  /** The BATCHED ANN-served hybrid ([[hybridTopKAnn]] scaladoc): the
+    * lexical arm and fusion still ride one broadcast query frame
+    * ([[hybridTopKBatch]]'s plan, verbatim); the vector arm unions one
+    * partition-pruned IVF-PQ probe per query — which is the real
+    * serving shape: each query's coarse-quantizer rank is driver
+    * metadata (nlist rows), its scan touches only ITS nprobe cells, and
+    * queries share nothing but the index. Batch cost is therefore
+    * Q x (one pruned code scan + k rescore dots), not Q x corpus. */
+  def hybridTopKAnnBatch(docs: DataFrame, docIdCol: String,
+                         textCol: String, indexPath: String,
+                         vecIdCol: String, queries: Seq[RetrievalQuery],
+                         k: Int = 10, candidates: Int = 50,
+                         nprobe: Int = 2, rrfK: Int = 60): DataFrame = {
+    require(queries.nonEmpty, "need at least one query")
+    require(queries.map(_.queryId).distinct.size == queries.size,
+      "query ids must be unique")
+    queries.foreach { q =>
+      require(q.terms.nonEmpty, s"query ${q.queryId}: need at least one term")
+      require(q.vec.nonEmpty, s"query ${q.queryId}: need a non-empty vector")
+    }
     require(k > 0 && candidates >= k, s"need 0 < k <= candidates")
     val s = docs.sparkSession
-    val lexTop = lexTopBatch(docs, docIdCol, textCol,
-      Seq(RetrievalQuery(0L, queryTerms, queryVec)), candidates)
-    val vecTop = IvfIndex.topKPq(s, indexPath, vecIdCol, queryVec,
-        k = candidates, nprobe = nprobe, rescore = true)
-      .withColumn("query_id", lit(0L))
+    val lexTop = lexTopBatch(docs, docIdCol, textCol, queries, candidates)
+    val vecTop = queries
+      .map(q => IvfIndex.topKPq(s, indexPath, vecIdCol, q.vec,
+          k = candidates, nprobe = nprobe, rescore = true)
+        .withColumn("query_id", lit(q.queryId)))
+      .reduce(_ unionByName _)
       .withColumn("vec_rank", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("sim").desc, col(vecIdCol).asc)).cast("long"))
       .select(col("query_id"), col(vecIdCol).as("id"), col("vec_rank"))
-    fuse(lexTop, vecTop, k, rrfK).drop("query_id")
+    fuse(lexTop, vecTop, k, rrfK)
   }
 }
