@@ -279,6 +279,46 @@ private[graft] object QueriesEventsStreaming {
           col("lang"), col("n_chars"))
         .orderBy("version", "doc_id")
     }),
+    // ----- INCREMENTAL TABLE REPLICATION — the full lakehouse loop in
+    // one certified query: table A's manifest log tails as a CDF
+    // (one-version-per-trigger admission), and each micro-batch lands
+    // in table B through the exactly-once transactional sink (TxSink
+    // batch-id watermarks, so a replayed batch commits nothing). The
+    // certified output is B's final snapshot, which must be EXACTLY
+    // A's content — a dropped, duplicated, or re-served version breaks
+    // the hash -----
+    "stream_txreplicate" -> ((s: SparkSession, dir: String) => {
+      val base = scratchDir("graft-txrep-")
+      val src = s"$base/src"
+      val dst = s"$base/dst"
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "en"), src, "overwrite")
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "de"), src, "append")
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "fr"), src, "append")
+      DrainLock.synchronized {
+        val saved = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val q = s.readStream.format("graft-txcdf").option("path", src)
+            .option("maxVersionsPerTrigger", "1").load()
+            .drop("_commit_version")
+            .writeStream
+            .option("checkpointLocation", s"$base/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .foreachBatch { (b: DataFrame, id: Long) =>
+              graft.streaming.TxSink.appendBatch(dst, b, id,
+                appId = "stream_txreplicate"): Unit
+            }
+            .start()
+          q.awaitTermination()
+        } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+      }
+      graft.sources.TxTable.read(s, dst).orderBy("doc_id")
+    }),
     // ----- the CDF composed with STATEFUL streaming dedup — the
     // incremental-ingest topology the feed exists for: commit v2
     // re-appends every en row (planted duplicates), the tailed feed
@@ -596,6 +636,12 @@ private[graft] object QueriesEventsStreaming {
       ("""SELECT event_id, user_id, event_type,
          |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c
          |FROM events ORDER BY event_id""".stripMargin),
+    // the replica must land the source content bit-for-bit: three
+    // versions tailed, three exactly-once commits
+    "stream_txreplicate" ->
+      ("""SELECT doc_id, lang, n_chars FROM documents
+         |WHERE lang IN ('en', 'de', 'fr')
+         |ORDER BY doc_id""".stripMargin),
     // first-occurrence dedup over the duplicated feed: every doc once
     // (the v2 en re-appends vanish into dropDuplicates' state)
     "stream_txcdf_dedup" ->

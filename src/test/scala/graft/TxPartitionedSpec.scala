@@ -115,6 +115,19 @@ class TxPartitionedSpec extends SparkSpec {
     // full scan returns everything with values from paths
     assert(spark.sql("SELECT sum(n) FROM txpart.db.pt").head().getLong(0)
       == 14L)
+    // projection edges: COUNT(*) (zero columns from the inner scan),
+    // a partition-column-only projection (empty data projection), and
+    // a data-only projection all answer correctly
+    assert(spark.sql("SELECT count(*) FROM txpart.db.pt")
+      .head().getLong(0) == 3L)
+    assert(spark.sql("SELECT lang FROM txpart.db.pt ORDER BY lang")
+      .collect().map(_.getString(0)).toSeq == Seq("de", "en", "fr"))
+    assert(spark.sql("SELECT sum(id) FROM txpart.db.pt")
+      .head().getLong(0) == 6L)
+    // an empty partitioned table scans to zero rows, not an error
+    spark.sql("CREATE TABLE txpart.db.empty (id BIGINT, lang STRING) " +
+      "PARTITIONED BY (lang)")
+    assert(spark.sql("SELECT * FROM txpart.db.empty").count() == 0L)
     // bucket transforms refuse loudly
     val e = intercept[Exception](spark.sql(
       "CREATE TABLE txpart.db.pt2 (id BIGINT, lang STRING) " +
