@@ -280,6 +280,35 @@ private[graft] object EntryHelpers {
       java.lang.Long.valueOf(v)
     }).longValue()
 
+  /** `sink_txcheck` fixture: a CHECK-constrained table (`db.chk`)
+    * created and filled THROUGH pure SQL exactly once per (JVM, corpus
+    * dir) — TBLPROPERTIES register two constraints at CREATE, both
+    * hold on the inserted slices, and every INSERT paid the
+    * enforcement pass (TxTable.commit scaladoc). Lands at v3. */
+  val txChkDone =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  def txCheckedVersion(s: SparkSession, dir: String, wh: String): Long =
+    txChkDone.computeIfAbsent(dir, _ => {
+      s.sql(
+        """CREATE TABLE graft_tx.db.chk
+          |(doc_id BIGINT, lang STRING, n_chars BIGINT)
+          |TBLPROPERTIES (
+          |  'check.chars_positive' = 'n_chars > 0',
+          |  'check.lang_known' =
+          |    "lang IN ('en', 'de', 'fr', 'es', 'zh')")""".stripMargin)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .createOrReplaceTempView("graft_chk_src")
+      s.sql("INSERT INTO graft_tx.db.chk SELECT doc_id, lang, n_chars " +
+        "FROM graft_chk_src WHERE lang IN ('en', 'de')")
+      s.sql("INSERT INTO graft_tx.db.chk SELECT doc_id, lang, n_chars " +
+        "FROM graft_chk_src WHERE lang = 'fr'")
+      val v = graft.sources.TxTable.latestVersion(s"$wh/db/chk")
+        .getOrElse(0L)
+      require(v == 3L, s"expected the constrained fixture at v3, got v$v")
+      java.lang.Long.valueOf(v)
+    }).longValue()
+
   /** `sink_txpart` fixture: a PARTITIONED table (`db.part`,
     * `PARTITIONED BY (lang)`) in the shared SQL warehouse — one
     * partitioned overwrite (en+de+fr) plus one inherited append (es),

@@ -354,6 +354,22 @@ private[graft] object QueriesSearchOps {
           col("n_chars"))
         .orderBy("doc_id")
     }),
+    // ----- CHECK constraints through PURE SQL (TxTable scaladoc: the
+    // commit-time data-quality gate — TBLPROPERTIES 'check.<name>'
+    // registers at CREATE, every write validates BEFORE staging, a
+    // violated write never becomes a version; refusals, NULL-passes,
+    // rewrite enforcement, and ADD CONSTRAINT are suite-pinned in
+    // TxConstraintSpec). The certified output is the constrained
+    // table's content after two enforced SQL INSERTs -----
+    "sink_txcheck" -> ((s: SparkSession, dir: String) => {
+      val wh = EntryHelpers.txCatalogWarehouse(s, dir)
+      s.conf.set("spark.sql.catalog.graft_tx", "graft.sources.TxCatalog")
+      s.conf.set("spark.sql.catalog.graft_tx.root", wh)
+      EntryHelpers.txCheckedVersion(s, dir, wh): Unit
+      s.sql(
+        """SELECT doc_id, lang, n_chars FROM graft_tx.db.chk
+          |ORDER BY doc_id""".stripMargin)
+    }),
     // ----- OPTIMIZE ZORDER through PURE SQL: the CALL-able procedure
     // surface (TxProcedures.zorder) commits v4 via
     // `CALL graft_tx.system.zorder(...)` and the read is SQL time
@@ -1130,6 +1146,12 @@ private[graft] object QueriesSearchOps {
          |UNION ALL
          |SELECT doc_id, lang, CAST(NULL AS BIGINT), n_chars > 500
          |FROM documents WHERE lang = 'de'
+         |ORDER BY doc_id""".stripMargin),
+    // the constrained inserts land their slices verbatim (both checks
+    // hold on the synthetic corpus — enforcement is the suite's job)
+    "sink_txcheck" ->
+      ("""SELECT doc_id, lang, n_chars FROM documents
+         |WHERE lang IN ('en', 'de', 'fr')
          |ORDER BY doc_id""".stripMargin),
     // identical content through the CALL + time-travel SQL surface
     "ops_zorder_sql" ->

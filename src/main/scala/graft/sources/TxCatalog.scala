@@ -185,6 +185,13 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
     val partCols = TxCatalog.identityPartitionColumns(partitions)
+    // CHECK constraints at CREATE: TBLPROPERTIES ('check.<name>' =
+    // '<boolean sql expr>') — registered in the v1 manifest, enforced
+    // on every subsequent write (TxTable.commit scaladoc)
+    val checks = properties.asScala.collect {
+      case (k, v) if k.startsWith("check.") && k.length > 6 =>
+        k.stripPrefix("check.") -> v
+    }.toMap
     val dir = dirFor(ident)
     if (isTxTable(dir)) throw new TableAlreadyExistsException(ident)
     val spark = SparkSession.active
@@ -197,7 +204,7 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
     // create-exclusive — either way the race surfaces as already-exists
     try TxTable.commit(empty, dir.toString, "overwrite",
       opLabel = Some("create"), requireVersion = Some(1L),
-      partitionBy = Some(partCols))
+      partitionBy = Some(partCols), constraints = checks)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new TableAlreadyExistsException(ident)

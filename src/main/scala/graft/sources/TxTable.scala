@@ -163,7 +163,8 @@ object TxTable {
                               Map.empty,
                             blooms: Map[String, Map[String, TxStats.FileBloom]] =
                               Map.empty,
-                            partitionColumns: Seq[String] = Nil)
+                            partitionColumns: Seq[String] = Nil,
+                            constraints: Map[String, String] = Map.empty)
 
   /** Commit `df` as the next version. `mode` is "overwrite" (the new
     * version is exactly this frame) or "append" (this frame plus the
@@ -206,7 +207,8 @@ object TxTable {
              mergeSchema: Boolean = false,
              bloomColumns: Seq[String] = Nil,
              requireVersion: Option[Long] = None,
-             partitionBy: Option[Seq[String]] = None): Long = {
+             partitionBy: Option[Seq[String]] = None,
+             constraints: Map[String, String] = Map.empty): Long = {
     require(mode == "overwrite" || mode == "append",
       s"mode must be overwrite|append, got '$mode'")
     val root = Paths.get(tableDir)
@@ -265,6 +267,21 @@ object TxTable {
         }
       case _ => df2.schema
     }
+    // CHECK constraints are a TABLE property: carried forward by every
+    // commit (the prev manifest is the registry), extended by this
+    // commit's `constraints`, and enforced on the INCOMING frame before
+    // a single byte stages — a violated write never becomes a version,
+    // and never leaves staged files behind. SQL-standard semantics: a
+    // row violates only when the expression is FALSE (NULL passes).
+    // Cost: one validation job per constraint over the NEW data (never
+    // the table) — an extra pass over the frame; persist it upstream
+    // when the producing pipeline is expensive. (Delta checks inline in
+    // the writer at the price of partially-staged files on violation;
+    // validate-first buys the cleaner failure.)
+    val effConstraints =
+      prev.map(_.constraints).getOrElse(Map.empty) ++ constraints
+    enforceConstraints(df2, effConstraints,
+      s"the $mode commit to $tableDir")
     // the write→list→stats block is the SHARED staging phase — one
     // implementation serves direct commits and atomic CTAS/RTAS
     val staged =
@@ -311,7 +328,7 @@ object TxTable {
       committedSchema.json, carried ++ staged.files,
       prev.map(_.txns).getOrElse(Map.empty) ++ txn,
       carriedStats ++ staged.stats,
-      carriedBlooms ++ newBlooms, effParts)
+      carriedBlooms ++ newBlooms, effParts, effConstraints)
     try publish(root, manifest, primitive)
     catch {
       case e: java.nio.file.FileAlreadyExistsException =>
@@ -582,7 +599,8 @@ object TxTable {
     // the CDF stream above all — must be able to tell "bytes moved,
     // rows unchanged" from a real rewrite
     val manifest = Manifest(v + 1, "compact", m.schemaJson, newFiles,
-      m.txns, compactStats, compactBlooms, m.partitionColumns)
+      m.txns, compactStats, compactBlooms, m.partitionColumns,
+      m.constraints)
     try publish(root, manifest, primitive)
     catch {
       case e: java.nio.file.FileAlreadyExistsException =>
@@ -664,7 +682,8 @@ object TxTable {
     val newBlooms = TxStats.buildFileBlooms(spark,
       root.resolve(staged.dataRel), staged.files, schema, bloomCols)
     val manifest = Manifest(v + 1, "zorder", m.schemaJson, staged.files,
-      m.txns, staged.stats, newBlooms, m.partitionColumns)
+      m.txns, staged.stats, newBlooms, m.partitionColumns,
+      m.constraints)
     try publish(root, manifest, primitive)
     catch {
       case e: java.nio.file.FileAlreadyExistsException =>
@@ -880,6 +899,10 @@ object TxTable {
     val root = Paths.get(tableDir)
     val schema =
       DataType.fromJson(base.schemaJson).asInstanceOf[StructType]
+    // a rewrite can INTRODUCE violations (UPDATE SET n = -1): the
+    // table's CHECK constraints gate the rewritten rows like any commit
+    enforceConstraints(newData, base.constraints,
+      s"the $op rewrite of $tableDir")
     // a partitioned table's rewritten rows re-stage through the hive
     // layout so their partition values stay in paths + stats
     val staged =
@@ -895,7 +918,7 @@ object TxTable {
     val manifest = Manifest(base.version + 1, op, base.schemaJson,
       untouched ++ staged.files, base.txns,
       keptStats ++ staged.stats, keptBlooms ++ newBlooms,
-      base.partitionColumns)
+      base.partitionColumns, base.constraints)
     try publish(root, manifest, primitive)
     catch {
       case e: java.nio.file.FileAlreadyExistsException =>
@@ -929,7 +952,7 @@ object TxTable {
     val latest = versions(tableDir).max // non-empty: v's manifest exists
     val head = readManifest(root, latest)
     val manifest = Manifest(latest + 1, "restore", m.schemaJson, m.files,
-      head.txns, m.stats, m.blooms, m.partitionColumns)
+      head.txns, m.stats, m.blooms, m.partitionColumns, m.constraints)
     publish(root, manifest, primitive)
     // Tripwire for the one race the ordering argument cannot close: a
     // vacuum running CONCURRENTLY may have snapshotted its live set
@@ -968,6 +991,50 @@ object TxTable {
     val m = readManifest(root, v)
     val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
     readSnapshotFiles(spark, tableDir, schema, m.partitionColumns, m.files)
+  }
+
+  /** SQL-standard CHECK enforcement: a row violates only when the
+    * expression is FALSE — NULL passes (the standard's treatment of
+    * unknown). Loud with the first violating row; one job per
+    * constraint over `df` only (never the whole table on appends). */
+  private def enforceConstraints(df: DataFrame,
+      constraints: Map[String, String], where: String): Unit =
+    constraints.toSeq.sortBy(_._1).foreach { case (name, sql) =>
+      val bad = df.filter(!functions.coalesce(
+        functions.expr(sql), functions.lit(true))).limit(1).collect()
+      if (bad.nonEmpty) throw new IllegalArgumentException(
+        s"CHECK constraint '$name' ($sql) violated by $where — " +
+          s"first violating row: ${bad.head}")
+    }
+
+  /** Register a CHECK constraint as a new metadata version (op
+    * `constraint`). EXISTING data is validated first — one distributed
+    * scan — because a constraint the current snapshot already violates
+    * would be a lie every future reader believes (the Delta ADD
+    * CONSTRAINT contract). Every subsequent commit and row-level
+    * rewrite enforces it on incoming rows before staging. */
+  def addConstraint(spark: SparkSession, tableDir: String, name: String,
+                    exprSql: String,
+                    primitive: CommitPrimitive = PosixLinkPrimitive): Long = {
+    require(name.nonEmpty && exprSql.nonEmpty,
+      "constraint name and expression must be non-empty")
+    val root = Paths.get(tableDir)
+    val v = latestVersion(tableDir).getOrElse(
+      throw new IllegalStateException(
+        s"no committed version under $tableDir/$LogDir"))
+    val m = readManifest(root, v)
+    require(!m.constraints.contains(name),
+      s"constraint '$name' already exists on $tableDir " +
+        s"(${m.constraints(name)}) — drop-and-re-add is not supported; " +
+        "pick a new name")
+    enforceConstraints(readVersion(spark, tableDir, v),
+      Map(name -> exprSql), s"the EXISTING snapshot v$v of $tableDir " +
+        "(a constraint must hold before it is promised)")
+    val manifest = Manifest(v + 1, "constraint", m.schemaJson, m.files,
+      m.txns, m.stats, m.blooms, m.partitionColumns,
+      m.constraints + (name -> exprSql))
+    publish(root, manifest, primitive)
+    v + 1
   }
 
   /** The one snapshot-file reader every consumer shares (readVersion,
@@ -1170,6 +1237,12 @@ object TxTable {
       val pb = node.putArray("partitionBy")
       m.partitionColumns.foreach(pb.add)
     }
+    if (m.constraints.nonEmpty) {
+      val co = node.putObject("constraints")
+      m.constraints.toSeq.sortBy(_._1).foreach { case (k, v) =>
+        co.put(k, v): Unit
+      }
+    }
     primitive.publishExclusive(manifestPath(root, m.version),
       mapper.writeValueAsBytes(node))
   }
@@ -1212,9 +1285,12 @@ object TxTable {
     val partitionColumns = Option(node.get("partitionBy"))
       .map(_.elements().asScala.map(_.asText()).toSeq)
       .getOrElse(Seq.empty)
+    val constraints = Option(node.get("constraints")).map { co =>
+      co.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    }.getOrElse(Map.empty[String, String])
     Manifest(node.get("version").asLong(), node.get("op").asText(),
       node.get("schema").asText(),
       node.get("files").elements().asScala.map(_.asText()).toSeq, txns,
-      stats, blooms, partitionColumns)
+      stats, blooms, partitionColumns, constraints)
   }
 }
