@@ -103,7 +103,8 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
     * stays on the create/namespace paths where it guards real data. */
   override def tableExists(ident: Identifier): Boolean =
     ident.name().split('$') match {
-      case Array(base, "history" | "files" | "stats") if base.nonEmpty =>
+      case Array(base, "history" | "files" | "stats" | "constraints")
+          if base.nonEmpty =>
         isTxTable(dirFor(Identifier.of(ident.namespace(), base)))
       case _ if ident.name().contains('$') ||
         ident.namespace().exists(_.contains('$')) => false
@@ -115,8 +116,8 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
     // manifest log itself to SQL — O(versions)/O(files) driver metadata
     // served through a LocalScan, never a distributed job
     ident.name().split('$') match {
-      case Array(base, kind @ ("history" | "files" | "stats"))
-          if base.nonEmpty =>
+      case Array(base, kind @ ("history" | "files" | "stats" |
+          "constraints")) if base.nonEmpty =>
         val dir = dirFor(Identifier.of(ident.namespace(), base))
         if (!isTxTable(dir)) throw new NoSuchTableException(ident)
         return TxMetaTables.table(fullName(ident), dir, kind)
@@ -438,8 +439,9 @@ private[graft] class TxSqlTable(tableName: String, dir: Path, version: Long,
         TableCapability.TRUNCATE)
     else util.EnumSet.of(TableCapability.BATCH_READ)
   override def properties(): util.Map[String, String] =
-    Map("format" -> "graft-txtable", "location" -> dir.toString,
-      "version" -> version.toString).asJava
+    (Map("format" -> "graft-txtable", "location" -> dir.toString,
+      "version" -> version.toString) ++
+      manifest.constraints.map { case (n, e) => s"check.$n" -> e }).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TxScanBuilder(name(), tableSchema, dir, manifest.files,
@@ -684,7 +686,23 @@ private[graft] object TxMetaTables {
     StructField("has_bloom", org.apache.spark.sql.types.BooleanType,
       nullable = false)))
 
+  private val ConstraintsSchema = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("expr", StringType, nullable = false)))
+
   def table(name: String, dir: Path, kind: String): Table = kind match {
+    // `t$constraints`: the data-quality promises in force — what every
+    // write is validated against (TxTable.commit scaladoc)
+    case "constraints" => new MetaTable(name, ConstraintsSchema, () => {
+      val v = TxTable.latestVersion(dir.toString).getOrElse(
+        throw new IllegalStateException(s"no committed version under $dir"))
+      TxTable.readManifest(dir, v).constraints.toSeq.sortBy(_._1)
+        .map { case (n, e) =>
+          new GenericInternalRow(Array[Any](
+            UTF8String.fromString(n), UTF8String.fromString(e)))
+            : InternalRow
+        }.toArray
+    })
     // `t$stats`: the data-skipping layer made introspectable — which
     // files carry min/max for which columns, and which have blooms; the
     // first question to ask when a point lookup scans more files than

@@ -58,6 +58,10 @@ class TxConstraintSpec extends SparkSpec {
     spark.sql("CREATE TABLE txck.db.t (id BIGINT, n BIGINT) " +
       "TBLPROPERTIES ('check.n_positive' = 'n > 0')")
     spark.sql("INSERT INTO txck.db.t VALUES (1, 5), (2, 7)")
+    // the registered promises are introspectable
+    assert(spark.sql("SELECT name, expr FROM txck.db.`t$constraints`")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("n_positive", "n > 0")))
     // the SQL INSERT path enforces too
     val ei = intercept[Exception](
       spark.sql("INSERT INTO txck.db.t VALUES (3, -1)"))
