@@ -1037,6 +1037,29 @@ object TxTable {
     v + 1
   }
 
+  /** Withdraw a CHECK constraint as a new metadata version (op
+    * `constraint`) — the reverse of [[addConstraint]]; pure metadata,
+    * no validation needed (removing a promise cannot be violated by
+    * data). Loud when the name is not registered — silently "dropping"
+    * a typo would leave the real constraint in force while the caller
+    * believes it gone. */
+  def dropConstraint(tableDir: String, name: String,
+                     primitive: CommitPrimitive = PosixLinkPrimitive): Long = {
+    val root = Paths.get(tableDir)
+    val v = latestVersion(tableDir).getOrElse(
+      throw new IllegalStateException(
+        s"no committed version under $tableDir/$LogDir"))
+    val m = readManifest(root, v)
+    require(m.constraints.contains(name),
+      s"no constraint named '$name' on $tableDir (have: " +
+        s"${m.constraints.keys.toSeq.sorted.mkString(", ")})")
+    val manifest = Manifest(v + 1, "constraint", m.schemaJson, m.files,
+      m.txns, m.stats, m.blooms, m.partitionColumns,
+      m.constraints - name)
+    publish(root, manifest, primitive)
+    v + 1
+  }
+
   /** The one snapshot-file reader every consumer shares (readVersion,
     * DELETE's candidate read, UPDATE/MERGE's rewrite read): flat tables
     * read as plain parquet; partitioned tables read per value group

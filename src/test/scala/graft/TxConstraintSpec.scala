@@ -98,6 +98,12 @@ class TxConstraintSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException](
       TxTable.addConstraint(spark, tbl, "n_positive", "n > 1"))
       .getMessage.contains("already exists"))
+    // dropping withdraws the promise; unknown names refuse loudly
+    TxTable.dropConstraint(tbl, "n_positive")
+    TxTable.commit(Seq((9L, -9L)).toDF("id", "n"), tbl, "append")
+    assert(intercept[IllegalArgumentException](
+      TxTable.dropConstraint(tbl, "nope"))
+      .getMessage.contains("no constraint named"))
   }
 
   test("the CDF skips constraint registrations; maintenance carries them") {

@@ -183,7 +183,7 @@ class TxRowLevelSpec extends SparkSpec {
         (11L, "nw", 11L)))
   }
 
-  test("MERGE refuses WITH SCHEMA EVOLUTION and duplicate source columns loudly") {
+  test("MERGE refuses WITH SCHEMA EVOLUTION loudly") {
     import spark.implicits._
     mkLangTable("mrgref")
     Seq((3L, "a", 1L)).toDF("id", "lang", "n")
