@@ -309,6 +309,49 @@ private[graft] object EntryHelpers {
       java.lang.Long.valueOf(v)
     }).longValue()
 
+  /** `ops_constraint_sql` fixture: the CHECK-constraint LIFECYCLE
+    * through pure SQL (`db.altc`) — CREATE unconstrained, INSERT the
+    * en slice, `ALTER TABLE … SET TBLPROPERTIES` registers two
+    * promises as ONE atomic metadata version (validating the existing
+    * snapshot first), a violating INSERT refuses and leaves no
+    * version, `UNSET` withdraws one promise, and the formerly-refused
+    * slice then lands. Proves SET → enforce → UNSET → admit end to
+    * end; versions pinned at every step. */
+  val txAltDone =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  def txAlteredVersion(s: SparkSession, dir: String, wh: String): Long =
+    txAltDone.computeIfAbsent(dir, _ => {
+      s.sql("CREATE TABLE graft_tx.db.altc " +
+        "(doc_id BIGINT, lang STRING, n_chars BIGINT)")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .createOrReplaceTempView("graft_altc_src")
+      s.sql("INSERT INTO graft_tx.db.altc SELECT doc_id, lang, " +
+        "n_chars FROM graft_altc_src WHERE lang = 'en'")
+      s.sql("""ALTER TABLE graft_tx.db.altc SET TBLPROPERTIES (
+        |  'check.chars_positive' = 'n_chars > 0',
+        |  'check.lang_en' = "lang = 'en'")""".stripMargin)
+      val tbl = s"$wh/db/altc"
+      val vSet = graft.sources.TxTable.latestVersion(tbl).getOrElse(0L)
+      require(vSet == 3L,
+        s"expected ONE atomic version for the two-property SET, got v$vSet")
+      val refused =
+        try { s.sql("INSERT INTO graft_tx.db.altc SELECT doc_id, " +
+          "lang, n_chars FROM graft_altc_src WHERE lang = 'de'"); false }
+        catch { case e: Exception if e.getMessage != null &&
+          e.getMessage.contains("lang_en") => true }
+      require(refused, "the de INSERT must refuse against check.lang_en")
+      require(graft.sources.TxTable.latestVersion(tbl) == Some(3L),
+        "a refused INSERT must commit no version")
+      s.sql(
+        "ALTER TABLE graft_tx.db.altc UNSET TBLPROPERTIES ('check.lang_en')")
+      s.sql("INSERT INTO graft_tx.db.altc SELECT doc_id, lang, " +
+        "n_chars FROM graft_altc_src WHERE lang = 'de'")
+      val v = graft.sources.TxTable.latestVersion(tbl).getOrElse(0L)
+      require(v == 5L, s"expected the altered fixture at v5, got v$v")
+      java.lang.Long.valueOf(v)
+    }).longValue()
+
   /** `sink_txpart` fixture: a PARTITIONED table (`db.part`,
     * `PARTITIONED BY (lang)`) in the shared SQL warehouse — one
     * partitioned overwrite (en+de+fr) plus one inherited append (es),

@@ -370,6 +370,21 @@ private[graft] object QueriesSearchOps {
         """SELECT doc_id, lang, n_chars FROM graft_tx.db.chk
           |ORDER BY doc_id""".stripMargin)
     }),
+    // ----- the CHECK-constraint lifecycle through PURE SQL (ALTER
+    // TABLE SET/UNSET TBLPROPERTIES → TxCatalog.alterTable →
+    // TxTable.alterConstraints, one atomic metadata version per
+    // statement): register-validate-enforce-withdraw-admit, with a
+    // refused INSERT proving the gate mid-lifecycle (fixture pins
+    // every version; atomicity + rejection arms in TxConstraintSpec) -----
+    "ops_constraint_sql" -> ((s: SparkSession, dir: String) => {
+      val wh = EntryHelpers.txCatalogWarehouse(s, dir)
+      s.conf.set("spark.sql.catalog.graft_tx", "graft.sources.TxCatalog")
+      s.conf.set("spark.sql.catalog.graft_tx.root", wh)
+      EntryHelpers.txAlteredVersion(s, dir, wh): Unit
+      s.sql(
+        """SELECT doc_id, lang, n_chars FROM graft_tx.db.altc
+          |ORDER BY doc_id""".stripMargin)
+    }),
     // ----- OPTIMIZE ZORDER through PURE SQL: the CALL-able procedure
     // surface (TxProcedures.zorder) commits v4 via
     // `CALL graft_tx.system.zorder(...)` and the read is SQL time
@@ -1152,6 +1167,13 @@ private[graft] object QueriesSearchOps {
     "sink_txcheck" ->
       ("""SELECT doc_id, lang, n_chars FROM documents
          |WHERE lang IN ('en', 'de', 'fr')
+         |ORDER BY doc_id""".stripMargin),
+    // the lifecycle's surviving content: the en slice admitted before
+    // the constraints plus the de slice admitted after the UNSET (the
+    // refused mid-lifecycle INSERT left nothing)
+    "ops_constraint_sql" ->
+      ("""SELECT doc_id, lang, n_chars FROM documents
+         |WHERE lang IN ('en', 'de')
          |ORDER BY doc_id""".stripMargin),
     // identical content through the CALL + time-travel SQL surface
     "ops_zorder_sql" ->

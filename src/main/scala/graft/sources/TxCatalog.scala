@@ -263,10 +263,38 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
       mode = StagedTxTable.CreateOrReplace)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "TxCatalog does not support ALTER TABLE — commit a new version " +
-        "through graft.sources.TxTable.commit")
+  /** ALTER TABLE, scoped to the one piece of tx-table metadata that IS
+    * an in-place edit: CHECK constraints, surfaced as `check.<name>`
+    * table properties. `SET TBLPROPERTIES ('check.x' = '<expr>')`
+    * adds (validating the EXISTING snapshot first — the
+    * [[TxTable.addConstraint]] contract) and `UNSET TBLPROPERTIES
+    * ('check.x')` withdraws; one statement with several properties
+    * commits ONE metadata version, all-or-nothing
+    * ([[TxTable.alterConstraints]]). Everything else — schema changes,
+    * arbitrary properties — is loudly rejected: schema evolution is a
+    * data commit's job (`TxTable.commit(evolveSchema = true)`), not a
+    * metadata edit's. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = dirFor(ident)
+    if (!isTxTable(dir)) throw new NoSuchTableException(ident)
+    val add = Map.newBuilder[String, String]
+    val drop = Set.newBuilder[String]
+    changes.foreach {
+      case sp: TableChange.SetProperty
+          if sp.property.startsWith("check.") && sp.property.length > 6 =>
+        add += sp.property.stripPrefix("check.") -> sp.value
+      case rp: TableChange.RemoveProperty
+          if rp.property.startsWith("check.") && rp.property.length > 6 =>
+        drop += rp.property.stripPrefix("check.")
+      case other => throw new UnsupportedOperationException(
+        s"TxCatalog ALTER TABLE supports only CHECK-constraint " +
+          s"properties ('check.<name>'), not $other — schema changes " +
+          "go through graft.sources.TxTable.commit")
+    }
+    TxTable.alterConstraints(SparkSession.active, dir.toString,
+      add.result(), drop.result()): Unit
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     throw new UnsupportedOperationException(

@@ -1015,27 +1015,9 @@ object TxTable {
     * rewrite enforces it on incoming rows before staging. */
   def addConstraint(spark: SparkSession, tableDir: String, name: String,
                     exprSql: String,
-                    primitive: CommitPrimitive = PosixLinkPrimitive): Long = {
-    require(name.nonEmpty && exprSql.nonEmpty,
-      "constraint name and expression must be non-empty")
-    val root = Paths.get(tableDir)
-    val v = latestVersion(tableDir).getOrElse(
-      throw new IllegalStateException(
-        s"no committed version under $tableDir/$LogDir"))
-    val m = readManifest(root, v)
-    require(!m.constraints.contains(name),
-      s"constraint '$name' already exists on $tableDir " +
-        s"(${m.constraints(name)}) — drop-and-re-add is not supported; " +
-        "pick a new name")
-    enforceConstraints(readVersion(spark, tableDir, v),
-      Map(name -> exprSql), s"the EXISTING snapshot v$v of $tableDir " +
-        "(a constraint must hold before it is promised)")
-    val manifest = Manifest(v + 1, "constraint", m.schemaJson, m.files,
-      m.txns, m.stats, m.blooms, m.partitionColumns,
-      m.constraints + (name -> exprSql))
-    publish(root, manifest, primitive)
-    v + 1
-  }
+                    primitive: CommitPrimitive = PosixLinkPrimitive): Long =
+    mutateConstraints(Some(spark), tableDir, Map(name -> exprSql),
+      Set.empty, primitive)
 
   /** Withdraw a CHECK constraint as a new metadata version (op
     * `constraint`) — the reverse of [[addConstraint]]; pure metadata,
@@ -1044,18 +1026,52 @@ object TxTable {
     * a typo would leave the real constraint in force while the caller
     * believes it gone. */
   def dropConstraint(tableDir: String, name: String,
-                     primitive: CommitPrimitive = PosixLinkPrimitive): Long = {
+                     primitive: CommitPrimitive = PosixLinkPrimitive): Long =
+    mutateConstraints(None, tableDir, Map.empty, Set(name), primitive)
+
+  /** Atomically add AND withdraw CHECK constraints as ONE metadata
+    * version — the engine behind SQL `ALTER TABLE … SET/UNSET
+    * TBLPROPERTIES ('check.<name>' …)`, where one statement may carry
+    * several properties and must not half-apply: every add is
+    * validated against the EXISTING snapshot and every drop checked
+    * for existence BEFORE anything publishes, so a failing statement
+    * leaves the table exactly as it was. */
+  def alterConstraints(spark: SparkSession, tableDir: String,
+      add: Map[String, String], drop: Set[String],
+      primitive: CommitPrimitive = PosixLinkPrimitive): Long =
+    mutateConstraints(Some(spark), tableDir, add, drop, primitive)
+
+  /** Shared all-or-nothing constraint mutation. `spark` is only
+    * dereferenced when `add` is non-empty (the existing-snapshot
+    * validation scan); drop-only calls pass None. */
+  private def mutateConstraints(spark: Option[SparkSession],
+      tableDir: String, add: Map[String, String], drop: Set[String],
+      primitive: CommitPrimitive): Long = {
+    require(add.nonEmpty || drop.nonEmpty, "no constraint changes")
+    add.foreach { case (n, e) => require(n.nonEmpty && e.nonEmpty,
+      "constraint name and expression must be non-empty") }
+    val both = add.keySet.intersect(drop)
+    require(both.isEmpty, "cannot add and drop the same constraint in " +
+      s"one statement: ${both.toSeq.sorted.mkString(", ")}")
     val root = Paths.get(tableDir)
     val v = latestVersion(tableDir).getOrElse(
       throw new IllegalStateException(
         s"no committed version under $tableDir/$LogDir"))
     val m = readManifest(root, v)
-    require(m.constraints.contains(name),
+    add.keys.foreach(name => require(!m.constraints.contains(name),
+      s"constraint '$name' already exists on $tableDir " +
+        s"(${m.constraints(name)}) — drop-and-re-add is not supported; " +
+        "pick a new name"))
+    drop.foreach(name => require(m.constraints.contains(name),
       s"no constraint named '$name' on $tableDir (have: " +
-        s"${m.constraints.keys.toSeq.sorted.mkString(", ")})")
+        s"${m.constraints.keys.toSeq.sorted.mkString(", ")})"))
+    if (add.nonEmpty)
+      enforceConstraints(readVersion(spark.get, tableDir, v), add,
+        s"the EXISTING snapshot v$v of $tableDir " +
+          "(a constraint must hold before it is promised)")
     val manifest = Manifest(v + 1, "constraint", m.schemaJson, m.files,
       m.txns, m.stats, m.blooms, m.partitionColumns,
-      m.constraints - name)
+      m.constraints -- drop ++ add)
     publish(root, manifest, primitive)
     v + 1
   }

@@ -106,6 +106,67 @@ class TxConstraintSpec extends SparkSpec {
       .getMessage.contains("no constraint named"))
   }
 
+  test("SQL ALTER TABLE SET/UNSET TBLPROPERTIES drives check.* constraints") {
+    val wh = Files.createTempDirectory("txcheck-alter-").toString
+    spark.conf.set("spark.sql.catalog.txal", "graft.sources.TxCatalog")
+    spark.conf.set("spark.sql.catalog.txal.root", wh)
+    spark.sql("CREATE TABLE txal.db.t (id BIGINT, n BIGINT)")
+    spark.sql("INSERT INTO txal.db.t VALUES (1, 5), (2, 7)")
+    // SET registers (validating existing data) and then enforces
+    spark.sql(
+      "ALTER TABLE txal.db.t SET TBLPROPERTIES ('check.n_pos' = 'n > 0')")
+    assert(spark.sql("SELECT name FROM txal.db.`t$constraints`")
+      .collect().map(_.getString(0)).toSeq == Seq("n_pos"))
+    val ei = intercept[Exception](
+      spark.sql("INSERT INTO txal.db.t VALUES (3, -1)"))
+    assert(ei.getMessage.contains("n_pos"))
+    // a SET the existing snapshot violates refuses; nothing registers
+    val ev = intercept[Exception](spark.sql(
+      "ALTER TABLE txal.db.t SET TBLPROPERTIES ('check.id_neg' = 'id < 0')"))
+    assert(ev.getMessage.contains("EXISTING"))
+    // multi-property atomicity: one bad promise sinks the statement,
+    // including its valid siblings — no half-applied ALTER
+    intercept[Exception](spark.sql("ALTER TABLE txal.db.t SET " +
+      "TBLPROPERTIES ('check.id_pos' = 'id > 0', 'check.id_neg' = 'id < 0')"))
+    assert(spark.sql("SELECT name FROM txal.db.`t$constraints`")
+      .collect().map(_.getString(0)).toSeq == Seq("n_pos"))
+    // UNSET withdraws the promise as one metadata version
+    spark.sql("ALTER TABLE txal.db.t UNSET TBLPROPERTIES ('check.n_pos')")
+    assert(spark.sql("SELECT count(*) FROM txal.db.`t$constraints`")
+      .head().getLong(0) == 0L)
+    spark.sql("INSERT INTO txal.db.t VALUES (3, -1)")
+    // non-constraint properties and schema changes are loudly rejected
+    val ep = intercept[Exception](spark.sql(
+      "ALTER TABLE txal.db.t SET TBLPROPERTIES ('retention' = '7d')"))
+    assert(ep.getMessage.contains("check.<name>"))
+    val ec = intercept[Exception](spark.sql(
+      "ALTER TABLE txal.db.t ADD COLUMN extra STRING"))
+    assert(ec.getMessage.contains("check.<name>"))
+  }
+
+  test("alterConstraints is all-or-nothing and refuses add+drop collisions") {
+    val tbl = tmp()
+    TxTable.commit(Seq((1L, 5L)).toDF("id", "n"), tbl, "overwrite",
+      constraints = Map("n_pos" -> "n > 0"))
+    // one version swaps a promise for two new ones
+    val v = TxTable.alterConstraints(spark, tbl,
+      Map("id_pos" -> "id > 0", "n_cap" -> "n < 100"), Set("n_pos"))
+    assert(v == 2L)
+    assert(TxTable.readManifest(Paths.get(tbl), v).constraints.keySet ==
+      Set("id_pos", "n_cap"))
+    // a drop of a missing name sinks the whole statement: the valid
+    // add beside it must not land
+    intercept[IllegalArgumentException](TxTable.alterConstraints(spark,
+      tbl, Map("extra" -> "n > -5"), Set("nope")))
+    assert(TxTable.readManifest(Paths.get(tbl),
+      TxTable.latestVersion(tbl).get).constraints.keySet ==
+      Set("id_pos", "n_cap"))
+    // adding and dropping the same name in one statement is ambiguous
+    assert(intercept[IllegalArgumentException](TxTable.alterConstraints(
+      spark, tbl, Map("id_pos" -> "id > 1"), Set("id_pos")))
+      .getMessage.contains("add and drop"))
+  }
+
   test("the CDF skips constraint registrations; maintenance carries them") {
     val base = Files.createTempDirectory("txcheck-cdf-").toString
     val tbl = s"$base/tbl"
