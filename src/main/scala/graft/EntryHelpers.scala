@@ -352,6 +352,34 @@ private[graft] object EntryHelpers {
       java.lang.Long.valueOf(v)
     }).longValue()
 
+  /** `ops_evolve_sql` fixture: metadata-only schema evolution through
+    * pure SQL (`db.evo`) — CREATE, INSERT the en slice, `ADD COLUMNS
+    * (flag BIGINT)` as an O(1) evolve version (en rows now read
+    * NULL), INSERT the de slice WITH the new column populated, then
+    * `DROP COLUMN n_chars` (files keep the bytes; the schema stops
+    * projecting them). The certified read crosses files written under
+    * THREE different schemas; versions pinned at every step. */
+  val txEvoDone =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  def txEvolvedVersion(s: SparkSession, dir: String, wh: String): Long =
+    txEvoDone.computeIfAbsent(dir, _ => {
+      s.sql("CREATE TABLE graft_tx.db.evo " +
+        "(doc_id BIGINT, lang STRING, n_chars BIGINT)")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .createOrReplaceTempView("graft_evo_src")
+      s.sql("INSERT INTO graft_tx.db.evo SELECT doc_id, lang, " +
+        "n_chars FROM graft_evo_src WHERE lang = 'en'")
+      s.sql("ALTER TABLE graft_tx.db.evo ADD COLUMNS (flag BIGINT)")
+      s.sql("INSERT INTO graft_tx.db.evo SELECT doc_id, lang, " +
+        "n_chars, n_chars % 7 FROM graft_evo_src WHERE lang = 'de'")
+      s.sql("ALTER TABLE graft_tx.db.evo DROP COLUMN n_chars")
+      val v = graft.sources.TxTable.latestVersion(s"$wh/db/evo")
+        .getOrElse(0L)
+      require(v == 5L, s"expected the evolved fixture at v5, got v$v")
+      java.lang.Long.valueOf(v)
+    }).longValue()
+
   /** `sink_txpart` fixture: a PARTITIONED table (`db.part`,
     * `PARTITIONED BY (lang)`) in the shared SQL warehouse — one
     * partitioned overwrite (en+de+fr) plus one inherited append (es),

@@ -385,6 +385,21 @@ private[graft] object QueriesSearchOps {
         """SELECT doc_id, lang, n_chars FROM graft_tx.db.altc
           |ORDER BY doc_id""".stripMargin)
     }),
+    // ----- metadata-only schema evolution through PURE SQL (ALTER
+    // TABLE ADD/DROP COLUMN → TxTable.evolveColumns, one O(1) evolve
+    // version, no data moves — the operation a 100 TB table demands):
+    // the certified read spans files written under THREE schemas —
+    // pre-ADD rows read NULL for the added column, the dropped column
+    // projects away everywhere (suite: TxEvolveSpec) -----
+    "ops_evolve_sql" -> ((s: SparkSession, dir: String) => {
+      val wh = EntryHelpers.txCatalogWarehouse(s, dir)
+      s.conf.set("spark.sql.catalog.graft_tx", "graft.sources.TxCatalog")
+      s.conf.set("spark.sql.catalog.graft_tx.root", wh)
+      EntryHelpers.txEvolvedVersion(s, dir, wh): Unit
+      s.sql(
+        """SELECT doc_id, lang, flag FROM graft_tx.db.evo
+          |ORDER BY doc_id""".stripMargin)
+    }),
     // ----- OPTIMIZE ZORDER through PURE SQL: the CALL-able procedure
     // surface (TxProcedures.zorder) commits v4 via
     // `CALL graft_tx.system.zorder(...)` and the read is SQL time
@@ -1174,6 +1189,15 @@ private[graft] object QueriesSearchOps {
     "ops_constraint_sql" ->
       ("""SELECT doc_id, lang, n_chars FROM documents
          |WHERE lang IN ('en', 'de')
+         |ORDER BY doc_id""".stripMargin),
+    // three write-time schemas, one read-time schema: en rows predate
+    // the added column (NULL), de rows carry it, n_chars was dropped
+    "ops_evolve_sql" ->
+      ("""SELECT doc_id, lang, CAST(NULL AS BIGINT) AS flag
+         |FROM documents WHERE lang = 'en'
+         |UNION ALL
+         |SELECT doc_id, lang, n_chars % 7 AS flag
+         |FROM documents WHERE lang = 'de'
          |ORDER BY doc_id""".stripMargin),
     // identical content through the CALL + time-travel SQL surface
     "ops_zorder_sql" ->

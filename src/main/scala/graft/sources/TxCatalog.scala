@@ -263,36 +263,67 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
       mode = StagedTxTable.CreateOrReplace)
   }
 
-  /** ALTER TABLE, scoped to the one piece of tx-table metadata that IS
-    * an in-place edit: CHECK constraints, surfaced as `check.<name>`
-    * table properties. `SET TBLPROPERTIES ('check.x' = '<expr>')`
-    * adds (validating the EXISTING snapshot first — the
-    * [[TxTable.addConstraint]] contract) and `UNSET TBLPROPERTIES
-    * ('check.x')` withdraws; one statement with several properties
-    * commits ONE metadata version, all-or-nothing
-    * ([[TxTable.alterConstraints]]). Everything else — schema changes,
-    * arbitrary properties — is loudly rejected: schema evolution is a
-    * data commit's job (`TxTable.commit(evolveSchema = true)`), not a
-    * metadata edit's. */
+  /** ALTER TABLE, scoped to the tx-table metadata that IS an in-place
+    * edit — everything else is loudly rejected.
+    *
+    * CHECK constraints as `check.<name>` table properties:
+    * `SET TBLPROPERTIES ('check.x' = '<expr>')` adds (validating the
+    * EXISTING snapshot first — the [[TxTable.addConstraint]] contract)
+    * and `UNSET TBLPROPERTIES ('check.x')` withdraws; one statement
+    * with several properties commits ONE metadata version,
+    * all-or-nothing ([[TxTable.alterConstraints]]).
+    *
+    * Metadata-only schema evolution: `ADD COLUMN` (nullable, appended
+    * — old files read NULL) and `DROP COLUMN` (files keep the bytes,
+    * the schema stops projecting them), one atomic `evolve` version
+    * per statement ([[TxTable.evolveColumns]] — no data moves, the
+    * O(1) operation a 100 TB table demands). Column positions,
+    * defaults, renames, and type changes refuse: the first two need a
+    * rewrite-or-default story and the last two column-id mapping,
+    * none of which a by-name parquet layout can honor honestly. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = dirFor(ident)
     if (!isTxTable(dir)) throw new NoSuchTableException(ident)
-    val add = Map.newBuilder[String, String]
-    val drop = Set.newBuilder[String]
+    val addP = Map.newBuilder[String, String]
+    val dropP = Set.newBuilder[String]
+    val addC = Seq.newBuilder[org.apache.spark.sql.types.StructField]
+    val dropC = Seq.newBuilder[String]
     changes.foreach {
       case sp: TableChange.SetProperty
           if sp.property.startsWith("check.") && sp.property.length > 6 =>
-        add += sp.property.stripPrefix("check.") -> sp.value
+        addP += sp.property.stripPrefix("check.") -> sp.value
       case rp: TableChange.RemoveProperty
           if rp.property.startsWith("check.") && rp.property.length > 6 =>
-        drop += rp.property.stripPrefix("check.")
+        dropP += rp.property.stripPrefix("check.")
+      case ac: TableChange.AddColumn =>
+        require(ac.fieldNames.length == 1,
+          s"ADD COLUMN supports top-level columns only, not " +
+            ac.fieldNames.mkString("."))
+        require(ac.position == null,
+          "ADD COLUMN FIRST/AFTER is not supported — columns append " +
+            "(reads are by name; order is presentation)")
+        require(ac.defaultValue == null,
+          "ADD COLUMN DEFAULT is not supported — existing rows read " +
+            "NULL; backfill with UPDATE")
+        addC += org.apache.spark.sql.types.StructField(
+          ac.fieldNames.head, ac.dataType, nullable = ac.isNullable)
+      case dc: TableChange.DeleteColumn =>
+        require(dc.fieldNames.length == 1,
+          s"DROP COLUMN supports top-level columns only, not " +
+            dc.fieldNames.mkString("."))
+        dropC += dc.fieldNames.head
       case other => throw new UnsupportedOperationException(
-        s"TxCatalog ALTER TABLE supports only CHECK-constraint " +
-          s"properties ('check.<name>'), not $other — schema changes " +
-          "go through graft.sources.TxTable.commit")
+        s"TxCatalog ALTER TABLE supports CHECK-constraint properties " +
+          s"('check.<name>') and ADD/DROP COLUMN, not $other")
     }
-    TxTable.alterConstraints(SparkSession.active, dir.toString,
-      add.result(), drop.result()): Unit
+    val (ap, dp, ac, dcols) =
+      (addP.result(), dropP.result(), addC.result(), dropC.result())
+    if (ac.nonEmpty || dcols.nonEmpty)
+      TxTable.evolveColumns(SparkSession.active, dir.toString,
+        ac, dcols): Unit
+    if (ap.nonEmpty || dp.nonEmpty)
+      TxTable.alterConstraints(SparkSession.active, dir.toString,
+        ap, dp): Unit
     loadTable(ident)
   }
 

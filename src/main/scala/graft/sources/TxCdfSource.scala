@@ -226,10 +226,11 @@ private[graft] class TxCdfStream(tableSchema: StructType, dir: String,
             parts += AppendedColsPartition(p, Array[Any](v), factory))
         }
       } else if (m.op == "compact" || m.op == "zorder" ||
-          m.op == "constraint" || skipChangeCommits) {
+          m.op == "constraint" || m.op == "evolve" || skipChangeCommits) {
         // compaction and z-order re-copy rows they do not change, and a
-        // constraint registration adds no files at all — never changes;
-        // other rewrites skip only under the opt-in
+        // constraint registration or metadata-only schema evolution
+        // adds no files at all — never changes; other rewrites skip
+        // only under the opt-in
       } else {
         throw new IllegalStateException(
           s"graft-txcdf: version $v of $dir is a '${m.op}' commit that " +

@@ -1076,6 +1076,88 @@ object TxTable {
     v + 1
   }
 
+  /** Metadata-only schema evolution as ONE manifest version (op
+    * `evolve`) — nothing rewrites, which on a 100 TB table is the
+    * entire point (O(1) driver metadata vs a full-corpus rewrite).
+    * ADD appends nullable columns: readers fill NULL for files
+    * written before (the read-by-explicit-schema contract
+    * [[readSnapshotFiles]] already relies on — parquet resolves
+    * columns by name); on a partitioned table new columns slot BEFORE
+    * the partition columns so the hive partition-cols-last invariant
+    * — and with it every future append's schema-equality check —
+    * survives. DROP stops projecting a column the files still
+    * physically hold (time travel keeps old versions readable with
+    * it) and scrubs its per-file stats and blooms so no manifest
+    * entry references a column the schema lacks. Refusals:
+    * non-nullable adds (a promise rows written before the column
+    * existed cannot keep), duplicate/existing/missing names,
+    * partition columns, dropping every column, and drops that break a
+    * registered CHECK constraint (each constraint is re-resolved
+    * against the post-drop schema — a promise about a vanished column
+    * must be withdrawn first, deliberately). */
+  def evolveColumns(spark: SparkSession, tableDir: String,
+      add: Seq[StructField] = Nil, drop: Seq[String] = Nil,
+      primitive: CommitPrimitive = PosixLinkPrimitive): Long = {
+    require(add.nonEmpty || drop.nonEmpty, "no schema changes")
+    val root = Paths.get(tableDir)
+    val v = latestVersion(tableDir).getOrElse(
+      throw new IllegalStateException(
+        s"no committed version under $tableDir/$LogDir"))
+    val m = readManifest(root, v)
+    val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    val existing = schema.fieldNames.map(_.toLowerCase).toSet
+    add.foreach { f =>
+      require(f.nullable,
+        s"ADD COLUMN '${f.name}' must be nullable — rows written " +
+          "before the column existed can only hold NULL")
+      require(!existing(f.name.toLowerCase),
+        s"column '${f.name}' already exists in ${schema.simpleString}")
+    }
+    require(add.map(_.name.toLowerCase).distinct.size == add.size,
+      s"duplicate names in ADD: ${add.map(_.name).mkString(", ")}")
+    val dropSet = drop.map(_.toLowerCase).toSet
+    require(dropSet.size == drop.size,
+      s"duplicate names in DROP: ${drop.mkString(", ")}")
+    drop.foreach { c =>
+      require(existing(c.toLowerCase),
+        s"no column '$c' in ${schema.simpleString}")
+      require(!m.partitionColumns.exists(_.equalsIgnoreCase(c)),
+        s"cannot drop partition column '$c' — relayout with an " +
+          "overwrite commit")
+    }
+    require(add.map(_.name.toLowerCase).toSet.intersect(dropSet).isEmpty,
+      "cannot add and drop the same column in one statement")
+    val partSet = m.partitionColumns.toSet
+    val kept = schema.fields.filterNot(f => dropSet(f.name.toLowerCase))
+    require(kept.nonEmpty || add.nonEmpty,
+      "cannot drop every column — drop the table's directory instead")
+    val (keptData, keptPart) = kept.partition(f => !partSet(f.name))
+    val newSchema = StructType(keptData ++ add ++ keptPart)
+    if (drop.nonEmpty && m.constraints.nonEmpty) {
+      val probe = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], newSchema)
+      m.constraints.toSeq.sortBy(_._1).foreach { case (name, sql) =>
+        try probe.filter(functions.expr(sql)).queryExecution.analyzed: Unit
+        catch { case e: Exception => throw new IllegalArgumentException(
+          s"dropping ${drop.mkString(", ")} would break CHECK " +
+            s"constraint '$name' ($sql) — drop the constraint first", e)
+        }
+      }
+    }
+    val (stats2, blooms2) =
+      if (drop.isEmpty) (m.stats, m.blooms)
+      else (
+        m.stats.view.mapValues(
+          _.filterNot { case (c, _) => dropSet(c.toLowerCase) }).toMap,
+        m.blooms.view.mapValues(
+          _.filterNot { case (c, _) => dropSet(c.toLowerCase) }).toMap
+          .filter(_._2.nonEmpty))
+    val manifest = Manifest(v + 1, "evolve", newSchema.json, m.files,
+      m.txns, stats2, blooms2, m.partitionColumns, m.constraints)
+    publish(root, manifest, primitive)
+    v + 1
+  }
+
   /** The one snapshot-file reader every consumer shares (readVersion,
     * DELETE's candidate read, UPDATE/MERGE's rewrite read): flat tables
     * read as plain parquet; partitioned tables read per value group
