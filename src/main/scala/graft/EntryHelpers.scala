@@ -256,6 +256,47 @@ private[graft] object EntryHelpers {
       java.lang.Long.valueOf(v)
     }).longValue()
 
+  /** `ops_delete_mor` / `ops_purge_dv` fixture: a table (`db.mor`)
+    * created with `tx.deletionVectors=true`, so the SQL DELETE commits
+    * as MERGE-ON-READ — v4's data files are BYTE-IDENTICAL to v3's and
+    * the de rows are tombstoned in a sidecar (cost ∝ deleted rows, the
+    * 100 TB delete shape; require-pinned here, suite-pinned in
+    * TxDvSpec). v5 is the purge: tombstones folded into a clean layout,
+    * only the de-bearing files rewritten, dvDirs empty. Both versions
+    * stay time-travelable. Returns (v4, v5). */
+  val txMorDone = new java.util.concurrent.ConcurrentHashMap[
+    String, (java.lang.Long, java.lang.Long)]()
+  def txMorVersions(s: SparkSession, dir: String,
+                    wh: String): (Long, Long) = {
+    val p = txMorDone.computeIfAbsent(dir, _ => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val tbl = s"$wh/db/mor"
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "en"), tbl, "overwrite",
+        properties = Map(graft.sources.TxTable.DvProperty -> "true"))
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "de"), tbl, "append")
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "fr"), tbl, "append")
+      s.sql("DELETE FROM graft_tx.db.mor WHERE lang = 'de'")
+      val root = java.nio.file.Paths.get(tbl)
+      val (m3, m4) = (graft.sources.TxTable.readManifest(root, 3L),
+        graft.sources.TxTable.readManifest(root, 4L))
+      require(m4.files == m3.files && m4.dvDirs.size == 1,
+        s"expected a merge-on-read delete (same files, one sidecar), " +
+          s"got ${m4.files.size} files / ${m4.dvDirs.size} sidecars")
+      val v5 = graft.sources.TxTable.purgeDeletes(s, tbl)
+      val m5 = graft.sources.TxTable.readManifest(root, v5)
+      require(v5 == 5L && m5.dvDirs.isEmpty &&
+        m4.files.toSet.intersect(m5.files.toSet).nonEmpty,
+        s"expected the purge to commit v5 clearing DVs and carrying " +
+          s"untouched files, got v$v5 / ${m5.dvDirs.size} sidecars")
+      (java.lang.Long.valueOf(4L), java.lang.Long.valueOf(v5))
+    })
+    (p._1.longValue(), p._2.longValue())
+  }
+
   /** `ops_zorder_sql` fixture: a sixth table (`db.zord`), z-order
     * rewritten THROUGH the SQL procedure surface exactly once per
     * (JVM, corpus dir) — `CALL graft_tx.system.zorder(...)` commits v4

@@ -30,6 +30,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // UpdateTable/MergeIntoTable nodes become runnable copy-on-write
     // commands (see graft.sources.TxRowLevel).
     ext.injectPostHocResolutionRule(s => graft.sources.TxRowLevel.RowLevelRule(s))
+    // Deletion-vector reads: relations over tombstone-bearing tx
+    // snapshots are swapped for the DV-aware snapshot read. MUST run
+    // after RowLevelRule — it skips row-level targets by matching the
+    // converted commands (see graft.sources.DvReadRule scaladoc).
+    ext.injectPostHocResolutionRule(s => graft.sources.DvReadRule(s))
   }
 }
 

@@ -535,6 +535,35 @@ private[graft] object QueriesSearchOps {
            |FROM graft_tx.db.mrg VERSION AS OF $v
            |ORDER BY doc_id""".stripMargin)
     }),
+    // ----- merge-on-read DELETE via deletion vectors: the table opts
+    // in with tx.deletionVectors=true, so DELETE writes a (file, pos)
+    // tombstone sidecar and v4's DATA FILES ARE UNCHANGED (fixture
+    // require-pins that) — cost ∝ deleted rows, not touched-file
+    // bytes, the 100 TB delete shape. The certified read is the
+    // DV-aware SQL scan (DvReadRule anti-joins the tombstones) -----
+    "ops_delete_mor" -> ((s: SparkSession, dir: String) => {
+      val wh = EntryHelpers.txCatalogWarehouse(s, dir)
+      s.conf.set("spark.sql.catalog.graft_tx", "graft.sources.TxCatalog")
+      s.conf.set("spark.sql.catalog.graft_tx.root", wh)
+      val (v4, _) = EntryHelpers.txMorVersions(s, dir, wh)
+      s.sql(
+        s"""SELECT CAST($v4 AS BIGINT) AS version, doc_id, lang, n_chars
+           |FROM graft_tx.db.mor VERSION AS OF $v4
+           |ORDER BY doc_id""".stripMargin)
+    }),
+    // ----- the purge that follows: tombstones folded back into a clean
+    // layout (ONLY the de-bearing files rewrote; dvDirs empty,
+    // fixture-pinned), content identical to the MoR view of v4 -----
+    "ops_purge_dv" -> ((s: SparkSession, dir: String) => {
+      val wh = EntryHelpers.txCatalogWarehouse(s, dir)
+      s.conf.set("spark.sql.catalog.graft_tx", "graft.sources.TxCatalog")
+      s.conf.set("spark.sql.catalog.graft_tx.root", wh)
+      val (_, v5) = EntryHelpers.txMorVersions(s, dir, wh)
+      s.sql(
+        s"""SELECT CAST($v5 AS BIGINT) AS version, doc_id, lang, n_chars
+           |FROM graft_tx.db.mor VERSION AS OF $v5
+           |ORDER BY doc_id""".stripMargin)
+    }),
     // ----- JSONL codec round trip: events (incl. the JSON-in-string
     // props column — the quoting torture case) serialized to JSON lines
     // and read back schema-enforced; hash-matching the oracle on the
@@ -1224,6 +1253,17 @@ private[graft] object QueriesSearchOps {
     // accumulated, then the de rows removed — v4 is exactly en+fr
     "ops_delete_sql" ->
       ("""SELECT CAST(4 AS BIGINT) AS version, doc_id, lang, n_chars
+         |FROM documents WHERE lang IN ('en', 'fr')
+         |ORDER BY doc_id""".stripMargin),
+    // the merge-on-read DELETE reads identically to its copy-on-write
+    // twin — the tombstone anti-join must be invisible to content
+    "ops_delete_mor" ->
+      ("""SELECT CAST(4 AS BIGINT) AS version, doc_id, lang, n_chars
+         |FROM documents WHERE lang IN ('en', 'fr')
+         |ORDER BY doc_id""".stripMargin),
+    // the purge materializes the same content with no tombstones left
+    "ops_purge_dv" ->
+      ("""SELECT CAST(5 AS BIGINT) AS version, doc_id, lang, n_chars
          |FROM documents WHERE lang IN ('en', 'fr')
          |ORDER BY doc_id""".stripMargin),
     // the SQL UPDATE replayed from the commit definitions: en+de+fr

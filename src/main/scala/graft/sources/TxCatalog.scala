@@ -193,6 +193,10 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
       case (k, v) if k.startsWith("check.") && k.length > 6 =>
         k.stripPrefix("check.") -> v
     }.toMap
+    // engine properties ('tx.*', e.g. tx.deletionVectors) land in the
+    // v1 manifest and carry forward like constraints; unknown tx.*
+    // keys refuse inside commit (validateProperties)
+    val txProps = properties.asScala.filter(_._1.startsWith("tx.")).toMap
     val dir = dirFor(ident)
     if (isTxTable(dir)) throw new TableAlreadyExistsException(ident)
     val spark = SparkSession.active
@@ -205,7 +209,8 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
     // create-exclusive — either way the race surfaces as already-exists
     try TxTable.commit(empty, dir.toString, "overwrite",
       opLabel = Some("create"), requireVersion = Some(1L),
-      partitionBy = Some(partCols), constraints = checks)
+      partitionBy = Some(partCols), constraints = checks,
+      properties = txProps)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new TableAlreadyExistsException(ident)
@@ -286,6 +291,8 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
     if (!isTxTable(dir)) throw new NoSuchTableException(ident)
     val addP = Map.newBuilder[String, String]
     val dropP = Set.newBuilder[String]
+    val setT = Map.newBuilder[String, String]
+    val unsetT = Set.newBuilder[String]
     val addC = Seq.newBuilder[org.apache.spark.sql.types.StructField]
     val dropC = Seq.newBuilder[String]
     changes.foreach {
@@ -295,6 +302,10 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
       case rp: TableChange.RemoveProperty
           if rp.property.startsWith("check.") && rp.property.length > 6 =>
         dropP += rp.property.stripPrefix("check.")
+      case sp: TableChange.SetProperty if sp.property.startsWith("tx.") =>
+        setT += sp.property -> sp.value
+      case rp: TableChange.RemoveProperty if rp.property.startsWith("tx.") =>
+        unsetT += rp.property
       case ac: TableChange.AddColumn =>
         require(ac.fieldNames.length == 1,
           s"ADD COLUMN supports top-level columns only, not " +
@@ -314,16 +325,20 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
         dropC += dc.fieldNames.head
       case other => throw new UnsupportedOperationException(
         s"TxCatalog ALTER TABLE supports CHECK-constraint properties " +
-          s"('check.<name>') and ADD/DROP COLUMN, not $other")
+          s"('check.<name>'), engine properties ('tx.*'), and " +
+          s"ADD/DROP COLUMN, not $other")
     }
     val (ap, dp, ac, dcols) =
       (addP.result(), dropP.result(), addC.result(), dropC.result())
+    val (st, ut) = (setT.result(), unsetT.result())
     if (ac.nonEmpty || dcols.nonEmpty)
       TxTable.evolveColumns(SparkSession.active, dir.toString,
         ac, dcols): Unit
     if (ap.nonEmpty || dp.nonEmpty)
       TxTable.alterConstraints(SparkSession.active, dir.toString,
         ap, dp): Unit
+    if (st.nonEmpty || ut.nonEmpty)
+      TxTable.alterProperties(dir.toString, st, ut): Unit
     loadTable(ident)
   }
 
@@ -482,6 +497,13 @@ private[graft] class TxSqlTable(tableName: String, dir: Path, version: Long,
     * handles carry no write capability, same contract as INSERT. */
   private[graft] def tablePath: Path = dir
   private[graft] def isWritableHandle: Boolean = writable
+  /** Hooks for the deletion-vector read rule
+    * ([[graft.GraftExtensions]]): a snapshot with live tombstones
+    * cannot be served by the plain delegated parquet scan — the rule
+    * swaps the relation for the DV-aware snapshot read. */
+  private[graft] def snapshotVersion: Long = version
+  private[graft] def hasDeletionVectors: Boolean =
+    manifest.dvDirs.nonEmpty
   private lazy val tableSchema: StructType =
     DataType.fromJson(manifest.schemaJson).asInstanceOf[StructType]
 
@@ -500,6 +522,7 @@ private[graft] class TxSqlTable(tableName: String, dir: Path, version: Long,
   override def properties(): util.Map[String, String] =
     (Map("format" -> "graft-txtable", "location" -> dir.toString,
       "version" -> version.toString) ++
+      manifest.properties ++
       manifest.constraints.map { case (n, e) => s"check.$n" -> e }).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =

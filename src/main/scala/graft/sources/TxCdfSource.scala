@@ -226,7 +226,8 @@ private[graft] class TxCdfStream(tableSchema: StructType, dir: String,
             parts += AppendedColsPartition(p, Array[Any](v), factory))
         }
       } else if (m.op == "compact" || m.op == "zorder" ||
-          m.op == "constraint" || m.op == "evolve" || skipChangeCommits) {
+          m.op == "constraint" || m.op == "evolve" ||
+          m.op == "property" || m.op == "purge" || skipChangeCommits) {
         // compaction and z-order re-copy rows they do not change, and a
         // constraint registration or metadata-only schema evolution
         // adds no files at all — never changes; other rewrites skip

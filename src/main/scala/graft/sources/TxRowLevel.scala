@@ -229,7 +229,7 @@ private[graft] final case class TxUpdateCommand(
     val cond = condition.map(bind)
       .map(c => coalesce(c, lit(false))).getOrElse(lit(true))
     val rewritten = TxTable.readSnapshotFiles(spark, tableDir, schema,
-        m.partitionColumns, touched)
+        m.partitionColumns, touched, m.dvDirs)
       .select(schema.fields.toSeq.map { f =>
         assignedValue(assignments, f, tgt, fallback = col(f.name), bind)
           match {
@@ -329,7 +329,7 @@ private[graft] final case class TxMergeCommand(
     // position) id from the parquet _metadata column (and attaches
     // partition values on a partitioned table).
     val tgtDf = TxTable.readSnapshotFiles(spark, tableDir, schema,
-      m.partitionColumns, joinTargetFiles, tidCol = Some(Tid))
+      m.partitionColumns, joinTargetFiles, m.dvDirs, tidCol = Some(Tid))
     val onCond = coalesce(bind(mergeCondition), lit(false))
     val joined = graft.ext.TrackedCache.persistTracked(
       tgtDf.join(srcDf.withColumn(SMark, lit(true)), onCond, "full_outer"))

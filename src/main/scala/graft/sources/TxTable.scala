@@ -156,6 +156,14 @@ object TxTable {
     * they are ALSO recorded as min=max entries in `stats`, so partition
     * pruning IS the existing stats-skipping layer — zero bespoke
     * pruning code, and the same conservative-skip guarantees. */
+  /** `dvDirs`: live deletion-vector sidecar dirs (`data/dv-<uuid>`),
+    * each a parquet dataset of (file, pos) tombstones — a row of the
+    * snapshot is DELETED iff its (physical file rel path, in-file row
+    * index) appears in ANY listed dir. Keys are physical paths, so an
+    * entry whose data file left the snapshot is stale-but-harmless
+    * (it can never match); [[purgeDeletes]] is the hygiene pass.
+    * `properties`: table configuration (`tx.*` keys), carried forward
+    * by every commit like constraints. */
   final case class Manifest(version: Long, op: String, schemaJson: String,
                             files: Seq[String],
                             txns: Map[String, Long] = Map.empty,
@@ -164,7 +172,9 @@ object TxTable {
                             blooms: Map[String, Map[String, TxStats.FileBloom]] =
                               Map.empty,
                             partitionColumns: Seq[String] = Nil,
-                            constraints: Map[String, String] = Map.empty)
+                            constraints: Map[String, String] = Map.empty,
+                            dvDirs: Seq[String] = Nil,
+                            properties: Map[String, String] = Map.empty)
 
   /** Commit `df` as the next version. `mode` is "overwrite" (the new
     * version is exactly this frame) or "append" (this frame plus the
@@ -208,9 +218,11 @@ object TxTable {
              bloomColumns: Seq[String] = Nil,
              requireVersion: Option[Long] = None,
              partitionBy: Option[Seq[String]] = None,
-             constraints: Map[String, String] = Map.empty): Long = {
+             constraints: Map[String, String] = Map.empty,
+             properties: Map[String, String] = Map.empty): Long = {
     require(mode == "overwrite" || mode == "append",
       s"mode must be overwrite|append, got '$mode'")
+    validateProperties(properties)
     val root = Paths.get(tableDir)
     Files.createDirectories(root.resolve(LogDir))
     val prev0 = latestVersion(tableDir).map(v => readManifest(root, v))
@@ -324,11 +336,19 @@ object TxTable {
       else Map.empty[String, Map[String, TxStats.FileBloom]]
     val newBlooms = TxStats.buildFileBlooms(df2.sparkSession,
       root.resolve(staged.dataRel), staged.files, df2.schema, bloomColumns)
+    // deletion vectors: an append must carry the snapshot's tombstones
+    // (dropping them would RESURRECT deleted rows); an overwrite
+    // replaces every row, so none survive. Table properties are
+    // configuration — they survive both modes, like constraints.
+    val carriedDvs =
+      if (mode == "append") prev.map(_.dvDirs).getOrElse(Nil) else Nil
+    val effProps = prev.map(_.properties).getOrElse(Map.empty) ++ properties
     val manifest = Manifest(version, opLabel.getOrElse(mode),
       committedSchema.json, carried ++ staged.files,
       prev.map(_.txns).getOrElse(Map.empty) ++ txn,
       carriedStats ++ staged.stats,
-      carriedBlooms ++ newBlooms, effParts, effConstraints)
+      carriedBlooms ++ newBlooms, effParts, effConstraints,
+      carriedDvs, effProps)
     try publish(root, manifest, primitive)
     catch {
       case e: java.nio.file.FileAlreadyExistsException =>
@@ -452,7 +472,12 @@ object TxTable {
     val versions = listNames(root.resolve(LogDir))
       .collect { case VersionName(v) => v }.sorted
     val (expired, retained) = versions.partition(_ <= latest - retain)
-    val live = retained.flatMap(v => readManifest(root, v).files).toSet
+    val retainedMs = retained.map(v => readManifest(root, v))
+    val live = retainedMs.flatMap(_.files).toSet
+    // deletion-vector sidecars referenced by ANY retained manifest are
+    // as live as the data files they tombstone — deleting one would
+    // resurrect rows in a still-readable version
+    val liveDv = retainedMs.flatMap(_.dvDirs).toSet
     expired.foreach(v => Files.deleteIfExists(manifestPath(root, v)))
     val dataDir = root.resolve("data")
     val now = System.currentTimeMillis()
@@ -482,9 +507,11 @@ object TxTable {
           def rel(p: Path): String =
             root.relativize(p).toString
               .replace(java.io.File.separatorChar, '/')
-          val hasLive = files.exists(p => live.contains(rel(p)))
+          def isLive(r: String): Boolean = live.contains(r) ||
+            liveDv.exists(d => r == d || r.startsWith(d + "/"))
+          val hasLive = files.exists(p => isLive(rel(p)))
           files.foreach { p =>
-            val dead = !live.contains(rel(p)) &&
+            val dead = !isLive(rel(p)) &&
               (p.getFileName.toString.endsWith(".parquet") || !hasLive)
             if (dead && Files.isRegularFile(p) && oldEnough(p)) {
               nBytes += Files.size(p)
@@ -533,6 +560,16 @@ object TxTable {
       throw new IllegalStateException(
         s"no committed version under $tableDir/$LogDir"))
     val m = readManifest(root, v)
+    // tombstones fold first: compact's per-group reads are RAW parquet
+    // (each group coalesces verbatim — no anti-join), so compacting a
+    // tombstoned file would resurrect its deleted rows. purgeDeletes
+    // rewrites exactly the affected files, then the (clean) snapshot
+    // compacts as usual — two versions, both time-travelable.
+    if (m.dvDirs.nonEmpty) {
+      purgeDeletes(spark, tableDir, primitive): Unit
+      return compact(spark, tableDir, targetBytes, maxConcurrentJobs,
+        primitive)
+    }
     val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
     if (m.files.isEmpty) return v
     val partSet = m.partitionColumns.toSet
@@ -600,7 +637,7 @@ object TxTable {
     // rows unchanged" from a real rewrite
     val manifest = Manifest(v + 1, "compact", m.schemaJson, newFiles,
       m.txns, compactStats, compactBlooms, m.partitionColumns,
-      m.constraints)
+      m.constraints, Nil, m.properties)
     try publish(root, manifest, primitive)
     catch {
       case e: java.nio.file.FileAlreadyExistsException =>
@@ -681,9 +718,12 @@ object TxTable {
     val bloomCols = m.blooms.values.flatMap(_.keys).toSet.toSeq.sorted
     val newBlooms = TxStats.buildFileBlooms(spark,
       root.resolve(staged.dataRel), staged.files, schema, bloomCols)
+    // full rewrite through the DV-aware readVersion: tombstoned rows
+    // were never read, so the new layout has MATERIALIZED the deletes
+    // and carries no deletion vectors
     val manifest = Manifest(v + 1, "zorder", m.schemaJson, staged.files,
       m.txns, staged.stats, newBlooms, m.partitionColumns,
-      m.constraints)
+      m.constraints, Nil, m.properties)
     try publish(root, manifest, primitive)
     catch {
       case e: java.nio.file.FileAlreadyExistsException =>
@@ -856,6 +896,9 @@ object TxTable {
       throw new IllegalStateException(
         s"no committed version under $tableDir/$LogDir"))
     val m = readManifest(root, v)
+    // table-level opt-in to merge-on-read: the 100 TB DELETE shape
+    if (m.properties.get(DvProperty).contains("true"))
+      return deleteWhereMor(spark, tableDir, filters, primitive)
     val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
     val cond: org.apache.spark.sql.Column = filters
       .map(f => SourceFilterColumns.toColumn(f).getOrElse(
@@ -873,13 +916,124 @@ object TxTable {
     if (touched.isEmpty) return v // provably nothing to delete
     // keep = NOT true(cond): NULL-condition rows survive, like ANSI.
     // The shared snapshot reader attaches partition values on a
-    // partitioned table, so the condition sees every column.
+    // partitioned table, so the condition sees every column — and
+    // applies any existing tombstones, so a copy-on-write rewrite of
+    // an already-DV-bearing file cannot resurrect its deleted rows.
     val survivors =
       readSnapshotFiles(spark, tableDir, schema, m.partitionColumns,
-        touched)
+        touched, m.dvDirs)
       .filter(!functions.coalesce(cond, functions.lit(false)))
     replaceFiles(spark, tableDir, m, untouched, survivors, "delete",
       primitive)
+  }
+
+  /** The table property that routes DELETE through deletion vectors. */
+  val DvProperty = "tx.deletionVectors"
+
+  /** `tx.*` table properties are a closed set — an unrecognized key is
+    * a typo'd promise nothing will honor, which is worse than an
+    * error. */
+  private[sources] def validateProperties(props: Map[String, String]): Unit =
+    props.foreach {
+      case (DvProperty, v) => require(v == "true" || v == "false",
+        s"$DvProperty must be true|false, got '$v'")
+      case (k, _) => throw new IllegalArgumentException(
+        s"unknown table property '$k' — supported: $DvProperty")
+    }
+
+  /** Merge-on-read DELETE: instead of rewriting every file that holds
+    * a matching row (copy-on-write — at 100 TB that is terabytes of
+    * IO to remove a handful of rows), write the matches' (file, pos)
+    * identities as a tombstone sidecar and publish a version whose
+    * DATA FILES ARE UNCHANGED. Cost ∝ deleted rows, not touched-file
+    * bytes; every reader applies the tombstones through the shared
+    * snapshot reader's anti-join. Candidate files still prune through
+    * stats/blooms (the matching scan reads only files that can hold a
+    * match), already-tombstoned rows cannot re-match (the candidate
+    * read is itself DV-aware), and a delete that matches nothing
+    * commits NO version and leaves no sidecar. [[purgeDeletes]] is
+    * the hygiene pass that folds tombstones back into clean files. */
+  def deleteWhereMor(spark: SparkSession, tableDir: String,
+                     filters: Seq[org.apache.spark.sql.sources.Filter],
+                     primitive: CommitPrimitive = PosixLinkPrimitive): Long = {
+    val root = Paths.get(tableDir)
+    val v = latestVersion(tableDir).getOrElse(
+      throw new IllegalStateException(
+        s"no committed version under $tableDir/$LogDir"))
+    val m = readManifest(root, v)
+    val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    val cond: org.apache.spark.sql.Column = filters
+      .map(f => SourceFilterColumns.toColumn(f).getOrElse(
+        throw new UnsupportedOperationException(
+          s"DELETE condition not expressible as a source filter: $f")))
+      .reduceOption(_ && _).getOrElse(functions.lit(true))
+    val candidates = m.files.filter { f =>
+      val st = m.stats.getOrElse(f, Map.empty[String, TxStats.ColStat])
+      val bl = m.blooms.getOrElse(f, Map.empty[String, TxStats.FileBloom])
+      !filters.exists(fl =>
+        TxStats.excludes(st, schema, fl) || TxStats.bloomExcludes(bl, fl))
+    }
+    if (candidates.isEmpty) return v
+    val dvRel = s"data/dv-${java.util.UUID.randomUUID()}"
+    val matched =
+      readSnapshotFiles(spark, tableDir, schema, m.partitionColumns,
+        candidates, m.dvDirs, dvMeta = true)
+      .filter(functions.coalesce(cond, functions.lit(false)))
+      .select(functions.col(DvFileCol).as("file"),
+        functions.col(DvPosCol).as("pos"))
+    matched.write.parquet(root.resolve(dvRel).toString)
+    // one metadata-sized aggregate over the sidecar just written:
+    // total tombstones and the null-key tripwire (a null file key
+    // means the identity derivation failed — publishing it would
+    // silently KEEP those rows)
+    val chk = readDvFrame(spark, root, Seq(dvRel))
+      .agg(functions.count(functions.lit(1)),
+        functions.count_if(functions.col("file").isNull)).head()
+    val (n, nNull) = (chk.getLong(0), chk.getLong(1))
+    if (nNull > 0) {
+      deleteRecursively(root.resolve(dvRel))
+      throw new IllegalStateException(
+        s"MoR DELETE on $tableDir: $nNull matched row(s) produced a " +
+          "null file identity — sidecar withdrawn, nothing committed")
+    }
+    if (n == 0) { deleteRecursively(root.resolve(dvRel)); return v }
+    val manifest = Manifest(v + 1, "delete", m.schemaJson, m.files,
+      m.txns, m.stats, m.blooms, m.partitionColumns, m.constraints,
+      m.dvDirs :+ dvRel, m.properties)
+    try publish(root, manifest, primitive)
+    catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        try deleteRecursively(root.resolve(dvRel))
+        catch { case _: Exception => () }
+        throw e
+    }
+    v + 1
+  }
+
+  /** Fold the tombstones back into clean files: rewrite ONLY the
+    * manifest entries that actually hold a tombstoned row (everything
+    * else carries forward verbatim) and publish with an EMPTY dvDirs —
+    * after a purge, reads pay no anti-join and sidecars are
+    * vacuum-reclaimable. The affected-entry set comes from one
+    * distinct-files pass over the sidecars (O(live files) driver rows,
+    * the same envelope as the manifest itself). */
+  def purgeDeletes(spark: SparkSession, tableDir: String,
+                   primitive: CommitPrimitive = PosixLinkPrimitive): Long = {
+    val root = Paths.get(tableDir)
+    val v = latestVersion(tableDir).getOrElse(
+      throw new IllegalStateException(
+        s"no committed version under $tableDir/$LogDir"))
+    val m = readManifest(root, v)
+    if (m.dvDirs.isEmpty) return v
+    val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    val dvFiles = readDvFrame(spark, root, m.dvDirs)
+      .select("file").distinct().collect().map(_.getString(0)).toSet
+    val (touched, untouched) = m.files.partition(e =>
+      dvFiles.contains(e) || dvFiles.exists(_.startsWith(e + "/")))
+    val survivors = readSnapshotFiles(spark, tableDir, schema,
+      m.partitionColumns, touched, m.dvDirs)
+    replaceFiles(spark, tableDir, m, untouched, survivors, "purge",
+      primitive, dvDirs = Some(Nil))
   }
 
   /** Shared copy-on-write tail for every row-level rewrite (DELETE /
@@ -891,11 +1045,19 @@ object TxTable {
     * every writer — staged files reclaimed on a version conflict, so a
     * lost race leaves no orphans and the pre-rewrite snapshot stays
     * time-travelable either way. */
+  /** `dvDirs`: None carries the base snapshot's deletion vectors
+    * forward (correct for partial rewrites — untouched files still
+    * need their tombstones, and entries for rewritten files are
+    * stale-but-harmless because their physical paths left the
+    * snapshot); Some(Nil) clears them (a rewrite that touched every
+    * tombstoned file, e.g. [[purgeDeletes]]). */
   private[graft] def replaceFiles(spark: SparkSession, tableDir: String,
                                   base: Manifest, untouched: Seq[String],
                                   newData: DataFrame, op: String,
                                   primitive: CommitPrimitive =
-                                    PosixLinkPrimitive): Long = {
+                                    PosixLinkPrimitive,
+                                  dvDirs: Option[Seq[String]] = None): Long = {
+    val dvDirsOut = dvDirs.getOrElse(base.dvDirs)
     val root = Paths.get(tableDir)
     val schema =
       DataType.fromJson(base.schemaJson).asInstanceOf[StructType]
@@ -918,7 +1080,7 @@ object TxTable {
     val manifest = Manifest(base.version + 1, op, base.schemaJson,
       untouched ++ staged.files, base.txns,
       keptStats ++ staged.stats, keptBlooms ++ newBlooms,
-      base.partitionColumns, base.constraints)
+      base.partitionColumns, base.constraints, dvDirsOut, base.properties)
     try publish(root, manifest, primitive)
     catch {
       case e: java.nio.file.FileAlreadyExistsException =>
@@ -952,7 +1114,8 @@ object TxTable {
     val latest = versions(tableDir).max // non-empty: v's manifest exists
     val head = readManifest(root, latest)
     val manifest = Manifest(latest + 1, "restore", m.schemaJson, m.files,
-      head.txns, m.stats, m.blooms, m.partitionColumns, m.constraints)
+      head.txns, m.stats, m.blooms, m.partitionColumns, m.constraints,
+      m.dvDirs, m.properties)
     publish(root, manifest, primitive)
     // Tripwire for the one race the ordering argument cannot close: a
     // vacuum running CONCURRENTLY may have snapshotted its live set
@@ -962,7 +1125,8 @@ object TxTable {
     // (standard lakehouse operational rule), but verify anyway: on a
     // torn restore, withdraw the manifest we just published (removing
     // the newest manifest restores the previous head) and fail loudly.
-    val missing = m.files.filterNot(f => Files.exists(root.resolve(f)))
+    val missing = (m.files ++ m.dvDirs)
+      .filterNot(f => Files.exists(root.resolve(f)))
     if (missing.nonEmpty) {
       Files.deleteIfExists(manifestPath(root, latest + 1)): Unit
       throw new IllegalStateException(
@@ -990,7 +1154,8 @@ object TxTable {
     val root = Paths.get(tableDir)
     val m = readManifest(root, v)
     val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
-    readSnapshotFiles(spark, tableDir, schema, m.partitionColumns, m.files)
+    readSnapshotFiles(spark, tableDir, schema, m.partitionColumns,
+      m.files, m.dvDirs)
   }
 
   /** SQL-standard CHECK enforcement: a row violates only when the
@@ -1041,6 +1206,36 @@ object TxTable {
       primitive: CommitPrimitive = PosixLinkPrimitive): Long =
     mutateConstraints(Some(spark), tableDir, add, drop, primitive)
 
+  /** Set / unset engine (`tx.*`) table properties as ONE metadata
+    * version (op `property`) — the ALTER TABLE SET/UNSET TBLPROPERTIES
+    * arm for configuration, mirroring [[alterConstraints]]'s
+    * all-or-nothing shape: keys validate ([[validateProperties]]) and
+    * unsets existence-check BEFORE anything publishes. */
+  def alterProperties(tableDir: String, set: Map[String, String],
+      unset: Set[String],
+      primitive: CommitPrimitive = PosixLinkPrimitive): Long = {
+    require(set.nonEmpty || unset.nonEmpty, "no property changes")
+    validateProperties(set)
+    require(set.keySet.intersect(unset).isEmpty,
+      "cannot set and unset the same property in one statement: " +
+        set.keySet.intersect(unset).toSeq.sorted.mkString(", "))
+    val root = Paths.get(tableDir)
+    val v = latestVersion(tableDir).getOrElse(
+      throw new IllegalStateException(
+        s"no committed version under $tableDir/$LogDir"))
+    val m = readManifest(root, v)
+    val missing = unset.diff(m.properties.keySet)
+    require(missing.isEmpty,
+      s"no propert${if (missing.size == 1) "y" else "ies"} " +
+        s"${missing.toSeq.sorted.mkString(", ")} on $tableDir (have: " +
+        s"${m.properties.keys.toSeq.sorted.mkString(", ")})")
+    val manifest = Manifest(v + 1, "property", m.schemaJson, m.files,
+      m.txns, m.stats, m.blooms, m.partitionColumns, m.constraints,
+      m.dvDirs, m.properties -- unset ++ set)
+    publish(root, manifest, primitive)
+    v + 1
+  }
+
   /** Shared all-or-nothing constraint mutation. `spark` is only
     * dereferenced when `add` is non-empty (the existing-snapshot
     * validation scan); drop-only calls pass None. */
@@ -1071,7 +1266,7 @@ object TxTable {
           "(a constraint must hold before it is promised)")
     val manifest = Manifest(v + 1, "constraint", m.schemaJson, m.files,
       m.txns, m.stats, m.blooms, m.partitionColumns,
-      m.constraints -- drop ++ add)
+      m.constraints -- drop ++ add, m.dvDirs, m.properties)
     publish(root, manifest, primitive)
     v + 1
   }
@@ -1153,7 +1348,8 @@ object TxTable {
           _.filterNot { case (c, _) => dropSet(c.toLowerCase) }).toMap
           .filter(_._2.nonEmpty))
     val manifest = Manifest(v + 1, "evolve", newSchema.json, m.files,
-      m.txns, stats2, blooms2, m.partitionColumns, m.constraints)
+      m.txns, stats2, blooms2, m.partitionColumns, m.constraints,
+      m.dvDirs, m.properties)
     publish(root, manifest, primitive)
     v + 1
   }
@@ -1167,37 +1363,96 @@ object TxTable {
     * parquet `_metadata` (file path, row index) — built INSIDE each
     * branch so it survives the union; recomputation-safe by
     * construction (the id is a function of immutable file bytes). */
+  /** Deletion-vector plumbing: a row's DV identity is (physical file
+    * path RELATIVE to the table root, parquet row index) — a pure
+    * function of immutable file bytes, so it survives recomputation,
+    * and relative so the table directory can move. Both the writer
+    * ([[deleteWhereMor]]) and every reader derive it with THIS
+    * function, which is what makes the keys meet. */
+  private[sources] val DvFileCol = "__dv_file"
+  private[sources] val DvPosCol = "__dv_pos"
+  private def dvRelPath(root: Path,
+      fp: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val rootStr = root.toAbsolutePath.toString
+    // `_metadata.file_path` is a URI ("file:/…"): locate the absolute
+    // root inside it rather than assuming the scheme prefix
+    functions.when(functions.locate(rootStr + "/", fp) === 0,
+      functions.lit(null))
+      .otherwise(fp.substr(
+        functions.locate(rootStr + "/", fp) +
+          functions.lit(rootStr.length + 1),
+        functions.lit(Int.MaxValue)))
+  }
+
+  /** The (file, pos) tombstone set across every live sidecar dir. */
+  private[sources] def readDvFrame(spark: SparkSession, root: Path,
+      dvDirs: Seq[String]): DataFrame =
+    spark.read.schema(StructType(Seq(
+        StructField("file", org.apache.spark.sql.types.StringType),
+        StructField("pos", org.apache.spark.sql.types.LongType))))
+      .parquet(dvDirs.map(d => root.resolve(d).toString): _*)
+
+  /** `dvDirs` is REQUIRED (no default) so every caller must decide
+    * what the snapshot's tombstones are — a reader that forgot them
+    * would resurrect deleted rows, silently. `dvMeta = true` appends
+    * the [[DvFileCol]]/[[DvPosCol]] identity columns to the output
+    * (the MoR delete writer's hook). */
   private[sources] def readSnapshotFiles(spark: SparkSession,
       tableDir: String, schema: StructType, partitionColumns: Seq[String],
-      files: Seq[String], tidCol: Option[String] = None): DataFrame = {
+      files: Seq[String], dvDirs: Seq[String],
+      tidCol: Option[String] = None, dvMeta: Boolean = false): DataFrame = {
     val root = Paths.get(tableDir)
-    val outFields =
-      schema.fieldNames.toSeq ++ tidCol.toSeq
-    def withTid(df: DataFrame): DataFrame = tidCol match {
-      case None => df
-      case Some(c) => df.withColumn(c, functions.concat_ws("#",
-        functions.col("_metadata.file_path"),
-        functions.col("_metadata.row_index")))
+    val needDv = dvDirs.nonEmpty || dvMeta
+    if (needDv) Seq(DvFileCol, DvPosCol).foreach(c => require(
+      !schema.fieldNames.contains(c), s"table may not have a '$c' column"))
+    val outFields = schema.fieldNames.toSeq ++ tidCol.toSeq ++
+      (if (dvMeta) Seq(DvFileCol, DvPosCol) else Nil)
+    def withMeta(df: DataFrame): DataFrame = {
+      val t = tidCol match {
+        case None => df
+        case Some(c) => df.withColumn(c, functions.concat_ws("#",
+          functions.col("_metadata.file_path"),
+          functions.col("_metadata.row_index")))
+      }
+      if (!needDv) t
+      else t
+        .withColumn(DvFileCol,
+          dvRelPath(root, functions.col("_metadata.file_path")))
+        .withColumn(DvPosCol, functions.col("_metadata.row_index"))
     }
+    def applyDv(df: DataFrame): DataFrame =
+      if (dvDirs.isEmpty) df
+      else {
+        // distributed left-anti on the tombstone set — never through
+        // the driver; AQE picks broadcast when the DVs are small (the
+        // common case: tombstones ∝ deleted rows, not table size)
+        val dv = readDvFrame(spark, root, dvDirs)
+        df.join(dv, df(DvFileCol) === dv("file") &&
+          df(DvPosCol) === dv("pos"), "left_anti")
+      }
     if (files.isEmpty) {
       val base = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      tidCol.fold(base)(c =>
+      val withT = tidCol.fold(base)(c =>
         base.withColumn(c, functions.lit(null).cast("string")))
+      if (!dvMeta) withT
+      else withT
+        .withColumn(DvFileCol, functions.lit(null).cast("string"))
+        .withColumn(DvPosCol, functions.lit(null).cast("long"))
     } else if (partitionColumns.isEmpty)
-      withTid(spark.read.schema(schema)
-        .parquet(files.map(f => root.resolve(f).toString): _*))
+      applyDv(withMeta(spark.read.schema(schema)
+        .parquet(files.map(f => root.resolve(f).toString): _*)))
         .select(outFields.map(functions.col): _*)
     else {
       val partSet = partitionColumns.toSet
       val dataSchema =
         StructType(schema.fields.filterNot(f => partSet(f.name)))
-      files
+      applyDv(files
         .groupBy(f => partitionColumns
           .map(c => partitionValuesFromPath(f, partSet).get(c)))
         .toSeq.sortBy(_._1.toString)
         .map { case (vals, fs) =>
-          val base = withTid(spark.read.schema(dataSchema)
+          val base = withMeta(spark.read.schema(dataSchema)
             .parquet(fs.map(f => root.resolve(f).toString): _*))
           partitionColumns.zip(vals).foldLeft(base) {
             case (df, (c, v0)) =>
@@ -1206,7 +1461,7 @@ object TxTable {
                 .cast(schema(c).dataType))
           }
         }
-        .reduce(_ unionByName _)
+        .reduce(_ unionByName _))
         .select(outFields.map(functions.col): _*)
     }
   }
@@ -1364,6 +1619,16 @@ object TxTable {
         co.put(k, v): Unit
       }
     }
+    if (m.dvDirs.nonEmpty) {
+      val dv = node.putArray("dvDirs")
+      m.dvDirs.foreach(dv.add)
+    }
+    if (m.properties.nonEmpty) {
+      val pr = node.putObject("properties")
+      m.properties.toSeq.sortBy(_._1).foreach { case (k, v) =>
+        pr.put(k, v): Unit
+      }
+    }
     primitive.publishExclusive(manifestPath(root, m.version),
       mapper.writeValueAsBytes(node))
   }
@@ -1409,9 +1674,15 @@ object TxTable {
     val constraints = Option(node.get("constraints")).map { co =>
       co.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
     }.getOrElse(Map.empty[String, String])
+    val dvDirs = Option(node.get("dvDirs"))
+      .map(_.elements().asScala.map(_.asText()).toSeq)
+      .getOrElse(Seq.empty)
+    val props = Option(node.get("properties")).map { pr =>
+      pr.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    }.getOrElse(Map.empty[String, String])
     Manifest(node.get("version").asLong(), node.get("op").asText(),
       node.get("schema").asText(),
       node.get("files").elements().asScala.map(_.asText()).toSeq, txns,
-      stats, blooms, partitionColumns, constraints)
+      stats, blooms, partitionColumns, constraints, dvDirs, props)
   }
 }
