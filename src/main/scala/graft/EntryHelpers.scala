@@ -297,6 +297,42 @@ private[graft] object EntryHelpers {
     (p._1.longValue(), p._2.longValue())
   }
 
+  /** `ops_update_mor` fixture: like `db.upd` but on a
+    * `tx.deletionVectors=true` table (`db.morupd`), so the SQL UPDATE
+    * commits MERGE-ON-READ: every pre-update data file carries forward
+    * VERBATIM, the matched de rows tombstone into a sidecar, and ONLY
+    * their updated copies stage as appended files (require-pinned;
+    * suite-pinned in TxDvSpec). Commits v4. */
+  val txMorUpdDone =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  def txMorUpdatedVersion(s: SparkSession, dir: String, wh: String): Long =
+    txMorUpdDone.computeIfAbsent(dir, _ => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val tbl = s"$wh/db/morupd"
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "en"), tbl, "overwrite",
+        properties = Map(graft.sources.TxTable.DvProperty -> "true"))
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "de"), tbl, "append")
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "fr"), tbl, "append")
+      s.sql(
+        "UPDATE graft_tx.db.morupd SET n_chars = n_chars + 1000 " +
+          "WHERE lang = 'de'")
+      val v = graft.sources.TxTable.latestVersion(tbl).getOrElse(0L)
+      require(v == 4L, s"expected the MoR update to commit v4, got v$v")
+      val root = java.nio.file.Paths.get(tbl)
+      val (m3, m4) = (graft.sources.TxTable.readManifest(root, 3L),
+        graft.sources.TxTable.readManifest(root, 4L))
+      require(m3.files.forall(m4.files.contains) &&
+        m4.files.size > m3.files.size && m4.dvDirs.size == 1,
+        s"expected a merge-on-read update (all files carried + copies " +
+          s"appended, one sidecar), got ${m4.files.size} files vs " +
+          s"${m3.files.size} / ${m4.dvDirs.size} sidecars")
+      java.lang.Long.valueOf(v)
+    }).longValue()
+
   /** `ops_zorder_sql` fixture: a sixth table (`db.zord`), z-order
     * rewritten THROUGH the SQL procedure surface exactly once per
     * (JVM, corpus dir) — `CALL graft_tx.system.zorder(...)` commits v4

@@ -551,6 +551,21 @@ private[graft] object QueriesSearchOps {
            |FROM graft_tx.db.mor VERSION AS OF $v4
            |ORDER BY doc_id""".stripMargin)
     }),
+    // ----- merge-on-read UPDATE: on the DV-opted table the SQL UPDATE
+    // tombstones exactly the matched de rows and appends ONLY their
+    // updated copies — every pre-update file carries forward verbatim
+    // (fixture require-pins that). Cost ∝ updated rows, not
+    // touched-file bytes; same oracle shape as the CoW ops_update_sql -----
+    "ops_update_mor" -> ((s: SparkSession, dir: String) => {
+      val wh = EntryHelpers.txCatalogWarehouse(s, dir)
+      s.conf.set("spark.sql.catalog.graft_tx", "graft.sources.TxCatalog")
+      s.conf.set("spark.sql.catalog.graft_tx.root", wh)
+      val v = EntryHelpers.txMorUpdatedVersion(s, dir, wh)
+      s.sql(
+        s"""SELECT CAST($v AS BIGINT) AS version, doc_id, lang, n_chars
+           |FROM graft_tx.db.morupd VERSION AS OF $v
+           |ORDER BY doc_id""".stripMargin)
+    }),
     // ----- the purge that follows: tombstones folded back into a clean
     // layout (ONLY the de-bearing files rewrote; dvDirs empty,
     // fixture-pinned), content identical to the MoR view of v4 -----
@@ -1260,6 +1275,15 @@ private[graft] object QueriesSearchOps {
     "ops_delete_mor" ->
       ("""SELECT CAST(4 AS BIGINT) AS version, doc_id, lang, n_chars
          |FROM documents WHERE lang IN ('en', 'fr')
+         |ORDER BY doc_id""".stripMargin),
+    // the merge-on-read UPDATE reads identically to its copy-on-write
+    // twin ops_update_sql — tombstone + appended copy must compose to
+    // exactly the updated snapshot
+    "ops_update_mor" ->
+      ("""SELECT CAST(4 AS BIGINT) AS version, doc_id, lang,
+         |  CASE WHEN lang = 'de' THEN n_chars + 1000 ELSE n_chars END
+         |    AS n_chars
+         |FROM documents WHERE lang IN ('en', 'de', 'fr')
          |ORDER BY doc_id""".stripMargin),
     // the purge materializes the same content with no tombstones left
     "ops_purge_dv" ->

@@ -228,6 +228,38 @@ private[graft] final case class TxUpdateCommand(
     if (touched.isEmpty) return Seq.empty // provably nothing to update
     val cond = condition.map(bind)
       .map(c => coalesce(c, lit(false))).getOrElse(lit(true))
+    // merge-on-read UPDATE (tx.deletionVectors=true): tombstone exactly
+    // the matched rows and stage ONLY their updated copies as appended
+    // files — one version, every data file unchanged, cost ∝ updated
+    // rows instead of touched-file bytes (copy-on-write re-copies every
+    // non-matching row of every candidate file). The matching scan and
+    // the copy staging are two passes over the same deterministic
+    // filter of immutable files, so they agree under recomputation.
+    if (m.properties.get(TxTable.DvProperty).contains("true")) {
+      val root = java.nio.file.Paths.get(tableDir)
+      val matched = TxTable.readSnapshotFiles(spark, tableDir, schema,
+          m.partitionColumns, touched, m.dvDirs, dvMeta = true)
+        .filter(cond)
+      val dvRel = TxTable.writeDvSidecar(spark, root, matched, "UPDATE")
+        match {
+          case None => return Seq.empty // matched nothing: no version
+          case Some(rel) => rel
+        }
+      val copies = matched.select(schema.fields.toSeq.map(f =>
+        assignedValue(assignments, f, tgt, fallback = col(f.name), bind)
+          .as(f.name)): _*)
+      // a failed publish (constraint violation, version conflict) must
+      // not leave a live-looking sidecar next to the staged reclaim
+      try TxTable.replaceFiles(spark, tableDir, m, untouched = m.files,
+        copies, "update", dvDirs = Some(m.dvDirs :+ dvRel)): Unit
+      catch {
+        case e: Throwable =>
+          try TxTable.deleteRecursively(root.resolve(dvRel))
+          catch { case _: Exception => () }
+          throw e
+      }
+      return Seq.empty
+    }
     val rewritten = TxTable.readSnapshotFiles(spark, tableDir, schema,
         m.partitionColumns, touched, m.dvDirs)
       .select(schema.fields.toSeq.map { f =>

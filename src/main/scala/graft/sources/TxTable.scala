@@ -974,29 +974,14 @@ object TxTable {
         TxStats.excludes(st, schema, fl) || TxStats.bloomExcludes(bl, fl))
     }
     if (candidates.isEmpty) return v
-    val dvRel = s"data/dv-${java.util.UUID.randomUUID()}"
     val matched =
       readSnapshotFiles(spark, tableDir, schema, m.partitionColumns,
         candidates, m.dvDirs, dvMeta = true)
       .filter(functions.coalesce(cond, functions.lit(false)))
-      .select(functions.col(DvFileCol).as("file"),
-        functions.col(DvPosCol).as("pos"))
-    matched.write.parquet(root.resolve(dvRel).toString)
-    // one metadata-sized aggregate over the sidecar just written:
-    // total tombstones and the null-key tripwire (a null file key
-    // means the identity derivation failed — publishing it would
-    // silently KEEP those rows)
-    val chk = readDvFrame(spark, root, Seq(dvRel))
-      .agg(functions.count(functions.lit(1)),
-        functions.count_if(functions.col("file").isNull)).head()
-    val (n, nNull) = (chk.getLong(0), chk.getLong(1))
-    if (nNull > 0) {
-      deleteRecursively(root.resolve(dvRel))
-      throw new IllegalStateException(
-        s"MoR DELETE on $tableDir: $nNull matched row(s) produced a " +
-          "null file identity — sidecar withdrawn, nothing committed")
+    val dvRel = writeDvSidecar(spark, root, matched, "DELETE") match {
+      case None => return v // matched nothing: version-free no-op
+      case Some(rel) => rel
     }
-    if (n == 0) { deleteRecursively(root.resolve(dvRel)); return v }
     val manifest = Manifest(v + 1, "delete", m.schemaJson, m.files,
       m.txns, m.stats, m.blooms, m.partitionColumns, m.constraints,
       m.dvDirs :+ dvRel, m.properties)
@@ -1008,6 +993,35 @@ object TxTable {
         throw e
     }
     v + 1
+  }
+
+  /** Write `matched` rows' DV identities ([[DvFileCol]]/[[DvPosCol]],
+    * present when the frame came from `readSnapshotFiles(dvMeta=true)`)
+    * as a fresh tombstone sidecar. Returns its table-relative dir, or
+    * None (sidecar removed) when nothing matched — the caller's
+    * version-free no-op. A null file identity means the derivation
+    * failed; publishing it would silently KEEP those rows, so the
+    * sidecar is WITHDRAWN loudly instead. The check is one
+    * metadata-sized aggregate over the sidecar just written. */
+  private[graft] def writeDvSidecar(spark: SparkSession, root: Path,
+      matched: DataFrame, op: String): Option[String] = {
+    val dvRel = s"data/dv-${java.util.UUID.randomUUID()}"
+    matched
+      .select(functions.col(DvFileCol).as("file"),
+        functions.col(DvPosCol).as("pos"))
+      .write.parquet(root.resolve(dvRel).toString)
+    val chk = readDvFrame(spark, root, Seq(dvRel))
+      .agg(functions.count(functions.lit(1)),
+        functions.count_if(functions.col("file").isNull)).head()
+    val (n, nNull) = (chk.getLong(0), chk.getLong(1))
+    if (nNull > 0) {
+      deleteRecursively(root.resolve(dvRel))
+      throw new IllegalStateException(
+        s"MoR $op on $root: $nNull matched row(s) produced a null " +
+          "file identity — sidecar withdrawn, nothing committed")
+    }
+    if (n == 0) { deleteRecursively(root.resolve(dvRel)); None }
+    else Some(dvRel)
   }
 
   /** Fold the tombstones back into clean files: rewrite ONLY the
@@ -1507,7 +1521,7 @@ object TxTable {
     } finally { pool.shutdownNow(); () }
   }
 
-  private def deleteRecursively(p: Path): Unit = {
+  private[sources] def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p))
       listNames(p).foreach(n => deleteRecursively(p.resolve(n)))
     Files.deleteIfExists(p): Unit

@@ -164,6 +164,59 @@ class TxDvSpec extends SparkSpec {
     assert(TxTable.latestVersion(tbl).isEmpty)
   }
 
+  test("MoR UPDATE: tombstone + appended copies, files unchanged") {
+    val wh = Files.createTempDirectory("txdv-upd-").toString
+    spark.conf.set("spark.sql.catalog.txdvu", "graft.sources.TxCatalog")
+    spark.conf.set("spark.sql.catalog.txdvu.root", wh)
+    spark.sql("CREATE TABLE txdvu.db.t (id BIGINT, n BIGINT) " +
+      "TBLPROPERTIES ('tx.deletionVectors' = 'true')")
+    spark.sql("INSERT INTO txdvu.db.t SELECT id, id * 10 " +
+      "FROM range(1, 11)")
+    val dir = s"$wh/db/t"
+    val m2 = TxTable.readManifest(Paths.get(dir), 2L)
+    spark.sql("UPDATE txdvu.db.t SET n = n + 1 WHERE id <= 3")
+    val m3 = TxTable.readManifest(Paths.get(dir), 3L)
+    // every pre-update file carries verbatim; only the copies append
+    assert(m2.files.forall(m3.files.contains) && m3.op == "update")
+    assert(m3.files.size > m2.files.size && m3.dvDirs.size == 1)
+    m2.files.foreach(f => assert(m3.stats.get(f) == m2.stats.get(f)))
+    assert(spark.sql("SELECT sum(n), count(*) FROM txdvu.db.t").head()
+      .getLong(0) == (1 to 10).map(_ * 10L).sum + 3)
+    // the tombstone count is exactly the matched rows
+    val root = Paths.get(dir)
+    assert(m3.dvDirs.map(d =>
+      spark.read.parquet(root.resolve(d).toString).count()).sum == 3L)
+    // a no-match UPDATE commits no version
+    spark.sql("UPDATE txdvu.db.t SET n = 0 WHERE id > 999")
+    assert(TxTable.latestVersion(dir) == Some(3L))
+    // an updated row updates AGAIN correctly (copy files are plain
+    // snapshot members: matchable, tombstonable)
+    spark.sql("UPDATE txdvu.db.t SET n = n * 100 WHERE id = 1")
+    assert(spark.sql("SELECT n FROM txdvu.db.t WHERE id = 1").head()
+      .getLong(0) == 1100L)
+    assert(spark.sql("SELECT count(*) FROM txdvu.db.t").head()
+      .getLong(0) == 10L)
+    // a constraint-violating MoR UPDATE refuses, withdraws its
+    // sidecar, and leaves the table fully intact
+    spark.sql("ALTER TABLE txdvu.db.t SET TBLPROPERTIES " +
+      "('check.n_small' = 'n < 10000')")
+    val vBefore = TxTable.latestVersion(dir).get
+    val mBefore = TxTable.readManifest(root, vBefore)
+    intercept[Exception](
+      spark.sql("UPDATE txdvu.db.t SET n = 99999 WHERE id = 2"))
+    assert(TxTable.latestVersion(dir) == Some(vBefore))
+    // no orphaned sidecar: the data dir holds only referenced dv dirs
+    val dvOnDisk = Files.list(root.resolve("data")).iterator()
+    val orphans = new scala.collection.mutable.ArrayBuffer[String]()
+    while (dvOnDisk.hasNext) {
+      val p = dvOnDisk.next()
+      val rel = "data/" + p.getFileName.toString
+      if (rel.startsWith("data/dv-") && !mBefore.dvDirs.contains(rel))
+        orphans += rel
+    }
+    assert(orphans.isEmpty, s"orphaned sidecars: $orphans")
+  }
+
   test("SQL end-to-end: TBLPROPERTIES opt-in, DELETE is MoR, SELECT " +
       "applies tombstones, ALTER TABLE UNSET reverts to copy-on-write") {
     val wh = Files.createTempDirectory("txdv-sql-").toString
