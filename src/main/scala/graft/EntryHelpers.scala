@@ -333,6 +333,49 @@ private[graft] object EntryHelpers {
       java.lang.Long.valueOf(v)
     }).longValue()
 
+  /** `ops_merge_mor` fixture: the `db.mrg` three-clause MERGE replayed
+    * on a `tx.deletionVectors=true` table (`db.mormrg`) — the affected
+    * fr rows (conditional DELETE or UPDATE) tombstone into ONE sidecar,
+    * their updated copies + the es inserts append, and EVERY pre-merge
+    * data file carries forward verbatim (require-pinned; suite-pinned
+    * in TxDvSpec). Commits v4. */
+  val txMorMrgDone =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  def txMorMergedVersion(s: SparkSession, dir: String, wh: String): Long =
+    txMorMrgDone.computeIfAbsent(dir, _ => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val tbl = s"$wh/db/mormrg"
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "en"), tbl, "overwrite",
+        properties = Map(graft.sources.TxTable.DvProperty -> "true"))
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "de"), tbl, "append")
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "fr"), tbl, "append")
+      docs.filter(col("lang").isin("fr", "es"))
+        .createOrReplaceTempView("graft_mormrg_src")
+      s.sql(
+        """MERGE INTO graft_tx.db.mormrg t
+          |USING graft_mormrg_src s
+          |ON t.doc_id = s.doc_id
+          |WHEN MATCHED AND s.n_chars > 400 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars + 1000
+          |WHEN NOT MATCHED THEN
+          |  INSERT (doc_id, lang, n_chars)
+          |  VALUES (s.doc_id, s.lang, s.n_chars)""".stripMargin)
+      val v = graft.sources.TxTable.latestVersion(tbl).getOrElse(0L)
+      require(v == 4L, s"expected the MoR merge to commit v4, got v$v")
+      val root = java.nio.file.Paths.get(tbl)
+      val (m3, m4) = (graft.sources.TxTable.readManifest(root, 3L),
+        graft.sources.TxTable.readManifest(root, 4L))
+      require(m3.files.forall(m4.files.contains) && m4.dvDirs.size == 1,
+        s"expected a merge-on-read MERGE (all files carried, one " +
+          s"sidecar), got ${m4.files.size} files vs ${m3.files.size} / " +
+          s"${m4.dvDirs.size} sidecars")
+      java.lang.Long.valueOf(v)
+    }).longValue()
+
   /** `ops_zorder_sql` fixture: a sixth table (`db.zord`), z-order
     * rewritten THROUGH the SQL procedure surface exactly once per
     * (JVM, corpus dir) — `CALL graft_tx.system.zorder(...)` commits v4

@@ -566,6 +566,21 @@ private[graft] object QueriesSearchOps {
            |FROM graft_tx.db.morupd VERSION AS OF $v
            |ORDER BY doc_id""".stripMargin)
     }),
+    // ----- merge-on-read MERGE: the three-clause ANSI merge on the
+    // DV-opted table — affected fr rows tombstone (conditional DELETE
+    // or UPDATE), their copies + es inserts append, every pre-merge
+    // file carries verbatim (fixture require-pins that); same oracle
+    // shape as the CoW ops_merge_sql -----
+    "ops_merge_mor" -> ((s: SparkSession, dir: String) => {
+      val wh = EntryHelpers.txCatalogWarehouse(s, dir)
+      s.conf.set("spark.sql.catalog.graft_tx", "graft.sources.TxCatalog")
+      s.conf.set("spark.sql.catalog.graft_tx.root", wh)
+      val v = EntryHelpers.txMorMergedVersion(s, dir, wh)
+      s.sql(
+        s"""SELECT CAST($v AS BIGINT) AS version, doc_id, lang, n_chars
+           |FROM graft_tx.db.mormrg VERSION AS OF $v
+           |ORDER BY doc_id""".stripMargin)
+    }),
     // ----- the purge that follows: tombstones folded back into a clean
     // layout (ONLY the de-bearing files rewrote; dvDirs empty,
     // fixture-pinned), content identical to the MoR view of v4 -----
@@ -1284,6 +1299,19 @@ private[graft] object QueriesSearchOps {
          |  CASE WHEN lang = 'de' THEN n_chars + 1000 ELSE n_chars END
          |    AS n_chars
          |FROM documents WHERE lang IN ('en', 'de', 'fr')
+         |ORDER BY doc_id""".stripMargin),
+    // the merge-on-read MERGE reads identically to its copy-on-write
+    // twin ops_merge_sql: en+de pass through, heavy fr rows delete,
+    // the rest update, es rows insert
+    "ops_merge_mor" ->
+      ("""SELECT CAST(4 AS BIGINT) AS version, doc_id, lang, n_chars
+         |FROM documents WHERE lang IN ('en', 'de')
+         |UNION ALL
+         |SELECT CAST(4 AS BIGINT), doc_id, lang, n_chars + 1000
+         |FROM documents WHERE lang = 'fr' AND n_chars <= 400
+         |UNION ALL
+         |SELECT CAST(4 AS BIGINT), doc_id, lang, n_chars
+         |FROM documents WHERE lang = 'es'
          |ORDER BY doc_id""".stripMargin),
     // the purge materializes the same content with no tombstones left
     "ops_purge_dv" ->

@@ -319,6 +319,11 @@ private[graft] final case class TxMergeCommand(
     // ---- candidate files: equi-conjunct bounds measured from the source
     val rewritesTarget =
       matchedActions.nonEmpty || notMatchedBySourceActions.nonEmpty
+    // merge-on-read (tx.deletionVectors=true): candidate files are
+    // JOINED but never rewritten — affected rows tombstone, their
+    // updated copies + inserts append (insert-only merges need neither)
+    val morEnabled = rewritesTarget &&
+      m.properties.get(TxTable.DvProperty).contains("true")
     val equiBounds: Seq[org.apache.spark.sql.sources.Filter] =
       if (notMatchedBySourceActions.nonEmpty) Seq.empty // cannot prune
       else splitConjuncts(mergeCondition).flatMap {
@@ -361,7 +366,8 @@ private[graft] final case class TxMergeCommand(
     // position) id from the parquet _metadata column (and attaches
     // partition values on a partitioned table).
     val tgtDf = TxTable.readSnapshotFiles(spark, tableDir, schema,
-      m.partitionColumns, joinTargetFiles, m.dvDirs, tidCol = Some(Tid))
+      m.partitionColumns, joinTargetFiles, m.dvDirs, tidCol = Some(Tid),
+      dvMeta = morEnabled)
     val onCond = coalesce(bind(mergeCondition), lit(false))
     val joined = graft.ext.TrackedCache.persistTracked(
       tgtDf.join(srcDf.withColumn(SMark, lit(true)), onCond, "full_outer"))
@@ -409,6 +415,41 @@ private[graft] final case class TxMergeCommand(
       .otherwise(
         firstMatch(notMatchedBySourceActions, actCond, valOf, old, bind))
       .cast(f.dataType).as(f.name)
+    }
+    if (morEnabled) {
+      // A target row is AFFECTED when an action actually fires on it
+      // (first-match-wins, same order as keep/outCols): those rows
+      // tombstone — both updates and deletes — and only the keep=true
+      // ones re-stage as copies, next to the inserts. Pass-through
+      // rows (no action fired, incl. every row of the per-match
+      // duplication when matchedActions is empty) neither tombstone
+      // nor stage, so no dedupe is needed: tombstoned rows are
+      // matched-with-cardinality-≤-1 or not-matched-by-source, each
+      // emitted exactly once by the full-outer join.
+      val root = java.nio.file.Paths.get(tableDir)
+      def fired(as: Seq[MergeAction]): Column =
+        firstMatch(as, actCond, (_: MergeAction) => lit(true),
+          lit(false), bind)
+      val affected =
+        when(isInsert, lit(false))
+          .when(isMatched, fired(matchedActions))
+          .otherwise(fired(notMatchedBySourceActions))
+      val dvRelOpt = TxTable.writeDvSidecar(spark, root,
+        joined.filter(affected), "MERGE")
+      val staged = joined.filter((affected || isInsert) && keep)
+        .select(outCols: _*)
+      // nothing affected AND nothing inserted: version-free no-op
+      if (dvRelOpt.isEmpty && staged.isEmpty) return Seq.empty
+      try TxTable.replaceFiles(spark, tableDir, m, untouched = m.files,
+        staged, "merge", dvDirs = dvRelOpt.map(r => m.dvDirs :+ r)): Unit
+      catch {
+        case e: Throwable =>
+          dvRelOpt.foreach(r =>
+            try TxTable.deleteRecursively(root.resolve(r))
+            catch { case _: Exception => () })
+          throw e
+      }
+      return Seq.empty
     }
     // a matched target row with NO matched actions passes through
     // unchanged but the full-outer join emitted it once PER MATCH —

@@ -217,6 +217,60 @@ class TxDvSpec extends SparkSpec {
     assert(orphans.isEmpty, s"orphaned sidecars: $orphans")
   }
 
+  test("MoR MERGE: only affected rows tombstone + stage; files carried") {
+    val wh = Files.createTempDirectory("txdv-mrg-").toString
+    spark.conf.set("spark.sql.catalog.txdvm", "graft.sources.TxCatalog")
+    spark.conf.set("spark.sql.catalog.txdvm.root", wh)
+    spark.sql("CREATE TABLE txdvm.db.t (id BIGINT, n BIGINT) " +
+      "TBLPROPERTIES ('tx.deletionVectors' = 'true')")
+    spark.sql("INSERT INTO txdvm.db.t SELECT id, id * 10 " +
+      "FROM range(1, 11)")
+    val dir = s"$wh/db/t"
+    // source: ids 2 (update), 3 (delete via condition), 20 (insert);
+    // ids 1, 4-10 pass through untouched
+    Seq((2L, 999L), (3L, -1L), (20L, 200L)).toDF("sid", "sn")
+      .createOrReplaceTempView("dv_mrg_src")
+    spark.sql(
+      """MERGE INTO txdvm.db.t t USING dv_mrg_src s ON t.id = s.sid
+        |WHEN MATCHED AND s.sn < 0 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET n = s.sn
+        |WHEN NOT MATCHED THEN INSERT (id, n) VALUES (s.sid, s.sn)
+        |""".stripMargin)
+    val root = Paths.get(dir)
+    val (m2, m3) = (TxTable.readManifest(root, 2L),
+      TxTable.readManifest(root, 3L))
+    // every pre-merge file carried verbatim; copies+inserts appended
+    assert(m2.files.forall(m3.files.contains) && m3.op == "merge")
+    assert(m3.dvDirs.size == 1)
+    m2.files.foreach(f => assert(m3.stats.get(f) == m2.stats.get(f)))
+    // tombstones = the two AFFECTED matched rows (2 updated, 3
+    // deleted) — pass-through rows neither tombstone nor stage
+    assert(m3.dvDirs.map(d =>
+      spark.read.parquet(root.resolve(d).toString).count()).sum == 2L)
+    val got = spark.sql(
+      "SELECT id, n FROM txdvm.db.t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq(1L -> 10L, 2L -> 999L) ++
+      (4 to 10).map(i => i.toLong -> (i * 10L)) :+ (20L -> 200L))
+    // a merge that fires NO action and inserts nothing: no version
+    Seq((2L, 999L)).toDF("sid", "sn")
+      .createOrReplaceTempView("dv_mrg_noop")
+    spark.sql(
+      """MERGE INTO txdvm.db.t t USING dv_mrg_noop s ON t.id = s.sid
+        |WHEN MATCHED AND s.sn < 0 THEN DELETE
+        |""".stripMargin)
+    assert(TxTable.latestVersion(dir) == Some(3L))
+    // NOT MATCHED BY SOURCE on the DV table: rows the source lacks
+    // are affected; matched rows pass through without duplication
+    spark.sql(
+      """MERGE INTO txdvm.db.t t USING dv_mrg_src s ON t.id = s.sid
+        |WHEN NOT MATCHED BY SOURCE AND t.id >= 9 THEN DELETE
+        |""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM txdvm.db.t").head()
+      .getLong(0) == 8L) // 9, 10 deleted; 20 matched by source
+    assert(TxTable.readManifest(root, 4L).dvDirs.size == 2)
+  }
+
   test("SQL end-to-end: TBLPROPERTIES opt-in, DELETE is MoR, SELECT " +
       "applies tombstones, ALTER TABLE UNSET reverts to copy-on-write") {
     val wh = Files.createTempDirectory("txdv-sql-").toString
