@@ -148,14 +148,18 @@ class TxCatalogSpec extends SparkSpec {
       == "live")
   }
 
-  test("ALTER / DROP stay refused loudly") {
+  test("DROP and unsupported ALTER arms stay refused loudly") {
     warehouse
     val e3 = intercept[Exception] {
       spark.sql("DROP TABLE txspec.db.t")
     }
     assert(e3.getMessage.contains("vacuum"))
+    // ADD/DROP COLUMN and check./tx. properties are supported arms now
+    // (TxEvolveSpec/TxConstraintSpec/TxDvSpec); everything else —
+    // rename needs column-id mapping — still refuses, with the table
+    // untouched
     val e4 = intercept[Exception] {
-      spark.sql("ALTER TABLE txspec.db.t ADD COLUMN extra BIGINT")
+      spark.sql("ALTER TABLE txspec.db.t RENAME COLUMN s TO label")
     }
     assert(e4.getMessage.contains("ALTER TABLE") ||
       e4.getMessage.contains("TxTable.commit"))
