@@ -1434,16 +1434,43 @@ object TxTable {
           dvRelPath(root, functions.col("_metadata.file_path")))
         .withColumn(DvPosCol, functions.col("_metadata.row_index"))
     }
-    def applyDv(df: DataFrame): DataFrame =
-      if (dvDirs.isEmpty) df
-      else {
-        // distributed left-anti on the tombstone set — never through
-        // the driver; AQE picks broadcast when the DVs are small (the
-        // common case: tombstones ∝ deleted rows, not table size)
-        val dv = readDvFrame(spark, root, dvDirs)
-        df.join(dv, df(DvFileCol) === dv("file") &&
-          df(DvPosCol) === dv("pos"), "left_anti")
-      }
+    def applyDv(df: DataFrame): DataFrame = {
+      // distributed left-anti on the tombstone set — never through
+      // the driver; AQE picks broadcast when the DVs are small (the
+      // common case: tombstones ∝ deleted rows, not table size)
+      val dv = readDvFrame(spark, root, dvDirs)
+      df.join(dv, df(DvFileCol) === dv("file") &&
+        df(DvPosCol) === dv("pos"), "left_anti")
+    }
+    // one value-group/flat scan over `fs`; `anti` hangs the tombstone
+    // anti-join on it
+    def buildPart(fs: Seq[String], anti: Boolean): DataFrame = {
+      val scan =
+        if (partitionColumns.isEmpty)
+          withMeta(spark.read.schema(schema)
+            .parquet(fs.map(f => root.resolve(f).toString): _*))
+        else {
+          val partSet = partitionColumns.toSet
+          val dataSchema =
+            StructType(schema.fields.filterNot(f => partSet(f.name)))
+          fs.groupBy(f => partitionColumns
+              .map(c => partitionValuesFromPath(f, partSet).get(c)))
+            .toSeq.sortBy(_._1.toString)
+            .map { case (vals, gfs) =>
+              val base = withMeta(spark.read.schema(dataSchema)
+                .parquet(gfs.map(f => root.resolve(f).toString): _*))
+              partitionColumns.zip(vals).foldLeft(base) {
+                case (df, (c, v0)) =>
+                  df.withColumn(c, v0.map(functions.lit(_))
+                    .getOrElse(functions.lit(null))
+                    .cast(schema(c).dataType))
+              }
+            }
+            .reduce(_ unionByName _)
+        }
+      (if (anti) applyDv(scan) else scan)
+        .select(outFields.map(functions.col): _*)
+    }
     if (files.isEmpty) {
       val base = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -1453,30 +1480,24 @@ object TxTable {
       else withT
         .withColumn(DvFileCol, functions.lit(null).cast("string"))
         .withColumn(DvPosCol, functions.lit(null).cast("long"))
-    } else if (partitionColumns.isEmpty)
-      applyDv(withMeta(spark.read.schema(schema)
-        .parquet(files.map(f => root.resolve(f).toString): _*)))
-        .select(outFields.map(functions.col): _*)
+    } else if (dvDirs.isEmpty) buildPart(files, anti = false)
     else {
-      val partSet = partitionColumns.toSet
-      val dataSchema =
-        StructType(schema.fields.filterNot(f => partSet(f.name)))
-      applyDv(files
-        .groupBy(f => partitionColumns
-          .map(c => partitionValuesFromPath(f, partSet).get(c)))
-        .toSeq.sortBy(_._1.toString)
-        .map { case (vals, fs) =>
-          val base = withMeta(spark.read.schema(dataSchema)
-            .parquet(fs.map(f => root.resolve(f).toString): _*))
-          partitionColumns.zip(vals).foldLeft(base) {
-            case (df, (c, v0)) =>
-              df.withColumn(c, v0.map(functions.lit(_))
-                .getOrElse(functions.lit(null))
-                .cast(schema(c).dataType))
-          }
-        }
-        .reduce(_ unionByName _))
-        .select(outFields.map(functions.col): _*)
+      // only tombstone-BEARING files pay the anti-join; clean files
+      // scan join-free (no shuffle, unbroken whole-stage codegen) —
+      // at 100 TB a DV table's tombstones live in a handful of files,
+      // so the join touches a sliver of the snapshot. The split costs
+      // one metadata-sized distinct over the sidecars (O(affected
+      // files) driver rows, the manifest's own envelope).
+      val dvFiles = readDvFrame(spark, root, dvDirs)
+        .select("file").distinct().collect().map(_.getString(0)).toSet
+      val (tomb, clean) = files.partition(e =>
+        dvFiles.contains(e) || dvFiles.exists(_.startsWith(e + "/")))
+      (clean, tomb) match {
+        case (_, Nil) => buildPart(clean, anti = false)
+        case (Nil, _) => buildPart(tomb, anti = true)
+        case _ => buildPart(clean, anti = false)
+          .unionByName(buildPart(tomb, anti = true))
+      }
     }
   }
 
