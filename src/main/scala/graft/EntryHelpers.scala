@@ -376,6 +376,34 @@ private[graft] object EntryHelpers {
       java.lang.Long.valueOf(v)
     }).longValue()
 
+  /** `ops_txchanges` fixture: a DV-opted table (`db.chg`) whose history
+    * is one insert per language then a MoR DELETE and a MoR UPDATE —
+    * the batch change feed (`TxChanges.between`) must replay all four
+    * versions exactly: inserts read directly, the delete's rows served
+    * from its own sidecar (left-semi over affected files, no table
+    * diff), the update as a pre/postimage pair. */
+  val txChgDone =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  def txChangesVersion(s: SparkSession, dir: String, wh: String): Long =
+    txChgDone.computeIfAbsent(dir, _ => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val tbl = s"$wh/db/chg"
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "en"), tbl, "overwrite",
+        properties = Map(graft.sources.TxTable.DvProperty -> "true"))
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "de"), tbl, "append")
+      s.sql("DELETE FROM graft_tx.db.chg " +
+        "WHERE lang = 'de' AND n_chars > 400")
+      s.sql("UPDATE graft_tx.db.chg SET n_chars = n_chars + 1000 " +
+        "WHERE lang = 'en' AND n_chars <= 300")
+      val v = graft.sources.TxTable.latestVersion(tbl).getOrElse(0L)
+      require(v == 4L,
+        s"expected delete+update to commit v3+v4, got v$v")
+      java.lang.Long.valueOf(v)
+    }).longValue()
+
   /** `ops_zorder_sql` fixture: a sixth table (`db.zord`), z-order
     * rewritten THROUGH the SQL procedure surface exactly once per
     * (JVM, corpus dir) — `CALL graft_tx.system.zorder(...)` commits v4

@@ -581,6 +581,23 @@ private[graft] object QueriesSearchOps {
            |FROM graft_tx.db.mormrg VERSION AS OF $v
            |ORDER BY doc_id""".stripMargin)
     }),
+    // ----- batch change-data-feed (the Delta table_changes shape):
+    // every row that logically entered or left the table across the
+    // fixture's four versions, typed and version-tagged — inserts read
+    // directly, the MoR delete's rows served from its own sidecar
+    // (left-semi over affected files only), the MoR update as a
+    // pre/postimage pair; cost bounded by changed files, never table
+    // size (TxChanges scaladoc) -----
+    "ops_txchanges" -> ((s: SparkSession, dir: String) => {
+      val wh = EntryHelpers.txCatalogWarehouse(s, dir)
+      s.conf.set("spark.sql.catalog.graft_tx", "graft.sources.TxCatalog")
+      s.conf.set("spark.sql.catalog.graft_tx.root", wh)
+      val v = EntryHelpers.txChangesVersion(s, dir, wh)
+      graft.sources.TxChanges.between(s, s"$wh/db/chg", 0L, v)
+        .select(col("_commit_version"), col("_change_type"),
+          col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("_commit_version", "_change_type", "doc_id")
+    }),
     // ----- the purge that follows: tombstones folded back into a clean
     // layout (ONLY the de-bearing files rewrote; dvDirs empty,
     // fixture-pinned), content identical to the MoR view of v4 -----
@@ -1313,6 +1330,27 @@ private[graft] object QueriesSearchOps {
          |SELECT CAST(4 AS BIGINT), doc_id, lang, n_chars
          |FROM documents WHERE lang = 'es'
          |ORDER BY doc_id""".stripMargin),
+    // the change feed replayed from the commit definitions: en then de
+    // inserts, the heavy-de delete, the light-en update pre/post pair
+    "ops_txchanges" ->
+      ("""SELECT CAST(1 AS BIGINT) AS _commit_version,
+         |  'insert' AS _change_type, doc_id, lang, n_chars
+         |FROM documents WHERE lang = 'en'
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), 'insert', doc_id, lang, n_chars
+         |FROM documents WHERE lang = 'de'
+         |UNION ALL
+         |SELECT CAST(3 AS BIGINT), 'delete', doc_id, lang, n_chars
+         |FROM documents WHERE lang = 'de' AND n_chars > 400
+         |UNION ALL
+         |SELECT CAST(4 AS BIGINT), 'update_preimage', doc_id, lang,
+         |  n_chars
+         |FROM documents WHERE lang = 'en' AND n_chars <= 300
+         |UNION ALL
+         |SELECT CAST(4 AS BIGINT), 'update_postimage', doc_id, lang,
+         |  n_chars + 1000
+         |FROM documents WHERE lang = 'en' AND n_chars <= 300
+         |ORDER BY _commit_version, _change_type, doc_id""".stripMargin),
     // the purge materializes the same content with no tombstones left
     "ops_purge_dv" ->
       ("""SELECT CAST(5 AS BIGINT) AS version, doc_id, lang, n_chars

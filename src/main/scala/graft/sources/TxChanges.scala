@@ -1,0 +1,144 @@
+package graft.sources
+
+import java.nio.file.Paths
+
+import org.apache.spark.sql.{DataFrame, SparkSession, functions}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Batch change-data-feed between two committed versions — the Delta
+  * `table_changes` shape: every row that logically entered or left the
+  * table in `(fromV, toV]`, tagged `_change_type` ('insert' | 'delete'
+  * | 'update_preimage' | 'update_postimage') and `_commit_version`.
+  *
+  * Cost is bounded by CHANGED files per version, never table size:
+  *
+  *   - `append`/`create`/v1: the added files read directly — 'insert',
+  *     no comparison at all (the streaming CDF's arm, reused batch).
+  *   - merge-on-read `delete`/`update`/`merge` (data files carried,
+  *     sidecars grown): the removed rows are EXACTLY the new sidecars'
+  *     tombstones — one left-semi join over only the affected files;
+  *     an update's postimage is the appended copy files read directly.
+  *     The MoR representation makes an exact CDC nearly free, which is
+  *     the point of choosing it at 100 TB.
+  *   - copy-on-write rewrites (`delete`/`update`/`merge`/`overwrite`/
+  *     `restore`): a multiset `exceptAll` both ways over ONLY the
+  *     files that differ between the two manifests (plus files whose
+  *     tombstone set changed), each side under its own version's
+  *     deletion vectors. Rows in untouched files are byte-identical on
+  *     both sides and never read.
+  *   - `compact`/`zorder`/`purge`/`constraint`/`property`: rows are
+  *     unchanged by construction — no change rows, zero IO.
+  *
+  * Update versions label pre/postimage; other rewrites label
+  * 'delete'/'insert' (a MERGE's tombstoned row may be either an update
+  * or a delete — without per-row provenance the multiset labels are
+  * the honest ones). The feed is served in `toV`'s schema: evolution
+  * on this table is by-name adds/drops only, and every read here is an
+  * explicit-schema parquet read — files written under an older schema
+  * resolve by name (absent columns read NULL), the same contract the
+  * snapshot reads rely on — so a range may span `evolve` versions
+  * (which themselves emit nothing: no files move, no rows change). */
+object TxChanges {
+
+  val ChangeTypeCol = "_change_type"
+  val CommitVersionCol = "_commit_version"
+
+  def between(spark: SparkSession, tableDir: String, fromV: Long,
+              toV: Long): DataFrame = {
+    require(fromV >= 0 && fromV < toV,
+      s"need 0 <= fromV < toV, got ($fromV, $toV]")
+    val root = Paths.get(tableDir)
+    // fromV = 0 serves the whole history: v1's snapshot is its own
+    // insert set, no prior manifest needed
+    val manifests = (math.max(fromV, 1L) to toV)
+      .map(v => v -> TxTable.readManifest(root, v)).toMap
+    val schema = DataType.fromJson(manifests(toV).schemaJson)
+      .asInstanceOf[StructType]
+    val partCols = manifests(toV).partitionColumns
+
+    def tagged(df: DataFrame, tpe: String, v: Long): DataFrame =
+      df.withColumn(ChangeTypeCol, functions.lit(tpe))
+        .withColumn(CommitVersionCol, functions.lit(v))
+
+    def read(fs: Seq[String], dvDirs: Seq[String]): DataFrame =
+      TxTable.readSnapshotFiles(spark, tableDir, schema, partCols, fs,
+        dvDirs)
+
+    /** Files among `fs` that any of `dvDirs`' tombstones reference. */
+    def bearing(fs: Seq[String], dvDirs: Seq[String]): Seq[String] = {
+      val keys = TxTable.readDvFrame(spark, root, dvDirs)
+        .select("file").distinct().collect().map(_.getString(0)).toSet
+      fs.filter(e =>
+        keys.contains(e) || keys.exists(_.startsWith(e + "/")))
+    }
+
+    /** Rows of `prev`'s snapshot tombstoned by exactly the sidecars
+      * added at this version: a left-semi of the affected files
+      * against the new tombstones. */
+    def tombstonedRows(prev: TxTable.Manifest,
+                       newDvs: Seq[String]): DataFrame = {
+      val rows = TxTable.readSnapshotFiles(spark, tableDir, schema,
+        prev.partitionColumns, bearing(prev.files, newDvs), prev.dvDirs,
+        dvMeta = true)
+      val dv = TxTable.readDvFrame(spark, root, newDvs)
+      rows.join(dv,
+          rows(TxTable.DvFileCol) === dv("file") &&
+            rows(TxTable.DvPosCol) === dv("pos"), "left_semi")
+        .select(schema.fieldNames.toSeq.map(functions.col): _*)
+    }
+
+    def changesAt(v: Long, prev: TxTable.Manifest,
+                  cur: TxTable.Manifest): Seq[DataFrame] = {
+      val (prevSet, curSet) = (prev.files.toSet, cur.files.toSet)
+      val removed = prev.files.filterNot(curSet)
+      val added = cur.files.filterNot(prevSet)
+      val newDvs = cur.dvDirs.filterNot(prev.dvDirs.toSet)
+      val dvChanged = newDvs ++ prev.dvDirs.filterNot(cur.dvDirs.toSet)
+      val morShape = removed.isEmpty && newDvs.nonEmpty &&
+        dvChanged.size == newDvs.size
+      cur.op match {
+        case "compact" | "zorder" | "purge" | "constraint" |
+             "property" | "evolve" =>
+          Nil // bytes move or metadata shifts, rows don't
+        case "append" | "create" =>
+          if (added.isEmpty) Nil
+          else Seq(tagged(read(added, Nil), "insert", v))
+        case "delete" if morShape && added.isEmpty =>
+          Seq(tagged(tombstonedRows(prev, newDvs), "delete", v))
+        case "update" if morShape =>
+          Seq(tagged(tombstonedRows(prev, newDvs), "update_preimage", v),
+            tagged(read(added, Nil), "update_postimage", v))
+        case "merge" if morShape =>
+          Seq(tagged(tombstonedRows(prev, newDvs), "delete", v),
+            tagged(read(added, Nil), "insert", v))
+        case op =>
+          // generic copy-on-write arm: compare only what changed —
+          // swapped files plus carried files whose tombstone set
+          // changed — each side under its own version's tombstones
+          val dFiles =
+            if (dvChanged.isEmpty) Nil
+            else bearing(prev.files.filter(curSet), dvChanged)
+          val before = read(removed ++ dFiles, prev.dvDirs)
+          val after = read(added ++ dFiles, cur.dvDirs)
+          val (preT, postT) =
+            if (op == "update") ("update_preimage", "update_postimage")
+            else ("delete", "insert")
+          Seq(tagged(before.exceptAll(after), preT, v),
+            tagged(after.exceptAll(before), postT, v))
+      }
+    }
+
+    val parts = ((fromV + 1) to toV).flatMap { v =>
+      val cur = manifests(v)
+      if (v == 1L) {
+        // everything in a fresh table is an insert (and v1 cannot
+        // carry tombstones — nothing preceded it to delete from)
+        if (cur.files.isEmpty) Nil
+        else Seq(tagged(read(cur.files, cur.dvDirs), "insert", v))
+      } else changesAt(v, manifests(v - 1), cur)
+    }
+    if (parts.isEmpty)
+      tagged(read(Nil, Nil), "insert", toV).limit(0)
+    else parts.reduce(_ unionByName _)
+  }
+}
