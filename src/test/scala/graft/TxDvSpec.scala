@@ -164,6 +164,40 @@ class TxDvSpec extends SparkSpec {
     assert(TxTable.latestVersion(tbl).isEmpty)
   }
 
+  test("DV read plan: clean files scan join-free; only tombstone-" +
+      "bearing files enter the anti-join") {
+    val tbl = tmp()
+    mkMor(tbl) // two commits → the delete's tombstones land in a subset
+    TxTable.deleteWhere(spark, tbl,
+      Seq(org.apache.spark.sql.sources.GreaterThan("id", 7L)))
+    val m = TxTable.readManifest(Paths.get(tbl), 3L)
+    val root = Paths.get(tbl)
+    val dvFileKeys = m.dvDirs.flatMap(d =>
+      spark.read.parquet(root.resolve(d).toString)
+        .select("file").distinct().collect().map(_.getString(0))).toSet
+    val df = TxTable.readVersion(spark, tbl, 3L)
+    val lp = df.queryExecution.optimizedPlan
+    val joins = lp.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(joins.size == 1, s"expected exactly one anti-join:\n$lp")
+    def dataFiles(p: org.apache.spark.sql.catalyst.plans.logical
+        .LogicalPlan): Set[String] = p.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation.asInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.inputFiles.toSeq
+    }.flatten.filterNot(_.contains("/dv-")).toSet
+    val joined = dataFiles(joins.head)
+    val all = dataFiles(lp)
+    // the join's data scan reads exactly the tombstone-bearing files;
+    // every clean file is read OUTSIDE the join (codegen-unbroken)
+    assert(joined.nonEmpty && joined.forall(f =>
+      dvFileKeys.exists(k => f.endsWith(k))))
+    assert((all -- joined).nonEmpty && (all -- joined).forall(f =>
+      !dvFileKeys.exists(k => f.endsWith(k))))
+    assert(df.count() == 7L)
+  }
+
   test("MoR UPDATE: tombstone + appended copies, files unchanged") {
     val wh = Files.createTempDirectory("txdv-upd-").toString
     spark.conf.set("spark.sql.catalog.txdvu", "graft.sources.TxCatalog")
