@@ -206,6 +206,13 @@ private[graft] object QueriesSearchOps {
     "text_rarity" -> ((s: SparkSession, dir: String) =>
       TextStats.rarityScore(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
+    // ----- character-trigram LM scoring (TextStats.lmScore scaladoc:
+    // the CCNet perplexity-filter stage as an add-one-smoothed ratio
+    // of integer sums in fixed point — corpus-trained counts broadcast
+    // back, no floats to diverge between engines) -----
+    "text_lmscore" -> ((s: SparkSession, dir: String) =>
+      TextStats.lmScore(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
     // ----- winnowing fingerprints (TextStats.winnowFingerprints
     // scaladoc: the MOSS local-min selection with the w+k-1 match
     // guarantee; codegen'd sequential gram hashes, row-local sliding
@@ -1125,6 +1132,34 @@ private[graft] object QueriesSearchOps {
          |    AS n_dropped
          |FROM ls LEFT JOIN freq f ON ls.line = f.line
          |GROUP BY ls.doc_id ORDER BY ls.doc_id""".stripMargin),
+    // the trigram LM replayed: corpus counts via GROUP BY, the score
+    // as the same fixed-point integer ratio (// division, BIGINT casts
+    // before HUGEINT widening)
+    "text_lmscore" ->
+      ("""WITH t AS (
+         |  SELECT doc_id, text AS s FROM documents WHERE length(text) >= 3
+         |), g AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, length(s) - 1),
+         |      i -> s[i:i+2])) AS tri
+         |  FROM t
+         |), gb AS (
+         |  SELECT doc_id, tri, tri[1:2] AS bi FROM g
+         |), c3 AS (
+         |  SELECT tri, CAST(count(*) AS BIGINT) AS c3 FROM g GROUP BY tri
+         |), c2 AS (
+         |  SELECT tri[1:2] AS bi, CAST(count(*) AS BIGINT) AS c2
+         |  FROM g GROUP BY tri[1:2]
+         |), v AS (
+         |  SELECT CAST(count(DISTINCT tri[3:3]) AS BIGINT) AS v FROM g
+         |)
+         |SELECT gb.doc_id, CAST(count(*) AS BIGINT) AS tri_n,
+         |  CAST(((CAST(sum(c2.c2) AS BIGINT) + count(*) * first(v.v))
+         |      * 1000)
+         |    // (CAST(sum(c3.c3) AS BIGINT) + count(*)) AS BIGINT)
+         |    AS score_milli
+         |FROM gb JOIN c3 USING (tri) JOIN c2 USING (bi), v
+         |GROUP BY gb.doc_id ORDER BY gb.doc_id""".stripMargin),
     // integer-ppm commonness: every division is //, every window-free
     // sum cast to BIGINT before it can widen downstream arithmetic to
     // HUGEINT

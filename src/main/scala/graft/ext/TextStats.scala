@@ -899,6 +899,59 @@ object TextStats {
         min(col("ppm")).as("min_ppm"))
   }
 
+  /** Character-trigram language-model scoring — the CCNet/Wikipedia-LM
+    * perplexity-filter stage in a deterministic, engine-exact form: the
+    * LM is trained on the corpus ITSELF (two count aggregations), and a
+    * document's score is the add-one-smoothed aggregate inverse
+    * conditional probability of its trigrams,
+    *
+    *   score = 1000 · (Σᵢ C₂(prefixᵢ) + n·V)  div  (Σᵢ C₃(triᵢ) + n)
+    *
+    * (C₃ = corpus trigram count, C₂ = its 2-char-prefix count, V =
+    * distinct continuation characters, n = the doc's trigram count) —
+    * high for documents built from rare-in-corpus character sequences
+    * (boilerplate, encoding garbage, wrong-language text), low for
+    * fluent ones: the same ranking perplexity filtering uses, but as a
+    * RATIO OF INTEGER SUMS in fixed-point (×1000, the [[rarityScore]]
+    * `div` discipline), so it is bit-identical on any engine — a
+    * geometric-mean perplexity would need per-row transcendentals whose
+    * last ulp differs across libm implementations.
+    *
+    * Scale shape: trigram explosion is one codegen'd pass
+    * (`sequence`/`transform`/`substr` builtins, no UDF); both count
+    * tables aggregate with map-side combine and are BROADCAST back
+    * (character-trigram vocabulary is bounded — ~1M entries at any
+    * corpus size; loud refusal above `maxVocab` with the shuffle-join
+    * alternative named); one final per-doc aggregation. Documents
+    * shorter than 3 characters emit nothing. */
+  def lmScore(df: DataFrame, idCol: String, textCol: String,
+              maxVocab: Long = 2000000L): DataFrame = {
+    val tris = TrackedCache.persistTracked(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("__s"))
+        .where(length(col("__s")) >= 3)
+        .selectExpr("doc_id",
+          "explode(transform(sequence(1, char_length(__s) - 2), " +
+            "i -> substr(__s, i, 3))) AS tri")
+        .withColumn("bi", expr("substr(tri, 1, 2)")))
+    val c3 = tris.groupBy(col("tri")).agg(count(lit(1)).as("c3"))
+    val nVocab = c3.count()
+    require(nVocab <= maxVocab,
+      s"lmScore: $nVocab distinct trigrams exceeds maxVocab=$maxVocab " +
+        "— the count tables no longer broadcast; raise the cap or " +
+        "switch the joins below to plain (shuffle) joins")
+    val c2 = tris.groupBy(col("bi")).agg(count(lit(1)).as("c2"))
+    val v = tris.agg(
+      countDistinct(expr("substr(tri, 3, 1)")).as("__v"))
+    tris
+      .join(broadcast(c3), "tri")
+      .join(broadcast(c2), "bi")
+      .crossJoin(broadcast(v))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("tri_n"),
+        expr("((sum(c2) + count(1) * first(__v)) * 1000) div " +
+          "(sum(c3) + count(1))").as("score_milli"))
+  }
+
   /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 — the MOSS
     * algorithm): slide a window of `w` consecutive k-gram hashes over the
     * document and keep each window's MINIMUM; the resulting set is the

@@ -493,4 +493,25 @@ class TextStatsSpec extends SparkSpec {
       (1L, 3L, 444444L, 333333L),
       (2L, 3L, 333333L, 166666L)))
   }
+
+  test("lmScore: hand-computed trigram LM ratios; short docs emit nothing") {
+    import spark.implicits._
+    // corpus: "abcd" → trigrams abc, bcd; "aaaa" → aaa, aaa.
+    // C3: abc=1, bcd=1, aaa=2. C2 (trigram prefixes): ab=1, bc=1, aa=2.
+    // V (distinct third chars): {c, d, a} = 3.
+    //   doc 1: n=2, Σc3=2, Σc2=2 → (2+2·3)·1000 div (2+2) = 2000
+    //   doc 2: n=2, Σc3=4, Σc2=4 → (4+2·3)·1000 div (4+2) = 1666
+    // the repetitive (in-distribution) doc scores LOWER — the filter's
+    // ranking direction
+    val docs = Seq((1L, "abcd"), (2L, "aaaa"), (3L, "xy"))
+      .toDF("doc_id", "text")
+    val out = graft.ext.TextStats.lmScore(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 2L, 2000L), (2L, 2L, 1666L)))
+    // the broadcast cap refuses loudly, naming the alternative
+    val e = intercept[IllegalArgumentException](
+      graft.ext.TextStats.lmScore(docs, "doc_id", "text", maxVocab = 1L))
+    assert(e.getMessage.contains("broadcast"))
+  }
 }
