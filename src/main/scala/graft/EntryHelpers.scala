@@ -72,6 +72,28 @@ private[graft] object EntryHelpers {
       p
     })
 
+  /** `sim_ivf_append` fixture: the index built over the EVEN vec_ids
+    * only, then the odd half ingested through [[graft.ext.IvfIndex
+    * .append]] — assigned by the FROZEN build-time quantizer, appended
+    * to their cell partitions, nothing retrained and nothing rewritten.
+    * Because the quantizer is frozen, the post-append index equals a
+    * from-scratch build with these centroids, which is exactly what the
+    * oracle replays. */
+  val ivfAppendCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def ivfAppendIndexFor(s: SparkSession, dir: String,
+                        emb: DataFrame): String =
+    ivfAppendCache.computeIfAbsent(dir, _ => {
+      val p = scratchDir("graft-ivfa-")
+      import org.apache.spark.sql.functions.col
+      graft.ext.IvfIndex.buildKMeans(
+        emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", p,
+        nlist = KmK, iters = KmIters)
+      graft.ext.IvfIndex.append(
+        emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", p)
+      p
+    })
+
   /** Scratch directory reclaimed at JVM exit. Deletion cannot be eager —
     * the returned DataFrames read these files lazily — but without the
     * hook every verify/bench run leaks its parquet scratch under /tmp.
@@ -1219,6 +1241,54 @@ private[graft] object EntryHelpers {
       |    (sqrt(list_dot_product(vc.e, vc.e)) * sqrt(list_dot_product(qe, qe))), 4) AS sim
       |FROM vc JOIN probes USING (cell), q
       |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin
+
+  /** [[IvfOracle]]'s incremental twin: train + build over the EVEN
+    * vec_ids only, then assign the odd half against the FROZEN written
+    * centroids with the same quantized argmin `IvfIndex.append` uses
+    * (ties to the lower cell) — the probe ranking and final scan run
+    * over the union, replaying the post-append index from scratch. */
+  val IvfAppendOracle: String = {
+    val d2c = "CAST(floor(list_reduce([ (e[i]-c[i])*(e[i]-c[i]) " +
+      "for i in range(1, 65) ], (a,b) -> a + b) * 1e8 + 0.5) AS BIGINT)"
+    s"""WITH vall AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      |), v AS (
+      |  SELECT * FROM vall WHERE vec_id % 2 = 0
+      |), va AS (
+      |  SELECT * FROM vall WHERE vec_id % 2 = 1
+      |), q AS (
+      |  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0
+      |), ${kmeansCte(k = 4, iters = 3, dims = 64)}, vc AS (
+      |  SELECT v.vec_id, v.e, f.cell FROM v JOIN km_fin f USING (vec_id)
+      |), pos AS (
+      |  SELECT cell, generate_subscripts(e, 1) AS pos, unnest(e) AS x FROM vc
+      |), cent AS (
+      |  SELECT cell, pos,
+      |    CAST(sum(CAST(floor(x * 1e10 + 0.5) AS BIGINT)) AS DOUBLE)
+      |      / count(*) / 1e10 AS x
+      |  FROM pos GROUP BY cell, pos
+      |), carr AS (
+      |  SELECT cell, list(x ORDER BY pos) AS c FROM cent GROUP BY cell
+      |), apps AS (
+      |  SELECT vec_id, e, cell,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY $d2c, cell) AS rn
+      |  FROM va CROSS JOIN carr
+      |), vc2 AS (
+      |  SELECT vec_id, e, cell FROM vc
+      |  UNION ALL
+      |  SELECT vec_id, e, cell FROM apps WHERE rn = 1
+      |), probes AS (
+      |  SELECT cell,
+      |    round(list_dot_product(c, qe) /
+      |      (sqrt(list_dot_product(c, c)) * sqrt(list_dot_product(qe, qe))), 4) AS cs
+      |  FROM carr, q ORDER BY cs DESC, cell LIMIT 2
+      |)
+      |SELECT vec_id,
+      |  round(list_dot_product(vc2.e, qe) /
+      |    (sqrt(list_dot_product(vc2.e, vc2.e)) * sqrt(list_dot_product(qe, qe))), 4) AS sim
+      |FROM vc2 JOIN probes USING (cell), q
+      |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin
+  }
 
   /** Cosine similarity vs the vec_id-0 embedding, double math, rounded 4. */
   def cosineSql(scoreAlias: String): String =

@@ -190,6 +190,18 @@ private[graft] object QueriesDedupSim {
       graft.ext.IvfIndex.topK(s, idx, "vec_id", "embedding",
         queryVec(emb), k = 5, nprobe = 2)
     }),
+    // ----- incremental index maintenance (IvfIndex.append scaladoc:
+    // the FAISS `add` contract — new vectors assigned by the FROZEN
+    // build-time quantizer and appended to their cell partitions, no
+    // retraining, nothing rewritten, one pass over only the new rows;
+    // frozen quantizer ⇒ the post-append index EQUALS a from-scratch
+    // build with these centroids, which is what the oracle replays) -----
+    "sim_ivf_append" -> ((s: SparkSession, dir: String) => {
+      val emb = Tables.embeddings(s, dir)
+      val idx = ivfAppendIndexFor(s, dir, emb)
+      graft.ext.IvfIndex.topK(s, idx, "vec_id", "embedding",
+        queryVec(emb), k = 5, nprobe = 2)
+    }),
     // ----- the COMPOSED IVF-PQ serving path (IvfIndex.topKPq scaladoc:
     // coarse quantizer prunes to nprobe cell partitions, ADC scores the
     // PQ codes inside them — embeddings unread — then the final k
@@ -384,6 +396,7 @@ private[graft] object QueriesDedupSim {
          |FROM km_fin GROUP BY cell ORDER BY cell""".stripMargin),
     // the indexed path answers the identical query — same oracle
     "sim_ivf_indexed" -> IvfOracle,
+    "sim_ivf_append" -> IvfAppendOracle,
     "sim_topk" ->
       (cosineSql("sim") + " SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id LIMIT 10"),
     "sim_topk_grouped" ->

@@ -61,6 +61,35 @@ object IvfIndex {
     buildPq(KMeans.assigned(df, idCol, vecCol, nlist, iters),
       idCol, vecCol, "cell", path, numSub)
 
+  /** Incremental index maintenance — the FAISS `add` contract: assign
+    * NEW vectors to the FROZEN coarse quantizer (the centroid table the
+    * build wrote) and append them to their cell partitions. No
+    * retraining, no rewrite of existing partitions, no full-corpus
+    * pass — at 100 TB an index rebuild for a 0.1% ingest batch is the
+    * difference between minutes and a day. The quantizer staying frozen
+    * is what makes the result EXACT: existing assignments cannot shift,
+    * so the post-append index is identical to one built from scratch
+    * with these centroids (drifted corpora retrain via a rebuild, the
+    * same policy FAISS documents). Assignment is the codegen'd
+    * [[KMeans.assignCell]] argmin over the broadcast centroid matrix —
+    * row-local, one pass over ONLY the new vectors. */
+  def append(df: DataFrame, idCol: String, vecCol: String,
+             path: String): Unit = {
+    val spark = df.sparkSession
+    val rows = spark.read.parquet(s"$path/centroids")
+      .select(col("cell").cast("int"), col("centroid"))
+      .orderBy("cell").collect()
+    val cells = rows.map(_.getInt(0)).toSeq
+    require(cells == cells.indices,
+      s"$path/centroids cells must be contiguous 0..${cells.size - 1} " +
+        s"(assignCell indexes the matrix by cell), got $cells")
+    val cents: IndexedSeq[Seq[Double]] =
+      rows.map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+    df.select(col(idCol), col(vecCol),
+        KMeans.assignCell(col(vecCol), cents).as("cell"))
+      .write.partitionBy("cell").mode("append").parquet(s"$path/data")
+  }
+
   /** Top-k cosine search against a built index: rank the nlist centroids
     * (tiny — collected to the driver like any metadata), then scan ONLY the
     * `nprobe` probed cell partitions. No centroid recomputation, no

@@ -125,4 +125,36 @@ class IvfIndexSpec extends SparkSpec {
     assert("PartitionFilters: \\[[^\\]]*IN \\(".r
       .findAllIn(ps).size == 2, ps.take(4000))
   }
+
+  test("append assigns by the frozen quantizer and rewrites nothing") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfapp")
+      .toString
+    val base = vecs.filter("vec_id % 2 = 0") // one seed vector per cell
+    IvfIndex.buildKMeans(base, "vec_id", "embedding", dir,
+      nlist = 3, iters = 3)
+    def dataFiles(): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$dir/data"))
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath).toSet
+    }
+    val before = dataFiles()
+    IvfIndex.append(vecs.filter("vec_id % 2 = 1"), "vec_id",
+      "embedding", dir)
+    // incremental: every pre-append file survives untouched; the new
+    // rows land as new files inside existing cell partitions
+    assert(before.subsetOf(dataFiles()) && dataFiles().size > before.size)
+    // frozen quantizer ⇒ identical to a from-scratch build with the
+    // same centroids: each odd vector joined its even twin's cell
+    val cells = spark.read.parquet(s"$dir/data")
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert((0 to 2).forall(i => cells(2L * i) == cells(2L * i + 1)))
+    // and the query serves old + new rows through the same probes
+    val got = IvfIndex.topK(spark, dir, "vec_id", "embedding",
+        Seq(1.0, 0.05, 0.0), k = 3, nprobe = 1)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(0L, 1L))
+  }
 }
