@@ -279,6 +279,51 @@ private[graft] object QueriesEventsStreaming {
           col("lang"), col("n_chars"))
         .orderBy("version", "doc_id")
     }),
+    // ----- STREAMING ANN-INDEX MAINTENANCE — the CDF composed with
+    // IvfIndex.append: the index is built over v1's snapshot, later
+    // commits drain version-per-trigger through foreachBatch into the
+    // frozen-quantizer append (one assignment pass per batch, nothing
+    // retrained or rewritten), and the served top-k equals the
+    // from-scratch oracle because batching cannot change frozen
+    // assignments. (The drain here is single-writer; a production
+    // deployment makes the append idempotent per epoch like TxSink.) -----
+    "stream_ivf_append" -> ((s: SparkSession, dir: String) => {
+      val base = scratchDir("graft-ivfs-")
+      val tbl = s"$base/tbl"
+      val idx = s"$base/idx"
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"))
+      val even = emb.filter(col("vec_id") % 2 === 0)
+      graft.sources.TxTable.commit(even, tbl, "overwrite")
+      graft.ext.IvfIndex.buildKMeans(even, "vec_id", "embedding", idx,
+        nlist = KmK, iters = KmIters)
+      // two ingest commits → two CDF versions → two append batches
+      graft.sources.TxTable.commit(
+        emb.filter(col("vec_id") % 4 === 1), tbl, "append")
+      graft.sources.TxTable.commit(
+        emb.filter(col("vec_id") % 4 === 3), tbl, "append")
+      DrainLock.synchronized {
+        val saved = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val q = s.readStream.format("graft-txcdf").option("path", tbl)
+            .option("startingVersion", "2")
+            .option("maxVersionsPerTrigger", "1").load()
+            .writeStream
+            .option("checkpointLocation", s"$base/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .foreachBatch { (b: DataFrame, _: Long) =>
+              graft.ext.IvfIndex.append(
+                b.select(col("vec_id"), col("embedding")),
+                "vec_id", "embedding", idx): Unit
+            }
+            .start()
+          q.awaitTermination()
+        } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+      }
+      graft.ext.IvfIndex.topK(s, idx, "vec_id", "embedding",
+        queryVec(emb), k = 5, nprobe = 2)
+    }),
     // ----- INCREMENTAL TABLE REPLICATION — the full lakehouse loop in
     // one certified query: table A's manifest log tails as a CDF
     // (one-version-per-trigger admission), and each micro-batch lands
@@ -650,6 +695,9 @@ private[graft] object QueriesEventsStreaming {
          |ORDER BY doc_id""".stripMargin),
     // the CDF replays from the commit definitions: each append's rows
     // arrive tagged with exactly the version that published them
+    // arrival batching cannot change frozen-quantizer assignments, so
+    // the streamed index answers the SAME oracle as the batch append
+    "stream_ivf_append" -> EntryHelpers.IvfAppendOracle,
     "stream_txcdf" ->
       ("""SELECT CAST(1 AS BIGINT) AS version, doc_id, lang, n_chars
          |FROM documents WHERE lang = 'en'
