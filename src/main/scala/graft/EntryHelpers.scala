@@ -94,6 +94,26 @@ private[graft] object EntryHelpers {
       p
     })
 
+  /** `sim_ivfpq_append` fixture: the IVF-PQ index built over the EVEN
+    * vec_ids, then the odd half ingested through
+    * [[graft.ext.IvfIndex.appendPq]] — frozen coarse quantizer AND
+    * frozen codebook, so ADC serving sees the ingest with no rebuild
+    * and the oracle can replay the post-append index from scratch. */
+  val ivfPqAppendCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def ivfPqAppendIndexFor(s: SparkSession, dir: String,
+                          emb: DataFrame): String =
+    ivfPqAppendCache.computeIfAbsent(dir, _ => {
+      val p = scratchDir("graft-ivfpqa-")
+      import org.apache.spark.sql.functions.col
+      graft.ext.IvfIndex.buildPqKMeans(
+        emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", p,
+        nlist = KmK, numSub = 4, iters = KmIters)
+      graft.ext.IvfIndex.appendPq(
+        emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", p)
+      p
+    })
+
   /** Scratch directory reclaimed at JVM exit. Deletion cannot be eager —
     * the returned DataFrames read these files lazily — but without the
     * hook every verify/bench run leaks its parquet scratch under /tmp.

@@ -218,6 +218,18 @@ private[graft] object QueriesDedupSim {
       graft.ext.IvfIndex.topKPq(s, idx, "vec_id", queryVec(emb), k = 10,
         nprobe = 2, rescore = true)
     }),
+    // ----- incremental IVF-PQ maintenance (IvfIndex.appendPq scaladoc:
+    // frozen coarse quantizer AND frozen codebook — new vectors
+    // assigned + PQ-encoded in one broadcast pass over only the new
+    // rows, appended to their cell partitions; ADC serving sees the
+    // ingest with no rebuild, exactly equal to a from-scratch build
+    // with these tables, which the oracle replays) -----
+    "sim_ivfpq_append" -> ((s: SparkSession, dir: String) => {
+      val emb = Tables.embeddings(s, dir)
+      val idx = ivfPqAppendIndexFor(s, dir, emb)
+      graft.ext.IvfIndex.topKPq(s, idx, "vec_id", queryVec(emb), k = 10,
+        nprobe = 2, rescore = true)
+    }),
     // symmetric int8 quantization, exploded to scalars for the oracle
     // ----- product-quantization codes: 4 subspaces, per-label codebook,
     // broadcast encode (Similarity.pqEncode scaladoc: vectors never
@@ -532,6 +544,107 @@ private[graft] object QueriesDedupSim {
     // (portable quantized-mean coarse centroids, top-2 by rounded
     // cosine) and the PQ codebook; the final 10 ADC winners are
     // re-scored with the exact cosine and reordered by it
+    // the incremental twin: train + codebook over the EVEN half only,
+    // odd rows assigned by the frozen coarse argmin and PQ-encoded
+    // against the frozen codebook, ADC + rescore over the union
+    "sim_ivfpq_append" ->
+      (s"""WITH vall AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM embeddings
+         |), v AS (
+         |  SELECT * FROM vall WHERE vec_id % 2 = 0
+         |), va AS (
+         |  SELECT * FROM vall WHERE vec_id % 2 = 1
+         |), q AS (
+         |  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+         |  WHERE vec_id = 0
+         |), ${kmeansCte(k = 4, iters = 3, dims = 64)}, vl AS (
+         |  SELECT v.vec_id, f.cell AS label, v.e
+         |  FROM v JOIN km_fin f USING (vec_id)
+         |), cpos AS (
+         |  SELECT label, generate_subscripts(e, 1) AS pos, unnest(e) AS x
+         |  FROM vl
+         |), ccent AS (
+         |  SELECT label, pos,
+         |    CAST(sum(CAST(floor(x * 1e10 + 0.5) AS BIGINT)) AS DOUBLE)
+         |      / count(*) / 1e10 AS x
+         |  FROM cpos GROUP BY label, pos
+         |), carr AS (
+         |  SELECT label, list(x ORDER BY pos) AS c FROM ccent GROUP BY label
+         |), apps AS (
+         |  SELECT vec_id, e, label,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY
+         |      CAST(floor(list_reduce([ (e[i]-c[i])*(e[i]-c[i])
+         |        for i in range(1, 65) ], (a,b) -> a + b) * 1e8 + 0.5)
+         |        AS BIGINT), label) AS rn
+         |  FROM va CROSS JOIN carr
+         |), vl2 AS (
+         |  SELECT vec_id, label, e FROM vl
+         |  UNION ALL
+         |  SELECT vec_id, label, e FROM apps WHERE rn = 1
+         |), probes AS (
+         |  SELECT label,
+         |    round(list_dot_product(c, qe) /
+         |      (sqrt(list_dot_product(c, c)) *
+         |       sqrt(list_dot_product(qe, qe))), 4) AS cs
+         |  FROM carr, q ORDER BY cs DESC, label LIMIT 2
+         |), sb AS (
+         |  SELECT vec_id, label, sub, e[sub*16+1 : sub*16+16] AS sv
+         |  FROM vl, (SELECT unnest(range(0, 4)) AS sub)
+         |), s AS (
+         |  SELECT vec_id, label, sub, e[sub*16+1 : sub*16+16] AS sv
+         |  FROM vl2, (SELECT unnest(range(0, 4)) AS sub)
+         |), comp AS (
+         |  SELECT sub, label, generate_subscripts(sv, 1) AS pos,
+         |    unnest(sv) AS x
+         |  FROM sb
+         |), cent AS (
+         |  SELECT sub, label, pos,
+         |    CAST(sum(CAST(floor(x * 1e10 + 0.5) AS BIGINT)) AS DOUBLE)
+         |      / count(*) / 1e10 AS x
+         |  FROM comp GROUP BY 1, 2, 3
+         |), cb AS (
+         |  SELECT sub, label AS lbl, list(x ORDER BY pos) AS cent
+         |  FROM cent GROUP BY 1, 2
+         |), scored AS (
+         |  SELECT s.vec_id, s.sub, cb.lbl,
+         |    round(list_dot_product(sv, sv) - 2.0 * list_dot_product(sv, cent)
+         |      + list_dot_product(cent, cent), 6) AS d2
+         |  FROM s JOIN cb ON s.sub = cb.sub
+         |), best AS (
+         |  SELECT vec_id, sub, lbl,
+         |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, lbl)
+         |      AS rn
+         |  FROM scored
+         |), lut AS (
+         |  SELECT cb.sub, cb.lbl,
+         |    list_dot_product(cent, qe[cb.sub*16+1 : cb.sub*16+16]) AS qd,
+         |    list_dot_product(cent, cent) AS cn
+         |  FROM cb, q
+         |), pv AS (
+         |  SELECT vec_id FROM vl2 JOIN probes USING (label)
+         |), parts AS (
+         |  SELECT b.vec_id, b.sub, lut.qd, lut.cn
+         |  FROM (SELECT vec_id, sub, lbl FROM best WHERE rn = 1) b
+         |  JOIN pv ON b.vec_id = pv.vec_id
+         |  JOIN lut ON b.sub = lut.sub AND b.lbl = lut.lbl
+         |), agg AS (
+         |  SELECT vec_id,
+         |    list_reduce(list(qd ORDER BY sub), (a, x) -> a + x) AS dotsum,
+         |    list_reduce(list(cn ORDER BY sub), (a, x) -> a + x) AS norm2
+         |  FROM parts GROUP BY vec_id
+         |), adc AS (
+         |  SELECT vec_id,
+         |    round(dotsum / (sqrt(norm2) * sqrt(list_dot_product(qe, qe))), 4)
+         |      AS sim_pq
+         |  FROM agg, q ORDER BY sim_pq DESC, vec_id LIMIT 10
+         |)
+         |SELECT adc.vec_id, adc.sim_pq,
+         |  round(list_dot_product(vall.e, qe) /
+         |    (sqrt(list_dot_product(vall.e, vall.e)) *
+         |     sqrt(list_dot_product(qe, qe))), 4) AS sim
+         |FROM adc JOIN vall ON adc.vec_id = vall.vec_id, q
+         |ORDER BY sim DESC, adc.vec_id""".stripMargin),
     "sim_ivfpq" ->
       (s"""WITH v AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e

@@ -74,7 +74,36 @@ object IvfIndex {
     * [[KMeans.assignCell]] argmin over the broadcast centroid matrix —
     * row-local, one pass over ONLY the new vectors. */
   def append(df: DataFrame, idCol: String, vecCol: String,
-             path: String): Unit = {
+             path: String): Unit =
+    assignFrozen(df, idCol, vecCol, path)
+      .write.partitionBy("cell").mode("append").parquet(s"$path/data")
+
+  /** [[append]] for an IVF-PQ index: the raw-vector append plus the
+    * codes — new vectors PQ-encoded against the FROZEN persisted
+    * codebook (one broadcast-join pass over only the new rows,
+    * `Similarity.pqEncodeKeepCell`'s exact arithmetic) and appended to
+    * their cell's code partition. Frozen quantizer + frozen codebook ⇒
+    * the post-append index equals a from-scratch [[buildPq]] with
+    * these tables, so ADC serving needs no rebuild to see the ingest. */
+  def appendPq(df: DataFrame, idCol: String, vecCol: String,
+               path: String): Unit = {
+    val spark = df.sparkSession
+    val meta = new String(Files.readAllBytes(Paths.get(path, "meta.json")))
+    val numSub =
+      "\"numSub\":(\\d+)".r.findFirstMatchIn(meta).get.group(1).toInt
+    val assigned = assignFrozen(df, idCol, vecCol, path)
+    assigned.write.partitionBy("cell").mode("append")
+      .parquet(s"$path/data")
+    Similarity.pqEncodeKeepCell(assigned, idCol, vecCol, "cell", numSub,
+        Some(spark.read.parquet(s"$path/codebook")))
+      .write.partitionBy("cell").mode("append").parquet(s"$path/codes")
+  }
+
+  /** The frozen-quantizer assignment both append shapes share: (id,
+    * vec, cell) with cell from the WRITTEN centroid table — never
+    * retrained. */
+  private def assignFrozen(df: DataFrame, idCol: String, vecCol: String,
+                           path: String): DataFrame = {
     val spark = df.sparkSession
     val rows = spark.read.parquet(s"$path/centroids")
       .select(col("cell").cast("int"), col("centroid"))
@@ -86,8 +115,7 @@ object IvfIndex {
     val cents: IndexedSeq[Seq[Double]] =
       rows.map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
     df.select(col(idCol), col(vecCol),
-        KMeans.assignCell(col(vecCol), cents).as("cell"))
-      .write.partitionBy("cell").mode("append").parquet(s"$path/data")
+      KMeans.assignCell(col(vecCol), cents).as("cell"))
   }
 
   /** Top-k cosine search against a built index: rank the nlist centroids

@@ -157,4 +157,23 @@ class IvfIndexSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(got == Seq(0L, 1L))
   }
+
+  test("appendPq encodes against the frozen codebook; ADC serves ingest") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pqapp")
+      .toString
+    IvfIndex.buildPqKMeans(vecs.filter("vec_id % 2 = 0"), "vec_id",
+      "embedding", dir, nlist = 3, numSub = 3, iters = 3)
+    IvfIndex.appendPq(vecs.filter("vec_id % 2 = 1"), "vec_id",
+      "embedding", dir)
+    // every vector — base and appended — is servable through ADC with
+    // every cell probed, and the exact rescore ranks the true nearest
+    // first (including appended vec 1)
+    val out = IvfIndex.topKPq(spark, dir, "vec_id", Seq(1.0, 0.05, 0.0),
+        k = 6, nprobe = 3, rescore = true)
+      .collect().map(_.getLong(0)).toSeq
+    assert(out.size == 6 && out.take(2) == Seq(0L, 1L))
+    // codes exist for all six ids
+    assert(spark.read.parquet(s"$dir/codes").select("vec_id")
+      .distinct().count() == 6L)
+  }
 }
