@@ -103,7 +103,7 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
     * stays on the create/namespace paths where it guards real data. */
   override def tableExists(ident: Identifier): Boolean =
     ident.name().split('$') match {
-      case Array(base, "history" | "files" | "stats" | "constraints")
+      case Array(base, "history" | "files" | "stats" | "constraints" | "dv")
           if base.nonEmpty =>
         isTxTable(dirFor(Identifier.of(ident.namespace(), base)))
       case _ if ident.name().contains('$') ||
@@ -117,7 +117,7 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
     // served through a LocalScan, never a distributed job
     ident.name().split('$') match {
       case Array(base, kind @ ("history" | "files" | "stats" |
-          "constraints")) if base.nonEmpty =>
+          "constraints" | "dv")) if base.nonEmpty =>
         val dir = dirFor(Identifier.of(ident.namespace(), base))
         if (!isTxTable(dir)) throw new NoSuchTableException(ident)
         return TxMetaTables.table(fullName(ident), dir, kind)
@@ -772,7 +772,31 @@ private[graft] object TxMetaTables {
     StructField("name", StringType, nullable = false),
     StructField("expr", StringType, nullable = false)))
 
+  private val DvSchema = StructType(Seq(
+    StructField("dv_dir", StringType, nullable = false),
+    StructField("tombstones", LongType, nullable = false),
+    StructField("bytes", LongType, nullable = false)))
+
   def table(name: String, dir: Path, kind: String): Table = kind match {
+    // `t$dv`: the live deletion-vector sidecars — how much tombstone
+    // debt the snapshot carries (the purgeDeletes trigger metric);
+    // tombstone counts come from parquet FOOTERS, zero data read
+    case "dv" => new MetaTable(name, DvSchema, () => {
+      val v = TxTable.latestVersion(dir.toString).getOrElse(
+        throw new IllegalStateException(s"no committed version under $dir"))
+      TxTable.readManifest(dir, v).dvDirs.sorted.map { d =>
+        val fs = TxTable.walkParquet(dir.resolve(d))
+        val n = fs.map { p =>
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(p.toString),
+              new org.apache.hadoop.conf.Configuration()))
+          try r.getRecordCount finally r.close()
+        }.sum
+        new GenericInternalRow(Array[Any](UTF8String.fromString(d), n,
+          fs.map(Files.size).sum)): InternalRow
+      }.toArray
+    })
     // `t$constraints`: the data-quality promises in force — what every
     // write is validated against (TxTable.commit scaladoc)
     case "constraints" => new MetaTable(name, ConstraintsSchema, () => {

@@ -805,7 +805,7 @@ object TxTable {
       }
     }.toMap
 
-  private def walkParquet(dir: Path): Seq[Path] = {
+  private[sources] def walkParquet(dir: Path): Seq[Path] = {
     def walk(p: Path): Seq[Path] =
       if (Files.isDirectory(p)) listNames(p).flatMap(n => walk(p.resolve(n)))
       else if (p.getFileName.toString.endsWith(".parquet")) Seq(p)

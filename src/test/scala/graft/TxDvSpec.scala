@@ -323,6 +323,12 @@ class TxDvSpec extends SparkSpec {
     assert(spark.sql("SHOW TBLPROPERTIES txdv.db.t").collect()
       .exists(r => r.getString(0) == TxTable.DvProperty &&
         r.getString(1) == "true"))
+    // the t$dv metadata table inventories the tombstone debt (footer
+    // counts, zero data read): one sidecar, three tombstones
+    val dvMeta = spark.sql(
+      "SELECT dv_dir, tombstones FROM txdv.db.`t$dv`").collect()
+    assert(dvMeta.length == 1 && dvMeta.head.getLong(1) == 3L &&
+      dvMeta.head.getString(0) == m3.dvDirs.head)
     // DvReadRule: plain SELECT, aggregate, and a join all see 7 rows
     assert(spark.sql("SELECT count(*) FROM txdv.db.t").head().getLong(0)
       == 7L)
