@@ -542,6 +542,33 @@ private[graft] object QueriesSearchOps {
            |FROM graft_tx.db.mrg VERSION AS OF $v
            |ORDER BY doc_id""".stripMargin)
     }),
+    // ----- whole-table aggregates answered from parquet FOOTERS: the
+    // tx scan delegates DSv2 aggregate pushdown to the stock parquet
+    // builder over the snapshot's file list (TxScanBuilder scaladoc) —
+    // the query require-pins the plan (PushedAggregation non-empty), so
+    // a regression to a data scan fails the GATE, not just the suite -----
+    "count_tx_footer" -> ((s: SparkSession, dir: String) => {
+      val wh = EntryHelpers.txCatalogWarehouse(s, dir)
+      s.conf.set("spark.sql.catalog.graft_tx", "graft.sources.TxCatalog")
+      s.conf.set("spark.sql.catalog.graft_tx.root", wh)
+      EntryHelpers.txOptCompactedVersion(s, dir, wh): Unit
+      val saved = s.conf.get("spark.sql.parquet.aggregatePushdown")
+      s.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      try {
+        val df = s.sql(
+          """SELECT count(*) AS n, min(doc_id) AS min_id,
+            |  max(doc_id) AS max_id FROM graft_tx.db.opt""".stripMargin)
+        require(df.queryExecution.executedPlan.toString
+          .contains("PushedAggregation: [COUNT"),
+          "tx whole-table aggregate did not push to parquet footers")
+        // materialize under the enabled conf, then hand the gate a
+        // local frame — the conf must not leak into other queries
+        val rows = df.collect().toSeq
+        s.createDataFrame(
+          s.sparkContext.parallelize(rows, 1), df.schema)
+      } finally
+        s.conf.set("spark.sql.parquet.aggregatePushdown", saved)
+    }),
     // ----- merge-on-read DELETE via deletion vectors: the table opts
     // in with tx.deletionVectors=true, so DELETE writes a (file, pos)
     // tombstone sidecar and v4's DATA FILES ARE UNCHANGED (fixture
@@ -1337,6 +1364,11 @@ private[graft] object QueriesSearchOps {
       ("""SELECT CAST(4 AS BIGINT) AS version, doc_id, lang, n_chars
          |FROM documents WHERE lang IN ('en', 'fr')
          |ORDER BY doc_id""".stripMargin),
+    // the footer-served aggregate over the compacted en+de+fr table
+    "count_tx_footer" ->
+      ("""SELECT CAST(count(*) AS BIGINT) AS n,
+         |  min(doc_id) AS min_id, max(doc_id) AS max_id
+         |FROM documents WHERE lang IN ('en', 'de', 'fr')""".stripMargin),
     // the merge-on-read DELETE reads identically to its copy-on-write
     // twin — the tombstone anti-join must be invisible to content
     "ops_delete_mor" ->

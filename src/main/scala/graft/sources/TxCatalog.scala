@@ -584,7 +584,8 @@ private[graft] final class TxScanBuilder(
     partitionColumns: Seq[String] = Nil)
   extends ScanBuilder
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
-  with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+  with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   import org.apache.spark.sql.catalyst.expressions.Expression
 
@@ -603,10 +604,52 @@ private[graft] final class TxScanBuilder(
     skipFilters.map(org.apache.spark.sql.graftbridge.GraftBridge.filterToV2)
       .toArray
 
-  override def pruneColumns(requiredSchema: StructType): Unit =
+  override def pruneColumns(requiredSchema: StructType): Unit = {
     required = requiredSchema
+    aggBuilder.foreach(_.pruneColumns(requiredSchema))
+  }
+
+  // ---- aggregate pushdown by DELEGATION: a whole-table COUNT/MIN/MAX
+  // answers from parquet FOOTERS (O(files) metadata, zero data read) —
+  // at 100 TB the difference between a second and a full scan. The
+  // stock ParquetScanBuilder already implements the footer path and its
+  // conf gating (spark.sql.parquet.aggregatePushdown), so the tx scan
+  // builds one over the snapshot's full file list and forwards both
+  // hooks. Only when nothing filters (all our filters are residual by
+  // contract, so a filtered query never qualifies — parquet's own rule)
+  // and the table is unpartitioned (the partitioned arm wraps readers;
+  // its per-group delegation cannot carry a global aggregate).
+  // DV-bearing snapshots never reach here: DvReadRule swapped the
+  // relation at resolution, so a footer count cannot resurrect
+  // tombstoned rows.
+  private var aggBuilder
+      : Option[org.apache.spark.sql.execution.datasources.v2
+        .parquet.ParquetScanBuilder] = None
+  private def mkInner(fs: Seq[String], tag: String) =
+    ParquetTable(s"$scanName $tag", SparkSession.active, options,
+      fs.map(f => dir.resolve(f).toString).toList, Some(schema),
+      classOf[ParquetFileFormat]).newScanBuilder(options)
+      .asInstanceOf[org.apache.spark.sql.execution.datasources.v2
+        .parquet.ParquetScanBuilder]
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean =
+    partitionColumns.isEmpty && exprFilters.isEmpty &&
+      mkInner(relFiles, "agg-probe").supportCompletePushDown(agg)
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean = {
+    if (partitionColumns.nonEmpty || exprFilters.nonEmpty) return false
+    val inner = mkInner(relFiles, "agg=footer-only")
+    if (!inner.pushAggregation(agg)) return false
+    aggBuilder = Some(inner)
+    true
+  }
 
   override def build(): org.apache.spark.sql.connector.read.Scan = {
+    aggBuilder.foreach(b => return b.build())
     val kept = relFiles.filter { f =>
       val st = stats.getOrElse(f, Map.empty[String, TxStats.ColStat])
       val bl = blooms.getOrElse(f, Map.empty[String, TxStats.FileBloom])

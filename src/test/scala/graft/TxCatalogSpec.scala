@@ -78,6 +78,33 @@ class TxCatalogSpec extends SparkSpec {
     assert(df.collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
 
+  test("whole-table COUNT/MIN/MAX answer from parquet footers") {
+    warehouse
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try {
+      val df = spark.sql("SELECT count(*), min(id), max(id) FROM txspec.db.t")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedAggregation: [COUNT"),
+        s"expected a pushed aggregation in:\n$plan")
+      val r = df.head() // v3 head snapshot: the single (3, "c", 30.0) row
+      assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (1L, 3L, 3L))
+      // time travel composes: v1 holds ids 1, 2
+      val tt = spark.sql(
+        "SELECT count(*), max(id) FROM txspec.db.t VERSION AS OF 1")
+      assert(tt.queryExecution.executedPlan.toString
+        .contains("PushedAggregation: [COUNT"))
+      assert((tt.head().getLong(0), tt.head().getLong(1)) == (2L, 2L))
+      // a FILTERED aggregate must NOT push (our filters are residual by
+      // contract — a footer count cannot apply them)
+      val f = spark.sql(
+        "SELECT count(*) FROM txspec.db.t VERSION AS OF 1 WHERE id > 1")
+      assert(!f.queryExecution.executedPlan.toString
+        .contains("PushedAggregation: [COUNT"))
+      assert(f.head().getLong(0) == 1L)
+    } finally
+      spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
+  }
+
   test("missing table and vacuumed/unknown version fail loudly") {
     warehouse
     // the catalog's NoSuchTableException surfaces wrapped in Spark's
