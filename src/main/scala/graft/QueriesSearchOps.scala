@@ -460,6 +460,27 @@ private[graft] object QueriesSearchOps {
           col("n_chars"))
         .orderBy("doc_id")
     }),
+    // ----- N-dimensional z-order (TxTable.compactZOrderBy scaladoc:
+    // the round-robin Morton interleave at arity 3 — every rewritten
+    // file is one tile bounded in ALL THREE dimensions, so manifest
+    // stats prune on any of the three predicates; rows unchanged,
+    // gate-certified identical multiset) -----
+    "ops_zorder3" -> ((s: SparkSession, dir: String) => {
+      val tbl = scratchDir("graft-zord3-") + "/tbl"
+      val ev = Tables.events(s, dir).select(col("event_id"),
+        col("user_id"),
+        expr("CAST(floor(value * 1000) AS BIGINT)").as("v_milli"))
+      graft.sources.TxTable.commit(
+        ev.filter(col("event_id") % 2 === 0), tbl, "overwrite")
+      graft.sources.TxTable.commit(
+        ev.filter(col("event_id") % 2 === 1), tbl, "append")
+      val v = graft.sources.TxTable.compactZOrderBy(s, tbl,
+        Seq("event_id", "user_id", "v_milli"), numFiles = 4)
+      graft.sources.TxTable.readVersion(s, tbl, v)
+        .select(lit(v).as("version"), col("event_id"), col("user_id"),
+          col("v_milli"))
+        .orderBy("event_id")
+    }),
     // ----- schema evolution certified end-to-end: an opted-in
     // mergeSchema append widens the table by-name (old rows read NULL
     // for the new column, the appended frame NULL for the one it
@@ -1349,6 +1370,12 @@ private[graft] object QueriesSearchOps {
          |WHERE lang IN ('en', 'es') ORDER BY doc_id""".stripMargin),
     // the z-order rewrite moves rows between files, never changes them:
     // v4 is the identical en+de+fr multiset
+    // the 3-D z-order rewrite moves rows between files, never changes
+    // them: v3 is the identical events multiset
+    "ops_zorder3" ->
+      ("""SELECT CAST(3 AS BIGINT) AS version, event_id, user_id,
+         |  CAST(floor(value * 1000) AS BIGINT) AS v_milli
+         |FROM events ORDER BY event_id""".stripMargin),
     "ops_zorder_rewrite" ->
       ("""SELECT CAST(4 AS BIGINT) AS version, doc_id, lang, n_chars
          |FROM documents WHERE lang IN ('en', 'de', 'fr')

@@ -29,13 +29,26 @@ object Layout {
     * high bits are silently ignored by construction (only the low `bits`
     * are read), which is the documented contract, not a trap: layout keys
     * are always range-bucketed first. */
-  def zValue(x: Column, y: Column, bits: Int = 16): Column = {
-    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
-    val xs = x.cast("long")
-    val ys = y.cast("long")
-    (0 until bits).map { i =>
-      shiftleft(shiftright(xs, i).bitwiseAND(lit(1L)), 2 * i)
-        .bitwiseOR(shiftleft(shiftright(ys, i).bitwiseAND(lit(1L)), 2 * i + 1))
+  def zValue(x: Column, y: Column, bits: Int = 16): Column =
+    zValueN(Seq(x, y), bits)
+
+  /** [[zValue]] generalized to N dimensions (Delta's `OPTIMIZE ZORDER
+    * BY (c1, …, cN)` accepts any arity): round-robin interleave —
+    * column j's bit i lands at position `i·N + j`, so every dimension
+    * contributes equally to every prefix and a prefix tile is bounded
+    * in ALL N dimensions simultaneously. The 2-column form is the
+    * bit-identical special case. The interleaved key must fit a
+    * non-negative long: `N·bits ≤ 63`. */
+  def zValueN(dims: Seq[Column], bits: Int = 16): Column = {
+    val n = dims.size
+    require(n >= 2, s"z-order needs at least 2 dimensions, got $n")
+    require(bits >= 1 && n * bits <= 63,
+      s"need 1 <= bits and dims*bits <= 63, got $n x $bits")
+    val longs = dims.map(_.cast("long"))
+    (0 until bits).flatMap { i =>
+      longs.zipWithIndex.map { case (c, j) =>
+        shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * n + j)
+      }
     }.reduce(_ bitwiseOR _)
   }
 

@@ -680,7 +680,21 @@ object TxTable {
   def compactZOrder(spark: SparkSession, tableDir: String,
                     xCol: String, yCol: String, numFiles: Int,
                     bits: Int = 16,
-                    primitive: CommitPrimitive = PosixLinkPrimitive): Long = {
+                    primitive: CommitPrimitive = PosixLinkPrimitive): Long =
+    compactZOrderBy(spark, tableDir, Seq(xCol, yCol), numFiles, bits,
+      primitive)
+
+  /** [[compactZOrder]] at any arity (Delta's `OPTIMIZE ZORDER BY (c1,
+    * …, cN)`): the Morton key is [[Layout.zValueN]]'s round-robin
+    * interleave, so every file's min/max extent is one tile bounded in
+    * ALL N dimensions simultaneously — the manifest stats prune on any
+    * of the N predicates. Same rewrite machinery as the 2-column form
+    * (which is the bit-identical N=2 special case). */
+  def compactZOrderBy(spark: SparkSession, tableDir: String,
+                      zCols: Seq[String], numFiles: Int,
+                      bits: Int = 16,
+                      primitive: CommitPrimitive = PosixLinkPrimitive)
+      : Long = {
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
     val root = Paths.get(tableDir)
     val v = latestVersion(tableDir).getOrElse(
@@ -688,13 +702,12 @@ object TxTable {
         s"no committed version under $tableDir/$LogDir"))
     val m = readManifest(root, v)
     val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
-    Seq(xCol, yCol).foreach(c => require(
+    zCols.foreach(c => require(
       schema.fieldNames.contains(c), s"zorder column '$c' is not in " +
         s"the table schema ${schema.simpleString}"))
-    require(!m.partitionColumns.contains(xCol) &&
-      !m.partitionColumns.contains(yCol),
+    zCols.foreach(c => require(!m.partitionColumns.contains(c),
       "zorder columns must be data columns — a partition column's " +
-        "layout is already its directory")
+        "layout is already its directory"))
     val zc = "__graft_z"
     require(!schema.fieldNames.contains(zc),
       s"table may not have a '$zc' column")
@@ -707,8 +720,8 @@ object TxTable {
     val rangeKey =
       m.partitionColumns.map(functions.col) :+ functions.col(zc)
     val zsorted = readVersion(spark, tableDir, v)
-      .withColumn(zc, Layout.zValue(functions.col(xCol),
-        functions.col(yCol), bits))
+      .withColumn(zc,
+        Layout.zValueN(zCols.map(functions.col), bits))
       .repartitionByRange(numFiles, rangeKey: _*)
       .sortWithinPartitions(rangeKey: _*)
       .select(cols: _*)

@@ -68,4 +68,31 @@ class LayoutSpec extends SparkSpec {
       Layout.zOrderStats(d, "x", "y", bits = 8, prefixShift = 16)
     }
   }
+
+  test("zValueN: N=2 is bit-identical to zValue; N=3 interleaves " +
+      "round-robin; key-width guard refuses") {
+    import spark.implicits._
+    val d = (0 until 64).flatMap(x => (0 until 8).map(y => (x.toLong,
+      y.toLong, ((x * 7 + y) % 16).toLong))).toDF("x", "y", "w")
+    // the 2-column special case stays bit-identical
+    val diff = d.select((Layout.zValue(col("x"), col("y"), 6) =!=
+      Layout.zValueN(Seq(col("x"), col("y")), 6)).as("m"))
+      .filter(col("m")).count()
+    assert(diff == 0L)
+    // hand-checked 3-D interleave: x=1,y=0,w=1 with bits=2 →
+    // bit x0@0, w0@2 set → 0b101 = 5; x=0,y=1,w=1 → y0@1, w0@2 → 6
+    val z = d.sparkSession.range(1)
+      .select(
+        Layout.zValueN(Seq(lit(1L), lit(0L), lit(1L)), 2).as("a"),
+        Layout.zValueN(Seq(lit(0L), lit(1L), lit(1L)), 2).as("b"))
+      .head()
+    assert((z.getLong(0), z.getLong(1)) == (5L, 6L))
+    // a key that cannot fit a non-negative long refuses loudly
+    intercept[IllegalArgumentException] {
+      Layout.zValueN(Seq(col("x"), col("y"), col("w")), 22)
+    }
+    intercept[IllegalArgumentException] {
+      Layout.zValueN(Seq(col("x")), 8)
+    }
+  }
 }
