@@ -460,6 +460,39 @@ private[graft] object QueriesSearchOps {
           col("n_chars"))
         .orderBy("doc_id")
     }),
+    // ----- predicate-scoped compaction (the Delta OPTIMIZE WHERE
+    // shape; TxTable.compact scaladoc): one language per commit gives
+    // per-file min=max lang stats, so scope lang='de' rewrites ONLY the
+    // de files — en/fr carry forward verbatim with stats and blooms
+    // (require-pinned), rows unchanged either way -----
+    "ops_compact_where" -> ((s: SparkSession, dir: String) => {
+      val tbl = scratchDir("graft-cmpw-") + "/tbl"
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "en"), tbl, "overwrite")
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "de"), tbl, "append")
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "fr"), tbl, "append")
+      val root = java.nio.file.Paths.get(tbl)
+      val m3 = graft.sources.TxTable.readManifest(root, 3L)
+      val v = graft.sources.TxTable.compact(s, tbl,
+        targetBytes = 1L << 30,
+        scope = Seq(org.apache.spark.sql.sources.EqualTo("lang", "de")))
+      val m4 = graft.sources.TxTable.readManifest(root, v)
+      val deFiles = m3.files.filter(f =>
+        m3.stats.get(f).exists(_.get("lang").exists(_.min == "de")))
+      val carried = m3.files.filterNot(deFiles.contains)
+      require(carried.forall(f => m4.files.contains(f) &&
+          m4.stats.get(f) == m3.stats.get(f)) &&
+          deFiles.forall(f => !m4.files.contains(f)),
+        "scoped compact must rewrite exactly the de files")
+      graft.sources.TxTable.readVersion(s, tbl, v)
+        .select(lit(v).as("version"), col("doc_id"), col("lang"),
+          col("n_chars"))
+        .orderBy("doc_id")
+    }),
     // ----- N-dimensional z-order (TxTable.compactZOrderBy scaladoc:
     // the round-robin Morton interleave at arity 3 — every rewritten
     // file is one tile bounded in ALL THREE dimensions, so manifest
@@ -1370,6 +1403,12 @@ private[graft] object QueriesSearchOps {
          |WHERE lang IN ('en', 'es') ORDER BY doc_id""".stripMargin),
     // the z-order rewrite moves rows between files, never changes them:
     // v4 is the identical en+de+fr multiset
+    // the scoped compaction moves bytes of the de files only, rows
+    // never change: v4 is the identical en+de+fr multiset
+    "ops_compact_where" ->
+      ("""SELECT CAST(4 AS BIGINT) AS version, doc_id, lang, n_chars
+         |FROM documents WHERE lang IN ('en', 'de', 'fr')
+         |ORDER BY doc_id""".stripMargin),
     // the 3-D z-order rewrite moves rows between files, never changes
     // them: v3 is the identical events multiset
     "ops_zorder3" ->

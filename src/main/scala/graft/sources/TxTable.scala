@@ -552,9 +552,19 @@ object TxTable {
     * point is still the single atomic manifest publish at the end.
     *
     * No-op (returns the current version) on an empty snapshot. */
+  /** `scope` (the Delta `OPTIMIZE WHERE` shape): when non-empty, only
+    * files the manifest stats/blooms CANNOT prove predicate-free are
+    * rewritten — everything else carries forward VERBATIM with its
+    * stats and blooms. At 100 TB that is the difference between
+    * compacting yesterday's hot partition and rewriting the table; the
+    * scoping is conservative (a kept file may hold no matching row —
+    * file granularity, like Delta's), and rows never change either
+    * way. */
   def compact(spark: SparkSession, tableDir: String,
               targetBytes: Long, maxConcurrentJobs: Int = 8,
-              primitive: CommitPrimitive = PosixLinkPrimitive): Long = {
+              primitive: CommitPrimitive = PosixLinkPrimitive,
+              scope: Seq[org.apache.spark.sql.sources.Filter] = Nil)
+      : Long = {
     val root = Paths.get(tableDir)
     val v = latestVersion(tableDir).getOrElse(
       throw new IllegalStateException(
@@ -568,10 +578,19 @@ object TxTable {
     if (m.dvDirs.nonEmpty) {
       purgeDeletes(spark, tableDir, primitive): Unit
       return compact(spark, tableDir, targetBytes, maxConcurrentJobs,
-        primitive)
+        primitive, scope)
     }
     val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
     if (m.files.isEmpty) return v
+    val (scoped, untouched) =
+      if (scope.isEmpty) (m.files, Seq.empty[String])
+      else m.files.partition { f =>
+        val st = m.stats.getOrElse(f, Map.empty[String, TxStats.ColStat])
+        val bl = m.blooms.getOrElse(f, Map.empty[String, TxStats.FileBloom])
+        !scope.exists(fl =>
+          TxStats.excludes(st, schema, fl) || TxStats.bloomExcludes(bl, fl))
+      }
+    if (scoped.isEmpty) return v // nothing in scope: version-free no-op
     val partSet = m.partitionColumns.toSet
     val dataSchema =
       StructType(schema.fields.filterNot(f => partSet(f.name)))
@@ -582,7 +601,7 @@ object TxTable {
     def partSegs(f: String): String =
       f.split('/').toSeq.drop(2).dropRight(1).mkString("/")
     import spark.implicits._
-    val inv = m.files.map(f =>
+    val inv = scoped.map(f =>
         (if (m.partitionColumns.isEmpty) "" else partSegs(f), f,
           Files.size(root.resolve(f))))
       .toDF("part", "path", "bytes")
@@ -635,8 +654,12 @@ object TxTable {
     // new version is exactly these files), but downstream consumers —
     // the CDF stream above all — must be able to tell "bytes moved,
     // rows unchanged" from a real rewrite
-    val manifest = Manifest(v + 1, "compact", m.schemaJson, newFiles,
-      m.txns, compactStats, compactBlooms, m.partitionColumns,
+    val untouchedSet = untouched.toSet
+    val keptStats = m.stats.view.filterKeys(untouchedSet).toMap
+    val keptBlooms = m.blooms.view.filterKeys(untouchedSet).toMap
+    val manifest = Manifest(v + 1, "compact", m.schemaJson,
+      untouched ++ newFiles, m.txns, keptStats ++ compactStats,
+      keptBlooms ++ compactBlooms, m.partitionColumns,
       m.constraints, Nil, m.properties)
     try publish(root, manifest, primitive)
     catch {

@@ -67,4 +67,28 @@ class CompactionSpec extends SparkSpec {
     assert(back.toSeq == Seq((1L, "plain", 10L),
       (2L, "quote \" tab \t newline \n done", -1L), (3L, null, -5L)))
   }
+
+  test("scoped compact: out-of-scope files carry; empty scope is a no-op") {
+    import spark.implicits._
+    import graft.sources.TxTable
+    val tbl = java.nio.file.Files.createTempDirectory("cmpw-spec-")
+      .toString + "/tbl"
+    TxTable.commit(Seq((1L, "a"), (2L, "a")).toDF("id", "g"), tbl,
+      "overwrite")
+    TxTable.commit(Seq((3L, "b")).toDF("id", "g"), tbl, "append")
+    val m2 = TxTable.readManifest(java.nio.file.Paths.get(tbl), 2L)
+    // scope g='b': the g='a' files (min=max stats) carry verbatim
+    val v = TxTable.compact(spark, tbl, targetBytes = 1L << 20,
+      scope = Seq(org.apache.spark.sql.sources.EqualTo("g", "b")))
+    assert(v == 3L)
+    val m3 = TxTable.readManifest(java.nio.file.Paths.get(tbl), 3L)
+    val aFiles = m2.files.filter(f =>
+      m2.stats.get(f).exists(_.get("g").exists(_.min == "a")))
+    assert(aFiles.nonEmpty && aFiles.forall(m3.files.contains))
+    assert(TxTable.read(spark, tbl).count() == 3L)
+    // a scope that provably matches no file commits no version
+    assert(TxTable.compact(spark, tbl, targetBytes = 1L << 20,
+      scope = Seq(org.apache.spark.sql.sources.EqualTo("g", "zzz"))) == 3L)
+    assert(TxTable.latestVersion(tbl) == Some(3L))
+  }
 }
