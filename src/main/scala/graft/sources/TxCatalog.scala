@@ -702,7 +702,23 @@ private[graft] final class TxScanBuilder(
               s"unsupported partition type ${other.simpleString}")
           }
         }
-      new org.apache.spark.sql.connector.read.Scan {
+      // SupportsReportStatistics: without it a DSv2 scan defaults to
+      // spark.sql.defaultSizeInBytes (effectively infinite), so a JOIN
+      // against a small partitioned tx table would never broadcast —
+      // the kept files' byte sum is O(files) driver metadata and feeds
+      // Catalyst's build-side choice honestly. (The unpartitioned arm
+      // delegates to FileScan, which already reports.)
+      new org.apache.spark.sql.connector.read.Scan
+          with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+        override def estimateStatistics()
+            : org.apache.spark.sql.connector.read.Statistics =
+          new org.apache.spark.sql.connector.read.Statistics {
+            override def sizeInBytes(): java.util.OptionalLong =
+              java.util.OptionalLong.of(
+                kept.map(f => Files.size(dir.resolve(f))).sum)
+            override def numRows(): java.util.OptionalLong =
+              java.util.OptionalLong.empty()
+          }
         override def readSchema(): StructType = outSchema
         override def description(): String = s"$scanName $skipTag"
         override def toBatch: org.apache.spark.sql.connector.read.Batch =

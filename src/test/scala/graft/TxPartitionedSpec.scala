@@ -290,4 +290,25 @@ class TxPartitionedSpec extends SparkSpec {
       .sorted.toSeq
     assert(got == Seq((1L, 1L, "en", 5L), (2L, 2L, "de", 7L)))
   }
+
+  test("the partitioned scan reports its size: small tables broadcast") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("txpart-stat-").toString
+    spark.conf.set("spark.sql.catalog.txpstat", "graft.sources.TxCatalog")
+    spark.conf.set("spark.sql.catalog.txpstat.root", wh)
+    spark.sql("CREATE TABLE txpstat.db.dim (id BIGINT, lang STRING) " +
+      "PARTITIONED BY (lang)")
+    spark.sql("INSERT INTO txpstat.db.dim VALUES (1, 'en'), (2, 'de')")
+    // without SupportsReportStatistics this relation sizes at
+    // spark.sql.defaultSizeInBytes (huge) and the join sort-merges
+    spark.range(0, 10000).select(col("id"))
+      .createOrReplaceTempView("txpstat_fact")
+    val q = spark.sql(
+      """SELECT count(*) FROM txpstat_fact f
+        |JOIN txpstat.db.dim d ON f.id = d.id""".stripMargin)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the 2-row dim side to broadcast, got:\n$plan")
+    assert(q.head().getLong(0) == 2L)
+  }
 }
