@@ -402,6 +402,7 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.toSeq == Seq("system"))
       Array(Identifier.of(namespace, "compact"),
+        Identifier.of(namespace, "compact_where"),
         Identifier.of(namespace, "vacuum"),
         Identifier.of(namespace, "restore"),
         Identifier.of(namespace, "zorder"))
@@ -429,9 +430,10 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
       case "vacuum"  => TxProcedures.vacuum(resolve)
       case "restore" => TxProcedures.restore(resolve)
       case "zorder"  => TxProcedures.zorder(resolve)
+      case "compact_where" => TxProcedures.compactWhere(resolve)
       case other => throw new IllegalArgumentException(
-        s"unknown procedure system.$other (have: compact, vacuum, " +
-          "restore, zorder)")
+        s"unknown procedure system.$other (have: compact, " +
+          "compact_where, vacuum, restore, zorder)")
     }
   }
 
@@ -1055,6 +1057,76 @@ private[graft] object TxProcedures {
             val target = args.getLong(1)
             val v = TxTable.compact(SparkSession.active, resolve(tbl).toString,
               target)
+            oneRowScan(
+              StructType(Seq(StructField("new_version", LongType, false))),
+              new GenericInternalRow(Array[Any](v)))
+          }
+        }
+    }
+
+  /** `CALL cat.system.compact_where('db.t', target_bytes, '<pred>')` —
+    * predicate-scoped OPTIMIZE without leaving SQL: the predicate
+    * string parses and analyzes against the TABLE's schema (full type
+    * coercion, so `n > 400` meets a BIGINT column as a BIGINT), splits
+    * into conjuncts, and every conjunct must translate to a source
+    * filter the stats layer can evaluate — an untranslatable conjunct
+    * refuses loudly rather than silently compacting the whole table
+    * (a scope that cannot skip is not a scope). */
+  def compactWhere(resolve: String => Path): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = "compact_where"
+      override def description(): String =
+        "predicate-scoped compaction: rewrite only files the manifest " +
+          "stats/blooms cannot prove predicate-free (TxTable.compact " +
+          "scope)"
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = "compact_where"
+          override def parameters(): Array[ProcedureParameter] = Array(
+            ProcedureParameter.in("table", StringType)
+              .comment("dotted table name under the warehouse root").build(),
+            ProcedureParameter.in("target_bytes", LongType)
+              .comment("greedy bin-fill target per output file").build(),
+            ProcedureParameter.in("where", StringType)
+              .comment("SQL predicate over table columns; every " +
+                "conjunct must be stats-evaluable").build())
+          override def isDeterministic: Boolean = false // commits a version
+          override def call(args: InternalRow): util.Iterator[Scan] = {
+            val spark = SparkSession.active
+            val dir = resolve(args.getUTF8String(0).toString)
+            val target = args.getLong(1)
+            val predStr = args.getUTF8String(2).toString
+            val v0 = TxTable.latestVersion(dir.toString).get
+            val schema = org.apache.spark.sql.types.DataType.fromJson(
+                TxTable.readManifest(dir, v0).schemaJson)
+              .asInstanceOf[StructType]
+            val parsed =
+              spark.sessionState.sqlParser.parseExpression(predStr)
+            val attrs = org.apache.spark.sql.catalyst.types.DataTypeUtils
+              .toAttributes(schema)
+            // analyze for resolution + type coercion, then fold the
+            // coercion casts so literal sides are plain Literals (what
+            // the source-filter translation requires)
+            val analyzed = org.apache.spark.sql.catalyst.optimizer
+              .ConstantFolding(spark.sessionState.analyzer.execute(
+                org.apache.spark.sql.catalyst.plans.logical.Filter(parsed,
+                  org.apache.spark.sql.catalyst.plans.logical
+                    .LocalRelation(attrs))))
+            val cond = analyzed.collectFirst {
+              case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+                f.condition
+            }.getOrElse(throw new IllegalArgumentException(
+              s"predicate '$predStr' analyzed away"))
+            val filters = TxRowLevel.splitConjuncts(cond).map { c =>
+              org.apache.spark.sql.graftbridge.GraftBridge
+                .translateFilter(c).getOrElse(
+                  throw new IllegalArgumentException(
+                    s"conjunct '${c.sql}' of '$predStr' is not " +
+                      "stats-evaluable — a scope that cannot skip is " +
+                      "not a scope"))
+            }
+            val v = TxTable.compact(spark, dir.toString, target,
+              scope = filters)
             oneRowScan(
               StructType(Seq(StructField("new_version", LongType, false))),
               new GenericInternalRow(Array[Any](v)))

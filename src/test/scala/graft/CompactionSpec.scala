@@ -91,4 +91,36 @@ class CompactionSpec extends SparkSpec {
       scope = Seq(org.apache.spark.sql.sources.EqualTo("g", "zzz"))) == 3L)
     assert(TxTable.latestVersion(tbl) == Some(3L))
   }
+
+  test("CALL system.compact_where scopes through SQL; untranslatable " +
+      "conjuncts refuse") {
+    import spark.implicits._
+    import graft.sources.TxTable
+    val wh = java.nio.file.Files.createTempDirectory("cmpw-sql-").toString
+    spark.conf.set("spark.sql.catalog.txcw", "graft.sources.TxCatalog")
+    spark.conf.set("spark.sql.catalog.txcw.root", wh)
+    val tbl = s"$wh/db/t"
+    TxTable.commit(Seq((1L, "a"), (2L, "a")).toDF("id", "g"), tbl,
+      "overwrite")
+    TxTable.commit(Seq((3L, "b")).toDF("id", "g"), tbl, "append")
+    val m2 = TxTable.readManifest(java.nio.file.Paths.get(tbl), 2L)
+    // type coercion: id > 2 meets the BIGINT column as a BIGINT
+    val v = spark.sql(
+      s"CALL txcw.system.compact_where('db.t', ${1L << 20}, 'id > 2')")
+      .head().getLong(0)
+    assert(v == 3L)
+    val m3 = TxTable.readManifest(java.nio.file.Paths.get(tbl), 3L)
+    val small = m2.files.filter(f =>
+      m2.stats.get(f).exists(_.get("id").exists(_.max == "2")))
+    assert(small.nonEmpty && small.forall(m3.files.contains))
+    assert(spark.sql("SELECT count(*) FROM txcw.db.t").head()
+      .getLong(0) == 3L)
+    // an untranslatable conjunct refuses loudly — a scope that cannot
+    // skip is not a scope
+    val e = intercept[Exception](spark.sql(
+      s"CALL txcw.system.compact_where('db.t', ${1L << 20}, " +
+        "'length(g) > 0')"))
+    assert(e.getMessage.contains("stats-evaluable"))
+    assert(TxTable.latestVersion(tbl) == Some(3L))
+  }
 }
