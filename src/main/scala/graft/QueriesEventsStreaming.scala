@@ -468,6 +468,22 @@ private[graft] object QueriesEventsStreaming {
           col("asof_o_orderkey").as("next_orderkey"),
           col("asof_o_totalprice").as("next_price"))
         .orderBy("event_id")),
+    // nearest direction (pandas merge_asof direction='nearest'): the
+    // closest order in EITHER direction, equal distances preferring
+    // backward — one union sort carries both window frames, so the cost
+    // is the backward join plus a projection (AsOf scaladoc)
+    "join_asof_near" -> ((s: SparkSession, dir: String) =>
+      graft.ext.AsOf.asofJoinNearest(
+          Tables.events(s, dir)
+            .select(col("event_id"), col("user_id"), col("ts")),
+          Tables.orders(s, dir),
+          "user_id", "o_custkey", "ts", "o_orderdate",
+          valueCols = Seq("o_orderkey", "o_totalprice"),
+          tieBreak = "o_orderkey")
+        .select(col("event_id"),
+          col("asof_o_orderkey").as("near_orderkey"),
+          col("asof_o_totalprice").as("near_price"))
+        .orderBy("event_id")),
     // The SAME as-of semantics through the custom WHOLE-operator path:
     // logical AsOfJoin node → injected planner strategy → broadcast
     // binary-search AsOfJoinExec (plans/AsOfJoinPlan.scala scaladoc has
@@ -751,6 +767,28 @@ private[graft] object QueriesEventsStreaming {
          |  (SELECT o.o_totalprice FROM orders o
          |   WHERE o.o_custkey = e.user_id AND o.o_orderdate >= e.ts
          |   ORDER BY o.o_orderdate ASC, o.o_orderkey ASC LIMIT 1) AS next_price
+         |FROM events e ORDER BY e.event_id""".stripMargin),
+    // nearest reference: min |Δt|, ties to the backward direction, then
+    // the within-direction tie rule (backward largest key, forward
+    // smallest — the sign flip encodes both in one ORDER BY)
+    "join_asof_near" ->
+      ("""SELECT e.event_id,
+         |  (SELECT o.o_orderkey FROM orders o
+         |   WHERE o.o_custkey = e.user_id
+         |   ORDER BY abs(epoch_us(CAST(o.o_orderdate AS TIMESTAMP))
+         |       - epoch_us(e.ts)) ASC,
+         |     (CAST(o.o_orderdate AS TIMESTAMP) > e.ts) ASC,
+         |     CASE WHEN CAST(o.o_orderdate AS TIMESTAMP) <= e.ts
+         |       THEN -o.o_orderkey ELSE o.o_orderkey END ASC
+         |   LIMIT 1) AS near_orderkey,
+         |  (SELECT o.o_totalprice FROM orders o
+         |   WHERE o.o_custkey = e.user_id
+         |   ORDER BY abs(epoch_us(CAST(o.o_orderdate AS TIMESTAMP))
+         |       - epoch_us(e.ts)) ASC,
+         |     (CAST(o.o_orderdate AS TIMESTAMP) > e.ts) ASC,
+         |     CASE WHEN CAST(o.o_orderdate AS TIMESTAMP) <= e.ts
+         |       THEN -o.o_orderkey ELSE o.o_orderkey END ASC
+         |   LIMIT 1) AS near_price
          |FROM events e ORDER BY e.event_id""".stripMargin),
     // the router's forced-merge arm answers the SAME reference as
     // join_asof/join_asof_phys — three plans, one answer

@@ -58,6 +58,85 @@ object AsOf {
     merge(left, right, leftKey, rightKey, leftTime, rightTime, valueCols,
       tieBreak, forward = true)
 
+  /** Nearest as-of join (pandas `merge_asof(direction='nearest')`): for
+    * each left row, the right row with the same key whose time is
+    * CLOSEST in either direction — equal distances prefer BACKWARD (the
+    * pandas rule), within a direction the usual determinism holds
+    * (backward: largest tie at the latest admissible instant; forward:
+    * smallest tie at the earliest). Same single-shuffle merge shape as
+    * [[asofJoin]]: ONE union sort carries TWO window frames (preceding
+    * `last` = backward candidate, following `first` = forward
+    * candidate) over the identical ordering, then a row-local pick by
+    * |Δt| — Spark plans both frames in one Window over one exchange,
+    * so the cost is the backward join's cost plus one projection. An
+    * equal-time right row is only visible to the backward frame, which
+    * is exactly where a zero-distance match must land anyway. */
+  def asofJoinNearest(left: DataFrame, right: DataFrame,
+                      leftKey: String, rightKey: String,
+                      leftTime: String, rightTime: String,
+                      valueCols: Seq[String], tieBreak: String): DataFrame = {
+    require(valueCols.nonEmpty, "asofJoin needs at least one value column")
+    val leftCols = left.columns.toSeq
+    val reserved = Set("__k", "__t", "__side", "__tie", "__vs")
+    val clashes = leftCols.filter(reserved) ++
+      leftCols.filter(c => valueCols.exists(v => s"asof_$v" == c))
+    require(clashes.isEmpty,
+      s"asofJoin reserved/output name collision on left side: " +
+        s"${clashes.mkString(", ")}")
+    // the matched row's own time rides INSIDE the candidate struct —
+    // the pick needs it for |Δt|
+    val vsType = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__mt",
+        org.apache.spark.sql.types.TimestampType) +:
+        valueCols.map(c => org.apache.spark.sql.types.StructField(c,
+          right.schema(c).dataType)))
+    val lTagged = left.select(
+      (Seq(col(leftKey).as("__k"),
+        col(leftTime).cast("timestamp").as("__t"),
+        lit(1).as("__side"),
+        lit(null).cast(right.schema(tieBreak).dataType).as("__tie"),
+        lit(null).cast(vsType).as("__vs")) ++
+        leftCols.map(col)): _*)
+    val rTagged = right
+      .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
+      .select(
+        (Seq(col(rightKey).as("__k"),
+          col(rightTime).cast("timestamp").as("__t"),
+          lit(0).as("__side"),
+          col(tieBreak).as("__tie"),
+          struct((col(rightTime).cast("timestamp").as("__mt") +:
+            valueCols.map(col)): _*).as("__vs")) ++
+          leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    // one ordering serves both directions: rights at a left row's exact
+    // instant sort before it (inclusive backward), among equal-time
+    // rights `last` over the preceding frame picks the largest tie and
+    // `first` over the following frame the smallest — the two
+    // directions' documented tie rules from one sort
+    val order = Seq(col("__t").asc_nulls_first, col("__side").asc,
+      col("__tie").asc)
+    val wBack = Window.partitionBy(col("__k")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = Window.partitionBy(col("__k")).orderBy(order: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    lTagged.unionByName(rTagged)
+      .select((leftCols.map(col) :+ col("__side") :+ col("__t") :+
+        last(col("__vs"), ignoreNulls = true).over(wBack).as("__bk") :+
+        first(col("__vs"), ignoreNulls = true).over(wFwd).as("__fw")): _*)
+      .filter(col("__side") === 1)
+      .withColumn("__asof",
+        // a NULL-time left row matches nothing (it sorts before every
+        // right row, so the FOLLOWING frame would otherwise see all)
+        when(col("__t").isNull, lit(null).cast(vsType))
+          .when(col("__bk").isNull, col("__fw"))
+          .when(col("__fw").isNull, col("__bk"))
+          .otherwise(when(
+            unix_micros(col("__fw.__mt")) - unix_micros(col("__t")) <
+              unix_micros(col("__t")) - unix_micros(col("__bk.__mt")),
+            col("__fw")).otherwise(col("__bk"))))
+      .select(leftCols.map(col) ++
+        valueCols.map(c => col(s"__asof.$c").as(s"asof_$c")): _*)
+  }
+
   private def merge(left: DataFrame, right: DataFrame,
                     leftKey: String, rightKey: String,
                     leftTime: String, rightTime: String,

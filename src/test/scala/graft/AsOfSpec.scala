@@ -186,4 +186,35 @@ class AsOfSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
       plan.take(1200))
   }
+
+  test("nearest direction: min |dt|, ties prefer backward, one shuffle") {
+    val out = AsOf.asofJoinNearest(left, right, "user_id", "cust",
+        "ts", "odate", valueCols = Seq("o_id", "price"),
+        tieBreak = "o_id")
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(3)).map(_.toString)))
+    assert(out.toSeq == Seq(
+      (1L, Some("101")), // Jan 5: backward Jan 4 (1d) beats nothing fwd
+      (2L, Some("100")), // exactly AT Jan 2: zero-distance backward
+      (3L, Some("100")), // Jan 1: only forward (Jan 2) exists
+      (4L, Some("201")), // Jan 5 vs two Jan 3 orders: backward, max tie
+      (5L, None))) // no orders at all
+    // equal |dt| both directions prefers backward: a probe at Jan 3
+    // sits exactly between Jan 2 and Jan 4 for key 10
+    val mid = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(9L, 10L, ts("2024-01-03 00:00:00")))),
+      left.schema)
+    val got = AsOf.asofJoinNearest(mid, right, "user_id", "cust",
+        "ts", "odate", valueCols = Seq("o_id"), tieBreak = "o_id")
+      .head().getLong(3)
+    assert(got == 100L) // the backward Jan 2 order, not the Jan 4 one
+    // the plan shape holds: both frames ride ONE exchange
+    val plan = AsOf.asofJoinNearest(left, right, "user_id", "cust",
+        "ts", "odate", valueCols = Seq("o_id"), tieBreak = "o_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      plan.take(1200))
+  }
 }
