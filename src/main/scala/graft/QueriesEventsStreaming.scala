@@ -484,6 +484,26 @@ private[graft] object QueriesEventsStreaming {
           col("asof_o_orderkey").as("near_orderkey"),
           col("asof_o_totalprice").as("near_price"))
         .orderBy("event_id")),
+    // the merge_asof parameter surface: tolerance (a 30-day staleness
+    // budget — matches farther back yield NULL) composed with
+    // allowExactMatches = false (strict `r.t < l.t`). Both are
+    // row-local: one predicate on the matched time riding in the
+    // candidate struct, one flipped sort literal — the single-shuffle
+    // single-window plan is unchanged (AsOf scaladoc).
+    "join_asof_tol" -> ((s: SparkSession, dir: String) =>
+      graft.ext.AsOf.asofJoin(
+          Tables.events(s, dir)
+            .select(col("event_id"), col("user_id"), col("ts")),
+          Tables.orders(s, dir),
+          "user_id", "o_custkey", "ts", "o_orderdate",
+          valueCols = Seq("o_orderkey", "o_totalprice"),
+          tieBreak = "o_orderkey",
+          toleranceMicros = Some(30L * 86400 * 1000000L),
+          allowExactMatches = false)
+        .select(col("event_id"),
+          col("asof_o_orderkey").as("tol_orderkey"),
+          col("asof_o_totalprice").as("tol_price"))
+        .orderBy("event_id")),
     // The SAME as-of semantics through the custom WHOLE-operator path:
     // logical AsOfJoin node → injected planner strategy → broadcast
     // binary-search AsOfJoinExec (plans/AsOfJoinPlan.scala scaladoc has
@@ -789,6 +809,25 @@ private[graft] object QueriesEventsStreaming {
          |     CASE WHEN CAST(o.o_orderdate AS TIMESTAMP) <= e.ts
          |       THEN -o.o_orderkey ELSE o.o_orderkey END ASC
          |   LIMIT 1) AS near_price
+         |FROM events e ORDER BY e.event_id""".stripMargin),
+    // tolerance + strict boundary layered onto the backward brute-force
+    // reference: admissible = strictly earlier AND within 30 days
+    "join_asof_tol" ->
+      ("""SELECT e.event_id,
+         |  (SELECT o.o_orderkey FROM orders o
+         |   WHERE o.o_custkey = e.user_id
+         |     AND CAST(o.o_orderdate AS TIMESTAMP) < e.ts
+         |     AND epoch_us(e.ts) - epoch_us(CAST(o.o_orderdate AS TIMESTAMP))
+         |         <= 2592000000000
+         |   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1)
+         |    AS tol_orderkey,
+         |  (SELECT o.o_totalprice FROM orders o
+         |   WHERE o.o_custkey = e.user_id
+         |     AND CAST(o.o_orderdate AS TIMESTAMP) < e.ts
+         |     AND epoch_us(e.ts) - epoch_us(CAST(o.o_orderdate AS TIMESTAMP))
+         |         <= 2592000000000
+         |   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1)
+         |    AS tol_price
          |FROM events e ORDER BY e.event_id""".stripMargin),
     // the router's forced-merge arm answers the SAME reference as
     // join_asof/join_asof_phys — three plans, one answer

@@ -49,7 +49,9 @@ case class AsOfJoin(
     rightTie: Attribute,
     rightValues: Seq[Attribute],
     outAttrs: Seq[AttributeReference],
-    maxBuildRows: Long) extends BinaryNode {
+    maxBuildRows: Long,
+    toleranceMicros: Option[Long] = None,
+    allowExactMatches: Boolean = true) extends BinaryNode {
 
   override def output: Seq[Attribute] = left.output ++ outAttrs
 
@@ -70,7 +72,8 @@ object AsOfJoinStrategy extends SparkStrategy {
     case j: AsOfJoin =>
       AsOfJoinExec(planLater(j.left), planLater(j.right), j.leftKey,
         j.leftTime, j.rightKey, j.rightTime, j.rightTie, j.rightValues,
-        j.outAttrs, j.maxBuildRows) :: Nil
+        j.outAttrs, j.maxBuildRows, j.toleranceMicros,
+        j.allowExactMatches) :: Nil
     case _ => Nil
   }
 }
@@ -105,7 +108,9 @@ case class AsOfJoinExec(
     rightTie: Attribute,
     rightValues: Seq[Attribute],
     outAttrs: Seq[AttributeReference],
-    maxBuildRows: Long) extends BinaryExecNode {
+    maxBuildRows: Long,
+    toleranceMicros: Option[Long] = None,
+    allowExactMatches: Boolean = true) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ outAttrs
 
@@ -170,6 +175,8 @@ case class AsOfJoinExec(
     val lKeyType = leftKey.dataType
     val numVals = outAttrs.length
     val outputAttrs = output
+    val inclusive = allowExactMatches
+    val tol = toleranceMicros.getOrElse(Long.MaxValue)
     left.execute().mapPartitions { iter =>
       val proj = UnsafeProjection.create(outputAttrs, outputAttrs)
       val joined = new JoinedRow
@@ -182,14 +189,19 @@ case class AsOfJoinExec(
           if (grp != null) {
             val (times, vals) = grp
             val t = lrow.getLong(ltI)
-            // upper bound: first index with times(i) > t
+            // upper bound: first index with times(i) > t (inclusive) /
+            // times(i) >= t (strict — allowExactMatches = false)
             var lo = 0
             var hi = times.length
             while (lo < hi) {
               val mid = (lo + hi) >>> 1
-              if (times(mid) <= t) lo = mid + 1 else hi = mid
+              val admissible =
+                if (inclusive) times(mid) <= t else times(mid) < t
+              if (admissible) lo = mid + 1 else hi = mid
             }
-            if (lo > 0) matched = vals(lo - 1)
+            // tolerance: the latest admissible entry must also be within
+            // the staleness budget (t - match time, non-negative here)
+            if (lo > 0 && t - times(lo - 1) <= tol) matched = vals(lo - 1)
           }
         }
         proj(joined(lrow, matched))
@@ -266,13 +278,16 @@ object AsOfPhys {
                    leftKey: String, rightKey: String,
                    leftTime: String, rightTime: String,
                    valueCols: Seq[String], tieBreak: String,
-                   maxBuildRows: Long = DefaultMaxBuildRows.toLong): DataFrame =
+                   maxBuildRows: Long = DefaultMaxBuildRows.toLong,
+                   toleranceMicros: Option[Long] = None,
+                   allowExactMatches: Boolean = true): DataFrame =
     if (right.count() <= maxBuildRows)
       asofJoinBroadcast(left, right, leftKey, rightKey, leftTime, rightTime,
-        valueCols, tieBreak, maxBuildRows)
+        valueCols, tieBreak, maxBuildRows, toleranceMicros,
+        allowExactMatches)
     else
       graft.ext.AsOf.asofJoin(left, right, leftKey, rightKey, leftTime,
-        rightTime, valueCols, tieBreak)
+        rightTime, valueCols, tieBreak, toleranceMicros, allowExactMatches)
 
   /** Left-outer as-of join through [[AsOfJoinExec]] — same signature and
     * semantics as [[graft.ext.AsOf.asofJoin]] (outputs `asof_<col>`,
@@ -282,9 +297,12 @@ object AsOfPhys {
                         leftKey: String, rightKey: String,
                         leftTime: String, rightTime: String,
                         valueCols: Seq[String], tieBreak: String,
-                        maxBuildRows: Long =
-                          DefaultMaxBuildRows.toLong): DataFrame = {
+                        maxBuildRows: Long = DefaultMaxBuildRows.toLong,
+                        toleranceMicros: Option[Long] = None,
+                        allowExactMatches: Boolean = true): DataFrame = {
     require(valueCols.nonEmpty, "asofJoinBroadcast needs at least one value column")
+    toleranceMicros.foreach(t => require(t >= 0,
+      s"toleranceMicros must be >= 0, got $t"))
     val spark = left.sparkSession
     ensureRegistered(spark)
     val leftCols = left.columns.toSeq
@@ -317,7 +335,8 @@ object AsOfPhys {
     val node = AsOfJoin(lPlan, rPlan,
       attr(lPlan, leftKey), attr(lPlan, "__asof_t"),
       attr(rPlan, "__k"), attr(rPlan, "__t"), attr(rPlan, "__tie"),
-      valueAttrs, outAttrs, maxBuildRows)
+      valueAttrs, outAttrs, maxBuildRows, toleranceMicros,
+      allowExactMatches)
     GraftBridge.ofRows(spark, node).drop("__asof_t")
   }
 

@@ -217,4 +217,135 @@ class AsOfSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
       plan.take(1200))
   }
+
+  test("tolerance: matches beyond the staleness budget yield NULL") {
+    val day = 86400L * 1000000L
+    val rows = AsOf.asofJoin(left, right, "user_id", "cust", "ts", "odate",
+        valueCols = Seq("o_id", "price"), tieBreak = "o_id",
+        toleranceMicros = Some(day)) // 1 day
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(3))))
+    // event 1 (Jan 5): latest order Jan 4 — exactly 1 day, in budget
+    assert(rows(0) == ((1L, Some(101L))))
+    // event 2 (Jan 2): zero distance, in budget
+    assert(rows(1) == ((2L, Some(100L))))
+    // event 4 (Jan 5): latest order Jan 3 — 2 days, OVER budget -> NULL
+    assert(rows(3) == ((4L, None)))
+    // forward mirror: event 3 (Jan 1) -> Jan 2 order is 1 day ahead
+    val fwd = AsOf.asofJoinForward(left, right, "user_id", "cust", "ts",
+        "odate", valueCols = Seq("o_id"), tieBreak = "o_id",
+        toleranceMicros = Some(day))
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(3))))
+    assert(fwd(2) == ((3L, Some(100L)))) // 1 day ahead, in budget
+    assert(fwd(1) == ((2L, Some(100L)))) // exact, in budget
+    // tighten to half a day: both drop out
+    val tight = AsOf.asofJoinForward(left, right, "user_id", "cust", "ts",
+        "odate", valueCols = Seq("o_id"), tieBreak = "o_id",
+        toleranceMicros = Some(day / 2))
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(3))))
+    assert(tight(2) == ((3L, None)))
+    assert(tight(1) == ((2L, Some(100L)))) // exact match distance 0 stays
+  }
+
+  test("allowExactMatches = false: the boundary becomes strict") {
+    // event 2 sits exactly AT order 100's time: inclusive matches it,
+    // strict must fall back to nothing earlier (there is none)
+    val strict = AsOf.asofJoin(left, right, "user_id", "cust", "ts",
+        "odate", valueCols = Seq("o_id"), tieBreak = "o_id",
+        allowExactMatches = false)
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(3))))
+    assert(strict(1) == ((2L, None)))
+    assert(strict(0) == ((1L, Some(101L)))) // strictly-earlier unaffected
+    // forward strict: event 2's exact order excluded -> next is Jan 4
+    val fstrict = AsOf.asofJoinForward(left, right, "user_id", "cust",
+        "ts", "odate", valueCols = Seq("o_id"), tieBreak = "o_id",
+        allowExactMatches = false)
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(3))))
+    assert(fstrict(1) == ((2L, Some(101L))))
+  }
+
+  test("nearest: tolerance applies per direction BEFORE the pick; strict excludes exact") {
+    val day = 86400L * 1000000L
+    // probe at Jan 3 for key 10: backward Jan 2 (1d), forward Jan 4 (1d).
+    // With tolerance covering both, backward wins the equal-distance tie.
+    val mid = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(9L, 10L, ts("2024-01-03 00:00:00")))), left.schema)
+    val both = AsOf.asofJoinNearest(mid, right, "user_id", "cust", "ts",
+      "odate", valueCols = Seq("o_id"), tieBreak = "o_id",
+      toleranceMicros = Some(day)).head()
+    assert(both.getLong(3) == 100L)
+    // zero tolerance: neither candidate within budget -> NULL
+    val none = AsOf.asofJoinNearest(mid, right, "user_id", "cust", "ts",
+      "odate", valueCols = Seq("o_id"), tieBreak = "o_id",
+      toleranceMicros = Some(0L)).head()
+    assert(none.isNullAt(3))
+    // strict: a zero-distance match (event 2 at Jan 2) is excluded from
+    // BOTH directions; nearest falls to the Jan 4 order (2 days fwd)
+    val strict = AsOf.asofJoinNearest(left, right, "user_id", "cust",
+        "ts", "odate", valueCols = Seq("o_id"), tieBreak = "o_id",
+        allowExactMatches = false)
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(3))))
+    assert(strict(1) == ((2L, Some(101L))))
+  }
+
+  test("differential: tolerance only NULLs — in-budget rows equal the untolerated join") {
+    val rnd = new scala.util.Random(41L)
+    def t(day: Int) = ts(f"2024-01-${1 + day}%02d 00:00:00")
+    import spark.implicits._
+    val ls = (1L to 150L).map(i =>
+      (i, (rnd.nextInt(6) + 1).toLong, t(rnd.nextInt(25))))
+    val rs = (1L to 80L).map(i =>
+      (i, (rnd.nextInt(6) + 1).toLong, t(rnd.nextInt(25)), rnd.nextDouble()))
+    val l = ls.toDF("event_id", "user_id", "ts")
+    val r = rs.toDF("o_id", "cust", "odate", "price")
+    val tol = 3L * 86400L * 1000000L // 3 days
+    val plain = AsOf.asofJoin(l, r, "user_id", "cust", "ts", "odate",
+        valueCols = Seq("o_id"), tieBreak = "o_id")
+      .orderBy("event_id").collect()
+      .map(x => (x.getLong(0), x.getTimestamp(2), Option(x.get(3))))
+    val withTol = AsOf.asofJoin(l, r, "user_id", "cust", "ts", "odate",
+        valueCols = Seq("o_id"), tieBreak = "o_id",
+        toleranceMicros = Some(tol))
+      .orderBy("event_id").collect()
+      .map(x => (x.getLong(0), Option(x.get(3))))
+    val rTime = rs.map(x => x._1 -> x._3.getTime).toMap
+    plain.zip(withTol).foreach { case ((id, lts, m), (id2, m2)) =>
+      assert(id == id2)
+      m match {
+        case Some(oid) =>
+          val inBudget =
+            (lts.getTime - rTime(oid.asInstanceOf[Long])) * 1000L <= tol
+          // within budget the tolerated join must return the SAME row;
+          // over budget it must return NULL — never a different row
+          assert(m2 == (if (inBudget) m else None), s"event $id")
+        case None => assert(m2.isEmpty, s"event $id")
+      }
+    }
+  }
+
+  test("broadcast exec honors tolerance and strict boundary identically") {
+    val day = 86400L * 1000000L
+    val viaExec = graft.plans.AsOfPhys.asofJoinBroadcast(left, right,
+        "user_id", "cust", "ts", "odate", valueCols = Seq("o_id"),
+        tieBreak = "o_id", toleranceMicros = Some(day),
+        allowExactMatches = false)
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(3))))
+    val viaMerge = AsOf.asofJoin(left, right, "user_id", "cust", "ts",
+        "odate", valueCols = Seq("o_id"), tieBreak = "o_id",
+        toleranceMicros = Some(day), allowExactMatches = false)
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(3))))
+    assert(viaExec.toSeq == viaMerge.toSeq)
+    // and the strict+tolerated answer itself: event 2's exact match is
+    // excluded, event 1 keeps its 1-day-old match, event 4 (2 days) drops
+    assert(viaMerge.toSeq == Seq((1L, Some(101L)), (2L, None), (3L, None),
+      (4L, None), (5L, None)))
+  }
 }
