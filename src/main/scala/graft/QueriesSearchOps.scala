@@ -361,6 +361,38 @@ private[graft] object QueriesSearchOps {
           col("n_chars"))
         .orderBy("doc_id")
     }),
+    // ----- OCC commit reconciliation (TxTable.publishRebasing): two
+    // DETERMINISTIC lost races — an append racing an append, then a
+    // compaction racing an append (ConflictInjectingPrimitive lands the
+    // competitor during the loser's publish window) — must both
+    // auto-rebase onto the new head, so all four slices land with NO
+    // caller retry and the maintenance op never kills the writer. The
+    // certified output is the final snapshot vs the serial oracle;
+    // same-file conflicts still refuse (suite: TxTableSpec) -----
+    "ops_concurrent" -> ((s: SparkSession, dir: String) => {
+      val tbl = scratchDir("graft-conc-") + "/tbl"
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      def slice(l: String) = docs.filter(col("lang") === l)
+      graft.sources.TxTable.commit(slice("en"), tbl, "overwrite")
+      // race 1: while the de append publishes, fr lands first
+      val p1 = new graft.sources.ConflictInjectingPrimitive(
+        graft.sources.PosixLinkPrimitive,
+        () => graft.sources.TxTable.commit(slice("fr"), tbl, "append"): Unit)
+      graft.sources.TxTable.commit(slice("de"), tbl, "append",
+        primitive = p1)
+      // race 2: while the compaction publishes, es lands first — the
+      // byte-moving rebase keeps the es files verbatim
+      val p2 = new graft.sources.ConflictInjectingPrimitive(
+        graft.sources.PosixLinkPrimitive,
+        () => graft.sources.TxTable.commit(slice("es"), tbl, "append"): Unit)
+      val v = graft.sources.TxTable.compact(s, tbl,
+        targetBytes = 1L << 30, primitive = p2)
+      graft.sources.TxTable.readVersion(s, tbl, v)
+        .select(lit(v).as("version"), col("doc_id"), col("lang"),
+          col("n_chars"))
+        .orderBy("doc_id")
+    }),
     // ----- CHECK constraints through PURE SQL (TxTable scaladoc: the
     // commit-time data-quality gate — TBLPROPERTIES 'check.<name>'
     // registers at CREATE, every write validates BEFORE staging, a
@@ -1354,6 +1386,13 @@ private[graft] object QueriesSearchOps {
          |SELECT 'v2v3', 'delete', doc_id, lang, n_chars
          |FROM documents WHERE lang IN ('en', 'de')
          |ORDER BY step, change, doc_id""".stripMargin),
+    // serial-equivalent oracle for the two reconciled races: en (v1),
+    // fr (winner v2), de (rebased v3), es (winner v4), compact (rebased
+    // v5) — every slice exactly once, head at version 5
+    "ops_concurrent" ->
+      ("""SELECT CAST(5 AS BIGINT) AS version, doc_id, lang, n_chars
+         |FROM documents WHERE lang IN ('en', 'de', 'fr', 'es')
+         |ORDER BY doc_id""".stripMargin),
     // OPTIMIZE commits version 4 with the identical en+de+fr multiset —
     // compaction moves bytes, never rows
     "ops_optimize" ->

@@ -101,6 +101,25 @@ class CondPutPrimitive extends CommitPrimitive {
   }
 }
 
+/** Deterministic-race seam for certifying OCC reconciliation: before the
+  * wrapped writer's FIRST publish, runs `inject()` — typically a
+  * competing commit through the plain primitive — then delegates, so the
+  * wrapped writer provably loses its intended version and must take the
+  * rebase path (or refuse). Turns the nondeterministic two-thread race
+  * into a repeatable fixture; the production protocol is untouched (the
+  * injection happens around the same create-exclusive call every real
+  * writer uses). */
+class ConflictInjectingPrimitive(inner: CommitPrimitive,
+                                 inject: () => Unit) extends CommitPrimitive {
+  private var fired = false
+  def publishExclusive(target: Path, bytes: Array[Byte]): Unit = {
+    val doInject =
+      synchronized { if (!fired) { fired = true; true } else false }
+    if (doInject) inject()
+    inner.publishExclusive(target, bytes)
+  }
+}
+
 /** Source `Filter` → `Column` for the copy-on-write DELETE rewrite: the
   * row-keep predicate must evaluate the EXACT condition Spark pushed
   * (manifest stats only prune files; rows inside a touched file still
@@ -349,16 +368,32 @@ object TxTable {
       carriedStats ++ staged.stats,
       carriedBlooms ++ newBlooms, effParts, effConstraints,
       carriedDvs, effProps)
-    try publish(root, manifest, primitive)
-    catch {
-      case e: java.nio.file.FileAlreadyExistsException =>
-        // Lost the commit race: this commit's data files are unreachable
-        // (no manifest references a data/<uuid> dir but its own), so
-        // best-effort reclaim them before surfacing the conflict.
-        discardStaged(tableDir, Seq(staged))
-        throw e
+    if (mode == "append" && requireVersion.isEmpty)
+      // A blind append that loses the race AUTO-REBASES onto the new
+      // head and retries (Delta/Iceberg conflict resolution): the
+      // staged files are base-independent, so only concurrent METADATA
+      // changes are real conflicts ([[rebaseAppend]]). This is what
+      // lets the exactly-once streaming sink keep committing while
+      // compaction/zorder/vacuum maintain the same table.
+      publishRebasing(root, manifest,
+        rebaseAppend(committedSchema, effParts, effConstraints, effProps,
+          staged.files, staged.stats, newBlooms, txn,
+          opLabel.getOrElse(mode)),
+        primitive, () => discardStaged(tableDir, Seq(staged)))
+    else {
+      try publish(root, manifest, primitive)
+      catch {
+        case e: java.nio.file.FileAlreadyExistsException =>
+          // Lost the commit race: an OVERWRITE defines the whole new
+          // snapshot against a head that no longer exists — auto-retry
+          // would silently truncate the winner's commit, so it stays a
+          // loud refusal. The staged data files are unreachable (no
+          // manifest references this data/<uuid> dir), reclaim them.
+          discardStaged(tableDir, Seq(staged))
+          throw e
+      }
+      version
     }
-    version
   }
 
   /** The committed (version, op) history, oldest first — O(versions)
@@ -661,13 +696,15 @@ object TxTable {
       untouched ++ newFiles, m.txns, keptStats ++ compactStats,
       keptBlooms ++ compactBlooms, m.partitionColumns,
       m.constraints, Nil, m.properties)
-    try publish(root, manifest, primitive)
-    catch {
-      case e: java.nio.file.FileAlreadyExistsException =>
-        try deleteRecursively(dataDir) catch { case _: Exception => () }
-        throw e
-    }
-    v + 1
+    // bytes moved, rows unchanged: a lost race rebases onto the new head
+    // as long as no winner touched a consumed file ([[rebaseRewrite]]) —
+    // so compaction and a streaming append can maintain one table
+    // concurrently without either side dying
+    publishRebasing(root, manifest,
+      rebaseRewrite(m, scoped, newFiles, compactStats, compactBlooms,
+        "compact", Nil),
+      primitive,
+      () => try deleteRecursively(dataDir) catch { case _: Exception => () })
   }
 
   /** `OPTIMIZE ZORDER` as a real REWRITE — [[compact]] moves bytes into
@@ -760,13 +797,13 @@ object TxTable {
     val manifest = Manifest(v + 1, "zorder", m.schemaJson, staged.files,
       m.txns, staged.stats, newBlooms, m.partitionColumns,
       m.constraints, Nil, m.properties)
-    try publish(root, manifest, primitive)
-    catch {
-      case e: java.nio.file.FileAlreadyExistsException =>
-        discardStaged(tableDir, Seq(staged))
-        throw e
-    }
-    v + 1
+    // same byte-moving reconciliation as [[compact]]: the rewrite
+    // consumed EVERY base file, so a lost race keeps only the winners'
+    // new files alongside the z-ordered output
+    publishRebasing(root, manifest,
+      rebaseRewrite(m, m.files, staged.files, staged.stats, newBlooms,
+        "zorder", Nil),
+      primitive, () => discardStaged(tableDir, Seq(staged)))
   }
 
   /** One staged (written but unpublished) slice of data — the two-phase
@@ -900,6 +937,141 @@ object TxTable {
     slices.foreach(s =>
       try deleteRecursively(root.resolve(s.dataRel))
       catch { case _: Exception => () })
+  }
+
+  // ------------------------------------------- OCC commit reconciliation
+
+  /** Bound on rebase-and-retry rounds after a lost publish race. Ten
+    * consecutive losses means the table is under write pressure this
+    * writer will not win by spinning — surface the conflict instead. */
+  private val MaxRebaseAttempts = 10
+
+  /** The auto-retry loop behind logically-disjoint commit reconciliation
+    * (the Delta/Iceberg conflict-resolution shape): publish `first`; on a
+    * lost race, re-read the ACTUAL head manifest and ask `rebase` for a
+    * new attempt at `head.version + 1` — `Left(why)` is a REAL conflict
+    * (surfaced loudly, staged files reclaimed via `onAbort`), `Right` is
+    * retried, bounded by [[MaxRebaseAttempts]]. The create-exclusive
+    * publish stays the single commit point: a rebase that itself races
+    * simply loops with the next head. The head's version number comes
+    * from the log file NAME, not the manifest body, so a corrupted log
+    * (duplicate content under a new name) cannot pin the loop. */
+  private def publishRebasing(root: Path, first: Manifest,
+      rebase: Manifest => Either[String, Manifest],
+      primitive: CommitPrimitive, onAbort: () => Unit): Long = {
+    var attempt = first
+    var tries = 0
+    while (tries <= MaxRebaseAttempts) {
+      try { publish(root, attempt, primitive); return attempt.version }
+      catch {
+        case e: java.nio.file.FileAlreadyExistsException =>
+          tries += 1
+          if (tries > MaxRebaseAttempts) { onAbort(); throw e }
+          val headV = versions(root.toString).max
+          val head = readManifest(root, headV).copy(version = headV)
+          rebase(head) match {
+            case Right(m) => attempt = m
+            case Left(why) =>
+              onAbort()
+              throw new java.nio.file.FileAlreadyExistsException(
+                manifestPath(root, attempt.version).toString, null,
+                s"lost the commit race and cannot rebase onto v$headV: " +
+                  why)
+          }
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Rebase recipe for a BLIND APPEND that lost its publish race. A
+    * blind append serializes AFTER any data-only commit — its new files
+    * land on whatever head exists, its rows were validated against the
+    * same constraints, and it read nothing it could have raced — so the
+    * rebase carries the head forward verbatim and adds the staged files.
+    * It refuses (real conflict) when any table-level METADATA moved
+    * under it: schema (the staged bytes no longer match), partition
+    * layout, CHECK constraints (the staged rows were never validated
+    * against the new set), or properties. Deletion vectors are head
+    * state an append always carries forward, changed or not. */
+  private def rebaseAppend(schema: StructType, partCols: Seq[String],
+      constraints: Map[String, String], properties: Map[String, String],
+      newFiles: Seq[String],
+      newStats: Map[String, Map[String, TxStats.ColStat]],
+      newBlooms: Map[String, Map[String, TxStats.FileBloom]],
+      txn: Option[(String, Long)], op: String)(head: Manifest)
+      : Either[String, Manifest] = {
+    val headSchema =
+      DataType.fromJson(head.schemaJson).asInstanceOf[StructType]
+    if (asNullable(headSchema) != asNullable(schema))
+      Left(s"the table schema changed concurrently (head is now " +
+        s"${headSchema.simpleString}, this append staged " +
+        s"${schema.simpleString})")
+    else if (head.partitionColumns != partCols)
+      Left("the partition layout changed concurrently (head is now " +
+        s"[${head.partitionColumns.mkString(",")}], this append staged " +
+        s"[${partCols.mkString(",")}])")
+    else if (head.constraints != constraints)
+      Left("CHECK constraints changed concurrently — the staged rows " +
+        "were not validated against the new set")
+    else if (head.properties != properties)
+      Left("table properties changed concurrently")
+    else Right(Manifest(head.version + 1, op, head.schemaJson,
+      head.files ++ newFiles, head.txns ++ txn, head.stats ++ newStats,
+      head.blooms ++ newBlooms, head.partitionColumns, head.constraints,
+      head.dvDirs, head.properties))
+  }
+
+  /** Rebase recipe for a BYTE-MOVING rewrite (compact / zorder / purge)
+    * that lost its publish race: rows are unchanged by construction, so
+    * the rewrite is still valid against any head that (a) still lists
+    * every file it consumed — a winner that rewrote or removed one is a
+    * real conflict (replaying would resurrect its deleted rows), (b)
+    * carries the SAME deletion vectors as the base snapshot — fresh
+    * tombstones target files this rewrite re-staged without them, and
+    * (c) left schema/partitioning/constraints/properties untouched.
+    * The rebase keeps every head file the rewrite did not consume
+    * (winner appends included, with their stats and blooms), swaps the
+    * consumed set for the rewrite's output, and keeps the head's `txns`
+    * so a racing idempotent writer's watermark survives. */
+  private def rebaseRewrite(base: Manifest, consumed: Seq[String],
+      newFiles: Seq[String],
+      newStats: Map[String, Map[String, TxStats.ColStat]],
+      newBlooms: Map[String, Map[String, TxStats.FileBloom]],
+      op: String, dvDirsOut: Seq[String])(head: Manifest)
+      : Either[String, Manifest] = {
+    val baseSchema =
+      asNullable(DataType.fromJson(base.schemaJson))
+    val headSchema =
+      asNullable(DataType.fromJson(head.schemaJson))
+    if (headSchema != baseSchema)
+      Left("the table schema changed concurrently")
+    else if (head.partitionColumns != base.partitionColumns)
+      Left("the partition layout changed concurrently")
+    else if (head.constraints != base.constraints)
+      Left("CHECK constraints changed concurrently")
+    else if (head.properties != base.properties)
+      Left("table properties changed concurrently")
+    else if (head.dvDirs != base.dvDirs)
+      Left("deletion vectors changed concurrently — replaying this " +
+        s"$op would resurrect freshly deleted rows")
+    else {
+      val headSet = head.files.toSet
+      val missing = consumed.filterNot(headSet)
+      if (missing.nonEmpty)
+        Left(s"a concurrent commit rewrote or removed ${missing.size} " +
+          s"of the files this $op consumed (first: ${missing.head})")
+      else {
+        val consumedSet = consumed.toSet
+        val kept = head.files.filterNot(consumedSet)
+        val keptSet = kept.toSet
+        Right(Manifest(head.version + 1, op, base.schemaJson,
+          kept ++ newFiles, head.txns,
+          head.stats.view.filterKeys(keptSet).toMap ++ newStats,
+          head.blooms.view.filterKeys(keptSet).toMap ++ newBlooms,
+          base.partitionColumns, base.constraints, dvDirsOut,
+          base.properties))
+      }
+    }
   }
 
   /** Row-level DELETE as a copy-on-write commit — the engine behind SQL
@@ -1083,7 +1255,7 @@ object TxTable {
     val survivors = readSnapshotFiles(spark, tableDir, schema,
       m.partitionColumns, touched, m.dvDirs)
     replaceFiles(spark, tableDir, m, untouched, survivors, "purge",
-      primitive, dvDirs = Some(Nil))
+      primitive, dvDirs = Some(Nil), rebaseConsumed = Some(touched))
   }
 
   /** Shared copy-on-write tail for every row-level rewrite (DELETE /
@@ -1101,12 +1273,19 @@ object TxTable {
     * stale-but-harmless because their physical paths left the
     * snapshot); Some(Nil) clears them (a rewrite that touched every
     * tombstoned file, e.g. [[purgeDeletes]]). */
+  /** `rebaseConsumed = Some(files)` opts the publish into byte-moving
+    * OCC reconciliation ([[rebaseRewrite]]) — ONLY for rewrites whose
+    * rows are provably unchanged (purge). Row-level DELETE/UPDATE/MERGE
+    * must keep the default: their predicates may match rows a racing
+    * commit added, so any lost race stays a loud refusal. */
   private[graft] def replaceFiles(spark: SparkSession, tableDir: String,
                                   base: Manifest, untouched: Seq[String],
                                   newData: DataFrame, op: String,
                                   primitive: CommitPrimitive =
                                     PosixLinkPrimitive,
-                                  dvDirs: Option[Seq[String]] = None): Long = {
+                                  dvDirs: Option[Seq[String]] = None,
+                                  rebaseConsumed: Option[Seq[String]] =
+                                    None): Long = {
     val dvDirsOut = dvDirs.getOrElse(base.dvDirs)
     val root = Paths.get(tableDir)
     val schema =
@@ -1131,13 +1310,21 @@ object TxTable {
       untouched ++ staged.files, base.txns,
       keptStats ++ staged.stats, keptBlooms ++ newBlooms,
       base.partitionColumns, base.constraints, dvDirsOut, base.properties)
-    try publish(root, manifest, primitive)
-    catch {
-      case e: java.nio.file.FileAlreadyExistsException =>
-        discardStaged(tableDir, Seq(staged))
-        throw e
+    rebaseConsumed match {
+      case Some(consumed) =>
+        publishRebasing(root, manifest,
+          rebaseRewrite(base, consumed, staged.files, staged.stats,
+            newBlooms, op, dvDirsOut),
+          primitive, () => discardStaged(tableDir, Seq(staged)))
+      case None =>
+        try publish(root, manifest, primitive)
+        catch {
+          case e: java.nio.file.FileAlreadyExistsException =>
+            discardStaged(tableDir, Seq(staged))
+            throw e
+        }
+        base.version + 1
     }
-    base.version + 1
   }
 
   /** RESTORE — roll the table back to version `v` by committing v's

@@ -53,12 +53,14 @@ object TxSink {
     * `.foreachBatch((b, id) => TxSink.appendBatch(dir, b, id, qid): Unit)`
     * with `qid` stable across restarts (the checkpoint/query id). */
   def appendBatch(tableDir: String, batch: DataFrame, batchId: Long,
-                  appId: String): Boolean =
+                  appId: String,
+                  primitive: graft.sources.CommitPrimitive =
+                    graft.sources.PosixLinkPrimitive): Boolean =
     if (lastBatchId(tableDir, appId).exists(batchId <= _)) false
     else {
       TxTable.commit(batch, tableDir, "append",
         opLabel = Some(s"stream:$appId:$batchId"),
-        txn = Some(txnKey(appId) -> batchId))
+        txn = Some(txnKey(appId) -> batchId), primitive = primitive)
       true
     }
 }

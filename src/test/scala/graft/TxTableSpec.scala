@@ -33,19 +33,146 @@ class TxTableSpec extends SparkSpec {
     assert(TxTable.latestVersion(tbl).contains(3L))
   }
 
-  test("a racing writer loses the version exactly once, loudly") {
+  test("a racing OVERWRITE loses the version exactly once, loudly") {
     val tbl = tmpTable()
     TxTable.commit(frame(1L), tbl, "overwrite")
-    // simulate the race: another writer already published v2
+    // simulate the race: another writer already published v2. An
+    // overwrite defines the whole new snapshot against a vanished head,
+    // so it must NOT auto-rebase — retrying would silently truncate the
+    // winner's commit.
     val log = Paths.get(tbl).resolve("_txlog")
     Files.write(log.resolve("v00002.json"),
       Files.readAllBytes(log.resolve("v00001.json")))
     intercept[java.nio.file.FileAlreadyExistsException](
-      TxTable.commit(frame(2L), tbl, "append"))
+      TxTable.commit(frame(2L), tbl, "overwrite"))
     // the losing commit left no manifest and no temp file behind
     val names = Files.list(log).iterator().asScala
       .map(_.getFileName.toString).toSeq.sorted
     assert(names == Seq("v00001.json", "v00002.json"))
+  }
+
+  test("a racing blind APPEND auto-rebases onto the new head (OCC reconciliation)") {
+    val tbl = tmpTable()
+    TxTable.commit(frame(1L), tbl, "overwrite")
+    // deterministic race: while this append publishes, a competitor
+    // lands frame(2) first — the append must rebase and commit BOTH
+    val prim = new graft.sources.ConflictInjectingPrimitive(
+      graft.sources.PosixLinkPrimitive,
+      () => TxTable.commit(frame(2L), tbl, "append"): Unit)
+    val v = TxTable.commit(frame(3L), tbl, "append", primitive = prim)
+    assert(v == 3L) // landed one past the winner, no manual retry
+    assert(TxTable.read(spark, tbl).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    // history shows three commits; every version stays readable
+    assert(TxTable.versions(tbl) == Seq(1L, 2L, 3L))
+    assert(TxTable.readVersion(spark, tbl, 2L).count() == 2L)
+  }
+
+  test("append rebase refuses when table METADATA moved under it") {
+    // constraints changed concurrently: the staged rows were never
+    // validated against the new set — must stay a loud conflict
+    val tbl = tmpTable()
+    TxTable.commit(frame(1L), tbl, "overwrite")
+    val prim = new graft.sources.ConflictInjectingPrimitive(
+      graft.sources.PosixLinkPrimitive,
+      () => TxTable.addConstraint(spark, tbl, "pos", "id > 0"): Unit)
+    val e = intercept[java.nio.file.FileAlreadyExistsException](
+      TxTable.commit(frame(2L), tbl, "append", primitive = prim))
+    assert(e.getMessage.contains("cannot rebase"), e.getMessage)
+    assert(e.getMessage.contains("constraint"), e.getMessage)
+    // nothing half-applied: head is the constraint commit, ids intact
+    assert(TxTable.read(spark, tbl).select("id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+    // and the loser's staged files were reclaimed: the only data dirs
+    // left are the ones live manifests reference
+    val live = TxTable.readManifest(Paths.get(tbl), 2L).files
+      .map(_.split('/')(1)).toSet
+    val onDisk = Files.list(Paths.get(tbl).resolve("data")).iterator()
+      .asScala.map(_.getFileName.toString).toSet
+    assert(onDisk == live)
+  }
+
+  test("compact racing an append rebases: both land, rows = union, winner files kept") {
+    val tbl = tmpTable()
+    TxTable.commit(frame(1L, 2L), tbl, "overwrite")
+    TxTable.commit(frame(3L), tbl, "append")
+    var injected = Seq.empty[String]
+    val prim = new graft.sources.ConflictInjectingPrimitive(
+      graft.sources.PosixLinkPrimitive,
+      () => {
+        TxTable.commit(frame(9L), tbl, "append"): Unit
+        injected = TxTable.readManifest(Paths.get(tbl), 3L).files
+      })
+    val v = TxTable.compact(spark, tbl, targetBytes = 1L << 30,
+      primitive = prim)
+    assert(v == 4L)
+    // rows unchanged by the compaction, the racing append's row present
+    assert(TxTable.read(spark, tbl).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 9L))
+    // the winner append's files carried into the rebased manifest
+    // verbatim (they were not part of the compaction's consumed set)
+    val head = TxTable.readManifest(Paths.get(tbl), 4L)
+    val winnerNew = injected.toSet --
+      TxTable.readManifest(Paths.get(tbl), 2L).files.toSet
+    assert(winnerNew.nonEmpty && winnerNew.subsetOf(head.files.toSet))
+    assert(head.op == "compact")
+  }
+
+  test("compact refuses rebase when the winner consumed its files (same-file race)") {
+    val tbl = tmpTable()
+    TxTable.commit(frame(1L, 2L, 3L), tbl, "overwrite")
+    // the injected competitor DELETES rows, rewriting the very files the
+    // compaction consumed — replaying the compaction would resurrect
+    // the deleted row, so the rebase must refuse loudly
+    val prim = new graft.sources.ConflictInjectingPrimitive(
+      graft.sources.PosixLinkPrimitive,
+      () => TxTable.deleteWhere(spark, tbl,
+        Seq(org.apache.spark.sql.sources.EqualTo("id", 2L))): Unit)
+    val e = intercept[java.nio.file.FileAlreadyExistsException](
+      TxTable.compact(spark, tbl, targetBytes = 1L << 30,
+        primitive = prim))
+    assert(e.getMessage.contains("consumed"), e.getMessage)
+    // the delete won; the failed compaction changed nothing
+    assert(TxTable.read(spark, tbl).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+  }
+
+  test("row-level rewrites still refuse ANY lost race (update-vs-update)") {
+    import org.apache.spark.sql.sources.EqualTo
+    val tbl = tmpTable()
+    TxTable.commit(frame(1L, 2L), tbl, "overwrite")
+    // two DELETEs racing on the SAME file: the loser must NOT rebase —
+    // its predicate was evaluated against a snapshot the winner rewrote
+    val prim = new graft.sources.ConflictInjectingPrimitive(
+      graft.sources.PosixLinkPrimitive,
+      () => TxTable.deleteWhere(spark, tbl, Seq(EqualTo("id", 1L))): Unit)
+    intercept[java.nio.file.FileAlreadyExistsException](
+      TxTable.deleteWhere(spark, tbl, Seq(EqualTo("id", 2L)),
+        primitive = prim))
+    // winner's delete holds; loser applied nothing
+    assert(TxTable.read(spark, tbl).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(2L))
+  }
+
+  test("streaming sink survives a mid-stream compaction (exactly-once preserved)") {
+    import graft.streaming.TxSink
+    val tbl = tmpTable()
+    assert(TxSink.appendBatch(tbl, frame(1L, 2L), 0L, "qS"))
+    // while batch 1 publishes, compaction lands first — the sink's
+    // append must rebase, keep its (appId, batchId) watermark, and the
+    // compacted bytes must survive
+    val prim = new graft.sources.ConflictInjectingPrimitive(
+      graft.sources.PosixLinkPrimitive,
+      () => TxTable.compact(spark, tbl, targetBytes = 1L << 30): Unit)
+    assert(TxSink.appendBatch(tbl, frame(3L), 1L, "qS", primitive = prim))
+    assert(TxSink.lastBatchId(tbl, "qS").contains(1L))
+    // a replay of batch 1 still skips (watermark survived the rebase)
+    assert(!TxSink.appendBatch(tbl, frame(99L), 1L, "qS"))
+    assert(TxTable.read(spark, tbl).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    // drain completes: one more batch on the quiet table
+    assert(TxSink.appendBatch(tbl, frame(4L), 2L, "qS"))
+    assert(TxTable.read(spark, tbl).count() == 4L)
   }
 
   test("append with a mismatched schema is rejected loudly") {
@@ -418,30 +545,24 @@ class TxTableSpec extends SparkSpec {
     }
   }
 
-  test("OCC race: exactly one winner per version under both primitives") {
+  test("OCC race: 6 racing appends all land with NO caller retry, one version each") {
     val doubles = Seq(
       "posix" -> graft.sources.PosixLinkPrimitive,
       "condput" -> new graft.sources.CondPutPrimitive)
     doubles.foreach { case (name, prim) =>
       val tbl = tmpTable()
       TxTable.commit(frame(0L), tbl, "overwrite", primitive = prim)
-      // 6 threads race to append; every conflict retries until it lands,
-      // so all 6 commits must serialize into versions 2..7
+      // 6 threads race to append ONCE each — no retry loop in the
+      // caller: the reconciling publish must absorb every lost race
+      // internally and serialize all 6 into versions 2..7
       val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
       val okay = new java.util.concurrent.atomic.AtomicInteger(0)
       try {
         val fs = (1 to 6).map(i => pool.submit(new Runnable {
           def run(): Unit = {
-            var done = false
-            while (!done) {
-              try {
-                TxTable.commit(frame(i.toLong), tbl, "append",
-                  primitive = prim)
-                okay.incrementAndGet(); done = true
-              } catch {
-                case _: java.nio.file.FileAlreadyExistsException => ()
-              }
-            }
+            TxTable.commit(frame(i.toLong), tbl, "append",
+              primitive = prim)
+            okay.incrementAndGet(): Unit
           }
         }))
         fs.foreach(_.get())
@@ -460,8 +581,10 @@ class TxTableSpec extends SparkSpec {
     Files.write(log.resolve("v00002.json"),
       Files.readAllBytes(log.resolve("v00001.json")))
     val before = dataFiles(tbl)
+    // overwrite: no rebase path, the conflict surfaces and the staged
+    // files are reclaimed
     intercept[java.nio.file.FileAlreadyExistsException](
-      TxTable.commit(frame(2L), tbl, "append"))
+      TxTable.commit(frame(2L), tbl, "overwrite"))
     assert(dataFiles(tbl) == before) // no orphaned data/<uuid> left behind
   }
 
