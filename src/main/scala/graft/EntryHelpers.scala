@@ -137,6 +137,27 @@ private[graft] object EntryHelpers {
     p.toString
   }
 
+  /** Run `body` under temporarily-set SQL confs and return its result
+    * MATERIALIZED to a local one-partition frame: the confs restore (or
+    * unset) before returning, and because the gate consumes the frame
+    * lazily, handing back the original plan would re-evaluate it AFTER
+    * the restore — the collect pins the answer to the scoped confs. For
+    * conf-gated feature queries (e.g. parquet aggregate pushdown) whose
+    * setting must not leak into the rest of the run. */
+  def withSqlConf(s: SparkSession, pairs: (String, String)*)(
+      body: => DataFrame): DataFrame = {
+    val saved = pairs.map { case (k, _) => k -> s.conf.getOption(k) }
+    pairs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val df = body
+      val rows = df.collect().toSeq
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), df.schema)
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
   /** Session-stable TxCatalog warehouse for `sink_txlog_sql`: a DSv2
     * catalog instance is cached BY NAME in the session's CatalogManager
     * on first reference, so the root it was initialized with must never

@@ -638,22 +638,41 @@ private[graft] object QueriesSearchOps {
       s.conf.set("spark.sql.catalog.graft_tx", "graft.sources.TxCatalog")
       s.conf.set("spark.sql.catalog.graft_tx.root", wh)
       EntryHelpers.txOptCompactedVersion(s, dir, wh): Unit
-      val saved = s.conf.get("spark.sql.parquet.aggregatePushdown")
-      s.conf.set("spark.sql.parquet.aggregatePushdown", "true")
-      try {
+      // withSqlConf materializes under the enabled conf and hands the
+      // gate a local frame — the conf must not leak into other queries
+      EntryHelpers.withSqlConf(s,
+        "spark.sql.parquet.aggregatePushdown" -> "true") {
         val df = s.sql(
           """SELECT count(*) AS n, min(doc_id) AS min_id,
             |  max(doc_id) AS max_id FROM graft_tx.db.opt""".stripMargin)
         require(df.queryExecution.executedPlan.toString
           .contains("PushedAggregation: [COUNT"),
           "tx whole-table aggregate did not push to parquet footers")
-        // materialize under the enabled conf, then hand the gate a
-        // local frame — the conf must not leak into other queries
-        val rows = df.collect().toSeq
-        s.createDataFrame(
-          s.sparkContext.parallelize(rows, 1), df.schema)
-      } finally
-        s.conf.set("spark.sql.parquet.aggregatePushdown", saved)
+        df
+      }
+    }),
+    // ----- footer aggregates on a PARTITIONED snapshot — the most
+    // common 100 TB table shape: a GLOBAL data-column aggregate is
+    // grouping-blind, so the tx scan delegates it to ONE stock parquet
+    // builder over every file's DATA schema (TxScanBuilder scaladoc)
+    // instead of refusing because the per-group reader wrapper cannot
+    // carry it. Plan-pinned in the gate like count_tx_footer -----
+    "count_tx_footer_part" -> ((s: SparkSession, dir: String) => {
+      val wh = EntryHelpers.txCatalogWarehouse(s, dir)
+      s.conf.set("spark.sql.catalog.graft_tx", "graft.sources.TxCatalog")
+      s.conf.set("spark.sql.catalog.graft_tx.root", wh)
+      EntryHelpers.txPartitionedVersion(s, dir, wh): Unit
+      EntryHelpers.withSqlConf(s,
+        "spark.sql.parquet.aggregatePushdown" -> "true") {
+        val df = s.sql(
+          """SELECT count(*) AS n, min(doc_id) AS min_id,
+            |  max(doc_id) AS max_id FROM graft_tx.db.part""".stripMargin)
+        require(df.queryExecution.executedPlan.toString
+          .contains("PushedAggregation: [COUNT"),
+          "partitioned tx whole-table aggregate did not push to " +
+            "parquet footers")
+        df
+      }
     }),
     // ----- merge-on-read DELETE via deletion vectors: the table opts
     // in with tx.deletionVectors=true, so DELETE writes a (file, pos)
@@ -1474,6 +1493,13 @@ private[graft] object QueriesSearchOps {
       ("""SELECT CAST(count(*) AS BIGINT) AS n,
          |  min(doc_id) AS min_id, max(doc_id) AS max_id
          |FROM documents WHERE lang IN ('en', 'de', 'fr')""".stripMargin),
+    // the footer-served aggregate over the lang-partitioned table
+    // (en+de+fr overwrite + es append — the sink_txpart fixture)
+    "count_tx_footer_part" ->
+      ("""SELECT CAST(count(*) AS BIGINT) AS n,
+         |  min(doc_id) AS min_id, max(doc_id) AS max_id
+         |FROM documents
+         |WHERE lang IN ('en', 'de', 'fr', 'es')""".stripMargin),
     // the merge-on-read DELETE reads identically to its copy-on-write
     // twin — the tombstone anti-join must be invisible to content
     "ops_delete_mor" ->

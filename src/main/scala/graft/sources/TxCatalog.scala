@@ -528,9 +528,14 @@ private[graft] class TxSqlTable(tableName: String, dir: Path, version: Long,
       manifest.constraints.map { case (n, e) => s"check.$n" -> e }).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    // hasDeletionVectors arms the EXECUTION tripwire inside the built
+    // scan (TxScanBuilder scaladoc): row-level command planning may
+    // legitimately construct (and never run) a scan on a DV-bearing
+    // handle, but actually executing one proves DvReadRule was absent.
     new TxScanBuilder(name(), tableSchema, dir, manifest.files,
       manifest.stats, manifest.blooms, options,
-      manifest.partitionColumns)
+      manifest.partitionColumns, hasDeletionVectors,
+      s"$tableName@v$version")
 
   // ---- SQL `DELETE FROM` — copy-on-write through the skipping layer
   // (TxTable.deleteWhere scaladoc: provably-untouched files carry
@@ -578,12 +583,24 @@ private[graft] class TxSqlTable(tableName: String, dir: Path, version: Long,
   * filter is also returned as residual (parquet's own contract — stats
   * are never row-exact), so a wrong skip is the only way results could
   * change, and [[TxStats.excludes]] is conservative by construction. */
+/** `hasDvs` arms a loud EXECUTION guard: a snapshot with live
+  * tombstones is only readable through DvReadRule's swapped relation
+  * (the anti-join has nowhere to hang on a plain scan), and that rule
+  * rewrites every read relation during analysis — so EXECUTING this
+  * scan with live DVs proves the session registered the TxCatalog
+  * without graft.GraftExtensions, where serving rows would silently
+  * resurrect deleted ones (and the footer aggregate would count them).
+  * The guard sits on `toBatch`, not scan CONSTRUCTION, because
+  * row-level command planning (DELETE/UPDATE/MERGE) builds — and never
+  * executes — a scan of its target relation. */
 private[graft] final class TxScanBuilder(
     scanName: String, schema: StructType, dir: Path, relFiles: Seq[String],
     stats: Map[String, Map[String, TxStats.ColStat]],
     blooms: Map[String, Map[String, TxStats.FileBloom]],
     options: CaseInsensitiveStringMap,
-    partitionColumns: Seq[String] = Nil)
+    partitionColumns: Seq[String] = Nil,
+    hasDvs: Boolean = false,
+    handleName: String = "")
   extends ScanBuilder
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
@@ -618,39 +635,72 @@ private[graft] final class TxScanBuilder(
   // conf gating (spark.sql.parquet.aggregatePushdown), so the tx scan
   // builds one over the snapshot's full file list and forwards both
   // hooks. Only when nothing filters (all our filters are residual by
-  // contract, so a filtered query never qualifies — parquet's own rule)
-  // and the table is unpartitioned (the partitioned arm wraps readers;
-  // its per-group delegation cannot carry a global aggregate).
+  // contract, so a filtered query never qualifies — parquet's own rule).
+  // PARTITIONED snapshots push too — the MOST common table shape at
+  // 100 TB must not pay a full scan for count(*): a GLOBAL aggregate
+  // over DATA columns is grouping-blind, so the per-group reader
+  // wrapper is irrelevant and one stock builder over every file's DATA
+  // schema answers it from footers. Aggregates touching a partition
+  // column (it has no file bytes) fail the stock builder's schema
+  // resolution and fall back to the scan — never wrong, just unpushed.
   // DV-bearing snapshots never reach here: DvReadRule swapped the
-  // relation at resolution, so a footer count cannot resurrect
-  // tombstoned rows.
+  // relation at resolution (and newScanBuilder trips loudly without
+  // it), so a footer count cannot resurrect tombstoned rows.
   private var aggBuilder
       : Option[org.apache.spark.sql.execution.datasources.v2
         .parquet.ParquetScanBuilder] = None
-  private def mkInner(fs: Seq[String], tag: String) =
+  private val dataOnlySchema: StructType =
+    if (partitionColumns.isEmpty) schema
+    else {
+      val partSet = partitionColumns.toSet
+      StructType(schema.filterNot(f => partSet(f.name)))
+    }
+  private def mkInner(fs: Seq[String], tag: String,
+                      sch: StructType = schema) =
     ParquetTable(s"$scanName $tag", SparkSession.active, options,
-      fs.map(f => dir.resolve(f).toString).toList, Some(schema),
+      fs.map(f => dir.resolve(f).toString).toList, Some(sch),
       classOf[ParquetFileFormat]).newScanBuilder(options)
       .asInstanceOf[org.apache.spark.sql.execution.datasources.v2
         .parquet.ParquetScanBuilder]
 
+  /** Does the aggregation touch any partition column? Those have no
+    * file bytes (the path is their storage), and the stock utility
+    * THROWS on an unresolvable column rather than declining — so the
+    * delegation pre-checks and declines itself. */
+  private def touchesPartitionColumn(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean = {
+    val partSet = partitionColumns.toSet
+    (agg.aggregateExpressions()
+      ++ agg.groupByExpressions()
+      : Array[org.apache.spark.sql.connector.expressions.Expression])
+      .exists(_.references().exists(r =>
+        r.fieldNames().length == 1 && partSet(r.fieldNames()(0))))
+  }
+
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate
         .Aggregation): Boolean =
-    partitionColumns.isEmpty && exprFilters.isEmpty &&
-      mkInner(relFiles, "agg-probe").supportCompletePushDown(agg)
+    exprFilters.isEmpty && !touchesPartitionColumn(agg) &&
+      mkInner(relFiles, "agg-probe", dataOnlySchema)
+        .supportCompletePushDown(agg)
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate
         .Aggregation): Boolean = {
-    if (partitionColumns.nonEmpty || exprFilters.nonEmpty) return false
-    val inner = mkInner(relFiles, "agg=footer-only")
+    if (exprFilters.nonEmpty || touchesPartitionColumn(agg)) return false
+    val inner = mkInner(relFiles, "agg=footer-only", dataOnlySchema)
     if (!inner.pushAggregation(agg)) return false
     aggBuilder = Some(inner)
     true
   }
 
   override def build(): org.apache.spark.sql.connector.read.Scan = {
+    if (hasDvs) return new DvGuardedScan(build0(), handleName)
+    build0()
+  }
+
+  private def build0(): org.apache.spark.sql.connector.read.Scan = {
     aggBuilder.foreach(b => return b.build())
     val kept = relFiles.filter { f =>
       val st = stats.getOrElse(f, Map.empty[String, TxStats.ColStat])
@@ -755,6 +805,43 @@ private[graft] final class TxScanBuilder(
       }
     }
   }
+}
+
+/** The armed tripwire behind [[TxScanBuilder]]'s `hasDvs`: planning
+  * surfaces (schema, description, statistics) forward to the real scan
+  * — row-level commands plan against them — but EXECUTING it refuses
+  * loudly, because a session with DvReadRule installed can never reach
+  * here (the rule swapped the relation during analysis) and a session
+  * without it would silently resurrect deleted rows. */
+private[graft] final class DvGuardedScan(
+    inner: org.apache.spark.sql.connector.read.Scan, handle: String)
+  extends org.apache.spark.sql.connector.read.Scan
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  override def readSchema(): StructType = inner.readSchema()
+  override def description(): String = inner.description()
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = inner match {
+    case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+      s.estimateStatistics()
+    case _ => new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
+  private def refuse(): Nothing = throw new IllegalStateException(
+    s"$handle carries live deletion vectors but its scan was planned " +
+      "without DvReadRule — register " +
+      "spark.sql.extensions=graft.GraftExtensions (or " +
+      "GraftExtensions.register) in the session that reads this table; " +
+      "a plain scan would resurrect deleted rows")
+  override def toBatch: org.apache.spark.sql.connector.read.Batch =
+    refuse()
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    refuse()
 }
 
 /** A planned parquet split plus CONSTANT column values appended to every

@@ -105,6 +105,82 @@ class TxCatalogSpec extends SparkSpec {
       spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
   }
 
+  test("PARTITIONED tables push global data-column aggregates to footers") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("txagg-part-").toString
+    spark.conf.set("spark.sql.catalog.txap", "graft.sources.TxCatalog")
+    spark.conf.set("spark.sql.catalog.txap.root", wh)
+    graft.sources.TxTable.commit(
+      Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 5L))
+        .toDF("id", "grp", "n"),
+      s"$wh/db/p", "overwrite", partitionBy = Some(Seq("grp")))
+    graft.sources.TxTable.commit(
+      Seq((4L, "c", 40L)).toDF("id", "grp", "n"),
+      s"$wh/db/p", "append")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try {
+      // global COUNT/MIN/MAX over DATA columns: one delegated footer
+      // builder over every file's data schema — grouping is irrelevant
+      val df = spark.sql(
+        "SELECT count(*), min(id), max(n) FROM txap.db.p")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedAggregation: [COUNT"),
+        s"expected a pushed aggregation in:\n$plan")
+      val r = df.head()
+      assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (4L, 1L, 40L))
+      // an aggregate touching the PARTITION column cannot answer from
+      // file bytes — falls back to the scan, same (correct) answer
+      val p = spark.sql("SELECT count(*), max(grp) FROM txap.db.p")
+      assert(!p.queryExecution.executedPlan.toString
+        .contains("PushedAggregation"))
+      assert((p.head().getLong(0), p.head().getString(1)) == (4L, "c"))
+      // grouped aggregates fall back too
+      val g = spark.sql(
+        "SELECT grp, count(*) AS c FROM txap.db.p GROUP BY grp")
+      assert(!g.queryExecution.executedPlan.toString
+        .contains("PushedAggregation"))
+      assert(g.collect().map(x => (x.getString(0), x.getLong(1))).toMap ==
+        Map("a" -> 2L, "b" -> 1L, "c" -> 1L))
+    } finally
+      spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
+  }
+
+  test("a DV-bearing snapshot refuses the plain scan when DvReadRule is absent") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("txdv-guard-").toString
+    val dir = s"$wh/db/g"
+    graft.sources.TxTable.commit(
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "n"), dir, "overwrite",
+      properties = Map(graft.sources.TxTable.DvProperty -> "true"))
+    graft.sources.TxTable.deleteWhereMor(spark, dir,
+      Seq(org.apache.spark.sql.sources.EqualTo("id", 1L))): Unit
+    // the raw table handle (what a session WITHOUT GraftExtensions
+    // plans against): planning surfaces still work (row-level commands
+    // build-but-never-run such scans), but EXECUTING the plain scan
+    // would resurrect the deleted row — toBatch must trip the
+    // missing-rule guard loudly
+    val cat = new graft.sources.TxCatalog
+    cat.initialize("guardcat",
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("root", wh)))
+    val tbl = cat.loadTable(
+      org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("db"), "g"))
+    val scan = tbl.asInstanceOf[
+        org.apache.spark.sql.connector.catalog.SupportsRead]
+      .newScanBuilder(org.apache.spark.sql.util.CaseInsensitiveStringMap
+        .empty()).build()
+    assert(scan.readSchema().fieldNames.toSeq == Seq("id", "n")) // plans
+    val e = intercept[IllegalStateException](scan.toBatch)
+    assert(e.getMessage.contains("GraftExtensions"), e.getMessage)
+    // the registered session (this suite's) still reads it fine through
+    // DvReadRule's swap — the guard never fires on the supported path
+    spark.conf.set("spark.sql.catalog.txgd", "graft.sources.TxCatalog")
+    spark.conf.set("spark.sql.catalog.txgd.root", wh)
+    assert(spark.sql("SELECT id FROM txgd.db.g").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
   test("missing table and vacuumed/unknown version fail loudly") {
     warehouse
     // the catalog's NoSuchTableException surfaces wrapped in Spark's
