@@ -319,6 +319,45 @@ private[graft] object EntryHelpers {
       java.lang.Long.valueOf(v)
     }).longValue()
 
+  /** `ops_merge_evolve` fixture: en+de accumulate (v1, v2), then one
+    * `MERGE WITH SCHEMA EVOLUTION` whose source carries a NEW `score`
+    * column — TxSqlTable's AUTOMATIC_SCHEMA_EVOLUTION capability routes
+    * the delta through alterTable → evolveColumns as v3 (metadata-only
+    * nullable ADD, the mergeSchemas contract) and the merge itself
+    * commits v4 against the evolved schema: de rows update WITH the new
+    * column, fr rows insert with it, and the untouched en rows read
+    * NULL (require-pinned; refusal arms — type conflicts, partitioned
+    * targets — suite-pinned in TxRowLevelSpec). */
+  val txMrgEvoDone =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  def txMergeEvolvedVersion(s: SparkSession, dir: String,
+                            wh: String): Long =
+    txMrgEvoDone.computeIfAbsent(dir, _ => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val tbl = s"$wh/db/mrgevo"
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "en"), tbl, "overwrite")
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "de"), tbl, "append")
+      docs.filter(col("lang").isin("de", "fr"))
+        .withColumn("score", col("n_chars") % 100)
+        .createOrReplaceTempView("graft_mrgevo_src")
+      s.sql(
+        """MERGE WITH SCHEMA EVOLUTION INTO graft_tx.db.mrgevo t
+          |USING graft_mrgevo_src s
+          |ON t.doc_id = s.doc_id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val v = graft.sources.TxTable.latestVersion(tbl).getOrElse(0L)
+      require(v == 4L,
+        s"expected evolve v3 + merge v4, got v$v")
+      val ops = graft.sources.TxTable.history(tbl).map(_._2)
+      require(ops == Seq("overwrite", "append", "evolve", "merge"),
+        s"unexpected op history: ${ops.mkString(", ")}")
+      java.lang.Long.valueOf(v)
+    }).longValue()
+
   /** `ops_delete_mor` / `ops_purge_dv` fixture: a table (`db.mor`)
     * created with `tx.deletionVectors=true`, so the SQL DELETE commits
     * as MERGE-ON-READ — v4's data files are BYTE-IDENTICAL to v3's and

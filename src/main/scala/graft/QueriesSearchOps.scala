@@ -628,6 +628,24 @@ private[graft] object QueriesSearchOps {
            |FROM graft_tx.db.mrg VERSION AS OF $v
            |ORDER BY doc_id""".stripMargin)
     }),
+    // ----- MERGE WITH SCHEMA EVOLUTION (the CDC-ingest shape): the
+    // source carries a NEW column, the capability-gated analyzer path
+    // commits a metadata-only evolve (v3) through the same nullable-ADD
+    // contract appends use, and the merge (v4) rewrites against the
+    // evolved schema — pre-merge en rows read NULL for the new column,
+    // updated de rows and inserted fr rows carry it
+    // (EntryHelpers.txMergeEvolvedVersion pins the op history) -----
+    "ops_merge_evolve" -> ((s: SparkSession, dir: String) => {
+      val wh = EntryHelpers.txCatalogWarehouse(s, dir)
+      s.conf.set("spark.sql.catalog.graft_tx", "graft.sources.TxCatalog")
+      s.conf.set("spark.sql.catalog.graft_tx.root", wh)
+      val v = EntryHelpers.txMergeEvolvedVersion(s, dir, wh)
+      s.sql(
+        s"""SELECT CAST($v AS BIGINT) AS version, doc_id, lang, n_chars,
+           |  score
+           |FROM graft_tx.db.mrgevo VERSION AS OF $v
+           |ORDER BY doc_id""".stripMargin)
+    }),
     // ----- whole-table aggregates answered from parquet FOOTERS: the
     // tx scan delegates DSv2 aggregate pushdown to the stock parquet
     // builder over the snapshot's file list (TxScanBuilder scaladoc) —
@@ -1487,6 +1505,18 @@ private[graft] object QueriesSearchOps {
     "ops_delete_sql" ->
       ("""SELECT CAST(4 AS BIGINT) AS version, doc_id, lang, n_chars
          |FROM documents WHERE lang IN ('en', 'fr')
+         |ORDER BY doc_id""".stripMargin),
+    // the evolved merge replayed: en predates the column (NULL), de
+    // updated with score, fr inserted with it — score = n_chars % 100
+    // in lockstep with the fixture's source derivation
+    "ops_merge_evolve" ->
+      ("""SELECT CAST(4 AS BIGINT) AS version, doc_id, lang, n_chars,
+         |  CAST(NULL AS BIGINT) AS score
+         |FROM documents WHERE lang = 'en'
+         |UNION ALL
+         |SELECT CAST(4 AS BIGINT), doc_id, lang, n_chars,
+         |  n_chars % 100
+         |FROM documents WHERE lang IN ('de', 'fr')
          |ORDER BY doc_id""".stripMargin),
     // the footer-served aggregate over the compacted en+de+fr table
     "count_tx_footer" ->

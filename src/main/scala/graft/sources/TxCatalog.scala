@@ -517,9 +517,30 @@ private[graft] class TxSqlTable(tableName: String, dir: Path, version: Long,
       .toArray
   override def capabilities(): util.Set[TableCapability] =
     if (writable)
-      util.EnumSet.of(TableCapability.BATCH_READ,
-        TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
-        TableCapability.TRUNCATE)
+      // AUTOMATIC_SCHEMA_EVOLUTION is the DSv2 opt-in behind `MERGE …
+      // WITH SCHEMA EVOLUTION`: Spark's ResolveMergeIntoSchemaEvolution
+      // computes the source-minus-target column delta and routes it
+      // through THIS catalog's alterTable (→ TxTable.evolveColumns, the
+      // same nullable-ADD contract appends use) before the merge
+      // resolves — see [[TxRowLevel]] scaladoc for the commit shape.
+      // NOT advertised on partitioned tables: Spark's star expansion
+      // and assignment alignment assume evolved columns append at the
+      // END of the schema, while the hive layout slots them BEFORE the
+      // partition columns (the partition-cols-last invariant every
+      // append depends on) — the positional mismatch would silently
+      // cross-assign columns, so the capability is withheld and
+      // [[TxRowLevel.RowLevelRule]] refuses the statement loudly
+      // instead (withheld HERE because the analyzer would otherwise
+      // commit the evolve version before any later rule could refuse).
+      if (manifest.partitionColumns.isEmpty)
+        util.EnumSet.of(TableCapability.BATCH_READ,
+          TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+          TableCapability.TRUNCATE,
+          TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
+      else
+        util.EnumSet.of(TableCapability.BATCH_READ,
+          TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+          TableCapability.TRUNCATE)
     else util.EnumSet.of(TableCapability.BATCH_READ)
   override def properties(): util.Map[String, String] =
     (Map("format" -> "graft-txtable", "location" -> dir.toString,

@@ -92,10 +92,30 @@ private[graft] object TxRowLevel {
         txRelation(m.targetTable) match {
           case Some((rel, tx)) =>
             requireWritable(tx, "MERGE INTO")
-            require(!m.withSchemaEvolution,
-              "MERGE INTO the tx catalog does not support WITH SCHEMA " +
-                "EVOLUTION — evolve the schema with a mergeSchema " +
-                "append commit first")
+            // `WITH SCHEMA EVOLUTION` on an unpartitioned table was
+            // already honored upstream: TxSqlTable advertises
+            // AUTOMATIC_SCHEMA_EVOLUTION, so Spark's
+            // ResolveMergeIntoSchemaEvolution computed the
+            // source-minus-target delta, committed it through
+            // TxCatalog.alterTable → TxTable.evolveColumns (one
+            // metadata-only `evolve` version — nullable ADDs, the
+            // mergeSchemas contract; type changes and nested adds
+            // refuse loudly there), and reloaded this relation with
+            // the evolved schema. By the time this rule runs, the
+            // merge below rewrites against the evolved manifest:
+            // pre-merge rows read NULL for the new columns. On a
+            // PARTITIONED table the capability is withheld (new
+            // columns slot BEFORE partition columns, which Spark's
+            // positional alignment cannot express — TxSqlTable
+            // .capabilities scaladoc), so the clause must refuse
+            // loudly here instead of silently ignoring new columns.
+            require(!(m.withSchemaEvolution &&
+                tx.partitioning().nonEmpty),
+              "MERGE WITH SCHEMA EVOLUTION is not supported on a " +
+                "PARTITIONED tx table — new columns slot before the " +
+                "partition columns (the hive partition-cols-last " +
+                "invariant), which Spark's merge alignment cannot " +
+                "express; ALTER TABLE ADD COLUMN first, then MERGE")
             val allActs = m.matchedActions ++ m.notMatchedActions ++
               m.notMatchedBySourceActions
             refuseSubqueries(

@@ -183,15 +183,109 @@ class TxRowLevelSpec extends SparkSpec {
         (11L, "nw", 11L)))
   }
 
-  test("MERGE refuses WITH SCHEMA EVOLUTION loudly") {
+  test("MERGE WITH SCHEMA EVOLUTION adds source-only columns; old rows read NULL") {
     import spark.implicits._
-    mkLangTable("mrgref")
-    Seq((3L, "a", 1L)).toDF("id", "lang", "n")
-      .createOrReplaceTempView("mrgref_src")
+    val tbl = mkLangTable("mrgevo")
+    // source carries a NEW column `score`: the analyzer's capability-
+    // gated evolution commits one metadata `evolve` version through
+    // alterTable, then the merge rewrites against the evolved schema
+    Seq((3L, "de2", 100L, 0.5), (9L, "es", 50L, 0.9))
+      .toDF("id", "lang", "n", "score")
+      .createOrReplaceTempView("mrgevo_src")
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO txrl.db.mrgevo t
+        |USING mrgevo_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val dir = java.nio.file.Paths.get(tbl)
+    val head = TxTable.latestVersion(tbl).get
+    assert(TxTable.readManifest(dir, head).op == "merge")
+    assert(TxTable.readManifest(dir, head - 1).op == "evolve")
+    val out = spark.sql(
+        "SELECT id, lang, n, score FROM txrl.db.mrgevo ORDER BY id")
+      .collect().toSeq.map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), Option(r.get(3))))
+    // ids 1,2,4 predate the column (NULL); 3 updated with it; 9 inserted
+    assert(out == Seq(
+      (1L, "en", 5L, None), (2L, "en", 7L, None),
+      (3L, "de2", 100L, Some(0.5)), (4L, "fr", 2L, None),
+      (9L, "es", 50L, Some(0.9))))
+    // the untouched en file carried VERBATIM through the evolved merge
+    val before = TxTable.readManifest(dir, 3L)
+    val after = TxTable.readManifest(dir, head)
+    val enFile = before.files.find(f => before.stats(f)("lang").min == "en")
+    assert(enFile.nonEmpty && after.files.contains(enFile.get))
+  }
+
+  test("MERGE evolution refuses a type conflict on a shared column") {
+    import spark.implicits._
+    mkLangTable("mrgevot")
+    // source `n` is STRING where the table has BIGINT: the delta is an
+    // UpdateColumnType change, which alterTable refuses loudly —
+    // silently widening would corrupt every existing row
+    Seq((3L, "x", "wide")).toDF("id", "lang", "n")
+      .createOrReplaceTempView("mrgevot_src")
     val e = intercept[Exception](spark.sql(
-      """MERGE WITH SCHEMA EVOLUTION INTO txrl.db.mrgref t
-        |USING mrgref_src s ON t.id = s.id
+      """MERGE WITH SCHEMA EVOLUTION INTO txrl.db.mrgevot t
+        |USING mrgevot_src s ON t.id = s.id
         |WHEN MATCHED THEN UPDATE SET n = s.n""".stripMargin))
-    assert(e.getMessage.contains("SCHEMA EVOLUTION"))
+    assert(e.getMessage.contains("ALTER TABLE") ||
+      e.getMessage.contains("SCHEMA_EVOLUTION") ||
+      e.getMessage.contains("cast"), e.getMessage)
+    // nothing half-applied: schema unchanged
+    assert(spark.table("txrl.db.mrgevot").schema.fieldNames.toSeq ==
+      Seq("id", "lang", "n"))
+  }
+
+  test("MERGE evolution REFUSES on a PARTITIONED table; explicit ALTER-then-MERGE works") {
+    import spark.implicits._
+    val tbl = s"$warehouse/db/mrgevop"
+    TxTable.commit(
+      Seq((1L, 5L, "en"), (2L, 7L, "de")).toDF("id", "n", "lang"),
+      tbl, "overwrite", partitionBy = Some(Seq("lang")))
+    Seq((2L, "de", 70L, true), (3L, "fr", 9L, false))
+      .toDF("id", "lang", "n", "flag")
+      .createOrReplaceTempView("mrgevop_src")
+    // new columns slot BEFORE partition columns, which Spark's merge
+    // alignment cannot express — the statement must refuse loudly, and
+    // the refusal must land BEFORE any evolve version commits
+    val e = intercept[Exception](spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO txrl.db.mrgevop t
+        |USING mrgevop_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
+    assert(e.getMessage.contains("PARTITIONED"), e.getMessage)
+    assert(TxTable.history(tbl).map(_._2).count(_ == "evolve") == 0,
+      "the refusal must pre-empt the evolve commit")
+    assert(spark.table("txrl.db.mrgevop").schema.fieldNames.toSeq ==
+      Seq("id", "n", "lang"))
+    // the documented path: evolve deliberately, then a plain MERGE
+    spark.sql("ALTER TABLE txrl.db.mrgevop ADD COLUMN flag BOOLEAN")
+    spark.sql(
+      """MERGE INTO txrl.db.mrgevop t USING mrgevop_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.table("txrl.db.mrgevop").schema.fieldNames.toSeq ==
+      Seq("id", "n", "flag", "lang"))
+    val out = spark.sql(
+        "SELECT id, n, flag, lang FROM txrl.db.mrgevop ORDER BY id")
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)), r.getString(3)))
+    assert(out == Seq((1L, 5L, None, "en"), (2L, 70L, Some(true), "de"),
+      (3L, 9L, Some(false), "fr")))
+  }
+
+  test("without WITH SCHEMA EVOLUTION extra source columns evolve nothing") {
+    import spark.implicits._
+    val tbl = mkLangTable("mrgnoevo")
+    Seq((9L, "es", 50L, 0.9)).toDF("id", "lang", "n", "score")
+      .createOrReplaceTempView("mrgnoevo_src")
+    spark.sql(
+      """MERGE INTO txrl.db.mrgnoevo t USING mrgnoevo_src s ON t.id = s.id
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    // the extra column was ignored, not silently added
+    assert(spark.table("txrl.db.mrgnoevo").schema.fieldNames.toSeq ==
+      Seq("id", "lang", "n"))
+    assert(TxTable.history(tbl).map(_._2).count(_ == "evolve") == 0)
   }
 }
