@@ -319,6 +319,43 @@ private[graft] object EntryHelpers {
       java.lang.Long.valueOf(v)
     }).longValue()
 
+  /** `ops_rename_sql` fixture: one lang per commit (per-file min=max
+    * lang stats), `ALTER TABLE RENAME COLUMN lang TO language` as v4
+    * (metadata-only — TxTable.renameColumn), then the es slice INSERTed
+    * at v5 THROUGH the renamed logical name (staged under the original
+    * physical name, so all five files agree on bytes). The query's
+    * pruning probe and the full certified read both run against this
+    * mixed-history table. */
+  val txRenDone =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  def txRenamedVersion(s: SparkSession, dir: String, wh: String): Long =
+    txRenDone.computeIfAbsent(dir, _ => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val tbl = s"$wh/db/ren"
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "en"), tbl, "overwrite")
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "de"), tbl, "append")
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "fr"), tbl, "append")
+      s.sql("ALTER TABLE graft_tx.db.ren RENAME COLUMN lang TO language")
+      docs.filter(col("lang") === "es")
+        .withColumnRenamed("lang", "language")
+        .createOrReplaceTempView("graft_ren_es")
+      s.sql("INSERT INTO graft_tx.db.ren SELECT * FROM graft_ren_es")
+      val v = graft.sources.TxTable.latestVersion(tbl).getOrElse(0L)
+      require(v == 5L, s"expected rename v4 + insert v5, got v$v")
+      val m = graft.sources.TxTable.readManifest(
+        java.nio.file.Paths.get(tbl), v)
+      require(m.columnMapping == Map("language" -> "lang"),
+        s"unexpected mapping ${m.columnMapping}")
+      require(m.files.size >= 4 &&
+        m.stats.values.forall(_.contains("lang")),
+        "every file (incl. post-rename) must carry physical-keyed stats")
+      java.lang.Long.valueOf(v)
+    }).longValue()
+
   /** `ops_merge_evolve` fixture: en+de accumulate (v1, v2), then one
     * `MERGE WITH SCHEMA EVOLUTION` whose source carries a NEW `score`
     * column — TxSqlTable's AUTOMATIC_SCHEMA_EVOLUTION capability routes

@@ -628,6 +628,36 @@ private[graft] object QueriesSearchOps {
            |FROM graft_tx.db.mrg VERSION AS OF $v
            |ORDER BY doc_id""".stripMargin)
     }),
+    // ----- ALTER TABLE RENAME COLUMN through the column mapping
+    // (TxTable.renameColumn scaladoc: one metadata version, zero data
+    // movement — files keep their bytes, stats their physical keys).
+    // The fixture renames `lang` → `language` mid-history and INSERTs
+    // the es slice AFTER the rename (staged under the ORIGINAL
+    // physical name), so the certified read spans files on both sides
+    // of the rename; the gate require-pins that a predicate on the
+    // RENAMED column still skips files (stats survive) -----
+    "ops_rename_sql" -> ((s: SparkSession, dir: String) => {
+      val wh = EntryHelpers.txCatalogWarehouse(s, dir)
+      s.conf.set("spark.sql.catalog.graft_tx", "graft.sources.TxCatalog")
+      s.conf.set("spark.sql.catalog.graft_tx.root", wh)
+      val v = EntryHelpers.txRenamedVersion(s, dir, wh)
+      val m = graft.sources.TxTable.readManifest(
+        java.nio.file.Paths.get(s"$wh/db/ren"), v)
+      // expected skip count from the manifest itself: files whose
+      // PHYSICAL-keyed lang stat can hold 'de' are the only candidates
+      val deN = m.files.count(f => m.stats.get(f)
+        .flatMap(_.get("lang"))
+        .exists(cs => cs.min <= "de" && cs.max >= "de"))
+      val probe = s.sql(
+        "SELECT doc_id FROM graft_tx.db.ren WHERE language = 'de'")
+      require(probe.queryExecution.executedPlan.toString
+          .contains(s"skipped=${m.files.size - deN}/${m.files.size}"),
+        "post-rename predicate must still prune files through the " +
+          "physical-keyed stats")
+      s.sql(
+        """SELECT doc_id, language, n_chars FROM graft_tx.db.ren
+          |ORDER BY doc_id""".stripMargin)
+    }),
     // ----- MERGE WITH SCHEMA EVOLUTION (the CDC-ingest shape): the
     // source carries a NEW column, the capability-gated analyzer path
     // commits a metadata-only evolve (v3) through the same nullable-ADD
@@ -1505,6 +1535,12 @@ private[graft] object QueriesSearchOps {
     "ops_delete_sql" ->
       ("""SELECT CAST(4 AS BIGINT) AS version, doc_id, lang, n_chars
          |FROM documents WHERE lang IN ('en', 'fr')
+         |ORDER BY doc_id""".stripMargin),
+    // the rename replayed: same rows, the lang column answering under
+    // its new logical name — es rows inserted after the rename included
+    "ops_rename_sql" ->
+      ("""SELECT doc_id, lang AS language, n_chars FROM documents
+         |WHERE lang IN ('en', 'de', 'fr', 'es')
          |ORDER BY doc_id""".stripMargin),
     // the evolved merge replayed: en predates the column (NULL), de
     // updated with score, fr inserted with it — score = n_chars % 100

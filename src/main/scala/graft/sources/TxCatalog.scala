@@ -282,10 +282,15 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
     * — old files read NULL) and `DROP COLUMN` (files keep the bytes,
     * the schema stops projecting them), one atomic `evolve` version
     * per statement ([[TxTable.evolveColumns]] — no data moves, the
-    * O(1) operation a 100 TB table demands). Column positions,
-    * defaults, renames, and type changes refuse: the first two need a
-    * rewrite-or-default story and the last two column-id mapping,
-    * none of which a by-name parquet layout can honor honestly. */
+    * O(1) operation a 100 TB table demands). `RENAME COLUMN` commits
+    * one `rename` version through the column mapping
+    * ([[TxTable.renameColumn]] — files keep their bytes, stats keep
+    * their keys, skipping survives). Column positions, defaults, and
+    * type changes refuse: the first two need a rewrite-or-default
+    * story and the last type-widening id mapping, which a by-name
+    * parquet layout cannot honor honestly. One statement carries ONE
+    * kind of change — each kind is its own atomic manifest version,
+    * and a mixed statement could half-apply. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = dirFor(ident)
     if (!isTxTable(dir)) throw new NoSuchTableException(ident)
@@ -295,6 +300,7 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
     val unsetT = Set.newBuilder[String]
     val addC = Seq.newBuilder[org.apache.spark.sql.types.StructField]
     val dropC = Seq.newBuilder[String]
+    val renameC = Seq.newBuilder[(String, String)]
     changes.foreach {
       case sp: TableChange.SetProperty
           if sp.property.startsWith("check.") && sp.property.length > 6 =>
@@ -323,17 +329,44 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
           s"DROP COLUMN supports top-level columns only, not " +
             dc.fieldNames.mkString("."))
         dropC += dc.fieldNames.head
+      case rn: TableChange.RenameColumn =>
+        require(rn.fieldNames.length == 1,
+          s"RENAME COLUMN supports top-level columns only, not " +
+            rn.fieldNames.mkString("."))
+        renameC += rn.fieldNames.head -> rn.newName
       case other => throw new UnsupportedOperationException(
         s"TxCatalog ALTER TABLE supports CHECK-constraint properties " +
-          s"('check.<name>'), engine properties ('tx.*'), and " +
-          s"ADD/DROP COLUMN, not $other")
+          s"('check.<name>'), engine properties ('tx.*'), " +
+          s"ADD/DROP COLUMN, and RENAME COLUMN, not $other")
     }
     val (ap, dp, ac, dcols) =
       (addP.result(), dropP.result(), addC.result(), dropC.result())
     val (st, ut) = (setT.result(), unsetT.result())
+    val rn = renameC.result()
+    // ONE change kind per statement: each kind publishes its own
+    // manifest version, so a mixed statement would half-apply on a
+    // mid-sequence failure — contradicting the all-or-nothing contract
+    // each arm documents. Refuse the mix loudly instead.
+    val kinds = Seq(
+      "ADD/DROP COLUMN" -> (ac.nonEmpty || dcols.nonEmpty),
+      "RENAME COLUMN" -> rn.nonEmpty,
+      "CHECK-constraint properties" -> (ap.nonEmpty || dp.nonEmpty),
+      "engine (tx.*) properties" -> (st.nonEmpty || ut.nonEmpty))
+      .collect { case (k, true) => k }
+    require(kinds.size <= 1,
+      "one ALTER TABLE statement may carry only ONE kind of change " +
+        s"(got: ${kinds.mkString(" + ")}) — each kind commits its own " +
+        "atomic metadata version, and a mixed statement could " +
+        "half-apply; issue separate statements")
+    require(rn.size <= 1,
+      "one ALTER TABLE statement renames ONE column")
     if (ac.nonEmpty || dcols.nonEmpty)
       TxTable.evolveColumns(SparkSession.active, dir.toString,
         ac, dcols): Unit
+    rn.foreach { case (from, to) =>
+      TxTable.renameColumn(SparkSession.active, dir.toString, from, to)
+        : Unit
+    }
     if (ap.nonEmpty || dp.nonEmpty)
       TxTable.alterConstraints(SparkSession.active, dir.toString,
         ap, dp): Unit
@@ -553,10 +586,14 @@ private[graft] class TxSqlTable(tableName: String, dir: Path, version: Long,
     // scan (TxScanBuilder scaladoc): row-level command planning may
     // legitimately construct (and never run) a scan on a DV-bearing
     // handle, but actually executing one proves DvReadRule was absent.
+    // Stats/blooms hand over as the LOGICAL view (keys re-labeled
+    // through the column mapping) — the skip filters carry logical
+    // names; the builder translates back to physical at the parquet
+    // boundary itself.
     new TxScanBuilder(name(), tableSchema, dir, manifest.files,
-      manifest.stats, manifest.blooms, options,
-      manifest.partitionColumns, hasDeletionVectors,
-      s"$tableName@v$version")
+      TxTable.logicalStats(manifest), TxTable.logicalBlooms(manifest),
+      options, manifest.partitionColumns, hasDeletionVectors,
+      s"$tableName@v$version", manifest.columnMapping)
 
   // ---- SQL `DELETE FROM` — copy-on-write through the skipping layer
   // (TxTable.deleteWhere scaladoc: provably-untouched files carry
@@ -614,6 +651,15 @@ private[graft] class TxSqlTable(tableName: String, dir: Path, version: Long,
   * The guard sits on `toBatch`, not scan CONSTRUCTION, because
   * row-level command planning (DELETE/UPDATE/MERGE) builds — and never
   * executes — a scan of its target relation. */
+/** `mapping` (logical → physical column names, [[TxTable.Manifest]]
+  * scaladoc): files spell renamed columns by their PHYSICAL names, so
+  * the delegated parquet builders read the physical schema and the
+  * built scan re-labels its readSchema back to logical — positions and
+  * types are identical (a rename is a pure relabeling), so the
+  * positional row binding is sound and the translation costs nothing
+  * at runtime. Pushed filters and pruned columns translate
+  * logical → physical on the way in; `stats`/`blooms` arrive already
+  * re-keyed logical by the caller. */
 private[graft] final class TxScanBuilder(
     scanName: String, schema: StructType, dir: Path, relFiles: Seq[String],
     stats: Map[String, Map[String, TxStats.ColStat]],
@@ -621,7 +667,8 @@ private[graft] final class TxScanBuilder(
     options: CaseInsensitiveStringMap,
     partitionColumns: Seq[String] = Nil,
     hasDvs: Boolean = false,
-    handleName: String = "")
+    handleName: String = "",
+    mapping: Map[String, String] = Map.empty)
   extends ScanBuilder
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
@@ -632,6 +679,22 @@ private[graft] final class TxScanBuilder(
   private var exprFilters: Seq[Expression] = Nil
   private var skipFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil
   private var required: StructType = schema
+
+  // logical → physical translation at the parquet boundary (no-ops on
+  // never-renamed tables)
+  private def physStruct(s: StructType): StructType =
+    TxTable.physicalSchema(s, mapping)
+  private def toPhys(e: Expression): Expression =
+    if (mapping.isEmpty) e
+    else e.transform {
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+          if mapping.contains(a.name) => a.withName(mapping(a.name))
+    }
+  private val reverseMapping: Map[String, String] = mapping.map(_.swap)
+  private def toLogical(s: StructType): StructType =
+    if (mapping.isEmpty) s
+    else StructType(s.fields.map(f =>
+      f.copy(name = reverseMapping.getOrElse(f.name, f.name))))
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     exprFilters = filters
@@ -699,18 +762,35 @@ private[graft] final class TxScanBuilder(
         r.fieldNames().length == 1 && partSet(r.fieldNames()(0))))
   }
 
+  /** An aggregate over a RENAMED column would need its expression tree
+    * rewritten to the physical spelling before delegation — decline
+    * instead (never wrong, just unpushed); COUNT(*) and aggregates over
+    * never-renamed columns still push. */
+  private def touchesRenamedColumn(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean =
+    mapping.nonEmpty &&
+      (agg.aggregateExpressions()
+        ++ agg.groupByExpressions()
+        : Array[org.apache.spark.sql.connector.expressions.Expression])
+        .exists(_.references().exists(r =>
+          r.fieldNames().length == 1 && mapping.contains(r.fieldNames()(0))))
+
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate
         .Aggregation): Boolean =
     exprFilters.isEmpty && !touchesPartitionColumn(agg) &&
-      mkInner(relFiles, "agg-probe", dataOnlySchema)
+      !touchesRenamedColumn(agg) &&
+      mkInner(relFiles, "agg-probe", physStruct(dataOnlySchema))
         .supportCompletePushDown(agg)
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate
         .Aggregation): Boolean = {
-    if (exprFilters.nonEmpty || touchesPartitionColumn(agg)) return false
-    val inner = mkInner(relFiles, "agg=footer-only", dataOnlySchema)
+    if (exprFilters.nonEmpty || touchesPartitionColumn(agg) ||
+      touchesRenamedColumn(agg)) return false
+    val inner = mkInner(relFiles, "agg=footer-only",
+      physStruct(dataOnlySchema))
     if (!inner.pushAggregation(agg)) return false
     aggBuilder = Some(inner)
     true
@@ -733,11 +813,14 @@ private[graft] final class TxScanBuilder(
     if (partitionColumns.isEmpty) {
       val inner = ParquetTable(s"$scanName $skipTag",
         SparkSession.active, options,
-        kept.map(f => dir.resolve(f).toString).toList, Some(schema),
+        kept.map(f => dir.resolve(f).toString).toList,
+        Some(physStruct(schema)),
         classOf[ParquetFileFormat]).newScanBuilder(options)
-      inner.pushFilters(exprFilters): Unit
-      inner.pruneColumns(required)
-      inner.build()
+      inner.pushFilters(exprFilters.map(toPhys)): Unit
+      inner.pruneColumns(physStruct(required))
+      val scan = inner.build()
+      if (mapping.isEmpty) scan
+      else new RelabeledScan(scan, toLogical(scan.readSchema()), skipTag)
     } else {
       // PARTITIONED snapshot: hive path discovery cannot serve files
       // spanning many commit dirs (conflicting roots), so the MANIFEST
@@ -805,10 +888,11 @@ private[graft] final class TxScanBuilder(
                   val inner = ParquetTable(s"$scanName $skipTag",
                     SparkSession.active, options,
                     fs.map(f => dir.resolve(f).toString).toList,
-                    Some(dataSchema), classOf[ParquetFileFormat])
+                    Some(physStruct(dataSchema)),
+                    classOf[ParquetFileFormat])
                     .newScanBuilder(options)
-                  inner.pushFilters(dataFilters): Unit
-                  inner.pruneColumns(requiredData)
+                  inner.pushFilters(dataFilters.map(toPhys)): Unit
+                  inner.pruneColumns(physStruct(requiredData))
                   val b = inner.build().toBatch
                   val fac = b.createReaderFactory()
                   val tail: Array[Any] = requiredParts.map(f =>
@@ -826,6 +910,34 @@ private[graft] final class TxScanBuilder(
       }
     }
   }
+}
+
+/** A delegated scan re-labeled to LOGICAL column names ([[TxScanBuilder]]
+  * scaladoc): the inner parquet scan read the physical spelling; this
+  * wrapper reports the logical one. Rows pass through VERBATIM — a
+  * rename never changes a column's position or type, so the positional
+  * InternalRow binding is exact and the relabeling costs nothing. */
+private[graft] final class RelabeledScan(
+    inner: org.apache.spark.sql.connector.read.Scan,
+    logical: StructType, tag: String = "")
+  extends org.apache.spark.sql.connector.read.Scan
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+  override def readSchema(): StructType = logical
+  override def description(): String =
+    (tag + " " + inner.description()).trim
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = inner match {
+    case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+      s.estimateStatistics()
+    case _ => new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
+  override def toBatch: org.apache.spark.sql.connector.read.Batch =
+    inner.toBatch
 }
 
 /** The armed tripwire behind [[TxScanBuilder]]'s `hasDvs`: planning

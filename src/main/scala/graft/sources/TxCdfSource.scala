@@ -188,6 +188,19 @@ private[graft] class TxCdfStream(tableSchema: StructType, dir: String,
   private def servesAdds(v: Long, op: String): Boolean =
     v == 1L || op == "append" || op == "create"
 
+  /** Files spell renamed columns by their PHYSICAL names
+    * ([[TxTable.Manifest]] columnMapping) — stable across the whole
+    * history, so one translation of the stream's pinned logical schema
+    * serves every version's reads; rows bind positionally to the
+    * declared logical readSchema (a rename never moves or retypes a
+    * column). Read once: a mid-stream rename changes no file bytes. */
+  private lazy val physSchema: StructType =
+    TxTable.latestVersion(dir) match {
+      case Some(v) => TxTable.physicalSchema(tableSchema,
+        TxTable.readManifest(Paths.get(dir), v).columnMapping)
+      case None => tableSchema
+    }
+
   override def planInputPartitions(start: Offset,
                                    end: Offset): Array[InputPartition] = {
     val vs = start.asInstanceOf[TxCdfOffset].v
@@ -216,7 +229,7 @@ private[graft] class TxCdfStream(tableSchema: StructType, dir: String,
             }
           val scan = ParquetTable(s"txcdf $dir v$v", SparkSession.active,
             opts, added.map(f => root.resolve(f).toString).toList,
-            Some(tableSchema), classOf[ParquetFileFormat])
+            Some(physSchema), classOf[ParquetFileFormat])
             .newScanBuilder(opts).build()
           val batch = scan.toBatch
           val factory = batch.createReaderFactory()
@@ -227,11 +240,12 @@ private[graft] class TxCdfStream(tableSchema: StructType, dir: String,
         }
       } else if (m.op == "compact" || m.op == "zorder" ||
           m.op == "constraint" || m.op == "evolve" ||
-          m.op == "property" || m.op == "purge" || skipChangeCommits) {
+          m.op == "property" || m.op == "purge" || m.op == "rename" ||
+          skipChangeCommits) {
         // compaction and z-order re-copy rows they do not change, and a
-        // constraint registration or metadata-only schema evolution
-        // adds no files at all — never changes; other rewrites skip
-        // only under the opt-in
+        // constraint registration, metadata-only schema evolution, or
+        // column rename adds no files at all — never changes; other
+        // rewrites skip only under the opt-in
       } else {
         throw new IllegalStateException(
           s"graft-txcdf: version $v of $dir is a '${m.op}' commit that " +

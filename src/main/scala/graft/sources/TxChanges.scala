@@ -54,15 +54,22 @@ object TxChanges {
       .map(v => v -> TxTable.readManifest(root, v)).toMap
     val schema = DataType.fromJson(manifests(toV).schemaJson)
       .asInstanceOf[StructType]
-    val partCols = manifests(toV).partitionColumns
+    // served in toV's schema AND column mapping: physical file names
+    // never change across renames, so older versions' files read
+    // correctly under the newest mapping
+    val mapping = manifests(toV).columnMapping
 
     def tagged(df: DataFrame, tpe: String, v: Long): DataFrame =
       df.withColumn(ChangeTypeCol, functions.lit(tpe))
         .withColumn(CommitVersionCol, functions.lit(v))
 
-    def read(fs: Seq[String], dvDirs: Seq[String]): DataFrame =
+    /** `partCols` is the layout of the MANIFEST the files belong to —
+      * a range spanning a partition relayout must parse each version's
+      * files under that version's own layout, never toV's. */
+    def read(fs: Seq[String], dvDirs: Seq[String],
+             partCols: Seq[String]): DataFrame =
       TxTable.readSnapshotFiles(spark, tableDir, schema, partCols, fs,
-        dvDirs)
+        dvDirs, mapping = mapping)
 
     /** Files among `fs` that any of `dvDirs`' tombstones reference. */
     def bearing(fs: Seq[String], dvDirs: Seq[String]): Seq[String] = {
@@ -79,7 +86,7 @@ object TxChanges {
                        newDvs: Seq[String]): DataFrame = {
       val rows = TxTable.readSnapshotFiles(spark, tableDir, schema,
         prev.partitionColumns, bearing(prev.files, newDvs), prev.dvDirs,
-        dvMeta = true)
+        dvMeta = true, mapping = mapping)
       val dv = TxTable.readDvFrame(spark, root, newDvs)
       rows.join(dv,
           rows(TxTable.DvFileCol) === dv("file") &&
@@ -98,28 +105,33 @@ object TxChanges {
         dvChanged.size == newDvs.size
       cur.op match {
         case "compact" | "zorder" | "purge" | "constraint" |
-             "property" | "evolve" =>
+             "property" | "evolve" | "rename" =>
           Nil // bytes move or metadata shifts, rows don't
         case "append" | "create" =>
           if (added.isEmpty) Nil
-          else Seq(tagged(read(added, Nil), "insert", v))
+          else Seq(tagged(read(added, Nil, cur.partitionColumns),
+            "insert", v))
         case "delete" if morShape && added.isEmpty =>
           Seq(tagged(tombstonedRows(prev, newDvs), "delete", v))
         case "update" if morShape =>
           Seq(tagged(tombstonedRows(prev, newDvs), "update_preimage", v),
-            tagged(read(added, Nil), "update_postimage", v))
+            tagged(read(added, Nil, cur.partitionColumns),
+              "update_postimage", v))
         case "merge" if morShape =>
           Seq(tagged(tombstonedRows(prev, newDvs), "delete", v),
-            tagged(read(added, Nil), "insert", v))
+            tagged(read(added, Nil, cur.partitionColumns), "insert", v))
         case op =>
           // generic copy-on-write arm: compare only what changed —
           // swapped files plus carried files whose tombstone set
           // changed — each side under its own version's tombstones
+          // AND its own partition layout (an overwrite may relayout)
           val dFiles =
             if (dvChanged.isEmpty) Nil
             else bearing(prev.files.filter(curSet), dvChanged)
-          val before = read(removed ++ dFiles, prev.dvDirs)
-          val after = read(added ++ dFiles, cur.dvDirs)
+          val before =
+            read(removed ++ dFiles, prev.dvDirs, prev.partitionColumns)
+          val after =
+            read(added ++ dFiles, cur.dvDirs, cur.partitionColumns)
           val (preT, postT) =
             if (op == "update") ("update_preimage", "update_postimage")
             else ("delete", "insert")
@@ -134,11 +146,13 @@ object TxChanges {
         // everything in a fresh table is an insert (and v1 cannot
         // carry tombstones — nothing preceded it to delete from)
         if (cur.files.isEmpty) Nil
-        else Seq(tagged(read(cur.files, cur.dvDirs), "insert", v))
+        else Seq(tagged(read(cur.files, cur.dvDirs,
+          cur.partitionColumns), "insert", v))
       } else changesAt(v, manifests(v - 1), cur)
     }
     if (parts.isEmpty)
-      tagged(read(Nil, Nil), "insert", toV).limit(0)
+      tagged(read(Nil, Nil, manifests(toV).partitionColumns),
+        "insert", toV).limit(0)
     else parts.reduce(_ unionByName _)
   }
 }

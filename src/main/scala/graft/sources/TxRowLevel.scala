@@ -166,13 +166,17 @@ private[graft] object TxRowLevel {
     * nothing — sound, just less sharp. */
   private[sources] def partitionFiles(m: TxTable.Manifest, schema: StructType,
                              filters: Seq[org.apache.spark.sql.sources.Filter])
-      : (Seq[String], Seq[String]) =
+      : (Seq[String], Seq[String]) = {
+    // filters carry LOGICAL names; stats/blooms key by physical —
+    // consume through the logical view (survives RENAME COLUMN)
+    val (lst, lbl) = (TxTable.logicalStats(m), TxTable.logicalBlooms(m))
     m.files.partition { f =>
-      val st = m.stats.getOrElse(f, Map.empty[String, TxStats.ColStat])
-      val bl = m.blooms.getOrElse(f, Map.empty[String, TxStats.FileBloom])
+      val st = lst.getOrElse(f, Map.empty[String, TxStats.ColStat])
+      val bl = lbl.getOrElse(f, Map.empty[String, TxStats.FileBloom])
       !filters.exists(fl =>
         TxStats.excludes(st, schema, fl) || TxStats.bloomExcludes(bl, fl))
     }
+  }
 
   /** First-match-wins clause chain: WHEN cond₁ → act₁ ELSE WHEN cond₂ →
     * act₂ … ELSE default — the ANSI clause-order contract as one nested
@@ -258,7 +262,8 @@ private[graft] final case class TxUpdateCommand(
     if (m.properties.get(TxTable.DvProperty).contains("true")) {
       val root = java.nio.file.Paths.get(tableDir)
       val matched = TxTable.readSnapshotFiles(spark, tableDir, schema,
-          m.partitionColumns, touched, m.dvDirs, dvMeta = true)
+          m.partitionColumns, touched, m.dvDirs, dvMeta = true,
+          mapping = m.columnMapping)
         .filter(cond)
       val dvRel = TxTable.writeDvSidecar(spark, root, matched, "UPDATE")
         match {
@@ -281,7 +286,8 @@ private[graft] final case class TxUpdateCommand(
       return Seq.empty
     }
     val rewritten = TxTable.readSnapshotFiles(spark, tableDir, schema,
-        m.partitionColumns, touched, m.dvDirs)
+        m.partitionColumns, touched, m.dvDirs,
+        mapping = m.columnMapping)
       .select(schema.fields.toSeq.map { f =>
         assignedValue(assignments, f, tgt, fallback = col(f.name), bind)
           match {
@@ -387,7 +393,7 @@ private[graft] final case class TxMergeCommand(
     // partition values on a partitioned table).
     val tgtDf = TxTable.readSnapshotFiles(spark, tableDir, schema,
       m.partitionColumns, joinTargetFiles, m.dvDirs, tidCol = Some(Tid),
-      dvMeta = morEnabled)
+      dvMeta = morEnabled, mapping = m.columnMapping)
     val onCond = coalesce(bind(mergeCondition), lit(false))
     val joined = graft.ext.TrackedCache.persistTracked(
       tgtDf.join(srcDf.withColumn(SMark, lit(true)), onCond, "full_outer"))

@@ -183,6 +183,17 @@ object TxTable {
     * (it can never match); [[purgeDeletes]] is the hygiene pass.
     * `properties`: table configuration (`tx.*` keys), carried forward
     * by every commit like constraints. */
+  /** `columnMapping`: LOGICAL column name → PHYSICAL column name (the
+    * name actually written in parquet file bytes, stats keys, and bloom
+    * keys), with identity entries omitted — empty means every column's
+    * physical name is its logical name. This is the column-id-mapping
+    * idea behind Delta/Iceberg RENAME COLUMN: [[renameColumn]] is a
+    * pure metadata commit that changes the LOGICAL schema and records
+    * where the bytes still live; files never rewrite, stats and blooms
+    * keep their physical keys (skipping survives the rename through
+    * [[logicalStats]]/[[logicalBlooms]]), old versions time-travel
+    * under their own names, and every reader/writer translates at the
+    * plan boundary ([[physicalSchema]]/[[toPhysical]]). */
   final case class Manifest(version: Long, op: String, schemaJson: String,
                             files: Seq[String],
                             txns: Map[String, Long] = Map.empty,
@@ -193,7 +204,8 @@ object TxTable {
                             partitionColumns: Seq[String] = Nil,
                             constraints: Map[String, String] = Map.empty,
                             dvDirs: Seq[String] = Nil,
-                            properties: Map[String, String] = Map.empty)
+                            properties: Map[String, String] = Map.empty,
+                            columnMapping: Map[String, String] = Map.empty)
 
   /** Commit `df` as the next version. `mode` is "overwrite" (the new
     * version is exactly this frame) or "append" (this frame plus the
@@ -313,11 +325,18 @@ object TxTable {
       prev.map(_.constraints).getOrElse(Map.empty) ++ constraints
     enforceConstraints(df2, effConstraints,
       s"the $mode commit to $tableDir")
+    // appends inherit the table's column mapping (staging renames
+    // logical → physical so new files agree with old bytes); an
+    // overwrite defines a fresh snapshot — identity mapping
+    val effMapping: Map[String, String] =
+      if (mode == "append") prev.map(_.columnMapping).getOrElse(Map.empty)
+      else Map.empty
     // the write→list→stats block is the SHARED staging phase — one
     // implementation serves direct commits and atomic CTAS/RTAS
+    val dfPhys = toPhysical(df2, effMapping)
     val staged =
-      if (effParts.isEmpty) stageData(df2, tableDir)
-      else stageDataPartitioned(df2, tableDir, effParts)
+      if (effParts.isEmpty) stageData(dfPhys, tableDir)
+      else stageDataPartitioned(dfPhys, tableDir, effParts)
     val carried =
       if (mode == "append") prev.map(_.files).getOrElse(Seq.empty)
       else Seq.empty
@@ -354,7 +373,8 @@ object TxTable {
           .getOrElse(Map.empty)
       else Map.empty[String, Map[String, TxStats.FileBloom]]
     val newBlooms = TxStats.buildFileBlooms(df2.sparkSession,
-      root.resolve(staged.dataRel), staged.files, df2.schema, bloomColumns)
+      root.resolve(staged.dataRel), staged.files, dfPhys.schema,
+      bloomColumns.map(c => physicalName(effMapping, c)))
     // deletion vectors: an append must carry the snapshot's tombstones
     // (dropping them would RESURRECT deleted rows); an overwrite
     // replaces every row, so none survive. Table properties are
@@ -367,7 +387,7 @@ object TxTable {
       prev.map(_.txns).getOrElse(Map.empty) ++ txn,
       carriedStats ++ staged.stats,
       carriedBlooms ++ newBlooms, effParts, effConstraints,
-      carriedDvs, effProps)
+      carriedDvs, effProps, effMapping)
     if (mode == "append" && requireVersion.isEmpty)
       // A blind append that loses the race AUTO-REBASES onto the new
       // head and retries (Delta/Iceberg conflict resolution): the
@@ -377,7 +397,7 @@ object TxTable {
       // compaction/zorder/vacuum maintain the same table.
       publishRebasing(root, manifest,
         rebaseAppend(committedSchema, effParts, effConstraints, effProps,
-          staged.files, staged.stats, newBlooms, txn,
+          effMapping, staged.files, staged.stats, newBlooms, txn,
           opLabel.getOrElse(mode)),
         primitive, () => discardStaged(tableDir, Seq(staged)))
     else {
@@ -617,18 +637,22 @@ object TxTable {
     }
     val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
     if (m.files.isEmpty) return v
+    val (lst, lbl) = (logicalStats(m), logicalBlooms(m))
     val (scoped, untouched) =
       if (scope.isEmpty) (m.files, Seq.empty[String])
       else m.files.partition { f =>
-        val st = m.stats.getOrElse(f, Map.empty[String, TxStats.ColStat])
-        val bl = m.blooms.getOrElse(f, Map.empty[String, TxStats.FileBloom])
+        val st = lst.getOrElse(f, Map.empty[String, TxStats.ColStat])
+        val bl = lbl.getOrElse(f, Map.empty[String, TxStats.FileBloom])
         !scope.exists(fl =>
           TxStats.excludes(st, schema, fl) || TxStats.bloomExcludes(bl, fl))
       }
     if (scoped.isEmpty) return v // nothing in scope: version-free no-op
     val partSet = m.partitionColumns.toSet
-    val dataSchema =
-      StructType(schema.fields.filterNot(f => partSet(f.name)))
+    // compaction is a RAW byte move: it reads and rewrites files under
+    // their PHYSICAL column names, never relabeling
+    val dataSchema = physicalSchema(
+      StructType(schema.fields.filterNot(f => partSet(f.name))),
+      m.columnMapping)
     // the partition-dir portion of a file's rel path
     // (data/<uuid>/[col=v/...]file): what the planner groups by — a
     // compaction group never crosses partition values, which is also
@@ -684,7 +708,7 @@ object TxTable {
     // files for every column any pre-compaction file bloomed
     val bloomCols = m.blooms.values.flatMap(_.keys).toSet.toSeq.sorted
     val compactBlooms = TxStats.buildFileBlooms(spark, dataDir, newFiles,
-      schema, bloomCols)
+      physicalSchema(schema, m.columnMapping), bloomCols)
     // op "compact", not "overwrite": the semantics ARE overwrite (the
     // new version is exactly these files), but downstream consumers —
     // the CDF stream above all — must be able to tell "bytes moved,
@@ -695,7 +719,7 @@ object TxTable {
     val manifest = Manifest(v + 1, "compact", m.schemaJson,
       untouched ++ newFiles, m.txns, keptStats ++ compactStats,
       keptBlooms ++ compactBlooms, m.partitionColumns,
-      m.constraints, Nil, m.properties)
+      m.constraints, Nil, m.properties, m.columnMapping)
     // bytes moved, rows unchanged: a lost race rebases onto the new head
     // as long as no winner touched a consumed file ([[rebaseRewrite]]) —
     // so compaction and a streaming append can maintain one table
@@ -785,18 +809,20 @@ object TxTable {
       .repartitionByRange(numFiles, rangeKey: _*)
       .sortWithinPartitions(rangeKey: _*)
       .select(cols: _*)
+    val zPhys = toPhysical(zsorted, m.columnMapping)
     val staged =
-      if (m.partitionColumns.isEmpty) stageData(zsorted, tableDir)
-      else stageDataPartitioned(zsorted, tableDir, m.partitionColumns)
+      if (m.partitionColumns.isEmpty) stageData(zPhys, tableDir)
+      else stageDataPartitioned(zPhys, tableDir, m.partitionColumns)
     val bloomCols = m.blooms.values.flatMap(_.keys).toSet.toSeq.sorted
     val newBlooms = TxStats.buildFileBlooms(spark,
-      root.resolve(staged.dataRel), staged.files, schema, bloomCols)
+      root.resolve(staged.dataRel), staged.files,
+      physicalSchema(schema, m.columnMapping), bloomCols)
     // full rewrite through the DV-aware readVersion: tombstoned rows
     // were never read, so the new layout has MATERIALIZED the deletes
     // and carries no deletion vectors
     val manifest = Manifest(v + 1, "zorder", m.schemaJson, staged.files,
       m.txns, staged.stats, newBlooms, m.partitionColumns,
-      m.constraints, Nil, m.properties)
+      m.constraints, Nil, m.properties, m.columnMapping)
     // same byte-moving reconciliation as [[compact]]: the rewrite
     // consumed EVERY base file, so a lost race keeps only the winners'
     // new files alongside the z-ordered output
@@ -995,7 +1021,7 @@ object TxTable {
     * state an append always carries forward, changed or not. */
   private def rebaseAppend(schema: StructType, partCols: Seq[String],
       constraints: Map[String, String], properties: Map[String, String],
-      newFiles: Seq[String],
+      mapping: Map[String, String], newFiles: Seq[String],
       newStats: Map[String, Map[String, TxStats.ColStat]],
       newBlooms: Map[String, Map[String, TxStats.FileBloom]],
       txn: Option[(String, Long)], op: String)(head: Manifest)
@@ -1015,10 +1041,13 @@ object TxTable {
         "were not validated against the new set")
     else if (head.properties != properties)
       Left("table properties changed concurrently")
+    else if (head.columnMapping != mapping)
+      Left("the column mapping changed concurrently — the staged files " +
+        "spell a renamed column by the wrong physical name")
     else Right(Manifest(head.version + 1, op, head.schemaJson,
       head.files ++ newFiles, head.txns ++ txn, head.stats ++ newStats,
       head.blooms ++ newBlooms, head.partitionColumns, head.constraints,
-      head.dvDirs, head.properties))
+      head.dvDirs, head.properties, head.columnMapping))
   }
 
   /** Rebase recipe for a BYTE-MOVING rewrite (compact / zorder / purge)
@@ -1054,6 +1083,9 @@ object TxTable {
     else if (head.dvDirs != base.dvDirs)
       Left("deletion vectors changed concurrently — replaying this " +
         s"$op would resurrect freshly deleted rows")
+    else if (head.columnMapping != base.columnMapping)
+      Left("the column mapping changed concurrently — the rewritten " +
+        "files spell a renamed column by the wrong physical name")
     else {
       val headSet = head.files.toSet
       val missing = consumed.filterNot(headSet)
@@ -1069,7 +1101,7 @@ object TxTable {
           head.stats.view.filterKeys(keptSet).toMap ++ newStats,
           head.blooms.view.filterKeys(keptSet).toMap ++ newBlooms,
           base.partitionColumns, base.constraints, dvDirsOut,
-          base.properties))
+          base.properties, base.columnMapping))
       }
     }
   }
@@ -1115,9 +1147,12 @@ object TxTable {
       .reduceOption(_ && _).getOrElse(functions.lit(true))
     // a file is untouched when ANY conjunct provably excludes all its
     // rows (the TxScanBuilder skip rule applied to the DELETE predicate)
+    // — stats/blooms consumed through the LOGICAL view (filters carry
+    // logical names; keys are physical after a rename)
+    val (lst, lbl) = (logicalStats(m), logicalBlooms(m))
     val (touched, untouched) = m.files.partition { f =>
-      val st = m.stats.getOrElse(f, Map.empty[String, TxStats.ColStat])
-      val bl = m.blooms.getOrElse(f, Map.empty[String, TxStats.FileBloom])
+      val st = lst.getOrElse(f, Map.empty[String, TxStats.ColStat])
+      val bl = lbl.getOrElse(f, Map.empty[String, TxStats.FileBloom])
       !filters.exists(fl =>
         TxStats.excludes(st, schema, fl) || TxStats.bloomExcludes(bl, fl))
     }
@@ -1129,7 +1164,7 @@ object TxTable {
     // an already-DV-bearing file cannot resurrect its deleted rows.
     val survivors =
       readSnapshotFiles(spark, tableDir, schema, m.partitionColumns,
-        touched, m.dvDirs)
+        touched, m.dvDirs, mapping = m.columnMapping)
       .filter(!functions.coalesce(cond, functions.lit(false)))
     replaceFiles(spark, tableDir, m, untouched, survivors, "delete",
       primitive)
@@ -1175,16 +1210,17 @@ object TxTable {
         throw new UnsupportedOperationException(
           s"DELETE condition not expressible as a source filter: $f")))
       .reduceOption(_ && _).getOrElse(functions.lit(true))
+    val (lst, lbl) = (logicalStats(m), logicalBlooms(m))
     val candidates = m.files.filter { f =>
-      val st = m.stats.getOrElse(f, Map.empty[String, TxStats.ColStat])
-      val bl = m.blooms.getOrElse(f, Map.empty[String, TxStats.FileBloom])
+      val st = lst.getOrElse(f, Map.empty[String, TxStats.ColStat])
+      val bl = lbl.getOrElse(f, Map.empty[String, TxStats.FileBloom])
       !filters.exists(fl =>
         TxStats.excludes(st, schema, fl) || TxStats.bloomExcludes(bl, fl))
     }
     if (candidates.isEmpty) return v
     val matched =
       readSnapshotFiles(spark, tableDir, schema, m.partitionColumns,
-        candidates, m.dvDirs, dvMeta = true)
+        candidates, m.dvDirs, dvMeta = true, mapping = m.columnMapping)
       .filter(functions.coalesce(cond, functions.lit(false)))
     val dvRel = writeDvSidecar(spark, root, matched, "DELETE") match {
       case None => return v // matched nothing: version-free no-op
@@ -1192,7 +1228,7 @@ object TxTable {
     }
     val manifest = Manifest(v + 1, "delete", m.schemaJson, m.files,
       m.txns, m.stats, m.blooms, m.partitionColumns, m.constraints,
-      m.dvDirs :+ dvRel, m.properties)
+      m.dvDirs :+ dvRel, m.properties, m.columnMapping)
     try publish(root, manifest, primitive)
     catch {
       case e: java.nio.file.FileAlreadyExistsException =>
@@ -1253,7 +1289,7 @@ object TxTable {
     val (touched, untouched) = m.files.partition(e =>
       dvFiles.contains(e) || dvFiles.exists(_.startsWith(e + "/")))
     val survivors = readSnapshotFiles(spark, tableDir, schema,
-      m.partitionColumns, touched, m.dvDirs)
+      m.partitionColumns, touched, m.dvDirs, mapping = m.columnMapping)
     replaceFiles(spark, tableDir, m, untouched, survivors, "purge",
       primitive, dvDirs = Some(Nil), rebaseConsumed = Some(touched))
   }
@@ -1295,21 +1331,26 @@ object TxTable {
     enforceConstraints(newData, base.constraints,
       s"the $op rewrite of $tableDir")
     // a partitioned table's rewritten rows re-stage through the hive
-    // layout so their partition values stay in paths + stats
+    // layout so their partition values stay in paths + stats; staging
+    // renames logical → physical so every file of the table agrees on
+    // byte-level names across rename history
+    val physData = toPhysical(newData, base.columnMapping)
     val staged =
-      if (base.partitionColumns.isEmpty) stageData(newData, tableDir)
-      else stageDataPartitioned(newData, tableDir, base.partitionColumns)
+      if (base.partitionColumns.isEmpty) stageData(physData, tableDir)
+      else stageDataPartitioned(physData, tableDir, base.partitionColumns)
     val untouchedSet = untouched.toSet
     val keptStats = base.stats.view.filterKeys(untouchedSet).toMap
     val keptBlooms = base.blooms.view.filterKeys(untouchedSet).toMap
     val bloomCols = base.blooms.values.flatMap(_.keys)
       .toSeq.distinct.sorted
     val newBlooms = TxStats.buildFileBlooms(spark,
-      root.resolve(staged.dataRel), staged.files, schema, bloomCols)
+      root.resolve(staged.dataRel), staged.files,
+      physicalSchema(schema, base.columnMapping), bloomCols)
     val manifest = Manifest(base.version + 1, op, base.schemaJson,
       untouched ++ staged.files, base.txns,
       keptStats ++ staged.stats, keptBlooms ++ newBlooms,
-      base.partitionColumns, base.constraints, dvDirsOut, base.properties)
+      base.partitionColumns, base.constraints, dvDirsOut,
+      base.properties, base.columnMapping)
     rebaseConsumed match {
       case Some(consumed) =>
         publishRebasing(root, manifest,
@@ -1352,7 +1393,7 @@ object TxTable {
     val head = readManifest(root, latest)
     val manifest = Manifest(latest + 1, "restore", m.schemaJson, m.files,
       head.txns, m.stats, m.blooms, m.partitionColumns, m.constraints,
-      m.dvDirs, m.properties)
+      m.dvDirs, m.properties, m.columnMapping)
     publish(root, manifest, primitive)
     // Tripwire for the one race the ordering argument cannot close: a
     // vacuum running CONCURRENTLY may have snapshotted its live set
@@ -1392,7 +1433,7 @@ object TxTable {
     val m = readManifest(root, v)
     val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
     readSnapshotFiles(spark, tableDir, schema, m.partitionColumns,
-      m.files, m.dvDirs)
+      m.files, m.dvDirs, mapping = m.columnMapping)
   }
 
   /** SQL-standard CHECK enforcement: a row violates only when the
@@ -1468,7 +1509,7 @@ object TxTable {
         s"${m.properties.keys.toSeq.sorted.mkString(", ")})")
     val manifest = Manifest(v + 1, "property", m.schemaJson, m.files,
       m.txns, m.stats, m.blooms, m.partitionColumns, m.constraints,
-      m.dvDirs, m.properties -- unset ++ set)
+      m.dvDirs, m.properties -- unset ++ set, m.columnMapping)
     publish(root, manifest, primitive)
     v + 1
   }
@@ -1503,7 +1544,8 @@ object TxTable {
           "(a constraint must hold before it is promised)")
     val manifest = Manifest(v + 1, "constraint", m.schemaJson, m.files,
       m.txns, m.stats, m.blooms, m.partitionColumns,
-      m.constraints -- drop ++ add, m.dvDirs, m.properties)
+      m.constraints -- drop ++ add, m.dvDirs, m.properties,
+      m.columnMapping)
     publish(root, manifest, primitive)
     v + 1
   }
@@ -1576,17 +1618,137 @@ object TxTable {
         }
       }
     }
+    // stats/blooms key by PHYSICAL name: scrub the dropped columns'
+    // physical spellings, and retire their mapping entries
+    val dropPhysSet = schema.fields
+      .filter(f => dropSet(f.name.toLowerCase))
+      .map(f => physicalName(m.columnMapping, f.name).toLowerCase).toSet
+    val mapping2 = m.columnMapping
+      .filterNot { case (l, _) => dropSet(l.toLowerCase) }
     val (stats2, blooms2) =
       if (drop.isEmpty) (m.stats, m.blooms)
       else (
         m.stats.view.mapValues(
-          _.filterNot { case (c, _) => dropSet(c.toLowerCase) }).toMap,
+          _.filterNot { case (c, _) => dropPhysSet(c.toLowerCase) }).toMap,
         m.blooms.view.mapValues(
-          _.filterNot { case (c, _) => dropSet(c.toLowerCase) }).toMap
+          _.filterNot { case (c, _) => dropPhysSet(c.toLowerCase) }).toMap
           .filter(_._2.nonEmpty))
     val manifest = Manifest(v + 1, "evolve", newSchema.json, m.files,
       m.txns, stats2, blooms2, m.partitionColumns, m.constraints,
-      m.dvDirs, m.properties)
+      m.dvDirs, m.properties, mapping2)
+    publish(root, manifest, primitive)
+    v + 1
+  }
+
+  // ------------------------------------ column mapping (RENAME COLUMN)
+
+  /** The physical (file-byte) name of logical column `c` under
+    * `mapping` — identity when never renamed. */
+  private[graft] def physicalName(mapping: Map[String, String],
+                                  c: String): String =
+    mapping.getOrElse(c, c)
+
+  /** The schema as parquet files spell it: every field renamed to its
+    * physical name (types, nullability, order unchanged — a rename is
+    * a pure relabeling, which is what makes positional row binding
+    * between the two spellings sound). */
+  private[graft] def physicalSchema(schema: StructType,
+                                    mapping: Map[String, String]): StructType =
+    if (mapping.isEmpty) schema
+    else StructType(schema.fields.map(f =>
+      f.copy(name = mapping.getOrElse(f.name, f.name))))
+
+  /** Rename a logical-named frame to physical names for STAGING — what
+    * every writer does right before the parquet write, so all files of
+    * a table agree on byte-level names regardless of rename history. */
+  private[graft] def toPhysical(df: DataFrame,
+                                mapping: Map[String, String]): DataFrame =
+    if (mapping.isEmpty) df
+    else df.select(df.columns.toSeq.map(c =>
+      functions.col(c).as(mapping.getOrElse(c, c))): _*)
+
+  /** The manifest's per-file stats re-keyed by LOGICAL column name —
+    * what every skip decision consumes (filters carry logical names).
+    * Physical keys with no live logical counterpart (a dropped column's
+    * residue) simply disappear from the view — an unprunable column,
+    * the conservative default. NEVER persist this view: manifests carry
+    * physical keys. */
+  private[graft] def logicalStats(m: Manifest)
+      : Map[String, Map[String, TxStats.ColStat]] =
+    if (m.columnMapping.isEmpty) m.stats
+    else {
+      val rev = m.columnMapping.map(_.swap)
+      m.stats.view.mapValues(_.map { case (k, v) =>
+        rev.getOrElse(k, k) -> v }).toMap
+    }
+
+  /** [[logicalStats]] for the bloom layer. */
+  private[graft] def logicalBlooms(m: Manifest)
+      : Map[String, Map[String, TxStats.FileBloom]] =
+    if (m.columnMapping.isEmpty) m.blooms
+    else {
+      val rev = m.columnMapping.map(_.swap)
+      m.blooms.view.mapValues(_.map { case (k, v) =>
+        rev.getOrElse(k, k) -> v }).toMap
+    }
+
+  /** `ALTER TABLE … RENAME COLUMN` as ONE metadata version (op
+    * `rename`) — zero data movement, the column-id-mapping design
+    * Delta/Iceberg use: the logical schema changes, the manifest
+    * records where the bytes still live ([[Manifest.columnMapping]]),
+    * and nothing else moves. Stats and blooms keep their physical keys,
+    * so file skipping on the renamed column survives
+    * ([[logicalStats]]); historical versions keep their own names
+    * through time travel; future appends stage under the ORIGINAL
+    * physical name ([[toPhysical]]) so every file of the table agrees.
+    *
+    * Refusals: missing source, existing target (case-insensitive),
+    * partition columns (their name IS the directory layout — relayout
+    * with an overwrite), and renames that break a registered CHECK
+    * constraint (the constraint references the old name; withdraw it
+    * first, deliberately). */
+  def renameColumn(spark: SparkSession, tableDir: String,
+                   from: String, to: String,
+                   primitive: CommitPrimitive = PosixLinkPrimitive): Long = {
+    require(to.nonEmpty && !to.contains('$'),
+      s"illegal column name '$to'")
+    val root = Paths.get(tableDir)
+    val v = latestVersion(tableDir).getOrElse(
+      throw new IllegalStateException(
+        s"no committed version under $tableDir/$LogDir"))
+    val m = readManifest(root, v)
+    val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    require(schema.fieldNames.contains(from),
+      s"no column '$from' in ${schema.simpleString}")
+    require(!schema.fieldNames.exists(
+        n => n != from && n.equalsIgnoreCase(to)),
+      s"column '$to' already exists in ${schema.simpleString}")
+    require(from != to, "RENAME COLUMN to the same name is a no-op — " +
+      "refusing to commit an empty version")
+    require(!m.partitionColumns.contains(from),
+      s"cannot rename partition column '$from' — its name is the " +
+        "directory layout; relayout with an overwrite commit")
+    val newSchema = StructType(schema.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f))
+    if (m.constraints.nonEmpty) {
+      val probe = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], newSchema)
+      m.constraints.toSeq.sortBy(_._1).foreach { case (name, sql) =>
+        try probe.filter(functions.expr(sql)).queryExecution.analyzed: Unit
+        catch { case e: Exception => throw new IllegalArgumentException(
+          s"renaming '$from' would break CHECK constraint '$name' " +
+            s"($sql) — drop the constraint first", e)
+        }
+      }
+    }
+    // the bytes keep the column's ORIGINAL physical name; renaming back
+    // to it collapses to identity (entry omitted)
+    val phys = physicalName(m.columnMapping, from)
+    val base = m.columnMapping - from
+    val newMapping = if (to == phys) base else base + (to -> phys)
+    val manifest = Manifest(v + 1, "rename", newSchema.json, m.files,
+      m.txns, m.stats, m.blooms, m.partitionColumns, m.constraints,
+      m.dvDirs, m.properties, newMapping)
     publish(root, manifest, primitive)
     v + 1
   }
@@ -1637,13 +1799,20 @@ object TxTable {
   private[sources] def readSnapshotFiles(spark: SparkSession,
       tableDir: String, schema: StructType, partitionColumns: Seq[String],
       files: Seq[String], dvDirs: Seq[String],
-      tidCol: Option[String] = None, dvMeta: Boolean = false): DataFrame = {
+      tidCol: Option[String] = None, dvMeta: Boolean = false,
+      mapping: Map[String, String] = Map.empty): DataFrame = {
     val root = Paths.get(tableDir)
     val needDv = dvDirs.nonEmpty || dvMeta
     if (needDv) Seq(DvFileCol, DvPosCol).foreach(c => require(
       !schema.fieldNames.contains(c), s"table may not have a '$c' column"))
-    val outFields = schema.fieldNames.toSeq ++ tidCol.toSeq ++
-      (if (dvMeta) Seq(DvFileCol, DvPosCol) else Nil)
+    // files spell renamed columns by their PHYSICAL names: the scan
+    // reads physical, the final projection relabels to logical —
+    // positions and types identical, zero runtime cost
+    val outFields: Seq[org.apache.spark.sql.Column] =
+      schema.fieldNames.toSeq.map(n =>
+        functions.col(physicalName(mapping, n)).as(n)) ++
+      (tidCol.toSeq ++ (if (dvMeta) Seq(DvFileCol, DvPosCol) else Nil))
+        .map(functions.col)
     def withMeta(df: DataFrame): DataFrame = {
       val t = tidCol match {
         case None => df
@@ -1670,12 +1839,15 @@ object TxTable {
     def buildPart(fs: Seq[String], anti: Boolean): DataFrame = {
       val scan =
         if (partitionColumns.isEmpty)
-          withMeta(spark.read.schema(schema)
+          withMeta(spark.read.schema(physicalSchema(schema, mapping))
             .parquet(fs.map(f => root.resolve(f).toString): _*))
         else {
           val partSet = partitionColumns.toSet
-          val dataSchema =
-            StructType(schema.fields.filterNot(f => partSet(f.name)))
+          // partition columns are never renameable, so their physical
+          // names equal their logical ones — only data columns relabel
+          val dataSchema = physicalSchema(
+            StructType(schema.fields.filterNot(f => partSet(f.name))),
+            mapping)
           fs.groupBy(f => partitionColumns
               .map(c => partitionValuesFromPath(f, partSet).get(c)))
             .toSeq.sortBy(_._1.toString)
@@ -1692,7 +1864,7 @@ object TxTable {
             .reduce(_ unionByName _)
         }
       (if (anti) applyDv(scan) else scan)
-        .select(outFields.map(functions.col): _*)
+        .select(outFields: _*)
     }
     if (files.isEmpty) {
       val base = spark.createDataFrame(
@@ -1887,6 +2059,12 @@ object TxTable {
         pr.put(k, v): Unit
       }
     }
+    if (m.columnMapping.nonEmpty) {
+      val cm = node.putObject("columnMapping")
+      m.columnMapping.toSeq.sortBy(_._1).foreach { case (k, v) =>
+        cm.put(k, v): Unit
+      }
+    }
     primitive.publishExclusive(manifestPath(root, m.version),
       mapper.writeValueAsBytes(node))
   }
@@ -1938,9 +2116,12 @@ object TxTable {
     val props = Option(node.get("properties")).map { pr =>
       pr.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
     }.getOrElse(Map.empty[String, String])
+    val colMap = Option(node.get("columnMapping")).map { cm =>
+      cm.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    }.getOrElse(Map.empty[String, String])
     Manifest(node.get("version").asLong(), node.get("op").asText(),
       node.get("schema").asText(),
       node.get("files").elements().asScala.map(_.asText()).toSeq, txns,
-      stats, blooms, partitionColumns, constraints, dvDirs, props)
+      stats, blooms, partitionColumns, constraints, dvDirs, props, colMap)
   }
 }

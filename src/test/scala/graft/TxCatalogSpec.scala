@@ -257,12 +257,12 @@ class TxCatalogSpec extends SparkSpec {
       spark.sql("DROP TABLE txspec.db.t")
     }
     assert(e3.getMessage.contains("vacuum"))
-    // ADD/DROP COLUMN and check./tx. properties are supported arms now
-    // (TxEvolveSpec/TxConstraintSpec/TxDvSpec); everything else —
-    // rename needs column-id mapping — still refuses, with the table
-    // untouched
+    // ADD/DROP/RENAME COLUMN and check./tx. properties are supported
+    // arms now (TxEvolveSpec/TxConstraintSpec/TxDvSpec/TxRenameSpec);
+    // everything else — comments, type changes — still refuses, with
+    // the table untouched
     val e4 = intercept[Exception] {
-      spark.sql("ALTER TABLE txspec.db.t RENAME COLUMN s TO label")
+      spark.sql("ALTER TABLE txspec.db.t ALTER COLUMN s COMMENT 'x'")
     }
     assert(e4.getMessage.contains("ALTER TABLE") ||
       e4.getMessage.contains("TxTable.commit"))

@@ -139,10 +139,10 @@ class TxConstraintSpec extends SparkSpec {
     val ep = intercept[Exception](spark.sql(
       "ALTER TABLE txal.db.t SET TBLPROPERTIES ('retention' = '7d')"))
     assert(ep.getMessage.contains("check.<name>"))
-    // (ADD/DROP COLUMN is a supported arm now — TxEvolveSpec — so the
-    // unsupported-change probe is a rename, which needs id mapping)
+    // (ADD/DROP/RENAME COLUMN are supported arms now — TxEvolveSpec /
+    // TxRenameSpec — so the unsupported-change probe is a comment edit)
     val ec = intercept[Exception](spark.sql(
-      "ALTER TABLE txal.db.t RENAME COLUMN n TO m"))
+      "ALTER TABLE txal.db.t ALTER COLUMN n COMMENT 'docs'"))
     assert(ec.getMessage.contains("check.<name>"))
   }
 

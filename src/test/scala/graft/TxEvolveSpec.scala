@@ -133,7 +133,8 @@ class TxEvolveSpec extends SparkSpec {
       add = Seq(StructField("q", LongType)), drop = Seq("q")))
     // nothing landed: still v1
     assert(TxTable.latestVersion(tbl) == Some(1L))
-    // the SQL surface refuses positions, defaults, and renames
+    // the SQL surface refuses positions, defaults, and type changes
+    // (RENAME COLUMN is a supported arm now — TxRenameSpec)
     val wh = Files.createTempDirectory("txevolve-ref-").toString
     spark.conf.set("spark.sql.catalog.txrf", "graft.sources.TxCatalog")
     spark.conf.set("spark.sql.catalog.txrf.root", wh)
@@ -143,7 +144,7 @@ class TxEvolveSpec extends SparkSpec {
       "ALTER TABLE txrf.db.t ADD COLUMNS (x STRING AFTER id)"))
       .getMessage.contains("FIRST/AFTER"))
     intercept[Exception](spark.sql(
-      "ALTER TABLE txrf.db.t RENAME COLUMN s TO t"))
+      "ALTER TABLE txrf.db.t ALTER COLUMN s COMMENT 'nope'"))
     intercept[Exception](spark.sql(
       "ALTER TABLE txrf.db.t ALTER COLUMN id TYPE STRING"))
   }
