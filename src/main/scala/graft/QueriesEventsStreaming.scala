@@ -53,6 +53,19 @@ private[graft] object QueriesEventsStreaming {
       drainStream(s, "graft_stream_join", "append",
         graft.streaming.EventsStream.viewToClickJoin(eventsStream(s, dir)))
         .orderBy("user_id", "view_t", "click_t")),
+    // the LEFT-OUTER watermarked interval join — the attribution shape
+    // users actually run (views with no click). Unmatched rows emit
+    // only after the global watermark passes view_ts + gap
+    // (EventsStream.viewToClickJoinOuter scaladoc), so the certified
+    // set is all matched pairs plus the null rows of the
+    // watermark-finalized prefix; the oracle applies the identical
+    // cutoff (least(max view, max click) as the final watermark).
+    "stream_join_outer" -> ((s: SparkSession, dir: String) =>
+      drainStream(s, "graft_stream_join_outer", "append",
+        graft.streaming.EventsStream.viewToClickJoinOuter(
+          eventsStream(s, dir)))
+        .orderBy(col("user_id"), col("view_t"),
+          col("click_t").asc_nulls_first)),
     // the CUSTOM DataSource V2 micro-batch source (graft-dirtail,
     // sources/DirTailSource.scala): events re-shipped as immutable JSONL
     // files (ts as epoch micros — the kafkaEvents wire convention), tailed
@@ -853,6 +866,34 @@ private[graft] object QueriesEventsStreaming {
          |  ON v.user_id = c.user_id AND c.cts >= v.vts
          | AND c.cts <= v.vts + INTERVAL 5 MINUTE
          |ORDER BY v.user_id, view_t, click_t""".stripMargin),
+    // the outer drain adds to the inner join's pairs every view with NO
+    // admissible click whose null row the final watermark (least of the
+    // two sides' max event times, lateness 0) already released —
+    // view_ts + gap strictly below the watermark, the engine's
+    // state-eviction bound
+    "stream_join_outer" ->
+      ("""WITH v AS (SELECT user_id, ts AS vts FROM events
+         |           WHERE event_type = 'view'),
+         |     c AS (SELECT user_id AS cu, ts AS cts FROM events
+         |           WHERE event_type = 'click'),
+         |     w AS (SELECT least((SELECT max(vts) FROM v),
+         |                        (SELECT max(cts) FROM c)) AS wm)
+         |SELECT v.user_id,
+         |  strftime(v.vts, '%Y-%m-%d %H:%M:%S') AS view_t,
+         |  strftime(c.cts, '%Y-%m-%d %H:%M:%S') AS click_t
+         |FROM v JOIN c
+         |  ON c.cu = v.user_id AND c.cts >= v.vts
+         | AND c.cts <= v.vts + INTERVAL 5 MINUTE
+         |UNION ALL
+         |SELECT v.user_id,
+         |  strftime(v.vts, '%Y-%m-%d %H:%M:%S') AS view_t,
+         |  CAST(NULL AS VARCHAR) AS click_t
+         |FROM v, w
+         |WHERE v.vts + INTERVAL 5 MINUTE < w.wm
+         |  AND NOT EXISTS (SELECT 1 FROM c
+         |    WHERE c.cu = v.user_id AND c.cts >= v.vts
+         |      AND c.cts <= v.vts + INTERVAL 5 MINUTE)
+         |ORDER BY user_id, view_t, click_t NULLS FIRST""".stripMargin),
     // the streamed moment state finalizes to the identical statistics —
     // the agg_varstats oracle verbatim
     "stream_incragg" ->

@@ -105,6 +105,38 @@ object EventsStream {
         date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_t"))
   }
 
+  /** LEFT-OUTER variant of [[viewToClickJoin]] — the attribution shape
+    * users actually run: every view emits, with NULL click columns when
+    * no click landed in its window. Spark's watermarked outer interval
+    * join emits an unmatched view only once the GLOBAL watermark
+    * (min over both sides' event-time watermarks) passes `view_ts +
+    * gap` — before that a matching click could still arrive, so the
+    * null row would be premature. State stays bounded the same way the
+    * inner join's does (the watermark evicts), and matched pairs emit
+    * exactly as the inner join emits them. A finite drain therefore
+    * certifies matched pairs in full plus the null rows of the
+    * WATERMARK-FINALIZED prefix; views within `gap + lateness` of the
+    * stream's end are still legitimately pending when the drain stops
+    * (the oracle applies the identical cutoff). */
+  def viewToClickJoinOuter(events: DataFrame, gapMinutes: Int = 5,
+                           lateness: String = "0 seconds"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", lateness)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("__cu"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", lateness)
+    views.join(clicks,
+        col("user_id") === col("__cu") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") +
+          expr(s"INTERVAL $gapMinutes MINUTES"),
+        "left_outer")
+      .select(col("user_id"),
+        date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss").as("view_t"),
+        date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_t"))
+  }
+
   final case class Evt(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(nEvents: Long, start: Long, lastTs: Long)
   final case class SessionOut(user_id: Long, n_events: Long,

@@ -112,4 +112,42 @@ class EventsStreamSpec extends SparkSpec {
         (1L, "2024-01-01 10:00:00", "2024-01-01 10:04:00")))
     } finally q.stop()
   }
+
+  test("viewToClickJoinOuter: null rows emit ONLY after the watermark passes the bound") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val df = mem.toDF.toDF("ts", "user_id", "event_type")
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val q = EventsStream.viewToClickJoinOuter(df, gapMinutes = 5)
+      .writeStream.format("memory").queryName("vcjo")
+      .outputMode("append").start()
+    def rows() = spark.table("vcjo")
+      .orderBy(col("user_id"), col("view_t"),
+        col("click_t").asc_nulls_first)
+      .collect()
+      .map(x => (x.getLong(0), x.getString(1), Option(x.getString(2))))
+      .toSeq
+    try {
+      // u1's view matches; u2's view has NO click in its window
+      mem.addData((ts("2024-01-01 10:00:00"), 1L, "view"),
+        (ts("2024-01-01 10:03:00"), 1L, "click"),
+        (ts("2024-01-01 10:00:00"), 2L, "view"))
+      q.processAllAvailable()
+      // matched pair emits; the unmatched view is PENDING — the
+      // watermark (max event time, lateness 0) is 10:03, still inside
+      // u2's [10:00, 10:05] window, so emitting NULL now would be wrong
+      assert(rows() == Seq(
+        (1L, "2024-01-01 10:00:00", Some("2024-01-01 10:03:00"))))
+      // a later event pushes the watermark past the bound -> the null
+      // row releases (and the new view is itself pending)
+      mem.addData((ts("2024-01-01 10:30:00"), 3L, "view"),
+        (ts("2024-01-01 10:30:00"), 3L, "click"))
+      q.processAllAvailable()
+      assert(rows() == Seq(
+        (1L, "2024-01-01 10:00:00", Some("2024-01-01 10:03:00")),
+        (2L, "2024-01-01 10:00:00", None),
+        (3L, "2024-01-01 10:30:00", Some("2024-01-01 10:30:00"))))
+    } finally q.stop()
+  }
 }
