@@ -845,19 +845,7 @@ private[graft] final class TxScanBuilder(
       val outSchema = StructType(requiredData ++ requiredParts)
       def catalystValue(v: Option[String],
                         dt: org.apache.spark.sql.types.DataType): Any =
-        v match {
-          case None => null
-          case Some(s) => dt match {
-            case org.apache.spark.sql.types.StringType =>
-              org.apache.spark.unsafe.types.UTF8String.fromString(s)
-            case org.apache.spark.sql.types.LongType =>
-              java.lang.Long.valueOf(s)
-            case org.apache.spark.sql.types.IntegerType =>
-              java.lang.Integer.valueOf(s)
-            case other => throw new IllegalStateException(
-              s"unsupported partition type ${other.simpleString}")
-          }
-        }
+        TxTable.catalystPartitionValue(v, dt)
       // SupportsReportStatistics: without it a DSv2 scan defaults to
       // spark.sql.defaultSizeInBytes (effectively infinite), so a JOIN
       // against a small partitioned tx table would never broadcast —

@@ -217,26 +217,46 @@ private[graft] class TxCdfStream(tableSchema: StructType, dir: String,
       prevFiles = m.files.toSet
       if (servesAdds(v, m.op)) {
         if (added.nonEmpty) {
-          // partitioned tables carry column values in file paths —
-          // anchor hive-value discovery like the batch read does
-          val opts =
-            if (m.partitionColumns.isEmpty) options
-            else {
-              val m2 = new java.util.HashMap[String, String](
-                options.asCaseSensitiveMap())
-              m2.put("basePath", dir)
-              new CaseInsensitiveStringMap(m2)
-            }
-          val scan = ParquetTable(s"txcdf $dir v$v", SparkSession.active,
-            opts, added.map(f => root.resolve(f).toString).toList,
-            Some(physSchema), classOf[ParquetFileFormat])
-            .newScanBuilder(opts).build()
-          val batch = scan.toBatch
-          val factory = batch.createReaderFactory()
-          // the version tag rides the shared appended-constants wrapper
-          // (the same machinery the partitioned tx scan uses)
-          batch.planInputPartitions().foreach(p =>
-            parts += AppendedColsPartition(p, Array[Any](v), factory))
+          if (m.partitionColumns.isEmpty) {
+            val scan = ParquetTable(s"txcdf $dir v$v",
+              SparkSession.active, options,
+              added.map(f => root.resolve(f).toString).toList,
+              Some(physSchema), classOf[ParquetFileFormat])
+              .newScanBuilder(options).build()
+            val batch = scan.toBatch
+            val factory = batch.createReaderFactory()
+            // the version tag rides the shared appended-constants
+            // wrapper (the same machinery the partitioned tx scan uses)
+            batch.planInputPartitions().foreach(p =>
+              parts += AppendedColsPartition(p, Array[Any](v), factory))
+          } else {
+            // partitioned: the MANIFEST is the source of partition
+            // values, parsed with the SAME helper the batch scan uses
+            // (TxTable.partitionValuesFromPath) and appended per-row
+            // next to the version constant — never hive basePath
+            // discovery, whose separate value-derivation path could
+            // diverge on escaping/null-partition edge cases
+            val partSet = m.partitionColumns.toSet
+            val dataPhys = StructType(
+              physSchema.fields.filterNot(f => partSet(f.name)))
+            added.groupBy(f => m.partitionColumns.map(c =>
+                TxTable.partitionValuesFromPath(f, partSet).get(c)))
+              .toSeq.sortBy(_._1.toString)
+              .foreach { case (vals, fs) =>
+                val scan = ParquetTable(s"txcdf $dir v$v",
+                  SparkSession.active, options,
+                  fs.map(f => root.resolve(f).toString).toList,
+                  Some(dataPhys), classOf[ParquetFileFormat])
+                  .newScanBuilder(options).build()
+                val batch = scan.toBatch
+                val factory = batch.createReaderFactory()
+                val tail: Array[Any] = (m.partitionColumns.zip(vals)
+                  .map { case (c, v0) => TxTable.catalystPartitionValue(
+                    v0, tableSchema(c).dataType) } :+ (v: Any)).toArray
+                batch.planInputPartitions().foreach(p =>
+                  parts += AppendedColsPartition(p, tail, factory))
+              }
+          }
         }
       } else if (m.op == "compact" || m.op == "zorder" ||
           m.op == "constraint" || m.op == "evolve" ||

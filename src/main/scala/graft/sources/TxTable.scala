@@ -888,6 +888,25 @@ object TxTable {
     StagedData(dataRel, files, stats, df.schema.json)
   }
 
+  /** A path-parsed partition value as the Catalyst-internal value the
+    * reader-wrapper rows carry ([[AppendedColsPartition]]) — shared by
+    * the partitioned SQL scan and the CDF stream so the two
+    * value-derivation paths cannot diverge. */
+  private[sources] def catalystPartitionValue(v: Option[String],
+      dt: DataType): Any = v match {
+    case None => null
+    case Some(s) => dt match {
+      case org.apache.spark.sql.types.StringType =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      case org.apache.spark.sql.types.LongType =>
+        java.lang.Long.valueOf(s)
+      case org.apache.spark.sql.types.IntegerType =>
+        java.lang.Integer.valueOf(s)
+      case other => throw new IllegalStateException(
+        s"unsupported partition type ${other.simpleString}")
+    }
+  }
+
   /** Hive `col=value` segments of a file's relative path, unescaped;
     * null markers are omitted (no stat → never pruned). */
   private[sources] def partitionValuesFromPath(relPath: String,
