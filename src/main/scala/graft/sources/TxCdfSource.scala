@@ -201,6 +201,15 @@ private[graft] class TxCdfStream(tableSchema: StructType, dir: String,
       case None => tableSchema
     }
 
+  /** A widen commit is benign iff the stream's pinned schema already
+    * spells the widened types — true exactly when the stream started
+    * at-or-after the widen (inferSchema read the post-widen manifest). */
+  private def widenIsBenign(m: TxTable.Manifest): Boolean = {
+    val post = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    post.fields.map(f => (f.name, f.dataType)).toSeq ==
+      tableSchema.fields.map(f => (f.name, f.dataType)).toSeq
+  }
+
   override def planInputPartitions(start: Offset,
                                    end: Offset): Array[InputPartition] = {
     val vs = start.asInstanceOf[TxCdfOffset].v
@@ -258,10 +267,24 @@ private[graft] class TxCdfStream(tableSchema: StructType, dir: String,
               }
           }
         }
+      } else if (m.op == "widen" && !widenIsBenign(m)) {
+        // a widen adds no files, but every SUBSEQUENT append stages at
+        // the wider type and this stream's schema was pinned narrow at
+        // start — reading those files would fail (or worse). Delta's
+        // contract: fail the stream loudly; a restart re-infers the
+        // widened schema, under which every older narrow file promotes
+        // losslessly. A stream that STARTED at-or-after the widen
+        // already carries the wide schema and sails through.
+        throw new IllegalStateException(
+          s"graft-txcdf: version $v of $dir widened a column type, but " +
+            "this stream's schema was pinned before the widen — " +
+            "restart the stream (the checkpoint offset is still valid; " +
+            "the restarted stream infers the widened schema and reads " +
+            "older files through parquet's lossless promotion)")
       } else if (m.op == "compact" || m.op == "zorder" ||
           m.op == "constraint" || m.op == "evolve" ||
           m.op == "property" || m.op == "purge" || m.op == "rename" ||
-          skipChangeCommits) {
+          m.op == "widen" || skipChangeCommits) {
         // compaction and z-order re-copy rows they do not change, and a
         // constraint registration, metadata-only schema evolution, or
         // column rename adds no files at all — never changes; other

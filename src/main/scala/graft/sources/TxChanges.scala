@@ -105,7 +105,7 @@ object TxChanges {
         dvChanged.size == newDvs.size
       cur.op match {
         case "compact" | "zorder" | "purge" | "constraint" |
-             "property" | "evolve" | "rename" =>
+             "property" | "evolve" | "rename" | "widen" =>
           Nil // bytes move or metadata shifts, rows don't
         case "append" | "create" =>
           if (added.isEmpty) Nil

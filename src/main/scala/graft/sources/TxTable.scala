@@ -1772,6 +1772,89 @@ object TxTable {
     v + 1
   }
 
+  /** The widening lattice `ALTER COLUMN … TYPE` honors — the Iceberg
+    * spec's primitive promotions (byte/short/int up the integral chain,
+    * float→double), exactly the set parquet's vectorized reader
+    * promotes losslessly when the requested read schema is wider than
+    * the file's physical type. Everything else (narrowing, int→string,
+    * long→double's precision loss above 2^53) refuses. */
+  private val Widenings: Map[DataType, Set[DataType]] = Map(
+    org.apache.spark.sql.types.ByteType ->
+      Set(org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.ShortType ->
+      Set(org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.IntegerType ->
+      Set(org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.FloatType ->
+      Set(org.apache.spark.sql.types.DoubleType))
+
+  /** `ALTER TABLE … ALTER COLUMN <col> TYPE <wider>` as ONE metadata
+    * version (op `widen`) — zero data movement, the Iceberg/Delta
+    * type-widening design: the logical schema gets the wider type,
+    * files keep their narrow bytes, and every reader relies on
+    * parquet's lossless read-schema promotion (int32 read as long,
+    * float as double — [[readSnapshotFiles]] reads by explicit schema,
+    * so old and new files coexist in one scan). Future appends stage
+    * at the WIDE type; time travel keeps old versions at their own
+    * committed types.
+    *
+    * The one non-metadata subtlety is file-skipping stats: a float
+    * column's min/max strings were recorded via `Float.toString`, and
+    * re-parsing "0.1" as a DOUBLE yields a different real number than
+    * the promoted float rows actually hold — close enough to look
+    * right, wrong enough to skip a file whose rows equal the predicate
+    * exactly. The widen commit therefore rewrites that column's stat
+    * strings through the EXACT float→double promotion (`toFloat
+    * .toDouble` — `Float.toString` round-trips, so this is the precise
+    * min/max of the promoted values). Integral stats are decimal
+    * strings and re-parse exactly at any width. Blooms key by
+    * magnitude-truncated longs, identical before and after promotion —
+    * untouched.
+    *
+    * Refusals: missing column, partition columns (their values live in
+    * paths, parsed by declared type — relayout with an overwrite), and
+    * any transition outside [[Widenings]]. */
+  def widenColumn(spark: SparkSession, tableDir: String, col: String,
+                  newType: DataType,
+                  primitive: CommitPrimitive = PosixLinkPrimitive): Long = {
+    val root = Paths.get(tableDir)
+    val v = latestVersion(tableDir).getOrElse(
+      throw new IllegalStateException(
+        s"no committed version under $tableDir/$LogDir"))
+    val m = readManifest(root, v)
+    val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    require(schema.fieldNames.contains(col),
+      s"no column '$col' in ${schema.simpleString}")
+    require(!m.partitionColumns.contains(col),
+      s"cannot widen partition column '$col' — its values are parsed " +
+        "from paths by declared type; relayout with an overwrite commit")
+    val oldType = schema(col).dataType
+    require(Widenings.get(oldType).exists(_.contains(newType)),
+      s"cannot change column '$col' from ${oldType.simpleString} to " +
+        s"${newType.simpleString} — supported widenings: byte→short/" +
+        "int/long, short→int/long, int→long, float→double (lossless " +
+        "parquet read-schema promotions; anything else needs a rewrite)")
+    val newSchema = StructType(schema.fields.map(f =>
+      if (f.name == col) f.copy(dataType = newType) else f))
+    val phys = physicalName(m.columnMapping, col)
+    val stats2 =
+      if (oldType != org.apache.spark.sql.types.FloatType) m.stats
+      else m.stats.view.mapValues(_.map { case (k, cs) =>
+        if (k.equalsIgnoreCase(phys))
+          k -> TxStats.ColStat(cs.min.toFloat.toDouble.toString,
+            cs.max.toFloat.toDouble.toString)
+        else k -> cs
+      }).toMap
+    val manifest = Manifest(v + 1, "widen", newSchema.json, m.files,
+      m.txns, stats2, m.blooms, m.partitionColumns, m.constraints,
+      m.dvDirs, m.properties, m.columnMapping)
+    publish(root, manifest, primitive)
+    v + 1
+  }
+
   /** The one snapshot-file reader every consumer shares (readVersion,
     * DELETE's candidate read, UPDATE/MERGE's rewrite read): flat tables
     * read as plain parquet; partitioned tables read per value group

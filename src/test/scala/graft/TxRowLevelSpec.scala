@@ -221,20 +221,49 @@ class TxRowLevelSpec extends SparkSpec {
     import spark.implicits._
     mkLangTable("mrgevot")
     // source `n` is STRING where the table has BIGINT: the delta is an
-    // UpdateColumnType change, which alterTable refuses loudly —
-    // silently widening would corrupt every existing row
+    // UpdateColumnType change, which routes to widenColumn's lattice —
+    // bigint→string is no widening, so the statement refuses loudly
+    // (silently retyping would corrupt every existing row)
     Seq((3L, "x", "wide")).toDF("id", "lang", "n")
       .createOrReplaceTempView("mrgevot_src")
     val e = intercept[Exception](spark.sql(
       """MERGE WITH SCHEMA EVOLUTION INTO txrl.db.mrgevot t
         |USING mrgevot_src s ON t.id = s.id
         |WHEN MATCHED THEN UPDATE SET n = s.n""".stripMargin))
-    assert(e.getMessage.contains("ALTER TABLE") ||
+    assert(e.getMessage.contains("cannot change column") ||
       e.getMessage.contains("SCHEMA_EVOLUTION") ||
       e.getMessage.contains("cast"), e.getMessage)
     // nothing half-applied: schema unchanged
     assert(spark.table("txrl.db.mrgevot").schema.fieldNames.toSeq ==
       Seq("id", "lang", "n"))
+  }
+
+  test("MERGE evolution WIDENS a losslessly-widenable shared column") {
+    import spark.implicits._
+    // table n is INT; the source carries LONG — inside the widening
+    // lattice, so WITH SCHEMA EVOLUTION commits a metadata-only widen
+    // and the merge lands against the wide schema (the Delta
+    // type-widening-on-MERGE shape; the user opted into evolution)
+    val tbl = s"$warehouse/db/mrgevow"
+    TxTable.commit(
+      Seq((1L, "en", 5), (2L, "de", 7)).toDF("id", "lang", "n"),
+      tbl, "overwrite")
+    Seq((2L, "de", 5000000000L), (3L, "fr", 9L)).toDF("id", "lang", "n")
+      .createOrReplaceTempView("mrgevow_src")
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO txrl.db.mrgevow t
+        |USING mrgevow_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET n = s.n
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val dir = java.nio.file.Paths.get(tbl)
+    val head = TxTable.latestVersion(tbl).get
+    assert(TxTable.readManifest(dir, head).op == "merge")
+    assert(TxTable.readManifest(dir, head - 1).op == "widen")
+    val out = spark.sql("SELECT id, n FROM txrl.db.mrgevow ORDER BY id")
+    assert(out.schema("n").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(out.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 5L), (2L, 5000000000L), (3L, 9L)))
   }
 
   test("MERGE evolution REFUSES on a PARTITIONED table; explicit ALTER-then-MERGE works") {
