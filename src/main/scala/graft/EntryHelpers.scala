@@ -356,6 +356,42 @@ private[graft] object EntryHelpers {
       java.lang.Long.valueOf(v)
     }).longValue()
 
+  /** `ops_widen_sql` fixture: en+de slices committed with n_chars as
+    * INT (v1, v2), `ALTER TABLE … ALTER COLUMN n_chars TYPE BIGINT` as
+    * v3 (op `widen`, metadata-only — TxTable.widenColumn: files keep
+    * their int32 bytes, reads promote through the parquet read schema),
+    * then the fr slice INSERTed at v4 with values pushed past
+    * Int.MaxValue — only a genuinely widened table can hold them. The
+    * query's pruning probe runs a long-literal predicate over the
+    * mixed int/long file history. */
+  val txWidDone =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  def txWidenedVersion(s: SparkSession, dir: String, wh: String): Long =
+    txWidDone.computeIfAbsent(dir, _ => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val tbl = s"$wh/db/wid"
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "en")
+          .withColumn("n_chars", col("n_chars").cast("int")),
+        tbl, "overwrite")
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "de")
+          .withColumn("n_chars", col("n_chars").cast("int")),
+        tbl, "append")
+      s.sql("ALTER TABLE graft_tx.db.wid ALTER COLUMN n_chars TYPE BIGINT")
+      docs.filter(col("lang") === "fr")
+        .withColumn("n_chars", col("n_chars") + lit(3000000000L))
+        .createOrReplaceTempView("graft_wid_fr")
+      s.sql("INSERT INTO graft_tx.db.wid SELECT * FROM graft_wid_fr")
+      val v = graft.sources.TxTable.latestVersion(tbl).getOrElse(0L)
+      require(v == 4L, s"expected widen v3 + insert v4, got v$v")
+      val ops = graft.sources.TxTable.history(tbl).map(_._2)
+      require(ops == Seq("overwrite", "append", "widen", "append"),
+        s"unexpected op history: ${ops.mkString(", ")}")
+      java.lang.Long.valueOf(v)
+    }).longValue()
+
   /** `ops_merge_evolve` fixture: en+de accumulate (v1, v2), then one
     * `MERGE WITH SCHEMA EVOLUTION` whose source carries a NEW `score`
     * column — TxSqlTable's AUTOMATIC_SCHEMA_EVOLUTION capability routes
@@ -689,6 +725,46 @@ private[graft] object EntryHelpers {
       require(v == 2L, s"expected the partitioned fixture at v2, got v$v")
       java.lang.Long.valueOf(v)
     }).longValue()
+
+  /** `join_dpp` dim fixture: a tiny FILE-backed lang dimension next to
+    * the partitioned fact (`db.part`). File-backed matters: an
+    * in-memory LocalRelation folds its filter away before Catalyst's
+    * PartitionPruning rule runs, and DPP requires a selective Filter
+    * node on the dim side — the real fact-dim shape. Written once per
+    * warehouse. */
+  val dimDone =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def langDimDir(s: SparkSession, wh: String): String =
+    dimDone.computeIfAbsent(wh, _ => {
+      val d = s"$wh/dim_lang"
+      import s.implicits._
+      Seq(("en", "major"), ("de", "major"), ("fr", "minor"),
+        ("es", "minor")).toDF("lang", "tier")
+        .coalesce(1).write.mode("overwrite").parquet(d)
+      d
+    })
+
+  /** Collect the [[graft.sources.TxPartitionedScan]]s of an executed
+    * plan, descending through AQE query stages (QueryStageExec is
+    * leaf-like — plain collect stops at it). The gate's dynamic-pruning
+    * pins read the scans' plannedGroups/runtimePruned observability
+    * fields after execution. */
+  def txPartitionedScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[graft.sources.TxPartitionedScan] = {
+    val here = p match {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        Seq(b.scan).collect { case s: graft.sources.TxPartitionedScan => s }
+      case _ => Nil
+    }
+    val kids: Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        Seq(q.plan)
+      case other => other.children
+    }
+    here ++ kids.flatMap(txPartitionedScans)
+  }
 
   /** Documents with deterministic PII/URL decorations appended: the
     * synthetic corpus is clean, so the compliance queries (`text_pii`,

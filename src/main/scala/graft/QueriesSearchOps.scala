@@ -468,6 +468,39 @@ private[graft] object QueriesSearchOps {
         """SELECT doc_id, n_chars, lang FROM graft_tx.db.part
           |WHERE lang IN ('en', 'es') ORDER BY doc_id""".stripMargin)
     }),
+    // ----- DYNAMIC PARTITION PRUNING on the partitioned tx scan
+    // (TxPartitionedScan + SupportsRuntimeV2Filtering): the 100 TB
+    // fact-dim join shape — the dim filter's keys come back to the
+    // scan at runtime as V2 IN predicates and whole value groups drop
+    // BEFORE any parquet footer opens. The gate require-pins BOTH the
+    // injected dynamic subquery (plan string) and the pruning EFFECT
+    // (the executed scan planned only the matching groups) -----
+    "join_dpp" -> ((s: SparkSession, dir: String) => {
+      val wh = EntryHelpers.txCatalogWarehouse(s, dir)
+      s.conf.set("spark.sql.catalog.graft_tx", "graft.sources.TxCatalog")
+      s.conf.set("spark.sql.catalog.graft_tx.root", wh)
+      EntryHelpers.txPartitionedVersion(s, dir, wh): Unit
+      val dim = EntryHelpers.langDimDir(s, wh)
+      def q() = s.sql(
+        s"""SELECT f.lang, count(*) AS n, sum(f.n_chars) AS chars
+           |FROM graft_tx.db.part f
+           |JOIN parquet.`$dim` d ON f.lang = d.lang
+           |WHERE d.tier = 'major'
+           |GROUP BY f.lang ORDER BY f.lang""".stripMargin)
+      val probe = q()
+      probe.collect(): Unit
+      require(probe.queryExecution.executedPlan.toString
+          .toLowerCase.contains("dynamicpruning"),
+        "expected a dynamic pruning subquery on the partitioned tx scan")
+      val scans = EntryHelpers.txPartitionedScans(
+        probe.queryExecution.executedPlan)
+      require(scans.exists(sc =>
+          sc.plannedGroups == 2 && sc.runtimePruned > 0),
+        s"expected the scan to plan ONLY the 2 major-tier value groups " +
+          s"with files pruned, got " +
+          scans.map(sc => (sc.plannedGroups, sc.runtimePruned)).mkString(","))
+      q()
+    }),
     // ----- OPTIMIZE ZORDER as a real rewrite (TxTable.compactZOrder
     // scaladoc: Morton key as a scan-side codegen projection, one
     // sampled range shuffle clusters rows into 2-D tiles, fresh stats +
@@ -656,6 +689,41 @@ private[graft] object QueriesSearchOps {
           "physical-keyed stats")
       s.sql(
         """SELECT doc_id, language, n_chars FROM graft_tx.db.ren
+          |ORDER BY doc_id""".stripMargin)
+    }),
+    // ----- ALTER TABLE ALTER COLUMN TYPE (type widening): one
+    // metadata version (TxTable.widenColumn — files keep their int32
+    // bytes, reads promote through the parquet read schema), then an
+    // INSERT of values beyond Int.MaxValue that only the widened type
+    // can hold. The gate require-pins that a LONG-literal predicate
+    // still prunes the narrow pre-widen files through their
+    // int-recorded stats — the exactness contract of the widen -----
+    "ops_widen_sql" -> ((s: SparkSession, dir: String) => {
+      val wh = EntryHelpers.txCatalogWarehouse(s, dir)
+      s.conf.set("spark.sql.catalog.graft_tx", "graft.sources.TxCatalog")
+      s.conf.set("spark.sql.catalog.graft_tx.root", wh)
+      val v = EntryHelpers.txWidenedVersion(s, dir, wh)
+      val m = graft.sources.TxTable.readManifest(
+        java.nio.file.Paths.get(s"$wh/db/wid"), v)
+      // pre-widen files' int stats cannot reach 3e9: every one skips,
+      // so the planned scan's file index holds exactly the kept files
+      val schemaW = org.apache.spark.sql.types.DataType
+        .fromJson(m.schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      val kept = m.files.count(f => !graft.sources.TxStats.excludes(
+        m.stats.getOrElse(f, Map.empty), schemaW,
+        org.apache.spark.sql.sources.GreaterThan("n_chars",
+          java.lang.Long.valueOf(3000000000L))))
+      require(kept < m.files.size,
+        "fixture must leave at least one prunable narrow file")
+      val probe = s.sql(
+        "SELECT doc_id FROM graft_tx.db.wid WHERE n_chars > 3000000000")
+      require(probe.queryExecution.executedPlan.toString
+          .contains(s"InMemoryFileIndex($kept paths)"),
+        "post-widen long predicate must still prune the narrow files " +
+          "through their int-recorded stats")
+      s.sql(
+        """SELECT doc_id, lang, n_chars FROM graft_tx.db.wid
           |ORDER BY doc_id""".stripMargin)
     }),
     // ----- MERGE WITH SCHEMA EVOLUTION (the CDC-ingest shape): the
@@ -1541,6 +1609,21 @@ private[graft] object QueriesSearchOps {
     "ops_rename_sql" ->
       ("""SELECT doc_id, lang AS language, n_chars FROM documents
          |WHERE lang IN ('en', 'de', 'fr', 'es')
+         |ORDER BY doc_id""".stripMargin),
+    // the DPP join replayed: the major tier is en+de by construction
+    "join_dpp" ->
+      ("""SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(n_chars) AS BIGINT) AS chars
+         |FROM documents WHERE lang IN ('en', 'de')
+         |GROUP BY lang ORDER BY lang""".stripMargin),
+    // the widen replayed: en+de at their original values (served as BIGINT
+    // post-widen), fr shifted past Int.MaxValue by the fixture
+    "ops_widen_sql" ->
+      ("""SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+         |FROM documents WHERE lang IN ('en', 'de')
+         |UNION ALL
+         |SELECT doc_id, lang, n_chars + 3000000000
+         |FROM documents WHERE lang = 'fr'
          |ORDER BY doc_id""".stripMargin),
     // the evolved merge replayed: en predates the column (NULL), de
     // updated with score, fr inserted with it — score = n_chars % 100

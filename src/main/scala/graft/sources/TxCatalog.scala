@@ -301,6 +301,7 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
     val addC = Seq.newBuilder[org.apache.spark.sql.types.StructField]
     val dropC = Seq.newBuilder[String]
     val renameC = Seq.newBuilder[(String, String)]
+    val widenC = Seq.newBuilder[(String, org.apache.spark.sql.types.DataType)]
     changes.foreach {
       case sp: TableChange.SetProperty
           if sp.property.startsWith("check.") && sp.property.length > 6 =>
@@ -334,15 +335,22 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
           s"RENAME COLUMN supports top-level columns only, not " +
             rn.fieldNames.mkString("."))
         renameC += rn.fieldNames.head -> rn.newName
+      case uc: TableChange.UpdateColumnType =>
+        require(uc.fieldNames.length == 1,
+          s"ALTER COLUMN TYPE supports top-level columns only, not " +
+            uc.fieldNames.mkString("."))
+        widenC += uc.fieldNames.head -> uc.newDataType
       case other => throw new UnsupportedOperationException(
         s"TxCatalog ALTER TABLE supports CHECK-constraint properties " +
           s"('check.<name>'), engine properties ('tx.*'), " +
-          s"ADD/DROP COLUMN, and RENAME COLUMN, not $other")
+          s"ADD/DROP COLUMN, RENAME COLUMN, and ALTER COLUMN TYPE " +
+          s"(widening only), not $other")
     }
     val (ap, dp, ac, dcols) =
       (addP.result(), dropP.result(), addC.result(), dropC.result())
     val (st, ut) = (setT.result(), unsetT.result())
     val rn = renameC.result()
+    val wc = widenC.result()
     // ONE change kind per statement: each kind publishes its own
     // manifest version, so a mixed statement would half-apply on a
     // mid-sequence failure — contradicting the all-or-nothing contract
@@ -350,6 +358,7 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
     val kinds = Seq(
       "ADD/DROP COLUMN" -> (ac.nonEmpty || dcols.nonEmpty),
       "RENAME COLUMN" -> rn.nonEmpty,
+      "ALTER COLUMN TYPE" -> wc.nonEmpty,
       "CHECK-constraint properties" -> (ap.nonEmpty || dp.nonEmpty),
       "engine (tx.*) properties" -> (st.nonEmpty || ut.nonEmpty))
       .collect { case (k, true) => k }
@@ -360,12 +369,17 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
         "half-apply; issue separate statements")
     require(rn.size <= 1,
       "one ALTER TABLE statement renames ONE column")
+    require(wc.size <= 1,
+      "one ALTER TABLE statement widens ONE column")
     if (ac.nonEmpty || dcols.nonEmpty)
       TxTable.evolveColumns(SparkSession.active, dir.toString,
         ac, dcols): Unit
     rn.foreach { case (from, to) =>
       TxTable.renameColumn(SparkSession.active, dir.toString, from, to)
         : Unit
+    }
+    wc.foreach { case (c, t) =>
+      TxTable.widenColumn(SparkSession.active, dir.toString, c, t): Unit
     }
     if (ap.nonEmpty || dp.nonEmpty)
       TxTable.alterConstraints(SparkSession.active, dir.toString,
@@ -843,61 +857,128 @@ private[graft] final class TxScanBuilder(
       val dataFilters = exprFilters.filter(
         _.references.toSeq.forall(a => dataNames.contains(a.name)))
       val outSchema = StructType(requiredData ++ requiredParts)
-      def catalystValue(v: Option[String],
-                        dt: org.apache.spark.sql.types.DataType): Any =
-        TxTable.catalystPartitionValue(v, dt)
-      // SupportsReportStatistics: without it a DSv2 scan defaults to
-      // spark.sql.defaultSizeInBytes (effectively infinite), so a JOIN
-      // against a small partitioned tx table would never broadcast —
-      // the kept files' byte sum is O(files) driver metadata and feeds
-      // Catalyst's build-side choice honestly. (The unpartitioned arm
-      // delegates to FileScan, which already reports.)
-      new org.apache.spark.sql.connector.read.Scan
-          with org.apache.spark.sql.connector.read.SupportsReportStatistics {
-        override def estimateStatistics()
-            : org.apache.spark.sql.connector.read.Statistics =
-          new org.apache.spark.sql.connector.read.Statistics {
-            override def sizeInBytes(): java.util.OptionalLong =
-              java.util.OptionalLong.of(
-                kept.map(f => Files.size(dir.resolve(f))).sum)
-            override def numRows(): java.util.OptionalLong =
-              java.util.OptionalLong.empty()
-          }
-        override def readSchema(): StructType = outSchema
-        override def description(): String = s"$scanName $skipTag"
-        override def toBatch: org.apache.spark.sql.connector.read.Batch =
-          new org.apache.spark.sql.connector.read.Batch {
-            override def planInputPartitions()
-                : Array[org.apache.spark.sql.connector.read.InputPartition] =
-              kept.groupBy(f => partitionColumns.map(c =>
-                  TxTable.partitionValuesFromPath(f, partSet).get(c)))
-                .toSeq.sortBy(_._1.toString)
-                .flatMap { case (vals, fs) =>
-                  val inner = ParquetTable(s"$scanName $skipTag",
-                    SparkSession.active, options,
-                    fs.map(f => dir.resolve(f).toString).toList,
-                    Some(physStruct(dataSchema)),
-                    classOf[ParquetFileFormat])
-                    .newScanBuilder(options)
-                  inner.pushFilters(dataFilters.map(toPhys)): Unit
-                  inner.pruneColumns(physStruct(requiredData))
-                  val b = inner.build().toBatch
-                  val fac = b.createReaderFactory()
-                  val tail: Array[Any] = requiredParts.map(f =>
-                    catalystValue(
-                      vals(partitionColumns.indexOf(f.name)),
-                      f.dataType)).toArray
-                  b.planInputPartitions()
-                    .map(p => AppendedColsPartition(p, tail, fac)
-                      : org.apache.spark.sql.connector.read.InputPartition)
-                }.toArray
-            override def createReaderFactory()
-                : org.apache.spark.sql.connector.read.PartitionReaderFactory =
-              AppendedColsReaderFactory
-          }
-      }
+      new TxPartitionedScan(scanName, skipTag, dir, kept, stats, schema,
+        outSchema, partitionColumns, requiredParts,
+        physStruct(dataSchema), physStruct(requiredData),
+        dataFilters.map(toPhys), options)
     }
   }
+}
+
+/** The partitioned tx snapshot's scan. SupportsReportStatistics:
+  * without it a DSv2 scan defaults to spark.sql.defaultSizeInBytes
+  * (effectively infinite), so a JOIN against a small partitioned tx
+  * table would never broadcast — the kept files' byte sum is O(files)
+  * driver metadata and feeds Catalyst's build-side choice honestly.
+  * (The unpartitioned arm delegates to FileScan, which already
+  * reports.)
+  *
+  * SupportsRuntimeV2Filtering — DYNAMIC PARTITION PRUNING, the 100 TB
+  * fact-dim join shape: `SELECT … FROM fact JOIN dim ON fact.p = dim.p
+  * WHERE dim.x = …` must not scan every fact partition when the dim
+  * filter selects a handful of values. Declaring the partition columns
+  * as filter attributes lets Catalyst's PartitionPruning rule inject a
+  * dynamic subquery on the dim side's (reused) broadcast; at execution
+  * BatchScanExec hands the materialized keys back as V2 `IN`
+  * predicates, translated here to source filters and run through the
+  * SAME conservative manifest-stats machinery as planning-time
+  * skipping (partition values ride as min=max stat entries) — a pruned
+  * value group costs zero footer opens, zero tasks, because
+  * planInputPartitions builds the delegated parquet scans AFTER the
+  * runtime filter lands. Unknown predicate shapes keep every file
+  * (never wrong, just unpruned); null-valued groups keep conservatively
+  * (no stats entry — an IN can never prove them out). */
+private[graft] final class TxPartitionedScan(
+    scanName: String, skipTag: String, dir: Path, kept: Seq[String],
+    stats: Map[String, Map[String, TxStats.ColStat]],
+    schema: StructType, outSchema: StructType,
+    partitionColumns: Seq[String],
+    requiredParts: Seq[org.apache.spark.sql.types.StructField],
+    physDataSchema: StructType, physRequiredData: StructType,
+    physDataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+    options: CaseInsensitiveStringMap)
+  extends org.apache.spark.sql.connector.read.Scan
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics
+  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+  private val partSet = partitionColumns.toSet
+
+  /** Files surviving the runtime filter (starts at the planning-time
+    * kept set); volatile — filter() runs on the driver before the
+    * execution-time planInputPartitions. */
+  @volatile private var runtimeKept: Seq[String] = kept
+  /** Observability for suites and the gate's plan pins: value groups
+    * planned by the LAST planInputPartitions call (-1 = never planned),
+    * and whether a runtime filter actually pruned files. */
+  @volatile private[graft] var plannedGroups: Int = -1
+  @volatile private[graft] var runtimePruned: Int = 0
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    // only columns the scan actually OUTPUTS: Catalyst resolves these
+    // against the relation's (column-pruned) output and THROWS on a
+    // miss — a scan that pruned its partition column away (the query
+    // never reads it) must not advertise it
+    partitionColumns.filter(c => outSchema.fieldNames.contains(c))
+      .map(c =>
+        org.apache.spark.sql.connector.expressions.Expressions.column(c))
+      .toArray
+
+  override def filter(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    val v1 = predicates.toSeq.flatMap(p =>
+      org.apache.spark.sql.graftbridge.GraftBridge.predicateToV1(p))
+    if (v1.nonEmpty) {
+      val before = runtimeKept.size
+      runtimeKept = runtimeKept.filter { f =>
+        val st = stats.getOrElse(f, Map.empty[String, TxStats.ColStat])
+        !v1.exists(fl => TxStats.excludes(st, schema, fl))
+      }
+      runtimePruned += before - runtimeKept.size
+    }
+  }
+
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(
+          kept.map(f => Files.size(dir.resolve(f))).sum)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  override def readSchema(): StructType = outSchema
+  override def description(): String = s"$scanName $skipTag"
+  override def toBatch: org.apache.spark.sql.connector.read.Batch =
+    new org.apache.spark.sql.connector.read.Batch {
+      override def planInputPartitions()
+          : Array[org.apache.spark.sql.connector.read.InputPartition] = {
+        val groups = runtimeKept.groupBy(f => partitionColumns.map(c =>
+            TxTable.partitionValuesFromPath(f, partSet).get(c)))
+          .toSeq.sortBy(_._1.toString)
+        plannedGroups = groups.size
+        groups.flatMap { case (vals, fs) =>
+          val inner = ParquetTable(s"$scanName $skipTag",
+            SparkSession.active, options,
+            fs.map(f => dir.resolve(f).toString).toList,
+            Some(physDataSchema), classOf[ParquetFileFormat])
+            .newScanBuilder(options)
+          inner.pushFilters(physDataFilters): Unit
+          inner.pruneColumns(physRequiredData)
+          val b = inner.build().toBatch
+          val fac = b.createReaderFactory()
+          val tail: Array[Any] = requiredParts.map(f =>
+            TxTable.catalystPartitionValue(
+              vals(partitionColumns.indexOf(f.name)), f.dataType)).toArray
+          b.planInputPartitions()
+            .map(p => AppendedColsPartition(p, tail, fac)
+              : org.apache.spark.sql.connector.read.InputPartition)
+        }.toArray
+      }
+      override def createReaderFactory()
+          : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+        AppendedColsReaderFactory
+    }
 }
 
 /** A delegated scan re-labeled to LOGICAL column names ([[TxScanBuilder]]

@@ -38,6 +38,17 @@ object GraftBridge {
   def filterToV2(f: org.apache.spark.sql.sources.Filter)
       : org.apache.spark.sql.connector.expressions.filter.Predicate = f.toV2
 
+  /** V2 Predicate → source Filter (`PredicateUtils.toV1` is
+    * `private[sql]`) — the reverse translation the tx catalog's
+    * partitioned scan runs on RUNTIME filters (dynamic partition
+    * pruning hands the scan V2 `IN` predicates whose values came from
+    * the dim side's broadcast) so they can ride the same conservative
+    * manifest-stats skip machinery as planning-time filters. */
+  def predicateToV1(
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+      : Option[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.internal.connector.PredicateUtils.toV1(p)
+
   /** Wrap a hand-built logical plan as a DataFrame (`Dataset.ofRows` is
     * `private[sql]`) — the entry point for custom logical operators
     * planned by an injected [[org.apache.spark.sql.execution.SparkStrategy]]. */
