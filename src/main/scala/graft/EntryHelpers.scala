@@ -744,16 +744,42 @@ private[graft] object EntryHelpers {
       d
     })
 
-  /** Collect the [[graft.sources.TxPartitionedScan]]s of an executed
-    * plan, descending through AQE query stages (QueryStageExec is
-    * leaf-like — plain collect stops at it). The gate's dynamic-pruning
-    * pins read the scans' plannedGroups/runtimePruned observability
-    * fields after execution. */
-  def txPartitionedScans(p: org.apache.spark.sql.execution.SparkPlan)
-      : Seq[graft.sources.TxPartitionedScan] = {
+  /** `join_dfp` fixture: an UNPARTITIONED table (`db.dfp`) committed in
+    * three per-lang slices with per-file BLOOMS on doc_id, plus a
+    * file-backed dim of the en doc_ids divisible by 7. doc_id ranges
+    * interleave across lang slices (min/max can rarely prove a file
+    * out), so pruning the de/fr files at runtime is the BLOOM's win —
+    * dynamic file pruning on a high-cardinality join key. */
+  val txDfpDone =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def txDfpDimDir(s: SparkSession, dir: String, wh: String): String =
+    txDfpDone.computeIfAbsent(dir, _ => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val tbl = s"$wh/db/dfp"
+      Seq("en", "de", "fr").zipWithIndex.foreach { case (l, i) =>
+        graft.sources.TxTable.commit(docs.filter(col("lang") === l), tbl,
+          if (i == 0) "overwrite" else "append",
+          bloomColumns = Seq("doc_id"))
+      }
+      val d = s"$wh/dim_docs"
+      docs.filter(col("lang") === "en" && col("doc_id") % 7 === 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 2 === 0, lit("a")).otherwise(lit("b"))
+            .as("grp"))
+        .coalesce(1).write.mode("overwrite").parquet(d)
+      d
+    })
+
+  /** Collect the DSv2 scans of an executed plan, descending through
+    * AQE query stages (QueryStageExec is leaf-like — plain collect
+    * stops at it). The gate's dynamic-pruning pins read the tx scans'
+    * plannedGroups/runtimePruned observability fields after execution. */
+  def batchScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.connector.read.Scan] = {
     val here = p match {
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-        Seq(b.scan).collect { case s: graft.sources.TxPartitionedScan => s }
+        Seq(b.scan)
       case _ => Nil
     }
     val kids: Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
@@ -763,8 +789,16 @@ private[graft] object EntryHelpers {
         Seq(q.plan)
       case other => other.children
     }
-    here ++ kids.flatMap(txPartitionedScans)
+    here ++ kids.flatMap(batchScans)
   }
+
+  def txPartitionedScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[graft.sources.TxPartitionedScan] =
+    batchScans(p).collect { case s: graft.sources.TxPartitionedScan => s }
+
+  def txFlatScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[graft.sources.TxFlatScan] =
+    batchScans(p).collect { case s: graft.sources.TxFlatScan => s }
 
   /** Documents with deterministic PII/URL decorations appended: the
     * synthetic corpus is clean, so the compliance queries (`text_pii`,

@@ -501,6 +501,34 @@ private[graft] object QueriesSearchOps {
           scans.map(sc => (sc.plannedGroups, sc.runtimePruned)).mkString(","))
       q()
     }),
+    // ----- DYNAMIC FILE PRUNING on the flat tx scan: same runtime
+    // machinery as join_dpp but on a high-cardinality DATA column
+    // (doc_id) over an UNPARTITIONED table — min/max rarely proves a
+    // file out when ranges interleave, so the per-file BLOOMS carry
+    // the pruning (TxFlatScan + TxRuntimeFilter.survivors) -----
+    "join_dfp" -> ((s: SparkSession, dir: String) => {
+      val wh = EntryHelpers.txCatalogWarehouse(s, dir)
+      s.conf.set("spark.sql.catalog.graft_tx", "graft.sources.TxCatalog")
+      s.conf.set("spark.sql.catalog.graft_tx.root", wh)
+      val dim = EntryHelpers.txDfpDimDir(s, dir, wh)
+      def q() = s.sql(
+        s"""SELECT f.doc_id, f.lang, f.n_chars FROM graft_tx.db.dfp f
+           |JOIN parquet.`$dim` d ON f.doc_id = d.doc_id
+           |WHERE d.grp = 'a'
+           |ORDER BY f.doc_id""".stripMargin)
+      val probe = q()
+      probe.collect(): Unit
+      require(probe.queryExecution.executedPlan.toString
+          .toLowerCase.contains("dynamicpruning"),
+        "expected a dynamic pruning subquery on the flat tx scan")
+      val scans = EntryHelpers.txFlatScans(
+        probe.queryExecution.executedPlan)
+      require(scans.exists(_.runtimePruned >= 1),
+        "expected runtime file pruning (the probed doc_ids are all en " +
+          "— the de/fr files' blooms prove them out), got " +
+          scans.map(_.runtimePruned).mkString(","))
+      q()
+    }),
     // ----- OPTIMIZE ZORDER as a real rewrite (TxTable.compactZOrder
     // scaladoc: Morton key as a scan-side codegen projection, one
     // sampled range shuffle clusters rows into 2-D tiles, fresh stats +
@@ -1616,6 +1644,12 @@ private[graft] object QueriesSearchOps {
          |  CAST(sum(n_chars) AS BIGINT) AS chars
          |FROM documents WHERE lang IN ('en', 'de')
          |GROUP BY lang ORDER BY lang""".stripMargin),
+    // the file-pruned join replayed: dim = en ids divisible by 7,
+    // grp 'a' = the even ones
+    "join_dfp" ->
+      ("""SELECT doc_id, lang, n_chars FROM documents
+         |WHERE lang = 'en' AND doc_id % 7 = 0 AND doc_id % 2 = 0
+         |ORDER BY doc_id""".stripMargin),
     // the widen replayed: en+de at their original values (served as BIGINT
     // post-widen), fr shifted past Int.MaxValue by the fixture
     "ops_widen_sql" ->

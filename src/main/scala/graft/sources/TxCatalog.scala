@@ -825,16 +825,22 @@ private[graft] final class TxScanBuilder(
     }
     val skipTag = s"skipped=${relFiles.size - kept.size}/${relFiles.size}"
     if (partitionColumns.isEmpty) {
-      val inner = ParquetTable(s"$scanName $skipTag",
-        SparkSession.active, options,
-        kept.map(f => dir.resolve(f).toString).toList,
-        Some(physStruct(schema)),
-        classOf[ParquetFileFormat]).newScanBuilder(options)
-      inner.pushFilters(exprFilters.map(toPhys)): Unit
-      inner.pruneColumns(physStruct(required))
-      val scan = inner.build()
-      if (mapping.isEmpty) scan
-      else new RelabeledScan(scan, toLogical(scan.readSchema()), skipTag)
+      def buildInner(fs: Seq[String])
+          : org.apache.spark.sql.connector.read.Scan = {
+        val inner = ParquetTable(s"$scanName $skipTag",
+          SparkSession.active, options,
+          fs.map(f => dir.resolve(f).toString).toList,
+          Some(physStruct(schema)),
+          classOf[ParquetFileFormat]).newScanBuilder(options)
+        inner.pushFilters(exprFilters.map(toPhys)): Unit
+        inner.pruneColumns(physStruct(required))
+        val scan = inner.build()
+        if (mapping.isEmpty) scan
+        else new RelabeledScan(scan, toLogical(scan.readSchema()), skipTag)
+      }
+      new TxFlatScan(kept, stats, blooms, schema,
+        TxRuntimeFilter.filterableColumns(
+          required.fieldNames.toSeq, Nil, stats, blooms), buildInner)
     } else {
       // PARTITIONED snapshot: hive path discovery cannot serve files
       // spanning many commit dirs (conflicting roots), so the MANIFEST
@@ -857,12 +863,146 @@ private[graft] final class TxScanBuilder(
       val dataFilters = exprFilters.filter(
         _.references.toSeq.forall(a => dataNames.contains(a.name)))
       val outSchema = StructType(requiredData ++ requiredParts)
-      new TxPartitionedScan(scanName, skipTag, dir, kept, stats, schema,
-        outSchema, partitionColumns, requiredParts,
+      new TxPartitionedScan(scanName, skipTag, dir, kept, stats, blooms,
+        schema, outSchema, partitionColumns, requiredParts,
         physStruct(dataSchema), physStruct(requiredData),
         dataFilters.map(toPhys), options)
     }
   }
+}
+
+/** Shared engine of DSv2 runtime filtering (dynamic partition pruning
+  * AND dynamic FILE pruning on data columns) for both tx scan shapes:
+  * the V2 predicates BatchScanExec hands back at execution — `IN` lists
+  * materialized from the dim side's broadcast — translate to source
+  * filters and run through the SAME conservative machinery as
+  * planning-time skipping: manifest min/max stats (partition values
+  * ride as min=max entries; clustered data columns prune by range) and
+  * per-file BLOOMS (high-cardinality join keys — ids, hashes — where
+  * min/max spans everything and only a membership test can prove a
+  * file out). Untranslatable shapes and over-budget IN lists keep
+  * every file — never wrong, just unpruned. */
+private[graft] object TxRuntimeFilter {
+
+  /** Driver-side budget: the skip test costs O(files × IN values); a
+    * dim side with more distinct keys than this isn't selective enough
+    * to pay that loop for (and would rarely prune anyway). */
+  val MaxRuntimeInValues = 10000
+
+  private def inBudget(f: org.apache.spark.sql.sources.Filter): Boolean =
+    f match {
+      case org.apache.spark.sql.sources.In(_, vs) =>
+        vs != null && vs.length <= MaxRuntimeInValues
+      case _ => true
+    }
+
+  /** Files a runtime predicate set cannot prove empty. */
+  def survivors(files: Seq[String],
+      stats: Map[String, Map[String, TxStats.ColStat]],
+      blooms: Map[String, Map[String, TxStats.FileBloom]],
+      schema: StructType,
+      predicates: Array[
+        org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Seq[String] = {
+    val v1 = predicates.toSeq
+      .flatMap(p =>
+        org.apache.spark.sql.graftbridge.GraftBridge.predicateToV1(p))
+      .filter(inBudget)
+    if (v1.isEmpty) files
+    else files.filter { f =>
+      val st = stats.getOrElse(f, Map.empty[String, TxStats.ColStat])
+      val bl = blooms.getOrElse(f, Map.empty[String, TxStats.FileBloom])
+      !v1.exists(fl => TxStats.excludes(st, schema, fl) ||
+        TxStats.bloomExcludes(bl, fl))
+    }
+  }
+
+  /** Columns worth declaring as runtime-filterable: of the scan's
+    * OUTPUT columns (Catalyst resolves filter attributes against the
+    * column-pruned relation and throws on a miss), the partition
+    * columns plus any column some file carries stats or a bloom for —
+    * a column with neither can never prune, so advertising it would
+    * only buy the optimizer useless subquery work. */
+  def filterableColumns(outNames: Seq[String],
+      partitionColumns: Seq[String],
+      stats: Map[String, Map[String, TxStats.ColStat]],
+      blooms: Map[String, Map[String, TxStats.FileBloom]]): Seq[String] = {
+    lazy val keyed =
+      stats.valuesIterator.flatMap(_.keysIterator).toSet ++
+        blooms.valuesIterator.flatMap(_.keysIterator)
+    outNames.filter(n => partitionColumns.contains(n) || keyed.contains(n))
+  }
+}
+
+/** The unpartitioned tx snapshot's scan: a thin runtime-filtering
+  * wrapper over the delegated (and possibly relabeled) parquet scan.
+  * `filter()` re-computes the surviving file list through
+  * [[TxRuntimeFilter]]; the Batch is a late-bound shim so partitions
+  * plan from the POST-filter list (BatchScanExec may touch `toBatch`
+  * before runtime filters arrive — the inner scan rebuilds lazily,
+  * keyed on the current file list). A pruned file costs zero footer
+  * opens: the delegated ParquetScanBuilder is reconstructed over the
+  * survivors only. */
+private[graft] final class TxFlatScan(
+    kept: Seq[String],
+    stats: Map[String, Map[String, TxStats.ColStat]],
+    blooms: Map[String, Map[String, TxStats.FileBloom]],
+    schema: StructType,
+    filterable: Seq[String],
+    buildInner: Seq[String] => org.apache.spark.sql.connector.read.Scan)
+  extends org.apache.spark.sql.connector.read.Scan
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics
+  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+  @volatile private var runtimeKept: Seq[String] = kept
+  @volatile private[graft] var runtimePruned: Int = 0
+  @volatile private var cached
+      : (Seq[String], org.apache.spark.sql.connector.read.Scan) =
+    (kept, buildInner(kept))
+
+  private def inner: org.apache.spark.sql.connector.read.Scan = {
+    val rk = runtimeKept
+    if (!(cached._1 eq rk)) cached = (rk, buildInner(rk))
+    cached._2
+  }
+
+  override def readSchema(): StructType = inner.readSchema()
+  override def description(): String = inner.description()
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = inner match {
+    case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+      s.estimateStatistics()
+    case _ => new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    filterable.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.column(c))
+      .toArray
+
+  override def filter(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    val before = runtimeKept.size
+    runtimeKept = TxRuntimeFilter.survivors(
+      runtimeKept, stats, blooms, schema, predicates)
+    runtimePruned += before - runtimeKept.size
+  }
+
+  override def toBatch: org.apache.spark.sql.connector.read.Batch =
+    new org.apache.spark.sql.connector.read.Batch {
+      override def planInputPartitions()
+          : Array[org.apache.spark.sql.connector.read.InputPartition] =
+        inner.toBatch.planInputPartitions()
+      override def createReaderFactory()
+          : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+        inner.toBatch.createReaderFactory()
+    }
 }
 
 /** The partitioned tx snapshot's scan. SupportsReportStatistics:
@@ -891,6 +1031,7 @@ private[graft] final class TxScanBuilder(
 private[graft] final class TxPartitionedScan(
     scanName: String, skipTag: String, dir: Path, kept: Seq[String],
     stats: Map[String, Map[String, TxStats.ColStat]],
+    blooms: Map[String, Map[String, TxStats.FileBloom]],
     schema: StructType, outSchema: StructType,
     partitionColumns: Seq[String],
     requiredParts: Seq[org.apache.spark.sql.types.StructField],
@@ -918,24 +1059,21 @@ private[graft] final class TxPartitionedScan(
     // only columns the scan actually OUTPUTS: Catalyst resolves these
     // against the relation's (column-pruned) output and THROWS on a
     // miss — a scan that pruned its partition column away (the query
-    // never reads it) must not advertise it
-    partitionColumns.filter(c => outSchema.fieldNames.contains(c))
+    // never reads it) must not advertise it. Beyond partition columns,
+    // stats/bloom-bearing DATA columns prune too (dynamic FILE pruning
+    // on a clustered range or a bloom'd join key).
+    TxRuntimeFilter.filterableColumns(outSchema.fieldNames.toSeq,
+        partitionColumns, stats, blooms)
       .map(c =>
         org.apache.spark.sql.connector.expressions.Expressions.column(c))
       .toArray
 
   override def filter(predicates: Array[
       org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
-    val v1 = predicates.toSeq.flatMap(p =>
-      org.apache.spark.sql.graftbridge.GraftBridge.predicateToV1(p))
-    if (v1.nonEmpty) {
-      val before = runtimeKept.size
-      runtimeKept = runtimeKept.filter { f =>
-        val st = stats.getOrElse(f, Map.empty[String, TxStats.ColStat])
-        !v1.exists(fl => TxStats.excludes(st, schema, fl))
-      }
-      runtimePruned += before - runtimeKept.size
-    }
+    val before = runtimeKept.size
+    runtimeKept = TxRuntimeFilter.survivors(
+      runtimeKept, stats, blooms, schema, predicates)
+    runtimePruned += before - runtimeKept.size
   }
 
   override def estimateStatistics()

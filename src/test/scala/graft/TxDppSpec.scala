@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 
-import graft.sources.{TxPartitionedScan, TxTable}
+import graft.sources.{TxFlatScan, TxPartitionedScan, TxRuntimeFilter, TxStats, TxTable}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
@@ -101,6 +101,100 @@ class TxDppSpec extends SparkSpec {
       "spark.sql.optimizer.dynamicPartitionPruning.enabled", old)
     assert(withDpp.toSeq == without.toSeq)
     assert(withDpp.length == 200) // de + fr
+  }
+
+  private def txFlatScans(plan: SparkPlan): Seq[TxFlatScan] = {
+    val here = plan match {
+      case b: BatchScanExec => Seq(b.scan).collect { case s: TxFlatScan => s }
+      case _ => Nil
+    }
+    val kids: Seq[SparkPlan] = plan match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        Seq(q.plan)
+      case other => other.children
+    }
+    here ++ kids.flatMap(txFlatScans)
+  }
+
+  test("flat scan: runtime join keys prune files by min/max range") {
+    import spark.implicits._
+    val tbl = tmp()
+    // three commits with DISJOINT id ranges => per-file min/max prunes
+    (0 to 2).foreach { k =>
+      val slice = (1 to 100).map(i => (k * 1000 + i.toLong, i * 10L))
+        .toDF("id", "chars")
+      TxTable.commit(slice, tbl, if (k == 0) "overwrite" else "append")
+    }
+    val wh = tbl.stripSuffix("/tbl")
+    spark.conf.set("spark.sql.catalog.txdfp", "graft.sources.TxCatalog")
+    spark.conf.set("spark.sql.catalog.txdfp.root", wh)
+    val dimDir = Files.createTempDirectory("txdfp-dim-").toString
+    Seq((5L, "keep"), (2050L, "keep"), (7L, "drop"))
+      .toDF("id", "flag").write.mode("overwrite").parquet(dimDir)
+    spark.read.parquet(dimDir).createOrReplaceTempView("txdfp_dim")
+    val q = spark.sql(
+      s"""SELECT f.id, f.chars FROM txdfp.tbl f
+         |JOIN txdfp_dim d ON f.id = d.id
+         |WHERE d.flag = 'keep'""".stripMargin)
+    val rows = q.collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq == Seq(5L, 2050L))
+    val scans = txFlatScans(q.queryExecution.executedPlan)
+    assert(scans.nonEmpty, "expected a TxFlatScan in the plan")
+    // ids 5 and 2050 live in exactly 2 files; every other file's
+    // disjoint [min,max] range pruned at runtime
+    val m = TxTable.readManifest(java.nio.file.Paths.get(tbl),
+      TxTable.latestVersion(tbl).get)
+    assert(scans.exists(_.runtimePruned == m.files.size - 2),
+      s"expected ${m.files.size - 2} of ${m.files.size} files pruned, " +
+        s"got " + scans.map(_.runtimePruned).mkString(","))
+  }
+
+  test("flat scan: runtime join keys prune files by BLOOM when ranges overlap") {
+    import spark.implicits._
+    val tbl = tmp()
+    // three commits with INTERLEAVED ids (k, k+3, k+6, …): every file
+    // spans [k, ~300] so min/max can never prune — only the per-file
+    // bloom on id can prove a file holds none of the probed keys
+    (0 to 2).foreach { k =>
+      val slice = (0 to 99).map(i => (3L * i + k, i * 10L))
+        .toDF("id", "chars").coalesce(1)
+      TxTable.commit(slice, tbl, if (k == 0) "overwrite" else "append",
+        bloomColumns = Seq("id"))
+    }
+    val wh = tbl.stripSuffix("/tbl")
+    spark.conf.set("spark.sql.catalog.txdfb", "graft.sources.TxCatalog")
+    spark.conf.set("spark.sql.catalog.txdfb.root", wh)
+    val dimDir = Files.createTempDirectory("txdfb-dim-").toString
+    // both keep keys ≡ 0 (mod 3): only commit-0's file can hold them
+    Seq((6L, "keep"), (33L, "keep"), (7L, "drop"))
+      .toDF("id", "flag").write.mode("overwrite").parquet(dimDir)
+    spark.read.parquet(dimDir).createOrReplaceTempView("txdfb_dim")
+    val q = spark.sql(
+      s"""SELECT f.id FROM txdfb.tbl f
+         |JOIN txdfb_dim d ON f.id = d.id
+         |WHERE d.flag = 'keep'""".stripMargin)
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq == Seq(6L, 33L))
+    val scans = txFlatScans(q.queryExecution.executedPlan)
+    assert(scans.exists(_.runtimePruned == 2),
+      s"expected the 2 other-residue files bloom-pruned, got " +
+        scans.map(_.runtimePruned).mkString(","))
+  }
+
+  test("survivors: over-budget IN lists and unknown shapes keep every file") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", LongType)))
+    val stats = Map("f1" -> Map("id" -> TxStats.ColStat("0", "10")))
+    def inPred(n: Int) =
+      org.apache.spark.sql.graftbridge.GraftBridge.filterToV2(
+        org.apache.spark.sql.sources.In("id",
+          (1 to n).map(i => (i.toLong + 100L): Any).toArray))
+    // a small IN of misses prunes f1 (all values above its max)
+    assert(TxRuntimeFilter.survivors(Seq("f1"), stats, Map.empty, schema,
+      Array(inPred(3))).isEmpty)
+    // the same shape past the budget keeps it — conservative, never wrong
+    assert(TxRuntimeFilter.survivors(Seq("f1"), stats, Map.empty, schema,
+      Array(inPred(TxRuntimeFilter.MaxRuntimeInValues + 1))) == Seq("f1"))
   }
 
   test("a runtime filter never prunes the null-valued group (kept conservatively)") {
