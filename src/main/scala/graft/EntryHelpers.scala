@@ -744,6 +744,25 @@ private[graft] object EntryHelpers {
       d
     })
 
+  /** `join_spj` fixture: a SECOND lang-partitioned table (`db.partw`,
+    * one per-lang stats row per partition) next to `db.part` — the
+    * co-partitioned pair a storage-partitioned join aligns without a
+    * shuffle. */
+  val txSpjDone =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  def txSpjVersion(s: SparkSession, dir: String, wh: String): Long =
+    txSpjDone.computeIfAbsent(dir, _ => {
+      txPartitionedVersion(s, dir, wh): Unit
+      val docs = Tables.documents(s, dir)
+        .filter(col("lang").isin("en", "de", "fr", "es"))
+        .groupBy("lang").agg(count(lit(1)).as("docs"))
+      val tbl = s"$wh/db/partw"
+      graft.sources.TxTable.commit(docs, tbl, "overwrite",
+        partitionBy = Some(Seq("lang")))
+      java.lang.Long.valueOf(
+        graft.sources.TxTable.latestVersion(tbl).getOrElse(0L))
+    }).longValue()
+
   /** `join_dfp` fixture: an UNPARTITIONED table (`db.dfp`) committed in
     * three per-lang slices with per-file BLOOMS on doc_id, plus a
     * file-backed dim of the en doc_ids divisible by 7. doc_id ranges
@@ -771,17 +790,12 @@ private[graft] object EntryHelpers {
       d
     })
 
-  /** Collect the DSv2 scans of an executed plan, descending through
-    * AQE query stages (QueryStageExec is leaf-like — plain collect
-    * stops at it). The gate's dynamic-pruning pins read the tx scans'
-    * plannedGroups/runtimePruned observability fields after execution. */
-  def batchScans(p: org.apache.spark.sql.execution.SparkPlan)
-      : Seq[org.apache.spark.sql.connector.read.Scan] = {
-    val here = p match {
-      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-        Seq(b.scan)
-      case _ => Nil
-    }
+  /** Every node of an executed plan, descending through AQE query
+    * stages (QueryStageExec is leaf-like — plain collect stops at it).
+    * The gate's plan pins — dynamic-pruning observability, shuffle-free
+    * SPJ — read through this walker. */
+  def planNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
     val kids: Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
         Seq(a.executedPlan)
@@ -789,8 +803,22 @@ private[graft] object EntryHelpers {
         Seq(q.plan)
       case other => other.children
     }
-    here ++ kids.flatMap(batchScans)
+    p +: kids.flatMap(planNodes)
   }
+
+  def batchScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.connector.read.Scan] =
+    planNodes(p).collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan
+    }
+
+  def shuffleNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] =
+    planNodes(p).collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+        s
+    }
 
   def txPartitionedScans(p: org.apache.spark.sql.execution.SparkPlan)
       : Seq[graft.sources.TxPartitionedScan] =

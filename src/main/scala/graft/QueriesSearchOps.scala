@@ -529,6 +529,44 @@ private[graft] object QueriesSearchOps {
           scans.map(_.runtimePruned).mkString(","))
       q()
     }),
+    // ----- STORAGE-PARTITIONED JOIN (TxPartitionedScan reporting
+    // KeyGroupedPartitioning): two lang-partitioned tx tables join AND
+    // aggregate on lang with ZERO shuffles under v2.bucketing — at
+    // 100 TB the co-partitioned join's exchange would move the whole
+    // table; the probe require-pins its absence. The certified read
+    // re-runs under default confs (same rows, any plan) -----
+    "join_spj" -> ((s: SparkSession, dir: String) => {
+      val wh = EntryHelpers.txCatalogWarehouse(s, dir)
+      s.conf.set("spark.sql.catalog.graft_tx", "graft.sources.TxCatalog")
+      s.conf.set("spark.sql.catalog.graft_tx.root", wh)
+      EntryHelpers.txSpjVersion(s, dir, wh): Unit
+      // the certified read itself runs under the SPJ confs (scoped —
+      // withSqlConf materializes before restoring) with the exchange
+      // count pinned on the pre-sort subplan
+      EntryHelpers.withSqlConf(s,
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false") {
+        val probe = s.sql(
+          """SELECT f.lang, count(*) AS n
+            |FROM graft_tx.db.part f
+            |JOIN graft_tx.db.partw d ON f.lang = d.lang
+            |GROUP BY f.lang""".stripMargin)
+        probe.collect(): Unit
+        val sh = EntryHelpers.shuffleNodes(
+          probe.queryExecution.executedPlan)
+        require(sh.isEmpty,
+          s"expected a shuffle-free storage-partitioned join + " +
+            s"aggregation, found ${sh.size} exchange(s):\n" +
+            probe.queryExecution.executedPlan)
+        s.sql(
+          """SELECT f.lang, count(*) AS n, sum(f.n_chars) AS chars,
+            |  max(d.docs) AS dim_docs
+            |FROM graft_tx.db.part f
+            |JOIN graft_tx.db.partw d ON f.lang = d.lang
+            |GROUP BY f.lang ORDER BY f.lang""".stripMargin)
+      }
+    }),
     // ----- OPTIMIZE ZORDER as a real rewrite (TxTable.compactZOrder
     // scaladoc: Morton key as a scan-side codegen projection, one
     // sampled range shuffle clusters rows into 2-D tiles, fresh stats +
@@ -1650,6 +1688,14 @@ private[graft] object QueriesSearchOps {
       ("""SELECT doc_id, lang, n_chars FROM documents
          |WHERE lang = 'en' AND doc_id % 7 = 0 AND doc_id % 2 = 0
          |ORDER BY doc_id""".stripMargin),
+    // the SPJ replayed: dim_docs is the per-lang doc count (the one
+    // row of db.partw each lang joins)
+    "join_spj" ->
+      ("""SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(n_chars) AS BIGINT) AS chars,
+         |  CAST(count(*) AS BIGINT) AS dim_docs
+         |FROM documents WHERE lang IN ('en', 'de', 'fr', 'es')
+         |GROUP BY lang ORDER BY lang""".stripMargin),
     // the widen replayed: en+de at their original values (served as BIGINT
     // post-widen), fr shifted past Int.MaxValue by the fixture
     "ops_widen_sql" ->

@@ -1040,9 +1040,43 @@ private[graft] final class TxPartitionedScan(
     options: CaseInsensitiveStringMap)
   extends org.apache.spark.sql.connector.read.Scan
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
-  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+  with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   private val partSet = partitionColumns.toSet
+
+  /** STORAGE-PARTITIONED JOINS (the Iceberg SPJ design): report the
+    * layout as KeyGroupedPartitioning over the partition columns, so
+    * two tx tables partitioned the same way JOIN — and a groupBy on
+    * the partition column aggregates — WITHOUT a shuffle (under
+    * spark.sql.sources.v2.bucketing.enabled): Spark groups this scan's
+    * splits by their [[AppendedColsPartition.key]] into one task per
+    * value tuple and aligns both sides' groups. At 100 TB the
+    * co-partitioned fact-fact join is THE shuffle to eliminate — the
+    * exchange would move the whole table. numPartitions is the
+    * planning-time group count; a runtime (DPP) filter only ever
+    * REMOVES whole groups, which BatchScanExec re-groups against the
+    * reported values. Only declared when every partition column is in
+    * the OUTPUT (key expressions resolve against the pruned schema —
+    * same contract as filterAttributes); otherwise the scan reports
+    * unknown partitioning and planning falls back to a shuffle, never
+    * wrong. */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    val allOut = partitionColumns.forall(outSchema.fieldNames.contains)
+    val groups = kept.map(f => partitionColumns.map(c =>
+      TxTable.partitionValuesFromPath(f, partSet).get(c))).distinct.size
+    if (!allOut || groups == 0)
+      new org.apache.spark.sql.connector.read.partitioning
+        .UnknownPartitioning(math.max(groups, 1))
+    else
+      new org.apache.spark.sql.connector.read.partitioning
+        .KeyGroupedPartitioning(
+          partitionColumns.map(c =>
+            org.apache.spark.sql.connector.expressions.Expressions
+              .identity(c)).toArray,
+          groups)
+  }
 
   /** Files surviving the runtime filter (starts at the planning-time
     * kept set); volatile — filter() runs on the driver before the
@@ -1108,8 +1142,13 @@ private[graft] final class TxPartitionedScan(
           val tail: Array[Any] = requiredParts.map(f =>
             TxTable.catalystPartitionValue(
               vals(partitionColumns.indexOf(f.name)), f.dataType)).toArray
+          // the group's FULL partition-value tuple (schema types, not
+          // just the projected subset) keys the splits for SPJ grouping
+          val key = org.apache.spark.sql.catalyst.InternalRow.fromSeq(
+            partitionColumns.zip(vals).map { case (c, v0) =>
+              TxTable.catalystPartitionValue(v0, schema(c).dataType) })
           b.planInputPartitions()
-            .map(p => AppendedColsPartition(p, tail, fac)
+            .map(p => AppendedColsPartition(p, tail, fac, key)
               : org.apache.spark.sql.connector.read.InputPartition)
         }.toArray
       }
@@ -1189,13 +1228,21 @@ private[graft] final class DvGuardedScan(
   * partition values without hive path discovery ([[TxScanBuilder]]).
   * The inner factory travels inside the partition (built per value
   * group on the driver; serializable by design). */
+/** `key` (nullable): the group's partition-value tuple as an
+  * InternalRow — consulted ONLY when the owning scan reports
+  * KeyGroupedPartitioning (storage-partitioned joins); the CDF stream
+  * reuses this wrapper key-less and never reports partitioning. */
 private[sources] case class AppendedColsPartition(
     inner: org.apache.spark.sql.connector.read.InputPartition,
     values: Array[Any],
-    factory: org.apache.spark.sql.connector.read.PartitionReaderFactory)
-  extends org.apache.spark.sql.connector.read.InputPartition {
+    factory: org.apache.spark.sql.connector.read.PartitionReaderFactory,
+    key: org.apache.spark.sql.catalyst.InternalRow = null)
+  extends org.apache.spark.sql.connector.read.InputPartition
+  with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def preferredLocations(): Array[String] =
     inner.preferredLocations()
+  override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow =
+    key
 }
 
 private[sources] object AppendedColsReaderFactory
