@@ -529,6 +529,32 @@ private[graft] object QueriesSearchOps {
           scans.map(_.runtimePruned).mkString(","))
       q()
     }),
+    // ----- partition-column aggregates from the MANIFEST (+ footer
+    // row counts): MIN/MAX over a partition column read the value
+    // layout — zero data bytes — and COUNT sums footer counts; the
+    // LocalScan plan is require-pinned so a regression to a data scan
+    // fails the gate (closes the partition-column refusal the footer
+    // delegation left) -----
+    "count_tx_partcol" -> ((s: SparkSession, dir: String) => {
+      val wh = EntryHelpers.txCatalogWarehouse(s, dir)
+      s.conf.set("spark.sql.catalog.graft_tx", "graft.sources.TxCatalog")
+      s.conf.set("spark.sql.catalog.graft_tx.root", wh)
+      EntryHelpers.txPartitionedVersion(s, dir, wh): Unit
+      EntryHelpers.withSqlConf(s,
+        "spark.sql.parquet.aggregatePushdown" -> "true") {
+        val df = s.sql(
+          """SELECT count(*) AS n, count(lang) AS nl,
+            |  min(lang) AS min_lang, max(lang) AS max_lang
+            |FROM graft_tx.db.part""".stripMargin)
+        val plan = df.queryExecution.executedPlan.toString
+        require(plan.contains("LocalTableScan") ||
+            plan.contains("agg=manifest-partition-values"),
+          "partition-column aggregate did not serve from the manifest")
+        require(!plan.contains("ParquetScan"),
+          "partition-column aggregate scanned data")
+        df
+      }
+    }),
     // ----- STORAGE-PARTITIONED JOIN (TxPartitionedScan reporting
     // KeyGroupedPartitioning): two lang-partitioned tx tables join AND
     // aggregate on lang with ZERO shuffles under v2.bucketing — at
@@ -1688,6 +1714,14 @@ private[graft] object QueriesSearchOps {
       ("""SELECT doc_id, lang, n_chars FROM documents
          |WHERE lang = 'en' AND doc_id % 7 = 0 AND doc_id % 2 = 0
          |ORDER BY doc_id""".stripMargin),
+    // the manifest-served partition aggregate replayed (lang is never
+    // NULL in the fixture, so count(lang) = count(*))
+    "count_tx_partcol" ->
+      ("""SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(count(lang) AS BIGINT) AS nl,
+         |  min(lang) AS min_lang, max(lang) AS max_lang
+         |FROM documents WHERE lang IN ('en', 'de', 'fr', 'es')"""
+        .stripMargin),
     // the SPJ replayed: dim_docs is the per-lang doc count (the one
     // row of db.partw each lang joins)
     "join_spj" ->

@@ -790,19 +790,115 @@ private[graft] final class TxScanBuilder(
         .exists(_.references().exists(r =>
           r.fieldNames().length == 1 && mapping.contains(r.fieldNames()(0))))
 
+  // ---- partition-column aggregates from the MANIFEST: a partition
+  // column has no file bytes — its value IS the path — so MIN/MAX over
+  // it reads from the manifest's value layout, and COUNT needs only
+  // per-file footer ROW COUNTS (the same O(files) metadata envelope the
+  // delegated footer count pays). Row counts also guard the one edge
+  // the manifest alone cannot see: a zero-row file's path value must
+  // not contribute to MIN/MAX. Gated on the SAME conf as the delegated
+  // arm (spark.sql.parquet.aggregatePushdown), no grouping, no filters.
+  private var metaAgg: Option[(StructType, Seq[Any])] = None
+
+  /** The final (schema, values) row for an all-partition-column
+    * aggregation, or None when the shape doesn't qualify. */
+  private def partColAgg(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Option[(StructType, Seq[Any])] = {
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    if (SparkSession.active.conf
+        .get("spark.sql.parquet.aggregatePushdown", "false") != "true")
+      return None
+    if (agg.groupByExpressions().nonEmpty) return None
+    val partSet = partitionColumns.toSet
+    def partRef(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case r: org.apache.spark.sql.connector.expressions.NamedReference
+          if r.fieldNames().length == 1 && partSet(r.fieldNames()(0)) =>
+        Some(r.fieldNames()(0))
+      case _ => None
+    }
+    val specs: Seq[Option[(String, Option[String])]] =
+      agg.aggregateExpressions().toSeq.map {
+        case _: CountStar => Some(("count*", None))
+        case m: Min => partRef(m.column).map(c => ("min", Some(c)))
+        case m: Max => partRef(m.column).map(c => ("max", Some(c)))
+        case c: Count if !c.isDistinct =>
+          partRef(c.column).map(col => ("count", Some(col)))
+        case _ => None
+      }
+    if (specs.exists(_.isEmpty)) return None
+    if (!specs.flatten.exists(_._2.nonEmpty)) return None // all COUNT(*)? let the delegated arm serve it
+    // one footer read per file, bounded-concurrency on the driver —
+    // the exact metadata envelope of the delegated footer count
+    val counts = new java.util.concurrent.ConcurrentHashMap[String,
+      java.lang.Long]()
+    TxTable.runConcurrently(relFiles.size, 8) { i =>
+      val f = relFiles(i)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(dir.resolve(f).toString),
+          new org.apache.hadoop.conf.Configuration()))
+      try counts.put(f, reader.getFooter.getBlocks.asScala
+        .map(_.getRowCount).sum): Unit
+      finally reader.close()
+    }
+    val partSetAll = partitionColumns.toSet
+    def liveValues(c: String): Seq[(String, Long)] = relFiles.flatMap { f =>
+      val rows = counts.get(f).longValue()
+      if (rows == 0L) None
+      else TxTable.partitionValuesFromPath(f, partSetAll).get(c)
+        .map(v => (v, rows))
+    }
+    def typedOrd(c: String): Ordering[String] =
+      schema(c).dataType match {
+        case org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => Ordering.by(_.toLong)
+        case _ => Ordering.String
+      }
+    val fieldsAndValues = specs.flatten.map {
+      case ("count*", None) =>
+        (org.apache.spark.sql.types.StructField("count(*)", org.apache.spark.sql.types.LongType,
+          nullable = false),
+          relFiles.map(f => counts.get(f).longValue()).sum: Any)
+      case ("count", Some(c)) =>
+        (org.apache.spark.sql.types.StructField(s"count($c)", org.apache.spark.sql.types.LongType,
+          nullable = false), liveValues(c).map(_._2).sum: Any)
+      case ("min", Some(c)) =>
+        val vs = liveValues(c).map(_._1)
+        (org.apache.spark.sql.types.StructField(s"min($c)", schema(c).dataType),
+          if (vs.isEmpty) null
+          else TxTable.catalystPartitionValue(
+            Some(vs.min(typedOrd(c))), schema(c).dataType))
+      case ("max", Some(c)) =>
+        val vs = liveValues(c).map(_._1)
+        (org.apache.spark.sql.types.StructField(s"max($c)", schema(c).dataType),
+          if (vs.isEmpty) null
+          else TxTable.catalystPartitionValue(
+            Some(vs.max(typedOrd(c))), schema(c).dataType))
+      case other => throw new IllegalStateException(s"unreachable: $other")
+    }
+    Some((StructType(fieldsAndValues.map(_._1)),
+      fieldsAndValues.map(_._2)))
+  }
+
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate
-        .Aggregation): Boolean =
-    exprFilters.isEmpty && !touchesPartitionColumn(agg) &&
-      !touchesRenamedColumn(agg) &&
-      mkInner(relFiles, "agg-probe", physStruct(dataOnlySchema))
-        .supportCompletePushDown(agg)
+        .Aggregation): Boolean = {
+    if (exprFilters.nonEmpty || touchesRenamedColumn(agg)) return false
+    if (touchesPartitionColumn(agg)) return partColAgg(agg).isDefined
+    mkInner(relFiles, "agg-probe", physStruct(dataOnlySchema))
+      .supportCompletePushDown(agg)
+  }
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate
         .Aggregation): Boolean = {
-    if (exprFilters.nonEmpty || touchesPartitionColumn(agg) ||
-      touchesRenamedColumn(agg)) return false
+    if (exprFilters.nonEmpty || touchesRenamedColumn(agg)) return false
+    if (touchesPartitionColumn(agg)) {
+      metaAgg = partColAgg(agg)
+      return metaAgg.isDefined
+    }
     val inner = mkInner(relFiles, "agg=footer-only",
       physStruct(dataOnlySchema))
     if (!inner.pushAggregation(agg)) return false
@@ -816,6 +912,16 @@ private[graft] final class TxScanBuilder(
   }
 
   private def build0(): org.apache.spark.sql.connector.read.Scan = {
+    metaAgg.foreach { case (sch, vals) =>
+      return new org.apache.spark.sql.connector.read.LocalScan {
+        override def readSchema(): StructType = sch
+        override def rows()
+            : Array[org.apache.spark.sql.catalyst.InternalRow] =
+          Array(org.apache.spark.sql.catalyst.InternalRow.fromSeq(vals))
+        override def description(): String =
+          s"$scanName agg=manifest-partition-values"
+      }
+    }
     aggBuilder.foreach(b => return b.build())
     val kept = relFiles.filter { f =>
       val st = stats.getOrElse(f, Map.empty[String, TxStats.ColStat])
