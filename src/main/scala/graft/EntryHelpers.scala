@@ -763,6 +763,52 @@ private[graft] object EntryHelpers {
         graft.sources.TxTable.latestVersion(tbl).getOrElse(0L))
     }).longValue()
 
+  /** `ops_dynoverwrite` fixture: a lang-partitioned table (`db.dyn`)
+    * whose fr partition is reloaded via SQL `INSERT OVERWRITE` under
+    * partitionOverwriteMode=dynamic (one `dynoverwrite` commit — the
+    * daily-partition-reload shape). The en/de partitions' files must
+    * carry forward VERBATIM — require-pinned here on the manifest. */
+  val txDynDone =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  def txDynVersion(s: SparkSession, dir: String, wh: String): Long =
+    txDynDone.computeIfAbsent(dir, _ => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+      val tbl = s"$wh/db/dyn"
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang").isin("en", "de", "fr")), tbl,
+        "overwrite", partitionBy = Some(Seq("lang")))
+      docs.filter(col("lang") === "fr")
+        .withColumn("n_chars", col("n_chars") + 100000)
+        .createOrReplaceTempView("graft_dyn_fr")
+      val old = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try s.sql(
+        "INSERT OVERWRITE graft_tx.db.dyn SELECT * FROM graft_dyn_fr")
+      finally old match {
+        case Some(v) =>
+          s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None =>
+          s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      val m1 = graft.sources.TxTable.readManifest(
+        java.nio.file.Paths.get(tbl), 1L)
+      val m2 = graft.sources.TxTable.readManifest(
+        java.nio.file.Paths.get(tbl), 2L)
+      require(m2.op == "dynoverwrite",
+        s"expected a dynoverwrite commit, got '${m2.op}'")
+      def lang(f: String) = f.split('/').collectFirst {
+        case seg if seg.startsWith("lang=") => seg.stripPrefix("lang=") }
+      val keptOld = m1.files.filter(f => !lang(f).contains("fr"))
+      require(keptOld.nonEmpty && keptOld.forall(m2.files.contains),
+        "en/de partition files must carry forward VERBATIM through " +
+          "the dynamic overwrite")
+      require(m1.files.filter(f => lang(f).contains("fr"))
+          .forall(f => !m2.files.contains(f)),
+        "fr partition files must be replaced")
+      java.lang.Long.valueOf(2L)
+    }).longValue()
+
   /** `join_dfp` fixture: an UNPARTITIONED table (`db.dfp`) committed in
     * three per-lang slices with per-file BLOOMS on doc_id, plus a
     * file-backed dim of the en doc_ids divisible by 7. doc_id ranges

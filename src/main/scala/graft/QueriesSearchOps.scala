@@ -529,6 +529,20 @@ private[graft] object QueriesSearchOps {
           scans.map(_.runtimePruned).mkString(","))
       q()
     }),
+    // ----- DYNAMIC PARTITION OVERWRITE (INSERT OVERWRITE under
+    // partitionOverwriteMode=dynamic → one `dynoverwrite` commit via
+    // the RowLevelRule conversion): only the fr partition reloads; the
+    // en/de files carry forward verbatim (fixture-pinned on the
+    // manifest) — the daily-partition-reload shape at 100 TB -----
+    "ops_dynoverwrite" -> ((s: SparkSession, dir: String) => {
+      val wh = EntryHelpers.txCatalogWarehouse(s, dir)
+      s.conf.set("spark.sql.catalog.graft_tx", "graft.sources.TxCatalog")
+      s.conf.set("spark.sql.catalog.graft_tx.root", wh)
+      EntryHelpers.txDynVersion(s, dir, wh): Unit
+      s.sql(
+        """SELECT doc_id, lang, n_chars FROM graft_tx.db.dyn
+          |ORDER BY doc_id""".stripMargin)
+    }),
     // ----- partition-column aggregates from the MANIFEST (+ footer
     // row counts): MIN/MAX over a partition column read the value
     // layout — zero data bytes — and COUNT sums footer counts; the
@@ -1713,6 +1727,15 @@ private[graft] object QueriesSearchOps {
     "join_dfp" ->
       ("""SELECT doc_id, lang, n_chars FROM documents
          |WHERE lang = 'en' AND doc_id % 7 = 0 AND doc_id % 2 = 0
+         |ORDER BY doc_id""".stripMargin),
+    // the dynamic reload replayed: en+de untouched, fr's n_chars
+    // shifted by the fixture
+    "ops_dynoverwrite" ->
+      ("""SELECT doc_id, lang, n_chars FROM documents
+         |WHERE lang IN ('en', 'de')
+         |UNION ALL
+         |SELECT doc_id, lang, n_chars + 100000 FROM documents
+         |WHERE lang = 'fr'
          |ORDER BY doc_id""".stripMargin),
     // the manifest-served partition aggregate replayed (lang is never
     // NULL in the fixture, so count(lang) = count(*))

@@ -636,8 +636,20 @@ private[graft] class TxSqlTable(tableName: String, dir: Path, version: Long,
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: DataFrame, ovw: Boolean): Unit = {
+              // INSERT OVERWRITE honors Spark's partitionOverwriteMode
+              // (the stock file-table contract): under `dynamic` on a
+              // partitioned table, only the partitions PRESENT in the
+              // data replace — the daily-partition-reload shape;
+              // `static` (default) truncates the whole table.
+              val dynamic = (overwrite || ovw) &&
+                manifest.partitionColumns.nonEmpty &&
+                SparkSession.active.conf.get(
+                  "spark.sql.sources.partitionOverwriteMode", "static")
+                  .equalsIgnoreCase("dynamic")
               TxTable.commit(data, dir.toString,
-                if (overwrite || ovw) "overwrite" else "append"): Unit
+                if (dynamic) "dynoverwrite"
+                else if (overwrite || ovw) "overwrite"
+                else "append"): Unit
             }
           }
       }

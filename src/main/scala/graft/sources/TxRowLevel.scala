@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, AttributeSet, Expression, SubqueryExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, LogicalPlan, MergeAction, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, LogicalPlan, MergeAction, MergeIntoTable, OverwritePartitionsDynamic, SubqueryAlias, UpdateAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -87,6 +87,22 @@ private[graft] object TxRowLevel {
             TxUpdateCommand(tx.tablePath.toString, rel.output,
               assignments, cond)
           case None => u
+        }
+      case o @ OverwritePartitionsDynamic(tbl, query, _, _, _)
+          if o.resolved =>
+        txRelation(tbl) match {
+          case Some((_, tx)) =>
+            // INSERT OVERWRITE under partitionOverwriteMode=dynamic:
+            // Spark plans OverwritePartitionsDynamic (TxSqlTable
+            // reports its partitioning), but ships no V1 fallback exec
+            // for it — so the analyzed plan becomes the engine's own
+            // command, the same post-hoc conversion UPDATE/MERGE use.
+            // ResolveInsertInto already aligned the query to the table
+            // column order; commit("dynoverwrite") replaces exactly
+            // the partitions present in the frame.
+            requireWritable(tx, "INSERT OVERWRITE (dynamic)")
+            TxDynOverwriteCommand(tx.tablePath.toString, query)
+          case None => o
         }
       case m: MergeIntoTable if m.resolved =>
         txRelation(m.targetTable) match {
@@ -498,6 +514,24 @@ private[graft] final case class TxMergeCommand(
       TxTable.replaceFiles(spark, tableDir, m, untouched,
         base.filter(keep).select(outCols: _*), "merge")
     }
+    Seq.empty
+  }
+}
+
+/** `INSERT OVERWRITE` under partitionOverwriteMode=dynamic on a
+  * partitioned tx table ([[TxRowLevel.RowLevelRule]]'s conversion):
+  * one `dynoverwrite` commit — only the partitions PRESENT in the
+  * query's result replace, every other partition's files carry
+  * forward verbatim (TxTable.commit mode `dynoverwrite` scaladoc). */
+private[graft] final case class TxDynOverwriteCommand(
+    tableDir: String,
+    query: LogicalPlan) extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(query)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    TxTable.commit(GraftBridge.ofRows(spark, query), tableDir,
+      "dynoverwrite"): Unit
     Seq.empty
   }
 }

@@ -251,19 +251,33 @@ object TxTable {
              partitionBy: Option[Seq[String]] = None,
              constraints: Map[String, String] = Map.empty,
              properties: Map[String, String] = Map.empty): Long = {
-    require(mode == "overwrite" || mode == "append",
-      s"mode must be overwrite|append, got '$mode'")
+    require(mode == "overwrite" || mode == "append" ||
+        mode == "dynoverwrite",
+      s"mode must be overwrite|append|dynoverwrite, got '$mode'")
     validateProperties(properties)
     val root = Paths.get(tableDir)
     Files.createDirectories(root.resolve(LogDir))
     val prev0 = latestVersion(tableDir).map(v => readManifest(root, v))
     val effParts: Seq[String] =
       partitionBy.getOrElse(prev0.map(_.partitionColumns).getOrElse(Nil))
-    if (mode == "append") prev0.foreach(p => require(
+    if (mode != "overwrite") prev0.foreach(p => require(
       effParts == p.partitionColumns,
-      s"append partitioning ${effParts.mkString(",")} does not match " +
+      s"$mode partitioning ${effParts.mkString(",")} does not match " +
         s"the table's ${p.partitionColumns.mkString(",")} — relayout " +
         "with an overwrite commit"))
+    // DYNAMIC PARTITION OVERWRITE (the daily-partition-reload shape —
+    // Spark's partitionOverwriteMode=dynamic on file tables, Iceberg's
+    // replacePartitions): only partitions PRESENT in the frame replace;
+    // every other partition's files carry forward verbatim
+    if (mode == "dynoverwrite") {
+      require(prev0.nonEmpty,
+        "dynamic partition overwrite needs an existing table — use " +
+          "overwrite for the first commit")
+      require(effParts.nonEmpty,
+        s"dynamic partition overwrite needs a PARTITIONED table — " +
+          s"$tableDir has no partition columns (it would replace " +
+          "everything; say overwrite if that is meant)")
+    }
     if (effParts.nonEmpty) {
       require(!mergeSchema,
         "mergeSchema is not supported on partitioned tables — evolve " +
@@ -294,18 +308,19 @@ object TxTable {
     val df2 = dfOrdered
     val prev = prev0
     val committedSchema: StructType = prev match {
-      case Some(m) if mode == "append" =>
+      case Some(m) if mode != "overwrite" =>
         val table = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
-        if (mergeSchema) mergeSchemas(table, df.schema)
+        if (mergeSchema && mode == "append") mergeSchemas(table, df.schema)
         else {
           // Nullability-insensitive compare: a frame read back from
           // parquet comes out all-nullable, which must still append to a
           // table whose schema was committed from a non-nullable source
           // (same contract as Spark's own insertInto resolution).
           require(asNullable(table) == asNullable(df2.schema),
-            s"append schema ${df2.schema.simpleString} does not match " +
-              s"table schema ${table.simpleString} — pass " +
-              "mergeSchema = true to evolve deliberately")
+            s"$mode schema ${df2.schema.simpleString} does not match " +
+              s"table schema ${table.simpleString}" +
+              (if (mode == "append") " — pass mergeSchema = true to " +
+                "evolve deliberately" else ""))
           df2.schema
         }
       case _ => df2.schema
@@ -325,11 +340,13 @@ object TxTable {
       prev.map(_.constraints).getOrElse(Map.empty) ++ constraints
     enforceConstraints(df2, effConstraints,
       s"the $mode commit to $tableDir")
-    // appends inherit the table's column mapping (staging renames
+    // appends (and dynamic overwrites — they keep other partitions'
+    // bytes) inherit the table's column mapping (staging renames
     // logical → physical so new files agree with old bytes); an
     // overwrite defines a fresh snapshot — identity mapping
     val effMapping: Map[String, String] =
-      if (mode == "append") prev.map(_.columnMapping).getOrElse(Map.empty)
+      if (mode != "overwrite")
+        prev.map(_.columnMapping).getOrElse(Map.empty)
       else Map.empty
     // the write→list→stats block is the SHARED staging phase — one
     // implementation serves direct commits and atomic CTAS/RTAS
@@ -337,9 +354,20 @@ object TxTable {
     val staged =
       if (effParts.isEmpty) stageData(dfPhys, tableDir)
       else stageDataPartitioned(dfPhys, tableDir, effParts)
-    val carried =
-      if (mode == "append") prev.map(_.files).getOrElse(Seq.empty)
-      else Seq.empty
+    val carried = mode match {
+      case "append" => prev.map(_.files).getOrElse(Seq.empty)
+      case "dynoverwrite" =>
+        // carry every file whose partition-value tuple the staged data
+        // does NOT touch; the frame's tuples come from the staged file
+        // PATHS — the same derivation every reader uses
+        val partSet = effParts.toSet
+        val replaced = staged.files
+          .map(f => partitionValuesFromPath(f, partSet)).toSet
+        prev.map(_.files.filterNot(f =>
+          replaced(partitionValuesFromPath(f, partSet))))
+          .getOrElse(Seq.empty)
+      case _ => Seq.empty
+    }
     val version = prev.map(_.version + 1).getOrElse(1L)
     // `requireVersion` closes the CREATE TOCTOU: a table-creating commit
     // must land as v1 or not at all — if a concurrent writer published
@@ -360,7 +388,7 @@ object TxTable {
     // O(files²) driver time on a 100k-file append
     val carriedSet = carried.toSet
     val carriedStats =
-      if (mode == "append")
+      if (mode != "overwrite")
         prev.map(m => m.stats.view.filterKeys(carriedSet).toMap)
           .getOrElse(Map.empty)
       else Map.empty[String, Map[String, TxStats.ColStat]]
@@ -368,19 +396,22 @@ object TxTable {
     // distributed pass per column over the fresh commit dir; carried
     // files keep the blooms they were committed with
     val carriedBlooms =
-      if (mode == "append")
+      if (mode != "overwrite")
         prev.map(m => m.blooms.view.filterKeys(carriedSet).toMap)
           .getOrElse(Map.empty)
       else Map.empty[String, Map[String, TxStats.FileBloom]]
     val newBlooms = TxStats.buildFileBlooms(df2.sparkSession,
       root.resolve(staged.dataRel), staged.files, dfPhys.schema,
       bloomColumns.map(c => physicalName(effMapping, c)))
-    // deletion vectors: an append must carry the snapshot's tombstones
-    // (dropping them would RESURRECT deleted rows); an overwrite
-    // replaces every row, so none survive. Table properties are
-    // configuration — they survive both modes, like constraints.
+    // deletion vectors: an append (or dynamic overwrite — untouched
+    // partitions' files keep their tombstones) must carry the
+    // snapshot's sidecars (dropping them would RESURRECT deleted rows;
+    // entries for replaced files are inert — their paths left the
+    // snapshot); a full overwrite replaces every row, so none survive.
+    // Table properties are configuration — they survive all modes,
+    // like constraints.
     val carriedDvs =
-      if (mode == "append") prev.map(_.dvDirs).getOrElse(Nil) else Nil
+      if (mode != "overwrite") prev.map(_.dvDirs).getOrElse(Nil) else Nil
     val effProps = prev.map(_.properties).getOrElse(Map.empty) ++ properties
     val manifest = Manifest(version, opLabel.getOrElse(mode),
       committedSchema.json, carried ++ staged.files,
