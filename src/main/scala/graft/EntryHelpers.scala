@@ -809,6 +809,44 @@ private[graft] object EntryHelpers {
       java.lang.Long.valueOf(2L)
     }).longValue()
 
+  /** `ops_replacewhere` fixture: a lang-partitioned table (`db.rpw`)
+    * whose de partition is backfilled via SQL `INSERT OVERWRITE …
+    * PARTITION (lang = 'de')` — the static spec arrives as an
+    * OverwriteByExpression filter and executes as ONE atomic
+    * `replacewhere` commit (TxTable.replaceWhere); en/fr files carry
+    * forward verbatim, require-pinned on the manifest. */
+  val txRpwDone =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  def txRpwVersion(s: SparkSession, dir: String, wh: String): Long =
+    txRpwDone.computeIfAbsent(dir, _ => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+      val tbl = s"$wh/db/rpw"
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang").isin("en", "de", "fr")), tbl,
+        "overwrite", partitionBy = Some(Seq("lang")))
+      docs.filter(col("lang") === "de")
+        .select(col("doc_id"), (col("n_chars") + 500000).as("n_chars"))
+        .createOrReplaceTempView("graft_rpw_de")
+      s.sql(
+        """INSERT OVERWRITE graft_tx.db.rpw PARTITION (lang = 'de')
+          |SELECT doc_id, n_chars FROM graft_rpw_de""".stripMargin)
+      val m1 = graft.sources.TxTable.readManifest(
+        java.nio.file.Paths.get(tbl), 1L)
+      val m2 = graft.sources.TxTable.readManifest(
+        java.nio.file.Paths.get(tbl), 2L)
+      require(m2.op == "replacewhere",
+        s"expected a replacewhere commit, got '${m2.op}'")
+      def isDe(f: String) = f.contains("lang=de")
+      val kept = m1.files.filterNot(isDe)
+      require(kept.nonEmpty && kept.forall(m2.files.contains),
+        "en/fr partition files must carry forward VERBATIM through " +
+          "the scoped overwrite")
+      require(m1.files.filter(isDe).forall(f => !m2.files.contains(f)),
+        "de partition files must be replaced")
+      java.lang.Long.valueOf(2L)
+    }).longValue()
+
   /** `join_dfp` fixture: an UNPARTITIONED table (`db.dfp`) committed in
     * three per-lang slices with per-file BLOOMS on doc_id, plus a
     * file-backed dim of the en doc_ids divisible by 7. doc_id ranges

@@ -543,6 +543,20 @@ private[graft] object QueriesSearchOps {
         """SELECT doc_id, lang, n_chars FROM graft_tx.db.dyn
           |ORDER BY doc_id""".stripMargin)
     }),
+    // ----- PREDICATE-SCOPED OVERWRITE (Delta's replaceWhere, SQL
+    // surface: INSERT OVERWRITE with a static PARTITION spec → ONE
+    // atomic replacewhere commit; incoming rows outside the predicate
+    // refuse; untouched partitions' files carry verbatim,
+    // fixture-pinned) — the backfill-a-range shape -----
+    "ops_replacewhere" -> ((s: SparkSession, dir: String) => {
+      val wh = EntryHelpers.txCatalogWarehouse(s, dir)
+      s.conf.set("spark.sql.catalog.graft_tx", "graft.sources.TxCatalog")
+      s.conf.set("spark.sql.catalog.graft_tx.root", wh)
+      EntryHelpers.txRpwVersion(s, dir, wh): Unit
+      s.sql(
+        """SELECT doc_id, lang, n_chars FROM graft_tx.db.rpw
+          |ORDER BY doc_id""".stripMargin)
+    }),
     // ----- partition-column aggregates from the MANIFEST (+ footer
     // row counts): MIN/MAX over a partition column read the value
     // layout — zero data bytes — and COUNT sums footer counts; the
@@ -1727,6 +1741,15 @@ private[graft] object QueriesSearchOps {
     "join_dfp" ->
       ("""SELECT doc_id, lang, n_chars FROM documents
          |WHERE lang = 'en' AND doc_id % 7 = 0 AND doc_id % 2 = 0
+         |ORDER BY doc_id""".stripMargin),
+    // the scoped backfill replayed: en+fr untouched, de's n_chars
+    // shifted by the fixture
+    "ops_replacewhere" ->
+      ("""SELECT doc_id, lang, n_chars FROM documents
+         |WHERE lang IN ('en', 'fr')
+         |UNION ALL
+         |SELECT doc_id, lang, n_chars + 500000 FROM documents
+         |WHERE lang = 'de'
          |ORDER BY doc_id""".stripMargin),
     // the dynamic reload replayed: en+de untouched, fr's n_chars
     // shifted by the fixture

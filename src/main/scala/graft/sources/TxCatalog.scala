@@ -582,12 +582,12 @@ private[graft] class TxSqlTable(tableName: String, dir: Path, version: Long,
       if (manifest.partitionColumns.isEmpty)
         util.EnumSet.of(TableCapability.BATCH_READ,
           TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
-          TableCapability.TRUNCATE,
+          TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
           TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
       else
         util.EnumSet.of(TableCapability.BATCH_READ,
           TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
-          TableCapability.TRUNCATE)
+          TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
     else util.EnumSet.of(TableCapability.BATCH_READ)
   override def properties(): util.Map[String, String] =
     (Map("format" -> "graft-txtable", "location" -> dir.toString,
@@ -629,9 +629,24 @@ private[graft] class TxSqlTable(tableName: String, dir: Path, version: Long,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(writable, s"$tableName: writes only target the latest " +
       "version — load the table without VERSION/TIMESTAMP AS OF")
-    new WriteBuilder with SupportsTruncate {
+    new WriteBuilder with SupportsTruncate
+        with org.apache.spark.sql.connector.write.SupportsOverwrite {
       private var overwrite = false
+      private var replaceFilters
+          : Seq[org.apache.spark.sql.sources.Filter] = Nil
       override def truncate(): WriteBuilder = { overwrite = true; this }
+      // `INSERT OVERWRITE t PARTITION (p = v)` static specs and
+      // `writeTo(t).overwrite(cond)` arrive here as source filters —
+      // a predicate-scoped replaceWhere; the degenerate AlwaysTrue is
+      // a plain truncate (Spark sends it for unscoped overwrites)
+      override def overwrite(
+          filters: Array[org.apache.spark.sql.sources.Filter])
+          : WriteBuilder = {
+        val real = filters.toSeq.filterNot(
+          _.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])
+        if (real.isEmpty) overwrite = true else replaceFilters = real
+        this
+      }
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
@@ -641,6 +656,11 @@ private[graft] class TxSqlTable(tableName: String, dir: Path, version: Long,
               // partitioned table, only the partitions PRESENT in the
               // data replace — the daily-partition-reload shape;
               // `static` (default) truncates the whole table.
+              if (replaceFilters.nonEmpty) {
+                TxTable.replaceWhere(SparkSession.active, dir.toString,
+                  replaceFilters, data): Unit
+                return
+              }
               val dynamic = (overwrite || ovw) &&
                 manifest.partitionColumns.nonEmpty &&
                 SparkSession.active.conf.get(

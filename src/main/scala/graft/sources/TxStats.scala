@@ -87,6 +87,9 @@ object TxStats {
       case EqualTo(a, v) if v != null =>
         blooms.get(a).exists(b =>
           bloomKey(v, b.isString).exists(k => !b.mightContain(k)))
+      case EqualNullSafe(a, v) if v != null =>
+        // non-null `<=>` matches exactly what `=` does (see excludes)
+        bloomExcludes(blooms, EqualTo(a, v))
       case In(a, vs) if vs != null && vs.nonEmpty =>
         vs.forall(v => v != null && bloomExcludes(blooms, EqualTo(a, v)))
       case And(l, r) => bloomExcludes(blooms, l) || bloomExcludes(blooms, r)
@@ -279,6 +282,12 @@ object TxStats {
     }
     filter match {
       case EqualTo(a, v) =>
+        outside(a, v, (cmpMin, cmpMax) => cmpMin < 0 || cmpMax > 0)
+      case EqualNullSafe(a, v) if v != null =>
+        // with a NON-NULL literal, `<=>` matches exactly what `=` does
+        // (null rows match neither), so the same interval test proves
+        // the file out; a NULL literal matches null rows, whose
+        // presence stats cannot disprove — keep (the default arm)
         outside(a, v, (cmpMin, cmpMax) => cmpMin < 0 || cmpMax > 0)
       case GreaterThan(a, v) => // rows > v exist only if max > v
         outside(a, v, (_, cmpMax) => cmpMax >= 0)

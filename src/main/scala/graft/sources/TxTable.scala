@@ -1220,6 +1220,72 @@ object TxTable {
       primitive)
   }
 
+  /** Predicate-scoped overwrite (Delta's `replaceWhere`, and the V1
+    * execution of `INSERT OVERWRITE … PARTITION (p = v)` static specs
+    * and `writeTo(t).overwrite(cond)`): ONE atomic commit that deletes
+    * every row matching `filters` and adds `data` — "backfill this
+    * date range" without touching any other range. Cost shape is
+    * [[deleteWhere]]'s: candidate files prune through stats/blooms
+    * (provably-untouched files carry forward VERBATIM with stats,
+    * blooms, and tombstones), the rewrite reads only candidates, and
+    * the whole thing is one OCC publish — loud on a lost race.
+    *
+    * The Delta contract check: every incoming row must SATISFY the
+    * predicate — rows outside it would silently survive the very next
+    * replaceWhere of their own range twice (the caller said "this
+    * commit is scoped to `filters`"; data beyond the scope is a bug),
+    * so they refuse loudly before anything stages. */
+  def replaceWhere(spark: SparkSession, tableDir: String,
+                   filters: Seq[org.apache.spark.sql.sources.Filter],
+                   data: DataFrame,
+                   primitive: CommitPrimitive = PosixLinkPrimitive): Long = {
+    require(filters.nonEmpty, "replaceWhere needs a predicate — use " +
+      "mode=overwrite to replace the whole table")
+    val root = Paths.get(tableDir)
+    val v = latestVersion(tableDir).getOrElse(
+      throw new IllegalStateException(
+        s"no committed version under $tableDir/$LogDir"))
+    val m = readManifest(root, v)
+    val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    val ordered = data.select(schema.fieldNames.toSeq
+      .map(functions.col): _*)
+    require(asNullable(schema) == asNullable(ordered.schema),
+      s"replaceWhere schema ${ordered.schema.simpleString} does not " +
+        s"match table schema ${schema.simpleString}")
+    val cond: org.apache.spark.sql.Column = filters
+      .map(f => SourceFilterColumns.toColumn(f).getOrElse(
+        throw new UnsupportedOperationException(
+          s"replaceWhere condition not expressible as a source " +
+            s"filter: $f")))
+      .reduce(_ && _)
+    val stray = ordered
+      .filter(!functions.coalesce(cond, functions.lit(false)))
+      .limit(1).collect()
+    if (stray.nonEmpty) throw new IllegalArgumentException(
+      s"replaceWhere data contains rows OUTSIDE the predicate " +
+        s"(${filters.mkString(" AND ")}) — first: ${stray.head}; " +
+        "scope the data or widen the predicate")
+    val (lst, lbl) = (logicalStats(m), logicalBlooms(m))
+    val (touched, untouched) = m.files.partition { f =>
+      val st = lst.getOrElse(f, Map.empty[String, TxStats.ColStat])
+      val bl = lbl.getOrElse(f, Map.empty[String, TxStats.FileBloom])
+      !filters.exists(fl =>
+        TxStats.excludes(st, schema, fl) || TxStats.bloomExcludes(bl, fl))
+    }
+    // survivors of candidate files (rows the predicate does NOT match —
+    // NULL-condition rows survive, like ANSI DELETE) plus the new data,
+    // staged as one rewrite
+    val survivors =
+      if (touched.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else readSnapshotFiles(spark, tableDir, schema, m.partitionColumns,
+          touched, m.dvDirs, mapping = m.columnMapping)
+        .filter(!functions.coalesce(cond, functions.lit(false)))
+    replaceFiles(spark, tableDir, m, untouched,
+      survivors.unionByName(ordered), "replacewhere", primitive)
+  }
+
   /** The table property that routes DELETE through deletion vectors. */
   val DvProperty = "tx.deletionVectors"
 
