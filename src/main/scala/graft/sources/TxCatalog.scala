@@ -978,7 +978,8 @@ private[graft] final class TxScanBuilder(
       }
       new TxFlatScan(kept, stats, blooms, schema,
         TxRuntimeFilter.filterableColumns(
-          required.fieldNames.toSeq, Nil, stats, blooms), buildInner)
+          required.fieldNames.toSeq, Nil, stats, blooms),
+        relFiles.size - kept.size, buildInner)
     } else {
       // PARTITIONED snapshot: hive path discovery cannot serve files
       // spanning many commit dirs (conflicting roots), so the MANIFEST
@@ -1004,9 +1005,41 @@ private[graft] final class TxScanBuilder(
       new TxPartitionedScan(scanName, skipTag, dir, kept, stats, blooms,
         schema, outSchema, partitionColumns, requiredParts,
         physStruct(dataSchema), physStruct(requiredData),
-        dataFilters.map(toPhys), options)
+        dataFilters.map(toPhys), relFiles.size - kept.size, options)
     }
   }
+}
+
+/** A driver-reported SQL metric (shown on the BatchScan node in the
+  * Spark UI): how many files the manifest skipped at planning and how
+  * many a runtime (DPP/DFP) filter pruned — the two numbers that tell
+  * an operator whether the skipping layer is EARNING anything on a
+  * query, without reading logs. */
+private[graft] final class DriverSumMetric(mName: String, desc: String)
+  extends org.apache.spark.sql.connector.metric.CustomMetric {
+  override def name(): String = mName
+  override def description(): String = desc
+  override def aggregateTaskMetrics(taskMetrics: Array[Long]): String =
+    taskMetrics.sum.toString
+}
+
+private[graft] object TxScanMetrics {
+  def supported: Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(
+      new DriverSumMetric("filesSkipped",
+        "files skipped by manifest stats/blooms at planning"),
+      new DriverSumMetric("filesRuntimePruned",
+        "files pruned by runtime (dynamic partition/file) filters"))
+  def report(skipped: Long, runtimePruned: Long)
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(
+      taskMetric("filesSkipped", skipped),
+      taskMetric("filesRuntimePruned", runtimePruned))
+  private def taskMetric(n: String, v: Long) =
+    new org.apache.spark.sql.connector.metric.CustomTaskMetric {
+      override def name(): String = n
+      override def value(): Long = v
+    }
 }
 
 /** Shared engine of DSv2 runtime filtering (dynamic partition pruning
@@ -1087,6 +1120,7 @@ private[graft] final class TxFlatScan(
     blooms: Map[String, Map[String, TxStats.FileBloom]],
     schema: StructType,
     filterable: Seq[String],
+    plannedSkipped: Int,
     buildInner: Seq[String] => org.apache.spark.sql.connector.read.Scan)
   extends org.apache.spark.sql.connector.read.Scan
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
@@ -1132,6 +1166,13 @@ private[graft] final class TxFlatScan(
     runtimePruned += before - runtimeKept.size
   }
 
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    TxScanMetrics.supported
+  override def reportDriverMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    TxScanMetrics.report(plannedSkipped, runtimePruned)
+
   override def toBatch: org.apache.spark.sql.connector.read.Batch =
     new org.apache.spark.sql.connector.read.Batch {
       override def planInputPartitions()
@@ -1175,6 +1216,7 @@ private[graft] final class TxPartitionedScan(
     requiredParts: Seq[org.apache.spark.sql.types.StructField],
     physDataSchema: StructType, physRequiredData: StructType,
     physDataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+    plannedSkipped: Int,
     options: CaseInsensitiveStringMap)
   extends org.apache.spark.sql.connector.read.Scan
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
@@ -1259,6 +1301,12 @@ private[graft] final class TxPartitionedScan(
     }
   override def readSchema(): StructType = outSchema
   override def description(): String = s"$scanName $skipTag"
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    TxScanMetrics.supported
+  override def reportDriverMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    TxScanMetrics.report(plannedSkipped, runtimePruned)
   override def toBatch: org.apache.spark.sql.connector.read.Batch =
     new org.apache.spark.sql.connector.read.Batch {
       override def planInputPartitions()

@@ -197,6 +197,50 @@ class TxDppSpec extends SparkSpec {
       Array(inPred(TxRuntimeFilter.MaxRuntimeInValues + 1))) == Seq("f1"))
   }
 
+  test("skip and runtime-prune counts surface as SQL metrics on the scan node") {
+    import spark.implicits._
+    val tbl = tmp()
+    (0 to 2).foreach { k =>
+      TxTable.commit(
+        (1 to 50).map(i => (k * 1000 + i.toLong, i * 2L)).toDF("id", "n")
+          .coalesce(1),
+        tbl, if (k == 0) "overwrite" else "append")
+    }
+    val wh = tbl.stripSuffix("/tbl")
+    spark.conf.set("spark.sql.catalog.txmet", "graft.sources.TxCatalog")
+    spark.conf.set("spark.sql.catalog.txmet.root", wh)
+    val dimDir = Files.createTempDirectory("txmet-dim-").toString
+    Seq((2010L, "keep")).toDF("id", "flag")
+      .write.mode("overwrite").parquet(dimDir)
+    spark.read.parquet(dimDir).createOrReplaceTempView("txmet_dim")
+    val q = spark.sql(
+      s"""SELECT f.id FROM txmet.tbl f
+         |JOIN txmet_dim d ON f.id = d.id
+         |WHERE d.flag = 'keep'""".stripMargin)
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(2010L))
+    def scanExecs(p: SparkPlan): Seq[BatchScanExec] = {
+      val kids: Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(s.plan)
+        case other => other.children
+      }
+      (p match {
+        case b: BatchScanExec if b.scan.isInstanceOf[TxFlatScan] => Seq(b)
+        case _ => Nil
+      }) ++ kids.flatMap(scanExecs)
+    }
+    val execs = scanExecs(q.queryExecution.executedPlan)
+    assert(execs.nonEmpty)
+    val metrics = execs.head.metrics
+    assert(metrics.contains("filesRuntimePruned") &&
+      metrics("filesRuntimePruned").value == 2,
+      s"expected 2 runtime-pruned files in SQL metrics, got " +
+        metrics.get("filesRuntimePruned").map(_.value))
+    assert(metrics.contains("filesSkipped"),
+      "planning-skip metric must be declared on the scan node")
+  }
+
   test("a runtime filter never prunes the null-valued group (kept conservatively)") {
     import spark.implicits._
     val tbl = tmp()

@@ -123,6 +123,44 @@ class TxSpjSpec extends SparkSpec {
     }
   }
 
+  test("bucketed pattern: high-cardinality join co-partitioned by a bucket column") {
+    import spark.implicits._
+    // the Iceberg bucket-join shape with an EXPLICIT bucket column:
+    // both sides partitioned by idb = id % 8, joined on (idb, id) —
+    // partition keys ⊆ join keys, so KeyGroupedPartitioning satisfies
+    // the join's clustering on both sides with zero shuffles
+    val a = tmp("txspj-ba-")
+    val b = tmp("txspj-bb-")
+    def bucketed(rows: Seq[(Long, Long)]) =
+      rows.toDF("id", "v").withColumn("idb",
+        (col("id") % 8).cast("int"))
+    TxTable.commit(bucketed((1 to 400).map(i => (i.toLong, i * 2L))),
+      a, "overwrite", partitionBy = Some(Seq("idb")))
+    TxTable.commit(bucketed((1 to 400 by 4).map(i => (i.toLong, i * 3L))),
+      b, "overwrite", partitionBy = Some(Seq("idb")))
+    spark.conf.set("spark.sql.catalog.spjk", "graft.sources.TxCatalog")
+    spark.conf.set("spark.sql.catalog.spjk.root", a.stripSuffix("/tbl"))
+    spark.conf.set("spark.sql.catalog.spjl", "graft.sources.TxCatalog")
+    spark.conf.set("spark.sql.catalog.spjl.root", b.stripSuffix("/tbl"))
+    // partition keys (idb) are a strict SUBSET of the join keys
+    // (idb, id): co-partition on the subset is sound (equal idb ⇒ same
+    // group) but gated behind Spark's requireAllClusterKeysForCoPartition
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    try withSpj {
+      val q = spark.sql(
+        """SELECT f.id, f.v, d.v AS dv FROM spjk.tbl f
+          |JOIN spjl.tbl d ON f.idb = d.idb AND f.id = d.id""".stripMargin)
+      val rows = q.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      assert(rows.length == 100)
+      assert(rows.forall { case (id, v, dv) => v == id * 2 && dv == id * 3 })
+      assert(shuffles(q.queryExecution.executedPlan).isEmpty,
+        "expected a shuffle-free bucket-co-partitioned join, got:\n" +
+          q.queryExecution.executedPlan)
+    } finally spark.conf.unset(
+      "spark.sql.requireAllClusterKeysForCoPartition")
+  }
+
   test("a scan that prunes the partition column away reports unknown partitioning") {
     import spark.implicits._
     val t = tmp("txspj-u-")
