@@ -161,6 +161,41 @@ class TxSpjSpec extends SparkSpec {
       "spark.sql.requireAllClusterKeysForCoPartition")
   }
 
+  test("mismatched partition sets still join shuffle-free (pushPartValues)") {
+    import spark.implicits._
+    val a = tmp("txspj-ma-")
+    val b = tmp("txspj-mb-")
+    // left has en/de/fr, right only en/de — Spark's v2 bucketing push
+    // fills the missing group so the sides stay aligned without an
+    // exchange; the fr rows simply find no partner (inner join)
+    TxTable.commit(
+      (1 to 90).map(i => (i.toLong, Seq("en", "de", "fr")(i % 3)))
+        .toDF("id", "lang"),
+      a, "overwrite", partitionBy = Some(Seq("lang")))
+    TxTable.commit(
+      Seq(("en", 1L), ("de", 2L)).toDF("lang", "w"),
+      b, "overwrite", partitionBy = Some(Seq("lang")))
+    spark.conf.set("spark.sql.catalog.spjm", "graft.sources.TxCatalog")
+    spark.conf.set("spark.sql.catalog.spjm.root", a.stripSuffix("/tbl"))
+    spark.conf.set("spark.sql.catalog.spjn", "graft.sources.TxCatalog")
+    spark.conf.set("spark.sql.catalog.spjn.root", b.stripSuffix("/tbl"))
+    spark.conf.set(
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    try withSpj {
+      val q = spark.sql(
+        """SELECT f.id, d.w FROM spjm.tbl f
+          |JOIN spjn.tbl d ON f.lang = d.lang""".stripMargin)
+      val rows = q.collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.length == 60) // fr third drops out
+      assert(rows.forall { case (id, w) =>
+        (id % 3 == 0 && w == 1L) || (id % 3 == 1 && w == 2L) })
+      assert(shuffles(q.queryExecution.executedPlan).isEmpty,
+        "expected a shuffle-free join across mismatched partition " +
+          "sets, got:\n" + q.queryExecution.executedPlan)
+    } finally spark.conf.unset(
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled")
+  }
+
   test("a scan that prunes the partition column away reports unknown partitioning") {
     import spark.implicits._
     val t = tmp("txspj-u-")
