@@ -543,6 +543,52 @@ private[graft] object QueriesSearchOps {
         """SELECT doc_id, lang, n_chars FROM graft_tx.db.dyn
           |ORDER BY doc_id""".stripMargin)
     }),
+    // ----- NULL-COUNT FILE SKIPPING (ColStat.nulls/rows): IS NOT NULL
+    // proves out the all-null en file before any footer opens; the
+    // kept-path count is require-pinned from the manifest's own
+    // excludes decision, and the certified read is the surviving
+    // non-null rows vs the DuckDB replay -----
+    "ops_nullskip" -> ((s: SparkSession, dir: String) => {
+      val wh = EntryHelpers.txCatalogWarehouse(s, dir)
+      s.conf.set("spark.sql.catalog.graft_tx", "graft.sources.TxCatalog")
+      s.conf.set("spark.sql.catalog.graft_tx.root", wh)
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val tbl = s"$wh/db/nul"
+      if (graft.sources.TxTable.latestVersion(tbl).isEmpty) {
+        // en: score all NULL; de: null-free; fr: mixed by doc_id parity
+        graft.sources.TxTable.commit(
+          docs.filter(col("lang") === "en").select(col("doc_id"),
+            lit(null).cast("long").as("score")), tbl, "overwrite")
+        graft.sources.TxTable.commit(
+          docs.filter(col("lang") === "de").select(col("doc_id"),
+            col("n_chars").as("score")), tbl, "append")
+        graft.sources.TxTable.commit(
+          docs.filter(col("lang") === "fr").select(col("doc_id"),
+            when(col("doc_id") % 2 === 0, col("n_chars")).as("score")),
+          tbl, "append")
+      }
+      val m = graft.sources.TxTable.readManifest(
+        java.nio.file.Paths.get(tbl),
+        graft.sources.TxTable.latestVersion(tbl).get)
+      val schemaN = org.apache.spark.sql.types.DataType
+        .fromJson(m.schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      val kept = m.files.count(f => !graft.sources.TxStats.excludes(
+        m.stats.getOrElse(f, Map.empty), schemaN,
+        org.apache.spark.sql.sources.IsNotNull("score")))
+      require(kept < m.files.size,
+        "the all-null en file(s) must be provably excludable")
+      val probe = s.sql(
+        "SELECT doc_id FROM graft_tx.db.nul WHERE score IS NOT NULL")
+      require(probe.queryExecution.executedPlan.toString
+          .contains(s"InMemoryFileIndex($kept paths)"),
+        "IS NOT NULL must prune the all-null files through the " +
+          "recorded null counts")
+      s.sql(
+        """SELECT doc_id, score FROM graft_tx.db.nul
+          |WHERE score IS NOT NULL ORDER BY doc_id""".stripMargin)
+    }),
     // ----- PREDICATE-SCOPED OVERWRITE (Delta's replaceWhere, SQL
     // surface: INSERT OVERWRITE with a static PARTITION spec → ONE
     // atomic replacewhere commit; incoming rows outside the predicate
@@ -1741,6 +1787,15 @@ private[graft] object QueriesSearchOps {
     "join_dfp" ->
       ("""SELECT doc_id, lang, n_chars FROM documents
          |WHERE lang = 'en' AND doc_id % 7 = 0 AND doc_id % 2 = 0
+         |ORDER BY doc_id""".stripMargin),
+    // the null-skip scan replayed: de fully, fr's even doc_ids (en is
+    // all-NULL by construction and filtered out)
+    "ops_nullskip" ->
+      ("""SELECT doc_id, CAST(n_chars AS BIGINT) AS score FROM documents
+         |WHERE lang = 'de'
+         |UNION ALL
+         |SELECT doc_id, n_chars FROM documents
+         |WHERE lang = 'fr' AND doc_id % 2 = 0
          |ORDER BY doc_id""".stripMargin),
     // the scoped backfill replayed: en+fr untouched, de's n_chars
     // shifted by the fixture

@@ -34,16 +34,28 @@ import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType, LongType,
   *     order equals parquet's unsigned-UTF-8 byte order, outside it
   *     they can disagree and a wrong skip is silent data loss;
   *   - a column missing stats in ANY block of a file drops the
-  *     column's entry for that file;
-  *   - NULL-probing predicates (IsNull/IsNotNull) never skip — the
-  *     manifest does not record null counts.
+  *     column's min/max for that file;
+  *   - NULL-probing predicates (IsNull/IsNotNull) skip through the
+  *     recorded per-file null/row COUNTS ([[ColStat]] nulls/rows):
+  *     `IS NOT NULL` proves out an all-null file, `IS NULL` a
+  *     null-free one; unknown counts (legacy manifests, partition
+  *     value entries) never skip.
   */
 object TxStats {
 
   /** Min/max as canonical strings (decimal for integrals,
     * `Double.toString` for floating point, raw for ASCII strings) —
-    * parsed back against the table schema's column type. */
-  final case class ColStat(min: String, max: String)
+    * parsed back against the table schema's column type.
+    *
+    * `nulls`/`rows` (both -1 = unknown, the legacy-manifest and
+    * partition-synthesized default) carry the footer's null count and
+    * the file's row count, which is what lets NULL-probing predicates
+    * skip: `IS NOT NULL` proves a file out when every row is null
+    * (nulls == rows), `IS NULL` when none is (nulls == 0). Unknown
+    * counts never skip — the conservative default that keeps old
+    * manifests exactly as prunable as they were. */
+  final case class ColStat(min: String, max: String,
+                           nulls: Long = -1L, rows: Long = -1L)
 
   /** Per-file bloom filter for point-lookup skipping on HIGH-CARDINALITY
     * columns where min/max is useless (ids, uuids, hashes span the whole
@@ -113,8 +125,11 @@ object TxStats {
     try {
       val blocks = reader.getFooter.getBlocks.asScala.toSeq
       if (blocks.isEmpty) return Map.empty
+      val totalRows = blocks.map(_.getRowCount).sum
       // (col -> per-block (min, max) strings); None poisons the column
       var acc = Map.empty[String, Option[(String, String)]]
+      // (col -> summed null count); None = some block lacks the count
+      var accNulls = Map.empty[String, Option[Long]]
       for (block <- blocks; col <- block.getColumns.asScala) {
         val parts = col.getPath.toArray
         if (parts.length == 1 && wanted.contains(parts(0))) {
@@ -145,9 +160,34 @@ object TxStats {
             case (None, v) => v // first block
             case _ => None // poisoned: some block lacks stats
           })
+          val bn: Option[Long] =
+            if (s == null || s.isNumNullsSet == false || s.getNumNulls < 0)
+              None
+            else Some(s.getNumNulls)
+          accNulls = accNulls.updated(name,
+            (accNulls.get(name), bn) match {
+              case (Some(Some(a)), Some(b)) => Some(a + b)
+              case (None, v) => v // first block
+              case _ => None // some block lacks the count
+            })
         }
       }
-      acc.collect { case (k, Some((mn, mx))) => k -> ColStat(mn, mx) }
+      // three emission shapes per column:
+      //  - min/max + known nulls  → full ColStat (value AND null skips)
+      //  - min/max, nulls unknown → legacy shape (value skips only)
+      //  - no min/max but ALL-NULL → sentinel ""/"" row ([[excludes]]
+      //    short-circuits on nulls == rows BEFORE any parse, and an
+      //    all-null file can never match a value probe anyway)
+      acc.keySet.union(accNulls.keySet).toSeq.flatMap { k =>
+        (acc.getOrElse(k, None), accNulls.getOrElse(k, None)) match {
+          case (Some((mn, mx)), Some(n)) =>
+            Some(k -> ColStat(mn, mx, n, totalRows))
+          case (Some((mn, mx)), None) => Some(k -> ColStat(mn, mx))
+          case (None, Some(n)) if n == totalRows && totalRows > 0 =>
+            Some(k -> ColStat("", "", n, totalRows))
+          case _ => None
+        }
+      }.toMap
     } finally reader.close()
   }
 
@@ -248,10 +288,15 @@ object TxStats {
     // per-type interval tests: lt = literal provably below every row, etc.
     def outside(col: String, v: Any,
                 test: (Int, Int) => Boolean): Boolean = {
+      // an ALL-NULL column can never match a value probe — exclude
+      // before any min/max parsing (its sentinel ""/"" never parses)
+      if (stats.get(col).exists(st => st.rows > 0 && st.nulls == st.rows))
+        return true
       // test(cmpMin, cmpMax) where cmpMin = compare(v, min), cmpMax =
       // compare(v, max); returns true when the file cannot match
       (for {
         st <- stats.get(col)
+        if st.min.nonEmpty && st.max.nonEmpty
         dt <- schema.fields.find(_.name == col).map(_.dataType)
         cmp <- dt match {
           case LongType | IntegerType =>
@@ -300,6 +345,12 @@ object TxStats {
       case In(a, vs) if vs != null && vs.nonEmpty =>
         vs.forall(v => v != null &&
           excludes(stats, schema, EqualTo(a, v)))
+      // null-probing predicates skip through the recorded counts
+      // ([[ColStat]] nulls/rows; -1 = unknown never skips):
+      case IsNotNull(a) => // rows exist only if some value is non-null
+        stats.get(a).exists(st => st.rows > 0 && st.nulls == st.rows)
+      case IsNull(a) =>    // rows exist only if some value IS null
+        stats.get(a).exists(st => st.rows >= 0 && st.nulls == 0L)
       case And(l, r) => // a conjunct excluding alone excludes the file
         excludes(stats, schema, l) || excludes(stats, schema, r)
       case Or(l, r) =>

@@ -1940,9 +1940,10 @@ object TxTable {
     val stats2 =
       if (oldType != org.apache.spark.sql.types.FloatType) m.stats
       else m.stats.view.mapValues(_.map { case (k, cs) =>
-        if (k.equalsIgnoreCase(phys))
-          k -> TxStats.ColStat(cs.min.toFloat.toDouble.toString,
-            cs.max.toFloat.toDouble.toString)
+        if (k.equalsIgnoreCase(phys) && cs.min.nonEmpty)
+          // copy: the null/row counts survive the widen untouched
+          k -> cs.copy(min = cs.min.toFloat.toDouble.toString,
+            max = cs.max.toFloat.toDouble.toString)
         else k -> cs
       }).toMap
     val manifest = Manifest(v + 1, "widen", newSchema.json, m.files,
@@ -2220,6 +2221,10 @@ object TxTable {
           val co = fo.putObject(c)
           co.put("min", cs.min)
           co.put("max", cs.max): Unit
+          // null/row counts only when KNOWN (-1 = unknown stays
+          // implicit — old manifests read back identically)
+          if (cs.nulls >= 0L) co.put("nulls", cs.nulls): Unit
+          if (cs.rows >= 0L) co.put("rows", cs.rows): Unit
         }
       }
     }
@@ -2292,7 +2297,9 @@ object TxTable {
       st.properties().asScala.map { fe =>
         fe.getKey -> fe.getValue.properties().asScala.map { ce =>
           ce.getKey -> TxStats.ColStat(ce.getValue.get("min").asText(),
-            ce.getValue.get("max").asText())
+            ce.getValue.get("max").asText(),
+            Option(ce.getValue.get("nulls")).map(_.asLong()).getOrElse(-1L),
+            Option(ce.getValue.get("rows")).map(_.asLong()).getOrElse(-1L))
         }.toMap
       }.toMap
     }.getOrElse(Map.empty[String, Map[String, TxStats.ColStat]])
