@@ -832,6 +832,26 @@ private[graft] final class TxScanBuilder(
   // arm (spark.sql.parquet.aggregatePushdown), no grouping, no filters.
   private var metaAgg: Option[(StructType, Seq[Any])] = None
 
+  /** Memo for [[partColAgg]]: Spark calls supportCompletePushDown and
+    * then pushAggregation with the SAME Aggregation instance, and the
+    * answer costs one parquet-footer read per file — computing it twice
+    * doubles the driver IO of every planned partition-column aggregate
+    * for nothing. Keyed by reference: a different Aggregation instance
+    * recomputes (the instance is the planner's own per-plan object). */
+  private var partColAggMemo: Option[(AnyRef, Option[(StructType, Seq[Any])])] =
+    None
+
+  private def partColAggCached(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Option[(StructType, Seq[Any])] =
+    partColAggMemo match {
+      case Some((key, res)) if key eq agg => res
+      case _ =>
+        val res = partColAgg(agg)
+        partColAggMemo = Some((agg, res))
+        res
+    }
+
   /** The final (schema, values) row for an all-partition-column
     * aggregation, or None when the shape doesn't qualify. */
   private def partColAgg(
@@ -861,6 +881,21 @@ private[graft] final class TxScanBuilder(
       }
     if (specs.exists(_.isEmpty)) return None
     if (!specs.flatten.exists(_._2.nonEmpty)) return None // all COUNT(*)? let the delegated arm serve it
+    // a string partition column's MIN/MAX would be served by Scala's
+    // Ordering.String (UTF-16 code-unit order) while a real scan answers
+    // in Spark's UTF8String binary (UTF-8 byte) order — the two disagree
+    // for supplementary characters vs U+E000–U+FFFF, and unlike the
+    // skipping layer (where non-ASCII is conservatively unprunable) this
+    // value IS the query result. Decline the manifest-served arm for any
+    // non-ASCII string value; the scan answers correctly, just unpushed.
+    val minMaxStringCols = specs.flatten.collect {
+      case ("min" | "max", Some(c))
+          if schema(c).dataType == org.apache.spark.sql.types.StringType => c
+    }.distinct
+    if (minMaxStringCols.exists(c => relFiles.exists(f =>
+        TxTable.partitionValuesFromPath(f, partSet).get(c)
+          .exists(_.exists(_ > 127)))))
+      return None
     // one footer read per file, bounded-concurrency on the driver —
     // the exact metadata envelope of the delegated footer count
     val counts = new java.util.concurrent.ConcurrentHashMap[String,
@@ -918,7 +953,7 @@ private[graft] final class TxScanBuilder(
       agg: org.apache.spark.sql.connector.expressions.aggregate
         .Aggregation): Boolean = {
     if (exprFilters.nonEmpty || touchesRenamedColumn(agg)) return false
-    if (touchesPartitionColumn(agg)) return partColAgg(agg).isDefined
+    if (touchesPartitionColumn(agg)) return partColAggCached(agg).isDefined
     mkInner(relFiles, "agg-probe", physStruct(dataOnlySchema))
       .supportCompletePushDown(agg)
   }
@@ -928,7 +963,7 @@ private[graft] final class TxScanBuilder(
         .Aggregation): Boolean = {
     if (exprFilters.nonEmpty || touchesRenamedColumn(agg)) return false
     if (touchesPartitionColumn(agg)) {
-      metaAgg = partColAgg(agg)
+      metaAgg = partColAggCached(agg)
       return metaAgg.isDefined
     }
     val inner = mkInner(relFiles, "agg=footer-only",

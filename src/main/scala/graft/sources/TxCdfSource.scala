@@ -193,11 +193,31 @@ private[graft] class TxCdfStream(tableSchema: StructType, dir: String,
     * history, so one translation of the stream's pinned logical schema
     * serves every version's reads; rows bind positionally to the
     * declared logical readSchema (a rename never moves or retypes a
-    * column). Read once: a mid-stream rename changes no file bytes. */
-  private lazy val physSchema: StructType =
+    * column). Resolved EAGERLY at stream construction, not lazily at
+    * first plan: a lazy read of the then-latest manifest could
+    * translate the pinned schema through a mapping keyed on logical
+    * names the table no longer spells (pinned at 'b', renamed b→c
+    * before first use: 'b' falls through as its own "physical" name
+    * and the by-name parquet read of files spelling 'a' yields all-NULL
+    * columns, silently). The pinned logical names must MATCH the
+    * current manifest's — a mismatch means a rename slipped between
+    * schema inference and stream start, and the honest move is the
+    * same loud restart contract the widen arm uses. A rename AFTER
+    * this point is benign: it changes no physical name, and staging
+    * keeps writing the original physical spellings. */
+  private val physSchema: StructType =
     TxTable.latestVersion(dir) match {
-      case Some(v) => TxTable.physicalSchema(tableSchema,
-        TxTable.readManifest(Paths.get(dir), v).columnMapping)
+      case Some(v) =>
+        val m = TxTable.readManifest(Paths.get(dir), v)
+        val logical = org.apache.spark.sql.types.DataType
+          .fromJson(m.schemaJson).asInstanceOf[StructType]
+        require(logical.fieldNames.toSeq == tableSchema.fieldNames.toSeq,
+          s"graft-txcdf: the stream's schema was pinned as " +
+            s"${tableSchema.fieldNames.mkString(",")} but $dir now " +
+            s"spells ${logical.fieldNames.mkString(",")} — a column " +
+            "rename landed between schema inference and stream start; " +
+            "restart the stream so it re-infers the renamed schema")
+        TxTable.physicalSchema(tableSchema, m.columnMapping)
       case None => tableSchema
     }
 

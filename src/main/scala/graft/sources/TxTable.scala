@@ -1068,7 +1068,16 @@ object TxTable {
     * under it: schema (the staged bytes no longer match), partition
     * layout, CHECK constraints (the staged rows were never validated
     * against the new set), or properties. Deletion vectors are head
-    * state an append always carries forward, changed or not. */
+    * state an append always carries forward, changed or not.
+    *
+    * It ALSO refuses when the winner already recorded this append's own
+    * idempotent-txn watermark (`appId` at a version >= ours): that is
+    * the zombie/replay race the streaming sink's `lastTxn` pre-check
+    * targets — two writers for the same (appId, batchId) can both pass
+    * the pre-check, and blindly merging `head.txns ++ txn` here would
+    * commit the batch TWICE, silently duplicating rows. Refusing keeps
+    * the watermark read serializable with the commit (Delta's conflict
+    * checker does the same for concurrent setTransaction). */
   private def rebaseAppend(schema: StructType, partCols: Seq[String],
       constraints: Map[String, String], properties: Map[String, String],
       mapping: Map[String, String], newFiles: Seq[String],
@@ -1094,6 +1103,12 @@ object TxTable {
     else if (head.columnMapping != mapping)
       Left("the column mapping changed concurrently — the staged files " +
         "spell a renamed column by the wrong physical name")
+    else if (txn.exists { case (appId, id) =>
+        head.txns.get(appId).exists(_ >= id) })
+      Left(s"a concurrent commit already recorded transaction " +
+        s"${txn.get._1} at version >= ${txn.get._2} — this batch was " +
+        "committed by another writer (zombie/replay); replaying it " +
+        "here would duplicate its rows")
     else Right(Manifest(head.version + 1, op, head.schemaJson,
       head.files ++ newFiles, head.txns ++ txn, head.stats ++ newStats,
       head.blooms ++ newBlooms, head.partitionColumns, head.constraints,

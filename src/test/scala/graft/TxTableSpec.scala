@@ -92,6 +92,36 @@ class TxTableSpec extends SparkSpec {
     assert(onDisk == live)
   }
 
+  test("append rebase refuses when the winner already committed this txn (zombie replay)") {
+    // the exactly-once race rebaseAppend must NOT paper over: two
+    // writers carry the SAME (appId, batchId) — both passed the sink's
+    // lastTxn pre-check — and the loser, if it auto-rebased, would
+    // commit the batch a second time, silently duplicating rows
+    val tbl = tmpTable()
+    TxTable.commit(frame(1L), tbl, "overwrite")
+    val prim = new graft.sources.ConflictInjectingPrimitive(
+      graft.sources.PosixLinkPrimitive,
+      () => TxTable.commit(frame(2L), tbl, "append",
+        txn = Some(("app", 7L))): Unit)
+    val e = intercept[java.nio.file.FileAlreadyExistsException](
+      TxTable.commit(frame(2L), tbl, "append", txn = Some(("app", 7L)),
+        primitive = prim))
+    assert(e.getMessage.contains("committed by another writer"),
+      e.getMessage)
+    // exactly-once held: the batch's row appears ONCE
+    assert(TxTable.read(spark, tbl).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    assert(TxTable.lastTxn(tbl, "app").contains(7L))
+    // a NEWER batch from the same app still rebases fine (not a replay)
+    val prim2 = new graft.sources.ConflictInjectingPrimitive(
+      graft.sources.PosixLinkPrimitive,
+      () => TxTable.commit(frame(3L), tbl, "append"): Unit)
+    val v = TxTable.commit(frame(4L), tbl, "append",
+      txn = Some(("app", 8L)), primitive = prim2)
+    assert(v == TxTable.latestVersion(tbl).get)
+    assert(TxTable.lastTxn(tbl, "app").contains(8L))
+  }
+
   test("compact racing an append rebases: both land, rows = union, winner files kept") {
     val tbl = tmpTable()
     TxTable.commit(frame(1L, 2L), tbl, "overwrite")
