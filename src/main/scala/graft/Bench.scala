@@ -93,10 +93,13 @@ object Bench {
       else -1.0
     // Self-defense against contaminated closes (the BENCH_r13 lesson: a
     // busy rig wrote 5x phantom spikes into bench_local.json and invited
-    // a phantom-regression hunt next round). When the sentinel says the
-    // machine was loaded (ratio > 1.3), any query measuring > 3x its
-    // PRIOR committed time gets ONE retry and keeps the min — a real
-    // regression survives the retry, a contention spike does not.
+    // a phantom-regression hunt next round). Any query measuring > 1.5x
+    // its PRIOR committed time gets ONE retry and keeps the min — a real
+    // regression survives the retry, a contention spike does not. The
+    // retry runs regardless of the sentinel: this rig's measured drift
+    // band is 1.5-3x and its spikes are per-query, so a clean sentinel
+    // pair does not prove the middle of the run was quiet (r17 verdict:
+    // 14 unchanged-code queries read >1.5x under a 1.89 sentinel).
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_local.json")
     val priors: Map[String, Double] =
       if (outPath.isEmpty) Map.empty
@@ -113,12 +116,12 @@ object Bench {
         }
       } catch { case _: Exception => Map.empty }
     val (finalResults, retried) =
-      if (sentinelRatio <= 1.3 || priors.isEmpty) (results, Seq.empty[String])
+      if (priors.isEmpty) (results, Seq.empty[String])
       else {
         var names = List.empty[String]
         val rerun = results.map { case (name, sec) =>
           priors.get(name) match {
-            case Some(p) if p > 0 && sec > 3 * p =>
+            case Some(p) if p > 0 && sec > 1.5 * p =>
               names ::= name
               val t0 = System.nanoTime()
               // a retry that THROWS must not contribute its

@@ -36,6 +36,14 @@ private[graft] object EntryHelpers {
   val KmK = 4
   val KmIters = 3
 
+  /** `sim_recall` floor: minimum exact-top-10 hits the full-probe
+    * IVF-PQ serving path (100 rescored candidates) must recover —
+    * the measured envelope across sf0.001/0.01/0.1 is 6-10 hits, so
+    * 5 certifies the machinery without pinning corpus-dependent
+    * quantization luck. The IVF arm carries a separate exact ==10
+    * full-probe pin in the query body. */
+  val RecallFloorHits = 5L
+
   def ivfPqIndexFor(s: SparkSession, dir: String,
                             emb: DataFrame): String =
     ivfPqCache.computeIfAbsent(dir, _ => {
@@ -701,6 +709,29 @@ private[graft] object EntryHelpers {
         .getOrElse(0L)
       require(v == 5L, s"expected the evolved fixture at v5, got v$v")
       java.lang.Long.valueOf(v)
+    }).longValue()
+
+  /** `ops_partitions_meta` fixture (`db.pmeta`): a lang-partitioned
+    * table with a DETERMINISTIC file layout — the frame hash-clusters
+    * by lang before the partitioned write, so every lang's rows live
+    * in exactly ONE task and the hive write emits exactly ONE file per
+    * value; that determinism is what lets DuckDB replay the
+    * `t$partitions` view's n_files column. */
+  val txPmetaDone =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  def txPmetaVersion(s: SparkSession, dir: String, wh: String): Long =
+    txPmetaDone.computeIfAbsent(dir, _ => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val tbl = s"$wh/db/pmeta"
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang").isin("en", "de", "fr"))
+          .repartition(8, col("lang")),
+        tbl, "overwrite", partitionBy = Some(Seq("lang")))
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "es").repartition(1), tbl, "append")
+      java.lang.Long.valueOf(
+        graft.sources.TxTable.latestVersion(tbl).getOrElse(0L))
     }).longValue()
 
   /** `sink_txpart` fixture: a PARTITIONED table (`db.part`,

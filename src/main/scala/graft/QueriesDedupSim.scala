@@ -228,6 +228,58 @@ private[graft] object QueriesDedupSim {
       graft.ext.IvfIndex.topKPq(s, idx, "vec_id", queryVec(emb), k = 10,
         nprobe = 2, rescore = true)
     }),
+    // ----- ANN RECALL CERTIFICATION: recall@10 of the probed IVF-PQ
+    // index against the EXACT cosine top-10, swept across the whole
+    // nprobe range (1, 2, 4-of-4 cells) — the TUNING CURVE an operator
+    // reads to set nprobe, as exact integer counts so the oracle
+    // replays it bit-for-bit. Partial probes measure coverage loss
+    // (true neighbors living in unprobed cells); the FULL probe
+    // isolates pure ADC ranking loss, and that point carries the
+    // asserted floor — at nprobe=nlist a miss can only mean the PQ
+    // quantization is mis-ranking, never a tuning choice. Both sides
+    // are tiny id sets (k=10), so each intersection is one
+    // metadata-sized join. -----
+    "sim_recall" -> ((s: SparkSession, dir: String) => {
+      val emb = Tables.embeddings(s, dir)
+      val exact = Similarity.topK(emb, "vec_id", "embedding",
+        queryVec(emb), k = 10).select(col("vec_id"))
+      def hitsOf(probed: org.apache.spark.sql.DataFrame): Long =
+        probed.select(col("vec_id")).join(exact, Seq("vec_id")).count()
+      // IVF (exact search within probed cells): recall loss can ONLY be
+      // coverage — true neighbors in unprobed cells — so the full probe
+      // is required to be EXACTLY 10/10 (it is the exact scan)
+      val ivfIdx = ivfIndexFor(s, dir, emb)
+      val ivfCurve = Seq(1, 2, 4).map { np =>
+        val h = hitsOf(graft.ext.IvfIndex.topK(s, ivfIdx, "vec_id",
+          "embedding", queryVec(emb), k = 10, nprobe = np))
+        ("ivf", np.toLong, 10L, h, h * 10L)
+      }
+      require(ivfCurve.last._4 == 10L,
+        s"IVF full-probe recall@10 is ${ivfCurve.last._4}/10 — a full " +
+          "probe IS the exact scan, so anything under 10 means the " +
+          "index dropped or mis-assigned vectors")
+      // IVF-PQ (ADC over the tiny 4-codeword/subspace demo codebook,
+      // 100 rescored candidates): adds quantization ranking loss on
+      // top of coverage; the floor is the measured envelope across
+      // sf0.001-0.1 (0.6-1.0) with margin
+      val pqIdx = ivfPqIndexFor(s, dir, emb)
+      val pqCurve = Seq(1, 2, 4).map { np =>
+        val h = hitsOf(graft.ext.IvfIndex.topKPq(s, pqIdx, "vec_id",
+          queryVec(emb), k = 10, nprobe = np, rescore = true,
+          candidates = 100))
+        ("ivfpq", np.toLong, 10L, h, h * 10L)
+      }
+      require(pqCurve.last._4 >= RecallFloorHits,
+        s"IVF-PQ recall@10 at nprobe=4 (full probe, 100 rescored " +
+          s"candidates) is ${pqCurve.last._4}/10 — below the certified " +
+          s"floor of $RecallFloorHits/10; with every cell probed a " +
+          "miss means the true neighbor's ADC rank fell outside the " +
+          "candidate pool — the PQ quantization is broken")
+      import s.implicits._
+      (ivfCurve ++ pqCurve)
+        .toDF("index_kind", "nprobe", "k", "hits", "recall_pct")
+        .orderBy("index_kind", "nprobe")
+    }),
     // ----- incremental IVF-PQ maintenance (IvfIndex.appendPq scaladoc:
     // frozen coarse quantizer AND frozen codebook — new vectors
     // assigned + PQ-encoded in one broadcast pass over only the new
@@ -658,86 +710,90 @@ private[graft] object QueriesDedupSim {
          |     sqrt(list_dot_product(qe, qe))), 4) AS sim
          |FROM adc JOIN vall ON adc.vec_id = vall.vec_id, q
          |ORDER BY sim DESC, adc.vec_id""".stripMargin),
-    "sim_ivfpq" ->
-      (s"""WITH v AS (
-         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-         |  FROM embeddings
-         |), q AS (
-         |  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
-         |  WHERE vec_id = 0
-         |), ${kmeansCte(k = 4, iters = 3, dims = 64)}, vl AS (
-         |  SELECT v.vec_id, f.cell AS label, v.e
-         |  FROM v JOIN km_fin f USING (vec_id)
-         |), cpos AS (
-         |  SELECT label, generate_subscripts(e, 1) AS pos, unnest(e) AS x
-         |  FROM vl
-         |), ccent AS (
-         |  SELECT label, pos,
-         |    CAST(sum(CAST(floor(x * 1e10 + 0.5) AS BIGINT)) AS DOUBLE)
-         |      / count(*) / 1e10 AS x
-         |  FROM cpos GROUP BY label, pos
-         |), carr AS (
-         |  SELECT label, list(x ORDER BY pos) AS c FROM ccent GROUP BY label
-         |), probes AS (
-         |  SELECT label,
-         |    round(list_dot_product(c, qe) /
-         |      (sqrt(list_dot_product(c, c)) *
-         |       sqrt(list_dot_product(qe, qe))), 4) AS cs
-         |  FROM carr, q ORDER BY cs DESC, label LIMIT 2
-         |), s AS (
-         |  SELECT vec_id, label, sub, e[sub*16+1 : sub*16+16] AS sv
-         |  FROM vl, (SELECT unnest(range(0, 4)) AS sub)
-         |), comp AS (
-         |  SELECT sub, label, generate_subscripts(sv, 1) AS pos,
-         |    unnest(sv) AS x
-         |  FROM s
-         |), cent AS (
-         |  SELECT sub, label, pos,
-         |    CAST(sum(CAST(floor(x * 1e10 + 0.5) AS BIGINT)) AS DOUBLE)
-         |      / count(*) / 1e10 AS x
-         |  FROM comp GROUP BY 1, 2, 3
-         |), cb AS (
-         |  SELECT sub, label AS lbl, list(x ORDER BY pos) AS cent
-         |  FROM cent GROUP BY 1, 2
-         |), scored AS (
-         |  SELECT s.vec_id, s.sub, cb.lbl,
-         |    round(list_dot_product(sv, sv) - 2.0 * list_dot_product(sv, cent)
-         |      + list_dot_product(cent, cent), 6) AS d2
-         |  FROM s JOIN cb ON s.sub = cb.sub
-         |), best AS (
-         |  SELECT vec_id, sub, lbl,
-         |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, lbl)
-         |      AS rn
-         |  FROM scored
-         |), lut AS (
-         |  SELECT cb.sub, cb.lbl,
-         |    list_dot_product(cent, qe[cb.sub*16+1 : cb.sub*16+16]) AS qd,
-         |    list_dot_product(cent, cent) AS cn
-         |  FROM cb, q
-         |), pv AS (
-         |  SELECT vec_id FROM vl JOIN probes USING (label)
-         |), parts AS (
-         |  SELECT b.vec_id, b.sub, lut.qd, lut.cn
-         |  FROM (SELECT vec_id, sub, lbl FROM best WHERE rn = 1) b
-         |  JOIN pv ON b.vec_id = pv.vec_id
-         |  JOIN lut ON b.sub = lut.sub AND b.lbl = lut.lbl
-         |), agg AS (
-         |  SELECT vec_id,
-         |    list_reduce(list(qd ORDER BY sub), (a, x) -> a + x) AS dotsum,
-         |    list_reduce(list(cn ORDER BY sub), (a, x) -> a + x) AS norm2
-         |  FROM parts GROUP BY vec_id
-         |), adc AS (
-         |  SELECT vec_id,
-         |    round(dotsum / (sqrt(norm2) * sqrt(list_dot_product(qe, qe))), 4)
-         |      AS sim_pq
-         |  FROM agg, q ORDER BY sim_pq DESC, vec_id LIMIT 10
-         |)
+    "sim_ivfpq" -> (IvfPqAdcCtes +
+      """
          |SELECT adc.vec_id, adc.sim_pq,
          |  round(list_dot_product(v.e, qe) /
          |    (sqrt(list_dot_product(v.e, v.e)) *
          |     sqrt(list_dot_product(qe, qe))), 4) AS sim
          |FROM adc JOIN v ON adc.vec_id = v.vec_id, q
          |ORDER BY sim DESC, adc.vec_id""".stripMargin),
+    // the recall tuning curve replayed: the same pipeline CTEs, but
+    // instead of the fixed 2-cell probe filter, every vector carries
+    // its cell's query-proximity RANK; for each nprobe in {1,2,4} the
+    // ADC top-10 among cells ranked <= nprobe intersects the exact
+    // top-10 — integer overlap counts, bit-replayable
+    "sim_recall" -> (IvfPqAdcCtes +
+      """, partsall AS (
+         |  SELECT b.vec_id, b.sub, lut.qd, lut.cn
+         |  FROM (SELECT vec_id, sub, lbl FROM best WHERE rn = 1) b
+         |  JOIN lut ON b.sub = lut.sub AND b.lbl = lut.lbl
+         |), aggall AS (
+         |  SELECT vec_id,
+         |    list_reduce(list(qd ORDER BY sub), (a, x) -> a + x) AS dotsum,
+         |    list_reduce(list(cn ORDER BY sub), (a, x) -> a + x) AS norm2
+         |  FROM partsall GROUP BY vec_id
+         |), prk AS (
+         |  SELECT label,
+         |    row_number() OVER (ORDER BY cs DESC, label) AS pr
+         |  FROM (
+         |    SELECT label,
+         |      round(list_dot_product(c, qe) /
+         |        (sqrt(list_dot_product(c, c)) *
+         |         sqrt(list_dot_product(qe, qe))), 4) AS cs
+         |    FROM carr, q)
+         |), vsim AS (
+         |  SELECT agg.vec_id, prk.pr,
+         |    round(dotsum / (sqrt(norm2) * sqrt(list_dot_product(qe, qe))),
+         |      4) AS sim_pq
+         |  FROM aggall agg
+         |  JOIN vl ON agg.vec_id = vl.vec_id
+         |  JOIN prk ON vl.label = prk.label, q
+         |), cand AS (
+         |  SELECT np, vec_id,
+         |    row_number() OVER (PARTITION BY np
+         |      ORDER BY sim_pq DESC, vec_id) AS rn
+         |  FROM vsim, (SELECT unnest([1, 2, 4]) AS np)
+         |  WHERE pr <= np
+         |), vx AS (
+         |  SELECT vec_id,
+         |    round(list_dot_product(e, qe) /
+         |      (sqrt(list_dot_product(e, e)) *
+         |       sqrt(list_dot_product(qe, qe))), 4) AS sim
+         |  FROM v, q
+         |), probe AS (
+         |  SELECT np, vec_id FROM (
+         |    SELECT c.np, c.vec_id,
+         |      row_number() OVER (PARTITION BY c.np
+         |        ORDER BY vx.sim DESC, c.vec_id) AS rr
+         |    FROM (SELECT np, vec_id FROM cand WHERE rn <= 100) c
+         |    JOIN vx USING (vec_id))
+         |  WHERE rr <= 10
+         |), exact AS (
+         |  SELECT vec_id FROM vx ORDER BY sim DESC, vec_id LIMIT 10
+         |), ivfprobe AS (
+         |  SELECT np, vec_id FROM (
+         |    SELECT n.np, vx.vec_id,
+         |      row_number() OVER (PARTITION BY n.np
+         |        ORDER BY vx.sim DESC, vx.vec_id) AS rr
+         |    FROM vx JOIN vl USING (vec_id)
+         |    JOIN prk ON vl.label = prk.label,
+         |    (SELECT unnest([1, 2, 4]) AS np) n
+         |    WHERE prk.pr <= n.np)
+         |  WHERE rr <= 10
+         |)
+         |SELECT 'ivf' AS index_kind, CAST(np AS BIGINT) AS nprobe,
+         |  CAST(10 AS BIGINT) AS k,
+         |  CAST(count(exact.vec_id) AS BIGINT) AS hits,
+         |  CAST(count(exact.vec_id) * 10 AS BIGINT) AS recall_pct
+         |FROM ivfprobe LEFT JOIN exact USING (vec_id) GROUP BY np
+         |UNION ALL
+         |SELECT 'ivfpq', CAST(np AS BIGINT), CAST(10 AS BIGINT),
+         |  CAST(count(exact.vec_id) AS BIGINT),
+         |  CAST(count(exact.vec_id) * 10 AS BIGINT)
+         |FROM probe LEFT JOIN exact USING (vec_id) GROUP BY np
+         |ORDER BY index_kind, nprobe""".stripMargin),
+    
     // the same double-widened dot for the norm, one division per element,
     // then the portable floor-quantize into 1e-4 long units (plain IEEE
     // ops — round() ties and -0.0 diverge across engines, integers don't);
@@ -843,4 +899,85 @@ private[graft] object QueriesDedupSim {
          |GROUP BY 1, 2 HAVING count(*) >= 2
          |ORDER BY doc_a, doc_b""".stripMargin),
   )
+
+  /** The shared IVF-PQ pipeline replay (coarse k-means training, cell
+    * centroids, probe selection, per-cell PQ codebooks, codes, ADC),
+    * ending in the `adc` CTE — the probe's top-10 by PQ similarity.
+    * Consumed by both the `sim_ivfpq` oracle (which rescores it
+    * exactly) and the `sim_recall` oracle (which intersects its id set
+    * with the exact top-10). */
+  private lazy val IvfPqAdcCtes: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+       |  FROM embeddings
+       |), q AS (
+       |  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+       |  WHERE vec_id = 0
+       |), ${kmeansCte(k = 4, iters = 3, dims = 64)}, vl AS (
+       |  SELECT v.vec_id, f.cell AS label, v.e
+       |  FROM v JOIN km_fin f USING (vec_id)
+       |), cpos AS (
+       |  SELECT label, generate_subscripts(e, 1) AS pos, unnest(e) AS x
+       |  FROM vl
+       |), ccent AS (
+       |  SELECT label, pos,
+       |    CAST(sum(CAST(floor(x * 1e10 + 0.5) AS BIGINT)) AS DOUBLE)
+       |      / count(*) / 1e10 AS x
+       |  FROM cpos GROUP BY label, pos
+       |), carr AS (
+       |  SELECT label, list(x ORDER BY pos) AS c FROM ccent GROUP BY label
+       |), probes AS (
+       |  SELECT label,
+       |    round(list_dot_product(c, qe) /
+       |      (sqrt(list_dot_product(c, c)) *
+       |       sqrt(list_dot_product(qe, qe))), 4) AS cs
+       |  FROM carr, q ORDER BY cs DESC, label LIMIT 2
+       |), s AS (
+       |  SELECT vec_id, label, sub, e[sub*16+1 : sub*16+16] AS sv
+       |  FROM vl, (SELECT unnest(range(0, 4)) AS sub)
+       |), comp AS (
+       |  SELECT sub, label, generate_subscripts(sv, 1) AS pos,
+       |    unnest(sv) AS x
+       |  FROM s
+       |), cent AS (
+       |  SELECT sub, label, pos,
+       |    CAST(sum(CAST(floor(x * 1e10 + 0.5) AS BIGINT)) AS DOUBLE)
+       |      / count(*) / 1e10 AS x
+       |  FROM comp GROUP BY 1, 2, 3
+       |), cb AS (
+       |  SELECT sub, label AS lbl, list(x ORDER BY pos) AS cent
+       |  FROM cent GROUP BY 1, 2
+       |), scored AS (
+       |  SELECT s.vec_id, s.sub, cb.lbl,
+       |    round(list_dot_product(sv, sv) - 2.0 * list_dot_product(sv, cent)
+       |      + list_dot_product(cent, cent), 6) AS d2
+       |  FROM s JOIN cb ON s.sub = cb.sub
+       |), best AS (
+       |  SELECT vec_id, sub, lbl,
+       |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, lbl)
+       |      AS rn
+       |  FROM scored
+       |), lut AS (
+       |  SELECT cb.sub, cb.lbl,
+       |    list_dot_product(cent, qe[cb.sub*16+1 : cb.sub*16+16]) AS qd,
+       |    list_dot_product(cent, cent) AS cn
+       |  FROM cb, q
+       |), pv AS (
+       |  SELECT vec_id FROM vl JOIN probes USING (label)
+       |), parts AS (
+       |  SELECT b.vec_id, b.sub, lut.qd, lut.cn
+       |  FROM (SELECT vec_id, sub, lbl FROM best WHERE rn = 1) b
+       |  JOIN pv ON b.vec_id = pv.vec_id
+       |  JOIN lut ON b.sub = lut.sub AND b.lbl = lut.lbl
+       |), agg AS (
+       |  SELECT vec_id,
+       |    list_reduce(list(qd ORDER BY sub), (a, x) -> a + x) AS dotsum,
+       |    list_reduce(list(cn ORDER BY sub), (a, x) -> a + x) AS norm2
+       |  FROM parts GROUP BY vec_id
+       |), adc AS (
+       |  SELECT vec_id,
+       |    round(dotsum / (sqrt(norm2) * sqrt(list_dot_product(qe, qe))), 4)
+       |      AS sim_pq
+       |  FROM agg, q ORDER BY sim_pq DESC, vec_id LIMIT 10
+       |)""".stripMargin
 }

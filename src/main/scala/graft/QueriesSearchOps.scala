@@ -629,6 +629,32 @@ private[graft] object QueriesSearchOps {
         df
       }
     }),
+    // ----- partition-level metadata table `t$partitions` (Iceberg's
+    // partitions metadata view): one row per live value tuple with
+    // file count, row count (manifest stats), and bytes — the operator
+    // view for choosing compaction/zorder targets and spotting skew,
+    // served as a LocalScan (plan-pinned) with zero data read. The
+    // fixture's one-file-per-lang layout is deterministic
+    // (EntryHelpers.txPmetaVersion), so the oracle replays n_files
+    // exactly; bytes are storage-dependent and pinned positive here
+    // rather than hash-compared -----
+    "ops_partitions_meta" -> ((s: SparkSession, dir: String) => {
+      val wh = EntryHelpers.txCatalogWarehouse(s, dir)
+      s.conf.set("spark.sql.catalog.graft_tx", "graft.sources.TxCatalog")
+      s.conf.set("spark.sql.catalog.graft_tx.root", wh)
+      EntryHelpers.txPmetaVersion(s, dir, wh): Unit
+      val full = s.sql(
+        """SELECT part, n_files, n_rows, bytes
+          |FROM graft_tx.db.`pmeta$partitions` ORDER BY part""".stripMargin)
+      require(full.queryExecution.executedPlan.toString
+          .contains("LocalTableScan"),
+        "t$partitions must serve as a LocalTableScan — driver " +
+          "metadata, never a distributed job")
+      val rows = full.collect()
+      require(rows.nonEmpty && rows.forall(r => r.getLong(3) > 0L),
+        "every live partition holds bytes on disk")
+      full.select(col("part"), col("n_files"), col("n_rows"))
+    }),
     // ----- STORAGE-PARTITIONED JOIN (TxPartitionedScan reporting
     // KeyGroupedPartitioning): two lang-partitioned tx tables join AND
     // aggregate on lang with ZERO shuffles under v2.bucketing — at
@@ -1823,6 +1849,15 @@ private[graft] object QueriesSearchOps {
          |  min(lang) AS min_lang, max(lang) AS max_lang
          |FROM documents WHERE lang IN ('en', 'de', 'fr', 'es')"""
         .stripMargin),
+    // t$partitions replayed: the fixture writes exactly ONE file per
+    // lang (hash-clustered before the partitioned write), so n_files
+    // is 1 and n_rows is the per-lang cardinality
+    "ops_partitions_meta" ->
+      ("""SELECT '{lang=' || lang || '}' AS part,
+         |  CAST(1 AS BIGINT) AS n_files,
+         |  CAST(count(*) AS BIGINT) AS n_rows
+         |FROM documents WHERE lang IN ('en', 'de', 'fr', 'es')
+         |GROUP BY lang ORDER BY part""".stripMargin),
     // the SPJ replayed: dim_docs is the per-lang doc count (the one
     // row of db.partw each lang joins)
     "join_spj" ->

@@ -205,10 +205,22 @@ object IvfIndex {
     *
     * Output: (id, sim_pq) — or with rescore (id, sim_pq, sim), reordered
     * by the exact score. */
+  /** `candidates` (the FAISS refine/rescore pattern): with rescore on,
+    * the ADC pass selects `max(candidates, k)` ids and the exact
+    * rescore keeps the top `k` of THEM — a wider candidate pool buys
+    * back the recall a coarse PQ codebook's ranking loses, at the cost
+    * of `candidates` exact distance computations instead of `k` (still
+    * ∝ candidates, never ∝ corpus). 0 (default) means candidates = k,
+    * the original behavior. */
   def topKPq(spark: SparkSession, path: String, idCol: String,
              query: Seq[Double], k: Int, nprobe: Int,
              rescore: Boolean = false,
-             vecCol: String = "embedding"): DataFrame = {
+             vecCol: String = "embedding",
+             candidates: Int = 0): DataFrame = {
+    require(candidates == 0 || rescore,
+      "a candidate pool wider than k only means anything with " +
+        "rescore = true — without the exact rescore there is no " +
+        "second ranking to cut it back to k")
     val probes = probe(spark, path, query, nprobe)
     val codebook = spark.read.parquet(s"$path/codebook")
     val meta = new String(Files.readAllBytes(Paths.get(path, "meta.json")))
@@ -219,7 +231,8 @@ object IvfIndex {
     val codes = spark.read.parquet(s"$path/codes")
       .filter(col("cell").isin(probes: _*))
     val adc = Similarity.adcTopK(codes,
-      Similarity.pqQueryLut(codebook, query, width), idCol, query, k)
+      Similarity.pqQueryLut(codebook, query, width), idCol, query,
+      math.max(candidates, k))
     if (!rescore) adc
     else {
       val data = spark.read.parquet(s"$path/data")
@@ -229,6 +242,7 @@ object IvfIndex {
           round(Similarity.cosine(col(vecCol), typedLit(query)), 4)
             .as("sim"))
         .orderBy(col("sim").desc, col(idCol))
+        .limit(k)
     }
   }
 }

@@ -103,8 +103,8 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
     * stays on the create/namespace paths where it guards real data. */
   override def tableExists(ident: Identifier): Boolean =
     ident.name().split('$') match {
-      case Array(base, "history" | "files" | "stats" | "constraints" | "dv")
-          if base.nonEmpty =>
+      case Array(base, "history" | "files" | "stats" | "constraints" |
+          "dv" | "partitions") if base.nonEmpty =>
         isTxTable(dirFor(Identifier.of(ident.namespace(), base)))
       case _ if ident.name().contains('$') ||
         ident.namespace().exists(_.contains('$')) => false
@@ -117,7 +117,7 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
     // served through a LocalScan, never a distributed job
     ident.name().split('$') match {
       case Array(base, kind @ ("history" | "files" | "stats" |
-          "constraints" | "dv")) if base.nonEmpty =>
+          "constraints" | "dv" | "partitions")) if base.nonEmpty =>
         val dir = dirFor(Identifier.of(ident.namespace(), base))
         if (!isTxTable(dir)) throw new NoSuchTableException(ident)
         return TxMetaTables.table(fullName(ident), dir, kind)
@@ -1533,7 +1533,48 @@ private[graft] object TxMetaTables {
     StructField("tombstones", LongType, nullable = false),
     StructField("bytes", LongType, nullable = false)))
 
+  private val PartitionsSchema = StructType(Seq(
+    StructField("part", StringType, nullable = false),
+    StructField("n_files", LongType, nullable = false),
+    StructField("n_rows", LongType, nullable = true),
+    StructField("bytes", LongType, nullable = false)))
+
   def table(name: String, dir: Path, kind: String): Table = kind match {
+    // `t$partitions`: one row per live partition-value tuple — file
+    // count, row count (from the manifest's per-file stats when every
+    // file carries one; NULL otherwise — honest over old manifests),
+    // and byte size. THE operator view for choosing compaction/zorder
+    // targets and spotting value skew without a scan; a flat table
+    // reports its whole snapshot as the single '{}' partition. All
+    // numbers are manifest + Files.size metadata — zero data read.
+    case "partitions" => new MetaTable(name, PartitionsSchema, () => {
+      val v = TxTable.latestVersion(dir.toString).getOrElse(
+        throw new IllegalStateException(s"no committed version under $dir"))
+      val m = TxTable.readManifest(dir, v)
+      val partSet = m.partitionColumns.toSet
+      def tupleOf(f: String): String =
+        if (m.partitionColumns.isEmpty) "{}"
+        else {
+          val vals = TxTable.partitionValuesFromPath(f, partSet)
+          m.partitionColumns.map(c =>
+            s"$c=${vals.getOrElse(c, "__HIVE_DEFAULT_PARTITION__")}")
+            .mkString("{", ", ", "}")
+        }
+      m.files.groupBy(tupleOf).toSeq.sortBy(_._1).map { case (tuple, fs) =>
+        // rows only when EVERY file of the group carries a stats row
+        // count (ColStat.rows >= 0 — recorded since null-count stats
+        // landed); a partial sum would understate silently
+        val rowCounts = fs.map(f => m.stats.getOrElse(f, Map.empty)
+          .valuesIterator.map(_.rows).find(_ >= 0L).getOrElse(-1L))
+        val rows: Any =
+          if (rowCounts.nonEmpty && rowCounts.forall(_ >= 0L))
+            rowCounts.sum
+          else null
+        new GenericInternalRow(Array[Any](UTF8String.fromString(tuple),
+          fs.size.toLong, rows,
+          fs.map(f => Files.size(dir.resolve(f))).sum)): InternalRow
+      }.toArray
+    })
     // `t$dv`: the live deletion-vector sidecars — how much tombstone
     // debt the snapshot carries (the purgeDeletes trigger metric);
     // tombstone counts come from parquet FOOTERS, zero data read

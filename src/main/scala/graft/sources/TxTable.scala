@@ -18,15 +18,29 @@ import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructField, St
   * Layout:
   * {{{
   *   <table>/data/<commit-uuid>/part-*.parquet   — immutable data files
-  *   <table>/_txlog/v00001.json …                — one manifest per version
+  *   <table>/_txlog/v00001.json …                — one commit DELTA per version
+  *   <table>/_txlog/v00020.ckpt.json …           — periodic full checkpoints
+  *   <table>/_txlog/blooms/<sha>.json            — immutable bloom sidecars
   * }}}
   *
-  * A manifest is the FULL file list of its version (plus schema and the
-  * op that produced it) — O(live files) metadata, read in one pass, no
-  * log replay. Data files are immutable and shared across versions:
-  * `append` writes only the new files and lists old + new; `overwrite`
-  * lists only the new ones, leaving prior versions' files for time
-  * travel.
+  * The log is INCREMENTAL (the Delta-Lake checkpoint+actions shape): a
+  * commit writes only its own actions — files added/removed, stats for
+  * changed files, a content-addressed sidecar for new blooms, and the
+  * (small) table metadata — so commit metadata is O(changed files), not
+  * O(live files); at a million files the difference between kilobytes
+  * and gigabytes of driver JSON per commit, paid by EVERY micro-batch
+  * of the streaming sink. Every `tx.checkpointInterval` versions (and
+  * at vacuum's retention boundary) the committer also materializes the
+  * full state as a checkpoint, so a snapshot load is one checkpoint
+  * read plus a bounded delta-tail replay — never a full-history replay.
+  * Per-file blooms live OUTSIDE the version documents in immutable,
+  * content-addressed sidecar files referenced by path: a file's bloom
+  * never changes, so every subsequent commit and checkpoint reuses the
+  * reference instead of re-serializing ~2 KiB per file-column. Data
+  * files are immutable and shared across versions: `append` writes only
+  * the new files; `overwrite` leaves prior versions' files for time
+  * travel. Old-format manifests (pre-incremental full file lists) stay
+  * readable and act as replay bases.
   *
   * Commit protocol: data files land first under a commit-unique
   * directory no reader references yet; the manifest is then PUBLISHED
@@ -194,6 +208,13 @@ object TxTable {
     * [[logicalStats]]/[[logicalBlooms]]), old versions time-travel
     * under their own names, and every reader/writer translates at the
     * plan boundary ([[physicalSchema]]/[[toPhysical]]). */
+  /** `bloomRefs`: LOG-LAYER bookkeeping (file → bloom-sidecar rel path,
+    * see the incremental-log story on [[publish]]) — populated by
+    * [[readManifest]], consumed by the next [[publish]] to carry sidecar
+    * references forward without rewriting immutable sidecar bytes.
+    * Hand-built manifests (commit paths, rebase recipes) leave it empty;
+    * publish never reads its own manifest's refs, only the PREVIOUS
+    * (log-read) state's. */
   final case class Manifest(version: Long, op: String, schemaJson: String,
                             files: Seq[String],
                             txns: Map[String, Long] = Map.empty,
@@ -205,7 +226,8 @@ object TxTable {
                             constraints: Map[String, String] = Map.empty,
                             dvDirs: Seq[String] = Nil,
                             properties: Map[String, String] = Map.empty,
-                            columnMapping: Map[String, String] = Map.empty)
+                            columnMapping: Map[String, String] = Map.empty,
+                            bloomRefs: Map[String, String] = Map.empty)
 
   /** Commit `df` as the next version. `mode` is "overwrite" (the new
     * version is exactly this frame) or "append" (this frame plus the
@@ -426,13 +448,13 @@ object TxTable {
       // changes are real conflicts ([[rebaseAppend]]). This is what
       // lets the exactly-once streaming sink keep committing while
       // compaction/zorder/vacuum maintain the same table.
-      publishRebasing(root, manifest,
+      publishRebasing(root, manifest, prev,
         rebaseAppend(committedSchema, effParts, effConstraints, effProps,
           effMapping, staged.files, staged.stats, newBlooms, txn,
           opLabel.getOrElse(mode)),
         primitive, () => discardStaged(tableDir, Seq(staged)))
     else {
-      try publish(root, manifest, primitive)
+      try publish(root, manifest, prev, primitive)
       catch {
         case e: java.nio.file.FileAlreadyExistsException =>
           // Lost the commit race: an OVERWRITE defines the whole new
@@ -455,7 +477,7 @@ object TxTable {
     val log = root.resolve(LogDir)
     if (!Files.isDirectory(log)) Seq.empty
     else listNames(log).collect { case VersionName(v) => v }.sorted
-      .map(v => v -> readManifest(root, v).op)
+      .map(v => v -> readOp(root, v))
   }
 
   /** The application-transaction watermark recorded for `appId`, read
@@ -558,13 +580,25 @@ object TxTable {
     val versions = listNames(root.resolve(LogDir))
       .collect { case VersionName(v) => v }.sorted
     val (expired, retained) = versions.partition(_ <= latest - retain)
+    // Before any delta leaves the log, materialize a checkpoint at the
+    // OLDEST retained version: its (and every newer version's) replay
+    // must never need an expired delta. Written before deletion, so a
+    // crash between the two leaves a complete log either way.
+    if (expired.nonEmpty) {
+      val oldest = retained.min
+      if (!Files.exists(ckptPath(root, oldest)))
+        writeCheckpoint(root, readManifest(root, oldest))
+    }
     val retainedMs = retained.map(v => readManifest(root, v))
     val live = retainedMs.flatMap(_.files).toSet
     // deletion-vector sidecars referenced by ANY retained manifest are
     // as live as the data files they tombstone — deleting one would
     // resurrect rows in a still-readable version
     val liveDv = retainedMs.flatMap(_.dvDirs).toSet
-    expired.foreach(v => Files.deleteIfExists(manifestPath(root, v)))
+    expired.foreach { v =>
+      Files.deleteIfExists(manifestPath(root, v))
+      Files.deleteIfExists(ckptPath(root, v)): Unit
+    }
     val dataDir = root.resolve("data")
     val now = System.currentTimeMillis()
     var nFiles = 0L
@@ -606,6 +640,22 @@ object TxTable {
             }
           }
           pruneEmpty(dir)
+        }
+      }
+    }
+    // bloom sidecars: live iff some retained version's state references
+    // them; the age guard spares a sidecar a concurrent commit wrote
+    // just before publishing its delta (sidecar lands first by design)
+    val liveSidecars = retainedMs.flatMap(_.bloomRefs.values).toSet
+    val bloomsDir = root.resolve(BloomsRel)
+    if (Files.isDirectory(bloomsDir)) {
+      listNames(bloomsDir).foreach { n =>
+        val p = bloomsDir.resolve(n)
+        if (!liveSidecars.contains(s"$BloomsRel/$n") &&
+            Files.isRegularFile(p) && oldEnough(p)) {
+          nBytes += Files.size(p)
+          Files.delete(p)
+          nFiles += 1
         }
       }
     }
@@ -755,7 +805,7 @@ object TxTable {
     // as long as no winner touched a consumed file ([[rebaseRewrite]]) —
     // so compaction and a streaming append can maintain one table
     // concurrently without either side dying
-    publishRebasing(root, manifest,
+    publishRebasing(root, manifest, Some(m),
       rebaseRewrite(m, scoped, newFiles, compactStats, compactBlooms,
         "compact", Nil),
       primitive,
@@ -857,7 +907,7 @@ object TxTable {
     // same byte-moving reconciliation as [[compact]]: the rewrite
     // consumed EVERY base file, so a lost race keeps only the winners'
     // new files alongside the z-ordered output
-    publishRebasing(root, manifest,
+    publishRebasing(root, manifest, Some(m),
       rebaseRewrite(m, m.files, staged.files, staged.stats, newBlooms,
         "zorder", Nil),
       primitive, () => discardStaged(tableDir, Seq(staged)))
@@ -998,7 +1048,7 @@ object TxTable {
     val manifest = Manifest(version, op, schemaJson,
       slices.flatMap(_.files), prev.map(_.txns).getOrElse(Map.empty),
       slices.flatMap(_.stats).toMap)
-    try publish(root, manifest, primitive)
+    try publish(root, manifest, prev, primitive)
     catch {
       case e: java.nio.file.FileAlreadyExistsException =>
         if (reclaimOnConflict) discardStaged(tableDir, slices)
@@ -1033,12 +1083,14 @@ object TxTable {
     * from the log file NAME, not the manifest body, so a corrupted log
     * (duplicate content under a new name) cannot pin the loop. */
   private def publishRebasing(root: Path, first: Manifest,
+      basePrev: Option[Manifest],
       rebase: Manifest => Either[String, Manifest],
       primitive: CommitPrimitive, onAbort: () => Unit): Long = {
     var attempt = first
+    var prev = basePrev
     var tries = 0
     while (tries <= MaxRebaseAttempts) {
-      try { publish(root, attempt, primitive); return attempt.version }
+      try { publish(root, attempt, prev, primitive); return attempt.version }
       catch {
         case e: java.nio.file.FileAlreadyExistsException =>
           tries += 1
@@ -1046,7 +1098,7 @@ object TxTable {
           val headV = versions(root.toString).max
           val head = readManifest(root, headV).copy(version = headV)
           rebase(head) match {
-            case Right(m) => attempt = m
+            case Right(m) => attempt = m; prev = Some(head)
             case Left(why) =>
               onAbort()
               throw new java.nio.file.FileAlreadyExistsException(
@@ -1304,6 +1356,13 @@ object TxTable {
   /** The table property that routes DELETE through deletion vectors. */
   val DvProperty = "tx.deletionVectors"
 
+  /** How many versions between full-state checkpoints ([[publish]]
+    * scaladoc); the default balances commit cost (a checkpoint is
+    * O(live files)) against snapshot-load tail length (≤ interval
+    * deltas replay). */
+  val CheckpointIntervalProperty = "tx.checkpointInterval"
+  val DefaultCheckpointInterval = 20
+
   /** `tx.*` table properties are a closed set — an unrecognized key is
     * a typo'd promise nothing will honor, which is worse than an
     * error. */
@@ -1311,8 +1370,12 @@ object TxTable {
     props.foreach {
       case (DvProperty, v) => require(v == "true" || v == "false",
         s"$DvProperty must be true|false, got '$v'")
+      case (CheckpointIntervalProperty, v) =>
+        require(v.toIntOption.exists(_ >= 1),
+          s"$CheckpointIntervalProperty must be a positive int, got '$v'")
       case (k, _) => throw new IllegalArgumentException(
-        s"unknown table property '$k' — supported: $DvProperty")
+        s"unknown table property '$k' — supported: $DvProperty, " +
+          CheckpointIntervalProperty)
     }
 
   /** Merge-on-read DELETE: instead of rewriting every file that holds
@@ -1360,7 +1423,7 @@ object TxTable {
     val manifest = Manifest(v + 1, "delete", m.schemaJson, m.files,
       m.txns, m.stats, m.blooms, m.partitionColumns, m.constraints,
       m.dvDirs :+ dvRel, m.properties, m.columnMapping)
-    try publish(root, manifest, primitive)
+    try publish(root, manifest, Some(m), primitive)
     catch {
       case e: java.nio.file.FileAlreadyExistsException =>
         try deleteRecursively(root.resolve(dvRel))
@@ -1484,12 +1547,12 @@ object TxTable {
       base.properties, base.columnMapping)
     rebaseConsumed match {
       case Some(consumed) =>
-        publishRebasing(root, manifest,
+        publishRebasing(root, manifest, Some(base),
           rebaseRewrite(base, consumed, staged.files, staged.stats,
             newBlooms, op, dvDirsOut),
           primitive, () => discardStaged(tableDir, Seq(staged)))
       case None =>
-        try publish(root, manifest, primitive)
+        try publish(root, manifest, Some(base), primitive)
         catch {
           case e: java.nio.file.FileAlreadyExistsException =>
             discardStaged(tableDir, Seq(staged))
@@ -1525,7 +1588,7 @@ object TxTable {
     val manifest = Manifest(latest + 1, "restore", m.schemaJson, m.files,
       head.txns, m.stats, m.blooms, m.partitionColumns, m.constraints,
       m.dvDirs, m.properties, m.columnMapping)
-    publish(root, manifest, primitive)
+    publish(root, manifest, Some(head), primitive)
     // Tripwire for the one race the ordering argument cannot close: a
     // vacuum running CONCURRENTLY may have snapshotted its live set
     // before this publish and deleted v's files after we read v's
@@ -1538,6 +1601,7 @@ object TxTable {
       .filterNot(f => Files.exists(root.resolve(f)))
     if (missing.nonEmpty) {
       Files.deleteIfExists(manifestPath(root, latest + 1)): Unit
+      Files.deleteIfExists(ckptPath(root, latest + 1)): Unit
       throw new IllegalStateException(
         s"restore($tableDir, v$v) raced a concurrent vacuum: " +
           s"${missing.size} restored file(s) no longer exist " +
@@ -1641,7 +1705,7 @@ object TxTable {
     val manifest = Manifest(v + 1, "property", m.schemaJson, m.files,
       m.txns, m.stats, m.blooms, m.partitionColumns, m.constraints,
       m.dvDirs, m.properties -- unset ++ set, m.columnMapping)
-    publish(root, manifest, primitive)
+    publish(root, manifest, Some(m), primitive)
     v + 1
   }
 
@@ -1677,7 +1741,7 @@ object TxTable {
       m.txns, m.stats, m.blooms, m.partitionColumns,
       m.constraints -- drop ++ add, m.dvDirs, m.properties,
       m.columnMapping)
-    publish(root, manifest, primitive)
+    publish(root, manifest, Some(m), primitive)
     v + 1
   }
 
@@ -1767,7 +1831,7 @@ object TxTable {
     val manifest = Manifest(v + 1, "evolve", newSchema.json, m.files,
       m.txns, stats2, blooms2, m.partitionColumns, m.constraints,
       m.dvDirs, m.properties, mapping2)
-    publish(root, manifest, primitive)
+    publish(root, manifest, Some(m), primitive)
     v + 1
   }
 
@@ -1880,7 +1944,7 @@ object TxTable {
     val manifest = Manifest(v + 1, "rename", newSchema.json, m.files,
       m.txns, m.stats, m.blooms, m.partitionColumns, m.constraints,
       m.dvDirs, m.properties, newMapping)
-    publish(root, manifest, primitive)
+    publish(root, manifest, Some(m), primitive)
     v + 1
   }
 
@@ -1964,7 +2028,7 @@ object TxTable {
     val manifest = Manifest(v + 1, "widen", newSchema.json, m.files,
       m.txns, stats2, m.blooms, m.partitionColumns, m.constraints,
       m.dvDirs, m.properties, m.columnMapping)
-    publish(root, manifest, primitive)
+    publish(root, manifest, Some(m), primitive)
     v + 1
   }
 
@@ -2211,26 +2275,55 @@ object TxTable {
 
   private def manifestPath(root: Path, v: Long): Path =
     root.resolve(LogDir).resolve(f"v$v%05d.json")
+  private def ckptPath(root: Path, v: Long): Path =
+    root.resolve(LogDir).resolve(f"v$v%05d.ckpt.json")
+  private val BloomsRel = s"$LogDir/blooms"
 
-  /** Serialize the manifest and hand it to the [[CommitPrimitive]] —
-    * the primitive's exclusive-create is the commit point: it either
-    * publishes a complete manifest or fails because the version exists. */
-  private def publish(root: Path, m: Manifest,
-                      primitive: CommitPrimitive): Unit = {
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val node = mapper.createObjectNode()
-    node.put("version", m.version)
-    node.put("op", m.op)
-    node.put("schema", m.schemaJson)
-    val arr = node.putArray("files")
-    m.files.foreach(arr.add)
-    if (m.txns.nonEmpty) {
-      val tx = node.putObject("txns")
-      m.txns.toSeq.sortBy(_._1).foreach { case (k, ver) => tx.put(k, ver) }
+  // ------------------------- shared JSON pieces (delta + checkpoint)
+
+  private type Mapper = com.fasterxml.jackson.databind.ObjectMapper
+  private type ONode = com.fasterxml.jackson.databind.node.ObjectNode
+  private type JNode = com.fasterxml.jackson.databind.JsonNode
+
+  private def putStringArray(node: ONode, name: String,
+                             xs: Seq[String]): Unit =
+    if (xs.nonEmpty) { val a = node.putArray(name); xs.foreach(a.add): Unit }
+
+  private def getStringArray(node: JNode, name: String): Seq[String] =
+    Option(node.get(name))
+      .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty)
+
+  private def putStringMap(node: ONode, name: String,
+                           m: Map[String, String]): Unit =
+    if (m.nonEmpty) {
+      val o = node.putObject(name)
+      m.toSeq.sortBy(_._1).foreach { case (k, v) => o.put(k, v): Unit }
     }
-    if (m.stats.nonEmpty) {
-      val st = node.putObject("stats")
-      m.stats.toSeq.sortBy(_._1).foreach { case (file, cols) =>
+
+  private def getStringMap(node: JNode, name: String): Map[String, String] =
+    Option(node.get(name)).map(_.properties().asScala
+      .map(e => e.getKey -> e.getValue.asText()).toMap)
+      .getOrElse(Map.empty)
+
+  private def putTxns(node: ONode, txns: Map[String, Long]): Unit =
+    if (txns.nonEmpty) {
+      val tx = node.putObject("txns")
+      txns.toSeq.sortBy(_._1).foreach { case (k, ver) => tx.put(k, ver): Unit }
+    }
+
+  private def getTxns(node: JNode): Map[String, Long] =
+    Option(node.get("txns")).map(_.properties().asScala
+      .map(e => e.getKey -> e.getValue.asLong()).toMap)
+      .getOrElse(Map.empty)
+
+  /** `stats` object: {file: {col: {min, max, nulls?, rows?}}} — the one
+    * shape old full manifests, fmt-2 deltas (as upserts), and
+    * checkpoints all share. */
+  private def putStats(node: ONode, name: String,
+      stats: Map[String, Map[String, TxStats.ColStat]]): Unit =
+    if (stats.nonEmpty) {
+      val st = node.putObject(name)
+      stats.toSeq.sortBy(_._1).foreach { case (file, cols) =>
         val fo = st.putObject(file)
         cols.toSeq.sortBy(_._1).foreach { case (c, cs) =>
           val co = fo.putObject(c)
@@ -2243,9 +2336,27 @@ object TxTable {
         }
       }
     }
-    if (m.blooms.nonEmpty) {
-      val bl = node.putObject("blooms")
-      m.blooms.toSeq.sortBy(_._1).foreach { case (file, cols) =>
+
+  private def getStats(node: JNode, name: String)
+      : Map[String, Map[String, TxStats.ColStat]] =
+    Option(node.get(name)).map { st =>
+      st.properties().asScala.map { fe =>
+        fe.getKey -> fe.getValue.properties().asScala.map { ce =>
+          ce.getKey -> TxStats.ColStat(ce.getValue.get("min").asText(),
+            ce.getValue.get("max").asText(),
+            Option(ce.getValue.get("nulls")).map(_.asLong()).getOrElse(-1L),
+            Option(ce.getValue.get("rows")).map(_.asLong()).getOrElse(-1L))
+        }.toMap
+      }.toMap
+    }.getOrElse(Map.empty)
+
+  /** Blooms object: {file: {col: {b64, k, str}}} — old full manifests
+    * inline it; fmt 2 writes the same shape into sidecar files. */
+  private def putBlooms(node: ONode, name: String,
+      blooms: Map[String, Map[String, TxStats.FileBloom]]): Unit =
+    if (blooms.nonEmpty) {
+      val bl = node.putObject(name)
+      blooms.toSeq.sortBy(_._1).foreach { case (file, cols) =>
         val fo = bl.putObject(file)
         cols.toSeq.sortBy(_._1).foreach { case (c, b) =>
           val co = fo.putObject(c)
@@ -2258,34 +2369,246 @@ object TxTable {
         }
       }
     }
-    if (m.partitionColumns.nonEmpty) {
-      val pb = node.putArray("partitionBy")
-      m.partitionColumns.foreach(pb.add)
+
+  private def getBlooms(node: JNode, name: String)
+      : Map[String, Map[String, TxStats.FileBloom]] =
+    Option(node.get(name)).map { bl =>
+      bl.properties().asScala.map { fe =>
+        fe.getKey -> fe.getValue.properties().asScala.map { ce =>
+          ce.getKey -> decodeBloom(ce.getValue)
+        }.toMap
+      }.toMap
+    }.getOrElse(Map.empty)
+
+  /** The small per-version table metadata every commit carries in full
+    * (O(columns + constraints + appIds) — never O(files)). */
+  private def putSmallMeta(node: ONode, m: Manifest): Unit = {
+    putTxns(node, m.txns)
+    putStringArray(node, "partitionBy", m.partitionColumns)
+    putStringMap(node, "constraints", m.constraints)
+    putStringArray(node, "dvDirs", m.dvDirs)
+    putStringMap(node, "properties", m.properties)
+    putStringMap(node, "columnMapping", m.columnMapping)
+  }
+
+  private def structuralBloomEq(a: Map[String, TxStats.FileBloom],
+      b: Map[String, TxStats.FileBloom]): Boolean =
+    a.keySet == b.keySet && a.forall { case (k, x) =>
+      val y = b(k)
+      (x eq y) || (x.k == y.k && x.isString == y.isString &&
+        java.util.Arrays.equals(x.words, y.words))
     }
-    if (m.constraints.nonEmpty) {
-      val co = node.putObject("constraints")
-      m.constraints.toSeq.sortBy(_._1).foreach { case (k, v) =>
-        co.put(k, v): Unit
+
+  /** Write `content` as an immutable, content-addressed bloom sidecar
+    * under `_txlog/blooms/` and return its table-relative path. The
+    * name is the SHA-256 of the serialized bytes (serialization is
+    * key-sorted, so identical content — e.g. a rebase retry — lands on
+    * the identical path and the existing file is simply reused). A
+    * sidecar orphaned by a lost publish race is reclaimed by vacuum's
+    * liveness+age sweep, never by the writer. */
+  private def writeBloomSidecar(root: Path,
+      content: Map[String, Map[String, TxStats.FileBloom]]): String = {
+    val mapper = new Mapper()
+    val node = mapper.createObjectNode()
+    putBlooms(node, "files", content)
+    val bytes = mapper.writeValueAsBytes(node)
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(bytes)
+    val name = sha.take(16).map(b => f"$b%02x").mkString
+    val rel = s"$BloomsRel/$name.json"
+    val p = root.resolve(rel)
+    if (!Files.exists(p)) {
+      Files.createDirectories(p.getParent)
+      val tmp = p.getParent.resolve(s".tmp-${java.util.UUID.randomUUID()}")
+      Files.write(tmp, bytes)
+      // REPLACE on a concurrent identical write is harmless (same bytes)
+      try Files.move(tmp, p,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: Exception => Files.deleteIfExists(tmp): Unit }
+    }
+    rel
+  }
+
+  private def readBloomSidecar(root: Path, rel: String)
+      : Map[String, Map[String, TxStats.FileBloom]] = {
+    val p = root.resolve(rel)
+    require(Files.exists(p),
+      s"bloom sidecar $rel is missing under $root — the log references " +
+        "it; was it deleted out of band?")
+    getBlooms(new Mapper().readTree(Files.readAllBytes(p)), "files")
+  }
+
+  /** One parsed fmt-2 commit delta. */
+  private final case class LogDelta(op: String, schemaJson: String,
+      txns: Map[String, Long], partitionColumns: Seq[String],
+      constraints: Map[String, String], dvDirs: Seq[String],
+      properties: Map[String, String], columnMapping: Map[String, String],
+      add: Seq[String], remove: Seq[String],
+      statUpserts: Map[String, Map[String, TxStats.ColStat]],
+      bloomRef: Option[String], bloomRefFiles: Seq[String],
+      bloomDrop: Seq[String])
+
+  private def parseDelta(node: JNode): LogDelta =
+    LogDelta(node.get("op").asText(), node.get("schema").asText(),
+      getTxns(node), getStringArray(node, "partitionBy"),
+      getStringMap(node, "constraints"), getStringArray(node, "dvDirs"),
+      getStringMap(node, "properties"),
+      getStringMap(node, "columnMapping"),
+      getStringArray(node, "add"), getStringArray(node, "remove"),
+      getStats(node, "stats"),
+      Option(node.get("bloomRef")).map(_.asText()),
+      getStringArray(node, "bloomRefFiles"),
+      getStringArray(node, "bloomDrop"))
+
+  /** Parse a PRE-INCREMENTAL full manifest (no `fmt` field): the
+    * complete state inline, blooms included — readable forever, and a
+    * natural replay base for fmt-2 deltas committed on top. */
+  private def parseFull(node: JNode): Manifest =
+    Manifest(node.get("version").asLong(), node.get("op").asText(),
+      node.get("schema").asText(), getStringArray(node, "files"),
+      getTxns(node), getStats(node, "stats"), getBlooms(node, "blooms"),
+      getStringArray(node, "partitionBy"),
+      getStringMap(node, "constraints"), getStringArray(node, "dvDirs"),
+      getStringMap(node, "properties"),
+      getStringMap(node, "columnMapping"))
+
+  /** Materialize the FULL state at a version as a checkpoint file —
+    * files + stats inline (O(files) strings), blooms as sidecar
+    * REFERENCES only (the sidecars are immutable; a checkpoint never
+    * re-serializes a bloom). Blooms still inline in the state (an
+    * old-format base that no commit migrated yet) move to a fresh
+    * sidecar first, so a checkpoint is always fully ref-backed.
+    * Atomic via tmp + move; idempotent (same state → same content). */
+  private[sources] def writeCheckpoint(root: Path, m: Manifest): Unit = {
+    val missing = (m.blooms.keySet -- m.bloomRefs.keySet).toSeq.sorted
+    val refs =
+      if (missing.isEmpty) m.bloomRefs
+      else {
+        val s = writeBloomSidecar(root,
+          missing.map(f => f -> m.blooms(f)).toMap)
+        m.bloomRefs ++ missing.map(_ -> s)
+      }
+    val mapper = new Mapper()
+    val node = mapper.createObjectNode()
+    node.put("fmt", 2)
+    node.put("version", m.version)
+    node.put("op", m.op)
+    node.put("schema", m.schemaJson): Unit
+    putSmallMeta(node, m)
+    putStringArray(node, "files", m.files)
+    putStats(node, "stats", m.stats)
+    putStringMap(node, "bloomRefs", refs)
+    val tmp = root.resolve(LogDir)
+      .resolve(s".ckpt-tmp-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, mapper.writeValueAsBytes(node))
+    try Files.move(tmp, ckptPath(root, m.version),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch { case _: Exception => Files.deleteIfExists(tmp): Unit }
+  }
+
+  /** Read a checkpoint: full state with `bloomRefs` set and `blooms`
+    * EMPTY — the caller (replay) materializes blooms from the final
+    * reference set, so each sidecar is read at most once per load. */
+  private def readCheckpoint(root: Path, v: Long): Manifest = {
+    val node = new Mapper().readTree(Files.readAllBytes(ckptPath(root, v)))
+    Manifest(v, node.get("op").asText(), node.get("schema").asText(),
+      getStringArray(node, "files"), getTxns(node),
+      getStats(node, "stats"), Map.empty,
+      getStringArray(node, "partitionBy"),
+      getStringMap(node, "constraints"), getStringArray(node, "dvDirs"),
+      getStringMap(node, "properties"),
+      getStringMap(node, "columnMapping"),
+      getStringMap(node, "bloomRefs"))
+  }
+
+  /** A version's `op` alone — one JSON parse, no replay (both file
+    * formats carry it at the top level); what [[history]] iterates. */
+  private def readOp(root: Path, v: Long): String =
+    new Mapper().readTree(Files.readAllBytes(manifestPath(root, v)))
+      .get("op").asText()
+
+  /** Serialize the commit as an INCREMENTAL delta against `prev` and
+    * hand it to the [[CommitPrimitive]] — the primitive's
+    * exclusive-create is the commit point: it either publishes a
+    * complete delta or fails because the version exists. Written
+    * metadata is O(changed files): added/removed file names, stats for
+    * files whose stats changed (new files; a widen's stat rewrite; an
+    * evolve's scrub), and ONE content-addressed sidecar for new/changed
+    * blooms — carried files ride as the absence of actions. The diff is
+    * computed against the caller's already-loaded `prev` state (every
+    * commit path reads it anyway), so the only O(live files) work left
+    * is in-memory compares with reference-equality fast paths — never
+    * serialization or IO. After a won publish, every
+    * `tx.checkpointInterval`-th version also materializes a checkpoint
+    * (best-effort: the log is already complete without it). */
+  private def publish(root: Path, m: Manifest, prev: Option[Manifest],
+                      primitive: CommitPrimitive): Unit = {
+    prev.foreach(p => require(p.version == m.version - 1,
+      s"publish of v${m.version} got prev state v${p.version} — the " +
+        "caller must hand the immediately-previous log state"))
+    require(prev.nonEmpty || m.version == 1L,
+      s"publish of v${m.version} without the previous state")
+    val mapper = new Mapper()
+    val node = mapper.createObjectNode()
+    node.put("fmt", 2)
+    node.put("version", m.version)
+    node.put("op", m.op)
+    node.put("schema", m.schemaJson): Unit
+    putSmallMeta(node, m)
+    val prevFiles = prev.map(_.files).getOrElse(Seq.empty)
+    val prevSet = prevFiles.toSet
+    val mSet = m.files.toSet
+    val add = m.files.filterNot(prevSet)
+    val remove = prevFiles.filterNot(mSet)
+    putStringArray(node, "add", add)
+    putStringArray(node, "remove", remove)
+    val prevStats = prev.map(_.stats).getOrElse(
+      Map.empty[String, Map[String, TxStats.ColStat]])
+    val statUpserts = m.files.filter { f =>
+      m.stats.getOrElse(f, Map.empty) != prevStats.getOrElse(f, Map.empty)
+    }
+    putStats(node, "stats",
+      statUpserts.map(f => f -> m.stats.getOrElse(f,
+        Map.empty[String, TxStats.ColStat])).toMap)
+    val prevBlooms = prev.map(_.blooms).getOrElse(
+      Map.empty[String, Map[String, TxStats.FileBloom]])
+    val prevRefs = prev.map(_.bloomRefs).getOrElse(Map.empty[String, String])
+    // a file's blooms go to this commit's sidecar when new, changed
+    // (an evolve's column scrub), or carried WITHOUT a sidecar ref yet
+    // (inline in an old-format base — migrated exactly once here)
+    val needSidecar = m.files.filter { f =>
+      m.blooms.get(f) match {
+        case Some(mb) => prevBlooms.get(f) match {
+          case Some(pb) if structuralBloomEq(mb, pb) => !prevRefs.contains(f)
+          case _ => true
+        }
+        case None => false
       }
     }
-    if (m.dvDirs.nonEmpty) {
-      val dv = node.putArray("dvDirs")
-      m.dvDirs.foreach(dv.add)
-    }
-    if (m.properties.nonEmpty) {
-      val pr = node.putObject("properties")
-      m.properties.toSeq.sortBy(_._1).foreach { case (k, v) =>
-        pr.put(k, v): Unit
-      }
-    }
-    if (m.columnMapping.nonEmpty) {
-      val cm = node.putObject("columnMapping")
-      m.columnMapping.toSeq.sortBy(_._1).foreach { case (k, v) =>
-        cm.put(k, v): Unit
-      }
+    val bloomDrop = m.files.filter(f =>
+      !m.blooms.contains(f) && prevBlooms.contains(f))
+    putStringArray(node, "bloomDrop", bloomDrop)
+    val sidecar: Option[String] =
+      if (needSidecar.isEmpty) None
+      else Some(writeBloomSidecar(root,
+        needSidecar.map(f => f -> m.blooms(f)).toMap))
+    sidecar.foreach { s =>
+      node.put("bloomRef", s): Unit
+      putStringArray(node, "bloomRefFiles", needSidecar)
     }
     primitive.publishExclusive(manifestPath(root, m.version),
       mapper.writeValueAsBytes(node))
+    val interval = m.properties.get(CheckpointIntervalProperty)
+      .flatMap(_.toIntOption).getOrElse(DefaultCheckpointInterval)
+    if (m.version % interval == 0) {
+      val needSet = needSidecar.toSet
+      val carried = prevRefs.filter { case (f, _) =>
+        mSet(f) && m.blooms.contains(f) && !needSet(f) }
+      val refs = carried ++
+        sidecar.toSeq.flatMap(s => needSidecar.map(_ -> s))
+      try writeCheckpoint(root, m.copy(bloomRefs = refs))
+      catch { case _: Exception => () } // best-effort; the log is complete
+    }
   }
 
   private[sources] def decodeBloom(
@@ -2300,49 +2623,82 @@ object TxTable {
       node.get("str").asBoolean())
   }
 
+  /** Load the FULL state at version `v`: the version's own file, plus —
+    * for fmt-2 deltas — a walk DOWN the log to the nearest base (a
+    * checkpoint, an old-format full manifest, or v1 itself, which is
+    * self-contained by construction), then a forward replay of the
+    * delta tail. Load cost: one base read + at most
+    * `tx.checkpointInterval` delta reads + one read per referenced
+    * bloom sidecar — bounded, never a full-history replay. The returned
+    * version is the REQUESTED one (log file names are the authority;
+    * a corrupted body cannot lie about its own version). */
   private[graft] def readManifest(root: Path, v: Long): Manifest = {
     val p = manifestPath(root, v)
     require(Files.exists(p), s"version $v does not exist under $root")
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val mapper = new Mapper()
     val node = mapper.readTree(Files.readAllBytes(p))
-    val txns = Option(node.get("txns")).map { tx =>
-      tx.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
-    }.getOrElse(Map.empty[String, Long])
-    val stats = Option(node.get("stats")).map { st =>
-      st.properties().asScala.map { fe =>
-        fe.getKey -> fe.getValue.properties().asScala.map { ce =>
-          ce.getKey -> TxStats.ColStat(ce.getValue.get("min").asText(),
-            ce.getValue.get("max").asText(),
-            Option(ce.getValue.get("nulls")).map(_.asLong()).getOrElse(-1L),
-            Option(ce.getValue.get("rows")).map(_.asLong()).getOrElse(-1L))
-        }.toMap
-      }.toMap
-    }.getOrElse(Map.empty[String, Map[String, TxStats.ColStat]])
-    val blooms = Option(node.get("blooms")).map { bl =>
-      bl.properties().asScala.map { fe =>
-        fe.getKey -> fe.getValue.properties().asScala.map { ce =>
-          ce.getKey -> decodeBloom(ce.getValue)
-        }.toMap
-      }.toMap
-    }.getOrElse(Map.empty[String, Map[String, TxStats.FileBloom]])
-    val partitionColumns = Option(node.get("partitionBy"))
-      .map(_.elements().asScala.map(_.asText()).toSeq)
-      .getOrElse(Seq.empty)
-    val constraints = Option(node.get("constraints")).map { co =>
-      co.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
-    }.getOrElse(Map.empty[String, String])
-    val dvDirs = Option(node.get("dvDirs"))
-      .map(_.elements().asScala.map(_.asText()).toSeq)
-      .getOrElse(Seq.empty)
-    val props = Option(node.get("properties")).map { pr =>
-      pr.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
-    }.getOrElse(Map.empty[String, String])
-    val colMap = Option(node.get("columnMapping")).map { cm =>
-      cm.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
-    }.getOrElse(Map.empty[String, String])
-    Manifest(node.get("version").asLong(), node.get("op").asText(),
-      node.get("schema").asText(),
-      node.get("files").elements().asScala.map(_.asText()).toSeq, txns,
-      stats, blooms, partitionColumns, constraints, dvDirs, props, colMap)
+    if (node.get("fmt") == null) return parseFull(node).copy(version = v)
+    // fast path: the version has its own checkpoint
+    if (Files.exists(ckptPath(root, v)))
+      return materializeBlooms(root, readCheckpoint(root, v))
+    var deltas = List(parseDelta(node))
+    var base: Option[Manifest] = None
+    var k = v - 1
+    while (k >= 1 && base.isEmpty) {
+      if (Files.exists(ckptPath(root, k)))
+        base = Some(readCheckpoint(root, k))
+      else {
+        val kp = manifestPath(root, k)
+        require(Files.exists(kp),
+          s"cannot reconstruct version $v of $root: delta v$k is " +
+            "missing and no checkpoint covers the gap")
+        val kn = mapper.readTree(Files.readAllBytes(kp))
+        if (kn.get("fmt") == null) base = Some(parseFull(kn).copy(version = k))
+        else { deltas = parseDelta(kn) :: deltas; k -= 1 }
+      }
+    }
+    // replay the tail onto the base
+    var files = base.map(_.files).getOrElse(Seq.empty)
+    var stats = base.map(_.stats).getOrElse(
+      Map.empty[String, Map[String, TxStats.ColStat]])
+    var refs = base.map(_.bloomRefs).getOrElse(Map.empty[String, String])
+    // blooms inline in an old-format base (a checkpoint base is fully
+    // ref-backed and reads back with blooms empty)
+    var inline = base.map(m => m.blooms -- m.bloomRefs.keySet).getOrElse(
+      Map.empty[String, Map[String, TxStats.FileBloom]])
+    var last: LogDelta = null
+    deltas.foreach { d =>
+      last = d
+      val removeSet = d.remove.toSet
+      val kept = files.filterNot(removeSet)
+      val keptSet = kept.toSet
+      files = kept ++ d.add.filterNot(keptSet)
+      stats = (stats -- d.remove) ++ d.statUpserts
+      inline = inline -- d.remove -- d.bloomDrop -- d.bloomRefFiles
+      refs = (refs -- d.remove -- d.bloomDrop) ++
+        d.bloomRef.toSeq.flatMap(r => d.bloomRefFiles.map(_ -> r))
+    }
+    val m = Manifest(v, last.op, last.schemaJson, files, last.txns, stats,
+      inline, last.partitionColumns, last.constraints, last.dvDirs,
+      last.properties, last.columnMapping, refs)
+    materializeBlooms(root, m)
+  }
+
+  /** Resolve `bloomRefs` into in-memory blooms (each referenced sidecar
+    * read exactly once), merged over whatever inline blooms the state
+    * already carries. A referenced sidecar missing an expected file
+    * entry is corruption and fails loudly — a silent miss would merely
+    * weaken skipping, which is exactly how bugs hide. */
+  private def materializeBlooms(root: Path, m: Manifest): Manifest = {
+    if (m.bloomRefs.isEmpty) return m
+    val loaded = m.bloomRefs.toSeq.groupBy(_._2).toSeq.flatMap {
+      case (rel, fs) =>
+        val content = readBloomSidecar(root, rel)
+        fs.map { case (f, _) =>
+          f -> content.getOrElse(f, throw new IllegalStateException(
+            s"bloom sidecar $rel of $root lacks an entry for $f"))
+        }
+    }.toMap
+    m.copy(blooms = m.blooms ++ loaded)
   }
 }

@@ -298,6 +298,36 @@ class TxCatalogSpec extends SparkSpec {
     }
   }
 
+  test("$partitions metadata table: per-value file/row/byte census") {
+    warehouse
+    // a flat table reports one '{}' partition covering the snapshot
+    val flat = spark.sql(
+      "SELECT part, n_files, n_rows, bytes FROM txspec.db.`t$partitions`")
+      .collect()
+    assert(flat.length == 1 && flat(0).getString(0) == "{}")
+    assert(flat(0).getLong(1) >= 1L && flat(0).getLong(3) > 0L)
+    // a partitioned table reports one row per live value tuple, with
+    // rows summed from the manifest's per-file stats
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-pmeta-").toString
+    import spark.implicits._
+    TxTable.commit(
+      Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "p")
+        .repartition(4, org.apache.spark.sql.functions.col("p")),
+      s"$warehouse/db/pm", "overwrite", partitionBy = Some(Seq("p")))
+    val rows = spark.sql(
+      "SELECT part, n_files, n_rows FROM txspec.db.`pm$partitions` " +
+        "ORDER BY part").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows == Seq(("{p=a}", 1L, 2L), ("{p=b}", 1L, 1L)), rows)
+    // LocalScan: driver metadata, never a distributed job
+    val plan = spark.sql("SELECT * FROM txspec.db.`pm$partitions`")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan") || plan.contains("LocalScan"),
+      plan.take(500))
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir)): Unit
+  }
+
   test("CALL system.compact / system.vacuum run the maintenance ops from SQL") {
     warehouse
     // a fresh fragmented table: many tiny commits -> many small files

@@ -1,0 +1,250 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+import graft.sources.{TxTable, TxStats}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.EqualTo
+
+/** The INCREMENTAL manifest log (TxTable scaladoc "Layout"): commit
+  * metadata O(changed files) — not O(live files) — with periodic full
+  * checkpoints, blooms in immutable content-addressed sidecars, and
+  * pre-incremental full manifests still readable as replay bases. This
+  * is the 100 TB write-path contract: the exactly-once streaming sink
+  * commits EVERY micro-batch, so a full-file-list manifest with inline
+  * blooms would be gigabytes of driver JSON per batch at a million
+  * files. */
+class TxLogSpec extends SparkSpec {
+
+  private def tmpTable(): String =
+    Files.createTempDirectory("graft-txlog-").toString + "/tbl"
+
+  private def frame(ids: Long*) = {
+    import spark.implicits._
+    ids.map(i => (i, s"payload-$i")).toDF("id", "payload")
+  }
+
+  private def logFiles(tbl: String): Seq[String] =
+    Files.list(Paths.get(tbl).resolve("_txlog")).iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .map(_.getFileName.toString).toSeq.sorted
+
+  private def deltaSize(tbl: String, v: Long): Long =
+    Files.size(Paths.get(tbl).resolve("_txlog").resolve(f"v$v%05d.json"))
+
+  test("commit metadata bytes stay ~constant across N appends (O(changed), not O(live))") {
+    val tbl = tmpTable()
+    (1L to 24L).foreach { i =>
+      TxTable.commit(frame(i), tbl,
+        if (i == 1L) "overwrite" else "append", bloomColumns = Seq("id"))
+    }
+    // the table holds 24 files; a full-file-list manifest with inline
+    // blooms would grow linearly (and carry 24 × ~2 KiB of base64) —
+    // the delta for append #24 must cost what append #3 cost
+    val early = deltaSize(tbl, 3L)
+    val late = deltaSize(tbl, 24L)
+    assert(late <= early * 2,
+      s"delta v24 is $late bytes vs v3's $early — the log is growing " +
+        "with live-file count, not with the commit's own actions")
+    // no inline bloom payloads and no full file list in any delta
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    Seq(2L, 12L, 24L).foreach { v =>
+      val node = mapper.readTree(Files.readAllBytes(
+        Paths.get(tbl).resolve("_txlog").resolve(f"v$v%05d.json")))
+      assert(node.get("fmt").asInt() == 2)
+      assert(node.get("blooms") == null, s"v$v inlines blooms")
+      assert(node.get("files") == null, s"v$v carries the full file list")
+      assert(node.get("add").size() == 1, s"v$v add count")
+    }
+    // full state reads back correctly through checkpoint + tail replay
+    val m = TxTable.readManifest(Paths.get(tbl), 24L)
+    assert(m.files.size == 24)
+    assert(m.blooms.size == 24, "bloom coverage lost through the log")
+    assert(TxTable.read(spark, tbl).count() == 24L)
+    assert(TxTable.readVersion(spark, tbl, 7L).count() == 7L)
+    // the default interval (20) materialized exactly one checkpoint
+    assert(logFiles(tbl).count(_.endsWith(".ckpt.json")) == 1)
+    assert(Files.exists(
+      Paths.get(tbl).resolve("_txlog").resolve("v00020.ckpt.json")))
+    // blooms landed as content-addressed sidecars, one per commit
+    val blooms = Paths.get(tbl).resolve("_txlog").resolve("blooms")
+    assert(Files.isDirectory(blooms))
+    assert(Files.list(blooms).count() == 24L)
+  }
+
+  test("bloom skipping survives the sidecar log end-to-end") {
+    val tbl = tmpTable()
+    // three appends with disjoint id ranges and id blooms
+    TxTable.commit(frame(1L, 2L), tbl, "overwrite", bloomColumns = Seq("id"))
+    TxTable.commit(frame(100L, 101L), tbl, "append", bloomColumns = Seq("id"))
+    TxTable.commit(frame(200L, 201L), tbl, "append", bloomColumns = Seq("id"))
+    val m = TxTable.readManifest(Paths.get(tbl), 3L)
+    assert(m.files.nonEmpty && m.blooms.keySet == m.files.toSet)
+    assert(m.bloomRefs.keySet == m.blooms.keySet)
+    // min/max cannot separate id=150 from the [100,201] span alone;
+    // blooms prove every file out (150 was never inserted)
+    val lb = TxTable.logicalBlooms(m)
+    val excluded = m.files.count { f =>
+      TxStats.bloomExcludes(lb.getOrElse(f, Map.empty), EqualTo("id", 150L))
+    }
+    assert(excluded == m.files.size,
+      s"blooms from sidecars excluded $excluded/${m.files.size}")
+  }
+
+  test("tx.checkpointInterval property controls checkpoint cadence") {
+    val tbl = tmpTable()
+    TxTable.commit(frame(1L), tbl, "overwrite",
+      properties = Map(TxTable.CheckpointIntervalProperty -> "5"))
+    (2L to 12L).foreach(i => TxTable.commit(frame(i), tbl, "append"))
+    val ckpts = logFiles(tbl).filter(_.endsWith(".ckpt.json"))
+    assert(ckpts == Seq("v00005.ckpt.json", "v00010.ckpt.json"), ckpts)
+    assert(TxTable.read(spark, tbl).count() == 12L)
+  }
+
+  test("pre-incremental full manifests read back and serve as replay bases") {
+    val tbl = tmpTable()
+    TxTable.commit(frame(1L, 2L), tbl, "overwrite", bloomColumns = Seq("id"))
+    TxTable.commit(frame(100L), tbl, "append", bloomColumns = Seq("id"))
+    // rewrite both versions' log entries in the OLD format (full file
+    // list + inline stats + inline base64 blooms, no `fmt` field) —
+    // byte-compatible with what pre-incremental tables hold on disk
+    (1L to 2L).foreach { v =>
+      val m = TxTable.readManifest(Paths.get(tbl), v)
+      writeLegacyManifest(Paths.get(tbl), m.copy(version = v))
+    }
+    // wipe the sidecars the fmt-2 commits wrote: a genuinely old table
+    // has none, and nothing may reference them after the rewrite
+    val blooms = Paths.get(tbl).resolve("_txlog").resolve("blooms")
+    Files.list(blooms).iterator().asScala.foreach(Files.delete)
+    Files.delete(blooms)
+    // old format reads: full state, inline blooms, empty refs
+    val m2 = TxTable.readManifest(Paths.get(tbl), 2L)
+    assert(m2.files.nonEmpty && m2.blooms.keySet == m2.files.toSet)
+    assert(m2.bloomRefs.isEmpty)
+    assert(TxTable.read(spark, tbl).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 100L))
+    // a NEW append on top: fmt-2 delta over the old base — and the one
+    // commit that migrates the carried inline blooms to a sidecar
+    TxTable.commit(frame(200L), tbl, "append", bloomColumns = Seq("id"))
+    val m3 = TxTable.readManifest(Paths.get(tbl), 3L)
+    assert(m3.files.size > m2.files.size)
+    assert(m3.blooms.keySet == m3.files.toSet,
+      "old inline blooms lost through the append")
+    assert(m3.bloomRefs.keySet == m3.blooms.keySet,
+      "migration must leave every bloom sidecar-backed")
+    assert(TxTable.read(spark, tbl).count() == 4L)
+    // and the migrated blooms still exclude correctly
+    val lb = TxTable.logicalBlooms(m3)
+    assert(m3.files.forall(f => TxStats.bloomExcludes(
+      lb.getOrElse(f, Map.empty), EqualTo("id", 55L))))
+  }
+
+  test("vacuum writes the retention-boundary checkpoint and reclaims dead sidecars") {
+    val tbl = tmpTable()
+    (1L to 9L).foreach { i =>
+      TxTable.commit(frame(i), tbl,
+        if (i == 1L) "overwrite" else "append", bloomColumns = Seq("id"))
+    }
+    // an overwrite at v10 makes v1..v9's files (and their sidecars) dead
+    // once those versions expire
+    TxTable.commit(frame(500L), tbl, "overwrite", bloomColumns = Seq("id"))
+    val sidecarsBefore = Files.list(
+      Paths.get(tbl).resolve("_txlog").resolve("blooms")).count()
+    assert(sidecarsBefore == 10L)
+    val stats = TxTable.vacuum(tbl, retain = 2, minAgeMillis = 0L)
+    assert(stats.expiredVersions == (1L to 8L))
+    // the oldest retained version got its replay base
+    assert(Files.exists(
+      Paths.get(tbl).resolve("_txlog").resolve("v00009.ckpt.json")))
+    // both retained versions read back
+    assert(TxTable.readVersion(spark, tbl, 9L).count() == 9L)
+    assert(TxTable.readVersion(spark, tbl, 10L).count() == 1L)
+    // expired deltas are gone; only retained log entries remain
+    val vs = TxTable.versions(tbl)
+    assert(vs == Seq(9L, 10L))
+    // v9 still references v1..v9's sidecars (its state carries their
+    // blooms), so they survive; after retaining only v10, they die
+    TxTable.commit(frame(501L), tbl, "append", bloomColumns = Seq("id"))
+    TxTable.vacuum(tbl, retain = 2, minAgeMillis = 0L): Unit
+    val left = Files.list(
+        Paths.get(tbl).resolve("_txlog").resolve("blooms"))
+      .iterator().asScala.map(_.getFileName.toString).toSet
+    val liveRefs = Seq(10L, 11L).flatMap(v =>
+      TxTable.readManifest(Paths.get(tbl), v).bloomRefs.values)
+      .map(_.split('/').last).toSet
+    assert(left == liveRefs,
+      s"sidecars on disk $left != live references $liveRefs")
+    // and bloom skipping still works on the survivor
+    val m = TxTable.readManifest(Paths.get(tbl), 11L)
+    assert(m.blooms.size == 2)
+  }
+
+  test("rebase retries reuse the identical content-addressed sidecar") {
+    val tbl = tmpTable()
+    TxTable.commit(frame(1L), tbl, "overwrite", bloomColumns = Seq("id"))
+    // the losing append's bloom content is identical across its retry,
+    // so the sidecar write is idempotent (same SHA → same path)
+    val prim = new graft.sources.ConflictInjectingPrimitive(
+      graft.sources.PosixLinkPrimitive,
+      () => TxTable.commit(frame(50L), tbl, "append",
+        bloomColumns = Seq("id")): Unit)
+    val v = TxTable.commit(frame(99L), tbl, "append",
+      bloomColumns = Seq("id"), primitive = prim)
+    assert(v == 3L)
+    val m = TxTable.readManifest(Paths.get(tbl), 3L)
+    assert(m.blooms.size == 3)
+    assert(TxTable.read(spark, tbl).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 50L, 99L))
+    // no orphaned sidecars: every sidecar on disk is referenced
+    val onDisk = Files.list(
+        Paths.get(tbl).resolve("_txlog").resolve("blooms"))
+      .iterator().asScala.map(_.getFileName.toString).toSet
+    val refs = m.bloomRefs.values.map(_.split('/').last).toSet
+    assert(onDisk == refs)
+  }
+
+  /** The pre-incremental on-disk format, reproduced byte-shape-faithfully
+    * for the compatibility pin: full file list, inline stats, inline
+    * base64 blooms, no `fmt` marker. */
+  private def writeLegacyManifest(root: Path, m: TxTable.Manifest): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    node.put("version", m.version)
+    node.put("op", m.op)
+    node.put("schema", m.schemaJson): Unit
+    val arr = node.putArray("files")
+    m.files.foreach(arr.add)
+    if (m.stats.nonEmpty) {
+      val st = node.putObject("stats")
+      m.stats.toSeq.sortBy(_._1).foreach { case (file, cols) =>
+        val fo = st.putObject(file)
+        cols.toSeq.sortBy(_._1).foreach { case (c, cs) =>
+          val co = fo.putObject(c)
+          co.put("min", cs.min)
+          co.put("max", cs.max): Unit
+          if (cs.nulls >= 0L) co.put("nulls", cs.nulls): Unit
+          if (cs.rows >= 0L) co.put("rows", cs.rows): Unit
+        }
+      }
+    }
+    if (m.blooms.nonEmpty) {
+      val bl = node.putObject("blooms")
+      m.blooms.toSeq.sortBy(_._1).foreach { case (file, cols) =>
+        val fo = bl.putObject(file)
+        cols.toSeq.sortBy(_._1).foreach { case (c, b) =>
+          val co = fo.putObject(c)
+          val buf = java.nio.ByteBuffer.allocate(b.words.length * 8)
+          buf.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          b.words.foreach(buf.putLong(_): Unit)
+          co.put("b64",
+            java.util.Base64.getEncoder.encodeToString(buf.array()))
+          co.put("k", b.k)
+          co.put("str", b.isString): Unit
+        }
+      }
+    }
+    Files.write(root.resolve("_txlog").resolve(f"v${m.version}%05d.json"),
+      mapper.writeValueAsBytes(node)): Unit
+  }
+}

@@ -36,19 +36,24 @@ class TxTableSpec extends SparkSpec {
   test("a racing OVERWRITE loses the version exactly once, loudly") {
     val tbl = tmpTable()
     TxTable.commit(frame(1L), tbl, "overwrite")
-    // simulate the race: another writer already published v2. An
-    // overwrite defines the whole new snapshot against a vanished head,
-    // so it must NOT auto-rebase — retrying would silently truncate the
+    // deterministic race: a competitor publishes v2 between this
+    // overwrite's version computation and its publish. An overwrite
+    // defines the whole new snapshot against a vanished head, so it
+    // must NOT auto-rebase — retrying would silently truncate the
     // winner's commit.
-    val log = Paths.get(tbl).resolve("_txlog")
-    Files.write(log.resolve("v00002.json"),
-      Files.readAllBytes(log.resolve("v00001.json")))
+    val prim = new graft.sources.ConflictInjectingPrimitive(
+      graft.sources.PosixLinkPrimitive,
+      () => TxTable.commit(frame(9L), tbl, "overwrite"): Unit)
     intercept[java.nio.file.FileAlreadyExistsException](
-      TxTable.commit(frame(2L), tbl, "overwrite"))
+      TxTable.commit(frame(2L), tbl, "overwrite", primitive = prim))
     // the losing commit left no manifest and no temp file behind
+    val log = Paths.get(tbl).resolve("_txlog")
     val names = Files.list(log).iterator().asScala
       .map(_.getFileName.toString).toSeq.sorted
     assert(names == Seq("v00001.json", "v00002.json"))
+    // the winner's snapshot is intact — nothing truncated
+    assert(TxTable.read(spark, tbl).select("id").collect()
+      .map(_.getLong(0)).toSeq == Seq(9L))
   }
 
   test("a racing blind APPEND auto-rebases onto the new head (OCC reconciliation)") {
@@ -442,12 +447,16 @@ class TxTableSpec extends SparkSpec {
     // content identical, now in ONE file (everything fits one group)
     assert(TxTable.read(spark, tbl).collect()
       .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq == before)
-    val manifest = java.nio.file.Files.readString(
-      Paths.get(tbl, "_txlog", "v00004.json"))
-    // parse, don't grep: each file name now also keys a stats entry
-    val filesArr = new com.fasterxml.jackson.databind.ObjectMapper()
-      .readTree(manifest).get("files")
-    assert(filesArr.size() == 1, manifest)
+    val m4 = TxTable.readManifest(Paths.get(tbl), 4L)
+    assert(m4.files.size == 1, m4.files)
+    // and the compaction's DELTA records its actions incrementally:
+    // one added file, the three consumed ones removed
+    val delta = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readString(
+        Paths.get(tbl, "_txlog", "v00004.json")))
+    assert(delta.get("fmt").asInt() == 2)
+    assert(delta.get("add").size() == 1)
+    assert(delta.get("remove").size() >= 3)
     // pre-compaction versions stay readable until vacuumed
     assert(TxTable.readVersion(spark, tbl, 2L).count() == 3L)
     val stats = TxTable.vacuum(tbl, retain = 1, minAgeMillis = 0L)
@@ -607,15 +616,21 @@ class TxTableSpec extends SparkSpec {
   test("a lost commit race reclaims its own data files") {
     val tbl = tmpTable()
     TxTable.commit(frame(1L), tbl, "overwrite")
-    val log = Paths.get(tbl).resolve("_txlog")
-    Files.write(log.resolve("v00002.json"),
-      Files.readAllBytes(log.resolve("v00001.json")))
-    val before = dataFiles(tbl)
+    val prim = new graft.sources.ConflictInjectingPrimitive(
+      graft.sources.PosixLinkPrimitive,
+      () => TxTable.commit(frame(9L), tbl, "overwrite"): Unit)
     // overwrite: no rebase path, the conflict surfaces and the staged
     // files are reclaimed
     intercept[java.nio.file.FileAlreadyExistsException](
-      TxTable.commit(frame(2L), tbl, "overwrite"))
-    assert(dataFiles(tbl) == before) // no orphaned data/<uuid> left behind
+      TxTable.commit(frame(2L), tbl, "overwrite", primitive = prim))
+    // no orphaned data/<uuid> left: every on-disk commit dir is
+    // referenced by a live manifest
+    val live = Seq(1L, 2L)
+      .flatMap(v => TxTable.readManifest(Paths.get(tbl), v).files)
+      .map(_.split('/')(1)).toSet
+    val onDisk = Files.list(Paths.get(tbl).resolve("data")).iterator()
+      .asScala.map(_.getFileName.toString).toSet
+    assert(onDisk == live)
   }
 
   test("compactZOrder narrows 2-D tiles, never changes rows, keeps bloom coverage") {
