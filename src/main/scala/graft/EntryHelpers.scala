@@ -439,6 +439,51 @@ private[graft] object EntryHelpers {
       java.lang.Long.valueOf(v)
     }).longValue()
 
+  /** `ops_merge_evolve_part` fixture (`db.mrgevop`): the PARTITIONED
+    * twin of `db.mrgevo` — the target is `PARTITIONED BY (lang)`, so
+    * Spark's own positional evolution path is withheld and
+    * [[graft.sources.TxRowLevel.RowLevelRule]] performs the evolution
+    * itself: v3 is the metadata-only evolve (score slots BEFORE the
+    * partition column, the hive invariant), v4 the merge whose
+    * star-shaped actions were extended by-name with the new column. */
+  val txMrgEvoPartDone =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  def txMergeEvolvedPartVersion(s: SparkSession, dir: String,
+                                wh: String): Long =
+    txMrgEvoPartDone.computeIfAbsent(dir, _ => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val tbl = s"$wh/db/mrgevop"
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "en"), tbl, "overwrite",
+        partitionBy = Some(Seq("lang")))
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "de"), tbl, "append")
+      docs.filter(col("lang").isin("de", "fr"))
+        .withColumn("score", col("n_chars") % 100)
+        .createOrReplaceTempView("graft_mrgevop_src")
+      s.sql(
+        """MERGE WITH SCHEMA EVOLUTION INTO graft_tx.db.mrgevop t
+          |USING graft_mrgevop_src s
+          |ON t.doc_id = s.doc_id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val v = graft.sources.TxTable.latestVersion(tbl).getOrElse(0L)
+      require(v == 4L, s"expected evolve v3 + merge v4, got v$v")
+      val ops = graft.sources.TxTable.history(tbl).map(_._2)
+      require(ops == Seq("overwrite", "append", "evolve", "merge"),
+        s"unexpected op history: ${ops.mkString(", ")}")
+      // the evolved column slots BEFORE the partition column
+      val m = graft.sources.TxTable.readManifest(
+        java.nio.file.Paths.get(tbl), v)
+      val names = org.apache.spark.sql.types.DataType
+        .fromJson(m.schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames
+      require(names.toSeq == Seq("doc_id", "n_chars", "score", "lang"),
+        s"unexpected evolved order: ${names.mkString(", ")}")
+      java.lang.Long.valueOf(v)
+    }).longValue()
+
   /** `ops_delete_mor` / `ops_purge_dv` fixture: a table (`db.mor`)
     * created with `tx.deletionVectors=true`, so the SQL DELETE commits
     * as MERGE-ON-READ — v4's data files are BYTE-IDENTICAL to v3's and
@@ -708,6 +753,36 @@ private[graft] object EntryHelpers {
       val v = graft.sources.TxTable.latestVersion(s"$wh/db/evo")
         .getOrElse(0L)
       require(v == 5L, s"expected the evolved fixture at v5, got v$v")
+      java.lang.Long.valueOf(v)
+    }).longValue()
+
+  /** `stream_txcdf_cdc` fixture (`db.cdc`): a `tx.changeDataFeed=true`
+    * table whose history crosses every change-commit kind the cdc
+    * stream serves — v1 overwrite (en), v2 append (de), v3 SQL UPDATE
+    * (de rows re-priced: commit-time update_preimage/postimage change
+    * files), v4 SQL DELETE (short en docs: delete change files).
+    * Session-stable because the SQL path resolves through a named
+    * catalog (Spark caches catalog instances by name). */
+  val txCdcDone =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  def txCdcVersion(s: SparkSession, dir: String, wh: String): Long =
+    txCdcDone.computeIfAbsent(dir, _ => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val tbl = s"$wh/db/cdc"
+      graft.sources.TxTable.commit(docs.filter(col("lang") === "en"),
+        tbl, "overwrite",
+        properties = Map(graft.sources.TxTable.CdfProperty -> "true"))
+      graft.sources.TxTable.commit(docs.filter(col("lang") === "de"),
+        tbl, "append")
+      s.conf.set("spark.sql.catalog.graft_tx", "graft.sources.TxCatalog")
+      s.conf.set("spark.sql.catalog.graft_tx.root", wh)
+      s.sql("UPDATE graft_tx.db.cdc SET n_chars = n_chars + 1000 " +
+        "WHERE lang = 'de'").collect(): Unit
+      s.sql("DELETE FROM graft_tx.db.cdc " +
+        "WHERE lang = 'en' AND n_chars < 200").collect(): Unit
+      val v = graft.sources.TxTable.latestVersion(tbl).getOrElse(0L)
+      require(v == 4L, s"expected the cdc fixture at v4, got v$v")
       java.lang.Long.valueOf(v)
     }).longValue()
 

@@ -292,6 +292,38 @@ private[graft] object QueriesEventsStreaming {
           col("lang"), col("n_chars"))
         .orderBy("version", "doc_id")
     }),
+    // ----- the streaming CDF in readChangeFeed mode (TxCdfSource:
+    // rewriting commits on a tx.changeDataFeed table serve their
+    // COMMIT-TIME change files as cdc rows — pre/postimages for
+    // UPDATE, delete rows for DELETE — instead of refusing; appends
+    // tag 'insert'). The fixture crosses overwrite/append/UPDATE/
+    // DELETE; a wrong change frame, a missed version, or a mislabeled
+    // row breaks the hash -----
+    "stream_txcdf_cdc" -> ((s: SparkSession, dir: String) => {
+      val wh = EntryHelpers.txCatalogWarehouse(s, dir)
+      EntryHelpers.txCdcVersion(s, dir, wh): Unit
+      val base = scratchDir("graft-cdc-")
+      val out = s"$base/out"
+      DrainLock.synchronized {
+        val saved = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val q = s.readStream.format("graft-txcdf")
+            .option("path", s"$wh/db/cdc")
+            .option("readChangeFeed", "true").load()
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", s"$base/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+      }
+      s.read.parquet(out)
+        .select(col("_commit_version").as("version"),
+          col("_change_type").as("change"), col("doc_id"), col("lang"),
+          col("n_chars"))
+        .orderBy("version", "change", "doc_id")
+    }),
     // ----- STREAMING ANN-INDEX MAINTENANCE — the CDF composed with
     // IvfIndex.append: the index is built over v1's snapshot, later
     // commits drain version-per-trigger through foreachBatch into the
@@ -757,6 +789,28 @@ private[graft] object QueriesEventsStreaming {
          |SELECT CAST(3 AS BIGINT), doc_id, lang, n_chars
          |FROM documents WHERE lang = 'fr'
          |ORDER BY version, doc_id""".stripMargin),
+    // the cdc drain replayed from the fixture's commit definitions:
+    // v1/v2 appends tag 'insert', the v3 UPDATE emits pre/postimages
+    // of the de rows, the v4 DELETE emits the short en rows
+    "stream_txcdf_cdc" ->
+      ("""SELECT CAST(1 AS BIGINT) AS version, 'insert' AS change,
+         |  doc_id, lang, n_chars
+         |FROM documents WHERE lang = 'en'
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), 'insert', doc_id, lang, n_chars
+         |FROM documents WHERE lang = 'de'
+         |UNION ALL
+         |SELECT CAST(3 AS BIGINT), 'update_preimage', doc_id, lang,
+         |  n_chars
+         |FROM documents WHERE lang = 'de'
+         |UNION ALL
+         |SELECT CAST(3 AS BIGINT), 'update_postimage', doc_id, lang,
+         |  n_chars + 1000
+         |FROM documents WHERE lang = 'de'
+         |UNION ALL
+         |SELECT CAST(4 AS BIGINT), 'delete', doc_id, lang, n_chars
+         |FROM documents WHERE lang = 'en' AND n_chars < 200
+         |ORDER BY version, change, doc_id""".stripMargin),
     // deterministic as-of reference: latest admissible order date, ties on
     // (date) broken by largest o_orderkey — the same total order the
     // engine's (time, side, tie) window sort establishes

@@ -393,6 +393,38 @@ private[graft] object QueriesSearchOps {
           col("n_chars"))
         .orderBy("doc_id")
     }),
+    // ----- ROW-LEVEL OCC reconciliation (TxTable.rebaseRowLevel —
+    // the Delta WriteSerializable shape): two partition-scoped DELETEs
+    // race; the loser's read set (its partition's files, selected by
+    // the lang min=max stats) is provably disjoint from the winner's
+    // touched files AND the winner's rewritten survivors are provably
+    // row-free under the loser's predicate, so the loser REBASES and
+    // both land — the daily shape on a partitioned 100 TB table.
+    // Same-file races still refuse (suite-pinned). The serial oracle
+    // applies both predicates. -----
+    "ops_concurrent_rowlevel" -> ((s: SparkSession, dir: String) => {
+      val tbl = scratchDir("graft-crl-") + "/tbl"
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang").isin("en", "de", "fr")), tbl,
+        "overwrite", partitionBy = Some(Seq("lang")))
+      import org.apache.spark.sql.sources.{EqualTo, GreaterThan, LessThan}
+      // while the de-scoped delete publishes, an en-scoped delete wins
+      val p = new graft.sources.ConflictInjectingPrimitive(
+        graft.sources.PosixLinkPrimitive,
+        () => graft.sources.TxTable.deleteWhere(s, tbl,
+          Seq(EqualTo("lang", "en"), LessThan("n_chars", 200))): Unit)
+      val v = graft.sources.TxTable.deleteWhere(s, tbl,
+        Seq(EqualTo("lang", "de"), GreaterThan("n_chars", 400)),
+        primitive = p)
+      require(v == 3L,
+        s"the partition-disjoint delete must rebase to v3, got v$v")
+      graft.sources.TxTable.readVersion(s, tbl, v)
+        .select(lit(v).as("version"), col("doc_id"), col("lang"),
+          col("n_chars"))
+        .orderBy("doc_id")
+    }),
     // ----- CHECK constraints through PURE SQL (TxTable scaladoc: the
     // commit-time data-quality gate — TBLPROPERTIES 'check.<name>'
     // registers at CREATE, every write validates BEFORE staging, a
@@ -934,6 +966,22 @@ private[graft] object QueriesSearchOps {
         s"""SELECT CAST($v AS BIGINT) AS version, doc_id, lang, n_chars,
            |  score
            |FROM graft_tx.db.mrgevo VERSION AS OF $v
+           |ORDER BY doc_id""".stripMargin)
+    }),
+    // ----- MERGE WITH SCHEMA EVOLUTION on a PARTITIONED target
+    // (TxRowLevel.RowLevelRule: the engine evolves position-blind —
+    // Spark's own path is positional and withheld): score slots BEFORE
+    // the lang partition column, star actions extend by name, pre-merge
+    // en rows read NULL, updated de / inserted fr rows carry it -----
+    "ops_merge_evolve_part" -> ((s: SparkSession, dir: String) => {
+      val wh = EntryHelpers.txCatalogWarehouse(s, dir)
+      s.conf.set("spark.sql.catalog.graft_tx", "graft.sources.TxCatalog")
+      s.conf.set("spark.sql.catalog.graft_tx.root", wh)
+      val v = EntryHelpers.txMergeEvolvedPartVersion(s, dir, wh)
+      s.sql(
+        s"""SELECT CAST($v AS BIGINT) AS version, doc_id, lang, n_chars,
+           |  score
+           |FROM graft_tx.db.mrgevop VERSION AS OF $v
            |ORDER BY doc_id""".stripMargin)
     }),
     // ----- whole-table aggregates answered from parquet FOOTERS: the
@@ -1720,6 +1768,14 @@ private[graft] object QueriesSearchOps {
       ("""SELECT CAST(5 AS BIGINT) AS version, doc_id, lang, n_chars
          |FROM documents WHERE lang IN ('en', 'de', 'fr', 'es')
          |ORDER BY doc_id""".stripMargin),
+    // both racing partition-scoped deletes land: serial application of
+    // the two predicates over the partitioned base
+    "ops_concurrent_rowlevel" ->
+      ("""SELECT CAST(3 AS BIGINT) AS version, doc_id, lang, n_chars
+         |FROM documents WHERE lang IN ('en', 'de', 'fr')
+         |  AND NOT (lang = 'en' AND n_chars < 200)
+         |  AND NOT (lang = 'de' AND n_chars > 400)
+         |ORDER BY doc_id""".stripMargin),
     // OPTIMIZE commits version 4 with the identical en+de+fr multiset —
     // compaction moves bytes, never rows
     "ops_optimize" ->
@@ -1879,6 +1935,17 @@ private[graft] object QueriesSearchOps {
     // updated with score, fr inserted with it — score = n_chars % 100
     // in lockstep with the fixture's source derivation
     "ops_merge_evolve" ->
+      ("""SELECT CAST(4 AS BIGINT) AS version, doc_id, lang, n_chars,
+         |  CAST(NULL AS BIGINT) AS score
+         |FROM documents WHERE lang = 'en'
+         |UNION ALL
+         |SELECT CAST(4 AS BIGINT), doc_id, lang, n_chars,
+         |  n_chars % 100
+         |FROM documents WHERE lang IN ('de', 'fr')
+         |ORDER BY doc_id""".stripMargin),
+    // the partitioned evolved merge replays identically — the layout
+    // changes where the bytes live, never the rows
+    "ops_merge_evolve_part" ->
       ("""SELECT CAST(4 AS BIGINT) AS version, doc_id, lang, n_chars,
          |  CAST(NULL AS BIGINT) AS score
          |FROM documents WHERE lang = 'en'

@@ -570,15 +570,18 @@ private[graft] class TxSqlTable(tableName: String, dir: Path, version: Long,
       // through THIS catalog's alterTable (→ TxTable.evolveColumns, the
       // same nullable-ADD contract appends use) before the merge
       // resolves — see [[TxRowLevel]] scaladoc for the commit shape.
-      // NOT advertised on partitioned tables: Spark's star expansion
-      // and assignment alignment assume evolved columns append at the
-      // END of the schema, while the hive layout slots them BEFORE the
-      // partition columns (the partition-cols-last invariant every
-      // append depends on) — the positional mismatch would silently
-      // cross-assign columns, so the capability is withheld and
-      // [[TxRowLevel.RowLevelRule]] refuses the statement loudly
-      // instead (withheld HERE because the analyzer would otherwise
-      // commit the evolve version before any later rule could refuse).
+      // NOT advertised on PARTITIONED tables — not because the engine
+      // cannot express it, but because Spark's own
+      // ResolveMergeIntoSchemaEvolution remaps the reloaded relation's
+      // exprIds POSITIONALLY (verified: evolving (id,n,lang) to
+      // (id,n,flag,lang) left a stale `lang` reference carrying flag's
+      // exprId, so SET * silently cast the lang string into the
+      // boolean flag slot) — it assumes evolved columns append at the
+      // END, while the hive partition-cols-last invariant slots them
+      // BEFORE the partition columns. [[TxRowLevel.RowLevelRule]]
+      // performs the evolution itself for partitioned targets instead:
+      // one evolveColumns commit plus by-name extension of the
+      // star-shaped actions, which is position-blind.
       if (manifest.partitionColumns.isEmpty)
         util.EnumSet.of(TableCapability.BATCH_READ,
           TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,

@@ -73,49 +73,66 @@ class TxCdfSource extends TableProvider with DataSourceRegister {
           "schema is the table's committed schema, so the table must " +
           "exist before tailing it"))
     val m = TxTable.readManifest(Paths.get(dir), v)
-    TxCdfSource.withVersionColumn(
-      DataType.fromJson(m.schemaJson).asInstanceOf[StructType])
+    TxCdfSource.withMetaColumns(
+      DataType.fromJson(m.schemaJson).asInstanceOf[StructType],
+      cdc = options.getBoolean("readChangeFeed", false))
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table =
-    new TxCdfTable(TxCdfSource.withoutVersionColumn(schema),
-      properties.get("path"))
+    new TxCdfTable(TxCdfSource.withoutMetaColumns(schema),
+      properties.get("path"),
+      cdc = "true".equalsIgnoreCase(properties.get("readChangeFeed")))
 }
 
 private[graft] object TxCdfSource {
   val VersionColumn = "_commit_version"
+  val ChangeTypeColumn: String = TxChanges.ChangeTypeCol
 
-  def withVersionColumn(table: StructType): StructType = {
-    require(!table.fieldNames.contains(VersionColumn),
-      s"graft-txcdf: the table already has a '$VersionColumn' column")
-    StructType(table.fields :+
+  /** `cdc = false`: table + `_commit_version` (the append feed).
+    * `cdc = true` (readChangeFeed): table + `_change_type` +
+    * `_commit_version` — the Delta CDF stream shape; appends tag
+    * 'insert', rewriting commits serve their commit-time change files
+    * ([[TxTable.Manifest]] changeDir). */
+  def withMetaColumns(table: StructType, cdc: Boolean): StructType = {
+    require(!table.fieldNames.contains(VersionColumn) &&
+        !table.fieldNames.contains(ChangeTypeColumn),
+      s"graft-txcdf: the table already has a '$VersionColumn' or " +
+        s"'$ChangeTypeColumn' column")
+    val ct =
+      if (cdc) Seq(StructField(ChangeTypeColumn,
+        org.apache.spark.sql.types.StringType, nullable = false))
+      else Nil
+    StructType(table.fields ++ ct :+
       StructField(VersionColumn, LongType, nullable = false))
   }
 
-  def withoutVersionColumn(full: StructType): StructType =
-    StructType(full.fields.filterNot(_.name == VersionColumn))
+  def withoutMetaColumns(full: StructType): StructType =
+    StructType(full.fields.filterNot(f =>
+      f.name == VersionColumn || f.name == ChangeTypeColumn))
 }
 
-private[graft] class TxCdfTable(tableSchema: StructType, path: String)
+private[graft] class TxCdfTable(tableSchema: StructType, path: String,
+                                cdc: Boolean = false)
   extends Table with SupportsRead {
   override def name(): String = s"graft-txcdf:$path"
   override def schema(): StructType =
-    TxCdfSource.withVersionColumn(tableSchema)
+    TxCdfSource.withMetaColumns(tableSchema, cdc)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new Scan {
-        override def readSchema(): StructType = schema()
+        override def readSchema(): StructType =
+          TxCdfSource.withMetaColumns(tableSchema, cdc)
         override def description(): String = s"graft-txcdf $path"
         override def toMicroBatchStream(ckpt: String): MicroBatchStream =
           new TxCdfStream(tableSchema, path,
             startingVersion = options.getLong("startingVersion", 1L),
             skipChangeCommits =
               options.getBoolean("skipChangeCommits", false),
-            options)
+            options, cdc = cdc)
       }
     }
 }
@@ -126,7 +143,8 @@ private[sources] case class TxCdfOffset(v: Long) extends Offset {
 
 private[graft] class TxCdfStream(tableSchema: StructType, dir: String,
     startingVersion: Long, skipChangeCommits: Boolean,
-    options: CaseInsensitiveStringMap) extends MicroBatchStream
+    options: CaseInsensitiveStringMap,
+    cdc: Boolean = false) extends MicroBatchStream
   with SupportsAdmissionControl with SupportsTriggerAvailableNow {
   require(startingVersion >= 1L,
     s"graft-txcdf: startingVersion must be >= 1, got $startingVersion")
@@ -236,6 +254,14 @@ private[graft] class TxCdfStream(tableSchema: StructType, dir: String,
     val ve = end.asInstanceOf[TxCdfOffset].v
     val root = Paths.get(dir)
     val parts = Array.newBuilder[InputPartition]
+    // readChangeFeed mode appends the constant change tag before the
+    // version: appends are 'insert's; rewriting commits serve their
+    // commit-time change files (the _change_type column lives in THOSE
+    // files' bytes)
+    def insertTag: Seq[Any] =
+      if (cdc) Seq(org.apache.spark.unsafe.types.UTF8String
+        .fromString("insert"))
+      else Nil
     // walk the range once, carrying the previous manifest's file set so
     // each manifest is read exactly once
     var prevFiles: Set[String] =
@@ -257,7 +283,8 @@ private[graft] class TxCdfStream(tableSchema: StructType, dir: String,
             // the version tag rides the shared appended-constants
             // wrapper (the same machinery the partitioned tx scan uses)
             batch.planInputPartitions().foreach(p =>
-              parts += AppendedColsPartition(p, Array[Any](v), factory))
+              parts += AppendedColsPartition(p,
+                (insertTag :+ (v: Any)).toArray, factory))
           } else {
             // partitioned: the MANIFEST is the source of partition
             // values, parsed with the SAME helper the batch scan uses
@@ -281,11 +308,34 @@ private[graft] class TxCdfStream(tableSchema: StructType, dir: String,
                 val factory = batch.createReaderFactory()
                 val tail: Array[Any] = (m.partitionColumns.zip(vals)
                   .map { case (c, v0) => TxTable.catalystPartitionValue(
-                    v0, tableSchema(c).dataType) } :+ (v: Any)).toArray
+                    v0, tableSchema(c).dataType) }
+                  ++ insertTag :+ (v: Any)).toArray
                 batch.planInputPartitions().foreach(p =>
                   parts += AppendedColsPartition(p, tail, factory))
               }
           }
+        }
+      } else if (cdc && m.changeDir.isDefined &&
+          !skipChangeCommits) {
+        // readChangeFeed over a rewriting commit that carries
+        // commit-time change files (TxTable CdfProperty): the change
+        // rows ship through the same stock parquet machinery — ALL
+        // table columns (partition values included) plus _change_type
+        // live in the files' bytes, only the version is appended
+        val cfs = TxTable.walkParquet(root.resolve(m.changeDir.get))
+        if (cfs.nonEmpty) {
+          val changeSchema = StructType(physSchema.fields :+
+            StructField(TxCdfSource.ChangeTypeColumn,
+              org.apache.spark.sql.types.StringType))
+          val scan = ParquetTable(s"txcdf-cdc $dir v$v",
+            SparkSession.active, options,
+            cfs.map(_.toString).toList,
+            Some(changeSchema), classOf[ParquetFileFormat])
+            .newScanBuilder(options).build()
+          val batch = scan.toBatch
+          val factory = batch.createReaderFactory()
+          batch.planInputPartitions().foreach(p =>
+            parts += AppendedColsPartition(p, Array[Any](v), factory))
         }
       } else if (m.op == "widen" && !widenIsBenign(m)) {
         // a widen adds no files, but every SUBSEQUENT append stages at
@@ -313,8 +363,11 @@ private[graft] class TxCdfStream(tableSchema: StructType, dir: String,
         throw new IllegalStateException(
           s"graft-txcdf: version $v of $dir is a '${m.op}' commit that " +
             "rewrites or removes rows — a pure-append feed cannot " +
-            "represent it. Pass skipChangeCommits=true to skip such " +
-            "commits deliberately, or backfill with TxTable.diff")
+            "represent it. Set tx.changeDataFeed=true on the table and " +
+            "read with readChangeFeed=true to receive such commits as " +
+            "change rows (commits made BEFORE the property have no " +
+            "change files), pass skipChangeCommits=true to skip them " +
+            "deliberately, or backfill with TxTable.diff")
       }
     }
     parts.result()

@@ -108,37 +108,70 @@ private[graft] object TxRowLevel {
         txRelation(m.targetTable) match {
           case Some((rel, tx)) =>
             requireWritable(tx, "MERGE INTO")
-            // `WITH SCHEMA EVOLUTION` on an unpartitioned table was
+            // `WITH SCHEMA EVOLUTION` on an UNPARTITIONED table was
             // already honored upstream: TxSqlTable advertises
             // AUTOMATIC_SCHEMA_EVOLUTION, so Spark's
             // ResolveMergeIntoSchemaEvolution computed the
             // source-minus-target delta, committed it through
-            // TxCatalog.alterTable → TxTable.evolveColumns (one
-            // metadata-only `evolve` version — nullable ADDs, the
-            // mergeSchemas contract; type changes and nested adds
-            // refuse loudly there), and reloaded this relation with
-            // the evolved schema. By the time this rule runs, the
-            // merge below rewrites against the evolved manifest:
-            // pre-merge rows read NULL for the new columns. On a
-            // PARTITIONED table the capability is withheld (new
-            // columns slot BEFORE partition columns, which Spark's
-            // positional alignment cannot express — TxSqlTable
-            // .capabilities scaladoc), so the clause must refuse
-            // loudly here instead of silently ignoring new columns.
-            require(!(m.withSchemaEvolution &&
-                tx.partitioning().nonEmpty),
-              "MERGE WITH SCHEMA EVOLUTION is not supported on a " +
-                "PARTITIONED tx table — new columns slot before the " +
-                "partition columns (the hive partition-cols-last " +
-                "invariant), which Spark's merge alignment cannot " +
-                "express; ALTER TABLE ADD COLUMN first, then MERGE")
-            val allActs = m.matchedActions ++ m.notMatchedActions ++
-              m.notMatchedBySourceActions
-            refuseSubqueries(
-              Seq(m.mergeCondition) ++ allActs.flatMap(actExprs), "MERGE INTO")
-            TxMergeCommand(tx.tablePath.toString, rel.output,
-              m.sourceTable, m.mergeCondition, m.matchedActions,
-              m.notMatchedActions, m.notMatchedBySourceActions)
+            // TxCatalog.alterTable → TxTable.evolveColumns, and
+            // reloaded this relation with the evolved schema. On a
+            // PARTITIONED table that capability is withheld (Spark's
+            // post-evolution exprId remapping is POSITIONAL and
+            // assumes new columns append at the END — TxSqlTable
+            // .capabilities scaladoc), so the evolution happens HERE
+            // instead, position-blind: the statement resolved against
+            // the pre-evolution schema (star expansion covers the old
+            // columns; the extra source columns ride along unused),
+            // one evolveColumns commit adds the source-only columns
+            // (before the partition columns, as every evolve does),
+            // and the star-shaped actions — those assigning EVERY old
+            // target column — are extended by-name with the new
+            // columns from the source. Partial assignment lists leave
+            // the new columns NULL, and a shared column whose type
+            // differs keeps plain-merge cast semantics (widen
+            // deliberately with ALTER COLUMN TYPE first). The command
+            // below re-reads the evolved manifest and rebinds
+            // everything by name, so position never enters.
+            // subquery refusal BEFORE the evolution commit: a refused
+            // statement must leave the table untouched (the extension
+            // below adds only plain attribute references)
+            refuseSubqueries(Seq(m.mergeCondition) ++
+              (m.matchedActions ++ m.notMatchedActions ++
+                m.notMatchedBySourceActions).flatMap(actExprs),
+              "MERGE INTO")
+            val (targetOut, matchedA, notMatchedA) =
+              if (m.withSchemaEvolution && tx.partitioning().nonEmpty) {
+                val tgtNames =
+                  rel.output.map(_.name.toLowerCase).toSet
+                val newCols = m.sourceTable.output
+                  .filterNot(a => tgtNames(a.name.toLowerCase))
+                if (newCols.isEmpty)
+                  (rel.output, m.matchedActions, m.notMatchedActions)
+                else {
+                  TxTable.evolveColumns(session, tx.tablePath.toString,
+                    add = newCols.map(a => StructField(a.name,
+                      a.dataType, nullable = true))): Unit
+                  val synth = newCols.map(a =>
+                    AttributeReference(a.name, a.dataType,
+                      nullable = true)())
+                  val extra = synth.zip(newCols)
+                    .map { case (k, v) => Assignment(k, v) }
+                  val full = rel.output.size
+                  def extend(acts: Seq[MergeAction]): Seq[MergeAction] =
+                    acts.map {
+                      case UpdateAction(c, as, star) if as.size == full =>
+                        UpdateAction(c, as ++ extra, star)
+                      case InsertAction(c, as) if as.size == full =>
+                        InsertAction(c, as ++ extra)
+                      case other => other
+                    }
+                  (rel.output ++ synth, extend(m.matchedActions),
+                    extend(m.notMatchedActions))
+                }
+              } else (rel.output, m.matchedActions, m.notMatchedActions)
+            TxMergeCommand(tx.tablePath.toString, targetOut,
+              m.sourceTable, m.mergeCondition, matchedA,
+              notMatchedA, m.notMatchedBySourceActions)
           case None => m
         }
     }
@@ -289,10 +322,17 @@ private[graft] final case class TxUpdateCommand(
       val copies = matched.select(schema.fields.toSeq.map(f =>
         assignedValue(assignments, f, tgt, fallback = col(f.name), bind)
           .as(f.name)): _*)
+      val cdf = matched
+        .select(schema.fieldNames.toSeq.map(col): _*)
+        .withColumn(TxChanges.ChangeTypeCol, lit("update_preimage"))
+        .unionByName(copies.withColumn(TxChanges.ChangeTypeCol,
+          lit("update_postimage")))
       // a failed publish (constraint violation, version conflict) must
       // not leave a live-looking sidecar next to the staged reclaim
       try TxTable.replaceFiles(spark, tableDir, m, untouched = m.files,
-        copies, "update", dvDirs = Some(m.dvDirs :+ dvRel)): Unit
+        copies, "update", dvDirs = Some(m.dvDirs :+ dvRel),
+        rowLevelRebase = Some((filters, touched)),
+        changeData = Some(cdf)): Unit
       catch {
         case e: Throwable =>
           try TxTable.deleteRecursively(root.resolve(dvRel))
@@ -314,8 +354,21 @@ private[graft] final case class TxUpdateCommand(
             case _ => col(f.name).as(f.name)
           }
       }: _*)
+    // CDF change frame: the rows the condition matches, before and
+    // after the assignment (staged only on tx.changeDataFeed tables)
+    val cdfMatched = TxTable.readSnapshotFiles(spark, tableDir, schema,
+        m.partitionColumns, touched, m.dvDirs, mapping = m.columnMapping)
+      .filter(cond)
+    val cdf = cdfMatched
+      .select(schema.fieldNames.toSeq.map(col): _*)
+      .withColumn(TxChanges.ChangeTypeCol, lit("update_preimage"))
+      .unionByName(cdfMatched.select(schema.fields.toSeq.map(f =>
+          assignedValue(assignments, f, tgt, fallback = col(f.name), bind)
+            .as(f.name)): _*)
+        .withColumn(TxChanges.ChangeTypeCol, lit("update_postimage")))
     TxTable.replaceFiles(spark, tableDir, m, untouched, rewritten,
-      "update")
+      "update", rowLevelRebase = Some((filters, touched)),
+      changeData = Some(cdf))
     Seq.empty
   }
 }
@@ -400,6 +453,11 @@ private[graft] final case class TxMergeCommand(
     // insert-only MERGE still needs the FULL target for the anti
     // semantics of NOT MATCHED, but rewrites none of it
     val joinTargetFiles = if (rewritesTarget) touched0 else m.files
+    // row-level OCC reconciliation terms: the merge's read set is the
+    // joined target files, and its conflict predicate the measured
+    // equi-bounds (empty when NOT MATCHED BY SOURCE reads everything —
+    // then any concurrent add refuses, TxTable.rebaseRowLevel scaladoc)
+    val mergeRebase = Some((equiBounds, joinTargetFiles))
 
     // The row id must survive recomputation (an executor loss recomputes
     // cached blocks): monotonically_increasing_id would renumber rows and
@@ -458,24 +516,35 @@ private[graft] final case class TxMergeCommand(
         firstMatch(notMatchedBySourceActions, actCond, valOf, old, bind))
       .cast(f.dataType).as(f.name)
     }
+    // A target row is AFFECTED when an action actually fires on it
+    // (first-match-wins, same order as keep/outCols). Pass-through
+    // rows (no action fired, incl. every row of the per-match
+    // duplication when matchedActions is empty) are not affected, so
+    // the change frame below needs no dedupe: affected rows are
+    // matched-with-cardinality-<=-1 or not-matched-by-source, each
+    // emitted exactly once by the full-outer join.
+    def fired(as: Seq[MergeAction]): Column =
+      firstMatch(as, actCond, (_: MergeAction) => lit(true),
+        lit(false), bind)
+    val affected =
+      when(isInsert, lit(false))
+        .when(isMatched, fired(matchedActions))
+        .otherwise(fired(notMatchedBySourceActions))
+    // CDF change frame (tx.changeDataFeed tables): affected rows'
+    // originals leave ('delete'), their kept transforms and the
+    // inserts arrive ('insert') — the batch feed's MoR labels; without
+    // per-row action provenance a merge's update is honestly a
+    // delete+insert pair
+    val mergeCdf = joined.filter(affected)
+      .select(schema.fieldNames.toSeq.map(col): _*)
+      .withColumn(TxChanges.ChangeTypeCol, lit("delete"))
+      .unionByName(joined.filter((affected || isInsert) && keep)
+        .select(outCols: _*)
+        .withColumn(TxChanges.ChangeTypeCol, lit("insert")))
     if (morEnabled) {
-      // A target row is AFFECTED when an action actually fires on it
-      // (first-match-wins, same order as keep/outCols): those rows
-      // tombstone — both updates and deletes — and only the keep=true
-      // ones re-stage as copies, next to the inserts. Pass-through
-      // rows (no action fired, incl. every row of the per-match
-      // duplication when matchedActions is empty) neither tombstone
-      // nor stage, so no dedupe is needed: tombstoned rows are
-      // matched-with-cardinality-≤-1 or not-matched-by-source, each
-      // emitted exactly once by the full-outer join.
+      // Affected rows tombstone — both updates and deletes — and only
+      // the keep=true ones re-stage as copies, next to the inserts.
       val root = java.nio.file.Paths.get(tableDir)
-      def fired(as: Seq[MergeAction]): Column =
-        firstMatch(as, actCond, (_: MergeAction) => lit(true),
-          lit(false), bind)
-      val affected =
-        when(isInsert, lit(false))
-          .when(isMatched, fired(matchedActions))
-          .otherwise(fired(notMatchedBySourceActions))
       val dvRelOpt = TxTable.writeDvSidecar(spark, root,
         joined.filter(affected), "MERGE")
       val staged = joined.filter((affected || isInsert) && keep)
@@ -483,7 +552,8 @@ private[graft] final case class TxMergeCommand(
       // nothing affected AND nothing inserted: version-free no-op
       if (dvRelOpt.isEmpty && staged.isEmpty) return Seq.empty
       try TxTable.replaceFiles(spark, tableDir, m, untouched = m.files,
-        staged, "merge", dvDirs = dvRelOpt.map(r => m.dvDirs :+ r)): Unit
+        staged, "merge", dvDirs = dvRelOpt.map(r => m.dvDirs :+ r),
+        rowLevelRebase = mergeRebase, changeData = Some(mergeCdf)): Unit
       catch {
         case e: Throwable =>
           dvRelOpt.foreach(r =>
@@ -509,10 +579,13 @@ private[graft] final case class TxMergeCommand(
       // matched everything (version-free no-op).
       val inserts = base.filter(keep && isInsert).select(outCols: _*)
       if (inserts.isEmpty) return Seq.empty
-      TxTable.replaceFiles(spark, tableDir, m, untouched, inserts, "merge")
+      TxTable.replaceFiles(spark, tableDir, m, untouched, inserts,
+        "merge", rowLevelRebase = mergeRebase,
+        changeData = Some(mergeCdf))
     } else {
       TxTable.replaceFiles(spark, tableDir, m, untouched,
-        base.filter(keep).select(outCols: _*), "merge")
+        base.filter(keep).select(outCols: _*), "merge",
+        rowLevelRebase = mergeRebase, changeData = Some(mergeCdf))
     }
     Seq.empty
   }

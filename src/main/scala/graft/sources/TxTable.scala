@@ -215,6 +215,13 @@ object TxTable {
     * Hand-built manifests (commit paths, rebase recipes) leave it empty;
     * publish never reads its own manifest's refs, only the PREVIOUS
     * (log-read) state's. */
+  /** `changeDir`: THIS version's change-data files (`data/cdf-<uuid>`,
+    * parquet rows = table schema + `_change_type`), written at commit
+    * time by row-level rewrites on `tx.changeDataFeed=true` tables —
+    * the Delta CDC design that lets the STREAMING feed serve
+    * DELETE/UPDATE/MERGE as change rows instead of refusing. A
+    * per-commit attribute, never carried forward: version v's
+    * changeDir describes v's own row changes only. */
   final case class Manifest(version: Long, op: String, schemaJson: String,
                             files: Seq[String],
                             txns: Map[String, Long] = Map.empty,
@@ -227,7 +234,8 @@ object TxTable {
                             dvDirs: Seq[String] = Nil,
                             properties: Map[String, String] = Map.empty,
                             columnMapping: Map[String, String] = Map.empty,
-                            bloomRefs: Map[String, String] = Map.empty)
+                            bloomRefs: Map[String, String] = Map.empty,
+                            changeDir: Option[String] = None)
 
   /** Commit `df` as the next version. `mode` is "overwrite" (the new
     * version is exactly this frame) or "append" (this frame plus the
@@ -594,7 +602,8 @@ object TxTable {
     // deletion-vector sidecars referenced by ANY retained manifest are
     // as live as the data files they tombstone — deleting one would
     // resurrect rows in a still-readable version
-    val liveDv = retainedMs.flatMap(_.dvDirs).toSet
+    val liveDv = (retainedMs.flatMap(_.dvDirs) ++
+      retainedMs.flatMap(_.changeDir)).toSet
     expired.foreach { v =>
       Files.deleteIfExists(manifestPath(root, v))
       Files.deleteIfExists(ckptPath(root, v)): Unit
@@ -1223,6 +1232,104 @@ object TxTable {
     }
   }
 
+  /** Rebase recipe for a ROW-LEVEL rewrite (DELETE / UPDATE / MERGE /
+    * replaceWhere) that lost its publish race — the Delta
+    * WriteSerializable shape: the op's result depends only on its READ
+    * SET (the candidate files its predicate selected), so it can
+    * serialize AFTER a winner that provably did not disturb that set.
+    * Rebase succeeds iff:
+    *  - table metadata (schema / partitioning / constraints /
+    *    properties / column mapping) and deletion vectors are
+    *    untouched — same guards as the byte-moving recipe;
+    *  - every file the op READ is still listed by the head (a winner
+    *    that rewrote or removed one invalidates the matched rows);
+    *  - every file the winner ADDED is provably row-free under the
+    *    op's own predicate (manifest stats + blooms, the same
+    *    conservative machinery candidate selection used): an added
+    *    file the predicate cannot exclude could hold rows a serial
+    *    execution would have matched (or, for MERGE inserts, rows
+    *    that would flip a NOT MATCHED decision). An op with NO
+    *    translatable predicate (unconditional UPDATE/DELETE, MERGE
+    *    with NOT MATCHED BY SOURCE) reads everything, so ANY added
+    *    file refuses.
+    * The rebased manifest keeps every head file the op did not
+    * replace (winner appends included, with their stats and blooms),
+    * swaps the replaced set for the op's staged output, and keeps the
+    * head's txns. This is what lets two partition-scoped UPDATEs (or
+    * a DELETE racing a backfill of a different range) both land —
+    * the daily shape on a 100 TB partitioned table. */
+  private def rebaseRowLevel(base: Manifest, replaced: Seq[String],
+      readSet: Seq[String],
+      filters: Seq[org.apache.spark.sql.sources.Filter],
+      newFiles: Seq[String],
+      newStats: Map[String, Map[String, TxStats.ColStat]],
+      newBlooms: Map[String, Map[String, TxStats.FileBloom]],
+      op: String, dvDirsOut: Seq[String],
+      changeDirOut: Option[String] = None)(head: Manifest)
+      : Either[String, Manifest] = {
+    val baseSchema = asNullable(DataType.fromJson(base.schemaJson))
+    val headSchema = asNullable(DataType.fromJson(head.schemaJson))
+    if (headSchema != baseSchema)
+      Left("the table schema changed concurrently")
+    else if (head.partitionColumns != base.partitionColumns)
+      Left("the partition layout changed concurrently")
+    else if (head.constraints != base.constraints)
+      Left("CHECK constraints changed concurrently")
+    else if (head.properties != base.properties)
+      Left("table properties changed concurrently")
+    else if (head.dvDirs != base.dvDirs)
+      Left("deletion vectors changed concurrently — the rewrite's " +
+        "survivors were materialized under the old tombstone set")
+    else if (head.columnMapping != base.columnMapping)
+      Left("the column mapping changed concurrently")
+    else {
+      val headSet = head.files.toSet
+      val missing = readSet.filterNot(headSet)
+      if (missing.nonEmpty)
+        Left(s"a concurrent commit rewrote or removed ${missing.size} " +
+          s"of the files this $op read (first: ${missing.head}) — the " +
+          "matched rows may no longer exist")
+      else {
+        val baseSet = base.files.toSet
+        val appeared = head.files.filterNot(baseSet)
+        if (filters.isEmpty && appeared.nonEmpty)
+          Left(s"this $op has no prunable predicate (its read set is " +
+            "the whole table) and a concurrent commit added " +
+            s"${appeared.size} file(s) — serializing after it would " +
+            "change the result")
+        else {
+          val schema =
+            DataType.fromJson(base.schemaJson).asInstanceOf[StructType]
+          val (lst, lbl) = (logicalStats(head), logicalBlooms(head))
+          val overlapping = appeared.filter { f =>
+            val st = lst.getOrElse(f, Map.empty[String, TxStats.ColStat])
+            val bl = lbl.getOrElse(f, Map.empty[String, TxStats.FileBloom])
+            !filters.exists(fl =>
+              TxStats.excludes(st, schema, fl) ||
+                TxStats.bloomExcludes(bl, fl))
+          }
+          if (overlapping.nonEmpty)
+            Left(s"a concurrent commit added ${overlapping.size} " +
+              s"file(s) this $op's predicate cannot prove row-free " +
+              s"(first: ${overlapping.head}) — serializing after it " +
+              "would change the result")
+          else {
+            val replacedSet = replaced.toSet
+            val kept = head.files.filterNot(replacedSet)
+            val keptSet = kept.toSet
+            Right(Manifest(head.version + 1, op, base.schemaJson,
+              kept ++ newFiles, head.txns,
+              head.stats.view.filterKeys(keptSet).toMap ++ newStats,
+              head.blooms.view.filterKeys(keptSet).toMap ++ newBlooms,
+              base.partitionColumns, base.constraints, dvDirsOut,
+              base.properties, base.columnMapping,
+              changeDir = changeDirOut))
+          }
+        }
+      }
+    }
+  }
+
   /** Row-level DELETE as a copy-on-write commit — the engine behind SQL
     * `DELETE FROM` on the tx catalog. The skipping layer answers exactly
     * the question a delete asks ("which files can hold a matching
@@ -1283,8 +1390,15 @@ object TxTable {
       readSnapshotFiles(spark, tableDir, schema, m.partitionColumns,
         touched, m.dvDirs, mapping = m.columnMapping)
       .filter(!functions.coalesce(cond, functions.lit(false)))
+    // CDF change frame (staged only on tx.changeDataFeed tables): the
+    // deleted rows are exactly the candidates the predicate matches
+    val deleted = readSnapshotFiles(spark, tableDir, schema,
+        m.partitionColumns, touched, m.dvDirs, mapping = m.columnMapping)
+      .filter(functions.coalesce(cond, functions.lit(false)))
+      .withColumn(TxChanges.ChangeTypeCol, functions.lit("delete"))
     replaceFiles(spark, tableDir, m, untouched, survivors, "delete",
-      primitive)
+      primitive, rowLevelRebase = Some((filters, touched)),
+      changeData = Some(deleted))
   }
 
   /** Predicate-scoped overwrite (Delta's `replaceWhere`, and the V1
@@ -1349,8 +1463,21 @@ object TxTable {
       else readSnapshotFiles(spark, tableDir, schema, m.partitionColumns,
           touched, m.dvDirs, mapping = m.columnMapping)
         .filter(!functions.coalesce(cond, functions.lit(false)))
+    // CDF change frame: rows the predicate removes, plus the new data
+    val cdfDeleted =
+      (if (touched.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else readSnapshotFiles(spark, tableDir, schema, m.partitionColumns,
+          touched, m.dvDirs, mapping = m.columnMapping)
+        .filter(functions.coalesce(cond, functions.lit(false))))
+      .withColumn(TxChanges.ChangeTypeCol, functions.lit("delete"))
+    val cdfInserted = ordered
+      .withColumn(TxChanges.ChangeTypeCol, functions.lit("insert"))
     replaceFiles(spark, tableDir, m, untouched,
-      survivors.unionByName(ordered), "replacewhere", primitive)
+      survivors.unionByName(ordered), "replacewhere", primitive,
+      rowLevelRebase = Some((filters, touched)),
+      changeData = Some(cdfDeleted.unionByName(cdfInserted)))
   }
 
   /** The table property that routes DELETE through deletion vectors. */
@@ -1363,6 +1490,16 @@ object TxTable {
   val CheckpointIntervalProperty = "tx.checkpointInterval"
   val DefaultCheckpointInterval = 20
 
+  /** Opt-in to CHANGE-DATA-FEED files: with `tx.changeDataFeed=true`,
+    * every row-level rewrite (DELETE / UPDATE / MERGE / replaceWhere,
+    * CoW and MoR alike) persists its change rows as parquet under
+    * `data/cdf-<uuid>` and records the dir in its commit — one extra
+    * bounded write ∝ changed rows, which is what lets the STREAMING
+    * CDF serve rewriting commits as cdc rows instead of refusing
+    * (the Delta enableChangeDataFeed contract: only commits made with
+    * the property on carry change files). */
+  val CdfProperty = "tx.changeDataFeed"
+
   /** `tx.*` table properties are a closed set — an unrecognized key is
     * a typo'd promise nothing will honor, which is worse than an
     * error. */
@@ -1373,9 +1510,11 @@ object TxTable {
       case (CheckpointIntervalProperty, v) =>
         require(v.toIntOption.exists(_ >= 1),
           s"$CheckpointIntervalProperty must be a positive int, got '$v'")
+      case (CdfProperty, v) => require(v == "true" || v == "false",
+        s"$CdfProperty must be true|false, got '$v'")
       case (k, _) => throw new IllegalArgumentException(
         s"unknown table property '$k' — supported: $DvProperty, " +
-          CheckpointIntervalProperty)
+          s"$CheckpointIntervalProperty, $CdfProperty")
     }
 
   /** Merge-on-read DELETE: instead of rewriting every file that holds
@@ -1420,14 +1559,25 @@ object TxTable {
       case None => return v // matched nothing: version-free no-op
       case Some(rel) => rel
     }
+    // CDF change frame: the tombstoned rows, verbatim
+    val changeDirOut =
+      if (!m.properties.get(CdfProperty).contains("true")) None
+      else Some(stageChangeData(tableDir,
+        matched.select(schema.fieldNames.toSeq.map(functions.col): _*)
+          .withColumn(TxChanges.ChangeTypeCol, functions.lit("delete")),
+        schema, m.columnMapping))
     val manifest = Manifest(v + 1, "delete", m.schemaJson, m.files,
       m.txns, m.stats, m.blooms, m.partitionColumns, m.constraints,
-      m.dvDirs :+ dvRel, m.properties, m.columnMapping)
+      m.dvDirs :+ dvRel, m.properties, m.columnMapping,
+      changeDir = changeDirOut)
     try publish(root, manifest, Some(m), primitive)
     catch {
       case e: java.nio.file.FileAlreadyExistsException =>
         try deleteRecursively(root.resolve(dvRel))
         catch { case _: Exception => () }
+        changeDirOut.foreach(d =>
+          try deleteRecursively(root.resolve(d))
+          catch { case _: Exception => () })
         throw e
     }
     v + 1
@@ -1505,9 +1655,21 @@ object TxTable {
     * tombstoned file, e.g. [[purgeDeletes]]). */
   /** `rebaseConsumed = Some(files)` opts the publish into byte-moving
     * OCC reconciliation ([[rebaseRewrite]]) — ONLY for rewrites whose
-    * rows are provably unchanged (purge). Row-level DELETE/UPDATE/MERGE
-    * must keep the default: their predicates may match rows a racing
-    * commit added, so any lost race stays a loud refusal. */
+    * rows are provably unchanged (purge).
+    *
+    * `rowLevelRebase = Some((filters, readSet))` opts it into
+    * ROW-LEVEL reconciliation ([[rebaseRowLevel]]): `filters` is the
+    * op's own candidate predicate (the conjuncts its file pruning
+    * used — empty means unprunable, refuse on any concurrent add) and
+    * `readSet` the files it actually read. Partition-disjoint
+    * row-level ops racing is the daily 100 TB shape; same-file races
+    * still refuse loudly. Leaving BOTH None keeps any lost race a
+    * loud refusal. */
+  /** `changeData`: the op's row-level change frame (table columns plus
+    * [[TxChanges.ChangeTypeCol]]) — staged as this commit's change-data
+    * files when the table opted into [[CdfProperty]], ignored (never
+    * even planned) otherwise. Written before the publish, reclaimed
+    * with the staged data on any abort. */
   private[graft] def replaceFiles(spark: SparkSession, tableDir: String,
                                   base: Manifest, untouched: Seq[String],
                                   newData: DataFrame, op: String,
@@ -1515,11 +1677,23 @@ object TxTable {
                                     PosixLinkPrimitive,
                                   dvDirs: Option[Seq[String]] = None,
                                   rebaseConsumed: Option[Seq[String]] =
-                                    None): Long = {
+                                    None,
+                                  rowLevelRebase: Option[(
+                                    Seq[org.apache.spark.sql.sources.Filter],
+                                    Seq[String])] = None,
+                                  changeData: Option[DataFrame] = None)
+      : Long = {
     val dvDirsOut = dvDirs.getOrElse(base.dvDirs)
     val root = Paths.get(tableDir)
     val schema =
       DataType.fromJson(base.schemaJson).asInstanceOf[StructType]
+    val changeDirOut: Option[String] =
+      if (!base.properties.get(CdfProperty).contains("true")) None
+      else changeData.map(cd =>
+        stageChangeData(tableDir, cd, schema, base.columnMapping))
+    def reclaimChanges(): Unit = changeDirOut.foreach(d =>
+      try deleteRecursively(root.resolve(d))
+      catch { case _: Exception => () })
     // a rewrite can INTRODUCE violations (UPDATE SET n = -1): the
     // table's CHECK constraints gate the rewritten rows like any commit
     enforceConstraints(newData, base.constraints,
@@ -1544,22 +1718,52 @@ object TxTable {
       untouched ++ staged.files, base.txns,
       keptStats ++ staged.stats, keptBlooms ++ newBlooms,
       base.partitionColumns, base.constraints, dvDirsOut,
-      base.properties, base.columnMapping)
-    rebaseConsumed match {
-      case Some(consumed) =>
+      base.properties, base.columnMapping,
+      changeDir = changeDirOut)
+    def abort(): Unit = {
+      discardStaged(tableDir, Seq(staged))
+      reclaimChanges()
+    }
+    (rebaseConsumed, rowLevelRebase) match {
+      case (Some(consumed), _) =>
         publishRebasing(root, manifest, Some(base),
           rebaseRewrite(base, consumed, staged.files, staged.stats,
             newBlooms, op, dvDirsOut),
-          primitive, () => discardStaged(tableDir, Seq(staged)))
-      case None =>
+          primitive, () => abort())
+      case (None, Some((filters, readSet))) =>
+        // replaced = the base files this commit did NOT carry forward
+        // (empty for merge-on-read arms, whose data files all stay)
+        val replaced = base.files.filterNot(untouchedSet)
+        publishRebasing(root, manifest, Some(base),
+          rebaseRowLevel(base, replaced, readSet, filters, staged.files,
+            staged.stats, newBlooms, op, dvDirsOut, changeDirOut),
+          primitive, () => abort())
+      case _ =>
         try publish(root, manifest, Some(base), primitive)
         catch {
           case e: java.nio.file.FileAlreadyExistsException =>
-            discardStaged(tableDir, Seq(staged))
+            abort()
             throw e
         }
         base.version + 1
     }
+  }
+
+  /** Stage a change frame as this commit's `data/cdf-<uuid>` parquet:
+    * table columns in schema order under their PHYSICAL names (like
+    * every data file — the stream reads both through one schema) plus
+    * [[TxChanges.ChangeTypeCol]] — written FLAT even on partitioned
+    * tables (change rows carry their partition values as ordinary
+    * columns; the feed never prunes change files by partition). */
+  private def stageChangeData(tableDir: String, changeData: DataFrame,
+      schema: StructType, mapping: Map[String, String]): String = {
+    val root = Paths.get(tableDir)
+    val rel = s"data/cdf-${java.util.UUID.randomUUID()}"
+    val cols = schema.fieldNames.toSeq.map(n =>
+        functions.col(n).as(physicalName(mapping, n))) :+
+      functions.col(TxChanges.ChangeTypeCol)
+    changeData.select(cols: _*).write.parquet(root.resolve(rel).toString)
+    rel
   }
 
   /** RESTORE — roll the table back to version `v` by committing v's
@@ -2446,7 +2650,7 @@ object TxTable {
       add: Seq[String], remove: Seq[String],
       statUpserts: Map[String, Map[String, TxStats.ColStat]],
       bloomRef: Option[String], bloomRefFiles: Seq[String],
-      bloomDrop: Seq[String])
+      bloomDrop: Seq[String], changeDir: Option[String])
 
   private def parseDelta(node: JNode): LogDelta =
     LogDelta(node.get("op").asText(), node.get("schema").asText(),
@@ -2458,7 +2662,8 @@ object TxTable {
       getStats(node, "stats"),
       Option(node.get("bloomRef")).map(_.asText()),
       getStringArray(node, "bloomRefFiles"),
-      getStringArray(node, "bloomDrop"))
+      getStringArray(node, "bloomDrop"),
+      Option(node.get("changeDir")).map(_.asText()))
 
   /** Parse a PRE-INCREMENTAL full manifest (no `fmt` field): the
     * complete state inline, blooms included — readable forever, and a
@@ -2495,6 +2700,7 @@ object TxTable {
     node.put("op", m.op)
     node.put("schema", m.schemaJson): Unit
     putSmallMeta(node, m)
+    m.changeDir.foreach(d => node.put("changeDir", d): Unit)
     putStringArray(node, "files", m.files)
     putStats(node, "stats", m.stats)
     putStringMap(node, "bloomRefs", refs)
@@ -2518,7 +2724,8 @@ object TxTable {
       getStringMap(node, "constraints"), getStringArray(node, "dvDirs"),
       getStringMap(node, "properties"),
       getStringMap(node, "columnMapping"),
-      getStringMap(node, "bloomRefs"))
+      getStringMap(node, "bloomRefs"),
+      Option(node.get("changeDir")).map(_.asText()))
   }
 
   /** A version's `op` alone — one JSON parse, no replay (both file
@@ -2555,6 +2762,7 @@ object TxTable {
     node.put("op", m.op)
     node.put("schema", m.schemaJson): Unit
     putSmallMeta(node, m)
+    m.changeDir.foreach(d => node.put("changeDir", d): Unit)
     val prevFiles = prev.map(_.files).getOrElse(Seq.empty)
     val prevSet = prevFiles.toSet
     val mSet = m.files.toSet
@@ -2680,7 +2888,7 @@ object TxTable {
     }
     val m = Manifest(v, last.op, last.schemaJson, files, last.txns, stats,
       inline, last.partitionColumns, last.constraints, last.dvDirs,
-      last.properties, last.columnMapping, refs)
+      last.properties, last.columnMapping, refs, last.changeDir)
     materializeBlooms(root, m)
   }
 

@@ -40,6 +40,54 @@ class TxCdfSpec extends SparkSpec {
       .sorted
   }
 
+  test("readChangeFeed: commit-time change files serve rewrites as cdc rows") {
+    val base = mkBase()
+    val tbl = s"$base/tbl"
+    TxTable.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), tbl,
+      "overwrite",
+      properties = Map(TxTable.CdfProperty -> "true"))          // v1
+    TxTable.commit(Seq((3L, "c")).toDF("id", "s"), tbl, "append") // v2
+    TxTable.deleteWhere(spark, tbl,
+      Seq(org.apache.spark.sql.sources.EqualTo("id", 2L)))        // v3
+    drain(tbl, s"$base/ckpt", s"$base/out",
+      Map("readChangeFeed" -> "true"))
+    val rows = spark.read.parquet(s"$base/out")
+      .select("_commit_version", "_change_type", "id", "s")
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .toSeq.sorted
+    assert(rows == Seq(
+      (1L, "insert", 1L, "a"), (1L, "insert", 2L, "b"),
+      (2L, "insert", 3L, "c"), (3L, "delete", 2L, "b")), rows)
+    // the plain append feed still REFUSES the delete version — change
+    // files serve only the opted-in cdc reader
+    val e = intercept[StreamingQueryException](
+      drain(tbl, s"$base/ckpt2", s"$base/out2"))
+    assert(e.getMessage.contains("rewrites or removes rows"),
+      e.getMessage)
+    // and skipChangeCommits still skips it even in cdc mode
+    drain(tbl, s"$base/ckpt3", s"$base/out3",
+      Map("readChangeFeed" -> "true", "skipChangeCommits" -> "true"))
+    val skipped = spark.read.parquet(s"$base/out3")
+      .select("_change_type").distinct()
+      .collect().map(_.getString(0)).toSeq
+    assert(skipped == Seq("insert"), skipped)
+  }
+
+  test("readChangeFeed refuses pre-property rewrites (no change files exist)") {
+    val base = mkBase()
+    val tbl = s"$base/tbl"
+    // table WITHOUT tx.changeDataFeed: the delete writes no change files
+    TxTable.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), tbl,
+      "overwrite")
+    TxTable.deleteWhere(spark, tbl,
+      Seq(org.apache.spark.sql.sources.EqualTo("id", 2L)))
+    val e = intercept[StreamingQueryException](
+      drain(tbl, s"$base/ckpt", s"$base/out",
+        Map("readChangeFeed" -> "true")))
+    assert(e.getMessage.contains("tx.changeDataFeed"), e.getMessage)
+  }
+
   test("appends drain version-tagged, exactly once across checkpointed restarts") {
     val base = mkBase()
     val tbl = s"$base/tbl"

@@ -266,7 +266,7 @@ class TxRowLevelSpec extends SparkSpec {
       Seq((1L, 5L), (2L, 5000000000L), (3L, 9L)))
   }
 
-  test("MERGE evolution REFUSES on a PARTITIONED table; explicit ALTER-then-MERGE works") {
+  test("MERGE WITH SCHEMA EVOLUTION works on a PARTITIONED table (cols slot before partitions)") {
     import spark.implicits._
     val tbl = s"$warehouse/db/mrgevop"
     TxTable.commit(
@@ -275,33 +275,44 @@ class TxRowLevelSpec extends SparkSpec {
     Seq((2L, "de", 70L, true), (3L, "fr", 9L, false))
       .toDF("id", "lang", "n", "flag")
       .createOrReplaceTempView("mrgevop_src")
-    // new columns slot BEFORE partition columns, which Spark's merge
-    // alignment cannot express — the statement must refuse loudly, and
-    // the refusal must land BEFORE any evolve version commits
-    val e = intercept[Exception](spark.sql(
+    // the evolved column slots BEFORE the partition column (hive
+    // partition-cols-last invariant) and the merge's by-name
+    // resolution — SET * / INSERT * included — lands against it
+    spark.sql(
       """MERGE WITH SCHEMA EVOLUTION INTO txrl.db.mrgevop t
         |USING mrgevop_src s ON t.id = s.id
         |WHEN MATCHED THEN UPDATE SET *
-        |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
-    assert(e.getMessage.contains("PARTITIONED"), e.getMessage)
-    assert(TxTable.history(tbl).map(_._2).count(_ == "evolve") == 0,
-      "the refusal must pre-empt the evolve commit")
-    assert(spark.table("txrl.db.mrgevop").schema.fieldNames.toSeq ==
-      Seq("id", "n", "lang"))
-    // the documented path: evolve deliberately, then a plain MERGE
-    spark.sql("ALTER TABLE txrl.db.mrgevop ADD COLUMN flag BOOLEAN")
-    spark.sql(
-      """MERGE INTO txrl.db.mrgevop t USING mrgevop_src s ON t.id = s.id
-        |WHEN MATCHED THEN UPDATE SET *
         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val dir = java.nio.file.Paths.get(tbl)
+    val head = TxTable.latestVersion(tbl).get
+    assert(TxTable.readManifest(dir, head).op == "merge")
+    assert(TxTable.readManifest(dir, head - 1).op == "evolve")
     assert(spark.table("txrl.db.mrgevop").schema.fieldNames.toSeq ==
-      Seq("id", "n", "flag", "lang"))
+      Seq("id", "n", "flag", "lang"),
+      "the evolved column must slot before the partition column")
     val out = spark.sql(
         "SELECT id, n, flag, lang FROM txrl.db.mrgevop ORDER BY id")
       .collect().toSeq.map(r => (r.getLong(0), r.getLong(1),
         Option(r.get(2)), r.getString(3)))
     assert(out == Seq((1L, 5L, None, "en"), (2L, 70L, Some(true), "de"),
       (3L, 9L, Some(false), "fr")))
+    // a subsequent PLAIN append against the evolved schema still works
+    // (the partition-cols-last invariant survived the evolution)
+    TxTable.commit(Seq((4L, 1L, Some(true), "en"))
+      .toDF("id", "n", "flag", "lang"), tbl, "append")
+    assert(spark.sql("SELECT count(*) FROM txrl.db.mrgevop")
+      .head().getLong(0) == 4L)
+    // the ALTER-then-MERGE parity path keeps working too
+    spark.sql("ALTER TABLE txrl.db.mrgevop ADD COLUMN note STRING")
+    Seq((5L, "es", 2L, "hi")).toDF("id", "lang", "n", "note")
+      .createOrReplaceTempView("mrgevop_src2")
+    spark.sql(
+      """MERGE INTO txrl.db.mrgevop t USING mrgevop_src2 s ON t.id = s.id
+        |WHEN NOT MATCHED THEN INSERT (id, n, lang, note)
+        |VALUES (s.id, s.n, s.lang, s.note)""".stripMargin)
+    assert(spark.sql(
+        "SELECT note FROM txrl.db.mrgevop WHERE id = 5").head()
+      .getString(0) == "hi")
   }
 
   test("without WITH SCHEMA EVOLUTION extra source columns evolve nothing") {

@@ -172,6 +172,64 @@ class TxTableSpec extends SparkSpec {
       .map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
   }
 
+  test("row-level rebase: file-disjoint deletes both land (WriteSerializable)") {
+    import org.apache.spark.sql.sources.EqualTo
+    val tbl = tmpTable()
+    // two files with disjoint id ranges — each delete's read set is one
+    // file, selected by the manifest min/max stats
+    TxTable.commit(frame(1L, 2L).coalesce(1), tbl, "overwrite")
+    TxTable.commit(frame(3L, 4L).coalesce(1), tbl, "append")
+    val prim = new graft.sources.ConflictInjectingPrimitive(
+      graft.sources.PosixLinkPrimitive,
+      () => TxTable.deleteWhere(spark, tbl, Seq(EqualTo("id", 4L))): Unit)
+    val v = TxTable.deleteWhere(spark, tbl, Seq(EqualTo("id", 1L)),
+      primitive = prim)
+    assert(v == 4L) // landed one past the winner, no refusal
+    assert(TxTable.read(spark, tbl).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+  }
+
+  test("row-level rebase: a concurrent add OUTSIDE the predicate rebases, INSIDE refuses") {
+    import org.apache.spark.sql.sources.LessThanOrEqual
+    val tbl = tmpTable()
+    TxTable.commit(frame(1L, 2L, 5L).coalesce(1), tbl, "overwrite")
+    // winner appends id=99 — provably outside `id <= 2`, so the delete
+    // serializes after it and both land
+    val ok = new graft.sources.ConflictInjectingPrimitive(
+      graft.sources.PosixLinkPrimitive,
+      () => TxTable.commit(frame(99L).coalesce(1), tbl, "append"): Unit)
+    val v = TxTable.deleteWhere(spark, tbl,
+      Seq(LessThanOrEqual("id", 2L)), primitive = ok)
+    assert(v == 3L)
+    assert(TxTable.read(spark, tbl).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(5L, 99L))
+    // winner appends id=1 — INSIDE the `id <= 5` predicate (which also
+    // touches the surviving id=5 file, so the delete really races):
+    // serializing after the winner would have deleted that row too, so
+    // the lost race must refuse
+    val bad = new graft.sources.ConflictInjectingPrimitive(
+      graft.sources.PosixLinkPrimitive,
+      () => TxTable.commit(frame(1L).coalesce(1), tbl, "append"): Unit)
+    val e = intercept[java.nio.file.FileAlreadyExistsException](
+      TxTable.deleteWhere(spark, tbl,
+        Seq(LessThanOrEqual("id", 5L)), primitive = bad))
+    assert(e.getMessage.contains("cannot prove row-free"), e.getMessage)
+    // the winner's row survived the refusal intact
+    assert(TxTable.read(spark, tbl).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 5L, 99L))
+  }
+
+  test("row-level rebase: an UNCONDITIONAL delete refuses any concurrent add") {
+    val tbl = tmpTable()
+    TxTable.commit(frame(1L), tbl, "overwrite")
+    val prim = new graft.sources.ConflictInjectingPrimitive(
+      graft.sources.PosixLinkPrimitive,
+      () => TxTable.commit(frame(2L), tbl, "append"): Unit)
+    val e = intercept[java.nio.file.FileAlreadyExistsException](
+      TxTable.deleteWhere(spark, tbl, Seq.empty, primitive = prim))
+    assert(e.getMessage.contains("no prunable predicate"), e.getMessage)
+  }
+
   test("row-level rewrites still refuse ANY lost race (update-vs-update)") {
     import org.apache.spark.sql.sources.EqualTo
     val tbl = tmpTable()
