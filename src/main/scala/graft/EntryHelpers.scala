@@ -756,6 +756,44 @@ private[graft] object EntryHelpers {
       java.lang.Long.valueOf(v)
     }).longValue()
 
+  /** `join_spj_bucket` fixture: TWO tables laid out
+    * `PARTITIONED BY (bucket(8, doc_id))` — hidden partitioning, no
+    * materialized bucket column — whose scans report
+    * KeyGroupedPartitioning over the bucket transform and whose join
+    * on doc_id plans with ZERO exchanges under v2 bucketing
+    * (TxTransforms / TxBucketFunction scaladoc). */
+  val txBucketDone =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  def txBucketVersion(s: SparkSession, dir: String, wh: String): Long =
+    txBucketDone.computeIfAbsent(dir, _ => {
+      val docs = Tables.documents(s, dir)
+      val spec = Seq(graft.sources.TxTransforms.PartitionField(
+        "doc_id_bucket", "bucket[8]", "doc_id"))
+      graft.sources.TxTable.commit(
+        docs.select(col("doc_id"), col("n_chars")),
+        s"$wh/db/bka", "overwrite", partitionSpec = Some(spec))
+      graft.sources.TxTable.commit(
+        docs.select(col("doc_id"), col("lang")),
+        s"$wh/db/bkb", "overwrite", partitionSpec = Some(spec))
+      java.lang.Long.valueOf(1L)
+    }).longValue()
+
+  /** `scan_days_prune` fixture (`db.evd`): events laid out
+    * `PARTITIONED BY (days(ts))` — hidden partitioning over the
+    * timestamp itself, no manual date column; a ts range predicate
+    * prunes whole day directories through the projected day bounds. */
+  val txDaysDone =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  def txDaysVersion(s: SparkSession, dir: String, wh: String): Long =
+    txDaysDone.computeIfAbsent(dir, _ => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"))
+      graft.sources.TxTable.commit(ev, s"$wh/db/evd", "overwrite",
+        partitionSpec = Some(Seq(graft.sources.TxTransforms
+          .PartitionField("ts_day", "days", "ts"))))
+      java.lang.Long.valueOf(1L)
+    }).longValue()
+
   /** `stream_txcdf_cdc` fixture (`db.cdc`): a `tx.changeDataFeed=true`
     * table whose history crosses every change-commit kind the cdc
     * stream serves — v1 overwrite (en), v2 append (de), v3 SQL UPDATE

@@ -693,6 +693,60 @@ private[graft] object QueriesSearchOps {
     // 100 TB the co-partitioned join's exchange would move the whole
     // table; the probe require-pins its absence. The certified read
     // re-runs under default confs (same rows, any plan) -----
+    // ----- HIDDEN-PARTITIONING BUCKET SPJ (TxTransforms scaladoc):
+    // two tables `PARTITIONED BY (bucket(8, doc_id))` — the layout
+    // derived at stage time, no materialized bucket column — join on
+    // the SOURCE column with zero exchanges: the scans report
+    // KeyGroupedPartitioning over the bucket transform and the
+    // catalog's V2 bucket function lets Spark align the groups -----
+    "join_spj_bucket" -> ((s: SparkSession, dir: String) => {
+      val wh = EntryHelpers.txCatalogWarehouse(s, dir)
+      s.conf.set("spark.sql.catalog.graft_tx", "graft.sources.TxCatalog")
+      s.conf.set("spark.sql.catalog.graft_tx.root", wh)
+      EntryHelpers.txBucketVersion(s, dir, wh): Unit
+      EntryHelpers.withSqlConf(s,
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false") {
+        val probe = s.sql(
+          """SELECT a.doc_id, a.n_chars, b.lang
+            |FROM graft_tx.db.bka a
+            |JOIN graft_tx.db.bkb b ON a.doc_id = b.doc_id""".stripMargin)
+        probe.collect(): Unit
+        val sh = EntryHelpers.shuffleNodes(
+          probe.queryExecution.executedPlan)
+        require(sh.isEmpty,
+          s"expected a zero-exchange bucket-transform SPJ, found " +
+            s"${sh.size} exchange(s):\n" +
+            probe.queryExecution.executedPlan)
+        s.sql(
+          """SELECT a.doc_id, a.n_chars, b.lang
+            |FROM graft_tx.db.bka a
+            |JOIN graft_tx.db.bkb b ON a.doc_id = b.doc_id
+            |ORDER BY a.doc_id""".stripMargin)
+      }
+    }),
+    // ----- days(ts) hidden partitioning: a timestamp range prunes
+    // whole day directories at PLANNING through the projected day
+    // bounds (TxTransforms.projectFilter — incl. the exact-midnight
+    // strict-bound tightening); the kept-path count is plan-pinned -----
+    "scan_days_prune" -> ((s: SparkSession, dir: String) => {
+      val wh = EntryHelpers.txCatalogWarehouse(s, dir)
+      s.conf.set("spark.sql.catalog.graft_tx", "graft.sources.TxCatalog")
+      s.conf.set("spark.sql.catalog.graft_tx.root", wh)
+      EntryHelpers.txDaysVersion(s, dir, wh): Unit
+      val df = s.sql(
+        """SELECT event_id, user_id FROM graft_tx.db.evd
+          |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+          |  AND ts < TIMESTAMP '2024-01-12 00:00:00'
+          |ORDER BY event_id""".stripMargin)
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains("skipped=") && !plan.contains("skipped=0/"),
+        s"the day-projected range must prune day directories at " +
+          s"planning:\n${plan.take(800)}")
+      df
+    }),
     "join_spj" -> ((s: SparkSession, dir: String) => {
       val wh = EntryHelpers.txCatalogWarehouse(s, dir)
       s.conf.set("spark.sql.catalog.graft_tx", "graft.sources.TxCatalog")
@@ -1914,6 +1968,19 @@ private[graft] object QueriesSearchOps {
          |  CAST(count(*) AS BIGINT) AS n_rows
          |FROM documents WHERE lang IN ('en', 'de', 'fr', 'es')
          |GROUP BY lang ORDER BY part""".stripMargin),
+    // the bucket-transform SPJ replayed: a plain self-join of documents
+    // on doc_id — the hidden layout changes where bytes live, never rows
+    "join_spj_bucket" ->
+      ("""SELECT a.doc_id, a.n_chars, b.lang
+         |FROM documents a JOIN documents b ON a.doc_id = b.doc_id
+         |ORDER BY a.doc_id""".stripMargin),
+    // the day-pruned range replayed over the raw events (timestamps
+    // compare at microsecond precision on both engines)
+    "scan_days_prune" ->
+      ("""SELECT event_id, user_id FROM events
+         |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+         |  AND ts < TIMESTAMP '2024-01-12 00:00:00'
+         |ORDER BY event_id""".stripMargin),
     // the SPJ replayed: dim_docs is the per-lang doc count (the one
     // row of db.partw each lang joins)
     "join_spj" ->

@@ -53,7 +53,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 class TxCatalog extends TableCatalog with SupportsNamespaces
   with org.apache.spark.sql.connector.catalog.ProcedureCatalog
-  with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
+  with org.apache.spark.sql.connector.catalog.StagingTableCatalog
+  with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   private var catalogName: String = _
   private var root: Path = _
@@ -176,16 +177,20 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
   /** CREATE TABLE commits version 1 as an empty snapshot of the declared
     * schema through the same OCC publish every write uses — a racing
     * CREATE of the same name loses on the version-1 manifest and
-    * surfaces as already-exists. `PARTITIONED BY (col, ...)` — identity
-    * transforms only — records the layout in the v1 manifest; every
-    * INSERT inherits it ([[TxTable.commit]] scaladoc: values land in
-    * file paths AND as min=max stats entries, so partition pruning
-    * rides the stats-skipping layer). Bucket/days/etc transforms refuse
+    * surfaces as already-exists. `PARTITIONED BY` accepts identity
+    * columns AND the hidden-partitioning transforms `bucket(n, col)`,
+    * `days(ts)`, `truncate(n, col)` ([[TxTransforms]] scaladoc):
+    * derived values land in file paths + min=max stats entries, the
+    * source column stays in file bytes, every INSERT inherits the
+    * spec, predicates on the source prune through the projected
+    * derived filters, and bucket layouts report
+    * KeyGroupedPartitioning for storage-partitioned joins. Unsupported
+    * transforms (years/months/hours, arbitrary expressions) refuse
     * loudly rather than being silently ignored. */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
-    val partCols = TxCatalog.identityPartitionColumns(partitions)
+    val partSpec = TxTransforms.fromV2(partitions.toSeq)
     // CHECK constraints at CREATE: TBLPROPERTIES ('check.<name>' =
     // '<boolean sql expr>') — registered in the v1 manifest, enforced
     // on every subsequent write (TxTable.commit scaladoc)
@@ -209,7 +214,7 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
     // create-exclusive — either way the race surfaces as already-exists
     try TxTable.commit(empty, dir.toString, "overwrite",
       opLabel = Some("create"), requireVersion = Some(1L),
-      partitionBy = Some(partCols), constraints = checks,
+      partitionSpec = Some(partSpec), constraints = checks,
       properties = txProps)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
@@ -484,6 +489,25 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
     }
   }
 
+  // ------------------------------------------ functions (SPJ plumbing)
+
+  /** The V2 function behind the `bucket(n, col)` partition transform:
+    * storage-partitioned-join planning resolves a transform-keyed
+    * KeyGroupedPartitioning through the table catalog's
+    * FunctionCatalog (the Iceberg pattern) — without a loadable,
+    * canonical `bucket`, Spark downgrades the reported partitioning
+    * and re-introduces the exchange this layout exists to remove. */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty) Array(Identifier.of(namespace, "bucket"))
+    else Array.empty
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name() == "bucket" && ident.namespace().isEmpty)
+      TxBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
+
   private def listDirs(p: Path): Seq[String] =
     if (!Files.isDirectory(p)) Seq.empty
     else {
@@ -498,6 +522,51 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
 
   private def fullName(ident: Identifier): String =
     (Seq(catalogName) ++ ident.namespace().toSeq :+ ident.name()).mkString(".")
+}
+
+/** `bucket(n, col)` as a bindable V2 scalar function — MUST agree
+  * bit-for-bit with [[TxTransforms.deriveColumn]]'s staged expression
+  * (Spark Murmur3 `hash()`, seed 42, pmod n): the path values ARE this
+  * function's results, so SPJ group alignment and any Spark-side
+  * re-evaluation land on the same buckets. */
+private[graft] object TxBucketFunction
+  extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction}
+  import org.apache.spark.sql.types.{IntegerType, LongType}
+
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(n, col): Murmur3(col, seed 42) pmod n — the tx table's " +
+      "hidden bucket partition transform"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 2,
+      s"bucket expects (numBuckets, value), got ${inputType.simpleString}")
+    val vt = inputType.fields(1).dataType
+    require(vt == LongType || vt == IntegerType,
+      s"bucket value must be int/long, got ${vt.simpleString}")
+    new ScalarFunction[Integer] {
+      override def inputTypes(): Array[org.apache.spark.sql.types.DataType] =
+        Array(IntegerType, vt)
+      override def resultType(): org.apache.spark.sql.types.DataType =
+        IntegerType
+      override def name(): String = "bucket"
+      override def canonicalName(): String =
+        s"graft.bucket(${vt.simpleString})"
+      override def isDeterministic: Boolean = true
+      override def produceResult(
+          input: org.apache.spark.sql.catalyst.InternalRow): Integer = {
+        val n = input.getInt(0)
+        val h = vt match {
+          case LongType => org.apache.spark.unsafe.hash.Murmur3_x86_32
+            .hashLong(input.getLong(1), 42)
+          case _ => org.apache.spark.unsafe.hash.Murmur3_x86_32
+            .hashInt(input.getInt(1), 42)
+        }
+        Int.box(((h % n) + n) % n)
+      }
+    }
+  }
 }
 
 private[sources] object TxCatalog {
@@ -559,9 +628,7 @@ private[graft] class TxSqlTable(tableName: String, dir: Path, version: Long,
   override def name(): String = s"$tableName@v$version"
   override def schema(): StructType = tableSchema
   override def partitioning(): Array[Transform] =
-    manifest.partitionColumns.map(c =>
-      org.apache.spark.sql.connector.expressions.Expressions.identity(c))
-      .toArray
+    TxTransforms.spec(manifest).map(TxTransforms.v2Transform).toArray
   override def capabilities(): util.Set[TableCapability] =
     if (writable)
       // AUTOMATIC_SCHEMA_EVOLUTION is the DSv2 opt-in behind `MERGE …
@@ -609,8 +676,9 @@ private[graft] class TxSqlTable(tableName: String, dir: Path, version: Long,
     // boundary itself.
     new TxScanBuilder(name(), tableSchema, dir, manifest.files,
       TxTable.logicalStats(manifest), TxTable.logicalBlooms(manifest),
-      options, manifest.partitionColumns, hasDeletionVectors,
-      s"$tableName@v$version", manifest.columnMapping)
+      options, TxTransforms.identityNames(manifest), hasDeletionVectors,
+      s"$tableName@v$version", manifest.columnMapping,
+      TxTransforms.spec(manifest))
 
   // ---- SQL `DELETE FROM` — copy-on-write through the skipping layer
   // (TxTable.deleteWhere scaladoc: provably-untouched files carry
@@ -717,7 +785,8 @@ private[graft] final class TxScanBuilder(
     partitionColumns: Seq[String] = Nil,
     hasDvs: Boolean = false,
     handleName: String = "",
-    mapping: Map[String, String] = Map.empty)
+    mapping: Map[String, String] = Map.empty,
+    transformSpec: Seq[TxTransforms.PartitionField] = Nil)
   extends ScanBuilder
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
@@ -747,8 +816,13 @@ private[graft] final class TxScanBuilder(
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     exprFilters = filters
-    skipFilters = filters.flatMap(e =>
+    val v1 = filters.flatMap(e =>
       org.apache.spark.sql.graftbridge.GraftBridge.translateFilter(e))
+    // hidden-partitioning projection (TxTransforms scaladoc): a filter
+    // on a transform's SOURCE column implies a filter on the derived
+    // path value, which the stats layer evaluates like any other
+    skipFilters = v1 ++ v1.flatMap(f =>
+      TxTransforms.projectFilter(f, transformSpec))
     filters // all residual, like the parquet builder itself
   }
 
@@ -993,14 +1067,23 @@ private[graft] final class TxScanBuilder(
       }
     }
     aggBuilder.foreach(b => return b.build())
+    val evalSchema = TxTransforms.skipSchema(schema, transformSpec)
     val kept = relFiles.filter { f =>
       val st = stats.getOrElse(f, Map.empty[String, TxStats.ColStat])
       val bl = blooms.getOrElse(f, Map.empty[String, TxStats.FileBloom])
       !skipFilters.exists(fl =>
-        TxStats.excludes(st, schema, fl) || TxStats.bloomExcludes(bl, fl))
+        TxStats.excludes(st, evalSchema, fl) ||
+          TxStats.bloomExcludes(bl, fl))
     }
     val skipTag = s"skipped=${relFiles.size - kept.size}/${relFiles.size}"
-    if (partitionColumns.isEmpty) {
+    // ALL layout field names (identity + hidden transforms) — what the
+    // paths and stats key by, and what key-grouping groups by; the
+    // `partitionColumns` param holds the IDENTITY subset (the only
+    // fields whose values readers attach as columns)
+    val allFieldNames =
+      if (transformSpec.nonEmpty) transformSpec.map(_.name)
+      else partitionColumns
+    if (allFieldNames.isEmpty) {
       def buildInner(fs: Seq[String])
           : org.apache.spark.sql.connector.read.Scan = {
         val inner = ParquetTable(s"$scanName $skipTag",
@@ -1014,7 +1097,7 @@ private[graft] final class TxScanBuilder(
         if (mapping.isEmpty) scan
         else new RelabeledScan(scan, toLogical(scan.readSchema()), skipTag)
       }
-      new TxFlatScan(kept, stats, blooms, schema,
+      new TxFlatScan(kept, stats, blooms, evalSchema,
         TxRuntimeFilter.filterableColumns(
           required.fieldNames.toSeq, Nil, stats, blooms),
         relFiles.size - kept.size, buildInner)
@@ -1031,19 +1114,30 @@ private[graft] final class TxScanBuilder(
       // entries); filters referencing partition columns stay ABOVE the
       // scan (all filters are residual by contract), only data-column
       // filters forward into the inner builders.
-      val partSet = partitionColumns.toSet
-      val dataSchema = StructType(schema.filterNot(f => partSet(f.name)))
+      // only IDENTITY fields are schema columns; hidden fields group
+      // and key splits but never surface as columns (their sources are
+      // ordinary data columns, in the bytes)
+      val idSet = partitionColumns.toSet
+      val dataSchema = StructType(schema.filterNot(f => idSet(f.name)))
       val dataNames = dataSchema.fieldNames.toSet
       val requiredData =
-        StructType(required.filterNot(f => partSet(f.name)))
-      val requiredParts = required.filter(f => partSet(f.name))
+        StructType(required.filterNot(f => idSet(f.name)))
+      val requiredParts = required.filter(f => idSet(f.name))
       val dataFilters = exprFilters.filter(
         _.references.toSeq.forall(a => dataNames.contains(a.name)))
       val outSchema = StructType(requiredData ++ requiredParts)
+      val effSpec =
+        if (transformSpec.nonEmpty) transformSpec
+        else partitionColumns.map(c =>
+          TxTransforms.PartitionField(c, "identity", c))
+      val partTypes: Map[String, org.apache.spark.sql.types.DataType] =
+        effSpec.map(f => f.name -> TxTransforms.derivedType(f, schema))
+          .toMap
       new TxPartitionedScan(scanName, skipTag, dir, kept, stats, blooms,
-        schema, outSchema, partitionColumns, requiredParts,
+        evalSchema, outSchema, allFieldNames, requiredParts,
         physStruct(dataSchema), physStruct(requiredData),
-        dataFilters.map(toPhys), relFiles.size - kept.size, options)
+        dataFilters.map(toPhys), relFiles.size - kept.size, options,
+        effSpec, partTypes)
     }
   }
 }
@@ -1255,13 +1349,22 @@ private[graft] final class TxPartitionedScan(
     physDataSchema: StructType, physRequiredData: StructType,
     physDataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
     plannedSkipped: Int,
-    options: CaseInsensitiveStringMap)
+    options: CaseInsensitiveStringMap,
+    spec: Seq[TxTransforms.PartitionField] = Nil,
+    partTypes: Map[String, org.apache.spark.sql.types.DataType] =
+      Map.empty)
   extends org.apache.spark.sql.connector.read.Scan
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   private val partSet = partitionColumns.toSet
+  private val effSpec: Seq[TxTransforms.PartitionField] =
+    if (spec.nonEmpty) spec
+    else partitionColumns.map(c =>
+      TxTransforms.PartitionField(c, "identity", c))
+  private def typeOf(c: String): org.apache.spark.sql.types.DataType =
+    partTypes.getOrElse(c, schema(c).dataType)
 
   /** STORAGE-PARTITIONED JOINS (the Iceberg SPJ design): report the
     * layout as KeyGroupedPartitioning over the partition columns, so
@@ -1281,18 +1384,26 @@ private[graft] final class TxPartitionedScan(
     * wrong. */
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
-    val allOut = partitionColumns.forall(outSchema.fieldNames.contains)
+    // identity fields need their NAME in the output; a transform field
+    // needs its SOURCE column (the key expression references it). Only
+    // identity and bucket report — a days/truncate grouping is not a
+    // join-key grouping Spark can align, so those fall back to
+    // UnknownPartitioning (a shuffle, never wrong).
+    val reportable = effSpec.forall(f =>
+      f.isIdentity || f.transform.startsWith("bucket["))
+    val allOut = effSpec.forall(f => outSchema.fieldNames.contains(
+      if (f.isIdentity) f.name else f.source))
     val groups = kept.map(f => partitionColumns.map(c =>
       TxTable.partitionValuesFromPath(f, partSet).get(c))).distinct.size
-    if (!allOut || groups == 0)
+    if (!reportable || !allOut || groups == 0)
       new org.apache.spark.sql.connector.read.partitioning
         .UnknownPartitioning(math.max(groups, 1))
     else
       new org.apache.spark.sql.connector.read.partitioning
         .KeyGroupedPartitioning(
-          partitionColumns.map(c =>
-            org.apache.spark.sql.connector.expressions.Expressions
-              .identity(c)).toArray,
+          effSpec.map(TxTransforms.v2Transform)
+            .map(t => t: org.apache.spark.sql.connector.expressions
+              .Expression).toArray,
           groups)
   }
 
@@ -1366,11 +1477,11 @@ private[graft] final class TxPartitionedScan(
           val tail: Array[Any] = requiredParts.map(f =>
             TxTable.catalystPartitionValue(
               vals(partitionColumns.indexOf(f.name)), f.dataType)).toArray
-          // the group's FULL partition-value tuple (schema types, not
+          // the group's FULL partition-value tuple (layout types, not
           // just the projected subset) keys the splits for SPJ grouping
           val key = org.apache.spark.sql.catalyst.InternalRow.fromSeq(
             partitionColumns.zip(vals).map { case (c, v0) =>
-              TxTable.catalystPartitionValue(v0, schema(c).dataType) })
+              TxTable.catalystPartitionValue(v0, typeOf(c)) })
           b.planInputPartitions()
             .map(p => AppendedColsPartition(p, tail, fac, key)
               : org.apache.spark.sql.connector.read.InputPartition)

@@ -270,9 +270,10 @@ private[graft] class TxCdfStream(tableSchema: StructType, dir: String,
       val m = manifestOrRefuse(v)
       val added = m.files.filterNot(prevFiles)
       prevFiles = m.files.toSet
+      val idParts = TxTransforms.identityNames(m)
       if (servesAdds(v, m.op)) {
         if (added.nonEmpty) {
-          if (m.partitionColumns.isEmpty) {
+          if (idParts.isEmpty) {
             val scan = ParquetTable(s"txcdf $dir v$v",
               SparkSession.active, options,
               added.map(f => root.resolve(f).toString).toList,
@@ -292,10 +293,10 @@ private[graft] class TxCdfStream(tableSchema: StructType, dir: String,
             // next to the version constant — never hive basePath
             // discovery, whose separate value-derivation path could
             // diverge on escaping/null-partition edge cases
-            val partSet = m.partitionColumns.toSet
+            val partSet = idParts.toSet
             val dataPhys = StructType(
               physSchema.fields.filterNot(f => partSet(f.name)))
-            added.groupBy(f => m.partitionColumns.map(c =>
+            added.groupBy(f => idParts.map(c =>
                 TxTable.partitionValuesFromPath(f, partSet).get(c)))
               .toSeq.sortBy(_._1.toString)
               .foreach { case (vals, fs) =>
@@ -306,7 +307,7 @@ private[graft] class TxCdfStream(tableSchema: StructType, dir: String,
                   .newScanBuilder(options).build()
                 val batch = scan.toBatch
                 val factory = batch.createReaderFactory()
-                val tail: Array[Any] = (m.partitionColumns.zip(vals)
+                val tail: Array[Any] = (idParts.zip(vals)
                   .map { case (c, v0) => TxTable.catalystPartitionValue(
                     v0, tableSchema(c).dataType) }
                   ++ insertTag :+ (v: Any)).toArray

@@ -85,7 +85,8 @@ object TxChanges {
     def tombstonedRows(prev: TxTable.Manifest,
                        newDvs: Seq[String]): DataFrame = {
       val rows = TxTable.readSnapshotFiles(spark, tableDir, schema,
-        prev.partitionColumns, bearing(prev.files, newDvs), prev.dvDirs,
+        TxTransforms.identityNames(prev), bearing(prev.files, newDvs),
+        prev.dvDirs,
         dvMeta = true, mapping = mapping)
       val dv = TxTable.readDvFrame(spark, root, newDvs)
       rows.join(dv,
@@ -109,17 +110,18 @@ object TxChanges {
           Nil // bytes move or metadata shifts, rows don't
         case "append" | "create" =>
           if (added.isEmpty) Nil
-          else Seq(tagged(read(added, Nil, cur.partitionColumns),
-            "insert", v))
+          else Seq(tagged(read(added, Nil,
+            TxTransforms.identityNames(cur)), "insert", v))
         case "delete" if morShape && added.isEmpty =>
           Seq(tagged(tombstonedRows(prev, newDvs), "delete", v))
         case "update" if morShape =>
           Seq(tagged(tombstonedRows(prev, newDvs), "update_preimage", v),
-            tagged(read(added, Nil, cur.partitionColumns),
+            tagged(read(added, Nil, TxTransforms.identityNames(cur)),
               "update_postimage", v))
         case "merge" if morShape =>
           Seq(tagged(tombstonedRows(prev, newDvs), "delete", v),
-            tagged(read(added, Nil, cur.partitionColumns), "insert", v))
+            tagged(read(added, Nil, TxTransforms.identityNames(cur)),
+              "insert", v))
         case op =>
           // generic copy-on-write arm: compare only what changed —
           // swapped files plus carried files whose tombstone set
@@ -129,9 +131,11 @@ object TxChanges {
             if (dvChanged.isEmpty) Nil
             else bearing(prev.files.filter(curSet), dvChanged)
           val before =
-            read(removed ++ dFiles, prev.dvDirs, prev.partitionColumns)
+            read(removed ++ dFiles, prev.dvDirs,
+              TxTransforms.identityNames(prev))
           val after =
-            read(added ++ dFiles, cur.dvDirs, cur.partitionColumns)
+            read(added ++ dFiles, cur.dvDirs,
+              TxTransforms.identityNames(cur))
           val (preT, postT) =
             if (op == "update") ("update_preimage", "update_postimage")
             else ("delete", "insert")
@@ -147,11 +151,11 @@ object TxChanges {
         // carry tombstones — nothing preceded it to delete from)
         if (cur.files.isEmpty) Nil
         else Seq(tagged(read(cur.files, cur.dvDirs,
-          cur.partitionColumns), "insert", v))
+          TxTransforms.identityNames(cur)), "insert", v))
       } else changesAt(v, manifests(v - 1), cur)
     }
     if (parts.isEmpty)
-      tagged(read(Nil, Nil, manifests(toV).partitionColumns),
+      tagged(read(Nil, Nil, TxTransforms.identityNames(manifests(toV))),
         "insert", toV).limit(0)
     else parts.reduce(_ unionByName _)
   }

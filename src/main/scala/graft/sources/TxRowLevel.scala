@@ -217,13 +217,18 @@ private[graft] object TxRowLevel {
                              filters: Seq[org.apache.spark.sql.sources.Filter])
       : (Seq[String], Seq[String]) = {
     // filters carry LOGICAL names; stats/blooms key by physical —
-    // consume through the logical view (survives RENAME COLUMN)
+    // consume through the logical view (survives RENAME COLUMN).
+    // Hidden-partitioning projections sharpen the cut: an UPDATE keyed
+    // on a bucketed/day-partitioned source column prunes to its
+    // derived directories (TxTransforms scaladoc)
     val (lst, lbl) = (TxTable.logicalStats(m), TxTable.logicalBlooms(m))
+    val skipFs = TxTransforms.withProjections(filters, m)
+    val skipSch = TxTransforms.skipSchema(schema, m)
     m.files.partition { f =>
       val st = lst.getOrElse(f, Map.empty[String, TxStats.ColStat])
       val bl = lbl.getOrElse(f, Map.empty[String, TxStats.FileBloom])
-      !filters.exists(fl =>
-        TxStats.excludes(st, schema, fl) || TxStats.bloomExcludes(bl, fl))
+      !skipFs.exists(fl =>
+        TxStats.excludes(st, skipSch, fl) || TxStats.bloomExcludes(bl, fl))
     }
   }
 
@@ -311,7 +316,7 @@ private[graft] final case class TxUpdateCommand(
     if (m.properties.get(TxTable.DvProperty).contains("true")) {
       val root = java.nio.file.Paths.get(tableDir)
       val matched = TxTable.readSnapshotFiles(spark, tableDir, schema,
-          m.partitionColumns, touched, m.dvDirs, dvMeta = true,
+          TxTransforms.identityNames(m), touched, m.dvDirs, dvMeta = true,
           mapping = m.columnMapping)
         .filter(cond)
       val dvRel = TxTable.writeDvSidecar(spark, root, matched, "UPDATE")
@@ -342,7 +347,7 @@ private[graft] final case class TxUpdateCommand(
       return Seq.empty
     }
     val rewritten = TxTable.readSnapshotFiles(spark, tableDir, schema,
-        m.partitionColumns, touched, m.dvDirs,
+        TxTransforms.identityNames(m), touched, m.dvDirs,
         mapping = m.columnMapping)
       .select(schema.fields.toSeq.map { f =>
         assignedValue(assignments, f, tgt, fallback = col(f.name), bind)
@@ -357,7 +362,8 @@ private[graft] final case class TxUpdateCommand(
     // CDF change frame: the rows the condition matches, before and
     // after the assignment (staged only on tx.changeDataFeed tables)
     val cdfMatched = TxTable.readSnapshotFiles(spark, tableDir, schema,
-        m.partitionColumns, touched, m.dvDirs, mapping = m.columnMapping)
+        TxTransforms.identityNames(m), touched, m.dvDirs,
+        mapping = m.columnMapping)
       .filter(cond)
     val cdf = cdfMatched
       .select(schema.fieldNames.toSeq.map(col): _*)
@@ -466,7 +472,8 @@ private[graft] final case class TxMergeCommand(
     // position) id from the parquet _metadata column (and attaches
     // partition values on a partitioned table).
     val tgtDf = TxTable.readSnapshotFiles(spark, tableDir, schema,
-      m.partitionColumns, joinTargetFiles, m.dvDirs, tidCol = Some(Tid),
+      TxTransforms.identityNames(m), joinTargetFiles, m.dvDirs,
+      tidCol = Some(Tid),
       dvMeta = morEnabled, mapping = m.columnMapping)
     val onCond = coalesce(bind(mergeCondition), lit(false))
     val joined = graft.ext.TrackedCache.persistTracked(

@@ -235,7 +235,9 @@ object TxTable {
                             properties: Map[String, String] = Map.empty,
                             columnMapping: Map[String, String] = Map.empty,
                             bloomRefs: Map[String, String] = Map.empty,
-                            changeDir: Option[String] = None)
+                            changeDir: Option[String] = None,
+                            partitionTransforms: Map[String, String] =
+                              Map.empty)
 
   /** Commit `df` as the next version. `mode` is "overwrite" (the new
     * version is exactly this frame) or "append" (this frame plus the
@@ -271,6 +273,11 @@ object TxTable {
     * min=max stats entries so partition pruning rides the existing
     * skipping layer. String/int/long partition types only — path
     * round-trips of timestamps and floats are where layouts lie. */
+  /** `partitionSpec`: the TRANSFORM layout (hidden partitioning —
+    * [[TxTransforms]] scaladoc): bucket/days/truncate fields derive
+    * their path values from a source column at stage time; identity
+    * fields behave exactly like `partitionBy` names. Overrides
+    * `partitionBy` when given; appends inherit the table's spec. */
   def commit(df: DataFrame, tableDir: String, mode: String,
              opLabel: Option[String] = None,
              txn: Option[(String, Long)] = None,
@@ -280,7 +287,9 @@ object TxTable {
              requireVersion: Option[Long] = None,
              partitionBy: Option[Seq[String]] = None,
              constraints: Map[String, String] = Map.empty,
-             properties: Map[String, String] = Map.empty): Long = {
+             properties: Map[String, String] = Map.empty,
+             partitionSpec: Option[Seq[TxTransforms.PartitionField]] =
+               None): Long = {
     require(mode == "overwrite" || mode == "append" ||
         mode == "dynoverwrite",
       s"mode must be overwrite|append|dynoverwrite, got '$mode'")
@@ -288,10 +297,18 @@ object TxTable {
     val root = Paths.get(tableDir)
     Files.createDirectories(root.resolve(LogDir))
     val prev0 = latestVersion(tableDir).map(v => readManifest(root, v))
-    val effParts: Seq[String] =
-      partitionBy.getOrElse(prev0.map(_.partitionColumns).getOrElse(Nil))
+    val effSpec: Seq[TxTransforms.PartitionField] =
+      partitionSpec
+        .orElse(partitionBy.map(_.map(c =>
+          TxTransforms.PartitionField(c, "identity", c))))
+        .getOrElse(prev0.map(TxTransforms.spec).getOrElse(Nil))
+    val effParts: Seq[String] = effSpec.map(_.name)
+    val effTransforms: Map[String, String] = effSpec.filterNot(_.isIdentity)
+      .map(f => f.name -> TxTransforms.encodeValue(f)).toMap
+    val identityParts = effSpec.filter(_.isIdentity).map(_.name)
     if (mode != "overwrite") prev0.foreach(p => require(
-      effParts == p.partitionColumns,
+      effParts == p.partitionColumns &&
+        effTransforms == p.partitionTransforms,
       s"$mode partitioning ${effParts.mkString(",")} does not match " +
         s"the table's ${p.partitionColumns.mkString(",")} — relayout " +
         "with an overwrite commit"))
@@ -314,27 +331,40 @@ object TxTable {
           "through an explicit overwrite relayout")
       require(effParts.distinct.size == effParts.size,
         s"duplicate partition columns: ${effParts.mkString(",")}")
-      effParts.foreach(c => require(df.schema.fieldNames.contains(c),
+      identityParts.foreach(c => require(df.schema.fieldNames.contains(c),
         s"partition column '$c' is not in the frame schema " +
           df.schema.simpleString))
-      effParts.foreach(c => df.schema(c).dataType match {
+      identityParts.foreach(c => df.schema(c).dataType match {
         case org.apache.spark.sql.types.StringType |
              org.apache.spark.sql.types.IntegerType |
              org.apache.spark.sql.types.LongType => ()
         case other => throw new IllegalArgumentException(
           s"partition column '$c' must be string/int/long, got " +
             s"${other.simpleString} — timestamp/float path round-trips " +
-            "are lossy, bucket into a typed column first")
+            "are lossy, bucket into a typed column first (or declare " +
+            "days(ts))")
       })
+      // derived (hidden) fields: the name is layout-only — a schema
+      // column by the same name would make paths ambiguous — and the
+      // source must exist with a transform-compatible type
+      // (deriveColumn validates both, per field, loudly)
+      effSpec.filterNot(_.isIdentity).foreach { f =>
+        require(!df.schema.fieldNames.contains(f.name),
+          s"hidden partition field '${f.name}' collides with a schema " +
+            "column — rename one of them")
+        TxTransforms.deriveColumn(f, df.schema): Unit
+      }
       require(effParts.toSet.intersect(bloomColumns.toSet).isEmpty,
         "bloom columns cannot be partition columns — partition values " +
           "never reach file bytes, the path IS their index")
     }
-    // partition columns last in the committed order (scaladoc)
+    // IDENTITY partition columns last in the committed order (scaladoc);
+    // derived fields are hidden — never in the schema at all
     val dfOrdered =
-      if (effParts.isEmpty) df
-      else df.select((df.schema.fieldNames.toSeq.filterNot(effParts.contains)
-        ++ effParts).map(functions.col): _*)
+      if (identityParts.isEmpty) df
+      else df.select((df.schema.fieldNames.toSeq
+        .filterNot(identityParts.contains) ++ identityParts)
+        .map(functions.col): _*)
     val df2 = dfOrdered
     val prev = prev0
     val committedSchema: StructType = prev match {
@@ -380,7 +410,13 @@ object TxTable {
       else Map.empty
     // the write→list→stats block is the SHARED staging phase — one
     // implementation serves direct commits and atomic CTAS/RTAS
-    val dfPhys = toPhysical(df2, effMapping)
+    // hidden fields derive from the LOGICAL frame (sources are logical
+    // names) before the physical rename; derived names are unmapped by
+    // construction, so toPhysical passes them through
+    val dfDerived = effSpec.filterNot(_.isIdentity).foldLeft(df2)(
+      (d, f) => d.withColumn(f.name,
+        TxTransforms.deriveColumn(f, df2.schema)))
+    val dfPhys = toPhysical(dfDerived, effMapping)
     val staged =
       if (effParts.isEmpty) stageData(dfPhys, tableDir)
       else stageDataPartitioned(dfPhys, tableDir, effParts)
@@ -448,7 +484,8 @@ object TxTable {
       prev.map(_.txns).getOrElse(Map.empty) ++ txn,
       carriedStats ++ staged.stats,
       carriedBlooms ++ newBlooms, effParts, effConstraints,
-      carriedDvs, effProps, effMapping)
+      carriedDvs, effProps, effMapping,
+      partitionTransforms = effTransforms)
     if (mode == "append" && requireVersion.isEmpty)
       // A blind append that loses the race AUTO-REBASES onto the new
       // head and retries (Delta/Iceberg conflict resolution): the
@@ -457,7 +494,8 @@ object TxTable {
       // lets the exactly-once streaming sink keep committing while
       // compaction/zorder/vacuum maintain the same table.
       publishRebasing(root, manifest, prev,
-        rebaseAppend(committedSchema, effParts, effConstraints, effProps,
+        rebaseAppend(committedSchema, effParts, effTransforms,
+          effConstraints, effProps,
           effMapping, staged.files, staged.stats, newBlooms, txn,
           opLabel.getOrElse(mode)),
         primitive, () => discardStaged(tableDir, Seq(staged)))
@@ -728,13 +766,16 @@ object TxTable {
     val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
     if (m.files.isEmpty) return v
     val (lst, lbl) = (logicalStats(m), logicalBlooms(m))
+    val scopeFs = TxTransforms.withProjections(scope, m)
+    val scopeSch = TxTransforms.skipSchema(schema, m)
     val (scoped, untouched) =
       if (scope.isEmpty) (m.files, Seq.empty[String])
       else m.files.partition { f =>
         val st = lst.getOrElse(f, Map.empty[String, TxStats.ColStat])
         val bl = lbl.getOrElse(f, Map.empty[String, TxStats.FileBloom])
-        !scope.exists(fl =>
-          TxStats.excludes(st, schema, fl) || TxStats.bloomExcludes(bl, fl))
+        !scopeFs.exists(fl =>
+          TxStats.excludes(st, scopeSch, fl) ||
+            TxStats.bloomExcludes(bl, fl))
       }
     if (scoped.isEmpty) return v // nothing in scope: version-free no-op
     val partSet = m.partitionColumns.toSet
@@ -809,7 +850,8 @@ object TxTable {
     val manifest = Manifest(v + 1, "compact", m.schemaJson,
       untouched ++ newFiles, m.txns, keptStats ++ compactStats,
       keptBlooms ++ compactBlooms, m.partitionColumns,
-      m.constraints, Nil, m.properties, m.columnMapping)
+      m.constraints, Nil, m.properties, m.columnMapping,
+      partitionTransforms = m.partitionTransforms)
     // bytes moved, rows unchanged: a lost race rebases onto the new head
     // as long as no winner touched a consumed file ([[rebaseRewrite]]) —
     // so compaction and a streaming append can maintain one table
@@ -882,6 +924,10 @@ object TxTable {
     zCols.foreach(c => require(!m.partitionColumns.contains(c),
       "zorder columns must be data columns — a partition column's " +
         "layout is already its directory"))
+    require(m.partitionTransforms.isEmpty,
+      "OPTIMIZE ZORDER is not supported on a transform-partitioned " +
+        "table yet — compact() preserves the hidden layout; relayout " +
+        "with an overwrite to zorder")
     val zc = "__graft_z"
     require(!schema.fieldNames.contains(zc),
       s"table may not have a '$zc' column")
@@ -912,7 +958,8 @@ object TxTable {
     // and carries no deletion vectors
     val manifest = Manifest(v + 1, "zorder", m.schemaJson, staged.files,
       m.txns, staged.stats, newBlooms, m.partitionColumns,
-      m.constraints, Nil, m.properties, m.columnMapping)
+      m.constraints, Nil, m.properties, m.columnMapping,
+      partitionTransforms = m.partitionTransforms)
     // same byte-moving reconciliation as [[compact]]: the rewrite
     // consumed EVERY base file, so a lost race keeps only the winners'
     // new files alongside the z-ordered output
@@ -1140,6 +1187,7 @@ object TxTable {
     * the watermark read serializable with the commit (Delta's conflict
     * checker does the same for concurrent setTransaction). */
   private def rebaseAppend(schema: StructType, partCols: Seq[String],
+      partTransforms: Map[String, String],
       constraints: Map[String, String], properties: Map[String, String],
       mapping: Map[String, String], newFiles: Seq[String],
       newStats: Map[String, Map[String, TxStats.ColStat]],
@@ -1152,7 +1200,8 @@ object TxTable {
       Left(s"the table schema changed concurrently (head is now " +
         s"${headSchema.simpleString}, this append staged " +
         s"${schema.simpleString})")
-    else if (head.partitionColumns != partCols)
+    else if (head.partitionColumns != partCols ||
+        head.partitionTransforms != partTransforms)
       Left("the partition layout changed concurrently (head is now " +
         s"[${head.partitionColumns.mkString(",")}], this append staged " +
         s"[${partCols.mkString(",")}])")
@@ -1173,7 +1222,8 @@ object TxTable {
     else Right(Manifest(head.version + 1, op, head.schemaJson,
       head.files ++ newFiles, head.txns ++ txn, head.stats ++ newStats,
       head.blooms ++ newBlooms, head.partitionColumns, head.constraints,
-      head.dvDirs, head.properties, head.columnMapping))
+      head.dvDirs, head.properties, head.columnMapping,
+      partitionTransforms = head.partitionTransforms))
   }
 
   /** Rebase recipe for a BYTE-MOVING rewrite (compact / zorder / purge)
@@ -1200,7 +1250,8 @@ object TxTable {
       asNullable(DataType.fromJson(head.schemaJson))
     if (headSchema != baseSchema)
       Left("the table schema changed concurrently")
-    else if (head.partitionColumns != base.partitionColumns)
+    else if (head.partitionColumns != base.partitionColumns ||
+        head.partitionTransforms != base.partitionTransforms)
       Left("the partition layout changed concurrently")
     else if (head.constraints != base.constraints)
       Left("CHECK constraints changed concurrently")
@@ -1227,7 +1278,8 @@ object TxTable {
           head.stats.view.filterKeys(keptSet).toMap ++ newStats,
           head.blooms.view.filterKeys(keptSet).toMap ++ newBlooms,
           base.partitionColumns, base.constraints, dvDirsOut,
-          base.properties, base.columnMapping))
+          base.properties, base.columnMapping,
+          partitionTransforms = base.partitionTransforms))
       }
     }
   }
@@ -1271,7 +1323,8 @@ object TxTable {
     val headSchema = asNullable(DataType.fromJson(head.schemaJson))
     if (headSchema != baseSchema)
       Left("the table schema changed concurrently")
-    else if (head.partitionColumns != base.partitionColumns)
+    else if (head.partitionColumns != base.partitionColumns ||
+        head.partitionTransforms != base.partitionTransforms)
       Left("the partition layout changed concurrently")
     else if (head.constraints != base.constraints)
       Left("CHECK constraints changed concurrently")
@@ -1298,13 +1351,15 @@ object TxTable {
             s"${appeared.size} file(s) — serializing after it would " +
             "change the result")
         else {
-          val schema =
-            DataType.fromJson(base.schemaJson).asInstanceOf[StructType]
+          val schema = TxTransforms.skipSchema(
+            DataType.fromJson(base.schemaJson).asInstanceOf[StructType],
+            base)
+          val skipFs = TxTransforms.withProjections(filters, base)
           val (lst, lbl) = (logicalStats(head), logicalBlooms(head))
           val overlapping = appeared.filter { f =>
             val st = lst.getOrElse(f, Map.empty[String, TxStats.ColStat])
             val bl = lbl.getOrElse(f, Map.empty[String, TxStats.FileBloom])
-            !filters.exists(fl =>
+            !skipFs.exists(fl =>
               TxStats.excludes(st, schema, fl) ||
                 TxStats.bloomExcludes(bl, fl))
           }
@@ -1323,7 +1378,8 @@ object TxTable {
               head.blooms.view.filterKeys(keptSet).toMap ++ newBlooms,
               base.partitionColumns, base.constraints, dvDirsOut,
               base.properties, base.columnMapping,
-              changeDir = changeDirOut))
+              changeDir = changeDirOut,
+              partitionTransforms = base.partitionTransforms))
           }
         }
       }
@@ -1374,11 +1430,13 @@ object TxTable {
     // — stats/blooms consumed through the LOGICAL view (filters carry
     // logical names; keys are physical after a rename)
     val (lst, lbl) = (logicalStats(m), logicalBlooms(m))
+    val skipFs = TxTransforms.withProjections(filters, m)
+    val skipSch = TxTransforms.skipSchema(schema, m)
     val (touched, untouched) = m.files.partition { f =>
       val st = lst.getOrElse(f, Map.empty[String, TxStats.ColStat])
       val bl = lbl.getOrElse(f, Map.empty[String, TxStats.FileBloom])
-      !filters.exists(fl =>
-        TxStats.excludes(st, schema, fl) || TxStats.bloomExcludes(bl, fl))
+      !skipFs.exists(fl =>
+        TxStats.excludes(st, skipSch, fl) || TxStats.bloomExcludes(bl, fl))
     }
     if (touched.isEmpty) return v // provably nothing to delete
     // keep = NOT true(cond): NULL-condition rows survive, like ANSI.
@@ -1387,13 +1445,15 @@ object TxTable {
     // applies any existing tombstones, so a copy-on-write rewrite of
     // an already-DV-bearing file cannot resurrect its deleted rows.
     val survivors =
-      readSnapshotFiles(spark, tableDir, schema, m.partitionColumns,
+      readSnapshotFiles(spark, tableDir, schema,
+        TxTransforms.identityNames(m),
         touched, m.dvDirs, mapping = m.columnMapping)
       .filter(!functions.coalesce(cond, functions.lit(false)))
     // CDF change frame (staged only on tx.changeDataFeed tables): the
     // deleted rows are exactly the candidates the predicate matches
     val deleted = readSnapshotFiles(spark, tableDir, schema,
-        m.partitionColumns, touched, m.dvDirs, mapping = m.columnMapping)
+        TxTransforms.identityNames(m), touched, m.dvDirs,
+        mapping = m.columnMapping)
       .filter(functions.coalesce(cond, functions.lit(false)))
       .withColumn(TxChanges.ChangeTypeCol, functions.lit("delete"))
     replaceFiles(spark, tableDir, m, untouched, survivors, "delete",
@@ -1447,11 +1507,13 @@ object TxTable {
         s"(${filters.mkString(" AND ")}) — first: ${stray.head}; " +
         "scope the data or widen the predicate")
     val (lst, lbl) = (logicalStats(m), logicalBlooms(m))
+    val skipFs = TxTransforms.withProjections(filters, m)
+    val skipSch = TxTransforms.skipSchema(schema, m)
     val (touched, untouched) = m.files.partition { f =>
       val st = lst.getOrElse(f, Map.empty[String, TxStats.ColStat])
       val bl = lbl.getOrElse(f, Map.empty[String, TxStats.FileBloom])
-      !filters.exists(fl =>
-        TxStats.excludes(st, schema, fl) || TxStats.bloomExcludes(bl, fl))
+      !skipFs.exists(fl =>
+        TxStats.excludes(st, skipSch, fl) || TxStats.bloomExcludes(bl, fl))
     }
     // survivors of candidate files (rows the predicate does NOT match —
     // NULL-condition rows survive, like ANSI DELETE) plus the new data,
@@ -1460,7 +1522,8 @@ object TxTable {
       if (touched.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else readSnapshotFiles(spark, tableDir, schema, m.partitionColumns,
+      else readSnapshotFiles(spark, tableDir, schema,
+          TxTransforms.identityNames(m),
           touched, m.dvDirs, mapping = m.columnMapping)
         .filter(!functions.coalesce(cond, functions.lit(false)))
     // CDF change frame: rows the predicate removes, plus the new data
@@ -1468,7 +1531,8 @@ object TxTable {
       (if (touched.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else readSnapshotFiles(spark, tableDir, schema, m.partitionColumns,
+      else readSnapshotFiles(spark, tableDir, schema,
+          TxTransforms.identityNames(m),
           touched, m.dvDirs, mapping = m.columnMapping)
         .filter(functions.coalesce(cond, functions.lit(false))))
       .withColumn(TxChanges.ChangeTypeCol, functions.lit("delete"))
@@ -1544,15 +1608,18 @@ object TxTable {
           s"DELETE condition not expressible as a source filter: $f")))
       .reduceOption(_ && _).getOrElse(functions.lit(true))
     val (lst, lbl) = (logicalStats(m), logicalBlooms(m))
+    val skipFs = TxTransforms.withProjections(filters, m)
+    val skipSch = TxTransforms.skipSchema(schema, m)
     val candidates = m.files.filter { f =>
       val st = lst.getOrElse(f, Map.empty[String, TxStats.ColStat])
       val bl = lbl.getOrElse(f, Map.empty[String, TxStats.FileBloom])
-      !filters.exists(fl =>
-        TxStats.excludes(st, schema, fl) || TxStats.bloomExcludes(bl, fl))
+      !skipFs.exists(fl =>
+        TxStats.excludes(st, skipSch, fl) || TxStats.bloomExcludes(bl, fl))
     }
     if (candidates.isEmpty) return v
     val matched =
-      readSnapshotFiles(spark, tableDir, schema, m.partitionColumns,
+      readSnapshotFiles(spark, tableDir, schema,
+        TxTransforms.identityNames(m),
         candidates, m.dvDirs, dvMeta = true, mapping = m.columnMapping)
       .filter(functions.coalesce(cond, functions.lit(false)))
     val dvRel = writeDvSidecar(spark, root, matched, "DELETE") match {
@@ -1569,7 +1636,8 @@ object TxTable {
     val manifest = Manifest(v + 1, "delete", m.schemaJson, m.files,
       m.txns, m.stats, m.blooms, m.partitionColumns, m.constraints,
       m.dvDirs :+ dvRel, m.properties, m.columnMapping,
-      changeDir = changeDirOut)
+      changeDir = changeDirOut,
+      partitionTransforms = m.partitionTransforms)
     try publish(root, manifest, Some(m), primitive)
     catch {
       case e: java.nio.file.FileAlreadyExistsException =>
@@ -1633,7 +1701,8 @@ object TxTable {
     val (touched, untouched) = m.files.partition(e =>
       dvFiles.contains(e) || dvFiles.exists(_.startsWith(e + "/")))
     val survivors = readSnapshotFiles(spark, tableDir, schema,
-      m.partitionColumns, touched, m.dvDirs, mapping = m.columnMapping)
+      TxTransforms.identityNames(m), touched, m.dvDirs,
+      mapping = m.columnMapping)
     replaceFiles(spark, tableDir, m, untouched, survivors, "purge",
       primitive, dvDirs = Some(Nil), rebaseConsumed = Some(touched))
   }
@@ -1699,10 +1768,14 @@ object TxTable {
     enforceConstraints(newData, base.constraints,
       s"the $op rewrite of $tableDir")
     // a partitioned table's rewritten rows re-stage through the hive
-    // layout so their partition values stay in paths + stats; staging
-    // renames logical → physical so every file of the table agrees on
-    // byte-level names across rename history
-    val physData = toPhysical(newData, base.columnMapping)
+    // layout so their partition values stay in paths + stats; hidden
+    // fields RE-DERIVE from their source columns (the rewrite frame
+    // carries only schema columns), and staging renames logical →
+    // physical so every file of the table agrees on byte-level names
+    val baseSpec = TxTransforms.spec(base)
+    val reDerived = baseSpec.filterNot(_.isIdentity).foldLeft(newData)(
+      (d, f) => d.withColumn(f.name, TxTransforms.deriveColumn(f, schema)))
+    val physData = toPhysical(reDerived, base.columnMapping)
     val staged =
       if (base.partitionColumns.isEmpty) stageData(physData, tableDir)
       else stageDataPartitioned(physData, tableDir, base.partitionColumns)
@@ -1719,7 +1792,8 @@ object TxTable {
       keptStats ++ staged.stats, keptBlooms ++ newBlooms,
       base.partitionColumns, base.constraints, dvDirsOut,
       base.properties, base.columnMapping,
-      changeDir = changeDirOut)
+      changeDir = changeDirOut,
+      partitionTransforms = base.partitionTransforms)
     def abort(): Unit = {
       discardStaged(tableDir, Seq(staged))
       reclaimChanges()
@@ -1791,7 +1865,8 @@ object TxTable {
     val head = readManifest(root, latest)
     val manifest = Manifest(latest + 1, "restore", m.schemaJson, m.files,
       head.txns, m.stats, m.blooms, m.partitionColumns, m.constraints,
-      m.dvDirs, m.properties, m.columnMapping)
+      m.dvDirs, m.properties, m.columnMapping,
+      partitionTransforms = m.partitionTransforms)
     publish(root, manifest, Some(head), primitive)
     // Tripwire for the one race the ordering argument cannot close: a
     // vacuum running CONCURRENTLY may have snapshotted its live set
@@ -1831,7 +1906,8 @@ object TxTable {
     val root = Paths.get(tableDir)
     val m = readManifest(root, v)
     val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
-    readSnapshotFiles(spark, tableDir, schema, m.partitionColumns,
+    readSnapshotFiles(spark, tableDir, schema,
+      TxTransforms.identityNames(m),
       m.files, m.dvDirs, mapping = m.columnMapping)
   }
 
@@ -1908,7 +1984,8 @@ object TxTable {
         s"${m.properties.keys.toSeq.sorted.mkString(", ")})")
     val manifest = Manifest(v + 1, "property", m.schemaJson, m.files,
       m.txns, m.stats, m.blooms, m.partitionColumns, m.constraints,
-      m.dvDirs, m.properties -- unset ++ set, m.columnMapping)
+      m.dvDirs, m.properties -- unset ++ set, m.columnMapping,
+      partitionTransforms = m.partitionTransforms)
     publish(root, manifest, Some(m), primitive)
     v + 1
   }
@@ -1944,7 +2021,7 @@ object TxTable {
     val manifest = Manifest(v + 1, "constraint", m.schemaJson, m.files,
       m.txns, m.stats, m.blooms, m.partitionColumns,
       m.constraints -- drop ++ add, m.dvDirs, m.properties,
-      m.columnMapping)
+      m.columnMapping, partitionTransforms = m.partitionTransforms)
     publish(root, manifest, Some(m), primitive)
     v + 1
   }
@@ -1997,6 +2074,10 @@ object TxTable {
       require(!m.partitionColumns.exists(_.equalsIgnoreCase(c)),
         s"cannot drop partition column '$c' — relayout with an " +
           "overwrite commit")
+      require(!TxTransforms.spec(m).exists(f =>
+          !f.isIdentity && f.source.equalsIgnoreCase(c)),
+        s"cannot drop '$c' — a partition transform derives its layout " +
+          "from it; relayout with an overwrite commit")
     }
     require(add.map(_.name.toLowerCase).toSet.intersect(dropSet).isEmpty,
       "cannot add and drop the same column in one statement")
@@ -2034,7 +2115,8 @@ object TxTable {
           .filter(_._2.nonEmpty))
     val manifest = Manifest(v + 1, "evolve", newSchema.json, m.files,
       m.txns, stats2, blooms2, m.partitionColumns, m.constraints,
-      m.dvDirs, m.properties, mapping2)
+      m.dvDirs, m.properties, mapping2,
+      partitionTransforms = m.partitionTransforms)
     publish(root, manifest, Some(m), primitive)
     v + 1
   }
@@ -2127,6 +2209,10 @@ object TxTable {
     require(!m.partitionColumns.contains(from),
       s"cannot rename partition column '$from' — its name is the " +
         "directory layout; relayout with an overwrite commit")
+    require(!TxTransforms.spec(m).exists(f =>
+        !f.isIdentity && f.source == from),
+      s"cannot rename '$from' — a partition transform derives its " +
+        "layout from it; relayout with an overwrite commit")
     val newSchema = StructType(schema.fields.map(f =>
       if (f.name == from) f.copy(name = to) else f))
     if (m.constraints.nonEmpty) {
@@ -2147,7 +2233,8 @@ object TxTable {
     val newMapping = if (to == phys) base else base + (to -> phys)
     val manifest = Manifest(v + 1, "rename", newSchema.json, m.files,
       m.txns, m.stats, m.blooms, m.partitionColumns, m.constraints,
-      m.dvDirs, m.properties, newMapping)
+      m.dvDirs, m.properties, newMapping,
+      partitionTransforms = m.partitionTransforms)
     publish(root, manifest, Some(m), primitive)
     v + 1
   }
@@ -2211,6 +2298,11 @@ object TxTable {
     require(!m.partitionColumns.contains(col),
       s"cannot widen partition column '$col' — its values are parsed " +
         "from paths by declared type; relayout with an overwrite commit")
+    require(!TxTransforms.spec(m).exists(f =>
+        !f.isIdentity && f.source == col),
+      s"cannot widen '$col' — a partition transform derives its layout " +
+        "from it (bucket hashes differ by width: hashInt(v) != " +
+        "hashLong(v)); relayout with an overwrite commit")
     val oldType = schema(col).dataType
     require(Widenings.get(oldType).exists(_.contains(newType)),
       s"cannot change column '$col' from ${oldType.simpleString} to " +
@@ -2231,7 +2323,8 @@ object TxTable {
       }).toMap
     val manifest = Manifest(v + 1, "widen", newSchema.json, m.files,
       m.txns, stats2, m.blooms, m.partitionColumns, m.constraints,
-      m.dvDirs, m.properties, m.columnMapping)
+      m.dvDirs, m.properties, m.columnMapping,
+      partitionTransforms = m.partitionTransforms)
     publish(root, manifest, Some(m), primitive)
     v + 1
   }
@@ -2589,6 +2682,7 @@ object TxTable {
   private def putSmallMeta(node: ONode, m: Manifest): Unit = {
     putTxns(node, m.txns)
     putStringArray(node, "partitionBy", m.partitionColumns)
+    putStringMap(node, "partitionTransforms", m.partitionTransforms)
     putStringMap(node, "constraints", m.constraints)
     putStringArray(node, "dvDirs", m.dvDirs)
     putStringMap(node, "properties", m.properties)
@@ -2645,6 +2739,7 @@ object TxTable {
   /** One parsed fmt-2 commit delta. */
   private final case class LogDelta(op: String, schemaJson: String,
       txns: Map[String, Long], partitionColumns: Seq[String],
+      partitionTransforms: Map[String, String],
       constraints: Map[String, String], dvDirs: Seq[String],
       properties: Map[String, String], columnMapping: Map[String, String],
       add: Seq[String], remove: Seq[String],
@@ -2655,6 +2750,7 @@ object TxTable {
   private def parseDelta(node: JNode): LogDelta =
     LogDelta(node.get("op").asText(), node.get("schema").asText(),
       getTxns(node), getStringArray(node, "partitionBy"),
+      getStringMap(node, "partitionTransforms"),
       getStringMap(node, "constraints"), getStringArray(node, "dvDirs"),
       getStringMap(node, "properties"),
       getStringMap(node, "columnMapping"),
@@ -2675,7 +2771,8 @@ object TxTable {
       getStringArray(node, "partitionBy"),
       getStringMap(node, "constraints"), getStringArray(node, "dvDirs"),
       getStringMap(node, "properties"),
-      getStringMap(node, "columnMapping"))
+      getStringMap(node, "columnMapping"),
+      partitionTransforms = getStringMap(node, "partitionTransforms"))
 
   /** Materialize the FULL state at a version as a checkpoint file —
     * files + stats inline (O(files) strings), blooms as sidecar
@@ -2725,7 +2822,8 @@ object TxTable {
       getStringMap(node, "properties"),
       getStringMap(node, "columnMapping"),
       getStringMap(node, "bloomRefs"),
-      Option(node.get("changeDir")).map(_.asText()))
+      Option(node.get("changeDir")).map(_.asText()),
+      getStringMap(node, "partitionTransforms"))
   }
 
   /** A version's `op` alone — one JSON parse, no replay (both file
@@ -2888,7 +2986,8 @@ object TxTable {
     }
     val m = Manifest(v, last.op, last.schemaJson, files, last.txns, stats,
       inline, last.partitionColumns, last.constraints, last.dvDirs,
-      last.properties, last.columnMapping, refs, last.changeDir)
+      last.properties, last.columnMapping, refs, last.changeDir,
+      last.partitionTransforms)
     materializeBlooms(root, m)
   }
 

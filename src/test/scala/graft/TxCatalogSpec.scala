@@ -224,13 +224,21 @@ class TxCatalogSpec extends SparkSpec {
     assert(TxTable.readManifest(
       java.nio.file.Paths.get(s"$warehouse/db/t3"), 1L)
       .partitionColumns == Seq("p"))
-    // non-identity transforms still refuse, not silently ignore
+    // bucket is a SUPPORTED hidden-partitioning transform since r18
+    // (TxTransformSpec owns its semantics); UNSUPPORTED transforms
+    // still refuse, not silently ignore
+    spark.sql(
+      "CREATE TABLE txspec.db.t4 (id BIGINT, p STRING) " +
+        "PARTITIONED BY (bucket(4, id))")
+    assert(TxTable.readManifest(
+        java.nio.file.Paths.get(s"$warehouse/db/t4"), 1L)
+      .partitionTransforms == Map("id_bucket" -> "bucket[4](id)"))
     val ep = intercept[Exception] {
       spark.sql(
-        "CREATE TABLE txspec.db.t4 (id BIGINT, p STRING) " +
-          "PARTITIONED BY (bucket(4, id))")
+        "CREATE TABLE txspec.db.t5 (id BIGINT, ts TIMESTAMP) " +
+          "PARTITIONED BY (hours(ts))")
     }
-    assert(ep.getMessage.contains("identity"))
+    assert(ep.getMessage.contains("unsupported"), ep.getMessage)
   }
 
   test("CREATE racing an out-of-band v1 commit refuses, never truncates") {

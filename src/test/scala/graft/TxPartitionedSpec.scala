@@ -128,11 +128,12 @@ class TxPartitionedSpec extends SparkSpec {
     spark.sql("CREATE TABLE txpart.db.empty (id BIGINT, lang STRING) " +
       "PARTITIONED BY (lang)")
     assert(spark.sql("SELECT * FROM txpart.db.empty").count() == 0L)
-    // bucket transforms refuse loudly
+    // bucket is a supported hidden transform since r18; still-
+    // unsupported shapes refuse loudly
     val e = intercept[Exception](spark.sql(
-      "CREATE TABLE txpart.db.pt2 (id BIGINT, lang STRING) " +
-        "PARTITIONED BY (bucket(4, id))"))
-    assert(e.getMessage.contains("identity"))
+      "CREATE TABLE txpart.db.pt2 (id BIGINT, ts TIMESTAMP) " +
+        "PARTITIONED BY (months(ts))"))
+    assert(e.getMessage.contains("unsupported"), e.getMessage)
   }
 
   test("append with a different layout refuses; unsupported compositions refuse") {

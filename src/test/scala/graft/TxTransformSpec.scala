@@ -1,0 +1,189 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.sources.{TxTable, TxTransforms}
+import org.apache.spark.sql.functions._
+
+/** Hidden partitioning (TxTransforms scaladoc): bucket/days/truncate
+  * layouts derived from source columns — path values + stats entries
+  * only, never schema columns — with predicate projection pruning,
+  * SPJ-ready bucket grouping, inheritance through every commit kind,
+  * and loud refusals for layout-breaking schema changes. */
+class TxTransformSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-txtr-").toString + "/tbl"
+
+  private val warehouse: String = {
+    val wh = Files.createTempDirectory("graft-txtr-wh-").toString
+    spark.conf.set("spark.sql.catalog.txtr", "graft.sources.TxCatalog")
+    spark.conf.set("spark.sql.catalog.txtr.root", wh)
+    Files.createDirectories(Paths.get(s"$wh/db"))
+    wh
+  }
+
+  private def bucketField(n: Int, src: String) =
+    TxTransforms.PartitionField(s"${src}_bucket", s"bucket[$n]", src)
+
+  test("bucket layout: hidden derivation, inheritance, pruning by projected equality") {
+    val tbl = tmp()
+    val df = (0L until 64L).map(i => (i, s"p$i")).toDF("id", "s")
+    TxTable.commit(df, tbl, "overwrite",
+      partitionSpec = Some(Seq(bucketField(4, "id"))))
+    TxTable.commit(Seq((100L, "x")).toDF("id", "s"), tbl, "append")
+    val m = TxTable.readManifest(Paths.get(tbl), 2L)
+    assert(m.partitionColumns == Seq("id_bucket"))
+    assert(m.partitionTransforms == Map("id_bucket" -> "bucket[4](id)"))
+    // the derived field never enters the schema; the source stays
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(m.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(schema.fieldNames.toSeq == Seq("id", "s"))
+    // files landed under id_bucket=<0..3> dirs with min=max stats
+    assert(m.files.forall(_.contains("id_bucket=")))
+    // read back: full content, source column intact
+    assert(TxTable.read(spark, tbl).count() == 65L)
+    assert(TxTable.read(spark, tbl).filter(col("id") === 7L)
+      .select("s").head().getString(0) == "p7")
+    // projected equality prunes to one bucket's files
+    val filters = Seq(org.apache.spark.sql.sources.EqualTo("id", 7L))
+    val projected = TxTransforms.withProjections(filters, m)
+    assert(projected.size == 2, projected)
+    val lst = TxTable.logicalStats(m)
+    val kept = m.files.count { f =>
+      !projected.exists(fl => graft.sources.TxStats.excludes(
+        lst.getOrElse(f, Map.empty), schema, fl))
+    }
+    assert(kept < m.files.size,
+      s"bucket projection pruned nothing ($kept of ${m.files.size})")
+  }
+
+  test("days layout: UTC-fixed derivation and range-predicate pruning through SQL") {
+    // three days of events, one commit each — files cluster by day
+    val day = 86400L
+    spark.sql(
+      """CREATE TABLE txtr.db.ev (ev_id BIGINT, ts TIMESTAMP)
+        |PARTITIONED BY (days(ts))""".stripMargin)
+    (0 until 3).foreach { d =>
+      val rows = (0 until 10).map(i =>
+        (d * 10L + i, new java.sql.Timestamp((d * day + i * 3600L) * 1000L)))
+      spark.createDataFrame(rows).toDF("ev_id", "ts")
+        .coalesce(1).createOrReplaceTempView("txtr_ev_src")
+      spark.sql("INSERT INTO txtr.db.ev SELECT * FROM txtr_ev_src")
+    }
+    val tbl = s"$warehouse/db/ev"
+    val m = TxTable.readManifest(Paths.get(tbl),
+      TxTable.latestVersion(tbl).get)
+    assert(m.partitionColumns == Seq("ts_day") &&
+      m.partitionTransforms == Map("ts_day" -> "days(ts)"))
+    assert(m.files.count(_.contains("ts_day=")) == m.files.size)
+    // a ts range covering only day 1 must prune days 0 and 2 at
+    // PLANNING (the projected day bounds against the path stats)
+    val q = spark.sql(
+      s"""SELECT ev_id FROM txtr.db.ev
+         |WHERE ts >= TIMESTAMP '1970-01-02 00:00:00Z'
+         |  AND ts < TIMESTAMP '1970-01-03 00:00:00Z'""".stripMargin)
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq == (10L to 19L))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("skipped=2/3") ||
+      plan.contains("InMemoryFileIndex(1 paths)"), plan.take(800))
+  }
+
+  test("truncate layout: prefix pruning; unsupported transforms refuse") {
+    spark.sql(
+      """CREATE TABLE txtr.db.tr (k STRING, v BIGINT)
+        |PARTITIONED BY (truncate(2, k))""".stripMargin)
+    Seq(("aaX", 1L), ("abY", 2L), ("zzQ", 3L)).toDF("k", "v")
+      .coalesce(1).createOrReplaceTempView("txtr_tr_src")
+    spark.sql("INSERT INTO txtr.db.tr SELECT * FROM txtr_tr_src")
+    val q = spark.sql("SELECT v FROM txtr.db.tr WHERE k = 'zzQ'")
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(3L))
+    assert(q.queryExecution.executedPlan.toString.contains("skipped="),
+      "truncate projection must reach the skip layer")
+    // unsupported transform shapes refuse loudly at CREATE
+    val e = intercept[Exception](spark.sql(
+      """CREATE TABLE txtr.db.bad (id BIGINT, ts TIMESTAMP)
+        |PARTITIONED BY (years(ts))""".stripMargin))
+    assert(e.getMessage.contains("unsupported PARTITIONED BY transform"),
+      e.getMessage)
+  }
+
+  test("bucket SPJ: co-bucketed tables join with zero exchanges") {
+    val a = tmp(); val b = tmp()
+    val fa = (0L until 40L).map(i => (i, i * 2)).toDF("id", "x")
+    val fb = (0L until 40L).map(i => (i, i * 3)).toDF("id", "y")
+    TxTable.commit(fa, a, "overwrite",
+      partitionSpec = Some(Seq(bucketField(4, "id"))))
+    TxTable.commit(fb, b, "overwrite",
+      partitionSpec = Some(Seq(bucketField(4, "id"))))
+    // route through the catalog so the scans report their partitioning
+    val wh = warehouse
+    def link(name: String, src: String): Unit = {
+      val d = Paths.get(s"$wh/db/$name")
+      Files.createDirectories(d.getParent)
+      Files.createSymbolicLink(d, Paths.get(src).getParent.resolve("tbl"))
+        : Unit
+    }
+    link("bja", a); link("bjb", b)
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) =>
+      k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val q = spark.sql(
+        """SELECT a.id, a.x, b.y FROM txtr.db.bja a
+          |JOIN txtr.db.bjb b ON a.id = b.id""".stripMargin)
+      assert(q.count() == 40L)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"co-bucketed SPJ must be exchange-free:\n${plan.take(1200)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("rewrites re-derive the hidden layout; layout-breaking DDL refuses") {
+    val tbl = tmp()
+    TxTable.commit((0L until 20L).map(i => (i, s"p$i")).toDF("id", "s"),
+      tbl, "overwrite", partitionSpec = Some(Seq(bucketField(4, "id"))))
+    // a copy-on-write DELETE re-stages survivors under the derived dirs
+    TxTable.deleteWhere(spark, tbl,
+      Seq(org.apache.spark.sql.sources.EqualTo("id", 7L)))
+    val m = TxTable.readManifest(Paths.get(tbl), 2L)
+    assert(m.partitionTransforms.nonEmpty)
+    assert(m.files.forall(_.contains("id_bucket=")),
+      "the rewrite lost the hidden layout")
+    assert(TxTable.read(spark, tbl).count() == 19L)
+    // compaction preserves the spec (per-partition-dir groups)
+    TxTable.compact(spark, tbl, targetBytes = 1L << 30)
+    val m3 = TxTable.readManifest(Paths.get(tbl), 3L)
+    assert(m3.partitionTransforms == m.partitionTransforms)
+    assert(TxTable.read(spark, tbl).count() == 19L)
+    // a racing append still rebases, layout intact
+    val prim = new graft.sources.ConflictInjectingPrimitive(
+      graft.sources.PosixLinkPrimitive,
+      () => TxTable.commit(Seq((200L, "w")).toDF("id", "s"), tbl,
+        "append"): Unit)
+    val v = TxTable.commit(Seq((300L, "z")).toDF("id", "s"), tbl,
+      "append", primitive = prim)
+    assert(TxTable.readManifest(Paths.get(tbl), v)
+      .partitionTransforms == m.partitionTransforms)
+    assert(TxTable.read(spark, tbl).count() == 21L)
+    // DDL that would silently break the derived layout refuses
+    val e1 = intercept[Exception](
+      TxTable.renameColumn(spark, tbl, "id", "id2"))
+    assert(e1.getMessage.contains("partition transform"), e1.getMessage)
+    val e2 = intercept[Exception](
+      TxTable.evolveColumns(spark, tbl, drop = Seq("id")))
+    assert(e2.getMessage.contains("partition transform"), e2.getMessage)
+    val e3 = intercept[Exception](
+      TxTable.compactZOrder(spark, tbl, "id", "id", 2))
+    assert(e3.getMessage.contains("transform-partitioned"), e3.getMessage)
+  }
+}
