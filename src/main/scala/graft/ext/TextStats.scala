@@ -934,16 +934,24 @@ object TextStats {
             "i -> substr(__s, i, 3))) AS tri")
         .withColumn("bi", expr("substr(tri, 1, 2)")))
     val c3 = tris.groupBy(col("tri")).agg(count(lit(1)).as("c3"))
-    val nVocab = c3.count()
-    require(nVocab <= maxVocab,
-      s"lmScore: $nVocab distinct trigrams exceeds maxVocab=$maxVocab " +
-        "— the count tables no longer broadcast; raise the cap or " +
-        "switch the joins below to plain (shuffle) joins")
+    // ONE collect serves both the vocabulary guard and the broadcast:
+    // a broadcast join collects its build side to the driver anyway, so
+    // a separate count() job ran the (cached) trigram aggregation twice
+    // for nothing. The collect is bounded by the cap it enforces.
+    val c3Rows = c3.collect()
+    require(c3Rows.length <= maxVocab,
+      s"lmScore: ${c3Rows.length} distinct trigrams exceeds " +
+        s"maxVocab=$maxVocab — the count tables no longer broadcast; " +
+        "raise the cap or switch the joins below to plain (shuffle) " +
+        "joins")
+    val spark = df.sparkSession
+    val c3Local = spark.createDataFrame(
+      java.util.Arrays.asList(c3Rows: _*), c3.schema)
     val c2 = tris.groupBy(col("bi")).agg(count(lit(1)).as("c2"))
     val v = tris.agg(
       countDistinct(expr("substr(tri, 3, 1)")).as("__v"))
     tris
-      .join(broadcast(c3), "tri")
+      .join(broadcast(c3Local), "tri")
       .join(broadcast(c2), "bi")
       .crossJoin(broadcast(v))
       .groupBy(col("doc_id"))
