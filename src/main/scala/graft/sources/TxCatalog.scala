@@ -1100,7 +1100,7 @@ private[graft] final class TxScanBuilder(
       new TxFlatScan(kept, stats, blooms, evalSchema,
         TxRuntimeFilter.filterableColumns(
           required.fieldNames.toSeq, Nil, stats, blooms),
-        relFiles.size - kept.size, buildInner)
+        relFiles.size - kept.size, buildInner, transformSpec)
     } else {
       // PARTITIONED snapshot: hive path discovery cannot serve files
       // spanning many commit dirs (conflicting roots), so the MANIFEST
@@ -1199,18 +1199,26 @@ private[graft] object TxRuntimeFilter {
       case _ => true
     }
 
-  /** Files a runtime predicate set cannot prove empty. */
+  /** Files a runtime predicate set cannot prove empty. `spec` projects
+    * each translated predicate onto hidden partition transforms
+    * (TxTransforms scaladoc): a DPP/DFP IN-list of join keys over a
+    * bucketed source column prunes to its bucket directories — the
+    * footer min/max alone never could (a bucket does not cluster key
+    * ranges). The caller passes the matching augmented schema. */
   def survivors(files: Seq[String],
       stats: Map[String, Map[String, TxStats.ColStat]],
       blooms: Map[String, Map[String, TxStats.FileBloom]],
       schema: StructType,
       predicates: Array[
-        org.apache.spark.sql.connector.expressions.filter.Predicate])
+        org.apache.spark.sql.connector.expressions.filter.Predicate],
+      spec: Seq[TxTransforms.PartitionField] = Nil)
       : Seq[String] = {
-    val v1 = predicates.toSeq
+    val base = predicates.toSeq
       .flatMap(p =>
         org.apache.spark.sql.graftbridge.GraftBridge.predicateToV1(p))
       .filter(inBudget)
+    val v1 = base ++ base.flatMap(f =>
+      TxTransforms.projectFilter(f, spec))
     if (v1.isEmpty) files
     else files.filter { f =>
       val st = stats.getOrElse(f, Map.empty[String, TxStats.ColStat])
@@ -1253,7 +1261,8 @@ private[graft] final class TxFlatScan(
     schema: StructType,
     filterable: Seq[String],
     plannedSkipped: Int,
-    buildInner: Seq[String] => org.apache.spark.sql.connector.read.Scan)
+    buildInner: Seq[String] => org.apache.spark.sql.connector.read.Scan,
+    spec: Seq[TxTransforms.PartitionField] = Nil)
   extends org.apache.spark.sql.connector.read.Scan
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
@@ -1294,7 +1303,7 @@ private[graft] final class TxFlatScan(
       org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
     val before = runtimeKept.size
     runtimeKept = TxRuntimeFilter.survivors(
-      runtimeKept, stats, blooms, schema, predicates)
+      runtimeKept, stats, blooms, schema, predicates, spec)
     runtimePruned += before - runtimeKept.size
   }
 
@@ -1435,7 +1444,7 @@ private[graft] final class TxPartitionedScan(
       org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
     val before = runtimeKept.size
     runtimeKept = TxRuntimeFilter.survivors(
-      runtimeKept, stats, blooms, schema, predicates)
+      runtimeKept, stats, blooms, schema, predicates, effSpec)
     runtimePruned += before - runtimeKept.size
   }
 

@@ -148,6 +148,71 @@ class TxTransformSpec extends SparkSpec {
     }
   }
 
+  test("runtime (DPP/DFP) IN-lists project onto bucket directories") {
+    import graft.sources.{TxRuntimeFilter, TxStats}
+    // unit level: an IN over the SOURCE column prunes through the
+    // projected bucket equality — footer min/max alone never could
+    // (buckets do not cluster key ranges)
+    val tbl = tmp()
+    TxTable.commit((0L until 64L).map(i => (i, i)).toDF("id", "x"), tbl,
+      "overwrite", partitionSpec = Some(Seq(bucketField(8, "id"))))
+    val m = TxTable.readManifest(Paths.get(tbl), 1L)
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(m.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val spec = TxTransforms.spec(m)
+    val skipSch = TxTransforms.skipSchema(schema, spec)
+    val pred = org.apache.spark.sql.graftbridge.GraftBridge.filterToV2(
+      org.apache.spark.sql.sources.In("id", Array(3L, 17L)))
+    val survivors = TxRuntimeFilter.survivors(m.files,
+      TxTable.logicalStats(m), TxTable.logicalBlooms(m), skipSch,
+      Array(pred), spec)
+    assert(survivors.size < m.files.size,
+      s"bucket projection pruned nothing (${survivors.size} of " +
+        s"${m.files.size})")
+    // soundness: the surviving files still hold both probed ids
+    val hit = spark.read.schema(schema)
+      .parquet(survivors.map(f => s"$tbl/$f"): _*)
+      .filter(col("id").isin(3L, 17L)).count()
+    assert(hit == 2L)
+    // without the spec, footer min/max keeps everything (each bucket
+    // file spans nearly the full id range) — the projection IS the win
+    val unprojected = TxRuntimeFilter.survivors(m.files,
+      TxTable.logicalStats(m), TxTable.logicalBlooms(m), skipSch,
+      Array(pred))
+    assert(unprojected.size > survivors.size)
+  }
+
+  test("dynamic partition overwrite reloads one day of a days(ts) table") {
+    // the daily-reload shape on a hidden time layout: only the day
+    // present in the frame replaces, every other day's files carry
+    // forward VERBATIM
+    val tbl = tmp()
+    val day = 86400L
+    def ts(d: Long, h: Long) = new java.sql.Timestamp((d * day + h * 3600L) * 1000L)
+    val rows = for (d <- 0L until 3L; h <- 0L until 4L)
+      yield (d * 10 + h, ts(d, h))
+    TxTable.commit(rows.toDF("id", "ts"), tbl, "overwrite",
+      partitionSpec = Some(Seq(
+        TxTransforms.PartitionField("ts_day", "days", "ts"))))
+    val m1 = TxTable.readManifest(Paths.get(tbl), 1L)
+    // reload day 1 with a corrected slice (2 rows instead of 4)
+    TxTable.commit(
+      Seq((100L, ts(1, 0)), (101L, ts(1, 1))).toDF("id", "ts"),
+      tbl, "dynoverwrite")
+    val m2 = TxTable.readManifest(Paths.get(tbl), 2L)
+    // untouched days' files carried verbatim
+    val untouched1 = m1.files.filterNot(_.contains("ts_day=1")).toSet
+    assert(untouched1.subsetOf(m2.files.toSet),
+      "untouched day directories must carry forward verbatim")
+    assert(m2.files.filter(_.contains("ts_day=1"))
+      .forall(f => !m1.files.contains(f)), "day 1 must be replaced")
+    val got = TxTable.read(spark, tbl).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(got == ((0L to 3L) ++ Seq(100L, 101L) ++ (20L to 23L)).sorted,
+      got.mkString(","))
+  }
+
   test("rewrites re-derive the hidden layout; layout-breaking DDL refuses") {
     val tbl = tmp()
     TxTable.commit((0L until 20L).map(i => (i, s"p$i")).toDF("id", "s"),
