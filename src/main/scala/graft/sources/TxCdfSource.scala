@@ -198,7 +198,9 @@ private[graft] class TxCdfStream(tableSchema: StructType, dir: String,
         "stream's checkpoint still needs it — the feed cannot skip " +
         "unreadable history silently. Restart from a fresh checkpoint " +
         "(full replay of the current snapshot) or retain more versions")
-    TxTable.readManifest(Paths.get(dir), v)
+    // lite: a per-version walk must not pay bloom-sidecar IO it never
+    // consumes (the feed plans from file lists and per-commit metadata)
+    TxTable.readManifestLite(Paths.get(dir), v)
   }
 
   /** Ops whose added files are genuinely NEW rows. `v1`/`create` are

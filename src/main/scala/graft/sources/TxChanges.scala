@@ -50,8 +50,10 @@ object TxChanges {
     val root = Paths.get(tableDir)
     // fromV = 0 serves the whole history: v1's snapshot is its own
     // insert set, no prior manifest needed
+    // lite reads: the diff consumes file lists, dvDirs, and schemas —
+    // never blooms, whose sidecar IO would scale with range length
     val manifests = (math.max(fromV, 1L) to toV)
-      .map(v => v -> TxTable.readManifest(root, v)).toMap
+      .map(v => v -> TxTable.readManifestLite(root, v)).toMap
     val schema = DataType.fromJson(manifests(toV).schemaJson)
       .asInstanceOf[StructType]
     // served in toV's schema AND column mapping: physical file names

@@ -2938,15 +2938,30 @@ object TxTable {
     * bloom sidecar — bounded, never a full-history replay. The returned
     * version is the REQUESTED one (log file names are the authority;
     * a corrupted body cannot lie about its own version). */
-  private[graft] def readManifest(root: Path, v: Long): Manifest = {
+  private[graft] def readManifest(root: Path, v: Long): Manifest =
+    readManifest(root, v, withBlooms = true)
+
+  /** `withBlooms = false` skips the bloom-sidecar materialization — the
+    * version-walking consumers (the CDF stream and batch changes, which
+    * read one manifest PER VERSION of a range) never consume blooms,
+    * and at scale the sidecar reads would dominate their planning cost
+    * for nothing. The returned state still carries `bloomRefs`, so it
+    * must never feed a publish or a skip decision. */
+  private[graft] def readManifestLite(root: Path, v: Long): Manifest =
+    readManifest(root, v, withBlooms = false)
+
+  private def readManifest(root: Path, v: Long,
+                           withBlooms: Boolean): Manifest = {
     val p = manifestPath(root, v)
     require(Files.exists(p), s"version $v does not exist under $root")
     val mapper = new Mapper()
     val node = mapper.readTree(Files.readAllBytes(p))
     if (node.get("fmt") == null) return parseFull(node).copy(version = v)
     // fast path: the version has its own checkpoint
-    if (Files.exists(ckptPath(root, v)))
-      return materializeBlooms(root, readCheckpoint(root, v))
+    if (Files.exists(ckptPath(root, v))) {
+      val c = readCheckpoint(root, v)
+      return if (withBlooms) materializeBlooms(root, c) else c
+    }
     var deltas = List(parseDelta(node))
     var base: Option[Manifest] = None
     var k = v - 1
@@ -2988,7 +3003,7 @@ object TxTable {
       inline, last.partitionColumns, last.constraints, last.dvDirs,
       last.properties, last.columnMapping, refs, last.changeDir,
       last.partitionTransforms)
-    materializeBlooms(root, m)
+    if (withBlooms) materializeBlooms(root, m) else m
   }
 
   /** Resolve `bloomRefs` into in-memory blooms (each referenced sidecar
