@@ -794,6 +794,27 @@ private[graft] object EntryHelpers {
       java.lang.Long.valueOf(1L)
     }).longValue()
 
+  /** `scan_hours_prune` fixture (`db.evh`): ONE day of events laid out
+    * `PARTITIONED BY (hours(ts))` — the finer time grain (r19) for
+    * hot-path tables whose queries probe hour windows; 24 hour
+    * directories, an hour-range predicate prunes through the projected
+    * ordinal bounds exactly like days. */
+  val txHoursDone =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  def txHoursVersion(s: SparkSession, dir: String, wh: String): Long =
+    txHoursDone.computeIfAbsent(dir, _ => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"))
+        .filter(col("ts") >= lit(java.sql.Timestamp.valueOf(
+          "2024-01-10 00:00:00")) &&
+          col("ts") < lit(java.sql.Timestamp.valueOf(
+            "2024-01-11 00:00:00")))
+      graft.sources.TxTable.commit(ev, s"$wh/db/evh", "overwrite",
+        partitionSpec = Some(Seq(graft.sources.TxTransforms
+          .PartitionField("ts_hour", "hours", "ts"))))
+      java.lang.Long.valueOf(1L)
+    }).longValue()
+
   /** `stream_txcdf_cdc` fixture (`db.cdc`): a `tx.changeDataFeed=true`
     * table whose history crosses every change-commit kind the cdc
     * stream serves — v1 overwrite (en), v2 append (de), v3 SQL UPDATE

@@ -747,6 +747,26 @@ private[graft] object QueriesSearchOps {
           s"planning:\n${plan.take(800)}")
       df
     }),
+    // ----- hours(ts) hidden partitioning (r19 — the complete Iceberg
+    // time-grain set): an hour-range predicate over one day of events
+    // prunes whole hour directories at planning; kept-path plan-pinned
+    // like the days arm -----
+    "scan_hours_prune" -> ((s: SparkSession, dir: String) => {
+      val wh = EntryHelpers.txCatalogWarehouse(s, dir)
+      s.conf.set("spark.sql.catalog.graft_tx", "graft.sources.TxCatalog")
+      s.conf.set("spark.sql.catalog.graft_tx.root", wh)
+      EntryHelpers.txHoursVersion(s, dir, wh): Unit
+      val df = s.sql(
+        """SELECT event_id, user_id FROM graft_tx.db.evh
+          |WHERE ts >= TIMESTAMP '2024-01-10 05:00:00'
+          |  AND ts < TIMESTAMP '2024-01-10 08:00:00'
+          |ORDER BY event_id""".stripMargin)
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains("skipped=") && !plan.contains("skipped=0/"),
+        s"the hour-projected range must prune hour directories at " +
+          s"planning:\n${plan.take(800)}")
+      df
+    }),
     "join_spj" -> ((s: SparkSession, dir: String) => {
       val wh = EntryHelpers.txCatalogWarehouse(s, dir)
       s.conf.set("spark.sql.catalog.graft_tx", "graft.sources.TxCatalog")
@@ -1980,6 +2000,13 @@ private[graft] object QueriesSearchOps {
       ("""SELECT event_id, user_id FROM events
          |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
          |  AND ts < TIMESTAMP '2024-01-12 00:00:00'
+         |ORDER BY event_id""".stripMargin),
+    // the hour-pruned range replayed over the raw events (the fixture's
+    // one-day slice is a superset of the probed window)
+    "scan_hours_prune" ->
+      ("""SELECT event_id, user_id FROM events
+         |WHERE ts >= TIMESTAMP '2024-01-10 05:00:00'
+         |  AND ts < TIMESTAMP '2024-01-10 08:00:00'
          |ORDER BY event_id""".stripMargin),
     // the SPJ replayed: dim_docs is the per-lang doc count (the one
     // row of db.partw each lang joins)

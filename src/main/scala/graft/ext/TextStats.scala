@@ -937,8 +937,13 @@ object TextStats {
     // ONE collect serves both the vocabulary guard and the broadcast:
     // a broadcast join collects its build side to the driver anyway, so
     // a separate count() job ran the (cached) trigram aggregation twice
-    // for nothing. The collect is bounded by the cap it enforces.
-    val c3Rows = c3.collect()
+    // for nothing. The fetch is bounded BEFORE materializing — limit
+    // (maxVocab + 1) makes the guard itself cap-sized, so an over-cap
+    // vocabulary fails loudly instead of OOMing the driver collecting
+    // it; the fetched rows are complete (and reusable as the broadcast
+    // side) exactly when the guard passes.
+    val c3Rows =
+      c3.limit(math.min(maxVocab + 1, Int.MaxValue.toLong).toInt).collect()
     require(c3Rows.length <= maxVocab,
       s"lmScore: ${c3Rows.length} distinct trigrams exceeds " +
         s"maxVocab=$maxVocab — the count tables no longer broadcast; " +

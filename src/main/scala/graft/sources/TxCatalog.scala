@@ -556,6 +556,11 @@ private[graft] object TxBucketFunction
       override def isDeterministic: Boolean = true
       override def produceResult(
           input: org.apache.spark.sql.catalyst.InternalRow): Integer = {
+        // null in → null out, bit-for-bit with deriveColumn's
+        // when(isNull, null) branch: the staged layout maps null
+        // sources to the null partition, so evaluating pmod(hash(0), n)
+        // here would disagree with the table's own paths
+        if (input.isNullAt(0) || input.isNullAt(1)) return null
         val n = input.getInt(0)
         val h = vt match {
           case LongType => org.apache.spark.unsafe.hash.Murmur3_x86_32

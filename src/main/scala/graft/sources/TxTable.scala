@@ -2722,7 +2722,18 @@ object TxTable {
       // REPLACE on a concurrent identical write is harmless (same bytes)
       try Files.move(tmp, p,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch { case _: Exception => Files.deleteIfExists(tmp): Unit }
+      catch {
+        case e: Exception =>
+          Files.deleteIfExists(tmp): Unit
+          // tolerate the failed move ONLY when a concurrent identical
+          // write already landed the content-addressed file; otherwise
+          // rethrow so the commit aborts HERE — publishing a reference
+          // to a sidecar that never landed would make every subsequent
+          // bloom-materializing snapshot load fail (readBloomSidecar's
+          // loud require), permanently poisoning the log
+          if (!Files.exists(p)) throw new IllegalStateException(
+            s"failed to write bloom sidecar $rel", e)
+      }
     }
     rel
   }

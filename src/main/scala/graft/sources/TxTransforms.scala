@@ -18,11 +18,16 @@ import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, 
   *    `KeyGroupedPartitioning(bucket(n, col))`, no manually
   *    materialized bucket column), and point lookups prune to one
   *    bucket via the projected equality.
-  *  - `days(ts)`: time-partitioned event tables — a `ts` range
-  *    predicate prunes whole day directories through the projected
-  *    day bounds, no manual date column.
-  *  - `truncate(n, col)`: prefix layouts — equality (and >= n-long
-  *    prefix) predicates prune on the truncated value.
+  *  - `years(ts)` / `months(ts)` / `days(ts)` / `hours(ts)`: time-
+  *    partitioned event tables at the grain the ingest rate calls for
+  *    — a `ts` range predicate prunes whole grain directories through
+  *    the projected ordinal bounds, no manual date column. Ordinals
+  *    are the Iceberg convention: years since 1970, months since
+  *    1970-01, days/hours since the epoch.
+  *  - `truncate(n, col)`: prefix layouts on strings (equality and
+  *    >= n-codepoint prefix predicates prune on the truncated value)
+  *    and floor-to-width layouts on int/long (equality AND range
+  *    predicates prune — the floor is monotone).
   *
   * PREDICATE PROJECTION (the Iceberg `Projections` idea): a filter on
   * the SOURCE column conservatively implies a filter on the DERIVED
@@ -34,11 +39,13 @@ import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, 
   *  - bucket uses Spark's Murmur3 (`hash()`, seed 42) pmod n — a pure
   *    function of the int/long value, identical on driver and
   *    executors, every JVM.
-  *  - days is `floor(epoch-seconds / 86400)` — explicitly UTC-fixed
-  *    (never the session-timezone `cast(ts as date)`, whose value
-  *    changes with configuration — a layout must not lie when the
-  *    session moves).
-  *  - truncate is codepoint `substring(1, n)` on strings.
+  *  - days/hours are `floor(epoch-seconds / grain)` — explicitly
+  *    UTC-fixed (never the session-timezone `cast(ts as date)`, whose
+  *    value changes with configuration — a layout must not lie when
+  *    the session moves); years/months go through the epoch day as a
+  *    timezone-free DATE, same fixing.
+  *  - truncate is codepoint `substring(1, n)` on strings and
+  *    `v − floorMod(v, n)` on int/long (Iceberg semantics).
   * Anything else (floats, session-dependent or non-deterministic
   * expressions) refuses loudly at declaration.
   */
@@ -109,15 +116,42 @@ private[graft] object TxTransforms {
         // UTC-fixed: epoch seconds / 86400, floored — never the
         // session-timezone date cast
         functions.floor(c.cast("long") / 86400).cast("int")
-      case Truncate(n) =>
-        require(st == StringType,
-          s"truncate(${f.source}) needs a string source, got " +
+      case "hours" =>
+        require(st == TimestampType,
+          s"hours(${f.source}) needs a timestamp source, got " +
             st.simpleString)
-        functions.when(c.isNull, functions.lit(null))
-          .otherwise(c.substr(1, n.toInt))
+        functions.floor(c.cast("long") / 3600).cast("int")
+      case "years" | "months" =>
+        require(st == TimestampType,
+          s"${f.transform}(${f.source}) needs a timestamp source, got " +
+            st.simpleString)
+        // UTC-fixed calendar grains (Iceberg ordinals: years since
+        // 1970, months since 1970-01): epoch day → DATE — a DATE is
+        // timezone-free, so year()/month() over it are pure — never
+        // year(ts)/month(ts), which convert through the session zone
+        val d = functions.date_from_unix_date(
+          functions.floor(c.cast("long") / 86400).cast("int"))
+        if (f.transform == "years") functions.year(d) - functions.lit(1970)
+        else (functions.year(d) - functions.lit(1970)) *
+          functions.lit(12) + functions.month(d) - functions.lit(1)
+      case Truncate(n) =>
+        st match {
+          case StringType =>
+            functions.when(c.isNull, functions.lit(null))
+              .otherwise(c.substr(1, n.toInt))
+          case IntegerType | LongType =>
+            // Iceberg integral truncate: floor to width, v − floorMod(v,
+            // W) — negative values floor DOWN (-7 at width 10 → -10),
+            // which is what keeps the derived value monotone in v
+            functions.when(c.isNull, functions.lit(null))
+              .otherwise(c - functions.pmod(c, functions.lit(n.toInt)))
+          case other => throw new IllegalArgumentException(
+            s"truncate(${f.source}) needs a string/int/long source, " +
+              s"got ${other.simpleString}")
+        }
       case other => throw new UnsupportedOperationException(
         s"unsupported partition transform '$other' — supported: " +
-          "identity, bucket[n], days, truncate[n]")
+          "identity, bucket[n], years, months, days, hours, truncate[n]")
     }
   }
 
@@ -126,8 +160,8 @@ private[graft] object TxTransforms {
     f.transform match {
       case "identity" => schema(f.name).dataType
       case Bucket(_) => IntegerType
-      case "days" => IntegerType
-      case Truncate(_) => StringType
+      case "days" | "hours" | "years" | "months" => IntegerType
+      case Truncate(_) => schema(f.source).dataType
     }
 
   // ------------------------- driver-side transform value computation
@@ -149,26 +183,72 @@ private[graft] object TxTransforms {
   private def bucketOf(v: Any, n: Int): Option[Int] =
     sparkHash(v).map(h => ((h % n) + n) % n)
 
-  /** Epoch day of a pushed timestamp literal (UTC, floor) — the same
-    * arithmetic as the staged `floor(epoch-seconds / 86400)` — plus
-    * whether the literal sits EXACTLY on a day boundary (midnight,
-    * zero sub-second): `ts < midnight-of-day-d` implies `day <= d-1`,
-    * one whole directory sharper than the generic `day <= d`. */
-  private def dayAndBoundary(v: Any): Option[(Int, Boolean)] = {
-    val parts: Option[(Long, Long)] = v match {
-      case t: java.sql.Timestamp =>
-        Some((Math.floorDiv(t.getTime, 1000L), t.getNanos.toLong))
-      case i: java.time.Instant =>
-        Some((i.getEpochSecond, i.getNano.toLong))
-      case _ => None
-    }
-    parts.map { case (sec, nanos) =>
+  /** (epoch seconds, sub-second nanos) of a pushed timestamp literal. */
+  private def tsParts(v: Any): Option[(Long, Long)] = v match {
+    case t: java.sql.Timestamp =>
+      Some((Math.floorDiv(t.getTime, 1000L), t.getNanos.toLong))
+    case i: java.time.Instant =>
+      Some((i.getEpochSecond, i.getNano.toLong))
+    case _ => None
+  }
+
+  /** Grain ordinal of a pushed timestamp literal (UTC, floor) — the
+    * same arithmetic as the staged derivation — plus whether the
+    * literal sits EXACTLY on the grain's boundary (start of the
+    * day/hour/month/year, zero sub-second): `ts < start-of-grain-d`
+    * implies `grain <= d-1`, one whole directory sharper than the
+    * generic `grain <= d`. */
+  private def dayAndBoundary(v: Any): Option[(Int, Boolean)] =
+    tsParts(v).map { case (sec, nanos) =>
       (Math.floorDiv(sec, 86400L).toInt,
         Math.floorMod(sec, 86400L) == 0L && nanos == 0L)
     }
+
+  private def hourAndBoundary(v: Any): Option[(Int, Boolean)] =
+    tsParts(v).map { case (sec, nanos) =>
+      (Math.floorDiv(sec, 3600L).toInt,
+        Math.floorMod(sec, 3600L) == 0L && nanos == 0L)
+    }
+
+  /** Year/month ordinal via `LocalDate.ofEpochDay` — the identical
+    * proleptic-Gregorian calendar `date_from_unix_date` + `year()/
+    * month()` evaluate in the staged column. */
+  private def calAndBoundary(v: Any, months: Boolean)
+      : Option[(Int, Boolean)] =
+    tsParts(v).map { case (sec, nanos) =>
+      val ld = java.time.LocalDate.ofEpochDay(Math.floorDiv(sec, 86400L))
+      val midnight = Math.floorMod(sec, 86400L) == 0L && nanos == 0L
+      if (months)
+        ((ld.getYear - 1970) * 12 + ld.getMonthValue - 1,
+          midnight && ld.getDayOfMonth == 1)
+      else (ld.getYear - 1970, midnight && ld.getDayOfYear == 1)
+    }
+
+  /** Integral truncate of a pushed int/long literal — the driver twin
+    * of the staged `v − pmod(v, W)`, declining (None) when the floor
+    * would overflow (near MinValue the wrapped value is no longer
+    * monotone, so range projections over it would be unsound). The
+    * result keeps the SOURCE's boxed type: the derived column is
+    * int/long by [[derivedType]], and the stats layer compares typed. */
+  private def truncNum(v: Any, w: Int): Option[Any] = v match {
+    case i: java.lang.Integer =>
+      val t = i.intValue - Math.floorMod(i.intValue, w)
+      if (t > i.intValue) None else Some(Int.box(t))
+    case l: java.lang.Long =>
+      val t = l.longValue - Math.floorMod(l.longValue, w.toLong)
+      if (t > l.longValue) None else Some(Long.box(t))
+    case _ => None
   }
 
-  private def dayOf(v: Any): Option[Int] = dayAndBoundary(v).map(_._1)
+  /** First `n` CODEPOINTS of `v` — the driver-side twin of
+    * [[deriveColumn]]'s `substr(1, n)` (Spark substring counts
+    * codepoints, not UTF-16 units; `String.take(n)` counts units, so on
+    * a value with supplementary characters it would project a prefix
+    * the staged layout never wrote — and a mismatched projected
+    * equality silently EXCLUDES files that hold matching rows). */
+  private def truncPrefix(v: String, n: Int): String =
+    if (v.codePointCount(0, v.length) <= n) v
+    else v.substring(0, v.offsetByCodePoints(0, n))
 
   /** Project a source-column filter onto the derived partition values:
     * extra conjuncts keyed by the derived field NAME, evaluated by the
@@ -178,33 +258,72 @@ private[graft] object TxTransforms {
                     fields: Seq[PartitionField])
       : Seq[org.apache.spark.sql.sources.Filter] = {
     import org.apache.spark.sql.sources._
+    // every floor-shaped transform (time grains AND integral truncate)
+    // is monotone in its source, so one projection shape serves all:
+    // Eq → Eq, Gt/Gte → Gte, Lt/Lte → Lte — with the exact-boundary
+    // tightening for Lt (`v` is the FIRST value of its own grain ⇒
+    // strictly-below implies the previous grain). `grain` returns the
+    // derived value + boundary flag, or None to decline.
+    def floorProj(pf: PartitionField, grain: Any => Option[(Any, Boolean)],
+                  prev: Any => Any): Seq[Filter] = f match {
+      case EqualTo(a, v) if a == pf.source =>
+        grain(v).map(g => EqualTo(pf.name, g._1)).toSeq
+      case GreaterThan(a, v) if a == pf.source =>
+        grain(v).map(g => GreaterThanOrEqual(pf.name, g._1)).toSeq
+      case GreaterThanOrEqual(a, v) if a == pf.source =>
+        grain(v).map(g => GreaterThanOrEqual(pf.name, g._1)).toSeq
+      case LessThan(a, v) if a == pf.source =>
+        grain(v).map { case (d, boundary) =>
+          LessThanOrEqual(pf.name, if (boundary) prev(d) else d)
+        }.toSeq
+      case LessThanOrEqual(a, v) if a == pf.source =>
+        grain(v).map(g => LessThanOrEqual(pf.name, g._1)).toSeq
+      case _ => Nil
+    }
+    def timeProj(pf: PartitionField,
+                 g: Any => Option[(Int, Boolean)]): Seq[Filter] =
+      floorProj(pf, v => g(v).map { case (d, b) => (d: Any, b) },
+        d => d.asInstanceOf[Int] - 1)
     fields.filterNot(_.isIdentity).flatMap { pf =>
-      (pf.transform, f) match {
-        case (Bucket(n), EqualTo(a, v)) if a == pf.source =>
-          bucketOf(v, n.toInt).map(b => EqualTo(pf.name, b)).toSeq
-        case (Bucket(n), In(a, vs)) if a == pf.source && vs != null &&
-            vs.nonEmpty && vs.forall(_ != null) =>
-          val bs = vs.toSeq.map(v => bucketOf(v, n.toInt))
-          if (bs.forall(_.isDefined))
-            Seq(In(pf.name, bs.flatten.distinct.map(b => b: Any).toArray))
-          else Nil
-        case ("days", EqualTo(a, v)) if a == pf.source =>
-          dayOf(v).map(d => EqualTo(pf.name, d)).toSeq
-        case ("days", GreaterThan(a, v)) if a == pf.source =>
-          dayOf(v).map(d => GreaterThanOrEqual(pf.name, d)).toSeq
-        case ("days", GreaterThanOrEqual(a, v)) if a == pf.source =>
-          dayOf(v).map(d => GreaterThanOrEqual(pf.name, d)).toSeq
-        case ("days", LessThan(a, v)) if a == pf.source =>
-          dayAndBoundary(v).map { case (d, boundary) =>
-            LessThanOrEqual(pf.name, if (boundary) d - 1 else d)
-          }.toSeq
-        case ("days", LessThanOrEqual(a, v)) if a == pf.source =>
-          dayOf(v).map(d => LessThanOrEqual(pf.name, d)).toSeq
-        case (Truncate(n), EqualTo(a, v: String)) if a == pf.source =>
-          Seq(EqualTo(pf.name, v.take(n.toInt)))
-        case (Truncate(n), StringStartsWith(a, p))
-            if a == pf.source && p != null && p.length >= n.toInt =>
-          Seq(EqualTo(pf.name, p.take(n.toInt)))
+      pf.transform match {
+        case Bucket(n) => f match {
+          case EqualTo(a, v) if a == pf.source =>
+            bucketOf(v, n.toInt).map(b => EqualTo(pf.name, b)).toSeq
+          case In(a, vs) if a == pf.source && vs != null &&
+              vs.nonEmpty && vs.forall(_ != null) =>
+            val bs = vs.toSeq.map(v => bucketOf(v, n.toInt))
+            if (bs.forall(_.isDefined))
+              Seq(In(pf.name, bs.flatten.distinct.map(b => b: Any).toArray))
+            else Nil
+          case _ => Nil
+        }
+        case "days" => timeProj(pf, dayAndBoundary)
+        case "hours" => timeProj(pf, hourAndBoundary)
+        case "months" => timeProj(pf, calAndBoundary(_, months = true))
+        case "years" => timeProj(pf, calAndBoundary(_, months = false))
+        case Truncate(n) => f match {
+          case EqualTo(a, v: String) if a == pf.source =>
+            Seq(EqualTo(pf.name, truncPrefix(v, n.toInt)))
+          case StringStartsWith(a, p)
+              if a == pf.source && p != null &&
+                p.codePointCount(0, p.length) >= n.toInt =>
+            Seq(EqualTo(pf.name, truncPrefix(p, n.toInt)))
+          // integral truncate: the boundary case is `v` an exact
+          // multiple of W (it IS its own derived value); `prev` steps
+          // one width down, declining near-MinValue underflow
+          case _ => floorProj(pf,
+            v => truncNum(v, n.toInt).map(t => (t, t == v)),
+            {
+              case t: java.lang.Integer
+                  if t.intValue >= Int.MinValue + n.toInt =>
+                Int.box(t.intValue - n.toInt)
+              case t: java.lang.Long
+                  if t.longValue >= Long.MinValue + n.toInt =>
+                Long.box(t.longValue - n.toInt)
+              case t => t // underflow: keep the untightened (still
+                          // sound) bound
+            })
+        }
         case _ => Nil
       }
     }
@@ -243,6 +362,9 @@ private[graft] object TxTransforms {
       case "identity" => E.identity(f.name)
       case Bucket(n) => E.bucket(n.toInt, f.source)
       case "days" => E.days(f.source)
+      case "hours" => E.hours(f.source)
+      case "years" => E.years(f.source)
+      case "months" => E.months(f.source)
       case Truncate(n) =>
         E.apply("truncate", E.literal(Int.box(n.toInt)),
           E.column(f.source))
@@ -279,6 +401,15 @@ private[graft] object TxTransforms {
         case "days" =>
           val c = oneRef(t)
           PartitionField(s"${c}_day", "days", c)
+        case "hours" =>
+          val c = oneRef(t)
+          PartitionField(s"${c}_hour", "hours", c)
+        case "years" =>
+          val c = oneRef(t)
+          PartitionField(s"${c}_year", "years", c)
+        case "months" =>
+          val c = oneRef(t)
+          PartitionField(s"${c}_month", "months", c)
         case "truncate" =>
           val c = oneRef(t)
           val n = t.arguments().collectFirst {
@@ -291,10 +422,9 @@ private[graft] object TxTransforms {
           PartitionField(s"${c}_trunc", s"truncate[$n]", c)
         case other => throw new UnsupportedOperationException(
           s"unsupported PARTITIONED BY transform '$other' — supported: " +
-            "identity columns, bucket(n, col), days(ts), " +
-            "truncate(n, col); years/months/hours need a days-grain " +
-            "relayout, arbitrary expressions are not a deterministic " +
-            "layout")
+            "identity columns, bucket(n, col), years(ts), months(ts), " +
+            "days(ts), hours(ts), truncate(n, col); arbitrary " +
+            "expressions are not a deterministic layout")
       }
     }
   }

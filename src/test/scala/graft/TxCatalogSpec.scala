@@ -233,10 +233,17 @@ class TxCatalogSpec extends SparkSpec {
     assert(TxTable.readManifest(
         java.nio.file.Paths.get(s"$warehouse/db/t4"), 1L)
       .partitionTransforms == Map("id_bucket" -> "bucket[4](id)"))
+    // hours is a SUPPORTED time-grain transform since r19
+    spark.sql(
+      "CREATE TABLE txspec.db.t5 (id BIGINT, ts TIMESTAMP) " +
+        "PARTITIONED BY (hours(ts))")
+    assert(TxTable.readManifest(
+        java.nio.file.Paths.get(s"$warehouse/db/t5"), 1L)
+      .partitionTransforms == Map("ts_hour" -> "hours(ts)"))
     val ep = intercept[Exception] {
       spark.sql(
-        "CREATE TABLE txspec.db.t5 (id BIGINT, ts TIMESTAMP) " +
-          "PARTITIONED BY (hours(ts))")
+        "CREATE TABLE txspec.db.t6 (id BIGINT, ts TIMESTAMP) " +
+          "PARTITIONED BY (foo(ts))")
     }
     assert(ep.getMessage.contains("unsupported"), ep.getMessage)
   }

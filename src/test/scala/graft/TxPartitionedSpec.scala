@@ -128,11 +128,17 @@ class TxPartitionedSpec extends SparkSpec {
     spark.sql("CREATE TABLE txpart.db.empty (id BIGINT, lang STRING) " +
       "PARTITIONED BY (lang)")
     assert(spark.sql("SELECT * FROM txpart.db.empty").count() == 0L)
-    // bucket is a supported hidden transform since r18; still-
-    // unsupported shapes refuse loudly
-    val e = intercept[Exception](spark.sql(
+    // bucket (r18) and the time grains (r19) are supported hidden
+    // transforms; arbitrary-expression shapes still refuse loudly
+    spark.sql(
       "CREATE TABLE txpart.db.pt2 (id BIGINT, ts TIMESTAMP) " +
-        "PARTITIONED BY (months(ts))"))
+        "PARTITIONED BY (months(ts))")
+    assert(TxTable.readManifest(
+        java.nio.file.Paths.get(s"$wh/db/pt2"), 1L)
+      .partitionTransforms == Map("ts_month" -> "months(ts)"))
+    val e = intercept[Exception](spark.sql(
+      "CREATE TABLE txpart.db.pt3 (id BIGINT, ts TIMESTAMP) " +
+        "PARTITIONED BY (foo(ts))"))
     assert(e.getMessage.contains("unsupported"), e.getMessage)
   }
 

@@ -128,4 +128,81 @@ class TxTransformPropertySpec extends SparkSpec {
           s"(kept ${kept.size}/${m.files.size})")
     }
   }
+
+  /** Shared range-soundness harness: stage `rows` under `field`, fire
+    * random [lo, hi) source ranges, and require the projected-pruned
+    * read to equal the full scan — the one property every floor-shaped
+    * transform must satisfy. */
+  private def rangeSoundness[T](tag: String,
+      field: TxTransforms.PartitionField,
+      rows: Seq[T], mkDf: Seq[T] => org.apache.spark.sql.DataFrame,
+      col0: String, ranges: Seq[(Any, Any)]): Unit = {
+    val tbl = Files.createTempDirectory(s"txtrp-$tag-").toString + "/tbl"
+    TxTable.commit(mkDf(rows), tbl, "overwrite",
+      partitionSpec = Some(Seq(field)))
+    val m = TxTable.readManifest(java.nio.file.Paths.get(tbl), 1L)
+    val schema = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val skipSch = TxTransforms.skipSchema(schema, m)
+    val lst = TxTable.logicalStats(m)
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan}
+    ranges.foreach { case (lo, hi) =>
+      val fs = TxTransforms.withProjections(
+        Seq(GreaterThanOrEqual(col0, lo), LessThan(col0, hi)), m)
+      val kept = m.files.filter { f =>
+        !fs.exists(fl => graft.sources.TxStats.excludes(
+          lst.getOrElse(f, Map.empty), skipSch, fl))
+      }
+      val pruned =
+        (if (kept.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        else spark.read.schema(schema)
+          .parquet(kept.map(f => s"$tbl/$f"): _*))
+        .filter(col(col0) >= lit(lo) && col(col0) < lit(hi)).count()
+      val full = mkDf(rows)
+        .filter(col(col0) >= lit(lo) && col(col0) < lit(hi)).count()
+      assert(pruned == full,
+        s"$tag range [$lo, $hi) lost rows: pruned=$pruned full=$full " +
+          s"(kept ${kept.size}/${m.files.size})")
+    }
+  }
+
+  test("months/hours/years: random ranges prune without losing rows, boundaries exact") {
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // ±400 days around the epoch: negative ordinals + year rollovers
+    val span = 400L * 86400L
+    val tss = Seq.fill(100)(rnd.nextLong() % span).map(ts)
+    def ranges(boundary: Long => Long): Seq[(Any, Any)] =
+      (0 until 15).map { i =>
+        val lo0 = rnd.nextLong() % span
+        val lo = if (i % 4 == 0) boundary(lo0) else lo0 // exact starts
+        (ts(lo), ts(lo + math.abs(rnd.nextLong() % span)))
+      }
+    def mk(xs: Seq[java.sql.Timestamp]) =
+      xs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "ts")
+    rangeSoundness("mo",
+      TxTransforms.PartitionField("ts_month", "months", "ts"), tss, mk,
+      "ts", ranges(s => Math.floorDiv(s, 86400L * 28) * 86400L * 28))
+    rangeSoundness("hr",
+      TxTransforms.PartitionField("ts_hour", "hours", "ts"), tss, mk,
+      "ts", ranges(s => Math.floorDiv(s, 3600L) * 3600L))
+    rangeSoundness("yr",
+      TxTransforms.PartitionField("ts_year", "years", "ts"), tss, mk,
+      "ts", ranges(s => Math.floorDiv(s, 86400L * 365) * 86400L * 365))
+  }
+
+  test("integral truncate: random ranges prune without losing rows, multiples exact") {
+    val ns = Seq.fill(150)(rnd.nextLong() % 10000L).distinct
+    def mk(xs: Seq[Long]) =
+      xs.zipWithIndex.map { case (n, i) => (i.toLong, n) }.toDF("id", "n")
+    val ranges: Seq[(Any, Any)] = (0 until 20).map { i =>
+      val lo0 = rnd.nextLong() % 10000L
+      val lo = if (i % 4 == 0) Math.floorDiv(lo0, 100L) * 100L else lo0
+      (Long.box(lo), Long.box(lo + math.abs(rnd.nextLong() % 10000L)))
+    }
+    rangeSoundness("tr",
+      TxTransforms.PartitionField("n_trunc", "truncate[100]", "n"),
+      ns, mk, "n", ranges)
+  }
 }

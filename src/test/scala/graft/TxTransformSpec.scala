@@ -105,9 +105,148 @@ class TxTransformSpec extends SparkSpec {
     // unsupported transform shapes refuse loudly at CREATE
     val e = intercept[Exception](spark.sql(
       """CREATE TABLE txtr.db.bad (id BIGINT, ts TIMESTAMP)
-        |PARTITIONED BY (years(ts))""".stripMargin))
+        |PARTITIONED BY (foo(ts))""".stripMargin))
     assert(e.getMessage.contains("unsupported PARTITIONED BY transform"),
       e.getMessage)
+  }
+
+  test("integral truncate layout: floor-to-width derivation, range pruning") {
+    val tbl = tmp()
+    val df = Seq(-17L, -10L, -3L, 0L, 4L, 9L, 10L, 23L).map(v => (v, s"r$v"))
+      .toDF("n", "s")
+    TxTable.commit(df, tbl, "overwrite", partitionSpec = Some(Seq(
+      TxTransforms.PartitionField("n_trunc", "truncate[10]", "n"))))
+    val m = TxTable.readManifest(Paths.get(tbl), 1L)
+    // floor semantics: -17 → -20, -3 → -10, 9 → 0 (Iceberg truncate)
+    val dirs = m.files.flatMap(_.split('/').find(_.startsWith("n_trunc=")))
+      .map(_.stripPrefix("n_trunc=")).distinct.sorted
+    assert(dirs.toSet == Set("-20", "-10", "0", "10", "20"), dirs)
+    assert(TxTable.read(spark, tbl).count() == 8L)
+    // range projection prunes: n >= 10 keeps only the 10/20 dirs
+    val schema = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val skipSch = TxTransforms.skipSchema(schema, m)
+    val fs = TxTransforms.withProjections(
+      Seq(org.apache.spark.sql.sources.GreaterThanOrEqual("n", 10L)), m)
+    val lst = TxTable.logicalStats(m)
+    val kept = m.files.filter { f =>
+      !fs.exists(fl => graft.sources.TxStats.excludes(
+        lst.getOrElse(f, Map.empty), skipSch, fl))
+    }
+    assert(kept.forall(f => f.contains("n_trunc=10") ||
+      f.contains("n_trunc=2")), kept)
+    assert(kept.size < m.files.size)
+    // strict-bound tightening: n < 10 (an exact multiple) excludes the
+    // n_trunc=10 directory entirely
+    val fs2 = TxTransforms.withProjections(
+      Seq(org.apache.spark.sql.sources.LessThan("n", 10L)), m)
+    val kept2 = m.files.filter { f =>
+      !fs2.exists(fl => graft.sources.TxStats.excludes(
+        lst.getOrElse(f, Map.empty), skipSch, fl))
+    }
+    assert(!kept2.exists(_.contains("n_trunc=10")), kept2)
+    // soundness: the kept files still answer the query exactly
+    assert(TxTable.read(spark, tbl).filter(col("n") < 10L).count() == 6L)
+  }
+
+  test("time-grain layouts: years/months/hours derive UTC-fixed ordinals and prune") {
+    val tbl = tmp()
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // rows spanning 1969-12 .. 1970-03 plus one 1971 row: negative
+    // ordinals exercise the floor, the 1971 row the year rollover
+    val rows = Seq(-86400L * 10, 0L, 86400L * 40, 86400L * 70,
+      86400L * 400).zipWithIndex.map { case (s, i) => (i.toLong, ts(s)) }
+    TxTable.commit(rows.toDF("id", "ts"), tbl, "overwrite",
+      partitionSpec = Some(Seq(
+        TxTransforms.PartitionField("ts_month", "months", "ts"))))
+    val m = TxTable.readManifest(Paths.get(tbl), 1L)
+    val dirs = m.files.flatMap(_.split('/').find(_.startsWith("ts_month=")))
+      .map(_.stripPrefix("ts_month=")).distinct.sorted
+    // 1969-12 → -1, 1970-01 → 0, 1970-02 → 1, 1970-03 → 2, 1971-02 → 13
+    assert(dirs.toSet == Set("-1", "0", "1", "13", "2"), dirs)
+    // the projection agrees with the staged derivation on every row
+    val schema = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val skipSch = TxTransforms.skipSchema(schema, m)
+    val lst = TxTable.logicalStats(m)
+    // ts >= 1970-02-01 keeps months >= 1 only (exact boundary)
+    val fs = TxTransforms.withProjections(Seq(
+      org.apache.spark.sql.sources.GreaterThanOrEqual("ts",
+        ts(86400L * 31))), m)
+    val kept = m.files.filter { f =>
+      !fs.exists(fl => graft.sources.TxStats.excludes(
+        lst.getOrElse(f, Map.empty), skipSch, fl))
+    }
+    assert(kept.size < m.files.size, s"months projection pruned nothing")
+    assert(TxTable.read(spark, tbl)
+      .filter(col("ts") >= ts(86400L * 31)).count() == 3L)
+    // hours end-to-end through SQL CREATE + INSERT + a pruned SELECT
+    spark.sql(
+      """CREATE TABLE txtr.db.hr (ev_id BIGINT, ts TIMESTAMP)
+        |PARTITIONED BY (hours(ts))""".stripMargin)
+    (0 until 3).foreach { h =>
+      val rs = (0 until 5).map(i =>
+        (h * 10L + i, new java.sql.Timestamp((h * 3600L + i * 60L) * 1000L)))
+      spark.createDataFrame(rs).toDF("ev_id", "ts")
+        .coalesce(1).createOrReplaceTempView("txtr_hr_src")
+      spark.sql("INSERT INTO txtr.db.hr SELECT * FROM txtr_hr_src")
+    }
+    val q = spark.sql(
+      s"""SELECT ev_id FROM txtr.db.hr
+         |WHERE ts >= TIMESTAMP '1970-01-01 01:00:00Z'
+         |  AND ts < TIMESTAMP '1970-01-01 02:00:00Z'""".stripMargin)
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq == (10L to 14L))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("skipped=2/3") ||
+      plan.contains("InMemoryFileIndex(1 paths)"), plan.take(800))
+    // years: the v2 transform round-trips through the manifest encode
+    val yf = TxTransforms.PartitionField("ts_year", "years", "ts")
+    assert(TxTransforms.decode(TxTransforms.encode(yf)) == yf)
+  }
+
+  test("truncate projection cuts by codepoints, matching the staged substr") {
+    val f2 = TxTransforms.PartitionField("k_trunc", "truncate[2]", "k")
+    import org.apache.spark.sql.sources._
+    // supplementary char: 1 codepoint, 2 UTF-16 units — the projected
+    // equality must equal what the staged substr(1, 2) writes to paths
+    val v = "😀aX" // 😀aX
+    assert(TxTransforms.projectFilter(EqualTo("k", v), Seq(f2)) ==
+      Seq(EqualTo("k_trunc", "😀a")))
+    val df = Seq(Tuple1(v)).toDF("k")
+    val derived = df.select(TxTransforms.deriveColumn(f2, df.schema))
+      .head().getString(0)
+    assert(derived == "😀a",
+      s"staged derivation disagrees: ${derived.toSeq.map(_.toInt)}")
+    // a 1-codepoint (2-unit) prefix is SHORTER than the truncate width:
+    // projecting an equality from it would be unsound — nothing projects
+    assert(TxTransforms.projectFilter(
+      StringStartsWith("k", "😀"), Seq(f2)).isEmpty)
+    // a >= 2-codepoint prefix projects its codepoint cut
+    assert(TxTransforms.projectFilter(
+      StringStartsWith("k", "😀bc"), Seq(f2)) ==
+      Seq(EqualTo("k_trunc", "😀b")))
+  }
+
+  test("bucket V2 function maps null input to null, like the staged layout") {
+    val bound = graft.sources.TxBucketFunction.bind(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.LongType))))
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.functions
+        .ScalarFunction[Integer]]
+    val row = new org.apache.spark.sql.catalyst.expressions
+      .GenericInternalRow(Array[Any](4, null))
+    assert(bound.produceResult(row) == null,
+      "null source must map to the null partition, not pmod(hash(0), n)")
+    val ok = new org.apache.spark.sql.catalyst.expressions
+      .GenericInternalRow(Array[Any](4, 7L))
+    // agrees with the staged derivation on non-null input
+    val staged = Seq(Tuple1(7L)).toDF("id").select(
+      TxTransforms.deriveColumn(bucketField(4, "id"),
+        Seq(Tuple1(7L)).toDF("id").schema)).head().getInt(0)
+    assert(bound.produceResult(ok) == staged)
   }
 
   test("bucket SPJ: co-bucketed tables join with zero exchanges") {
