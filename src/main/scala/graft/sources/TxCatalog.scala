@@ -1678,7 +1678,7 @@ private[graft] object TxMetaTables {
     case "partitions" => new MetaTable(name, PartitionsSchema, () => {
       val v = TxTable.latestVersion(dir.toString).getOrElse(
         throw new IllegalStateException(s"no committed version under $dir"))
-      val m = TxTable.readManifest(dir, v)
+      val m = TxTable.readManifestLite(dir, v)
       val partSet = m.partitionColumns.toSet
       def tupleOf(f: String): String =
         if (m.partitionColumns.isEmpty) "{}"
@@ -1709,7 +1709,7 @@ private[graft] object TxMetaTables {
     case "dv" => new MetaTable(name, DvSchema, () => {
       val v = TxTable.latestVersion(dir.toString).getOrElse(
         throw new IllegalStateException(s"no committed version under $dir"))
-      TxTable.readManifest(dir, v).dvDirs.sorted.map { d =>
+      TxTable.readManifestLite(dir, v).dvDirs.sorted.map { d =>
         val fs = TxTable.walkParquet(dir.resolve(d))
         val n = fs.map { p =>
           val r = org.apache.parquet.hadoop.ParquetFileReader.open(
@@ -1727,7 +1727,7 @@ private[graft] object TxMetaTables {
     case "constraints" => new MetaTable(name, ConstraintsSchema, () => {
       val v = TxTable.latestVersion(dir.toString).getOrElse(
         throw new IllegalStateException(s"no committed version under $dir"))
-      TxTable.readManifest(dir, v).constraints.toSeq.sortBy(_._1)
+      TxTable.readManifestLite(dir, v).constraints.toSeq.sortBy(_._1)
         .map { case (n, e) =>
           new GenericInternalRow(Array[Any](
             UTF8String.fromString(n), UTF8String.fromString(e)))
@@ -1763,7 +1763,7 @@ private[graft] object TxMetaTables {
         // vacuum scenario TIMESTAMP AS OF resolves by skipping (:165);
         // the row simply no longer belongs in the history
         try {
-          val m = TxTable.readManifest(dir, v)
+          val m = TxTable.readManifestLite(dir, v)
           val mtime = Files.getLastModifiedTime(
             dir.resolve("_txlog").resolve(f"v$v%05d.json")).toMillis
           Some(new GenericInternalRow(Array[Any](v, UTF8String.fromString(op),
@@ -1773,7 +1773,7 @@ private[graft] object TxMetaTables {
     case "files" => new MetaTable(name, FilesSchema, () => {
       val v = TxTable.latestVersion(dir.toString).getOrElse(
         throw new IllegalStateException(s"no committed version under $dir"))
-      TxTable.readManifest(dir, v).files.map { f =>
+      TxTable.readManifestLite(dir, v).files.map { f =>
         new GenericInternalRow(Array[Any](v, UTF8String.fromString(f),
           Files.size(dir.resolve(f)))): InternalRow
       }.toArray
@@ -1962,7 +1962,7 @@ private[graft] object TxProcedures {
             val predStr = args.getUTF8String(2).toString
             val v0 = TxTable.latestVersion(dir.toString).get
             val schema = org.apache.spark.sql.types.DataType.fromJson(
-                TxTable.readManifest(dir, v0).schemaJson)
+                TxTable.readManifestLite(dir, v0).schemaJson)
               .asInstanceOf[StructType]
             val parsed =
               spark.sessionState.sqlParser.parseExpression(predStr)

@@ -72,7 +72,7 @@ class TxCdfSource extends TableProvider with DataSourceRegister {
         s"graft-txcdf: no committed version under $dir — the feed's " +
           "schema is the table's committed schema, so the table must " +
           "exist before tailing it"))
-    val m = TxTable.readManifest(Paths.get(dir), v)
+    val m = TxTable.readManifestLite(Paths.get(dir), v)
     TxCdfSource.withMetaColumns(
       DataType.fromJson(m.schemaJson).asInstanceOf[StructType],
       cdc = options.getBoolean("readChangeFeed", false))
@@ -228,7 +228,7 @@ private[graft] class TxCdfStream(tableSchema: StructType, dir: String,
   private val physSchema: StructType =
     TxTable.latestVersion(dir) match {
       case Some(v) =>
-        val m = TxTable.readManifest(Paths.get(dir), v)
+        val m = TxTable.readManifestLite(Paths.get(dir), v)
         val logical = org.apache.spark.sql.types.DataType
           .fromJson(m.schemaJson).asInstanceOf[StructType]
         require(logical.fieldNames.toSeq == tableSchema.fieldNames.toSeq,

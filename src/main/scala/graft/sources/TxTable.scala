@@ -296,7 +296,10 @@ object TxTable {
     validateProperties(properties)
     val root = Paths.get(tableDir)
     Files.createDirectories(root.resolve(LogDir))
-    val prev0 = latestVersion(tableDir).map(v => readManifest(root, v))
+    // LITE: a commit never evaluates carried blooms — their sidecar
+    // references ride forward through the bloom-blind publish, so an
+    // append to a million-file bloom-indexed table reads zero sidecars
+    val prev0 = latestVersion(tableDir).map(v => readManifestLite(root, v))
     val effSpec: Seq[TxTransforms.PartitionField] =
       partitionSpec
         .orElse(partitionBy.map(_.map(c =>
@@ -531,7 +534,9 @@ object TxTable {
     * manifest reads, and vacuum-safe (see [[Manifest]]). */
   def lastTxn(tableDir: String, appId: String): Option[Long] =
     latestVersion(tableDir).flatMap(v =>
-      readManifest(Paths.get(tableDir), v).txns.get(appId))
+      // lite: the streaming sink asks this PER MICRO-BATCH — a txns
+      // lookup must never materialize the table's bloom sidecars
+      readManifestLite(Paths.get(tableDir), v).txns.get(appId))
 
   /** Latest committed version, if any commit has ever succeeded. */
   def latestVersion(tableDir: String): Option[Long] = {
@@ -632,10 +637,13 @@ object TxTable {
     // crash between the two leaves a complete log either way.
     if (expired.nonEmpty) {
       val oldest = retained.min
+      // lite: writeCheckpoint persists REFERENCES (plus any inline
+      // old-format blooms, which a lite read still carries) — the
+      // retention sweep never needs bloom bytes
       if (!Files.exists(ckptPath(root, oldest)))
-        writeCheckpoint(root, readManifest(root, oldest))
+        writeCheckpoint(root, readManifestLite(root, oldest))
     }
-    val retainedMs = retained.map(v => readManifest(root, v))
+    val retainedMs = retained.map(v => readManifestLite(root, v))
     val live = retainedMs.flatMap(_.files).toSet
     // deletion-vector sidecars referenced by ANY retained manifest are
     // as live as the data files they tombstone — deleting one would
@@ -1091,7 +1099,7 @@ object TxTable {
     }
     val root = Paths.get(tableDir)
     Files.createDirectories(root.resolve(LogDir))
-    val prev = latestVersion(tableDir).map(v => readManifest(root, v))
+    val prev = latestVersion(tableDir).map(v => readManifestLite(root, v))
     val version = prev.map(_.version + 1).getOrElse(1L)
     requireVersion.foreach { rv =>
       if (version != rv) {
@@ -1151,8 +1159,12 @@ object TxTable {
         case e: java.nio.file.FileAlreadyExistsException =>
           tries += 1
           if (tries > MaxRebaseAttempts) { onAbort(); throw e }
+          // lite: rebase recipes decide from file identity + stats;
+          // the one recipe that prices bloom bytes (rebaseRowLevel's
+          // overlap check) materializes ONLY the winner-added files'
+          // sidecars itself
           val headV = versions(root.toString).max
-          val head = readManifest(root, headV).copy(version = headV)
+          val head = readManifestLite(root, headV).copy(version = headV)
           rebase(head) match {
             case Right(m) => attempt = m; prev = Some(head)
             case Left(why) =>
@@ -1310,15 +1322,21 @@ object TxTable {
     * head's txns. This is what lets two partition-scoped UPDATEs (or
     * a DELETE racing a backfill of a different range) both land —
     * the daily shape on a 100 TB partitioned table. */
-  private def rebaseRowLevel(base: Manifest, replaced: Seq[String],
-      readSet: Seq[String],
+  private def rebaseRowLevel(root: Path, base: Manifest,
+      replaced: Seq[String], readSet: Seq[String],
       filters: Seq[org.apache.spark.sql.sources.Filter],
       newFiles: Seq[String],
       newStats: Map[String, Map[String, TxStats.ColStat]],
       newBlooms: Map[String, Map[String, TxStats.FileBloom]],
       op: String, dvDirsOut: Seq[String],
-      changeDirOut: Option[String] = None)(head: Manifest)
+      changeDirOut: Option[String] = None)(head0: Manifest)
       : Either[String, Manifest] = {
+    // the head arrives LITE; the overlap check below prices bloom bytes
+    // for the files the WINNER added — a handful — so only their
+    // sidecars materialize, never the table's
+    val baseSet0 = base.files.toSet
+    val head = materializeBloomsFor(root, head0,
+      head0.files.filterNot(baseSet0).toSet)
     val baseSchema = asNullable(DataType.fromJson(base.schemaJson))
     val headSchema = asNullable(DataType.fromJson(head.schemaJson))
     if (headSchema != baseSchema)
@@ -1809,8 +1827,9 @@ object TxTable {
         // (empty for merge-on-read arms, whose data files all stay)
         val replaced = base.files.filterNot(untouchedSet)
         publishRebasing(root, manifest, Some(base),
-          rebaseRowLevel(base, replaced, readSet, filters, staged.files,
-            staged.stats, newBlooms, op, dvDirsOut, changeDirOut),
+          rebaseRowLevel(root, base, replaced, readSet, filters,
+            staged.files, staged.stats, newBlooms, op, dvDirsOut,
+            changeDirOut),
           primitive, () => abort())
       case _ =>
         try publish(root, manifest, Some(base), primitive)
@@ -1860,9 +1879,13 @@ object TxTable {
   def restore(tableDir: String, v: Long,
               primitive: CommitPrimitive = PosixLinkPrimitive): Long = {
     val root = Paths.get(tableDir)
+    // v MATERIALIZED: files the head dropped need their blooms back in
+    // sidecar form (one bounded content-addressed write ∝ the restored
+    // files' bloom bytes); the head itself only contributes txns and
+    // carried refs — lite
     val m = readManifest(root, v) // loud when v is gone (readable ⇒ v ≤ head)
     val latest = versions(tableDir).max // non-empty: v's manifest exists
-    val head = readManifest(root, latest)
+    val head = readManifestLite(root, latest)
     val manifest = Manifest(latest + 1, "restore", m.schemaJson, m.files,
       head.txns, m.stats, m.blooms, m.partitionColumns, m.constraints,
       m.dvDirs, m.properties, m.columnMapping,
@@ -1976,7 +1999,7 @@ object TxTable {
     val v = latestVersion(tableDir).getOrElse(
       throw new IllegalStateException(
         s"no committed version under $tableDir/$LogDir"))
-    val m = readManifest(root, v)
+    val m = readManifestLite(root, v) // metadata-only commit: refs carry
     val missing = unset.diff(m.properties.keySet)
     require(missing.isEmpty,
       s"no propert${if (missing.size == 1) "y" else "ies"} " +
@@ -2006,7 +2029,7 @@ object TxTable {
     val v = latestVersion(tableDir).getOrElse(
       throw new IllegalStateException(
         s"no committed version under $tableDir/$LogDir"))
-    val m = readManifest(root, v)
+    val m = readManifestLite(root, v) // metadata-only commit: refs carry
     add.keys.foreach(name => require(!m.constraints.contains(name),
       s"constraint '$name' already exists on $tableDir " +
         s"(${m.constraints(name)}) — drop-and-re-add is not supported; " +
@@ -2053,7 +2076,12 @@ object TxTable {
     val v = latestVersion(tableDir).getOrElse(
       throw new IllegalStateException(
         s"no committed version under $tableDir/$LogDir"))
-    val m = readManifest(root, v)
+    // a DROP scrubs the dropped column out of every carried file's
+    // blooms — the ONE commit that rewrites carried bloom bytes, so it
+    // alone materializes them (and declares the rewrites to publish);
+    // a pure ADD is a lite metadata commit like rename/widen
+    val m =
+      if (drop.isEmpty) readManifestLite(root, v) else readManifest(root, v)
     val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
     val existing = schema.fieldNames.map(_.toLowerCase).toSet
     add.foreach { f =>
@@ -2117,7 +2145,13 @@ object TxTable {
       m.txns, stats2, blooms2, m.partitionColumns, m.constraints,
       m.dvDirs, m.properties, mapping2,
       partitionTransforms = m.partitionTransforms)
-    publish(root, manifest, Some(m), primitive)
+    // declared rewrites: every file whose bloom map the scrub CHANGED
+    // (dropped-column entry removed — including maps that emptied out)
+    val rewrites =
+      if (drop.isEmpty) Set.empty[String]
+      else m.blooms.keysIterator
+        .filter(f => blooms2.get(f) != m.blooms.get(f)).toSet
+    publish(root, manifest, Some(m), primitive, bloomRewrites = rewrites)
     v + 1
   }
 
@@ -2197,7 +2231,7 @@ object TxTable {
     val v = latestVersion(tableDir).getOrElse(
       throw new IllegalStateException(
         s"no committed version under $tableDir/$LogDir"))
-    val m = readManifest(root, v)
+    val m = readManifestLite(root, v) // metadata-only commit: refs carry
     val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
     require(schema.fieldNames.contains(from),
       s"no column '$from' in ${schema.simpleString}")
@@ -2291,7 +2325,9 @@ object TxTable {
     val v = latestVersion(tableDir).getOrElse(
       throw new IllegalStateException(
         s"no committed version under $tableDir/$LogDir"))
-    val m = readManifest(root, v)
+    // lite: a widen rewrites STAT strings only — blooms key by
+    // magnitude-truncated longs, identical before and after promotion
+    val m = readManifestLite(root, v)
     val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
     require(schema.fieldNames.contains(col),
       s"no column '$col' in ${schema.simpleString}")
@@ -2689,13 +2725,22 @@ object TxTable {
     putStringMap(node, "columnMapping", m.columnMapping)
   }
 
-  private def structuralBloomEq(a: Map[String, TxStats.FileBloom],
-      b: Map[String, TxStats.FileBloom]): Boolean =
-    a.keySet == b.keySet && a.forall { case (k, x) =>
-      val y = b(k)
-      (x eq y) || (x.k == y.k && x.isString == y.isString &&
-        java.util.Arrays.equals(x.words, y.words))
-    }
+  /** Bloom-sidecar files READ per table root since JVM start — the
+    * observable the commit-path scale contract is pinned on
+    * (`TxLogSpec`): an append commit, a `lastTxn` pre-check, a metadata
+    * commit, and a vacuum all read ZERO sidecars; only consumers that
+    * genuinely evaluate bloom bytes (snapshot scans, row-level
+    * candidate selection) pay them. Keyed by root so concurrent suites
+    * observe their own tables only. */
+  private val sidecarReadCounts =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.concurrent.atomic.AtomicLong]()
+
+  private[graft] def sidecarReadCount(tableDir: String): Long = {
+    val c = sidecarReadCounts.get(
+      Paths.get(tableDir).toAbsolutePath.toString)
+    if (c == null) 0L else c.get()
+  }
 
   /** Write `content` as an immutable, content-addressed bloom sidecar
     * under `_txlog/blooms/` and return its table-relative path. The
@@ -2744,6 +2789,9 @@ object TxTable {
     require(Files.exists(p),
       s"bloom sidecar $rel is missing under $root — the log references " +
         "it; was it deleted out of band?")
+    sidecarReadCounts.computeIfAbsent(root.toAbsolutePath.toString,
+      _ => new java.util.concurrent.atomic.AtomicLong(0L))
+      .incrementAndGet(): Unit
     getBlooms(new Mapper().readTree(Files.readAllBytes(p)), "files")
   }
 
@@ -2856,9 +2904,28 @@ object TxTable {
     * is in-memory compares with reference-equality fast paths — never
     * serialization or IO. After a won publish, every
     * `tx.checkpointInterval`-th version also materializes a checkpoint
-    * (best-effort: the log is already complete without it). */
+    * (best-effort for the log — the log is already complete without it
+    * — but LOUD on stderr: a string of silently-failed checkpoints
+    * degrades every snapshot load toward O(history) replay, and the
+    * operator repair is `CALL system.checkpoint`).
+    *
+    * BLOOM-BLIND CONTRACT (what keeps commits O(changed files) even on
+    * bloom-indexed tables): publish decides sidecar placement from FILE
+    * IDENTITY, never from bloom bytes, so `prev` may be a LITE
+    * ([[readManifestLite]]) state whose carried blooms exist only as
+    * `bloomRefs`. A file's blooms land in THIS commit's sidecar iff the
+    * manifest carries them in `m.blooms` AND the file is new to the
+    * snapshot (`prev.bloomRefs` has no entry — which also migrates
+    * inline old-format blooms exactly once), OR the caller declared it
+    * in `bloomRewrites` (the evolve column scrub — the ONE op that
+    * changes a carried file's blooms in place; a rewrite whose result
+    * is bloom-free is recorded as a drop). Every other carried file's
+    * sidecar reference rides forward untouched. A caller that mutates a
+    * carried file's blooms WITHOUT declaring it publishes a stale
+    * reference — declare or re-stage. */
   private def publish(root: Path, m: Manifest, prev: Option[Manifest],
-                      primitive: CommitPrimitive): Unit = {
+                      primitive: CommitPrimitive,
+                      bloomRewrites: Set[String] = Set.empty): Unit = {
     prev.foreach(p => require(p.version == m.version - 1,
       s"publish of v${m.version} got prev state v${p.version} — the " +
         "caller must hand the immediately-previous log state"))
@@ -2890,20 +2957,18 @@ object TxTable {
     val prevBlooms = prev.map(_.blooms).getOrElse(
       Map.empty[String, Map[String, TxStats.FileBloom]])
     val prevRefs = prev.map(_.bloomRefs).getOrElse(Map.empty[String, String])
-    // a file's blooms go to this commit's sidecar when new, changed
-    // (an evolve's column scrub), or carried WITHOUT a sidecar ref yet
-    // (inline in an old-format base — migrated exactly once here)
-    val needSidecar = m.files.filter { f =>
-      m.blooms.get(f) match {
-        case Some(mb) => prevBlooms.get(f) match {
-          case Some(pb) if structuralBloomEq(mb, pb) => !prevRefs.contains(f)
-          case _ => true
-        }
-        case None => false
-      }
-    }
+    // FILE-IDENTITY sidecar decision (scaladoc: the bloom-blind
+    // contract): new-to-the-snapshot or declared-rewritten blooms go to
+    // this commit's sidecar; everything else carries by reference —
+    // zero bloom bytes read or compared here
+    val needSidecar = m.files.filter(f =>
+      m.blooms.contains(f) && (bloomRewrites(f) || !prevRefs.contains(f)))
+    // a declared rewrite whose result is bloom-free, or an inline
+    // (old-format / materialized) bloom the caller scrubbed, is a DROP
     val bloomDrop = m.files.filter(f =>
-      !m.blooms.contains(f) && prevBlooms.contains(f))
+      !m.blooms.contains(f) &&
+        (prevBlooms.contains(f) ||
+          (bloomRewrites(f) && prevRefs.contains(f))))
     putStringArray(node, "bloomDrop", bloomDrop)
     val sidecar: Option[String] =
       if (needSidecar.isEmpty) None
@@ -2919,12 +2984,25 @@ object TxTable {
       .flatMap(_.toIntOption).getOrElse(DefaultCheckpointInterval)
     if (m.version % interval == 0) {
       val needSet = needSidecar.toSet
+      val dropSet = bloomDrop.toSet
       val carried = prevRefs.filter { case (f, _) =>
-        mSet(f) && m.blooms.contains(f) && !needSet(f) }
+        mSet(f) && !needSet(f) && !dropSet(f) }
       val refs = carried ++
         sidecar.toSeq.flatMap(s => needSidecar.map(_ -> s))
       try writeCheckpoint(root, m.copy(bloomRefs = refs))
-      catch { case _: Exception => () } // best-effort; the log is complete
+      catch {
+        case e: Exception =>
+          // the log is complete without the checkpoint, so the commit
+          // stands — but say so LOUDLY: repeated failures degrade every
+          // snapshot load toward long delta replays, and the repair is
+          // one CALL system.checkpoint('db.t') away
+          System.err.println(
+            s"graft-tx WARNING: checkpoint write at v${m.version} of " +
+              s"$root failed (${e.getClass.getSimpleName}: " +
+              s"${e.getMessage}); snapshot loads will replay deltas " +
+              s"from the previous checkpoint until one succeeds — " +
+              "run CALL <cat>.system.checkpoint('<db.table>') to repair")
+      }
     }
   }
 
@@ -3025,6 +3103,25 @@ object TxTable {
   private def materializeBlooms(root: Path, m: Manifest): Manifest = {
     if (m.bloomRefs.isEmpty) return m
     val loaded = m.bloomRefs.toSeq.groupBy(_._2).toSeq.flatMap {
+      case (rel, fs) =>
+        val content = readBloomSidecar(root, rel)
+        fs.map { case (f, _) =>
+          f -> content.getOrElse(f, throw new IllegalStateException(
+            s"bloom sidecar $rel of $root lacks an entry for $f"))
+        }
+    }.toMap
+    m.copy(blooms = m.blooms ++ loaded)
+  }
+
+  /** [[materializeBlooms]] restricted to `wanted` files: reads only the
+    * sidecars those files reference — what the row-level rebase's
+    * overlap check uses to price a HANDFUL of winner-added files
+    * without paying the whole table's bloom bytes on the commit path. */
+  private def materializeBloomsFor(root: Path, m: Manifest,
+      wanted: Set[String]): Manifest = {
+    val refs = m.bloomRefs.view.filterKeys(wanted).toMap
+    if (refs.isEmpty) return m
+    val loaded = refs.toSeq.groupBy(_._2).toSeq.flatMap {
       case (rel, fs) =>
         val content = readBloomSidecar(root, rel)
         fs.map { case (f, _) =>

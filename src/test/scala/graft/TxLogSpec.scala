@@ -33,6 +33,80 @@ class TxLogSpec extends SparkSpec {
   private def deltaSize(tbl: String, v: Long): Long =
     Files.size(Paths.get(tbl).resolve("_txlog").resolve(f"v$v%05d.json"))
 
+  test("commit path is bloom-blind: appends, lastTxn, metadata commits, vacuum read ZERO sidecars") {
+    import spark.implicits._
+    val tbl = tmpTable()
+    TxTable.commit((0L until 40L).map(i => (i, s"s$i")).toDF("id", "s"),
+      tbl, "overwrite", bloomColumns = Seq("id", "s"))
+    (1 to 5).foreach(k => TxTable.commit(
+      Seq((100L + k, s"x$k")).toDF("id", "s"), tbl, "append",
+      bloomColumns = Seq("id", "s")))
+    // six live sidecars exist; from here the COMMIT PATH must read none
+    val c0 = TxTable.sidecarReadCount(tbl)
+    TxTable.commit(Seq((200L, "y")).toDF("id", "s"), tbl, "append",
+      bloomColumns = Seq("id", "s"), txn = Some("app" -> 1L))
+    assert(TxTable.sidecarReadCount(tbl) == c0,
+      "an append commit materialized carried bloom sidecars — at 1M " +
+        "files that is O(live bloom bytes) of driver IO per commit")
+    assert(TxTable.lastTxn(tbl, "app").contains(1L))
+    assert(TxTable.sidecarReadCount(tbl) == c0,
+      "the streaming sink's per-batch lastTxn pre-check paid sidecar IO")
+    TxTable.alterProperties(tbl,
+      set = Map("tx.checkpointInterval" -> "20"), unset = Set.empty)
+    TxTable.renameColumn(spark, tbl, "s", "t")
+    assert(TxTable.sidecarReadCount(tbl) == c0,
+      "metadata-only commits materialized bloom sidecars")
+  }
+
+  test("bloom-blind commits keep blooms LIVE: refs carry, scans and scrubs still see them") {
+    import spark.implicits._
+    val tbl = tmpTable()
+    TxTable.commit((0L until 40L).map(i => (i, i * 2, s"s$i"))
+      .toDF("id", "n", "s"), tbl, "overwrite",
+      bloomColumns = Seq("id", "s"))
+    (1 to 4).foreach(k => TxTable.commit(
+      Seq((100L + k, k.toLong, s"x$k")).toDF("id", "n", "s"), tbl,
+      "append", bloomColumns = Seq("id", "s"), txn = Some("app" -> k.toLong)))
+    val c0 = TxTable.sidecarReadCount(tbl)
+    // metadata-only commits + vacuum: zero sidecar reads
+    TxTable.alterProperties(tbl,
+      set = Map("tx.checkpointInterval" -> "3"), unset = Set.empty)
+    TxTable.renameColumn(spark, tbl, "s", "t")
+    TxTable.vacuum(tbl, retain = 3, minAgeMillis = 0L)
+    assert(TxTable.sidecarReadCount(tbl) == c0,
+      "metadata commits / vacuum materialized bloom sidecars")
+    // the blooms SURVIVED the whole lite chain: a materializing read
+    // serves every live file's blooms (and pays sidecar IO — the
+    // counter's sanity arm), keyed by the ORIGINAL physical name
+    val v = TxTable.latestVersion(tbl).get
+    val m = TxTable.readManifest(Paths.get(tbl), v)
+    assert(TxTable.sidecarReadCount(tbl) > c0, "counter never fired")
+    assert(m.blooms.keySet == m.files.toSet,
+      s"bloom coverage narrowed: ${m.blooms.size} of ${m.files.size}")
+    assert(m.blooms.values.forall(_.keySet == Set("id", "s")))
+    // point-lookup skipping still fires through the carried refs
+    val lbl = TxTable.logicalBlooms(m)
+    val excluded = m.files.count(f => TxStats.bloomExcludes(
+      lbl.getOrElse(f, Map.empty), EqualTo("id", 104L)))
+    assert(excluded > 0, "bloom skipping dead after lite commits")
+    // evolve's column scrub (the ONE declared bloom rewrite) still
+    // lands: dropped column's blooms gone, kept column's stay
+    TxTable.evolveColumns(spark, tbl, drop = Seq("t"))
+    val m2 = TxTable.readManifest(Paths.get(tbl),
+      TxTable.latestVersion(tbl).get)
+    assert(m2.blooms.values.forall(_.keySet == Set("id")),
+      "the evolve scrub lost or leaked bloom columns")
+    assert(m2.blooms.keySet == m2.files.toSet)
+    // and the scrubbed state survives a checkpointed reload + vacuum
+    TxTable.commit(Seq((300L, 1L)).toDF("id", "n"), tbl, "append",
+      bloomColumns = Seq("id"))
+    TxTable.vacuum(tbl, retain = 2, minAgeMillis = 0L)
+    val m3 = TxTable.readManifest(Paths.get(tbl),
+      TxTable.latestVersion(tbl).get)
+    assert(m3.blooms.keySet == m3.files.toSet)
+    assert(m3.blooms.values.forall(_.keySet == Set("id")))
+  }
+
   test("commit metadata bytes stay ~constant across N appends (O(changed), not O(live))") {
     val tbl = tmpTable()
     (1L to 24L).foreach { i =>
