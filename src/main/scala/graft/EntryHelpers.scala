@@ -815,6 +815,35 @@ private[graft] object EntryHelpers {
       java.lang.Long.valueOf(1L)
     }).longValue()
 
+  /** `ops_txlog_meta` fixture (`db.lmt`): five commits under a
+    * checkpoint interval no commit reaches (periodic checkpoints never
+    * fire), so `t$log` reports a 4-delta replay tail — then the
+    * operator repair, `CALL system.checkpoint`, bounds it to 0. The
+    * pre-repair staleness is require-pinned HERE; the certified rows
+    * are the post-repair summary. */
+  val txLogMetaDone =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  def txLogMetaVersion(s: SparkSession, dir: String, wh: String): Long =
+    txLogMetaDone.computeIfAbsent(dir, _ => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val tbl = s"$wh/db/lmt"
+      graft.sources.TxTable.commit(docs.filter(col("lang") === "en"),
+        tbl, "overwrite",
+        properties = Map(
+          graft.sources.TxTable.CheckpointIntervalProperty -> "1000"))
+      Seq("de", "fr", "es", "ja").foreach(l =>
+        graft.sources.TxTable.commit(docs.filter(col("lang") === l),
+          tbl, "append"): Unit)
+      val before = graft.sources.TxTable.logSummary(tbl)
+      require(before == graft.sources.TxTable.LogSummary(5L, None, 4L),
+        s"expected a 4-delta stale log before the repair, got $before")
+      val v = s.sql("CALL graft_tx.system.checkpoint('db.lmt')")
+        .head().getLong(0)
+      require(v == 5L, s"checkpoint repaired at v$v, expected v5")
+      java.lang.Long.valueOf(v)
+    }).longValue()
+
   /** `stream_txcdf_cdc` fixture (`db.cdc`): a `tx.changeDataFeed=true`
     * table whose history crosses every change-commit kind the cdc
     * stream serves — v1 overwrite (en), v2 append (de), v3 SQL UPDATE

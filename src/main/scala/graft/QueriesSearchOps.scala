@@ -747,6 +747,20 @@ private[graft] object QueriesSearchOps {
           s"planning:\n${plan.take(800)}")
       df
     }),
+    // ----- checkpoint repair + log health (r19): periodic checkpoints
+    // that never fired leave a delta-replay tail `t$log` reports;
+    // `CALL system.checkpoint` bounds it — the pre-repair staleness is
+    // require-pinned in the fixture, the certified row is the repaired
+    // summary -----
+    "ops_txlog_meta" -> ((s: SparkSession, dir: String) => {
+      val wh = EntryHelpers.txCatalogWarehouse(s, dir)
+      s.conf.set("spark.sql.catalog.graft_tx", "graft.sources.TxCatalog")
+      s.conf.set("spark.sql.catalog.graft_tx.root", wh)
+      EntryHelpers.txLogMetaVersion(s, dir, wh): Unit
+      s.sql(
+        """SELECT latest_version, checkpoint_version, replay_deltas
+          |FROM graft_tx.db.`lmt$log`""".stripMargin)
+    }),
     // ----- hours(ts) hidden partitioning (r19 — the complete Iceberg
     // time-grain set): an hour-range predicate over one day of events
     // prunes whole hour directories at planning; kept-path plan-pinned
@@ -2001,6 +2015,13 @@ private[graft] object QueriesSearchOps {
          |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
          |  AND ts < TIMESTAMP '2024-01-12 00:00:00'
          |ORDER BY event_id""".stripMargin),
+    // the repaired log summary replayed as constants: 5 commits, a
+    // checkpoint forced at the head, zero replay tail (the pre-repair
+    // 4-delta staleness is require-pinned inside the fixture)
+    "ops_txlog_meta" ->
+      ("""SELECT CAST(5 AS BIGINT) AS latest_version,
+         |  CAST(5 AS BIGINT) AS checkpoint_version,
+         |  CAST(0 AS BIGINT) AS replay_deltas""".stripMargin),
     // the hour-pruned range replayed over the raw events (the fixture's
     // one-day slice is a superset of the probed window)
     "scan_hours_prune" ->

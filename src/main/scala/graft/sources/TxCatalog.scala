@@ -105,7 +105,7 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
   override def tableExists(ident: Identifier): Boolean =
     ident.name().split('$') match {
       case Array(base, "history" | "files" | "stats" | "constraints" |
-          "dv" | "partitions") if base.nonEmpty =>
+          "dv" | "partitions" | "log") if base.nonEmpty =>
         isTxTable(dirFor(Identifier.of(ident.namespace(), base)))
       case _ if ident.name().contains('$') ||
         ident.namespace().exists(_.contains('$')) => false
@@ -118,7 +118,7 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
     // served through a LocalScan, never a distributed job
     ident.name().split('$') match {
       case Array(base, kind @ ("history" | "files" | "stats" |
-          "constraints" | "dv" | "partitions")) if base.nonEmpty =>
+          "constraints" | "dv" | "partitions" | "log")) if base.nonEmpty =>
         val dir = dirFor(Identifier.of(ident.namespace(), base))
         if (!isTxTable(dir)) throw new NoSuchTableException(ident)
         return TxMetaTables.table(fullName(ident), dir, kind)
@@ -457,7 +457,8 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
         Identifier.of(namespace, "compact_where"),
         Identifier.of(namespace, "vacuum"),
         Identifier.of(namespace, "restore"),
-        Identifier.of(namespace, "zorder"))
+        Identifier.of(namespace, "zorder"),
+        Identifier.of(namespace, "checkpoint"))
     else Array.empty
 
   override def loadProcedure(ident: Identifier):
@@ -483,9 +484,10 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
       case "restore" => TxProcedures.restore(resolve)
       case "zorder"  => TxProcedures.zorder(resolve)
       case "compact_where" => TxProcedures.compactWhere(resolve)
+      case "checkpoint" => TxProcedures.checkpoint(resolve)
       case other => throw new IllegalArgumentException(
         s"unknown procedure system.$other (have: compact, " +
-          "compact_where, vacuum, restore, zorder)")
+          "compact_where, vacuum, restore, zorder, checkpoint)")
     }
   }
 
@@ -1667,7 +1669,22 @@ private[graft] object TxMetaTables {
     StructField("n_rows", LongType, nullable = true),
     StructField("bytes", LongType, nullable = false)))
 
+  private val LogSchema = StructType(Seq(
+    StructField("latest_version", LongType, nullable = false),
+    StructField("checkpoint_version", LongType, nullable = true),
+    StructField("replay_deltas", LongType, nullable = false)))
+
   def table(name: String, dir: Path, kind: String): Table = kind match {
+    // `t$log`: log health — the checkpoint-staleness signal
+    // (TxTable.logSummary scaladoc): replay_deltas far above
+    // tx.checkpointInterval means checkpoint writes are failing and
+    // `CALL system.checkpoint` is due
+    case "log" => new MetaTable(name, LogSchema, () => {
+      val s = TxTable.logSummary(dir.toString)
+      Array(new GenericInternalRow(Array[Any](s.latestVersion,
+        s.checkpointVersion.map(Long.box).orNull, s.replayDeltas))
+        : InternalRow)
+    })
     // `t$partitions`: one row per live partition-value tuple — file
     // count, row count (from the manifest's per-file stats when every
     // file carries one; NULL otherwise — honest over old manifests),
@@ -2051,6 +2068,31 @@ private[graft] object TxProcedures {
             val v = TxTable.restore(resolve(tbl).toString, args.getLong(1))
             oneRowScan(
               StructType(Seq(StructField("new_version", LongType, false))),
+              new GenericInternalRow(Array[Any](v)))
+          }
+        }
+    }
+
+  def checkpoint(resolve: String => Path): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = "checkpoint"
+      override def description(): String =
+        "force-materialize a checkpoint at the latest version — the " +
+          "repair for a log whose periodic checkpoint writes failed " +
+          "(TxTable.checkpoint); idempotent"
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = "checkpoint"
+          override def parameters(): Array[ProcedureParameter] = Array(
+            ProcedureParameter.in("table", StringType)
+              .comment("dotted table name under the warehouse root").build())
+          override def isDeterministic: Boolean = false // writes a file
+          override def call(args: InternalRow): util.Iterator[Scan] = {
+            val tbl = args.getUTF8String(0).toString
+            val v = TxTable.checkpoint(resolve(tbl).toString)
+            oneRowScan(
+              StructType(Seq(
+                StructField("checkpointed_version", LongType, false))),
               new GenericInternalRow(Array[Any](v)))
           }
         }

@@ -640,7 +640,7 @@ object TxTable {
       // lite: writeCheckpoint persists REFERENCES (plus any inline
       // old-format blooms, which a lite read still carries) — the
       // retention sweep never needs bloom bytes
-      if (!Files.exists(ckptPath(root, oldest)))
+      if (!hasCkpt(root, oldest))
         writeCheckpoint(root, readManifestLite(root, oldest))
     }
     val retainedMs = retained.map(v => readManifestLite(root, v))
@@ -2606,10 +2606,24 @@ object TxTable {
     }
   }
 
+  private object CkptName {
+    private val P = "^v(\\d{5,})\\.ckpt\\.json$".r
+    def unapply(name: String): Option[Long] = name match {
+      case P(d) => Some(d.toLong)
+      case _    => None
+    }
+  }
+
   private def manifestPath(root: Path, v: Long): Path =
     root.resolve(LogDir).resolve(f"v$v%05d.json")
   private def ckptPath(root: Path, v: Long): Path =
     root.resolve(LogDir).resolve(f"v$v%05d.ckpt.json")
+  /** A USABLE checkpoint at v — a regular file, not debris (a blocked
+    * path or stray directory must read as \"no checkpoint\", never as
+    * one): every probe in the load/vacuum/repair paths goes through
+    * this. */
+  private def hasCkpt(root: Path, v: Long): Boolean =
+    Files.isRegularFile(ckptPath(root, v))
   private val BloomsRel = s"$LogDir/blooms"
 
   // ------------------------- shared JSON pieces (delta + checkpoint)
@@ -2865,7 +2879,74 @@ object TxTable {
     Files.write(tmp, mapper.writeValueAsBytes(node))
     try Files.move(tmp, ckptPath(root, m.version),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    catch { case _: Exception => Files.deleteIfExists(tmp): Unit }
+    catch {
+      case e: Exception =>
+        Files.deleteIfExists(tmp): Unit
+        // a concurrent identical write is fine (checkpoints of one
+        // version are byte-identical); anything else must surface —
+        // vacuum's retention-boundary write in particular MUST land
+        // before expired deltas delete, or retained versions lose
+        // their replay path (publish wraps its own best-effort arm)
+        if (!hasCkpt(root, m.version))
+          throw new IllegalStateException(
+            s"failed to write checkpoint v${m.version} under $root", e)
+    }
+  }
+
+  /** Force-materialize a checkpoint at the LATEST version — the
+    * `CALL system.checkpoint('db.t')` repair for a log whose periodic
+    * checkpoint writes failed (publish warns but never blocks commits,
+    * so a string of failures silently stretches every snapshot load's
+    * delta replay; see [[logSummary]] for the staleness signal). Lite
+    * state is enough: a checkpoint persists bloom REFERENCES. Idempotent
+    * — an existing checkpoint is kept. Returns the checkpointed
+    * version. */
+  def checkpoint(tableDir: String): Long = {
+    val root = Paths.get(tableDir)
+    val v = latestVersion(tableDir).getOrElse(
+      throw new IllegalStateException(
+        s"no committed version under $tableDir/$LogDir"))
+    if (!hasCkpt(root, v))
+      writeCheckpoint(root, readManifestLite(root, v))
+    v
+  }
+
+  /** Log health at a glance (the `t$log` metadata table): latest
+    * version, the newest checkpointed version (None = no checkpoint
+    * yet), and `replayDeltas` — how many fmt-2 deltas a cold snapshot
+    * load of the HEAD replays on top of its nearest base (0 = the head
+    * itself is a base). The operator signal for checkpoint staleness:
+    * a value far above `tx.checkpointInterval` means checkpoint writes
+    * are failing and `CALL system.checkpoint` is due. O(replay length)
+    * stat calls + at most that many 1-file JSON parses, no data IO. */
+  final case class LogSummary(latestVersion: Long,
+                              checkpointVersion: Option[Long],
+                              replayDeltas: Long)
+
+  def logSummary(tableDir: String): LogSummary = {
+    val root = Paths.get(tableDir)
+    val latest = latestVersion(tableDir).getOrElse(
+      throw new IllegalStateException(
+        s"no committed version under $tableDir/$LogDir"))
+    val ckpt = listNames(root.resolve(LogDir))
+      .collect { case CkptName(v) if hasCkpt(root, v) => v }
+      .filter(_ <= latest).sorted.lastOption
+    // base = nearest self-contained state at-or-below latest: its own
+    // checkpoint, an old-format full manifest, or v1
+    var k = latest
+    var base = -1L
+    val mapper = new Mapper()
+    while (base < 0) {
+      if (k == 1L || hasCkpt(root, k)) base = k
+      else {
+        val kp = manifestPath(root, k)
+        if (!Files.exists(kp)) base = k // vacuumed below: bounded there
+        else if (mapper.readTree(Files.readAllBytes(kp)).get("fmt") == null)
+          base = k
+        else k -= 1
+      }
+    }
+    LogSummary(latest, ckpt, latest - base)
   }
 
   /** Read a checkpoint: full state with `bloomRefs` set and `blooms`
@@ -3047,7 +3128,7 @@ object TxTable {
     val node = mapper.readTree(Files.readAllBytes(p))
     if (node.get("fmt") == null) return parseFull(node).copy(version = v)
     // fast path: the version has its own checkpoint
-    if (Files.exists(ckptPath(root, v))) {
+    if (hasCkpt(root, v)) {
       val c = readCheckpoint(root, v)
       return if (withBlooms) materializeBlooms(root, c) else c
     }
@@ -3055,7 +3136,7 @@ object TxTable {
     var base: Option[Manifest] = None
     var k = v - 1
     while (k >= 1 && base.isEmpty) {
-      if (Files.exists(ckptPath(root, k)))
+      if (hasCkpt(root, k))
         base = Some(readCheckpoint(root, k))
       else {
         val kp = manifestPath(root, k)

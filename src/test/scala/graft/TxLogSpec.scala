@@ -107,6 +107,51 @@ class TxLogSpec extends SparkSpec {
     assert(m3.blooms.values.forall(_.keySet == Set("id")))
   }
 
+  test("checkpoint resilience: blocked writes never block commits; CALL repairs; vacuum refuses") {
+    import spark.implicits._
+    val tbl = tmpTable()
+    val log = Paths.get(tbl).resolve("_txlog")
+    TxTable.commit(frame(1L), tbl, "overwrite",
+      properties = Map("tx.checkpointInterval" -> "5"))
+    // block every periodic checkpoint path with a DIRECTORY so the
+    // write fails — commits must still land (publish warns loudly but
+    // the log is complete without the checkpoint)
+    (5L to 25L by 5L).foreach(v =>
+      Files.createDirectories(log.resolve(f"v$v%05d.ckpt.json")): Unit)
+    (2L to 28L).foreach(i => TxTable.commit(frame(i), tbl, "append"))
+    // 27 failed checkpoints later: readable, but a cold head load
+    // replays the WHOLE tail — exactly the staleness t$log surfaces
+    assert(TxTable.logSummary(tbl) == TxTable.LogSummary(28L, None, 27L))
+    assert(TxTable.read(spark, tbl).count() == 28L)
+    // the operator repair: one CALL restores bounded snapshot-load cost
+    val wh = Files.createTempDirectory("txlog-wh-")
+    spark.conf.set("spark.sql.catalog.txlogck", "graft.sources.TxCatalog")
+    spark.conf.set("spark.sql.catalog.txlogck.root", wh.toString)
+    Files.createDirectories(wh.resolve("db"))
+    Files.createSymbolicLink(wh.resolve("db").resolve("t"),
+      Paths.get(tbl)): Unit
+    assert(spark.sql("CALL txlogck.system.checkpoint('db.t')")
+      .head().getLong(0) == 28L)
+    assert(TxTable.logSummary(tbl) ==
+      TxTable.LogSummary(28L, Some(28L), 0L))
+    val lr = spark.sql("SELECT * FROM txlogck.db.`t$log`").head()
+    assert(lr.getLong(0) == 28L && lr.getLong(1) == 28L &&
+      lr.getLong(2) == 0L)
+    // idempotent re-CALL
+    assert(spark.sql("CALL txlogck.system.checkpoint('db.t')")
+      .head().getLong(0) == 28L)
+    // vacuum's retention-boundary checkpoint REFUSES when its write is
+    // blocked — deleting expired deltas without a landed base would
+    // strand every retained version's replay path
+    TxTable.commit(frame(100L), tbl, "append") // v29, head past the ckpt
+    Files.createDirectories(log.resolve(f"v${27L}%05d.ckpt.json")): Unit
+    val e = intercept[IllegalStateException](
+      TxTable.vacuum(tbl, retain = 3, minAgeMillis = 0L))
+    assert(e.getMessage.contains("checkpoint"), e.getMessage)
+    assert(TxTable.versions(tbl).size == 29,
+      "vacuum deleted manifests despite a failed boundary checkpoint")
+  }
+
   test("commit metadata bytes stay ~constant across N appends (O(changed), not O(live))") {
     val tbl = tmpTable()
     (1L to 24L).foreach { i =>
