@@ -420,9 +420,13 @@ object TxTable {
       (d, f) => d.withColumn(f.name,
         TxTransforms.deriveColumn(f, df2.schema)))
     val dfPhys = toPhysical(dfDerived, effMapping)
+    // table properties resolve BEFORE staging: the optimized-write
+    // pre-shuffle is a property of the layout being written to
+    val effProps = prev.map(_.properties).getOrElse(Map.empty) ++ properties
     val staged =
       if (effParts.isEmpty) stageData(dfPhys, tableDir)
-      else stageDataPartitioned(dfPhys, tableDir, effParts)
+      else stageDataPartitioned(dfPhys, tableDir, effParts,
+        optimizeWrite = optimizeWriteOn(effProps))
     val carried = mode match {
       case "append" => prev.map(_.files).getOrElse(Seq.empty)
       case "dynoverwrite" =>
@@ -481,7 +485,6 @@ object TxTable {
     // like constraints.
     val carriedDvs =
       if (mode != "overwrite") prev.map(_.dvDirs).getOrElse(Nil) else Nil
-    val effProps = prev.map(_.properties).getOrElse(Map.empty) ++ properties
     val manifest = Manifest(version, opLabel.getOrElse(mode),
       committedSchema.json, carried ++ staged.files,
       prev.map(_.txns).getOrElse(Map.empty) ++ txn,
@@ -956,7 +959,11 @@ object TxTable {
     val zPhys = toPhysical(zsorted, m.columnMapping)
     val staged =
       if (m.partitionColumns.isEmpty) stageData(zPhys, tableDir)
-      else stageDataPartitioned(zPhys, tableDir, m.partitionColumns)
+      // optimizeWrite OFF: the frame is already range-clustered on
+      // (partition cols, z) — a hash pre-shuffle would destroy the
+      // within-partition z order this rewrite exists to create
+      else stageDataPartitioned(zPhys, tableDir, m.partitionColumns,
+        optimizeWrite = false)
     val bloomCols = m.blooms.values.flatMap(_.keys).toSet.toSeq.sorted
     val newBlooms = TxStats.buildFileBlooms(spark,
       root.resolve(staged.dataRel), staged.files,
@@ -1012,13 +1019,32 @@ object TxTable {
     * path — which is all partition pruning needs ([[Manifest]]
     * scaladoc). A null partition value (`__HIVE_DEFAULT_PARTITION__`)
     * simply records no stat for that column — an unprunable file, the
-    * conservative default everywhere else in the stats layer. */
+    * conservative default everywhere else in the stats layer.
+    *
+    * OPTIMIZED WRITE (`optimizeWrite`, default on — the Delta
+    * optimizedWrite shape): pre-shuffle the frame BY the partition
+    * columns (derived transform values included — they are staged as
+    * columns by this point) so each value's rows land in ONE task and
+    * the hive write emits ONE file per live value. Without it an
+    * N-task frame writes up to N×V files — the classic small-file
+    * amplification that turns a 1000-executor append to a 365-day
+    * layout into 365,000 files per batch; compaction is the repair,
+    * not the excuse. Opt out (`tx.optimizeWrite=false`) for producers
+    * whose frames are ALREADY clustered by partition value (the
+    * pre-shuffle would destroy an intra-file sort) or whose single hot
+    * value would bottleneck on one task. */
   private[sources] def stageDataPartitioned(df: DataFrame, tableDir: String,
-                                            parts: Seq[String]): StagedData = {
+                                            parts: Seq[String],
+                                            optimizeWrite: Boolean = true)
+      : StagedData = {
     val root = Paths.get(tableDir)
     val commitId = java.util.UUID.randomUUID().toString
     val dataRel = s"data/$commitId"
-    df.write.partitionBy(parts: _*).parquet(root.resolve(dataRel).toString)
+    val clustered =
+      if (optimizeWrite) df.repartition(parts.map(functions.col): _*)
+      else df
+    clustered.write.partitionBy(parts: _*)
+      .parquet(root.resolve(dataRel).toString)
     val files = walkParquet(root.resolve(dataRel))
       .map(p => root.relativize(p).toString.replace('\\', '/')).sorted
     val dataSchema = StructType(
@@ -1582,6 +1608,14 @@ object TxTable {
     * the property on carry change files). */
   val CdfProperty = "tx.changeDataFeed"
 
+  /** Pre-shuffle partitioned staging by the partition columns —
+    * [[stageDataPartitioned]] scaladoc. Default ON; set false for
+    * producers whose frames are already value-clustered. */
+  val OptimizeWriteProperty = "tx.optimizeWrite"
+
+  private[sources] def optimizeWriteOn(props: Map[String, String]): Boolean =
+    !props.get(OptimizeWriteProperty).contains("false")
+
   /** `tx.*` table properties are a closed set — an unrecognized key is
     * a typo'd promise nothing will honor, which is worse than an
     * error. */
@@ -1594,9 +1628,12 @@ object TxTable {
           s"$CheckpointIntervalProperty must be a positive int, got '$v'")
       case (CdfProperty, v) => require(v == "true" || v == "false",
         s"$CdfProperty must be true|false, got '$v'")
+      case (OptimizeWriteProperty, v) => require(v == "true" || v == "false",
+        s"$OptimizeWriteProperty must be true|false, got '$v'")
       case (k, _) => throw new IllegalArgumentException(
         s"unknown table property '$k' — supported: $DvProperty, " +
-          s"$CheckpointIntervalProperty, $CdfProperty")
+          s"$CheckpointIntervalProperty, $CdfProperty, " +
+          OptimizeWriteProperty)
     }
 
   /** Merge-on-read DELETE: instead of rewriting every file that holds
@@ -1796,7 +1833,8 @@ object TxTable {
     val physData = toPhysical(reDerived, base.columnMapping)
     val staged =
       if (base.partitionColumns.isEmpty) stageData(physData, tableDir)
-      else stageDataPartitioned(physData, tableDir, base.partitionColumns)
+      else stageDataPartitioned(physData, tableDir, base.partitionColumns,
+        optimizeWrite = optimizeWriteOn(base.properties))
     val untouchedSet = untouched.toSet
     val keptStats = base.stats.view.filterKeys(untouchedSet).toMap
     val keptBlooms = base.blooms.view.filterKeys(untouchedSet).toMap

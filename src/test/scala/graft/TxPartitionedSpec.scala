@@ -142,6 +142,47 @@ class TxPartitionedSpec extends SparkSpec {
     assert(e.getMessage.contains("unsupported"), e.getMessage)
   }
 
+  test("optimized writes: a many-task frame stages ONE file per partition value") {
+    import spark.implicits._
+    // 8 shuffle tasks x 3 values would stage up to 24 files without the
+    // pre-shuffle — the small-file amplification that buries a 100 TB
+    // daily layout; optimizeWrite (default ON) clusters by value first
+    val df = spark.range(0, 240).repartition(8)
+      .select(col("id"), (col("id") % 3).cast("string").as("lang"))
+    val tbl = tmp()
+    TxTable.commit(df, tbl, "overwrite", partitionBy = Some(Seq("lang")))
+    val m = TxTable.readManifest(Paths.get(tbl), 1L)
+    assert(m.files.size == 3,
+      s"expected one staged file per value, got ${m.files.size}")
+    assert(TxTable.read(spark, tbl).count() == 240L)
+    // appends inherit the discipline
+    TxTable.commit(df, tbl, "append")
+    val m2 = TxTable.readManifest(Paths.get(tbl), 2L)
+    assert(m2.files.size == 6, s"got ${m2.files.size}")
+    // row-level rewrites restage through the same clustering
+    TxTable.deleteWhere(spark, tbl,
+      Seq(org.apache.spark.sql.sources.EqualTo("lang", "1")))
+    val m3 = TxTable.readManifest(Paths.get(tbl), 3L)
+    assert(m3.files.size <= 4, s"got ${m3.files.size}")
+    assert(TxTable.read(spark, tbl).count() == 320L)
+    // documented opt-out for pre-clustered producers
+    val tbl2 = tmp()
+    TxTable.commit(df, tbl2, "overwrite", partitionBy = Some(Seq("lang")),
+      properties = Map("tx.optimizeWrite" -> "false"))
+    val mOff = TxTable.readManifest(Paths.get(tbl2), 1L)
+    assert(mOff.files.size > 3,
+      "the opt-out should preserve the producer's task layout")
+    assert(TxTable.read(spark, tbl2).count() == 240L)
+    // and on a transform layout the DERIVED values cluster the shuffle
+    val tbl3 = tmp()
+    TxTable.commit(df.select(col("id")), tbl3, "overwrite",
+      partitionSpec = Some(Seq(graft.sources.TxTransforms
+        .PartitionField("id_bucket", "bucket[4]", "id"))))
+    val mT = TxTable.readManifest(Paths.get(tbl3), 1L)
+    assert(mT.files.size == 4,
+      s"expected one file per bucket, got ${mT.files.size}")
+  }
+
   test("append with a different layout refuses; unsupported compositions refuse") {
     val tbl = tmp()
     TxTable.commit(Seq((1L, "en", 5L)).toDF("id", "lang", "n"),
