@@ -891,6 +891,74 @@ private[graft] object QueriesSearchOps {
           col("v_milli"))
         .orderBy("event_id")
     }),
+    // ----- predicate-scoped ZORDER inside a hidden days(ts) layout
+    // (r19 — the Delta `OPTIMIZE WHERE … ZORDER BY` shape on the most
+    // common 100 TB layout): only the scoped day's files rewrite into
+    // 2-D tiles, every other day carries VERBATIM with identical stats
+    // (require-pinned); the 2-D box probe inside the day keeps strictly
+    // fewer candidate files after (require-pinned; the ≤-half bound is
+    // suite-asserted on a controlled fixture in TxTransformSpec). Rows
+    // never change — the certified output is the post-rewrite snapshot,
+    // hash-matched to the raw-events replay -----
+    "ops_zorder_part" -> ((s: SparkSession, dir: String) => {
+      val tbl = scratchDir("graft-zordp-") + "/tbl"
+      val ev = Tables.events(s, dir).select(col("event_id"), col("ts"),
+        col("user_id"), (col("user_id") % 256).as("uq"),
+        (expr("CAST(floor(value * 1000) AS BIGINT)") % 256).as("vq"))
+      val spec = Seq(graft.sources.TxTransforms.PartitionField(
+        "ts_day", "days", "ts"))
+      // four interleaved commits → four files per live day (optimized
+      // write: one per day per commit), each spanning nearly the full
+      // (uq, vq) plane — the worst case for a 2-D probe
+      graft.sources.TxTable.commit(ev.filter(col("event_id") % 4 === 0),
+        tbl, "overwrite", partitionSpec = Some(spec))
+      (1 to 3).foreach(k => graft.sources.TxTable.commit(
+        ev.filter(col("event_id") % 4 === k), tbl, "append"): Unit)
+      val root = java.nio.file.Paths.get(tbl)
+      val m4 = graft.sources.TxTable.readManifest(root, 4L)
+      val scope: Seq[org.apache.spark.sql.sources.Filter] = Seq(
+        org.apache.spark.sql.sources.GreaterThanOrEqual("ts",
+          java.sql.Timestamp.valueOf("2024-01-10 00:00:00")),
+        org.apache.spark.sql.sources.LessThan("ts",
+          java.sql.Timestamp.valueOf("2024-01-11 00:00:00")))
+      // the box probe's candidate count against a manifest — the same
+      // stats/projection walk the scan's skip layer runs
+      def kept(m: graft.sources.TxTable.Manifest): Int = {
+        val schema = org.apache.spark.sql.types.DataType
+          .fromJson(m.schemaJson)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        val box = scope ++ Seq(
+          org.apache.spark.sql.sources.LessThan("uq", 64L),
+          org.apache.spark.sql.sources.LessThan("vq", 64L))
+        val lst = graft.sources.TxTable.logicalStats(m)
+        val sch = graft.sources.TxTransforms.skipSchema(schema, m)
+        val proj = graft.sources.TxTransforms.withProjections(box, m)
+        m.files.count { f =>
+          !proj.exists(fl => graft.sources.TxStats.excludes(
+            lst.getOrElse(f, Map.empty), sch, fl))
+        }
+      }
+      val keptBefore = kept(m4)
+      require(keptBefore >= 4,
+        s"fixture must start unprunable inside the day: $keptBefore")
+      val v = graft.sources.TxTable.compactZOrderWhere(s, tbl,
+        Seq("uq", "vq"), scope, numFiles = 8, bits = 8)
+      val mz = graft.sources.TxTable.readManifest(root, v)
+      // the scoped day's ordinal, via the same epoch-second floor the
+      // transform derives paths with (timezone-independent)
+      val dayOrd = Math.floorDiv(java.sql.Timestamp
+        .valueOf("2024-01-10 00:00:00").getTime / 1000L, 86400L)
+      val otherBefore = m4.files.filterNot(_.contains(s"ts_day=$dayOrd"))
+      require(otherBefore.nonEmpty &&
+          otherBefore.forall(f => mz.files.contains(f) &&
+            mz.stats.get(f) == m4.stats.get(f)),
+        "out-of-scope day directories must carry forward verbatim")
+      require(kept(mz) < keptBefore,
+        s"scoped zorder must narrow the box: ${kept(mz)} vs $keptBefore")
+      graft.sources.TxTable.readVersion(s, tbl, v)
+        .select(col("event_id"), col("user_id"), col("uq"), col("vq"))
+        .orderBy("event_id")
+    }),
     // ----- schema evolution certified end-to-end: an opted-in
     // mergeSchema append widens the table by-name (old rows read NULL
     // for the new column, the appended frame NULL for the one it
@@ -1929,6 +1997,13 @@ private[graft] object QueriesSearchOps {
       ("""SELECT CAST(4 AS BIGINT) AS version, doc_id, lang, n_chars
          |FROM documents WHERE lang IN ('en', 'de', 'fr')
          |ORDER BY doc_id""".stripMargin),
+    // the scoped zorder rewrite moved one day's bytes, never rows: the
+    // post-rewrite snapshot replays as the raw events (quantized keys
+    // recomputed by the same integer arithmetic)
+    "ops_zorder_part" ->
+      ("""SELECT event_id, user_id, user_id % 256 AS uq,
+         |  CAST(floor(value * 1000) AS BIGINT) % 256 AS vq
+         |FROM events ORDER BY event_id""".stripMargin),
     // identical content through the CALL + time-travel SQL surface
     "ops_optimize_sql" ->
       ("""SELECT CAST(4 AS BIGINT) AS version, doc_id, lang, n_chars

@@ -458,6 +458,7 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
         Identifier.of(namespace, "vacuum"),
         Identifier.of(namespace, "restore"),
         Identifier.of(namespace, "zorder"),
+        Identifier.of(namespace, "zorder_where"),
         Identifier.of(namespace, "checkpoint"))
     else Array.empty
 
@@ -483,11 +484,13 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
       case "vacuum"  => TxProcedures.vacuum(resolve)
       case "restore" => TxProcedures.restore(resolve)
       case "zorder"  => TxProcedures.zorder(resolve)
+      case "zorder_where" => TxProcedures.zorderWhere(resolve)
       case "compact_where" => TxProcedures.compactWhere(resolve)
       case "checkpoint" => TxProcedures.checkpoint(resolve)
       case other => throw new IllegalArgumentException(
         s"unknown procedure system.$other (have: compact, " +
-          "compact_where, vacuum, restore, zorder, checkpoint)")
+          "compact_where, vacuum, restore, zorder, zorder_where, " +
+          "checkpoint)")
     }
   }
 
@@ -1976,38 +1979,93 @@ private[graft] object TxProcedures {
             val spark = SparkSession.active
             val dir = resolve(args.getUTF8String(0).toString)
             val target = args.getLong(1)
-            val predStr = args.getUTF8String(2).toString
-            val v0 = TxTable.latestVersion(dir.toString).get
-            val schema = org.apache.spark.sql.types.DataType.fromJson(
-                TxTable.readManifestLite(dir, v0).schemaJson)
-              .asInstanceOf[StructType]
-            val parsed =
-              spark.sessionState.sqlParser.parseExpression(predStr)
-            val attrs = org.apache.spark.sql.catalyst.types.DataTypeUtils
-              .toAttributes(schema)
-            // analyze for resolution + type coercion, then fold the
-            // coercion casts so literal sides are plain Literals (what
-            // the source-filter translation requires)
-            val analyzed = org.apache.spark.sql.catalyst.optimizer
-              .ConstantFolding(spark.sessionState.analyzer.execute(
-                org.apache.spark.sql.catalyst.plans.logical.Filter(parsed,
-                  org.apache.spark.sql.catalyst.plans.logical
-                    .LocalRelation(attrs))))
-            val cond = analyzed.collectFirst {
-              case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-                f.condition
-            }.getOrElse(throw new IllegalArgumentException(
-              s"predicate '$predStr' analyzed away"))
-            val filters = TxRowLevel.splitConjuncts(cond).map { c =>
-              org.apache.spark.sql.graftbridge.GraftBridge
-                .translateFilter(c).getOrElse(
-                  throw new IllegalArgumentException(
-                    s"conjunct '${c.sql}' of '$predStr' is not " +
-                      "stats-evaluable — a scope that cannot skip is " +
-                      "not a scope"))
-            }
+            val filters = parseScope(spark, dir,
+              args.getUTF8String(2).toString)
             val v = TxTable.compact(spark, dir.toString, target,
               scope = filters)
+            oneRowScan(
+              StructType(Seq(StructField("new_version", LongType, false))),
+              new GenericInternalRow(Array[Any](v)))
+          }
+        }
+    }
+
+  /** The shared scope front-end of `compact_where` / `zorder_where`:
+    * parse + analyze a SQL predicate string against the table's
+    * CURRENT schema (full type coercion, so `n > 400` meets a BIGINT
+    * column as a BIGINT), fold the coercion casts so literal sides are
+    * plain Literals, split into conjuncts, and translate every
+    * conjunct into a stats-evaluable source filter — an untranslatable
+    * conjunct refuses loudly rather than silently rewriting the whole
+    * table (a scope that cannot skip is not a scope). */
+  private def parseScope(spark: SparkSession, dir: Path, predStr: String)
+      : Seq[org.apache.spark.sql.sources.Filter] = {
+    val v0 = TxTable.latestVersion(dir.toString).get
+    val schema = org.apache.spark.sql.types.DataType.fromJson(
+        TxTable.readManifestLite(dir, v0).schemaJson)
+      .asInstanceOf[StructType]
+    val parsed = spark.sessionState.sqlParser.parseExpression(predStr)
+    val attrs = org.apache.spark.sql.catalyst.types.DataTypeUtils
+      .toAttributes(schema)
+    val analyzed = org.apache.spark.sql.catalyst.optimizer
+      .ConstantFolding(spark.sessionState.analyzer.execute(
+        org.apache.spark.sql.catalyst.plans.logical.Filter(parsed,
+          org.apache.spark.sql.catalyst.plans.logical
+            .LocalRelation(attrs))))
+    val cond = analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition
+    }.getOrElse(throw new IllegalArgumentException(
+      s"predicate '$predStr' analyzed away"))
+    TxRowLevel.splitConjuncts(cond).map { c =>
+      org.apache.spark.sql.graftbridge.GraftBridge
+        .translateFilter(c).getOrElse(
+          throw new IllegalArgumentException(
+            s"conjunct '${c.sql}' of '$predStr' is not " +
+              "stats-evaluable — a scope that cannot skip is " +
+              "not a scope"))
+    }
+  }
+
+  /** `CALL cat.system.zorder_where('db.t', 'x,y', '<pred>', n)` — the
+    * Delta `OPTIMIZE WHERE … ZORDER BY` shape: only files the manifest
+    * stats/blooms cannot prove predicate-free are rewritten into
+    * z-order; everything else carries verbatim
+    * ([[TxTable.compactZOrderWhere]]). Composes with hidden
+    * partitioning — `days(ts)` tables get 2-D clustering inside one
+    * day without touching the rest. */
+  def zorderWhere(resolve: String => Path): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = "zorder_where"
+      override def description(): String =
+        "predicate-scoped OPTIMIZE ZORDER: rewrite only in-scope files " +
+          "clustered by the Morton interleave of the named columns " +
+          "(TxTable.compactZOrderWhere)"
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = "zorder_where"
+          override def parameters(): Array[ProcedureParameter] = Array(
+            ProcedureParameter.in("table", StringType)
+              .comment("dotted table name under the warehouse root").build(),
+            ProcedureParameter.in("z_cols", StringType)
+              .comment("comma-separated z-order keys (non-negative " +
+                "int/long data columns)").build(),
+            ProcedureParameter.in("where", StringType)
+              .comment("SQL predicate over table columns; every " +
+                "conjunct must be stats-evaluable").build(),
+            ProcedureParameter.in("num_files", IntegerType)
+              .comment("output file count (range partitions)").build())
+          override def isDeterministic: Boolean = false // commits a version
+          override def call(args: InternalRow): util.Iterator[Scan] = {
+            val spark = SparkSession.active
+            val dir = resolve(args.getUTF8String(0).toString)
+            val zCols = args.getUTF8String(1).toString.split(',')
+              .map(_.trim).filter(_.nonEmpty).toSeq
+            require(zCols.nonEmpty, "z_cols must name at least one column")
+            val filters = parseScope(spark, dir,
+              args.getUTF8String(2).toString)
+            val v = TxTable.compactZOrderWhere(spark, dir.toString,
+              zCols, filters, args.getInt(3))
             oneRowScan(
               StructType(Seq(StructField("new_version", LongType, false))),
               new GenericInternalRow(Array[Any](v)))

@@ -921,6 +921,40 @@ object TxTable {
                       zCols: Seq[String], numFiles: Int,
                       bits: Int = 16,
                       primitive: CommitPrimitive = PosixLinkPrimitive)
+      : Long =
+    compactZOrderWhere(spark, tableDir, zCols, Nil, numFiles, bits,
+      primitive)
+
+  /** Predicate-scoped ZORDER (the Delta `OPTIMIZE WHERE … ZORDER BY`
+    * shape): when `scope` is non-empty, only files the manifest
+    * stats/blooms CANNOT prove predicate-free are rewritten into
+    * z-order — everything else carries forward VERBATIM with its stats
+    * and blooms, exactly [[compact]]'s candidate selection. At 100 TB
+    * that is how a `days(ts)` event table gets 2-D clustering inside
+    * yesterday's partition without touching a year of history.
+    *
+    * Works on transform-partitioned tables too: the hidden fields
+    * re-derive through [[TxTransforms.deriveColumn]] (the SAME
+    * derivation every commit stages with, so the rewritten files land
+    * under bit-identical partition paths), the range key is
+    * (partition values…, z), and the partitionBy write re-splits mixed
+    * range-partitions by value while `sortWithinPartitions` on the
+    * same prefix preserves the within-value z order. A transform's
+    * SOURCE column is a legal z-order key — it still varies within
+    * each derived value (zordering `ts` inside a `days(ts)` layout is
+    * the canonical use); IDENTITY partition columns stay refused
+    * (their layout is already their directory).
+    *
+    * Merge-on-read interaction: a scoped rewrite folds tombstones
+    * first ([[purgeDeletes]], the [[compact]] recipe — a kept file's
+    * sidecar must stay authoritative, so the base is cleaned in its
+    * own time-travelable version); the full rewrite reads DV-aware in
+    * one pass and publishes clean. */
+  def compactZOrderWhere(spark: SparkSession, tableDir: String,
+                         zCols: Seq[String],
+                         scope: Seq[org.apache.spark.sql.sources.Filter],
+                         numFiles: Int, bits: Int = 16,
+                         primitive: CommitPrimitive = PosixLinkPrimitive)
       : Long = {
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
     val root = Paths.get(tableDir)
@@ -928,34 +962,62 @@ object TxTable {
       throw new IllegalStateException(
         s"no committed version under $tableDir/$LogDir"))
     val m = readManifest(root, v)
+    if (scope.nonEmpty && m.dvDirs.nonEmpty) {
+      purgeDeletes(spark, tableDir, primitive): Unit
+      return compactZOrderWhere(spark, tableDir, zCols, scope, numFiles,
+        bits, primitive)
+    }
     val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
     zCols.foreach(c => require(
       schema.fieldNames.contains(c), s"zorder column '$c' is not in " +
         s"the table schema ${schema.simpleString}"))
-    zCols.foreach(c => require(!m.partitionColumns.contains(c),
+    val identityParts = TxTransforms.identityNames(m).toSet
+    zCols.foreach(c => require(!identityParts.contains(c),
       "zorder columns must be data columns — a partition column's " +
         "layout is already its directory"))
-    require(m.partitionTransforms.isEmpty,
-      "OPTIMIZE ZORDER is not supported on a transform-partitioned " +
-        "table yet — compact() preserves the hidden layout; relayout " +
-        "with an overwrite to zorder")
     val zc = "__graft_z"
     require(!schema.fieldNames.contains(zc),
       s"table may not have a '$zc' column")
-    val cols = schema.fieldNames.toSeq.map(functions.col)
+    val hidden = TxTransforms.spec(m).filterNot(_.isIdentity)
+    require(!hidden.exists(_.name == zc),
+      s"table may not have a '$zc' partition field")
+    // candidate selection: identical to [[compact]]'s — conservative
+    // (file granularity; a kept file may hold no matching row), with
+    // transform projections so a source-column scope prunes hidden
+    // layouts
+    val (lst, lbl) = (logicalStats(m), logicalBlooms(m))
+    val scopeFs = TxTransforms.withProjections(scope, m)
+    val scopeSch = TxTransforms.skipSchema(schema, m)
+    val (scoped, untouched) =
+      if (scope.isEmpty) (m.files, Seq.empty[String])
+      else m.files.partition { f =>
+        val st = lst.getOrElse(f, Map.empty[String, TxStats.ColStat])
+        val bl = lbl.getOrElse(f, Map.empty[String, TxStats.FileBloom])
+        !scopeFs.exists(fl =>
+          TxStats.excludes(st, scopeSch, fl) ||
+            TxStats.bloomExcludes(bl, fl))
+      }
+    if (scoped.isEmpty) return v // nothing in scope: version-free no-op
     // on a partitioned table the range key is (partition cols..., z):
     // the clustering happens WITHIN each partition value (the staged
     // partitionBy write then re-splits mixed range-partitions by value,
     // preserving the within-value z order — sortWithinPartitions keys
-    // on the same prefix)
+    // on the same prefix). Hidden fields re-derive from the logical
+    // frame exactly as the commit path stages them.
     val rangeKey =
       m.partitionColumns.map(functions.col) :+ functions.col(zc)
-    val zsorted = readVersion(spark, tableDir, v)
+    val keepCols =
+      (schema.fieldNames.toSeq ++ hidden.map(_.name)).map(functions.col)
+    val base = readSnapshotFiles(spark, tableDir, schema,
+      TxTransforms.identityNames(m), scoped, m.dvDirs,
+      mapping = m.columnMapping)
+    val zsorted = hidden.foldLeft(base)((d, f) =>
+        d.withColumn(f.name, TxTransforms.deriveColumn(f, schema)))
       .withColumn(zc,
         Layout.zValueN(zCols.map(functions.col), bits))
       .repartitionByRange(numFiles, rangeKey: _*)
       .sortWithinPartitions(rangeKey: _*)
-      .select(cols: _*)
+      .select(keepCols: _*)
     val zPhys = toPhysical(zsorted, m.columnMapping)
     val staged =
       if (m.partitionColumns.isEmpty) stageData(zPhys, tableDir)
@@ -967,19 +1029,24 @@ object TxTable {
     val bloomCols = m.blooms.values.flatMap(_.keys).toSet.toSeq.sorted
     val newBlooms = TxStats.buildFileBlooms(spark,
       root.resolve(staged.dataRel), staged.files,
-      physicalSchema(schema, m.columnMapping), bloomCols)
-    // full rewrite through the DV-aware readVersion: tombstoned rows
-    // were never read, so the new layout has MATERIALIZED the deletes
-    // and carries no deletion vectors
-    val manifest = Manifest(v + 1, "zorder", m.schemaJson, staged.files,
-      m.txns, staged.stats, newBlooms, m.partitionColumns,
+      zPhys.schema, bloomCols)
+    // full rewrite through the DV-aware read: tombstoned rows were
+    // never read, so the new layout has MATERIALIZED the deletes and
+    // carries no deletion vectors (the scoped arm purged first — its
+    // kept files are clean too)
+    val untouchedSet = untouched.toSet
+    val keptStats = m.stats.view.filterKeys(untouchedSet).toMap
+    val keptBlooms = m.blooms.view.filterKeys(untouchedSet).toMap
+    val manifest = Manifest(v + 1, "zorder", m.schemaJson,
+      untouched ++ staged.files, m.txns, keptStats ++ staged.stats,
+      keptBlooms ++ newBlooms, m.partitionColumns,
       m.constraints, Nil, m.properties, m.columnMapping,
       partitionTransforms = m.partitionTransforms)
     // same byte-moving reconciliation as [[compact]]: the rewrite
-    // consumed EVERY base file, so a lost race keeps only the winners'
-    // new files alongside the z-ordered output
+    // consumed every SCOPED file, so a lost race keeps only the
+    // winners' new files alongside the z-ordered output
     publishRebasing(root, manifest, Some(m),
-      rebaseRewrite(m, m.files, staged.files, staged.stats, newBlooms,
+      rebaseRewrite(m, scoped, staged.files, staged.stats, newBlooms,
         "zorder", Nil),
       primitive, () => discardStaged(tableDir, Seq(staged)))
   }

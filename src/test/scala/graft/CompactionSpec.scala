@@ -123,4 +123,38 @@ class CompactionSpec extends SparkSpec {
     assert(e.getMessage.contains("stats-evaluable"))
     assert(TxTable.latestVersion(tbl) == Some(3L))
   }
+
+  test("CALL system.zorder_where rewrites only in-scope files into z-order") {
+    import spark.implicits._
+    import graft.sources.TxTable
+    val wh = java.nio.file.Files.createTempDirectory("zow-sql-").toString
+    spark.conf.set("spark.sql.catalog.txzw", "graft.sources.TxCatalog")
+    spark.conf.set("spark.sql.catalog.txzw.root", wh)
+    val tbl = s"$wh/db/t"
+    // two commits: one low-id slab (in scope), one high-id (out)
+    TxTable.commit((0L until 64L).map(i => (i, i % 16, (i * 7) % 16))
+      .toDF("id", "x", "y"), tbl, "overwrite")
+    TxTable.commit((1000L until 1064L).map(i => (i, i % 16, (i * 7) % 16))
+      .toDF("id", "x", "y"), tbl, "append")
+    val m2 = TxTable.readManifest(java.nio.file.Paths.get(tbl), 2L)
+    val v = spark.sql(
+      "CALL txzw.system.zorder_where('db.t', 'x,y', 'id < 100', 4)")
+      .head().getLong(0)
+    assert(v == 3L)
+    val m3 = TxTable.readManifest(java.nio.file.Paths.get(tbl), 3L)
+    assert(m3.op == "zorder")
+    // the high-id slab carried verbatim; the low-id slab rewrote
+    val highFiles = m2.files.filter(f =>
+      m2.stats.get(f).exists(_.get("id").exists(_.min.toLong >= 1000L)))
+    assert(highFiles.nonEmpty && highFiles.forall(m3.files.contains))
+    val lowFiles = m2.files.filterNot(highFiles.contains)
+    assert(lowFiles.forall(f => !m3.files.contains(f)))
+    assert(spark.sql("SELECT count(*) FROM txzw.db.t").head()
+      .getLong(0) == 128L)
+    // an identity partition z-col or untranslatable scope still refuses
+    val e = intercept[Exception](spark.sql(
+      "CALL txzw.system.zorder_where('db.t', 'x,y', 'length(CAST(id AS STRING)) > 0', 4)"))
+    assert(e.getMessage.contains("stats-evaluable"))
+    assert(TxTable.latestVersion(tbl) == Some(3L))
+  }
 }

@@ -386,8 +386,82 @@ class TxTransformSpec extends SparkSpec {
     val e2 = intercept[Exception](
       TxTable.evolveColumns(spark, tbl, drop = Seq("id")))
     assert(e2.getMessage.contains("partition transform"), e2.getMessage)
-    val e3 = intercept[Exception](
-      TxTable.compactZOrder(spark, tbl, "id", "id", 2))
-    assert(e3.getMessage.contains("transform-partitioned"), e3.getMessage)
+    // ZORDER composes with the hidden layout (r19): the rewrite
+    // re-derives the bucket dirs and clusters within each bucket value
+    val vz = TxTable.compactZOrder(spark, tbl, "id", "id", 2)
+    val mz = TxTable.readManifest(Paths.get(tbl), vz)
+    assert(mz.op == "zorder")
+    assert(mz.partitionTransforms == m.partitionTransforms)
+    assert(mz.files.forall(_.contains("id_bucket=")),
+      "the zorder rewrite lost the hidden layout")
+    assert(TxTable.read(spark, tbl).count() == 21L)
+  }
+
+  test("scoped ZORDER inside one day of a days(ts) layout: other days verbatim, box probe narrows") {
+    import graft.sources.TxStats
+    import org.apache.spark.sql.sources.{Filter, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+    val tbl = tmp()
+    val day = 86400L
+    def t(d: Long, s: Long) = new java.sql.Timestamp((d * day + s) * 1000L)
+    // 3 days × 6 commits: each day holds 6 files (optimized write →
+    // one file per day per commit) whose (x, y) extents each span
+    // nearly the whole 16×16 plane — the worst case for a 2-D probe
+    (0 until 6).foreach { c =>
+      val rows = for (d <- 0L until 3L; i <- 0L until 64L if i % 6 == c)
+        yield (d * 1000L + i, t(d, i * 60L), i % 16, (i * 7) % 16)
+      TxTable.commit(rows.toDF("id", "ts", "x", "y"), tbl,
+        if (c == 0) "overwrite" else "append",
+        partitionSpec = if (c == 0) Some(Seq(
+          TxTransforms.PartitionField("ts_day", "days", "ts"))) else None)
+    }
+    val before = TxTable.readManifest(Paths.get(tbl), 6L)
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(before.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val day1: Seq[Filter] = Seq(
+      GreaterThanOrEqual("ts", t(1, 0)), LessThan("ts", t(2, 0)))
+    val box: Seq[Filter] = day1 ++ Seq(
+      GreaterThanOrEqual("x", 0L), LessThanOrEqual("x", 3L),
+      GreaterThanOrEqual("y", 0L), LessThanOrEqual("y", 3L))
+    def kept(m: TxTable.Manifest, fs: Seq[Filter]): Int = {
+      val lst = TxTable.logicalStats(m)
+      val sch = TxTransforms.skipSchema(schema, m)
+      val proj = TxTransforms.withProjections(fs, m)
+      m.files.count { f =>
+        !proj.exists(fl => TxStats.excludes(
+          lst.getOrElse(f, Map.empty), sch, fl))
+      }
+    }
+    val keptBefore = kept(before, box)
+    assert(keptBefore >= 4,
+      s"fixture must start unprunable inside day 1, kept=$keptBefore")
+    // out-of-range scope: version-free no-op
+    assert(TxTable.compactZOrderWhere(spark, tbl, Seq("x", "y"),
+      Seq(GreaterThanOrEqual("ts", t(99, 0))), numFiles = 8) == 6L)
+    val v = TxTable.compactZOrderWhere(spark, tbl, Seq("x", "y"), day1,
+      numFiles = 8, bits = 4)
+    assert(v == 7L)
+    val after = TxTable.readManifest(Paths.get(tbl), 7L)
+    assert(after.op == "zorder")
+    assert(after.partitionTransforms == before.partitionTransforms)
+    // every other day's files carried VERBATIM, stats untouched
+    val otherBefore = before.files.filterNot(_.contains("ts_day=1")).toSet
+    val otherAfter = after.files.filterNot(_.contains("ts_day=1")).toSet
+    assert(otherBefore == otherAfter, "days 0/2 must carry verbatim")
+    otherBefore.foreach(f =>
+      assert(after.stats.get(f) == before.stats.get(f)))
+    // day 1's files all rewritten, still under the hidden layout
+    val day1After = after.files.filter(_.contains("ts_day=1"))
+    assert(day1After.nonEmpty &&
+      day1After.forall(f => !before.files.contains(f)))
+    // identical content; the pre-rewrite layout stays time-travelable
+    def content(ver: Long) = TxTable.readVersion(spark, tbl, ver)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    assert(content(7L) == content(6L))
+    // the 2-D box probe inside day 1 keeps strictly fewer candidates
+    val keptAfter = kept(after, box)
+    assert(keptAfter < keptBefore && keptAfter <= keptBefore / 2,
+      s"scoped zorder must narrow day 1's box: $keptAfter vs $keptBefore")
   }
 }
