@@ -409,6 +409,55 @@ private[graft] object QueriesEventsStreaming {
       }
       graft.sources.TxTable.read(s, dst).orderBy("doc_id")
     }),
+    // ----- FILE-GRANULAR admission (r19 — the Delta
+    // maxFilesPerTrigger dual): one table-sized version (a multi-file
+    // overwrite snapshot, the restarted-replica worst case) drains as
+    // ceil(files/3) bounded micro-batches, the offset advancing
+    // THROUGH the version's immutable sorted file list (TxCdfOffset
+    // idx) with a checkpoint between each — batch count and the first
+    // PARTIAL committed offset are require-pinned; the drained rows
+    // hash-match the source exactly once across the partial-offset
+    // checkpoints -----
+    "stream_txcdf_files" -> ((s: SparkSession, dir: String) => {
+      val base = scratchDir("graft-txcdff-")
+      val tbl = s"$base/tbl"
+      graft.sources.TxTable.commit(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .filter(col("lang") === "en").repartition(10),
+        tbl, "overwrite")
+      val nFiles = graft.sources.TxTable.readManifest(
+        java.nio.file.Paths.get(tbl), 1L).files.size
+      require(nFiles >= 4,
+        s"fixture needs a multi-file version, got $nFiles files")
+      val out = s"$base/out"
+      DrainLock.synchronized {
+        val saved = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val q = s.readStream.format("graft-txcdf").option("path", tbl)
+            .option("maxFilesPerTrigger", "3").load()
+            .drop("_commit_version")
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", s"$base/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+      }
+      val expected = (nFiles + 2) / 3
+      val batches = new java.io.File(s"$base/ckpt/offsets").listFiles()
+        .map(_.getName).filterNot(_.startsWith(".")).map(_.toLong).sorted
+      require(batches.length == expected,
+        s"a $nFiles-file version under maxFilesPerTrigger=3 must drain " +
+          s"as $expected batches, got ${batches.toSeq}")
+      val first = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$base/ckpt/offsets/0")), "UTF-8")
+      require(first.contains("1:3"),
+        s"the first committed offset must be partial (1:3): $first")
+      s.read.parquet(out).select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    }),
     // ----- the CDF composed with STATEFUL streaming dedup — the
     // incremental-ingest topology the feed exists for: commit v2
     // re-appends every en row (planted duplicates), the tailed feed
@@ -768,6 +817,11 @@ private[graft] object QueriesEventsStreaming {
       ("""SELECT doc_id, lang, n_chars FROM documents
          |WHERE lang IN ('en', 'de', 'fr')
          |ORDER BY doc_id""".stripMargin),
+    // the file-capped drain moved the same rows, just in more batches:
+    // a duplicated or dropped slice of the 10-file version breaks this
+    "stream_txcdf_files" ->
+      ("""SELECT doc_id, lang, n_chars FROM documents
+         |WHERE lang = 'en' ORDER BY doc_id""".stripMargin),
     // first-occurrence dedup over the duplicated feed: every doc once
     // (the v2 en re-appends vanish into dropDuplicates' state)
     "stream_txcdf_dedup" ->

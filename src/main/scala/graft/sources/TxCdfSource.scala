@@ -137,8 +137,26 @@ private[graft] class TxCdfTable(tableSchema: StructType, path: String,
     }
 }
 
-private[sources] case class TxCdfOffset(v: Long) extends Offset {
-  override def json(): String = v.toString
+/** A stream position: version `v`, optionally PARTIAL at file index
+  * `idx` (`idx = -1` — the legacy form — means v is fully drained;
+  * `idx >= 1` means the first `idx` entries of v's immutable, sorted
+  * serveable-file list are drained). Exactly-once holds because a
+  * published version's file list never changes — the same (v, idx)
+  * names the same rows on every replay. JSON stays the bare version
+  * number for full offsets, so pre-file-granular checkpoints
+  * deserialize unchanged; partial offsets serialize as "v:idx". */
+private[sources] case class TxCdfOffset(v: Long, idx: Long = -1L)
+    extends Offset {
+  override def json(): String = if (idx < 0) v.toString else s"$v:$idx"
+}
+
+private[sources] object TxCdfOffset {
+  def parse(json: String): TxCdfOffset = json.split(':') match {
+    case Array(v) => TxCdfOffset(v.toLong)
+    case Array(v, i) => TxCdfOffset(v.toLong, i.toLong)
+    case _ => throw new IllegalArgumentException(
+      s"graft-txcdf: unparseable offset '$json'")
+  }
 }
 
 private[graft] class TxCdfStream(tableSchema: StructType, dir: String,
@@ -161,6 +179,30 @@ private[graft] class TxCdfStream(tableSchema: StructType, dir: String,
         s">= 1, got $n")
       n
     }
+  /** FILE-GRANULAR admission (the Delta/file-source
+    * `maxFilesPerTrigger` / `maxBytesPerTrigger` dual): a single
+    * table-sized version — an initial snapshot, an overwrite backfill —
+    * is no longer one giant batch; the offset advances THROUGH the
+    * version's immutable sorted file list ([[TxCdfOffset]] idx), so a
+    * restarted replica stream facing a 100k-file overwrite drains it
+    * as bounded micro-batches with a checkpoint between each. At least
+    * one file is always admitted per batch (a byte cap smaller than
+    * one file over-shoots by that file, the standard file-source
+    * contract), so the stream never stalls. */
+  private val maxFilesPerTrigger: Option[Int] =
+    Option(options.get("maxFilesPerTrigger")).map { s =>
+      val n = s.toInt
+      require(n >= 1, s"graft-txcdf: maxFilesPerTrigger must be " +
+        s">= 1, got $n")
+      n
+    }
+  private val maxBytesPerTrigger: Option[Long] =
+    Option(options.get("maxBytesPerTrigger")).map { s =>
+      val n = s.toLong
+      require(n >= 1L, s"graft-txcdf: maxBytesPerTrigger must be " +
+        s">= 1, got $n")
+      n
+    }
   private def currentLatest: Long =
     math.max(TxTable.latestVersion(dir).getOrElse(0L), startingVersion - 1)
   // Trigger.AvailableNow pins the drain's end BEFORE the first batch so
@@ -172,23 +214,74 @@ private[graft] class TxCdfStream(tableSchema: StructType, dir: String,
 
   override def initialOffset(): Offset = TxCdfOffset(startingVersion - 1)
   override def getDefaultReadLimit: ReadLimit =
-    maxVersionsPerTrigger.map(n => ReadLimit.maxFiles(n))
-      .getOrElse(ReadLimit.allAvailable())
+    if (maxVersionsPerTrigger.isEmpty && maxFilesPerTrigger.isEmpty &&
+        maxBytesPerTrigger.isEmpty) ReadLimit.allAvailable()
+    else ReadLimit.maxFiles(maxFilesPerTrigger
+      .orElse(maxVersionsPerTrigger).getOrElse(Int.MaxValue))
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val vs = start.asInstanceOf[TxCdfOffset].v
-    val end0 = availableNowEnd.getOrElse(currentLatest)
-    val end = limit match {
-      case mf: ReadMaxFiles => math.min(end0, vs + mf.maxFiles())
-      case _ => end0
+    val s = start.asInstanceOf[TxCdfOffset]
+    val latest = availableNowEnd.getOrElse(currentLatest)
+    // a ReadAllAvailable limit (no caps configured, or an explicit
+    // drain-everything trigger) ends at the pinned/current head, whole
+    if (limit.isInstanceOf[
+        org.apache.spark.sql.connector.read.streaming.ReadAllAvailable])
+      return if (latest > s.v || s.idx >= 0) TxCdfOffset(latest) else s
+    if (maxFilesPerTrigger.isEmpty && maxBytesPerTrigger.isEmpty) {
+      // versions-only cap: pure offset arithmetic, zero manifest IO
+      // (the pre-file-granular fast path). A partial start counts its
+      // remainder as the first of the n versions.
+      val n = maxVersionsPerTrigger.getOrElse(Int.MaxValue).toLong
+      val base = if (s.idx >= 0) s.v - 1 else s.v
+      val end = math.min(latest, base + n)
+      return if (end > s.v || (end == s.v && s.idx >= 0))
+        TxCdfOffset(end) else s
     }
-    TxCdfOffset(math.max(end, vs))
+    // file/byte caps: walk the backlog's manifests (lite — O(batch
+    // files) driver metadata, the same walk planning re-runs) and stop
+    // mid-version when a cap lands inside one
+    val root = Paths.get(dir)
+    val vCap = maxVersionsPerTrigger.getOrElse(Int.MaxValue)
+    val fCap = maxFilesPerTrigger.map(_.toLong).getOrElse(Long.MaxValue)
+    val bCap = maxBytesPerTrigger.getOrElse(Long.MaxValue)
+    val startV = if (s.idx >= 0) s.v else s.v + 1
+    if (startV > latest) return s
+    var prevFiles: Set[String] =
+      if (startV <= 1L) Set.empty
+      else manifestOrRefuse(startV - 1).files.toSet
+    var files = 0L; var bytes = 0L; var versionsUsed = 0
+    var v = startV
+    var out = s
+    var stop = false
+    while (v <= latest && !stop) {
+      val m = manifestOrRefuse(v)
+      val fs = serveableFiles(v, m, prevFiles)
+      prevFiles = m.files.toSet
+      val from = if (v == s.v && s.idx >= 0) s.idx.toInt else 0
+      var i = from
+      while (i < fs.length && files < fCap && bytes < bCap) {
+        files += 1
+        bytes += (try java.nio.file.Files.size(root.resolve(fs(i)))
+          catch { case _: Exception => 0L })
+        i += 1
+      }
+      if (i < fs.length) { // a cap landed inside this version
+        out = TxCdfOffset(v, i); stop = true
+      } else {
+        out = TxCdfOffset(v)
+        versionsUsed += 1
+        if (versionsUsed >= vCap || files >= fCap || bytes >= bCap)
+          stop = true
+        v += 1
+      }
+    }
+    if (out == TxCdfOffset(s.v, s.idx)) s else out
   }
   override def reportLatestOffset(): Offset = TxCdfOffset(currentLatest)
   override def latestOffset(): Offset = throw new UnsupportedOperationException(
     "latestOffset(Offset, ReadLimit) should be called instead of this " +
       "method (SupportsAdmissionControl)")
   override def deserializeOffset(json: String): Offset =
-    TxCdfOffset(json.toLong)
+    TxCdfOffset.parse(json)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
@@ -207,6 +300,22 @@ private[graft] class TxCdfStream(tableSchema: StructType, dir: String,
     * the initial snapshot; everything in a fresh table is an insert. */
   private def servesAdds(v: Long, op: String): Boolean =
     v == 1L || op == "append" || op == "create"
+
+  /** The rows version v serves, as its immutable ORDERED file list —
+    * what [[TxCdfOffset]]'s file index counts, so the order must be
+    * identical on every replay: added data files in manifest order
+    * (sorted at commit) for add-serving commits; commit-time change
+    * files path-sorted for the cdc arm; empty for metadata-only,
+    * skipped, and refused commits (the refusal itself stays in
+    * [[planInputPartitions]] — admission must not throw while
+    * measuring a backlog it may never be asked to serve). */
+  private def serveableFiles(v: Long, m: TxTable.Manifest,
+                             prevFiles: Set[String]): Seq[String] =
+    if (servesAdds(v, m.op)) m.files.filterNot(prevFiles)
+    else if (cdc && m.changeDir.isDefined && !skipChangeCommits)
+      TxTable.walkParquet(Paths.get(dir).resolve(m.changeDir.get))
+        .map(_.toString).sorted
+    else Nil
 
   /** Files spell renamed columns by their PHYSICAL names
     * ([[TxTable.Manifest]] columnMapping) — stable across the whole
@@ -252,8 +361,8 @@ private[graft] class TxCdfStream(tableSchema: StructType, dir: String,
 
   override def planInputPartitions(start: Offset,
                                    end: Offset): Array[InputPartition] = {
-    val vs = start.asInstanceOf[TxCdfOffset].v
-    val ve = end.asInstanceOf[TxCdfOffset].v
+    val so = start.asInstanceOf[TxCdfOffset]
+    val eo = end.asInstanceOf[TxCdfOffset]
     val root = Paths.get(dir)
     val parts = Array.newBuilder[InputPartition]
     // readChangeFeed mode appends the constant change tag before the
@@ -264,13 +373,22 @@ private[graft] class TxCdfStream(tableSchema: StructType, dir: String,
       if (cdc) Seq(org.apache.spark.unsafe.types.UTF8String
         .fromString("insert"))
       else Nil
+    // a partial START offset re-enters its version at the recorded
+    // file index; a partial END offset stops inside its version — both
+    // slice the same immutable serveable-file order admission counted
+    val vStart = if (so.idx >= 0) so.v else so.v + 1
     // walk the range once, carrying the previous manifest's file set so
     // each manifest is read exactly once
     var prevFiles: Set[String] =
-      if (vs < 1L) Set.empty else manifestOrRefuse(vs).files.toSet
-    ((vs + 1) to ve).foreach { v =>
+      if (vStart <= 1L) Set.empty
+      else manifestOrRefuse(vStart - 1).files.toSet
+    (vStart to eo.v).foreach { v =>
       val m = manifestOrRefuse(v)
-      val added = m.files.filterNot(prevFiles)
+      val all = serveableFiles(v, m, prevFiles)
+      val from = if (v == so.v && so.idx >= 0) so.idx.toInt else 0
+      val until = if (v == eo.v && eo.idx >= 0) eo.idx.toInt
+        else all.length
+      val added = all.slice(from, until)
       prevFiles = m.files.toSet
       val idParts = TxTransforms.identityNames(m)
       if (servesAdds(v, m.op)) {
@@ -324,15 +442,15 @@ private[graft] class TxCdfStream(tableSchema: StructType, dir: String,
         // commit-time change files (TxTable CdfProperty): the change
         // rows ship through the same stock parquet machinery — ALL
         // table columns (partition values included) plus _change_type
-        // live in the files' bytes, only the version is appended
-        val cfs = TxTable.walkParquet(root.resolve(m.changeDir.get))
-        if (cfs.nonEmpty) {
+        // live in the files' bytes, only the version is appended. The
+        // sliced `added` IS the change-file list here (serveableFiles).
+        if (added.nonEmpty) {
           val changeSchema = StructType(physSchema.fields :+
             StructField(TxCdfSource.ChangeTypeColumn,
               org.apache.spark.sql.types.StringType))
           val scan = ParquetTable(s"txcdf-cdc $dir v$v",
             SparkSession.active, options,
-            cfs.map(_.toString).toList,
+            added.toList,
             Some(changeSchema), classOf[ParquetFileFormat])
             .newScanBuilder(options).build()
           val batch = scan.toBatch

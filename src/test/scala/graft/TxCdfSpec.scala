@@ -198,6 +198,73 @@ class TxCdfSpec extends SparkSpec {
       .mkString(" | ").contains("maxVersionsPerTrigger"))
   }
 
+  test("maxFilesPerTrigger drains a 10-file version as bounded micro-batches") {
+    val base = mkBase()
+    val tbl = s"$base/tbl"
+    // one table-sized version: 10 files in v1 (the overwrite-backfill
+    // shape that version-granular admission would ship as ONE batch)
+    TxTable.commit((0L until 100L).map(i => (i, s"r$i")).toDF("id", "s")
+      .repartition(10), tbl, "overwrite")
+    assert(TxTable.readManifest(java.nio.file.Paths.get(tbl), 1L)
+      .files.size == 10)
+    drain(tbl, s"$base/ckpt", s"$base/out",
+      Map("maxFilesPerTrigger" -> "3"))
+    // complete and exactly-once across the partial-offset checkpoints
+    val rows = got(s"$base/out")
+    assert(rows.size == 100 && rows.map(_._2) == (0L until 100L) &&
+      rows.forall(_._1 == 1L))
+    // ceil(10/3) = 4 micro-batches, each checkpointed
+    val batches = new java.io.File(s"$base/ckpt/offsets").listFiles()
+      .map(_.getName).filterNot(_.startsWith(".")).map(_.toLong).sorted
+    assert(batches.toSeq == Seq(0L, 1L, 2L, 3L),
+      s"expected 4 file-capped batches, got offsets ${batches.toSeq}")
+    // the first batch's committed offset is PARTIAL — version 1, file 3
+    val first = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$base/ckpt/offsets/0")), "UTF-8")
+    assert(first.contains("1:3"), first)
+  }
+
+  test("file-granular offsets replay exactly across a mid-version restart") {
+    val base = mkBase()
+    val tbl = s"$base/tbl"
+    TxTable.commit((0L until 100L).map(i => (i, s"r$i")).toDF("id", "s")
+      .repartition(10), tbl, "overwrite")
+    TxTable.commit(Seq((200L, "x")).toDF("id", "s"), tbl, "append")
+    val schema = org.apache.spark.sql.types.DataType.fromJson(
+        TxTable.readManifest(java.nio.file.Paths.get(tbl), 1L).schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    def stream(opts: Map[String, String]) = new graft.sources.TxCdfStream(
+      schema, tbl, 1L, false,
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        scala.jdk.CollectionConverters.MapHasAsJava(opts).asJava))
+    val s1 = stream(Map("maxFilesPerTrigger" -> "4"))
+    val lim = s1.getDefaultReadLimit
+    val o1 = s1.latestOffset(s1.initialOffset(), lim)
+    assert(o1.json == "1:4", o1.json)
+    val o2 = s1.latestOffset(o1, lim)
+    assert(o2.json == "1:8", o2.json)
+    // restart mid-version: a FRESH stream resumes from the checkpointed
+    // partial offset and walks the identical immutable file order —
+    // v1's 2-file remainder plus v2's single file fit one batch
+    val s2 = stream(Map("maxFilesPerTrigger" -> "4"))
+    val o3 = s2.latestOffset(s2.deserializeOffset(o2.json),
+      s2.getDefaultReadLimit)
+    assert(o3.json == "2", o3.json)
+    // nothing left: the offset must not move (no empty batches)
+    assert(s2.latestOffset(o3, s2.getDefaultReadLimit).json == "2")
+    // pre-file-granular checkpoints parse unchanged
+    assert(s2.deserializeOffset("7").json == "7")
+    // a byte cap smaller than one file still admits one (never stalls)
+    val sb = stream(Map("maxBytesPerTrigger" -> "1"))
+    val b1 = sb.latestOffset(sb.initialOffset(), sb.getDefaultReadLimit)
+    assert(b1.json == "1:1", b1.json)
+    // versions-only cap keeps its arithmetic fast path, partial starts
+    // counting their remainder as the first version of the batch
+    val sv = stream(Map("maxVersionsPerTrigger" -> "1"))
+    assert(sv.latestOffset(sv.deserializeOffset("1:8"),
+      sv.getDefaultReadLimit).json == "1")
+  }
+
   test("the batch drain answers the same rows as reading the versions directly") {
     val base = mkBase()
     val tbl = s"$base/tbl"
