@@ -213,6 +213,16 @@ private[graft] object QueriesSearchOps {
     "text_lmscore" -> ((s: SparkSession, dir: String) =>
       TextStats.lmScore(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
+    // ----- the ROUTED arm forced over the cap (r19 —
+    // TextStats.lmScoreAuto scaladoc): maxVocab=1 makes every corpus
+    // exceed the broadcast budget, so the count-table lookups run as
+    // plain shuffle joins — and the integer arithmetic answers the
+    // IDENTICAL oracle as text_lmscore, certifying that at 100× the
+    // query switches plans instead of refusing -----
+    "text_lmscore_big" -> ((s: SparkSession, dir: String) =>
+      TextStats.lmScoreAuto(Tables.documents(s, dir), "doc_id", "text",
+          maxVocab = 1L)
+        .orderBy("doc_id")),
     // ----- winnowing fingerprints (TextStats.winnowFingerprints
     // scaladoc: the MOSS local-min selection with the w+k-1 match
     // guarantee; codegen'd sequential gram hashes, row-local sliding
@@ -1530,6 +1540,35 @@ private[graft] object QueriesSearchOps {
         .orderBy("col_name")),
   )
 
+  /** The trigram-LM oracle, shared verbatim by `text_lmscore` (the
+    * broadcast arm) and `text_lmscore_big` (the forced shuffle arm) —
+    * one SQL, two physical plans, bit-identical integer results. */
+  private val LmScoreOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, text AS s FROM documents WHERE length(text) >= 3
+      |), g AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, length(s) - 1),
+      |      i -> s[i:i+2])) AS tri
+      |  FROM t
+      |), gb AS (
+      |  SELECT doc_id, tri, tri[1:2] AS bi FROM g
+      |), c3 AS (
+      |  SELECT tri, CAST(count(*) AS BIGINT) AS c3 FROM g GROUP BY tri
+      |), c2 AS (
+      |  SELECT tri[1:2] AS bi, CAST(count(*) AS BIGINT) AS c2
+      |  FROM g GROUP BY tri[1:2]
+      |), v AS (
+      |  SELECT CAST(count(DISTINCT tri[3:3]) AS BIGINT) AS v FROM g
+      |)
+      |SELECT gb.doc_id, CAST(count(*) AS BIGINT) AS tri_n,
+      |  CAST(((CAST(sum(c2.c2) AS BIGINT) + count(*) * first(v.v))
+      |      * 1000)
+      |    // (CAST(sum(c3.c3) AS BIGINT) + count(*)) AS BIGINT)
+      |    AS score_milli
+      |FROM gb JOIN c3 USING (tri) JOIN c2 USING (bi), v
+      |GROUP BY gb.doc_id ORDER BY gb.doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // same floor(x*1e10 + 0.5) long quantization + exact integer sum as
     // the engine — plain IEEE double ops, so both engines quantize every
@@ -1779,31 +1818,10 @@ private[graft] object QueriesSearchOps {
     // the trigram LM replayed: corpus counts via GROUP BY, the score
     // as the same fixed-point integer ratio (// division, BIGINT casts
     // before HUGEINT widening)
-    "text_lmscore" ->
-      ("""WITH t AS (
-         |  SELECT doc_id, text AS s FROM documents WHERE length(text) >= 3
-         |), g AS (
-         |  SELECT doc_id,
-         |    unnest(list_transform(range(1, length(s) - 1),
-         |      i -> s[i:i+2])) AS tri
-         |  FROM t
-         |), gb AS (
-         |  SELECT doc_id, tri, tri[1:2] AS bi FROM g
-         |), c3 AS (
-         |  SELECT tri, CAST(count(*) AS BIGINT) AS c3 FROM g GROUP BY tri
-         |), c2 AS (
-         |  SELECT tri[1:2] AS bi, CAST(count(*) AS BIGINT) AS c2
-         |  FROM g GROUP BY tri[1:2]
-         |), v AS (
-         |  SELECT CAST(count(DISTINCT tri[3:3]) AS BIGINT) AS v FROM g
-         |)
-         |SELECT gb.doc_id, CAST(count(*) AS BIGINT) AS tri_n,
-         |  CAST(((CAST(sum(c2.c2) AS BIGINT) + count(*) * first(v.v))
-         |      * 1000)
-         |    // (CAST(sum(c3.c3) AS BIGINT) + count(*)) AS BIGINT)
-         |    AS score_milli
-         |FROM gb JOIN c3 USING (tri) JOIN c2 USING (bi), v
-         |GROUP BY gb.doc_id ORDER BY gb.doc_id""".stripMargin),
+    "text_lmscore" -> LmScoreOracle,
+    // the routed arm answers the IDENTICAL oracle: a forced-over-cap
+    // run is the same ratio of integer sums through shuffle joins
+    "text_lmscore_big" -> LmScoreOracle,
     // integer-ppm commonness: every division is //, every window-free
     // sum cast to BIGINT before it can widen downstream arithmetic to
     // HUGEINT

@@ -926,13 +926,7 @@ object TextStats {
     * shorter than 3 characters emit nothing. */
   def lmScore(df: DataFrame, idCol: String, textCol: String,
               maxVocab: Long = 2000000L): DataFrame = {
-    val tris = TrackedCache.persistTracked(
-      df.select(col(idCol).as("doc_id"), col(textCol).as("__s"))
-        .where(length(col("__s")) >= 3)
-        .selectExpr("doc_id",
-          "explode(transform(sequence(1, char_length(__s) - 2), " +
-            "i -> substr(__s, i, 3))) AS tri")
-        .withColumn("bi", expr("substr(tri, 1, 2)")))
+    val tris = lmTrigrams(df, idCol, textCol)
     val c3 = tris.groupBy(col("tri")).agg(count(lit(1)).as("c3"))
     // ONE collect serves both the vocabulary guard and the broadcast:
     // a broadcast join collects its build side to the driver anyway, so
@@ -947,18 +941,69 @@ object TextStats {
     require(c3Rows.length <= maxVocab,
       s"lmScore: ${c3Rows.length} distinct trigrams exceeds " +
         s"maxVocab=$maxVocab — the count tables no longer broadcast; " +
-        "raise the cap or switch the joins below to plain (shuffle) " +
-        "joins")
-    val spark = df.sparkSession
-    val c3Local = spark.createDataFrame(
+        "raise the cap, or use lmScoreAuto to switch to shuffle joins " +
+        "automatically")
+    val c3Local = df.sparkSession.createDataFrame(
       java.util.Arrays.asList(c3Rows: _*), c3.schema)
+    lmFinish(tris, broadcast(c3Local), broadcastC2 = true)
+  }
+
+  /** [[lmScore]] with PLAN ROUTING instead of a refusal (the
+    * `asofJoinAuto`/`coActivityEdgesAuto` discipline): the same bounded
+    * fetch that guards the broadcast arm IS the router — under the cap
+    * the fetched rows broadcast exactly as [[lmScore]] does; above it
+    * the count tables stay distributed and the lookups become plain
+    * shuffle joins, so at 100× the corpus the query switches plans
+    * instead of dying. The two arms are BIT-IDENTICAL: the score is a
+    * ratio of integer sums, and a join's physical strategy cannot
+    * change which rows meet — both answer the same oracle (the forced
+    * over-cap arm is differential-certified in TextStatsSpec and
+    * oracle-certified as `text_lmscore_big`).
+    *
+    * Cost of the shuffle arm: the trigram table shuffles on `tri` and
+    * on `bi` (hash joins against the vocabulary-keyed count tables)
+    * instead of streaming past two broadcasts — the standard
+    * large-build-side trade, with AQE free to pick better at runtime. */
+  def lmScoreAuto(df: DataFrame, idCol: String, textCol: String,
+                  maxVocab: Long = 2000000L): DataFrame = {
+    val tris = lmTrigrams(df, idCol, textCol)
+    val c3 = tris.groupBy(col("tri")).agg(count(lit(1)).as("c3"))
+    val c3Rows =
+      c3.limit(math.min(maxVocab + 1, Int.MaxValue.toLong).toInt).collect()
+    if (c3Rows.length <= maxVocab) {
+      val c3Local = df.sparkSession.createDataFrame(
+        java.util.Arrays.asList(c3Rows: _*), c3.schema)
+      lmFinish(tris, broadcast(c3Local), broadcastC2 = true)
+    } else
+      // the vocabulary outgrew the broadcast budget: keep every count
+      // table distributed (c2's bigram vocabulary is bounded by c3's,
+      // but over the cap neither side is trustworthy driver-sized)
+      lmFinish(tris, c3, broadcastC2 = false)
+  }
+
+  /** The shared trigram explosion — one codegen'd pass, cached because
+    * both count aggregations and the final join re-read it. */
+  private def lmTrigrams(df: DataFrame, idCol: String,
+                         textCol: String): DataFrame =
+    TrackedCache.persistTracked(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("__s"))
+        .where(length(col("__s")) >= 3)
+        .selectExpr("doc_id",
+          "explode(transform(sequence(1, char_length(__s) - 2), " +
+            "i -> substr(__s, i, 3))) AS tri")
+        .withColumn("bi", expr("substr(tri, 1, 2)")))
+
+  /** The smoothing arithmetic shared by both arms: identical integer
+    * expressions, only the count tables' join strategy differs. */
+  private def lmFinish(tris: DataFrame, c3Side: DataFrame,
+                       broadcastC2: Boolean): DataFrame = {
     val c2 = tris.groupBy(col("bi")).agg(count(lit(1)).as("c2"))
     val v = tris.agg(
       countDistinct(expr("substr(tri, 3, 1)")).as("__v"))
     tris
-      .join(broadcast(c3Local), "tri")
-      .join(broadcast(c2), "bi")
-      .crossJoin(broadcast(v))
+      .join(c3Side, "tri")
+      .join(if (broadcastC2) broadcast(c2) else c2, "bi")
+      .crossJoin(broadcast(v)) // always 1 row
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("tri_n"),
         expr("((sum(c2) + count(1) * first(__v)) * 1000) div " +
