@@ -417,11 +417,17 @@ object TextStats {
     val top = wf.orderBy(col("freq").desc, col("word").asc).limit(topK)
       .select("word").collect().map(_.getString(0)).toSeq
     val dwords = wf.select(col("word"))
+    // the fetch is bounded BEFORE materializing (the lmScore guard
+    // discipline): limit(cap + 1) makes the guard itself cap-sized, and
+    // one extra row is exactly the over-cap proof — the distinct UTF-16
+    // code-unit set is intrinsically bounded, so this is belt-and-braces
+    // consistency, not an OOM fix
+    val charCap = (math.min(maxChars.toLong, Int.MaxValue.toLong - 1) + 1).toInt
     val chars = dwords
       .select(explode(filter(split(col("word"), ""), c => c =!= "")).as("c"))
-      .distinct().collect().map(_.getString(0)).toSeq
+      .distinct().limit(charCap).collect().map(_.getString(0)).toSeq
     require(chars.size <= maxChars,
-      s"corpus has ${chars.size} distinct characters (> cap $maxChars) — " +
+      s"corpus has more than $maxChars distinct characters (cap) — " +
         "a binary/multilingual blob corpus wants a byte-level vocabulary, " +
         "not this character fallback")
     val vocab = (top ++ chars).distinct
@@ -936,8 +942,7 @@ object TextStats {
     // vocabulary fails loudly instead of OOMing the driver collecting
     // it; the fetched rows are complete (and reusable as the broadcast
     // side) exactly when the guard passes.
-    val c3Rows =
-      c3.limit(math.min(maxVocab + 1, Int.MaxValue.toLong).toInt).collect()
+    val c3Rows = c3.limit(vocabFetchCap(maxVocab)).collect()
     require(c3Rows.length <= maxVocab,
       s"lmScore: ${c3Rows.length} distinct trigrams exceeds " +
         s"maxVocab=$maxVocab — the count tables no longer broadcast; " +
@@ -968,8 +973,7 @@ object TextStats {
                   maxVocab: Long = 2000000L): DataFrame = {
     val tris = lmTrigrams(df, idCol, textCol)
     val c3 = tris.groupBy(col("tri")).agg(count(lit(1)).as("c3"))
-    val c3Rows =
-      c3.limit(math.min(maxVocab + 1, Int.MaxValue.toLong).toInt).collect()
+    val c3Rows = c3.limit(vocabFetchCap(maxVocab)).collect()
     if (c3Rows.length <= maxVocab) {
       val c3Local = df.sparkSession.createDataFrame(
         java.util.Arrays.asList(c3Rows: _*), c3.schema)
@@ -979,6 +983,17 @@ object TextStats {
       // table distributed (c2's bigram vocabulary is bounded by c3's,
       // but over the cap neither side is trustworthy driver-sized)
       lmFinish(tris, c3, broadcastC2 = false)
+  }
+
+  /** How many vocabulary rows the guard fetch pulls: cap + 1 (one extra
+    * row is exactly the over-cap proof), CLAMPED into `limit`'s Int
+    * domain BEFORE the +1 — `maxVocab = Long.MaxValue` must mean "no
+    * practical cap", not overflow to `limit(0)` and silently broadcast
+    * an empty count table (every trigram would inner-join to nothing
+    * and the score column would come back empty instead of routing). */
+  private def vocabFetchCap(maxVocab: Long): Int = {
+    require(maxVocab >= 0, s"maxVocab must be >= 0, got $maxVocab")
+    (math.min(maxVocab, Int.MaxValue.toLong - 1) + 1).toInt
   }
 
   /** The shared trigram explosion — one codegen'd pass, cached because

@@ -179,14 +179,15 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
     * CREATE of the same name loses on the version-1 manifest and
     * surfaces as already-exists. `PARTITIONED BY` accepts identity
     * columns AND the hidden-partitioning transforms `bucket(n, col)`,
-    * `days(ts)`, `truncate(n, col)` ([[TxTransforms]] scaladoc):
-    * derived values land in file paths + min=max stats entries, the
-    * source column stays in file bytes, every INSERT inherits the
-    * spec, predicates on the source prune through the projected
-    * derived filters, and bucket layouts report
+    * the full time-grain family `years(ts)`/`months(ts)`/`days(ts)`/
+    * `hours(ts)`, and `truncate(n, col)` over strings/ints/longs
+    * ([[TxTransforms]] scaladoc): derived values land in file paths +
+    * min=max stats entries, the source column stays in file bytes,
+    * every INSERT inherits the spec, predicates on the source prune
+    * through the projected derived filters, and bucket layouts report
     * KeyGroupedPartitioning for storage-partitioned joins. Unsupported
-    * transforms (years/months/hours, arbitrary expressions) refuse
-    * loudly rather than being silently ignored. */
+    * transforms (arbitrary expressions) refuse loudly rather than
+    * being silently ignored. */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
@@ -2054,7 +2055,12 @@ private[graft] object TxProcedures {
               .comment("SQL predicate over table columns; every " +
                 "conjunct must be stats-evaluable").build(),
             ProcedureParameter.in("num_files", IntegerType)
-              .comment("output file count (range partitions)").build())
+              .comment("output file count (range partitions)").build(),
+            ProcedureParameter.in("bits", IntegerType).defaultValue("16")
+              .comment("interleave bits per z column — keys with values " +
+                ">= 2^bits truncate their high bits into noise, so widen " +
+                "this for wide-range keys (n_cols * bits must stay <= 63)")
+              .build())
           override def isDeterministic: Boolean = false // commits a version
           override def call(args: InternalRow): util.Iterator[Scan] = {
             val spark = SparkSession.active
@@ -2065,7 +2071,7 @@ private[graft] object TxProcedures {
             val filters = parseScope(spark, dir,
               args.getUTF8String(2).toString)
             val v = TxTable.compactZOrderWhere(spark, dir.toString,
-              zCols, filters, args.getInt(3))
+              zCols, filters, args.getInt(3), bits = args.getInt(4))
             oneRowScan(
               StructType(Seq(StructField("new_version", LongType, false))),
               new GenericInternalRow(Array[Any](v)))
@@ -2091,13 +2097,19 @@ private[graft] object TxProcedures {
             ProcedureParameter.in("y_col", StringType)
               .comment("second z-order key (non-negative int/long)").build(),
             ProcedureParameter.in("num_files", IntegerType)
-              .comment("output file count (range partitions)").build())
+              .comment("output file count (range partitions)").build(),
+            ProcedureParameter.in("bits", IntegerType).defaultValue("16")
+              .comment("interleave bits per z column — keys with values " +
+                ">= 2^bits truncate their high bits into noise, so widen " +
+                "this for wide-range keys (2 * bits must stay <= 63)")
+              .build())
           override def isDeterministic: Boolean = false // commits a version
           override def call(args: InternalRow): util.Iterator[Scan] = {
             val tbl = args.getUTF8String(0).toString
             val v = TxTable.compactZOrder(SparkSession.active,
               resolve(tbl).toString, args.getUTF8String(1).toString,
-              args.getUTF8String(2).toString, args.getInt(3))
+              args.getUTF8String(2).toString, args.getInt(3),
+              bits = args.getInt(4))
             oneRowScan(
               StructType(Seq(StructField("new_version", LongType, false))),
               new GenericInternalRow(Array[Any](v)))

@@ -260,8 +260,11 @@ private[graft] class TxCdfStream(tableSchema: StructType, dir: String,
       var i = from
       while (i < fs.length && files < fCap && bytes < bCap) {
         files += 1
-        bytes += (try java.nio.file.Files.size(root.resolve(fs(i)))
-          catch { case _: Exception => 0L })
+        // a failed size probe must SURFACE, not count as 0 bytes —
+        // swallowing it would admit arbitrarily many files past the
+        // byte budget with no signal, and planInputPartitions would
+        // fail loudly on the same missing file one step later anyway
+        bytes += java.nio.file.Files.size(root.resolve(fs(i)))
         i += 1
       }
       if (i < fs.length) { // a cap landed inside this version
