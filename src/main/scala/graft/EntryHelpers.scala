@@ -815,6 +815,25 @@ private[graft] object EntryHelpers {
       java.lang.Long.valueOf(1L)
     }).longValue()
 
+  /** `scan_ts_prune` fixture (`db.evt`): events committed
+    * UNPARTITIONED but range-clustered on `ts` (8 range buckets → 8
+    * files with tight, disjoint ts extents). No hidden layout at all —
+    * the pruning under test is the r20 TIMESTAMP column stats: the tx
+    * write pins INT64-micros parquet output, the commit records exact
+    * epoch-micros min/max per file, and a raw `ts` range predicate
+    * proves files out at planning (the most common filter on event
+    * tables, finally prunable without a days/hours relayout). */
+  val txTsDone =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  def txTsVersion(s: SparkSession, dir: String, wh: String): Long =
+    txTsDone.computeIfAbsent(dir, _ => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"))
+        .repartitionByRange(8, col("ts"))
+      graft.sources.TxTable.commit(ev, s"$wh/db/evt", "overwrite")
+      java.lang.Long.valueOf(1L)
+    }).longValue()
+
   /** `ops_txlog_meta` fixture (`db.lmt`): five commits under a
     * checkpoint interval no commit reaches (periodic checkpoints never
     * fire), so `t$log` reports a 4-delta replay tail — then the

@@ -771,6 +771,34 @@ private[graft] object QueriesSearchOps {
         """SELECT latest_version, checkpoint_version, replay_deltas
           |FROM graft_tx.db.`lmt$log`""".stripMargin)
     }),
+    // ----- raw TIMESTAMP column stats (r20): an UNPARTITIONED tx
+    // events table, files range-clustered on ts — a raw ts range
+    // predicate proves files out at planning through the INT64-micros
+    // footer min/max recorded at commit, no days/hours relayout
+    // needed; kept-path plan-pinned like the transform arms -----
+    "scan_ts_prune" -> ((s: SparkSession, dir: String) => {
+      val wh = EntryHelpers.txCatalogWarehouse(s, dir)
+      s.conf.set("spark.sql.catalog.graft_tx", "graft.sources.TxCatalog")
+      s.conf.set("spark.sql.catalog.graft_tx.root", wh)
+      EntryHelpers.txTsVersion(s, dir, wh): Unit
+      val df = s.sql(
+        """SELECT event_id, user_id FROM graft_tx.db.evt
+          |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+          |  AND ts < TIMESTAMP '2024-01-12 00:00:00'
+          |ORDER BY event_id""".stripMargin)
+      // flat scans surface the kept set as the delegated parquet scan's
+      // file index (the skipped= tag prints on partitioned scans only):
+      // the fixture stages 8 range-disjoint files, the 2-day window
+      // must keep strictly fewer
+      val plan = df.queryExecution.executedPlan.toString
+      val keptPaths = "InMemoryFileIndex\\((\\d+) paths\\)".r
+        .findFirstMatchIn(plan).map(_.group(1).toInt)
+      require(keptPaths.exists(n => n >= 1 && n < 8),
+        s"a raw ts range on an unpartitioned table must prune files " +
+          s"through timestamp stats at planning (kept=$keptPaths of " +
+          s"8):\n${plan.take(800)}")
+      df
+    }),
     // ----- hours(ts) hidden partitioning (r19 — the complete Iceberg
     // time-grain set): an hour-range predicate over one day of events
     // prunes whole hour directories at planning; kept-path plan-pinned
@@ -2128,6 +2156,13 @@ private[graft] object QueriesSearchOps {
       ("""SELECT CAST(5 AS BIGINT) AS latest_version,
          |  CAST(5 AS BIGINT) AS checkpoint_version,
          |  CAST(0 AS BIGINT) AS replay_deltas""".stripMargin),
+    // the ts-stats-pruned range replayed over the raw events (skipping
+    // never changes results — identical rows to the days arm's window)
+    "scan_ts_prune" ->
+      ("""SELECT event_id, user_id FROM events
+         |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+         |  AND ts < TIMESTAMP '2024-01-12 00:00:00'
+         |ORDER BY event_id""".stripMargin),
     // the hour-pruned range replayed over the raw events (the fixture's
     // one-day slice is a superset of the probed window)
     "scan_hours_prune" ->

@@ -6,8 +6,9 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.parquet.column.statistics.{BinaryStatistics, DoubleStatistics, FloatStatistics, IntStatistics, LongStatistics}
+import org.apache.parquet.schema.LogicalTypeAnnotation
 import org.apache.spark.sql.sources._
-import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.sql.types.{DateType, DoubleType, FloatType, IntegerType, LongType, StringType, StructType, TimestampType}
 
 /** Manifest-level column statistics — FILE SKIPPING for the tx table.
   *
@@ -25,9 +26,14 @@ import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType, LongType,
   * Correctness stance — skipping must never change results, so a file
   * is skipped ONLY when the pushed predicate provably excludes its
   * whole [min, max] range, and everything doubtful keeps the file:
-  *   - only top-level Int/Long/Double/Float/String columns carry stats
-  *     (timestamps would drag timezone conversions into the compare;
-  *     conservative = correct);
+  *   - only top-level Int/Long/Double/Float/String/Timestamp/Date
+  *     columns carry stats. Timestamp stats are exact epoch-MICROS and
+  *     date stats epoch-DAYS integer strings, recorded ONLY from the
+  *     INT64-micros / INT32-date physical forms and compared by pure
+  *     instant arithmetic (DateTimeUtils literal conversion — no
+  *     calendar or timezone parsing on either side); INT96 files
+  *     record nothing (their footers carry no usable stats), which is
+  *     why the tx write path pins TIMESTAMP_MICROS output;
   *   - double/float stats are dropped when min/max is NaN;
   *   - string stats are used only when min, max, AND the literal are
   *     pure ASCII (≤ [[MaxStringStat]] chars) — there Java's String
@@ -134,7 +140,8 @@ object TxStats {
         val parts = col.getPath.toArray
         if (parts.length == 1 && wanted.contains(parts(0))) {
           val name = parts(0)
-          val s = col.getStatistics
+          val s: org.apache.parquet.column.statistics.Statistics[_] =
+            col.getStatistics
           val mm: Option[(String, String)] =
             if (s == null || !s.hasNonNullValue) None
             else (s, wanted(name)) match {
@@ -152,6 +159,24 @@ object TxStats {
                 val mn = bs.genericGetMin.toStringUsingUTF8
                 val mx = bs.genericGetMax.toStringUsingUTF8
                 if (ascii(mn) && ascii(mx)) Some((mn, mx)) else None
+              // timestamps as exact epoch-MICROS integer strings — the
+              // most common filter column on event tables finally skips
+              // on UNPARTITIONED layouts. Only the INT64 micros physical
+              // form qualifies (the tx write path pins it): INT96 files
+              // carry no usable footer stats at all, and a MILLIS file's
+              // integers would be off by 1000× — both fall through to
+              // "no stat", the conservative default.
+              case (ls: LongStatistics, TimestampType)
+                  if tsMicrosUtc(col.getPrimitiveType
+                    .getLogicalTypeAnnotation) =>
+                Some((ls.getMin.toString, ls.getMax.toString))
+              // dates as exact epoch-DAYS integer strings (INT32 DATE —
+              // the only physical form Spark writes for DateType)
+              case (is: IntStatistics, DateType)
+                  if col.getPrimitiveType.getLogicalTypeAnnotation
+                    .isInstanceOf[LogicalTypeAnnotation
+                      .DateLogicalTypeAnnotation] =>
+                Some((is.getMin.toString, is.getMax.toString))
               case _ => None
             }
           acc = acc.updated(name, (acc.get(name), mm) match {
@@ -191,15 +216,27 @@ object TxStats {
     } finally reader.close()
   }
 
+  /** Is this parquet logical type the INT64 UTC-adjusted MICROS
+    * timestamp form (the one whose raw integers compare exactly against
+    * a literal converted with DateTimeUtils)? */
+  private def tsMicrosUtc(ann: LogicalTypeAnnotation): Boolean = ann match {
+    case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+      t.isAdjustedToUTC &&
+        t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS
+    case _ => false
+  }
+
   private def minOf(dt: org.apache.spark.sql.types.DataType, a: String,
                     b: String): String = dt match {
-    case LongType | IntegerType => if (a.toLong <= b.toLong) a else b
+    case LongType | IntegerType | TimestampType | DateType =>
+      if (a.toLong <= b.toLong) a else b
     case DoubleType | FloatType => if (a.toDouble <= b.toDouble) a else b
     case _ => if (a <= b) a else b
   }
   private def maxOf(dt: org.apache.spark.sql.types.DataType, a: String,
                     b: String): String = dt match {
-    case LongType | IntegerType => if (a.toLong >= b.toLong) a else b
+    case LongType | IntegerType | TimestampType | DateType =>
+      if (a.toLong >= b.toLong) a else b
     case DoubleType | FloatType => if (a.toDouble >= b.toDouble) a else b
     case _ => if (a >= b) a else b
   }
@@ -258,6 +295,30 @@ object TxStats {
         }
       }.toMap
     }.filter(_._2.nonEmpty).toMap
+  }
+
+  /** A pushed timestamp literal as epoch micros — both the external
+    * java.sql form and the java8-API Instant form arrive depending on
+    * `spark.sql.datetime.java8API.enabled`; anything else never skips. */
+  private def tsLitMicros(v: Any): Option[Long] = v match {
+    case t: java.sql.Timestamp =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .fromJavaTimestamp(t))
+    case i: java.time.Instant =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .instantToMicros(i))
+    case _ => None
+  }
+
+  /** A pushed date literal as epoch days (both external forms). */
+  private def dateLitDays(v: Any): Option[Long] = v match {
+    case d: java.sql.Date =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .fromJavaDate(d).toLong)
+    case d: java.time.LocalDate =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .localDateToDays(d).toLong)
+    case _ => None
   }
 
   /** Does `filter` provably exclude every row of a file with these
@@ -321,6 +382,18 @@ object TxStats {
               Some((s.compareTo(st.min), s.compareTo(st.max)))
             case _ => None
           }
+          // timestamp/date literals convert to the SAME integers the
+          // stats recorded (epoch micros / epoch days — timezone-free
+          // instant arithmetic, no calendar parsing), then compare
+          // exactly like any integral column
+          case TimestampType =>
+            tsLitMicros(v).map(l =>
+              (java.lang.Long.compare(l, st.min.toLong),
+                java.lang.Long.compare(l, st.max.toLong)))
+          case DateType =>
+            dateLitDays(v).map(d =>
+              (java.lang.Long.compare(d, st.min.toLong),
+                java.lang.Long.compare(d, st.max.toLong)))
           case _ => None
         }
       } yield test(cmp._1, cmp._2)).getOrElse(false)

@@ -824,28 +824,26 @@ object TxTable {
     val dataRel = s"data/$commitId"
     val dataDir = root.resolve(dataRel)
     Files.createDirectories(dataDir)
-    runConcurrently(groups.size, maxConcurrentJobs) { i =>
-      val (part, fs) = groups(i)
-      val tmp = root.resolve(s"$dataRel-g$i")
-      spark.read.schema(dataSchema)
-        .parquet(fs.map(f => root.resolve(f).toString): _*)
-        .coalesce(1).write.parquet(tmp.toString)
-      val outDir =
-        if (part.isEmpty) dataDir else dataDir.resolve(part)
-      Files.createDirectories(outDir)
-      listNames(tmp).filter(_.endsWith(".parquet")).foreach(n =>
-        Files.move(tmp.resolve(n), outDir.resolve(f"g$i%05d-$n")))
-      deleteRecursively(tmp)
+    withMicrosTimestamps(spark) {
+      runConcurrently(groups.size, maxConcurrentJobs) { i =>
+        val (part, fs) = groups(i)
+        val tmp = root.resolve(s"$dataRel-g$i")
+        spark.read.schema(dataSchema)
+          .parquet(fs.map(f => root.resolve(f).toString): _*)
+          .coalesce(1).write.parquet(tmp.toString)
+        val outDir =
+          if (part.isEmpty) dataDir else dataDir.resolve(part)
+        Files.createDirectories(outDir)
+        listNames(tmp).filter(_.endsWith(".parquet")).foreach(n =>
+          Files.move(tmp.resolve(n), outDir.resolve(f"g$i%05d-$n")))
+        deleteRecursively(tmp)
+      }
     }
     val newFiles = walkParquet(dataDir)
       .map(p => root.relativize(p).toString.replace('\\', '/')).sorted
-    val compactStats = newFiles.flatMap { f =>
-      val footer = TxStats.forFile(root.resolve(f), dataSchema)
-      val fromPath = partitionValuesFromPath(f, partSet)
-        .map { case (c, pv) => c -> TxStats.ColStat(pv, pv) }
-      val all = footer ++ fromPath
-      if (all.isEmpty) None else Some(f -> all)
-    }.toMap
+    val compactStats = statsForFiles(root, newFiles, dataSchema,
+      f => partitionValuesFromPath(f, partSet)
+        .map { case (c, pv) => c -> TxStats.ColStat(pv, pv) })
     // bloom coverage survives compaction: rebuild over the rewritten
     // files for every column any pre-compaction file bloomed
     val bloomCols = m.blooms.values.flatMap(_.keys).toSet.toSeq.sorted
@@ -1068,14 +1066,13 @@ object TxTable {
     val root = Paths.get(tableDir)
     val commitId = java.util.UUID.randomUUID().toString
     val dataRel = s"data/$commitId"
-    df.write.parquet(root.resolve(dataRel).toString)
+    withMicrosTimestamps(df.sparkSession) {
+      df.write.parquet(root.resolve(dataRel).toString)
+    }
     val files = listNames(root.resolve(dataRel))
       .filter(_.endsWith(".parquet"))
       .map(n => s"$dataRel/$n").sorted
-    val stats = files.flatMap { f =>
-      val s = TxStats.forFile(root.resolve(f), df.schema)
-      if (s.isEmpty) None else Some(f -> s)
-    }.toMap
+    val stats = statsForFiles(root, files, df.schema)
     StagedData(dataRel, files, stats, df.schema.json)
   }
 
@@ -1110,19 +1107,17 @@ object TxTable {
     val clustered =
       if (optimizeWrite) df.repartition(parts.map(functions.col): _*)
       else df
-    clustered.write.partitionBy(parts: _*)
-      .parquet(root.resolve(dataRel).toString)
+    withMicrosTimestamps(df.sparkSession) {
+      clustered.write.partitionBy(parts: _*)
+        .parquet(root.resolve(dataRel).toString)
+    }
     val files = walkParquet(root.resolve(dataRel))
       .map(p => root.relativize(p).toString.replace('\\', '/')).sorted
     val dataSchema = StructType(
       df.schema.fields.filterNot(f => parts.contains(f.name)))
-    val stats = files.flatMap { f =>
-      val footer = TxStats.forFile(root.resolve(f), dataSchema)
-      val fromPath = partitionValuesFromPath(f, parts.toSet)
-        .map { case (c, v) => c -> TxStats.ColStat(v, v) }
-      val all = footer ++ fromPath
-      if (all.isEmpty) None else Some(f -> all)
-    }.toMap
+    val stats = statsForFiles(root, files, dataSchema,
+      f => partitionValuesFromPath(f, parts.toSet)
+        .map { case (c, v) => c -> TxStats.ColStat(v, v) })
     StagedData(dataRel, files, stats, df.schema.json)
   }
 
@@ -2652,6 +2647,71 @@ object TxTable {
         }
       }
     } finally { pool.shutdownNow(); () }
+  }
+
+  /** Run a tx data-file write with parquet timestamp output pinned to
+    * INT64 TIMESTAMP_MICROS (set + restore around `body`). Spark still
+    * defaults to INT96, whose footers carry NO usable min/max — pinning
+    * micros is what makes [[TxStats]] timestamp skipping possible (raw
+    * `ts` range predicates prove files out on UNPARTITIONED tables).
+    * The conf is session-global, so a concurrent NON-tx parquet write
+    * in the same session may emit micros during the window — valid
+    * parquet either way (INT96 is deprecated upstream); concurrent tx
+    * writes both pin the same value. There is no per-write option:
+    * ParquetFileFormat.prepareWrite reads the session SQLConf only. */
+  private def withMicrosTimestamps[A](
+      spark: org.apache.spark.sql.SparkSession)(body: => A): A = {
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  /** How many footer opens run concurrently when a commit gathers
+    * per-file stats. On local disk the serial loop was merely linear;
+    * on object storage each footer is a ~50-100 ms round trip, so a
+    * 1,000-file append paid MINUTES of commit latency one open at a
+    * time — the r19 verdict's #2 scale finding. Bounded (not
+    * files-wide) so a huge commit cannot exhaust driver descriptors. */
+  private[sources] val StatsReadParallelism = 8
+
+  /** Reader-thread names observed by the most recent stats gather per
+    * table root — the suite's observable that the footer loop is no
+    * longer serial (a multi-file staging must record >= 2 threads). */
+  private val statsReadThreads =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.Set[String]]()
+
+  private[graft] def statsReadThreadCount(tableDir: String): Int = {
+    val s = statsReadThreads.get(
+      Paths.get(tableDir).toAbsolutePath.toString)
+    if (s == null) 0 else s.size()
+  }
+
+  /** Per-file footer stats for freshly-written files, gathered with
+    * bounded parallelism ([[runConcurrently]] — the [[compact]] pool
+    * discipline applied to metadata IO). `extra` merges in
+    * path-derived entries (partition min=max values) per file; results
+    * land by index, so the returned map is bit-identical to the old
+    * serial loop's regardless of completion order. */
+  private def statsForFiles(root: Path, files: Seq[String],
+      schema: StructType,
+      extra: String => Map[String, TxStats.ColStat] = _ => Map.empty)
+      : Map[String, Map[String, TxStats.ColStat]] = {
+    val threads =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val out = new Array[Map[String, TxStats.ColStat]](files.length)
+    runConcurrently(files.length, StatsReadParallelism) { i =>
+      threads.add(Thread.currentThread().getName): Unit
+      out(i) = TxStats.forFile(root.resolve(files(i)), schema) ++
+        extra(files(i))
+    }
+    statsReadThreads.put(root.toAbsolutePath.toString, threads): Unit
+    files.indices.flatMap(i =>
+      if (out(i).isEmpty) None else Some(files(i) -> out(i))).toMap
   }
 
   private[sources] def deleteRecursively(p: Path): Unit = {

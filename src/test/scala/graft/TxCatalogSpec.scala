@@ -492,6 +492,63 @@ class TxCatalogSpec extends SparkSpec {
     }
   }
 
+  test("timestamp/date stats prune raw ranges at planning, differentially invisible") {
+    warehouse
+    import spark.implicits._
+    val dir = s"$warehouse/db/tsskip"
+    // four one-day files with disjoint ts extents + a date column —
+    // committed through the tx write path, which pins INT64-micros
+    // parquet timestamps so the footers carry usable min/max (r20)
+    val base = java.time.LocalDate.of(2024, 3, 1)
+    (0 until 4).foreach { i =>
+      val day = base.plusDays(i.toLong)
+      val start = day.atStartOfDay(java.time.ZoneOffset.UTC).toInstant
+      val rows = (0 until 48).map { k =>
+        (i * 100L + k,
+          java.sql.Timestamp.from(start.plusSeconds(k * 1800L)),
+          java.sql.Date.valueOf(day))
+      }
+      TxTable.commit(rows.toDF("id", "ts", "d").coalesce(1), dir,
+        if (i == 0) "overwrite" else "append")
+    }
+    def planOf(sql: String) =
+      spark.sql(sql).queryExecution.executedPlan.toString
+    // a raw one-day ts window proves out 3 of 4 files at planning —
+    // no days(ts) relayout, pure epoch-micros min/max arithmetic
+    val pTs = planOf("SELECT id FROM txspec.db.tsskip WHERE " +
+      "ts >= TIMESTAMP '2024-03-02 00:00:00' AND " +
+      "ts < TIMESTAMP '2024-03-03 00:00:00'")
+    assert(pTs.contains("InMemoryFileIndex(1 paths)"), pTs.take(900))
+    // a date equality keeps exactly its file (epoch-days stats)
+    val pD = planOf(
+      "SELECT id FROM txspec.db.tsskip WHERE d = DATE '2024-03-04'")
+    assert(pD.contains("InMemoryFileIndex(1 paths)"), pD.take(900))
+    // a window before all data scans ZERO files
+    val p0 = planOf("SELECT id FROM txspec.db.tsskip WHERE " +
+      "ts < TIMESTAMP '2024-02-01 00:00:00'")
+    assert(p0.contains("InMemoryFileIndex(0 paths)"), p0.take(900))
+    // differential invisibility on sliding windows (boundary instants
+    // included): the pruned catalog scan answers exactly the unpruned
+    // direct read, row for row
+    val preds = Seq(
+      "ts >= TIMESTAMP '2024-03-01 12:00:00' AND " +
+        "ts < TIMESTAMP '2024-03-03 12:00:00'",
+      "ts = TIMESTAMP '2024-03-02 00:00:00'",
+      "ts > TIMESTAMP '2024-03-04 23:30:00'",
+      "ts <= TIMESTAMP '2024-03-01 00:00:00'",
+      "d = DATE '2024-03-03'", "d > DATE '2024-03-02'",
+      "d >= DATE '2024-03-01' AND d < DATE '2024-03-02'",
+      "d IN (DATE '2024-03-01', DATE '2024-03-04')")
+    preds.foreach { p =>
+      val viaCatalog = spark.sql(
+        s"SELECT id FROM txspec.db.tsskip WHERE $p ORDER BY id")
+        .collect().map(_.getLong(0)).toSeq
+      val direct = TxTable.read(spark, dir).where(p)
+        .select("id").orderBy("id").collect().map(_.getLong(0)).toSeq
+      assert(viaCatalog == direct, s"predicate '$p' diverged")
+    }
+  }
+
   test("CALL system.restore rolls back as a new version; $stats introspects skipping") {
     warehouse
     import spark.implicits._

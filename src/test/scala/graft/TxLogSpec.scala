@@ -58,6 +58,36 @@ class TxLogSpec extends SparkSpec {
       "metadata-only commits materialized bloom sidecars")
   }
 
+  test("commit footer stats gather bounded-parallel, bit-identical to the serial loop") {
+    import spark.implicits._
+    val tbl = tmpTable()
+    // a multi-file commit: 6 staged files → the stats pool must fan out
+    val df = (0 until 600).map(i => (i.toLong, f"s$i%03d", i / 2.0))
+      .toDF("id", "s", "v").repartition(6)
+    TxTable.commit(df, tbl, "overwrite")
+    // the r19 verdict's #2 finding pinned: the footer loop is no longer
+    // serial — a fixed pool creates one fresh thread per submission up
+    // to its size, so a 6-file staging records >= 2 reader threads
+    assert(TxTable.statsReadThreadCount(tbl) >= 2,
+      s"stats gather ran on ${TxTable.statsReadThreadCount(tbl)} " +
+        "thread(s) — a 1,000-file append on object storage would pay " +
+        "minutes of sequential footer round trips per commit")
+    // and the parallel gather is BIT-IDENTICAL to reading each footer
+    // serially (results land by index; completion order cannot matter)
+    val root = Paths.get(tbl)
+    val m = TxTable.readManifest(root, 1L)
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(m.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(m.files.size >= 6, s"expected a multi-file commit: ${m.files}")
+    val serial = m.files.flatMap { f =>
+      val s = TxStats.forFile(root.resolve(f), schema)
+      if (s.isEmpty) None else Some(f -> s)
+    }.toMap
+    assert(m.stats == serial,
+      "parallel stats gather diverged from the serial footer loop")
+  }
+
   test("bloom-blind commits keep blooms LIVE: refs carry, scans and scrubs still see them") {
     import spark.implicits._
     val tbl = tmpTable()
