@@ -3,6 +3,7 @@ package graft.sources
 import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 
+import org.apache.hadoop.conf.Configuration
 import org.apache.spark.sql.{DataFrame, SparkSession, functions}
 import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructField, StructType}
 
@@ -655,7 +656,8 @@ object TxTable {
       retainedMs.flatMap(_.changeDir)).toSet
     expired.foreach { v =>
       Files.deleteIfExists(manifestPath(root, v))
-      Files.deleteIfExists(ckptPath(root, v)): Unit
+      Files.deleteIfExists(ckptPath(root, v))
+      Files.deleteIfExists(ckptParquetPath(root, v)): Unit
     }
     val dataDir = root.resolve("data")
     val now = System.currentTimeMillis()
@@ -2004,6 +2006,7 @@ object TxTable {
     if (missing.nonEmpty) {
       Files.deleteIfExists(manifestPath(root, latest + 1)): Unit
       Files.deleteIfExists(ckptPath(root, latest + 1)): Unit
+      Files.deleteIfExists(ckptParquetPath(root, latest + 1)): Unit
       throw new IllegalStateException(
         s"restore($tableDir, v$v) raced a concurrent vacuum: " +
           s"${missing.size} restored file(s) no longer exist " +
@@ -2772,23 +2775,29 @@ object TxTable {
   }
 
   private object CkptName {
-    private val P = "^v(\\d{5,})\\.ckpt\\.json$".r
+    private val P = "^v(\\d{5,})\\.ckpt\\.(json|parquet)$".r
     def unapply(name: String): Option[Long] = name match {
-      case P(d) => Some(d.toLong)
-      case _    => None
+      case P(d, _) => Some(d.toLong)
+      case _       => None
     }
   }
 
   private def manifestPath(root: Path, v: Long): Path =
     root.resolve(LogDir).resolve(f"v$v%05d.json")
+  /** The LEGACY (fmt-2) monolithic-JSON checkpoint path — readable
+    * forever as a replay base, never written anymore. */
   private def ckptPath(root: Path, v: Long): Path =
     root.resolve(LogDir).resolve(f"v$v%05d.ckpt.json")
-  /** A USABLE checkpoint at v — a regular file, not debris (a blocked
-    * path or stray directory must read as \"no checkpoint\", never as
-    * one): every probe in the load/vacuum/repair paths goes through
-    * this. */
+  /** The fmt-3 COLUMNAR checkpoint path (see [[writeCheckpoint]]). */
+  private def ckptParquetPath(root: Path, v: Long): Path =
+    root.resolve(LogDir).resolve(f"v$v%05d.ckpt.parquet")
+  /** A USABLE checkpoint at v — a regular file in either format, not
+    * debris (a blocked path or stray directory must read as \"no
+    * checkpoint\", never as one): every probe in the load/vacuum/repair
+    * paths goes through this. */
   private def hasCkpt(root: Path, v: Long): Boolean =
-    Files.isRegularFile(ckptPath(root, v))
+    Files.isRegularFile(ckptParquetPath(root, v)) ||
+      Files.isRegularFile(ckptPath(root, v))
   private val BloomsRel = s"$LogDir/blooms"
 
   // ------------------------- shared JSON pieces (delta + checkpoint)
@@ -3013,13 +3022,31 @@ object TxTable {
       partitionTransforms = getStringMap(node, "partitionTransforms"))
 
   /** Materialize the FULL state at a version as a checkpoint file —
-    * files + stats inline (O(files) strings), blooms as sidecar
-    * REFERENCES only (the sidecars are immutable; a checkpoint never
-    * re-serializes a bloom). Blooms still inline in the state (an
-    * old-format base that no commit migrated yet) move to a fresh
-    * sidecar first, so a checkpoint is always fully ref-backed.
-    * Atomic via tmp + move; idempotent (same state → same content). */
-  private[sources] def writeCheckpoint(root: Path, m: Manifest): Unit = {
+    * fmt 3, a real COLUMNAR PARQUET file (the Delta checkpoint.parquet
+    * shape): one row per file (carrying its bloom-sidecar reference)
+    * plus one row per (file, column) stat entry, and the O(columns)
+    * small metadata (schema, txns, constraints, properties, layout) as
+    * one JSON string in the parquet footer's key-value metadata.
+    *
+    * Why not the old monolithic JSON (fmt 2, still readable forever):
+    * at 1M live files × ~200 B of stats the checkpoint is hundreds of
+    * MB, and a single Jackson tree parse of it was a several-GB driver
+    * heap spike per cold load — the last O(live-files) driver-text-IO
+    * path in the log. The parquet form is written STREAMING (row
+    * groups flush incrementally — memory bounded by
+    * [[CkptRowGroupBytes]], never the whole state), read STREAMING
+    * (one row at a time, heap bounded by the in-memory manifest being
+    * built, no text blob), splittable (many row groups), and readable
+    * DISTRIBUTED by any stock parquet reader — `spark.read.parquet` on
+    * the checkpoint path works as-is for offline inspection.
+    *
+    * Blooms stay sidecar REFERENCES only (the sidecars are immutable;
+    * a checkpoint never re-serializes a bloom). Blooms still inline in
+    * the state (an old-format base that no commit migrated yet) move
+    * to a fresh sidecar first, so a checkpoint is always fully
+    * ref-backed. Atomic via tmp + move; idempotent (same state → same
+    * content). */
+  private[graft] def writeCheckpoint(root: Path, m: Manifest): Unit = {
     val missing = (m.blooms.keySet -- m.bloomRefs.keySet).toSeq.sorted
     val refs =
       if (missing.isEmpty) m.bloomRefs
@@ -3028,23 +3055,13 @@ object TxTable {
           missing.map(f => f -> m.blooms(f)).toMap)
         m.bloomRefs ++ missing.map(_ -> s)
       }
-    val mapper = new Mapper()
-    val node = mapper.createObjectNode()
-    node.put("fmt", 2)
-    node.put("version", m.version)
-    node.put("op", m.op)
-    node.put("schema", m.schemaJson): Unit
-    putSmallMeta(node, m)
-    m.changeDir.foreach(d => node.put("changeDir", d): Unit)
-    putStringArray(node, "files", m.files)
-    putStats(node, "stats", m.stats)
-    putStringMap(node, "bloomRefs", refs)
     val tmp = root.resolve(LogDir)
-      .resolve(s".ckpt-tmp-${java.util.UUID.randomUUID()}")
-    Files.write(tmp, mapper.writeValueAsBytes(node))
-    try Files.move(tmp, ckptPath(root, m.version),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    catch {
+      .resolve(s".ckpt-tmp-${java.util.UUID.randomUUID()}.parquet")
+    try {
+      writeCheckpointParquet(tmp, m, refs)
+      Files.move(tmp, ckptParquetPath(root, m.version),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } catch {
       case e: Exception =>
         Files.deleteIfExists(tmp): Unit
         // a concurrent identical write is fine (checkpoints of one
@@ -3056,6 +3073,105 @@ object TxTable {
           throw new IllegalStateException(
             s"failed to write checkpoint v${m.version} under $root", e)
     }
+  }
+
+  /** Row-group flush threshold for fmt-3 checkpoints: small enough
+    * that a large-file-count table produces MANY row groups (the
+    * splittability the format exists for; ~10k entry rows each at
+    * ~100 B), large enough that page/dictionary overhead stays noise. */
+  private[graft] val CkptRowGroupBytes: Long = 1L << 20
+
+  /** Footer key under which the checkpoint's O(columns) header JSON
+    * lives (fmt, version, op, schema, small meta, changeDir). */
+  private val CkptHeaderKey = "graft.header"
+
+  /** Entry-row kinds: a file of the snapshot (in LIST ORDER, carrying
+    * its bloom ref), one column's stats, and the lossless escape for a
+    * bloom ref whose file is absent from the list (never produced by
+    * the commit paths; kept so fmt 3 round-trips ANY manifest the old
+    * format could). */
+  private val KindFile = 0
+  private val KindStat = 1
+  private val KindOrphanRef = 2
+
+  private lazy val CkptSchema: org.apache.parquet.schema.MessageType = {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    Types.buildMessage()
+      .required(INT32).named("kind")
+      .required(BINARY).as(LogicalTypeAnnotation.stringType()).named("file")
+      .optional(BINARY).as(LogicalTypeAnnotation.stringType()).named("col")
+      .optional(BINARY).as(LogicalTypeAnnotation.stringType()).named("min")
+      .optional(BINARY).as(LogicalTypeAnnotation.stringType()).named("max")
+      .optional(INT64).named("nulls")
+      .optional(INT64).named("rows")
+      .optional(BINARY).as(LogicalTypeAnnotation.stringType())
+      .named("bloom_ref")
+      .named("graft_ckpt")
+  }
+
+  /** A Hadoop conf whose `file:` scheme skips CRC side-files — the
+    * checkpoint moves after writing, which would orphan the `.crc`
+    * into `_txlog/` debris. */
+  private def rawLocalConf(): Configuration = {
+    val c = new Configuration()
+    c.set("fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+    c.setBoolean("fs.file.impl.disable.cache", true)
+    c
+  }
+
+  private def writeCheckpointParquet(target: Path, m: Manifest,
+      refs: Map[String, String]): Unit = {
+    val mapper = new Mapper()
+    val node = mapper.createObjectNode()
+    node.put("fmt", 3)
+    node.put("version", m.version)
+    node.put("op", m.op)
+    node.put("schema", m.schemaJson): Unit
+    putSmallMeta(node, m)
+    m.changeDir.foreach(d => node.put("changeDir", d): Unit)
+    val factory =
+      new org.apache.parquet.example.data.simple.SimpleGroupFactory(
+        CkptSchema)
+    val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
+        new org.apache.hadoop.fs.Path(target.toString), rawLocalConf()))
+      .withType(CkptSchema)
+      .withConf(rawLocalConf())
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .withRowGroupSize(CkptRowGroupBytes)
+      .withExtraMetaData(
+        java.util.Collections.singletonMap(CkptHeaderKey,
+          mapper.writeValueAsString(node)))
+      .build()
+    def writeStats(f: String,
+        cols: Map[String, TxStats.ColStat]): Unit =
+      cols.toSeq.sortBy(_._1).foreach { case (c, cs) =>
+        val g = factory.newGroup()
+          .append("kind", KindStat).append("file", f).append("col", c)
+          .append("min", cs.min).append("max", cs.max)
+        if (cs.nulls >= 0L) g.append("nulls", cs.nulls): Unit
+        if (cs.rows >= 0L) g.append("rows", cs.rows): Unit
+        writer.write(g)
+      }
+    try {
+      val fileSet = m.files.toSet
+      m.files.foreach { f =>
+        val g = factory.newGroup()
+          .append("kind", KindFile).append("file", f)
+        refs.get(f).foreach(r => g.append("bloom_ref", r): Unit)
+        writer.write(g)
+        m.stats.get(f).foreach(writeStats(f, _))
+      }
+      (m.stats.keySet -- fileSet).toSeq.sorted.foreach(f =>
+        writeStats(f, m.stats(f)))
+      (refs.keySet -- fileSet).toSeq.sorted.foreach { f =>
+        writer.write(factory.newGroup()
+          .append("kind", KindOrphanRef).append("file", f)
+          .append("bloom_ref", refs(f)))
+      }
+    } finally writer.close()
   }
 
   /** Force-materialize a checkpoint at the LATEST version — the
@@ -3116,8 +3232,15 @@ object TxTable {
 
   /** Read a checkpoint: full state with `bloomRefs` set and `blooms`
     * EMPTY — the caller (replay) materializes blooms from the final
-    * reference set, so each sidecar is read at most once per load. */
-  private def readCheckpoint(root: Path, v: Long): Manifest = {
+    * reference set, so each sidecar is read at most once per load.
+    * Dispatches on what exists: fmt-3 parquet (streamed, bounded heap)
+    * preferred, legacy fmt-2 monolithic JSON readable forever. */
+  private[graft] def readCheckpoint(root: Path, v: Long): Manifest =
+    if (Files.isRegularFile(ckptParquetPath(root, v)))
+      readCheckpointParquet(root, v)
+    else readCheckpointJson(root, v)
+
+  private def readCheckpointJson(root: Path, v: Long): Manifest = {
     val node = new Mapper().readTree(Files.readAllBytes(ckptPath(root, v)))
     Manifest(v, node.get("op").asText(), node.get("schema").asText(),
       getStringArray(node, "files"), getTxns(node),
@@ -3127,6 +3250,77 @@ object TxTable {
       getStringMap(node, "properties"),
       getStringMap(node, "columnMapping"),
       getStringMap(node, "bloomRefs"),
+      Option(node.get("changeDir")).map(_.asText()),
+      getStringMap(node, "partitionTransforms"))
+  }
+
+  /** Stream the fmt-3 parquet checkpoint back into a [[Manifest]]: the
+    * header JSON comes from the footer's key-value metadata (one small
+    * parse, O(columns)); entry rows stream ONE AT A TIME through the
+    * record reader — heap is bounded by the manifest being built plus
+    * one row group's pages, never a whole-file text blob. */
+  private def readCheckpointParquet(root: Path, v: Long): Manifest = {
+    val hp = new org.apache.hadoop.fs.Path(
+      ckptParquetPath(root, v).toString)
+    val conf = rawLocalConf()
+    val pf = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(hp, conf))
+    val headerStr =
+      try pf.getFooter.getFileMetaData.getKeyValueMetaData
+        .get(CkptHeaderKey)
+      finally pf.close()
+    require(headerStr != null,
+      s"checkpoint v$v of $root lacks the $CkptHeaderKey footer entry — " +
+        "not a graft checkpoint?")
+    val node = new Mapper().readTree(headerStr)
+    require(node.get("version").asLong() == v,
+      s"checkpoint v$v of $root claims version " +
+        s"${node.get("version").asLong()} in its header")
+    val files = Seq.newBuilder[String]
+    val stats = scala.collection.mutable.HashMap
+      .empty[String, scala.collection.mutable.HashMap[String,
+        TxStats.ColStat]]
+    val refs = Map.newBuilder[String, String]
+    val reader = org.apache.parquet.hadoop.ParquetReader
+      .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+        hp)
+      .withConf(conf).build()
+    try {
+      var g = reader.read()
+      while (g != null) {
+        val f = g.getString("file", 0)
+        g.getInteger("kind", 0) match {
+          case KindFile =>
+            files += f
+            if (g.getFieldRepetitionCount("bloom_ref") > 0)
+              refs += f -> g.getString("bloom_ref", 0)
+          case KindStat =>
+            val nulls = if (g.getFieldRepetitionCount("nulls") > 0)
+              g.getLong("nulls", 0) else -1L
+            val rows = if (g.getFieldRepetitionCount("rows") > 0)
+              g.getLong("rows", 0) else -1L
+            stats.getOrElseUpdate(f,
+                scala.collection.mutable.HashMap.empty)
+              .update(g.getString("col", 0),
+                TxStats.ColStat(g.getString("min", 0),
+                  g.getString("max", 0), nulls, rows))
+          case KindOrphanRef =>
+            refs += f -> g.getString("bloom_ref", 0)
+          case other => throw new IllegalStateException(
+            s"checkpoint v$v of $root: unknown entry kind $other " +
+              "(written by a newer engine?)")
+        }
+        g = reader.read()
+      }
+    } finally reader.close()
+    Manifest(v, node.get("op").asText(), node.get("schema").asText(),
+      files.result(), getTxns(node),
+      stats.view.mapValues(_.toMap).toMap, Map.empty,
+      getStringArray(node, "partitionBy"),
+      getStringMap(node, "constraints"), getStringArray(node, "dvDirs"),
+      getStringMap(node, "properties"),
+      getStringMap(node, "columnMapping"),
+      refs.result(),
       Option(node.get("changeDir")).map(_.asText()),
       getStringMap(node, "partitionTransforms"))
   }

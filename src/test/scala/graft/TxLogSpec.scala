@@ -147,7 +147,7 @@ class TxLogSpec extends SparkSpec {
     // write fails — commits must still land (publish warns loudly but
     // the log is complete without the checkpoint)
     (5L to 25L by 5L).foreach(v =>
-      Files.createDirectories(log.resolve(f"v$v%05d.ckpt.json")): Unit)
+      Files.createDirectories(log.resolve(f"v$v%05d.ckpt.parquet")): Unit)
     (2L to 28L).foreach(i => TxTable.commit(frame(i), tbl, "append"))
     // 27 failed checkpoints later: readable, but a cold head load
     // replays the WHOLE tail — exactly the staleness t$log surfaces
@@ -174,7 +174,7 @@ class TxLogSpec extends SparkSpec {
     // blocked — deleting expired deltas without a landed base would
     // strand every retained version's replay path
     TxTable.commit(frame(100L), tbl, "append") // v29, head past the ckpt
-    Files.createDirectories(log.resolve(f"v${27L}%05d.ckpt.json")): Unit
+    Files.createDirectories(log.resolve(f"v${27L}%05d.ckpt.parquet")): Unit
     val e = intercept[IllegalStateException](
       TxTable.vacuum(tbl, retain = 3, minAgeMillis = 0L))
     assert(e.getMessage.contains("checkpoint"), e.getMessage)
@@ -213,9 +213,9 @@ class TxLogSpec extends SparkSpec {
     assert(TxTable.read(spark, tbl).count() == 24L)
     assert(TxTable.readVersion(spark, tbl, 7L).count() == 7L)
     // the default interval (20) materialized exactly one checkpoint
-    assert(logFiles(tbl).count(_.endsWith(".ckpt.json")) == 1)
+    assert(logFiles(tbl).count(_.endsWith(".ckpt.parquet")) == 1)
     assert(Files.exists(
-      Paths.get(tbl).resolve("_txlog").resolve("v00020.ckpt.json")))
+      Paths.get(tbl).resolve("_txlog").resolve("v00020.ckpt.parquet")))
     // blooms landed as content-addressed sidecars, one per commit
     val blooms = Paths.get(tbl).resolve("_txlog").resolve("blooms")
     assert(Files.isDirectory(blooms))
@@ -246,8 +246,8 @@ class TxLogSpec extends SparkSpec {
     TxTable.commit(frame(1L), tbl, "overwrite",
       properties = Map(TxTable.CheckpointIntervalProperty -> "5"))
     (2L to 12L).foreach(i => TxTable.commit(frame(i), tbl, "append"))
-    val ckpts = logFiles(tbl).filter(_.endsWith(".ckpt.json"))
-    assert(ckpts == Seq("v00005.ckpt.json", "v00010.ckpt.json"), ckpts)
+    val ckpts = logFiles(tbl).filter(_.endsWith(".ckpt.parquet"))
+    assert(ckpts == Seq("v00005.ckpt.parquet", "v00010.ckpt.parquet"), ckpts)
     assert(TxTable.read(spark, tbl).count() == 12L)
   }
 
@@ -305,7 +305,7 @@ class TxLogSpec extends SparkSpec {
     assert(stats.expiredVersions == (1L to 8L))
     // the oldest retained version got its replay base
     assert(Files.exists(
-      Paths.get(tbl).resolve("_txlog").resolve("v00009.ckpt.json")))
+      Paths.get(tbl).resolve("_txlog").resolve("v00009.ckpt.parquet")))
     // both retained versions read back
     assert(TxTable.readVersion(spark, tbl, 9L).count() == 9L)
     assert(TxTable.readVersion(spark, tbl, 10L).count() == 1L)
@@ -351,6 +351,120 @@ class TxLogSpec extends SparkSpec {
       .iterator().asScala.map(_.getFileName.toString).toSet
     val refs = m.bloomRefs.values.map(_.split('/').last).toSet
     assert(onDisk == refs)
+  }
+
+  test("fmt-3 checkpoint: columnar, splittable, round-trips a large file count") {
+    val tbl = tmpTable()
+    TxTable.commit(frame(1L), tbl, "overwrite")
+    val root = Paths.get(tbl)
+    val m1 = TxTable.readManifest(root, 1L)
+    // a 20,000-file snapshot with three stat columns each (~80k entry
+    // rows) — the scale where the old monolithic JSON was a
+    // hundreds-of-MB text blob parsed whole on the driver
+    val bigFiles = (0 until 20000)
+      .map(i => f"data/synth/part-$i%06d-0000.snappy.parquet")
+    val bigStats = bigFiles.map { f =>
+      val h = (f.hashCode & 0x7fffffff).toLong
+      f -> Map(
+        "id" -> TxStats.ColStat(h.toString, (h + 10L).toString, 0L, 10L),
+        "ts" -> TxStats.ColStat("1704067200000000", "1704153599000000"),
+        "payload" -> TxStats.ColStat("aaa", "zzz", 3L, 10L))
+    }.toMap
+    val refs = bigFiles.take(5000)
+      .map(_ -> "_txlog/blooms/0123456789abcdef.json").toMap
+    val big = m1.copy(version = 2L, files = bigFiles, stats = bigStats,
+      blooms = Map.empty, bloomRefs = refs)
+    TxTable.writeCheckpoint(root, big)
+    val ckpt = root.resolve("_txlog").resolve("v00002.ckpt.parquet")
+    assert(Files.isRegularFile(ckpt), "fmt-3 checkpoint not written")
+    // round trip: file ORDER, stats, and bloom refs all bit-identical
+    val back = TxTable.readCheckpoint(root, 2L)
+    assert(back.files == big.files, "file list (or its order) diverged")
+    assert(back.stats == big.stats, "stats diverged through parquet")
+    assert(back.bloomRefs == big.bloomRefs, "bloom refs diverged")
+    assert(back.schemaJson == big.schemaJson &&
+      back.op == big.op && back.blooms.isEmpty)
+    // SPLITTABLE: many bounded row groups, not one monolith — the
+    // property that lets a distributed reader fan out over the state
+    val pf = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(ckpt.toString),
+        new org.apache.hadoop.conf.Configuration()))
+    val blocks = try pf.getFooter.getBlocks.size() finally pf.close()
+    assert(blocks > 1,
+      s"checkpoint wrote $blocks row group(s) — not splittable at 20k " +
+        "files; row-group flushes are the bounded-memory contract")
+    // and it IS stock parquet: spark.read serves it distributed as-is
+    val df = spark.read.parquet(ckpt.toString)
+    assert(df.where("kind = 0").count() == 20000L)
+    assert(df.where("kind = 1").count() == 60000L)
+    assert(df.where("kind = 0 AND bloom_ref IS NOT NULL").count() == 5000L)
+  }
+
+  test("legacy fmt-2 JSON checkpoints read as replay bases forever") {
+    val tbl = tmpTable()
+    TxTable.commit(frame(1L), tbl, "overwrite",
+      properties = Map(TxTable.CheckpointIntervalProperty -> "3"))
+    (2L to 7L).foreach(i => TxTable.commit(frame(i), tbl, "append"))
+    val root = Paths.get(tbl)
+    val log = root.resolve("_txlog")
+    assert(Files.isRegularFile(log.resolve("v00003.ckpt.parquet")) &&
+      Files.isRegularFile(log.resolve("v00006.ckpt.parquet")))
+    // swap v3's checkpoint for the OLD monolithic-JSON form (the bytes
+    // a pre-fmt-3 table holds on disk) and drop every parquet
+    // checkpoint: the v7 load must replay off the legacy base
+    val m3 = TxTable.readManifest(root, 3L)
+    writeLegacyCkptJson(root, m3)
+    Files.delete(log.resolve("v00003.ckpt.parquet"))
+    Files.delete(log.resolve("v00006.ckpt.parquet"))
+    assert(TxTable.logSummary(tbl) ==
+      TxTable.LogSummary(7L, Some(3L), 4L))
+    val m7 = TxTable.readManifest(root, 7L)
+    assert(m7.files.size == 7)
+    assert(TxTable.read(spark, tbl).count() == 7L)
+    // and the repair CALL writes a NEW fmt-3 checkpoint on top of the
+    // legacy base without touching it
+    TxTable.checkpoint(tbl): Unit
+    assert(Files.isRegularFile(log.resolve("v00007.ckpt.parquet")))
+    assert(Files.isRegularFile(log.resolve("v00003.ckpt.json")))
+    assert(TxTable.logSummary(tbl) ==
+      TxTable.LogSummary(7L, Some(7L), 0L))
+  }
+
+  /** The pre-fmt-3 checkpoint format (fmt 2, monolithic JSON),
+    * reproduced byte-shape-faithfully for the compatibility pin: full
+    * state inline, blooms as sidecar references. */
+  private def writeLegacyCkptJson(root: Path, m: TxTable.Manifest): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    node.put("fmt", 2)
+    node.put("version", m.version)
+    node.put("op", m.op)
+    node.put("schema", m.schemaJson): Unit
+    val arr = node.putArray("files")
+    m.files.foreach(arr.add)
+    if (m.stats.nonEmpty) {
+      val st = node.putObject("stats")
+      m.stats.toSeq.sortBy(_._1).foreach { case (file, cols) =>
+        val fo = st.putObject(file)
+        cols.toSeq.sortBy(_._1).foreach { case (c, cs) =>
+          val co = fo.putObject(c)
+          co.put("min", cs.min)
+          co.put("max", cs.max): Unit
+          if (cs.nulls >= 0L) co.put("nulls", cs.nulls): Unit
+          if (cs.rows >= 0L) co.put("rows", cs.rows): Unit
+        }
+      }
+    }
+    if (m.bloomRefs.nonEmpty) {
+      val br = node.putObject("bloomRefs")
+      m.bloomRefs.toSeq.sortBy(_._1).foreach { case (f, r) =>
+        br.put(f, r): Unit
+      }
+    }
+    Files.write(
+      root.resolve("_txlog").resolve(f"v${m.version}%05d.ckpt.json"),
+      mapper.writeValueAsBytes(node)): Unit
   }
 
   /** The pre-incremental on-disk format, reproduced byte-shape-faithfully
