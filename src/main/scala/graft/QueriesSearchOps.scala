@@ -1006,6 +1006,41 @@ private[graft] object QueriesSearchOps {
         .select(col("event_id"), col("user_id"), col("uq"), col("vq"))
         .orderBy("event_id")
     }),
+    // ----- zero-copy SHALLOW CLONE (r20 — TxTable.cloneSnapshot): the
+    // clone's v1 REFERENCES the source snapshot's files absolutely,
+    // copying nothing (require-pinned: no data/ dir after the clone,
+    // stats carried); the clone then evolves independently (a local
+    // append the source never sees — require-pinned) and the certified
+    // output is the evolved clone, hash-matched to the replayed union -----
+    "ops_clone" -> ((s: SparkSession, dir: String) => {
+      val base = scratchDir("graft-clone-")
+      val src = base + "/src"
+      val dst = base + "/dst"
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "en"), src, "overwrite")
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "de"), src, "append")
+      require(graft.sources.TxTable.cloneSnapshot(src, dst) == 1L)
+      require(!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(dst).resolve("data")),
+        "clone materialized data files — it must be metadata-only")
+      val m = graft.sources.TxTable.readManifest(
+        java.nio.file.Paths.get(dst), 1L)
+      require(m.files.nonEmpty && m.stats.nonEmpty &&
+          m.files.forall(f => java.nio.file.Paths.get(f).isAbsolute),
+        "clone must carry absolute file references plus their stats")
+      // independent evolution: the clone gains fr locally; the source's
+      // log never moves
+      graft.sources.TxTable.commit(
+        docs.filter(col("lang") === "fr"), dst, "append")
+      require(graft.sources.TxTable.latestVersion(src).contains(2L),
+        "the clone's append leaked into the source's log")
+      graft.sources.TxTable.read(s, dst)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
     // ----- schema evolution certified end-to-end: an opted-in
     // mergeSchema append widens the table by-name (old rows read NULL
     // for the new column, the appended frame NULL for the one it
@@ -2051,6 +2086,12 @@ private[graft] object QueriesSearchOps {
     "ops_zorder_rewrite" ->
       ("""SELECT CAST(4 AS BIGINT) AS version, doc_id, lang, n_chars
          |FROM documents WHERE lang IN ('en', 'de', 'fr')
+         |ORDER BY doc_id""".stripMargin),
+    // the evolved clone replayed: the cloned en+de reference plus the
+    // clone-local fr append (the clone copied nothing — require-pinned)
+    "ops_clone" ->
+      ("""SELECT doc_id, lang, n_chars FROM documents
+         |WHERE lang IN ('en', 'de', 'fr')
          |ORDER BY doc_id""".stripMargin),
     // the scoped zorder rewrite moved one day's bytes, never rows: the
     // post-rewrite snapshot replays as the fixture's bounded day-slice

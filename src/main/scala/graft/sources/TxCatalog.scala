@@ -460,7 +460,8 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
         Identifier.of(namespace, "restore"),
         Identifier.of(namespace, "zorder"),
         Identifier.of(namespace, "zorder_where"),
-        Identifier.of(namespace, "checkpoint"))
+        Identifier.of(namespace, "checkpoint"),
+        Identifier.of(namespace, "clone"))
     else Array.empty
 
   override def loadProcedure(ident: Identifier):
@@ -488,10 +489,22 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
       case "zorder_where" => TxProcedures.zorderWhere(resolve)
       case "compact_where" => TxProcedures.compactWhere(resolve)
       case "checkpoint" => TxProcedures.checkpoint(resolve)
+      case "clone" =>
+        // the TARGET is a fresh path under the warehouse — same name
+        // validation, no committed-table requirement, parents created
+        val resolveNew: String => Path = { dotted =>
+          val parts = dotted.split('.').toSeq
+          require(parts.nonEmpty && parts.forall(p =>
+              p.nonEmpty && !p.contains('/') && !p.contains('\\') &&
+                !p.contains('$') && p != "." && p != ".."),
+            s"illegal table name '$dotted'")
+          parts.foldLeft(root)(_.resolve(_))
+        }
+        TxProcedures.clone(resolve, resolveNew)
       case other => throw new IllegalArgumentException(
         s"unknown procedure system.$other (have: compact, " +
           "compact_where, vacuum, restore, zorder, zorder_where, " +
-          "checkpoint)")
+          "checkpoint, clone)")
     }
   }
 
@@ -2168,6 +2181,49 @@ private[graft] object TxProcedures {
         }
     }
 
+  /** `CALL cat.system.clone('db.src', 'db.dst' [, version])` — commit
+    * `db.dst`'s v1 as a zero-copy reference to the source snapshot
+    * ([[TxTable.cloneSnapshot]] has the full contract: nothing copied,
+    * stats carried, blooms rebuilt on rewrite, the source-side vacuum
+    * hazard, DV refusal). `version` NULL (the default) clones the
+    * source's latest. */
+  def clone(resolve: String => Path,
+            resolveNew: String => Path): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = "clone"
+      override def description(): String =
+        "zero-copy shallow clone: commit the target's v1 as a manifest " +
+          "referencing the source snapshot's files " +
+          "(TxTable.cloneSnapshot)"
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = "clone"
+          override def parameters(): Array[ProcedureParameter] = Array(
+            ProcedureParameter.in("source", StringType)
+              .comment("dotted source table under the warehouse root")
+              .build(),
+            ProcedureParameter.in("target", StringType)
+              .comment("dotted target table name (must not exist)")
+              .build(),
+            ProcedureParameter.in("version", LongType)
+              .defaultValue("NULL")
+              .comment("source version to clone; NULL = latest").build())
+          override def isDeterministic: Boolean = false // commits v1
+          override def call(args: InternalRow): util.Iterator[Scan] = {
+            val src = resolve(args.getUTF8String(0).toString)
+            val dst = resolveNew(args.getUTF8String(1).toString)
+            val version =
+              if (args.isNullAt(2)) None else Some(args.getLong(2))
+            val v = TxTable.cloneSnapshot(src.toString, dst.toString,
+              version)
+            oneRowScan(
+              StructType(Seq(StructField("cloned_version", LongType,
+                false))),
+              new GenericInternalRow(Array[Any](v)))
+          }
+        }
+    }
+
   def vacuum(resolve: String => Path): UnboundProcedure =
     new UnboundProcedure {
       override def name(): String = "vacuum"
@@ -2184,12 +2240,19 @@ private[graft] object TxProcedures {
               .comment("how many newest versions stay readable").build(),
             ProcedureParameter.in("min_age_ms", LongType)
               .comment("orphan-file age guard; 0 only for quiesced tables")
+              .build(),
+            ProcedureParameter.in("retain_age_ms", LongType)
+              .defaultValue("NULL")
+              .comment("age-based retention (Iceberg expire_snapshots " +
+                "older_than): a version expires only if also published " +
+                "before now - retain_age_ms; NULL = count-based only")
               .build())
           override def isDeterministic: Boolean = false
           override def call(args: InternalRow): util.Iterator[Scan] = {
             val tbl = args.getUTF8String(0).toString
             val stats = TxTable.vacuum(resolve(tbl).toString, args.getInt(1),
-              args.getLong(2))
+              args.getLong(2),
+              if (args.isNullAt(3)) None else Some(args.getLong(3)))
             oneRowScan(
               StructType(Seq(
                 StructField("expired_versions", StringType, false),

@@ -624,17 +624,35 @@ object TxTable {
     *     whole.
     *
     * Cost shape: O(files) metadata + deletes through the driver, zero
-    * data movement, no Spark job — the same envelope as commit. */
+    * data movement, no Spark job — the same envelope as commit.
+    *
+    * AGE-BASED RETENTION (`retainAgeMillis`, r20 — the operator
+    * contract users know from Iceberg's `expire_snapshots(older_than,
+    * retain_last)` / Delta's `VACUUM RETAIN n HOURS`): when set, a
+    * version expires only if it is ALSO older than `now -
+    * retainAgeMillis` by its manifest's publish time — `retain` stays
+    * the count floor (Iceberg's retain_last). Expiry is always the
+    * longest qualifying PREFIX of the version sequence: a young
+    * version never strands an older retained one's replay chain (the
+    * checkpoint-at-oldest-retained invariant needs contiguity). */
   def vacuum(tableDir: String, retain: Int,
-             minAgeMillis: Long = 600000L): VacuumStats = {
+             minAgeMillis: Long = 600000L,
+             retainAgeMillis: Option[Long] = None): VacuumStats = {
     require(retain >= 1, s"retain must be >= 1, got $retain")
+    retainAgeMillis.foreach(a => require(a >= 0L,
+      s"retainAgeMillis must be >= 0, got $a"))
     val root = Paths.get(tableDir)
     val latest = latestVersion(tableDir).getOrElse(
       throw new IllegalStateException(
         s"no committed version under $tableDir/$LogDir"))
     val versions = listNames(root.resolve(LogDir))
       .collect { case VersionName(v) => v }.sorted
-    val (expired, retained) = versions.partition(_ <= latest - retain)
+    val ageCutoff = retainAgeMillis.map(System.currentTimeMillis() - _)
+    def oldEnoughToExpire(v: Long): Boolean = ageCutoff.forall(c =>
+      Files.getLastModifiedTime(manifestPath(root, v)).toMillis < c)
+    val expired = versions.takeWhile(v =>
+      v <= latest - retain && oldEnoughToExpire(v))
+    val retained = versions.drop(expired.length)
     // Before any delta leaves the log, materialize a checkpoint at the
     // OLDEST retained version: its (and every newer version's) replay
     // must never need an expired delta. Written before deletion, so a
@@ -1981,13 +1999,16 @@ object TxTable {
   def restore(tableDir: String, v: Long,
               primitive: CommitPrimitive = PosixLinkPrimitive): Long = {
     val root = Paths.get(tableDir)
-    // v MATERIALIZED: files the head dropped need their blooms back in
-    // sidecar form (one bounded content-addressed write ∝ the restored
-    // files' bloom bytes); the head itself only contributes txns and
-    // carried refs — lite
-    val m = readManifest(root, v) // loud when v is gone (readable ⇒ v ≤ head)
+    val mLite = readManifestLite(root, v) // loud when v is gone
     val latest = versions(tableDir).max // non-empty: v's manifest exists
     val head = readManifestLite(root, latest)
+    // blooms materialized ONLY for restored files the head no longer
+    // references — publish re-sidecars exactly those; every file the
+    // head still refs carries by reference with zero sidecar reads
+    // (the bloom-blind discipline applied to restore: a rollback where
+    // the head kept all of v's files is a pure metadata commit)
+    val m = materializeBloomsFor(root, mLite,
+      mLite.files.toSet -- head.bloomRefs.keySet)
     val manifest = Manifest(latest + 1, "restore", m.schemaJson, m.files,
       head.txns, m.stats, m.blooms, m.partitionColumns, m.constraints,
       m.dvDirs, m.properties, m.columnMapping,
@@ -2014,6 +2035,69 @@ object TxTable {
           "do not run vacuum and restore concurrently")
     }
     latest + 1
+  }
+
+  /** ZERO-COPY SHALLOW CLONE (the Delta `CREATE TABLE … SHALLOW CLONE`
+    * / Iceberg-snapshot shape): commit `dstDir`'s v1 as a manifest that
+    * REFERENCES the source snapshot's data files by absolute path —
+    * nothing is copied, the clone is one metadata commit regardless of
+    * table size. Stats carry (every skipping decision works on day
+    * one); schema, constraints, layout (identity + hidden transforms),
+    * and column mapping carry; history, txn watermarks, and CDF change
+    * files do not (the clone's history starts at its own v1).
+    *
+    * The dev/test-on-prod workflow: clone, then evolve the clone freely
+    * — new commits stage files under the CLONE's root, rewrites
+    * (compact/zorder/update) progressively localize the referenced
+    * bytes, and the source never observes any of it.
+    *
+    * Contracts, loudly:
+    *   - THE VACUUM HAZARD (exactly Delta's shallow-clone contract): the
+    *     source table does not know its files are referenced elsewhere.
+    *     A source-side VACUUM that expires the cloned version deletes
+    *     bytes the clone still references, breaking its reads from that
+    *     moment on. Either retain the cloned version on the source, or
+    *     rewrite the clone (compact) to localize it before vacuuming
+    *     the source. The clone's OWN vacuum only ever walks its own
+    *     `data/` dir — it can never delete source bytes.
+    *   - deletion vectors do not cross roots: a DV row's identity is
+    *     (root-RELATIVE path, row index), underivable for foreign
+    *     absolute files — a DV-bearing snapshot refuses (purge first),
+    *     and `tx.deletionVectors` is stripped so the clone's own
+    *     deletes take the copy-on-write path until a rewrite localizes
+    *     the files.
+    *   - blooms do not carry: the incremental delta format records one
+    *     sidecar per commit, not arbitrary per-file references into a
+    *     foreign log. Bloom skipping is an optimization with no
+    *     correctness footprint — rebuild via compact/zorder (both
+    *     re-bloom every column the snapshot bloomed) when needed. */
+  def cloneSnapshot(srcDir: String, dstDir: String,
+                    version: Option[Long] = None,
+                    primitive: CommitPrimitive = PosixLinkPrimitive)
+      : Long = {
+    val srcRoot = Paths.get(srcDir).toAbsolutePath
+    val v = version.getOrElse(latestVersion(srcDir).getOrElse(
+      throw new IllegalStateException(
+        s"no committed version under $srcDir/$LogDir")))
+    val m = readManifestLite(srcRoot, v)
+    require(m.dvDirs.isEmpty,
+      s"cannot clone v$v of $srcDir: the snapshot carries deletion " +
+        "vectors, whose row identity is root-relative and cannot cross " +
+        "roots — run purge_deletes on the source (or clone a pre-DV " +
+        "version) first")
+    require(latestVersion(dstDir).isEmpty,
+      s"clone target $dstDir already has a committed version")
+    def abs(rel: String): String = srcRoot.resolve(rel).toString
+    val files = m.files.map(abs)
+    val stats = m.stats.map { case (f, cs) => abs(f) -> cs }
+    val manifest = Manifest(1L, "clone", m.schemaJson, files,
+      txns = Map.empty, stats, blooms = Map.empty, m.partitionColumns,
+      m.constraints, dvDirs = Nil, m.properties - DvProperty,
+      m.columnMapping, partitionTransforms = m.partitionTransforms)
+    val dstRoot = Paths.get(dstDir)
+    Files.createDirectories(dstRoot.resolve(LogDir))
+    publish(dstRoot, manifest, None, primitive)
+    1L
   }
 
   /** Time travel: read exactly version `v`'s snapshot.
@@ -2181,10 +2265,17 @@ object TxTable {
         s"no committed version under $tableDir/$LogDir"))
     // a DROP scrubs the dropped column out of every carried file's
     // blooms — the ONE commit that rewrites carried bloom bytes, so it
-    // alone materializes them (and declares the rewrites to publish);
-    // a pure ADD is a lite metadata commit like rename/widen
+    // alone materializes them (and declares the rewrites to publish).
+    // Only sidecar CONTENT says which files bloom the dropped column,
+    // so a scrub on a bloom-bearing table reads each referenced sidecar
+    // once; on a bloom-FREE table (no refs, no inline blooms — the
+    // common case) there is nothing to scrub and the drop stays lite.
+    // A pure ADD is a lite metadata commit like rename/widen.
+    val mLite = readManifestLite(root, v)
     val m =
-      if (drop.isEmpty) readManifestLite(root, v) else readManifest(root, v)
+      if (drop.isEmpty || (mLite.bloomRefs.isEmpty && mLite.blooms.isEmpty))
+        mLite
+      else readManifest(root, v)
     val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
     val existing = schema.fieldNames.map(_.toLowerCase).toSet
     add.foreach { f =>

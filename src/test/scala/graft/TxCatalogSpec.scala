@@ -549,6 +549,63 @@ class TxCatalogSpec extends SparkSpec {
     }
   }
 
+  test("CALL system.clone: zero-copy reference, independent evolution, safe own vacuum") {
+    warehouse
+    import spark.implicits._
+    val src = s"$warehouse/db/clsrc"
+    val dst = s"$warehouse/db/cldst"
+    TxTable.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), src,
+      "overwrite")
+    TxTable.commit(Seq((3L, "c")).toDF("id", "s"), src, "append")
+    assert(spark.sql("CALL txspec.system.clone('db.clsrc', 'db.cldst')")
+      .head().getLong(0) == 1L)
+    // clone reads == source at clone time, through pure SQL
+    assert(spark.sql("SELECT id FROM txspec.db.cldst ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // ZERO data files copied: the clone root holds only its log
+    assert(!Files.exists(java.nio.file.Paths.get(s"$dst/data")),
+      "clone materialized data files — it must be metadata-only")
+    val m = TxTable.readManifest(java.nio.file.Paths.get(dst), 1L)
+    assert(m.files.nonEmpty && m.files.forall(f =>
+      java.nio.file.Paths.get(f).isAbsolute && f.contains("/clsrc/")),
+      s"clone must reference the source's files absolutely: ${m.files}")
+    assert(m.stats.nonEmpty, "stats must carry — day-one skipping")
+    assert(TxTable.history(dst).map(_._2) == Seq("clone"))
+    // carried stats prune: a value outside every file's range plans to
+    // zero files on the CLONE
+    val p = spark.sql("SELECT s FROM txspec.db.cldst WHERE id = 99")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("InMemoryFileIndex(0 paths)"), p.take(600))
+    // independent evolution: the clone appends locally, source untouched
+    spark.sql("INSERT INTO txspec.db.cldst VALUES (9, 'z')")
+    assert(spark.sql("SELECT count(*) FROM txspec.db.cldst")
+      .head().getLong(0) == 4L)
+    assert(spark.sql("SELECT count(*) FROM txspec.db.clsrc")
+      .head().getLong(0) == 3L)
+    assert(TxTable.latestVersion(src).contains(2L),
+      "the clone's commit leaked into the source's log")
+    // version-pinned clone
+    assert(spark.sql(
+        "CALL txspec.system.clone('db.clsrc', 'db.cldst1', 1)")
+      .head().getLong(0) == 1L)
+    assert(spark.sql("SELECT id FROM txspec.db.cldst1 ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // the clone's OWN vacuum walks only its own data/: after the clone
+    // overwrites (dereferencing every source file), vacuum reclaims
+    // nothing foreign — the source still reads perfectly
+    spark.sql("INSERT OVERWRITE txspec.db.cldst1 VALUES (7, 'q')")
+    TxTable.vacuum(s"$warehouse/db/cldst1", retain = 1,
+      minAgeMillis = 0L): Unit
+    assert(spark.sql("SELECT id FROM txspec.db.clsrc ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L),
+      "the clone's vacuum deleted source bytes")
+    // an existing target refuses; a DV-bearing snapshot refuses
+    intercept[Exception] {
+      spark.sql("CALL txspec.system.clone('db.clsrc', 'db.cldst')")
+        .collect()
+    }
+  }
+
   test("CALL system.restore rolls back as a new version; $stats introspects skipping") {
     warehouse
     import spark.implicits._

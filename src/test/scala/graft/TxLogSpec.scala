@@ -329,6 +329,37 @@ class TxLogSpec extends SparkSpec {
     assert(m.blooms.size == 2)
   }
 
+  test("age-based vacuum: young versions survive the count floor, expiry stays a prefix") {
+    val tbl = tmpTable()
+    (1L to 6L).foreach(i => TxTable.commit(frame(i), tbl,
+      if (i == 1L) "overwrite" else "append"))
+    val log = Paths.get(tbl).resolve("_txlog")
+    def backdate(v: Long): Unit =
+      Files.setLastModifiedTime(log.resolve(f"v$v%05d.json"),
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 7200000L)): Unit
+    (1L to 3L).foreach(backdate)
+    // retain=1 alone would expire v1..v5; the 1h age gate keeps
+    // everything published within the hour (Iceberg older_than +
+    // retain_last semantics)
+    val stats = TxTable.vacuum(tbl, retain = 1, minAgeMillis = 0L,
+      retainAgeMillis = Some(3600000L))
+    assert(stats.expiredVersions == Seq(1L, 2L, 3L), stats)
+    assert(TxTable.versions(tbl) == Seq(4L, 5L, 6L))
+    assert(TxTable.readVersion(spark, tbl, 4L).count() == 4L)
+    // prefix contiguity: an old v5 BEHIND a young v4 must survive —
+    // expiring it would strand v5+'s replay chain past the
+    // oldest-retained checkpoint
+    backdate(5L)
+    val s2 = TxTable.vacuum(tbl, retain = 1, minAgeMillis = 0L,
+      retainAgeMillis = Some(3600000L))
+    assert(s2.expiredVersions.isEmpty, s2)
+    assert(TxTable.versions(tbl) == Seq(4L, 5L, 6L))
+    // and with no age gate the behavior is the pre-r20 count contract
+    val s3 = TxTable.vacuum(tbl, retain = 2, minAgeMillis = 0L)
+    assert(s3.expiredVersions == Seq(4L))
+  }
+
   test("rebase retries reuse the identical content-addressed sidecar") {
     val tbl = tmpTable()
     TxTable.commit(frame(1L), tbl, "overwrite", bloomColumns = Seq("id"))
@@ -351,6 +382,34 @@ class TxLogSpec extends SparkSpec {
       .iterator().asScala.map(_.getFileName.toString).toSet
     val refs = m.bloomRefs.values.map(_.split('/').last).toSet
     assert(onDisk == refs)
+  }
+
+  test("restore carries by reference; a bloom-free evolve DROP stays lite") {
+    val tbl = tmpTable()
+    TxTable.commit(frame(1L, 2L), tbl, "overwrite", bloomColumns = Seq("id"))
+    TxTable.commit(frame(3L), tbl, "append", bloomColumns = Seq("id"))
+    TxTable.commit(frame(4L), tbl, "append", bloomColumns = Seq("id"))
+    val c0 = TxTable.sidecarReadCount(tbl)
+    // every v2 file is still referenced by the head → the rollback is a
+    // pure metadata commit: ZERO sidecar materialization (r20; the
+    // bloom-blind discipline extended to restore)
+    assert(TxTable.restore(tbl, 2L) == 4L)
+    assert(TxTable.sidecarReadCount(tbl) == c0,
+      "restore materialized sidecars for files the head still references")
+    // and the restored head still carries full bloom coverage by ref
+    val m = TxTable.readManifest(Paths.get(tbl), 4L)
+    assert(m.blooms.keySet == m.files.toSet,
+      "lite restore lost bloom coverage")
+    // a DROP on a bloom-FREE table has nothing to scrub: fully lite
+    val tbl2 = tmpTable()
+    import spark.implicits._
+    TxTable.commit(Seq((1L, "a", 5.0), (2L, "b", 6.0))
+      .toDF("id", "payload", "w"), tbl2, "overwrite")
+    val c2 = TxTable.sidecarReadCount(tbl2)
+    assert(TxTable.evolveColumns(spark, tbl2, drop = Seq("w")) == 2L)
+    assert(TxTable.sidecarReadCount(tbl2) == c2,
+      "a bloom-free DROP paid sidecar IO")
+    assert(TxTable.read(spark, tbl2).columns.toSeq == Seq("id", "payload"))
   }
 
   test("fmt-3 checkpoint: columnar, splittable, round-trips a large file count") {
