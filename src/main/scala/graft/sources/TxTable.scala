@@ -815,12 +815,18 @@ object TxTable {
     val dataSchema = physicalSchema(
       StructType(schema.fields.filterNot(f => partSet(f.name))),
       m.columnMapping)
-    // the partition-dir portion of a file's rel path
-    // (data/<uuid>/[col=v/...]file): what the planner groups by — a
-    // compaction group never crosses partition values, which is also
-    // what keeps partition pruning intact after the rewrite
+    // the partition-dir portion of a file's path: the hive `col=value`
+    // segments themselves (never positional — a CLONED table's files
+    // are ABSOLUTE source paths whose prefix depth varies). What the
+    // planner groups by — a compaction group never crosses partition
+    // values, which is also what keeps partition pruning intact after
+    // the rewrite; and because the key is the VALUE segments alone,
+    // same-value files from different commit dirs (and from a clone's
+    // foreign source dirs) merge into one clean local
+    // `data/<uuid>/col=value/` group — compaction IS the localization
+    // path for a cloned partitioned table
     def partSegs(f: String): String =
-      f.split('/').toSeq.drop(2).dropRight(1).mkString("/")
+      f.split('/').toSeq.dropRight(1).filter(_.contains('=')).mkString("/")
     import spark.implicits._
     val inv = scoped.map(f =>
         (if (m.partitionColumns.isEmpty) "" else partSegs(f), f,

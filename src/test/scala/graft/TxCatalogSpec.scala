@@ -606,6 +606,48 @@ class TxCatalogSpec extends SparkSpec {
     }
   }
 
+  test("compacting a partitioned clone LOCALIZES it under clean value dirs") {
+    warehouse
+    import spark.implicits._
+    val src = s"$warehouse/db/clpsrc"
+    val dst = s"$warehouse/db/clpdst"
+    val rows = (0 until 40).map(i =>
+      (i.toLong, if (i % 2 == 0) "en" else "de", i * 10L))
+    // two commits per value → 4 source files across 2 commit dirs
+    TxTable.commit(rows.take(20).toDF("id", "lang", "n").coalesce(1),
+      src, "overwrite", partitionBy = Some(Seq("lang")))
+    TxTable.commit(rows.drop(20).toDF("id", "lang", "n").coalesce(1),
+      src, "append")
+    TxTable.cloneSnapshot(src, dst): Unit
+    // the clone starts foreign (absolute refs); one compaction merges
+    // same-value files across the source's commit dirs into ONE clean
+    // local file per value — compaction IS the localization path
+    TxTable.compact(spark, dst, targetBytes = 1L << 30)
+    val m = TxTable.readManifest(java.nio.file.Paths.get(dst), 2L)
+    assert(m.files.nonEmpty && m.files.forall(f =>
+        !java.nio.file.Paths.get(f).isAbsolute),
+      s"compaction left foreign references: ${m.files}")
+    assert(m.files.forall(f => f.matches("data/[^/]+/lang=(en|de)/.*")),
+      s"localized files must sit under clean value dirs: ${m.files}")
+    assert(m.files.size == 2, s"one file per value expected: ${m.files}")
+    // rows identical, partition pruning intact, source untouched
+    assert(spark.sql("SELECT sum(n) FROM txspec.db.clpdst")
+      .head().getLong(0) == rows.map(_._3).sum)
+    val p = spark.sql(
+        "SELECT id FROM txspec.db.clpdst WHERE lang = 'en'")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("skipped=1/2"), p.take(600))
+    assert(TxTable.latestVersion(src).contains(2L))
+    assert(spark.sql("SELECT count(*) FROM txspec.db.clpsrc")
+      .head().getLong(0) == 40L)
+    // post-localization, the clone's vacuum is free to reclaim — and
+    // still cannot touch the source's bytes (nothing foreign under its
+    // own data/)
+    TxTable.vacuum(dst, retain = 1, minAgeMillis = 0L): Unit
+    assert(spark.sql("SELECT count(*) FROM txspec.db.clpsrc")
+      .head().getLong(0) == 40L)
+  }
+
   test("CALL system.restore rolls back as a new version; $stats introspects skipping") {
     warehouse
     import spark.implicits._
