@@ -422,7 +422,7 @@ object TextStats {
     // one extra row is exactly the over-cap proof — the distinct UTF-16
     // code-unit set is intrinsically bounded, so this is belt-and-braces
     // consistency, not an OOM fix
-    val charCap = (math.min(maxChars.toLong, Int.MaxValue.toLong - 1) + 1).toInt
+    val charCap = vocabFetchCap(maxChars.toLong)
     val chars = dwords
       .select(explode(filter(split(col("word"), ""), c => c =!= "")).as("c"))
       .distinct().limit(charCap).collect().map(_.getString(0)).toSeq

@@ -470,17 +470,22 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
       throw new IllegalArgumentException(
         s"unknown procedure namespace ${ident.namespace().mkString(".")} — " +
           "procedures live under `system`")
-    val resolve: String => Path = { dotted =>
+    // ONE name-validation rule for every procedure argument — a table
+    // that must already exist (most procedures) and a fresh target
+    // (clone) differ only in the committed-table requirement
+    def validatedPath(dotted: String, mustExist: Boolean): Path = {
       val parts = dotted.split('.').toSeq
       require(parts.nonEmpty && parts.forall(p =>
           p.nonEmpty && !p.contains('/') && !p.contains('\\') &&
             !p.contains('$') && p != "." && p != ".."),
         s"illegal table name '$dotted'")
       val dir = parts.foldLeft(root)(_.resolve(_))
-      require(isTxTable(dir), s"'$dotted' is not a committed tx table " +
-        s"under $root")
+      if (mustExist)
+        require(isTxTable(dir), s"'$dotted' is not a committed tx table " +
+          s"under $root")
       dir
     }
+    val resolve: String => Path = validatedPath(_, mustExist = true)
     ident.name() match {
       case "compact" => TxProcedures.compact(resolve)
       case "vacuum"  => TxProcedures.vacuum(resolve)
@@ -491,16 +496,8 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
       case "checkpoint" => TxProcedures.checkpoint(resolve)
       case "clone" =>
         // the TARGET is a fresh path under the warehouse — same name
-        // validation, no committed-table requirement, parents created
-        val resolveNew: String => Path = { dotted =>
-          val parts = dotted.split('.').toSeq
-          require(parts.nonEmpty && parts.forall(p =>
-              p.nonEmpty && !p.contains('/') && !p.contains('\\') &&
-                !p.contains('$') && p != "." && p != ".."),
-            s"illegal table name '$dotted'")
-          parts.foldLeft(root)(_.resolve(_))
-        }
-        TxProcedures.clone(resolve, resolveNew)
+        // validation, no committed-table requirement
+        TxProcedures.clone(resolve, validatedPath(_, mustExist = false))
       case other => throw new IllegalArgumentException(
         s"unknown procedure system.$other (have: compact, " +
           "compact_where, vacuum, restore, zorder, zorder_where, " +

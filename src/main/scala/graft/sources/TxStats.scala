@@ -132,6 +132,14 @@ object TxStats {
       val blocks = reader.getFooter.getBlocks.asScala.toSeq
       if (blocks.isEmpty) return Map.empty
       val totalRows = blocks.map(_.getRowCount).sum
+      // a file written under datetimeRebaseModeInWrite=LEGACY stores
+      // hybrid-Julian-rebased micros/days (Spark marks it with this
+      // footer key); excludes() compares proleptic literals, and for
+      // pre-1582 instants the two calendars disagree by days — a wrong
+      // skip would be silent data loss, so such files record NO
+      // timestamp/date stats (modern data never carries the marker)
+      val legacyRebase = reader.getFooter.getFileMetaData
+        .getKeyValueMetaData.containsKey("org.apache.spark.legacyDateTime")
       // (col -> per-block (min, max) strings); None poisons the column
       var acc = Map.empty[String, Option[(String, String)]]
       // (col -> summed null count); None = some block lacks the count
@@ -167,15 +175,16 @@ object TxStats {
               // integers would be off by 1000× — both fall through to
               // "no stat", the conservative default.
               case (ls: LongStatistics, TimestampType)
-                  if tsMicrosUtc(col.getPrimitiveType
+                  if !legacyRebase && tsMicrosUtc(col.getPrimitiveType
                     .getLogicalTypeAnnotation) =>
                 Some((ls.getMin.toString, ls.getMax.toString))
               // dates as exact epoch-DAYS integer strings (INT32 DATE —
               // the only physical form Spark writes for DateType)
               case (is: IntStatistics, DateType)
-                  if col.getPrimitiveType.getLogicalTypeAnnotation
-                    .isInstanceOf[LogicalTypeAnnotation
-                      .DateLogicalTypeAnnotation] =>
+                  if !legacyRebase &&
+                    col.getPrimitiveType.getLogicalTypeAnnotation
+                      .isInstanceOf[LogicalTypeAnnotation
+                        .DateLogicalTypeAnnotation] =>
                 Some((is.getMin.toString, is.getMax.toString))
               case _ => None
             }

@@ -816,17 +816,23 @@ object TxTable {
       StructType(schema.fields.filterNot(f => partSet(f.name))),
       m.columnMapping)
     // the partition-dir portion of a file's path: the hive `col=value`
-    // segments themselves (never positional — a CLONED table's files
-    // are ABSOLUTE source paths whose prefix depth varies). What the
-    // planner groups by — a compaction group never crosses partition
-    // values, which is also what keeps partition pruning intact after
-    // the rewrite; and because the key is the VALUE segments alone,
-    // same-value files from different commit dirs (and from a clone's
-    // foreign source dirs) merge into one clean local
+    // segments whose NAME is one of the table's layout fields (never
+    // positional — a CLONED table's files are ABSOLUTE source paths
+    // whose prefix depth varies, and a foreign prefix may itself
+    // contain '=' dirs like /mnt/env=prod/ that must not key groups).
+    // What the planner groups by — a compaction group never crosses
+    // partition values, which is also what keeps partition pruning
+    // intact after the rewrite; and because the key is the VALUE
+    // segments alone, same-value files from different commit dirs (and
+    // from a clone's foreign source dirs) merge into one clean local
     // `data/<uuid>/col=value/` group — compaction IS the localization
     // path for a cloned partitioned table
+    val layoutFieldSet = TxTransforms.spec(m).map(_.name).toSet ++ partSet
     def partSegs(f: String): String =
-      f.split('/').toSeq.dropRight(1).filter(_.contains('=')).mkString("/")
+      f.split('/').toSeq.dropRight(1).filter { seg =>
+        val i = seg.indexOf('=')
+        i > 0 && layoutFieldSet.contains(seg.substring(0, i))
+      }.mkString("/")
     import spark.implicits._
     val inv = scoped.map(f =>
         (if (m.partitionColumns.isEmpty) "" else partSegs(f), f,
@@ -2756,18 +2762,42 @@ object TxTable {
     * `ts` range predicates prove files out on UNPARTITIONED tables).
     * The conf is session-global, so a concurrent NON-tx parquet write
     * in the same session may emit micros during the window — valid
-    * parquet either way (INT96 is deprecated upstream); concurrent tx
-    * writes both pin the same value. There is no per-write option:
+    * parquet either way (INT96 is deprecated upstream); concurrent TX
+    * writes share one REF-COUNTED pin per session (first in sets, last
+    * out restores), so no writer can un-pin the key mid-stage for
+    * another. There is no per-write option:
     * ParquetFileFormat.prepareWrite reads the session SQLConf only. */
+  private val microsPinLock = new Object
+  // per-session pin depth + the value to restore when the LAST in-flight
+  // tx write drains — a plain set/restore per call would race under
+  // concurrent same-session commits (one writer's restore un-pinning the
+  // key mid-stage for another, silently losing its timestamp stats, or
+  // interleaved finallys leaking the pin permanently)
+  private val microsPins = new java.util.IdentityHashMap[
+    org.apache.spark.sql.SparkSession, (Int, Option[String])]()
+
   private def withMicrosTimestamps[A](
       spark: org.apache.spark.sql.SparkSession)(body: => A): A = {
     val key = "spark.sql.parquet.outputTimestampType"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "TIMESTAMP_MICROS")
+    microsPinLock.synchronized {
+      microsPins.get(spark) match {
+        case null =>
+          microsPins.put(spark, (1, spark.conf.getOption(key))): Unit
+          spark.conf.set(key, "TIMESTAMP_MICROS")
+        case (depth, prev) =>
+          microsPins.put(spark, (depth + 1, prev)): Unit
+      }
+    }
     try body
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
+    finally microsPinLock.synchronized {
+      val (depth, prev) = microsPins.get(spark)
+      if (depth == 1) {
+        microsPins.remove(spark): Unit
+        prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None    => spark.conf.unset(key)
+        }
+      } else microsPins.put(spark, (depth - 1, prev)): Unit
     }
   }
 
@@ -3351,65 +3381,76 @@ object TxTable {
       getStringMap(node, "partitionTransforms"))
   }
 
-  /** Stream the fmt-3 parquet checkpoint back into a [[Manifest]]: the
-    * header JSON comes from the footer's key-value metadata (one small
-    * parse, O(columns)); entry rows stream ONE AT A TIME through the
-    * record reader — heap is bounded by the manifest being built plus
-    * one row group's pages, never a whole-file text blob. */
+  /** Stream the fmt-3 parquet checkpoint back into a [[Manifest]] from
+    * ONE file open: the header JSON comes from the footer's key-value
+    * metadata (one small parse, O(columns)), then the SAME
+    * ParquetFileReader streams entry rows row-group by row-group
+    * through a record reader — heap is bounded by the manifest being
+    * built plus one row group's pages, never a whole-file text blob
+    * (and on object storage the cold load pays one open+footer round
+    * trip, not two). */
   private def readCheckpointParquet(root: Path, v: Long): Manifest = {
     val hp = new org.apache.hadoop.fs.Path(
       ckptParquetPath(root, v).toString)
-    val conf = rawLocalConf()
     val pf = org.apache.parquet.hadoop.ParquetFileReader.open(
-      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(hp, conf))
-    val headerStr =
-      try pf.getFooter.getFileMetaData.getKeyValueMetaData
-        .get(CkptHeaderKey)
-      finally pf.close()
-    require(headerStr != null,
-      s"checkpoint v$v of $root lacks the $CkptHeaderKey footer entry — " +
-        "not a graft checkpoint?")
-    val node = new Mapper().readTree(headerStr)
-    require(node.get("version").asLong() == v,
-      s"checkpoint v$v of $root claims version " +
-        s"${node.get("version").asLong()} in its header")
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        hp, rawLocalConf()))
     val files = Seq.newBuilder[String]
     val stats = scala.collection.mutable.HashMap
       .empty[String, scala.collection.mutable.HashMap[String,
         TxStats.ColStat]]
     val refs = Map.newBuilder[String, String]
-    val reader = org.apache.parquet.hadoop.ParquetReader
-      .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
-        hp)
-      .withConf(conf).build()
-    try {
-      var g = reader.read()
-      while (g != null) {
-        val f = g.getString("file", 0)
-        g.getInteger("kind", 0) match {
-          case KindFile =>
-            files += f
-            if (g.getFieldRepetitionCount("bloom_ref") > 0)
-              refs += f -> g.getString("bloom_ref", 0)
-          case KindStat =>
-            val nulls = if (g.getFieldRepetitionCount("nulls") > 0)
-              g.getLong("nulls", 0) else -1L
-            val rows = if (g.getFieldRepetitionCount("rows") > 0)
-              g.getLong("rows", 0) else -1L
-            stats.getOrElseUpdate(f,
-                scala.collection.mutable.HashMap.empty)
-              .update(g.getString("col", 0),
-                TxStats.ColStat(g.getString("min", 0),
-                  g.getString("max", 0), nulls, rows))
-          case KindOrphanRef =>
-            refs += f -> g.getString("bloom_ref", 0)
-          case other => throw new IllegalStateException(
-            s"checkpoint v$v of $root: unknown entry kind $other " +
-              "(written by a newer engine?)")
+    val node =
+      try {
+        val headerStr = pf.getFooter.getFileMetaData.getKeyValueMetaData
+          .get(CkptHeaderKey)
+        require(headerStr != null,
+          s"checkpoint v$v of $root lacks the $CkptHeaderKey footer " +
+            "entry — not a graft checkpoint?")
+        val parsed = new Mapper().readTree(headerStr)
+        require(parsed.get("version").asLong() == v,
+          s"checkpoint v$v of $root claims version " +
+            s"${parsed.get("version").asLong()} in its header")
+        val fileSchema = pf.getFooter.getFileMetaData.getSchema
+        val colIO = new org.apache.parquet.io.ColumnIOFactory()
+          .getColumnIO(fileSchema)
+        var pages = pf.readNextRowGroup()
+        while (pages != null) {
+          val recordReader = colIO.getRecordReader(pages,
+            new org.apache.parquet.example.data.simple.convert
+              .GroupRecordConverter(fileSchema))
+          var i = 0L
+          val n = pages.getRowCount
+          while (i < n) {
+            val g = recordReader.read()
+            val f = g.getString("file", 0)
+            g.getInteger("kind", 0) match {
+              case KindFile =>
+                files += f
+                if (g.getFieldRepetitionCount("bloom_ref") > 0)
+                  refs += f -> g.getString("bloom_ref", 0)
+              case KindStat =>
+                val nulls = if (g.getFieldRepetitionCount("nulls") > 0)
+                  g.getLong("nulls", 0) else -1L
+                val rows = if (g.getFieldRepetitionCount("rows") > 0)
+                  g.getLong("rows", 0) else -1L
+                stats.getOrElseUpdate(f,
+                    scala.collection.mutable.HashMap.empty)
+                  .update(g.getString("col", 0),
+                    TxStats.ColStat(g.getString("min", 0),
+                      g.getString("max", 0), nulls, rows))
+              case KindOrphanRef =>
+                refs += f -> g.getString("bloom_ref", 0)
+              case other => throw new IllegalStateException(
+                s"checkpoint v$v of $root: unknown entry kind $other " +
+                  "(written by a newer engine?)")
+            }
+            i += 1
+          }
+          pages = pf.readNextRowGroup()
         }
-        g = reader.read()
-      }
-    } finally reader.close()
+        parsed
+      } finally pf.close()
     Manifest(v, node.get("op").asText(), node.get("schema").asText(),
       files.result(), getTxns(node),
       stats.view.mapValues(_.toMap).toMap, Map.empty,

@@ -329,6 +329,31 @@ class TxLogSpec extends SparkSpec {
     assert(m.blooms.size == 2)
   }
 
+  test("legacy-rebased files record no timestamp/date stats — no wrong skips") {
+    import spark.implicits._
+    val tbl = tmpTable()
+    // pre-1582 instants can only be written under LEGACY rebase, where
+    // the file stores hybrid-Julian micros/days that disagree with the
+    // proleptic literal conversion excludes() uses by several days — a
+    // stat would wrongly prune; the footer's legacyDateTime marker
+    // gates the stat off (value columns unaffected)
+    spark.conf.set("spark.sql.parquet.datetimeRebaseModeInWrite", "LEGACY")
+    try TxTable.commit(
+      Seq((1L, java.sql.Timestamp.valueOf("1000-01-05 00:00:00"),
+        java.sql.Date.valueOf("1000-01-05"))).toDF("id", "ts", "d")
+        .coalesce(1), tbl, "overwrite")
+    finally spark.conf.unset("spark.sql.parquet.datetimeRebaseModeInWrite")
+    val m = TxTable.readManifest(Paths.get(tbl), 1L)
+    val cols = m.stats.values.flatMap(_.keySet).toSet
+    assert(cols.contains("id"), s"integral stats must still record: $cols")
+    assert(!cols.contains("ts") && !cols.contains("d"),
+      s"legacy-rebased timestamp/date stats recorded — a pre-1582 range " +
+        s"predicate would wrongly skip this file: $cols")
+    // and the ancient row still answers (kept, not pruned)
+    assert(TxTable.read(spark, tbl)
+      .where("ts < TIMESTAMP '1200-01-01 00:00:00'").count() == 1L)
+  }
+
   test("age-based vacuum: young versions survive the count floor, expiry stays a prefix") {
     val tbl = tmpTable()
     (1L to 6L).foreach(i => TxTable.commit(frame(i), tbl,
