@@ -834,6 +834,36 @@ private[graft] object EntryHelpers {
       java.lang.Long.valueOf(1L)
     }).longValue()
 
+  /** `ops_tags` fixture (`db.tgq`): three versions (en / +de / +fr),
+    * v2 tagged 'pre_fr' through the CALL surface, then a retain=1
+    * vacuum that WITHOUT the tag would expire v1 AND v2 — the pin is
+    * require-asserted to have stopped expiry at exactly v1 (prefix
+    * contiguity below the lowest tag). The certified read resolves the
+    * tag by NAME through SQL time travel. */
+  val txTagsDone =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  def txTagsVersion(s: SparkSession, dir: String, wh: String): Long =
+    txTagsDone.computeIfAbsent(dir, _ => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val tbl = s"$wh/db/tgq"
+      graft.sources.TxTable.commit(docs.filter(col("lang") === "en"),
+        tbl, "overwrite")
+      graft.sources.TxTable.commit(docs.filter(col("lang") === "de"),
+        tbl, "append")
+      graft.sources.TxTable.commit(docs.filter(col("lang") === "fr"),
+        tbl, "append")
+      require(s.sql("CALL graft_tx.system.tag('db.tgq', 'pre_fr', 2)")
+        .head().getLong(0) == 2L)
+      val st = graft.sources.TxTable.vacuum(tbl, retain = 1,
+        minAgeMillis = 0L)
+      require(st.expiredVersions == Seq(1L),
+        s"the tag must pin expiry below v2, vacuum expired " +
+          s"${st.expiredVersions}")
+      require(graft.sources.TxTable.versions(tbl) == Seq(2L, 3L))
+      java.lang.Long.valueOf(2L)
+    }).longValue()
+
   /** `ops_txlog_meta` fixture (`db.lmt`): five commits under a
     * checkpoint interval no commit reaches (periodic checkpoints never
     * fire), so `t$log` reports a 4-delta replay tail — then the

@@ -1006,6 +1006,21 @@ private[graft] object QueriesSearchOps {
         .select(col("event_id"), col("user_id"), col("uq"), col("vq"))
         .orderBy("event_id")
     }),
+    // ----- snapshot TAGS (r20 — Iceberg refs): v2 pinned under
+    // 'pre_fr' through CALL system.tag, a retain=1 vacuum that would
+    // otherwise expire v1+v2 stops at exactly v1 (require-pinned), and
+    // the certified read resolves the tag BY NAME through SQL time
+    // travel (`VERSION AS OF 'pre_fr'`) -----
+    "ops_tags" -> ((s: SparkSession, dir: String) => {
+      val wh = EntryHelpers.txCatalogWarehouse(s, dir)
+      s.conf.set("spark.sql.catalog.graft_tx", "graft.sources.TxCatalog")
+      s.conf.set("spark.sql.catalog.graft_tx.root", wh)
+      EntryHelpers.txTagsVersion(s, dir, wh): Unit
+      s.sql(
+        """SELECT doc_id, lang, n_chars
+          |FROM graft_tx.db.tgq VERSION AS OF 'pre_fr'
+          |ORDER BY doc_id""".stripMargin)
+    }),
     // ----- zero-copy SHALLOW CLONE (r20 — TxTable.cloneSnapshot): the
     // clone's v1 REFERENCES the source snapshot's files absolutely,
     // copying nothing (require-pinned: no data/ dir after the clone,
@@ -2086,6 +2101,12 @@ private[graft] object QueriesSearchOps {
     "ops_zorder_rewrite" ->
       ("""SELECT CAST(4 AS BIGINT) AS version, doc_id, lang, n_chars
          |FROM documents WHERE lang IN ('en', 'de', 'fr')
+         |ORDER BY doc_id""".stripMargin),
+    // the tagged snapshot replayed: v2 accumulated en+de; the fr append
+    // came after the tag, and the tag survived a vacuum (require-pinned)
+    "ops_tags" ->
+      ("""SELECT doc_id, lang, n_chars FROM documents
+         |WHERE lang IN ('en', 'de')
          |ORDER BY doc_id""".stripMargin),
     // the evolved clone replayed: the cloned en+de reference plus the
     // clone-local fr append (the clone copied nothing — require-pinned)

@@ -105,7 +105,7 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
   override def tableExists(ident: Identifier): Boolean =
     ident.name().split('$') match {
       case Array(base, "history" | "files" | "stats" | "constraints" |
-          "dv" | "partitions" | "log") if base.nonEmpty =>
+          "dv" | "partitions" | "log" | "refs") if base.nonEmpty =>
         isTxTable(dirFor(Identifier.of(ident.namespace(), base)))
       case _ if ident.name().contains('$') ||
         ident.namespace().exists(_.contains('$')) => false
@@ -118,7 +118,8 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
     // served through a LocalScan, never a distributed job
     ident.name().split('$') match {
       case Array(base, kind @ ("history" | "files" | "stats" |
-          "constraints" | "dv" | "partitions" | "log")) if base.nonEmpty =>
+          "constraints" | "dv" | "partitions" | "log" | "refs"))
+          if base.nonEmpty =>
         val dir = dirFor(Identifier.of(ident.namespace(), base))
         if (!isTxTable(dir)) throw new NoSuchTableException(ident)
         return TxMetaTables.table(fullName(ident), dir, kind)
@@ -137,12 +138,15 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = dirFor(ident)
     if (!isTxTable(dir)) throw new NoSuchTableException(ident)
-    val v =
-      try version.toLong
-      catch {
-        case _: NumberFormatException => throw new IllegalArgumentException(
-          s"TxCatalog versions are integers, got '$version'")
-      }
+    // an integer travels to that version; anything else resolves as a
+    // TAG name (r20 — `VERSION AS OF 'release-1'`, the Iceberg ref
+    // surface), loudly when no such tag exists
+    val v = version.toLongOption.getOrElse(
+      TxTable.tags(dir.toString).getOrElse(version,
+        throw new IllegalArgumentException(
+          s"'$version' is neither a version number nor a tag of " +
+            s"${fullName(ident)} (tags: ${TxTable.tags(dir.toString)
+              .keys.toSeq.sorted.mkString(", ")})")))
     // one stat call on the happy path; the O(versions) name listing only
     // runs to compose the failure message
     require(TxTable.versionExists(dir.toString, v),
@@ -461,7 +465,9 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
         Identifier.of(namespace, "zorder"),
         Identifier.of(namespace, "zorder_where"),
         Identifier.of(namespace, "checkpoint"),
-        Identifier.of(namespace, "clone"))
+        Identifier.of(namespace, "clone"),
+        Identifier.of(namespace, "tag"),
+        Identifier.of(namespace, "drop_tag"))
     else Array.empty
 
   override def loadProcedure(ident: Identifier):
@@ -498,10 +504,12 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
         // the TARGET is a fresh path under the warehouse — same name
         // validation, no committed-table requirement
         TxProcedures.clone(resolve, validatedPath(_, mustExist = false))
+      case "tag"      => TxProcedures.tag(resolve)
+      case "drop_tag" => TxProcedures.dropTag(resolve)
       case other => throw new IllegalArgumentException(
         s"unknown procedure system.$other (have: compact, " +
           "compact_where, vacuum, restore, zorder, zorder_where, " +
-          "checkpoint, clone)")
+          "checkpoint, clone, tag, drop_tag)")
     }
   }
 
@@ -1688,7 +1696,19 @@ private[graft] object TxMetaTables {
     StructField("checkpoint_version", LongType, nullable = true),
     StructField("replay_deltas", LongType, nullable = false)))
 
+  private val RefsSchema = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("version", LongType, nullable = false)))
+
   def table(name: String, dir: Path, kind: String): Table = kind match {
+    // `t$refs`: the snapshot tags in force (r20 — Iceberg refs):
+    // which names pin which versions against vacuum, and what
+    // `VERSION AS OF '<name>'` resolves to
+    case "refs" => new MetaTable(name, RefsSchema, () =>
+      TxTable.tags(dir.toString).toSeq.sortBy(_._1).map { case (n, v) =>
+        new GenericInternalRow(Array[Any](
+          UTF8String.fromString(n), v)): InternalRow
+      }.toArray)
     // `t$log`: log health — the checkpoint-staleness signal
     // (TxTable.logSummary scaladoc): replay_deltas far above
     // tx.checkpointInterval means checkpoint writes are failing and
@@ -2217,6 +2237,68 @@ private[graft] object TxProcedures {
               StructType(Seq(StructField("cloned_version", LongType,
                 false))),
               new GenericInternalRow(Array[Any](v)))
+          }
+        }
+    }
+
+  /** `CALL cat.system.tag('db.t', 'release-1', v)` — pin a committed
+    * version under an immutable name ([[TxTable.tag]]): SQL time
+    * travel resolves it (`VERSION AS OF 'release-1'`) and vacuum never
+    * expires it until [[dropTag]]. */
+  def tag(resolve: String => Path): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = "tag"
+      override def description(): String =
+        "pin a committed version under an immutable tag name — " +
+          "resolvable by VERSION AS OF '<name>', vacuum-protected " +
+          "until drop_tag (TxTable.tag)"
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = "tag"
+          override def parameters(): Array[ProcedureParameter] = Array(
+            ProcedureParameter.in("table", StringType)
+              .comment("dotted table name under the warehouse root").build(),
+            ProcedureParameter.in("name", StringType)
+              .comment("tag name (letters, digits, '-', '_', '.')").build(),
+            ProcedureParameter.in("version", LongType)
+              .comment("committed version to pin").build())
+          override def isDeterministic: Boolean = false // writes a ref
+          override def call(args: InternalRow): util.Iterator[Scan] = {
+            val tbl = args.getUTF8String(0).toString
+            val nm = args.getUTF8String(1).toString
+            val v = args.getLong(2)
+            TxTable.tag(resolve(tbl).toString, nm, v)
+            oneRowScan(
+              StructType(Seq(StructField("tagged_version", LongType,
+                false))),
+              new GenericInternalRow(Array[Any](v)))
+          }
+        }
+    }
+
+  def dropTag(resolve: String => Path): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = "drop_tag"
+      override def description(): String =
+        "remove a tag — its version becomes expirable by the next " +
+          "vacuum like any other (TxTable.dropTag)"
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = "drop_tag"
+          override def parameters(): Array[ProcedureParameter] = Array(
+            ProcedureParameter.in("table", StringType)
+              .comment("dotted table name under the warehouse root").build(),
+            ProcedureParameter.in("name", StringType)
+              .comment("tag to remove").build())
+          override def isDeterministic: Boolean = false // deletes a ref
+          override def call(args: InternalRow): util.Iterator[Scan] = {
+            val tbl = args.getUTF8String(0).toString
+            val nm = args.getUTF8String(1).toString
+            TxTable.dropTag(resolve(tbl).toString, nm)
+            oneRowScan(
+              StructType(Seq(StructField("dropped", org.apache.spark.sql
+                .types.BooleanType, false))),
+              new GenericInternalRow(Array[Any](true)))
           }
         }
     }

@@ -650,8 +650,12 @@ object TxTable {
     val ageCutoff = retainAgeMillis.map(System.currentTimeMillis() - _)
     def oldEnoughToExpire(v: Long): Boolean = ageCutoff.forall(c =>
       Files.getLastModifiedTime(manifestPath(root, v)).toMillis < c)
+    // TAG PIN: expiry never reaches a tagged version — a tag is a
+    // promise the snapshot stays readable, and prefix contiguity then
+    // protects everything above it too (see [[tag]])
+    val tagFloor = tags(tableDir).values.minOption.getOrElse(Long.MaxValue)
     val expired = versions.takeWhile(v =>
-      v <= latest - retain && oldEnoughToExpire(v))
+      v <= latest - retain && v < tagFloor && oldEnoughToExpire(v))
     val retained = versions.drop(expired.length)
     // Before any delta leaves the log, materialize a checkpoint at the
     // OLDEST retained version: its (and every newer version's) replay
@@ -2047,6 +2051,66 @@ object TxTable {
           "do not run vacuum and restore concurrently")
     }
     latest + 1
+  }
+
+  // ------------------------------------------ snapshot tags (named refs)
+
+  private val RefsDirRel = s"$LogDir/refs"
+  private def refPath(root: Path, name: String): Path =
+    root.resolve(RefsDirRel).resolve(s"$name.json")
+
+  /** TAG — an immutable named reference to a committed version (the
+    * Iceberg tag shape): `tag(t, "release-1", v)` pins v under a name
+    * that SQL time travel resolves (`VERSION AS OF 'release-1'`) and
+    * that VACUUM honors — retention expiry never crosses the lowest
+    * tagged version, so a tagged snapshot (and every version above it,
+    * by the prefix-contiguity rule) stays readable until the tag is
+    * dropped. Tags are immutable by create-exclusive write: re-pointing
+    * is an explicit [[dropTag]] + [[tag]], never a silent overwrite.
+    * Zero data movement — a tag is one tiny ref file. */
+  def tag(tableDir: String, name: String, version: Long): Unit = {
+    require(name.nonEmpty && name.forall(c =>
+        c.isLetterOrDigit || c == '-' || c == '_' || c == '.') &&
+        name != "." && name != "..",
+      s"illegal tag name '$name' — letters, digits, '-', '_', '.' only")
+    require(versionExists(tableDir, version),
+      s"cannot tag version $version of $tableDir: it does not exist " +
+        s"(or was vacuumed); committed: " +
+        s"${versions(tableDir).mkString(", ")}")
+    val root = Paths.get(tableDir)
+    Files.createDirectories(root.resolve(RefsDirRel))
+    val tmp = root.resolve(RefsDirRel)
+      .resolve(s".tmp-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, s"""{"version": $version}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try Files.createLink(refPath(root, name), tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"tag '$name' already exists on $tableDir (at version " +
+            s"${tags(tableDir).getOrElse(name, -1L)}) — tags are " +
+            "immutable; dropTag first to re-point it")
+    } finally Files.deleteIfExists(tmp): Unit
+  }
+
+  /** Remove a tag — its version becomes expirable by the next vacuum
+    * like any other (subject to the count/age retention floors). */
+  def dropTag(tableDir: String, name: String): Unit = {
+    val p = refPath(Paths.get(tableDir), name)
+    require(Files.isRegularFile(p),
+      s"no tag '$name' on $tableDir (have: " +
+        s"${tags(tableDir).keys.toSeq.sorted.mkString(", ")})")
+    Files.delete(p)
+  }
+
+  /** All tags of the table: name → pinned version. O(tags) metadata. */
+  def tags(tableDir: String): Map[String, Long] = {
+    val refs = Paths.get(tableDir).resolve(RefsDirRel)
+    if (!Files.isDirectory(refs)) Map.empty
+    else listNames(refs).filter(_.endsWith(".json")).map { n =>
+      val node = new Mapper().readTree(Files.readAllBytes(refs.resolve(n)))
+      n.stripSuffix(".json") -> node.get("version").asLong()
+    }.toMap
   }
 
   /** ZERO-COPY SHALLOW CLONE (the Delta `CREATE TABLE … SHALLOW CLONE`

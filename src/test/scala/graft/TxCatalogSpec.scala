@@ -606,6 +606,41 @@ class TxCatalogSpec extends SparkSpec {
     }
   }
 
+  test("tags: VERSION AS OF a name, vacuum pin, t$refs, immutability") {
+    warehouse
+    import spark.implicits._
+    val dir = s"$warehouse/db/tg"
+    TxTable.commit(Seq((1L, "one")).toDF("id", "s"), dir, "overwrite")
+    TxTable.commit(Seq((2L, "two")).toDF("id", "s"), dir, "overwrite")
+    TxTable.commit(Seq((3L, "three")).toDF("id", "s"), dir, "overwrite")
+    spark.sql("CALL txspec.system.tag('db.tg', 'baseline', 2)").collect()
+    // SQL time travel resolves the NAME (the Iceberg ref surface)
+    assert(spark.sql(
+        "SELECT s FROM txspec.db.tg VERSION AS OF 'baseline'")
+      .head().getString(0) == "two")
+    // t$refs reports the pin
+    assert(spark.sql("SELECT name, version FROM txspec.db.`tg$refs`")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("baseline", 2L)))
+    // vacuum never crosses the tag: retain=1 alone would expire v1+v2
+    val st = TxTable.vacuum(dir, retain = 1, minAgeMillis = 0L)
+    assert(st.expiredVersions == Seq(1L), st)
+    assert(TxTable.versions(dir) == Seq(2L, 3L))
+    assert(spark.sql(
+        "SELECT s FROM txspec.db.tg VERSION AS OF 'baseline'")
+      .head().getString(0) == "two")
+    // tags are immutable; unknown names refuse loudly
+    intercept[Exception](spark.sql(
+      "CALL txspec.system.tag('db.tg', 'baseline', 3)").collect())
+    intercept[Exception](spark.sql(
+      "SELECT s FROM txspec.db.tg VERSION AS OF 'nope'").collect())
+    // drop_tag releases the pin — the next vacuum reclaims
+    spark.sql("CALL txspec.system.drop_tag('db.tg', 'baseline')").collect()
+    val s2 = TxTable.vacuum(dir, retain = 1, minAgeMillis = 0L)
+    assert(s2.expiredVersions == Seq(2L), s2)
+    assert(TxTable.versions(dir) == Seq(3L))
+  }
+
   test("compacting a partitioned clone LOCALIZES it under clean value dirs") {
     warehouse
     import spark.implicits._
