@@ -485,6 +485,52 @@ class TxLogSpec extends SparkSpec {
     assert(df.where("kind = 0 AND bloom_ref IS NOT NULL").count() == 5000L)
   }
 
+  test("fmt-3 checkpoint round-trips random manifests bit-for-bit") {
+    val rnd = new scala.util.Random(20L)
+    val tbl = tmpTable()
+    TxTable.commit(frame(1L), tbl, "overwrite")
+    val root = Paths.get(tbl)
+    val base = TxTable.readManifest(root, 1L)
+    // adversarial strings: unicode, '=', '%', spaces, dots — anything a
+    // path or an ASCII-ish stat string could legally carry
+    def rndStr(n: Int): String = {
+      val chars = "abcXYZ09=. -%é日本"
+      Seq.fill(1 + rnd.nextInt(n))(chars(rnd.nextInt(chars.length)))
+        .mkString
+    }
+    (2 to 7).foreach { k =>
+      val files = (0 until rnd.nextInt(30))
+        .map(i => s"data/${rndStr(10)}/$i-${rndStr(6)}.parquet").distinct
+      val stats = files.filter(_ => rnd.nextBoolean()).map { f =>
+        f -> (0 until 1 + rnd.nextInt(3)).map { j =>
+          val cs =
+            if (rnd.nextInt(5) == 0) // the all-null sentinel shape
+              TxStats.ColStat("", "", 10L, 10L)
+            else TxStats.ColStat(rndStr(6), rndStr(6),
+              if (rnd.nextBoolean()) rnd.nextInt(100).toLong else -1L,
+              if (rnd.nextBoolean()) rnd.nextInt(1000).toLong else -1L)
+          s"c$j-${rndStr(3)}" -> cs
+        }.toMap
+      }.toMap
+      val refs = files.filter(_ => rnd.nextBoolean())
+        .map(f => f -> s"_txlog/blooms/${rndStr(8)}.json").toMap
+      // lossless escapes: stats and refs for files ABSENT from the list
+      val orphanStats = Map(
+        s"gone/${rndStr(5)}" -> Map("x" -> TxStats.ColStat("1", "2")))
+      val orphanRefs = Map(s"gone2/${rndStr(5)}" -> "_txlog/blooms/z.json")
+      val m = base.copy(version = k.toLong, files = files,
+        stats = stats ++ orphanStats, blooms = Map.empty,
+        bloomRefs = refs ++ orphanRefs)
+      TxTable.writeCheckpoint(root, m)
+      val back = TxTable.readCheckpoint(root, k.toLong)
+      assert(back.files == m.files, s"v$k file list/order diverged")
+      assert(back.stats == m.stats, s"v$k stats diverged")
+      assert(back.bloomRefs == m.bloomRefs, s"v$k refs diverged")
+      assert(back.schemaJson == m.schemaJson && back.op == m.op &&
+        back.properties == m.properties)
+    }
+  }
+
   test("legacy fmt-2 JSON checkpoints read as replay bases forever") {
     val tbl = tmpTable()
     TxTable.commit(frame(1L), tbl, "overwrite",
