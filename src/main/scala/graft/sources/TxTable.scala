@@ -831,11 +831,10 @@ object TxTable {
     // from a clone's foreign source dirs) merge into one clean local
     // `data/<uuid>/col=value/` group — compaction IS the localization
     // path for a cloned partitioned table
-    val layoutFieldSet = TxTransforms.spec(m).map(_.name).toSet ++ partSet
     def partSegs(f: String): String =
       f.split('/').toSeq.dropRight(1).filter { seg =>
         val i = seg.indexOf('=')
-        i > 0 && layoutFieldSet.contains(seg.substring(0, i))
+        i > 0 && partSet.contains(seg.substring(0, i))
       }.mkString("/")
     import spark.implicits._
     val inv = scoped.map(f =>
@@ -2068,11 +2067,24 @@ object TxTable {
     * dropped. Tags are immutable by create-exclusive write: re-pointing
     * is an explicit [[dropTag]] + [[tag]], never a silent overwrite.
     * Zero data movement — a tag is one tiny ref file. */
-  def tag(tableDir: String, name: String, version: Long): Unit = {
+  /** The ONE tag-name rule, enforced on every surface that touches a
+    * ref path — a raw name reaching [[refPath]] would be a path
+    * traversal ('../v00001' deletes a manifest), and an all-digit name
+    * would be unreachable by `VERSION AS OF` (integers dispatch to
+    * version numbers first) or, worse, silently shadowed by a real
+    * version. */
+  private def validateTagName(name: String): Unit = {
     require(name.nonEmpty && name.forall(c =>
         c.isLetterOrDigit || c == '-' || c == '_' || c == '.') &&
         name != "." && name != "..",
       s"illegal tag name '$name' — letters, digits, '-', '_', '.' only")
+    require(!name.forall(_.isDigit),
+      s"illegal tag name '$name' — an all-digit name can never resolve " +
+        "as a tag (VERSION AS OF dispatches integers to version numbers)")
+  }
+
+  def tag(tableDir: String, name: String, version: Long): Unit = {
+    validateTagName(name)
     require(versionExists(tableDir, version),
       s"cannot tag version $version of $tableDir: it does not exist " +
         s"(or was vacuumed); committed: " +
@@ -2096,6 +2108,7 @@ object TxTable {
   /** Remove a tag — its version becomes expirable by the next vacuum
     * like any other (subject to the count/age retention floors). */
   def dropTag(tableDir: String, name: String): Unit = {
+    validateTagName(name)
     val p = refPath(Paths.get(tableDir), name)
     require(Files.isRegularFile(p),
       s"no tag '$name' on $tableDir (have: " +
@@ -2103,13 +2116,19 @@ object TxTable {
     Files.delete(p)
   }
 
-  /** All tags of the table: name → pinned version. O(tags) metadata. */
+  /** All tags of the table: name → pinned version. O(tags) metadata.
+    * A ref that vanishes between the listing and its read was dropped
+    * CONCURRENTLY — the same normal-reader-races-retention scenario
+    * `TIMESTAMP AS OF` resolves by skipping; the tag simply no longer
+    * belongs in the answer. */
   def tags(tableDir: String): Map[String, Long] = {
     val refs = Paths.get(tableDir).resolve(RefsDirRel)
     if (!Files.isDirectory(refs)) Map.empty
-    else listNames(refs).filter(_.endsWith(".json")).map { n =>
-      val node = new Mapper().readTree(Files.readAllBytes(refs.resolve(n)))
-      n.stripSuffix(".json") -> node.get("version").asLong()
+    else listNames(refs).filter(_.endsWith(".json")).flatMap { n =>
+      try {
+        val node = new Mapper().readTree(Files.readAllBytes(refs.resolve(n)))
+        Some(n.stripSuffix(".json") -> node.get("version").asLong())
+      } catch { case _: java.nio.file.NoSuchFileException => None }
     }.toMap
   }
 

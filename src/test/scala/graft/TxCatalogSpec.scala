@@ -634,6 +634,16 @@ class TxCatalogSpec extends SparkSpec {
       "CALL txspec.system.tag('db.tg', 'baseline', 3)").collect())
     intercept[Exception](spark.sql(
       "SELECT s FROM txspec.db.tg VERSION AS OF 'nope'").collect())
+    // name validation on BOTH surfaces: a traversal name must never
+    // reach the filesystem (dropTag('../v00003') would delete a
+    // committed manifest), and an all-digit name could never resolve
+    // (VERSION AS OF dispatches integers to version numbers)
+    intercept[Exception](spark.sql(
+      "CALL txspec.system.drop_tag('db.tg', '../v00003')").collect())
+    assert(TxTable.versions(dir).contains(3L),
+      "a traversal tag name deleted a manifest")
+    intercept[Exception](spark.sql(
+      "CALL txspec.system.tag('db.tg', '7', 2)").collect())
     // drop_tag releases the pin — the next vacuum reclaims
     spark.sql("CALL txspec.system.drop_tag('db.tg', 'baseline')").collect()
     val s2 = TxTable.vacuum(dir, retain = 1, minAgeMillis = 0L)
