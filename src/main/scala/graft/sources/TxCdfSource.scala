@@ -127,12 +127,27 @@ private[graft] class TxCdfTable(tableSchema: StructType, path: String,
         override def readSchema(): StructType =
           TxCdfSource.withMetaColumns(tableSchema, cdc)
         override def description(): String = s"graft-txcdf $path"
-        override def toMicroBatchStream(ckpt: String): MicroBatchStream =
+        override def toMicroBatchStream(ckpt: String): MicroBatchStream = {
+          // startingVersion accepts a version number OR a tag name
+          // (r20 — the `VERSION AS OF '<name>'` dispatch applied to the
+          // stream surface): an integer is a version, anything else
+          // resolves through the table's refs, loudly when absent
+          val sv = Option(options.get("startingVersion")) match {
+            case None => 1L
+            case Some(s) => s.toLongOption.getOrElse(
+              TxTable.tags(path).getOrElse(s,
+                throw new IllegalArgumentException(
+                  s"graft-txcdf: startingVersion '$s' is neither a " +
+                    s"version number nor a tag of $path (tags: " +
+                    s"${TxTable.tags(path).keys.toSeq.sorted
+                      .mkString(", ")})")))
+          }
           new TxCdfStream(tableSchema, path,
-            startingVersion = options.getLong("startingVersion", 1L),
+            startingVersion = sv,
             skipChangeCommits =
               options.getBoolean("skipChangeCommits", false),
             options, cdc = cdc)
+        }
       }
     }
 }

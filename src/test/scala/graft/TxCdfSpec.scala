@@ -153,6 +153,19 @@ class TxCdfSpec extends SparkSpec {
     drain(tbl, s"$base/ckpt", s"$base/out",
       Map("startingVersion" -> "3"))
     assert(got(s"$base/out") == Seq((3L, 3L, "c")))
+    // a TAG NAME resolves too (r20 — the VERSION AS OF dispatch on the
+    // stream surface); unknown names refuse loudly
+    TxTable.tag(tbl, "resume-here", 2L)
+    drain(tbl, s"$base/ckpt2", s"$base/out2",
+      Map("startingVersion" -> "resume-here"))
+    assert(got(s"$base/out2") == Seq((2L, 2L, "b"), (3L, 3L, "c")))
+    val e = intercept[Exception](
+      drain(tbl, s"$base/ckpt3", s"$base/out3",
+        Map("startingVersion" -> "nope")))
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(6)
+      .flatMap(t => Option(t.getMessage)).mkString(" | ")
+    assert(msgs.contains("neither a version number nor a tag"), msgs)
   }
 
   test("a vacuumed manifest behind the checkpoint refuses loudly") {
