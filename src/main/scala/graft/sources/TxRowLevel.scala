@@ -132,25 +132,28 @@ private[graft] object TxRowLevel {
             // deliberately with ALTER COLUMN TYPE first). The command
             // below re-reads the evolved manifest and rebinds
             // everything by name, so position never enters.
-            // subquery refusal BEFORE the evolution commit: a refused
-            // statement must leave the table untouched (the extension
-            // below adds only plain attribute references)
+            // The evolution COMMIT happens inside the command's run(),
+            // never here at analysis time — EXPLAIN MERGE, a plan
+            // built and discarded, or a statement refused at analysis
+            // must leave the table untouched (the r20 review found the
+            // old in-rule commit violated exactly that); a merge
+            // refused at RUNTIME (cardinality/constraint) may still
+            // leave the additive, nullable evolve version behind — the
+            // documented residue of the two-commit shape.
             refuseSubqueries(Seq(m.mergeCondition) ++
               (m.matchedActions ++ m.notMatchedActions ++
                 m.notMatchedBySourceActions).flatMap(actExprs),
               "MERGE INTO")
-            val (targetOut, matchedA, notMatchedA) =
+            val (targetOut, matchedA, notMatchedA, evolveAdd) =
               if (m.withSchemaEvolution && tx.partitioning().nonEmpty) {
                 val tgtNames =
                   rel.output.map(_.name.toLowerCase).toSet
                 val newCols = m.sourceTable.output
                   .filterNot(a => tgtNames(a.name.toLowerCase))
                 if (newCols.isEmpty)
-                  (rel.output, m.matchedActions, m.notMatchedActions)
+                  (rel.output, m.matchedActions, m.notMatchedActions,
+                    Seq.empty[StructField])
                 else {
-                  TxTable.evolveColumns(session, tx.tablePath.toString,
-                    add = newCols.map(a => StructField(a.name,
-                      a.dataType, nullable = true))): Unit
                   val synth = newCols.map(a =>
                     AttributeReference(a.name, a.dataType,
                       nullable = true)())
@@ -159,19 +162,28 @@ private[graft] object TxRowLevel {
                   val full = rel.output.size
                   def extend(acts: Seq[MergeAction]): Seq[MergeAction] =
                     acts.map {
-                      case UpdateAction(c, as, star) if as.size == full =>
-                        UpdateAction(c, as ++ extra, star)
+                      // UPDATE carries star provenance — an EXPLICIT
+                      // list that happens to cover every old column
+                      // must leave the new columns NULL, never receive
+                      // source data the user did not assign; INSERT
+                      // loses the flag at resolution, so the
+                      // all-columns heuristic is the best available
+                      case UpdateAction(c, as, true) =>
+                        UpdateAction(c, as ++ extra, fromStar = true)
                       case InsertAction(c, as) if as.size == full =>
                         InsertAction(c, as ++ extra)
                       case other => other
                     }
                   (rel.output ++ synth, extend(m.matchedActions),
-                    extend(m.notMatchedActions))
+                    extend(m.notMatchedActions),
+                    newCols.map(a => StructField(a.name, a.dataType,
+                      nullable = true)))
                 }
-              } else (rel.output, m.matchedActions, m.notMatchedActions)
+              } else (rel.output, m.matchedActions, m.notMatchedActions,
+                Seq.empty[StructField])
             TxMergeCommand(tx.tablePath.toString, targetOut,
               m.sourceTable, m.mergeCondition, matchedA,
-              notMatchedA, m.notMatchedBySourceActions)
+              notMatchedA, m.notMatchedBySourceActions, evolveAdd)
           case None => m
         }
     }
@@ -360,21 +372,26 @@ private[graft] final case class TxUpdateCommand(
           }
       }: _*)
     // CDF change frame: the rows the condition matches, before and
-    // after the assignment (staged only on tx.changeDataFeed tables)
+    // after the assignment (staged only on tx.changeDataFeed tables —
+    // persist() is lazy, so a non-CDF table never materializes this;
+    // on a CDF table the pre/postimage union reads the matched rows
+    // from cache instead of re-scanning every candidate file twice)
     val cdfMatched = TxTable.readSnapshotFiles(spark, tableDir, schema,
         TxTransforms.identityNames(m), touched, m.dvDirs,
         mapping = m.columnMapping)
-      .filter(cond)
-    val cdf = cdfMatched
-      .select(schema.fieldNames.toSeq.map(col): _*)
-      .withColumn(TxChanges.ChangeTypeCol, lit("update_preimage"))
-      .unionByName(cdfMatched.select(schema.fields.toSeq.map(f =>
-          assignedValue(assignments, f, tgt, fallback = col(f.name), bind)
-            .as(f.name)): _*)
-        .withColumn(TxChanges.ChangeTypeCol, lit("update_postimage")))
-    TxTable.replaceFiles(spark, tableDir, m, untouched, rewritten,
-      "update", rowLevelRebase = Some((filters, touched)),
-      changeData = Some(cdf))
+      .filter(cond).persist()
+    try {
+      val cdf = cdfMatched
+        .select(schema.fieldNames.toSeq.map(col): _*)
+        .withColumn(TxChanges.ChangeTypeCol, lit("update_preimage"))
+        .unionByName(cdfMatched.select(schema.fields.toSeq.map(f =>
+            assignedValue(assignments, f, tgt, fallback = col(f.name),
+              bind).as(f.name)): _*)
+          .withColumn(TxChanges.ChangeTypeCol, lit("update_postimage")))
+      TxTable.replaceFiles(spark, tableDir, m, untouched, rewritten,
+        "update", rowLevelRebase = Some((filters, touched)),
+        changeData = Some(cdf))
+    } finally cdfMatched.unpersist(): Unit
     Seq.empty
   }
 }
@@ -393,11 +410,27 @@ private[graft] final case class TxMergeCommand(
     mergeCondition: Expression,
     matchedActions: Seq[MergeAction],
     notMatchedActions: Seq[MergeAction],
-    notMatchedBySourceActions: Seq[MergeAction])
+    notMatchedBySourceActions: Seq[MergeAction],
+    evolveAdd: Seq[StructField] = Nil)
   extends LeafRunnableCommand {
   import TxRowLevel._
 
   override def run(spark: SparkSession): Seq[Row] = {
+    // `WITH SCHEMA EVOLUTION` commits HERE, at execution — never at
+    // analysis (an EXPLAIN must not evolve the table); idempotent when
+    // the columns already landed (a re-analyzed retry)
+    if (evolveAdd.nonEmpty) {
+      val v0 = TxTable.latestVersion(tableDir).getOrElse(
+        throw new IllegalStateException(
+          s"no committed version under $tableDir"))
+      val cur = DataType.fromJson(TxTable.readManifestLite(
+          java.nio.file.Paths.get(tableDir), v0).schemaJson)
+        .asInstanceOf[StructType]
+      val missing = evolveAdd.filterNot(f =>
+        cur.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+      if (missing.nonEmpty)
+        TxTable.evolveColumns(spark, tableDir, add = missing): Unit
+    }
     val v = TxTable.latestVersion(tableDir).getOrElse(
       throw new IllegalStateException(
         s"no committed version under $tableDir"))
@@ -408,14 +441,21 @@ private[graft] final case class TxMergeCommand(
     val srcAttrs = AttributeSet(source.output)
     require(!schema.fieldNames.exists(_.startsWith(SrcPrefix)),
       s"target columns may not start with the reserved '$SrcPrefix'")
+    // the synthetic row-id / source-marker columns must not collide
+    // with data columns — readSnapshotFiles' withColumn would silently
+    // REPLACE the data column with the synthetic id
+    Seq(Tid, SMark).foreach(c => require(
+      !schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+      s"target columns may not use the reserved name '$c'"))
     val srcNames = source.output.map(_.name)
     require(srcNames.distinct.size == srcNames.size,
       s"MERGE source has duplicate column names: ${srcNames.mkString(", ")}")
     val bind: Expression => Column = e => rebind(e, tgt, srcAttrs)
 
-    val srcDf = graft.ext.TrackedCache.persistTracked(
-      GraftBridge.ofRows(spark, source).toDF(
-        srcNames.map(SrcPrefix + _): _*))
+    val srcDf = GraftBridge.ofRows(spark, source).toDF(
+      srcNames.map(SrcPrefix + _): _*).persist()
+    var joinedCache: Option[DataFrame] = None
+    try {
 
     // ---- candidate files: equi-conjunct bounds measured from the source
     val rewritesTarget =
@@ -425,31 +465,39 @@ private[graft] final case class TxMergeCommand(
     // updated copies + inserts append (insert-only merges need neither)
     val morEnabled = rewritesTarget &&
       m.properties.get(TxTable.DvProperty).contains("true")
-    val equiBounds: Seq[org.apache.spark.sql.sources.Filter] =
+    // one driver job measures EVERY equi-conjunct's bounds (k
+    // sequential agg jobs were k× the candidate-selection latency on a
+    // large source)
+    val equiPairs: Seq[(AttributeReference, Expression)] =
       if (notMatchedBySourceActions.nonEmpty) Seq.empty // cannot prune
       else splitConjuncts(mergeCondition).flatMap {
         case org.apache.spark.sql.catalyst.expressions.EqualTo(l, r) =>
-          val (tSide, sSide) = (l, r) match {
+          (l, r) match {
             case (a: AttributeReference, s) if tgt.contains(a) &&
-              s.references.subsetOf(srcAttrs) => (Some(a), Some(s))
+              s.references.subsetOf(srcAttrs) => Some((a, s))
             case (s, a: AttributeReference) if tgt.contains(a) &&
-              s.references.subsetOf(srcAttrs) => (Some(a), Some(s))
-            case _ => (None, None)
+              s.references.subsetOf(srcAttrs) => Some((a, s))
+            case _ => None
           }
-          (tSide, sSide) match {
-            case (Some(a), Some(s)) =>
-              val mm = srcDf.agg(min(bind(s)), max(bind(s))).head()
-              if (mm.isNullAt(0)) Seq(
-                // empty/all-null source key: the conjunct is never TRUE
-                org.apache.spark.sql.sources.AlwaysFalse())
-              else Seq(
-                org.apache.spark.sql.sources
-                  .GreaterThanOrEqual(a.name, mm.get(0)),
-                org.apache.spark.sql.sources
-                  .LessThanOrEqual(a.name, mm.get(1)))
-            case _ => Seq.empty
-          }
-        case _ => Seq.empty
+        case _ => None
+      }
+    val equiBounds: Seq[org.apache.spark.sql.sources.Filter] =
+      if (equiPairs.isEmpty) Seq.empty
+      else {
+        val aggs = equiPairs.zipWithIndex.flatMap { case ((_, s), i) =>
+          Seq(min(bind(s)).as(s"__mn$i"), max(bind(s)).as(s"__mx$i"))
+        }
+        val mm = srcDf.agg(aggs.head, aggs.tail: _*).head()
+        equiPairs.zipWithIndex.flatMap { case ((a, _), i) =>
+          if (mm.isNullAt(2 * i)) Seq(
+            // empty/all-null source key: the conjunct is never TRUE
+            org.apache.spark.sql.sources.AlwaysFalse())
+          else Seq(
+            org.apache.spark.sql.sources
+              .GreaterThanOrEqual(a.name, mm.get(2 * i)),
+            org.apache.spark.sql.sources
+              .LessThanOrEqual(a.name, mm.get(2 * i + 1)))
+        }
       }
     val (touched0, untouched) =
       if (!rewritesTarget) (Seq.empty[String], m.files) // insert-only
@@ -476,8 +524,10 @@ private[graft] final case class TxMergeCommand(
       tidCol = Some(Tid),
       dvMeta = morEnabled, mapping = m.columnMapping)
     val onCond = coalesce(bind(mergeCondition), lit(false))
-    val joined = graft.ext.TrackedCache.persistTracked(
-      tgtDf.join(srcDf.withColumn(SMark, lit(true)), onCond, "full_outer"))
+    val joined =
+      tgtDf.join(srcDf.withColumn(SMark, lit(true)), onCond, "full_outer")
+        .persist()
+    joinedCache = Some(joined)
 
     // ANSI cardinality rule: a target row matched by >1 source row is
     // ambiguous for MATCHED actions — refuse loudly, never pick one
@@ -590,11 +640,23 @@ private[graft] final case class TxMergeCommand(
         "merge", rowLevelRebase = mergeRebase,
         changeData = Some(mergeCdf))
     } else {
-      TxTable.replaceFiles(spark, tableDir, m, untouched,
-        base.filter(keep).select(outCols: _*), "merge",
+      val out = base.filter(keep).select(outCols: _*)
+      // pruning removed every candidate: the only possible output rows
+      // are inserts — none of those either is a version-free no-op
+      // (the guard the UPDATE/MoR/insert-only branches already have)
+      if (touched0.isEmpty && out.isEmpty) return Seq.empty
+      TxTable.replaceFiles(spark, tableDir, m, untouched, out, "merge",
         rowLevelRebase = mergeRebase, changeData = Some(mergeCdf))
     }
     Seq.empty
+
+    // persisted frames released on EVERY exit — a bare session issuing
+    // repeated MERGEs must not accumulate one pinned source + one
+    // pinned full-outer join per statement until eviction thrashing
+    } finally {
+      srcDf.unpersist()
+      joinedCache.foreach(_.unpersist()): Unit
+    }
   }
 }
 

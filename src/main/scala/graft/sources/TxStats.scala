@@ -427,6 +427,11 @@ object TxStats {
       case In(a, vs) if vs != null && vs.nonEmpty =>
         vs.forall(v => v != null &&
           excludes(stats, schema, EqualTo(a, v)))
+      // a provably-never-TRUE conjunct excludes EVERY file — the shape
+      // MERGE emits for an empty/all-null source key; without this arm
+      // the intended prune-everything silently became prune-nothing
+      // (a no-op merge rewriting the whole table)
+      case _: AlwaysFalse => true
       // null-probing predicates skip through the recorded counts
       // ([[ColStat]] nulls/rows; -1 = unknown never skips):
       case IsNotNull(a) => // rows exist only if some value is non-null

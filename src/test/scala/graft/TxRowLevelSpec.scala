@@ -315,6 +315,85 @@ class TxRowLevelSpec extends SparkSpec {
       .getString(0) == "hi")
   }
 
+  test("EXPLAIN MERGE WITH SCHEMA EVOLUTION leaves the table untouched") {
+    import spark.implicits._
+    val tbl = s"$warehouse/db/mrgexp"
+    TxTable.commit(
+      Seq((1L, 5L, "en")).toDF("id", "n", "lang"),
+      tbl, "overwrite", partitionBy = Some(Seq("lang")))
+    Seq((2L, "de", 7L, true)).toDF("id", "lang", "n", "flag")
+      .createOrReplaceTempView("mrgexp_src")
+    // EXPLAIN analyzes the merge (the rule runs) but never executes the
+    // command — the evolution must NOT commit (the r20 review found the
+    // old in-rule commit evolved the table from a plan that never ran)
+    spark.sql(
+      """EXPLAIN MERGE WITH SCHEMA EVOLUTION INTO txrl.db.mrgexp t
+        |USING mrgexp_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect(): Unit
+    assert(TxTable.latestVersion(tbl).contains(1L),
+      "EXPLAIN committed a version")
+    assert(spark.table("txrl.db.mrgexp").schema.fieldNames.toSeq ==
+      Seq("id", "n", "lang"), "EXPLAIN evolved the schema")
+    // the real statement still evolves + merges as two versions
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO txrl.db.mrgexp t
+        |USING mrgexp_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(TxTable.history(tbl).map(_._2) ==
+      Seq("overwrite", "evolve", "merge"))
+  }
+
+  test("a provably-disjoint MERGE is a version-free no-op (empty source included)") {
+    import spark.implicits._
+    val tbl = mkLangTable("mrgnoop")
+    val v0 = TxTable.latestVersion(tbl).get
+    // all source keys above every file's id range: stats prune every
+    // candidate, nothing inserted (update/delete-only) → NO version
+    Seq((100L, "xx", 1L)).toDF("id", "lang", "n")
+      .createOrReplaceTempView("mrgnoop_src")
+    spark.sql(
+      """MERGE INTO txrl.db.mrgnoop t USING mrgnoop_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET n = s.n""".stripMargin)
+    assert(TxTable.latestVersion(tbl).contains(v0),
+      "a merge that provably touches nothing committed a version")
+    // EMPTY source: the measured key bounds are null → AlwaysFalse
+    // prunes every file (not 'prune nothing and rewrite the table')
+    spark.sql("SELECT * FROM mrgnoop_src WHERE id < 0")
+      .createOrReplaceTempView("mrgnoop_empty")
+    spark.sql(
+      """MERGE INTO txrl.db.mrgnoop t USING mrgnoop_empty s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET n = s.n
+        |WHEN NOT MATCHED THEN INSERT (id, lang, n)
+        |VALUES (s.id, s.lang, s.n)""".stripMargin)
+    assert(TxTable.latestVersion(tbl).contains(v0),
+      "an empty-source merge committed a version")
+  }
+
+  test("explicit full-column UPDATE list is NOT star: evolved column stays NULL") {
+    import spark.implicits._
+    val tbl = s"$warehouse/db/mrgexpl"
+    TxTable.commit(
+      Seq((1L, 5L, "en")).toDF("id", "n", "lang"),
+      tbl, "overwrite", partitionBy = Some(Seq("lang")))
+    Seq((1L, "en", 70L, 0.9)).toDF("id", "lang", "n", "score")
+      .createOrReplaceTempView("mrgexpl_src")
+    // the SET list covers every old column EXPLICITLY (no star): the
+    // evolved `score` column was never assigned, so it must stay NULL —
+    // only genuine star actions extend with the new columns
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO txrl.db.mrgexpl t
+        |USING mrgexpl_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET id = s.id, n = s.n""".stripMargin)
+    val out = spark.sql(
+        "SELECT id, n, score FROM txrl.db.mrgexpl ORDER BY id")
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2))))
+    assert(out == Seq((1L, 70L, None)),
+      s"an explicit assignment list received unassigned source data: $out")
+  }
+
   test("without WITH SCHEMA EVOLUTION extra source columns evolve nothing") {
     import spark.implicits._
     val tbl = mkLangTable("mrgnoevo")
