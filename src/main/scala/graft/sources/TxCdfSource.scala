@@ -315,9 +315,13 @@ private[graft] class TxCdfStream(tableSchema: StructType, dir: String,
   }
 
   /** Ops whose added files are genuinely NEW rows. `v1`/`create` are
-    * the initial snapshot; everything in a fresh table is an insert. */
+    * the initial snapshot; everything in a fresh table is an insert.
+    * `stream:<appId>:<batchId>` IS an append — the exactly-once sink's
+    * op label (TxSink) — and the table type MOST likely to be tailed:
+    * without this arm the CDF refused every sink-written version. */
   private def servesAdds(v: Long, op: String): Boolean =
-    v == 1L || op == "append" || op == "create"
+    v == 1L || op == "append" || op == "create" ||
+      op.startsWith("stream:")
 
   /** The rows version v serves, as its immutable ORDERED file list —
     * what [[TxCdfOffset]]'s file index counts, so the order must be

@@ -49,17 +49,26 @@ object TxChanges {
       s"need 0 <= fromV < toV, got ($fromV, $toV]")
     val root = Paths.get(tableDir)
     // fromV = 0 serves the whole history: v1's snapshot is its own
-    // insert set, no prior manifest needed
-    // lite reads: the diff consumes file lists, dvDirs, and schemas —
-    // never blooms, whose sidecar IO would scale with range length
-    val manifests = (math.max(fromV, 1L) to toV)
-      .map(v => v -> TxTable.readManifestLite(root, v)).toMap
-    val schema = DataType.fromJson(manifests(toV).schemaJson)
+    // insert set, no prior manifest needed.
+    // lite reads, SLIDING PAIR: the diff only ever consumes adjacent
+    // (prev, cur) manifests, so at most two are eagerly resident — a
+    // 20k-version range over 100k-file manifests must not hold every
+    // file list + stats map on the driver at once (the change frames
+    // below capture only the per-version CHANGED-file slices)
+    val headM = TxTable.readManifestLite(root, toV)
+    val schema = DataType.fromJson(headM.schemaJson)
       .asInstanceOf[StructType]
+    // reserved feed columns: a data column with either name would be
+    // silently OVERWRITTEN by the tagging withColumn — refuse loudly
+    // (the Delta table_changes contract)
+    Seq(ChangeTypeCol, CommitVersionCol).foreach(c => require(
+      !schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+      s"cannot serve changes of $tableDir: its schema already has a " +
+        s"'$c' column, which the feed reserves"))
     // served in toV's schema AND column mapping: physical file names
     // never change across renames, so older versions' files read
     // correctly under the newest mapping
-    val mapping = manifests(toV).columnMapping
+    val mapping = headM.columnMapping
 
     def tagged(df: DataFrame, tpe: String, v: Long): DataFrame =
       df.withColumn(ChangeTypeCol, functions.lit(tpe))
@@ -67,10 +76,16 @@ object TxChanges {
 
     /** `partCols` is the layout of the MANIFEST the files belong to —
       * a range spanning a partition relayout must parse each version's
-      * files under that version's own layout, never toV's. */
+      * files under that version's own layout, never toV's. A layout
+      * column that toV's schema no longer carries (an overwrite
+      * relayout dropped it) cannot be SERVED either — the feed's
+      * contract is toV's schema — so it is not attached (the files'
+      * data columns still read by name; without the filter the value
+      * cast crashed on the missing field). */
     def read(fs: Seq[String], dvDirs: Seq[String],
              partCols: Seq[String]): DataFrame =
-      TxTable.readSnapshotFiles(spark, tableDir, schema, partCols, fs,
+      TxTable.readSnapshotFiles(spark, tableDir, schema,
+        partCols.filter(c => schema.fieldNames.contains(c)), fs,
         dvDirs, mapping = mapping)
 
     /** Files among `fs` that any of `dvDirs`' tombstones reference. */
@@ -110,7 +125,12 @@ object TxChanges {
         case "compact" | "zorder" | "purge" | "constraint" |
              "property" | "evolve" | "rename" | "widen" =>
           Nil // bytes move or metadata shifts, rows don't
-        case "append" | "create" =>
+        // `stream:<appId>:<batchId>` is the exactly-once sink's append
+        // label (TxSink) — it must take the direct-read insert arm, not
+        // the exceptAll comparison (a sink-written table is exactly the
+        // thousands-of-append-versions shape the cost model is for)
+        case op2 if op2 == "append" || op2 == "create" ||
+            op2.startsWith("stream:") =>
           if (added.isEmpty) Nil
           else Seq(tagged(read(added, Nil,
             TxTransforms.identityNames(cur)), "insert", v))
@@ -128,7 +148,24 @@ object TxChanges {
           // generic copy-on-write arm: compare only what changed —
           // swapped files plus carried files whose tombstone set
           // changed — each side under its own version's tombstones
-          // AND its own partition layout (an overwrite may relayout)
+          // AND its own partition layout (an overwrite may relayout).
+          // Spark's set operations reject MapType columns, so a
+          // map-schema'd table refuses THIS arm loudly (the insert-only
+          // arms above still serve) instead of an opaque
+          // AnalysisException mid-plan
+          def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean =
+            dt match {
+              case _: org.apache.spark.sql.types.MapType => true
+              case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+              case a: org.apache.spark.sql.types.ArrayType =>
+                hasMap(a.elementType)
+              case _ => false
+            }
+          require(!hasMap(schema),
+            s"version $v of $tableDir is a '$op' rewrite and the schema " +
+              "carries a map-typed column — multiset row diffs (Spark " +
+              "set operations) cannot compare maps; serve the rewrite " +
+              "through the streaming CDC arm (tx.changeDataFeed) instead")
           val dFiles =
             if (dvChanged.isEmpty) Nil
             else bearing(prev.files.filter(curSet), dvChanged)
@@ -146,18 +183,28 @@ object TxChanges {
       }
     }
 
+    var prevM: TxTable.Manifest = null
     val parts = ((fromV + 1) to toV).flatMap { v =>
-      val cur = manifests(v)
-      if (v == 1L) {
-        // everything in a fresh table is an insert (and v1 cannot
-        // carry tombstones — nothing preceded it to delete from)
-        if (cur.files.isEmpty) Nil
-        else Seq(tagged(read(cur.files, cur.dvDirs,
-          TxTransforms.identityNames(cur)), "insert", v))
-      } else changesAt(v, manifests(v - 1), cur)
+      val cur =
+        if (v == toV) headM else TxTable.readManifestLite(root, v)
+      val out =
+        if (v == 1L) {
+          // everything in a fresh table is an insert (and v1 cannot
+          // carry tombstones — nothing preceded it to delete from)
+          if (cur.files.isEmpty) Nil
+          else Seq(tagged(read(cur.files, cur.dvDirs,
+            TxTransforms.identityNames(cur)), "insert", v))
+        } else {
+          val p =
+            if (prevM != null) prevM
+            else TxTable.readManifestLite(root, v - 1)
+          changesAt(v, p, cur)
+        }
+      prevM = cur
+      out
     }
     if (parts.isEmpty)
-      tagged(read(Nil, Nil, TxTransforms.identityNames(manifests(toV))),
+      tagged(read(Nil, Nil, TxTransforms.identityNames(headM)),
         "insert", toV).limit(0)
     else parts.reduce(_ unionByName _)
   }

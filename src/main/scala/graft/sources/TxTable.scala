@@ -443,6 +443,23 @@ object TxTable {
       case _ => Seq.empty
     }
     val version = prev.map(_.version + 1).getOrElse(1L)
+    // Zombie/replay guard on the FIRST attempt, not only on the rebase
+    // path: a batch id the head ALREADY records means another writer
+    // (a failed-over replacement, a replayed micro-batch) committed
+    // this transaction between the caller's watermark pre-check and
+    // this read — the publish below would succeed WITHOUT a version
+    // collision (so rebaseAppend's identical check would never run)
+    // and silently duplicate the rows of an exactly-once sink.
+    txn.foreach { case (appId, id) =>
+      if (prev.exists(_.txns.get(appId).exists(_ >= id))) {
+        discardStaged(tableDir, Seq(staged))
+        throw new IllegalStateException(
+          s"$tableDir: transaction $appId is already recorded at " +
+            s"version >= $id — this batch was committed by another " +
+            "writer (zombie/replay); committing it again would " +
+            "duplicate its rows")
+      }
+    }
     // `requireVersion` closes the CREATE TOCTOU: a table-creating commit
     // must land as v1 or not at all — if a concurrent writer published
     // first, refusing HERE (before any publish) is what keeps an

@@ -168,6 +168,27 @@ class TxCdfSpec extends SparkSpec {
     assert(msgs.contains("neither a version number nor a tag"), msgs)
   }
 
+  test("a TxSink-written table tails through the CDF (stream: labels are appends)") {
+    val base = mkBase()
+    val tbl = s"$base/tbl"
+    TxTable.commit(Seq((1L, "a")).toDF("id", "s"), tbl, "overwrite")
+    // the replication loop's write side: the exactly-once sink labels
+    // its commits 'stream:<appId>:<batchId>' — the feed must serve
+    // them as the appends they are, not refuse them as rewrites
+    assert(graft.streaming.TxSink.appendBatch(tbl,
+      Seq((2L, "b")).toDF("id", "s"), 0L, "q1"))
+    assert(graft.streaming.TxSink.appendBatch(tbl,
+      Seq((3L, "c")).toDF("id", "s"), 1L, "q1"))
+    drain(tbl, s"$base/ckpt", s"$base/out")
+    assert(got(s"$base/out") ==
+      Seq((1L, 1L, "a"), (2L, 2L, "b"), (3L, 3L, "c")))
+    // and the batch feed serves them through the direct insert arm
+    val ch = graft.sources.TxChanges.between(spark, tbl, 1L, 3L)
+      .select("_commit_version", "_change_type", "id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq.sorted
+    assert(ch == Seq((2L, "insert", 2L), (3L, "insert", 3L)))
+  }
+
   test("a vacuumed manifest behind the checkpoint refuses loudly") {
     val base = mkBase()
     val tbl = s"$base/tbl"

@@ -385,6 +385,25 @@ class TxLogSpec extends SparkSpec {
     assert(s3.expiredVersions == Seq(4L))
   }
 
+  test("a replayed txn refuses on the FIRST attempt, not only on rebase") {
+    val tbl = tmpTable()
+    TxTable.commit(frame(1L), tbl, "overwrite")
+    TxTable.commit(frame(2L), tbl, "append", txn = Some("app" -> 5L))
+    // a zombie writer that read its watermark BEFORE the commit above
+    // landed: its own commit must refuse here — the publish would win
+    // without a version collision (rebaseAppend's identical check
+    // never runs on the no-race path) and duplicate the batch's rows
+    val e = intercept[IllegalStateException](
+      TxTable.commit(frame(99L), tbl, "append", txn = Some("app" -> 5L)))
+    assert(e.getMessage.contains("zombie/replay"), e.getMessage)
+    assert(TxTable.read(spark, tbl).count() == 2L,
+      "the replayed batch's rows were committed twice")
+    assert(TxTable.latestVersion(tbl).contains(2L))
+    // the NEXT batch id commits normally
+    TxTable.commit(frame(3L), tbl, "append", txn = Some("app" -> 6L))
+    assert(TxTable.lastTxn(tbl, "app").contains(6L))
+  }
+
   test("rebase retries reuse the identical content-addressed sidecar") {
     val tbl = tmpTable()
     TxTable.commit(frame(1L), tbl, "overwrite", bloomColumns = Seq("id"))
