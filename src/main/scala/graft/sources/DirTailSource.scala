@@ -88,7 +88,8 @@ private[sources] class DirTailTable(schema: StructType, path: String)
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toStreaming: StreamingWrite =
-          new DirTailStreamingWrite(info.schema(), path)
+          new DirTailStreamingWrite(info.schema(), path,
+            info.queryId())
         override def toBatch
             : org.apache.spark.sql.connector.write.BatchWrite =
           new DirTailBatchWrite(info.schema(), path)
@@ -150,13 +151,8 @@ private[graft] class DirTailScanBuilder(full: StructType, path: String)
         override def planInputPartitions(): Array[InputPartition] =
           DirTail.listing(path)
             .map(f => DirTailPartition(s"$path/$f"): InputPartition)
-        override def createReaderFactory(): PartitionReaderFactory = {
-          val need = pruned.fieldNames.toSet ++ pushed.flatMap(_.references)
-          val parseSchema =
-            StructType(full.fields.filter(f => need.contains(f.name)))
-          val projIdx = pruned.fieldNames.map(parseSchema.fieldIndex)
-          new DirTailReaderFactory(parseSchema, projIdx, pushed)
-        }
+        override def createReaderFactory(): PartitionReaderFactory =
+          DirTailReaderFactory.build(pruned, full, pushed)
       }
     override def description(): String =
       s"graft-dirtail path=$path PushedFilters: ${pushed.mkString("[", ", ", "]")}"
@@ -274,19 +270,28 @@ private[graft] class DirTailStream(schema: StructType, full: StructType,
       .map(f => DirTailPartition(s"$path/$f"): InputPartition)
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    // parse schema = projection ∪ filter-referenced columns, in the FULL
-    // schema's declared order; the reader evaluates pushed filters on the
-    // parsed slots and emits only the projected fields
-    val need = schema.fieldNames.toSet ++ filters.flatMap(_.references)
-    val parseSchema = StructType(full.fields.filter(f => need.contains(f.name)))
-    val projIdx = schema.fieldNames.map(parseSchema.fieldIndex)
-    new DirTailReaderFactory(parseSchema, projIdx, filters)
-  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    DirTailReaderFactory.build(schema, full, filters)
 }
 
 private[graft] case class DirTailPartition(file: String)
     extends InputPartition
+
+private[sources] object DirTailReaderFactory {
+  /** parse schema = projection ∪ filter-referenced columns, in the
+    * FULL schema's declared order; the reader evaluates pushed filters
+    * on the parsed slots and emits only the projected fields. ONE
+    * construction shared by the batch and streaming scans so the
+    * pruning/filter-union semantics cannot diverge. */
+  def build(pruned: StructType, full: StructType,
+            filters: Array[Filter]): DirTailReaderFactory = {
+    val need = pruned.fieldNames.toSet ++ filters.flatMap(_.references)
+    val parseSchema =
+      StructType(full.fields.filter(f => need.contains(f.name)))
+    new DirTailReaderFactory(parseSchema,
+      pruned.fieldNames.map(parseSchema.fieldIndex), filters)
+  }
+}
 
 private[sources] class DirTailReaderFactory(parseSchema: StructType,
                                             projIdx: Array[Int],
@@ -363,7 +368,8 @@ private[sources] class DirTailReader(parseSchema: StructType,
   * files; the driver moves O(partitions) names per epoch (metadata,
   * TxTable economics). Serialization is the exact inverse of
   * [[DirTail.parse]] (timestamps as epoch-micros numbers). */
-private[graft] class DirTailStreamingWrite(schema: StructType, path: String)
+private[graft] class DirTailStreamingWrite(schema: StructType, path: String,
+                                           queryId: String = "")
     extends StreamingWrite {
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
@@ -375,7 +381,28 @@ private[graft] class DirTailStreamingWrite(schema: StructType, path: String)
     Files.createDirectories(dir): Unit
     val marker = dir.resolve(f".epoch-$epochId%010d.committed")
     val staged = messages.map(_.asInstanceOf[DirTailCommitMessage])
-    if (Files.exists(marker)) { // replayed epoch: already fully visible
+    if (Files.exists(marker)) {
+      // the marker records WHICH query committed the epoch: a genuine
+      // replay (same query id, at-least-once foreachBatch semantics)
+      // drops its staged duplicates; a DIFFERENT query hitting the
+      // number means a NEW stream incarnation restarted its epoch ids
+      // against a used sink dir (checkpoint reset) — silently dropping
+      // ITS rows as "already replayed" would be data loss, refuse loud.
+      // Legacy zero-byte markers carry no id and keep the old replay
+      // interpretation.
+      val owner = new String(Files.readAllBytes(marker),
+        java.nio.charset.StandardCharsets.UTF_8)
+      if (owner.nonEmpty && queryId.nonEmpty && owner != queryId) {
+        staged.foreach(m =>
+          Files.deleteIfExists(dir.resolve(m.staged)): Unit)
+        throw new IllegalStateException(
+          s"dirtail sink $path: epoch $epochId was committed by a " +
+            s"DIFFERENT stream (query $owner) — this query's epoch ids " +
+            "restarted against a used sink dir (checkpoint reset?); " +
+            "write to a fresh directory, or resume the original " +
+            "checkpoint")
+      }
+      // replayed epoch: already fully visible
       staged.foreach(m => Files.deleteIfExists(dir.resolve(m.staged)): Unit)
       return
     }
@@ -384,7 +411,20 @@ private[graft] class DirTailStreamingWrite(schema: StructType, path: String)
       Files.move(dir.resolve(m.staged), target,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
     }
-    try PosixLinkPrimitive.publishExclusive(marker, Array.emptyByteArray)
+    // a crashed EARLIER attempt of this epoch may have renamed MORE
+    // partitions than this one produced (shuffle partitioning changed
+    // across the restart): those stale extras carry rows this attempt
+    // redistributed into its own files — reap them before publishing
+    // (same unpublished-epoch-not-yet-consumed assumption the
+    // REPLACE_EXISTING renames already make)
+    val keep = staged.map(m =>
+      f"part-$epochId%010d-${m.partitionId}%05d.jsonl").toSet
+    val prefix = f"part-$epochId%010d-"
+    DirTail.listing(path)
+      .filter(n => n.startsWith(prefix) && !keep.contains(n))
+      .foreach(n => Files.deleteIfExists(dir.resolve(n)): Unit)
+    try PosixLinkPrimitive.publishExclusive(marker,
+      queryId.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: java.nio.file.FileAlreadyExistsException => () }
   }
 
@@ -438,7 +478,8 @@ private[graft] class DirTailBatchWrite(schema: StructType, path: String)
     // would produce files that sort before already-consumed ones)
     val EpochName = "^part-(\\d{10})-.*\\.jsonl$".r
     val MarkerName = "^\\.b?epoch-(\\d{10})\\.(committed|claimed)$".r
-    val fileMax = DirTail.listing(path).collect {
+    val visible = DirTail.listing(path)
+    val fileMax = visible.collect {
       case EpochName(e) => e.toLong
     }.foldLeft(-1L)(math.max)
     val markerMax = {
@@ -448,7 +489,31 @@ private[graft] class DirTailBatchWrite(schema: StructType, path: String)
       }.foldLeft(-1L)(math.max)
       finally s.close()
     }
-    var epoch = math.max(fileMax, markerMax) + 1
+    // the tail's offset determinism needs the claimed names to sort
+    // after EVERY visible file — including PRODUCER-NAMED ones the
+    // epoch regex never matches ('part-00001.jsonl' sorts AFTER
+    // 'part-0000000000-…', so a numeric claim alone could slot the new
+    // files inside the already-consumed prefix: duplicates served, new
+    // rows permanently skipped). The epoch prefix is monotone in the
+    // epoch number, so the smallest safe epoch binary-searches.
+    val maxName = visible.foldLeft("")((a, b) => if (a >= b) a else b)
+    def sortsAfterAll(e: Long): Boolean = f"part-$e%010d-" > maxName
+    val numericFloor = math.max(fileMax, markerMax) + 1
+    var epoch =
+      if (sortsAfterAll(numericFloor)) numericFloor
+      else {
+        require(sortsAfterAll(9999999999L),
+          s"dirtail batch write into $path: no epoch name can sort " +
+            s"after existing file '$maxName' — rename or relocate the " +
+            "foreign files")
+        var lo = numericFloor
+        var hi = 9999999999L
+        while (lo < hi) {
+          val mid = lo + (hi - lo) / 2
+          if (sortsAfterAll(mid)) hi = mid else lo = mid + 1
+        }
+        lo
+      }
     var claimed = false
     var attempts = 0
     while (!claimed && attempts < 10000) {
@@ -468,10 +533,25 @@ private[graft] class DirTailBatchWrite(schema: StructType, path: String)
     require(claimed,
       s"dirtail batch write could not claim an epoch under $path after " +
         s"$attempts attempts")
-    messages.map(_.asInstanceOf[DirTailCommitMessage]).foreach { m =>
+    // renames tracked so a mid-loop IO failure rolls the published
+    // prefix back before rethrowing — a half-visible epoch would be
+    // consumed by the tail while the caller's retry re-publishes every
+    // partition under a NEW epoch (duplicates). Only a hard driver
+    // crash mid-loop can still leave a partial epoch (documented
+    // single-writer residue; the streaming sink's marker protocol is
+    // the crash-safe arm).
+    val renamed = scala.collection.mutable.Buffer[java.nio.file.Path]()
+    try messages.map(_.asInstanceOf[DirTailCommitMessage]).foreach { m =>
       val target = dir.resolve(f"part-$epoch%010d-${m.partitionId}%05d.jsonl")
       Files.move(dir.resolve(m.staged), target,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+      renamed += target
+    } catch {
+      case e: Throwable =>
+        renamed.foreach(p =>
+          try Files.deleteIfExists(p): Unit
+          catch { case _: Exception => () })
+        throw e
     }
   }
 

@@ -44,10 +44,22 @@ final case class DvReadRule(session: SparkSession)
         }, read)
     }
 
+  /** Row-level command TARGETS stay untouched, but their CONDITION
+    * subqueries are ordinary reads: a DV-bearing graft relation inside
+    * `WHERE id IN (SELECT … FROM graft_dv_t)` of another connector's
+    * DELETE/UPDATE must swap here, or the execution tripwire throws a
+    * misleading "register GraftExtensions" on a session that did. */
+  private def rewriteCondSubqueries(p: LogicalPlan): LogicalPlan =
+    p.transformExpressions {
+      case s: org.apache.spark.sql.catalyst.expressions
+          .SubqueryExpression => s.withNewPlan(rewrite(s.plan))
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
-    case d: DeleteFromTable => d
-    case u: UpdateTable => u
-    case m: MergeIntoTable => m.copy(sourceTable = rewrite(m.sourceTable))
+    case d: DeleteFromTable => rewriteCondSubqueries(d)
+    case u: UpdateTable => rewriteCondSubqueries(u)
+    case m: MergeIntoTable =>
+      rewriteCondSubqueries(m.copy(sourceTable = rewrite(m.sourceTable)))
     case c: TxMergeCommand => c.copy(source = rewrite(c.source))
     case other => rewrite(other)
   }

@@ -397,6 +397,73 @@ class DirTailSourceSpec extends SparkSpec {
     assert(ts.getTimestamp(3).getTime == 3000L)
   }
 
+  test("batch write into a producer-named dir claims names that sort AFTER everything") {
+    val src = Files.createTempDirectory("dirtail-src")
+    val out = Files.createTempDirectory("dirtail-out")
+    val ckpt = Files.createTempDirectory("dirtail-ckpt")
+    import spark.implicits._
+    // a producer ships its own naming (the class doc's blessed form):
+    // 'part-00001.jsonl' sorts AFTER 'part-0000000000-…', so a naive
+    // numeric epoch claim would slot the batch's files INSIDE the
+    // already-consumed prefix — duplicates served, new rows skipped
+    Files.write(src.resolve("part-00001.jsonl"),
+      """{"id": 1, "kind": "k1", "score": 1.5, "ts": 1000000}"""
+        .getBytes("UTF-8")): Unit
+    drainOnce(src, out, ckpt) // tail consumed the producer file
+    Seq((2L, "k2", 2.5, new java.sql.Timestamp(2000L)))
+      .toDF("id", "kind", "score", "ts")
+      .coalesce(1).write.format("graft-dirtail")
+      .option("path", src.toString).mode("append").save()
+    import scala.jdk.CollectionConverters._
+    val names = Files.list(src).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".jsonl"))
+      .toSeq.sorted
+    assert(names.head == "part-00001.jsonl",
+      s"the claimed name must sort after the consumed producer file: " +
+        s"$names")
+    // the checkpointed tail resumes onto EXACTLY the appended row —
+    // nothing duplicated, nothing skipped
+    drainOnce(src, out, ckpt)
+    val got = spark.read.parquet(out.toString)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 2L), s"offset determinism broken: $got")
+  }
+
+  test("a NEW stream incarnation against a used sink dir refuses, never drops rows") {
+    val data = Files.createTempDirectory("dirtail-in")
+    val out = Files.createTempDirectory("dirtail-sink-out")
+    import spark.implicits._
+    def runStream(ids: Seq[Long], ckpt: java.nio.file.Path): Unit = {
+      ids.map(i => (i, s"k$i", i + 0.5, new java.sql.Timestamp(i * 1000L)))
+        .toDF("id", "kind", "score", "ts")
+        .write.mode("overwrite").parquet(data.toString)
+      val q = spark.readStream
+        .schema(spark.read.parquet(data.toString).schema)
+        .parquet(data.toString)
+        .writeStream.format("graft-dirtail")
+        .option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runStream(Seq(1L), Files.createTempDirectory("dirtail-ck1"))
+    // a SECOND stream (fresh checkpoint → epoch ids restart at 0)
+    // writing to the same dir finds the first stream's epoch-0 marker:
+    // silently dropping its staged rows as "already replayed" would be
+    // data loss — it must refuse loudly
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      runStream(Seq(2L), Files.createTempDirectory("dirtail-ck2")))
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(8)
+      .flatMap(t => Option(t.getMessage)).mkString(" | ")
+    assert(msgs.contains("DIFFERENT stream"), msgs)
+    // the first stream's rows are intact
+    assert(spark.read.format("graft-dirtail").schema(schema)
+      .option("path", out.toString).load()
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("malformed JSON fails the batch loudly instead of dropping rows") {
     val src = Files.createTempDirectory("dirtail-src")
     val out = Files.createTempDirectory("dirtail-out")
