@@ -5,7 +5,6 @@ import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 
 import java.net.InetSocketAddress
-import java.nio.charset.StandardCharsets
 
 /** HTTP binding for [[QueryService]] — the reference's FastAPI surface
   * (/root/reference/app_server.py) on the JDK's built-in HttpServer (zero
@@ -49,7 +48,8 @@ final class HttpApi(service: QueryService, port: Int = 0) {
   })
 
   server.createContext("/test", (ex: HttpExchange) => handle(ex) {
-    case "GET" =>
+    // JDK contexts match by raw prefix: /testing would answer here
+    case "GET" if exactPath(ex, "/test") =>
       val t0 = System.nanoTime()
       val (mongoJson, genSec) = service.test()
       val out = mapper.createObjectNode()
@@ -60,11 +60,12 @@ final class HttpApi(service: QueryService, port: Int = 0) {
         math.rint((System.nanoTime() - t0) / 1e9 * 1000) / 1000)
       out.put("generation_time", genSec)
       (200, out)
+    case "GET" => (404, errorJson("not found", "HTTP_ERROR", 404, None))
     case _ => (405, errorJson("method not allowed", "HTTP_ERROR", 405, None))
   })
 
   server.createContext("/health", (ex: HttpExchange) => handle(ex) {
-    case "GET" =>
+    case "GET" if exactPath(ex, "/health") =>
       val h = service.health()
       val out = mapper.createObjectNode()
       // reference fields: mongodb_connected → storage, llm_connected →
@@ -74,21 +75,25 @@ final class HttpApi(service: QueryService, port: Int = 0) {
       out.put("engine_connected", h.engineOk)
       out.put("storage_connected", h.storageOk)
       (200, out)
+    case "GET" => (404, errorJson("not found", "HTTP_ERROR", 404, None))
     case _ => (405, errorJson("method not allowed", "HTTP_ERROR", 405, None))
   })
 
   server.createContext("/history", (ex: HttpExchange) => handle(ex) {
-    case "GET" =>
+    case "GET" if exactPath(ex, "/history") =>
       // the reference keeps history in the UI session (main.py:103-131,
       // summary metrics :263-268); here the service accumulates it and
       // this endpoint serves rows + the same three summary stats
-      val st = service.historyStats()
+      // ONE snapshot serves both the rows and the summary stats — two
+      // independent reads could disagree when a query lands in between
+      val snap = service.history
+      val st = QueryService.statsOf(snap)
       val out = mapper.createObjectNode()
       out.put("total_queries", st.nQueries)
       out.put("success_rate", st.successRate)
       out.put("mean_execution_time", st.meanExec)
       val rows = mapper.createArrayNode()
-      service.history.foreach { e =>
+      snap.foreach { e =>
         val r = mapper.createObjectNode()
         r.put("query", e.query)
         r.put("db", e.db)
@@ -101,11 +106,13 @@ final class HttpApi(service: QueryService, port: Int = 0) {
       }
       out.set[ArrayNode]("history", rows)
       (200, out)
-    case "DELETE" => // main.py:275 "Clear History"
+    case "DELETE" if exactPath(ex, "/history") => // main.py:275
       service.clearHistory()
       val out = mapper.createObjectNode()
       out.put("status", "cleared")
       (200, out)
+    case "GET" | "DELETE" =>
+      (404, errorJson("not found", "HTTP_ERROR", 404, None))
     case _ => (405, errorJson("method not allowed", "HTTP_ERROR", 405, None))
   })
 
@@ -138,15 +145,33 @@ final class HttpApi(service: QueryService, port: Int = 0) {
       call: QueryRequest => Either[QueryError, QuerySuccess]):
       (Int, ObjectNode) = {
     val body =
-      try mapper.readTree(ex.getRequestBody.readAllBytes())
-      catch { case _: Exception => null }
+      try {
+        // cap the buffered body: a find-spec request is KBs; multi-MB
+        // bodies are either a bug or abuse, and readAllBytes would
+        // buffer them whole on the driver heap before any validation
+        val bytes = ex.getRequestBody.readNBytes(MaxBodyBytes + 1)
+        if (bytes.length > MaxBodyBytes)
+          return (413, errorJson(
+            s"request body exceeds $MaxBodyBytes bytes",
+            "HTTP_ERROR", 413, None))
+        mapper.readTree(bytes)
+      } catch { case _: Exception => null }
     if (body == null || !body.isObject)
       return (422, errorJson("request body must be a JSON object",
         "HTTP_ERROR", 422, None))
     def str(f: String, dflt: String) =
       if (body.hasNonNull(f)) body.get(f).asText() else dflt
+    // asLong, not asInt: Jackson's asInt() TRUNCATES out-of-int-range
+    // numerics (2^32+29 -> 29), which would wrap a nonsense value past
+    // the range validation below; out-of-range longs clamp to an
+    // always-rejected sentinel instead
     def int(f: String, dflt: Int) =
-      if (body.hasNonNull(f)) body.get(f).asInt() else dflt
+      if (!body.hasNonNull(f)) dflt
+      else {
+        val v = body.get(f).asLong()
+        if (v < Int.MinValue || v > Int.MaxValue) Int.MinValue
+        else v.toInt
+      }
     val req = QueryRequest(
       input = str("input", ""),
       db = str("db", "testdb"),
@@ -173,6 +198,13 @@ final class HttpApi(service: QueryService, port: Int = 0) {
         (err.statusCode,
           errorJson(err.error, err.errorType, err.statusCode, err.suggestion))
     }
+  }
+
+  private val MaxBodyBytes = 1 << 20
+
+  private def exactPath(ex: HttpExchange, p: String): Boolean = {
+    val got = ex.getRequestURI.getPath
+    got == p || got == p + "/"
   }
 
   private def errorJson(msg: String, errType: String, status: Int,

@@ -48,12 +48,19 @@ final class QueryService(spark: SparkSession, catalog: Catalog) {
     recorded(req)(run(req)(() => MongoJson.parseWithRepair(req.input)))
 
   private def recorded(req: QueryRequest)(
-      out: Either[QueryError, QuerySuccess]): Either[QueryError, QuerySuccess] = {
+      runIt: => Either[QueryError, QuerySuccess])
+      : Either[QueryError, QuerySuccess] = {
+    val t0 = System.nanoTime()
+    val out = runIt
+    // failed entries record the ELAPSED time, exactly as the reference's
+    // client does (main.py:131 `"execution_time": elapsed_time`) — a
+    // 30 s timeout must weigh 30 s in mean_execution_time, not 0
+    val elapsed = round3((System.nanoTime() - t0) / 1e9)
     val entry = out match {
       case Right(ok) => HistoryEntry(req.input, req.db, req.collection,
         success = true, ok.executionTime, ok.resultCount, error = None)
       case Left(err) => HistoryEntry(req.input, req.db, req.collection,
-        success = false, 0.0, 0, error = Some(err.error))
+        success = false, elapsed, 0, error = Some(err.error))
     }
     historyLock.synchronized {
       historyBuf.addLast(entry)
@@ -77,15 +84,7 @@ final class QueryService(spark: SparkSession, catalog: Catalog) {
   /** The UI's summary metrics (main.py:263-268): total queries, success
     * rate (%), mean execution time — computed over THIS service's own
     * accumulated calls, with the engine's usual decimal-exact mean. */
-  def historyStats(): HistoryStats = {
-    val h = history
-    if (h.isEmpty) HistoryStats(0, 0.0, 0.0)
-    else HistoryStats(
-      h.size,
-      h.count(_.success) * 100.0 / h.size,
-      (h.map(e => new java.math.BigDecimal(e.executionTime))
-        .reduce(_.add(_)).doubleValue) / h.size)
-  }
+  def historyStats(): HistoryStats = QueryService.statsOf(history)
 
   private def run(req: QueryRequest)(
       gen: () => QuerySpec): Either[QueryError, QuerySuccess] = {
@@ -128,11 +127,16 @@ final class QueryService(spark: SparkSession, catalog: Catalog) {
       // between the timeout and the first cancel — rather than leaving a
       // zombie scan/collect burning executors after the client's 408.
       val remaining = math.max(req.timeoutSec - genSec - 1.0, 2.0)
-      val df = catalog.resolve(req.db, req.collection)
       val dbStart = System.nanoTime()
+      // resolve() runs INSIDE the budgeted, cancellable phase: first
+      // touch of a json/csv collection schema-infers with a full scan,
+      // and the reference runs ALL its DB-side setup under the
+      // asyncio.wait_for budget (app_server.py:229-245) — outside it,
+      // the client's timeout simply would not be honored
       val result = Executor.runCancellable(spark.sparkContext, "graft-query",
           (remaining * 1000).toLong) { cancelled =>
         if (cancelled.get()) throw new DbTimeout("cancelled before start")
+        val df = catalog.resolve(req.db, req.collection)
         Executor.exec(df, spec, req.limit, generationSec = genSec)
       }.getOrElse(throw new DbTimeout(
         f"Database query timed out after $remaining%.1f seconds"))
@@ -228,6 +232,18 @@ object QueryService {
 
   /** Newest-N bound on the in-memory history buffer. */
   val HistoryCap = 10000
+
+  /** The UI's summary arithmetic (main.py:263-268) over ONE history
+    * snapshot — shared by [[QueryService.historyStats]] and the HTTP
+    * endpoint, which must compute rows and stats from the SAME
+    * snapshot or a concurrent query makes them disagree. */
+  def statsOf(h: Seq[HistoryEntry]): HistoryStats =
+    if (h.isEmpty) HistoryStats(0, 0.0, 0.0)
+    else HistoryStats(
+      h.size,
+      h.count(_.success) * 100.0 / h.size,
+      (h.map(e => new java.math.BigDecimal(e.executionTime))
+        .reduce(_.add(_)).doubleValue) / h.size)
 
   private def round3(d: Double): Double = math.rint(d * 1000) / 1000
 

@@ -101,10 +101,19 @@ object Executor {
     val tag = s"$tagPrefix-${java.util.UUID.randomUUID()}"
     val cancelled = new AtomicBoolean(false)
     implicit val ec: ExecutionContext = blockingEc
+    // job tags are THREAD-local: a nested timed phase (the count inside
+    // the service's DB phase) submits from a different pool thread, so
+    // the CALLER's tags must ride along or the outer timeout's cancel
+    // misses the nested job entirely — and the pool thread's tag set is
+    // reset afterwards so a reused thread never carries stale tags for
+    // a later reaper to hit
+    val inherited = sc.getJobTags()
     val fut = Future {
+      sc.clearJobTags()
+      inherited.foreach(sc.addJobTag)
       sc.addJobTag(tag)
       try body(cancelled)
-      finally sc.removeJobTag(tag)
+      finally sc.clearJobTags()
     }
     try Some(Await.result(fut, timeoutMs.millis))
     catch {
@@ -119,18 +128,22 @@ object Executor {
     }
   }
 
-  /** Count with the reference's degradation policy: if it exceeds
-    * `timeoutMs`, cancel the running job ([[runCancellable]]) and fall back
-    * to `fallback` (the reference's `len(results)`, No_Sql.py:419-421). */
+  /** Count with the reference's degradation policy: a count that exceeds
+    * `timeoutMs` is cancelled ([[runCancellable]]) and — like ANY other
+    * count failure (the reference catches every exception, not just
+    * timeouts: No_Sql.py:418-421) — falls back to `fallback` (the
+    * reference's `len(results)`); the results themselves were already
+    * collected, so a transient count failure must not fail the query. */
   def countWithTimeout(df: DataFrame, timeoutMs: Long,
                        fallback: => Long): (Long, Boolean) =
     runCancellable(df.sparkSession.sparkContext, "graft-count", timeoutMs) {
       cancelled =>
-        if (cancelled.get()) fallback // timeout already fired: don't submit
-        else df.count()
+        if (cancelled.get()) None // timeout already fired: don't submit
+        else try Some(df.count())
+        catch { case scala.util.control.NonFatal(_) => None }
     } match {
-      case Some(n) => (n, false)
-      case None    => (fallback, true)
+      case Some(Some(n)) => (n, false)
+      case _             => (fallback, true)
     }
 
   /** Full reference-parity execution: collected rows + total-matching count
@@ -144,10 +157,9 @@ object Executor {
     val rows = Sanitizer.sanitize(
       plan(df, spec.copy(limit = Some(spec.limit.getOrElse(limit)))))
     val results = rows.toJSON.collect().toSeq // list(cursor), No_Sql.py:405
-    val filtered = spec.filter match {
-      case FilterExpr.True => df
-      case f               => df.filter(FilterCompiler.compile(f, df.schema))
-    }
+    // the count's frame: filter only — plan() with projection and limit
+    // stripped, so the filter-compilation semantics cannot diverge
+    val filtered = plan(df, spec.copy(projection = Nil, limit = None))
     val (total, degraded) =
       countWithTimeout(filtered, countTimeoutMs, results.length.toLong)
     val dbSec = (System.nanoTime() - t0) / 1e9
