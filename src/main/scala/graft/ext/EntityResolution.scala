@@ -130,13 +130,19 @@ object EntityResolution {
       // the exploded key frames persist for the stage's lifetime: the
       // pricing aggregate materializes them, the join reuses the cached
       // blocks — each side's explode runs exactly once per stage
+      // fanOut BEFORE the neighborhood explode: the variant generation
+      // and the downstream levenshtein verify are the CPU of this
+      // operator, and a single-file scan (or a 1-partition cached
+      // residue) would run them on one task — measured as a 1.7 s
+      // single-task verify stage in er_resolve on local[32]
       val dKeys = TrackedCache.persistTracked(
-        residue.select(col("__did"), col("__dn"),
+        Par.fanOut(residue).select(col("__did"), col("__dn"),
           explode(nbhd(d)(col("__dn"))).as("__key")))
       val cKeys = TrackedCache.persistTracked(
-        clean.select(col(cleanId).as("__cid"),
-          col(cleanName).as("__cn"),
-          explode(nbhd(d)(col(cleanName))).as("__key")))
+        Par.fanOut(clean.select(col(cleanId).as("__cid"),
+            col(cleanName).as("__cn")))
+          .select(col("__cid"), col("__cn"),
+            explode(nbhd(d)(col("__cn"))).as("__key")))
       // ONE metadata-sized action prices the stage: both sides' exploded
       // key totals (the broadcast decision) and the exact candidate-pair
       // count of the join about to launch (the refusal decision)

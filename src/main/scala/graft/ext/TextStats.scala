@@ -321,8 +321,9 @@ object TextStats {
     // is the left join side) — without this the explode+aggregate runs
     // twice. Released by Dedup.unpersistAll (shared TrackedCache).
     val tf = TrackedCache.persistTracked(
-      df.select(col(idCol).as("doc_id"),
-          explode(toks(col(textCol))).as("term"))
+      Par.fanOut(df.select(col(idCol).as("doc_id"),
+          col(textCol).as("__t")))
+        .select(col("doc_id"), explode(toks(col("__t"))).as("term"))
         .groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df_docs"))
@@ -802,8 +803,9 @@ object TextStats {
                    k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf = TrackedCache.persistTracked(
-      df.select(col(idCol).as("doc_id"),
-          explode(toks(col(textCol))).as("term"))
+      Par.fanOut(df.select(col(idCol).as("doc_id"),
+          col(textCol).as("__t")))
+        .select(col("doc_id"), explode(toks(col("__t"))).as("term"))
         .groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf")))
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
@@ -890,8 +892,9 @@ object TextStats {
     * token — a 0 means a hapax in a corpus of ≥1M tokens). */
   def rarityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tf = TrackedCache.persistTracked(
-      df.select(col(idCol).as("doc_id"),
-          explode(toks(col(textCol))).as("term"))
+      Par.fanOut(df.select(col(idCol).as("doc_id"),
+          col(textCol).as("__t")))
+        .select(col("doc_id"), explode(toks(col("__t"))).as("term"))
         .groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf")))
     val cnts = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
@@ -1001,8 +1004,11 @@ object TextStats {
   private def lmTrigrams(df: DataFrame, idCol: String,
                          textCol: String): DataFrame =
     TrackedCache.persistTracked(
-      df.select(col(idCol).as("doc_id"), col(textCol).as("__s"))
-        .where(length(col("__s")) >= 3)
+      // fanOut BEFORE the explosion: the trigram kernel is the expensive
+      // per-row work, and a single-file scan would otherwise run it on
+      // one task (measured 2.6 s single-task map stage in text_lmscore)
+      Par.fanOut(df.select(col(idCol).as("doc_id"), col(textCol).as("__s"))
+          .where(length(col("__s")) >= 3))
         .selectExpr("doc_id",
           "explode(transform(sequence(1, char_length(__s) - 2), " +
             "i -> substr(__s, i, 3))) AS tri")

@@ -182,23 +182,41 @@ object Triangles {
   def coActivityEdges(events: DataFrame, userCol: String = "user_id",
                       tsCol: String = "ts",
                       maxBucketUsers: Long = 10000L): DataFrame = {
-    // persisted: the guard action below plus both sides of the pair join
-    // read grp — three consumers (TrackedCache lifecycle)
-    val grp = TrackedCache.persistTracked(events
-      .where(col(userCol).isNotNull && col(tsCol).isNotNull)
-      .select(date_trunc("minute", col(tsCol)).as("b0"),
-        col(userCol).as("uid"))
-      .distinct())
+    val grp = bucketUsers(events, userCol, tsCol)
     // Default cap 10k ≈ 5×10⁷ pairs from the worst bucket — survivable
     // on one task. (The old 100k default admitted ~5×10⁹ pairs before
     // "guarding": a cap that fires only after the blowup it exists to
     // prevent has been paid is no cap.) Raise it deliberately, or use
     // [[coActivityEdgesSharded]] — the 100× formulation that splits each
     // bucket's quadratic work across shard-pair tasks.
-    // coalesce: max() over ZERO buckets is NULL, and an empty events
-    // frame must yield an empty edge list, not an NPE in the guard.
-    val worst = grp.groupBy(col("b0")).agg(count(lit(1)).as("c"))
+    pairJoinEdges(grp, worstBucket(grp), maxBucketUsers)
+  }
+
+  /** The shared distinct (minute-bucket, uid) frame — persisted: the
+    * guard action plus both sides of the pair join read it (TrackedCache
+    * lifecycle). Extracted so [[coActivityEdgesAuto]] builds it ONCE and
+    * hands it to the chosen arm instead of each arm re-deriving and
+    * re-persisting an identical copy (measured: three ~0.4 s distinct
+    * jobs per declared graph query before the share). */
+  private def bucketUsers(events: DataFrame, userCol: String,
+                          tsCol: String): DataFrame =
+    TrackedCache.persistTracked(events
+      .where(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(date_trunc("minute", col(tsCol)).as("b0"),
+        col(userCol).as("uid"))
+      .distinct())
+
+  /** One metadata-sized action: the largest bucket's user count.
+    * coalesce: max() over ZERO buckets is NULL, and an empty events
+    * frame must yield an empty edge list, not an NPE in the guard. */
+  private def worstBucket(grp: DataFrame): Long =
+    grp.groupBy(col("b0")).agg(count(lit(1)).as("c"))
       .agg(coalesce(max(col("c")), lit(0L))).head().getLong(0)
+
+  /** The under-cap arm's per-bucket pair join over an already-prepared
+    * `grp`, with the guard evaluated on the already-measured `worst`. */
+  private def pairJoinEdges(grp: DataFrame, worst: Long,
+                            maxBucketUsers: Long): DataFrame = {
     require(worst <= maxBucketUsers,
       s"coActivityEdges: largest bucket holds $worst users (cap " +
         s"$maxBucketUsers) — the pair join would blow up; use " +
@@ -235,16 +253,18 @@ object Triangles {
                              tsCol: String = "ts", shards: Int = 16,
                              maxTaskPairs: Long = 50000000L): DataFrame = {
     require(shards >= 1, s"shards must be >= 1, got $shards")
-    val grp = TrackedCache.persistTracked(events
-      .where(col(userCol).isNotNull && col(tsCol).isNotNull)
-      .select(date_trunc("minute", col(tsCol)).as("b0"),
-        col(userCol).as("uid"))
-      .distinct()
-      .withColumn("s", pmod(hash(col("uid")), lit(shards))))
+    val grp = bucketUsers(events, userCol, tsCol)
+    shardedEdges(grp, worstBucket(grp), shards, maxTaskPairs)
+  }
+
+  /** The over-cap arm's triangle-partitioned join over an
+    * already-prepared `grp` (shard column added here — a projection over
+    * the cached frame, no second distinct/persist). */
+  private def shardedEdges(grp0: DataFrame, worst: Long, shards: Int,
+                           maxTaskPairs: Long): DataFrame = {
+    val grp = grp0.withColumn("s", pmod(hash(col("uid")), lit(shards)))
     // guard on the PER-TASK pair count (worst bucket / S)² — the quantity
-    // sharding actually bounds; coalesce keeps the empty frame total
-    val worst = grp.groupBy(col("b0")).agg(count(lit(1)).as("c"))
-      .agg(coalesce(max(col("c")), lit(0L))).head().getLong(0)
+    // sharding actually bounds
     val perShard = (worst + shards - 1) / shards.toLong
     require(perShard * perShard <= maxTaskPairs,
       s"coActivityEdgesSharded: worst bucket $worst over $shards shards " +
@@ -273,11 +293,10 @@ object Triangles {
     * data the DECLARED graph queries switch plans instead of refusing on
     * the cap — the guard's measurement becomes the router's decision.
     *
-    * The distinct (bucket, uid) frame is built ONCE and persisted; both
-    * the measurement and the chosen arm's join consume it (the arms
-    * re-derive it idempotently — minute-truncating an already-truncated
-    * bucket and distinct-ing a distinct frame are no-ops over the cached
-    * blocks, so no second events scan happens).
+    * The distinct (bucket, uid) frame is built ONCE and persisted; the
+    * measurement and the chosen arm's join consume the SAME frame and
+    * the SAME measured value — no re-derivation, no second persist, no
+    * repeated guard aggregate.
     *
     * `shards` sizes the over-cap arm so its per-task pair count is
     * ~(worst/shards)²; the default 16 turns a 10×-the-cap bucket (100k
@@ -288,16 +307,13 @@ object Triangles {
                           tsCol: String = "ts",
                           maxBucketUsers: Long = 10000L,
                           shards: Int = 16): DataFrame = {
-    val grp = TrackedCache.persistTracked(events
-      .where(col(userCol).isNotNull && col(tsCol).isNotNull)
-      .select(date_trunc("minute", col(tsCol)).as("b0"),
-        col(userCol).as("uid"))
-      .distinct())
-    val worst = grp.groupBy(col("b0")).agg(count(lit(1)).as("c"))
-      .agg(coalesce(max(col("c")), lit(0L))).head().getLong(0)
-    val routed = grp.select(col("uid").as(userCol), col("b0").as(tsCol))
-    if (worst <= maxBucketUsers)
-      coActivityEdges(routed, userCol, tsCol, maxBucketUsers)
-    else coActivityEdgesSharded(routed, userCol, tsCol, shards)
+    val grp = bucketUsers(events, userCol, tsCol)
+    val worst = worstBucket(grp)
+    // the measurement IS the router's decision, and the measured frame
+    // IS the arm's input: one distinct, one persist, one guard action —
+    // the arms consume (grp, worst) directly instead of re-deriving an
+    // identical cached copy and re-running the identical aggregate
+    if (worst <= maxBucketUsers) pairJoinEdges(grp, worst, maxBucketUsers)
+    else shardedEdges(grp, worst, shards, maxTaskPairs = 50000000L)
   }
 }
