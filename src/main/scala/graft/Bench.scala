@@ -10,6 +10,24 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Prefer shuffled-hash over sort-merge when the per-partition build
+      // side fits (spark_optimization_guide §3.1/§9): skips both sides'
+      // sorts on every equi-join; AQE's local-map threshold converts
+      // planned SMJs at runtime the same way. Scale-safe: the planner
+      // still falls back to SMJ when no side's per-partition size fits,
+      // and results are join-strategy-independent (all declared queries
+      // end in a total-order sort and are oracle-certified under this
+      // config at sf0.001/0.01/0.1).
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        "134217728")
+      // AQE coalescing floor: the default 1 MiB minPartitionSize collapses
+      // byte-small but CPU-DENSE shuffles (expression-heavy windows,
+      // verify joins) to 1-2 tasks — measured 0.64 s single-task window in
+      // dedup_jaccard_pruned. 64 KiB keeps those parallel; at production
+      // shuffle sizes this floor never binds (partitions are >> 1 MiB).
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        "65536")
       // SQL functions + the tx-catalog row-level rule (UPDATE/MERGE)
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")

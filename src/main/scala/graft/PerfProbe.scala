@@ -33,16 +33,27 @@ object PerfProbe {
     val extraConf = sys.env.getOrElse("SPARK_GRAFT_PROBE_CONF", "")
       .split(";").map(_.trim).filter(_.contains("="))
       .map { kv => val i = kv.indexOf('='); (kv.take(i), kv.drop(i + 1)) }
-    val spark = extraConf.foldLeft(SparkSession.builder())(
-      (b, kv) => b.config(kv._1, kv._2))
+    val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        "134217728")
+      // AQE coalescing floor: the default 1 MiB minPartitionSize collapses
+      // byte-small but CPU-DENSE shuffles (expression-heavy windows,
+      // verify joins) to 1-2 tasks — measured 0.64 s single-task window in
+      // dedup_jaccard_pruned. 64 KiB keeps those parallel; at production
+      // shuffle sizes this floor never binds (partitions are >> 1 MiB).
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        "65536")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // overrides LAST so experiments win over the Bench-matching defaults
+    val spark = extraConf.foldLeft(builder0)(
+      (b, kv) => b.config(kv._1, kv._2)).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // identical warmup to Bench so per-query numbers are comparable
@@ -94,10 +105,18 @@ object PerfProbe {
       SparkEntry.queries.get(name) match {
         case None => System.err.println(s"[probe] unknown query '$name'")
         case Some(fn) =>
-          // plan artifact (fresh DF so session-memoized fixtures warm here)
+          // plan artifact (fresh DF so session-memoized fixtures warm here);
+          // the FIRST fn() call is timed separately — it pays any eager
+          // fixture construction (tx-table writes, streaming drains) that
+          // the bench times inside the query but a warm rep does not
+          val tBuild0 = System.nanoTime()
+          val df0 = try Some(fn(spark, sfDir)) catch { case e: Throwable =>
+            System.err.println(s"[probe] $name build FAILED: $e"); None }
+          println(f"[probe] $name build ${(System.nanoTime() - tBuild0) / 1e9}%.3f s (first fn() call)")
           val planTxt =
-            try fn(spark, sfDir).queryExecution.explainString(
-              org.apache.spark.sql.execution.FormattedMode)
+            try df0.map(_.queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode))
+              .getOrElse("build failed")
             catch { case e: Throwable => s"explain failed: $e" }
           java.nio.file.Files.write(
             planDir.resolve(s"${name}_$phase.txt"),

@@ -16,6 +16,18 @@ object Verify {
       .config("spark.sql.parquet.aggregatePushdown", "true")
       // events.ts is TIMESTAMP(NANOS); read as long, converted in Tables.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // same join-strategy preference as Bench (guide §3.1/§9) so the
+      // correctness gate certifies the exact physical plans the bench runs
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        "134217728")
+      // AQE coalescing floor: the default 1 MiB minPartitionSize collapses
+      // byte-small but CPU-DENSE shuffles (expression-heavy windows,
+      // verify joins) to 1-2 tasks — measured 0.64 s single-task window in
+      // dedup_jaccard_pruned. 64 KiB keeps those parallel; at production
+      // shuffle sizes this floor never binds (partitions are >> 1 MiB).
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        "65536")
       // SQL functions + the tx-catalog row-level rule (UPDATE/MERGE)
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")

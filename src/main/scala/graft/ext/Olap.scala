@@ -162,9 +162,11 @@ object Olap {
     * partitioned by group, no global sort. */
   def weightedMedian(df: DataFrame, groupCol: String, valCol: String,
                      wCol: String): DataFrame = {
-    val q = df.select(col(groupCol),
+    // fanOut: the (group, value) pre-aggregation is the heavy map pass
+    // (600k-row quantize+hash on ONE task over a single-file scan)
+    val q = Par.fanOut(df.select(col(groupCol),
         floor(col(valCol) * 100 + 0.5).cast("long").as("__v"),
-        col(wCol).cast("long").as("__w"))
+        col(wCol).cast("long").as("__w")))
       .where(col("__w") > 0)
       .groupBy(col(groupCol), col("__v"))
       .agg(sum(col("__w")).as("__wv"))

@@ -53,7 +53,7 @@ object Profile {
             s"${other.simpleString} — quantize it to a long first")
       }
     }
-    val unpivoted = df.select(explode(array(cols.map(c =>
+    val unpivoted = Par.fanOut(df).select(explode(array(cols.map(c =>
       struct(lit(c).as("col_name"), col(c).cast("long").as("v"))): _*))
       .as("x")).select(col("x.col_name").as("col_name"), col("x.v").as("v"))
     val stats = unpivoted.groupBy(col("col_name"))
@@ -77,7 +77,10 @@ object Profile {
         min(col(c)).cast("string").as(s"__mn_$c"),
         max(col(c)).cast("string").as(s"__mx_$c"))
     }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
+    // fanOut: the k-column count-distinct plans as an Expand (k rows out
+    // per row in) + partial aggregate BEFORE any exchange — on a
+    // single-file scan that whole k× expansion runs on one task (Par)
+    val wide = Par.fanOut(df).agg(aggs.head, aggs.tail: _*)
     // row-local unpivot of the single wide row into one row per column
     val stacked = cols.map { c =>
       s"'$c', __nn_$c, __nd_$c, __mn_$c, __mx_$c"

@@ -650,7 +650,8 @@ object TextStats {
     * its whole text) → count per bigram → top-k, same plan shape and
     * determinism contract as [[topTerms]]. */
   def bigramTopTerms(df: DataFrame, textCol: String, k: Int): DataFrame =
-    df.select(explode(Dedup.shingles(col(textCol), 2)).as("bigram"))
+    Par.fanOut(df.select(col(textCol)))
+      .select(explode(Dedup.shingles(col(textCol), 2)).as("bigram"))
       .groupBy(col("bigram"))
       .agg(count(lit(1)).as("doc_freq"))
       .orderBy(col("doc_freq").desc, col("bigram").asc)
@@ -665,7 +666,8 @@ object TextStats {
     * plans as TakeOrderedAndProject — no global sort of the vocabulary.
     * Tie-break on the term itself keeps the k-boundary deterministic. */
   def topTerms(df: DataFrame, textCol: String, k: Int): DataFrame =
-    df.select(explode(array_distinct(toks(col(textCol)))).as("term"))
+    Par.fanOut(df.select(col(textCol)))
+      .select(explode(array_distinct(toks(col(textCol)))).as("term"))
       .groupBy(col("term"))
       .agg(count(lit(1)).as("doc_freq"))
       .orderBy(col("doc_freq").desc, col("term").asc)
@@ -722,14 +724,17 @@ object TextStats {
                     k: Int): DataFrame = {
     val t = toks(col(textCol))
     val nBig = greatest(size(t) - 1, lit(0))
-    val pairs = df.select(explode(zip_with(slice(t, lit(1), nBig),
+    // one fanned-out text projection feeds both explode passes (Par:
+    // tokenize+explode is the CPU; a single-file scan runs it on 1 task)
+    val dfF = Par.fanOut(df.select(col(textCol)))
+    val pairs = dfF.select(explode(zip_with(slice(t, lit(1), nBig),
       slice(t, lit(2), nBig),
       (a, b) => struct(a.as("x"), b.as("y")))).as("p"))
       .select(col("p.x").as("x"), col("p.y").as("y"))
     val cxy = pairs.groupBy(col("x"), col("y"))
       .agg(count(lit(1)).as("c_xy"))
       .filter(col("c_xy") >= minCount)
-    val uni = df.select(explode(t).as("w"))
+    val uni = dfF.select(explode(t).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
     // totals from one row-local aggregate over the docs — not a second
     // pass over the exploded pairs
@@ -765,8 +770,9 @@ object TextStats {
                minDf: Long, maxDf: Long, cap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pairs = TrackedCache.persistTracked(
-      df.select(col(idCol).as("doc_id"),
-        explode(array_distinct(toks(col(textCol)))).as("term")))
+      Par.fanOut(df.select(col(idCol).as("doc_id"), col(textCol)))
+        .select(col("doc_id"),
+          explode(array_distinct(toks(col(textCol)))).as("term")))
     val band = pairs.groupBy(col("term"))
       .agg(count(lit(1)).as("df_docs"))
       .filter(col("df_docs") >= minDf && col("df_docs") <= maxDf)

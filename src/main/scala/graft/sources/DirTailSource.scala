@@ -425,7 +425,27 @@ private[graft] class DirTailStreamingWrite(schema: StructType, path: String,
       .foreach(n => Files.deleteIfExists(dir.resolve(n)): Unit)
     try PosixLinkPrimitive.publishExclusive(marker,
       queryId.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        // TOCTOU closure: the exists() check above ran before this
+        // publish, so a DIFFERENT query's commit can land in between —
+        // the rename/reap above then already clobbered the winner's
+        // files, and swallowing the collision would leave the epoch
+        // silently corrupted. Re-read the marker's owner and refuse as
+        // loudly as the pre-check would have; an owner equal to this
+        // queryId (or a legacy empty marker) is a genuine same-query
+        // replay race and stays idempotent.
+        val owner = new String(Files.readAllBytes(marker),
+          java.nio.charset.StandardCharsets.UTF_8)
+        if (owner.nonEmpty && queryId.nonEmpty && owner != queryId)
+          throw new IllegalStateException(
+            s"dirtail sink $path: epoch $epochId was committed " +
+              s"CONCURRENTLY by a different stream (query $owner) while " +
+              "this query (checkpoint reset?) was publishing the same " +
+              "epoch number — the epoch's visible files may mix both " +
+              "attempts; write to a fresh directory, or resume the " +
+              "original checkpoint")
+    }
   }
 
   override def abort(epochId: Long,

@@ -2144,8 +2144,23 @@ object TxTable {
     else listNames(refs).filter(_.endsWith(".json")).flatMap { n =>
       try {
         val node = new Mapper().readTree(Files.readAllBytes(refs.resolve(n)))
-        Some(n.stripSuffix(".json") -> node.get("version").asLong())
-      } catch { case _: java.nio.file.NoSuchFileException => None }
+        val v = node.get("version")
+        if (v == null || !v.canConvertToLong)
+          throw new IllegalStateException(
+            s"corrupt tag ref ${refs.resolve(n)}: no integral 'version' " +
+              "field — delete or repair the ref file")
+        Some(n.stripSuffix(".json") -> v.asLong())
+      } catch {
+        case _: java.nio.file.NoSuchFileException => None
+        // a malformed/foreign ref file must not silently vanish from the
+        // tag listing (time-travel would see a different tag set than the
+        // operator does) — name the file so the repair is obvious. Only
+        // the concurrent-drop race stays silent (normal reader-vs-drop).
+        case e: com.fasterxml.jackson.core.JacksonException =>
+          throw new IllegalStateException(
+            s"corrupt tag ref ${refs.resolve(n)}: unparseable JSON — " +
+              s"delete or repair the ref file ($e)")
+      }
     }.toMap
   }
 
@@ -2909,16 +2924,19 @@ object TxTable {
     * files-wide) so a huge commit cannot exhaust driver descriptors. */
   private[sources] val StatsReadParallelism = 8
 
-  /** Reader-thread names observed by the most recent stats gather per
-    * table root — the suite's observable that the footer loop is no
-    * longer serial (a multi-file staging must record >= 2 threads). */
+  /** Reader-thread names observed by the MOST RECENT stats gather (one
+    * entry, not one per table) — the suite's observable that the footer
+    * loop is no longer serial (a multi-file staging must record >= 2
+    * threads). Keeping only the latest (root, threads) pair bounds what
+    * was an append-forever per-table map: a long-lived session touching
+    * many tables accumulated an entry per root for test-only
+    * observability (ADVICE r20). */
   private val statsReadThreads =
-    new java.util.concurrent.ConcurrentHashMap[String, java.util.Set[String]]()
+    new java.util.concurrent.atomic.AtomicReference[(String, Int)](("", 0))
 
   private[graft] def statsReadThreadCount(tableDir: String): Int = {
-    val s = statsReadThreads.get(
-      Paths.get(tableDir).toAbsolutePath.toString)
-    if (s == null) 0 else s.size()
+    val (root, n) = statsReadThreads.get()
+    if (root == Paths.get(tableDir).toAbsolutePath.toString) n else 0
   }
 
   /** Per-file footer stats for freshly-written files, gathered with
@@ -2939,7 +2957,7 @@ object TxTable {
       out(i) = TxStats.forFile(root.resolve(files(i)), schema) ++
         extra(files(i))
     }
-    statsReadThreads.put(root.toAbsolutePath.toString, threads): Unit
+    statsReadThreads.set((root.toAbsolutePath.toString, threads.size()))
     files.indices.flatMap(i =>
       if (out(i).isEmpty) None else Some(files(i) -> out(i))).toMap
   }
