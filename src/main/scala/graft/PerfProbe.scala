@@ -77,12 +77,18 @@ object PerfProbe {
                             var end: Long = -1L, var stages: Int = 0,
                             var taskMs: Long = 0L)
     val jobs = mutable.LinkedHashMap.empty[Int, JobRec]
+    // stage → job recorded at job START (SparkListenerJobStart.stageIds):
+    // attributing a finished stage to the most-recently-started job
+    // misattributes under overlapping jobs (broadcast builds, persist
+    // materializations run concurrently with the main action)
+    val stageToJob = mutable.HashMap.empty[Int, Int]
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = jobs.synchronized {
         val d = Option(e.properties)
           .flatMap(p => Option(p.getProperty("spark.job.description")))
           .getOrElse("")
         jobs(e.jobId) = JobRec(e.jobId, d, e.time)
+        e.stageIds.foreach(sid => stageToJob(sid) = e.jobId)
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit = jobs.synchronized {
         jobs.get(e.jobId).foreach(_.end = e.time)
@@ -90,7 +96,7 @@ object PerfProbe {
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
         jobs.synchronized {
           val info = e.stageInfo
-          jobs.values.lastOption.foreach { j =>
+          stageToJob.get(info.stageId).flatMap(jobs.get).foreach { j =>
             j.stages += 1
             j.taskMs += info.taskMetrics.executorRunTime
           }

@@ -194,8 +194,11 @@ object Dedup {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     require(maxFpDf >= 2, s"maxFpDf must be >= 2 (2 is the smallest df " +
       s"that can form a pair), got $maxFpDf")
+    // No fan-out before the fingerprint kernel: it is light relative to
+    // the banding self-join's shuffle, and the added exchange measured
+    // slower (r21 driver bench, retry-confirmed).
     val fps = persistTracked(
-      TextStats.winnowFingerprints(Par.fanOut(df), idCol, textCol, k, w))
+      TextStats.winnowFingerprints(df, idCol, textCol, k, w))
     val band = fps.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= 2 && col("__df") <= maxFpDf)
       .select(col("fp"))
@@ -241,10 +244,11 @@ object Dedup {
     // longs vs ~20-byte strings is the difference in shuffle bytes; a
     // cross-doc hash collision overcounts one shared shingle w.p.
     // ~distinct²/2^65 — immaterial. Persisted: both join sides read it.
-    // fanOut before the shingle kernel: a single-file scan would run the
-    // hashing (and the explode feeding the self-join) on one task (Par)
-    val grams = Par.fanOut(df.select(col(idCol).cast("long").as("id"),
-        col(textCol).as("__txt")))
+    // No fan-out before the shingle kernel: the downstream self-join
+    // shuffle dominates it, and the extra exchange measured slower
+    // (r21 driver bench, retry-confirmed).
+    val grams = df.select(col(idCol).cast("long").as("id"),
+        col(textCol).as("__txt"))
       .select(col("id"), shingle_hashes(col("__txt"), n).as("grams"))
       .withColumn("sz", size(col("grams")).cast("long"))
     val exploded = persistTracked(grams.select(col("id"), col("sz"),
@@ -354,8 +358,8 @@ object Dedup {
     // gram sets are read three times (signatures + both verify sides) —
     // persist so the shingle kernel runs once per row, not three times
     val grams = persistTracked(
-      Par.fanOut(df.select(col(idCol).cast("long").as("id"),
-          col(textCol).as("__txt")))
+      df.select(col(idCol).cast("long").as("id"),
+          col(textCol).as("__txt"))
         .select(col("id"), shingle_hashes(col("__txt"), n).as("grams")))
     // row-local sketch (no shuffle), then one band-key row per band
     val sigs = grams.select(col("id"),
@@ -446,10 +450,10 @@ object Dedup {
     val extra = 62 % bands // first `extra` bands get one more bit
     val starts = (0 until bands).scanLeft(0)((s, i) =>
       s + base + (if (i < extra) 1 else 0))
-    // fanOut here, NOT inside simhash(): the single-call signature path
-    // stays zero-shuffle by design; the pair path's banding join pays a
-    // shuffle anyway, so parallelizing the signature kernel is free
-    val sigs = simhash(Par.fanOut(df), idCol, textCol)
+    // No fan-out before the signature kernel: the banding join's shuffle
+    // dominates it, and the extra exchange measured slower (r21 driver
+    // bench, retry-confirmed).
+    val sigs = simhash(df, idCol, textCol)
     // persisted: both self-join sides read it (without this the whole
     // signature computation runs twice)
     val banded = persistTracked(sigs.select(col("id"), col("simhash"),
@@ -509,7 +513,7 @@ object Dedup {
       .gram_poly_hashes(col(textCol), k)
     // (doc, token-width of one gram window, gram positions+hashes);
     // persisted: both the dup aggregate and the hit join read it
-    val pos = persistTracked(Par.fanOut(df)
+    val pos = persistTracked(df
       .select(col(idCol).as("doc_id"),
         least(lit(k), size(toks)).as("width"), grams.as("__g"))
       .where(size(col("__g")) > 0)

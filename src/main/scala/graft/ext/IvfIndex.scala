@@ -36,12 +36,26 @@ object IvfIndex {
     * centroid table. One pass over the data + one centroid aggregation —
     * both fully distributed. */
   def build(df: DataFrame, idCol: String, vecCol: String, cellCol: String,
-            path: String): Unit = {
-    df.select(col(idCol), col(vecCol), col(cellCol).as("cell"))
-      .write.partitionBy("cell").mode("overwrite").parquet(s"$path/data")
-    Similarity.centroids(df, vecCol, cellCol)
+            path: String): Unit =
+    buildFrame(df, idCol, vecCol, cellCol, path): Unit
+
+  /** The shared build body: persist the assigned (id, vec, cell)
+    * projection ONCE — the data write, the centroid aggregation and (for
+    * the PQ build) the code encode all read it, and without the persist
+    * each pass re-evaluates the upstream cell assignment (for the
+    * k-means builds, an argmin over the broadcast centroid matrix per
+    * row per pass). Returns the persisted frame so [[buildPq]] can feed
+    * the encode pass from it; released by the harness's per-query
+    * unpersistAll (TrackedCache lifecycle). */
+  private def buildFrame(df: DataFrame, idCol: String, vecCol: String,
+                         cellCol: String, path: String): DataFrame = {
+    val frame = TrackedCache.persistTracked(
+      df.select(col(idCol), col(vecCol), col(cellCol).as("cell")))
+    frame.write.partitionBy("cell").mode("overwrite").parquet(s"$path/data")
+    Similarity.centroids(frame, vecCol, "cell")
       .withColumnRenamed("grp", "cell")
       .write.mode("overwrite").parquet(s"$path/centroids")
+    frame
   }
 
   /** [[build]] with a LEARNED coarse quantizer: k-means the vectors into
@@ -91,7 +105,11 @@ object IvfIndex {
     val meta = new String(Files.readAllBytes(Paths.get(path, "meta.json")))
     val numSub =
       "\"numSub\":(\\d+)".r.findFirstMatchIn(meta).get.group(1).toInt
-    val assigned = assignFrozen(df, idCol, vecCol, path)
+    // persisted: the raw-vector append AND the code encode both read the
+    // assigned frame — without this the frozen-quantizer assignment pass
+    // over the ingest batch runs twice
+    val assigned = TrackedCache.persistTracked(
+      assignFrozen(df, idCol, vecCol, path))
     assigned.write.partitionBy("cell").mode("append")
       .parquet(s"$path/data")
     Similarity.pqEncodeKeepCell(assigned, idCol, vecCol, "cell", numSub,
@@ -162,7 +180,7 @@ object IvfIndex {
   def buildPq(df: DataFrame, idCol: String, vecCol: String, cellCol: String,
               path: String, numSub: Int): Unit = {
     val spark = df.sparkSession
-    build(df, idCol, vecCol, cellCol, path)
+    val frame = buildFrame(df, idCol, vecCol, cellCol, path)
     // The PQ codebook is a RESHAPE of the coarse centroids just written:
     // the per-(sub, lbl, pos) quantized mean equals the per-(lbl,
     // sub·width+pos) component of [[Similarity.centroids]] — identical
@@ -180,7 +198,7 @@ object IvfIndex {
           .as(Seq("sub", "cent")))
       .select(col("sub"), col("lbl"), col("cent"))
       .write.mode("overwrite").parquet(s"$path/codebook")
-    Similarity.pqEncodeKeepCell(df, idCol, vecCol, cellCol, numSub,
+    Similarity.pqEncodeKeepCell(frame, idCol, vecCol, "cell", numSub,
         Some(spark.read.parquet(s"$path/codebook")))
       .write.partitionBy("cell").mode("overwrite").parquet(s"$path/codes")
     // geometry as driver-side metadata: query time should spend its jobs

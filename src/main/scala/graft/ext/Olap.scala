@@ -162,11 +162,12 @@ object Olap {
     * partitioned by group, no global sort. */
   def weightedMedian(df: DataFrame, groupCol: String, valCol: String,
                      wCol: String): DataFrame = {
-    // fanOut: the (group, value) pre-aggregation is the heavy map pass
-    // (600k-row quantize+hash on ONE task over a single-file scan)
-    val q = Par.fanOut(df.select(col(groupCol),
+    // No fan-out before the quantize pass: it is light relative to the
+    // (group, value) aggregate's shuffle, and the extra exchange measured
+    // slower (r21 driver bench: 2.02 → 3.32 s, retry-confirmed).
+    val q = df.select(col(groupCol),
         floor(col(valCol) * 100 + 0.5).cast("long").as("__v"),
-        col(wCol).cast("long").as("__w")))
+        col(wCol).cast("long").as("__w"))
       .where(col("__w") > 0)
       .groupBy(col(groupCol), col("__v"))
       .agg(sum(col("__w")).as("__wv"))

@@ -2,6 +2,8 @@ package graft.ext
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.execution.columnar.InMemoryRelation
+import scala.util.control.NonFatal
 
 /** Scale-adaptive parallelism floor for CPU-heavy narrow pipelines
   * (spark_optimization_guide §2.5 "input skew: one huge unsplittable
@@ -50,6 +52,12 @@ private[graft] object Par {
     case _: Except => ()
     case _: Distinct => ()
     case _: Deduplicate => ()
+    // A cached frame appears as an InMemoryRelation leaf — narrow to this
+    // scan, but probing its partition count via df.rdd plans the cached
+    // AQE subtree, and with canChangeCachedPlanOutputPartitioning enabled
+    // that executes upstream stages eagerly. Treat it as not eligible:
+    // the cache's partitioning was decided when it was built.
+    case _: InMemoryRelation => ()
   }.isEmpty
 
   /** Fan `df` out to the session's default parallelism when its (narrow)
@@ -64,6 +72,6 @@ private[graft] object Par {
       if (!isNarrow(df.queryExecution.optimizedPlan)) df
       else if (df.rdd.getNumPartitions < target) df.repartition(target)
       else df
-    } catch { case _: Throwable => df }
+    } catch { case NonFatal(_) => df }
   }
 }

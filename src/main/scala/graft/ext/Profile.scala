@@ -53,7 +53,7 @@ object Profile {
             s"${other.simpleString} — quantize it to a long first")
       }
     }
-    val unpivoted = Par.fanOut(df).select(explode(array(cols.map(c =>
+    val unpivoted = df.select(explode(array(cols.map(c =>
       struct(lit(c).as("col_name"), col(c).cast("long").as("v"))): _*))
       .as("x")).select(col("x.col_name").as("col_name"), col("x.v").as("v"))
     val stats = unpivoted.groupBy(col("col_name"))

@@ -321,8 +321,8 @@ object TextStats {
     // is the left join side) — without this the explode+aggregate runs
     // twice. Released by Dedup.unpersistAll (shared TrackedCache).
     val tf = TrackedCache.persistTracked(
-      Par.fanOut(df.select(col(idCol).as("doc_id"),
-          col(textCol).as("__t")))
+      df.select(col(idCol).as("doc_id"),
+          col(textCol).as("__t"))
         .select(col("doc_id"), explode(toks(col("__t"))).as("term"))
         .groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf")))
@@ -666,7 +666,7 @@ object TextStats {
     * plans as TakeOrderedAndProject — no global sort of the vocabulary.
     * Tie-break on the term itself keeps the k-boundary deterministic. */
   def topTerms(df: DataFrame, textCol: String, k: Int): DataFrame =
-    Par.fanOut(df.select(col(textCol)))
+    df.select(col(textCol))
       .select(explode(array_distinct(toks(col(textCol)))).as("term"))
       .groupBy(col("term"))
       .agg(count(lit(1)).as("doc_freq"))
@@ -724,9 +724,10 @@ object TextStats {
                     k: Int): DataFrame = {
     val t = toks(col(textCol))
     val nBig = greatest(size(t) - 1, lit(0))
-    // one fanned-out text projection feeds both explode passes (Par:
-    // tokenize+explode is the CPU; a single-file scan runs it on 1 task)
-    val dfF = Par.fanOut(df.select(col(textCol)))
+    // one text projection feeds both explode passes; no fan-out — the
+    // tokenize kernel is light relative to the bigram-count shuffle and
+    // the extra exchange measured slower (r21 driver bench)
+    val dfF = df.select(col(textCol))
     val pairs = dfF.select(explode(zip_with(slice(t, lit(1), nBig),
       slice(t, lit(2), nBig),
       (a, b) => struct(a.as("x"), b.as("y")))).as("p"))
@@ -770,7 +771,7 @@ object TextStats {
                minDf: Long, maxDf: Long, cap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pairs = TrackedCache.persistTracked(
-      Par.fanOut(df.select(col(idCol).as("doc_id"), col(textCol)))
+      df.select(col(idCol).as("doc_id"), col(textCol))
         .select(col("doc_id"),
           explode(array_distinct(toks(col(textCol)))).as("term")))
     val band = pairs.groupBy(col("term"))
@@ -809,8 +810,8 @@ object TextStats {
                    k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf = TrackedCache.persistTracked(
-      Par.fanOut(df.select(col(idCol).as("doc_id"),
-          col(textCol).as("__t")))
+      df.select(col(idCol).as("doc_id"),
+          col(textCol).as("__t"))
         .select(col("doc_id"), explode(toks(col("__t"))).as("term"))
         .groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf")))
@@ -898,8 +899,8 @@ object TextStats {
     * token — a 0 means a hapax in a corpus of ≥1M tokens). */
   def rarityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tf = TrackedCache.persistTracked(
-      Par.fanOut(df.select(col(idCol).as("doc_id"),
-          col(textCol).as("__t")))
+      df.select(col(idCol).as("doc_id"),
+          col(textCol).as("__t"))
         .select(col("doc_id"), explode(toks(col("__t"))).as("term"))
         .groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf")))

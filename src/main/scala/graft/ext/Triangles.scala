@@ -152,8 +152,12 @@ object Triangles {
     // maxRounds no-op-tolerant rounds, so the engine must reach (and
     // verify) the fixpoint within that many peels, never peel past it
     while (!converged && r <= maxRounds) {
-      val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
-        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      // deg is read three times per round (the convergence action plus
+      // both semi-join filters) — persist it so the union+aggregate runs
+      // once per round, not three times
+      val deg = TrackedCache.persistTracked(
+        e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+          .groupBy(col("n")).agg(count(lit(1)).as("d")))
       val keep = deg.filter(col("d") >= k).select(col("n"))
       // one action decides convergence: count the DROP side directly
       if (deg.filter(col("d") < k).limit(1).count() == 0L) converged = true
