@@ -10,15 +10,15 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // Prefer shuffled-hash over sort-merge when the per-partition build
-      // side fits (spark_optimization_guide §3.1/§9): skips both sides'
-      // sorts on every equi-join; AQE's local-map threshold converts
-      // planned SMJs at runtime the same way. Scale-safe: the planner
-      // still falls back to SMJ when no side's per-partition size fits,
-      // and results are join-strategy-independent (all declared queries
-      // end in a total-order sort and are oracle-certified under this
-      // config at sf0.001/0.01/0.1).
-      .config("spark.sql.join.preferSortMergeJoin", "false")
+      // SMJ→SHJ conversion at RUNTIME only (guide §3.1): AQE rewrites a
+      // planned sort-merge join to shuffled-hash when every post-shuffle
+      // partition fits under this threshold — measured sizes, so no OOM
+      // risk from a misestimated static pick. The r21 static preference
+      // (spark.sql.join.preferSortMergeJoin=false) was A/B-measured in
+      // r22 (plans/r22/*_smj.txt vs *_shj.txt, 8 join-heavy queries,
+      // min-of-3): flat to slightly negative (Σ 15.7 s SMJ-forced vs
+      // 16.8 s with the preference), so it is dropped and only the
+      // bounded runtime conversion kept.
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
         "134217728")
       // AQE coalescing floor: the default 1 MiB minPartitionSize collapses

@@ -1467,8 +1467,21 @@ private[graft] object EntryHelpers {
     * `foreachBatch` overwriting the output with each batch's full aggregate
     * state — each write is a distributed `DataFrame.write`, and the last
     * batch leaves exactly the final aggregate on disk. */
+  /** @param watermarkFinalizes pass TRUE for append-mode topologies whose
+    *   OUTPUT depends on watermark finalization — outer-join null rows,
+    *   event-time-timeout session closes, append-mode aggregate emission.
+    *   Those need the trailing no-data micro-batch (the batch that runs
+    *   after the last data batch purely to advance the watermark and emit
+    *   finalized state). Everything else — complete-mode drains (output
+    *   is a pure function of processed input; the no-data batch re-emits
+    *   an identical frame) and inner stream-stream joins (matches emit in
+    *   the data batch; the no-data batch only evicts state) — skips it:
+    *   one fewer planned batch, one fewer commit of every state-store
+    *   instance, byte-identical output (oracle-certified). Complete-mode
+    *   drains ignore the flag and always skip. */
   def drainStream(s: SparkSession, name: String, mode: String,
-                          frame: DataFrame): DataFrame = {
+                          frame: DataFrame,
+                          watermarkFinalizes: Boolean = true): DataFrame = {
     val base = java.nio.file.Paths.get(scratchDir(s"graft-$name-"))
     val out = s"$base/out"
     // a zero-batch drain (empty source) never invokes foreachBatch, so the
@@ -1485,9 +1498,14 @@ private[graft] object EntryHelpers {
     // serializes overlapping drains (otherwise drain B could save A's
     // temporary "8" and pin the session there). Verify/Bench call entries
     // sequentially anyway; the lock makes the harness safe, not fast.
+    val skipNoData = mode != "append" || !watermarkFinalizes
     DrainLock.synchronized {
     val saved = s.conf.get("spark.sql.shuffle.partitions")
+    val savedNoData =
+      s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
     s.conf.set("spark.sql.shuffle.partitions", "8")
+    if (skipNoData)
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try {
       val writer = frame.writeStream
         .option("checkpointLocation", s"$base/ckpt")
@@ -1501,7 +1519,11 @@ private[graft] object EntryHelpers {
           }.start()
       }
       q.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", saved)
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+        savedNoData)
+    }
     }
     s.read.schema(frame.schema).parquet(out)
   }

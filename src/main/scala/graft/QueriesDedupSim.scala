@@ -266,11 +266,16 @@ private[graft] object QueriesDedupSim {
       }
       // IVF (exact search within probed cells): recall loss can ONLY be
       // coverage — true neighbors in unprobed cells — so the full probe
-      // is required to be EXACTLY 10/10 (it is the exact scan)
+      // is required to be EXACTLY 10/10 (it is the exact scan).
+      // The ranked cell list is computed ONCE per index (rankCellsMany:
+      // a probe at any nprobe is a prefix of it) — one centroid job per
+      // curve instead of one per swept nprobe point.
       val ivfIdx = ivfIndexFor(s, dir, emb)
+      val ivfCells = graft.ext.IvfIndex.rankCellsMany(s, ivfIdx,
+        Seq(queryVec(emb))).head
       val ivfCurve = curveOf("ivf", np =>
-        graft.ext.IvfIndex.topK(s, ivfIdx, "vec_id",
-          "embedding", queryVec(emb), k = 10, nprobe = np))
+        graft.ext.IvfIndex.topKCells(s, ivfIdx, "vec_id",
+          "embedding", queryVec(emb), k = 10, cells = ivfCells.take(np)))
       require(ivfCurve.last._4 == 10L,
         s"IVF full-probe recall@10 is ${ivfCurve.last._4}/10 — a full " +
           "probe IS the exact scan, so anything under 10 means the " +
@@ -280,9 +285,11 @@ private[graft] object QueriesDedupSim {
       // top of coverage; the floor is the measured envelope across
       // sf0.001-0.1 (0.6-1.0) with margin
       val pqIdx = ivfPqIndexFor(s, dir, emb)
+      val pqCells = graft.ext.IvfIndex.rankCellsMany(s, pqIdx,
+        Seq(queryVec(emb))).head
       val pqCurve = curveOf("ivfpq", np =>
-        graft.ext.IvfIndex.topKPq(s, pqIdx, "vec_id",
-          queryVec(emb), k = 10, nprobe = np, rescore = true,
+        graft.ext.IvfIndex.topKPqCells(s, pqIdx, "vec_id",
+          queryVec(emb), k = 10, probes = pqCells.take(np), rescore = true,
           candidates = 100))
       require(pqCurve.last._4 >= RecallFloorHits,
         s"IVF-PQ recall@10 at nprobe=4 (full probe, 100 rescored " +

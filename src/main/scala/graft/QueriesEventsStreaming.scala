@@ -51,7 +51,10 @@ private[graft] object QueriesEventsStreaming {
     // state), drained append-mode, certified vs the batch interval join
     "stream_join" -> ((s: SparkSession, dir: String) =>
       drainStream(s, "graft_stream_join", "append",
-        graft.streaming.EventsStream.viewToClickJoin(eventsStream(s, dir)))
+        graft.streaming.EventsStream.viewToClickJoin(eventsStream(s, dir)),
+        // inner interval join: matches emit in the data batch; the
+        // trailing no-data batch only evicts state — skip it
+        watermarkFinalizes = false)
         .orderBy("user_id", "view_t", "click_t")),
     // the LEFT-OUTER watermarked interval join — the attribution shape
     // users actually run (views with no click). Unmatched rows emit
@@ -222,7 +225,10 @@ private[graft] object QueriesEventsStreaming {
     // watermark passes each window. Oracle = batch SELECT DISTINCT.
     "stream_dedup" -> ((s: SparkSession, dir: String) =>
       drainStream(s, "graft_stream_dedup", "append",
-        graft.streaming.EventsStream.dedupKeys(eventsStream(s, dir)))
+        graft.streaming.EventsStream.dedupKeys(eventsStream(s, dir)),
+        // dedup emits FIRST occurrences in the data batch; the no-data
+        // batch only purges expired state — skip it
+        watermarkFinalizes = false)
         .orderBy("hour", "user_id", "event_type")),
     // ----- exactly-once transactional streaming sink (TxSink scaladoc:
     // each micro-batch is one atomic TxTable commit stamped with its

@@ -16,9 +16,10 @@ object Verify {
       .config("spark.sql.parquet.aggregatePushdown", "true")
       // events.ts is TIMESTAMP(NANOS); read as long, converted in Tables.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // same join-strategy preference as Bench (guide §3.1/§9) so the
-      // correctness gate certifies the exact physical plans the bench runs
-      .config("spark.sql.join.preferSortMergeJoin", "false")
+      // same join-strategy config as Bench (AQE runtime SMJ→SHJ only —
+      // the r21 static preference was dropped after the r22 A/B, see
+      // Bench.scala) so the correctness gate certifies the exact
+      // physical plans the bench runs
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
         "134217728")
       // AQE coalescing floor: the default 1 MiB minPartitionSize collapses

@@ -34,28 +34,18 @@ object IvfIndex {
 
   /** Build the index: write vectors partitioned by cell plus the per-cell
     * centroid table. One pass over the data + one centroid aggregation —
-    * both fully distributed. */
+    * both fully distributed. (Persisting the assigned frame across the
+    * two passes measured SLOWER at bench scale — columnar array caching
+    * costs more than re-running the argmin assignment — and at corpus
+    * scale a corpus-sized cache just spills the same bytes to disk that
+    * a re-scan would read; so each pass recomputes from the source.) */
   def build(df: DataFrame, idCol: String, vecCol: String, cellCol: String,
-            path: String): Unit =
-    buildFrame(df, idCol, vecCol, cellCol, path): Unit
-
-  /** The shared build body: persist the assigned (id, vec, cell)
-    * projection ONCE — the data write, the centroid aggregation and (for
-    * the PQ build) the code encode all read it, and without the persist
-    * each pass re-evaluates the upstream cell assignment (for the
-    * k-means builds, an argmin over the broadcast centroid matrix per
-    * row per pass). Returns the persisted frame so [[buildPq]] can feed
-    * the encode pass from it; released by the harness's per-query
-    * unpersistAll (TrackedCache lifecycle). */
-  private def buildFrame(df: DataFrame, idCol: String, vecCol: String,
-                         cellCol: String, path: String): DataFrame = {
-    val frame = TrackedCache.persistTracked(
-      df.select(col(idCol), col(vecCol), col(cellCol).as("cell")))
-    frame.write.partitionBy("cell").mode("overwrite").parquet(s"$path/data")
-    Similarity.centroids(frame, vecCol, "cell")
+            path: String): Unit = {
+    df.select(col(idCol), col(vecCol), col(cellCol).as("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$path/data")
+    Similarity.centroids(df, vecCol, cellCol)
       .withColumnRenamed("grp", "cell")
       .write.mode("overwrite").parquet(s"$path/centroids")
-    frame
   }
 
   /** [[build]] with a LEARNED coarse quantizer: k-means the vectors into
@@ -105,11 +95,7 @@ object IvfIndex {
     val meta = new String(Files.readAllBytes(Paths.get(path, "meta.json")))
     val numSub =
       "\"numSub\":(\\d+)".r.findFirstMatchIn(meta).get.group(1).toInt
-    // persisted: the raw-vector append AND the code encode both read the
-    // assigned frame — without this the frozen-quantizer assignment pass
-    // over the ingest batch runs twice
-    val assigned = TrackedCache.persistTracked(
-      assignFrozen(df, idCol, vecCol, path))
+    val assigned = assignFrozen(df, idCol, vecCol, path)
     assigned.write.partitionBy("cell").mode("append")
       .parquet(s"$path/data")
     Similarity.pqEncodeKeepCell(assigned, idCol, vecCol, "cell", numSub,
@@ -141,9 +127,19 @@ object IvfIndex {
     * `nprobe` probed cell partitions. No centroid recomputation, no
     * full-table scan. */
   def topK(spark: SparkSession, path: String, idCol: String, vecCol: String,
-           query: Seq[Double], k: Int, nprobe: Int): DataFrame = {
+           query: Seq[Double], k: Int, nprobe: Int): DataFrame =
+    topKCells(spark, path, idCol, vecCol, query, k,
+      probe(spark, path, query, nprobe))
+
+  /** [[topK]] with the probed cells PRECOMPUTED (a prefix of
+    * [[rankCellsMany]]'s ranked list) — the batch/sweep entry point that
+    * skips the per-call probe job. */
+  private[graft] def topKCells(spark: SparkSession, path: String,
+                               idCol: String, vecCol: String,
+                               query: Seq[Double], k: Int,
+                               cells: Seq[Any]): DataFrame = {
     val data = spark.read.parquet(s"$path/data")
-      .filter(col("cell").isin(probe(spark, path, query, nprobe): _*))
+      .filter(col("cell").isin(cells: _*))
     Similarity.topK(data, idCol, vecCol, query, k)
   }
 
@@ -159,6 +155,36 @@ object IvfIndex {
       .orderBy(col("csim").desc, col("cell"))
       .limit(nprobe)
       .collect().map(_.get(0)).toIndexedSeq
+
+  /** Batch form of [[probe]]: the FULL ranked cell list for every query
+    * vector, from ONE job over the centroid table — a probe at any
+    * nprobe is a PREFIX of its query's ranked list (same csim-desc,
+    * cell-asc comparator), so a batch of Q queries (or one query swept
+    * across nprobe settings) pays one centroid-scan job instead of one
+    * per probe. Same expressions as [[probe]] (q4-rounded cosine, cell
+    * tiebreak), so the selected cells are identical. */
+  private[graft] def rankCellsMany(spark: SparkSession, path: String,
+                                   vecs: Seq[Seq[Double]])
+      : Seq[IndexedSeq[Any]] = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val qdf = broadcast(vecs.zipWithIndex
+      .map { case (v, i) => (i, v) }.toDF("__qi", "__qv"))
+    val rows = spark.read.parquet(s"$path/centroids")
+      .crossJoin(qdf)
+      .select(col("__qi"), col("cell"),
+        round(Similarity.cosine(col("centroid"), col("__qv")), 4)
+          .as("csim"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__qi"))
+          .orderBy(col("csim").desc, col("cell"))))
+      .select(col("__qi"), col("cell"), col("__rn"))
+      .collect()
+    val by = rows.groupBy(_.getInt(0))
+    vecs.indices.map(i =>
+      by.getOrElse(i, Array.empty[org.apache.spark.sql.Row])
+        .sortBy(_.getInt(2)).map(_.get(1)).toIndexedSeq)
+  }
 
   /** Build the COMPOSED IVF-PQ index — the 100 TB ANN serving layout
     * (FAISS's IVFADC is the public model: coarse quantizer prunes, product
@@ -180,7 +206,7 @@ object IvfIndex {
   def buildPq(df: DataFrame, idCol: String, vecCol: String, cellCol: String,
               path: String, numSub: Int): Unit = {
     val spark = df.sparkSession
-    val frame = buildFrame(df, idCol, vecCol, cellCol, path)
+    build(df, idCol, vecCol, cellCol, path)
     // The PQ codebook is a RESHAPE of the coarse centroids just written:
     // the per-(sub, lbl, pos) quantized mean equals the per-(lbl,
     // sub·width+pos) component of [[Similarity.centroids]] — identical
@@ -198,7 +224,7 @@ object IvfIndex {
           .as(Seq("sub", "cent")))
       .select(col("sub"), col("lbl"), col("cent"))
       .write.mode("overwrite").parquet(s"$path/codebook")
-    Similarity.pqEncodeKeepCell(frame, idCol, vecCol, "cell", numSub,
+    Similarity.pqEncodeKeepCell(df, idCol, vecCol, cellCol, numSub,
         Some(spark.read.parquet(s"$path/codebook")))
       .write.partitionBy("cell").mode("overwrite").parquet(s"$path/codes")
     // geometry as driver-side metadata: query time should spend its jobs
@@ -234,12 +260,23 @@ object IvfIndex {
              query: Seq[Double], k: Int, nprobe: Int,
              rescore: Boolean = false,
              vecCol: String = "embedding",
-             candidates: Int = 0): DataFrame = {
+             candidates: Int = 0): DataFrame =
+    topKPqCells(spark, path, idCol, query, k,
+      probe(spark, path, query, nprobe), rescore, vecCol, candidates)
+
+  /** [[topKPq]] with the probed cells PRECOMPUTED (a prefix of
+    * [[rankCellsMany]]'s ranked list) — the batch/sweep entry point that
+    * skips the per-call probe job. */
+  private[graft] def topKPqCells(spark: SparkSession, path: String,
+                                 idCol: String, query: Seq[Double],
+                                 k: Int, probes: Seq[Any],
+                                 rescore: Boolean = false,
+                                 vecCol: String = "embedding",
+                                 candidates: Int = 0): DataFrame = {
     require(candidates == 0 || rescore,
       "a candidate pool wider than k only means anything with " +
         "rescore = true — without the exact rescore there is no " +
         "second ranking to cut it back to k")
-    val probes = probe(spark, path, query, nprobe)
     val codebook = spark.read.parquet(s"$path/codebook")
     val meta = new String(Files.readAllBytes(Paths.get(path, "meta.json")))
     val numSub = "\"numSub\":(\\d+)".r.findFirstMatchIn(meta).get.group(1).toInt

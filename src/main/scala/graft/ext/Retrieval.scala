@@ -211,10 +211,16 @@ object Retrieval {
     require(k > 0 && candidates >= k, s"need 0 < k <= candidates")
     val s = docs.sparkSession
     val lexTop = lexTopBatch(docs, docIdCol, textCol, queries, candidates)
-    val vecTop = queries
-      .map(q => IvfIndex.topKPq(s, indexPath, vecIdCol, q.vec,
-          k = candidates, nprobe = nprobe, rescore = true)
-        .withColumn("query_id", lit(q.queryId)))
+    // ONE centroid-scan job ranks the coarse cells for every query in
+    // the batch (IvfIndex.rankCellsMany: a probe at any nprobe is a
+    // prefix of the ranked list) — instead of one probe job per query
+    val cellLists = IvfIndex.rankCellsMany(s, indexPath, queries.map(_.vec))
+    val vecTop = queries.zip(cellLists)
+      .map { case (q, cells) =>
+        IvfIndex.topKPqCells(s, indexPath, vecIdCol, q.vec,
+            k = candidates, probes = cells.take(nprobe), rescore = true)
+          .withColumn("query_id", lit(q.queryId))
+      }
       .reduce(_ unionByName _)
       .withColumn("vec_rank", row_number().over(
         Window.partitionBy(col("query_id"))
