@@ -95,8 +95,10 @@ object Components {
 
   /** Release a localCheckpoint's storage. `Dataset.unpersist` only talks
     * to the CacheManager and is a silent no-op for checkpoints (their
-    * blocks are RDD-level) — the underlying RDD must be unpersisted. */
-  private def freeCheckpoint(df: DataFrame): Unit =
+    * blocks are RDD-level) — the underlying RDD must be unpersisted.
+    * (private[ext]: [[Triangles.kCore]] shares the iterative-checkpoint
+    * discipline.) */
+  private[ext] def freeCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(false)

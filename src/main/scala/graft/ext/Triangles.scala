@@ -145,6 +145,19 @@ object Triangles {
         greatest(col(srcCol), col(dstCol)).as("v"))
       .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
       .distinct())
+    // per-round frames are EAGER localCheckpoints, not persists (the
+    // [[Components.connectedComponents]] iteration discipline): the
+    // degree frame is read three times per round (the convergence action
+    // plus both semi-join filters) and the surviving edge set feeds the
+    // next round, and a checkpoint is a LEAF plan — per-round nested
+    // caches made round r's plan embed round r-1's and the rendered plan
+    // string grew exponentially with peel depth (OOM at depth ~20).
+    // Previous rounds' blocks are freed as soon as the round that read
+    // them is materialized; the final degree frame's blocks fall to the
+    // ContextCleaner when the caller drops the result (the
+    // connectedComponents contract).
+    var eOwned: DataFrame = null
+    var deg: DataFrame = null
     var converged = false
     var r = 0
     // AT MOST maxRounds peels, with the convergence CHECK allowed once
@@ -152,28 +165,35 @@ object Triangles {
     // maxRounds no-op-tolerant rounds, so the engine must reach (and
     // verify) the fixpoint within that many peels, never peel past it
     while (!converged && r <= maxRounds) {
-      // deg is read three times per round (the convergence action plus
-      // both semi-join filters) — persist it so the union+aggregate runs
-      // once per round, not three times
-      val deg = TrackedCache.persistTracked(
+      val degNew =
         e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
-          .groupBy(col("n")).agg(count(lit(1)).as("d")))
+          .groupBy(col("n")).agg(count(lit(1)).as("d"))
+          .localCheckpoint(true)
+      if (deg != null) Components.freeCheckpoint(deg)
+      deg = degNew
       val keep = deg.filter(col("d") >= k).select(col("n"))
       // one action decides convergence: count the DROP side directly
       if (deg.filter(col("d") < k).limit(1).count() == 0L) converged = true
       else if (r == maxRounds) r += 1 // budget exhausted: fail below
       else {
-        e = TrackedCache.persistTracked(
-          e.join(keep.select(col("n").as("u")), Seq("u"), "left_semi")
-            .join(keep.select(col("n").as("v")), Seq("v"), "left_semi"))
+        val eNew = e
+          .join(keep.select(col("n").as("u")), Seq("u"), "left_semi")
+          .join(keep.select(col("n").as("v")), Seq("v"), "left_semi")
+          .localCheckpoint(true)
+        if (eOwned != null) Components.freeCheckpoint(eOwned)
+        eOwned = eNew
+        e = eNew
         r += 1
       }
     }
     require(converged,
       s"kCore(k=$k) did not converge within $maxRounds rounds — raise " +
         "maxRounds (and the oracle's unroll) together")
-    e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
-      .groupBy(col("node")).agg(count(lit(1)).as("core_deg"))
+    // the converged round's degree frame IS the answer: convergence
+    // means every surviving node already has d >= k, and deg is
+    // materialized — the final union+aggregate recompute is redundant
+    if (eOwned != null) Components.freeCheckpoint(eOwned)
+    deg.select(col("n").as("node"), col("d").as("core_deg"))
   }
 
   /** Co-activity edges: users active within the same time bucket. The

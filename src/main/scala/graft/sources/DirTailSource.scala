@@ -433,11 +433,17 @@ private[graft] class DirTailStreamingWrite(schema: StructType, path: String,
         // files, and swallowing the collision would leave the epoch
         // silently corrupted. Re-read the marker's owner and refuse as
         // loudly as the pre-check would have; an owner equal to this
-        // queryId (or a legacy empty marker) is a genuine same-query
-        // replay race and stays idempotent.
-        val owner = new String(Files.readAllBytes(marker),
-          java.nio.charset.StandardCharsets.UTF_8)
-        if (owner.nonEmpty && queryId.nonEmpty && owner != queryId)
+        // queryId is a genuine same-query replay race and stays
+        // idempotent. An UNREADABLE marker (vanished between the failed
+        // publish and this read — someone is concurrently mutating the
+        // epoch) or a legacy EMPTY marker cannot prove same-query
+        // ownership, so both refuse rather than swallow a possible
+        // cross-query collision.
+        val owner =
+          try new String(Files.readAllBytes(marker),
+            java.nio.charset.StandardCharsets.UTF_8)
+          catch { case _: java.io.IOException => "" }
+        if (owner.isEmpty || queryId.isEmpty || owner != queryId)
           throw new IllegalStateException(
             s"dirtail sink $path: epoch $epochId was committed " +
               s"CONCURRENTLY by a different stream (query $owner) while " +

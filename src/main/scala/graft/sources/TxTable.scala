@@ -2924,20 +2924,25 @@ object TxTable {
     * files-wide) so a huge commit cannot exhaust driver descriptors. */
   private[sources] val StatsReadParallelism = 8
 
-  /** Reader-thread names observed by the MOST RECENT stats gather (one
-    * entry, not one per table) — the suite's observable that the footer
-    * loop is no longer serial (a multi-file staging must record >= 2
-    * threads). Keeping only the latest (root, threads) pair bounds what
-    * was an append-forever per-table map: a long-lived session touching
-    * many tables accumulated an entry per root for test-only
-    * observability (ADVICE r20). */
+  /** Reader-thread counts observed by recent stats gathers — the
+    * suite's observable that the footer loop is no longer serial (a
+    * multi-file staging must record >= 2 threads). A BOUNDED LRU of the
+    * last 16 roots (not one entry per table forever — the r20 leak, and
+    * not a single latest-only slot — the r21 fix that made the
+    * observable racy whenever two gathers interleaved in one session). */
   private val statsReadThreads =
-    new java.util.concurrent.atomic.AtomicReference[(String, Int)](("", 0))
+    new java.util.LinkedHashMap[String, java.lang.Integer](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, java.lang.Integer]): Boolean =
+        size() > 16
+    }
 
-  private[graft] def statsReadThreadCount(tableDir: String): Int = {
-    val (root, n) = statsReadThreads.get()
-    if (root == Paths.get(tableDir).toAbsolutePath.toString) n else 0
-  }
+  private[graft] def statsReadThreadCount(tableDir: String): Int =
+    statsReadThreads.synchronized {
+      val n = statsReadThreads.get(
+        Paths.get(tableDir).toAbsolutePath.toString)
+      if (n == null) 0 else n.intValue()
+    }
 
   /** Per-file footer stats for freshly-written files, gathered with
     * bounded parallelism ([[runConcurrently]] — the [[compact]] pool
@@ -2957,7 +2962,10 @@ object TxTable {
       out(i) = TxStats.forFile(root.resolve(files(i)), schema) ++
         extra(files(i))
     }
-    statsReadThreads.set((root.toAbsolutePath.toString, threads.size()))
+    statsReadThreads.synchronized {
+      statsReadThreads.put(root.toAbsolutePath.toString,
+        threads.size()): Unit
+    }
     files.indices.flatMap(i =>
       if (out(i).isEmpty) None else Some(files(i) -> out(i))).toMap
   }
