@@ -87,7 +87,10 @@ object PerfProbe {
           .flatMap(p => Option(p.getProperty("spark.job.description")))
           .getOrElse("")
         jobs(e.jobId) = JobRec(e.jobId, d, e.time)
-        e.stageIds.foreach(sid => stageToJob(sid) = e.jobId)
+        // first registration wins: a stage shared with an already-running
+        // job belongs to the job that actually submitted it
+        e.stageIds.foreach(sid =>
+          stageToJob.getOrElseUpdate(sid, e.jobId): Unit)
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit = jobs.synchronized {
         jobs.get(e.jobId).foreach(_.end = e.time)

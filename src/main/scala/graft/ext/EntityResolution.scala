@@ -129,12 +129,16 @@ object EntityResolution {
     while (d <= maxDist && residueN > 0) {
       // the exploded key frames persist for the stage's lifetime: the
       // pricing aggregate materializes them, the join reuses the cached
-      // blocks — each side's explode runs exactly once per stage
+      // blocks — each side's explode runs exactly once per stage.
       // fanOut BEFORE the neighborhood explode: the variant generation
       // and the downstream levenshtein verify are the CPU of this
-      // operator, and a single-file scan (or a 1-partition cached
-      // residue) would run them on one task — measured as a 1.7 s
-      // single-task verify stage in er_resolve on local[32]
+      // operator, and a single-file scan would run them on one task —
+      // measured as a 1.7 s single-task verify stage in er_resolve on
+      // local[32]. NOTE: on the d=2 pass the residue is a CACHED frame,
+      // where fanOut deliberately bails (InMemoryRelation probe hazard,
+      // Par scaladoc) — the residue inherits the anti-join's shuffle
+      // parallelism there, which measures fine (er_resolve2 ≤ its r21
+      // level with the bail in place)
       val dKeys = TrackedCache.persistTracked(
         Par.fanOut(residue).select(col("__did"), col("__dn"),
           explode(nbhd(d)(col("__dn"))).as("__key")))

@@ -162,9 +162,13 @@ object IvfIndex {
     * cell-asc comparator), so a batch of Q queries (or one query swept
     * across nprobe settings) pays one centroid-scan job instead of one
     * per probe. Same expressions as [[probe]] (q4-rounded cosine, cell
-    * tiebreak), so the selected cells are identical. */
+    * tiebreak), so the selected cells are identical. `maxRank` bounds
+    * the per-query list collected to the driver — a batch caller that
+    * only ever takes the first nprobe cells passes nprobe instead of
+    * shipping nlist rows per query. */
   private[graft] def rankCellsMany(spark: SparkSession, path: String,
-                                   vecs: Seq[Seq[Double]])
+                                   vecs: Seq[Seq[Double]],
+                                   maxRank: Int = Int.MaxValue)
       : Seq[IndexedSeq[Any]] = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -178,6 +182,7 @@ object IvfIndex {
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("__qi"))
           .orderBy(col("csim").desc, col("cell"))))
+      .filter(col("__rn") <= maxRank)
       .select(col("__qi"), col("cell"), col("__rn"))
       .collect()
     val by = rows.groupBy(_.getInt(0))

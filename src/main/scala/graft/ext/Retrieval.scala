@@ -213,12 +213,14 @@ object Retrieval {
     val lexTop = lexTopBatch(docs, docIdCol, textCol, queries, candidates)
     // ONE centroid-scan job ranks the coarse cells for every query in
     // the batch (IvfIndex.rankCellsMany: a probe at any nprobe is a
-    // prefix of the ranked list) — instead of one probe job per query
-    val cellLists = IvfIndex.rankCellsMany(s, indexPath, queries.map(_.vec))
+    // prefix of the ranked list) — instead of one probe job per query;
+    // maxRank = nprobe bounds the driver transfer to nprobe rows/query
+    val cellLists = IvfIndex.rankCellsMany(s, indexPath,
+      queries.map(_.vec), maxRank = nprobe)
     val vecTop = queries.zip(cellLists)
       .map { case (q, cells) =>
         IvfIndex.topKPqCells(s, indexPath, vecIdCol, q.vec,
-            k = candidates, probes = cells.take(nprobe), rescore = true)
+            k = candidates, probes = cells, rescore = true)
           .withColumn("query_id", lit(q.queryId))
       }
       .reduce(_ unionByName _)

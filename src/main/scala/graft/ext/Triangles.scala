@@ -186,9 +186,17 @@ object Triangles {
         r += 1
       }
     }
-    require(converged,
-      s"kCore(k=$k) did not converge within $maxRounds rounds — raise " +
-        "maxRounds (and the oracle's unroll) together")
+    if (!converged) {
+      // free the failure path's pinned checkpoint blocks BEFORE throwing:
+      // they are RDD-level (invisible to the harness's unpersistAll) and
+      // a retried over-budget query would otherwise accumulate them
+      if (eOwned != null) Components.freeCheckpoint(eOwned)
+      if (deg != null) Components.freeCheckpoint(deg)
+      throw new IllegalArgumentException(
+        s"requirement failed: kCore(k=$k) did not converge within " +
+          s"$maxRounds rounds — raise maxRounds (and the oracle's " +
+          "unroll) together")
+    }
     // the converged round's degree frame IS the answer: convergence
     // means every surviving node already has d >= k, and deg is
     // materialized — the final union+aggregate recompute is redundant

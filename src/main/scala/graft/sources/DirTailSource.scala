@@ -443,14 +443,23 @@ private[graft] class DirTailStreamingWrite(schema: StructType, path: String,
           try new String(Files.readAllBytes(marker),
             java.nio.charset.StandardCharsets.UTF_8)
           catch { case _: java.io.IOException => "" }
-        if (owner.isEmpty || queryId.isEmpty || owner != queryId)
+        if (owner.nonEmpty && queryId.nonEmpty && owner == queryId) ()
+        else {
+          val who =
+            if (owner.nonEmpty && queryId.nonEmpty)
+              s"was committed CONCURRENTLY by a DIFFERENT stream " +
+                s"(query $owner)"
+            else
+              "was committed concurrently by a writer whose ownership " +
+                "cannot be verified (the marker vanished mid-race or " +
+                "carries no query id)"
           throw new IllegalStateException(
-            s"dirtail sink $path: epoch $epochId was committed " +
-              s"CONCURRENTLY by a different stream (query $owner) while " +
-              "this query (checkpoint reset?) was publishing the same " +
-              "epoch number — the epoch's visible files may mix both " +
+            s"dirtail sink $path: epoch $epochId $who while this query " +
+              "(checkpoint reset?) was publishing the same epoch " +
+              "number — the epoch's visible files may mix both " +
               "attempts; write to a fresh directory, or resume the " +
               "original checkpoint")
+        }
     }
   }
 
